@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Det._
+import graft.sources.Tables
+
+/** B4 — aggregations (SURVEY.md §2 Tier B). Each key has a DuckDB
+  * oracle twin in [[oracle]]; determinism per Det's rules. */
+object Aggregates {
+  private val shipCut = "1998-09-01 00:00:00"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_group_pricing" -> { (s, dir) =>
+      pricingSummary(Tables(s, dir, "lineitem"))
+    },
+    "q_agg_global" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      ordered(li.agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"),
+        dsum(col("l_discount")).as("sum_disc")))
+    },
+    "q_agg_distinct" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      ordered(li.groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows")))
+    },
+    "q_agg_having" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      ordered(c.groupBy(col("c_mktsegment"))
+        .agg(davg(col("c_acctbal")).as("avg_bal"), count(lit(1)).as("n_cust"))
+        .filter(col("avg_bal") > lit(4000.0)))
+    },
+    "q_agg_stats" -> { (s, dir) =>
+      // stddev/var/corr/covar derived from EXACT decimal sums so the
+      // double formula is IEEE-identical to the oracle's (§7.4).
+      val li = Tables(s, dir, "lineitem")
+      val sums = li.groupBy(col("l_returnflag")).agg(
+        count(lit(1)).cast("double").as("n"),
+        dsum(col("l_extendedprice")).as("sx"),
+        sum(money(col("l_extendedprice")) * money(col("l_extendedprice"))).cast("double").as("sxx"),
+        dsum(col("l_discount")).as("sy"),
+        sum(money(col("l_discount")) * money(col("l_discount"))).cast("double").as("syy"),
+        sum(money(col("l_extendedprice")) * money(col("l_discount"))).cast("double").as("sxy"))
+      // NOTE oracle twin uses DECIMAL(24,4)×DECIMAL(14,4): DuckDB 1.0
+      // keeps width 18 for (18,4)×(18,4) and overflows int64 on the
+      // squares; Spark's (18,4)×(18,4)→(37,8) is already exact.
+      ordered(sums.select(
+        col("l_returnflag"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - lit(1.0))).as("sd_price"),
+        ((col("sxx") - col("sx") * col("sx") / col("n")) / (col("n") - lit(1.0))).as("var_price"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - lit(1.0))).as("covar_pd"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (sqrt(col("sxx") - col("sx") * col("sx") / col("n")) *
+           sqrt(col("syy") - col("sy") * col("sy") / col("n")))).as("corr_pd")))
+    },
+    "q_agg_percentile" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      ordered(o.groupBy(col("o_orderpriority")).agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
+        count(lit(1)).as("n")))
+    },
+    "q_agg_collect" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      ordered(o.filter(col("o_custkey") <= lit(50L))
+        .groupBy(col("o_custkey"))
+        .agg(array_sort(collect_list(col("o_orderkey"))).as("orderkeys"),
+          count(lit(1)).as("n_orders")))
+    },
+    "q_agg_minmax_by" -> { (s, dir) =>
+      // Arg-max with deterministic ties: max over (value, event_id)
+      // struct so the winning event is unique.
+      val e = Tables(s, dir, "events")
+      val top = max(struct(col("value"), col("event_id")))
+      ordered(e.groupBy(col("user_id")).agg(
+        top.getField("event_id").as("top_event_id"),
+        top.getField("value").as("top_value")))
+    },
+    "q_agg_approx_distinct" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+      ordered(e.groupBy(col("event_type"))
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"),
+          count(lit(1)).as("n")))
+    }
+  )
+
+  /** Flagship: TPC-H-Q1-style pricing summary (SURVEY.md §7.3). */
+  def pricingSummary(li: DataFrame): DataFrame = {
+    val disc  = money(lit(1)) - money(col("l_discount"))
+    val chrg  = (money(col("l_extendedprice")) * disc).cast(Money) *
+                (money(lit(1)) + money(col("l_tax")))
+    ordered(li
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf(shipCut)))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(money(col("l_extendedprice")) * disc).cast("double").as("sum_disc_price"),
+        sum(chrg).cast("double").as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order")))
+  }
+
+  private val pricingOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin +
+      orderByAll("l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+        "sum_disc_price", "sum_charge", "avg_qty", "avg_price", "avg_disc",
+        "count_order")
+
+  def oracle: Map[String, String] = Map(
+    "q_agg_group_pricing" -> pricingOracle,
+    "q_agg_global" ->
+      ("""SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_price,
+        |  MIN(l_shipdate) AS min_ship, MAX(l_shipdate) AS max_ship,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc
+        |FROM lineitem""".stripMargin +
+        orderByAll("n_rows", "sum_qty", "avg_price", "min_ship", "max_ship", "sum_disc")),
+    "q_agg_distinct" ->
+      ("""SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+        |  COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin +
+        orderByAll("l_returnflag", "n_supp", "n_part", "n_rows")),
+    "q_agg_having" ->
+      ("""SELECT c_mktsegment,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_bal,
+        |  COUNT(*) AS n_cust
+        |FROM customer GROUP BY c_mktsegment
+        |HAVING CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) > 4000.0""".stripMargin +
+        orderByAll("c_mktsegment", "avg_bal", "n_cust")),
+    "q_agg_stats" ->
+      ("""WITH sums AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4)) * CAST(l_extendedprice AS DECIMAL(14,4))) AS DOUBLE) AS sxx,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_discount AS DECIMAL(24,4)) * CAST(l_discount AS DECIMAL(14,4))) AS DOUBLE) AS syy,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(24,4)) * CAST(l_discount AS DECIMAL(14,4))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |  SQRT((sxx - sx * sx / n) / (n - 1.0)) AS sd_price,
+        |  ((sxx - sx * sx / n) / (n - 1.0)) AS var_price,
+        |  ((sxy - sx * sy / n) / (n - 1.0)) AS covar_pd,
+        |  ((sxy - sx * sy / n) / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n))) AS corr_pd
+        |FROM sums""".stripMargin +
+        orderByAll("l_returnflag", "sd_price", "var_price", "covar_pd", "corr_pd")),
+    "q_agg_percentile" ->
+      ("""SELECT o_orderpriority,
+        |  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS median_price,
+        |  ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 4) AS p90_price,
+        |  COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority""".stripMargin +
+        orderByAll("o_orderpriority", "median_price", "p90_price", "n")),
+    "q_agg_collect" ->
+      ("""SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys,
+        |  COUNT(*) AS n_orders
+        |FROM orders WHERE o_custkey <= 50 GROUP BY o_custkey""".stripMargin +
+        orderByAll("o_custkey", "orderkeys", "n_orders")),
+    "q_agg_minmax_by" ->
+      ("""SELECT user_id, event_id AS top_event_id, value AS top_value
+        |FROM (SELECT user_id, event_id, value, row_number() OVER (
+        |        PARTITION BY user_id ORDER BY value DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin +
+        orderByAll("user_id", "top_event_id", "top_value"))
+  )
+}

@@ -1,0 +1,31 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Batch table loader over the driver fixtures (TESTDATA.md:14-15).
+  *
+  * All fixture access funnels through here so the engine has ONE place
+  * to swap storage layout (bucketed tables, partitioned dirs, a
+  * catalog) when moving from local fixtures to a 100 TB lake.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") events(spark, sfDir)
+    else spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which the
+    * vectorized Spark reader rejects. Read nanos as long (legacy conf)
+    * and convert to a µs timestamp — lossless: the fixture's ns
+    * component is verified zero (epoch_ns % 1000 == 0 for all rows),
+    * and DuckDB's reader does the identical ns→µs conversion. */
+  private def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    import org.apache.spark.sql.functions._
+    spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
+}
