@@ -9,7 +9,10 @@ import graft.operators._
 object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (Aggregates.queries, Aggregates.oracle)
+      (Scans.queries, Scans.oracle),
+      (Joins.queries, Joins.oracle),
+      (Aggregates.queries, Aggregates.oracle),
+      (SortsSets.queries, SortsSets.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

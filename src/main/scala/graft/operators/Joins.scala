@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Det._
+import graft.sources.Tables
+
+/** B3 — joins (SURVEY.md §2).
+  *
+  * Scale notes per operator:
+  *  - dims (region/nation, filtered part sets) are broadcast — no
+  *    shuffle of the fact side;
+  *  - fact⋈fact equi joins shuffle on the join key (sort-merge / AQE
+  *    shuffled-hash) — correct partitioning at 1000 executors;
+  *  - the theta join bounds BOTH sides with pushable filters before
+  *    the nested-loop product, the only honest strategy for non-equi;
+  *  - the as-of join is equi-join + per-key top-1 window; at 100 TB
+  *    the window shuffles once on the same key as the join (single
+  *    exchange, AQE-coalesced). */
+object Joins {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_join_inner" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders")
+      val c = Tables(s, dir, "customer")
+      ordered(o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+        .select(col("o_orderkey"), col("c_custkey"), col("c_name"), col("o_totalprice")))
+    },
+    "q_join_broadcast" -> { (s, dir) =>
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      ordered(n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name")))
+    },
+    "q_join_left" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+      ordered(c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice")))
+    },
+    "q_join_right" -> { (s, dir) =>
+      val o = Tables(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+      val c = Tables(s, dir, "customer")
+      ordered(o.join(c, o("o_custkey") === c("c_custkey"), "right")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice")))
+    },
+    "q_join_full" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer").filter(col("c_custkey") % 2 === 0)
+        .select(col("c_custkey"), col("c_name"))
+      val o = Tables(s, dir, "orders").filter(col("o_totalprice") > 300000.0)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+      ordered(c.join(o, col("c_custkey") === col("o_custkey"), "full")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice")))
+    },
+    "q_join_semi" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      ordered(c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name")))
+    },
+    "q_join_anti" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      ordered(c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
+    },
+    "q_join_cross" -> { (s, dir) =>
+      val r = Tables(s, dir, "region").select(col("r_name"))
+      val n = Tables(s, dir, "nation").select(col("n_name"))
+      ordered(r.crossJoin(n))
+    },
+    "q_join_theta_range" -> { (s, dir) =>
+      // Non-equi join: bound both sides with pushable filters first,
+      // then BroadcastNestedLoopJoin over the small part side.
+      val p = Tables(s, dir, "part")
+        .filter(col("p_size") <= 3).select(col("p_partkey"), col("p_retailprice"))
+      val li = Tables(s, dir, "lineitem")
+        .filter(col("l_quantity") <= 2.0).select(col("l_orderkey"), col("l_extendedprice"))
+      ordered(li.join(broadcast(p),
+          col("l_extendedprice") >= col("p_retailprice") * 10.0 &&
+          col("l_extendedprice") <  col("p_retailprice") * 11.0)
+        .groupBy(col("p_partkey"))
+        .agg(count(lit(1)).as("n_li"), dsum(col("l_extendedprice")).as("sum_price")))
+    },
+    "q_join_asof" -> { (s, dir) =>
+      // As-of: latest order (by o_orderdate, key-tiebreak) of the
+      // event's user at event time. Equi-join on the key + top-1
+      // window over the identical partitioning.
+      val e = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val o = Tables(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+      val j = e.join(o,
+        col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left")
+      val w = Window.partitionBy(col("event_id"))
+        .orderBy(col("o_orderdate").desc_nulls_last, col("o_orderkey").desc_nulls_last)
+      ordered(j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"), col("o_orderkey"), col("o_orderdate")))
+    },
+    "q_join_multiway" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+                col("o_orderdate") <  lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      ordered(li
+        .join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          sum(money(col("l_extendedprice")) * (money(lit(1)) - money(col("l_discount"))))
+            .cast("double").as("revenue"),
+          count(lit(1)).as("n_li")))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_join_inner" ->
+      ("""SELECT o_orderkey, c_custkey, c_name, o_totalprice
+        |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin +
+        orderByAll("o_orderkey", "c_custkey", "c_name", "o_totalprice")),
+    "q_join_broadcast" ->
+      ("""SELECT n_nationkey, n_name, r_name
+        |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin +
+        orderByAll("n_nationkey", "n_name", "r_name")),
+    "q_join_left" ->
+      ("""SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM customer LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+        |ON c_custkey = o.o_custkey""".stripMargin +
+        orderByAll("c_custkey", "c_name", "o_orderkey", "o_totalprice")),
+    "q_join_right" ->
+      ("""SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM (SELECT * FROM orders WHERE o_totalprice > 300000.0) o
+        |RIGHT JOIN customer ON o.o_custkey = c_custkey""".stripMargin +
+        orderByAll("c_custkey", "c_name", "o_orderkey", "o_totalprice")),
+    "q_join_full" ->
+      ("""SELECT c_custkey, c_name, o_orderkey, o_totalprice
+        |FROM (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 2 = 0) c
+        |FULL JOIN (SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |           WHERE o_totalprice > 300000.0) o
+        |ON c.c_custkey = o.o_custkey""".stripMargin +
+        orderByAll("c_custkey", "c_name", "o_orderkey", "o_totalprice")),
+    "q_join_semi" ->
+      ("""SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')""".stripMargin +
+        orderByAll("c_custkey", "c_name")),
+    "q_join_anti" ->
+      ("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin +
+        orderByAll("c_custkey", "c_name", "c_mktsegment")),
+    "q_join_cross" ->
+      ("SELECT r_name, n_name FROM region CROSS JOIN nation" +
+        orderByAll("r_name", "n_name")),
+    "q_join_theta_range" ->
+      ("""SELECT p_partkey, COUNT(*) AS n_li,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM (SELECT p_partkey, p_retailprice FROM part WHERE p_size <= 3) p
+        |JOIN (SELECT l_orderkey, l_extendedprice FROM lineitem WHERE l_quantity <= 2.0) l
+        |  ON l.l_extendedprice >= p.p_retailprice * 10.0
+        | AND l.l_extendedprice <  p.p_retailprice * 11.0
+        |GROUP BY p_partkey""".stripMargin +
+        orderByAll("p_partkey", "n_li", "sum_price")),
+    "q_join_asof" ->
+      ("""SELECT event_id, user_id, ts, o_orderkey, o_orderdate FROM (
+        |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC NULLS LAST) AS rn
+        |  FROM events e LEFT JOIN orders o
+        |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+        |WHERE rn = 1""".stripMargin +
+        orderByAll("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")),
+    "q_join_multiway" ->
+      ("""SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_li
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY r_name, n_name""".stripMargin +
+        orderByAll("r_name", "n_name", "revenue", "n_li"))
+  )
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Det._
+import graft.sources.Tables
+
+/** B1 scans + B2 projection/filter (SURVEY.md §2).
+  *
+  * Scale notes: all predicates/projections here are Catalyst-pushable —
+  * the parquet scan must show PushedFilters + pruned ReadSchema (plan
+  * asserted in ScanSpec); at 100 TB these are the difference between
+  * reading 3 columns and reading 16. */
+object Scans {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scan_project" -> { (s, dir) =>
+      ordered(Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice")))
+    },
+    "q_scan_filter_pushdown" -> { (s, dir) =>
+      ordered(Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"), col("l_quantity")))
+    },
+    "q_scan_union_files" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_name").as("name"), lit("customer").as("src"))
+      val sup = Tables(s, dir, "supplier")
+        .select(col("s_suppkey").as("key"), col("s_name").as("name"), lit("supplier").as("src"))
+      ordered(c.unionByName(sup))
+    },
+    "q_project_expr" -> { (s, dir) =>
+      // Row-level double arithmetic is IEEE-identical across engines;
+      // no decimal needed (only aggregation order is engine-dependent).
+      ordered(Tables(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        (col("l_quantity") * col("l_extendedprice")).as("gross")))
+    },
+    "q_filter_compound" -> { (s, dir) =>
+      ordered(Tables(s, dir, "orders")
+        .filter(
+          (col("o_orderstatus") === "F" || col("o_orderstatus") === "P") &&
+          col("o_totalprice").between(50000.0, 200000.0) &&
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH") &&
+          !(col("o_orderkey") % 7 === 0))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority")))
+    },
+    "q_filter_null" -> { (s, dir) =>
+      // Fixtures are null-free: manufacture nulls with nullif, then
+      // exercise isNull / isNotNull / null-safe equality.
+      val c = Tables(s, dir, "customer")
+        .withColumn("seg_n", nullif(col("c_mktsegment"), lit("BUILDING")))
+      ordered(c.select(
+          col("c_custkey"), col("seg_n"),
+          col("seg_n").isNull.as("is_b"),
+          (col("seg_n") <=> lit("AUTOMOBILE")).as("is_auto"))
+        .filter(col("seg_n").isNull || col("seg_n").isNotNull && col("c_custkey") % 3 === 0))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_scan_project" ->
+      ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem" +
+        orderByAll("l_orderkey", "l_linenumber", "l_extendedprice")),
+    "q_scan_filter_pushdown" ->
+      ("""SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1996-01-01 00:00:00'""".stripMargin +
+        orderByAll("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")),
+    "q_scan_union_files" ->
+      ("""SELECT c_custkey AS key, c_name AS name, 'customer' AS src FROM customer
+        |UNION ALL
+        |SELECT s_suppkey AS key, s_name AS name, 'supplier' AS src FROM supplier""".stripMargin +
+        orderByAll("key", "name", "src")),
+    "q_project_expr" ->
+      ("""SELECT l_orderkey, l_linenumber,
+        |  l_extendedprice * (1.0 - l_discount) AS revenue,
+        |  l_quantity * l_extendedprice AS gross FROM lineitem""".stripMargin +
+        orderByAll("l_orderkey", "l_linenumber", "revenue", "gross")),
+    "q_filter_compound" ->
+      ("""SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority FROM orders
+        |WHERE (o_orderstatus = 'F' OR o_orderstatus = 'P')
+        |  AND o_totalprice BETWEEN 50000.0 AND 200000.0
+        |  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |  AND NOT (o_orderkey % 7 = 0)""".stripMargin +
+        orderByAll("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority")),
+    "q_filter_null" ->
+      ("""SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg_n,
+        |  nullif(c_mktsegment, 'BUILDING') IS NULL AS is_b,
+        |  nullif(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM 'AUTOMOBILE' AS is_auto
+        |FROM customer
+        |WHERE nullif(c_mktsegment, 'BUILDING') IS NULL
+        |   OR (nullif(c_mktsegment, 'BUILDING') IS NOT NULL AND c_custkey % 3 = 0)""".stripMargin +
+        orderByAll("c_custkey", "seg_n", "is_b", "is_auto"))
+  )
+}

@@ -26,6 +26,8 @@ object Tables {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
     spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // integral DIV, not `/`: long/long is double division in Spark
+      // SQL and epoch-ns exceeds 2^53, so `/1000` rounds the µs.
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
   }
 }
