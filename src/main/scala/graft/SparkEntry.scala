@@ -12,6 +12,9 @@ object SparkEntry {
       (Scans.queries, Scans.oracle),
       (Joins.queries, Joins.oracle),
       (Aggregates.queries, Aggregates.oracle),
+      (Grouping.queries, Grouping.oracle),
+      (Windows.queries, Windows.oracle),
+      (Scalars.queries, Scalars.oracle),
       (SortsSets.queries, SortsSets.oracle)
     )
 

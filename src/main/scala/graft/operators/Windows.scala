@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Det._
+import graft.sources.Tables
+
+/** B5 — window functions (SURVEY.md §2).
+  *
+  * Determinism: every window ORDER BY carries a unique-key tiebreak,
+  * and frame aggregates over DOUBLE go through DECIMAL(18,4) — DuckDB
+  * evaluates frames with a segment tree, so double addition order
+  * differs from Spark's running accumulator; decimal is order-proof.
+  *
+  * Scale: one shuffle per distinct partitionBy key set; top-k-per-
+  * group plans as WindowGroupLimit (rank pushdown) so only k rows per
+  * group survive the exchange. */
+object Windows {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_win_rank" -> { (s, dir) =>
+      val w = Window.partitionBy(col("c_nationkey"))
+        .orderBy(col("c_acctbal").desc_nulls_last, col("c_custkey").asc_nulls_first)
+      ordered(Tables(s, dir, "customer").select(
+        col("c_custkey"), col("c_nationkey"), col("c_acctbal"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        row_number().over(w).as("rn")))
+    },
+    "q_win_topk_group" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc_nulls_first)
+      ordered(Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn")))
+    },
+    "q_win_running" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ordered(Tables(s, dir, "orders").select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        sum(money(col("o_totalprice"))).over(w).cast("double").as("running_total")))
+    },
+    "q_win_sliding" -> { (s, dir) =>
+      // daily revenue, then a 7-row moving average over days
+      val daily = Tables(s, dir, "lineitem")
+        .groupBy(date_trunc("DAY", col("l_shipdate")).as("day"))
+        .agg(sum(money(col("l_extendedprice"))).as("rev_dec"))
+      val w = Window.orderBy(col("day").asc_nulls_first).rowsBetween(-6, 0)
+      ordered(daily.select(
+        col("day"),
+        col("rev_dec").cast("double").as("day_rev"),
+        (sum(col("rev_dec")).over(w).cast("double") /
+          count(lit(1)).over(w)).as("ma7")))
+    },
+    "q_win_range_frame" -> { (s, dir) =>
+      // RANGE frame over orderdate epoch-seconds: per customer, total
+      // of orders in the trailing 90 days (inclusive).
+      val sec = 90L * 24 * 3600
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("epoch_s").asc_nulls_first)
+        .rangeBetween(-sec, 0)
+      ordered(Tables(s, dir, "orders")
+        .withColumn("epoch_s", unix_timestamp(col("o_orderdate")))
+        .select(
+          col("o_custkey"), col("o_orderkey"), col("epoch_s"),
+          sum(money(col("o_totalprice"))).over(w).cast("double").as("tot_90d"),
+          count(lit(1)).over(w).as("n_90d")))
+    },
+    "q_win_lead_lag" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc_nulls_first, col("event_id").asc_nulls_first)
+      ordered(Tables(s, dir, "events").select(
+        col("user_id"), col("event_id"), col("ts"),
+        (unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+          .as("gap_s"),
+        lead(col("event_type"), 1).over(w).as("next_type")))
+    },
+    "q_win_ntile" -> { (s, dir) =>
+      val w = Window.orderBy(col("o_totalprice").asc_nulls_first, col("o_orderkey").asc_nulls_first)
+      ordered(Tables(s, dir, "orders").select(
+        col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile")))
+    },
+    "q_win_first_last" -> { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc_nulls_first, col("event_id").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      ordered(Tables(s, dir, "events").select(
+          col("user_id"), col("event_id"),
+          first(col("event_type")).over(w).as("first_type"),
+          last(col("event_type")).over(w).as("last_type")))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_win_rank" ->
+      ("""SELECT c_custkey, c_nationkey, c_acctbal,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |  row_number() OVER w AS rn
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey
+        |  ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC NULLS FIRST)""".stripMargin +
+        orderByAll("c_custkey", "c_nationkey", "c_acctbal", "rnk", "drnk", "rn")),
+    "q_win_topk_group" ->
+      ("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin +
+        orderByAll("o_custkey", "o_orderkey", "o_totalprice", "rn")),
+    "q_win_running" ->
+      ("""SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    AS running_total
+        |FROM orders""".stripMargin +
+        orderByAll("o_custkey", "o_orderkey", "o_orderdate", "running_total")),
+    "q_win_sliding" ->
+      ("""WITH daily AS (
+        |  SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev_dec
+        |  FROM lineitem GROUP BY 1)
+        |SELECT day, CAST(rev_dec AS DOUBLE) AS day_rev,
+        |  CAST(SUM(rev_dec) OVER w AS DOUBLE) / COUNT(*) OVER w AS ma7
+        |FROM daily
+        |WINDOW w AS (ORDER BY day ASC NULLS FIRST ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin +
+        orderByAll("day", "day_rev", "ma7")),
+    "q_win_range_frame" ->
+      ("""SELECT o_custkey, o_orderkey, epoch_s,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS tot_90d,
+        |  COUNT(*) OVER w AS n_90d
+        |FROM (SELECT *, CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_s ASC NULLS FIRST
+        |  RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)""".stripMargin +
+        orderByAll("o_custkey", "o_orderkey", "epoch_s", "tot_90d", "n_90d")),
+    "q_win_lead_lag" ->
+      ("""SELECT user_id, event_id, ts,
+        |  CAST(epoch(date_trunc('second', ts)) AS BIGINT)
+        |    - CAST(epoch(date_trunc('second', lag(ts, 1) OVER w)) AS BIGINT) AS gap_s,
+        |  lead(event_type, 1) OVER w AS next_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)""".stripMargin +
+        orderByAll("user_id", "event_id", "ts", "gap_s", "next_type")),
+    "q_win_ntile" ->
+      ("""SELECT o_orderkey, o_totalprice, ntile(4) OVER (
+        |  ORDER BY o_totalprice ASC NULLS FIRST, o_orderkey ASC NULLS FIRST) AS quartile
+        |FROM orders""".stripMargin +
+        orderByAll("o_orderkey", "o_totalprice", "quartile")),
+    "q_win_first_last" ->
+      ("""SELECT user_id, event_id,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin +
+        orderByAll("user_id", "event_id", "first_type", "last_type"))
+  )
+}
