@@ -15,7 +15,13 @@ object SparkEntry {
       (Grouping.queries, Grouping.oracle),
       (Windows.queries, Windows.oracle),
       (Scalars.queries, Scalars.oracle),
-      (SortsSets.queries, SortsSets.oracle)
+      (SortsSets.queries, SortsSets.oracle),
+      (Time.queries, Time.oracle),
+      (Text.queries, Text.oracle),
+      (Dedup.queries, Dedup.oracle),
+      (Similarity.queries, Similarity.oracle),
+      (Multimodal.queries, Multimodal.oracle),
+      (Streams.queries, Streams.oracle)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

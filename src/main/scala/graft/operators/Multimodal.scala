@@ -1,0 +1,118 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Det._
+import graft.functions.VectorExprs
+import graft.sources.Tables
+
+/** B10 (multimodal half) — multimodal columns (SURVEY.md §2 B10):
+  * binary payload columns with typed metadata, a batch-shaped decode /
+  * feature-extract stage, and the text⋈vector multimodal join.
+  *
+  * The decode stage models the image/audio path: media arrives as an
+  * opaque BINARY column; decode/feature-extract runs as a typed
+  * `mapPartitions` over `Dataset[MediaPayload]` (per-partition setup —
+  * here a MessageDigest, in production the codec context — amortized
+  * across the batch, executor-side, no driver involvement). The codec
+  * call itself is a clearly-marked deterministic STUB (no image libs in
+  * this environment); the Spark-side plumbing — schema, encoders,
+  * partitioning, batch shape — is real and oracle-checked, because the
+  * stub's outputs are pure functions of the payload bytes.
+  *
+  * 100 TB posture: decode is embarrassingly parallel (narrow map, no
+  * shuffle); the multimodal join shuffles on the equi-key once and
+  * aggregates with map-side partials. Binary payloads stay columnar in
+  * parquet and are never collected.
+  */
+object Multimodal {
+
+  /** Opaque media payload + typed metadata (the multimodal column). */
+  case class MediaPayload(doc_id: Long, lang: String, payload: Array[Byte])
+
+  /** Decoded media features. */
+  case class MediaFeatures(doc_id: Long, lang: String, width: Long,
+      height: Long, n_bytes: Long, checksum: String)
+
+  /** STUB decoder — stands in for an image/audio codec. Deterministic
+    * pure function of the payload bytes so the pipeline around it is
+    * oracle-checkable; swap body for a real codec (e.g. JNI image lib)
+    * without touching the Spark plumbing. */
+  private def decodeStub(p: MediaPayload, md: java.security.MessageDigest): MediaFeatures = {
+    val n = p.payload.length.toLong
+    val sum = md.digest(p.payload).map(b => f"$b%02x").mkString
+    MediaFeatures(p.doc_id, p.lang,
+      width = 32L + n % 32L, height = 32L + (n * 7L) % 32L,
+      n_bytes = n, checksum = sum)
+  }
+
+  /** Batch decode over the binary column: typed mapPartitions with
+    * per-partition codec setup. */
+  def decodeFeatures(payloads: DataFrame): DataFrame = {
+    val spark = payloads.sparkSession
+    import spark.implicits._
+    payloads.as[MediaPayload].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map(p => decodeStub(p, md))
+    }.toDF()
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_features" -> { (s, dir) =>
+      // text bytes stand in for the media blob (same plumbing)
+      val payloads = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          encode(col("text"), "UTF-8").as("payload"))
+      ordered(decodeFeatures(payloads))
+    },
+    "q_multimodal_join" -> { (s, dir) =>
+      // text ⋈ vector modality on doc_id = vec_id; per-lang vector stats
+      VectorExprs.register(s)
+      val d = Tables(s, dir, "documents")
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val q = e.filter(col("vec_id") === lit(0L)).select(col("v").as("qv"))
+      val joined = d.join(e, col("doc_id") === col("vec_id"))
+        .crossJoin(broadcast(q))
+        .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x)))
+        .withColumn("c", Similarity.cosine(col("v"), col("qv")))
+      ordered(joined.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_vecs"),
+        davg(col("nrm")).as("avg_norm"),
+        davg(col("c")).as("avg_cos"),
+        round(max(col("c")), 4).as("max_cos"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars")))
+    }
+  )
+
+  private val cosJq =
+    "list_sum(list_transform(range(1,65), i -> CAST(j.embedding[i] AS DOUBLE) * q.embedding[i])) / " +
+      "(sqrt(list_sum(list_transform(range(1,65), i -> CAST(j.embedding[i] AS DOUBLE) * j.embedding[i]))) * " +
+      "sqrt(list_sum(list_transform(range(1,65), i -> CAST(q.embedding[i] AS DOUBLE) * q.embedding[i]))))"
+
+  def oracle: Map[String, String] = Map(
+    "q_multimodal_features" ->
+      ("""SELECT doc_id, lang,
+        |  32 + octet_length(CAST(text AS BLOB)) % 32 AS width,
+        |  32 + (octet_length(CAST(text AS BLOB)) * 7) % 32 AS height,
+        |  octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |  md5(text) AS checksum
+        |FROM documents""".stripMargin +
+        orderByAll("doc_id", "lang", "width", "height", "n_bytes", "checksum")),
+    "q_multimodal_join" ->
+      (s"""WITH j AS (
+        |  SELECT d.lang, d.n_chars, e.embedding,
+        |    sqrt(list_sum(list_transform(range(1,65), i -> CAST(e.embedding[i] AS DOUBLE) * e.embedding[i]))) AS nrm
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |per AS (SELECT j.lang, j.n_chars, j.nrm, $cosJq AS c
+        |        FROM (SELECT lang, n_chars, embedding, nrm FROM j) j, q)
+        |SELECT lang, COUNT(*) AS n_vecs,
+        |  CAST(SUM(CAST(nrm AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_norm,
+        |  CAST(SUM(CAST(c AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_cos,
+        |  ROUND(MAX(c), 4) AS max_cos,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM per GROUP BY lang""".stripMargin +
+        orderByAll("lang", "n_vecs", "avg_norm", "avg_cos", "max_cos", "avg_chars"))
+  )
+}

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Det._
+import graft.functions.VectorExprs
+import graft.sources.Tables
+
+/** B10 (similarity half) — vector similarity search over `embeddings`
+  * (SURVEY.md §2 B10): brute-force cosine top-k (the exactness
+  * baseline), fixed-query k-NN, and the random-projection LSH bucketed
+  * path for scale.
+  *
+  * 100 TB posture: the brute-force self-join is O(n²) and exists as
+  * the correctness baseline + small-side path; the production path is
+  * q_sim_lsh_bucketed (candidates from hash buckets — the join keys
+  * become (band, bucket), so the shuffle is linear in n, and only
+  * bucket-colliding pairs are scored). The cosine kernel itself is the
+  * codegen'd [[graft.functions.CosineSimilarity]] expression, so
+  * pair scoring stays inside whole-stage codegen; `q_sim_knn_query`
+  * broadcasts the 1-row query side (no shuffle of the n-row side at
+  * all, and TakeOrderedAndProject does a per-partition top-k before
+  * the single-driver merge).
+  */
+object Similarity {
+
+  /** Sequential-fold cosine over ARRAY<DOUBLE> via public HOF API —
+    * numerics twin of the codegen expression (asserted in tests). */
+  def cosineHof(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** Codegen cosine (registered native expression). Callers must have
+    * run [[VectorExprs.register]] on the session. */
+  def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
+
+  private def vecs(s: SparkSession, dir: String): DataFrame = {
+    VectorExprs.register(s)
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sim_cosine_topk" -> { (s, dir) =>
+      // top-10 most-similar pairs, brute force; deterministic ties via
+      // (cosine DESC, va, vb) on the UNROUNDED double
+      val e = vecs(s, dir)
+      val pairs = e.select(col("vec_id").as("va"), col("v").as("a"))
+        .join(e.select(col("vec_id").as("vb"), col("v").as("b")),
+          col("va") < col("vb"))
+        .withColumn("c", cosine(col("a"), col("b")))
+      ordered(pairs
+        .orderBy(col("c").desc, col("va"), col("vb")).limit(10)
+        .select(col("va"), col("vb"), round(col("c"), 4).as("cosine")))
+    },
+    "q_sim_knn_query" -> { (s, dir) =>
+      // 20-NN of a fixed query vector (vec_id=0's embedding) — the
+      // 1-row query side is broadcast, big side never shuffles
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") === lit(0L)).select(col("v").as("qv"))
+      val scored = e.filter(col("vec_id") =!= lit(0L))
+        .crossJoin(broadcast(q))
+        .withColumn("c", cosine(col("v"), col("qv")))
+      ordered(scored
+        .orderBy(col("c").desc, col("vec_id")).limit(20)
+        .select(col("vec_id"), col("label"), round(col("c"), 4).as("cosine")))
+    },
+    "q_sim_lsh_bucketed" -> { (s, dir) =>
+      // Approximate-NN 100 TB path: random-projection LSH buckets →
+      // candidate pairs + exact euclidean distance on candidates only.
+      // Oracle=omit (approximate); SimilaritySpec bounds recall.
+      lshPairs(vecs(s, dir), threshold = 1.2)
+    }
+  )
+
+  /** MLlib BucketedRandomProjectionLSH candidate pairs (seeded). */
+  def lshPairs(e: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = e.select(col("vec_id"), array_to_vector(col("v")).as("features"))
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(0.5).setNumHashTables(6).setSeed(42L)
+    val model = lsh.fit(feats)
+    val joined = model.approxSimilarityJoin(feats, feats, threshold, "dist")
+      .select(col("datasetA.vec_id").as("va"), col("datasetB.vec_id").as("vb"),
+        round(col("dist"), 4).as("euclidean"))
+      .filter(col("va") < col("vb"))
+    ordered(joined)
+  }
+
+  private def cosSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1,65), i -> CAST($a.embedding[i] AS DOUBLE) * $b.embedding[i])) / " +
+      s"(sqrt(list_sum(list_transform(range(1,65), i -> CAST($a.embedding[i] AS DOUBLE) * $a.embedding[i]))) * " +
+      s"sqrt(list_sum(list_transform(range(1,65), i -> CAST($b.embedding[i] AS DOUBLE) * $b.embedding[i]))))"
+
+  def oracle: Map[String, String] = Map(
+    "q_sim_cosine_topk" ->
+      (s"""WITH p AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb, ${cosSql("a", "b")} AS c
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |top AS (SELECT va, vb, ROUND(c, 4) AS cosine FROM p
+        |        ORDER BY c DESC, va, vb LIMIT 10)
+        |SELECT * FROM top""".stripMargin +
+        orderByAll("va", "vb", "cosine")),
+    "q_sim_knn_query" ->
+      (s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT a.vec_id, a.label, ${cosSql("a", "q")} AS c
+        |  FROM embeddings a, q WHERE a.vec_id <> 0),
+        |top AS (SELECT vec_id, label, ROUND(c, 4) AS cosine FROM scored
+        |        ORDER BY c DESC, vec_id LIMIT 20)
+        |SELECT * FROM top""".stripMargin +
+        orderByAll("vec_id", "label", "cosine"))
+  )
+}

@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.functions.Det._
+import graft.sources.{EventSource, Tables}
+import graft.streaming.StatefulSession
+import graft.streaming.StatefulSession.Ev
+
+/** B1 sinks + B9 streaming tier (SURVEY.md §2): the reference's
+  * ingestion lifecycle (A1–A9, reconstructed — SURVEY.md §2 Tier A)
+  * re-expressed as Structured Streaming, exercised offline through the
+  * substitutable file-stream/memory sources (no Kafka jar in this
+  * environment — SURVEY.md §0.1).
+  *
+  * Every key here RUNS a real streaming query to completion
+  * (Trigger.AvailableNow / MemoryStream micro-batches + checkpoint)
+  * and returns the materialized result as a batch DataFrame, so the
+  * driver's Verify can persist it. Oracle=omit for all (streaming
+  * execution isn't DuckDB-expressible); stream-vs-batch equivalence is
+  * asserted in StreamingSpec against the q_time_* batch twins.
+  */
+object Streams {
+
+  private def tmp(name: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(s"graft_$name")
+    p.toFile.deleteOnExit()
+    p.toString
+  }
+
+  /** Deterministic, (ts, event_id)-sorted typed events for
+    * MemoryStream feeding. */
+  private def typedEvents(s: SparkSession, dir: String): Seq[Ev] = {
+    import s.implicits._
+    Tables(s, dir, "events")
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+  }
+
+  private def day(d: Int): Long =
+    java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00").getTime
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // A7 analog: partitioned parquet sink, read back through partition
+    // discovery (DPP-ready layout at scale).
+    "s_sink_partitioned" -> { (s, dir) =>
+      val out = tmp("sink_part")
+      Tables(s, dir, "lineitem")
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+      ordered(s.read.parquet(out).groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty")))
+    },
+
+    // A1+A4+A7: incremental file-stream ingestion with checkpointed
+    // offsets, Trigger.AvailableNow = the reference's run-periodically
+    // batch model, exactly-once parquet sink.
+    "s_ingest_availablenow" -> { (s, dir) =>
+      val out = tmp("ingest_out"); val ck = tmp("ingest_ck")
+      val q = EventSource.FileStream.load(s, dir)
+        .withColumn("date", to_date(col("ts")))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .partitionBy("date")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ordered(s.read.parquet(out).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("event_id")).as("n_ids"),
+        dsum(col("value")).as("sum_value"),
+        countDistinct(col("date")).as("n_days")))
+    },
+
+    // B9: tumbling-window streaming aggregation with watermark, Append
+    // mode; equivalence vs q_time_tumbling asserted in StreamingSpec.
+    "s_stream_tumbling" -> { (s, dir) =>
+      val out = tmp("tumb_out"); val ck = tmp("tumb_ck")
+      val q = EventSource.FileStream.load(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").cast("long").as("bucket_start"),
+          col("n_events"), col("sum_value"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ordered(s.read.parquet(out))
+    },
+
+    // B9: late/out-of-order data — rows older than the watermark are
+    // dropped. Two deterministic MemoryStream micro-batches: batch 2
+    // replays days 2–3 after the watermark has advanced to ~day 18.
+    "s_late_data" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val all = typedEvents(s, dir)
+      val onTime1 = all.filter(e => e.ts.getTime < day(18) &&
+        !(e.ts.getTime >= day(2) && e.ts.getTime < day(4)))
+      val late = all.filter(e => e.ts.getTime >= day(2) && e.ts.getTime < day(4))
+      val onTime2 = all.filter(e => e.ts.getTime >= day(18))
+      val ms = MemoryStream[Ev]
+      val qn = s"graft_late_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = ms.toDS().withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 day"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start").cast("long").as("bucket_start"), col("n_events"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      ms.addData(onTime1); q.processAllAvailable()
+      ms.addData(late ++ onTime2); q.processAllAvailable()
+      q.stop()
+      // days 2–3 buckets are absent/short: late rows were dropped
+      ordered(s.table(qn))
+    },
+
+    // B9: streaming dedup by event_id — input replayed twice, emitted
+    // once (watermark horizon covers the whole fixture → exact).
+    "s_dedup_stream" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val all = typedEvents(s, dir).filter(_.user_id < 50)
+      val ms = MemoryStream[Ev]
+      val qn = s"graft_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = ms.toDS().withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      ms.addData(all); q.processAllAvailable()
+      ms.addData(all); q.processAllAvailable() // full replay → all dupes
+      q.stop()
+      ordered(s.table(qn).groupBy(col("event_type")).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("event_id")).as("n_ids")))
+    },
+
+    // B9: custom-state sessionization (flatMapGroupsWithState,
+    // event-time timeout) over three time-ordered micro-batches.
+    "s_stateful_session" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val all = typedEvents(s, dir).filter(_.user_id < 40)
+      val chunks = Seq(
+        all.filter(_.ts.getTime < day(10)),
+        all.filter(e => e.ts.getTime >= day(10) && e.ts.getTime < day(20)),
+        all.filter(_.ts.getTime >= day(20)))
+      val ms = MemoryStream[Ev]
+      val qn = s"graft_sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = StatefulSession.sessions(
+          ms.toDS().withWatermark("ts", "1 hour"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
+      q.stop()
+      ordered(s.table(qn))
+    },
+
+    // A5/A7: micro-batch fan-out via foreachBatch — idempotent
+    // per-batch overwrite into a batch-keyed dir (upsert-by-batch-id),
+    // the pattern for multi-sink / transactional targets.
+    "s_foreachbatch_upsert" -> { (s, dir) =>
+      val out = tmp("feb_out"); val ck = tmp("feb_ck")
+      val q = EventSource.FileStream.load(s, dir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          batch.groupBy(col("event_type")).agg(
+              count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+            .write.mode("overwrite").parquet(s"$out/batch=$id")
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ordered(s.read.parquet(out).groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n"), round(sum(col("sum_value")), 4).as("sum_value")))
+    },
+
+    // A1–A5 Kafka wiring, config-gated on connector availability
+    // (absent offline — SURVEY.md §0.1); reports the binding status.
+    "s_ingest_kafka" -> { (s, dir) =>
+      import s.implicits._
+      Seq((EventSource.Kafka.providerClass, EventSource.Kafka.available,
+        if (EventSource.Kafka.available) "bound" else "connector-absent:file-stream-twin-active"))
+        .toDF("provider", "available", "status")
+    }
+  )
+
+  /** All streaming keys are oracle-omit (driver records rows-only). */
+  def oracle: Map[String, String] = Map.empty
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Det._
+import graft.sources.Tables
+
+/** B9 (batch half) — event-time windowing and sessionization over the
+  * `events` table (SURVEY.md §2 B9). These are the batch twins of the
+  * streaming `s_*` operators in [[Streaming]]; the stream-vs-batch
+  * equivalence tests (§5.2.4) compare against these keys.
+  *
+  * Determinism: window starts are emitted as BIGINT epoch-seconds
+  * (cast of the aligned `window(ts, …).start`), so no cross-engine
+  * timestamp conversion is involved; all sums are exact DECIMAL(18,4).
+  *
+  * 100 TB posture: `groupBy(window(...))` is a plain hash aggregate on
+  * a derived bucket column — partial aggregation map-side, one shuffle
+  * on (bucket), no window-function sort. Sessionization is the one
+  * genuinely sort-heavy op (shuffle on user_id + per-user sort); at
+  * scale that is the intended layout (sessions are per-user local), and
+  * the same plan incrementalizes as `session_window` in streaming.
+  */
+object Time {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_time_tumbling" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+      ordered(e.groupBy(window(col("ts"), "1 hour").getField("start")
+          .cast("long").as("bucket_start"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users")))
+    },
+    "q_time_sliding" -> { (s, dir) =>
+      // 1-hour window sliding 15 min: each event lands in exactly 4
+      // buckets (slide divides width). Spark expands via window();
+      // the oracle expands arithmetically (§7.4).
+      val e = Tables(s, dir, "events")
+      ordered(e.groupBy(window(col("ts"), "1 hour", "15 minutes")
+          .getField("start").cast("long").as("bucket_start"))
+        .agg(count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value")))
+    },
+    "q_sessionize" -> { (s, dir) =>
+      // 30-min inactivity-gap sessions per user, batch formulation:
+      // lag → gap flag → running sum = session ordinal → group.
+      // Ties (equal ts per user) ordered by event_id for determinism.
+      val e = Tables(s, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val flagged = e.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull ||
+            col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      ordered(flagged.groupBy(col("user_id"), col("session_id"))
+        .agg(min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("sum_value")))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_time_tumbling" ->
+      ("""SELECT (epoch_us(ts)//1000000//3600)*3600 AS bucket_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1""".stripMargin +
+        orderByAll("bucket_start", "n_events", "sum_value", "n_users")),
+    "q_time_sliding" ->
+      ("""SELECT (epoch_us(ts)//1000000//900)*900 - k.k*900 AS bucket_start,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) k
+        |GROUP BY 1""".stripMargin +
+        orderByAll("bucket_start", "n_events", "sum_value")),
+    "q_sessionize" ->
+      ("""WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts)//1000000 - epoch_us(lag(ts) OVER w)//1000000 > 1800
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, MIN(ts) AS session_start,
+        |  MAX(ts) AS session_end, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM sess GROUP BY user_id, session_id""".stripMargin +
+        orderByAll("user_id", "session_id", "session_start", "session_end",
+          "n_events", "sum_value"))
+  )
+}

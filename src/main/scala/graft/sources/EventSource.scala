@@ -1,0 +1,94 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source substitutability — the architectural spine of the ingestion
+  * tier (SURVEY.md §7.1). The reference is a Kafka→HDFS bridge
+  * [SURVEY.md §2 Tier A, reconstructed]; this engine expresses the
+  * same lifecycle over interchangeable sources so every downstream
+  * plan (decode → window → sink) is written once and runs against
+  * kafka / file-stream / memory / batch without change.
+  *
+  * The Kafka binding is config-gated by connector availability: the
+  * `spark-sql-kafka-0-10` DataSource is resolved at RUNTIME by name,
+  * so this module compiles with no Kafka dependency (SURVEY.md §7.4).
+  */
+trait EventSource {
+  /** Unbounded (streaming) or bounded (batch) events DataFrame with
+    * the canonical schema (event_id, ts, user_id, event_type, value,
+    * props). */
+  def load(spark: SparkSession, sfDir: String): DataFrame
+  def isStreaming: Boolean
+}
+
+object EventSource {
+
+  /** Batch parquet twin (the oracle-checked path). */
+  object BatchParquet extends EventSource {
+    def load(spark: SparkSession, sfDir: String): DataFrame =
+      Tables(spark, sfDir, "events")
+    def isStreaming = false
+  }
+
+  /** File-stream over a staged parquet dir — the offline stand-in for
+    * the Kafka source (A1/A4): same downstream plan, same
+    * checkpoint/offset semantics, `maxFilesPerTrigger` standing in for
+    * `maxOffsetsPerTrigger` (A9). */
+  object FileStream extends EventSource {
+    def load(spark: SparkSession, sfDir: String): DataFrame = {
+      val staged = stageEvents(spark, sfDir)
+      spark.readStream
+        .schema(BatchParquet.load(spark, sfDir).schema)
+        .parquet(staged)
+    }
+    def isStreaming = true
+  }
+
+  /** Kafka binding (A1–A5): resolved by name at runtime; available
+    * only when the connector jar is on the classpath. */
+  object Kafka extends EventSource {
+    val providerClass = "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+    def available: Boolean =
+      try { Class.forName(providerClass); true }
+      catch { case _: ClassNotFoundException => false }
+
+    /** Raw kafka frame (key/value/topic/partition/offset/timestamp);
+      * decode to the canonical schema via [[decodeJson]]. */
+    def load(spark: SparkSession, sfDir: String): DataFrame = {
+      require(available, s"Kafka connector not on classpath ($providerClass)")
+      val brokers = sys.env.getOrElse("GRAFT_KAFKA_BROKERS", "localhost:9092")
+      val topic = sys.env.getOrElse("GRAFT_KAFKA_TOPIC", "events")
+      decodeJson(spark, spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .option("maxOffsetsPerTrigger", "100000")
+        .load())
+    }
+    def isStreaming = true
+
+    /** A6 generalized: payload bytes → typed columns via from_json. */
+    def decodeJson(spark: SparkSession, raw: DataFrame): DataFrame = {
+      import org.apache.spark.sql.functions._
+      val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+        "event_type STRING, value DOUBLE, props STRING"
+      raw.select(from_json(col("value").cast("string"),
+        org.apache.spark.sql.types.StructType.fromDDL(schema)).as("r"))
+        .select(col("r.*"))
+    }
+  }
+
+  /** Stage the events fixture as a plain parquet DIR (the file-stream
+    * source lists directories; the fixture is a single file). One
+    * deterministic location per sfDir, written once per JVM. */
+  def stageEvents(spark: SparkSession, sfDir: String): String = {
+    val staged = s"/tmp/graft_stage/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/events"
+    val marker = new java.io.File(staged, "_SUCCESS")
+    if (!marker.exists()) {
+      BatchParquet.load(spark, sfDir)
+        .repartition(4)
+        .write.mode("overwrite").parquet(staged)
+    }
+    staged
+  }
+}

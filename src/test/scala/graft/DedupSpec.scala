@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Text}
+import graft.sources.Tables
+
+/** Dedup-family correctness (SURVEY.md §5.2.3): exact near-dup join
+  * self-consistency, MinHash-LSH recall vs exact ground truth, SimHash
+  * fingerprint invariants. */
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup is idempotent: survivors have no duplicate hashes") {
+    val out = SparkEntry.queries("q_dedup_exact")(spark, sf)
+    val n = out.count()
+    assert(out.select("content_hash").distinct().count() === n)
+  }
+
+  test("near-jaccard pairs all meet the threshold and are canonical (da < db)") {
+    val pairs = Dedup.nearDupPairs(Tables(spark, sf, "documents"))
+    assert(pairs.filter(col("jaccard") < 0.8).count() === 0)
+    assert(pairs.filter(col("da") >= col("db")).count() === 0)
+  }
+
+  test("minhash-LSH recall vs exact jaccard ground truth >= 0.9") {
+    val d = Tables(spark, sf, "documents")
+    val exact = Dedup.nearDupPairs(d)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assume(exact.nonEmpty, "fixture has no planted near-dups at this sf")
+    val mh = Dedup.minhashPairs(d, threshold = 0.2)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(mh.contains).toDouble / exact.size
+    assert(recall >= 0.9, s"minhash recall $recall on ${exact.size} true pairs")
+  }
+
+  test("simhash: identical texts collide, fingerprint is 64-bit stable") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "the quick brown fox", "lorem ipsum dolor sit")
+      .toDF("text").withColumn("sig", Text.simhash64(col("text")))
+    val sigs = df.select("sig").collect().map(_.getLong(0))
+    assert(sigs(0) === sigs(1))
+    assert(sigs(0) !== sigs(2))
+    // stability across evaluations (deterministic hash family)
+    val again = df.select("sig").collect().map(_.getLong(0))
+    assert(sigs.sameElements(again))
+  }
+}

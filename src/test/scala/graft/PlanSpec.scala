@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Plan-shape assertions (SURVEY.md §5.2.2): the 100 TB posture is
+  * graded on plans, not just results — pushdown reaches the scan,
+  * small dims broadcast, top-k group limits push, the cosine kernel
+  * stays codegen'd. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(key: String): String =
+    SparkEntry.queries(key)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q_scan_filter_pushdown pushes the predicate to parquet") {
+    val p = planOf("q_scan_filter_pushdown")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q_scan_project prunes the read schema to selected columns") {
+    val p = planOf("q_scan_project")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey"), read)
+    assert(!read.contains("l_comment") && !read.contains("l_shipmode"), read)
+  }
+
+  test("q_join_broadcast plans a BroadcastHashJoin") {
+    assert(planOf("q_join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("q_win_topk_group pushes a WindowGroupLimit") {
+    assert(planOf("q_win_topk_group").contains("WindowGroupLimit"))
+  }
+
+  test("q_limit_topk plans TakeOrderedAndProject (no global sort)") {
+    assert(planOf("q_limit_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("flagship aggregation is whole-stage codegen'd with partial aggregation") {
+    val df = SparkEntry.queries("q_agg_group_pricing")(spark, sf)
+    df.collect() // AQE: codegen spans appear only in the final plan
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen marker in plan strings
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
+    assert(p.contains("partial_"), p) // map-side combine before the shuffle
+  }
+
+  test("q_sim_knn_query broadcasts the 1-row query side") {
+    val p = planOf("q_sim_knn_query")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("cosine_sim native expression participates in codegen (no UDF)") {
+    val p = planOf("q_sim_knn_query")
+    assert(p.contains("cosine_sim"), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+}

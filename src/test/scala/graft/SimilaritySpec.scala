@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorExprs
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Vector-similarity correctness (SURVEY.md §5.2.2/5.2.3). */
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val vecs = {
+    VectorExprs.register(spark)
+    Tables(spark, sf, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+  }
+
+  test("codegen cosine_sim is bit-identical to the HOF formulation") {
+    val pairs = vecs.limit(40).select(col("vec_id").as("va"), col("v").as("a"))
+      .crossJoin(vecs.limit(40).select(col("vec_id").as("vb"), col("v").as("b")))
+      .withColumn("native", Similarity.cosine(col("a"), col("b")))
+      .withColumn("hof", Similarity.cosineHof(col("a"), col("b")))
+    assert(pairs.filter(col("native") =!= col("hof")).count() === 0)
+  }
+
+  test("cosine range and symmetry") {
+    val p = vecs.limit(30).select(col("v").as("a"))
+      .crossJoin(vecs.limit(30).select(col("v").as("b")))
+      .select(Similarity.cosine(col("a"), col("b")).as("ab"),
+        Similarity.cosine(col("b"), col("a")).as("ba"))
+    assert(p.filter(abs(col("ab")) > 1.0000001).count() === 0)
+    assert(p.filter(col("ab") =!= col("ba")).count() === 0)
+  }
+
+  test("self-similarity is 1") {
+    val p = vecs.select(Similarity.cosine(col("v"), col("v")).as("c"))
+    assert(p.filter(abs(col("c") - 1.0) > 1e-12).count() === 0)
+  }
+
+  test("LSH bucketed recall: top exact pairs survive candidate generation") {
+    // exact 15 nearest pairs by euclidean distance (brute force)
+    val e = vecs
+    val exact = e.select(col("vec_id").as("va"), col("v").as("a"))
+      .join(e.select(col("vec_id").as("vb"), col("v").as("b")), col("va") < col("vb"))
+      .withColumn("d", sqrt(aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)))
+      .orderBy(col("d"), col("va"), col("vb")).limit(15)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshPairs(e, threshold = 100.0)
+      .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall < 0.8 (found ${lsh.size} candidates)")
+  }
+}

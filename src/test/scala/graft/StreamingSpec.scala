@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.sources.EventSource
+
+/** Stream-vs-batch equivalence + ingestion lifecycle (SURVEY.md
+  * §5.2.4/5.2.5): the Structured Streaming prefix-consistency contract
+  * is the A1–A5 semantics test — a finite stream must agree with its
+  * batch twin on every result the watermark allowed it to emit. */
+class StreamingSpec extends SparkSpec {
+
+  test("s_stream_tumbling emits exactly the batch q_time_tumbling buckets the watermark closed") {
+    val streamRows = SparkEntry.queries("s_stream_tumbling")(spark, sf)
+      .select("bucket_start", "n_events", "sum_value").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val batchRows = SparkEntry.queries("q_time_tumbling")(spark, sf)
+      .select("bucket_start", "n_events", "sum_value").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamRows.nonEmpty)
+    // every emitted bucket agrees exactly with the batch twin
+    streamRows.foreach { case (b, v) =>
+      assert(batchRows.get(b).contains(v), s"bucket $b stream=$v batch=${batchRows.get(b)}")
+    }
+    // only tail buckets (window end past the final watermark) may be missing
+    val maxTs = graft.sources.Tables(spark, sf, "events")
+      .agg(max(col("ts")).cast("long")).collect()(0).getLong(0)
+    val watermark = maxTs - 600
+    batchRows.keys.filterNot(streamRows.contains).foreach { b =>
+      assert(b + 3600 > watermark, s"non-tail bucket $b missing from stream output")
+    }
+  }
+
+  test("checkpointed AvailableNow re-run ingests nothing new (A4/A5 exactly-once)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_resume_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_resume_ck").toString
+    def runOnce(): Long = {
+      val q = EventSource.FileStream.load(spark, sf)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      spark.read.parquet(out).count()
+    }
+    val n1 = runOnce()
+    val n2 = runOnce() // same checkpoint: offsets committed, no re-consume
+    assert(n1 > 0)
+    assert(n2 === n1, s"re-run duplicated rows: $n1 -> $n2")
+  }
+
+  test("stateful sessions agree with batch sessionization on closed sessions") {
+    val stream = SparkEntry.queries("s_stateful_session")(spark, sf)
+      .select(col("user_id"), col("session_start").cast("long"),
+        col("session_end").cast("long"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val batch = SparkEntry.queries("q_sessionize")(spark, sf)
+      .filter(col("user_id") < 40)
+      .select(col("user_id"), col("session_start").cast("long"),
+        col("session_end").cast("long"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stream.nonEmpty)
+    val missing = stream -- batch
+    assert(missing.isEmpty, s"stream emitted sessions absent from batch: ${missing.take(3)}")
+  }
+
+  test("late rows beyond the watermark are dropped (B9 s_late_data)") {
+    val buckets = SparkEntry.queries("s_late_data")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val day2 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00").getTime / 1000
+    val day3 = java.sql.Timestamp.valueOf("2024-01-03 00:00:00").getTime / 1000
+    assert(buckets.nonEmpty)
+    assert(!buckets.contains(day2) && !buckets.contains(day3),
+      s"late day-2/3 buckets should have been dropped: ${buckets.get(day2)}, ${buckets.get(day3)}")
+  }
+
+  test("streaming dedup emits each event_id once despite full replay") {
+    val out = SparkEntry.queries("s_dedup_stream")(spark, sf)
+      .agg(sum(col("n_rows")).as("rows"), sum(col("n_ids")).as("ids"))
+      .collect()(0)
+    assert(out.getLong(0) === out.getLong(1), s"dupes leaked: $out")
+  }
+}
