@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Cosine similarity between two ARRAY<DOUBLE> columns as a native
   * Catalyst expression with whole-stage codegen (SURVEY.md §7.5).
@@ -63,11 +63,285 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** MinHash signature of a string-set column as a native codegen
+  * expression (SURVEY.md §7.5 `MinHashSignature`): k independent
+  * 64-bit hash functions (FNV-1a base hash + splitmix64-mixed seeds —
+  * public algorithms), min over the set per function, emitted as
+  * ARRAY<BIGINT>.
+  *
+  * 100 TB posture: signature computation is the linear pass of
+  * MinHash-LSH dedup — k·|set| multiply-mix ops per row inside
+  * whole-stage codegen, no boxing, no intermediate arrays. The banded
+  * LSH join built on top (graft.operators.Dedup.minhashPairs) shuffles
+  * only (band, bucket-hash) keys, never signatures-cross-signatures.
+  * Deterministic: fixed seed schedule → stable across runs/engines. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < arr.numElements()) {
+      val bytes = arr.getUTF8String(i).getBytes
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < bytes.length) { h = (h ^ (bytes(j) & 0xffL)) * 0x100000001b3L; j += 1 }
+      var k = 0
+      while (k < numHashes) {
+        var z = h ^ ((k + 1) * 0x9e3779b97f4a7c15L)
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        z = z ^ (z >>> 31)
+        if (z < mins(k)) mins(k) = z
+        k += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val mins = ctx.freshName("mins"); val i = ctx.freshName("i")
+      val bytes = ctx.freshName("bytes"); val h = ctx.freshName("h")
+      val j = ctx.freshName("j"); val k = ctx.freshName("k")
+      val z = ctx.freshName("z")
+      s"""
+         |long[] $mins = new long[$numHashes];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  byte[] $bytes = $a.getUTF8String($i).getBytes();
+         |  long $h = 0xcbf29ce484222325L;
+         |  for (int $j = 0; $j < $bytes.length; $j++) {
+         |    $h = ($h ^ ($bytes[$j] & 0xffL)) * 0x100000001b3L;
+         |  }
+         |  for (int $k = 0; $k < $numHashes; $k++) {
+         |    long $z = $h ^ (($k + 1) * 0x9e3779b97f4a7c15L);
+         |    $z = ($z ^ ($z >>> 30)) * 0xbf58476d1ce4e5b9L;
+         |    $z = ($z ^ ($z >>> 27)) * 0x94d049bb133111ebL;
+         |    $z = $z ^ ($z >>> 31);
+         |    if ($z < $mins[$k]) $mins[$k] = $z;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Euclidean distance between two ARRAY<DOUBLE> columns — codegen
+  * sibling of [[CosineSimilarity]] (same numerics contract: one
+  * sequential pass, index order). */
+case class EuclideanDistance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "euclidean_dist"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i); acc += d * d; i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EuclideanDistance =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Sign-random-projection (hyperplane) LSH signature of an
+  * ARRAY<DOUBLE> vector (Charikar'02 SRP, public algorithm): `tables`
+  * band keys, each packing `bits` sign bits of dot products with
+  * pseudo-random ±1 projection vectors (Achlioptas-style, derived
+  * deterministically from (table, bit, index) via splitmix64 — no
+  * stored projection matrix, identical on every executor).
+  *
+  * P(bit agrees) = 1 − θ/π for angle θ, so a band of b bits collides
+  * with (1−θ/π)^b — near-duplicate vectors share a band key with high
+  * probability while background pairs are filtered geometrically.
+  * 100 TB posture: the ANN join shuffles (table, band-key) only —
+  * O(n·tables) rows — and scores just bucket-colliding candidates
+  * with the codegen distance kernels. */
+case class SrpSignature(child: Expression, tables: Int, bits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "srp_sig"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var key = 0L
+      var h = 0
+      while (h < bits) {
+        var acc = 0.0
+        var i = 0
+        while (i < n) {
+          var z = ((t.toLong * bits + h) * 4099L + i) * 0x9e3779b97f4a7c15L
+          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+          z = z ^ (z >>> 31)
+          acc += (if ((z & 1L) == 0L) v.getDouble(i) else -v.getDouble(i))
+          i += 1
+        }
+        if (acc > 0) key |= (1L << h)
+        h += 1
+      }
+      out(t) = key
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out"); val t = ctx.freshName("t")
+      val key = ctx.freshName("key"); val h = ctx.freshName("h")
+      val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+      val z = ctx.freshName("z"); val n = ctx.freshName("n")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$tables];
+         |for (int $t = 0; $t < $tables; $t++) {
+         |  long $key = 0L;
+         |  for (int $h = 0; $h < $bits; $h++) {
+         |    double $acc = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      long $z = (((long) $t * $bits + $h) * 4099L + $i) * 0x9e3779b97f4a7c15L;
+         |      $z = ($z ^ ($z >>> 30)) * 0xbf58476d1ce4e5b9L;
+         |      $z = ($z ^ ($z >>> 27)) * 0x94d049bb133111ebL;
+         |      $z = $z ^ ($z >>> 31);
+         |      $acc += (($z & 1L) == 0L) ? $a.getDouble($i) : -$a.getDouble($i);
+         |    }
+         |    if ($acc > 0) $key |= (1L << $h);
+         |  }
+         |  $out[$t] = $key;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SrpSignature =
+    copy(child = newChild)
+}
+
+/** 64-bit SimHash of a string-set column as a native codegen
+  * expression (document fingerprinting, SURVEY.md §2 B10): per element
+  * a 64-bit FNV-1a hash casts a ±1 vote on each bit position; the sign
+  * vector is the fingerprint. Near-identical token sets differ in few
+  * bits → hamming-distance banding finds near-dups (Charikar'02,
+  * public algorithm).
+  *
+  * Native because the HOF formulation (aggregate over sequence(0,63)
+  * nesting aggregate over tokens) is 64·|tokens| interpreted lambda
+  * invocations per row — measured ~10× slower than this loop. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < arr.numElements()) {
+      val bytes = arr.getUTF8String(i).getBytes
+      var h = 0xcbf29ce484222325L
+      var j = 0
+      while (j < bytes.length) { h = (h ^ (bytes(j) & 0xffL)) * 0x100000001b3L; j += 1 }
+      var k = 0
+      while (k < 64) { votes(k) += (((h >>> k) & 1L).toInt * 2 - 1); k += 1 }
+      i += 1
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) { if (votes(k) > 0) sig |= (1L << k); k += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val votes = ctx.freshName("votes"); val i = ctx.freshName("i")
+      val bytes = ctx.freshName("bytes"); val h = ctx.freshName("h")
+      val j = ctx.freshName("j"); val k = ctx.freshName("k")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  byte[] $bytes = $a.getUTF8String($i).getBytes();
+         |  long $h = 0xcbf29ce484222325L;
+         |  for (int $j = 0; $j < $bytes.length; $j++) {
+         |    $h = ($h ^ ($bytes[$j] & 0xffL)) * 0x100000001b3L;
+         |  }
+         |  for (int $k = 0; $k < 64; $k++) {
+         |    $votes[$k] += ((int) (($h >>> $k) & 1L)) * 2 - 1;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $k = 0; $k < 64; $k++) {
+         |  if ($votes[$k] > 0) $sig |= (1L << $k);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 object VectorExprs {
-  /** Register `cosine_sim(a, b)` on the session (idempotent); callers
-    * then use it via `expr("cosine_sim(a, b)")`. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  /** Register the native expressions on the session (idempotent);
+    * callers then use `call_function("cosine_sim", …)` etc. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "cosine_sim", (args: Seq[Expression]) => CosineSimilarity(args.head, args(1)),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "minhash_sig", (args: Seq[Expression]) => MinHashSignature(args.head,
+        args(1).eval(null) match { case i: Int => i; case l: Long => l.toInt }),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "simhash64", (args: Seq[Expression]) => SimHash64(args.head),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "euclidean_dist", (args: Seq[Expression]) => EuclideanDistance(args.head, args(1)),
+      "built-in")
+    def asInt(e: Expression): Int = e.eval(null) match {
+      case i: Int => i; case l: Long => l.toInt
+    }
+    reg.createOrReplaceTempFunction(
+      "srp_sig", (args: Seq[Expression]) => SrpSignature(args.head,
+        asInt(args(1)), asInt(args(2))),
+      "built-in")
+  }
 }

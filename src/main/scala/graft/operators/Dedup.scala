@@ -11,8 +11,9 @@ import graft.sources.Tables
   * (MinHash-LSH, SimHash) which are recall-tested rather than
   * oracle-checked.
   *
-  * Shingling contract (mirrored in the oracle SQL): distinct character
-  * 3-grams of `text` (positions 1..len-2, 1-based), exact-set Jaccard.
+  * Shingling contract (mirrored in the oracle SQL): distinct WORD
+  * trigrams over whitespace tokens, exact-set Jaccard (see
+  * [[shingled]] for why word- not char-level).
   *
   * 100 TB posture — q_dedup_near_jaccard is NOT the naive O(n²) cross
   * join; it is a prefix-filtered similarity join (PPJoin-style, public
@@ -33,10 +34,20 @@ import graft.sources.Tables
   */
 object Dedup {
 
-  /** doc_id + distinct char-3gram shingles + set size. */
+  /** doc_id + distinct word-3gram shingles + set size.
+    *
+    * Shingles are WORD trigrams, not char trigrams: the fixture's
+    * char-3gram vocabulary is ~400 shingles across 5k docs (every
+    * shingle in ~25% of docs), which defeats any candidate pruning —
+    * prefix filtering passed 93% of all pairs at sf0.1. Word trigrams
+    * give a combinatorial vocabulary (27k at sf0.1, max df 25), the
+    * standard shingling for document dedup, and a sharp cliff between
+    * planted near-dups (J ≥ 0.8) and background (J < 0.5). */
   private def shingled(d: DataFrame): DataFrame =
-    d.select(col("doc_id"),
-        expr("array_distinct(transform(sequence(1, length(text) - 2), i -> substring(text, i, 3)))")
+    d.select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        expr("array_distinct(transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))")
           .as("sh"))
       .withColumn("sz", size(col("sh")))
 
@@ -80,24 +91,36 @@ object Dedup {
       ordered(nearDupPairs(Tables(s, dir, "documents")))
     },
     "q_dedup_minhash" -> { (s, dir) =>
-      // Approximate 100 TB path: MinHash-LSH candidate pairs with the
-      // exact Jaccard distance MLlib computes on each candidate.
-      // Oracle=omit (LSH recall < 1); DedupSpec bounds recall vs the
-      // exact q_dedup_near_jaccard output.
-      minhashPairs(Tables(s, dir, "documents"), threshold = 0.2)
+      // Approximate 100 TB path: banded MinHash-LSH candidates, exact
+      // Jaccard on survivors. Oracle=omit (LSH recall < 1); DedupSpec
+      // bounds recall vs the exact q_dedup_near_jaccard output.
+      minhashPairs(Tables(s, dir, "documents"), simThreshold = 0.8)
     },
     "q_dedup_simhash" -> { (s, dir) =>
-      // 64-bit SimHash over md5-derived token hashes; pairs within
-      // hamming distance 6. Deterministic but not SQL-tractable in the
-      // oracle dialect → oracle=omit, property-tested in DedupSpec.
+      graft.functions.VectorExprs.register(s)
+      // 64-bit SimHash (native codegen expression, ±1 token votes);
+      // pairs within hamming distance 6. EXACT banded join, not O(n²):
+      // the signature splits into 8 byte-chunks, and by pigeonhole any
+      // pair within hamming ≤ 7 shares at least one chunk — so joining
+      // on (chunk_idx, chunk_value) generates every qualifying pair
+      // (recall 1.0) with an O(n·8) shuffle. Oracle=omit (hash family
+      // is engine-internal); equality with the brute-force join is
+      // asserted in DedupSpec.
       val d = Tables(s, dir, "documents")
       val sig = d.select(col("doc_id"), Text.simhash64(col("text")).as("sig"))
-      val p = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
-        .withColumn("hamming",
-          bit_count(expr("a.sig").bitwiseXOR(expr("b.sig"))))
+      val chunks = sig.select(col("doc_id"),
+        posexplode(expr("transform(sequence(0, 7), i -> shiftright(sig, i * 8) & 255)"))
+          .as(Seq("chunk", "cv")))
+      val cand = chunks.as("a").join(chunks.as("b"),
+          col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db")).distinct()
+      val p = cand
+        .join(sig.select(col("doc_id").as("da"), col("sig").as("siga")), "da")
+        .join(sig.select(col("doc_id").as("db"), col("sig").as("sigb")), "db")
+        .withColumn("hamming", bit_count(col("siga").bitwiseXOR(col("sigb"))))
         .filter(col("hamming") <= 6)
-      ordered(p.select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
-        col("hamming")))
+      ordered(p.select(col("da"), col("db"), col("hamming")))
     },
     "q_dedup_embed" -> { (s, dir) =>
       // embedding-cosine near-dup pairs at τ=0.45 (fixture max ≈ 0.51)
@@ -113,26 +136,59 @@ object Dedup {
     }
   )
 
-  /** MLlib MinHash-LSH pairs (deterministic seed). Public API:
-    * org.apache.spark.ml.feature.{HashingTF, MinHashLSH}. */
-  def minhashPairs(d: DataFrame, threshold: Double): DataFrame = {
-    import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+  /** Banded MinHash-LSH near-dup pairs (the 100 TB dedup path):
+    *
+    *   1. 64-hash signature per doc via the codegen
+    *      [[graft.functions.MinHashSignature]] expression — linear pass;
+    *   2. 16 bands × 4 rows: band key = xxhash64 of the 4-long slice;
+    *      a pair collides in a band with prob J⁴ (J=0.8 → ≥99.9%
+    *      overall, J=0.5 → 64%, J=0.3 → 12%) — the shuffle carries
+    *      only (band, bucket) keys, volume O(n·b), never O(n²);
+    *   3. signature-estimated Jaccard prefilter (cheap 64-long
+    *      compare) at est ≥ 0.65 kills the mid-similarity background
+    *      before any set materialization;
+    *   4. exact Jaccard verify on the survivors only.
+    *
+    * MLlib's MinHashLSH.approxSimilarityJoin uses 1-row bands, so at
+    * this fixture's similarity profile (~38% of pairs at J ≥ 0.5) it
+    * degenerates to a near-cross-join with sparse-vector distances —
+    * measured minutes at sf0.1; this formulation is seconds. */
+  def minhashPairs(d: DataFrame, simThreshold: Double): DataFrame = {
+    graft.functions.VectorExprs.register(d.sparkSession)
     val sh = shingled(d)
-    val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    val feats = tf.transform(sh)
-    val mh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(8).setSeed(42L)
-    val model = mh.fit(feats)
-    val joined = model.approxSimilarityJoin(feats, feats, threshold, "jdist")
-      .select(col("datasetA.doc_id").as("da"), col("datasetB.doc_id").as("db"),
-        round(lit(1.0) - col("jdist"), 4).as("jaccard_est"))
-      .filter(col("da") < col("db"))
-    ordered(joined)
+    val sig = sh.select(col("doc_id"),
+      call_function("minhash_sig", col("sh"), lit(64)).as("sig"))
+    val bands = sig.select(col("doc_id"),
+      posexplode(expr("transform(sequence(0, 15), i -> xxhash64(slice(sig, i * 4 + 1, 4)))"))
+        .as(Seq("band", "bh")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      .distinct()
+    val est = cand
+      .join(sig.select(col("doc_id").as("da"), col("sig").as("siga")), "da")
+      .join(sig.select(col("doc_id").as("db"), col("sig").as("sigb")), "db")
+      .filter(expr("aggregate(zip_with(siga, sigb, (x, y) -> IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+        >= lit((0.65 * 64).toInt))
+    val verified = est.select(col("da"), col("db"))
+      .join(sh.select(col("doc_id").as("da"), col("sh").as("sha"), col("sz").as("sza")), "da")
+      .join(sh.select(col("doc_id").as("db"), col("sh").as("shb"), col("sz").as("szb")), "db")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("sza") + col("szb") - col("inter")))
+      .filter(col("jaccard") >= lit(simThreshold))
+    ordered(verified.select(col("da"), col("db"), round(col("jaccard"), 4).as("jaccard")))
   }
 
-  private val shSql =
-    "list_distinct([text[i:i+2] for i in range(1, length(text)-1)])"
+  /** DuckDB twin of [[shingled]] (word trigrams over non-empty
+    * whitespace tokens, docs with ≥3 tokens). */
+  private val shTableSql =
+    """sh AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t)-1), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      |        FROM documents) WHERE len(t) >= 3)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -143,7 +199,7 @@ object Dedup {
     "q_dedup_near_jaccard" ->
       // brute-force twin of the prefix-filtered join: integer-exact
       // threshold, double jaccard only in the projection
-      (s"""WITH sh AS (SELECT doc_id, $shSql AS sh FROM documents),
+      (s"""WITH $shTableSql,
         |pairs AS (
         |  SELECT a.doc_id AS da, b.doc_id AS db,
         |    len(list_intersect(a.sh, b.sh)) AS inter,

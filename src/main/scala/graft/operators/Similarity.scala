@@ -69,27 +69,41 @@ object Similarity {
         .select(col("vec_id"), col("label"), round(col("c"), 4).as("cosine")))
     },
     "q_sim_lsh_bucketed" -> { (s, dir) =>
-      // Approximate-NN 100 TB path: random-projection LSH buckets →
+      // Approximate-NN 100 TB path: hyperplane-LSH band buckets →
       // candidate pairs + exact euclidean distance on candidates only.
       // Oracle=omit (approximate); SimilaritySpec bounds recall.
       lshPairs(vecs(s, dir), threshold = 1.2)
     }
   )
 
-  /** MLlib BucketedRandomProjectionLSH candidate pairs (seeded). */
+  /** Banded sign-random-projection LSH pairs: 32 tables × 6 sign bits
+    * via the codegen [[graft.functions.SrpSignature]] expression; the
+    * join shuffles only (table, band-key); candidates are scored with
+    * the codegen euclidean kernel and filtered at `threshold`.
+    *
+    * (Replaces MLlib BucketedRandomProjectionLSH.approxSimilarityJoin,
+    * which measured 7–18 s at sf0.1: scalar-bucket tables on this
+    * tightly-packed unit-norm distance profile [all pairwise distances
+    * in 0.99–1.76] put most of the dataset in colliding buckets and
+    * score candidates through non-codegen vector UDFs.) */
   def lshPairs(e: DataFrame, threshold: Double): DataFrame = {
-    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-    import org.apache.spark.ml.functions.array_to_vector
-    val feats = e.select(col("vec_id"), array_to_vector(col("v")).as("features"))
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("features").setOutputCol("hashes")
-      .setBucketLength(0.5).setNumHashTables(6).setSeed(42L)
-    val model = lsh.fit(feats)
-    val joined = model.approxSimilarityJoin(feats, feats, threshold, "dist")
-      .select(col("datasetA.vec_id").as("va"), col("datasetB.vec_id").as("vb"),
-        round(col("dist"), 4).as("euclidean"))
-      .filter(col("va") < col("vb"))
-    ordered(joined)
+    VectorExprs.register(e.sparkSession)
+    val sig = e.select(col("vec_id"),
+      call_function("srp_sig", col("v"), lit(32), lit(6)).as("sig"))
+    val bands = sig.select(col("vec_id"),
+      posexplode(col("sig")).as(Seq("tbl", "bkey")))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkey") === col("b.bkey") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb")).distinct()
+    val vv = e.select(col("vec_id"), col("v"))
+    val verified = cand
+      .join(vv.select(col("vec_id").as("va"), col("v").as("a")), "va")
+      .join(vv.select(col("vec_id").as("vb"), col("v").as("b")), "vb")
+      .withColumn("euclidean", call_function("euclidean_dist", col("a"), col("b")))
+      .filter(col("euclidean") <= lit(threshold))
+    ordered(verified.select(col("va"), col("vb"),
+      round(col("euclidean"), 4).as("euclidean")))
   }
 
   private def cosSql(a: String, b: String): String =

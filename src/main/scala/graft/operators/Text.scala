@@ -29,20 +29,12 @@ object Text {
     expr(s"filter(split($c, ' '), t -> t <> '')")
   private val tokSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
-  /** 64-bit SimHash document fingerprint over whitespace tokens:
-    * per-token xxhash64, per-bit ±1 vote, sign → bit. Pure column
-    * algebra (codegen'd HOFs) — no UDF. Used by q_dedup_simhash and
-    * the text-fingerprinting tests; not oracle-checked (xxhash64 is
-    * Spark-specific). */
-  def simhash64(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val toks = filter(split(c, " "), t => t =!= lit(""))
-    val hashes = transform(toks, t => xxhash64(t))
-    aggregate(sequence(lit(0), lit(63)), lit(0L), (acc, j) =>
-      acc.bitwiseOR(
-        when(aggregate(hashes, lit(0L),
-            (s, h) => s + call_function("getbit", h, j.cast("int")) * 2 - 1) > 0,
-          call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(lit(0L))))
-  }
+  /** 64-bit SimHash document fingerprint over whitespace tokens,
+    * via the native codegen [[graft.functions.SimHash64]] expression.
+    * Callers must have run `VectorExprs.register` on the session.
+    * Not oracle-checked (hash family is engine-internal). */
+  def simhash64(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    call_function("simhash64", filter(split(c, " "), t => t =!= lit("")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_tokens_tf" -> { (s, dir) =>

@@ -26,10 +26,22 @@ class DedupSpec extends SparkSpec {
     val exact = Dedup.nearDupPairs(d)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assume(exact.nonEmpty, "fixture has no planted near-dups at this sf")
-    val mh = Dedup.minhashPairs(d, threshold = 0.2)
+    val mh = Dedup.minhashPairs(d, simThreshold = 0.8)
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = exact.count(mh.contains).toDouble / exact.size
     assert(recall >= 0.9, s"minhash recall $recall on ${exact.size} true pairs")
+  }
+
+  test("banded simhash join equals brute force (pigeonhole exactness)") {
+    val d = Tables(spark, sf, "documents")
+    val banded = SparkEntry.queries("q_dedup_simhash")(spark, sf)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sig = d.select(col("doc_id"), Text.simhash64(col("text")).as("sig"))
+    val brute = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.sig").bitwiseXOR(col("b.sig"))) <= 6)
+      .select(col("a.doc_id"), col("b.doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(banded === brute)
   }
 
   test("simhash: identical texts collide, fingerprint is 64-bit stable") {
