@@ -64,6 +64,76 @@ object Text {
         (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
         (sum(size(toks())).cast("double") / count(lit(1))).as("avg_tokens")))
     },
+    "q_text_langid" -> { (s, dir) =>
+      // Language-ID n-gram/stopword heuristic: per-language marker
+      // lists scored by distinct-token hits; argmax with deterministic
+      // precedence (score, then reverse-alphabetical tie order encoded
+      // in the CASE chain). Scores are integers → oracle-exact. The
+      // fixture text is synthetic word soup, so the interesting part
+      // is the operator shape (vocab-sized marker arrays broadcast as
+      // literals, one narrow pass, no shuffle until the confusion agg).
+      val d = Tables(s, dir, "documents")
+      val scored = d
+        .withColumn("t", toks())
+        .withColumn("s_en", size(array_intersect(col("t"),
+          typedLit(Markers.en))))
+        .withColumn("s_de", size(array_intersect(col("t"),
+          typedLit(Markers.de))))
+        .withColumn("s_es", size(array_intersect(col("t"),
+          typedLit(Markers.es))))
+        .withColumn("pred",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es"), lit("en"))
+            .when(col("s_de") >= col("s_es"), lit("de"))
+            .otherwise(lit("es")))
+      ordered(scored.groupBy(col("lang"), col("pred"))
+        .agg(count(lit(1)).as("n_docs"),
+          (sum(col("s_en") + col("s_de") + col("s_es")).cast("double") / count(lit(1)))
+            .as("avg_marker_hits")))
+    },
+    "q_text_quality" -> { (s, dir) =>
+      // Quality scoring: length / mean-word-length / stopword-ratio
+      // heuristics → integer quality band; per-band stats. All
+      // integer/exact-ratio arithmetic → oracle-exact.
+      val d = Tables(s, dir, "documents")
+      val q = d.withColumn("t", toks())
+        .withColumn("n_tok", size(col("t")))
+        .withColumn("stop_hits", size(array_intersect(col("t"),
+          typedLit(Markers.en))))
+        .withColumn("band",
+          (when(col("n_chars") >= 120, 1).otherwise(0) +
+            when(col("n_tok") >= 20, 1).otherwise(0) +
+            when(col("stop_hits") * 5 >= col("n_tok"), 1).otherwise(0)))
+      ordered(q.groupBy(col("band")).agg(
+        count(lit(1)).as("n_docs"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        (sum(col("n_tok")).cast("double") / count(lit(1))).as("avg_tokens"),
+        (sum(col("stop_hits")).cast("double") / count(lit(1))).as("avg_stop_hits")))
+    },
+    "q_text_token_count" -> { (s, dir) =>
+      // Token counting two ways: whitespace and a BPE-ish regex
+      // (word pieces + punctuation as separate tokens) — the token
+      // accounting a training-data pipeline runs per document.
+      val d = Tables(s, dir, "documents")
+      val r = d
+        .withColumn("ws_tokens", size(toks()))
+        .withColumn("re_tokens",
+          size(filter(split(col("text"), "[^a-zA-Z0-9]+"), t => t =!= lit(""))))
+      ordered(r.groupBy(col("lang")).agg(
+        sum(col("ws_tokens")).as("total_ws_tokens"),
+        sum(col("re_tokens")).as("total_re_tokens"),
+        (sum(col("re_tokens")).cast("double") / count(lit(1))).as("avg_re_tokens")))
+    },
+    "q_text_fingerprint" -> { (s, dir) =>
+      // Rolling polynomial fingerprint (Rabin-Karp-style): fold over
+      // character codes, (acc·31 + code) mod 1e9+7 — integer modular
+      // arithmetic, identical in any engine → oracle-exact.
+      val d = Tables(s, dir, "documents")
+      val fp = d.withColumn("fingerprint", expr(
+        "aggregate(transform(sequence(1, length(text)), i -> ascii(substring(text, i, 1))), " +
+          "0L, (acc, x) -> (acc * 31 + x) % 1000000007)"))
+      ordered(fp.select(col("doc_id"), col("fingerprint"),
+        (col("fingerprint") % 256).as("shard")))
+    },
     "q_text_ngrams" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
       val bigrams = d
@@ -76,7 +146,66 @@ object Text {
     }
   )
 
+  /** Language marker lists for the langid/quality heuristics. The
+    * fixture vocabulary is 31 synthetic words, so these are synthetic
+    * "stopword profiles" — the operator shape (broadcast literal
+    * vocabularies, narrow scoring pass) is the real content. */
+  object Markers {
+    val en = Seq("the", "a", "value", "data", "fast")
+    val de = Seq("order", "group", "window", "batch")
+    val es = Seq("query", "table", "row", "join")
+    def sql(xs: Seq[String]): String = xs.mkString("['", "', '", "']")
+  }
+
   def oracle: Map[String, String] = Map(
+    "q_text_langid" ->
+      (s"""WITH t AS (SELECT lang, $tokSql AS t FROM documents),
+        |s AS (SELECT lang,
+        |  len(list_intersect(t, ${Markers.sql(Markers.en)})) AS s_en,
+        |  len(list_intersect(t, ${Markers.sql(Markers.de)})) AS s_de,
+        |  len(list_intersect(t, ${Markers.sql(Markers.es)})) AS s_es
+        |FROM t)
+        |SELECT lang,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS pred,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(s_en + s_de + s_es) AS DOUBLE) / COUNT(*) AS avg_marker_hits
+        |FROM s GROUP BY 1, 2""".stripMargin +
+        orderByAll("lang", "pred", "n_docs", "avg_marker_hits")),
+    "q_text_quality" ->
+      (s"""WITH q AS (
+        |  SELECT n_chars, len($tokSql) AS n_tok,
+        |    len(list_intersect($tokSql, ${Markers.sql(Markers.en)})) AS stop_hits
+        |  FROM documents)
+        |SELECT (CASE WHEN n_chars >= 120 THEN 1 ELSE 0 END +
+        |        CASE WHEN n_tok >= 20 THEN 1 ELSE 0 END +
+        |        CASE WHEN stop_hits * 5 >= n_tok THEN 1 ELSE 0 END) AS band,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |  CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens,
+        |  CAST(SUM(stop_hits) AS DOUBLE) / COUNT(*) AS avg_stop_hits
+        |FROM q GROUP BY 1""".stripMargin +
+        orderByAll("band", "n_docs", "avg_chars", "avg_tokens", "avg_stop_hits")),
+    "q_text_token_count" ->
+      (s"""WITH r AS (
+        |  SELECT lang, len($tokSql) AS ws_tokens,
+        |    len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> '')) AS re_tokens
+        |  FROM documents)
+        |SELECT lang, SUM(ws_tokens) AS total_ws_tokens,
+        |  SUM(re_tokens) AS total_re_tokens,
+        |  CAST(SUM(re_tokens) AS DOUBLE) / COUNT(*) AS avg_re_tokens
+        |FROM r GROUP BY lang""".stripMargin +
+        orderByAll("lang", "total_ws_tokens", "total_re_tokens", "avg_re_tokens")),
+    "q_text_fingerprint" ->
+      ("""SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fingerprint,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(text[i]) AS BIGINT))),
+        |    (acc, x) -> (acc * 31 + x) % 1000000007) % 256 AS shard
+        |FROM documents""".stripMargin +
+        orderByAll("doc_id", "fingerprint", "shard")),
     "q_text_tokens_tf" ->
       (s"""SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest($tokSql) AS term FROM documents)

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck property tests (SURVEY.md §5.2.3) over GENERATED data —
+  * the fixture-independent invariants: sessionization gap laws, dedup
+  * idempotence, minhash-estimate vs exact-Jaccard concentration,
+  * cosine algebra. Runs on the shared local session; 10 trials per
+  * property (each trial is a Spark job). */
+object PropertyProps extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10).withWorkers(1)
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-props")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.functions.VectorExprs.register(s)
+    s
+  }
+
+  // --- sessionization: gap ≤ 30 min inside a session, > 30 min across ---
+
+  private val genTimestamps: Gen[List[Long]] =
+    Gen.nonEmptyListOf(Gen.choose(0L, 200000L)).map(_.distinct.sorted)
+
+  property("sessionize partitions events; intra-gap<=30min, inter-gap>30min, events conserved") =
+    forAll(genTimestamps) { tsSecs =>
+      import spark.implicits._
+      val base = 1700000000L
+      val df = tsSecs.zipWithIndex
+        .map { case (t, i) => (i.toLong, new java.sql.Timestamp((base + t) * 1000), 1L, "e", 1.0) }
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val sessions = sessionizePlan(df).collect()
+      val spans = sessions.map(r =>
+        (r.getAs[java.sql.Timestamp]("session_start").getTime / 1000,
+          r.getAs[java.sql.Timestamp]("session_end").getTime / 1000,
+          r.getAs[Long]("n_events"))).sortBy(_._1)
+      val conserved = spans.map(_._3).sum == tsSecs.size
+      val ordered = spans.sliding(2).forall {
+        case Array((_, e1, _), (s2, _, _)) => s2 - e1 > 1800
+        case _ => true
+      }
+      // every in-session consecutive gap ≤ 30 min: check by re-deriving
+      val all = tsSecs.map(_ + base)
+      val intraOk = spans.forall { case (s, e, n) =>
+        val inside = all.filter(t => t >= s && t <= e)
+        inside.size == n && inside.sliding(2).forall {
+          case List(a, b) => b - a <= 1800
+          case _ => true
+        }
+      }
+      conserved && ordered && intraOk
+    }
+
+  private def sessionizePlan(df: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    df.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_sess")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("ts")).as("session_start"), max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  // --- exact dedup idempotence ---
+
+  property("dedup(dedup(x)) == dedup(x) and survivors unique") =
+    forAll(Gen.nonEmptyListOf(Gen.oneOf("aa", "bb", "cc", "dd", "ee"))) { texts =>
+      import spark.implicits._
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      def dedup(d: DataFrame): DataFrame =
+        d.groupBy(md5(col("text")).as("content_hash"))
+          .agg(min(col("doc_id")).as("doc_id"))
+      val once = dedup(df).count()
+      val twice = dedup(dedup(df).withColumn("text", col("content_hash"))).count()
+      once == twice && once == texts.distinct.size
+    }
+
+  // --- minhash estimate concentrates around exact jaccard ---
+
+  private val genTokenSets: Gen[(List[String], List[String])] = for {
+    n <- Gen.choose(30, 60)
+    overlap <- Gen.choose(0, n)
+    vocabShift <- Gen.choose(1000, 2000)
+  } yield {
+    val shared = (0 until overlap).map(i => s"tok$i").toList
+    val onlyA = (0 until (n - overlap)).map(i => s"a${i + vocabShift}").toList
+    val onlyB = (0 until (n - overlap)).map(i => s"b${i + vocabShift}").toList
+    (shared ++ onlyA, shared ++ onlyB)
+  }
+
+  property("minhash signature agreement ≈ exact jaccard (64 hashes, ±0.25)") =
+    forAll(genTokenSets) { case (ta, tb) =>
+      (ta.isEmpty || tb.isEmpty) || {
+        import spark.implicits._
+        val df = Seq((1L, ta), (2L, tb)).toDF("id", "toks")
+          .withColumn("sig", call_function("minhash_sig", col("toks"), lit(64)))
+        val sigs = df.orderBy("id").collect()
+          .map(_.getSeq[Long](2))
+        val est = sigs(0).zip(sigs(1)).count { case (x, y) => x == y } / 64.0
+        val inter = ta.toSet.intersect(tb.toSet).size
+        val exact = inter.toDouble / (ta.toSet.size + tb.toSet.size - inter)
+        math.abs(est - exact) <= 0.25
+      }
+    }
+
+  // --- cosine algebra on generated vectors ---
+
+  private val genVecPair: Gen[(List[Double], List[Double])] = for {
+    a <- Gen.listOfN(16, Gen.choose(-5.0, 5.0)).suchThat(_.exists(_ != 0.0))
+    b <- Gen.listOfN(16, Gen.choose(-5.0, 5.0)).suchThat(_.exists(_ != 0.0))
+  } yield (a, b)
+
+  property("cosine_sim symmetric, in [-1,1], scale-invariant") =
+    forAll(genVecPair) { case (a, b) =>
+      import spark.implicits._
+      val df = Seq((a, b)).toDF("a", "b")
+        .withColumn("ab", call_function("cosine_sim", col("a"), col("b")))
+        .withColumn("ba", call_function("cosine_sim", col("b"), col("a")))
+        .withColumn("scaled", call_function("cosine_sim",
+          transform(col("a"), x => x * 2.0), col("b")))
+      val r = df.collect()(0)
+      val (ab, ba, sc) = (r.getAs[Double]("ab"), r.getAs[Double]("ba"), r.getAs[Double]("scaled"))
+      ab == ba && ab >= -1.0000001 && ab <= 1.0000001 && math.abs(ab - sc) < 1e-9
+    }
+}

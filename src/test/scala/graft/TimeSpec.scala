@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.sources.{EventSource, Tables}
+
+/** Time-windowing semantics (SURVEY.md §2 B9): the lag-based batch
+  * sessionization must agree with Spark's native `session_window`, and
+  * the file-stream ingestion must behave identically when split into
+  * many micro-batches. */
+class TimeSpec extends SparkSpec {
+
+  test("batch sessionize agrees with native session_window") {
+    val e = Tables(spark, sf, "events")
+    // The two formulations differ only on EXACT gap==30min boundaries
+    // (lag-based keeps gap<=30min together; session_window merges
+    // strictly-less). Guard that the fixture has no such gap.
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val boundaryGaps = e.withColumn("prev", lag(col("ts"), 1).over(w))
+      .filter(col("ts").cast("long") - col("prev").cast("long") === 1800L).count()
+    assume(boundaryGaps == 0, "fixture has exact-30min gaps; semantics diverge")
+
+    val ours = SparkEntry.queries("q_sessionize")(spark, sf)
+      .select(col("user_id"), col("session_start").cast("long"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val native = e.groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").cast("long"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ours === native)
+  }
+
+  test("multi-batch ingestion (maxFilesPerTrigger=1) equals single-batch totals") {
+    val staged = EventSource.stageEvents(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("graft_mb_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_mb_ck").toString
+    val q = spark.readStream
+      .schema(Tables(spark, sf, "events").schema)
+      .option("maxFilesPerTrigger", "1") // A9 fetch-limit analog
+      .parquet(staged)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val streamed = spark.read.parquet(out)
+    val batch = Tables(spark, sf, "events")
+    assert(streamed.count() === batch.count())
+    assert(streamed.select(sum(col("event_id"))).collect()(0).getLong(0) ===
+      batch.select(sum(col("event_id"))).collect()(0).getLong(0))
+    // offset log advanced once per file (4 staged files)
+    val offsets = new java.io.File(s"$ck/offsets").listFiles()
+    assert(offsets != null && offsets.length >= 4, s"expected >=4 micro-batches")
+  }
+}
