@@ -7,7 +7,7 @@ import graft.operators._
   * Each operator family lives in graft.operators.*; this object is the
   * registry the driver's Verify/Bench harness consumes. */
 object SparkEntry {
-  private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+  private[graft] def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Scans.queries, Scans.oracle),
       (Joins.queries, Joins.oracle),

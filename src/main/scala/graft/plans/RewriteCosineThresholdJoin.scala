@@ -1,0 +1,111 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.{Cross, Inner}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{IntegerType, LongType}
+import graft.functions.{CosineSimilarity, SrpSignature}
+
+/** Opt-in optimizer rule (SURVEY.md §7.5 `RewriteSimilarityTopK`):
+  * rewrites a brute-force similarity join
+  *
+  *   Filter(cosine_sim(a, b) >= τ, Join(A, B, inner/cross))
+  *
+  * into the banded SRP-LSH candidate join —
+  *
+  *   Deduplicate(Project(Filter(cosine_sim >= τ ∧ origCond,
+  *     Join(posexplode(srp_sig(a)) ⋈ posexplode(srp_sig(b))
+  *          ON band-index AND band-key))))
+  *
+  * turning the O(|A|·|B|) cross product into an O(n·tables) shuffle of
+  * band keys, with the original cosine threshold re-verified on
+  * candidates (the Deduplicate collapses multi-band collisions).
+  *
+  * APPROXIMATE by design: pairs whose vectors collide in no band are
+  * dropped, so recall < 1 (geometry-dependent) — hence opt-in via
+  * `spark.graft.lsh.rewrite.enabled` (spark.-prefixed so it passes
+  * runtime conf validation), the same contract as choosing
+  * q_sim_lsh_bucketed over q_sim_cosine_topk explicitly. Rows of A/B
+  * must be distinct (band collisions are collapsed by Deduplicate over
+  * the join output).
+  *
+  * Usage: `spark.experimental.extraOptimizations ++= Seq(RewriteCosineThresholdJoin)`
+  * (runtime) or `spark.sql.extensions=graft.plans.GraftExtensions`
+  * (config); then set the flag per query.
+  */
+object RewriteCosineThresholdJoin extends Rule[LogicalPlan] with PredicateHelper {
+  val Flag = "spark.graft.lsh.rewrite.enabled"
+  val Tables = 32
+  val Bits = 6
+
+  private def enabled: Boolean =
+    SQLConf.get.getConfString(Flag, "false").toBoolean
+
+  /** idempotence guard: already-rewritten joins carry __graft_ band
+    * attributes in their condition. */
+  private def alreadyRewritten(j: Join): Boolean =
+    j.condition.exists(_.references.exists(_.name.startsWith("__graft_")))
+
+  /** find a `cosine_sim(a, b) >= τ` conjunct with a on the left side
+    * and b on the right (or swapped); return (leftVec, rightVec). */
+  private def extractCos(cond: Expression, j: Join): Option[(Expression, Expression)] =
+    splitConjunctivePredicates(cond).collectFirst {
+      case GreaterThanOrEqual(CosineSimilarity(a, b), Literal(_, _))
+          if a.references.subsetOf(j.left.outputSet) &&
+            b.references.subsetOf(j.right.outputSet) => (a, b)
+      case GreaterThanOrEqual(CosineSimilarity(a, b), Literal(_, _))
+          if b.references.subsetOf(j.left.outputSet) &&
+            a.references.subsetOf(j.right.outputSet) => (b, a)
+    }
+
+  def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!enabled) return plan
+    plan.transformUp {
+      // filter folded into the join condition (post-pushdown shape)
+      case j @ Join(_, _, Inner | Cross, Some(cond), _)
+          if !alreadyRewritten(j) && extractCos(cond, j).isDefined =>
+        val (lv, rv) = extractCos(cond, j).get
+        rewrite(None, lv, rv, j)
+      // filter still above the join (pre-pushdown shape)
+      case Filter(cond, j @ Join(_, _, Inner | Cross, _, _))
+          if !alreadyRewritten(j) && extractCos(cond, j).isDefined =>
+        val (lv, rv) = extractCos(cond, j).get
+        rewrite(Some(cond), lv, rv, j)
+    }
+  }
+
+  /** Rebuild as banded join; `extraFilter` holds a not-yet-pushed
+    * predicate to re-apply above the new join. */
+  private def rewrite(extraFilter: Option[Expression], leftVec: Expression,
+      rightVec: Expression, j: Join): LogicalPlan = {
+    def banded(child: LogicalPlan, vec: Expression, tag: String) = {
+      val tbl = AttributeReference(s"__graft_tbl_$tag", IntegerType, nullable = false)()
+      val key = AttributeReference(s"__graft_key_$tag", LongType, nullable = true)()
+      (Generate(PosExplode(SrpSignature(vec, Tables, Bits)), Nil,
+        outer = false, None, Seq(tbl, key), child), tbl, key)
+    }
+    val (gl, tl, kl) = banded(j.left, leftVec, "l")
+    val (gr, tr, kr) = banded(j.right, rightVec, "r")
+    val bandCond = And(EqualTo(tl, tr), EqualTo(kl, kr))
+    val newJoin = Join(gl, gr, Inner,
+      Some(j.condition.map(And(_, bandCond)).getOrElse(bandCond)), JoinHint.NONE)
+    val body = extraFilter.map(Filter(_, newJoin)).getOrElse(newJoin)
+    // distinct over the original join output (collapses multi-band
+    // collisions); emitted as Aggregate directly because this rule runs
+    // after ReplaceDeduplicateWithAggregate
+    Aggregate(j.output, j.output, Project(j.output, body))
+  }
+}
+
+/** Session-extension injection point:
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions` wires the
+  * LSH rewrite rule (flag-gated) and the native vector/hash functions
+  * into every session built from that config. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => RewriteCosineThresholdJoin)
+  }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.EventSource
+
+/** Driver-contract guardrails: the queries/oracle registries are what
+  * the Verify/Bench harness consumes — key collisions across modules
+  * would silently DROP an operator from the graded inventory. */
+class RegistrySpec extends SparkSpec {
+
+  test("no duplicate query keys across operator modules") {
+    val perModule = SparkEntry.modules.map(_._1.keySet)
+    val total = perModule.map(_.size).sum
+    assert(total === SparkEntry.queries.size,
+      s"module key sets overlap: ${perModule.flatten.groupBy(identity).collect { case (k, v) if v.size > 1 => k }}")
+  }
+
+  test("every oracle key has a queries entry") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle-only keys: $orphans")
+  }
+
+  test("inventory covers all SURVEY §2 declared keys") {
+    val declared = Seq(
+      // B1
+      "q_scan_project", "q_scan_filter_pushdown", "q_scan_union_files",
+      "s_sink_partitioned", "s_ingest_availablenow", "s_ingest_kafka",
+      // B2
+      "q_project_expr", "q_filter_compound", "q_filter_null",
+      // B3
+      "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_right",
+      "q_join_full", "q_join_semi", "q_join_anti", "q_join_cross",
+      "q_join_theta_range", "q_join_asof", "q_join_multiway",
+      // B4
+      "q_agg_global", "q_agg_group_pricing", "q_agg_distinct",
+      "q_agg_approx_distinct", "q_agg_having", "q_agg_rollup", "q_agg_cube",
+      "q_agg_grouping_sets", "q_agg_stats", "q_agg_percentile",
+      "q_agg_collect", "q_agg_minmax_by",
+      // B5
+      "q_win_rank", "q_win_topk_group", "q_win_running", "q_win_sliding",
+      "q_win_range_frame", "q_win_lead_lag", "q_win_ntile", "q_win_first_last",
+      // B6 / B7
+      "q_sort_multi", "q_limit_topk",
+      "q_union_all", "q_union_distinct", "q_intersect", "q_except",
+      // B8
+      "q_str_basic", "q_str_regex", "q_str_split_explode", "q_str_distance",
+      "q_date_funcs", "q_math_funcs", "q_cond_funcs", "q_cast_types",
+      "q_array_funcs", "q_map_funcs", "q_json_funcs",
+      // B9
+      "q_time_tumbling", "q_time_sliding", "q_sessionize",
+      "s_stream_tumbling", "s_late_data", "s_dedup_stream",
+      "s_stateful_session", "s_foreachbatch_upsert",
+      // B10
+      "q_dedup_exact", "q_dedup_near_jaccard", "q_dedup_minhash",
+      "q_sim_cosine_topk", "q_sim_knn_query", "q_sim_lsh_bucketed",
+      "q_text_tokens_tf", "q_text_tfidf", "q_text_lang_stats",
+      "q_text_ngrams", "q_multimodal_join")
+    val missing = declared.filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
+  }
+
+  test("flagship entry returns rows on sf0.001 (driver smoke gate)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("kafka payload decode (A6): raw binary JSON -> canonical typed schema") {
+    import spark.implicits._
+    val raw = Seq(
+      """{"event_id": 1, "ts": "2024-01-01T10:00:00.000Z", "user_id": 7, "event_type": "click", "value": 1.5, "props": "{\"k\": 3}"}""",
+      """{"event_id": 2, "ts": "2024-01-01T11:30:00.000Z", "user_id": 8, "event_type": "view", "value": 2.0, "props": "{\"k\": 4}"}""")
+      .toDF("json")
+      .select(col("json").cast("binary").as("value")) // kafka frame shape
+    val decoded = EventSource.Kafka.decodeJson(spark, raw)
+    assert(decoded.columns.toSeq ===
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val rows = decoded.orderBy("event_id").collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Long]("event_id") === 1L)
+    assert(rows(0).getAs[String]("event_type") === "click")
+    assert(rows(1).getAs[java.sql.Timestamp]("ts").getTime ===
+      java.sql.Timestamp.valueOf("2024-01-01 11:30:00").getTime)
+  }
+}
