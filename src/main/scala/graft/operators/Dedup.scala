@@ -43,26 +43,23 @@ object Dedup {
     * give a combinatorial vocabulary (27k at sf0.1, max df 25), the
     * standard shingling for document dedup, and a sharp cliff between
     * planted near-dups (J ≥ 0.8) and background (J < 0.5). */
-  private def shingled(d: DataFrame): DataFrame =
-    d.select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("t"))
-      .filter(size(col("t")) >= 3)
-      .select(col("doc_id"),
-        expr("array_distinct(transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i+1], ' ', t[i+2])))")
-          .as("sh"))
+  private def shingled(d: DataFrame): DataFrame = {
+    graft.functions.VectorExprs.register(d.sparkSession)
+    d.select(col("doc_id"),
+        call_function("word_shingles", split(col("text"), " "), lit(3)).as("sh"))
+      .filter(size(col("sh")) > 0)
       .withColumn("sz", size(col("sh")))
+  }
 
-  /** Exact Jaccard ≥ 0.8 near-dup pairs via prefix filtering. */
+  /** Exact Jaccard ≥ 0.8 near-dup pairs via prefix filtering. The
+    * prefix order is the fixed hash order of
+    * [[graft.functions.PrefixShingles]] — exactness needs only a
+    * CONSISTENT global order; see that expression's doc for when a
+    * df-ascending order would be worth its vocabulary join. */
   def nearDupPairs(d: DataFrame): DataFrame = {
     val sh = shingled(d)
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    // canonical global order: rarest shingle first, ties by value
-    val canon = ex.join(broadcast(dfreq), "s")
-      .groupBy(col("doc_id"))
-      .agg(expr("transform(array_sort(collect_list(struct(df, s))), x -> x.s)").as("sh"))
-      .withColumn("sz", size(col("sh")))
-    val pref = canon.select(col("doc_id"), col("sz"),
-      explode(expr("slice(sh, 1, sz - ((4 * sz + 4) DIV 5) + 1)")).as("s"))
+    val pref = sh.select(col("doc_id"), col("sz"),
+      explode(call_function("prefix_shingles", col("sh"), lit(4), lit(5))).as("s"))
     val cand = pref.as("a").join(pref.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id") &&
           // length filter: J ≥ 0.8 needs 4·|A| ≤ 5·|B| and 4·|B| ≤ 5·|A|
@@ -100,17 +97,26 @@ object Dedup {
       graft.functions.VectorExprs.register(s)
       // 64-bit SimHash (native codegen expression, ±1 token votes);
       // pairs within hamming distance 6. EXACT banded join, not O(n²):
-      // the signature splits into 8 byte-chunks, and by pigeonhole any
-      // pair within hamming ≤ 7 shares at least one chunk — so joining
-      // on (chunk_idx, chunk_value) generates every qualifying pair
-      // (recall 1.0) with an O(n·8) shuffle. Oracle=omit (hash family
-      // is engine-internal); equality with the brute-force join is
-      // asserted in DedupSpec.
+      // the signature splits into 8 byte-chunks; 6 bit errors dirty at
+      // most 6 chunks, so by pigeonhole any qualifying pair has ≥2
+      // clean chunks — i.e. agrees on at least one of the C(8,2)=28
+      // chunk PAIRS. Joining on (pair_idx, 16-bit key) keeps recall
+      // 1.0 while squaring down the false-candidate rate vs single
+      // 8-bit chunks (this corpus's tiny vocabulary makes signatures
+      // cluster: single-chunk banding admitted 6.7M candidates at
+      // sf0.1, chunk pairs ~100× fewer). Oracle=omit (hash family is
+      // engine-internal); equality with brute force asserted in
+      // DedupSpec.
       val d = Tables(s, dir, "documents")
       val sig = d.select(col("doc_id"), Text.simhash64(col("text")).as("sig"))
-      val chunks = sig.select(col("doc_id"),
-        posexplode(expr("transform(sequence(0, 7), i -> shiftright(sig, i * 8) & 255)"))
-          .as(Seq("chunk", "cv")))
+      val bandPairs = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
+      val bandCols = bandPairs.zipWithIndex.map { case ((i, j), b) =>
+        struct(lit(b).as("chunk"),
+          (shiftright(col("sig"), i * 8).bitwiseAND(lit(255L)) * 256 +
+            shiftright(col("sig"), j * 8).bitwiseAND(lit(255L))).as("cv"))
+      }
+      val chunks = sig.select(col("doc_id"), explode(array(bandCols: _*)).as("b"))
+        .select(col("doc_id"), col("b.chunk").as("chunk"), col("b.cv").as("cv"))
       val cand = chunks.as("a").join(chunks.as("b"),
           col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
             col("a.doc_id") < col("b.doc_id"))
