@@ -73,6 +73,25 @@ class StreamingSpec extends SparkSpec {
       s"late day-2/3 buckets should have been dropped: ${buckets.get(day2)}, ${buckets.get(day3)}")
   }
 
+  test("stateful sessionization is identical on the RocksDB state store (100 TB state config)") {
+    def run(): Set[(Long, Long, Long)] =
+      SparkEntry.queries("s_stateful_session")(spark, sf)
+        .select(col("user_id"), col("session_start").cast("long"), col("n_events"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    val hdfs = run()
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val rocks = run()
+      assert(rocks === hdfs, "RocksDB-backed state diverged from default store")
+      assert(rocks.nonEmpty)
+    } finally {
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("streaming dedup emits each event_id once despite full replay") {
     val out = SparkEntry.queries("s_dedup_stream")(spark, sf)
       .agg(sum(col("n_rows")).as("rows"), sum(col("n_ids")).as("ids"))
