@@ -73,8 +73,68 @@ object Similarity {
       // candidate pairs + exact euclidean distance on candidates only.
       // Oracle=omit (approximate); SimilaritySpec bounds recall.
       lshPairs(vecs(s, dir), threshold = 1.2)
+    },
+    "q_sim_ivf" -> { (s, dir) =>
+      // IVF (inverted-file) ANN: coarse quantizer cells + probe-N
+      // search — the clustered-data scale path complementing LSH.
+      // Oracle=omit (approximate); SimilaritySpec bounds recall.
+      ivfTopK(vecs(s, dir), k = 20)
     }
   )
+
+  /** IVF approximate k-NN of the fixed query vector (vec_id=0):
+    *
+    *   1. coarse quantizer: `nCells` deterministic seed vectors
+    *      (lowest vec_ids) refined by ONE distributed Lloyd step
+    *      (assign via the codegen cosine kernel, component-wise means
+    *      by hash aggregation — no driver-side training loop);
+    *   2. every vector is assigned to its nearest cell — at 100 TB
+    *      this cell id is a partition/bucket column, so a probe only
+    *      reads the matching partitions (partition pruning does the
+    *      candidate selection);
+    *   3. the query probes its `nProbe` nearest cells and scores only
+    *      those candidates exactly, then TakeOrderedAndProject top-k.
+    *
+    * Driver-side materialization is index METADATA only (nCells
+    * centroids + the query row), never the data. */
+  def ivfTopK(e: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 8): DataFrame = {
+    VectorExprs.register(e.sparkSession)
+    def cellCol(cents: IndexedSeq[Seq[Double]]): Column = {
+      val scored = cents.zipWithIndex.map { case (c, i) =>
+        struct(call_function("cosine_sim", col("v"), typedLit(c)).as("c"),
+          lit(i).as("i"))
+      }
+      array_max(array(scored: _*)).getField("i")
+    }
+    val seeds = e.orderBy(col("vec_id")).limit(nCells)
+      .select(col("v")).collect().map(_.getSeq[Double](0)).toIndexedSeq
+    // one Lloyd refinement, fully distributed
+    val means = e.withColumn("cell", cellCol(seeds))
+      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").as("centroid"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val cents = (0 until nCells).map(i => means.getOrElse(i, seeds(i)))
+    val assigned = e.withColumn("cell", cellCol(cents))
+    val qv = e.filter(col("vec_id") === lit(0L)).select(col("v"))
+      .collect()(0).getSeq[Double](0)
+    def cosLocal(a: Seq[Double], b: Seq[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < math.min(a.size, b.size)) {
+        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val probes = cents.zipWithIndex
+      .map { case (c, i) => (cosLocal(qv, c), i) }
+      .sortBy { case (c, i) => (-c, i) }.take(nProbe).map(_._2)
+    val cand = assigned
+      .filter(col("cell").isin(probes: _*) && col("vec_id") =!= lit(0L))
+      .withColumn("c", call_function("cosine_sim", col("v"), typedLit(qv)))
+    ordered(cand.orderBy(col("c").desc, col("vec_id")).limit(k)
+      .select(col("vec_id"), col("label"), round(col("c"), 4).as("cosine")))
+  }
 
   /** Banded sign-random-projection LSH pairs: 32 tables × 6 sign bits
     * via the codegen [[graft.functions.SrpSignature]] expression; the

@@ -36,6 +36,17 @@ class SimilaritySpec extends SparkSpec {
     assert(p.filter(abs(col("c") - 1.0) > 1e-12).count() === 0)
   }
 
+  test("IVF probe search recall vs exact kNN") {
+    val exact = SparkEntry.queries("q_sim_knn_query")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = SparkEntry.queries("q_sim_ivf")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ivf.size === exact.size)
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall over ${exact.size} true neighbors")
+    info(s"IVF recall: $recall")
+  }
+
   test("LSH bucketed recall: top exact pairs survive candidate generation") {
     // exact 15 nearest pairs by euclidean distance (brute force)
     val e = vecs

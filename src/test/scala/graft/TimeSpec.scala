@@ -31,6 +31,32 @@ class TimeSpec extends SparkSpec {
     assert(ours === native)
   }
 
+  test("kill mid-stream, resume from checkpoint: no loss, no dupes (A4/A5)") {
+    val staged = EventSource.stageEvents(spark, sf)
+    val out = java.nio.file.Files.createTempDirectory("graft_kill_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_kill_ck").toString
+    def start() = spark.readStream
+      .schema(Tables(spark, sf, "events").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    // run 1: stop as soon as at least one batch has committed ("crash")
+    val q1 = start()
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    while (q1.recentProgress.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+    q1.stop()
+    // run 2: resume from the same checkpoint to completion
+    val q2 = start()
+    q2.awaitTermination()
+    val streamed = spark.read.parquet(out)
+    val batch = Tables(spark, sf, "events")
+    assert(streamed.count() === batch.count(), "lost or duplicated rows across the restart")
+    assert(streamed.select(countDistinct(col("event_id"))).collect()(0).getLong(0) ===
+      batch.count(), "duplicate event_ids after resume")
+  }
+
   test("multi-batch ingestion (maxFilesPerTrigger=1) equals single-batch totals") {
     val staged = EventSource.stageEvents(spark, sf)
     val out = java.nio.file.Files.createTempDirectory("graft_mb_out").toString
