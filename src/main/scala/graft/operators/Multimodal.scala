@@ -65,6 +65,24 @@ object Multimodal {
           encode(col("text"), "UTF-8").as("payload"))
       ordered(decodeFeatures(payloads))
     },
+    "q_multimodal_frames" -> { (s, dir) =>
+      // Frame sampling over the binary payload: fixed 16-byte frames,
+      // every 4th frame sampled (stepped sequence — no index lambdas),
+      // rolled into a sample digest. The video/audio analog: bounded
+      // per-row work, narrow map, frames never leave the executor.
+      // Oracle-exact because the payload is the doc's UTF-8 bytes
+      // (frames decode losslessly for this ASCII corpus; a real codec
+      // would replace the decode, not the plumbing).
+      val d = Tables(s, dir, "documents")
+      val r = d
+        .withColumn("payload", encode(col("text"), "UTF-8"))
+        .withColumn("n_frames", expr("CAST((length(payload) + 15) DIV 16 AS INT)"))
+        .withColumn("sampled", expr(
+          "transform(sequence(0, n_frames - 1, 4), i -> CAST(substring(payload, i * 16 + 1, 16) AS STRING))"))
+      ordered(r.select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
+        size(col("sampled")).as("n_sampled"),
+        md5(concat_ws("", col("sampled"))).as("sample_hash")))
+    },
     "q_multimodal_join" -> { (s, dir) =>
       // text ⋈ vector modality on doc_id = vec_id; per-lang vector stats
       VectorExprs.register(s)
@@ -91,6 +109,17 @@ object Multimodal {
       "sqrt(list_sum(list_transform(range(1,65), i -> CAST(q.embedding[i] AS DOUBLE) * q.embedding[i]))))"
 
   def oracle: Map[String, String] = Map(
+    "q_multimodal_frames" ->
+      ("""WITH r AS (
+        |  SELECT doc_id,
+        |    (octet_length(CAST(text AS BLOB)) + 15) // 16 AS n_frames,
+        |    list_transform(range(0, (octet_length(CAST(text AS BLOB)) + 15) // 16, 4),
+        |      i -> text[i * 16 + 1 : i * 16 + 16]) AS sampled
+        |  FROM documents)
+        |SELECT doc_id, n_frames, len(sampled) AS n_sampled,
+        |  md5(list_aggregate(sampled, 'string_agg', '')) AS sample_hash
+        |FROM r""".stripMargin +
+        orderByAll("doc_id", "n_frames", "n_sampled", "sample_hash")),
     "q_multimodal_features" ->
       ("""SELECT doc_id, lang,
         |  32 + octet_length(CAST(text AS BLOB)) % 32 AS width,

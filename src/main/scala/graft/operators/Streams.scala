@@ -97,7 +97,7 @@ object Streams {
     "s_late_data" -> { (s, dir) =>
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val all = typedEvents(s, dir)
+      val all = typedEvents(s, dir).filter(_.user_id < 60)
       val onTime1 = all.filter(e => e.ts.getTime < day(18) &&
         !(e.ts.getTime >= day(2) && e.ts.getTime < day(4)))
       val late = all.filter(e => e.ts.getTime >= day(2) && e.ts.getTime < day(4))
