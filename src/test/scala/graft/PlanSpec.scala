@@ -56,4 +56,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("cosine_sim"), p)
     assert(!p.contains("ScalaUDF"), p)
   }
+
+  test("scale-path dedup/similarity keys plan equi joins, never cartesian") {
+    // the banded/prefix-filtered paths must join on generated keys —
+    // a CartesianProduct or nested-loop join here means the candidate
+    // pruning silently degenerated to O(n²)
+    for (k <- Seq("q_dedup_near_jaccard", "q_dedup_minhash",
+        "q_dedup_simhash", "q_sim_lsh_bucketed")) {
+      val p = planOf(k)
+      assert(!p.contains("CartesianProduct"), s"$k plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$k plans a nested-loop join")
+    }
+  }
 }
