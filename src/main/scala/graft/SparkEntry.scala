@@ -21,6 +21,7 @@ object SparkEntry {
       (Dedup.queries, Dedup.oracle),
       (Similarity.queries, Similarity.oracle),
       (Multimodal.queries, Multimodal.oracle),
+      (Sql.queries, Sql.oracle),
       (Streams.queries, Streams.oracle)
     )
 

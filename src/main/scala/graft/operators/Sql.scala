@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.functions.Det._
+import graft.sources.Tables
+
+/** SQL front-end surface (SURVEY.md §2 note; the brief's
+  * `spark.sql(...)` capability): fixture tables registered as temp
+  * views, queries expressed as PORTABLE ANSI SQL — the SAME string is
+  * submitted to Spark's SQL parser and to the DuckDB oracle, so these
+  * keys also prove cross-engine SQL compatibility of the dialect
+  * subset the engine emits (decimal-exact aggregation, timestamp
+  * literals, CTEs, correlated EXISTS, window frames).
+  *
+  * 100 TB posture: identical to the DataFrame keys — SQL text and
+  * DataFrame algebra meet in the same Catalyst logical plan (Q3 plans
+  * broadcast dimension joins + partial aggs; EXISTS decorrelates to a
+  * left-semi hash join, SURVEY.md §4.2).
+  */
+object Sql {
+
+  private def registerViews(s: SparkSession, dir: String): Unit =
+    Tables.all.foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+
+  /** TPC-H-Q3-shaped: top-10 open-order revenue per (order, date,
+    * priority) for one segment. */
+  private val q3 =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1996-06-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1996-06-01 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** Correlated EXISTS — decorrelates to a left-semi join. */
+  private val existsBig =
+    """SELECT c_custkey, c_name, c_acctbal
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 400000.0)""".stripMargin
+
+  /** CTE + running window over monthly totals (decimal-exact window
+    * sum: DuckDB evaluates windowed aggregates with a segment tree,
+    * so a DOUBLE running sum would be summation-order-dependent). */
+  private val cteWindow =
+    """WITH monthly AS (
+      |  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS m_total
+      |  FROM orders GROUP BY o_custkey, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP))
+      |SELECT o_custkey, mon, m_total,
+      |  CAST(SUM(CAST(m_total AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY o_custkey ORDER BY mon ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+      |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY mon) AS rn
+      |FROM monthly
+      |WHERE o_custkey <= 100""".stripMargin
+
+  private def run(sql: String): (SparkSession, String) => DataFrame = { (s, dir) =>
+    registerViews(s, dir)
+    ordered(s.sql(sql))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_tpch_q3" -> run(q3),
+    "q_sql_exists_subquery" -> run(existsBig),
+    "q_sql_cte_window" -> run(cteWindow)
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_sql_tpch_q3" ->
+      (s"SELECT * FROM ($q3)" +
+        orderByAll("l_orderkey", "o_orderdate", "o_orderpriority", "revenue")),
+    "q_sql_exists_subquery" ->
+      (existsBig + orderByAll("c_custkey", "c_name", "c_acctbal")),
+    "q_sql_cte_window" ->
+      (s"SELECT * FROM ($cteWindow)" +
+        orderByAll("o_custkey", "mon", "m_total", "running_total", "rn"))
+  )
+}
