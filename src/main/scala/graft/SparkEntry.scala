@@ -22,6 +22,7 @@ object SparkEntry {
       (Similarity.queries, Similarity.oracle),
       (Multimodal.queries, Multimodal.oracle),
       (Sql.queries, Sql.oracle),
+      (Extensibility.queries, Extensibility.oracle),
       (Streams.queries, Streams.oracle)
     )
 

@@ -57,6 +57,22 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"), p)
   }
 
+  test("dynamic partition pruning fires on the partitioned-sink layout") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    graft.sources.Tables(spark, sf, "lineitem")
+      .write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    val fact = spark.read.parquet(out)
+    // dim with a non-trivial filter on the join key → DPP candidate
+    val dim = graft.sources.Tables(spark, sf, "orders")
+      .select(col("o_orderpriority").substr(1, 1).as("l_returnflag")).distinct()
+      .filter(col("l_returnflag").isin("A", "N"))
+    val j = fact.join(dim, Seq("l_returnflag")).agg(count(lit(1)))
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("dynamicpruning"),
+      s"no DPP subquery in plan:\n$p")
+  }
+
   test("scale-path dedup/similarity keys plan equi joins, never cartesian") {
     // the banded/prefix-filtered paths must join on generated keys —
     // a CartesianProduct or nested-loop join here means the candidate
