@@ -137,6 +137,45 @@ object Streams {
         countDistinct(col("event_id")).as("n_ids")))
     },
 
+    // B9×B10: STREAMING near-duplicate suppression — the online twin
+    // of q_dedup_minhash for an ingestion pipeline. Each arriving doc
+    // is keyed by one MinHash band (4 hashes packed; near-dups at
+    // J≈0.99 collide with prob J⁴≈0.96) and dropped if a doc with the
+    // same band key arrived within the watermark horizon. State is the
+    // band-key set inside the horizon — bounded, exactly the
+    // watermarked-dedup contract. Approximate by design (band recall),
+    // oracle=omit; StreamingSpec bounds suppression vs the exact batch
+    // ground truth.
+    "s_dedup_stream_near" -> { (s, dir) =>
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      graft.functions.VectorExprs.register(s)
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .collect().sortBy(_._1)
+      val (h1, h2) = docs.splitAt(docs.length / 2)
+      val ms = MemoryStream[(Long, String)]
+      val qn = s"graft_neardedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      val q = ms.toDS().toDF("doc_id", "text")
+        // synthetic monotonic event time: arrival order = doc_id order
+        .withColumn("ts", timestamp_millis(lit(base) + col("doc_id")))
+        .withColumn("band_key", xxhash64(slice(
+          call_function("minhash_sig",
+            call_function("word_shingles", split(col("text"), " "), lit(3)),
+            lit(64)), 1, 4)))
+        .withWatermark("ts", "40 days")
+        .dropDuplicatesWithinWatermark("band_key")
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      ms.addData(h1.toSeq); q.processAllAvailable()
+      ms.addData(h2.toSeq); q.processAllAvailable()
+      q.stop()
+      ordered(s.table(qn).agg(
+        count(lit(1)).as("survivors"),
+        countDistinct(col("band_key")).as("n_keys")))
+    },
+
     // B9: custom-state sessionization (flatMapGroupsWithState,
     // event-time timeout) over three time-ordered micro-batches.
     "s_stateful_session" -> { (s, dir) =>

@@ -92,6 +92,20 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("streaming near-dup suppression drops most planted near-duplicates") {
+    val out = SparkEntry.queries("s_dedup_stream_near")(spark, sf).collect()(0)
+    val survivors = out.getLong(0)
+    val total = graft.sources.Tables(spark, sf, "documents").count()
+    val truePairs = graft.operators.Dedup
+      .nearDupPairs(graft.sources.Tables(spark, sf, "documents")).count()
+    assume(truePairs > 0, "no planted near-dups at this sf")
+    val suppressed = total - survivors
+    // each J≈0.99 pair collides in the band with prob ≈0.96; allow slack
+    assert(suppressed >= (truePairs * 7) / 10,
+      s"suppressed only $suppressed of ~$truePairs near-dup members")
+    assert(survivors > total / 2, "over-suppression: band key too coarse")
+  }
+
   test("streaming dedup emits each event_id once despite full replay") {
     val out = SparkEntry.queries("s_dedup_stream")(spark, sf)
       .agg(sum(col("n_rows")).as("rows"), sum(col("n_ids")).as("ids"))
