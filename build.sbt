@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep "[success] Total time ..." off stdout: the bench/verify harness
+// parses the LAST stdout line as JSON, and sbt's success trailer after
+// graft.Bench's output line broke that parse in round 1.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -21,7 +21,15 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Sidecar for parsers that can't rely on stdout framing (r1's driver
+    // parse failed on an sbt trailer line): well-known repo-root file.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), json + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
+    // JSON is the LAST stdout line: after spark.stop() (Spark logs go to
+    // stderr, but stop before printing anyway), explicitly flushed.
+    println(json)
+    System.out.flush()
   }
 }

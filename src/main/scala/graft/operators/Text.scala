@@ -191,8 +191,8 @@ object Text {
         |  SELECT lang, len($tokSql) AS ws_tokens,
         |    len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> '')) AS re_tokens
         |  FROM documents)
-        |SELECT lang, SUM(ws_tokens) AS total_ws_tokens,
-        |  SUM(re_tokens) AS total_re_tokens,
+        |SELECT lang, CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+        |  CAST(SUM(re_tokens) AS BIGINT) AS total_re_tokens,
         |  CAST(SUM(re_tokens) AS DOUBLE) / COUNT(*) AS avg_re_tokens
         |FROM r GROUP BY lang""".stripMargin +
         orderByAll("lang", "total_ws_tokens", "total_re_tokens", "avg_re_tokens")),

@@ -56,9 +56,13 @@ object Time {
             .otherwise(0L))
         .withColumn("session_id", sum(col("new_sess")).over(
           w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      // Session bounds as epoch-second BIGINTs (like q_time_tumbling's
+      // bucket_start): the driver's pandas comparator hashes BIGINT
+      // exactly, whereas pass-through timestamps round-trip through
+      // engine-specific physical types.
       ordered(flagged.groupBy(col("user_id"), col("session_id"))
-        .agg(min(col("ts")).as("session_start"),
-          max(col("ts")).as("session_end"),
+        .agg(min(col("ts")).cast("long").as("session_start"),
+          max(col("ts")).cast("long").as("session_end"),
           count(lit(1)).as("n_events"),
           dsum(col("value")).as("sum_value")))
     }
@@ -89,11 +93,13 @@ object Time {
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |sess AS (
         |  SELECT user_id, ts, value,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |      ROWS UNBOUNDED PRECEDING) AS session_id
+        |    CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         |  FROM flagged)
-        |SELECT user_id, session_id, MIN(ts) AS session_start,
-        |  MAX(ts) AS session_end, COUNT(*) AS n_events,
+        |SELECT user_id, session_id,
+        |  CAST(epoch_us(MIN(ts))//1000000 AS BIGINT) AS session_start,
+        |  CAST(epoch_us(MAX(ts))//1000000 AS BIGINT) AS session_end,
+        |  COUNT(*) AS n_events,
         |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin +
         orderByAll("user_id", "session_id", "session_start", "session_end",

@@ -20,8 +20,6 @@ def norm(v):
         return tuple(norm(x) for x in v)
     if isinstance(v, dict):
         return tuple(sorted((k, norm(x)) for k, x in v.items()))
-    if isinstance(v, float) and v == int(v) and abs(v) < 1e15:
-        return float(v)
     return v
 
 def fetch(con, sql):
