@@ -129,16 +129,17 @@ object Dedup {
       ordered(p.select(col("da"), col("db"), col("hamming")))
     },
     "q_dedup_embed" -> { (s, dir) =>
-      // embedding-cosine near-dup pairs at τ=0.45 (fixture max ≈ 0.51)
-      graft.functions.VectorExprs.register(s)
+      // embedding-cosine near-dup pairs at τ=0.45 (fixture max ≈ 0.51).
+      // τ=0.45 sits in the near-orthogonal regime where LSH banding has
+      // no selectivity (see blockedScoredPairs' doc), so the exact pair
+      // scoring runs as the blocked equi-join — identical output to the
+      // brute-force oracle, no nested-loop plan, O(n·B) shuffle. The
+      // high-τ (≥0.9) production dedup path is q_dedup_minhash /
+      // q_sim_lsh_bucketed, where banding IS exponentially selective.
       val e = Tables(s, dir, "embeddings").select(col("vec_id"),
         col("embedding").cast("array<double>").as("v"))
-      val p = e.select(col("vec_id").as("va"), col("v").as("a"))
-        .join(e.select(col("vec_id").as("vb"), col("v").as("b")),
-          col("va") < col("vb"))
-        .withColumn("cosine", Similarity.cosine(col("a"), col("b")))
-        .filter(col("cosine") >= lit(0.45))
-      ordered(p.select(col("va"), col("vb"), round(col("cosine"), 4).as("cosine")))
+      val p = Similarity.blockedScoredPairs(e).filter(col("c") >= lit(0.45))
+      ordered(p.select(col("va"), col("vb"), round(col("c"), 4).as("cosine")))
     }
   )
 

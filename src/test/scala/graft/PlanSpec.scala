@@ -78,7 +78,8 @@ class PlanSpec extends SparkSpec {
     // a CartesianProduct or nested-loop join here means the candidate
     // pruning silently degenerated to O(n²)
     for (k <- Seq("q_dedup_near_jaccard", "q_dedup_minhash",
-        "q_dedup_simhash", "q_sim_lsh_bucketed")) {
+        "q_dedup_simhash", "q_sim_lsh_bucketed",
+        "q_dedup_embed", "q_sim_cosine_topk")) {
       val p = planOf(k)
       assert(!p.contains("CartesianProduct"), s"$k plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$k plans a nested-loop join")

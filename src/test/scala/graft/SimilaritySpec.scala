@@ -47,6 +47,31 @@ class SimilaritySpec extends SparkSpec {
     info(s"IVF recall: $recall")
   }
 
+  test("blocked pair join reproduces the quadratic baseline exactly (top-k and τ=0.45)") {
+    // q_sim_cosine_topk / q_dedup_embed route through blockedScoredPairs
+    // (exact by construction: every unordered pair lands in exactly one
+    // grid cell) — assert full equality with the naive va<vb self-join
+    // at both test scales (the sf0.01 run is the correctness-gate scale).
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val e = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val brute = e.select(col("vec_id").as("va"), col("v").as("a"))
+        .join(e.select(col("vec_id").as("vb"), col("v").as("b")), col("va") < col("vb"))
+        .withColumn("c", Similarity.cosine(col("a"), col("b")))
+      val banded = Similarity.blockedScoredPairs(e)
+      def top10(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long)] =
+        df.orderBy(col("c").desc, col("va"), col("vb")).limit(10)
+          .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(top10(banded) === top10(brute), s"top-10 pairs diverged at $dir")
+      def thresh(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.filter(col("c") >= 0.45).select("va", "vb")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = thresh(brute)
+      assert(thresh(banded) === exact,
+        s"τ=0.45 pairs diverged at $dir (${exact.size} exact pairs)")
+    }
+  }
+
   test("LSH bucketed recall: top exact pairs survive candidate generation") {
     // exact 15 nearest pairs by euclidean distance (brute force)
     val e = vecs
