@@ -85,18 +85,47 @@ object Joins {
     },
     "q_join_asof" -> { (s, dir) =>
       // As-of: latest order (by o_orderdate, key-tiebreak) of the
-      // event's user at event time. Equi-join on the key + top-1
-      // window over the identical partitioning.
+      // event's user at event time, as a UNION-MERGE: tag both inputs,
+      // sort once per user, carry the last order seen. The r1 equi-join
+      // + per-event top-1 window materialized |events_u|×|orders_u|
+      // rows per user before pruning — skew-amplified at 100 TB; this
+      // formulation shuffles each input row exactly once (one exchange
+      // on user_id) and its state per user is a single running struct.
       val e = Tables(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("ts"))
       val o = Tables(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
-      val j = e.join(o,
-        col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left")
-      val w = Window.partitionBy(col("event_id"))
-        .orderBy(col("o_orderdate").desc_nulls_last, col("o_orderkey").desc_nulls_last)
-      ordered(j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("event_id"), col("user_id"), col("ts"), col("o_orderkey"), col("o_orderdate")))
+      // null literals take the ACTUAL input types (o_orderdate is
+      // TIMESTAMP_NTZ in the fixture) so the output schema is
+      // identical to the plain join formulation — a hardcoded
+      // cast("timestamp") here would silently coerce NTZ → LTZ.
+      val ordType = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderdate",
+          o.schema("o_orderdate").dataType),
+        org.apache.spark.sql.types.StructField("o_orderkey",
+          o.schema("o_orderkey").dataType)))
+      val merged = o.select(col("o_custkey").as("user_id"),
+          col("o_orderdate").as("t"), lit(0).as("is_event"),
+          lit(null).cast(e.schema("event_id").dataType).as("event_id"),
+          lit(null).cast(e.schema("ts").dataType).as("ts"),
+          struct(col("o_orderdate"), col("o_orderkey")).as("ord"))
+        .unionByName(e.select(col("user_id"), col("ts").as("t"),
+          lit(1).as("is_event"), col("event_id"), col("ts"),
+          lit(null).cast(ordType).as("ord")))
+      // order rows sort before event rows at equal t (<= asof bound);
+      // among equal-date orders the LAST seen is the max o_orderkey,
+      // matching the r1 top-1 tiebreak (o_orderdate DESC, o_orderkey
+      // DESC). last(ignoreNulls) carries the running as-of order.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t"), col("is_event"), col("ord.o_orderkey").asc_nulls_first,
+          col("event_id").asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ordered(merged
+        .withColumn("asof", last(col("ord"), ignoreNulls = true).over(w))
+        .filter(col("is_event") === 1)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("asof.o_orderkey").as("o_orderkey"),
+          col("asof.o_orderdate").as("o_orderdate")))
     },
     "q_join_multiway" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")

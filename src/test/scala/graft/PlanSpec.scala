@@ -73,6 +73,30 @@ class PlanSpec extends SparkSpec {
       s"no DPP subquery in plan:\n$p")
   }
 
+  test("q_join_asof union-merge: no join node, one hash exchange, output = join formulation") {
+    val df = SparkEntry.queries("q_join_asof")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"as-of should be join-free:\n$p")
+    val hashExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 1, s"expected exactly 1 hash exchange, got $hashExchanges:\n$p")
+    // equivalence with the r1 equi-join + per-event top-1 window
+    val e = graft.sources.Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val o = graft.sources.Tables(spark, sf, "orders")
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+    val j = e.join(o,
+      col("user_id") === col("o_custkey") && col("o_orderdate") <= col("ts"), "left")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("event_id"))
+      .orderBy(col("o_orderdate").desc_nulls_last, col("o_orderkey").desc_nulls_last)
+    val joinForm = j.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    val unionForm = df.select(col("event_id"), col("o_orderkey"), col("o_orderdate"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+    assert(unionForm === joinForm)
+  }
+
   test("scale-path dedup/similarity keys plan equi joins, never cartesian") {
     // the banded/prefix-filtered paths must join on generated keys —
     // a CartesianProduct or nested-loop join here means the candidate
