@@ -10,6 +10,7 @@ object SparkEntry {
   private[graft] def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Scans.queries, Scans.oracle),
+      (Decode.queries, Decode.oracle),
       (Joins.queries, Joins.oracle),
       (Aggregates.queries, Aggregates.oracle),
       (Grouping.queries, Grouping.oracle),

@@ -67,15 +67,11 @@ object EventSource {
     }
     def isStreaming = true
 
-    /** A6 generalized: payload bytes → typed columns via from_json. */
-    def decodeJson(spark: SparkSession, raw: DataFrame): DataFrame = {
-      import org.apache.spark.sql.functions._
-      val schema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
-        "event_type STRING, value DOUBLE, props STRING"
-      raw.select(from_json(col("value").cast("string"),
-        org.apache.spark.sql.types.StructType.fromDDL(schema)).as("r"))
-        .select(col("r.*"))
-    }
+    /** A6: payload bytes → typed columns via the payload-type registry
+      * ([[SchemaRegistry]]); malformed payloads decode to null fields
+      * here (quarantine variant available via the registry). */
+    def decodeJson(spark: SparkSession, raw: DataFrame): DataFrame =
+      SchemaRegistry.decode(raw, "events", quarantine = false)
   }
 
   /** Stage the events fixture as a plain parquet DIR (the file-stream

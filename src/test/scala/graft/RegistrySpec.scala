@@ -63,6 +63,58 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("schema registry decodes a second payload shape (documents)") {
+    import spark.implicits._
+    import graft.sources.SchemaRegistry
+    val raw = Seq(
+      """{"doc_id": 10, "lang": "en", "text": "the quick value", "n_chars": 15}""",
+      """{"doc_id": 11, "lang": "de", "text": "order group", "n_chars": 11}""")
+      .toDF("value")
+    val d = SchemaRegistry.decode(raw, "documents").orderBy("doc_id").collect()
+    assert(d.length === 2)
+    assert(d(0).getAs[Long]("doc_id") === 10L)
+    assert(d(0).getAs[String]("lang") === "en")
+    assert(d(1).getAs[Int]("n_chars") === 11)
+    assert(d.forall(_.getAs[String](SchemaRegistry.corruptCol) == null))
+  }
+
+  test("malformed payloads quarantine into _corrupt_record, never kill the decode") {
+    import spark.implicits._
+    import graft.sources.SchemaRegistry
+    val raw = Seq(
+      """{"event_id": 1, "ts": "2024-01-01T10:00:00.000Z", "user_id": 7, "event_type": "click", "value": 1.5, "props": "{}"}""",
+      """{"event_id": oops not json""",
+      """[1, 2, 3]""")
+      .toDF("value")
+    val d = SchemaRegistry.decode(raw, "events").collect()
+    assert(d.length === 3)
+    val (good, bad) = d.partition(_.getAs[String](SchemaRegistry.corruptCol) == null)
+    assert(good.length === 1 && good(0).getAs[Long]("event_id") === 1L)
+    assert(bad.length === 2, s"expected 2 quarantined rows, got ${bad.length}")
+    assert(bad.forall(r => r.isNullAt(r.fieldIndex("event_id"))))
+    assert(bad.exists(_.getAs[String](SchemaRegistry.corruptCol).contains("oops")))
+  }
+
+  test("registry encode->decode round-trips microsecond timestamps losslessly") {
+    import graft.sources.SchemaRegistry
+    val e = graft.sources.Tables(spark, sf, "events")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val back = SchemaRegistry.decode(SchemaRegistry.encode(e, cols), "events")
+      .select(cols.map(col): _*)
+    assert(back.exceptAll(e.select(cols.map(col): _*)).count() === 0)
+    assert(e.select(cols.map(col): _*).exceptAll(back).count() === 0)
+  }
+
+  test("unregistered payload type fails fast with the known-type list") {
+    import spark.implicits._
+    import graft.sources.SchemaRegistry
+    val raw = Seq("""{}""").toDF("value")
+    val ex = intercept[IllegalArgumentException] {
+      SchemaRegistry.decode(raw, "nope")
+    }
+    assert(ex.getMessage.contains("unregistered") && ex.getMessage.contains("events"))
+  }
+
   test("kafka payload decode (A6): raw binary JSON -> canonical typed schema") {
     import spark.implicits._
     val raw = Seq(
