@@ -54,6 +54,22 @@ object Streams {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty")))
     },
 
+    // A7 reference-layout twin: the reference wrote text files of
+    // `offset \t line` per message [R: SimpleKafkaETLMapper]. Stream
+    // the events source into that exact layout (offset = event_id, the
+    // replayable log position; line = registry-encoded JSON payload),
+    // then read back, split, registry-decode, and summarize. Full
+    // row-level round-trip equality is asserted in StreamingSpec.
+    "s_sink_text" -> { (s, dir) =>
+      val decoded = textOffsetRoundTrip(s, dir)
+      ordered(decoded.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("offset")).as("n_offsets"),
+        dsum(col("value")).as("sum_value"),
+        min(col("offset")).as("min_offset"),
+        max(col("offset")).as("max_offset")))
+    },
+
     // A1+A4+A7: incremental file-stream ingestion with checkpointed
     // offsets, Trigger.AvailableNow = the reference's run-periodically
     // batch model, exactly-once parquet sink.
@@ -225,6 +241,30 @@ object Streams {
         .toDF("provider", "available", "status")
     }
   )
+
+  /** Write the events stream as `offset \t line` text files (the
+    * reference's sink layout [R]) via a checkpointed streaming text
+    * sink, read the files back, split at the first tab, and
+    * registry-decode the payload half. Returns the decoded frame with
+    * its `offset` column — callers aggregate (the s_sink_text key) or
+    * compare row-level against the batch table (StreamingSpec). */
+  def textOffsetRoundTrip(s: SparkSession, dir: String): DataFrame = {
+    import graft.sources.SchemaRegistry
+    val out = tmp("sink_text"); val ck = tmp("sink_text_ck")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val lines = EventSource.FileStream.load(s, dir)
+      .select(concat(col("event_id").cast("string"), lit("\t"),
+        to_json(struct(cols.map(col): _*), SchemaRegistry.encodeOptions)).as("value"))
+    val q = lines.writeStream.format("text")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val back = s.read.text(out).select(
+      substring_index(col("value"), "\t", 1).cast("long").as("offset"),
+      expr("substring(value, instr(value, '\t') + 1)").as("payload"))
+    SchemaRegistry.decode(back, "events", valueCol = "payload",
+      quarantine = false, keep = Seq("offset"))
+  }
 
   /** All streaming keys are oracle-omit (driver records rows-only). */
   def oracle: Map[String, String] = Map.empty

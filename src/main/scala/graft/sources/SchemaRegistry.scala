@@ -61,15 +61,18 @@ object SchemaRegistry {
     * malformed payloads keep their raw text in [[corruptCol]] (typed
     * fields null) so callers can route them to a dead-letter sink;
     * without, malformed rows decode to all-null fields (r1's A6
-    * behavior). Narrow projection — no shuffle, codegen-friendly. */
+    * behavior). `keep` carries source metadata columns (offset,
+    * partition, topic …) through the decode. Narrow projection — no
+    * shuffle, codegen-friendly. */
   def decode(raw: DataFrame, payloadType: String,
-      valueCol: String = "value", quarantine: Boolean = true): DataFrame = {
+      valueCol: String = "value", quarantine: Boolean = true,
+      keep: Seq[String] = Nil): DataFrame = {
     val base = schemaOf(payloadType)
     val schema = if (quarantine) base.add(corruptCol, StringType) else base
     val opts = decodeOptions + ("columnNameOfCorruptRecord" -> corruptCol)
     raw.withColumn("__graft_decoded",
         from_json(col(valueCol).cast("string"), schema, opts))
-      .select(col("__graft_decoded.*"))
+      .select(keep.map(col) :+ col("__graft_decoded.*"): _*)
   }
 
   /** Encode typed columns to a JSON value column with the registry's

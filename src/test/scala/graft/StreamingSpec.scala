@@ -31,6 +31,18 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("text offset\\tline sink round-trips the events table exactly (A7 reference layout)") {
+    val decoded = graft.operators.Streams.textOffsetRoundTrip(spark, sf)
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    // offset column carries the log position = event_id
+    assert(decoded.filter(col("offset") =!= col("event_id")).count() === 0)
+    val back = decoded.select(cols.map(col): _*)
+    val batch = graft.sources.Tables(spark, sf, "events").select(cols.map(col): _*)
+    assert(back.count() === batch.count())
+    assert(back.exceptAll(batch).count() === 0, "read-back rows not in batch table")
+    assert(batch.exceptAll(back).count() === 0, "batch rows lost in the text sink")
+  }
+
   test("checkpointed AvailableNow re-run ingests nothing new (A4/A5 exactly-once)") {
     val out = java.nio.file.Files.createTempDirectory("graft_resume_out").toString
     val ck = java.nio.file.Files.createTempDirectory("graft_resume_ck").toString
