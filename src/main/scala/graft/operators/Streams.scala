@@ -236,8 +236,7 @@ object Streams {
     // (absent offline — SURVEY.md §0.1); reports the binding status.
     "s_ingest_kafka" -> { (s, dir) =>
       import s.implicits._
-      Seq((EventSource.Kafka.providerClass, EventSource.Kafka.available,
-        if (EventSource.Kafka.available) "bound" else "connector-absent:file-stream-twin-active"))
+      Seq(EventSource.Kafka.bindingStatus())
         .toDF("provider", "available", "status")
     }
   )

@@ -48,9 +48,44 @@ object EventSource {
     * only when the connector jar is on the classpath. */
   object Kafka extends EventSource {
     val providerClass = "org.apache.spark.sql.kafka010.KafkaSourceProvider"
-    def available: Boolean =
-      try { Class.forName(providerClass); true }
+
+    /** Availability of an arbitrary provider class — parameterized so
+      * BOTH binding branches are testable in one JVM (the real
+      * connector is absent offline; see SURVEY.md §0.1). */
+    def availableFor(cls: String): Boolean =
+      try { Class.forName(cls); true }
       catch { case _: ClassNotFoundException => false }
+
+    def available: Boolean = availableFor(providerClass)
+
+    /** Binding status row backing s_ingest_kafka. */
+    def bindingStatus(cls: String = providerClass): (String, Boolean, String) =
+      (cls, availableFor(cls),
+        if (availableFor(cls)) "bound"
+        else "connector-absent:file-stream-twin-active")
+
+    /** Source option map (A1/A3/A9): broker list, subscription,
+      * offset-reset position, loss tolerance, per-trigger fetch cap.
+      * Pure function — unit-tested without the connector jar. */
+    def sourceOptions(brokers: String, topic: String,
+        startingOffsets: String = "earliest",
+        failOnDataLoss: Boolean = false,
+        maxOffsetsPerTrigger: Long = 100000L): Map[String, String] = Map(
+      "kafka.bootstrap.servers" -> brokers,
+      "subscribe" -> topic,
+      "startingOffsets" -> startingOffsets,
+      // the reference tolerated expired offsets by resetting [R]; the
+      // Structured Streaming twin is failOnDataLoss=false (A3)
+      "failOnDataLoss" -> failOnDataLoss.toString,
+      "maxOffsetsPerTrigger" -> maxOffsetsPerTrigger.toString)
+
+    /** Per-partition startingOffsets JSON (A3 precise resume):
+      * `{"topic":{"0":23,"1":-2}}`; -2 = earliest, -1 = latest.
+      * Partitions emitted in numeric order for a stable string. */
+    def offsetsJson(topic: String, partitionOffsets: Map[Int, Long]): String =
+      partitionOffsets.toSeq.sortBy(_._1)
+        .map { case (p, o) => s""""$p":$o""" }
+        .mkString(s"""{"$topic":{""", ",", "}}")
 
     /** Raw kafka frame (key/value/topic/partition/offset/timestamp);
       * decode to the canonical schema via [[decodeJson]]. */
@@ -58,12 +93,9 @@ object EventSource {
       require(available, s"Kafka connector not on classpath ($providerClass)")
       val brokers = sys.env.getOrElse("GRAFT_KAFKA_BROKERS", "localhost:9092")
       val topic = sys.env.getOrElse("GRAFT_KAFKA_TOPIC", "events")
-      decodeJson(spark, spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", "earliest")
-        .option("maxOffsetsPerTrigger", "100000")
-        .load())
+      val reader = spark.readStream.format("kafka")
+      sourceOptions(brokers, topic).foreach { case (k, v) => reader.option(k, v) }
+      decodeJson(spark, reader.load())
     }
     def isStreaming = true
 

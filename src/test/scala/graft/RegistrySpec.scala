@@ -115,6 +115,33 @@ class RegistrySpec extends SparkSpec {
     assert(ex.getMessage.contains("unregistered") && ex.getMessage.contains("events"))
   }
 
+  test("kafka source options carry offset-reset, loss tolerance, and fetch caps (A1/A3/A9)") {
+    val opts = EventSource.Kafka.sourceOptions("b1:9092,b2:9092", "events",
+      startingOffsets = EventSource.Kafka.offsetsJson("events",
+        Map(1 -> -2L, 0 -> 23L, 2 -> -1L)),
+      failOnDataLoss = false, maxOffsetsPerTrigger = 5000L)
+    assert(opts("kafka.bootstrap.servers") === "b1:9092,b2:9092")
+    assert(opts("subscribe") === "events")
+    // partitions in numeric order, sentinel offsets preserved
+    assert(opts("startingOffsets") === """{"events":{"0":23,"1":-2,"2":-1}}""")
+    assert(opts("failOnDataLoss") === "false")
+    assert(opts("maxOffsetsPerTrigger") === "5000")
+    // defaults: earliest reset (the reference's re-consumable log [R])
+    assert(EventSource.Kafka.sourceOptions("b", "t")("startingOffsets") === "earliest")
+  }
+
+  test("kafka binding status reports both branches (connector present / absent)") {
+    // the real connector jar is absent offline: the production class
+    // must report the file-stream twin fallback
+    val (_, realAvail, realStatus) = EventSource.Kafka.bindingStatus()
+    assert(!realAvail && realStatus.startsWith("connector-absent"),
+      s"expected absent connector offline, got $realStatus")
+    // a resolvable stand-in class flips the same code path to "bound"
+    val (_, fakeAvail, fakeStatus) =
+      EventSource.Kafka.bindingStatus(classOf[FakeKafkaProvider].getName)
+    assert(fakeAvail && fakeStatus === "bound")
+  }
+
   test("kafka payload decode (A6): raw binary JSON -> canonical typed schema") {
     import spark.implicits._
     val raw = Seq(
@@ -133,3 +160,8 @@ class RegistrySpec extends SparkSpec {
       java.sql.Timestamp.valueOf("2024-01-01 11:30:00").getTime)
   }
 }
+
+/** Stand-in DataSource provider class for the binding-status test: its
+  * presence on the test classpath exercises the "bound" branch of the
+  * Kafka availability check without the real connector jar. */
+class FakeKafkaProvider
