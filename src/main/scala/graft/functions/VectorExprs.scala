@@ -28,17 +28,27 @@ case class CosineSimilarity(left: Expression, right: Expression)
   // input typing isn't available to third-party expressions)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
+  // null when either norm is zero (undefined angle), so nullable even
+  // over non-null inputs
+  override def nullable: Boolean = true
 
+  /** Contract: equal dimensions required (a silent min-length truncate
+    * would turn dimension bugs into plausible-looking similarities);
+    * zero-norm input → null (angle undefined; 0/0 would yield NaN). */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"cosine_sim: dimension mismatch ($n vs ${y.numElements()})")
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
       val xi = x.getDouble(i); val yi = y.getDouble(i)
       dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -48,13 +58,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "cosine_sim: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $xi = $a.getDouble($i); double $yi = $b.getDouble($i);
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if ($na == 0.0 || $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 
@@ -144,10 +162,15 @@ case class EuclideanDistance(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "euclidean_dist"
 
+  /** Same dimension contract as [[CosineSimilarity]]: mismatched
+    * lengths raise instead of silently truncating. */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"euclidean_dist: dimension mismatch ($n vs ${y.numElements()})")
     var acc = 0.0; var i = 0
     while (i < n) {
       val d = x.getDouble(i) - y.getDouble(i); acc += d * d; i += 1
@@ -160,7 +183,11 @@ case class EuclideanDistance(left: Expression, right: Expression)
       val n = ctx.freshName("n"); val i = ctx.freshName("i")
       val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "euclidean_dist: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $d = $a.getDouble($i) - $b.getDouble($i);

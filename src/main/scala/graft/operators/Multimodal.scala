@@ -57,6 +57,15 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Every-4th 16-byte frame of `payload` (expects `n_frames` already
+    * derived). Guarded for empty payloads: `sequence(0, -1, 4)` throws
+    * in Spark (negative bound, positive step), so n_frames = 0 yields
+    * an empty sample array instead of killing the job. */
+  private[graft] def sampledFrames: org.apache.spark.sql.Column = expr(
+    "CASE WHEN n_frames > 0 THEN " +
+      "transform(sequence(0, n_frames - 1, 4), i -> CAST(substring(payload, i * 16 + 1, 16) AS STRING)) " +
+      "ELSE CAST(array() AS ARRAY<STRING>) END")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_multimodal_features" -> { (s, dir) =>
       // text bytes stand in for the media blob (same plumbing)
@@ -77,8 +86,7 @@ object Multimodal {
       val r = d
         .withColumn("payload", encode(col("text"), "UTF-8"))
         .withColumn("n_frames", expr("CAST((length(payload) + 15) DIV 16 AS INT)"))
-        .withColumn("sampled", expr(
-          "transform(sequence(0, n_frames - 1, 4), i -> CAST(substring(payload, i * 16 + 1, 16) AS STRING))"))
+        .withColumn("sampled", sampledFrames)
       ordered(r.select(col("doc_id"), col("n_frames").cast("long").as("n_frames"),
         size(col("sampled")).as("n_sampled"),
         md5(concat_ws("", col("sampled"))).as("sample_hash")))

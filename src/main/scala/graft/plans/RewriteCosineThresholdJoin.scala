@@ -44,10 +44,15 @@ object RewriteCosineThresholdJoin extends Rule[LogicalPlan] with PredicateHelper
   private def enabled: Boolean =
     SQLConf.get.getConfString(Flag, "false").toBoolean
 
-  /** idempotence guard: already-rewritten joins carry __graft_ band
-    * attributes in their condition. */
+  /** Idempotence marker on rewritten joins. A TreeNodeTag survives the
+    * optimizer's node copies (makeCopy propagates tags) and — unlike
+    * the r1 `__graft_` attribute-name sniff — cannot be spoofed by
+    * user columns that happen to carry that prefix. */
+  private[plans] val RewrittenTag =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[Boolean]("graft.lsh.rewritten")
+
   private def alreadyRewritten(j: Join): Boolean =
-    j.condition.exists(_.references.exists(_.name.startsWith("__graft_")))
+    j.getTagValue(RewrittenTag).contains(true)
 
   /** find a `cosine_sim(a, b) >= τ` conjunct with a on the left side
     * and b on the right (or swapped); return (leftVec, rightVec). */
@@ -92,6 +97,7 @@ object RewriteCosineThresholdJoin extends Rule[LogicalPlan] with PredicateHelper
     val bandCond = And(EqualTo(tl, tr), EqualTo(kl, kr))
     val newJoin = Join(gl, gr, Inner,
       Some(j.condition.map(And(_, bandCond)).getOrElse(bandCond)), JoinHint.NONE)
+    newJoin.setTagValue(RewrittenTag, true)
     val body = extraFilter.map(Filter(_, newJoin)).getOrElse(newJoin)
     // distinct over the original join output (collapses multi-band
     // collisions); emitted as Aggregate directly because this rule runs

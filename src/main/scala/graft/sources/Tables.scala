@@ -23,11 +23,27 @@ object Tables {
     * component is verified zero (epoch_ns % 1000 == 0 for all rows),
     * and DuckDB's reader does the identical ns→µs conversion. */
   private def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     import org.apache.spark.sql.functions._
-    spark.read.parquet(s"$sfDir/events.parquet")
-      // integral DIV, not `/`: long/long is double division in Spark
-      // SQL and epoch-ns exceeds 2^53, so `/1000` rounds the µs.
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    // Scope the legacy conf to this read: the nanosAsLong schema
+    // conversion happens both at read (schema inference) and execution
+    // (scan setup) time, so pin the per-read behavior via a DataSource
+    // OPTION (options override the session conf in the scan's effective
+    // hadoopConf) instead of mutating the shared session — a session-
+    // wide true would silently turn every later TIMESTAMP(NANOS)
+    // parquet read in unrelated code into BIGINT columns.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      spark.read.option(key, "true").parquet(s"$sfDir/events.parquet")
+        // integral DIV, not `/`: long/long is double division in Spark
+        // SQL and epoch-ns exceeds 2^53, so `/1000` rounds the µs.
+        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
   }
 }

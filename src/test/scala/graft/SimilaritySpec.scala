@@ -31,6 +31,19 @@ class SimilaritySpec extends SparkSpec {
     assert(p.filter(col("ab") =!= col("ba")).count() === 0)
   }
 
+  test("cosine contract: dimension mismatch raises, zero vector yields null") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    val ex = intercept[Exception] {
+      df.select(Similarity.cosine(col("a"), col("b"))).collect()
+    }
+    assert(ex.getMessage.contains("dimension mismatch") ||
+      Option(ex.getCause).exists(_.getMessage.contains("dimension mismatch")))
+    val z = Seq((Seq(0.0, 0.0), Seq(1.0, 2.0))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c")).collect()
+    assert(z(0).isNullAt(0), "zero-vector cosine should be null, not NaN")
+  }
+
   test("self-similarity is 1") {
     val p = vecs.select(Similarity.cosine(col("v"), col("v")).as("c"))
     assert(p.filter(abs(col("c") - 1.0) > 1e-12).count() === 0)

@@ -31,6 +31,20 @@ class TimeSpec extends SparkSpec {
     assert(ours === native)
   }
 
+  test("events read scopes the nanosAsLong conf and still executes after restore") {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    spark.conf.unset(key)
+    val e = Tables(spark, sf, "events")
+    // getOption reports the session default ("false") when unset — the
+    // guard is that the read did not leave "true" behind
+    assert(spark.conf.getOption(key) !== Some("true"),
+      "events read leaked nanosAsLong=true into the shared session")
+    // execution AFTER the conf restore must still read the NANOS file
+    assert(e.count() > 0)
+    assert(e.schema("ts").dataType ===
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("kill mid-stream, resume from checkpoint: no loss, no dupes (A4/A5)") {
     val staged = EventSource.stageEvents(spark, sf)
     val out = java.nio.file.Files.createTempDirectory("graft_kill_out").toString
