@@ -30,6 +30,20 @@ object Streams {
     p.toString
   }
 
+  /** Run `body` with a reduced shuffle fan-out. A stateful streaming
+    * query creates and commits one state-store instance per shuffle
+    * partition per micro-batch, so the session's batch-tuned fan-out
+    * (32 here, thousands on a cluster) is pure per-batch overhead at
+    * these state sizes. The partitioning is captured when the streaming
+    * query STARTS, so scoping the conf around the run is sound; at
+    * 100 TB the same knob is sized to the state volume instead. */
+  private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
+  }
+
   /** Deterministic, (ts, event_id)-sorted typed events for
     * MemoryStream feeding. */
   private def typedEvents(s: SparkSession, dir: String): Seq[Ev] = {
@@ -91,7 +105,7 @@ object Streams {
 
     // B9: tumbling-window streaming aggregation with watermark, Append
     // mode; equivalence vs q_time_tumbling asserted in StreamingSpec.
-    "s_stream_tumbling" -> { (s, dir) =>
+    "s_stream_tumbling" -> { (s, dir) => withShufflePartitions(s, 8) {
       val out = tmp("tumb_out"); val ck = tmp("tumb_ck")
       val q = EventSource.FileStream.load(s, dir)
         .withWatermark("ts", "10 minutes")
@@ -105,12 +119,12 @@ object Streams {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       ordered(s.read.parquet(out))
-    },
+    }},
 
     // B9: late/out-of-order data — rows older than the watermark are
     // dropped. Two deterministic MemoryStream micro-batches: batch 2
     // replays days 2–3 after the watermark has advanced to ~day 18.
-    "s_late_data" -> { (s, dir) =>
+    "s_late_data" -> { (s, dir) => withShufflePartitions(s, 8) {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val all = typedEvents(s, dir).filter(_.user_id < 60)
@@ -131,11 +145,11 @@ object Streams {
       q.stop()
       // days 2–3 buckets are absent/short: late rows were dropped
       ordered(s.table(qn))
-    },
+    }},
 
     // B9: streaming dedup by event_id — input replayed twice, emitted
     // once (watermark horizon covers the whole fixture → exact).
-    "s_dedup_stream" -> { (s, dir) =>
+    "s_dedup_stream" -> { (s, dir) => withShufflePartitions(s, 8) {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val all = typedEvents(s, dir).filter(_.user_id < 50)
@@ -151,7 +165,7 @@ object Streams {
       ordered(s.table(qn).groupBy(col("event_type")).agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("event_id")).as("n_ids")))
-    },
+    }},
 
     // B9×B10: STREAMING near-duplicate suppression — the online twin
     // of q_dedup_minhash for an ingestion pipeline. Each arriving doc
@@ -162,7 +176,7 @@ object Streams {
     // watermarked-dedup contract. Approximate by design (band recall),
     // oracle=omit; StreamingSpec bounds suppression vs the exact batch
     // ground truth.
-    "s_dedup_stream_near" -> { (s, dir) =>
+    "s_dedup_stream_near" -> { (s, dir) => withShufflePartitions(s, 8) {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       graft.functions.VectorExprs.register(s)
@@ -190,11 +204,11 @@ object Streams {
       ordered(s.table(qn).agg(
         count(lit(1)).as("survivors"),
         countDistinct(col("band_key")).as("n_keys")))
-    },
+    }},
 
     // B9: custom-state sessionization (flatMapGroupsWithState,
     // event-time timeout) over three time-ordered micro-batches.
-    "s_stateful_session" -> { (s, dir) =>
+    "s_stateful_session" -> { (s, dir) => withShufflePartitions(s, 8) {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val all = typedEvents(s, dir).filter(_.user_id < 40)
@@ -211,12 +225,12 @@ object Streams {
       chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
       q.stop()
       ordered(s.table(qn))
-    },
+    }},
 
     // A5/A7: micro-batch fan-out via foreachBatch — idempotent
     // per-batch overwrite into a batch-keyed dir (upsert-by-batch-id),
     // the pattern for multi-sink / transactional targets.
-    "s_foreachbatch_upsert" -> { (s, dir) =>
+    "s_foreachbatch_upsert" -> { (s, dir) => withShufflePartitions(s, 8) {
       val out = tmp("feb_out"); val ck = tmp("feb_ck")
       val q = EventSource.FileStream.load(s, dir)
         .writeStream
@@ -230,7 +244,7 @@ object Streams {
       q.awaitTermination()
       ordered(s.read.parquet(out).groupBy(col("event_type"))
         .agg(sum(col("n")).as("n"), round(sum(col("sum_value")), 4).as("sum_value")))
-    },
+    }},
 
     // A1–A5 Kafka wiring, config-gated on connector availability
     // (absent offline — SURVEY.md §0.1); reports the binding status.
