@@ -25,6 +25,7 @@ class RegistrySpec extends SparkSpec {
       // B1
       "q_scan_project", "q_scan_filter_pushdown", "q_scan_union_files",
       "s_sink_partitioned", "s_ingest_availablenow", "s_ingest_kafka",
+      "s_sink_text", "q_decode_registry",
       // B2
       "q_project_expr", "q_filter_compound", "q_filter_null",
       // B3
