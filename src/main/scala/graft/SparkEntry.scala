@@ -20,6 +20,7 @@ object SparkEntry {
       (Time.queries, Time.oracle),
       (Text.queries, Text.oracle),
       (Dedup.queries, Dedup.oracle),
+      (Embeddings.queries, Embeddings.oracle),
       (Similarity.queries, Similarity.oracle),
       (Multimodal.queries, Multimodal.oracle),
       (Sql.queries, Sql.oracle),

@@ -77,7 +77,62 @@ object Dedup {
       (col("inter").cast("double") / col("uni")).as("jaccard"))
   }
 
+  /** Connected components over the near-dup pair graph — the cluster →
+    * survivor step of a dedup pipeline (pairs alone over-delete: A≈B,
+    * B≈C must keep ONE of {A,B,C}, not two independent survivors).
+    *
+    * Min-label propagation to fixpoint: every doc starts labeled with
+    * its own id; each round takes the min label over graph neighbors;
+    * convergence in diameter(G) rounds (near-dup clusters are
+    * shallow — the fixture converges in ≤ 3; a 20-round cap guards
+    * pathological chains). Each round is one shuffled join + hash agg,
+    * fully distributed; the driver loop only counts changes.
+    * `localCheckpoint` truncates the per-round lineage. At 100 TB the
+    * round count is cut further with large-star/small-star contraction
+    * (Kiveris et al., public algorithm) — same per-round plan shape. */
+  def dedupClusters(d: DataFrame): DataFrame = {
+    val pairs = nearDupPairs(d).select(col("da"), col("db"))
+    val edges = pairs
+      .union(pairs.select(col("db").as("da"), col("da").as("db"))
+        .select(col("da"), col("db")))
+      .toDF("src", "dst").localCheckpoint(true)
+    // only docs touching an edge participate in propagation (the
+    // iterated frames stay O(|edges|), not O(|docs|)); edge-free docs
+    // are singleton clusters, unioned in after convergence
+    val inGraph = edges.select(col("src").as("doc_id")).distinct()
+      .localCheckpoint(true)
+    var labels = inGraph.select(col("doc_id"), col("doc_id").as("label"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("label").as("nlab")), "dst")
+        .groupBy(col("src")).agg(min(col("nlab")).as("nbr"))
+      val updated = labels
+        .join(nbrMin.select(col("src").as("doc_id"), col("nbr")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+          (coalesce(col("nbr"), col("label")) < col("label")).as("chg"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("chg")).count()
+      labels = updated.select(col("doc_id"), col("label"))
+      rounds += 1
+    }
+    // label = min doc_id of the component ⇒ cluster_id doubles as the
+    // canonical survivor id; singletons (no edges) are their own
+    // cluster
+    val singletons = d.select(col("doc_id"))
+      .join(inGraph, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("label"))
+    labels.union(singletons)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc_id"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_cluster" -> { (s, dir) =>
+      ordered(dedupClusters(Tables(s, dir, "documents")))
+    },
     "q_dedup_exact" -> { (s, dir) =>
       // canonical survivor per content hash: min doc_id + group size
       val d = Tables(s, dir, "documents")
@@ -198,6 +253,28 @@ object Dedup {
       |        FROM documents) WHERE len(t) >= 3)""".stripMargin
 
   def oracle: Map[String, String] = Map(
+    "q_dedup_cluster" ->
+      // exact connected components via recursive reachability closure
+      // (clusters are tiny, so the closure is cheap in the oracle);
+      // the engine side reaches the same fixpoint by min-label
+      // propagation
+      (s"""WITH RECURSIVE $shTableSql,
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) * 5 >=
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 4),
+        |edges AS (SELECT da AS src, db AS dst FROM pairs
+        |          UNION ALL SELECT db, da FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |lab AS (SELECT a AS doc_id, MIN(b) AS label FROM reach GROUP BY a)
+        |SELECT label AS cluster_id, COUNT(*) AS n_docs,
+        |  MAX(doc_id) AS max_doc_id
+        |FROM lab GROUP BY label""".stripMargin +
+        orderByAll("cluster_id", "n_docs", "max_doc_id")),
     "q_dedup_exact" ->
       ("""SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_dups

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.Det._
+import graft.sources.Tables
+
+/** B10 (vector aggregation) — per-label embedding centroids, the
+  * pooling step behind classifier prototypes, IVF coarse quantizers,
+  * and per-source embedding drift monitoring in a training-data
+  * pipeline.
+  *
+  * Determinism at scale: a distributed SUM over doubles is partition-
+  * order-dependent (fp addition is non-associative), so the centroid
+  * aggregation quantizes each component to a 1e-7 fixed-point BIGINT
+  * first (floor(x·1e7) — float components carry ~7 significant digits,
+  * so the quantization is below input precision) and sums exact
+  * integers: order-independent, overflow-safe (|x| ≤ 1 ⇒ |sum| ≤ 1e7·n),
+  * and bit-identical in any engine. The same trick is how the oracle
+  * stays exact.
+  *
+  * 100 TB posture: posexplode → hash agg on (label, dim) — map-side
+  * partials collapse each partition to |labels|·dim rows, so the
+  * shuffle is centroid-sized, not data-sized. Output is (label, dim)
+  * rows, not arrays — array re-assembly is a presentation step
+  * (`transform(array_sort(collect_list(...)))`) left to callers.
+  */
+object Embeddings {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_centroid" -> { (s, dir) =>
+      val e = Tables(s, dir, "embeddings")
+      val q = e.select(col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+        .withColumn("xq", floor(col("x") * lit(1e7)).cast("long"))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("xq")).as("sum_q"))
+      ordered(q.select(col("label"), col("dim"), col("n"),
+        col("sum_q"),
+        (col("sum_q").cast("double") / lit(1e7) / col("n")).as("centroid")))
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_embed_centroid" ->
+      ("""WITH ex AS (
+        |  SELECT label, CAST(u.i - 1 AS INT) AS dim,
+        |    CAST(FLOOR(CAST(embedding[u.i] AS DOUBLE) * 1e7) AS BIGINT) AS xq
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS i) u)
+        |SELECT label, dim, COUNT(*) AS n,
+        |  CAST(SUM(xq) AS BIGINT) AS sum_q,
+        |  CAST(SUM(xq) AS DOUBLE) / 1e7 / COUNT(*) AS centroid
+        |FROM ex GROUP BY label, dim""".stripMargin +
+        orderByAll("label", "dim", "n", "sum_q", "centroid"))
+  )
+}

@@ -246,6 +246,36 @@ object Streams {
         .agg(sum(col("n")).as("n"), round(sum(col("sum_value")), 4).as("sum_value")))
     }},
 
+    // A6 streaming: registry decode with dead-letter quarantine over a
+    // live stream — JSON payload lines (plus deterministic malformed
+    // poison lines) flow through SchemaRegistry.decode; good rows and
+    // quarantined rows are counted per micro-batch output. A poison
+    // message must never kill ingestion.
+    "s_decode_stream" -> { (s, dir) => withShufflePartitions(s, 8) {
+      import graft.sources.SchemaRegistry
+      val staged = tmp("decode_lines")
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      import s.implicits._
+      val good = SchemaRegistry.encode(Tables(s, dir, "events")
+        .filter(col("user_id") < 50), cols)
+      val poison = Seq(
+        """{"event_id": broken""", """not json at all""", """[1,2]""")
+        .toDF("value")
+      good.union(poison).coalesce(2).write.mode("overwrite").text(staged)
+      val out = tmp("decode_out"); val ck = tmp("decode_ck")
+      val q = SchemaRegistry.decode(s.readStream.text(staged), "events")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val decoded = s.read.parquet(out)
+      ordered(decoded.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("event_id")).as("n_good"),
+        count(col(SchemaRegistry.corruptCol)).as("n_quarantined"),
+        countDistinct(col("event_id")).as("n_ids")))
+    }},
+
     // A1–A5 Kafka wiring, config-gated on connector availability
     // (absent offline — SURVEY.md §0.1); reports the binding status.
     "s_ingest_kafka" -> { (s, dir) =>

@@ -43,6 +43,16 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(back).count() === 0, "batch rows lost in the text sink")
   }
 
+  test("streaming registry decode quarantines poison lines and loses no good rows") {
+    val r = SparkEntry.queries("s_decode_stream")(spark, sf).collect()(0)
+    val expectedGood = graft.sources.Tables(spark, sf, "events")
+      .filter(col("user_id") < 50).count()
+    assert(r.getAs[Long]("n_good") === expectedGood)
+    assert(r.getAs[Long]("n_ids") === expectedGood)
+    assert(r.getAs[Long]("n_quarantined") === 3L)
+    assert(r.getAs[Long]("n_rows") === expectedGood + 3L)
+  }
+
   test("checkpointed AvailableNow re-run ingests nothing new (A4/A5 exactly-once)") {
     val out = java.nio.file.Files.createTempDirectory("graft_resume_out").toString
     val ck = java.nio.file.Files.createTempDirectory("graft_resume_ck").toString
