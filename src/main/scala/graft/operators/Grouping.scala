@@ -28,6 +28,19 @@ object Grouping {
     grouping(col("c_mktsegment")).cast("int").as("g_seg"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_pivot" -> { (s, dir) =>
+      // pivot with an EXPLICIT value list (required at scale: an
+      // implicit pivot collects the distinct values to the driver
+      // first); plans as a single hash agg over conditional aggregates
+      val o = Tables(s, dir, "orders")
+      val p = o.groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("tp"))
+      ordered(p.select(col("o_orderpriority"),
+        coalesce(col("F_n"), lit(0L)).as("f_n"), col("F_tp").as("f_tp"),
+        coalesce(col("O_n"), lit(0L)).as("o_n"), col("O_tp").as("o_tp"),
+        coalesce(col("P_n"), lit(0L)).as("p_n"), col("P_tp").as("p_tp")))
+    },
     "q_agg_rollup" -> { (s, dir) =>
       ordered(base(s, dir).rollup(col("n_name"), col("c_mktsegment"))
         .agg(aggs.head, aggs.tail: _*))
@@ -54,7 +67,18 @@ object Grouping {
        |GROUP BY $clause""".stripMargin +
       orderByAll("n_name", "c_mktsegment", "n_cust", "sum_bal", "g_nation", "g_seg")
 
+  private def pivotCell(st: String): String =
+    s"""COUNT(*) FILTER (o_orderstatus = '$st') AS ${st.toLowerCase}_n,
+       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (o_orderstatus = '$st') AS DOUBLE) AS ${st.toLowerCase}_tp""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "q_agg_pivot" ->
+      (s"""SELECT o_orderpriority,
+        |  ${pivotCell("F")},
+        |  ${pivotCell("O")},
+        |  ${pivotCell("P")}
+        |FROM orders GROUP BY o_orderpriority""".stripMargin +
+        orderByAll("o_orderpriority", "f_n", "f_tp", "o_n", "o_tp", "p_n", "p_tp")),
     "q_agg_rollup" -> oracleFor("ROLLUP (n_name, c_mktsegment)"),
     "q_agg_cube" -> oracleFor("CUBE (n_name, c_mktsegment)"),
     "q_agg_grouping_sets" ->

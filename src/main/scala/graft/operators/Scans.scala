@@ -47,6 +47,21 @@ object Scans {
           !(col("o_orderkey") % 7 === 0))
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"), col("o_orderpriority")))
     },
+    "q_scan_json" -> { (s, dir) =>
+      // JSON-lines source (the ingestion edge's wire format): the
+      // events table staged once per JVM as registry-encoded JSON,
+      // scanned back with an EXPLICIT schema (schema inference at
+      // 100 TB means a full extra pass — never rely on it), projected
+      // with the predicate pushed to the reader.
+      val staged = stageEventsJson(s, dir)
+      val e = s.read
+        .schema(graft.sources.SchemaRegistry.schemaOf("events"))
+        .options(graft.sources.SchemaRegistry.encodeOptions)
+        .json(staged)
+      ordered(e.filter(col("user_id") < lit(100L))
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value")))
+    },
     "q_filter_null" -> { (s, dir) =>
       // Fixtures are null-free: manufacture nulls with nullif, then
       // exercise isNull / isNotNull / null-safe equality.
@@ -60,7 +75,26 @@ object Scans {
     }
   )
 
+  /** Stage events as JSON-lines once per JVM per sfDir (mirrors
+    * [[graft.sources.EventSource.stageEvents]]). */
+  private def stageEventsJson(s: SparkSession, sfDir: String): String = {
+    val staged = s"/tmp/graft_stage/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/events_json"
+    val marker = new java.io.File(staged, "_SUCCESS")
+    if (!marker.exists()) {
+      graft.sources.SchemaRegistry.encode(Tables(s, sfDir, "events"),
+          Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+        .repartition(4)
+        .write.mode("overwrite").text(staged)
+    }
+    staged
+  }
+
   def oracle: Map[String, String] = Map(
+    "q_scan_json" ->
+      ("""SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |  user_id, event_type, value
+        |FROM events WHERE user_id < 100""".stripMargin +
+        orderByAll("event_id", "ts_us", "user_id", "event_type", "value")),
     "q_scan_project" ->
       ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem" +
         orderByAll("l_orderkey", "l_linenumber", "l_extendedprice")),

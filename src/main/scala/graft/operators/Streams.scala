@@ -246,6 +246,32 @@ object Streams {
         .agg(sum(col("n")).as("n"), round(sum(col("sum_value")), 4).as("sum_value")))
     }},
 
+    // A7 reference-layout twin #2: Hadoop SequenceFile sink of
+    // (offset, line) — the contrib lineage's SequenceFileOutputFormat
+    // output [R]. Written via the RDD Writable bridge (the layout is
+    // the point; the streaming path is s_sink_text), read back with
+    // sc.sequenceFile and registry-decoded.
+    "s_sink_seqfile" -> { (s, dir) =>
+      import graft.sources.SchemaRegistry
+      val out = tmp("sink_seq") + "/seq"
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      val lines = Tables(s, dir, "events")
+        .select(col("event_id"),
+          to_json(struct(cols.map(col): _*), SchemaRegistry.encodeOptions).as("line"))
+      lines.rdd.map(r => (r.getLong(0), r.getString(1)))
+        .saveAsSequenceFile(out)
+      import s.implicits._
+      val back = s.sparkContext.sequenceFile[Long, String](out)
+        .toDF("offset", "payload")
+      val decoded = SchemaRegistry.decode(back, "events",
+        valueCol = "payload", quarantine = false, keep = Seq("offset"))
+      ordered(decoded.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("offset")).as("n_offsets"),
+        sum(when(col("offset") === col("event_id"), 1L).otherwise(0L)).as("n_offset_eq_id"),
+        dsum(col("value")).as("sum_value")))
+    },
+
     // A6 streaming: registry decode with dead-letter quarantine over a
     // live stream — JSON payload lines (plus deterministic malformed
     // poison lines) flow through SchemaRegistry.decode; good rows and

@@ -37,6 +37,22 @@ object Text {
     call_function("simhash64", filter(split(c, " "), t => t =!= lit("")))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_train_eval" -> { (s, dir) =>
+      // Deterministic held-out split — the step before any training
+      // run. Assignment is a pure function of the stable doc key
+      // (md5 hex < '1a' ⇒ ~10.2% eval): reproducible across engines,
+      // runs, and cluster layouts; no rand()/sample() (both are
+      // partition-order-dependent). Narrow projection + hash agg.
+      val d = Tables(s, dir, "documents")
+      val split = when(md5(col("doc_id").cast("string")) < lit("1a"), "eval")
+        .otherwise("train")
+      ordered(d.withColumn("split", split)
+        .withColumn("n_tok", size(toks()))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("total_tokens"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars")))
+    },
     "q_text_tokens_tf" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
       ordered(d.select(col("doc_id"), explode(toks()).as("term"))
@@ -158,6 +174,14 @@ object Text {
   }
 
   def oracle: Map[String, String] = Map(
+    "q_split_train_eval" ->
+      (s"""SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a'
+        |  THEN 'eval' ELSE 'train' END AS split, lang,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len($tokSql)) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents GROUP BY 1, 2""".stripMargin +
+        orderByAll("split", "lang", "n_docs", "total_tokens", "avg_chars")),
     "q_text_langid" ->
       (s"""WITH t AS (SELECT lang, $tokSql AS t FROM documents),
         |s AS (SELECT lang,

@@ -43,6 +43,14 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(back).count() === 0, "batch rows lost in the text sink")
   }
 
+  test("sequence-file sink round-trips all events with offset == event_id (A7 contrib layout)") {
+    val r = SparkEntry.queries("s_sink_seqfile")(spark, sf).collect()(0)
+    val n = graft.sources.Tables(spark, sf, "events").count()
+    assert(r.getAs[Long]("n_rows") === n)
+    assert(r.getAs[Long]("n_offsets") === n)
+    assert(r.getAs[Long]("n_offset_eq_id") === n)
+  }
+
   test("streaming registry decode quarantines poison lines and loses no good rows") {
     val r = SparkEntry.queries("s_decode_stream")(spark, sf).collect()(0)
     val expectedGood = graft.sources.Tables(spark, sf, "events")
