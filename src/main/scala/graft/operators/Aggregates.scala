@@ -89,6 +89,18 @@ object Aggregates {
         top.getField("event_id").as("top_event_id"),
         top.getField("value").as("top_value")))
     },
+    "q_agg_approx_percentile" -> { (s, dir) =>
+      // sketch-based quantiles (the 100 TB default: exact percentile
+      // is a full sort per group; approx_percentile is a bounded-size
+      // mergeable sketch with partial aggregation). Oracle=omit
+      // (sketch internals engine-specific); AggregatesSpec bounds the
+      // error vs the exact q_agg_percentile twin.
+      val o = Tables(s, dir, "orders")
+      ordered(o.groupBy(col("o_orderpriority")).agg(
+        round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 4).as("approx_median"),
+        round(expr("approx_percentile(o_totalprice, 0.9, 1000)"), 4).as("approx_p90"),
+        count(lit(1)).as("n")))
+    },
     "q_agg_approx_distinct" -> { (s, dir) =>
       val e = Tables(s, dir, "events")
       ordered(e.groupBy(col("event_type"))

@@ -206,6 +206,41 @@ object Streams {
         countDistinct(col("band_key")).as("n_keys")))
     }},
 
+    // B9: STREAM-STREAM inner join with an event-time interval bound —
+    // the impression⋈click shape. Both sides watermarked; the time
+    // bound lets Spark expire join state (without it, stream-stream
+    // state grows forever). Self-join of the event stream: pairs of
+    // same-user events within 10 minutes, fed as two independent
+    // MemoryStreams in lockstep micro-batches. Equality vs the batch
+    // twin asserted in StreamingSpec.
+    "s_join_stream" -> { (s, dir) => withShufflePartitions(s, 8) {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val all = typedEvents(s, dir).filter(_.user_id < 15)
+      val (h1, h2) = all.splitAt(all.length / 2)
+      val msA = MemoryStream[Ev]; val msB = MemoryStream[Ev]
+      val a = msA.toDS().withWatermark("ts", "1 hour")
+        .select(col("user_id"), col("ts").as("a_ts"), col("event_id").as("a_id"))
+      val b = msB.toDS().withWatermark("ts", "1 hour")
+        .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+          col("event_id").as("b_id"))
+      val j = a.join(b,
+        col("user_id") === col("b_user") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES") &&
+          col("a_id") < col("b_id"))
+      val qn = s"graft_ssjoin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = j.select(col("user_id"), col("a_id"), col("b_id"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      msA.addData(h1); msB.addData(h1); q.processAllAvailable()
+      msA.addData(h2); msB.addData(h2); q.processAllAvailable()
+      q.stop()
+      ordered(s.table(qn).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          min(col("a_id")).as("first_a"), max(col("b_id")).as("last_b")))
+    }},
+
     // B9: custom-state sessionization (flatMapGroupsWithState,
     // event-time timeout) over three time-ordered micro-batches.
     "s_stateful_session" -> { (s, dir) => withShufflePartitions(s, 8) {

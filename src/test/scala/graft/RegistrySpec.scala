@@ -26,7 +26,8 @@ class RegistrySpec extends SparkSpec {
       "q_scan_project", "q_scan_filter_pushdown", "q_scan_union_files",
       "s_sink_partitioned", "s_ingest_availablenow", "s_ingest_kafka",
       "s_sink_text", "q_decode_registry", "q_scan_json", "s_sink_seqfile",
-      "q_agg_pivot", "q_split_train_eval",
+      "q_agg_pivot", "q_split_train_eval", "q_agg_approx_percentile",
+      "s_join_stream",
       // B2
       "q_project_expr", "q_filter_compound", "q_filter_null",
       // B3

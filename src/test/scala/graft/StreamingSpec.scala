@@ -43,6 +43,26 @@ class StreamingSpec extends SparkSpec {
     assert(batch.exceptAll(back).count() === 0, "batch rows lost in the text sink")
   }
 
+  test("stream-stream interval self-join equals the batch twin") {
+    val stream = SparkEntry.queries("s_join_stream")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val e = graft.sources.Tables(spark, sf, "events").filter(col("user_id") < 15)
+    val a = e.select(col("user_id"), col("ts").as("a_ts"), col("event_id").as("a_id"))
+    val b = e.select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+      col("event_id").as("b_id"))
+    val batch = a.join(b,
+        col("user_id") === col("b_user") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES") &&
+          col("a_id") < col("b_id"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("a_id")).as("first_a"), max(col("b_id")).as("last_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(stream.nonEmpty)
+    assert(stream === batch)
+  }
+
   test("sequence-file sink round-trips all events with offset == event_id (A7 contrib layout)") {
     val r = SparkEntry.queries("s_sink_seqfile")(spark, sf).collect()(0)
     val n = graft.sources.Tables(spark, sf, "events").count()
