@@ -127,6 +127,20 @@ object Joins {
           col("asof.o_orderkey").as("o_orderkey"),
           col("asof.o_orderdate").as("o_orderdate")))
     },
+    "q_join_bucketed" -> { (s, dir) =>
+      // Co-located join via bucketing — the 100 TB technique for
+      // repeated fact⋈fact joins: both sides written bucketed+sorted
+      // on the join key (once; amortized across every later join), so
+      // the SortMergeJoin reads bucket-aligned files and needs NO
+      // exchange on the join key (PlanSpec asserts). Output is
+      // layout-independent ⇒ plain-SQL oracle.
+      val (ot, ct) = ensureBucketed(s, dir)
+      ordered(s.table(ot).join(s.table(ct),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price")))
+    },
     "q_join_multiway" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
       val o = Tables(s, dir, "orders")
@@ -148,7 +162,42 @@ object Joins {
     }
   )
 
+  /** Write orders/customer as bucketed+sorted tables (8 buckets on the
+    * join key) once per JVM per sfDir; returns the table names. */
+  private def ensureBucketed(s: SparkSession, dir: String): (String, String) = {
+    val tag = math.abs(dir.hashCode).toString
+    val ot = s"graft_bk_orders_$tag"; val ct = s"graft_bk_customer_$tag"
+    if (!s.catalog.tableExists(ot)) {
+      // the metastore (derby) is per-JVM but the warehouse DIR
+      // persists across runs — clear leftover locations or
+      // saveAsTable fails with LOCATION_ALREADY_EXISTS
+      for (t <- Seq(ot, ct)) {
+        val loc = new java.io.File(
+          new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, t)
+        if (loc.exists()) {
+          import scala.reflect.io.Directory
+          new Directory(loc).deleteRecursively()
+        }
+      }
+      Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable(ot)
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable(ct)
+    }
+    (ot, ct)
+  }
+
   def oracle: Map[String, String] = Map(
+    "q_join_bucketed" ->
+      ("""SELECT c_mktsegment, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin +
+        orderByAll("c_mktsegment", "n_orders", "sum_price")),
     "q_join_inner" ->
       ("""SELECT o_orderkey, c_custkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin +

@@ -97,6 +97,25 @@ class PlanSpec extends SparkSpec {
     assert(unionForm === joinForm)
   }
 
+  test("q_join_bucketed: SortMergeJoin with no exchange on the join key") {
+    // at fixture scale Catalyst correctly broadcasts the small side;
+    // disable broadcast to exhibit the co-located bucketed path the
+    // layout buys at fact⋈fact scale
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val df = SparkEntry.queries("q_join_bucketed")(spark, sf)
+      df.collect() // AQE final plan
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected SMJ over bucketed tables:\n$p")
+      assert(p.contains("Bucketed: true"), s"scan not bucketed:\n$p")
+      assert(!p.contains("Exchange hashpartitioning(o_custkey") &&
+        !p.contains("Exchange hashpartitioning(c_custkey"),
+        s"bucketed join still shuffles on the join key:\n$p")
+    } finally spark.conf.set(key, prev)
+  }
+
   test("scale-path dedup/similarity keys plan equi joins, never cartesian") {
     // the banded/prefix-filtered paths must join on generated keys —
     // a CartesianProduct or nested-loop join here means the candidate

@@ -34,6 +34,7 @@ class RegistrySpec extends SparkSpec {
       "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_right",
       "q_join_full", "q_join_semi", "q_join_anti", "q_join_cross",
       "q_join_theta_range", "q_join_asof", "q_join_multiway",
+      "q_join_bucketed",
       // B4
       "q_agg_global", "q_agg_group_pricing", "q_agg_distinct",
       "q_agg_approx_distinct", "q_agg_having", "q_agg_rollup", "q_agg_cube",
