@@ -19,8 +19,13 @@ import graft.sources.Tables
   */
 object Sql {
 
+  /** Register fixture views once per (session, dir) — the three SQL
+    * keys share one registration instead of re-reading all ten table
+    * footers per invocation; switching dirs re-registers. */
+  private val lastDir = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def registerViews(s: SparkSession, dir: String): Unit =
-    Tables.all.foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+    if (lastDir.put(String.valueOf(System.identityHashCode(s)), dir) != dir)
+      Tables.all.foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
 
   /** TPC-H-Q3-shaped: top-10 open-order revenue per (order, date,
     * priority) for one segment. */
