@@ -213,7 +213,7 @@ object Streams {
     // same-user events within 10 minutes, fed as two independent
     // MemoryStreams in lockstep micro-batches. Equality vs the batch
     // twin asserted in StreamingSpec.
-    "s_join_stream" -> { (s, dir) => withShufflePartitions(s, 8) {
+    "s_join_stream" -> { (s, dir) => withShufflePartitions(s, 4) {
       import s.implicits._
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       val all = typedEvents(s, dir).filter(_.user_id < 15)
