@@ -115,6 +115,26 @@ object Similarity {
         .orderBy(col("c").desc, col("vec_id")).limit(20)
         .select(col("vec_id"), col("label"), round(col("c"), 4).as("cosine")))
     },
+    "q_sim_knn_batch" -> { (s, dir) =>
+      // Batched k-NN: top-5 neighbors for a SET of query vectors in
+      // one pass — the ANN serving shape (queries arrive in batches,
+      // not one at a time). The query batch broadcasts (tiny side);
+      // the corpus is scored once per query inside codegen and
+      // per-query top-k runs as a rank-filter window
+      // (WindowGroupLimit pushes the limit below the shuffle).
+      val e = vecs(s, dir)
+      val qs = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val scored = e.filter(col("vec_id") >= 10)
+        .crossJoin(broadcast(qs))
+        .withColumn("c", cosine(col("v"), col("qv")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))
+      ordered(scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select(col("q_id"), col("vec_id"), col("rn"),
+          round(col("c"), 4).as("cosine")))
+    },
     "q_sim_lsh_bucketed" -> { (s, dir) =>
       // Approximate-NN 100 TB path: hyperplane-LSH band buckets →
       // candidate pairs + exact euclidean distance on candidates only.
@@ -227,6 +247,17 @@ object Similarity {
         |        ORDER BY c DESC, va, vb LIMIT 10)
         |SELECT * FROM top""".stripMargin +
         orderByAll("va", "vb", "cosine")),
+    "q_sim_knn_batch" ->
+      (s"""WITH q AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.q_id, a.vec_id, ${cosSql("a", "q")} AS c
+        |  FROM embeddings a, q WHERE a.vec_id >= 10),
+        |r AS (SELECT q_id, vec_id,
+        |        ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id) AS rn,
+        |        ROUND(c, 4) AS cosine
+        |      FROM scored)
+        |SELECT q_id, vec_id, rn, cosine FROM r WHERE rn <= 5""".stripMargin +
+        orderByAll("q_id", "vec_id", "rn", "cosine")),
     "q_sim_knn_query" ->
       (s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
         |scored AS (

@@ -124,6 +124,22 @@ object PropertyProps extends Properties("graft") {
     b <- Gen.listOfN(16, Gen.choose(-5.0, 5.0)).suchThat(_.exists(_ != 0.0))
   } yield (a, b)
 
+  // --- blocked pair join: exact pair coverage for arbitrary n, B ---
+
+  property("blockedScoredPairs covers each unordered pair exactly once, any n/B") =
+    forAll(Gen.choose(2, 25), Gen.choose(1, 7),
+        Gen.listOfN(25, Gen.listOfN(4, Gen.choose(-3.0, 3.0))
+          .suchThat(_.exists(_ != 0.0)))) { (n, nBlocks, vs) =>
+      import spark.implicits._
+      val rows = vs.take(n).zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val e = rows.toDF("vec_id", "v")
+      val got = graft.operators.Similarity.blockedScoredPairs(e, nBlocks)
+        .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val expected = (for { i <- 0 until n; j <- i + 1 until n }
+        yield (i.toLong, j.toLong)).toSet
+      got.length == expected.size && got.toSet == expected
+    }
+
   property("cosine_sim symmetric, in [-1,1], scale-invariant") =
     forAll(genVecPair) { case (a, b) =>
       import spark.implicits._

@@ -57,7 +57,8 @@ class RegistrySpec extends SparkSpec {
       // B10
       "q_dedup_exact", "q_dedup_near_jaccard", "q_dedup_minhash",
       "q_dedup_cluster", "q_embed_centroid", "s_decode_stream",
-      "q_sim_cosine_topk", "q_sim_knn_query", "q_sim_lsh_bucketed",
+      "q_sim_cosine_topk", "q_sim_knn_query", "q_sim_knn_batch",
+      "q_sim_lsh_bucketed",
       "q_text_tokens_tf", "q_text_tfidf", "q_text_lang_stats",
       "q_text_ngrams", "q_multimodal_join")
     val missing = declared.filterNot(SparkEntry.queries.contains)
