@@ -38,6 +38,30 @@ object Embeddings {
       ordered(q.select(col("label"), col("dim"), col("n"),
         col("sum_q"),
         (col("sum_q").cast("double") / lit(1e7) / col("n")).as("centroid")))
+    },
+    "q_embed_quantize" -> { (s, dir) =>
+      // Int8 symmetric scalar quantization — the 4× compression step
+      // before shipping an embedding corpus to an ANN index or a
+      // training host: per-vector scale = 127/max|x|, component
+      // q_i = floor(x_i·scale + 0.5) ∈ [-127, 127]. floor(·+0.5)
+      // rather than round(): floor is IEEE-defined identically in
+      // every engine, so the quantized codes are bit-reproducible
+      // (round's half-even/half-up variance across engines is not).
+      // Narrow one-pass projection — no shuffle at all; at 100 TB
+      // this is a pure map stage that runs at scan speed.
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val withScale = e
+        .withColumn("maxabs",
+          aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x))))
+        .withColumn("scale", lit(127.0) / col("maxabs"))
+      val q = transform(col("v"), x => floor(x * col("scale") + lit(0.5)).cast("int"))
+      // scale is emitted raw: 127.0/max|x| is a single IEEE division of
+      // bit-identical inputs, so it hash-matches the oracle exactly.
+      ordered(withScale.withColumn("q", q)
+        .select(col("vec_id"), col("scale"),
+          array_join(col("q").cast("array<string>"), ",").as("q_csv"),
+          size(filter(col("q"), x => abs(x) === lit(127))).cast("long").as("n_sat")))
     }
   )
 
@@ -51,6 +75,21 @@ object Embeddings {
         |  CAST(SUM(xq) AS BIGINT) AS sum_q,
         |  CAST(SUM(xq) AS DOUBLE) / 1e7 / COUNT(*) AS centroid
         |FROM ex GROUP BY label, dim""".stripMargin +
-        orderByAll("label", "dim", "n", "sum_q", "centroid"))
+        orderByAll("label", "dim", "n", "sum_q", "centroid")),
+    "q_embed_quantize" ->
+      ("""WITH m AS (
+        |  SELECT vec_id,
+        |    127.0 / list_max(list_transform(embedding,
+        |      x -> abs(CAST(x AS DOUBLE)))) AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT e.vec_id, m.scale,
+        |    list_transform(e.embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * m.scale + 0.5) AS INT)) AS qv
+        |  FROM embeddings e JOIN m ON e.vec_id = m.vec_id)
+        |SELECT vec_id, scale, array_to_string(qv, ',') AS q_csv,
+        |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
+        |FROM q""".stripMargin +
+        orderByAll("vec_id", "scale", "q_csv", "n_sat"))
   )
 }

@@ -141,6 +141,29 @@ object Joins {
         .agg(count(lit(1)).as("n_orders"),
           dsum(col("o_totalprice")).as("sum_price")))
     },
+    "q_join_skew_salted" -> { (s, dir) =>
+      // Skew-mitigation equi join — the write-path fix when one join
+      // key is so hot that its rows exceed a single task (AQE's
+      // skew-join split repairs READ skew after the shuffle files
+      // exist; salting prevents the oversized partition from being
+      // written at all). Probe side tags each row with a deterministic
+      // salt in [0,S) derived from a non-key column; build side
+      // replicates every row S times, one per salt value; joining on
+      // (key, salt) spreads the hot key across S tasks. Output is
+      // provably identical to the unsalted join — the oracle IS the
+      // plain join. The merge hint keeps the demo honest at test SF
+      // (broadcast would hide the salted exchange).
+      val S = 8
+      val li = Tables(s, dir, "lineitem")
+        .withColumn("salt", pmod(col("l_linenumber").cast("int"), lit(S)))
+      val o = Tables(s, dir, "orders")
+        .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
+      ordered(li.join(o.hint("merge"),
+          li("l_orderkey") === o("o_orderkey") && li("salt") === o("salt"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice")).as("sum_price")))
+    },
     "q_join_multiway" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
       val o = Tables(s, dir, "orders")
@@ -202,6 +225,12 @@ object Joins {
       ("""SELECT o_orderkey, c_custkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin +
         orderByAll("o_orderkey", "c_custkey", "c_name", "o_totalprice")),
+    "q_join_skew_salted" ->
+      ("""SELECT o_orderpriority, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin +
+        orderByAll("o_orderpriority", "n_items", "sum_price")),
     "q_join_broadcast" ->
       ("""SELECT n_nationkey, n_name, r_name
         |FROM nation JOIN region ON n_regionkey = r_regionkey""".stripMargin +

@@ -62,6 +62,22 @@ object Scans {
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value")))
     },
+    "q_scan_csv" -> { (s, dir) =>
+      // CSV source twin: the customer table staged once per JVM as
+      // headerless CSV, read back with an EXPLICIT schema (inference
+      // at 100 TB = a full extra pass) and the filter pushed to the
+      // reader. Doubles survive the text round-trip exactly: Spark
+      // writes shortest-round-trip representations and the parser
+      // returns the identical IEEE value.
+      val staged = stageCustomerCsv(s, dir)
+      val c = s.read
+        .schema("c_custkey LONG, c_name STRING, c_nationkey INT, " +
+          "c_acctbal DOUBLE, c_mktsegment STRING")
+        .csv(staged)
+      ordered(c.filter(col("c_acctbal") > lit(1000.0))
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment")))
+    },
     "q_filter_null" -> { (s, dir) =>
       // Fixtures are null-free: manufacture nulls with nullif, then
       // exercise isNull / isNotNull / null-safe equality.
@@ -74,6 +90,19 @@ object Scans {
         .filter(col("seg_n").isNull || col("seg_n").isNotNull && col("c_custkey") % 3 === 0))
     }
   )
+
+  /** Stage customer as headerless CSV once per JVM per sfDir. */
+  private def stageCustomerCsv(s: SparkSession, sfDir: String): String = {
+    val staged = s"/tmp/graft_stage/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/customer_csv"
+    val marker = new java.io.File(staged, "_SUCCESS")
+    if (!marker.exists()) {
+      Tables(s, sfDir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .repartition(4)
+        .write.mode("overwrite").csv(staged)
+    }
+    staged
+  }
 
   /** Stage events as JSON-lines once per JVM per sfDir (mirrors
     * [[graft.sources.EventSource.stageEvents]]). */
@@ -95,6 +124,10 @@ object Scans {
         |  user_id, event_type, value
         |FROM events WHERE user_id < 100""".stripMargin +
         orderByAll("event_id", "ts_us", "user_id", "event_type", "value")),
+    "q_scan_csv" ->
+      ("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_acctbal > 1000.0""".stripMargin +
+        orderByAll("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")),
     "q_scan_project" ->
       ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem" +
         orderByAll("l_orderkey", "l_linenumber", "l_extendedprice")),

@@ -53,6 +53,22 @@ object Text {
           sum(col("n_tok")).cast("long").as("total_tokens"),
           (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars")))
     },
+    "q_sample_stratified" -> { (s, dir) =>
+      // Stratified downsample — rebalancing a skewed corpus before
+      // training (majority stratum kept at ~25%, the rest at ~75%).
+      // Membership is a pure function of the stable doc key (md5 hex
+      // threshold per stratum), NOT rand()/sampleBy: reproducible
+      // across engines, runs, and cluster layouts, and composable —
+      // the kept set of a lower rate is a subset of a higher rate's.
+      // Narrow scan → hash agg; no shuffle beyond the |strata| rows.
+      val d = Tables(s, dir, "documents")
+      val thr = when(col("lang") === "en", lit("40")).otherwise(lit("c0"))
+      val kept = sum(when(md5(col("doc_id").cast("string")) < thr, 1L)
+        .otherwise(0L))
+      ordered(d.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"), kept.as("n_kept"),
+          (kept.cast("double") / count(lit(1))).as("kept_frac")))
+    },
     "q_text_tokens_tf" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
       ordered(d.select(col("doc_id"), explode(toks()).as("term"))
@@ -174,6 +190,18 @@ object Text {
   }
 
   def oracle: Map[String, String] = Map(
+    "q_sample_stratified" ->
+      ("""WITH k AS (
+        |  SELECT lang,
+        |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) <
+        |      (CASE WHEN lang = 'en' THEN '40' ELSE 'c0' END)
+        |    THEN 1 ELSE 0 END AS kept
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_total,
+        |  CAST(SUM(kept) AS BIGINT) AS n_kept,
+        |  CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS kept_frac
+        |FROM k GROUP BY lang""".stripMargin +
+        orderByAll("lang", "n_total", "n_kept", "kept_frac")),
     "q_split_train_eval" ->
       (s"""SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a'
         |  THEN 'eval' ELSE 'train' END AS split, lang,

@@ -25,16 +25,17 @@ class RegistrySpec extends SparkSpec {
       // B1
       "q_scan_project", "q_scan_filter_pushdown", "q_scan_union_files",
       "s_sink_partitioned", "s_ingest_availablenow", "s_ingest_kafka",
-      "s_sink_text", "q_decode_registry", "q_scan_json", "s_sink_seqfile",
-      "q_agg_pivot", "q_split_train_eval", "q_agg_approx_percentile",
-      "s_join_stream",
+      "s_sink_text", "q_decode_registry", "q_scan_json", "q_scan_csv",
+      "s_sink_seqfile",
+      "q_agg_pivot", "q_split_train_eval", "q_sample_stratified",
+      "q_agg_approx_percentile", "s_join_stream",
       // B2
       "q_project_expr", "q_filter_compound", "q_filter_null",
       // B3
       "q_join_inner", "q_join_broadcast", "q_join_left", "q_join_right",
       "q_join_full", "q_join_semi", "q_join_anti", "q_join_cross",
       "q_join_theta_range", "q_join_asof", "q_join_multiway",
-      "q_join_bucketed",
+      "q_join_bucketed", "q_join_skew_salted",
       // B4
       "q_agg_global", "q_agg_group_pricing", "q_agg_distinct",
       "q_agg_approx_distinct", "q_agg_having", "q_agg_rollup", "q_agg_cube",
@@ -56,7 +57,8 @@ class RegistrySpec extends SparkSpec {
       "s_stateful_session", "s_foreachbatch_upsert",
       // B10
       "q_dedup_exact", "q_dedup_near_jaccard", "q_dedup_minhash",
-      "q_dedup_cluster", "q_embed_centroid", "s_decode_stream",
+      "q_dedup_cluster", "q_embed_centroid", "q_embed_quantize",
+      "s_decode_stream",
       "q_sim_cosine_topk", "q_sim_knn_query", "q_sim_knn_batch",
       "q_sim_lsh_bucketed",
       "q_text_tokens_tf", "q_text_tfidf", "q_text_lang_stats",
