@@ -116,6 +116,32 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("q_join_skew_salted: SMJ with the salt inside the shuffle keys") {
+    // the whole point of salting is that the exchange partitions on
+    // (key, salt) — a plan that shuffles on the bare key (or
+    // broadcasts) would silently rebuild the hot partition
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "-1")
+      val df = SparkEntry.queries("q_join_skew_salted")(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected salted SMJ:\n$p")
+      val saltedExchange =
+        "Exchange hashpartitioning\\([^)]*salt".r.findFirstIn(p)
+      assert(saltedExchange.isDefined,
+        s"no exchange partitions on the salt:\n$p")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("q_embed_quantize is a pure map stage (no hash exchange, no join)") {
+    val p = planOf("q_embed_quantize")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"quantization should not shuffle:\n$p")
+    assert(!p.contains("Join"), s"quantization should not join:\n$p")
+  }
+
   test("scale-path dedup/similarity keys plan equi joins, never cartesian") {
     // the banded/prefix-filtered paths must join on generated keys —
     // a CartesianProduct or nested-loop join here means the candidate
