@@ -68,6 +68,22 @@ object Aggregates {
         round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90_price"),
         count(lit(1)).as("n")))
     },
+    "q_agg_histogram" -> { (s, dir) =>
+      // Fixed-width histogram — the distribution-profiling primitive
+      // (data-quality dashboards, drift checks). Bucket id is
+      // floor(x/width) clamped to the last bucket: pure integer-ish
+      // double math, identical in every engine (width_bucket() is not
+      // portably specified at the edges). Hash agg → shuffled volume
+      // is #buckets.
+      val o = Tables(s, dir, "orders")
+      val bucket = least(floor(col("o_totalprice") / lit(50000.0)), lit(11.0))
+        .cast("int")
+      ordered(o.groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price")))
+    },
     "q_agg_collect" -> { (s, dir) =>
       // collect_list + numeric array_sort, then serialized to a CSV
       // string: the driver's pandas comparator cannot hash raw array
@@ -184,6 +200,13 @@ object Aggregates {
         |  ((sxy - sx * sy / n) / (SQRT(sxx - sx * sx / n) * SQRT(syy - sy * sy / n))) AS corr_pd
         |FROM sums""".stripMargin +
         orderByAll("l_returnflag", "sd_price", "var_price", "covar_pd", "corr_pd")),
+    "q_agg_histogram" ->
+      ("""SELECT CAST(LEAST(FLOOR(o_totalprice / 50000.0), 11.0) AS INT) AS bucket,
+        |  COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        |  MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+        |FROM orders GROUP BY 1""".stripMargin +
+        orderByAll("bucket", "n_orders", "sum_price", "min_price", "max_price")),
     "q_agg_percentile" ->
       ("""SELECT o_orderpriority,
         |  ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 4) AS median_price,

@@ -28,6 +28,18 @@ object Windows {
         dense_rank().over(w).as("drnk"),
         row_number().over(w).as("rn")))
     },
+    "q_win_dist" -> { (s, dir) =>
+      // Distribution ranks: percent_rank = (rank-1)/(n-1) and
+      // cume_dist = n_peers_le/n are integer-ratio doubles — IEEE
+      // division of identical integers, so cross-engine exact even
+      // with ties.
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").asc_nulls_first, col("c_custkey").asc_nulls_first)
+      ordered(Tables(s, dir, "customer").select(
+        col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        percent_rank().over(w).as("pct_rnk"),
+        cume_dist().over(w).as("cdist")))
+    },
     "q_win_topk_group" -> { (s, dir) =>
       val w = Window.partitionBy(col("o_custkey"))
         .orderBy(col("o_totalprice").desc_nulls_last, col("o_orderkey").asc_nulls_first)
@@ -105,6 +117,13 @@ object Windows {
         |WINDOW w AS (PARTITION BY c_nationkey
         |  ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC NULLS FIRST)""".stripMargin +
         orderByAll("c_custkey", "c_nationkey", "c_acctbal", "rnk", "drnk", "rn")),
+    "q_win_dist" ->
+      ("""SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  percent_rank() OVER w AS pct_rnk, cume_dist() OVER w AS cdist
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment
+        |  ORDER BY c_acctbal ASC NULLS FIRST, c_custkey ASC NULLS FIRST)""".stripMargin +
+        orderByAll("c_custkey", "c_mktsegment", "c_acctbal", "pct_rnk", "cdist")),
     "q_win_topk_group" ->
       ("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (

@@ -40,10 +40,11 @@ class RegistrySpec extends SparkSpec {
       "q_agg_global", "q_agg_group_pricing", "q_agg_distinct",
       "q_agg_approx_distinct", "q_agg_having", "q_agg_rollup", "q_agg_cube",
       "q_agg_grouping_sets", "q_agg_stats", "q_agg_percentile",
-      "q_agg_collect", "q_agg_minmax_by",
+      "q_agg_collect", "q_agg_minmax_by", "q_agg_histogram",
       // B5
       "q_win_rank", "q_win_topk_group", "q_win_running", "q_win_sliding",
       "q_win_range_frame", "q_win_lead_lag", "q_win_ntile", "q_win_first_last",
+      "q_win_dist",
       // B6 / B7
       "q_sort_multi", "q_limit_topk",
       "q_union_all", "q_union_distinct", "q_intersect", "q_except",
