@@ -168,6 +168,21 @@ class RegistrySpec extends SparkSpec {
     assert(rows(1).getAs[java.sql.Timestamp]("ts").getTime ===
       java.sql.Timestamp.valueOf("2024-01-01 11:30:00").getTime)
   }
+
+  test("md5-threshold sampling is subset-monotone across rates") {
+    // the property that makes deterministic sampling composable: the
+    // kept set of a lower threshold nests inside a higher one's, so a
+    // 10% sample drawn later agrees with the 25% sample drawn earlier
+    import org.apache.spark.sql.functions._
+    val d = graft.sources.Tables(spark, sf, "documents")
+      .select(col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+    def kept(thr: String): Set[Long] =
+      d.filter(col("h") < lit(thr)).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+    val (lo, mid, hi) = (kept("1a"), kept("40"), kept("c0"))
+    assert(lo.nonEmpty && lo.size < mid.size && mid.size < hi.size)
+    assert(lo.subsetOf(mid) && mid.subsetOf(hi))
+  }
 }
 
 /** Stand-in DataSource provider class for the binding-status test: its

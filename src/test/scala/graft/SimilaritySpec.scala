@@ -99,4 +99,20 @@ class SimilaritySpec extends SparkSpec {
     val recall = exact.count(lsh.contains).toDouble / exact.size
     assert(recall >= 0.8, s"LSH recall $recall < 0.8 (found ${lsh.size} candidates)")
   }
+
+  test("int8 quantization: codes in [-127,127], max element hits ±127, " +
+      "reconstruction error bounded by half a quantization step") {
+    val q = SparkEntry.queries("q_embed_quantize")(spark, sf)
+      .select(col("vec_id"), col("scale"), split(col("q_csv"), ",").cast("array<int>").as("q"))
+    val joined = vecs.join(q, "vec_id")
+      .select(col("vec_id"), col("scale"),
+        zip_with(col("v"), col("q"), (x, c) => abs(x - c / col("scale"))).as("errs"),
+        aggregate(col("q"), lit(0), (m, c) => greatest(m, abs(c))).as("max_code"))
+    assert(joined.filter(col("max_code") =!= 127).count() === 0,
+      "scale must map the max-|x| component to exactly ±127")
+    // |x - q/scale| ≤ 0.5/scale (half a step), elementwise
+    val bad = joined
+      .filter(exists(col("errs"), e => e > lit(0.5000001) / col("scale")))
+    assert(bad.count() === 0, "reconstruction error exceeds half a quantization step")
+  }
 }
