@@ -53,6 +53,32 @@ object Text {
           sum(col("n_tok")).cast("long").as("total_tokens"),
           (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars")))
     },
+    "q_text_redact" -> { (s, dir) =>
+      // PII redaction — the scrub step before a corpus ships to
+      // training. Fixtures are synthetic and PII-free, so the key
+      // first injects a deterministic contact string per doc (making
+      // the redaction measurable), then scrubs by regex. Patterns use
+      // only character classes + bounded quantifiers — semantics
+      // identical across Java regex (Spark) and RE2 (oracle). Narrow
+      // map stage: zero shuffle beyond the presentation sort.
+      val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+      val phoneRe = "\\+1-555-[0-9][0-9][0-9][0-9]"
+      val d = Tables(s, dir, "documents")
+        .withColumn("txt", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-01"),
+          lpad(pmod(col("doc_id"), lit(100L)).cast("string"), 2, "0")))
+      ordered(d
+        .withColumn("redacted",
+          regexp_replace(regexp_replace(col("txt"), emailRe, "<EMAIL>"),
+            phoneRe, "<PHONE>"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("txt"), lit(emailRe), lit(0)))
+            .cast("long").as("n_email"),
+          size(regexp_extract_all(col("txt"), lit(phoneRe), lit(0)))
+            .cast("long").as("n_phone"),
+          length(col("txt")).cast("long").as("len_before"),
+          length(col("redacted")).cast("long").as("len_after")))
+    },
     "q_sample_stratified" -> { (s, dir) =>
       // Stratified downsample — rebalancing a skewed corpus before
       // training (majority stratum kept at ~25%, the rest at ~75%).
@@ -190,6 +216,29 @@ object Text {
   }
 
   def oracle: Map[String, String] = Map(
+    "q_text_redact" ->
+      ("""WITH p AS (
+        |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@example.com or +1-555-01'
+        |    || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS txt
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, txt,
+        |    regexp_replace(
+        |      regexp_replace(txt,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+        |        '<EMAIL>', 'g'),
+        |      '\+1-555-[0-9][0-9][0-9][0-9]', '<PHONE>', 'g') AS redacted
+        |  FROM p)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(txt,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(txt,
+        |    '\+1-555-[0-9][0-9][0-9][0-9]')) AS BIGINT) AS n_phone,
+        |  CAST(length(txt) AS BIGINT) AS len_before,
+        |  CAST(length(redacted) AS BIGINT) AS len_after
+        |FROM r""".stripMargin +
+        orderByAll("doc_id", "n_email", "n_phone", "len_before", "len_after")),
     "q_sample_stratified" ->
       ("""WITH k AS (
         |  SELECT lang,
