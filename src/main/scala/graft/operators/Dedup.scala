@@ -118,6 +118,12 @@ object Dedup {
       labels = updated.select(col("doc_id"), col("label"))
       rounds += 1
     }
+    // the cap is a runaway guard, not an exit: min-label propagation
+    // needs O(component diameter) rounds, and silently stopping early
+    // would split a >20-hop chain into multiple clusters
+    require(changed == 0,
+      s"dedup label propagation not converged after $rounds rounds " +
+        s"($changed labels still moving) — component diameter exceeds the cap")
     // label = min doc_id of the component ⇒ cluster_id doubles as the
     // canonical survivor id; singletons (no edges) are their own
     // cluster

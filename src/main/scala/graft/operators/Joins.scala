@@ -153,9 +153,13 @@ object Joins {
       // provably identical to the unsalted join — the oracle IS the
       // plain join. The merge hint keeps the demo honest at test SF
       // (broadcast would hide the salted exchange).
+      // salt = hash of (key, linenumber) mod S: covers the full [0,S)
+      // range (l_linenumber alone is 1..7 — it would leave salt 0
+      // empty and waste 1/S of the replicated build side)
       val S = 8
       val li = Tables(s, dir, "lineitem")
-        .withColumn("salt", pmod(col("l_linenumber").cast("int"), lit(S)))
+        .withColumn("salt",
+          pmod(hash(col("l_orderkey"), col("l_linenumber")), lit(S)))
       val o = Tables(s, dir, "orders")
         .withColumn("salt", explode(sequence(lit(0), lit(S - 1))))
       ordered(li.join(o.hint("merge"),

@@ -49,7 +49,7 @@ object Scans {
     },
     "q_scan_json" -> { (s, dir) =>
       // JSON-lines source (the ingestion edge's wire format): the
-      // events table staged once per JVM as registry-encoded JSON,
+      // events table staged (mtime-invalidated) as registry-encoded JSON,
       // scanned back with an EXPLICIT schema (schema inference at
       // 100 TB means a full extra pass — never rely on it), projected
       // with the predicate pushed to the reader.
@@ -63,8 +63,8 @@ object Scans {
           col("user_id"), col("event_type"), col("value")))
     },
     "q_scan_csv" -> { (s, dir) =>
-      // CSV source twin: the customer table staged once per JVM as
-      // headerless CSV, read back with an EXPLICIT schema (inference
+      // CSV source twin: the customer table staged as headerless CSV
+      // (mtime-invalidated), read back with an EXPLICIT schema (inference
       // at 100 TB = a full extra pass) and the filter pushed to the
       // reader. Doubles survive the text round-trip exactly: Spark
       // writes shortest-round-trip representations and the parser
@@ -91,32 +91,23 @@ object Scans {
     }
   )
 
-  /** Stage customer as headerless CSV once per JVM per sfDir. */
-  private def stageCustomerCsv(s: SparkSession, sfDir: String): String = {
-    val staged = s"/tmp/graft_stage/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/customer_csv"
-    val marker = new java.io.File(staged, "_SUCCESS")
-    if (!marker.exists()) {
+  /** Stage customer as headerless CSV (mtime-invalidated, [[graft.sources.Stage]]). */
+  private def stageCustomerCsv(s: SparkSession, sfDir: String): String =
+    graft.sources.Stage.once(sfDir, "customer_csv", "customer") { staged =>
       Tables(s, sfDir, "customer")
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
         .repartition(4)
         .write.mode("overwrite").csv(staged)
     }
-    staged
-  }
 
-  /** Stage events as JSON-lines once per JVM per sfDir (mirrors
-    * [[graft.sources.EventSource.stageEvents]]). */
-  private def stageEventsJson(s: SparkSession, sfDir: String): String = {
-    val staged = s"/tmp/graft_stage/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/events_json"
-    val marker = new java.io.File(staged, "_SUCCESS")
-    if (!marker.exists()) {
+  /** Stage events as JSON-lines (mtime-invalidated, [[graft.sources.Stage]]). */
+  private def stageEventsJson(s: SparkSession, sfDir: String): String =
+    graft.sources.Stage.once(sfDir, "events_json", "events") { staged =>
       graft.sources.SchemaRegistry.encode(Tables(s, sfDir, "events"),
           Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
         .repartition(4)
         .write.mode("overwrite").text(staged)
     }
-    staged
-  }
 
   def oracle: Map[String, String] = Map(
     "q_scan_json" ->

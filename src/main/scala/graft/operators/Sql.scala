@@ -21,11 +21,16 @@ object Sql {
 
   /** Register fixture views once per (session, dir) — the three SQL
     * keys share one registration instead of re-reading all ten table
-    * footers per invocation; switching dirs re-registers. */
-  private val lastDir = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    * footers per invocation; switching dirs re-registers. Weak keys
+    * (GC'd sessions drop their entry) and success-after marking (a
+    * failed registration retries instead of poisoning the cache). */
+  private val registered = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
   private def registerViews(s: SparkSession, dir: String): Unit =
-    if (lastDir.put(String.valueOf(System.identityHashCode(s)), dir) != dir)
+    if (registered.get(s) != dir) {
       Tables.all.foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+      registered.put(s, dir)
+    }
 
   /** TPC-H-Q3-shaped: top-10 open-order revenue per (order, date,
     * priority) for one segment. */

@@ -108,15 +108,11 @@ object EventSource {
 
   /** Stage the events fixture as a plain parquet DIR (the file-stream
     * source lists directories; the fixture is a single file). One
-    * deterministic location per sfDir, written once per JVM. */
-  def stageEvents(spark: SparkSession, sfDir: String): String = {
-    val staged = s"/tmp/graft_stage/${sfDir.replaceAll("[^A-Za-z0-9.]", "_")}/events"
-    val marker = new java.io.File(staged, "_SUCCESS")
-    if (!marker.exists()) {
+    * deterministic location per sfDir, mtime-invalidated ([[Stage]]). */
+  def stageEvents(spark: SparkSession, sfDir: String): String =
+    Stage.once(sfDir, "events", "events") { staged =>
       BatchParquet.load(spark, sfDir)
         .repartition(4)
         .write.mode("overwrite").parquet(staged)
     }
-    staged
-  }
 }

@@ -140,10 +140,13 @@ class RegistrySpec extends SparkSpec {
   }
 
   test("kafka binding status reports both branches (connector present / absent)") {
-    // the real connector jar is absent offline: the production class
-    // must report the file-stream twin fallback
+    // the status must agree with whatever the classpath actually has:
+    // absent offline (this container) => file-stream twin fallback;
+    // bound where the connector jar IS installed — don't hard-fail the
+    // suite on the environment the options surface was built for
     val (_, realAvail, realStatus) = EventSource.Kafka.bindingStatus()
-    assert(!realAvail && realStatus.startsWith("connector-absent"),
+    if (realAvail) assert(realStatus === "bound")
+    else assert(realStatus.startsWith("connector-absent"),
       s"expected absent connector offline, got $realStatus")
     // a resolvable stand-in class flips the same code path to "bound"
     val (_, fakeAvail, fakeStatus) =
