@@ -12,9 +12,13 @@ import org.apache.spark.sql.types.DecimalType
   *
   *  - Money/quantity aggregates are computed exactly in DECIMAL(18,4)
   *    (double SUM is partition-order-dependent in Spark) and then cast
-  *    to DOUBLE for a stable output schema. The decimal value is exact,
-  *    so the decimal→double conversion (IEEE round-to-nearest) is
-  *    identical in Spark and DuckDB.
+  *    to DOUBLE for a stable output schema. The decimal value is exact;
+  *    Spark's decimal→double cast is correctly rounded, but DuckDB's
+  *    CAST(DECIMAL AS DOUBLE) goes through int128 scaling and can be
+  *    1 ulp off once the sum exceeds ~2^53/10^4 (seen at sf0.1) — so
+  *    every oracle decimal→double cast MUST take the VARCHAR hop:
+  *    CAST(CAST(dec AS VARCHAR) AS DOUBLE) (strtod is correctly
+  *    rounded; a no-op on values the direct cast already got right).
   *  - Derived stats (avg/stddev/corr) are computed from exact decimal
   *    sums with the SAME double-arithmetic formula on both sides.
   *  - Every query ends with a total order over all output columns in

@@ -31,10 +31,15 @@ object Extensibility {
   }
 
   /** Typed Aggregator UDAF: exact decimal revenue — BigDecimal(4dp)
-    * accumulation, matching DECIMAL(18,4) SUM semantics exactly. */
+    * accumulation, matching DECIMAL(18,4) SUM semantics exactly.
+    * BigDecimal.valueOf (shortest decimal representation, what
+    * Catalyst's Cast and DuckDB both round from), NOT
+    * new BigDecimal(double) (exact binary expansion) — the two differ
+    * at the 4th decimal for ~1 in 10^5 rows, which surfaced as a
+    * 1-ulp revenue divergence at sf0.1. */
   object RevenueAgg extends Aggregator[(Double, Double), java.math.BigDecimal, Double] {
     private def m(x: Double) =
-      new java.math.BigDecimal(x).setScale(4, java.math.RoundingMode.HALF_UP)
+      java.math.BigDecimal.valueOf(x).setScale(4, java.math.RoundingMode.HALF_UP)
     def zero: java.math.BigDecimal = java.math.BigDecimal.ZERO
     def reduce(b: java.math.BigDecimal, r: (Double, Double)): java.math.BigDecimal =
       b.add(m(r._1).multiply(java.math.BigDecimal.ONE.subtract(m(r._2))))
@@ -86,7 +91,7 @@ object Extensibility {
         orderByAll("p_brand", "complexity", "n_parts")),
     "q_func_udaf" ->
       ("""SELECT l_returnflag,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag""".stripMargin +
         orderByAll("l_returnflag", "revenue", "n")),

@@ -60,7 +60,7 @@ object Grouping {
 
   private def oracleFor(clause: String): String =
     s"""SELECT n_name, c_mktsegment, COUNT(*) AS n_cust,
-       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_bal,
+       |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_bal,
        |  CAST(GROUPING(n_name) AS INT) AS g_nation,
        |  CAST(GROUPING(c_mktsegment) AS INT) AS g_seg
        |FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -69,7 +69,7 @@ object Grouping {
 
   private def pivotCell(st: String): String =
     s"""COUNT(*) FILTER (o_orderstatus = '$st') AS ${st.toLowerCase}_n,
-       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (o_orderstatus = '$st') AS DOUBLE) AS ${st.toLowerCase}_tp""".stripMargin
+       |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) FILTER (o_orderstatus = '$st') AS VARCHAR) AS DOUBLE) AS ${st.toLowerCase}_tp""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "q_agg_pivot" ->

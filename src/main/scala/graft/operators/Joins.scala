@@ -221,7 +221,7 @@ object Joins {
   def oracle: Map[String, String] = Map(
     "q_join_bucketed" ->
       ("""SELECT c_mktsegment, COUNT(*) AS n_orders,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment""".stripMargin +
         orderByAll("c_mktsegment", "n_orders", "sum_price")),
@@ -231,7 +231,7 @@ object Joins {
         orderByAll("o_orderkey", "c_custkey", "c_name", "o_totalprice")),
     "q_join_skew_salted" ->
       ("""SELECT o_orderpriority, COUNT(*) AS n_items,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin +
         orderByAll("o_orderpriority", "n_items", "sum_price")),
@@ -270,7 +270,7 @@ object Joins {
         orderByAll("r_name", "n_name")),
     "q_join_theta_range" ->
       ("""SELECT p_partkey, COUNT(*) AS n_li,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM (SELECT p_partkey, p_retailprice FROM part WHERE p_size <= 3) p
         |JOIN (SELECT l_orderkey, l_extendedprice FROM lineitem WHERE l_quantity <= 2.0) l
         |  ON l.l_extendedprice >= p.p_retailprice * 10.0
@@ -288,7 +288,7 @@ object Joins {
         orderByAll("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")),
     "q_join_multiway" ->
       ("""SELECT r_name, n_name,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_li
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

@@ -145,8 +145,8 @@ object Multimodal {
         |per AS (SELECT j.lang, j.n_chars, j.nrm, $cosJq AS c
         |        FROM (SELECT lang, n_chars, embedding, nrm FROM j) j, q)
         |SELECT lang, COUNT(*) AS n_vecs,
-        |  CAST(SUM(CAST(nrm AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_norm,
-        |  CAST(SUM(CAST(c AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS avg_cos,
+        |  CAST(CAST(SUM(CAST(nrm AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_norm,
+        |  CAST(CAST(SUM(CAST(c AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_cos,
         |  ROUND(MAX(c), 4) AS max_cos,
         |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
         |FROM per GROUP BY lang""".stripMargin +

@@ -36,7 +36,7 @@ object Sql {
     * priority) for one segment. */
   private val q3 =
     """SELECT l_orderkey, o_orderdate, o_orderpriority,
-      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS STRING) AS DOUBLE) AS revenue
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING'
       |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -60,11 +60,11 @@ object Sql {
   private val cteWindow =
     """WITH monthly AS (
       |  SELECT o_custkey, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
-      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS m_total
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS m_total
       |  FROM orders GROUP BY o_custkey, CAST(date_trunc('month', o_orderdate) AS TIMESTAMP))
       |SELECT o_custkey, mon, m_total,
-      |  CAST(SUM(CAST(m_total AS DECIMAL(18,4))) OVER (
-      |    PARTITION BY o_custkey ORDER BY mon ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
+      |  CAST(CAST(SUM(CAST(m_total AS DECIMAL(18,4))) OVER (
+      |    PARTITION BY o_custkey ORDER BY mon ROWS UNBOUNDED PRECEDING) AS STRING) AS DOUBLE) AS running_total,
       |  ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY mon) AS rn
       |FROM monthly
       |WHERE o_custkey <= 100""".stripMargin

@@ -72,14 +72,14 @@ object Time {
     "q_time_tumbling" ->
       ("""SELECT (epoch_us(ts)//1000000//3600)*3600 AS bucket_start,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value,
         |  COUNT(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1""".stripMargin +
         orderByAll("bucket_start", "n_events", "sum_value", "n_users")),
     "q_time_sliding" ->
       ("""SELECT (epoch_us(ts)//1000000//900)*900 - k.k*900 AS bucket_start,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) k
         |GROUP BY 1""".stripMargin +
         orderByAll("bucket_start", "n_events", "sum_value")),
@@ -100,7 +100,7 @@ object Time {
         |  CAST(epoch_us(MIN(ts))//1000000 AS BIGINT) AS session_start,
         |  CAST(epoch_us(MAX(ts))//1000000 AS BIGINT) AS session_end,
         |  COUNT(*) AS n_events,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM sess GROUP BY user_id, session_id""".stripMargin +
         orderByAll("user_id", "session_id", "session_start", "session_end",
           "n_events", "sum_value"))

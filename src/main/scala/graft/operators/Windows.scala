@@ -133,10 +133,10 @@ object Windows {
         orderByAll("o_custkey", "o_orderkey", "o_totalprice", "rn")),
     "q_win_running" ->
       ("""SELECT o_custkey, o_orderkey, o_orderdate,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
         |    PARTITION BY o_custkey
         |    ORDER BY o_orderdate ASC NULLS FIRST, o_orderkey ASC NULLS FIRST
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
         |    AS running_total
         |FROM orders""".stripMargin +
         orderByAll("o_custkey", "o_orderkey", "o_orderdate", "running_total")),
@@ -145,14 +145,14 @@ object Windows {
         |  SELECT CAST(date_trunc('day', l_shipdate) AS TIMESTAMP) AS day,
         |    SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS rev_dec
         |  FROM lineitem GROUP BY 1)
-        |SELECT day, CAST(rev_dec AS DOUBLE) AS day_rev,
-        |  CAST(SUM(rev_dec) OVER w AS DOUBLE) / COUNT(*) OVER w AS ma7
+        |SELECT day, CAST(CAST(rev_dec AS VARCHAR) AS DOUBLE) AS day_rev,
+        |  CAST(CAST(SUM(rev_dec) OVER w AS VARCHAR) AS DOUBLE) / COUNT(*) OVER w AS ma7
         |FROM daily
         |WINDOW w AS (ORDER BY day ASC NULLS FIRST ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin +
         orderByAll("day", "day_rev", "ma7")),
     "q_win_range_frame" ->
       ("""SELECT o_custkey, o_orderkey, epoch_s,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE) AS tot_90d,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE) AS tot_90d,
         |  COUNT(*) OVER w AS n_90d
         |FROM (SELECT *, CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s FROM orders)
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch_s ASC NULLS FIRST
