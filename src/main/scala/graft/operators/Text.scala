@@ -53,6 +53,70 @@ object Text {
           sum(col("n_tok")).cast("long").as("total_tokens"),
           (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars")))
     },
+    "q_text_decontaminate" -> { (s, dir) =>
+      // Train/eval decontamination — the overlap check run before any
+      // benchmark eval ships: an eval doc sharing an 8-token shingle
+      // with ANY train doc is contaminated (the GPT-3/Dolma-style
+      // n-gram rule). Split is the same deterministic md5 rule as
+      // q_split_train_eval; shingles are the native codegen
+      // word_shingles expression (distinct word 8-grams). Plan: the
+      // train shingle set aggregates once (distinct = one shuffle),
+      // then a left join marks eval shingles — shuffled volume is
+      // O(shingles), never docs×docs; at 100 TB the train set ships
+      // as a bloom filter and the join keys are 64-bit shingle hashes
+      // rather than strings.
+      graft.functions.VectorExprs.register(s)
+      val d = Tables(s, dir, "documents")
+      val sh = d.select(col("doc_id"),
+          when(md5(col("doc_id").cast("string")) < lit("1a"), "eval")
+            .otherwise("train").as("split"),
+          explode(call_function("word_shingles", split(col("text"), " "), lit(8)))
+            .as("sng"))
+      val train = sh.filter(col("split") === "train")
+        .select(col("sng")).distinct().withColumn("hit", lit(1))
+      val per = sh.filter(col("split") === "eval")
+        .join(train, Seq("sng"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("hit").isNull, 0L).otherwise(1L)).as("n_shared"))
+      ordered(per.filter(col("n_shared") > 0)
+        .select(col("doc_id"),
+          col("n_shingles").cast("long").as("n_shingles"),
+          col("n_shared").cast("long").as("n_shared"),
+          (col("n_shared").cast("double") / col("n_shingles")).as("overlap_ratio")))
+    },
+    "q_text_vocab_prune" -> { (s, dir) =>
+      // Vocabulary-coverage gate — the OOV-ratio quality filter of a
+      // training-data pipeline: vocabulary = tokens appearing in
+      // ≥ 10% of docs (relative threshold: scale-invariant, unlike an
+      // absolute df cutoff), docs with > 2% out-of-vocabulary tokens
+      // get flagged. Integer arithmetic throughout (df·10 ≥ n_docs,
+      // oov·50 > n_tok, integer-ratio double at the end) — exact
+      // cross-engine. Plan: two explode→hash-agg passes over the token
+      // stream plus one vocabulary join; the corpus-size scalar and
+      // the vocabulary are broadcast (at 100 TB the vocab membership
+      // ships as a broadcast/bloom filter, the token stream never
+      // shuffles for it).
+      val d = Tables(s, dir, "documents")
+      val tok = d.select(col("doc_id"), col("lang"), explode(toks()).as("tok"))
+      val nd = tok.agg(countDistinct(col("doc_id")).as("nd"))
+      val vocab = tok.groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .crossJoin(broadcast(nd))
+        .filter(col("df") * 10 >= col("nd"))
+        .select(col("tok"), lit(1).as("in_vocab"))
+      val per = tok.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      ordered(per.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens"),
+          sum(col("n_oov")).cast("long").as("n_oov"),
+          sum(when(col("n_oov") * 50 > col("n_tok"), 1L).otherwise(0L))
+            .cast("long").as("n_flagged"),
+          (sum(col("n_oov")).cast("double") / sum(col("n_tok"))).as("oov_ratio")))
+    },
     "q_text_redact" -> { (s, dir) =>
       // PII redaction — the scrub step before a corpus ships to
       // training. Fixtures are synthetic and PII-free, so the key
@@ -216,6 +280,38 @@ object Text {
   }
 
   def oracle: Map[String, String] = Map(
+    "q_text_decontaminate" ->
+      (s"""WITH d AS (SELECT doc_id,
+        |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'eval' ELSE 'train' END AS split,
+        |    $tokSql AS t FROM documents),
+        |sh AS (SELECT doc_id, split,
+        |    unnest(list_distinct(list_transform(range(1, len(t) - 6),
+        |      i -> list_aggregate(t[i:i+7], 'string_agg', ' ')))) AS sng
+        |  FROM d WHERE len(t) >= 8),
+        |tr AS (SELECT DISTINCT sng FROM sh WHERE split = 'train'),
+        |per AS (SELECT doc_id, COUNT(*) AS n_shingles,
+        |    COUNT(*) FILTER (sng IN (SELECT sng FROM tr)) AS n_shared
+        |  FROM sh WHERE split = 'eval' GROUP BY doc_id)
+        |SELECT doc_id, n_shingles, n_shared,
+        |  CAST(n_shared AS DOUBLE) / n_shingles AS overlap_ratio
+        |FROM per WHERE n_shared > 0""".stripMargin +
+        orderByAll("doc_id", "n_shingles", "n_shared", "overlap_ratio")),
+    "q_text_vocab_prune" ->
+      (s"""WITH tok AS (SELECT doc_id, lang, unnest($tokSql) AS tok FROM documents),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM tok),
+        |vocab AS (SELECT tok FROM
+        |  (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY tok) d, nd
+        |  WHERE d.df * 10 >= nd.nd),
+        |per AS (SELECT doc_id, lang, COUNT(*) AS n_tok,
+        |    SUM(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 0 ELSE 1 END) AS n_oov
+        |  FROM tok GROUP BY doc_id, lang)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(n_oov) AS BIGINT) AS n_oov,
+        |  CAST(SUM(CASE WHEN n_oov * 50 > n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+        |  CAST(SUM(n_oov) AS DOUBLE) / SUM(n_tok) AS oov_ratio
+        |FROM per GROUP BY lang""".stripMargin +
+        orderByAll("lang", "n_docs", "n_tokens", "n_oov", "n_flagged", "oov_ratio")),
     "q_text_redact" ->
       ("""WITH p AS (
         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)

@@ -146,9 +146,12 @@ class PlanSpec extends SparkSpec {
     // the banded/prefix-filtered paths must join on generated keys —
     // a CartesianProduct or nested-loop join here means the candidate
     // pruning silently degenerated to O(n²)
+    // q_join_interval_binned: the binned range join must come out as
+    // an equi join on the bucket id, never the nested-loop product the
+    // raw interval predicate would plan
     for (k <- Seq("q_dedup_near_jaccard", "q_dedup_minhash",
         "q_dedup_simhash", "q_sim_lsh_bucketed",
-        "q_dedup_embed", "q_sim_cosine_topk")) {
+        "q_dedup_embed", "q_sim_cosine_topk", "q_join_interval_binned")) {
       val p = planOf(k)
       assert(!p.contains("CartesianProduct"), s"$k plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$k plans a nested-loop join")

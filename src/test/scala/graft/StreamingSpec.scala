@@ -31,6 +31,19 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("compaction conserves every row while collapsing the small-file layout") {
+    val rep = SparkEntry.queries("s_compact_files")(spark, sf).collect()
+    assert(rep.nonEmpty)
+    val total = graft.sources.Tables(spark, sf, "lineitem").count()
+    assert(rep.map(_.getLong(3)).sum == total, "rows_before must cover the table")
+    rep.foreach { r =>
+      assert(r.getLong(3) == r.getLong(4),
+        s"partition ${r.getString(0)} lost rows: ${r.getLong(3)} -> ${r.getLong(4)}")
+      assert(r.getLong(2) < r.getLong(1),
+        s"partition ${r.getString(0)} not compacted: ${r.getLong(1)} -> ${r.getLong(2)} files")
+    }
+  }
+
   test("text offset\\tline sink round-trips the events table exactly (A7 reference layout)") {
     val decoded = graft.operators.Streams.textOffsetRoundTrip(spark, sf)
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
