@@ -122,6 +122,26 @@ object Aggregates {
       ordered(e.groupBy(col("event_type"))
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           count(lit(1)).as("n")))
+    },
+    "q_agg_bitmap_distinct" -> { (s, dir) =>
+      // EXACT distinct counting via bitmap partials (the Druid /
+      // ClickHouse / Snowflake BITMAP_COUNT technique): user ids are
+      // bucketed into 32k-bit bitmap segments, each (group, bucket)
+      // aggregates to a fixed-size bitmap map-side, and the final count
+      // is the sum of popcounts. Unlike COUNT(DISTINCT) the shuffle
+      // carries compressed set partials, not raw ids (here: one ≤4 KB
+      // value per (group, 32k-id range) instead of one row per
+      // distinct id), and unlike HLL it is exact. The partials are
+      // also mergeable across rollup cells/days — at 100 TB they'd be
+      // materialized once and reused by every downstream distinct.
+      val e = Tables(s, dir, "events")
+      val partials = e.groupBy(col("event_type"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"),
+          count(lit(1)).as("n"))
+      ordered(partials.groupBy(col("event_type"))
+        .agg(sum(expr("bitmap_count(bm)")).cast("long").as("n_users"),
+          sum(col("n")).cast("long").as("n_events")))
     }
   )
 
@@ -163,6 +183,11 @@ object Aggregates {
 
   def oracle: Map[String, String] = Map(
     "q_agg_group_pricing" -> pricingOracle,
+    "q_agg_bitmap_distinct" ->
+      ("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin +
+        orderByAll("event_type", "n_users", "n_events")),
     "q_agg_global" ->
       ("""SELECT COUNT(*) AS n_rows,
         |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,

@@ -198,6 +198,44 @@ object Joins {
           countDistinct(col("user_id")).as("n_users"),
           dsum(col("value")).as("sum_value")))
     },
+    "q_join_bloom_filtered" -> { (s, dir) =>
+      // Runtime bloom-filter join — Catalyst's InjectRuntimeFilter:
+      // a selective filter on the build side (urgent cheap orders,
+      // ~2% of rows) is turned into a bloom filter aggregated from the
+      // build side and applied at the PROBE side's scan, so ~98% of
+      // lineitem rows die before the shuffle instead of after it. At
+      // 100 TB this is the dominant shuffle reducer for selective
+      // fact⋈fact joins (semi-join pushdown/sideways information
+      // passing in the literature). Locally the thresholds assume
+      // multi-GB inputs, so scope them down (and disable broadcast —
+      // at real scale both sides shuffle) for the duration of
+      // PLANNING only; the plan is forced while the confs hold, and
+      // the bloom filter is semantics-preserving so the output is
+      // byte-identical either way. PlanSpec asserts might_contain sits
+      // on the probe-side scan.
+      val keys = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val saved = keys.map(k => k -> s.conf.getOption(k))
+      keys.zip(Seq("0", "-1")).foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val o = Tables(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT" &&
+            col("o_totalprice") < 30000.0)
+          .select(col("o_orderkey"))
+        val li = Tables(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice"))
+        val out = ordered(li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("n_items"),
+            dsum(col("l_extendedprice")).as("sum_price")))
+        out.queryExecution.executedPlan // force planning under the scoped confs
+        out
+      } finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    },
     "q_join_multiway" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
       val o = Tables(s, dir, "orders")
@@ -331,6 +369,13 @@ object Joins {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM j GROUP BY win_id""".stripMargin +
         orderByAll("win_id", "n_events", "n_users", "sum_value")),
+    "q_join_bloom_filtered" ->
+      ("""SELECT o.o_orderkey, COUNT(*) AS n_items,
+        |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice < 30000.0
+        |GROUP BY o.o_orderkey""".stripMargin +
+        orderByAll("o_orderkey", "n_items", "sum_price")),
     "q_join_multiway" ->
       ("""SELECT r_name, n_name,
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,

@@ -78,6 +78,21 @@ object Scans {
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
           col("c_acctbal"), col("c_mktsegment")))
     },
+    "q_scan_partition_prune" -> { (s, dir) =>
+      // Partition-pruned read — THE 100 TB scan primitive: the table
+      // laid out hive-style by a low-cardinality column, a predicate on
+      // that column resolved against directory METADATA (the file
+      // listing), so non-matching partitions are never opened. At
+      // 100 TB this is the difference between listing 2/5 of the
+      // directories and scanning everything. PlanSpec asserts the
+      // predicate lands in PartitionFilters (not PushedFilters) and
+      // the data-file ReadSchema no longer carries the column.
+      val staged = stageOrdersPartitioned(s, dir)
+      val o = s.read.parquet(staged)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+      ordered(o.select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice"), col("o_orderpriority")))
+    },
     "q_filter_null" -> { (s, dir) =>
       // Fixtures are null-free: manufacture nulls with nullif, then
       // exercise isNull / isNotNull / null-safe equality.
@@ -100,6 +115,14 @@ object Scans {
         .write.mode("overwrite").csv(staged)
     }
 
+  /** Stage orders hive-partitioned by o_orderpriority (mtime-invalidated). */
+  private def stageOrdersPartitioned(s: SparkSession, sfDir: String): String =
+    graft.sources.Stage.once(sfDir, "orders_part", "orders") { staged =>
+      Tables(s, sfDir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .write.mode("overwrite").partitionBy("o_orderpriority").parquet(staged)
+    }
+
   /** Stage events as JSON-lines (mtime-invalidated, [[graft.sources.Stage]]). */
   private def stageEventsJson(s: SparkSession, sfDir: String): String =
     graft.sources.Stage.once(sfDir, "events_json", "events") { staged =>
@@ -110,6 +133,10 @@ object Scans {
     }
 
   def oracle: Map[String, String] = Map(
+    "q_scan_partition_prune" ->
+      ("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin +
+        orderByAll("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")),
     "q_scan_json" ->
       ("""SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
         |  user_id, event_type, value

@@ -85,6 +85,34 @@ object Text {
           col("n_shared").cast("long").as("n_shared"),
           (col("n_shared").cast("double") / col("n_shingles")).as("overlap_ratio")))
     },
+    "q_dedup_span" -> { (s, dir) =>
+      // Span-level exact dedup (the Dolma/CCNet paragraph-dedup rule,
+      // adapted to the fixtures' newline-free docs): split each doc
+      // into non-overlapping 20-token chunks, a chunk is duplicated if
+      // it occurs verbatim in >1 distinct doc, report per-doc dup
+      // pressure. Doc-level dedup misses boilerplate spans pasted into
+      // otherwise-unique pages; span-level catches them. Chunks join
+      // by md5 (at 100 TB: a 128-bit key, never the span text), the
+      // dup set is a hash-agg over chunk hashes (shuffle = O(chunks)),
+      // and the dup-mark join broadcasts the small dup set.
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), toks().as("t")).filter(size(col("t")) > 0)
+      val ch = t.select(col("doc_id"), explode(expr(
+          "transform(sequence(0, CAST(ceil(size(t) / 20.0) AS INT) - 1)," +
+            " i -> array_join(slice(t, i * 20 + 1, 20), ' '))")).as("span"))
+        .select(col("doc_id"), md5(col("span")).as("h"))
+      val dup = ch.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1).select(col("h"), lit(1).as("dup"))
+      val per = ch.join(broadcast(dup), Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("dup").isNull, 0L).otherwise(1L)).as("n_dup"))
+      ordered(per.filter(col("n_dup") > 0)
+        .select(col("doc_id"), col("n_chunks").cast("long").as("n_chunks"),
+          col("n_dup").cast("long").as("n_dup"),
+          (col("n_dup").cast("double") / col("n_chunks")).as("dup_ratio")))
+    },
     "q_text_vocab_prune" -> { (s, dir) =>
       // Vocabulary-coverage gate — the OOV-ratio quality filter of a
       // training-data pipeline: vocabulary = tokens appearing in
@@ -296,6 +324,20 @@ object Text {
         |  CAST(n_shared AS DOUBLE) / n_shingles AS overlap_ratio
         |FROM per WHERE n_shared > 0""".stripMargin +
         orderByAll("doc_id", "n_shingles", "n_shared", "overlap_ratio")),
+    "q_dedup_span" ->
+      (s"""WITH d AS (SELECT doc_id, $tokSql AS t FROM documents),
+        |ch AS (SELECT doc_id,
+        |    md5(list_aggregate(t[i*20+1 : i*20+20], 'string_agg', ' ')) AS h
+        |  FROM d, unnest(range(0, CAST(ceil(len(t) / 20.0) AS INT))) AS u(i)
+        |  WHERE len(t) > 0),
+        |dup AS (SELECT h FROM ch GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+        |per AS (SELECT doc_id, COUNT(*) AS n_chunks,
+        |    COUNT(*) FILTER (h IN (SELECT h FROM dup)) AS n_dup
+        |  FROM ch GROUP BY doc_id)
+        |SELECT doc_id, n_chunks, n_dup,
+        |  CAST(n_dup AS DOUBLE) / n_chunks AS dup_ratio
+        |FROM per WHERE n_dup > 0""".stripMargin +
+        orderByAll("doc_id", "n_chunks", "n_dup", "dup_ratio")),
     "q_text_vocab_prune" ->
       (s"""WITH tok AS (SELECT doc_id, lang, unnest($tokSql) AS tok FROM documents),
         |nd AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM tok),

@@ -42,6 +42,33 @@ object Time {
         .agg(count(lit(1)).as("n_events"),
           dsum(col("value")).as("sum_value")))
     },
+    "q_time_gap_fill" -> { (s, dir) =>
+      // Time-series densification: per-user hourly resample with the
+      // gaps filled in (the step before any training on regular time
+      // grids / windowed features — missing hours must exist as zero
+      // rows). Each user's spine is generated from its own [min, max]
+      // hour with `sequence` + explode — bounded fan-out (≤ span
+      // hours), no global cross join of users × all hours. One shuffle
+      // for the per-(user, hour) agg, one equi join of spine↔agg on
+      // the same key (co-partitioned). At 100 TB the spine side is
+      // tiny (users × hours) relative to events and the join keys are
+      // already hashed — gap filling never touches the raw event rows
+      // a second time.
+      val e = Tables(s, dir, "events").filter(col("user_id") < 50L)
+        .select(col("user_id"),
+          (expr("CAST(ts AS LONG) DIV 3600") * 3600).as("bucket"),
+          col("value"))
+      val agg = e.groupBy(col("user_id"), col("bucket"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sv"))
+      val spine = e.groupBy(col("user_id"))
+        .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+        .select(col("user_id"),
+          explode(expr("sequence(mn, mx, 3600)")).as("bucket"))
+      ordered(spine.join(agg, Seq("user_id", "bucket"), "left")
+        .select(col("user_id"), col("bucket"),
+          coalesce(col("n"), lit(0L)).cast("long").as("n_events"),
+          coalesce(col("sv"), lit(0.0)).as("sum_value")))
+    },
     "q_sessionize" -> { (s, dir) =>
       // 30-min inactivity-gap sessions per user, batch formulation:
       // lag → gap flag → running sum = session ordinal → group.
@@ -83,6 +110,23 @@ object Time {
         |FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) k
         |GROUP BY 1""".stripMargin +
         orderByAll("bucket_start", "n_events", "sum_value")),
+    "q_time_gap_fill" ->
+      ("""WITH e AS (SELECT user_id,
+        |    (epoch_us(ts)//1000000//3600)*3600 AS bucket, value
+        |  FROM events WHERE user_id < 50),
+        |a AS (SELECT user_id, bucket, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS sv
+        |  FROM e GROUP BY user_id, bucket),
+        |b AS (SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx
+        |  FROM e GROUP BY user_id),
+        |spine AS (SELECT user_id, unnest(generate_series(mn, mx, 3600)) AS bucket
+        |  FROM b),
+        |j AS (SELECT s.user_id AS user_id, s.bucket AS bucket,
+        |    CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events,
+        |    COALESCE(CAST(CAST(a.sv AS VARCHAR) AS DOUBLE), 0.0) AS sum_value
+        |  FROM spine s LEFT JOIN a ON s.user_id = a.user_id AND s.bucket = a.bucket)
+        |SELECT user_id, bucket, n_events, sum_value FROM j""".stripMargin +
+        orderByAll("user_id", "bucket", "n_events", "sum_value")),
     "q_sessionize" ->
       ("""WITH flagged AS (
         |  SELECT user_id, ts, event_id, value,

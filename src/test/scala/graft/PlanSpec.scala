@@ -57,6 +57,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("ScalaUDF"), p)
   }
 
+  test("q_scan_partition_prune resolves the predicate against partition metadata") {
+    val p = planOf("q_scan_partition_prune")
+    val scan = p.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("orders_part")).getOrElse("")
+    // the predicate must land in PartitionFilters (directory pruning),
+    // and the data-file schema must no longer carry the column
+    assert(scan.contains("PartitionFilters: [") &&
+      scan.replaceAll(".*PartitionFilters: \\[", "").takeWhile(_ != ']')
+        .contains("o_orderpriority"), scan)
+    val read = scan.replaceAll(".*ReadSchema: ", "")
+    assert(!read.contains("o_orderpriority"), read)
+  }
+
+  test("q_join_bloom_filtered injects a runtime bloom filter at the probe scan") {
+    val p = planOf("q_join_bloom_filtered")
+    assert(p.contains("might_contain"), s"no runtime bloom filter:\n$p")
+    assert(p.contains("bloom_filter_agg"), s"no bloom build side:\n$p")
+  }
+
   test("dynamic partition pruning fires on the partitioned-sink layout") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
@@ -151,7 +170,8 @@ class PlanSpec extends SparkSpec {
     // raw interval predicate would plan
     for (k <- Seq("q_dedup_near_jaccard", "q_dedup_minhash",
         "q_dedup_simhash", "q_sim_lsh_bucketed",
-        "q_dedup_embed", "q_sim_cosine_topk", "q_join_interval_binned")) {
+        "q_dedup_embed", "q_sim_cosine_topk", "q_join_interval_binned",
+        "q_dedup_span")) {
       val p = planOf(k)
       assert(!p.contains("CartesianProduct"), s"$k plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$k plans a nested-loop join")
