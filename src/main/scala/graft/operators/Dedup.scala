@@ -148,6 +148,40 @@ object Dedup {
     "q_dedup_near_jaccard" -> { (s, dir) =>
       ordered(nearDupPairs(Tables(s, dir, "documents")))
     },
+    "q_dedup_containment" -> { (s, dir) =>
+      // EXACT containment join: |A∩B| / min(|A|,|B|) ≥ 0.9 — the
+      // doc-in-doc rule (quotes, boilerplate, a page embedded in a
+      // larger crawl of itself) that Jaccard structurally misses when
+      // the sizes differ (J = inter/union shrinks as the big side
+      // grows; containment doesn't). Asymmetric prefix filter: only
+      // the PROBE side prunes to its (sz - ceil(0.9·sz) + 1)-prefix,
+      // the index side posts its full shingle set. Recall 1 proof:
+      // for a qualifying pair with A the smaller side, if A's prefix
+      // missed B then all ≥ ceil(0.9|A|) shared shingles sit in A's
+      // last ceil(0.9|A|) - 1 positions — impossible. Probing both
+      // directions only adds candidates; integer-exact verification
+      // (10·inter ≥ 9·min) filters them. Shuffle = O(prefix × df),
+      // never n²; candidates canonicalize via least/greatest.
+      val sh = shingled(Tables(s, dir, "documents"))
+      val pref = sh.select(col("doc_id").as("pa"),
+        explode(call_function("prefix_shingles", col("sh"), lit(9), lit(10))).as("s"))
+      val post = sh.select(col("doc_id").as("pb"), explode(col("sh")).as("s"))
+      val cand = pref.join(post, Seq("s"))
+        .filter(col("pa") =!= col("pb"))
+        .select(least(col("pa"), col("pb")).as("da"),
+          greatest(col("pa"), col("pb")).as("db"))
+        .distinct()
+      val pairs = cand
+        .join(sh.select(col("doc_id").as("da"), col("sh").as("sha"),
+          col("sz").as("sza")), "da")
+        .join(sh.select(col("doc_id").as("db"), col("sh").as("shb"),
+          col("sz").as("szb")), "db")
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("mn", least(col("sza"), col("szb")))
+        .filter(col("inter") * 10 >= col("mn") * 9)
+      ordered(pairs.select(col("da"), col("db"),
+        (col("inter").cast("double") / col("mn")).as("containment")))
+    },
     "q_dedup_minhash" -> { (s, dir) =>
       // Approximate 100 TB path: banded MinHash-LSH candidates, exact
       // Jaccard on survivors. Oracle=omit (LSH recall < 1); DedupSpec
@@ -286,6 +320,17 @@ object Dedup {
         |  COUNT(*) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin +
         orderByAll("content_hash", "keep_id", "n_dups")),
+    "q_dedup_containment" ->
+      // brute-force twin of the asymmetric prefix-filtered join
+      (s"""WITH $shTableSql,
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db,
+        |    len(list_intersect(a.sh, b.sh)) AS inter,
+        |    least(len(a.sh), len(b.sh)) AS mn
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT da, db, CAST(inter AS DOUBLE) / mn AS containment
+        |FROM pairs WHERE inter * 10 >= mn * 9""".stripMargin +
+        orderByAll("da", "db", "containment")),
     "q_dedup_near_jaccard" ->
       // brute-force twin of the prefix-filtered join: integer-exact
       // threshold, double jaccard only in the projection

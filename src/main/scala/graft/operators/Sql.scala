@@ -69,6 +69,37 @@ object Sql {
       |FROM monthly
       |WHERE o_custkey <= 100""".stripMargin
 
+  /** TPC-H-Q5-shaped: revenue by supplier nation where the customer and
+    * supplier share a nation, for two regions and a date range. Plans
+    * as broadcast joins for all four dimension tables + ONE shuffle of
+    * the lineitem fact for the final n_name agg — the canonical
+    * star-schema shape at 100 TB. */
+  private val q5 =
+    """SELECT n_name,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS STRING) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name IN ('ASIA', 'EUROPE')
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY n_name""".stripMargin
+
+  /** TPC-H-Q18-shaped: large-quantity orders via an IN over a grouped
+    * HAVING subquery — decorrelates to a semi join against the
+    * aggregated fact (the aggregate, not the raw rows, crosses the
+    * shuffle). Quantity compared in exact decimal on both engines. */
+  private val q18 =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS total_qty
+      |FROM customer, orders, lineitem
+      |WHERE o_orderkey IN (
+      |    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 250)
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate""".stripMargin
+
   private def run(sql: String): (SparkSession, String) => DataFrame = { (s, dir) =>
     registerViews(s, dir)
     ordered(s.sql(sql))
@@ -76,6 +107,8 @@ object Sql {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sql_tpch_q3" -> run(q3),
+    "q_sql_tpch_q5" -> run(q5),
+    "q_sql_tpch_q18" -> run(q18),
     "q_sql_exists_subquery" -> run(existsBig),
     "q_sql_cte_window" -> run(cteWindow)
   )
@@ -84,6 +117,10 @@ object Sql {
     "q_sql_tpch_q3" ->
       (s"SELECT * FROM ($q3)" +
         orderByAll("l_orderkey", "o_orderdate", "o_orderpriority", "revenue")),
+    "q_sql_tpch_q5" ->
+      (q5 + orderByAll("n_name", "revenue")),
+    "q_sql_tpch_q18" ->
+      (q18 + orderByAll("c_name", "c_custkey", "o_orderkey", "o_orderdate", "total_qty")),
     "q_sql_exists_subquery" ->
       (existsBig + orderByAll("c_custkey", "c_name", "c_acctbal")),
     "q_sql_cte_window" ->

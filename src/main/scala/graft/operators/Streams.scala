@@ -330,10 +330,20 @@ object Streams {
         .write.mode("overwrite").partitionBy("l_returnflag").parquet(in)
       val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
       val targetRows = 40000L
-      val report = for {
+      // Per-partition-dir rewrite jobs submit CONCURRENTLY (each is an
+      // independent Spark job; the scheduler interleaves their stages
+      // across cores) — at 100 TB with thousands of partition dirs
+      // this is the difference between a serial crawl and a saturated
+      // cluster. Futures on a bounded pool, not .par: job count is
+      // I/O-bound fan-out, not CPU work.
+      import scala.concurrent.{Await, Future, ExecutionContext}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(
+        java.util.concurrent.Executors.newFixedThreadPool(4))
+      val jobs = for {
         p <- fs.listStatus(new org.apache.hadoop.fs.Path(in)).toSeq
         if p.isDirectory && p.getPath.getName.contains("=")
-      } yield {
+      } yield Future {
         val pname = p.getPath.getName
         val filesBefore = fs.listStatus(p.getPath)
           .count(_.getPath.getName.endsWith(".parquet"))
@@ -347,6 +357,9 @@ object Streams {
         (pname.substring(pname.indexOf('=') + 1),
           filesBefore.toLong, filesAfter.toLong, n, nAfter)
       }
+      val report =
+        try Await.result(Future.sequence(jobs), Duration.Inf)
+        finally ec.asInstanceOf[java.util.concurrent.ExecutorService].shutdown()
       import s.implicits._
       ordered(report.toDF(
         "l_returnflag", "files_before", "files_after", "rows_before", "rows_after"))
