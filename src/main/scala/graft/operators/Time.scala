@@ -69,6 +69,52 @@ object Time {
           coalesce(col("n"), lit(0L)).cast("long").as("n_events"),
           coalesce(col("sv"), lit(0.0)).as("sum_value")))
     },
+    "q_time_funnel" -> { (s, dir) =>
+      // Ordered funnel (view → click → purchase): each stage counts
+      // users whose FIRST qualifying event is strictly after the
+      // previous stage's first event — the standard product-analytics
+      // conversion funnel. Three conditional-min hash aggs chained by
+      // equi joins on user_id (co-partitioned: one shuffle establishes
+      // the (user) partitioning, the later joins and aggs reuse it);
+      // no window sort, no per-user event collection. At 100 TB this
+      // scales as 3 passes over (user, type, ts) triples with partial
+      // aggs — the alternative single-pass sorted-window formulation
+      // shuffles the same volume but adds a per-user sort.
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          col("ts").cast("long").as("sec"))
+      val v = e.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("sec"))).as("t_view"))
+      val c = v.join(e, "user_id")
+        .groupBy(col("user_id"), col("t_view"))
+        .agg(min(when(col("event_type") === "click" && col("sec") > col("t_view"),
+          col("sec"))).as("t_click"))
+      val p = c.join(e, "user_id")
+        .groupBy(col("user_id"), col("t_view"), col("t_click"))
+        .agg(min(when(col("event_type") === "purchase" && col("sec") > col("t_click"),
+          col("sec"))).as("t_purch"))
+      val counts = p.agg(count(col("t_view")).as("nv"),
+        count(col("t_click")).as("nc"), count(col("t_purch")).as("np"))
+      ordered(counts.selectExpr(
+        "stack(3, 1, 'view', nv, 2, 'click', nc, 3, 'purchase', np) AS (stage, step, n_users)"))
+    },
+    "q_agg_retention" -> { (s, dir) =>
+      // Cohort retention triangle: cohort = a user's first active
+      // epoch-week, cell (cohort, offset) = distinct users from that
+      // cohort active offset weeks later — the growth-accounting
+      // staple. Two hash aggs + one equi join on user_id; the
+      // (user, week) de-dup collapses the event volume FIRST, so the
+      // cohort join moves O(users × active-weeks), not O(events).
+      // All-integer week arithmetic (epoch DIV 604800), exact on both
+      // engines.
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), expr("CAST(ts AS LONG) DIV 604800").as("wk"))
+        .distinct()
+      val first = e.groupBy(col("user_id")).agg(min(col("wk")).as("cohort"))
+      ordered(e.join(first, "user_id")
+        .groupBy(col("cohort"), (col("wk") - col("cohort")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users")))
+    },
     "q_sessionize" -> { (s, dir) =>
       // 30-min inactivity-gap sessions per user, batch formulation:
       // lag → gap flag → running sum = session ordinal → group.
@@ -127,6 +173,36 @@ object Time {
         |  FROM spine s LEFT JOIN a ON s.user_id = a.user_id AND s.bucket = a.bucket)
         |SELECT user_id, bucket, n_events, sum_value FROM j""".stripMargin +
         orderByAll("user_id", "bucket", "n_events", "sum_value")),
+    "q_time_funnel" ->
+      ("""WITH e AS (SELECT user_id, event_type,
+        |    epoch_us(ts)//1000000 AS sec FROM events),
+        |v AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN sec END) AS t_view
+        |  FROM e GROUP BY user_id),
+        |c AS (SELECT v.user_id, v.t_view,
+        |    MIN(CASE WHEN e.event_type = 'click' AND e.sec > v.t_view
+        |        THEN e.sec END) AS t_click
+        |  FROM v JOIN e ON e.user_id = v.user_id GROUP BY v.user_id, v.t_view),
+        |p AS (SELECT c.user_id, c.t_view, c.t_click,
+        |    MIN(CASE WHEN e.event_type = 'purchase' AND e.sec > c.t_click
+        |        THEN e.sec END) AS t_purch
+        |  FROM c JOIN e ON e.user_id = c.user_id
+        |  GROUP BY c.user_id, c.t_view, c.t_click)
+        |SELECT 1 AS stage, 'view' AS step, COUNT(t_view) AS n_users FROM p
+        |UNION ALL
+        |SELECT 2, 'click', COUNT(t_click) FROM p
+        |UNION ALL
+        |SELECT 3, 'purchase', COUNT(t_purch) FROM p""".stripMargin +
+        orderByAll("stage", "step", "n_users")),
+    "q_agg_retention" ->
+      ("""WITH e AS (SELECT DISTINCT user_id,
+        |    epoch_us(ts)//1000000//604800 AS wk FROM events),
+        |f AS (SELECT user_id, MIN(wk) AS cohort FROM e GROUP BY user_id)
+        |SELECT f.cohort, e.wk - f.cohort AS week_offset,
+        |  COUNT(DISTINCT e.user_id) AS n_users
+        |FROM e JOIN f ON e.user_id = f.user_id
+        |GROUP BY f.cohort, e.wk - f.cohort""".stripMargin +
+        orderByAll("cohort", "week_offset", "n_users")),
     "q_sessionize" ->
       ("""WITH flagged AS (
         |  SELECT user_id, ts, event_id, value,
