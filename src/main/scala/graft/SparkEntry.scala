@@ -14,6 +14,7 @@ object SparkEntry {
       (Joins.queries, Joins.oracle),
       (Aggregates.queries, Aggregates.oracle),
       (Grouping.queries, Grouping.oracle),
+      (Quality.queries, Quality.oracle),
       (Windows.queries, Windows.oracle),
       (Scalars.queries, Scalars.oracle),
       (SortsSets.queries, SortsSets.oracle),
