@@ -78,6 +78,19 @@ object Scans {
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
           col("c_acctbal"), col("c_mktsegment")))
     },
+    "q_scan_orc" -> { (s, dir) =>
+      // ORC source twin (the other columnar format Spark ships a
+      // native vectorized reader for): supplier staged as ORC
+      // (mtime-invalidated), read back with predicate + projection
+      // pushed to the ORC reader (same PushedFilters/ReadSchema
+      // contract as parquet). Doubles/longs round-trip bit-exactly —
+      // ORC stores IEEE doubles natively.
+      val staged = stageSupplierOrc(s, dir)
+      val sup = s.read.orc(staged)
+      ordered(sup.filter(col("s_acctbal") > lit(1000.0))
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_nationkey"), col("s_acctbal")))
+    },
     "q_scan_partition_prune" -> { (s, dir) =>
       // Partition-pruned read — THE 100 TB scan primitive: the table
       // laid out hive-style by a low-cardinality column, a predicate on
@@ -115,6 +128,14 @@ object Scans {
         .write.mode("overwrite").csv(staged)
     }
 
+  /** Stage supplier as ORC (mtime-invalidated, [[graft.sources.Stage]]). */
+  private def stageSupplierOrc(s: SparkSession, sfDir: String): String =
+    graft.sources.Stage.once(sfDir, "supplier_orc", "supplier") { staged =>
+      Tables(s, sfDir, "supplier")
+        .repartition(2)
+        .write.mode("overwrite").orc(staged)
+    }
+
   /** Stage orders hive-partitioned by o_orderpriority (mtime-invalidated). */
   private def stageOrdersPartitioned(s: SparkSession, sfDir: String): String =
     graft.sources.Stage.once(sfDir, "orders_part", "orders") { staged =>
@@ -133,6 +154,10 @@ object Scans {
     }
 
   def oracle: Map[String, String] = Map(
+    "q_scan_orc" ->
+      ("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier WHERE s_acctbal > 1000.0""".stripMargin +
+        orderByAll("s_suppkey", "s_name", "s_nationkey", "s_acctbal")),
     "q_scan_partition_prune" ->
       ("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin +
