@@ -70,6 +70,19 @@ class PlanSpec extends SparkSpec {
     assert(!read.contains("o_orderpriority"), read)
   }
 
+  test("q_scan_orc pushes the predicate to the ORC reader") {
+    val p = planOf("q_scan_orc")
+    val scan = p.linesIterator.find(_.contains("FileScan orc")).getOrElse("")
+    assert(scan.contains("PushedFilters: [") &&
+      scan.contains("GreaterThan(s_acctbal"), scan)
+  }
+
+  test("q_profile_table profiles every column in ONE scan") {
+    val p = planOf("q_profile_table")
+    val scans = p.linesIterator.count(_.contains("FileScan"))
+    assert(scans == 1, s"expected a single-pass profile, got $scans scans:\n$p")
+  }
+
   test("q_join_bloom_filtered injects a runtime bloom filter at the probe scan") {
     val p = planOf("q_join_bloom_filtered")
     assert(p.contains("might_contain"), s"no runtime bloom filter:\n$p")
