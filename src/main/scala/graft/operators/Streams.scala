@@ -103,6 +103,31 @@ object Streams {
         countDistinct(col("date")).as("n_days")))
     },
 
+    // Stream-static enrichment — the most common production streaming
+    // join: each micro-batch of the event stream joins a STATIC
+    // dimension (re-read per batch, broadcast to the stream side). No
+    // stream state, no watermark: an inner equi join against a static
+    // side is stateless, so this scales with the dimension's broadcast
+    // size, not with stream history. The streaming half stays pure
+    // enrichment (append parquet sink); the summary agg runs on the
+    // sink read-back — which makes this streaming key ORACLE-CHECKED,
+    // not just equivalence-tested: the enriched rows are exact.
+    "s_stream_enrich" -> { (s, dir) => withShufflePartitions(s, 8) {
+      val out = tmp("enrich_out"); val ck = tmp("enrich_ck")
+      val dim = broadcast(Tables(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment")))
+      val q = EventSource.FileStream.load(s, dir)
+        .join(dim, "user_id")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ordered(s.read.parquet(out).groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("sum_value")))
+    }},
+
     // B9: tumbling-window streaming aggregation with watermark, Append
     // mode; equivalence vs q_time_tumbling asserted in StreamingSpec.
     "s_stream_tumbling" -> { (s, dir) => withShufflePartitions(s, 8) {
@@ -429,5 +454,15 @@ object Streams {
   }
 
   /** All streaming keys are oracle-omit (driver records rows-only). */
-  def oracle: Map[String, String] = Map.empty
+  def oracle: Map[String, String] = Map(
+    // the one oracle-checked streaming key: stateless enrichment sinks
+    // exact rows, so the read-back aggregate is engine-comparable
+    "s_stream_enrich" ->
+      ("""SELECT c_mktsegment, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY c_mktsegment""".stripMargin +
+        graft.functions.Det.orderByAll("c_mktsegment", "n_events", "n_users", "sum_value"))
+  )
 }
