@@ -98,6 +98,25 @@ object Dedup {
     * (Kiveris et al., public algorithm) — same per-round plan shape. */
   def dedupClusters(d: DataFrame): DataFrame = {
     val pairs = nearDupPairs(d).select(col("da"), col("db"))
+    // The propagation loop iterates over the EDGE set, which is tiny
+    // by construction (near-dup pairs are the anomaly), so the rounds
+    // run with a fan-out sized to the graph instead of inheriting the
+    // session's batch-tuned shuffle partitions — per-round cost is
+    // then real work, not empty-partition scheduling. (Locally the
+    // pair join dominates this key's wall clock; the scoping matters
+    // at cluster fan-outs — thousands of partitions × rounds — not at
+    // 32.) Conf is read per job and restored in finally. At 100 TB
+    // the knob is sized to |edges|, which the pair join just computed.
+    val s = d.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val saved = s.conf.get(key)
+    try {
+      s.conf.set(key, "4")
+      dedupClustersLoop(d, pairs)
+    } finally s.conf.set(key, saved)
+  }
+
+  private def dedupClustersLoop(d: DataFrame, pairs: DataFrame): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("db").as("da"), col("da").as("db"))
         .select(col("da"), col("db")))
