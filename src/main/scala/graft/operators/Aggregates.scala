@@ -123,6 +123,22 @@ object Aggregates {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           count(lit(1)).as("n")))
     },
+    "q_agg_mode" -> { (s, dir) =>
+      // Deterministic statistical mode per group: Spark's mode() picks
+      // an ARBITRARY value on frequency ties, so build it from counts
+      // + max_by over a (count, -value) struct — largest count, then
+      // SMALLEST value as the tie-break, reproducible on both engines.
+      // Two chained hash aggs (value-level counts, then per-group
+      // argmax) — no window sort; at 100 TB the first agg's partial
+      // combine collapses the value space map-side.
+      val li = Tables(s, dir, "lineitem")
+      val counts = li.groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      ordered(counts.groupBy(col("l_returnflag"))
+        .agg(max_by(col("l_quantity"),
+            struct(col("cnt"), (-col("l_quantity")).as("neg"))).as("mode_qty"),
+          max(col("cnt")).as("n_occurrences")))
+    },
     "q_agg_bitmap_distinct" -> { (s, dir) =>
       // EXACT distinct counting via bitmap partials (the Druid /
       // ClickHouse / Snowflake BITMAP_COUNT technique): user ids are
@@ -183,6 +199,14 @@ object Aggregates {
 
   def oracle: Map[String, String] = Map(
     "q_agg_group_pricing" -> pricingOracle,
+    "q_agg_mode" ->
+      ("""WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
+        |  FROM lineitem GROUP BY l_returnflag, l_quantity)
+        |SELECT l_returnflag, l_quantity AS mode_qty, cnt AS n_occurrences
+        |FROM c
+        |QUALIFY row_number() OVER (PARTITION BY l_returnflag
+        |  ORDER BY cnt DESC, l_quantity ASC) = 1""".stripMargin +
+        orderByAll("l_returnflag", "mode_qty", "n_occurrences")),
     "q_agg_bitmap_distinct" ->
       ("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
         |  COUNT(*) AS n_events
