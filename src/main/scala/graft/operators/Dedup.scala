@@ -97,23 +97,23 @@ object Dedup {
     * round count is cut further with large-star/small-star contraction
     * (Kiveris et al., public algorithm) — same per-round plan shape. */
   def dedupClusters(d: DataFrame): DataFrame = {
+    // MATERIALIZE the pair join first, at the session's batch fan-out:
+    // it is the expensive half (the full prefix-filtered similarity
+    // join), and the eager checkpoint pins its result so the scoped
+    // fan-out below cannot capture it through lazy re-planning.
     val pairs = nearDupPairs(d).select(col("da"), col("db"))
-    // The propagation loop iterates over the EDGE set, which is tiny
-    // by construction (near-dup pairs are the anomaly), so the rounds
-    // run with a fan-out sized to the graph instead of inheriting the
-    // session's batch-tuned shuffle partitions — per-round cost is
-    // then real work, not empty-partition scheduling. (Locally the
-    // pair join dominates this key's wall clock; the scoping matters
-    // at cluster fan-outs — thousands of partitions × rounds — not at
-    // 32.) Conf is read per job and restored in finally. At 100 TB
-    // the knob is sized to |edges|, which the pair join just computed.
-    val s = d.sparkSession
-    val key = "spark.sql.shuffle.partitions"
-    val saved = s.conf.get(key)
-    try {
-      s.conf.set(key, "4")
+      .localCheckpoint(true)
+    // The propagation loop then iterates over the EDGE set, which is
+    // tiny by construction (near-dup pairs are the anomaly), so the
+    // rounds run with a fan-out sized to the graph instead of the
+    // session's batch tuning — per-round cost is real work, not
+    // empty-partition scheduling. (The scoping matters at cluster
+    // fan-outs — thousands of partitions × rounds — more than at 32.)
+    // At 100 TB the knob is sized to |edges|, just computed above.
+    graft.Confs.withConfs(d.sparkSession,
+        "spark.sql.shuffle.partitions" -> "4") {
       dedupClustersLoop(d, pairs)
-    } finally s.conf.set(key, saved)
+    }
   }
 
   private def dedupClustersLoop(d: DataFrame, pairs: DataFrame): DataFrame = {

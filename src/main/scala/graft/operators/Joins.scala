@@ -213,12 +213,9 @@ object Joins {
       // the bloom filter is semantics-preserving so the output is
       // byte-identical either way. PlanSpec asserts might_contain sits
       // on the probe-side scan.
-      val keys = Seq(
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
-        "spark.sql.autoBroadcastJoinThreshold")
-      val saved = keys.map(k => k -> s.conf.getOption(k))
-      keys.zip(Seq("0", "-1")).foreach { case (k, v) => s.conf.set(k, v) }
-      try {
+      graft.Confs.withConfs(s,
+          "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+          "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
         val o = Tables(s, dir, "orders")
           .filter(col("o_orderpriority") === "1-URGENT" &&
             col("o_totalprice") < 30000.0)
@@ -231,9 +228,6 @@ object Joins {
             dsum(col("l_extendedprice")).as("sum_price")))
         out.queryExecution.executedPlan // force planning under the scoped confs
         out
-      } finally saved.foreach {
-        case (k, Some(v)) => s.conf.set(k, v)
-        case (k, None)    => s.conf.unset(k)
       }
     },
     "q_join_multiway" -> { (s, dir) =>

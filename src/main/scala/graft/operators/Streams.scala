@@ -18,9 +18,11 @@ import graft.streaming.StatefulSession.Ev
   * Every key here RUNS a real streaming query to completion
   * (Trigger.AvailableNow / MemoryStream micro-batches + checkpoint)
   * and returns the materialized result as a batch DataFrame, so the
-  * driver's Verify can persist it. Oracle=omit for all (streaming
-  * execution isn't DuckDB-expressible); stream-vs-batch equivalence is
-  * asserted in StreamingSpec against the q_time_* batch twins.
+  * driver's Verify can persist it. Oracle=omit for the stateful keys
+  * (streaming execution isn't DuckDB-expressible; stream-vs-batch
+  * equivalence is asserted in StreamingSpec against the q_time_* batch
+  * twins) — except s_stream_enrich, whose stateless sink rows are
+  * exact and therefore oracle-checked like a batch key.
   */
 object Streams {
 
@@ -37,12 +39,8 @@ object Streams {
     * these state sizes. The partitioning is captured when the streaming
     * query STARTS, so scoping the conf around the run is sound; at
     * 100 TB the same knob is sized to the state volume instead. */
-  private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, n.toString)
-    try body finally s.conf.set(key, prev)
-  }
+  private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A =
+    graft.Confs.withConfs(s, "spark.sql.shuffle.partitions" -> n.toString)(body)
 
   /** Deterministic, (ts, event_id)-sorted typed events for
     * MemoryStream feeding. */
@@ -453,7 +451,8 @@ object Streams {
       quarantine = false, keep = Seq("offset"))
   }
 
-  /** All streaming keys are oracle-omit (driver records rows-only). */
+  /** Stateful streaming keys are oracle-omit (driver records
+    * rows-only); stateless enrichment is exact and oracle-checked. */
   def oracle: Map[String, String] = Map(
     // the one oracle-checked streaming key: stateless enrichment sinks
     // exact rows, so the read-back aggregate is engine-comparable
