@@ -70,6 +70,21 @@ class PlanSpec extends SparkSpec {
     assert(!read.contains("o_orderpriority"), read)
   }
 
+  test("Confs.withConfs restores previously-unset keys to unset and survives throws") {
+    val k = "spark.graft.test.scopedconf"
+    assert(spark.conf.getOption(k).isEmpty)
+    graft.Confs.withConfs(spark, k -> "inner") {
+      assert(spark.conf.get(k) == "inner")
+    }
+    assert(spark.conf.getOption(k).isEmpty, "unset key must be unset again, not pinned")
+    spark.conf.set(k, "outer")
+    intercept[RuntimeException] {
+      graft.Confs.withConfs(spark, k -> "inner") { throw new RuntimeException("boom") }
+    }
+    assert(spark.conf.get(k) == "outer", "restore must run when body throws")
+    spark.conf.unset(k)
+  }
+
   test("q_scan_orc pushes the predicate to the ORC reader") {
     val p = planOf("q_scan_orc")
     val scan = p.linesIterator.find(_.contains("FileScan orc")).getOrElse("")
