@@ -85,6 +85,36 @@ object Text {
           col("n_shared").cast("long").as("n_shared"),
           (col("n_shared").cast("double") / col("n_shingles")).as("overlap_ratio")))
     },
+    "q_text_pack" -> { (s, dir) =>
+      // Sequence packing — the step between a cleaned corpus and a
+      // training dataloader: documents are packed into fixed
+      // token-budget bins (2048 here) so batches waste no padding.
+      // Deterministic contiguous packing: docs are sharded by id,
+      // ordered within shard, and a doc joins the bin its CUMULATIVE
+      // token offset falls in (offset DIV budget) — exact integer
+      // arithmetic, reproducible across engines/runs/layouts. The
+      // window sort is PER SHARD (partitionBy), so at 100 TB
+      // parallelism = #shards and no global sort exists; the report
+      // aggregates per bin (fill level, doc range) — the packing
+      // quality signal.
+      val budget = 2048L
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), (col("doc_id") % 8).as("shard"),
+          size(toks()).cast("long").as("n_tok"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("shard")).orderBy(col("doc_id"))
+      val packed = t
+        .withColumn("cum_before",
+          coalesce(sum(col("n_tok")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+            lit(0L)))
+        .withColumn("bin", expr(s"cum_before DIV $budget"))
+      ordered(packed.groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).cast("long").as("n_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc")))
+    },
     "q_dedup_span" -> { (s, dir) =>
       // Span-level exact dedup (the Dolma/CCNet paragraph-dedup rule,
       // adapted to the fixtures' newline-free docs): split each doc
@@ -324,6 +354,19 @@ object Text {
         |  CAST(n_shared AS DOUBLE) / n_shingles AS overlap_ratio
         |FROM per WHERE n_shared > 0""".stripMargin +
         orderByAll("doc_id", "n_shingles", "n_shared", "overlap_ratio")),
+    "q_text_pack" ->
+      (s"""WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |    len($tokSql) AS n_tok FROM documents),
+        |p AS (SELECT shard, doc_id, n_tok,
+        |    COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT shard, CAST(cum_before // 2048 AS BIGINT) AS bin,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM p GROUP BY shard, CAST(cum_before // 2048 AS BIGINT)""".stripMargin +
+        orderByAll("shard", "bin", "n_docs", "n_tokens", "first_doc", "last_doc")),
     "q_dedup_span" ->
       (s"""WITH d AS (SELECT doc_id, $tokSql AS t FROM documents),
         |ch AS (SELECT doc_id,
