@@ -15,6 +15,15 @@ run / fork := true
 // parses the LAST stdout line as JSON, and sbt's success trailer after
 // graft.Bench's output line broke that parse in round 1.
 Global / showSuccess := false
+// Forked `run` output must reach stdout VERBATIM: sbt's default
+// LoggedOutput strategy prefixes every forked line with "[info] "
+// (stderr with "[error] "), which made the bench JSON line unparseable
+// in rounds 1-3 (BENCH_r03 tail shows `[info] {...}`, parsed=null).
+// StdoutOutput passes the child's stdout/stderr straight through.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// showSuccess is consumed by the command engine, not a task — lint
+// can't see that; runMain inherits Compile/run's outputStrategy.
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

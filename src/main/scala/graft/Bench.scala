@@ -1,6 +1,23 @@
 package graft
+import java.util.Locale
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** Locale-stable 3-decimal format: f"$v%.3f" uses the JVM default
+    * locale and emits `1,234` under comma-decimal locales (de_DE, ...),
+    * which is invalid JSON and breaks the driver parse. */
+  private def num(v: Double): String =
+    String.format(Locale.ROOT, "%.3f", Double.box(v))
+
+  /** `queries` may be a headline subset of the full run; `value` is
+    * always the total across ALL keys and `count` says how many ran. */
+  private def jsonLine(rs: Map[String, Double], total: Double, count: Int, sfDir: String): String = {
+    val qs = rs.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","count":$count,"queries":$qs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,29 +35,30 @@ object Bench {
       System.err.println(f"[bench] $name%-28s $sec%8.2fs")
       name -> sec
     }.toMap
-    def jsonLine(rs: Map[String, Double]): String = {
-      val qs = rs.toSeq.sortBy(_._1)
-        .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-        .mkString("{", ",", "}")
-      val total = if (results.nonEmpty) results.values.sum else 0.0
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    }
+    val total = results.values.sum
     // Full per-key map goes to the sidecar file only: the driver captures
-    // a bounded tail of stdout (BENCH_r01/r02 both show a 2000-char tail
-    // with parsed=null — the 132-key map made the final line ~5 KB, so the
-    // line STARTED before the tail window and never parsed). The stdout
-    // line therefore carries the total plus a fixed headline subset and
-    // must stay well under that window.
+    // a bounded tail of stdout, and the 132-key map made the final line
+    // ~5 KB — it started before the tail window and never parsed. The
+    // stdout line carries the total plus a fixed headline subset.
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH.json"), jsonLine(results) + "\n")
+      java.nio.file.Paths.get("BENCH.json"),
+      jsonLine(results, total, results.size, sfDir) + "\n")
     catch { case _: Throwable => () }
     val headline = Seq(
       "q_agg_group_pricing", "q_scan_filter_pushdown", "q_join_multiway",
       "q_sql_tpch_q3", "q_win_topk_group", "q_sessionize",
       "q_dedup_near_jaccard", "q_dedup_minhash", "q_sim_lsh_bucketed",
       "q_text_tfidf", "q_time_tumbling", "s_ingest_availablenow")
-    val compact = jsonLine(results.view.filterKeys(headline.contains).toMap)
-    require(compact.length < 1800, s"bench line too long: ${compact.length}")
+    val withQueries =
+      jsonLine(results.view.filterKeys(headline.contains).toMap, total, results.size, sfDir)
+    // Never throw on overflow: a too-long line degrades to total-only
+    // (still driver-parseable) rather than rc!=0 with no stdout JSON.
+    val compact =
+      if (withQueries.length < 1800) withQueries
+      else {
+        System.err.println(s"[bench] headline line too long (${withQueries.length}), emitting total-only")
+        jsonLine(Map.empty, total, results.size, sfDir)
+      }
     spark.stop()
     // JSON is the LAST stdout line: after spark.stop() (Spark logs go to
     // stderr, but stop before printing anyway), explicitly flushed.
