@@ -201,6 +201,91 @@ object Text {
           length(col("txt")).cast("long").as("len_before"),
           length(col("redacted")).cast("long").as("len_after")))
     },
+    "q_text_repetition" -> { (s, dir) =>
+      // Repetition quality gate (the Gopher/MassiveText rules):
+      // duplicate-token fraction and top-2-gram fraction per doc, with
+      // a keep/drop verdict. All counts are exact integers and the
+      // fractions integer-ratio doubles — oracle-exact. Plan: one
+      // row-local pass for token stats (narrow), one explode →
+      // two-level hash agg for the per-doc top 2-gram (map-side
+      // partials collapse each partition's gram stream first, so the
+      // shuffled volume is per-doc distinct grams, never the corpus);
+      // the rejoin is on doc_id — at 100 TB both sides are
+      // pre-partitioned by doc_id and the join co-locates.
+      val d = Tables(s, dir, "documents")
+      val t = d.select(col("doc_id"), toks().as("tk"))
+        .withColumn("n_tok", size(col("tk")).cast("long"))
+        .withColumn("n_distinct", size(array_distinct(col("tk"))).cast("long"))
+      val grams = t.select(col("doc_id"), explode(expr(
+        "zip_with(slice(tk, 1, greatest(size(tk) - 1, 0)), " +
+          "slice(tk, 2, greatest(size(tk) - 1, 0)), " +
+          "(a, b) -> concat(a, ' ', b))")).as("g"))
+      val top = grams.groupBy(col("doc_id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("c")).as("top2_cnt"), sum(col("c")).as("n_grams"))
+      val r = t.join(top, Seq("doc_id"), "left")
+        .withColumn("top2_cnt", coalesce(col("top2_cnt"), lit(0L)).cast("long"))
+        .withColumn("dup_frac",
+          (col("n_tok") - col("n_distinct")).cast("double") / col("n_tok"))
+        .withColumn("top2_frac",
+          when(coalesce(col("n_grams"), lit(0L)) === 0L, lit(0.0))
+            .otherwise(col("top2_cnt").cast("double") / col("n_grams")))
+      ordered(r.select(col("doc_id"), col("n_tok"), col("n_distinct"),
+        col("top2_cnt"), col("dup_frac"), col("top2_frac"),
+        when(col("dup_frac") <= 0.55 && col("top2_frac") <= 0.05, 1L)
+          .otherwise(0L).as("keep")))
+    },
+    "q_text_html_strip" -> { (s, dir) =>
+      // Markup stripping — the boilerplate-removal step of a web-crawl
+      // pipeline. Fixtures are plain text, so the key first wraps each
+      // doc in a deterministic HTML envelope (title, <p>, an <a> link)
+      // — making the strip measurable and self-checking: `recovered`
+      // proves the tag scrub returns exactly the envelope's payload.
+      // Tag regex is `<[^>]*>` (character class + star — identical in
+      // Java regex and RE2/DuckDB; the oracle needs the 'g' flag).
+      // Narrow map stage: zero shuffle beyond the presentation sort.
+      val d = Tables(s, dir, "documents")
+        .withColumn("html", concat(
+          lit("<html><head><title>"), col("source"), lit(" #"), col("doc_id"),
+          lit("</title></head><body><p class=\"doc\">"), col("text"),
+          lit("</p><br/><a href=\"https://"), col("source"),
+          lit(".example.com/doc/"), col("doc_id"),
+          lit("\">link</a></body></html>")))
+      val clean = trim(regexp_replace(
+        regexp_replace(col("html"), "<[^>]*>", " "), " +", " "))
+      val expected = concat(col("source"), lit(" #"), col("doc_id"),
+        lit(" "), col("text"), lit(" link"))
+      ordered(d.withColumn("clean", clean)
+        .select(col("doc_id"),
+          length(col("html")).cast("long").as("len_html"),
+          length(col("clean")).cast("long").as("len_clean"),
+          regexp_extract(col("html"), "<title>([^<]*)</title>", 1).as("title"),
+          regexp_extract(col("html"), "href=\"https?://([^/\"]+)", 1)
+            .as("link_domain"),
+          when(col("clean") === expected, 1L).otherwise(0L).as("recovered")))
+    },
+    "q_text_url_filter" -> { (s, dir) =>
+      // Domain blocklist filter — the URL-level source gate of a crawl
+      // pipeline: derive each doc's origin URL (deterministically
+      // manufactured from `source`, as the fixtures carry no URLs),
+      // extract the domain by regex, drop blocklisted domains with a
+      // BROADCAST anti-join, report per-domain survivors. The
+      // blocklist is driver-side tiny (real ones are ~1e5 rows — still
+      // broadcast-sized); the corpus never shuffles for the filter,
+      // only for the per-domain report agg.
+      import s.implicits._
+      val blocked = Seq("src3.example.com", "src7.example.com",
+        "src13.example.com").toDF("domain")
+      val d = Tables(s, dir, "documents")
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/docs/"), pmod(col("doc_id"), lit(50L))))
+        .withColumn("domain", regexp_extract(col("url"), "https?://([^/]+)/", 1))
+      val kept = d.join(broadcast(blocked), Seq("domain"), "left_anti")
+      ordered(kept.groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(toks())).cast("long").as("n_tokens")))
+    },
     "q_sample_stratified" -> { (s, dir) =>
       // Stratified downsample — rebalancing a skewed corpus before
       // training (majority stratum kept at ~25%, the rest at ~75%).
@@ -420,6 +505,75 @@ object Text {
         |  CAST(length(redacted) AS BIGINT) AS len_after
         |FROM r""".stripMargin +
         orderByAll("doc_id", "n_email", "n_phone", "len_before", "len_after")),
+    "q_text_repetition" ->
+      ("""WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct,
+        |    list_transform(range(1, len(tk)),
+        |      i -> tk[i] || ' ' || tk[i + 1]) AS grams
+        |  FROM t),
+        |g AS (SELECT doc_id, unnest(grams) AS g FROM m),
+        |c AS (SELECT doc_id, g, COUNT(*) AS c FROM g GROUP BY 1, 2),
+        |top AS (
+        |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top2_cnt,
+        |    CAST(SUM(c) AS BIGINT) AS n_grams
+        |  FROM c GROUP BY 1),
+        |r AS (
+        |  SELECT m.doc_id, m.n_tok, m.n_distinct,
+        |    COALESCE(top.top2_cnt, 0) AS top2_cnt,
+        |    CAST(m.n_tok - m.n_distinct AS DOUBLE) / m.n_tok AS dup_frac,
+        |    CASE WHEN COALESCE(top.n_grams, 0) = 0 THEN 0.0
+        |      ELSE CAST(top.top2_cnt AS DOUBLE) / top.n_grams
+        |    END AS top2_frac
+        |  FROM m LEFT JOIN top ON m.doc_id = top.doc_id)
+        |SELECT doc_id, n_tok, n_distinct, top2_cnt, dup_frac, top2_frac,
+        |  CAST(CASE WHEN dup_frac <= 0.55 AND top2_frac <= 0.05
+        |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM r""".stripMargin +
+        orderByAll("doc_id", "n_tok", "n_distinct", "top2_cnt",
+          "dup_frac", "top2_frac", "keep")),
+    "q_text_html_strip" ->
+      ("""WITH h AS (
+        |  SELECT doc_id, source, text,
+        |    '<html><head><title>' || source || ' #' || CAST(doc_id AS VARCHAR)
+        |    || '</title></head><body><p class="doc">' || text
+        |    || '</p><br/><a href="https://' || source || '.example.com/doc/'
+        |    || CAST(doc_id AS VARCHAR) || '">link</a></body></html>' AS html
+        |  FROM documents),
+        |s AS (
+        |  SELECT *, trim(regexp_replace(
+        |    regexp_replace(html, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')) AS clean
+        |  FROM h)
+        |SELECT doc_id,
+        |  CAST(length(html) AS BIGINT) AS len_html,
+        |  CAST(length(clean) AS BIGINT) AS len_clean,
+        |  regexp_extract(html, '<title>([^<]*)</title>', 1) AS title,
+        |  regexp_extract(html, 'href="https?://([^/"]+)', 1) AS link_domain,
+        |  CAST(CASE WHEN clean = source || ' #' || CAST(doc_id AS VARCHAR)
+        |    || ' ' || text || ' link' THEN 1 ELSE 0 END AS BIGINT) AS recovered
+        |FROM s""".stripMargin +
+        orderByAll("doc_id", "len_html", "len_clean", "title",
+          "link_domain", "recovered")),
+    "q_text_url_filter" ->
+      ("""WITH u AS (
+        |  SELECT *, 'https://' || source || '.example.com/docs/'
+        |    || CAST(doc_id % 50 AS VARCHAR) AS url
+        |  FROM documents),
+        |e AS (
+        |  SELECT *, regexp_extract(url, 'https?://([^/]+)/', 1) AS domain
+        |  FROM u)
+        |SELECT domain, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(list_filter(string_split(text, ' '),
+        |    t -> t <> ''))) AS BIGINT) AS n_tokens
+        |FROM e
+        |WHERE domain NOT IN
+        |  ('src3.example.com', 'src7.example.com', 'src13.example.com')
+        |GROUP BY domain""".stripMargin +
+        orderByAll("domain", "n_docs", "n_tokens")),
     "q_sample_stratified" ->
       ("""WITH k AS (
         |  SELECT lang,
