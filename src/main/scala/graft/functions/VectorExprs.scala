@@ -215,6 +215,61 @@ case class EuclideanDistance(left: Expression, right: Expression)
   * 100 TB posture: the ANN join shuffles (table, band-key) only —
   * O(n·tables) rows — and scores just bucket-colliding candidates
   * with the codegen distance kernels. */
+/** Fixed-point squared L2 distance: Σᵢ floor((xᵢ−yᵢ)²·1e12) as a LONG.
+  * Each term is an IEEE-identical double in any engine (same inputs,
+  * same op sequence), and the floor-quantized terms sum as exact
+  * integers — so the total is partition-order-independent and
+  * bit-reproducible cross-engine, unlike a raw double Σ(x−y)².
+  * Distance COMPARISONS (k-means argmin, k-NN ranking) only need the
+  * order, which quantization at 1e-12 granularity preserves far below
+  * input precision. DuckDB twin:
+  * `list_sum(list_transform(range(1,n+1), i ->
+  *    CAST(FLOOR((a[i]-b[i])*(a[i]-b[i])*1e12) AS BIGINT)))`. */
+case class L2DistQ(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "l2_dist_q"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n)
+      throw new IllegalArgumentException(
+        s"l2_dist_q: dimension mismatch ($n vs ${y.numElements()})")
+    var acc = 0L; var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      acc += math.floor(d * d * 1e12).toLong; i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc"); val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  throw new IllegalArgumentException(
+         |    "l2_dist_q: dimension mismatch (" + $n + " vs " + $b.numElements() + ")");
+         |}
+         |long $acc = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $acc += (long) java.lang.Math.floor($d * $d * 1.0e12);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2DistQ =
+    copy(left = newLeft, right = newRight)
+}
+
 case class SrpSignature(child: Expression, tables: Int, bits: Int)
     extends UnaryExpression {
 
@@ -461,6 +516,9 @@ object VectorExprs {
       "built-in")
     reg.createOrReplaceTempFunction(
       "euclidean_dist", (args: Seq[Expression]) => EuclideanDistance(args.head, args(1)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "l2_dist_q", (args: Seq[Expression]) => L2DistQ(args.head, args(1)),
       "built-in")
     def asInt(e: Expression): Int = e.eval(null) match {
       case i: Int => i; case l: Long => l.toInt

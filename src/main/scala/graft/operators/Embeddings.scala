@@ -62,6 +62,58 @@ object Embeddings {
         .select(col("vec_id"), col("scale"),
           array_join(col("q").cast("array<string>"), ",").as("q_csv"),
           size(filter(col("q"), x => abs(x) === lit(127))).cast("long").as("n_sat")))
+    },
+    "q_embed_kmeans" -> { (s, dir) =>
+      // Distributed Lloyd k-means (k=8, two unrolled iterations) —
+      // the coarse-quantizer / corpus-clustering step behind IVF
+      // indexes and balanced data mixes. Deterministic everywhere:
+      // init = the k lowest vec_ids; distances are the codegen
+      // l2_dist_q expression (fixed-point Σ floor((x−y)²·1e12) —
+      // exact integers, so argmin order is engine- and partition-
+      // order-independent); centroid means go through the same
+      // 1e-7 fixed-point trick as q_embed_centroid.
+      //
+      // 100 TB posture (the MLlib shape, in pure Catalyst): the k
+      // centroids are packed into ONE broadcast row and assignment is
+      // a narrow map — transform+array_min over the centroid array,
+      // all inside codegen, NO shuffle of the corpus. Only the
+      // centroid recompute shuffles, and map-side partials collapse
+      // it to k·dim rows per partition first. Iterations scale
+      // linearly; k scales to ~1e5 before the broadcast row matters.
+      graft.functions.VectorExprs.register(s)
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      def assign(cents: DataFrame): DataFrame = {
+        val packed = cents.agg(
+          expr("array_sort(collect_list(struct(cid, cv)))").as("cs"))
+        e.crossJoin(broadcast(packed))
+          .withColumn("best", expr(
+            "array_min(transform(cs, c -> named_struct(" +
+              "'dq', l2_dist_q(v, c.cv), 'cid', c.cid)))"))
+          .select(col("vec_id"), col("v"),
+            col("best.cid").as("cid"), col("best.dq").as("dist_q"))
+      }
+      def recompute(asg: DataFrame): DataFrame =
+        asg.select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+          .withColumn("xq", floor(col("x") * lit(1e7)).cast("long"))
+          .groupBy(col("cid"), col("dim"))
+          .agg(count(lit(1)).as("n"), sum(col("xq")).as("sq"))
+          .withColumn("c", col("sq").cast("double") / lit(1e7) / col("n"))
+          .groupBy(col("cid"))
+          .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
+            .as("cv"))
+      val init = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+      val c1 = recompute(assign(init))
+      val a2 = assign(c1)
+      val cent = c1.select(col("cid"), expr(
+        "array_join(transform(cv, x -> CAST(CAST(floor(x * 1e7) AS BIGINT) AS STRING)), ',')")
+        .as("centroid_q_csv"))
+      ordered(a2.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("dist_q")).cast("long").as("distortion_q"),
+          min(col("vec_id")).as("first_vec"))
+        .join(broadcast(cent), Seq("cid")))
     }
   )
 
@@ -90,6 +142,54 @@ object Embeddings {
         |SELECT vec_id, scale, array_to_string(qv, ',') AS q_csv,
         |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
         |FROM q""".stripMargin +
-        orderByAll("vec_id", "scale", "q_csv", "n_sat"))
+        orderByAll("vec_id", "scale", "q_csv", "n_sat")),
+    "q_embed_kmeans" ->
+      ("""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |init AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),
+        |d1 AS (
+        |  SELECT e.vec_id, e.v, i.cid,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      j -> CAST(FLOOR((e.v[j] - i.cv[j]) * (e.v[j] - i.cv[j]) * 1e12)
+        |        AS BIGINT))) AS BIGINT) AS dq
+        |  FROM e CROSS JOIN init i),
+        |a1 AS (
+        |  SELECT vec_id, v, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dq, cid) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |cd AS (
+        |  SELECT cid, u.j AS dim, COUNT(*) AS n,
+        |    CAST(SUM(CAST(FLOOR(v[u.j] * 1e7) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM a1, (SELECT unnest(range(1, 65)) AS j) u
+        |  GROUP BY cid, u.j),
+        |c1 AS (
+        |  SELECT cid, list(CAST(sq AS DOUBLE) / 1e7 / n ORDER BY dim) AS cv
+        |  FROM cd GROUP BY cid),
+        |d2 AS (
+        |  SELECT e.vec_id, c.cid,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      j -> CAST(FLOOR((e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j]) * 1e12)
+        |        AS BIGINT))) AS BIGINT) AS dq
+        |  FROM e CROSS JOIN c1 c),
+        |a2 AS (
+        |  SELECT vec_id, cid, dq FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dq, cid) AS rn
+        |    FROM d2) WHERE rn = 1),
+        |cent AS (
+        |  SELECT cid, array_to_string(list_transform(cv,
+        |    x -> CAST(CAST(FLOOR(x * 1e7) AS BIGINT) AS VARCHAR)), ',')
+        |    AS centroid_q_csv
+        |  FROM c1),
+        |fin AS (
+        |  SELECT a2.cid, COUNT(*) AS n_points,
+        |    CAST(SUM(dq) AS BIGINT) AS distortion_q,
+        |    MIN(vec_id) AS first_vec, cent.centroid_q_csv
+        |  FROM a2 JOIN cent ON a2.cid = cent.cid
+        |  GROUP BY a2.cid, cent.centroid_q_csv)
+        |SELECT cid, n_points, distortion_q, first_vec, centroid_q_csv
+        |FROM fin""".stripMargin +
+        orderByAll("cid", "n_points", "distortion_q", "first_vec",
+          "centroid_q_csv"))
   )
 }
