@@ -123,6 +123,31 @@ object Aggregates {
         .agg(approx_count_distinct(col("user_id")).as("approx_users"),
           count(lit(1)).as("n")))
     },
+    "q_agg_sketch_partial" -> { (s, dir) =>
+      // Mergeable HLL sketch partials (Apache DataSketches via
+      // hll_sketch_agg / hll_union_agg) — the re-aggregatable distinct
+      // architecture at 100 TB: per-nation customer sketches are built
+      // once (the shuffle carries fixed ~KB sketch blobs, never raw
+      // ids), and any rollup — region here, global, daily→monthly —
+      // UNIONS the stored partials without rescanning the fact table.
+      // That re-aggregation is exactly what approx_count_distinct's
+      // opaque partials can't give you as data. Oracle=omit (sketch
+      // binary is engine-internal); AggregatesSpec asserts the merge
+      // law (union-of-partials == direct whole-set sketch, exactly)
+      // and bounds the estimate error vs exact distinct.
+      val c = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val partials = c
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_regionkey"), col("n_nationkey"))
+        .agg(expr("hll_sketch_agg(c_custkey, 12)").as("sk"),
+          count(lit(1)).as("n"))
+      ordered(partials.groupBy(col("n_regionkey"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk, true))")
+            .cast("long").as("approx_customers"),
+          sum(col("n")).cast("long").as("n_rows"),
+          count(lit(1)).as("n_nations")))
+    },
     "q_agg_mode" -> { (s, dir) =>
       // Deterministic statistical mode per group: Spark's mode() picks
       // an ARBITRARY value on frequency ties, so build it from counts

@@ -20,6 +20,30 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("hll sketch partials: union merge law holds and estimate near exact") {
+    val c = graft.sources.Tables(spark, sf, "customer")
+    val n = graft.sources.Tables(spark, sf, "nation")
+    val joined = c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+    // direct per-region sketch, no intermediate partials
+    val direct = joined.groupBy(col("n_regionkey"))
+      .agg(expr("hll_sketch_estimate(hll_sketch_agg(c_custkey, 12))")
+        .cast("long").as("est"))
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    val viaPartials = SparkEntry.queries("q_agg_sketch_partial")(spark, sf)
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    // merge law: unioning per-nation partials must reproduce the
+    // direct sketch estimate exactly (same lgK, same algorithm)
+    assert(viaPartials === direct)
+    val exact = joined.groupBy(col("n_regionkey"))
+      .agg(countDistinct(col("c_custkey")).as("nd"))
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getAs[Number](1).longValue).toMap
+    viaPartials.foreach { case (k, est) =>
+      val ex = exact(k)
+      assert(math.abs(est - ex).toDouble / ex < 0.05,
+        s"region $k sketch=$est exact=$ex")
+    }
+  }
+
   test("approx_count_distinct within 10% of exact distinct counts per group") {
     val e = graft.sources.Tables(spark, sf, "events")
     val exact = e.groupBy(col("event_type"))
