@@ -106,6 +106,35 @@ object Scans {
       ordered(o.select(col("o_orderkey"), col("o_custkey"),
         col("o_totalprice"), col("o_orderpriority")))
     },
+    "q_layout_zorder" -> { (s, dir) =>
+      // Z-order layout key — the multi-dimensional clustering that
+      // makes min/max data skipping work on TWO predicate columns at
+      // once (Delta/Iceberg OPTIMIZE ZORDER; a single-key sort bounds
+      // only its own column per file). Z-value = bit-interleave of the
+      // two 16-bit-normalized keys via the public magic-mask dilation
+      // identity — pure integer ops, exact in any engine. The report
+      // groups rows into z-range buckets (the would-be files) and
+      // emits each bucket's min/max of BOTH dims: the bounded spans
+      // are precisely the file-level statistics a scan would prune
+      // against. Narrow map + one hash agg; at 100 TB the same
+      // z-value is the repartitionByRange key for the actual rewrite
+      // (s_compact_files is the write-side twin).
+      def spread(c0: org.apache.spark.sql.Column) = {
+        val a = c0.bitwiseOR(shiftleft(c0, 8)).bitwiseAND(lit(16711935L))
+        val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(252645135L))
+        val c = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(858993459L))
+        c.bitwiseOR(shiftleft(c, 1)).bitwiseAND(lit(1431655765L))
+      }
+      val li = Tables(s, dir, "lineitem")
+        .withColumn("x", pmod(col("l_partkey"), lit(65536L)))
+        .withColumn("y", pmod(col("l_suppkey"), lit(65536L)))
+        .withColumn("z", spread(col("x"))
+          .bitwiseOR(shiftleft(spread(col("y")), 1)))
+      ordered(li.groupBy(expr("z DIV 65536").as("z_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
+          min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max")))
+    },
     "q_filter_null" -> { (s, dir) =>
       // Fixtures are null-free: manufacture nulls with nullif, then
       // exercise isNull / isNotNull / null-safe equality.
@@ -154,6 +183,26 @@ object Scans {
     }
 
   def oracle: Map[String, String] = Map(
+    "q_layout_zorder" ->
+      ("""WITH n AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    l_partkey % 65536 AS x, l_suppkey % 65536 AS y
+        |  FROM lineitem),
+        |a AS (SELECT *, (x | (x << 8)) & 16711935 AS x1,
+        |             (y | (y << 8)) & 16711935 AS y1 FROM n),
+        |b AS (SELECT *, (x1 | (x1 << 4)) & 252645135 AS x2,
+        |             (y1 | (y1 << 4)) & 252645135 AS y2 FROM a),
+        |c AS (SELECT *, (x2 | (x2 << 2)) & 858993459 AS x3,
+        |             (y2 | (y2 << 2)) & 858993459 AS y3 FROM b),
+        |d AS (SELECT *,
+        |  ((x3 | (x3 << 1)) & 1431655765)
+        |    | (((y3 | (y3 << 1)) & 1431655765) << 1) AS z FROM c)
+        |SELECT z // 65536 AS z_bucket, COUNT(*) AS n_rows,
+        |  MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+        |  MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max
+        |FROM d GROUP BY 1""".stripMargin +
+        orderByAll("z_bucket", "n_rows", "pk_min", "pk_max",
+          "sk_min", "sk_max")),
     "q_scan_orc" ->
       ("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier WHERE s_acctbal > 1000.0""".stripMargin +
