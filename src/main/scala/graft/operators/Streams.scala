@@ -144,6 +144,28 @@ object Streams {
       ordered(s.read.parquet(out))
     }},
 
+    // B9: sliding-window streaming aggregation (1 h window, 15 min
+    // slide — each event lands in 4 overlapping buckets, the
+    // overlap-expansion the engine does inside `window()`), watermark +
+    // Append mode; equivalence vs q_time_sliding in StreamingSpec.
+    // State = open windows only: watermark closes 4 windows per slide
+    // step, so state is O(width/slide × groups), not stream history.
+    "s_stream_sliding" -> { (s, dir) => withShufflePartitions(s, 8) {
+      val out = tmp("slide_out"); val ck = tmp("slide_ck")
+      val q = EventSource.FileStream.load(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("window.start").cast("long").as("bucket_start"),
+          col("n_events"), col("sum_value"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ordered(s.read.parquet(out))
+    }},
+
     // B9: late/out-of-order data — rows older than the watermark are
     // dropped. Two deterministic MemoryStream micro-batches: batch 2
     // replays days 2–3 after the watermark has advanced to ~day 18.

@@ -31,6 +31,26 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_stream_sliding emits exactly the batch q_time_sliding buckets the watermark closed") {
+    val streamRows = SparkEntry.queries("s_stream_sliding")(spark, sf)
+      .select("bucket_start", "n_events", "sum_value").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val batchRows = SparkEntry.queries("q_time_sliding")(spark, sf)
+      .select("bucket_start", "n_events", "sum_value").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamRows.nonEmpty)
+    streamRows.foreach { case (b, v) =>
+      assert(batchRows.get(b).contains(v), s"bucket $b stream=$v batch=${batchRows.get(b)}")
+    }
+    // only tail windows (end past the final watermark) may be missing
+    val maxTs = graft.sources.Tables(spark, sf, "events")
+      .agg(max(col("ts")).cast("long")).collect()(0).getLong(0)
+    val watermark = maxTs - 600
+    batchRows.keys.filterNot(streamRows.contains).foreach { b =>
+      assert(b + 3600 > watermark, s"non-tail window $b missing from stream output")
+    }
+  }
+
   test("compaction conserves every row while collapsing the small-file layout") {
     val rep = SparkEntry.queries("s_compact_files")(spark, sf).collect()
     assert(rep.nonEmpty)
