@@ -189,6 +189,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"quantization should not join:\n$p")
   }
 
+  test("q_text_url_filter drops blocklisted domains via broadcast anti-join") {
+    val p = planOf("q_text_url_filter")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    assert(!p.contains("SortMergeJoin"), p) // corpus must not shuffle for the filter
+  }
+
+  test("q_embed_kmeans assignment is a narrow broadcast map, distances codegen'd") {
+    val p = planOf("q_embed_kmeans")
+    // the packed single-row centroid side broadcasts; the corpus side
+    // of each assignment joins without shuffling
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("l2_dist_q"), p)
+    assert(!p.contains("ScalaUDF"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q_layout_zorder is one scan + one hash agg (no join, no extra exchange)") {
+    val p = planOf("q_layout_zorder")
+    assert(!p.contains("Join"), p)
+    // z computation is a narrow projection; only the final agg + the
+    // presentation sort may exchange
+    assert(p.linesIterator.count(_.trim.startsWith("Exchange")) <= 2, p)
+  }
+
   test("scale-path dedup/similarity keys plan equi joins, never cartesian") {
     // the banded/prefix-filtered paths must join on generated keys —
     // a CartesianProduct or nested-loop join here means the candidate
