@@ -230,6 +230,45 @@ object Joins {
         out
       }
     },
+    "q_merge_upsert" -> { (s, dir) =>
+      // MERGE INTO (SCD-1 upsert) — the lakehouse write primitive
+      // (Delta/Iceberg MERGE), expressed as its underlying plan: a
+      // full-outer key join where the source wins on match (update),
+      // source-only rows insert, target-only rows carry over. The
+      // source is manufactured deterministically from the target
+      // (every key ≡3 mod 10 gets a 5% price bump; every key ≡7 mod
+      // 100 re-keys past max(o_orderkey) as an insert) so both MERGE
+      // arms provably fire. Report = per-status row/update/insert
+      // counts + exact decimal price sum. 100 TB posture: MERGE cost
+      // IS this shuffle — with the target bucketed by key only the
+      // (much smaller) source side shuffles, and AQE handles source
+      // skew; s_foreachbatch_upsert is the streaming/incremental twin
+      // of the same shape.
+      val t = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val mx = t.agg(max(col("o_orderkey")).as("mx"))
+      val updates = t.filter(col("o_orderkey") % 10 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") * lit(1.05))
+      val inserts = t.filter(col("o_orderkey") % 100 === 7)
+        .crossJoin(broadcast(mx))
+        .select((col("o_orderkey") + col("mx")).as("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+      val src = updates.unionByName(inserts)
+      val merged = t.as("t")
+        .join(src.as("s"), col("t.o_orderkey") === col("s.o_orderkey"),
+          "full_outer")
+        .select(
+          coalesce(col("s.o_orderstatus"), col("t.o_orderstatus")).as("st"),
+          coalesce(col("s.o_totalprice"), col("t.o_totalprice")).as("price"),
+          when(col("s.o_orderkey").isNotNull && col("t.o_orderkey").isNotNull,
+            1L).otherwise(0L).as("updated"),
+          when(col("t.o_orderkey").isNull, 1L).otherwise(0L).as("inserted"))
+      ordered(merged.groupBy(col("st"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("updated")).cast("long").as("n_updated"),
+          sum(col("inserted")).cast("long").as("n_inserted"),
+          dsum(col("price")).as("sum_price")))
+    },
     "q_join_multiway" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
       val o = Tables(s, dir, "orders")
@@ -370,6 +409,32 @@ object Joins {
         |WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice < 30000.0
         |GROUP BY o.o_orderkey""".stripMargin +
         orderByAll("o_orderkey", "n_items", "sum_price")),
+    "q_merge_upsert" ->
+      ("""WITH t AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |mx AS (SELECT MAX(o_orderkey) AS mx FROM t),
+        |upd AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice * 1.05 AS o_totalprice
+        |  FROM t WHERE o_orderkey % 10 = 3),
+        |ins AS (
+        |  SELECT t.o_orderkey + mx.mx AS o_orderkey, t.o_orderstatus,
+        |    t.o_totalprice
+        |  FROM t, mx WHERE t.o_orderkey % 100 = 7),
+        |src AS (SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |m AS (
+        |  SELECT COALESCE(s.o_orderstatus, t.o_orderstatus) AS st,
+        |    COALESCE(s.o_totalprice, t.o_totalprice) AS price,
+        |    CASE WHEN s.o_orderkey IS NOT NULL AND t.o_orderkey IS NOT NULL
+        |      THEN 1 ELSE 0 END AS updated,
+        |    CASE WHEN t.o_orderkey IS NULL THEN 1 ELSE 0 END AS inserted
+        |  FROM t FULL OUTER JOIN src s ON t.o_orderkey = s.o_orderkey)
+        |SELECT st, COUNT(*) AS n_rows,
+        |  CAST(SUM(updated) AS BIGINT) AS n_updated,
+        |  CAST(SUM(inserted) AS BIGINT) AS n_inserted,
+        |  CAST(CAST(SUM(CAST(price AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        |    AS sum_price
+        |FROM m GROUP BY st""".stripMargin +
+        orderByAll("st", "n_rows", "n_updated", "n_inserted", "sum_price")),
     "q_join_multiway" ->
       ("""SELECT r_name, n_name,
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,
