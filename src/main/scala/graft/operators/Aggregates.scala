@@ -148,6 +148,55 @@ object Aggregates {
           sum(col("n")).cast("long").as("n_rows"),
           count(lit(1)).as("n_nations")))
     },
+    "q_agg_theta_intersect" -> { (s, dir) =>
+      // Theta-sketch SET ALGEBRA (Apache DataSketches) — the sketch
+      // family that supports intersection/difference, which HLL
+      // cannot: "how many users did BOTH event types" without ever
+      // shuffling raw ids. Classic partial-sketch pattern: each
+      // partition builds one UpdateSketch per group (row cost = one
+      // hash update, no serialization), partitions emit compact
+      // sketch blobs, a per-group merge unions them, and the k merged
+      // sketches (k = |event types|, tiny) pairwise-intersect in a
+      // distributed k² map — no driver collect anywhere. At 100 TB
+      // the per-group blobs are ~KB and also storable for later
+      // re-intersection. Oracle=omit (sketch binary engine-internal);
+      // AggregatesSpec: below 4096 retained entries theta sketches
+      // are EXACT, so at test scale estimates equal exact overlaps.
+      import s.implicits._
+      import org.apache.datasketches.theta.{SetOperation, Sketches, UpdateSketch}
+      import org.apache.datasketches.memory.Memory
+      val e = Tables(s, dir, "events").select(col("event_type"), col("user_id"))
+      val partials = e.as[(String, Long)].mapPartitions { it =>
+        val sk = scala.collection.mutable.Map[String, UpdateSketch]()
+        it.foreach { case (t, u) =>
+          sk.getOrElseUpdate(t, UpdateSketch.builder().build()).update(u)
+        }
+        sk.iterator.map { case (t, x) => (t, x.compact().toByteArray) }
+      }
+      val merged = partials.groupByKey(_._1).mapGroups { (t, it) =>
+        val un = SetOperation.builder().buildUnion()
+        it.foreach { case (_, b) =>
+          un.union(Sketches.wrapSketch(Memory.wrap(b)))
+        }
+        (t, un.getResult.toByteArray)
+      }
+      val a = merged.toDF("ta", "ska")
+      val b = merged.toDF("tb", "skb")
+      val out = a.crossJoin(b).filter(col("ta") < col("tb"))
+        .as[(String, Array[Byte], String, Array[Byte])]
+        .map { case (ta, ska, tb, skb) =>
+          val ia = Sketches.wrapSketch(Memory.wrap(ska))
+          val ib = Sketches.wrapSketch(Memory.wrap(skb))
+          val inter = SetOperation.builder().buildIntersection()
+          inter.intersect(ia); inter.intersect(ib)
+          val un = SetOperation.builder().buildUnion()
+          un.union(ia); un.union(ib)
+          (ta, tb, math.round(ia.getEstimate), math.round(ib.getEstimate),
+            math.round(inter.getResult.getEstimate),
+            math.round(un.getResult.getEstimate))
+        }.toDF("ta", "tb", "est_a", "est_b", "est_inter", "est_union")
+      ordered(out)
+    },
     "q_agg_mode" -> { (s, dir) =>
       // Deterministic statistical mode per group: Spark's mode() picks
       // an ARBITRARY value on frequency ties, so build it from counts

@@ -44,6 +44,30 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("theta sketch pairwise set algebra is exact below 4096 retained entries") {
+    val est = SparkEntry.queries("q_agg_theta_intersect")(spark, sf).collect()
+      .map(r => (r.getAs[String]("ta"), r.getAs[String]("tb")) ->
+        ((r.getAs[Long]("est_a"), r.getAs[Long]("est_b"),
+          r.getAs[Long]("est_inter"), r.getAs[Long]("est_union")))).toMap
+    assert(est.nonEmpty)
+    val e = graft.sources.Tables(spark, sf, "events")
+      .select(col("event_type"), col("user_id")).distinct()
+    val perType = e.groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inter = e.as("x").join(e.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") < col("y.event_type"))
+      .groupBy(col("x.event_type").as("ta"), col("y.event_type").as("tb"))
+      .agg(countDistinct(col("x.user_id")).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    est.foreach { case ((ta, tb), (ea, eb, ei, eu)) =>
+      assert(ea === perType(ta), s"$ta count")
+      assert(eb === perType(tb), s"$tb count")
+      assert(ei === inter.getOrElse((ta, tb), 0L), s"($ta,$tb) intersection")
+      assert(eu === perType(ta) + perType(tb) - ei, s"($ta,$tb) union")
+    }
+  }
+
   test("approx_count_distinct within 10% of exact distinct counts per group") {
     val e = graft.sources.Tables(spark, sf, "events")
     val exact = e.groupBy(col("event_type"))
