@@ -115,6 +115,42 @@ object Time {
         .groupBy(col("cohort"), (col("wk") - col("cohort")).as("week_offset"))
         .agg(countDistinct(col("user_id")).as("n_users")))
     },
+    "q_time_ohlc" -> { (s, dir) =>
+      // OHLC downsampling — the time-series resample behind candle
+      // charts and metric rollups: per 1-hour bucket, the first
+      // (open) and last (close) value in event order plus min/max and
+      // exact volume. Open/close use min_by/max_by over the unique
+      // (ts, event_id) struct — deterministic ties, and the whole key
+      // stays ONE hash aggregate with map-side partials (no window
+      // sort: at 100 TB first/last-by-order as an agg beats a
+      // partition sort by a full shuffle-sort pass).
+      val e = Tables(s, dir, "events")
+        .withColumn("bucket",
+          expr("CAST(ts AS LONG) DIV 3600 * 3600"))
+      ordered(e.groupBy(col("bucket"))
+        .agg(min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+          max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+          min(col("value")).as("low"), max(col("value")).as("high"),
+          count(lit(1)).as("n_events"),
+          dsum(col("value")).as("volume")))
+    },
+    "q_event_transitions" -> { (s, dir) =>
+      // Event-sequence transition matrix (first-order Markov counts):
+      // per user in (ts, event_id) order, count each consecutive
+      // (prev_type → event_type) step + distinct users making it —
+      // the path-analysis primitive behind funnels and next-action
+      // models. One per-user window sort (sessions' layout: shuffle
+      // on user_id, sort within — at 100 TB the same per-user-local
+      // plan), then a vocabulary-sized hash agg (|types|² groups).
+      val e = Tables(s, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ordered(e.withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n_transitions"),
+          countDistinct(col("user_id")).as("n_users")))
+    },
     "q_sessionize" -> { (s, dir) =>
       // 30-min inactivity-gap sessions per user, batch formulation:
       // lag → gap flag → running sum = session ordinal → group.
@@ -203,6 +239,41 @@ object Time {
         |FROM e JOIN f ON e.user_id = f.user_id
         |GROUP BY f.cohort, e.wk - f.cohort""".stripMargin +
         orderByAll("cohort", "week_offset", "n_users")),
+    "q_time_ohlc" ->
+      ("""WITH b AS (
+        |  SELECT epoch_us(ts)//1000000//3600*3600 AS bucket,
+        |    ts, event_id, value
+        |  FROM events),
+        |w AS (
+        |  SELECT bucket, value,
+        |    first_value(value) OVER (PARTITION BY bucket
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS o,
+        |    last_value(value) OVER (PARTITION BY bucket
+        |      ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS c
+        |  FROM b)
+        |SELECT bucket,
+        |  MIN(o) AS open, MAX(c) AS close,
+        |  MIN(value) AS low, MAX(value) AS high,
+        |  COUNT(*) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        |    AS volume
+        |FROM w GROUP BY bucket""".stripMargin +
+        orderByAll("bucket", "open", "close", "low", "high",
+          "n_events", "volume")),
+    "q_event_transitions" ->
+      ("""WITH l AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events)
+        |SELECT prev_type, event_type,
+        |  COUNT(*) AS n_transitions,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM l WHERE prev_type IS NOT NULL
+        |GROUP BY prev_type, event_type""".stripMargin +
+        orderByAll("prev_type", "event_type", "n_transitions", "n_users")),
     "q_sessionize" ->
       ("""WITH flagged AS (
         |  SELECT user_id, ts, event_id, value,
