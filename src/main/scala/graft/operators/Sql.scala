@@ -100,6 +100,18 @@ object Sql {
       |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
       |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate""".stripMargin
 
+  /** Correlated SCALAR subquery — per-nation max lookup in the WHERE
+    * clause; Catalyst decorrelates it to a grouped aggregate joined
+    * back on the correlation key (one dimension-sized agg + one equi
+    * join — never a per-row re-scan of the inner table). Equality on
+    * raw doubles is safe: both engines compare the identical stored
+    * values, no arithmetic. */
+  private val scalarSub =
+    """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+      |FROM supplier s
+      |WHERE s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
+      |                   WHERE s2.s_nationkey = s.s_nationkey)""".stripMargin
+
   private def run(sql: String): (SparkSession, String) => DataFrame = { (s, dir) =>
     registerViews(s, dir)
     ordered(s.sql(sql))
@@ -110,6 +122,7 @@ object Sql {
     "q_sql_tpch_q5" -> run(q5),
     "q_sql_tpch_q18" -> run(q18),
     "q_sql_exists_subquery" -> run(existsBig),
+    "q_sql_scalar_subquery" -> run(scalarSub),
     "q_sql_cte_window" -> run(cteWindow)
   )
 
@@ -123,6 +136,8 @@ object Sql {
       (q18 + orderByAll("c_name", "c_custkey", "o_orderkey", "o_orderdate", "total_qty")),
     "q_sql_exists_subquery" ->
       (existsBig + orderByAll("c_custkey", "c_name", "c_acctbal")),
+    "q_sql_scalar_subquery" ->
+      (scalarSub + orderByAll("s_suppkey", "s_name", "s_nationkey", "s_acctbal")),
     "q_sql_cte_window" ->
       (s"SELECT * FROM ($cteWindow)" +
         orderByAll("o_custkey", "mon", "m_total", "running_total", "rn"))
