@@ -197,6 +197,44 @@ object Aggregates {
         }.toDF("ta", "tb", "est_a", "est_b", "est_inter", "est_union")
       ordered(out)
     },
+    "q_agg_heavy_hitters" -> { (s, dir) =>
+      // Frequent-items / heavy-hitters sketch (Misra-Gries, Apache
+      // DataSketches ItemsSketch) — the bounded-memory "top tokens /
+      // top domains" pass of a corpus pipeline: exact counting
+      // shuffles the full vocabulary; the sketch retains ≤ maxMapSize
+      // counters per partition and merges associatively. Partial-
+      // sketch pattern as q_agg_theta_intersect; partials merge in
+      // PARTITION-ID ORDER so the merged sketch is reproducible
+      // run-to-run (Misra-Gries eviction is order-sensitive once
+      // saturated). NO_FALSE_NEGATIVES guarantees every item above
+      // the error bound survives. This fixture's token vocabulary
+      // (31 « 1024 counters) never evicts, so estimates are EXACT and
+      // the key is oracle-checked against plain token counts — at
+      // real-corpus vocabularies the same plan degrades gracefully to
+      // (est, lb, ub) bounds.
+      import s.implicits._
+      import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+      import org.apache.datasketches.common.ArrayOfStringsSerDe
+      import org.apache.datasketches.memory.Memory
+      val toks = Tables(s, dir, "documents")
+        .select(explode(expr("filter(split(text, ' '), t -> t <> '')")).as("tok"))
+      val partials = toks.as[String].mapPartitions { it =>
+        val sk = new ItemsSketch[String](1024)
+        it.foreach(sk.update)
+        Iterator.single((org.apache.spark.TaskContext.getPartitionId(),
+          sk.toByteArray(new ArrayOfStringsSerDe)))
+      }
+      val merged = partials.groupByKey(_ => 0).flatMapGroups { (_, it) =>
+        val acc = new ItemsSketch[String](1024)
+        it.toSeq.sortBy(_._1).foreach { case (_, b) =>
+          acc.merge(ItemsSketch.getInstance(
+            Memory.wrap(b), new ArrayOfStringsSerDe))
+        }
+        acc.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES).iterator
+          .map(r => (r.getItem, r.getEstimate, r.getLowerBound, r.getUpperBound))
+      }.toDF("tok", "est", "lb", "ub")
+      ordered(merged)
+    },
     "q_agg_mode" -> { (s, dir) =>
       // Deterministic statistical mode per group: Spark's mode() picks
       // an ARBITRARY value on frequency ties, so build it from counts
@@ -273,6 +311,14 @@ object Aggregates {
 
   def oracle: Map[String, String] = Map(
     "q_agg_group_pricing" -> pricingOracle,
+    // exact twin valid because vocab (31) « sketch counters (1024):
+    // Misra-Gries never evicts ⇒ est = lb = ub = true count
+    "q_agg_heavy_hitters" ->
+      ("""SELECT t AS tok, COUNT(*) AS est, COUNT(*) AS lb, COUNT(*) AS ub
+        |FROM (SELECT unnest(list_filter(string_split(text, ' '),
+        |  x -> x <> '')) AS t FROM documents)
+        |GROUP BY t""".stripMargin +
+        orderByAll("tok", "est", "lb", "ub")),
     "q_agg_mode" ->
       ("""WITH c AS (SELECT l_returnflag, l_quantity, COUNT(*) AS cnt
         |  FROM lineitem GROUP BY l_returnflag, l_quantity)
