@@ -47,12 +47,16 @@ object Dedup {
     * four dedup keys (near-dup pairs, cluster, containment, minhash)
     * consume the SAME shingle table, and within one Verify/Bench
     * session each used to re-scan and re-shingle it. A real pipeline
-    * materializes its shingle table once and shares it; keyed by the
-    * analyzed plan's semanticHash so distinct inputs (other dirs,
-    * planted test frames) never collide. Entries are checkpointed
-    * blocks owned by the session; the map stays O(#distinct inputs). */
+    * materializes its shingle table once and shares it. Keyed by the
+    * CANONICALIZED plan string (exact plan equality — a 32-bit
+    * semanticHash could silently collide and serve the wrong table)
+    * and bounded: past 8 entries the memo clears, dropping the
+    * DataFrame references so the ContextCleaner can release the
+    * checkpointed blocks once the RDDs are GC'd — a long-lived JVM
+    * cycling many inputs/dirs never pins unbounded block-manager
+    * storage. */
   private val shingleMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, Int), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   private def shingled(d: DataFrame): DataFrame = {
     graft.functions.VectorExprs.register(d.sparkSession)
@@ -61,8 +65,9 @@ object Dedup {
     // checkpoint each branch re-scans parquet and re-shingles; the
     // shingle table is O(docs) and the repeated compute dominated the
     // near-dup keys' wall clock (measured ~15% off the 3-key group)
+    if (shingleMemo.size > 8) shingleMemo.clear()
     shingleMemo.computeIfAbsent(
-      (d.sparkSession, d.queryExecution.analyzed.semanticHash()),
+      (d.sparkSession, d.queryExecution.analyzed.canonicalized.toString),
       _ => d.select(col("doc_id"),
           call_function("word_shingles", split(col("text"), " "), lit(3)).as("sh"))
         .filter(size(col("sh")) > 0)
