@@ -269,6 +269,63 @@ object Joins {
           sum(col("inserted")).cast("long").as("n_inserted"),
           dsum(col("price")).as("sum_price")))
     },
+    "q_join_fuzzy" -> { (s, dir) =>
+      // Exact edit-distance (Levenshtein ≤ 2) self-join over part
+      // names, PassJoin-shaped (Li et al., VLDB'11 — same family as
+      // the PPJoin prefix filter used by q_dedup_near_jaccard):
+      //
+      //  1. dedupe the corpus to DISTINCT names + multiplicity first —
+      //     at 100 TB the distinct-value table is orders of magnitude
+      //     smaller than the corpus, and the final multiplicity
+      //     product restores pair counts without ever joining raw
+      //     rows;
+      //  2. pigeonhole candidates: split each indexed name into k+1=3
+      //     contiguous segments; any string within k=2 edits must
+      //     contain one segment VERBATIM at a position shifted by at
+      //     most k, so the probe side emits (target-length, segment,
+      //     substring-window) keys and candidates come from an
+      //     EQUI-join on (len, seg, sub) — shuffle volume is
+      //     O(names × ~45 keys), never the O(n²) cross product (plan
+      //     asserted nested-loop-free in PlanSpec);
+      //  3. exact levenshtein() filter on the candidate superset.
+      val names = Tables(s, dir, "part")
+        .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("cnt"))
+      val L = length(col("name"))
+      // balanced segment bounds for a length-l string: segment i of 3
+      // starts at floor(l*i/3)+1 (1-based) and spans the next boundary.
+      val indexed = names.select(col("name").as("na"), col("cnt").as("cnt_a"),
+          L.as("la"),
+          explode(expr(
+            """transform(sequence(0, 2), i -> struct(
+              |  i AS segi,
+              |  substring(name, CAST(length(name)*i DIV 3 AS INT) + 1,
+              |    CAST(length(name)*(i+1) DIV 3 AS INT)
+              |      - CAST(length(name)*i DIV 3 AS INT)) AS sub))""".stripMargin))
+            .as("seg"))
+        .select(col("na"), col("cnt_a"), col("la"),
+          col("seg.segi").as("segi"), col("seg.sub").as("sub"))
+      val probes = names.select(col("name").as("nb"), col("cnt").as("cnt_b"),
+          explode(expr(
+            """flatten(flatten(transform(sequence(length(name)-2, length(name)+2), l ->
+              |  transform(sequence(0, 2), i ->
+              |    filter(transform(sequence(CAST(l*i DIV 3 AS INT) + 1 - 2,
+              |                              CAST(l*i DIV 3 AS INT) + 1 + 2), pos ->
+              |      struct(l AS la, i AS segi, pos AS pos,
+              |        CAST(l*(i+1) DIV 3 AS INT) - CAST(l*i DIV 3 AS INT) AS sl)),
+              |      c -> c.pos >= 1 AND c.pos + c.sl - 1 <= length(name) AND c.sl > 0)
+              |  ))))""".stripMargin)).as("k"))
+        .select(col("nb"), col("cnt_b"), col("k.la").cast("int").as("la"),
+          col("k.segi").as("segi"),
+          expr("substring(nb, k.pos, k.sl)").as("sub"))
+      val cand = indexed.join(probes, Seq("la", "segi", "sub"))
+        .filter(col("na") < col("nb"))
+        .select(col("na"), col("nb"), col("cnt_a"), col("cnt_b")).distinct()
+      ordered(cand
+        .withColumn("dist", levenshtein(col("na"), col("nb")))
+        .filter(col("dist") <= 2)
+        .select(col("na"), col("nb"), col("dist"),
+          (col("cnt_a") * col("cnt_b")).as("n_pairs")))
+    },
     "q_join_multiway" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
       val o = Tables(s, dir, "orders")
@@ -435,6 +492,15 @@ object Joins {
         |    AS sum_price
         |FROM m GROUP BY st""".stripMargin +
         orderByAll("st", "n_rows", "n_updated", "n_inserted", "sum_price")),
+    "q_join_fuzzy" ->
+      ("""WITH n AS (SELECT p_name AS name, COUNT(*) AS cnt
+        |           FROM part GROUP BY p_name)
+        |SELECT a.name AS na, b.name AS nb,
+        |  CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+        |  a.cnt * b.cnt AS n_pairs
+        |FROM n a JOIN n b ON a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin +
+        orderByAll("na", "nb", "dist", "n_pairs")),
     "q_join_multiway" ->
       ("""SELECT r_name, n_name,
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS VARCHAR) AS DOUBLE) AS revenue,

@@ -115,6 +115,21 @@ object Scalars {
         aggregate(emb, lit(0.0),
           (acc, x) => acc + x.cast("double")).as("sum_all")))
     },
+    "q_array_hof" -> { (s, dir) =>
+      // Predicate higher-order functions (filter/exists/forall) over
+      // the token array — the trio q_array_funcs doesn't exercise.
+      // All lambdas run inside whole-stage codegen as a narrow map
+      // (zero shuffle); array intermediates never leave the row, and
+      // outputs are scalars/strings for the driver's comparator.
+      val toks = expr("filter(split(text, ' '), t -> t <> '')")
+      ordered(Tables(s, dir, "documents").select(
+        col("doc_id"),
+        size(toks).as("n_tok"),
+        size(filter(toks, t => length(t) > 6)).as("n_long"),
+        exists(toks, t => t.contains("e")).as("has_e"),
+        forall(toks, t => t.rlike("^[a-z]+$")).as("all_lower"),
+        array_join(transform(slice(toks, 1, 3), t => upper(t)), ",").as("first3")))
+    },
     "q_map_funcs" -> { (s, dir) =>
       // build a map from the JSON props, then extract scalars; map/array
       // outputs are serialized to strings for the driver's comparator
@@ -216,6 +231,20 @@ object Scalars {
         |  list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS sum_all
         |FROM embeddings""".stripMargin +
         orderByAll("vec_id", "dim", "e1", "head3_sum", "mx", "mn", "doubled_sum", "sum_all")),
+    "q_array_hof" ->
+      ("""SELECT doc_id,
+        |  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS n_tok,
+        |  CAST(len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''),
+        |    t -> length(t) > 6)) AS INT) AS n_long,
+        |  len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''),
+        |    t -> contains(t, 'e'))) > 0 AS has_e,
+        |  len(list_filter(list_filter(string_split(text, ' '), t -> t <> ''),
+        |    t -> NOT regexp_matches(t, '^[a-z]+$'))) = 0 AS all_lower,
+        |  array_to_string(list_transform(
+        |    (list_filter(string_split(text, ' '), t -> t <> ''))[1:3],
+        |    t -> upper(t)), ',') AS first3
+        |FROM documents""".stripMargin +
+        orderByAll("doc_id", "n_tok", "n_long", "has_e", "all_lower", "first3")),
     "q_map_funcs" ->
       ("""SELECT event_id, 'k' AS ks,
         |  CAST(json_extract_string(props, '$.k') AS INT) AS v

@@ -135,6 +135,23 @@ object Similarity {
         .select(col("q_id"), col("vec_id"), col("rn"),
           round(col("c"), 4).as("cosine")))
     },
+    "q_sim_range_search" -> { (s, dir) =>
+      // Radius (range) search: every vector within cosine ≥ 0.3 of a
+      // fixed query — the "find all near-duplicates of THIS item"
+      // shape, vs top-k's fixed result size. Same plan as knn_query
+      // (1-row broadcast, corpus never shuffles, codegen kernel,
+      // filter inside the scan stage) but the selection is a
+      // threshold predicate, so no ordering/limit at all: a pure
+      // narrow scan at any scale. Threshold compares the UNROUNDED
+      // double (identical IEEE value both engines).
+      val e = vecs(s, dir)
+      val q = e.filter(col("vec_id") === lit(0L)).select(col("v").as("qv"))
+      ordered(e.filter(col("vec_id") =!= lit(0L))
+        .crossJoin(broadcast(q))
+        .withColumn("c", cosine(col("v"), col("qv")))
+        .filter(col("c") >= 0.3)
+        .select(col("vec_id"), col("label"), round(col("c"), 4).as("cosine")))
+    },
     "q_sim_lsh_bucketed" -> { (s, dir) =>
       // Approximate-NN 100 TB path: hyperplane-LSH band buckets →
       // candidate pairs + exact euclidean distance on candidates only.
@@ -266,6 +283,14 @@ object Similarity {
         |top AS (SELECT vec_id, label, ROUND(c, 4) AS cosine FROM scored
         |        ORDER BY c DESC, vec_id LIMIT 20)
         |SELECT * FROM top""".stripMargin +
+        orderByAll("vec_id", "label", "cosine")),
+    "q_sim_range_search" ->
+      (s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT a.vec_id, a.label, ${cosSql("a", "q")} AS c
+        |  FROM embeddings a, q WHERE a.vec_id <> 0)
+        |SELECT vec_id, label, ROUND(c, 4) AS cosine FROM scored
+        |WHERE c >= 0.3""".stripMargin +
         orderByAll("vec_id", "label", "cosine"))
   )
 }

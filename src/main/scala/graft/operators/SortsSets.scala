@@ -51,6 +51,37 @@ object SortsSets {
       val c = Tables(s, dir, "customer").select(col("c_nationkey").as("nk"))
       val sup = Tables(s, dir, "supplier").select(col("s_nationkey").as("nk"))
       ordered(c.except(sup))
+    },
+    // Multiset (bag) set ops — INTERSECT ALL / EXCEPT ALL keep
+    // per-value multiplicities (min / difference of counts). Spark
+    // plans both as a count-pair hash aggregate + generate (replicate
+    // row count times), NOT a join: one shuffle on the row value, and
+    // the exchanged volume is distinct values + counts, so a 100×
+    // duplication factor costs nothing extra at 100 TB.
+    "q_intersect_all" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val sup = Tables(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      ordered(c.intersectAll(sup))
+    },
+    "q_except_all" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val sup = Tables(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      ordered(c.exceptAll(sup))
+    },
+    // Relational UNPIVOT (wide→long): melt the three per-returnflag
+    // measure columns into (measure, val) rows. The unpivot itself is
+    // a narrow Expand (each input row fans out to 3 rows in place, no
+    // shuffle); the only exchange is the 4-group pre-aggregation.
+    "q_unpivot" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val wide = li.groupBy(col("l_returnflag")).agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_price"),
+        dsum(col("l_discount")).as("sum_disc"))
+      ordered(wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "measure", "val"))
     }
   )
 
@@ -81,6 +112,27 @@ object SortsSets {
       ("""SELECT c_nationkey AS nk FROM customer
         |EXCEPT
         |SELECT s_nationkey AS nk FROM supplier""".stripMargin +
-        orderByAll("nk"))
+        orderByAll("nk")),
+    "q_intersect_all" ->
+      ("""SELECT c_nationkey AS nk FROM customer
+        |INTERSECT ALL
+        |SELECT s_nationkey AS nk FROM supplier""".stripMargin +
+        orderByAll("nk")),
+    "q_except_all" ->
+      ("""SELECT c_nationkey AS nk FROM customer
+        |EXCEPT ALL
+        |SELECT s_nationkey AS nk FROM supplier""".stripMargin +
+        orderByAll("nk")),
+    "q_unpivot" ->
+      ("""WITH w AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price,
+        |    CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_disc
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM w
+        |UNION ALL SELECT l_returnflag, 'sum_price' AS measure, sum_price AS val FROM w
+        |UNION ALL SELECT l_returnflag, 'sum_disc' AS measure, sum_disc AS val FROM w""".stripMargin +
+        orderByAll("l_returnflag", "measure", "val"))
   )
 }

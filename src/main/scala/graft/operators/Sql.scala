@@ -112,6 +112,41 @@ object Sql {
       |WHERE s_acctbal = (SELECT MAX(s2.s_acctbal) FROM supplier s2
       |                   WHERE s2.s_nationkey = s.s_nationkey)""".stripMargin
 
+  /** Recursive CTE (Spark 4.x `WITH RECURSIVE`, SPARK-24497): build a
+    * 30-day date spine by recursion, then left-join daily event counts
+    * so silent days surface as explicit zeros. The recursion runs on
+    * the driver over 30 spine rows (UnionLoop); the heavy side is one
+    * hash-agg shuffle of events + a broadcast of the spine — the
+    * recursion depth, not the fact size, bounds the loop, so the same
+    * plan holds at 100 TB of events. */
+  private val recursiveSpine =
+    """WITH RECURSIVE spine(d) AS (
+      |  SELECT TIMESTAMP '2024-01-01 00:00:00'
+      |  UNION ALL
+      |  SELECT d + INTERVAL 1 DAY FROM spine
+      |  WHERE d < TIMESTAMP '2024-01-30 00:00:00')
+      |SELECT spine.d AS day, COALESCE(e.n_events, 0) AS n_events,
+      |       COALESCE(e.n_users, 0) AS n_users
+      |FROM spine LEFT JOIN (
+      |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |         COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users
+      |  FROM events GROUP BY CAST(date_trunc('day', ts) AS TIMESTAMP)) e
+      |ON spine.d = e.day""".stripMargin
+
+  /** LATERAL correlated subquery with ORDER BY + LIMIT — "top line item
+    * per order". Catalyst decorrelates the limit-1 lateral into a
+    * window top-1 (rank over l_orderkey) + equi join, NOT a per-outer-
+    * row rescan of lineitem: one shuffle of each side on the order key,
+    * which is exactly the hand-written plan at any scale. */
+  private val lateralTop =
+    """SELECT o.o_orderkey, o.o_orderpriority, l.top_price, l.top_line
+      |FROM orders o, LATERAL (
+      |  SELECT l_extendedprice AS top_price, l_linenumber AS top_line
+      |  FROM lineitem
+      |  WHERE l_orderkey = o.o_orderkey
+      |  ORDER BY l_extendedprice DESC, l_linenumber ASC LIMIT 1) l
+      |WHERE o.o_totalprice > 450000.0""".stripMargin
+
   private def run(sql: String): (SparkSession, String) => DataFrame = { (s, dir) =>
     registerViews(s, dir)
     ordered(s.sql(sql))
@@ -123,7 +158,9 @@ object Sql {
     "q_sql_tpch_q18" -> run(q18),
     "q_sql_exists_subquery" -> run(existsBig),
     "q_sql_scalar_subquery" -> run(scalarSub),
-    "q_sql_cte_window" -> run(cteWindow)
+    "q_sql_cte_window" -> run(cteWindow),
+    "q_sql_recursive_cte" -> run(recursiveSpine),
+    "q_sql_lateral" -> run(lateralTop)
   )
 
   def oracle: Map[String, String] = Map(
@@ -140,6 +177,10 @@ object Sql {
       (scalarSub + orderByAll("s_suppkey", "s_name", "s_nationkey", "s_acctbal")),
     "q_sql_cte_window" ->
       (s"SELECT * FROM ($cteWindow)" +
-        orderByAll("o_custkey", "mon", "m_total", "running_total", "rn"))
+        orderByAll("o_custkey", "mon", "m_total", "running_total", "rn")),
+    "q_sql_recursive_cte" ->
+      (recursiveSpine + orderByAll("day", "n_events", "n_users")),
+    "q_sql_lateral" ->
+      (lateralTop + orderByAll("o_orderkey", "o_orderpriority", "top_price", "top_line"))
   )
 }

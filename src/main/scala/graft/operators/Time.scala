@@ -151,6 +151,71 @@ object Time {
         .agg(count(lit(1)).as("n_transitions"),
           countDistinct(col("user_id")).as("n_users")))
     },
+    "q_time_ewma" -> { (s, dir) =>
+      // Exponentially-weighted moving average (α = 1/2) over the
+      // per-type daily mean series, truncated at 8 taps. Cross-engine
+      // bit-determinism by construction: the taps are explicit lag()
+      // columns combined left-associatively, every weight 2^-j is an
+      // exact power of two (each product is a double SCALE, not a
+      // rounding), and the normalizer 1.9921875 is exactly
+      // representable — so both engines run the identical IEEE op
+      // sequence on identical inputs. 100 TB: the heavy shuffle is
+      // the daily pre-agg of raw events (map-side partials); the lag
+      // window then runs over #types × #days rows — negligible.
+      val e = Tables(s, dir, "events")
+      val daily = e.groupBy(col("event_type"),
+          (expr("CAST(ts AS LONG) DIV 86400") * 86400).as("bucket"))
+        .agg(davg(col("value")).as("x"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("bucket"))
+      val lagged = daily
+        .withColumn("rn", row_number().over(w))
+        .withColumn("ewma",
+          (col("x")
+            + lag(col("x"), 1).over(w) * 0.5
+            + lag(col("x"), 2).over(w) * 0.25
+            + lag(col("x"), 3).over(w) * 0.125
+            + lag(col("x"), 4).over(w) * 0.0625
+            + lag(col("x"), 5).over(w) * 0.03125
+            + lag(col("x"), 6).over(w) * 0.015625
+            + lag(col("x"), 7).over(w) * 0.0078125) / 1.9921875)
+      ordered(lagged.filter(col("rn") >= 8)
+        .select(col("event_type"), col("bucket"), col("x"), col("ewma")))
+    },
+    "q_time_anomaly" -> { (s, dir) =>
+      // Rolling z-score outlier flag over per-type daily totals: the
+      // drift/spike monitor every ingestion pipeline runs. Trailing
+      // 7-day mean/stddev derived from EXACT decimal window sums
+      // (sum and sum-of-squares), then one shared IEEE double formula
+      // — same q_agg_stats technique, lifted to a moving frame. The
+      // raw-event shuffle is the daily pre-agg; window state is
+      // 7 rows × #types.
+      val e = Tables(s, dir, "events")
+      val daily = e.groupBy(col("event_type"),
+          (expr("CAST(ts AS LONG) DIV 86400") * 86400).as("bucket"))
+        .agg(sum(money(col("value"))).as("dec"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("bucket"))
+      val wf = w.rowsBetween(-6, 0)
+      val stats = daily
+        .withColumn("rn", row_number().over(w))
+        .withColumn("sx", sum(col("dec")).over(wf).cast("double"))
+        // (18,4)×(14,4)→(33,8): exact and under Spark's 38-digit cap
+        // (the grouped sum's (28,4) squared would overflow precision
+        // and silently lose scale). Oracle twin uses (24,4)×(14,4)
+        // for DuckDB's width rules — both sides exact.
+        .withColumn("sxx",
+          sum(col("dec").cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 4)) *
+              col("dec").cast(org.apache.spark.sql.types.DataTypes.createDecimalType(14, 4)))
+            .over(wf).cast("double"))
+        .withColumn("x", col("dec").cast("double"))
+      val mean = col("sx") / 7.0
+      val sd = sqrt((col("sxx") - col("sx") * col("sx") / 7.0) / 6.0)
+      val z = when(sd === 0.0, 0.0).otherwise((col("x") - mean) / sd)
+      ordered(stats.filter(col("rn") >= 7)
+        .select(col("event_type"), col("bucket"), col("x"),
+          z.as("z"), (abs(z) > 2.0).as("is_anomaly")))
+    },
     "q_sessionize" -> { (s, dir) =>
       // 30-min inactivity-gap sessions per user, batch formulation:
       // lag → gap flag → running sum = session ordinal → group.
@@ -274,6 +339,51 @@ object Time {
         |FROM l WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, event_type""".stripMargin +
         orderByAll("prev_type", "event_type", "n_transitions", "n_users")),
+    "q_time_ewma" ->
+      ("""WITH daily AS (
+        |  SELECT event_type, epoch_us(ts)//1000000//86400*86400 AS bucket,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        |      / COUNT(*) AS x
+        |  FROM events
+        |  GROUP BY event_type, epoch_us(ts)//1000000//86400*86400),
+        |l AS (
+        |  SELECT event_type, bucket, x, row_number() OVER w AS rn,
+        |    (x
+        |      + lag(x, 1) OVER w * 0.5
+        |      + lag(x, 2) OVER w * 0.25
+        |      + lag(x, 3) OVER w * 0.125
+        |      + lag(x, 4) OVER w * 0.0625
+        |      + lag(x, 5) OVER w * 0.03125
+        |      + lag(x, 6) OVER w * 0.015625
+        |      + lag(x, 7) OVER w * 0.0078125) / 1.9921875 AS ewma
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+        |SELECT event_type, bucket, x, ewma FROM l WHERE rn >= 8""".stripMargin +
+        orderByAll("event_type", "bucket", "x", "ewma")),
+    "q_time_anomaly" ->
+      ("""WITH daily AS (
+        |  SELECT event_type, epoch_us(ts)//1000000//86400*86400 AS bucket,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS dec
+        |  FROM events
+        |  GROUP BY event_type, epoch_us(ts)//1000000//86400*86400),
+        |w AS (
+        |  SELECT event_type, bucket, row_number() OVER ww AS rn,
+        |    CAST(CAST(SUM(dec) OVER wf AS VARCHAR) AS DOUBLE) AS sx,
+        |    CAST(CAST(SUM(CAST(dec AS DECIMAL(24,4)) * CAST(dec AS DECIMAL(14,4)))
+        |      OVER wf AS VARCHAR) AS DOUBLE) AS sxx,
+        |    CAST(CAST(dec AS VARCHAR) AS DOUBLE) AS x
+        |  FROM daily
+        |  WINDOW ww AS (PARTITION BY event_type ORDER BY bucket),
+        |         wf AS (PARTITION BY event_type ORDER BY bucket
+        |                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, bucket, x,
+        |  CASE WHEN sqrt((sxx - sx*sx/7.0)/6.0) = 0 THEN 0.0
+        |       ELSE (x - sx/7.0) / sqrt((sxx - sx*sx/7.0)/6.0) END AS z,
+        |  abs(CASE WHEN sqrt((sxx - sx*sx/7.0)/6.0) = 0 THEN 0.0
+        |       ELSE (x - sx/7.0) / sqrt((sxx - sx*sx/7.0)/6.0) END) > 2.0
+        |    AS is_anomaly
+        |FROM w WHERE rn >= 7""".stripMargin +
+        orderByAll("event_type", "bucket", "x", "z", "is_anomaly")),
     "q_sessionize" ->
       ("""WITH flagged AS (
         |  SELECT user_id, ts, event_id, value,

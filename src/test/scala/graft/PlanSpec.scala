@@ -227,10 +227,68 @@ class PlanSpec extends SparkSpec {
     for (k <- Seq("q_dedup_near_jaccard", "q_dedup_minhash",
         "q_dedup_simhash", "q_sim_lsh_bucketed",
         "q_dedup_embed", "q_sim_cosine_topk", "q_join_interval_binned",
-        "q_dedup_span", "q_dedup_containment")) {
+        "q_dedup_span", "q_dedup_containment", "q_join_fuzzy")) {
       val p = planOf(k)
       assert(!p.contains("CartesianProduct"), s"$k plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$k plans a nested-loop join")
     }
+  }
+
+  test("q_join_fuzzy candidates come from an equi join on segment keys") {
+    val p = planOf("q_join_fuzzy")
+    // the PassJoin pigeonhole must surface as a hash join keyed on
+    // (len, seg, substring); the levenshtein predicate rides as a
+    // post-join condition, never as the join strategy itself
+    assert(p.contains("HashJoin [la"), s"no segment-keyed equi join:\n$p")
+    assert(p.contains("levenshtein"), s"verification filter missing:\n$p")
+  }
+
+  test("q_sql_lateral decorrelates the LIMIT-1 subquery to a window top-1") {
+    val df = SparkEntry.queries("q_sql_lateral")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("row_number()"), s"no window top-1 (per-row rescan?):\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  /** AQE plan strings render "== Final Plan ==" then "== Initial
+    * Plan ==" — counting assertions must see the final section only. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+  }
+
+  test("q_sql_recursive_cte plans a driver-bounded UnionLoop, fact side aggregates once") {
+    val p = finalPlan(SparkEntry.queries("q_sql_recursive_cte")(spark, sf))
+    assert(p.contains("UnionLoop"), s"recursion missing from plan:\n$p")
+    // the events scan must feed ONE aggregation, joined to the spine —
+    // not be re-scanned per recursion step
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+  }
+
+  test("q_unpivot melts via a narrow Expand (no extra exchange)") {
+    val p = finalPlan(SparkEntry.queries("q_unpivot")(spark, sf))
+    assert(p.contains("Expand"), s"no Expand in unpivot plan:\n$p")
+    val hashExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hashExchanges <= 1, s"unpivot shuffled beyond the pre-agg:\n$p")
+  }
+
+  test("q_time_ewma / q_time_anomaly: daily pre-agg + window, no join") {
+    for (k <- Seq("q_time_ewma", "q_time_anomaly")) {
+      val df = SparkEntry.queries(k)(spark, sf)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Join"), s"$k should not join:\n$p")
+      assert(p.contains("Window"), s"$k lost its window stage:\n$p")
+      assert(p.contains("partial_sum"), s"$k daily agg lost map-side partials:\n$p")
+    }
+  }
+
+  test("q_sim_range_search never hash-shuffles the corpus") {
+    val p = planOf("q_sim_range_search")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"radius search should be a narrow broadcast scan:\n$p")
+    assert(p.contains("cosine_sim") && !p.contains("ScalaUDF"), p)
   }
 }
