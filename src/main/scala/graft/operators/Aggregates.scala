@@ -235,6 +235,44 @@ object Aggregates {
       }.toDF("tok", "est", "lb", "ub")
       ordered(merged)
     },
+    "q_agg_countmin" -> { (s, dir) =>
+      // Count-Min sketch point-frequency estimates (Cormode &
+      // Muthukrishnan '05) — the bounded-memory "how often did THIS
+      // key occur" primitive (DataSketches ships no CMS, so the d×w
+      // counter matrix is built directly). Same partial-sketch plan
+      // as the theta/Misra-Gries keys: each partition folds its rows
+      // into a local 4×2048 long matrix (one cell increment per row
+      // per hash), partitions emit ONE 64 KB blob each, and the merge
+      // is an elementwise vector add — associative, commutative, so
+      // the estimate is partition-order-independent and the shuffle
+      // carries #partitions blobs, never rows. At 100 TB the merged
+      // sketch is still 64 KB, queryable on the serving side in O(d).
+      // Estimates are deterministic (fixed mix hashes) but
+      // sketch-internal → oracle=omit; AggregatesSpec asserts the CMS
+      // guarantee est ≥ true and the ε = e/w overcount bound.
+      import s.implicits._
+      val W = 2048; val D = 4 // ε = e/W ≈ 0.13%, δ = e^-D ≈ 1.8%
+      def bucket(x: Long, row: Int): Int = {
+        var h = x * 0x9E3779B97F4A7C15L + (row + 1) * 0xC2B2AE3D27D4EB4FL
+        h ^= h >>> 33; h *= 0xFF51AFD7ED558CCDL; h ^= h >>> 33
+        (h & (W - 1)).toInt
+      }
+      val ids = Tables(s, dir, "events").select(col("user_id")).as[Long]
+      val merged = ids.mapPartitions { it =>
+        val cells = new Array[Long](D * W)
+        it.foreach { u =>
+          var r = 0
+          while (r < D) { cells(r * W + bucket(u, r)) += 1L; r += 1 }
+        }
+        Iterator.single(cells)
+      }.reduce { (a, b) =>
+        var i = 0; while (i < a.length) { a(i) += b(i); i += 1 }; a
+      }
+      val est = (0L until 20L).map { u =>
+        (u, (0 until D).map(r => merged(r * W + bucket(u, r))).min)
+      }
+      ordered(est.toDF("user_id", "est_events"))
+    },
     "q_agg_mode" -> { (s, dir) =>
       // Deterministic statistical mode per group: Spark's mode() picks
       // an ARBITRARY value on frequency ties, so build it from counts

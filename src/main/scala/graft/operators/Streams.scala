@@ -144,6 +144,35 @@ object Streams {
       ordered(s.read.parquet(out))
     }},
 
+    // B9: streaming top-k — per-hour top-3 event types by count. The
+    // STREAM maintains only the windowed (bucket, type) counters
+    // (watermark-bounded state, |types| rows per open window); the
+    // rank is a batch window over the materialized counters — the
+    // standard serving split for streaming top-k, since a global rank
+    // can't be finalized until the watermark closes the window anyway.
+    // At 100 TB/day the streamed state stays |types| × open windows
+    // regardless of event volume.
+    "s_stream_topk" -> { (s, dir) => withShufflePartitions(s, 8) {
+      val out = tmp("topk_out"); val ck = tmp("topk_ck")
+      val q = EventSource.FileStream.load(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start").cast("long").as("bucket_start"),
+          col("event_type"), col("n_events"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("bucket_start"))
+        .orderBy(col("n_events").desc, col("event_type"))
+      ordered(s.read.parquet(out)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3))
+    }},
+
     // B9: sliding-window streaming aggregation (1 h window, 15 min
     // slide — each event lands in 4 overlapping buckets, the
     // overlap-expansion the engine does inside `window()`), watermark +

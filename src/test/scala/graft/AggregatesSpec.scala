@@ -68,6 +68,22 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("count-min estimates: never undercount, overcount within the eps*N bound") {
+    val est = SparkEntry.queries("q_agg_countmin")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = graft.sources.Tables(spark, sf, "events")
+    val exact = e.filter(col("user_id") < 20)
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = e.count()
+    val epsN = math.ceil(math.E * n / 2048).toLong // CMS guarantee at w=2048
+    est.foreach { case (u, v) =>
+      val ex = exact.getOrElse(u, 0L)
+      assert(v >= ex, s"user $u: CMS undercounted est=$v exact=$ex")
+      assert(v <= ex + epsN, s"user $u: est=$v exact=$ex bound=$epsN")
+    }
+  }
+
   test("approx_count_distinct within 10% of exact distinct counts per group") {
     val e = graft.sources.Tables(spark, sf, "events")
     val exact = e.groupBy(col("event_type"))

@@ -31,6 +31,28 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_stream_topk matches the batch per-hour top-3 on watermark-closed windows") {
+    val streamRows = SparkEntry.queries("s_stream_topk")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) ->
+        ((r.getString(1), r.getLong(2)))).toMap
+    assert(streamRows.nonEmpty)
+    // batch twin: hourly (bucket, type) counts ranked the same way
+    val e = graft.sources.Tables(spark, sf, "events")
+    val counts = e.groupBy(
+        (expr("CAST(ts AS LONG) DIV 3600") * 3600).as("bucket_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket_start"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    val batchRows = counts.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3).collect()
+      .map(r => (r.getLong(0), r.getInt(3)) -> ((r.getString(1), r.getLong(2)))).toMap
+    streamRows.foreach { case (k, v) =>
+      assert(batchRows.get(k).contains(v), s"$k stream=$v batch=${batchRows.get(k)}")
+    }
+  }
+
   test("s_stream_sliding emits exactly the batch q_time_sliding buckets the watermark closed") {
     val streamRows = SparkEntry.queries("s_stream_sliding")(spark, sf)
       .select("bucket_start", "n_events", "sum_value").collect()
