@@ -336,6 +336,46 @@ object Streams {
       ordered(s.table(qn))
     }},
 
+    // B9: stateful streaming anomaly detection — the online twin of
+    // q_time_anomaly. flatMapGroupsWithState keeps the trailing daily
+    // totals per event type (no built-in streaming agg can look ACROSS
+    // window buckets); each day's z-score emits exactly once when the
+    // watermark closes the day. A far-future zero sentinel per type
+    // pushes the final watermark past every real day so the full
+    // series flushes deterministically. StreamingSpec asserts BIT
+    // equality with the batch key's (x, z, flag) rows.
+    "s_stateful_zscore" -> { (s, dir) => withShufflePartitions(s, 8) {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val all = typedEvents(s, dir)
+      val chunks = Seq(
+        all.filter(_.ts.getTime < day(10)),
+        all.filter(e => e.ts.getTime >= day(10) && e.ts.getTime < day(20)),
+        all.filter(_.ts.getTime >= day(20)))
+      // watermark advances only AFTER a batch completes, so flushing
+      // needs TWO sentinel batches: batch k feeds the far-future ts,
+      // batch k+1 then runs with the advanced watermark and closes
+      // every real day. Sentinel days themselves never close (their
+      // day end stays past the final watermark) and sort after all
+      // real days, so they contaminate no emitted window.
+      def sentinelsAt(ts: String) = {
+        val t0 = java.sql.Timestamp.valueOf(ts)
+        all.map(_.event_type).distinct.sorted.zipWithIndex
+          .map { case (t, i) => Ev(-1L - i, t0, -1L, t, 0.0) }
+      }
+      val ms = MemoryStream[Ev]
+      val qn = s"graft_zs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = graft.streaming.StatefulZscore.zscores(
+          ms.toDS().withWatermark("ts", "1 hour"))
+        .writeStream.format("memory").queryName(qn)
+        .outputMode("append").start()
+      (chunks :+ sentinelsAt("2024-03-01 00:00:00")
+        :+ sentinelsAt("2024-03-02 00:00:00"))
+        .foreach { c => ms.addData(c); q.processAllAvailable() }
+      q.stop()
+      ordered(s.table(qn))
+    }},
+
     // A5/A7: micro-batch fan-out via foreachBatch — idempotent
     // per-batch overwrite into a batch-keyed dir (upsert-by-batch-id),
     // the pattern for multi-sink / transactional targets.

@@ -31,6 +31,22 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("s_stateful_zscore is bit-equal to the batch q_time_anomaly series") {
+    val stream = SparkEntry.queries("s_stateful_zscore")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    val batch = SparkEntry.queries("q_time_anomaly")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(stream.nonEmpty)
+    // the sentinel flush closes every real day, so the streamed series
+    // must equal the batch series EXACTLY — same keys, same bits
+    assert(stream.keySet === batch.keySet)
+    stream.foreach { case (k, v) =>
+      assert(batch(k) === v, s"$k stream=$v batch=${batch(k)}")
+    }
+  }
+
   test("s_stream_topk matches the batch per-hour top-3 on watermark-closed windows") {
     val streamRows = SparkEntry.queries("s_stream_topk")(spark, sf)
       .collect().map(r => (r.getLong(0), r.getInt(3)) ->
