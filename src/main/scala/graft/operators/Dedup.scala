@@ -47,9 +47,11 @@ object Dedup {
     * four dedup keys (near-dup pairs, cluster, containment, minhash)
     * consume the SAME shingle table, and within one Verify/Bench
     * session each used to re-scan and re-shingle it. A real pipeline
-    * materializes its shingle table once and shares it. Keyed by the
-    * CANONICALIZED plan string (exact plan equality — a 32-bit
-    * semanticHash could silently collide and serve the wrong table)
+    * materializes its shingle table once and shares it. Keyed by
+    * [[graft.plans.PlanKey]] (canonical plan + exact leaf data
+    * identity — the bare canonical string erases file paths/local
+    * rows and a 32-bit semanticHash could silently collide, either
+    * way serving the wrong table)
     * and bounded: past 8 entries the memo clears, dropping the
     * DataFrame references so the ContextCleaner can release the
     * checkpointed blocks once the RDDs are GC'd — a long-lived JVM
@@ -64,15 +66,21 @@ object Dedup {
     // plan branches (prefix explode + two verify joins), and without a
     // checkpoint each branch re-scans parquet and re-shingles; the
     // shingle table is O(docs) and the repeated compute dominated the
-    // near-dup keys' wall clock (measured ~15% off the 3-key group)
-    if (shingleMemo.size > 8) shingleMemo.clear()
-    shingleMemo.computeIfAbsent(
-      (d.sparkSession, d.queryExecution.analyzed.canonicalized.toString),
-      _ => d.select(col("doc_id"),
-          call_function("word_shingles", split(col("text"), " "), lit(3)).as("sh"))
-        .filter(size(col("sh")) > 0)
-        .withColumn("sz", size(col("sh")))
-        .localCheckpoint(true))
+    // near-dup keys' wall clock (measured ~15% off the 3-key group).
+    // Keyed by PlanKey (canonical plan + leaf data identity — the bare
+    // canonical string erases file paths and local data, colliding
+    // across scale dirs); unkeyable inputs compute uncached.
+    def build() = d.select(col("doc_id"),
+        call_function("word_shingles", split(col("text"), " "), lit(3)).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sz", size(col("sh")))
+    graft.plans.PlanKey.of(d) match {
+      case Some(k) =>
+        if (shingleMemo.size > 8) shingleMemo.clear()
+        shingleMemo.computeIfAbsent((d.sparkSession, k),
+          _ => build().localCheckpoint(true))
+      case None => build().localCheckpoint(true)
+    }
   }
 
   /** Memo of the scored near-dup PAIR table, same keying/bounding
@@ -90,14 +98,16 @@ object Dedup {
     * [[graft.functions.PrefixShingles]] — exactness needs only a
     * CONSISTENT global order; see that expression's doc for when a
     * df-ascending order would be worth its vocabulary join. */
-  def nearDupPairs(d: DataFrame): DataFrame = {
-    if (pairsMemo.size > 8) pairsMemo.clear()
-    pairsMemo.computeIfAbsent(
-      (d.sparkSession, d.queryExecution.analyzed.canonicalized.toString),
-      _ => nearDupPairsUncached(d).localCheckpoint(true))
-  }
+  def nearDupPairs(d: DataFrame): DataFrame =
+    graft.plans.PlanKey.of(d) match {
+      case Some(k) =>
+        if (pairsMemo.size > 8) pairsMemo.clear()
+        pairsMemo.computeIfAbsent((d.sparkSession, k),
+          _ => nearDupPairsUncached(d).localCheckpoint(true))
+      case None => nearDupPairsUncached(d)
+    }
 
-  private def nearDupPairsUncached(d: DataFrame): DataFrame = {
+  private[graft] def nearDupPairsUncached(d: DataFrame): DataFrame = {
     val sh = shingled(d)
     val pref = sh.select(col("doc_id"), col("sz"),
       explode(call_function("prefix_shingles", col("sh"), lit(4), lit(5))).as("s"))
@@ -263,7 +273,12 @@ object Dedup {
       // engine-internal); equality with brute force asserted in
       // DedupSpec.
       val d = Tables(s, dir, "documents")
+      // materialize once: the signature table feeds three plan
+      // branches (band explode + two verify joins), and each would
+      // otherwise re-tokenize + re-hash the corpus; the table is
+      // O(docs) × 16 bytes
       val sig = d.select(col("doc_id"), Text.simhash64(col("text")).as("sig"))
+        .localCheckpoint(true)
       val bandPairs = for { i <- 0 until 8; j <- i + 1 until 8 } yield (i, j)
       val bandCols = bandPairs.zipWithIndex.map { case ((i, j), b) =>
         struct(lit(b).as("chunk"),

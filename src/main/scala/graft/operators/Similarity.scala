@@ -36,7 +36,7 @@ object Similarity {
     * run [[VectorExprs.register]] on the session. */
   def cosine(a: Column, b: Column): Column = call_function("cosine_sim", a, b)
 
-  private def vecs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def vecs(s: SparkSession, dir: String): DataFrame = {
     VectorExprs.register(s)
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("label"),
@@ -71,7 +71,24 @@ object Similarity {
     * cosine `c` — byte-identical to the brute-force formulation
     * (asserted in SimilaritySpec), with no nested-loop join in the
     * plan (asserted in PlanSpec). */
-  def blockedScoredPairs(e: DataFrame, nBlocks: Int = 16): DataFrame = {
+  /** Memo of the scored exact pair table per (session, input plan,
+    * block count) — q_sim_cosine_topk and q_dedup_embed both consume
+    * the full blocked scoring join; same bounded-memo discipline as
+    * Dedup's shingle/pair memos (a real pipeline materializes its
+    * scored-pairs table once). */
+  private val blockedMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+
+  def blockedScoredPairs(e: DataFrame, nBlocks: Int = 16): DataFrame =
+    graft.plans.PlanKey.of(e) match {
+      case Some(k) =>
+        if (blockedMemo.size > 8) blockedMemo.clear()
+        blockedMemo.computeIfAbsent((e.sparkSession, k, nBlocks),
+          _ => blockedScoredPairsUncached(e, nBlocks).localCheckpoint(true))
+      case None => blockedScoredPairsUncached(e, nBlocks)
+    }
+
+  private[graft] def blockedScoredPairsUncached(e: DataFrame, nBlocks: Int): DataFrame = {
     VectorExprs.register(e.sparkSession)
     import e.sparkSession.implicits._
     val grid = (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))
