@@ -71,24 +71,13 @@ object Similarity {
     * cosine `c` — byte-identical to the brute-force formulation
     * (asserted in SimilaritySpec), with no nested-loop join in the
     * plan (asserted in PlanSpec). */
-  /** Memo of the scored exact pair table per (session, input plan,
-    * block count) — q_sim_cosine_topk and q_dedup_embed both consume
-    * the full blocked scoring join; same bounded-memo discipline as
-    * Dedup's shingle/pair memos (a real pipeline materializes its
-    * scored-pairs table once). */
-  private val blockedMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
-
-  def blockedScoredPairs(e: DataFrame, nBlocks: Int = 16): DataFrame =
-    graft.plans.PlanKey.of(e) match {
-      case Some(k) =>
-        if (blockedMemo.size > 8) blockedMemo.clear()
-        blockedMemo.computeIfAbsent((e.sparkSession, k, nBlocks),
-          _ => blockedScoredPairsUncached(e, nBlocks).localCheckpoint(true))
-      case None => blockedScoredPairsUncached(e, nBlocks)
-    }
-
-  private[graft] def blockedScoredPairsUncached(e: DataFrame, nBlocks: Int): DataFrame = {
+  /** Deliberately NOT memoized/checkpointed (unlike Dedup's pair
+    * table): both consumers reduce the 2M-pair stream in-flight —
+    * top-k via TakeOrderedAndProject, the τ filter as a narrow
+    * predicate — so a shared materialization would write the full
+    * scored pair set to block storage only to re-read a sliver
+    * (measured ~3× slower than letting each key stream it). */
+  def blockedScoredPairs(e: DataFrame, nBlocks: Int = 16): DataFrame = {
     VectorExprs.register(e.sparkSession)
     import e.sparkSession.implicits._
     val grid = (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))

@@ -226,24 +226,19 @@ class PlanSpec extends SparkSpec {
     // raw interval predicate would plan
     for (k <- Seq("q_dedup_minhash",
         "q_dedup_simhash", "q_sim_lsh_bucketed",
-        "q_join_interval_binned",
+        "q_dedup_embed", "q_sim_cosine_topk", "q_join_interval_binned",
         "q_dedup_span", "q_dedup_containment", "q_join_fuzzy")) {
       val p = planOf(k)
       assert(!p.contains("CartesianProduct"), s"$k plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$k plans a nested-loop join")
     }
-    // the memoized pair tables (near-jaccard, blocked cosine) would
-    // show as checkpoint scans once warm — vacuously join-free — so
-    // assert on their UNCACHED builders instead
+    // the memoized near-dup pair table would show as a checkpoint scan
+    // once warm — vacuously join-free — so assert on its UNCACHED
+    // builder instead
     val docs = graft.sources.Tables(spark, sf, "documents")
-    val emb = Similarity.vecs(spark, sf)
-    for ((name, df) <- Seq(
-        "nearDupPairs" -> Dedup.nearDupPairsUncached(docs),
-        "blockedScoredPairs" -> Similarity.blockedScoredPairsUncached(emb, 16))) {
-      val p = df.queryExecution.executedPlan.toString
-      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian product")
-      assert(!p.contains("BroadcastNestedLoopJoin"), s"$name plans a nested-loop join")
-    }
+    val p = Dedup.nearDupPairsUncached(docs).queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), "nearDupPairs plans a cartesian product")
+    assert(!p.contains("BroadcastNestedLoopJoin"), "nearDupPairs plans a nested-loop join")
   }
 
   test("q_join_fuzzy candidates come from an equi join on segment keys") {
