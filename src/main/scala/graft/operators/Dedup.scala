@@ -67,19 +67,11 @@ object Dedup {
     // checkpoint each branch re-scans parquet and re-shingles; the
     // shingle table is O(docs) and the repeated compute dominated the
     // near-dup keys' wall clock (measured ~15% off the 3-key group).
-    // Keyed by PlanKey (canonical plan + leaf data identity — the bare
-    // canonical string erases file paths and local data, colliding
-    // across scale dirs); unkeyable inputs compute uncached.
-    def build() = d.select(col("doc_id"),
-        call_function("word_shingles", split(col("text"), " "), lit(3)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sz", size(col("sh")))
-    graft.plans.PlanKey.of(d) match {
-      case Some(k) =>
-        if (shingleMemo.size > 8) shingleMemo.clear()
-        shingleMemo.computeIfAbsent((d.sparkSession, k),
-          _ => build().localCheckpoint(true))
-      case None => build().localCheckpoint(true)
+    graft.plans.PlanKey.memoize(shingleMemo, d) {
+      d.select(col("doc_id"),
+          call_function("word_shingles", split(col("text"), " "), lit(3)).as("sh"))
+        .filter(size(col("sh")) > 0)
+        .withColumn("sz", size(col("sh")))
     }
   }
 
@@ -99,13 +91,7 @@ object Dedup {
     * CONSISTENT global order; see that expression's doc for when a
     * df-ascending order would be worth its vocabulary join. */
   def nearDupPairs(d: DataFrame): DataFrame =
-    graft.plans.PlanKey.of(d) match {
-      case Some(k) =>
-        if (pairsMemo.size > 8) pairsMemo.clear()
-        pairsMemo.computeIfAbsent((d.sparkSession, k),
-          _ => nearDupPairsUncached(d).localCheckpoint(true))
-      case None => nearDupPairsUncached(d)
-    }
+    graft.plans.PlanKey.memoize(pairsMemo, d)(nearDupPairsUncached(d))
 
   private[graft] def nearDupPairsUncached(d: DataFrame): DataFrame = {
     val sh = shingled(d)

@@ -317,9 +317,31 @@ object Joins {
         .select(col("nb"), col("cnt_b"), col("k.la").cast("int").as("la"),
           col("k.segi").as("segi"),
           expr("substring(nb, k.pos, k.sl)").as("sub"))
+      // strings shorter than k+1 = 3 chars cannot form 3 non-empty
+      // segments, so the pigeonhole misses pairs where BOTH sides are
+      // that short ("ab" ↔ "cd": every non-empty segment is edited,
+      // only the dropped empty segment is clean). Pair the tiny
+      // strings through a constant-key bucket: distinct strings of
+      // length ≤ 2 are a constant-bounded set in any corpus
+      // (≤ |alphabet|² + |alphabet|), and the constant key keeps it a
+      // broadcast HASH join, never a nested loop. Pairs with one
+      // short and one ≥3-char side are already exact via the main
+      // path (the ≥3 side indexes, the short side probes).
+      val tiny = names.filter(length(col("name")) <= 2)
+      // the bucket key must DERIVE from a column (length·0 ≡ 0): a
+      // bare lit(1) both sides constant-folds out of the join
+      // condition and the planner degrades to a nested loop
+      val tinyKey = length(col("name")) * 0
+      val tinyCand = tiny
+        .select(col("name").as("na"), col("cnt").as("cnt_a"), tinyKey.as("tk"))
+        .join(tiny.select(col("name").as("nb"), col("cnt").as("cnt_b"),
+          tinyKey.as("tk")), "tk")
+        .filter(col("na") < col("nb"))
+        .select(col("na"), col("nb"), col("cnt_a"), col("cnt_b"))
       val cand = indexed.join(probes, Seq("la", "segi", "sub"))
         .filter(col("na") < col("nb"))
-        .select(col("na"), col("nb"), col("cnt_a"), col("cnt_b")).distinct()
+        .select(col("na"), col("nb"), col("cnt_a"), col("cnt_b"))
+        .union(tinyCand).distinct()
       ordered(cand
         .withColumn("dist", levenshtein(col("na"), col("nb")))
         .filter(col("dist") <= 2)

@@ -210,7 +210,12 @@ object Time {
             .over(wf).cast("double"))
         .withColumn("x", col("dec").cast("double"))
       val mean = col("sx") / 7.0
-      val sd = sqrt((col("sxx") - col("sx") * col("sx") / 7.0) / 6.0)
+      // greatest(…, 0): the variance term rounds to a tiny NEGATIVE
+      // double for constant windows — unclamped that is sd=NaN here
+      // (and abs(NaN)>2 ⇒ is_anomaly=true) but a hard sqrt ERROR in
+      // the DuckDB oracle; the clamp (mirrored in the oracle and the
+      // streaming twin) makes constant windows a clean z=0
+      val sd = sqrt(greatest((col("sxx") - col("sx") * col("sx") / 7.0) / 6.0, lit(0.0)))
       val z = when(sd === 0.0, 0.0).otherwise((col("x") - mean) / sd)
       ordered(stats.filter(col("rn") >= 7)
         .select(col("event_type"), col("bucket"), col("x"),
@@ -377,10 +382,10 @@ object Time {
         |         wf AS (PARTITION BY event_type ORDER BY bucket
         |                ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
         |SELECT event_type, bucket, x,
-        |  CASE WHEN sqrt((sxx - sx*sx/7.0)/6.0) = 0 THEN 0.0
-        |       ELSE (x - sx/7.0) / sqrt((sxx - sx*sx/7.0)/6.0) END AS z,
-        |  abs(CASE WHEN sqrt((sxx - sx*sx/7.0)/6.0) = 0 THEN 0.0
-        |       ELSE (x - sx/7.0) / sqrt((sxx - sx*sx/7.0)/6.0) END) > 2.0
+        |  CASE WHEN sqrt(greatest((sxx - sx*sx/7.0)/6.0, 0.0)) = 0 THEN 0.0
+        |       ELSE (x - sx/7.0) / sqrt(greatest((sxx - sx*sx/7.0)/6.0, 0.0)) END AS z,
+        |  abs(CASE WHEN sqrt(greatest((sxx - sx*sx/7.0)/6.0, 0.0)) = 0 THEN 0.0
+        |       ELSE (x - sx/7.0) / sqrt(greatest((sxx - sx*sx/7.0)/6.0, 0.0)) END) > 2.0
         |    AS is_anomaly
         |FROM w WHERE rn >= 7""".stripMargin +
         orderByAll("event_type", "bucket", "x", "z", "is_anomaly")),

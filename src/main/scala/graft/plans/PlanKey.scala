@@ -27,7 +27,13 @@ object PlanKey {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         lr.relation match {
           case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            Some("files:" + fs.location.rootPaths.mkString(","))
+            // the CONCRETE file list, not just the root dir: a dir
+            // rewritten/appended in place within one session must not
+            // memo-hit the old materialization (Spark writers emit
+            // fresh UUID part names, so rewrites change this list).
+            // In-place overwrites of an identically-named file remain
+            // invisible — same caveat as Spark's own FileIndex cache.
+            Some("files:" + fs.location.inputFiles.sorted.mkString(","))
           case _ => None
         }
       case loc: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
@@ -43,4 +49,22 @@ object PlanKey {
     if (ids.contains(None)) None
     else Some(plan.canonicalized.toString + "|" + ids.flatten.mkString(";"))
   }
+
+  /** Shared memo-guard discipline for materialized intermediate
+    * tables: keyable inputs memoize an eagerly-checkpointed build
+    * (bounded — past 8 entries the memo clears so the ContextCleaner
+    * can release blocks); unkeyable inputs still CHECKPOINT, just
+    * without memoizing — callers rely on the result being pinned
+    * (e.g. dedupClusters' scoped-conf loop must not lazily re-plan
+    * the pair join), so the no-memo path must not weaken that. */
+  def memoize(memo: java.util.concurrent.ConcurrentHashMap[
+        (org.apache.spark.sql.SparkSession, String), DataFrame],
+      df: DataFrame)(build: => DataFrame): DataFrame =
+    of(df) match {
+      case Some(k) =>
+        if (memo.size > 8) memo.clear()
+        memo.computeIfAbsent((df.sparkSession, k),
+          _ => build.localCheckpoint(true))
+      case None => build.localCheckpoint(true)
+    }
 }

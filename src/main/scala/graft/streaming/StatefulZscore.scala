@@ -36,10 +36,16 @@ object StatefulZscore {
   case class ZOut(event_type: String, bucket: Long, x: Double, z: Double,
       is_anomaly: Boolean)
 
-  /** Exact twin of Spark's double → DECIMAL(18,4) cast (HALF_UP on the
-    * exact binary expansion), as a scale-4 long. */
+  /** Exact twin of Spark's double → DECIMAL(18,4) cast, as a scale-4
+    * long. Spark's `Decimal.apply(double)` parses `Double.toString(d)`
+    * — the SHORTEST decimal rendering — before rounding HALF_UP
+    * (verified against spark-sql 4.1.2 bytecode), so this must use
+    * `BigDecimal.valueOf` (same toString hop), NOT
+    * `new BigDecimal(d)`: the exact binary expansion rounds
+    * 2.00005 (stored as 2.0000499…) down to 2.0000 where Spark's
+    * cast yields 2.0001. */
   private def scale4(v: Double): Long =
-    new java.math.BigDecimal(v)
+    java.math.BigDecimal.valueOf(v)
       .setScale(4, java.math.RoundingMode.HALF_UP)
       .unscaledValue().longValueExact()
 
@@ -69,7 +75,12 @@ object StatefulZscore {
         val x = java.math.BigDecimal.valueOf(d.sumScaled, 4).doubleValue()
         val sx = java.math.BigDecimal.valueOf(sxL, 4).doubleValue()
         val sxx = sxxBD.doubleValue()
-        val sd = math.sqrt((sxx - sx * sx / 7.0) / 6.0)
+        // clamp: (sxx - sx²/7)/6 can round to a tiny NEGATIVE double
+        // for a constant window (≈27% of equal-value windows measured)
+        // — unclamped, Spark yields sd=NaN (z=NaN, NaN>2 ⇒ true) while
+        // DuckDB ERRORS on sqrt(negative); all three implementations
+        // clamp identically so constant windows give z=0 everywhere
+        val sd = math.sqrt(math.max((sxx - sx * sx / 7.0) / 6.0, 0.0))
         val z = if (sd == 0.0) 0.0 else (x - sx / 7.0) / sd
         out += ZOut(tpe, d.bucket, x, z, math.abs(z) > 2.0)
         emittedMax = d.bucket

@@ -76,12 +76,19 @@ class AggregatesSpec extends SparkSpec {
       .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val n = e.count()
-    val epsN = math.ceil(math.E * n / 2048).toLong // CMS guarantee at w=2048
-    est.foreach { case (u, v) =>
+    val epsN = math.ceil(math.E * n / 2048).toLong // CMS bound at w=2048
+    // never-undercount is a HARD guarantee (min of over-counting
+    // cells); the eps*N bound holds per key only with probability
+    // 1 - e^-d ≈ 98.2%, so over 20 keys a correct sketch may
+    // legitimately exceed it — allow the expected tail (≤ 2) instead
+    // of asserting the probabilistic bound as if deterministic
+    val violations = est.toSeq.map { case (u, v) =>
       val ex = exact.getOrElse(u, 0L)
       assert(v >= ex, s"user $u: CMS undercounted est=$v exact=$ex")
-      assert(v <= ex + epsN, s"user $u: est=$v exact=$ex bound=$epsN")
-    }
+      if (v > ex + epsN) 1 else 0
+    }.sum
+    assert(violations <= 2,
+      s"$violations of ${est.size} keys exceed the eps*N=$epsN overcount bound")
   }
 
   test("approx_count_distinct within 10% of exact distinct counts per group") {
