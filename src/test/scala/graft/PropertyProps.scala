@@ -117,6 +117,40 @@ object PropertyProps extends Properties("graft") {
       }
     }
 
+  // --- fuzzy join: segment pruning == brute force for arbitrary strings ---
+
+  private val genNames: Gen[List[String]] = Gen.listOfN(25,
+    for {
+      n <- Gen.choose(1, 9) // includes the sub-3-char pigeonhole gap
+      cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+    } yield cs.mkString)
+
+  property("fuzzyPairs == brute-force levenshtein join, incl. short strings") =
+    forAll(genNames) { raw =>
+      import spark.implicits._
+      // tiny alphabet + short strings force many distance ≤ 2 pairs
+      // and plenty of length-1/2 names (the segment scheme's edge)
+      val names = raw.distinct.map(n => (n, 1L)).toDF("name", "cnt")
+      val got = graft.operators.Joins.fuzzyPairs(names)
+        .select("na", "nb").collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val ds = raw.distinct
+      val expected = (for {
+        a <- ds; b <- ds if a < b
+        if levenshteinRef(a, b) <= 2
+      } yield (a, b)).toSet
+      got == expected
+    }
+
+  /** Reference edit distance (classic DP) — independent of both Spark
+    * and the join under test. */
+  private def levenshteinRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) => if (j == 0) i else if (i == 0) j else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
   // --- cosine algebra on generated vectors ---
 
   private val genVecPair: Gen[(List[Double], List[Double])] = for {
