@@ -48,7 +48,8 @@ object Bench {
       "q_agg_group_pricing", "q_scan_filter_pushdown", "q_join_multiway",
       "q_sql_tpch_q3", "q_win_topk_group", "q_sessionize",
       "q_dedup_near_jaccard", "q_dedup_minhash", "q_sim_lsh_bucketed",
-      "q_text_tfidf", "q_time_tumbling", "s_ingest_availablenow")
+      "q_text_tfidf", "q_time_tumbling", "s_ingest_availablenow",
+      "q_join_fuzzy", "s_stateful_zscore")
     val withQueries =
       jsonLine(results.view.filterKeys(headline.contains).toMap, total, results.size, sfDir)
     // Never throw on overflow: a too-long line degrades to total-only

@@ -141,6 +141,37 @@ object PropertyProps extends Properties("graft") {
       got == expected
     }
 
+  // --- EWMA: Spark window formula bit-equals an independent fold ---
+
+  property("q_time_ewma's tap formula is bit-exact vs a plain Scala fold") =
+    forAll(Gen.listOfN(12, Gen.choose(-1000.0, 1000.0))) { xs =>
+      import spark.implicits._
+      // same left-associated op sequence, independently written: the
+      // determinism claim is that ANY IEEE engine reproduces it
+      def ref(w: Seq[Double]): Double =
+        (w(7) + w(6) * 0.5 + w(5) * 0.25 + w(4) * 0.125 + w(3) * 0.0625 +
+          w(2) * 0.03125 + w(1) * 0.015625 + w(0) * 0.0078125) / 1.9921875
+      val df = xs.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("bucket", "x")
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      val got = df
+        .withColumn("rn", row_number().over(w))
+        .withColumn("ewma",
+          (col("x")
+            + lag(col("x"), 1).over(w) * 0.5
+            + lag(col("x"), 2).over(w) * 0.25
+            + lag(col("x"), 3).over(w) * 0.125
+            + lag(col("x"), 4).over(w) * 0.0625
+            + lag(col("x"), 5).over(w) * 0.03125
+            + lag(col("x"), 6).over(w) * 0.015625
+            + lag(col("x"), 7).over(w) * 0.0078125) / 1.9921875)
+        .filter(col("rn") >= 8).orderBy(col("bucket"))
+        .select("ewma").collect().map(_.getDouble(0)).toSeq
+      val expected = (7 until xs.length).map(t => ref(xs.slice(t - 7, t + 1)))
+      // bit equality, not tolerance: identical IEEE op sequences
+      got.map(java.lang.Double.doubleToLongBits) ==
+        expected.map(java.lang.Double.doubleToLongBits)
+    }
+
   /** Reference edit distance (classic DP) — independent of both Spark
     * and the join under test. */
   private def levenshteinRef(a: String, b: String): Int = {
