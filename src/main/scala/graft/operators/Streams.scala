@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.functions.Det._
@@ -16,7 +15,7 @@ import graft.streaming.StatefulSession.Ev
   * environment — SURVEY.md §0.1).
   *
   * Every key here RUNS a real streaming query to completion
-  * (Trigger.AvailableNow / MemoryStream micro-batches + checkpoint)
+  * (Trigger.AvailableNow over staged micro-batch files + checkpoint)
   * and returns the materialized result as a batch DataFrame, so the
   * driver's Verify can persist it. Oracle=omit for the stateful keys
   * (streaming execution isn't DuckDB-expressible; stream-vs-batch
@@ -42,17 +41,92 @@ object Streams {
   private def withShufflePartitions[A](s: SparkSession, n: Int)(body: => A): A =
     graft.Confs.withConfs(s, "spark.sql.shuffle.partitions" -> n.toString)(body)
 
-  /** Deterministic, (ts, event_id)-sorted typed events for
-    * MemoryStream feeding. */
-  private def typedEvents(s: SparkSession, dir: String): Seq[Ev] = {
-    import s.implicits._
+  /** The Ev projection of the events table — the canonical typed feed
+    * for the stateful keys. */
+  private def evFrame(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "events")
       .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
-      .as[Ev].collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+
+  private def day(d: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00")
+
+  /** Stage each chunk as ONE parquet file under a shared dir with
+    * strictly increasing modification times, and return a file-stream
+    * over the dir admitting one file per trigger: file k IS micro-batch
+    * k. This gives the stateful keys the same deterministic batch
+    * boundaries MemoryStream did, with zero driver-side row
+    * materialization — every chunk is written by a distributed job and
+    * re-enters through the FileStreamSource, the staged-replay shape a
+    * 100 TB backfill uses (at scale: one chunk dir per replay step and
+    * maxFilesPerTrigger sized to the step, instead of coalesce(1)).
+    * FileStreamSource orders candidate files by modification time, so
+    * the spaced mtimes pin the admission order, and Trigger.AvailableNow
+    * honors the per-trigger cap.
+    *
+    * With `spacers = true` an EMPTY spacer file follows every chunk.
+    * Spark's two-watermark model (3.5+) filters LATE rows with the
+    * PREVIOUS batch's watermark while evicting state with the current
+    * one, so back-to-back data batches let chunk k+1's late rows slip
+    * past chunk k's watermark. The 0-row spacer batch promotes chunk
+    * k's watermark into "previous batch" position first — the cadence
+    * the old MemoryStream addData/processAllAvailable loop produced via
+    * its intermediate flush batches. Only s_late_data needs it: every
+    * other key feeds time-ordered or horizon-covered chunks in which no
+    * row is late under either watermark, and EMISSION always uses the
+    * current batch's watermark, so spacers would only add empty-batch
+    * overhead there. */
+  private def stagedChunks(s: SparkSession, chunks: Seq[DataFrame],
+      spacers: Boolean = false): DataFrame = {
+    require(chunks.nonEmpty, "stagedChunks needs at least one chunk")
+    val dir = tmp("feed")
+    val base = System.currentTimeMillis()
+    // ONE staging job for every chunk: tag, hash-repartition on the tag
+    // (all rows of a chunk land in one task → exactly one file per
+    // partition dir), write once. Cheaper than a write job per chunk,
+    // and the partition column stays out of the data files, so the
+    // stream schema is the chunk schema untouched.
+    val scratch = tmp("feed_src")
+    chunks.zipWithIndex
+      .map { case (df, i) => df.withColumn("__chunk", lit(i)) }
+      .reduce(_.union(_))
+      .repartition(col("__chunk"))
+      .write.partitionBy("__chunk").mode("overwrite").parquet(scratch)
+    var seq = 0
+    def place(src: java.io.File): Unit = {
+      val dst = new java.io.File(dir, f"chunk_$seq%03d.parquet")
+      java.nio.file.Files.copy(src.toPath, dst.toPath)
+      dst.setLastModified(base + seq * 2000L)
+      seq += 1
+    }
+    def partFile(d: java.io.File): java.io.File =
+      Option(d.listFiles()).flatMap(_.find(_.getName.endsWith(".parquet")))
+        .getOrElse(sys.error(s"no staged parquet under $d"))
+    val spacer = if (spacers) Some {
+      val sdir = tmp("feed_spacer")
+      chunks.head.limit(0).coalesce(1).write.mode("overwrite").parquet(sdir)
+      partFile(new java.io.File(sdir))
+    } else None
+    chunks.indices.foreach { i =>
+      place(partFile(new java.io.File(scratch, s"__chunk=$i")))
+      spacer.foreach(place)
+    }
+    s.readStream.schema(chunks.head.schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir)
   }
 
-  private def day(d: Int): Long =
-    java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00").getTime
+  /** Run a staged-feed streaming query to a parquet sink and read the
+    * materialized result back (AvailableNow = process every staged
+    * micro-batch in order, then stop). */
+  private def runToParquet(stream: DataFrame): DataFrame = {
+    val s = stream.sparkSession
+    val out = tmp("stream_out"); val ck = tmp("stream_ck")
+    val q = stream.writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.read.parquet(out)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -196,47 +270,32 @@ object Streams {
     }},
 
     // B9: late/out-of-order data — rows older than the watermark are
-    // dropped. Two deterministic MemoryStream micro-batches: batch 2
+    // dropped. Two deterministic staged micro-batches: batch 2
     // replays days 2–3 after the watermark has advanced to ~day 18.
     "s_late_data" -> { (s, dir) => withShufflePartitions(s, 8) {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val all = typedEvents(s, dir).filter(_.user_id < 60)
-      val onTime1 = all.filter(e => e.ts.getTime < day(18) &&
-        !(e.ts.getTime >= day(2) && e.ts.getTime < day(4)))
-      val late = all.filter(e => e.ts.getTime >= day(2) && e.ts.getTime < day(4))
-      val onTime2 = all.filter(e => e.ts.getTime >= day(18))
-      val ms = MemoryStream[Ev]
-      val qn = s"graft_late_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = ms.toDS().withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 day"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(col("window.start").cast("long").as("bucket_start"), col("n_events"))
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("append").start()
-      ms.addData(onTime1); q.processAllAvailable()
-      ms.addData(late ++ onTime2); q.processAllAvailable()
-      q.stop()
+      val all = evFrame(s, dir).filter(col("user_id") < 60)
+      val isLate = col("ts") >= day(2) && col("ts") < day(4)
+      val onTime1 = all.filter(col("ts") < day(18) && !isLate)
+      val lateReplay = all.filter(isLate || col("ts") >= day(18))
       // days 2–3 buckets are absent/short: late rows were dropped
-      ordered(s.table(qn))
+      ordered(runToParquet(
+        stagedChunks(s, Seq(onTime1, lateReplay), spacers = true)
+          .withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("window.start").cast("long").as("bucket_start"), col("n_events"))))
     }},
 
     // B9: streaming dedup by event_id — input replayed twice, emitted
     // once (watermark horizon covers the whole fixture → exact).
     "s_dedup_stream" -> { (s, dir) => withShufflePartitions(s, 8) {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val all = typedEvents(s, dir).filter(_.user_id < 50)
-      val ms = MemoryStream[Ev]
-      val qn = s"graft_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = ms.toDS().withWatermark("ts", "40 days")
-        .dropDuplicatesWithinWatermark("event_id")
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("append").start()
-      ms.addData(all); q.processAllAvailable()
-      ms.addData(all); q.processAllAvailable() // full replay → all dupes
-      q.stop()
-      ordered(s.table(qn).groupBy(col("event_type")).agg(
+      val all = evFrame(s, dir).filter(col("user_id") < 50)
+      // batch 1 = the input, batch 2 = a full replay → all dupes
+      val emitted = runToParquet(
+        stagedChunks(s, Seq(all, all))
+          .withWatermark("ts", "40 days")
+          .dropDuplicatesWithinWatermark("event_id"))
+      ordered(emitted.groupBy(col("event_type")).agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("event_id")).as("n_ids")))
     }},
@@ -251,31 +310,25 @@ object Streams {
     // oracle=omit; StreamingSpec bounds suppression vs the exact batch
     // ground truth.
     "s_dedup_stream_near" -> { (s, dir) => withShufflePartitions(s, 8) {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
       graft.functions.VectorExprs.register(s)
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"), col("text")).as[(Long, String)]
-        .collect().sortBy(_._1)
-      val (h1, h2) = docs.splitAt(docs.length / 2)
-      val ms = MemoryStream[(Long, String)]
-      val qn = s"graft_neardedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      // two arrival waves, split by doc_id parity — the 40-day horizon
+      // spans the whole synthetic clock, so suppression counts are
+      // split-invariant (one survivor per band key regardless of wave)
+      val waves = Seq(docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1))
       val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
-      val q = ms.toDS().toDF("doc_id", "text")
-        // synthetic monotonic event time: arrival order = doc_id order
-        .withColumn("ts", timestamp_millis(lit(base) + col("doc_id")))
-        .withColumn("band_key", xxhash64(slice(
-          call_function("minhash_sig",
-            call_function("word_shingles", split(col("text"), " "), lit(3)),
-            lit(64)), 1, 4)))
-        .withWatermark("ts", "40 days")
-        .dropDuplicatesWithinWatermark("band_key")
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("append").start()
-      ms.addData(h1.toSeq); q.processAllAvailable()
-      ms.addData(h2.toSeq); q.processAllAvailable()
-      q.stop()
-      ordered(s.table(qn).agg(
+      val emitted = runToParquet(
+        stagedChunks(s, waves)
+          // synthetic monotonic event time: arrival order = doc_id order
+          .withColumn("ts", timestamp_millis(lit(base) + col("doc_id")))
+          .withColumn("band_key", xxhash64(slice(
+            call_function("minhash_sig",
+              call_function("word_shingles", split(col("text"), " "), lit(3)),
+              lit(64)), 1, 4)))
+          .withWatermark("ts", "40 days")
+          .dropDuplicatesWithinWatermark("band_key"))
+      ordered(emitted.agg(
         count(lit(1)).as("survivors"),
         countDistinct(col("band_key")).as("n_keys")))
     }},
@@ -285,17 +338,17 @@ object Streams {
     // bound lets Spark expire join state (without it, stream-stream
     // state grows forever). Self-join of the event stream: pairs of
     // same-user events within 10 minutes, fed as two independent
-    // MemoryStreams in lockstep micro-batches. Equality vs the batch
-    // twin asserted in StreamingSpec.
+    // staged file-streams whose 1-file-per-trigger admission keeps the
+    // sides in lockstep micro-batches. The split at day 16 is safe for
+    // exactness: boundary pairs need a_ts ≥ day16 − 10 min, and the 1 h
+    // watermark keeps a-side state alive well past that. Equality vs
+    // the batch twin asserted in StreamingSpec.
     "s_join_stream" -> { (s, dir) => withShufflePartitions(s, 4) {
-      import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val all = typedEvents(s, dir).filter(_.user_id < 15)
-      val (h1, h2) = all.splitAt(all.length / 2)
-      val msA = MemoryStream[Ev]; val msB = MemoryStream[Ev]
-      val a = msA.toDS().withWatermark("ts", "1 hour")
+      val all = evFrame(s, dir).filter(col("user_id") < 15)
+      def waves = Seq(all.filter(col("ts") < day(16)), all.filter(col("ts") >= day(16)))
+      val a = stagedChunks(s, waves).withWatermark("ts", "1 hour")
         .select(col("user_id"), col("ts").as("a_ts"), col("event_id").as("a_id"))
-      val b = msB.toDS().withWatermark("ts", "1 hour")
+      val b = stagedChunks(s, waves).withWatermark("ts", "1 hour")
         .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
           col("event_id").as("b_id"))
       val j = a.join(b,
@@ -303,37 +356,23 @@ object Streams {
           col("b_ts") >= col("a_ts") &&
           col("b_ts") <= col("a_ts") + expr("INTERVAL 10 MINUTES") &&
           col("a_id") < col("b_id"))
-      val qn = s"graft_ssjoin_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = j.select(col("user_id"), col("a_id"), col("b_id"))
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("append").start()
-      msA.addData(h1); msB.addData(h1); q.processAllAvailable()
-      msA.addData(h2); msB.addData(h2); q.processAllAvailable()
-      q.stop()
-      ordered(s.table(qn).groupBy(col("user_id"))
+      ordered(runToParquet(j.select(col("user_id"), col("a_id"), col("b_id")))
+        .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_pairs"),
           min(col("a_id")).as("first_a"), max(col("b_id")).as("last_b")))
     }},
 
     // B9: custom-state sessionization (flatMapGroupsWithState,
-    // event-time timeout) over three time-ordered micro-batches.
+    // event-time timeout) over three time-ordered staged micro-batches.
     "s_stateful_session" -> { (s, dir) => withShufflePartitions(s, 8) {
       import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val all = typedEvents(s, dir).filter(_.user_id < 40)
+      val all = evFrame(s, dir).filter(col("user_id") < 40)
       val chunks = Seq(
-        all.filter(_.ts.getTime < day(10)),
-        all.filter(e => e.ts.getTime >= day(10) && e.ts.getTime < day(20)),
-        all.filter(_.ts.getTime >= day(20)))
-      val ms = MemoryStream[Ev]
-      val qn = s"graft_sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = StatefulSession.sessions(
-          ms.toDS().withWatermark("ts", "1 hour"))
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("append").start()
-      chunks.foreach { c => ms.addData(c); q.processAllAvailable() }
-      q.stop()
-      ordered(s.table(qn))
+        all.filter(col("ts") < day(10)),
+        all.filter(col("ts") >= day(10) && col("ts") < day(20)),
+        all.filter(col("ts") >= day(20)))
+      ordered(runToParquet(StatefulSession.sessions(
+        stagedChunks(s, chunks).withWatermark("ts", "1 hour").as[Ev]).toDF()))
     }},
 
     // B9: stateful streaming anomaly detection — the online twin of
@@ -346,34 +385,30 @@ object Streams {
     // equality with the batch key's (x, z, flag) rows.
     "s_stateful_zscore" -> { (s, dir) => withShufflePartitions(s, 8) {
       import s.implicits._
-      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-      val all = typedEvents(s, dir)
-      val chunks = Seq(
-        all.filter(_.ts.getTime < day(10)),
-        all.filter(e => e.ts.getTime >= day(10) && e.ts.getTime < day(20)),
-        all.filter(_.ts.getTime >= day(20)))
+      val all = evFrame(s, dir)
       // watermark advances only AFTER a batch completes, so flushing
       // needs TWO sentinel batches: batch k feeds the far-future ts,
       // batch k+1 then runs with the advanced watermark and closes
       // every real day. Sentinel days themselves never close (their
       // day end stays past the final watermark) and sort after all
-      // real days, so they contaminate no emitted window.
-      def sentinelsAt(ts: String) = {
-        val t0 = java.sql.Timestamp.valueOf(ts)
-        all.map(_.event_type).distinct.sorted.zipWithIndex
-          .map { case (t, i) => Ev(-1L - i, t0, -1L, t, 0.0) }
-      }
-      val ms = MemoryStream[Ev]
-      val qn = s"graft_zs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = graft.streaming.StatefulZscore.zscores(
-          ms.toDS().withWatermark("ts", "1 hour"))
-        .writeStream.format("memory").queryName(qn)
-        .outputMode("append").start()
-      (chunks :+ sentinelsAt("2024-03-01 00:00:00")
-        :+ sentinelsAt("2024-03-02 00:00:00"))
-        .foreach { c => ms.addData(c); q.processAllAvailable() }
-      q.stop()
-      ordered(s.table(qn))
+      // real days, so they contaminate no emitted window. One zero-
+      // value sentinel row per event type (|types| rows — a narrow
+      // distinct, never a driver materialization).
+      def sentinelsAt(ts: String): DataFrame =
+        all.select(col("event_type")).distinct().select(
+          lit(-1L).as("event_id"),
+          lit(java.sql.Timestamp.valueOf(ts)).as("ts"),
+          lit(-1L).as("user_id"),
+          col("event_type"),
+          lit(0.0).as("value"))
+      val chunks = Seq(
+        all.filter(col("ts") < day(10)),
+        all.filter(col("ts") >= day(10) && col("ts") < day(20)),
+        all.filter(col("ts") >= day(20)),
+        sentinelsAt("2024-03-01 00:00:00"),
+        sentinelsAt("2024-03-02 00:00:00"))
+      ordered(runToParquet(graft.streaming.StatefulZscore.zscores(
+        stagedChunks(s, chunks).withWatermark("ts", "1 hour").as[Ev]).toDF()))
     }},
 
     // A5/A7: micro-batch fan-out via foreachBatch — idempotent
