@@ -194,22 +194,29 @@ class StreamingSpec extends SparkSpec {
       s"late day-2/3 buckets should have been dropped: ${buckets.get(day2)}, ${buckets.get(day3)}")
   }
 
-  test("stateful sessionization is identical on the RocksDB state store (100 TB state config)") {
-    def run(): Set[(Long, Long, Long)] =
-      SparkEntry.queries("s_stateful_session")(spark, sf)
-        .select(col("user_id"), col("session_start").cast("long"), col("n_events"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    val hdfs = run()
-    try {
-      spark.conf.set(key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      val rocks = run()
-      assert(rocks === hdfs, "RocksDB-backed state diverged from default store")
-      assert(rocks.nonEmpty)
-    } finally {
-      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+  test("stateful keys are identical on the RocksDB state store (100 TB state config)") {
+    // the three state-heavy shapes: flatMapGroupsWithState with
+    // event-time timeout (sessions), flatMapGroupsWithState with a
+    // custom cross-window cursor (zscore), and symmetric stream-stream
+    // join state — each must produce byte-identical results when the
+    // state store is swapped to the large-keyspace RocksDB provider
+    def run(key: String): Set[String] =
+      SparkEntry.queries(key)(spark, sf)
+        .collect().map(_.mkString("|")).toSet
+    val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(confKey)
+    Seq("s_stateful_session", "s_stateful_zscore", "s_join_stream").foreach { k =>
+      spark.conf.unset(confKey)
+      val hdfs = run(k)
+      try {
+        spark.conf.set(confKey,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        val rocks = run(k)
+        assert(rocks === hdfs, s"$k: RocksDB-backed state diverged from default store")
+        assert(rocks.nonEmpty, s"$k: empty result")
+      } finally {
+        prev.fold(spark.conf.unset(confKey))(spark.conf.set(confKey, _))
+      }
     }
   }
 
