@@ -333,62 +333,68 @@ object Joins {
     *     orders of magnitude smaller than the corpus, and the final
     *     multiplicity product restores pair counts without ever
     *     joining raw rows;
-    *  2. pigeonhole candidates: split each indexed name into k+1=3
-    *     contiguous segments; any string within k=2 edits must contain
+    *  2. pigeonhole candidates: split each indexed name into k+1
+    *     contiguous segments; any string within k edits must contain
     *     one segment VERBATIM at a position shifted by at most k, so
     *     the probe side emits (target-length, segment, substring-
     *     window) keys and candidates come from an EQUI-join on
-    *     (len, seg, sub) — shuffle volume is O(names × ~45 keys),
-    *     never the O(n²) cross product (nested-loop-free plan asserted
-    *     in PlanSpec; equality with brute force property-tested over
-    *     generated strings in PropertyProps);
+    *     (len, seg, sub) — shuffle volume is O(names × (2k+1)²(k+1))
+    *     keys, never the O(n²) cross product (nested-loop-free plan
+    *     asserted in PlanSpec; equality with brute force property-
+    *     tested at k = 1, 2, 3 over generated strings in
+    *     PropertyProps);
     *  3. exact levenshtein() filter on the candidate superset.
     *
     * Input: columns (name STRING non-null, cnt BIGINT), names
-    * distinct. Output: (na, nb, dist, n_pairs) with na < nb. */
-  private[graft] def fuzzyPairs(names: DataFrame): DataFrame = {
+    * distinct. Output: (na, nb, dist, n_pairs) with na < nb and
+    * dist ≤ k. */
+  private[graft] def fuzzyPairs(names: DataFrame, k: Int = 2): DataFrame = {
+    require(k >= 1, s"edit-distance threshold must be >= 1, got $k")
+    val nseg = k + 1
     val L = length(col("name"))
-    // balanced segment bounds for a length-l string: segment i of 3
-    // starts at floor(l*i/3)+1 (1-based) and spans the next boundary.
+    // balanced segment bounds for a length-l string: segment i of k+1
+    // starts at floor(l*i/(k+1))+1 (1-based), spans to the next bound.
     val indexed = names.select(col("name").as("na"), col("cnt").as("cnt_a"),
         L.as("la"),
         explode(expr(
-          """transform(sequence(0, 2), i -> struct(
+          s"""transform(sequence(0, $k), i -> struct(
             |  i AS segi,
-            |  substring(name, CAST(length(name)*i DIV 3 AS INT) + 1,
-            |    CAST(length(name)*(i+1) DIV 3 AS INT)
-            |      - CAST(length(name)*i DIV 3 AS INT)) AS sub))""".stripMargin))
+            |  substring(name, CAST(length(name)*i DIV $nseg AS INT) + 1,
+            |    CAST(length(name)*(i+1) DIV $nseg AS INT)
+            |      - CAST(length(name)*i DIV $nseg AS INT)) AS sub))""".stripMargin))
           .as("seg"))
       .select(col("na"), col("cnt_a"), col("la"),
         col("seg.segi").as("segi"), col("seg.sub").as("sub"))
     val probes = names.select(col("name").as("nb"), col("cnt").as("cnt_b"),
         explode(expr(
-          """flatten(flatten(transform(sequence(length(name)-2, length(name)+2), l ->
-            |  transform(sequence(0, 2), i ->
-            |    filter(transform(sequence(CAST(l*i DIV 3 AS INT) + 1 - 2,
-            |                              CAST(l*i DIV 3 AS INT) + 1 + 2), pos ->
+          s"""flatten(flatten(transform(sequence(length(name)-$k, length(name)+$k), l ->
+            |  transform(sequence(0, $k), i ->
+            |    filter(transform(sequence(CAST(l*i DIV $nseg AS INT) + 1 - $k,
+            |                              CAST(l*i DIV $nseg AS INT) + 1 + $k), pos ->
             |      struct(l AS la, i AS segi, pos AS pos,
-            |        CAST(l*(i+1) DIV 3 AS INT) - CAST(l*i DIV 3 AS INT) AS sl)),
+            |        CAST(l*(i+1) DIV $nseg AS INT) - CAST(l*i DIV $nseg AS INT) AS sl)),
             |      c -> c.pos >= 1 AND c.pos + c.sl - 1 <= length(name) AND c.sl > 0)
             |  ))))""".stripMargin)).as("k"))
       .select(col("nb"), col("cnt_b"), col("k.la").cast("int").as("la"),
         col("k.segi").as("segi"),
         expr("substring(nb, k.pos, k.sl)").as("sub"))
-    // strings shorter than k+1 = 3 chars cannot form 3 non-empty
+    // strings shorter than k+1 chars cannot form k+1 non-empty
     // segments, so the pigeonhole misses pairs where BOTH sides are
-    // that short ("ab" ↔ "cd": every non-empty segment is edited,
-    // only the dropped empty segment is clean). Pair the tiny strings
-    // through a constant-key bucket: distinct strings of length ≤ 2
-    // are a constant-bounded set in any corpus
-    // (≤ |alphabet|² + |alphabet|), and the constant key keeps it a
+    // that short (k=2: "ab" ↔ "cd" — every non-empty segment is
+    // edited, only the dropped empty segment is clean). Pair the tiny
+    // strings through a constant-key bucket: distinct strings of
+    // length ≤ k are a constant-bounded set in any corpus
+    // (≤ Σ|alphabet|^i, i ≤ k), and the constant key keeps it a
     // broadcast HASH join, never a nested loop. Pairs with one short
-    // and one ≥3-char side are already exact via the main path (the
-    // ≥3 side indexes, the short side probes).
-    val tiny = names.filter(length(col("name")) <= 2)
-    // the bucket key must DERIVE from a column (length·0 ≡ 0): a bare
-    // lit(1) both sides constant-folds out of the join condition and
-    // the planner degrades to a nested loop
-    val tinyKey = length(col("name")) * 0
+    // and one ≥k+1-char side are already exact via the main path (the
+    // long side indexes, the short side probes).
+    val tiny = names.filter(length(col("name")) <= k)
+    // the bucket key must DERIVE from a column: a bare lit(1) on both
+    // sides constant-folds out of the join condition and the planner
+    // degrades to a nested loop. pmod(length, 1) ≡ 0 but no current
+    // optimizer rule folds it; if one ever does, PlanSpec's
+    // no-nested-loop assertion for q_join_fuzzy catches the downgrade.
+    val tinyKey = pmod(length(col("name")), lit(1))
     val tinyCand = tiny
       .select(col("name").as("na"), col("cnt").as("cnt_a"), tinyKey.as("tk"))
       .join(tiny.select(col("name").as("nb"), col("cnt").as("cnt_b"),
@@ -401,7 +407,7 @@ object Joins {
       .union(tinyCand).distinct()
     cand
       .withColumn("dist", levenshtein(col("na"), col("nb")))
-      .filter(col("dist") <= 2)
+      .filter(col("dist") <= k)
       .select(col("na"), col("nb"), col("dist"),
         (col("cnt_a") * col("cnt_b")).as("n_pairs"))
   }

@@ -200,13 +200,16 @@ object Time {
       val stats = daily
         .withColumn("rn", row_number().over(w))
         .withColumn("sx", sum(col("dec")).over(wf).cast("double"))
-        // (18,4)×(14,4)→(33,8): exact and under Spark's 38-digit cap
+        // (18,4)×(18,4)→(37,8): exact and under Spark's 38-digit cap
         // (the grouped sum's (28,4) squared would overflow precision
-        // and silently lose scale). Oracle twin uses (24,4)×(14,4)
-        // for DuckDB's width rules — both sides exact.
+        // and silently lose scale). Residual bound: a day's total must
+        // stay below 1e14 for the (18,4) casts — ~1e9× the bench
+        // fixture's daily totals; past it the cast NULLs (non-ANSI) or
+        // errors (ANSI), never silently corrupts scale. Oracle twin
+        // uses the same (18,4)×(18,4) — both sides exact.
         .withColumn("sxx",
           sum(col("dec").cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 4)) *
-              col("dec").cast(org.apache.spark.sql.types.DataTypes.createDecimalType(14, 4)))
+              col("dec").cast(org.apache.spark.sql.types.DataTypes.createDecimalType(18, 4)))
             .over(wf).cast("double"))
         .withColumn("x", col("dec").cast("double"))
       val mean = col("sx") / 7.0
@@ -374,7 +377,7 @@ object Time {
         |w AS (
         |  SELECT event_type, bucket, row_number() OVER ww AS rn,
         |    CAST(CAST(SUM(dec) OVER wf AS VARCHAR) AS DOUBLE) AS sx,
-        |    CAST(CAST(SUM(CAST(dec AS DECIMAL(24,4)) * CAST(dec AS DECIMAL(14,4)))
+        |    CAST(CAST(SUM(CAST(dec AS DECIMAL(18,4)) * CAST(dec AS DECIMAL(18,4)))
         |      OVER wf AS VARCHAR) AS DOUBLE) AS sxx,
         |    CAST(CAST(dec AS VARCHAR) AS DOUBLE) AS x
         |  FROM daily

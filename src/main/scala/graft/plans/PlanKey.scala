@@ -38,8 +38,15 @@ object PlanKey {
         }
       case loc: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
         // exact data rendering, not a hash: a silent collision would
-        // serve the wrong table; local inputs are test-sized
-        Some(s"local:${loc.data.length}:${loc.data.mkString("|")}")
+        // serve the wrong table; local inputs are test-sized. Cap the
+        // rendered size — an oversized local relation would otherwise
+        // build (and retain, via the memo) an unbounded key string, so
+        // past 64 KiB it takes the compute-uncached path instead.
+        if (loc.data.length > 4096) None
+        else {
+          val rendered = s"local:${loc.data.length}:${loc.data.mkString("|")}"
+          if (rendered.length <= 64 * 1024) Some(rendered) else None
+        }
       case r: org.apache.spark.sql.catalyst.plans.logical.Range =>
         Some("range:" + r.toString)
       case rdd: org.apache.spark.sql.execution.LogicalRDD =>

@@ -125,20 +125,22 @@ object PropertyProps extends Properties("graft") {
       cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
     } yield cs.mkString)
 
-  property("fuzzyPairs == brute-force levenshtein join, incl. short strings") =
+  property("fuzzyPairs == brute-force levenshtein join at k = 1, 2, 3, incl. short strings") =
     forAll(genNames) { raw =>
       import spark.implicits._
-      // tiny alphabet + short strings force many distance ≤ 2 pairs
-      // and plenty of length-1/2 names (the segment scheme's edge)
+      // tiny alphabet + short strings force many in-threshold pairs
+      // and plenty of length ≤ k names (the segment scheme's edge)
       val names = raw.distinct.map(n => (n, 1L)).toDF("name", "cnt")
-      val got = graft.operators.Joins.fuzzyPairs(names)
-        .select("na", "nb").collect().map(r => (r.getString(0), r.getString(1))).toSet
       val ds = raw.distinct
-      val expected = (for {
-        a <- ds; b <- ds if a < b
-        if levenshteinRef(a, b) <= 2
-      } yield (a, b)).toSet
-      got == expected
+      Seq(1, 2, 3).forall { k =>
+        val got = graft.operators.Joins.fuzzyPairs(names, k)
+          .select("na", "nb").collect().map(r => (r.getString(0), r.getString(1))).toSet
+        val expected = (for {
+          a <- ds; b <- ds if a < b
+          if levenshteinRef(a, b) <= k
+        } yield (a, b)).toSet
+        got == expected
+      }
     }
 
   // --- EWMA: Spark window formula bit-equals an independent fold ---
