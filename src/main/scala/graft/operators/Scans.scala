@@ -135,6 +135,31 @@ object Scans {
           min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
           min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max")))
     },
+    "q_scan_schema_evolution" -> { (s, dir) =>
+      // Schema drift across file generations — the first real-world
+      // ingestion failure mode after malformed rows: a long-lived sink
+      // accretes files written before AND after a column migration.
+      // Generation 1 carries status_legacy (later dropped); generation
+      // 2 drops it and adds priority_v2. mergeSchema=true unifies the
+      // footers (one schema-merge pass over file METADATA, distributed
+      // and done once per listing at 100 TB — cheap next to the scan),
+      // gen-1 rows surface NULL for the added column and vice versa,
+      // and registry-style defaulting fills the added column for
+      // pre-migration rows. The report proves no row or value was
+      // dropped by the merge: per-generation counts, presence of the
+      // dropped column, default fill count, exact price sum.
+      val staged = stageOrdersEvolved(s, dir)
+      val merged = s.read.option("mergeSchema", "true").parquet(staged)
+      val defaulted = merged.withColumn("priority_v2",
+        coalesce(col("priority_v2"), lit("UNSPECIFIED")))
+      ordered(defaulted.groupBy(col("gen")).agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("status_legacy").isNotNull, 1L).otherwise(0L))
+          .cast("long").as("n_status_present"),
+        sum(when(col("priority_v2") === "UNSPECIFIED", 1L).otherwise(0L))
+          .cast("long").as("n_priority_defaulted"),
+        dsum(col("o_totalprice")).as("sum_price")))
+    },
     "q_filter_null" -> { (s, dir) =>
       // Fixtures are null-free: manufacture nulls with nullif, then
       // exercise isNull / isNotNull / null-safe equality.
@@ -173,6 +198,25 @@ object Scans {
         .write.mode("overwrite").partitionBy("o_orderpriority").parquet(staged)
     }
 
+  /** Stage orders as two schema generations under one hive-partitioned
+    * root (mtime-invalidated): gen=1 has status_legacy (no priority_v2),
+    * gen=2 has priority_v2 (status_legacy dropped). */
+  private def stageOrdersEvolved(s: SparkSession, sfDir: String): String =
+    graft.sources.Stage.once(sfDir, "orders_evolved", "orders") { staged =>
+      val o = Tables(s, sfDir, "orders")
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderstatus").as("status_legacy"))
+        .write.mode("overwrite").parquet(s"$staged/gen=1")
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          col("o_orderpriority").as("priority_v2"))
+        .write.mode("overwrite").parquet(s"$staged/gen=2")
+      // Stage.once invalidates on the ROOT _SUCCESS marker; the two
+      // generation writes left theirs in the subdirs
+      new java.io.File(staged, "_SUCCESS").createNewFile()
+    }
+
   /** Stage events as JSON-lines (mtime-invalidated, [[graft.sources.Stage]]). */
   private def stageEventsJson(s: SparkSession, sfDir: String): String =
     graft.sources.Stage.once(sfDir, "events_json", "events") { staged =>
@@ -183,6 +227,24 @@ object Scans {
     }
 
   def oracle: Map[String, String] = Map(
+    "q_scan_schema_evolution" ->
+      ("""WITH merged AS (
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus AS status_legacy,
+        |    NULL AS priority_v2, 1 AS gen
+        |  FROM orders WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, NULL, o_orderpriority, 2
+        |  FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT gen, COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN status_legacy IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_status_present,
+        |  CAST(SUM(CASE WHEN COALESCE(priority_v2, 'UNSPECIFIED') = 'UNSPECIFIED'
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_priority_defaulted,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        |    AS sum_price
+        |FROM merged GROUP BY gen""".stripMargin +
+        orderByAll("gen", "n_rows", "n_status_present",
+          "n_priority_defaulted", "sum_price")),
     "q_layout_zorder" ->
       ("""WITH n AS (
         |  SELECT l_partkey, l_suppkey,

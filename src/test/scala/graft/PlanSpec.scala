@@ -29,6 +29,18 @@ class PlanSpec extends SparkSpec {
     assert(planOf("q_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("q_scan_schema_evolution merges both generations' columns into one scan") {
+    val p = planOf("q_scan_schema_evolution")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      .split("ReadSchema: ").last
+    // the merged footer schema must carry the dropped AND the added
+    // column (each NULL for the other generation's files), while the
+    // gen partition column stays out of the data-file read
+    assert(read.contains("status_legacy"), read)
+    assert(read.contains("priority_v2"), read)
+    assert(!read.contains("gen"), read)
+  }
+
   test("q_win_topk_group pushes a WindowGroupLimit") {
     assert(planOf("q_win_topk_group").contains("WindowGroupLimit"))
   }
