@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-soak harness (SURVEY.md §6): replicate the sf0.1 fixtures ×N
+  * into a scratch dir and time a headline key subset on them, so
+  * O(n) and O(n²) plans separate — the bench's 5k docs / 2k vectors
+  * cannot tell them apart, one order of magnitude can.
+  *
+  * The scale-up is engineered so TRUE result densities grow LINEARLY
+  * with N (any super-linear runtime is then algorithmic, never a data
+  * artifact):
+  *  - keyed tables replicate with per-copy key offsets, preserving
+  *    every FK relation copy-locally;
+  *  - documents remap each copy's vocabulary (`w` → `w_cI`), so
+  *    shingle/token overlap across copies is zero and near-dup pairs
+  *    stay within copies (×N pairs, not ×N²);
+  *  - part names append per-copy suffix tokens with pairwise edit
+  *    distance ≥ 3 > k, so fuzzy-join pairs stay within copies;
+  *  - embeddings circular-shift each copy by 6·I dims (norms and
+  *    within-copy geometry exact; cross-copy cosine ~ background).
+  *
+  * Usage: `tools/run.sh graft.ScaleSoak [N] [keys...]` (default N=10,
+  * watch-list keys). Prints one JSON line of per-key seconds.
+  */
+object ScaleSoak {
+
+  private val DefaultKeys = Seq(
+    // the r4-verdict watch-list (candidate-pruned pair plans)
+    "q_dedup_near_jaccard", "q_join_fuzzy", "q_dedup_cluster",
+    "q_dedup_containment",
+    // the rest of the bench headline
+    "q_agg_group_pricing", "q_scan_filter_pushdown", "q_join_multiway",
+    "q_sql_tpch_q3", "q_win_topk_group", "q_sessionize",
+    "q_dedup_minhash", "q_sim_lsh_bucketed", "q_text_tfidf",
+    "q_time_tumbling")
+
+  /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
+    * every cross-copy name pair out of the k=2 fuzzy threshold. */
+  private val suffixes = Seq("aaa", "bbb", "ccc", "ddd", "eee",
+    "fff", "ggg", "hhh", "iii", "jjj", "kkk", "lll", "mmm", "nnn",
+    "ooo", "ppp", "qqq", "rrr", "sss", "ttt")
+
+  def generate(s: SparkSession, srcDir: String, outDir: String, n: Int): Unit = {
+    require(n <= suffixes.length, s"at most ${suffixes.length} copies")
+    def src(t: String): DataFrame = graft.sources.Tables(s, srcDir, t)
+    def copies(t: String)(remap: (DataFrame, Int) => DataFrame): DataFrame =
+      (0 until n).map(i => remap(src(t), i)).reduce(_.union(_))
+    def off(c: String, step: Long, i: Int) =
+      (col(c) + lit(step * i)).as(c)
+
+    // key strides: one power-of-ten above each table's max key keeps
+    // every copy's key range disjoint and human-readable
+    val C = 1000000L; val O = 10000000L; val P = 1000000L
+    val S = 100000L; val E = 10000000L; val D = 1000000L
+
+    val tables: Seq[(String, DataFrame)] = Seq(
+      "region" -> src("region"),
+      "nation" -> src("nation"),
+      "customer" -> copies("customer") { (df, i) =>
+        df.select(off("c_custkey", C, i), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+      },
+      "supplier" -> copies("supplier") { (df, i) =>
+        df.select(off("s_suppkey", S, i), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+      },
+      "part" -> copies("part") { (df, i) =>
+        df.select(off("p_partkey", P, i),
+          concat(col("p_name"), lit(" " + suffixes(i))).as("p_name"),
+          col("p_brand"), col("p_type"), col("p_size"), col("p_retailprice"))
+      },
+      "orders" -> copies("orders") { (df, i) =>
+        df.select(off("o_orderkey", O, i), off("o_custkey", C, i),
+          col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+          col("o_orderpriority"))
+      },
+      "lineitem" -> copies("lineitem") { (df, i) =>
+        df.select(off("l_orderkey", O, i), off("l_partkey", P, i),
+          off("l_suppkey", S, i), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"),
+          col("l_returnflag"), col("l_linestatus"), col("l_shipdate"))
+      },
+      "events" -> copies("events") { (df, i) =>
+        df.select(off("event_id", E, i), col("ts"), off("user_id", C, i),
+          col("event_type"), col("value"), col("props"))
+      },
+      "documents" -> copies("documents") { (df, i) =>
+        df.select(off("doc_id", D, i), col("lang"), col("source"),
+          array_join(transform(split(col("text"), " "),
+            w => concat(w, lit(s"_c$i"))), " ").as("text"))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+          .select(col("doc_id"), col("text"), col("lang"), col("source"),
+            col("n_chars"))
+      },
+      "embeddings" -> copies("embeddings") { (df, i) =>
+        val shift = (6 * i) % 64
+        df.select(off("vec_id", D, i),
+          concat(slice(col("embedding"), shift + 1, 64 - shift),
+            slice(col("embedding"), 1, shift)).as("embedding"),
+          col("label"))
+      })
+
+    tables.foreach { case (t, df) =>
+      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      System.err.println(s"[soak] staged $t")
+    }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(10)
+    val keys = if (args.length > 1) args.drop(1).toSeq else DefaultKeys
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = s"/tmp/graft_soak_x$n"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (!new java.io.File(outDir, "embeddings.parquet/_SUCCESS").exists()) {
+      System.err.println(s"[soak] generating ×$n fixtures under $outDir")
+      generate(spark, srcDir, outDir, n)
+    }
+    val results = keys.map { k =>
+      val t0 = System.nanoTime()
+      try SparkEntry.queries(k)(spark, outDir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[soak] $k FAILED: ${e.getMessage}"); -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[soak] $k%-26s $sec%8.2fs")
+      k -> sec
+    }
+    spark.stop()
+    println(results.map { case (k, v) =>
+        "\"" + k + "\":" + String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) }
+      .mkString(s"""{"scale":"x$n","queries":{""", ",", "}}"))
+    System.out.flush()
+  }
+}

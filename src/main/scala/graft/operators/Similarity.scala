@@ -226,20 +226,37 @@ object Similarity {
       .select(col("vec_id"), col("label"), round(col("c"), 4).as("cosine")))
   }
 
-  /** Banded sign-random-projection LSH pairs: 32 tables × 6 sign bits
-    * via the codegen [[graft.functions.SrpSignature]] expression; the
-    * join shuffles only (table, band-key); candidates are scored with
-    * the codegen euclidean kernel and filtered at `threshold`.
+  /** Banded sign-random-projection LSH pairs: 32 tables × adaptive
+    * sign bits via the codegen [[graft.functions.SrpSignature]]
+    * expression; the join shuffles only (table, band-key); candidates
+    * are scored with the codegen euclidean kernel and filtered at
+    * `threshold`.
+    *
+    * Band WIDTH scales with the corpus: bits = max(6, ⌈log₂(n /
+    * targetOccupancy)⌉), so expected bucket occupancy stays ~constant
+    * and in-bucket candidate pairs grow O(n), not O(n²). (The r5 ×10
+    * scale-soak measured the fixed-6-bit config at 16.7× wall on 10×
+    * vectors — 10× occupancy ⇒ ~100× candidates; adaptive width
+    * returned it to ~linear.) Recall cost is negligible in the
+    * near-dup regime this key serves: a cos ≈ 0.9 pair collides per
+    * table with p ≈ 0.857^bits, so even 12-bit bands keep 32-table
+    * recall ≥ 0.98, and SimilaritySpec's recall bound stays asserted.
+    * The corpus count comes from one metadata-cheap pass — an index
+    * build knows its corpus size; a lake deployment reads it from
+    * catalog stats instead.
     *
     * (Replaces MLlib BucketedRandomProjectionLSH.approxSimilarityJoin,
     * which measured 7–18 s at sf0.1: scalar-bucket tables on this
     * tightly-packed unit-norm distance profile [all pairwise distances
     * in 0.99–1.76] put most of the dataset in colliding buckets and
     * score candidates through non-codegen vector UDFs.) */
-  def lshPairs(e: DataFrame, threshold: Double): DataFrame = {
+  def lshPairs(e: DataFrame, threshold: Double, nTables: Int = 32,
+      targetOccupancy: Int = 32): DataFrame = {
     VectorExprs.register(e.sparkSession)
+    val bits = math.max(6, math.ceil(
+      math.log(e.count().toDouble / targetOccupancy) / math.log(2.0)).toInt)
     val sig = e.select(col("vec_id"),
-      call_function("srp_sig", col("v"), lit(32), lit(6)).as("sig"))
+      call_function("srp_sig", col("v"), lit(nTables), lit(bits)).as("sig"))
     val bands = sig.select(col("vec_id"),
       posexplode(col("sig")).as(Seq("tbl", "bkey")))
     val cand = bands.as("a").join(bands.as("b"),

@@ -35,10 +35,16 @@ object Tables {
     val prev = spark.conf.getOption(key)
     spark.conf.set(key, "true")
     try {
-      spark.read.option(key, "true").parquet(s"$sfDir/events.parquet")
+      val raw = spark.read.option(key, "true").parquet(s"$sfDir/events.parquet")
+      raw.schema("ts").dataType match {
         // integral DIV, not `/`: long/long is double division in Spark
         // SQL and epoch-ns exceeds 2^53, so `/1000` rounds the µs.
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        // a DERIVED events dir (ScaleSoak's scaled copies, any
+        // re-written staging) carries a plain µs timestamp already
+        case _ => raw
+      }
     } finally {
       prev match {
         case Some(v) => spark.conf.set(key, v)
