@@ -29,6 +29,50 @@ class PlanSpec extends SparkSpec {
     assert(planOf("q_join_broadcast").contains("BroadcastHashJoin"))
   }
 
+  test("AQE skew-split repairs the same hot key q_join_skew_salted pre-salts") {
+    // The salted key is the WRITE-side fix; AQE's OptimizeSkewedJoin
+    // is the READ-side repair of the same skew. Demonstrate the latter
+    // on a manufactured hot key (30% of lineitem on one order key) at
+    // thresholds scaled to fixture size, and record the division of
+    // labor in PLANS.md: AQE splits the oversized partition only for
+    // JOIN shuffles with no downstream partitioning requirement —
+    // salting remains necessary for skewed aggregations, streaming
+    // joins (no AQE), and joins whose output partitioning is reused.
+    // incompressible payload so shuffle BYTES reflect the row skew
+    // (a repeated-char pad would lz4 away), the sf0.01 tables so the
+    // hot partition clears the scaled-down thresholds decisively, and
+    // repartition(8) so the map side has MULTIPLE tasks: AQE splits a
+    // skewed reduce partition along MAPPER boundaries, so a
+    // single-file scan (one map task) leaves it formally skewed but
+    // unsplittable — the rule then silently declines. (At real scale
+    // the map side always has many tasks; this is a fixture artifact
+    // worth knowing about.)
+    val dir = "/root/testdata/sf0.01"
+    val li = graft.sources.Tables(spark, dir, "lineitem")
+      .repartition(8)
+      .withColumn("k", when(col("l_orderkey") % 10 < 3, lit(1L))
+        .otherwise(col("l_orderkey")))
+      .withColumn("pad", concat((0 until 4).map(i =>
+        md5(concat_ws("_", col("l_orderkey"), col("l_linenumber"), lit(i)))): _*))
+    val o = graft.sources.Tables(spark, dir, "orders")
+      .withColumn("k", col("o_orderkey"))
+    val p = graft.Confs.withConfs(spark,
+      "spark.sql.shuffle.partitions" -> "16",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      val j = li.join(o, "k")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), max(col("pad")).as("p"))
+      j.collect()
+      j.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    }
+    assert(p.contains("skew=true"), s"AQE did not mark the join skewed:\n$p")
+  }
+
   test("q_scan_schema_evolution merges both generations' columns into one scan") {
     val p = planOf("q_scan_schema_evolution")
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
