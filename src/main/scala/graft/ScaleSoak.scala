@@ -126,10 +126,12 @@ object ScaleSoak {
     }
     val results = keys.map { k =>
       val t0 = System.nanoTime()
-      try SparkEntry.queries(k)(spark, outDir).count()
-      catch { case e: Throwable =>
-        System.err.println(s"[soak] $k FAILED: ${e.getMessage}"); -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(k)(spark, outDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[soak] $k FAILED: ${e.getMessage}"); false }
+      // a failed key must never read as a fast run in the ratio table
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       System.err.println(f"[soak] $k%-26s $sec%8.2fs")
       k -> sec
     }

@@ -213,8 +213,12 @@ object Scans {
           col("o_orderpriority").as("priority_v2"))
         .write.mode("overwrite").parquet(s"$staged/gen=2")
       // Stage.once invalidates on the ROOT _SUCCESS marker; the two
-      // generation writes left theirs in the subdirs
-      new java.io.File(staged, "_SUCCESS").createNewFile()
+      // generation writes left theirs in the subdirs. Touch the mtime
+      // explicitly — createNewFile() alone is a no-op on re-stage and
+      // would leave the marker permanently older than the fixture.
+      val marker = new java.io.File(staged, "_SUCCESS")
+      marker.createNewFile()
+      marker.setLastModified(System.currentTimeMillis())
     }
 
   /** Stage events as JSON-lines (mtime-invalidated, [[graft.sources.Stage]]). */

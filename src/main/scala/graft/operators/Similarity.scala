@@ -251,10 +251,13 @@ object Similarity {
     * in 0.99–1.76] put most of the dataset in colliding buckets and
     * score candidates through non-codegen vector UDFs.) */
   def lshPairs(e: DataFrame, threshold: Double, nTables: Int = 32,
-      targetOccupancy: Int = 32): DataFrame = {
+      targetOccupancy: Int = 32, corpusSize: Option[Long] = None): DataFrame = {
     VectorExprs.register(e.sparkSession)
+    // index-build metadata: callers that know their corpus size (a
+    // catalog-stats lookup at scale) pass it and skip the count pass
+    val n = corpusSize.getOrElse(e.count())
     val bits = math.max(6, math.ceil(
-      math.log(e.count().toDouble / targetOccupancy) / math.log(2.0)).toInt)
+      math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt)
     val sig = e.select(col("vec_id"),
       call_function("srp_sig", col("v"), lit(nTables), lit(bits)).as("sig"))
     val bands = sig.select(col("vec_id"),

@@ -76,7 +76,18 @@ object Streams {
     * current batch's watermark, so spacers would only add empty-batch
     * overhead there. */
   private def stagedChunks(s: SparkSession, chunks: Seq[DataFrame],
-      spacers: Boolean = false): DataFrame = {
+      spacers: Boolean = false): DataFrame =
+    chunkStream(s, chunks.head.schema, stageChunkFiles(s, chunks, spacers))
+
+  /** The file-stream half of [[stagedChunks]], reusable so two stream
+    * handles (a stream-stream self-join's sides) can share one staged
+    * dir. */
+  private def chunkStream(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, dir: String): DataFrame =
+    s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+
+  private def stageChunkFiles(s: SparkSession, chunks: Seq[DataFrame],
+      spacers: Boolean): String = {
     require(chunks.nonEmpty, "stagedChunks needs at least one chunk")
     val dir = tmp("feed")
     val base = System.currentTimeMillis()
@@ -98,20 +109,24 @@ object Streams {
       dst.setLastModified(base + seq * 2000L)
       seq += 1
     }
+    // an EMPTY chunk writes no partition dir — feed it the 0-row file
+    // instead (the MemoryStream path accepted empty batches too)
+    lazy val emptyFile: java.io.File = {
+      val sdir = tmp("feed_empty")
+      chunks.head.limit(0).coalesce(1).write.mode("overwrite").parquet(sdir)
+      Option(new java.io.File(sdir).listFiles())
+        .flatMap(_.find(_.getName.endsWith(".parquet")))
+        .getOrElse(sys.error(s"no 0-row parquet part under $sdir"))
+    }
     def partFile(d: java.io.File): java.io.File =
       Option(d.listFiles()).flatMap(_.find(_.getName.endsWith(".parquet")))
-        .getOrElse(sys.error(s"no staged parquet under $d"))
-    val spacer = if (spacers) Some {
-      val sdir = tmp("feed_spacer")
-      chunks.head.limit(0).coalesce(1).write.mode("overwrite").parquet(sdir)
-      partFile(new java.io.File(sdir))
-    } else None
+        .getOrElse(emptyFile)
+    val spacer = if (spacers) Some(emptyFile) else None
     chunks.indices.foreach { i =>
       place(partFile(new java.io.File(scratch, s"__chunk=$i")))
       spacer.foreach(place)
     }
-    s.readStream.schema(chunks.head.schema)
-      .option("maxFilesPerTrigger", 1).parquet(dir)
+    dir
   }
 
   /** Run a staged-feed streaming query to a parquet sink and read the
@@ -345,10 +360,15 @@ object Streams {
     // the batch twin asserted in StreamingSpec.
     "s_join_stream" -> { (s, dir) => withShufflePartitions(s, 4) {
       val all = evFrame(s, dir).filter(col("user_id") < 15)
-      def waves = Seq(all.filter(col("ts") < day(16)), all.filter(col("ts") >= day(16)))
-      val a = stagedChunks(s, waves).withWatermark("ts", "1 hour")
+      val waves = Seq(all.filter(col("ts") < day(16)), all.filter(col("ts") >= day(16)))
+      // ONE staged dir backs both sides: two independent readStream
+      // handles over the same files admit in the same lockstep order
+      val staged = stageChunkFiles(s, waves, spacers = false)
+      val a = chunkStream(s, waves.head.schema, staged)
+        .withWatermark("ts", "1 hour")
         .select(col("user_id"), col("ts").as("a_ts"), col("event_id").as("a_id"))
-      val b = stagedChunks(s, waves).withWatermark("ts", "1 hour")
+      val b = chunkStream(s, waves.head.schema, staged)
+        .withWatermark("ts", "1 hour")
         .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
           col("event_id").as("b_id"))
       val j = a.join(b,
