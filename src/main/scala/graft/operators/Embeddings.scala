@@ -114,10 +114,39 @@ object Embeddings {
           sum(col("dist_q")).cast("long").as("distortion_q"),
           min(col("vec_id")).as("first_vec"))
         .join(broadcast(cent), Seq("cid")))
+    },
+    "q_embed_rproj" -> { (s, dir) =>
+      // Random-projection dimensionality reduction (64 → 8) — the
+      // cheap JL-style shrink before clustering/ANN when full dims
+      // are overkill. The ±1 projection matrix is DERIVED, not
+      // stored: sign(i,j) = parity of ((i·2654435761 + j·40503) mod
+      // 97) — pure integer arithmetic both engines reproduce exactly,
+      // so no matrix broadcast, no randomness, and the whole operator
+      // is a narrow one-pass map at scan speed (zero shuffle; at
+      // 100 TB this runs as fast as the projection can be read).
+      // Each output component is one left-assoc fold over the 64
+      // inputs — the identical IEEE op sequence as the oracle's
+      // list_reduce with a prepended 0.0, so doubles are bit-exact.
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val ps = (1 to 8).map { j =>
+        expr(("aggregate(sequence(1, 64), cast(0.0 as double), (acc, i) -> " +
+          s"acc + element_at(v, i) * CASE WHEN (i * 2654435761L + $j * 40503L) " +
+          "% 97 % 2 = 0 THEN 1.0D ELSE -1.0D END)")).as(s"p$j")
+      }
+      ordered(e.select(col("vec_id") +: ps: _*))
     }
   )
 
   def oracle: Map[String, String] = Map(
+    "q_embed_rproj" ->
+      (("SELECT vec_id, " + (1 to 8).map { j =>
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+          "list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * " +
+          s"CASE WHEN (i * 2654435761 + $j * 40503) % 97 % 2 = 0 " +
+          s"THEN 1.0 ELSE -1.0 END)), (a, b) -> a + b) AS p$j"
+      }.mkString(", ") + " FROM embeddings") +
+        orderByAll("vec_id" +: (1 to 8).map(j => s"p$j"): _*)),
     "q_embed_centroid" ->
       ("""WITH ex AS (
         |  SELECT label, CAST(u.i - 1 AS INT) AS dim,

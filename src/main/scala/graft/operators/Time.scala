@@ -69,6 +69,46 @@ object Time {
           coalesce(col("n"), lit(0L)).cast("long").as("n_events"),
           coalesce(col("sv"), lit(0.0)).as("sum_value")))
     },
+    "q_time_interp" -> { (s, dir) =>
+      // Linear interpolation over the densified series — gap_fill's
+      // zero-fill twin for metrics where a missing hour means "not
+      // observed", not "zero" (sensor feeds, sampled telemetry).
+      // Interior gaps get prev + (next − prev)·frac from the nearest
+      // observed neighbors via IGNORE-NULLS window scans — two window
+      // passes over the spine (users × hours, tiny next to events),
+      // never a self-join. Spine endpoints are observed by
+      // construction (per-type [min, max]), so every gap is interior
+      // and the interpolation is total. The arithmetic is the same
+      // IEEE op sequence in the oracle over exact decimal-sum inputs,
+      // so doubles hash-match bit-for-bit.
+      val hourly = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          (expr("CAST(ts AS LONG) DIV 3600") * 3600).as("bucket"))
+        .agg(dsum(col("value")).as("x"))
+      val spine = hourly.groupBy(col("event_type"))
+        .agg(min(col("bucket")).as("mn"), max(col("bucket")).as("mx"))
+        .select(col("event_type"),
+          explode(expr("sequence(mn, mx, 3600)")).as("bucket"))
+      val joined = spine.join(hourly, Seq("event_type", "bucket"), "left")
+      val wPrev = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wNext = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("bucket"))
+        .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      val obsBucket = when(col("x").isNotNull, col("bucket"))
+      val marked = joined
+        .withColumn("pv", last(col("x"), ignoreNulls = true).over(wPrev))
+        .withColumn("pb", last(obsBucket, ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("x"), ignoreNulls = true).over(wNext))
+        .withColumn("nb", first(obsBucket, ignoreNulls = true).over(wNext))
+      ordered(marked.select(col("event_type"), col("bucket"),
+        col("x").isNull.as("interpolated"),
+        when(col("x").isNotNull, col("x"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("bucket") - col("pb")).cast("double") /
+              (col("nb") - col("pb")).cast("double"))).as("y")))
+    },
     "q_time_funnel" -> { (s, dir) =>
       // Ordered funnel (view → click → purchase): each stage counts
       // users whose FIRST qualifying event is strictly after the
@@ -265,6 +305,34 @@ object Time {
         |FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS k) k
         |GROUP BY 1""".stripMargin +
         orderByAll("bucket_start", "n_events", "sum_value")),
+    "q_time_interp" ->
+      ("""WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts)//1000000//3600*3600 AS bucket,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS x
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT event_type,
+        |    unnest(generate_series(MIN(bucket), MAX(bucket), 3600)) AS bucket
+        |  FROM hourly GROUP BY event_type),
+        |joined AS (
+        |  SELECT s.event_type, s.bucket, h.x,
+        |    last_value(h.x IGNORE NULLS) OVER (PARTITION BY s.event_type
+        |      ORDER BY s.bucket ROWS UNBOUNDED PRECEDING) AS pv,
+        |    last_value(CASE WHEN h.x IS NOT NULL THEN s.bucket END IGNORE NULLS)
+        |      OVER (PARTITION BY s.event_type ORDER BY s.bucket
+        |        ROWS UNBOUNDED PRECEDING) AS pb,
+        |    first_value(h.x IGNORE NULLS) OVER (PARTITION BY s.event_type
+        |      ORDER BY s.bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |    first_value(CASE WHEN h.x IS NOT NULL THEN s.bucket END IGNORE NULLS)
+        |      OVER (PARTITION BY s.event_type ORDER BY s.bucket
+        |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+        |  FROM spine s LEFT JOIN hourly h USING (event_type, bucket))
+        |SELECT event_type, bucket, x IS NULL AS interpolated,
+        |  CASE WHEN x IS NOT NULL THEN x
+        |       ELSE pv + (nv - pv) *
+        |         (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)) END AS y
+        |FROM joined""".stripMargin +
+        orderByAll("event_type", "bucket", "interpolated", "y")),
     "q_time_gap_fill" ->
       ("""WITH e AS (SELECT user_id,
         |    (epoch_us(ts)//1000000//3600)*3600 AS bucket, value

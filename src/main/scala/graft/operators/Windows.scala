@@ -105,10 +105,46 @@ object Windows {
           col("user_id"), col("event_id"),
           first(col("event_type")).over(w).as("first_type"),
           last(col("event_type")).over(w).as("last_type")))
+    },
+    "q_win_session_window" -> { (s, dir) =>
+      // The BUILT-IN session_window — the declarative twin of
+      // q_sessionize's lag/flag/running-sum formulation (and of the
+      // streaming StatefulSession): Spark merges per-key event-time
+      // windows that overlap under the 30-min gap; one shuffle on the
+      // grouping key, no window-function pass at all. Boundary
+      // semantics the oracle mirrors at µs precision: a window is
+      // [start, last+gap), so a gap of EXACTLY 30 min starts a new
+      // session, and session_end = last event + gap (q_sessionize
+      // reports last-event ts instead).
+      ordered(Tables(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").cast("long").as("session_start"),
+          col("session_window.end").cast("long").as("session_end"),
+          col("n_events"), col("sum_value")))
     }
   )
 
   def oracle: Map[String, String] = Map(
+    "q_win_session_window" ->
+      ("""WITH flagged AS (
+        |  SELECT user_id, ts, value, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM flagged)
+        |SELECT user_id, MIN(us)//1000000 AS session_start,
+        |  (MAX(us) + 1800000000)//1000000 AS session_end,
+        |  COUNT(*) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid""".stripMargin +
+        orderByAll("user_id", "session_start", "session_end",
+          "n_events", "sum_value")),
     "q_win_rank" ->
       ("""SELECT c_custkey, c_nationkey, c_acctbal,
         |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,

@@ -45,6 +45,7 @@ class RegistrySpec extends SparkSpec {
       // B5
       "q_win_rank", "q_win_topk_group", "q_win_running", "q_win_sliding",
       "q_win_range_frame", "q_win_lead_lag", "q_win_ntile", "q_win_first_last",
+      "q_win_session_window", "q_embed_rproj", "q_time_interp",
       "q_win_dist",
       // B6 / B7
       "q_sort_multi", "q_limit_topk",
