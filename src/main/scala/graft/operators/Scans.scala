@@ -160,6 +160,30 @@ object Scans {
           .cast("long").as("n_priority_defaulted"),
         dsum(col("o_totalprice")).as("sum_price")))
     },
+    "q_scan_binaryfile" -> { (s, dir) =>
+      // Raw-file ingestion edge for multimodal corpora: the
+      // `binaryFile` source reads opaque blobs (image/audio shards)
+      // as (path, modificationTime, length, content) rows — the
+      // load-bearing first step before any decode UDF. Staged one
+      // .bin per document row (distributed foreachPartition write —
+      // the shape of an externally-arriving corpus); the report
+      // proves every blob arrived intact: per-corpus byte totals and
+      // a content-length == metadata-length witness per file. At
+      // 100 TB the source parallelizes by file and the
+      // pathGlobFilter/recursiveFileLookup options do the listing
+      // discipline; blobs stay off the driver.
+      val staged = stageDocsBinary(s, dir)
+      val files = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin").load(staged)
+      ordered(files.agg(
+        count(lit(1)).as("n_files"),
+        sum(col("length")).cast("long").as("total_bytes"),
+        max(col("length")).as("max_bytes"),
+        min(col("length")).as("min_bytes"),
+        countDistinct(col("length")).as("n_lengths"),
+        sum(when(length(col("content")) === col("length"), 1L).otherwise(0L))
+          .cast("long").as("n_content_eq")))
+    },
     "q_filter_null" -> { (s, dir) =>
       // Fixtures are null-free: manufacture nulls with nullif, then
       // exercise isNull / isNotNull / null-safe equality.
@@ -221,6 +245,27 @@ object Scans {
       marker.setLastModified(System.currentTimeMillis())
     }
 
+  /** Stage one raw .bin file per document row (UTF-8 text bytes) —
+    * the on-disk shape of an externally-arriving binary corpus.
+    * Distributed: each partition writes its own files (local-FS
+    * staging here; an object-store path at scale). */
+  private def stageDocsBinary(s: SparkSession, sfDir: String): String =
+    graft.sources.Stage.once(sfDir, "docs_bin", "documents") { staged =>
+      new java.io.File(staged).mkdirs()
+      val out = staged
+      Tables(s, sfDir, "documents").select(col("doc_id"), col("text"))
+        .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+          rows.foreach { r =>
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(out, f"doc_${r.getLong(0)}%07d.bin"),
+              r.getString(1).getBytes("UTF-8"))
+          }
+        }
+      val m = new java.io.File(out, "_SUCCESS")
+      m.createNewFile()
+      m.setLastModified(System.currentTimeMillis())
+    }
+
   /** Stage events as JSON-lines (mtime-invalidated, [[graft.sources.Stage]]). */
   private def stageEventsJson(s: SparkSession, sfDir: String): String =
     graft.sources.Stage.once(sfDir, "events_json", "events") { staged =>
@@ -231,6 +276,16 @@ object Scans {
     }
 
   def oracle: Map[String, String] = Map(
+    "q_scan_binaryfile" ->
+      ("""SELECT COUNT(*) AS n_files,
+        |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,
+        |  CAST(MAX(octet_length(CAST(text AS BLOB))) AS BIGINT) AS max_bytes,
+        |  CAST(MIN(octet_length(CAST(text AS BLOB))) AS BIGINT) AS min_bytes,
+        |  CAST(COUNT(DISTINCT octet_length(CAST(text AS BLOB))) AS BIGINT) AS n_lengths,
+        |  COUNT(*) AS n_content_eq
+        |FROM documents""".stripMargin +
+        orderByAll("n_files", "total_bytes", "max_bytes", "min_bytes",
+          "n_lengths", "n_content_eq")),
     "q_scan_schema_evolution" ->
       ("""WITH merged AS (
         |  SELECT o_orderkey, o_totalprice, o_orderstatus AS status_legacy,
