@@ -160,6 +160,26 @@ object Scans {
           .cast("long").as("n_priority_defaulted"),
         dsum(col("o_totalprice")).as("sum_price")))
     },
+    "q_join_dpp" -> { (s, dir) =>
+      // Dynamic partition pruning — q_scan_partition_prune's runtime
+      // twin and the OTHER 100 TB scan primitive: the fact side is
+      // hive-partitioned, but the selective predicate lives on a DIM
+      // table, so no static filter reaches the fact scan. DPP plants a
+      // dynamicpruningexpression in the fact's PartitionFilters fed by
+      // the (broadcast) dim subquery at runtime — non-matching fact
+      // partitions are never listed or opened, exactly as if the
+      // filter had been static. PlanSpec asserts the pruning
+      // expression lands in PartitionFilters.
+      val staged = stageOrdersPartitioned(s, dir)
+      val fact = s.read.parquet(staged)
+      val dim = Tables(s, dir, "orders")
+        .select(col("o_orderpriority").as("p")).distinct()
+        .filter(col("p").isin("1-URGENT", "2-HIGH"))
+      ordered(fact.join(broadcast(dim), fact("o_orderpriority") === dim("p"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("sum_price")))
+    },
     "q_scan_binaryfile" -> { (s, dir) =>
       // Raw-file ingestion edge for multimodal corpora: the
       // `binaryFile` source reads opaque blobs (image/audio shards)
@@ -276,6 +296,13 @@ object Scans {
     }
 
   def oracle: Map[String, String] = Map(
+    "q_join_dpp" ->
+      ("""SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        |    AS sum_price
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY o_orderpriority""".stripMargin +
+        orderByAll("o_orderpriority", "n_orders", "sum_price")),
     "q_scan_binaryfile" ->
       ("""SELECT COUNT(*) AS n_files,
         |  CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT) AS total_bytes,

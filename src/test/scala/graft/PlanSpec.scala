@@ -73,6 +73,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("skew=true"), s"AQE did not mark the join skewed:\n$p")
   }
 
+  test("q_join_dpp plants a dynamic pruning expression in the fact's partition filters") {
+    val p = planOf("q_join_dpp")
+    assert(p.contains("dynamicpruningexpression"),
+      s"no dynamic partition pruning on the fact scan:\n$p")
+  }
+
   test("q_scan_schema_evolution merges both generations' columns into one scan") {
     val p = planOf("q_scan_schema_evolution")
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

@@ -24,7 +24,7 @@ class RegistrySpec extends SparkSpec {
     val declared = Seq(
       // B1
       "q_scan_project", "q_scan_filter_pushdown", "q_scan_union_files",
-      "q_scan_schema_evolution", "q_scan_binaryfile",
+      "q_scan_schema_evolution", "q_scan_binaryfile", "q_join_dpp",
       "s_sink_partitioned", "s_ingest_availablenow", "s_ingest_kafka",
       "s_sink_text", "q_decode_registry", "q_scan_json", "q_scan_csv",
       "s_sink_seqfile",
