@@ -75,7 +75,9 @@ class PlanSpec extends SparkSpec {
 
   test("q_join_dpp plants a dynamic pruning expression in the fact's partition filters") {
     val p = planOf("q_join_dpp")
-    assert(p.contains("dynamicpruningexpression"),
+    // match the truncation-proof prefix: the plan printer's field cap
+    // can render "dynamicpruningexpres..." mid-word on long scan lines
+    assert(p.contains("dynamicpruning"),
       s"no dynamic partition pruning on the fact scan:\n$p")
   }
 
