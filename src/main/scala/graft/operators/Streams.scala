@@ -382,6 +382,25 @@ object Streams {
           min(col("a_id")).as("first_a"), max(col("b_id")).as("last_b")))
     }},
 
+    // B9: BUILT-IN streaming session windows — session_window under a
+    // watermark in Append mode (a session emits once the watermark
+    // passes its [start, last+gap) end). Completes the sessionization
+    // trio: q_win_session_window is the batch twin (StreamingSpec
+    // asserts the emitted sessions match it exactly on closed
+    // sessions), s_stateful_session the custom-payload path. State =
+    // open sessions only — merged per key by the engine, bounded by
+    // the watermark horizon, no custom code at all.
+    "s_stream_session_window" -> { (s, dir) => withShufflePartitions(s, 8) {
+      ordered(runToParquet(EventSource.FileStream.load(s, dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(col("user_id"),
+          col("session_window.start").cast("long").as("session_start"),
+          col("session_window.end").cast("long").as("session_end"),
+          col("n_events"), col("sum_value"))))
+    }},
+
     // B9: custom-state sessionization (flatMapGroupsWithState,
     // event-time timeout) over three time-ordered staged micro-batches.
     "s_stateful_session" -> { (s, dir) => withShufflePartitions(s, 8) {

@@ -57,7 +57,7 @@ class RegistrySpec extends SparkSpec {
       // B9
       "q_time_tumbling", "q_time_sliding", "q_sessionize",
       "s_stream_tumbling", "s_late_data", "s_dedup_stream",
-      "s_stateful_session", "s_foreachbatch_upsert",
+      "s_stateful_session", "s_stream_session_window", "s_foreachbatch_upsert",
       // B10
       "q_dedup_exact", "q_dedup_near_jaccard", "q_dedup_minhash",
       "q_dedup_cluster", "q_embed_centroid", "q_embed_quantize",

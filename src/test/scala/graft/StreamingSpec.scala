@@ -184,6 +184,27 @@ class StreamingSpec extends SparkSpec {
     assert(missing.isEmpty, s"stream emitted sessions absent from batch: ${missing.take(3)}")
   }
 
+  test("streaming session_window emits exactly the watermark-closed batch sessions") {
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))
+    val cols = Seq("user_id", "session_start", "session_end", "n_events", "sum_value")
+    val stream = SparkEntry.queries("s_stream_session_window")(spark, sf)
+      .select(cols.map(col): _*).collect().map(key).toSet
+    val batch = SparkEntry.queries("q_win_session_window")(spark, sf)
+      .select(cols.map(col): _*).collect().map(key).toSet
+    assert(stream.nonEmpty)
+    // every emitted session agrees exactly with the batch twin
+    val bogus = stream -- batch
+    assert(bogus.isEmpty, s"stream emitted sessions absent from batch: ${bogus.take(3)}")
+    // only tail sessions (end past the final watermark) may be missing
+    val maxTs = graft.sources.Tables(spark, sf, "events")
+      .agg(max(col("ts")).cast("long")).collect()(0).getLong(0)
+    val watermark = maxTs - 600
+    (batch -- stream).foreach { s =>
+      assert(s._3 > watermark, s"non-tail session $s missing from stream output")
+    }
+  }
+
   test("late rows beyond the watermark are dropped (B9 s_late_data)") {
     val buckets = SparkEntry.queries("s_late_data")(spark, sf)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
