@@ -38,7 +38,47 @@ object Plans {
     "q_sql_recursive_cte",    // UnionLoop spine + single fact agg (r4)
     "q_sql_lateral",          // lateral LIMIT 1 → window top-1 (r4)
     "q_sim_range_search",     // broadcast radius filter, no shuffle (r4)
-    "q_unpivot")              // narrow Expand melt (r4)
+    "q_unpivot",              // narrow Expand melt (r4)
+    "q_join_dpp",             // dynamic partition pruning subquery (r5)
+    "q_scan_schema_evolution", // merged-generation scan, gen out of ReadSchema (r5)
+    "q_win_session_window",   // built-in gap-merged session windows (r5)
+    "q_embed_rproj")          // derived-matrix projection: narrow map (r5)
+
+  /** Hand-written analysis emitted after a key's plan — kept here so
+    * regeneration never loses it. */
+  val notes: Map[String, String] = Map(
+    "q_join_skew_salted" ->
+      """### Salting vs AQE skew-split on the same hot key (r5 measurement)
+        |
+        |PlanSpec ("AQE skew-split repairs the same hot key q_join_skew_salted
+        |pre-salts") runs the SAME skewed join unsalted with AQE's
+        |OptimizeSkewedJoin at fixture-scaled thresholds. The final plan's join
+        |line flips to
+        |
+        |```
+        |SortMergeJoin [k#12L], [k#21L], Inner, skew=true
+        |   :- Sort ... +- AQEShuffleRead skewed +- ShuffleQueryStage 0
+        |   +- Sort ... +- AQEShuffleRead skewed +- ShuffleQueryStage 1
+        |```
+        |
+        |i.e. the oversized reduce partition is read as several map-range
+        |slices, each matched against a full copy of the other side's
+        |partition — the read-side equivalent of what salting encodes into the
+        |keys up front. Division of labor, measured while building the test:
+        |
+        |- **AQE split fires only when the skewed partition spans MULTIPLE map
+        |  outputs** — it slices along mapper boundaries, so a single-map-task
+        |  stage (one small file locally; one giant unsplittable input at
+        |  scale) is formally skewed but unsplittable and the rule silently
+        |  declines. Salting has no such precondition.
+        |- **AQE repairs JOIN shuffles only.** A skewed `groupBy` key, a skewed
+        |  streaming stateful shuffle (no AQE in streaming), or a join whose
+        |  split would break a downstream partitioning requirement (unless
+        |  forceOptimizeSkewedJoin) still need the manual salt.
+        |- When both apply, AQE is strictly cheaper: no S× replication of the
+        |  build side, and it only engages on partitions that actually
+        |  materialized oversized. The salted key remains the portable fix —
+        |  identical output proven by the plain-join oracle.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -60,6 +100,7 @@ object Plans {
       val plan = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       sb.append(s"\n## $k\n\n```\n$plan```\n")
+      notes.get(k).foreach(n => sb.append(s"\n$n\n"))
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println(s"[plans] wrote PLANS.md (${Keys.size} keys)")
