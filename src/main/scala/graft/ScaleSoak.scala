@@ -34,7 +34,10 @@ object ScaleSoak {
     "q_agg_group_pricing", "q_scan_filter_pushdown", "q_join_multiway",
     "q_sql_tpch_q3", "q_win_topk_group", "q_sessionize",
     "q_dedup_minhash", "q_sim_lsh_bucketed", "q_text_tfidf",
-    "q_time_tumbling")
+    "q_time_tumbling",
+    // r5 additions
+    "q_win_session_window", "q_time_interp", "q_embed_rproj",
+    "q_scan_binaryfile", "q_join_dpp", "q_scan_schema_evolution")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */
