@@ -1,7 +1,33 @@
 package graft
-import java.util.Locale
-import org.apache.spark.sql.SparkSession
 
+import java.nio.file.{Files, Path, Paths}
+import java.util.Locale
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main — one JSON line on stdout, full detail in the
+  * BENCH.json sidecar.
+  *
+  * Robustness contract (r6, after the r5 driver run recorded 406 s of
+  * mostly external box load against a ~130 s floor):
+  *
+  *  - `BENCH_FLOORS.json` records each key's best observed solo
+  *    seconds (monotone min, updated in place by every run), giving
+  *    every key a noise yardstick that persists across rounds;
+  *  - a key whose first run exceeds `floor * 3 + 0.5 s` is re-run to
+  *    median-of-3, so one scheduler hiccup or a window of external
+  *    load cannot write a 10× outlier into the round record — the
+  *    extra cost is bounded by how many keys were actually inflated;
+  *  - keys whose MEDIAN still exceeds the re-run threshold are listed
+  *    in `flagged` — sustained inflation is reported, never averaged
+  *    away;
+  *  - a throwing key lands in `errors` (stdout: names; sidecar: first
+  *    exception line) — it can never hide inside a plausible total
+  *    (the old behavior mapped a throw to a silent fast time);
+  *  - `value` stays the sum of recorded per-key times (comparable
+  *    across rounds); `wall` is the actual wall clock including
+  *    re-runs.
+  */
 object Bench {
   /** Locale-stable 3-decimal format: f"$v%.3f" uses the JVM default
     * locale and emits `1,234` under comma-decimal locales (de_DE, ...),
@@ -9,13 +35,75 @@ object Bench {
   private def num(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v))
 
+  /** One measured key: every timed run (first + any re-runs) and the
+    * first error message seen, if any run threw. */
+  final case class KeyResult(name: String, times: List[Double], error: Option[String]) {
+    def median: Double = { val s = times.sorted; s(s.size / 2) }
+    def best: Double = times.min
+  }
+
+  /** Re-run trigger: floors absorb proportional noise on slow keys
+    * (3×) and absolute jitter on sub-second keys (+0.5 s). */
+  def threshold(floor: Double): Double = floor * 3 + 0.5
+
+  private def timeOnce(spark: SparkSession, sfDir: String, name: String,
+      fn: (SparkSession, String) => DataFrame): (Double, Option[String]) = {
+    val t0 = System.nanoTime()
+    val err =
+      try { fn(spark, sfDir).count(); None }
+      catch { case e: Throwable =>
+        Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.next().take(160)}")
+      }
+    ((System.nanoTime() - t0) / 1e9, err)
+  }
+
+  /** The measurement loop, separated from main so a poisoned registry
+    * can be exercised in a unit test. Errors never trigger re-runs
+    * (a deterministic throw would just throw thrice). */
+  def measure(spark: SparkSession, sfDir: String,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)],
+      floors: Map[String, Double], maxRuns: Int = 3): Seq[KeyResult] =
+    queries.map { case (name, fn) =>
+      val (t1, e1) = timeOnce(spark, sfDir, name, fn)
+      val suspicious = e1.isEmpty && floors.get(name).exists(f => t1 > threshold(f))
+      val r =
+        if (!suspicious) KeyResult(name, List(t1), e1)
+        else {
+          val more = (2 to maxRuns).map(_ => timeOnce(spark, sfDir, name, fn))
+          KeyResult(name, t1 :: more.map(_._1).toList,
+            (e1 ++ more.flatMap(_._2)).headOption)
+        }
+      val note = r.error.map(e => s"  ERROR $e")
+        .getOrElse(if (r.times.size > 1)
+          s"  (median of ${r.times.size}: ${r.times.map(num).mkString(", ")})" else "")
+      System.err.println(f"[bench] $name%-28s ${r.median}%8.2fs$note")
+      r
+    }
+
+  def loadFloors(p: Path): Map[String, Double] =
+    if (!Files.exists(p)) Map.empty
+    else {
+      val re = """"([^"]+)"\s*:\s*([0-9][0-9.Ee+-]*)""".r
+      re.findAllMatchIn(Files.readString(p))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+
+  def saveFloors(p: Path, floors: Map[String, Double]): Unit =
+    Files.writeString(p, floors.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
+      .mkString("{\n", ",\n", "\n}\n"))
+
   /** `queries` may be a headline subset of the full run; `value` is
     * always the total across ALL keys and `count` says how many ran. */
-  private def jsonLine(rs: Map[String, Double], total: Double, count: Int, sfDir: String): String = {
+  def jsonLine(rs: Map[String, Double], total: Double, count: Int, sfDir: String,
+      wall: Double, errors: Seq[String], reruns: Int, flagged: Seq[String]): String = {
     val qs = rs.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
-    s"""{"metric":"total","value":${num(total)},"unit":"sec","count":$count,"queries":$qs,"sf":"$sfDir"}"""
+    def strs(xs: Seq[String]) = xs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    s"""{"metric":"total","value":${num(total)},"unit":"sec","count":$count,""" +
+      s""""wall":${num(wall)},"errors":${strs(errors)},"reruns":$reruns,""" +
+      s""""flagged":${strs(flagged)},"queries":$qs,"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -28,37 +116,50 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id)").collect() // JVM/codegen warmup
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-28s $sec%8.2fs")
-      name -> sec
-    }.toMap
-    val total = results.values.sum
+
+    val floorsPath = Paths.get("BENCH_FLOORS.json")
+    val floors = loadFloors(floorsPath)
+    val wall0 = System.nanoTime()
+    val results = measure(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1), floors)
+    val wall = (System.nanoTime() - wall0) / 1e9
+
+    val perKey = results.map(r => r.name -> r.median).toMap
+    val total = perKey.values.sum
+    val errors = results.filter(_.error.isDefined).map(_.name)
+    val reruns = results.count(_.times.size > 1)
+    val flagged = results.filter(r =>
+      r.error.isEmpty && floors.get(r.name).exists(f => r.median > threshold(f))).map(_.name)
+    // floor = best clean observation ever, monotone min across runs
+    val newFloors = results.filter(_.error.isEmpty)
+      .map(r => r.name -> floors.get(r.name).fold(r.best)(math.min(_, r.best))).toMap
+    try saveFloors(floorsPath, floors ++ newFloors)
+    catch { case _: Throwable => () }
+
     // Full per-key map goes to the sidecar file only: the driver captures
     // a bounded tail of stdout, and the 132-key map made the final line
     // ~5 KB — it started before the tail window and never parsed. The
     // stdout line carries the total plus a fixed headline subset.
-    try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("BENCH.json"),
-      jsonLine(results, total, results.size, sfDir) + "\n")
+    val errDetail = results.flatMap(r => r.error.map(e => r.name -> e))
+    try Files.writeString(Paths.get("BENCH.json"),
+      jsonLine(perKey, total, results.size, sfDir, wall,
+        errDetail.map { case (k, e) => s"$k: $e" }, reruns, flagged) + "\n")
     catch { case _: Throwable => () }
+
     val headline = Seq(
       "q_agg_group_pricing", "q_scan_filter_pushdown", "q_join_multiway",
       "q_sql_tpch_q3", "q_win_topk_group", "q_sessionize",
       "q_dedup_near_jaccard", "q_dedup_minhash", "q_sim_lsh_bucketed",
       "q_text_tfidf", "q_time_tumbling", "s_ingest_availablenow",
       "q_join_fuzzy", "s_stateful_zscore")
-    val withQueries =
-      jsonLine(results.view.filterKeys(headline.contains).toMap, total, results.size, sfDir)
+    val withQueries = jsonLine(perKey.view.filterKeys(headline.contains).toMap,
+      total, results.size, sfDir, wall, errors, reruns, flagged)
     // Never throw on overflow: a too-long line degrades to total-only
     // (still driver-parseable) rather than rc!=0 with no stdout JSON.
     val compact =
       if (withQueries.length < 1800) withQueries
       else {
         System.err.println(s"[bench] headline line too long (${withQueries.length}), emitting total-only")
-        jsonLine(Map.empty, total, results.size, sfDir)
+        jsonLine(Map.empty, total, results.size, sfDir, wall, errors, reruns, flagged)
       }
     spark.stop()
     // JSON is the LAST stdout line: after spark.stop() (Spark logs go to

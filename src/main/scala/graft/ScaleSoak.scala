@@ -26,6 +26,11 @@ import org.apache.spark.sql.functions._
   */
 object ScaleSoak {
 
+  /** Bump whenever `generate` changes shape or content: the version is
+    * baked into the scratch dir name, so a stale staged copy from an
+    * older generator can never be reused silently. */
+  private val GenVersion = 2
+
   private val DefaultKeys = Seq(
     // the r4-verdict watch-list (candidate-pruned pair plans)
     "q_dedup_near_jaccard", "q_join_fuzzy", "q_dedup_cluster",
@@ -115,7 +120,7 @@ object ScaleSoak {
     val n = args.headOption.map(_.toInt).getOrElse(10)
     val keys = if (args.length > 1) args.drop(1).toSeq else DefaultKeys
     val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val outDir = s"/tmp/graft_soak_x$n"
+    val outDir = s"/tmp/graft_soak_v${GenVersion}_x$n"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -123,7 +128,13 @@ object ScaleSoak {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (!new java.io.File(outDir, "embeddings.parquet/_SUCCESS").exists()) {
+    // Mirror Stage.once: regenerate when the staged copy is absent OR
+    // any source fixture is newer than the staged _SUCCESS marker, so
+    // a driver fixture regen is never soaked through a stale copy.
+    val marker = new java.io.File(outDir, "embeddings.parquet/_SUCCESS")
+    val srcNewest = Option(new java.io.File(srcDir).listFiles())
+      .map(_.map(_.lastModified()).max).getOrElse(Long.MaxValue)
+    if (!marker.exists() || srcNewest > marker.lastModified()) {
       System.err.println(s"[soak] generating ×$n fixtures under $outDir")
       generate(spark, srcDir, outDir, n)
     }

@@ -106,7 +106,11 @@ object Streams {
     def place(src: java.io.File): Unit = {
       val dst = new java.io.File(dir, f"chunk_$seq%03d.parquet")
       java.nio.file.Files.copy(src.toPath, dst.toPath)
-      dst.setLastModified(base + seq * 2000L)
+      // admission order is documented as mtime spacing; surface a
+      // filesystem that refuses it instead of silently degrading to
+      // the (currently agreeing) lexicographic filename order
+      require(dst.setLastModified(base + seq * 2000L),
+        s"setLastModified failed for $dst — micro-batch order not pinned")
       seq += 1
     }
     // an EMPTY chunk writes no partition dir — feed it the 0-row file

@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The bench harness itself is part of the round contract (errors must
+  * surface, floors must trigger bounded re-runs), so it gets a spec. */
+class BenchSpec extends SparkSpec {
+
+  private def fast(s: SparkSession, dir: String): DataFrame =
+    s.range(10).toDF("id")
+
+  test("a poisoned registry entry lands in errors, never a silent time") {
+    val poisoned: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "k_ok" -> fast,
+      // filter, not select: a count() prunes an unreferenced projection
+      // without ever evaluating it, which is exactly how a broken key
+      // could hide — the filter must evaluate per row
+      "k_poison" -> ((s, _) =>
+        s.range(1).toDF("id").filter(expr("assert_true(id > 99, 'boom') is null"))))
+    val rs = Bench.measure(spark, sf, poisoned, floors = Map.empty)
+    assert(rs.map(_.name) === Seq("k_ok", "k_poison"))
+    assert(rs.head.error.isEmpty)
+    val err = rs(1).error
+    assert(err.isDefined, "throwing key must record an error")
+    // a deterministic throw must not be retried into a triple
+    assert(rs(1).times.size === 1)
+    val line = Bench.jsonLine(Map("k_ok" -> 0.1), 0.2, 2, sf, 0.3,
+      errors = Seq("k_poison"), reruns = 0, flagged = Seq.empty)
+    assert(line.contains(""""errors":["k_poison"]"""), line)
+  }
+
+  test("a run past 3x its recorded floor re-runs to median-of-3; in-band runs do not") {
+    val slow: (SparkSession, String) => DataFrame =
+      (s, _) => { Thread.sleep(700); s.range(1).toDF("id") }
+    // floor 0.01 -> threshold 0.53 s; the 0.7 s run must re-run
+    val rs = Bench.measure(spark, sf, Seq("k_slow" -> slow), Map("k_slow" -> 0.01))
+    assert(rs.head.times.size === 3, s"expected median-of-3, got ${rs.head.times}")
+    assert(rs.head.median >= 0.7)
+    // same run with an honest floor: single measurement
+    val rs2 = Bench.measure(spark, sf, Seq("k_slow" -> slow), Map("k_slow" -> 0.7))
+    assert(rs2.head.times.size === 1)
+    // no recorded floor: nothing to compare against, single measurement
+    val rs3 = Bench.measure(spark, sf, Seq("k_slow" -> slow), Map.empty)
+    assert(rs3.head.times.size === 1)
+  }
+
+  test("floors file round-trips and keeps the monotone min") {
+    val p = Files.createTempDirectory("graft_bench_spec").resolve("floors.json")
+    Bench.saveFloors(p, Map("a" -> 1.25, "b" -> 0.031))
+    assert(Bench.loadFloors(p) === Map("a" -> 1.25, "b" -> 0.031))
+    assert(Bench.loadFloors(p.resolveSibling("missing.json")) === Map.empty)
+  }
+}
