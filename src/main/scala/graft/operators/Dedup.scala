@@ -118,15 +118,27 @@ object Dedup {
     * survivor step of a dedup pipeline (pairs alone over-delete: A≈B,
     * B≈C must keep ONE of {A,B,C}, not two independent survivors).
     *
-    * Min-label propagation to fixpoint: every doc starts labeled with
-    * its own id; each round takes the min label over graph neighbors;
-    * convergence in diameter(G) rounds (near-dup clusters are
-    * shallow — the fixture converges in ≤ 3; a 20-round cap guards
-    * pathological chains). Each round is one shuffled join + hash agg,
-    * fully distributed; the driver loop only counts changes.
-    * `localCheckpoint` truncates the per-round lineage. At 100 TB the
-    * round count is cut further with large-star/small-star contraction
-    * (Kiveris et al., public algorithm) — same per-round plan shape. */
+    * Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", public
+    * algorithm): each round rewires every node's strictly-larger
+    * neighbors to its neighborhood minimum (large-star), then rewires
+    * the smaller neighbors to the group minimum (small-star). The
+    * only fixpoints are star forests centered on component minima, so
+    * label = component min exactly as min-label propagation produced
+    * — but round count is O(log² n) in the worst case and ~4 in
+    * practice, independent of component DIAMETER. The r5 plain
+    * propagation needed diameter rounds (a join + agg per round): on
+    * a 100 TB web corpus, boilerplate families form dup CHAINS
+    * hundreds of hops long, which is precisely the case this version
+    * cuts (DedupSpec measures a 4096-node chain at 13 = log₂ n + 1
+    * rounds — each alternation halves the remaining path — vs 4095
+    * for propagation; PropertyProps equates labels with brute-force
+    * union-find on random graphs).
+    * Each round is two shuffled join + agg stages over the EDGE set,
+    * fully distributed; `localCheckpoint` truncates per-round
+    * lineage; a 20-round cap guards non-convergence (then O(log² n)
+    * would have to exceed 20 — require fails loudly, never splits a
+    * component silently). */
   def dedupClusters(d: DataFrame): DataFrame = {
     // MATERIALIZE the pair join first, at the session's batch fan-out:
     // it is the expensive half (the full prefix-filtered similarity
@@ -147,42 +159,76 @@ object Dedup {
     }
   }
 
-  private def dedupClustersLoop(d: DataFrame, pairs: DataFrame): DataFrame = {
-    val edges = pairs
-      .union(pairs.select(col("db").as("da"), col("da").as("db"))
-        .select(col("da"), col("db")))
-      .toDF("src", "dst").localCheckpoint(true)
-    // only docs touching an edge participate in propagation (the
-    // iterated frames stay O(|edges|), not O(|docs|)); edge-free docs
-    // are singleton clusters, unioned in after convergence
-    val inGraph = edges.select(col("src").as("doc_id")).distinct()
-      .localCheckpoint(true)
-    var labels = inGraph.select(col("doc_id"), col("doc_id").as("label"))
-    var changed = 1L
+  /** Large-star round: every node rewires its STRICTLY LARGER
+    * neighbors to the minimum of its closed neighborhood. Input/output
+    * edges are directed (child, parent) with child > parent. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val bi = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val m = bi.groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    bi.join(m, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Small-star round: every node rewires its smaller-or-equal
+    * neighbors (and itself) to their common minimum. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val or = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v"))
+    val m = or.groupBy(col("u")).agg(min(col("v")).as("m"))
+    val nbrs = or.join(m, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+    val self = m.select(col("u"), col("m").as("v"))
+    nbrs.union(self).filter(col("u") =!= col("v")).distinct()
+  }
+
+  /** Alternating large-star/small-star to fixpoint over an undirected
+    * pair list (any orientation, self-loops tolerated). Returns the
+    * star-forest edges (node → component-min) — component minima have
+    * no row — plus the round count, exposed so the chain-graph spec
+    * can pin the O(log n) convergence claim with a measurement. */
+  private[graft] def connectedComponents(pairs: DataFrame): (DataFrame, Int) = {
+    var e = pairs.toDF("u", "v")
+      .filter(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct().localCheckpoint(true)
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("label").as("nlab")), "dst")
-        .groupBy(col("src")).agg(min(col("nlab")).as("nbr"))
-      val updated = labels
-        .join(nbrMin.select(col("src").as("doc_id"), col("nbr")), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
-          (coalesce(col("nbr"), col("label")) < col("label")).as("chg"))
-        .localCheckpoint(true)
-      changed = updated.filter(col("chg")).count()
-      labels = updated.select(col("doc_id"), col("label"))
+    var done = false
+    while (!done && rounds < 20) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // fixpoint test on the canonical edge set: both rounds emit
+      // child > parent, so plain symmetric difference decides
+      done = next.except(e).union(e.except(next)).isEmpty
+      e = next
       rounds += 1
     }
-    // the cap is a runaway guard, not an exit: min-label propagation
-    // needs O(component diameter) rounds, and silently stopping early
-    // would split a >20-hop chain into multiple clusters
-    require(changed == 0,
-      s"dedup label propagation not converged after $rounds rounds " +
-        s"($changed labels still moving) — component diameter exceeds the cap")
+    // the cap is a runaway guard, not an exit: silently stopping early
+    // would split a component into multiple clusters
+    require(done,
+      s"large-star/small-star not converged after $rounds rounds — " +
+        "edge set still moving")
+    (e, rounds)
+  }
+
+  private def dedupClustersLoop(d: DataFrame, pairs: DataFrame): DataFrame = {
+    // only docs touching an edge participate in contraction (the
+    // iterated frames stay O(|edges|), not O(|docs|)); edge-free docs
+    // are singleton clusters, unioned in after convergence
+    val inGraph = pairs.select(col("da").as("doc_id"))
+      .union(pairs.select(col("db").as("doc_id"))).distinct()
+      .localCheckpoint(true)
+    val (stars, _) = connectedComponents(pairs)
     // label = min doc_id of the component ⇒ cluster_id doubles as the
-    // canonical survivor id; singletons (no edges) are their own
-    // cluster
+    // canonical survivor id; component minima (absent from the star
+    // edges) and singletons (no edges) label themselves
+    val labels = inGraph
+      .join(stars.select(col("u").as("doc_id"), col("v").as("lab")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("label"))
     val singletons = d.select(col("doc_id"))
       .join(inGraph, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("label"))

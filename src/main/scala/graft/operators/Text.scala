@@ -29,6 +29,23 @@ object Text {
     expr(s"filter(split($c, ' '), t -> t <> '')")
   private val tokSql = "list_filter(string_split(text, ' '), t -> t <> '')"
 
+  /** Memo of the exploded (doc_id, lang, tok) token stream, same
+    * keying/bounding discipline as Dedup's shingle table
+    * (Dedup.scala shingleMemo): q_text_vocab_prune fans the stream
+    * into THREE plan branches (corpus-size scalar, df aggregation,
+    * per-doc OOV pass), and without a materialization each branch
+    * re-scans parquet and re-tokenizes — at 100 TB that is three full
+    * tokenize+explode passes over the corpus for one logical pass's
+    * worth of information. Eagerly checkpointed, so every consumer
+    * pays a block read. */
+  private val tokMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def tokenStream(d: DataFrame): DataFrame =
+    graft.plans.PlanKey.memoize(tokMemo, d) {
+      d.select(col("doc_id"), col("lang"), explode(toks()).as("tok"))
+    }
+
   /** 64-bit SimHash document fingerprint over whitespace tokens,
     * via the native codegen [[graft.functions.SimHash64]] expression.
     * Callers must have run `VectorExprs.register` on the session.
@@ -150,13 +167,15 @@ object Text {
       // absolute df cutoff), docs with > 2% out-of-vocabulary tokens
       // get flagged. Integer arithmetic throughout (df·10 ≥ n_docs,
       // oov·50 > n_tok, integer-ratio double at the end) — exact
-      // cross-engine. Plan: two explode→hash-agg passes over the token
-      // stream plus one vocabulary join; the corpus-size scalar and
+      // cross-engine. Plan: the token stream is tokenized+exploded
+      // ONCE (the [[tokenStream]] memo's eager checkpoint) and its
+      // three consumers — corpus-size scalar, df aggregation, per-doc
+      // OOV pass — each pay a block read; the corpus-size scalar and
       // the vocabulary are broadcast (at 100 TB the vocab membership
       // ships as a broadcast/bloom filter, the token stream never
       // shuffles for it).
       val d = Tables(s, dir, "documents")
-      val tok = d.select(col("doc_id"), col("lang"), explode(toks()).as("tok"))
+      val tok = tokenStream(d)
       val nd = tok.agg(countDistinct(col("doc_id")).as("nd"))
       val vocab = tok.groupBy(col("tok"))
         .agg(countDistinct(col("doc_id")).as("df"))

@@ -44,6 +44,26 @@ class DedupSpec extends SparkSpec {
     assert(banded === brute)
   }
 
+  test("large-star/small-star cuts a 4096-node chain in O(log n) rounds, not diameter") {
+    // worst-case diameter graph: a single path 0-1-2-...-4095. Plain
+    // min-label propagation (the r5 implementation) needs 4095 rounds
+    // here; the contraction must land every node on label 0 within a
+    // handful. The bound is the spec's scale claim — a 100 TB web
+    // corpus's boilerplate dup CHAINS are exactly this shape.
+    val n = 4096L
+    val chain = spark.range(n - 1).toDF("da")
+      .select(col("da"), (col("da") + 1).as("db"))
+    val (stars, rounds) = Dedup.connectedComponents(chain)
+    // measured: 13 rounds = log2(4096) + convergence check — each
+    // large/small-star pass halves the remaining path length. Bound at
+    // log2(n) + 2; the diameter-bound algorithm would need n - 1.
+    val log2n = 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    assert(rounds <= log2n + 2, s"chain of $n took $rounds rounds (diameter-bound?)")
+    val labels = stars.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length === (n - 1), "every non-root node gets exactly one star edge")
+    assert(labels.forall(_._2 === 0L), "all labels must be the component min (0)")
+  }
+
   test("simhash: identical texts collide, fingerprint is 64-bit stable") {
     import spark.implicits._
     val df = Seq("the quick brown fox", "the quick brown fox", "lorem ipsum dolor sit")

@@ -305,6 +305,24 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"), "nearDupPairs plans a nested-loop join")
   }
 
+  test("q_text_vocab_prune: one materialized token stream, broadcast vocab join, no SMJ") {
+    // the r5 verdict flagged this key for a double tokenize+explode and
+    // an unexplained 10x run-to-run spike with no shape pin; the memo
+    // fix means every consumer branch reads the CHECKPOINTED stream —
+    // the documents parquet must not be re-scanned per branch, the
+    // vocab membership join must broadcast, and no sort-merge join may
+    // appear anywhere (a plan flip to SMJ would be the spike signature)
+    val df = SparkEntry.queries("q_text_vocab_prune")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SortMergeJoin"), s"vocab membership flipped to SMJ:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"vocab membership not broadcast:\n$p")
+    val fileScans = p.linesIterator.count(_.contains("FileScan"))
+    assert(fileScans == 0,
+      s"token stream not memoized: $fileScans parquet scans (expected checkpoint reads only):\n$p")
+    assert(p.contains("Scan ExistingRDD"), s"no checkpoint scan leaf:\n$p")
+  }
+
   test("q_join_fuzzy candidates come from an equi join on segment keys") {
     val p = planOf("q_join_fuzzy")
     // the PassJoin pigeonhole must surface as an EQUI join keyed on

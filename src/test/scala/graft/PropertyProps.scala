@@ -89,6 +89,37 @@ object PropertyProps extends Properties("graft") {
       once == twice && once == texts.distinct.size
     }
 
+  // --- connected components == brute-force union-find on random graphs ---
+
+  private val genEdges: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(2, 30)
+    es <- Gen.listOfN(n * 2, for {
+      a <- Gen.choose(0L, n.toLong); b <- Gen.choose(0L, n.toLong)
+    } yield (a, b))
+  } yield es
+
+  property("large-star/small-star labels == brute-force union-find, any graph") =
+    forAll(genEdges) { es =>
+      import spark.implicits._
+      val real = es.filter { case (a, b) => a != b }
+      real.isEmpty || {
+        // brute-force union-find ground truth
+        val nodes = real.flatMap { case (a, b) => Seq(a, b) }.distinct
+        val parent = scala.collection.mutable.Map(nodes.map(x => x -> x): _*)
+        def find(x: Long): Long =
+          if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+        real.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val truth = nodes.map(x => x -> find(x)).toMap
+        val (stars, _) = graft.operators.Dedup.connectedComponents(
+          real.toDF("da", "db"))
+        val got = stars.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        nodes.forall { x => got.getOrElse(x, x) == truth(x) }
+      }
+    }
+
   // --- minhash estimate concentrates around exact jaccard ---
 
   private val genTokenSets: Gen[(List[String], List[String])] = for {
