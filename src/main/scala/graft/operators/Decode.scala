@@ -26,14 +26,35 @@ object Decode {
         .filter(col(SchemaRegistry.corruptCol).isNull)
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value"), col("props")))
+    },
+    "q_decode_avro" -> { (s, dir) =>
+      // The Avro wire-format twin of q_decode_registry: encode the
+      // events table to binary Avro frames (timestamp-micros logical
+      // type, nullable unions), decode through the registry's
+      // per-partition DatumReader, and project against the SAME plain
+      // oracle — any loss in the binary codec (timestamp precision,
+      // double bits, string escaping) hash-mismatches. Both codec
+      // stages are narrow mapPartitions (schema parsed and reader
+      // allocated once per task), no shuffle.
+      val e = Tables(s, dir, "events")
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      val encoded = SchemaRegistry.encodeAvro(e, "events", cols)
+      val decoded = SchemaRegistry.decodeAvro(encoded, "events")
+      ordered(decoded
+        .filter(col(SchemaRegistry.corruptCol).isNull)
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value"), col("props")))
     }
   )
 
+  private val plainEventsOracle =
+    """SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+      |  user_id, event_type, value, props
+      |FROM events""".stripMargin +
+      orderByAll("event_id", "ts_us", "user_id", "event_type", "value", "props")
+
   def oracle: Map[String, String] = Map(
-    "q_decode_registry" ->
-      ("""SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
-        |  user_id, event_type, value, props
-        |FROM events""".stripMargin +
-        orderByAll("event_id", "ts_us", "user_id", "event_type", "value", "props"))
+    "q_decode_registry" -> plainEventsOracle,
+    "q_decode_avro" -> plainEventsOracle
   )
 }

@@ -26,7 +26,7 @@ class RegistrySpec extends SparkSpec {
       "q_scan_project", "q_scan_filter_pushdown", "q_scan_union_files",
       "q_scan_schema_evolution", "q_scan_binaryfile", "q_join_dpp",
       "s_sink_partitioned", "s_ingest_availablenow", "s_ingest_kafka",
-      "s_sink_text", "q_decode_registry", "q_scan_json", "q_scan_csv",
+      "s_sink_text", "q_decode_registry", "q_decode_avro", "q_scan_json", "q_scan_csv",
       "s_sink_seqfile",
       "q_agg_pivot", "q_split_train_eval", "q_sample_stratified",
       "q_agg_approx_percentile", "s_join_stream",
@@ -114,6 +114,37 @@ class RegistrySpec extends SparkSpec {
       .select(cols.map(col): _*)
     assert(back.exceptAll(e.select(cols.map(col): _*)).count() === 0)
     assert(e.select(cols.map(col): _*).exceptAll(back).count() === 0)
+  }
+
+  test("avro encode->decode round-trips the events table losslessly") {
+    import graft.sources.SchemaRegistry
+    val e = graft.sources.Tables(spark, sf, "events")
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val back = SchemaRegistry.decodeAvro(
+        SchemaRegistry.encodeAvro(e, "events", cols), "events")
+      .select(cols.map(col): _*)
+    assert(back.exceptAll(e.select(cols.map(col): _*)).count() === 0)
+    assert(e.select(cols.map(col): _*).exceptAll(back).count() === 0)
+  }
+
+  test("undecodable avro payloads quarantine as base64, never kill the decode") {
+    import spark.implicits._
+    import graft.sources.SchemaRegistry
+    val e = graft.sources.Tables(spark, sf, "events").limit(2)
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+    val good = SchemaRegistry.encodeAvro(e, "events", cols)
+    // a truncated frame and outright garbage — both must quarantine
+    val corrupt = Seq(Array[Byte](1), Array[Byte](-1, -1, -1, -1, -1, -1))
+      .toDF("value")
+    val mixed = good.union(corrupt)
+    val d = SchemaRegistry.decodeAvro(mixed, "events").collect()
+    assert(d.length === 4)
+    val (ok, bad) = d.partition(_.getAs[String](SchemaRegistry.corruptCol) == null)
+    assert(ok.length === 2 && bad.length === 2, s"partition was ${ok.length}/${bad.length}")
+    assert(bad.forall(r => r.isNullAt(r.fieldIndex("event_id"))))
+    // the quarantined payload is recoverable (base64 of the raw bytes)
+    assert(java.util.Base64.getDecoder.decode(
+      bad.map(_.getAs[String](SchemaRegistry.corruptCol)).head).nonEmpty)
   }
 
   test("unregistered payload type fails fast with the known-type list") {
