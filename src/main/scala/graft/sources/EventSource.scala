@@ -90,11 +90,19 @@ object EventSource {
     /** Raw kafka frame (key/value/topic/partition/offset/timestamp);
       * decode to the canonical schema via [[decodeJson]]. */
     def load(spark: SparkSession, sfDir: String): DataFrame = {
-      require(available, s"Kafka connector not on classpath ($providerClass)")
       val brokers = sys.env.getOrElse("GRAFT_KAFKA_BROKERS", "localhost:9092")
       val topic = sys.env.getOrElse("GRAFT_KAFKA_TOPIC", "events")
+      loadWith(spark, sourceOptions(brokers, topic))
+    }
+
+    /** [[load]] with an explicit option map — the A3/A4/A9 paths
+      * (per-partition offset resume, loss tolerance, fetch caps) are
+      * driven by callers building the map via [[sourceOptions]] /
+      * [[offsetsJson]]. */
+    def loadWith(spark: SparkSession, options: Map[String, String]): DataFrame = {
+      require(available, s"Kafka connector not on classpath ($providerClass)")
       val reader = spark.readStream.format("kafka")
-      sourceOptions(brokers, topic).foreach { case (k, v) => reader.option(k, v) }
+      options.foreach { case (k, v) => reader.option(k, v) }
       decodeJson(spark, reader.load())
     }
     def isStreaming = true

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -83,19 +83,84 @@ case class FakeKafkaOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-class FakeKafkaMicroBatchStream extends MicroBatchStream {
+/** Offsets are LOG offsets (`Rec.offset`), not array indices, so the
+  * A3 paths are real: `startingOffsets` (earliest/latest/per-partition
+  * JSON with -2/-1 sentinels) picks the initial position, a request
+  * below the retained log start either fails (`failOnDataLoss=true`)
+  * or resets to earliest, and `maxOffsetsPerTrigger` caps each
+  * micro-batch through genuine `SupportsAdmissionControl` admission
+  * (the AvailableNow wrapper drains the log in capped batches). */
+class FakeKafkaMicroBatchStream extends MicroBatchStream
+    with SupportsAdmissionControl with SupportsTriggerAvailableNow {
   import KafkaSourceProvider._
-  override def initialOffset(): Offset = FakeKafkaOffset(0L)
-  override def latestOffset(): Offset = FakeKafkaOffset(feed.length.toLong)
+  private def opt(k: String): Option[String] =
+    receivedOptions.collectFirst { case (key, v) if key.equalsIgnoreCase(k) => v }
+  private def logStart: Long = if (feed.isEmpty) 0L else feed.map(_.offset).min
+  private def logEnd: Long = if (feed.isEmpty) 0L else feed.map(_.offset).max + 1
+
+  // Like the real connector, the source implements
+  // SupportsTriggerAvailableNow ITSELF: the generic AvailableNow
+  // wrapper snapshots the end offset with ReadLimit.allAvailable and
+  // never re-applies the per-trigger cap, so a wrapped source would
+  // drain in one uncapped batch.
+  @volatile private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(logEnd)
+
+  override def initialOffset(): Offset = {
+    val requested = opt("startingOffsets").getOrElse("earliest") match {
+      case "earliest" => logStart
+      case "latest" => logEnd
+      case json => // per-partition JSON; the fake serves one partition (0)
+        """"0"\s*:\s*(-?\d+)""".r.findFirstMatchIn(json)
+          .map(_.group(1).toLong)
+          .getOrElse(throw new IllegalArgumentException(
+            s"fake kafka: no partition 0 entry in startingOffsets $json")) match {
+          case -2L => logStart
+          case -1L => logEnd
+          case n => n
+        }
+    }
+    if (requested < logStart) {
+      // the real connector's out-of-range semantics (A3): expired
+      // offsets fail the query unless loss is tolerated, in which
+      // case the source resets to the earliest retained offset
+      if (opt("failOnDataLoss").forall(_.toBoolean))
+        throw new IllegalStateException(
+          s"Offsets out of range: requested $requested but log starts at " +
+            s"$logStart; set failOnDataLoss=false to reset to earliest")
+      FakeKafkaOffset(logStart)
+    } else FakeKafkaOffset(requested)
+  }
+
+  override def getDefaultReadLimit: ReadLimit =
+    opt("maxOffsetsPerTrigger").map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(): Offset = FakeKafkaOffset(logEnd)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[FakeKafkaOffset].n
+    val end = availableNowEnd.getOrElse(logEnd)
+    val capped = limit match {
+      case rl: ReadMaxRows =>
+        // offsets may be sparse: admit maxRows RECORDS, not positions
+        val admitted = feed.map(_.offset).filter(o => o >= s && o < end)
+          .sorted.take(rl.maxRows().toInt)
+        if (admitted.isEmpty) math.max(s, end) else admitted.last + 1
+      case _ => end
+    }
+    FakeKafkaOffset(math.min(capped, end))
+  }
+
   override def deserializeOffset(json: String): Offset =
     FakeKafkaOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[FakeKafkaOffset].n.toInt
-    val e = end.asInstanceOf[FakeKafkaOffset].n.toInt
-    val topic = receivedOptions.getOrElse("subscribe", "events")
-    Array(FakeKafkaPartition(feed.slice(s, e), topic))
+    val s = start.asInstanceOf[FakeKafkaOffset].n
+    val e = end.asInstanceOf[FakeKafkaOffset].n
+    val topic = opt("subscribe").getOrElse("events")
+    Array(FakeKafkaPartition(
+      feed.filter(r => r.offset >= s && r.offset < e), topic))
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new FakeKafkaReaderFactory
