@@ -29,4 +29,35 @@ object Confs {
       case (k, None)    => s.conf.unset(k)
     }
   }
+
+  /** The `shuffle.partitions ∝ data` sizing rule the ×20 scale-soak
+    * proved empirically (SCALING.md "Measured scale-soak":
+    * q_dedup_near_jaccard at ×20 ran 43.5 s with 128 partitions vs
+    * 77 s at the fixed 32 — per-partition shuffle volume had crossed
+    * the spill threshold). Two floors combine:
+    *
+    *  - volume: one partition per `targetPartitionBytes` of input
+    *    (64 MiB default — comfortably inside executor memory after
+    *    explode fan-out), so per-partition volume stays ~constant as
+    *    data grows and sorts/aggs never spill;
+    *  - parallelism: never fewer than `cores` (an idle core at small
+    *    data is worse than a small partition).
+    *
+    * At 100 TB the same formula runs on catalog stats instead of a
+    * directory walk; a 2–3× cores multiplier is the usual upper cap on
+    * real clusters, left to the caller because it depends on the
+    * executor count, not the data. */
+  def partitionsFor(inputBytes: Long, cores: Int,
+      targetPartitionBytes: Long = 64L << 20): Int =
+    math.max(cores,
+      math.ceil(inputBytes.toDouble / targetPartitionBytes).toInt)
+
+  /** Recursive byte size of a staged fixture dir — the `inputBytes`
+    * feed for [[partitionsFor]] when no catalog stats exist. */
+  def dirBytes(path: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isFile) f.length()
+      else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+    walk(new java.io.File(path))
+  }
 }

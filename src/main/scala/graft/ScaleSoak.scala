@@ -42,7 +42,10 @@ object ScaleSoak {
     "q_time_tumbling",
     // r5 additions
     "q_win_session_window", "q_time_interp", "q_embed_rproj",
-    "q_scan_binaryfile", "q_join_dpp", "q_scan_schema_evolution")
+    "q_scan_binaryfile", "q_join_dpp", "q_scan_schema_evolution",
+    // r6 text-family watch list (r5 verdict: tfidf 4.7× at ×10 —
+    // verify O(tokens + vocab); decontaminate/pack/vocab_prune join it)
+    "q_text_decontaminate", "q_text_pack", "q_text_vocab_prune")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */
@@ -138,6 +141,14 @@ object ScaleSoak {
       System.err.println(s"[soak] generating ×$n fixtures under $outDir")
       generate(spark, srcDir, outDir, n)
     }
+    // the shuffle.partitions ∝ data rule the ×20 soak proved, now code
+    // (Confs.partitionsFor): sized from the staged bytes, so the soak
+    // runs under the knob the engine prescribes instead of the
+    // bench-scale fixed fan-out
+    val staged = Confs.dirBytes(outDir)
+    val parts = Confs.partitionsFor(staged, cpus.toInt)
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    System.err.println(s"[soak] staged ${staged >> 20} MiB -> shuffle.partitions=$parts")
     val results = keys.map { k =>
       val t0 = System.nanoTime()
       val ok =
