@@ -42,7 +42,9 @@ object Plans {
     "q_join_dpp",             // dynamic partition pruning subquery (r5)
     "q_scan_schema_evolution", // merged-generation scan, gen out of ReadSchema (r5)
     "q_win_session_window",   // built-in gap-merged session windows (r5)
-    "q_embed_rproj")          // derived-matrix projection: narrow map (r5)
+    "q_embed_rproj",          // derived-matrix projection: narrow map (r5)
+    "q_text_vocab_prune",     // memoized token stream: checkpoint reads, no re-scan (r6)
+    "q_text_decontaminate_bloom") // bloom_filter_agg + broadcast might_contain probe (r6)
 
   /** Hand-written analysis emitted after a key's plan — kept here so
     * regeneration never loses it. */
@@ -78,7 +80,24 @@ object Plans {
         |- When both apply, AQE is strictly cheaper: no S× replication of the
         |  build side, and it only engages on partitions that actually
         |  materialized oversized. The salted key remains the portable fix —
-        |  identical output proven by the plain-join oracle.""".stripMargin)
+        |  identical output proven by the plain-join oracle.""".stripMargin,
+    "q_text_vocab_prune" ->
+      """Every leaf above is `Scan ExistingRDD` — the eagerly-checkpointed
+        |token stream from the r6 PlanKey memo. The df aggregation, the
+        |corpus-size scalar, and the per-doc OOV pass all read the SAME
+        |materialization (one tokenize+explode over the corpus, not three),
+        |and the vocabulary membership join is a BroadcastHashJoin;
+        |PlanSpec pins zero FileScans, broadcast membership, and no
+        |SortMergeJoin for this key.""".stripMargin,
+    "q_text_decontaminate_bloom" ->
+      """The train side collapses into ONE `bloom_filter_agg` row (partial
+        |blooms merged at a single reducer — a fixed ~1 MiB bitset
+        |regardless of corpus size), broadcast to the eval side, whose
+        |probe is the codegen `might_contain` in a narrow map: no shuffled
+        |join side exists at any scale. This is the implemented 100 TB
+        |ship path of q_text_decontaminate (whose exact twin materializes
+        |the distinct train-shingle table instead); TextSpec asserts
+        |bloom ⊇ exact per doc.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -534,5 +534,20 @@ object VectorExprs {
       "prefix_shingles", (args: Seq[Expression]) => PrefixShingles(args.head,
         asInt(args(1)), asInt(args(2))),
       "built-in")
+    // Catalyst ships BloomFilterAggregate/BloomFilterMightContain (its
+    // runtime-filter pair) but exposes neither in the public
+    // FunctionRegistry; register both so user-level bloom-membership
+    // plans (q_text_decontaminate_bloom) stay fully codegen with zero
+    // custom code.
+    reg.createOrReplaceTempFunction(
+      "bloom_filter_agg", (args: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          args.head, args(1), args(2)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "might_contain", (args: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          args.head, args(1)),
+      "built-in")
   }
 }

@@ -102,6 +102,49 @@ object Text {
           col("n_shared").cast("long").as("n_shared"),
           (col("n_shared").cast("double") / col("n_shingles")).as("overlap_ratio")))
     },
+    "q_text_decontaminate_bloom" -> { (s, dir) =>
+      // The 100 TB ship path of q_text_decontaminate, implemented
+      // rather than documented: the train shingle set is aggregated
+      // into ONE bloom filter (bloom_filter_agg over 64-bit shingle
+      // hashes — a fixed-size bitset, here 8M bits ≈ 1 MiB) and
+      // shipped whole to the eval side, which probes it with the
+      // codegen BloomFilterMightContain — Catalyst's runtime-filter pair,
+      // exposed through the registry. No shuffled join side at all:
+      // the train corpus reduces to partial blooms merged at one
+      // reducer, and the eval pass is a narrow map. Bloom semantics =
+      // no false NEGATIVES (every truly-contaminated doc is flagged;
+      // the sbt spec asserts superset-of-exact + per-doc overcount
+      // only), tunable FP rate in exchange for never materializing
+      // the distinct-shingle table. Oracle = omit (FP rate is
+      // engine-internal); spec-validated against the exact twin.
+      graft.functions.VectorExprs.register(s)
+      val d = Tables(s, dir, "documents")
+      d.select(col("doc_id"),
+          when(md5(col("doc_id").cast("string")) < lit("1a"), "eval")
+            .otherwise("train").as("split"),
+          explode(call_function("word_shingles", split(col("text"), " "), lit(8)))
+            .as("sng"))
+        .createOrReplaceTempView("graft_decon_shingles")
+      // the bloom rides as an UNCORRELATED SCALAR SUBQUERY: executed
+      // once, its ~1 MiB result inlined as a literal into the probe
+      // expression — might_contain's required shape, and exactly the
+      // "ship the filter, not the table" semantics at scale
+      ordered(s.sql("""
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_shingles,
+               CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+               CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+                 AS overlap_ratio
+        FROM (
+          SELECT doc_id,
+                 might_contain(
+                   (SELECT bloom_filter_agg(xxhash64(sng), 1000000L, 8000000L)
+                    FROM graft_decon_shingles WHERE split = 'train'),
+                   xxhash64(sng)) AS hit
+          FROM graft_decon_shingles WHERE split = 'eval')
+        GROUP BY doc_id
+        HAVING sum(CASE WHEN hit THEN 1 ELSE 0 END) > 0"""))
+    },
     "q_text_pack" -> { (s, dir) =>
       // Sequence packing — the step between a cleaned corpus and a
       // training dataloader: documents are packed into fixed

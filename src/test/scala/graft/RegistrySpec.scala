@@ -65,7 +65,9 @@ class RegistrySpec extends SparkSpec {
       "q_sim_cosine_topk", "q_sim_knn_query", "q_sim_knn_batch",
       "q_sim_lsh_bucketed",
       "q_text_tokens_tf", "q_text_tfidf", "q_text_lang_stats",
-      "q_text_ngrams", "q_text_redact", "q_multimodal_join")
+      "q_text_ngrams", "q_text_redact", "q_multimodal_join",
+      // r6
+      "q_decode_avro", "q_text_decontaminate_bloom")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }
