@@ -45,7 +45,8 @@ object ScaleSoak {
     "q_scan_binaryfile", "q_join_dpp", "q_scan_schema_evolution",
     // r6 text-family watch list (r5 verdict: tfidf 4.7× at ×10 —
     // verify O(tokens + vocab); decontaminate/pack/vocab_prune join it)
-    "q_text_decontaminate", "q_text_pack", "q_text_vocab_prune")
+    "q_text_decontaminate", "q_text_pack", "q_text_vocab_prune",
+    "q_text_decontaminate_bloom")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */

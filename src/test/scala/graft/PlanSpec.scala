@@ -323,6 +323,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Scan ExistingRDD"), s"no checkpoint scan leaf:\n$p")
   }
 
+  test("q_text_decontaminate_bloom: scalar-subquery bloom probe, no join node at all") {
+    val df = SparkEntry.queries("q_text_decontaminate_bloom")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("might_contain"), s"no bloom probe:\n$p")
+    assert(p.contains("bloom_filter_agg") || p.contains("Subquery"),
+      s"no bloom build subquery:\n$p")
+    // the whole point vs the exact twin: the train side is a filter
+    // value, not a join side — no join operator may appear
+    for (j <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+        "CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!p.contains(j), s"bloom path plans a $j:\n$p")
+  }
+
   test("q_join_fuzzy candidates come from an equi join on segment keys") {
     val p = planOf("q_join_fuzzy")
     // the PassJoin pigeonhole must surface as an EQUI join keyed on
