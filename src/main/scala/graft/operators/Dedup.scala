@@ -250,6 +250,42 @@ object Dedup {
     "q_dedup_near_jaccard" -> { (s, dir) =>
       ordered(nearDupPairs(Tables(s, dir, "documents")))
     },
+    "q_dedup_incremental" -> { (s, dir) =>
+      // Incremental-ingest dedup — the nightly-batch reality of a
+      // 100 TB pipeline: dedupe the NEW batch against the HISTORICAL
+      // corpus without ever re-pairing history against itself. Same
+      // exact J ≥ 0.8 prefix-filtered join as q_dedup_near_jaccard,
+      // but the candidate join is new-prefix × hist-prefix only: at
+      // scale the historical prefix postings are the standing dedup
+      // INDEX (built once, appended every batch), and join volume is
+      // O(new × df) — independent of |history|². The md5 doc-key
+      // split is the deterministic stand-in for the batch boundary
+      // (same rule as q_split_train_eval).
+      val d = Tables(s, dir, "documents")
+      val sh = shingled(d).withColumn("hk", md5(col("doc_id").cast("string")))
+      val hist = sh.filter(col("hk") >= "80")
+      val nw = sh.filter(col("hk") < "80")
+      def pref(df: DataFrame, side: String) =
+        df.select(col("doc_id").as(side), col("sz").as(s"${side}_sz"),
+          explode(call_function("prefix_shingles", col("sh"), lit(4), lit(5))).as("s"))
+      val cand = pref(nw, "nd").as("pn").join(pref(hist, "hd").as("ph"),
+          col("pn.s") === col("ph.s") &&
+            // length filter: J ≥ 0.8 needs 4·|A| ≤ 5·|B| both ways
+            col("nd_sz") * 4 <= col("hd_sz") * 5 &&
+            col("hd_sz") * 4 <= col("nd_sz") * 5)
+        .select(col("nd"), col("hd")).distinct()
+      val withN = cand.join(sh.select(col("doc_id").as("nd"),
+        col("sh").as("shn"), col("sz").as("szn")), "nd")
+      val pairs = withN.join(sh.select(col("doc_id").as("hd"),
+          col("sh").as("shh"), col("sz").as("szh")), "hd")
+        .withColumn("inter", size(array_intersect(col("shn"), col("shh"))))
+        .withColumn("uni", col("szn") + col("szh") - col("inter"))
+        .filter(col("inter") * 5 >= col("uni") * 4)
+      ordered(pairs.groupBy(col("nd").as("doc_id"))
+        .agg(count(lit(1)).as("n_hist_dups"),
+          min(col("hd")).as("first_hist"),
+          max(col("inter").cast("double") / col("uni")).as("best_jaccard")))
+    },
     "q_dedup_containment" -> { (s, dir) =>
       // EXACT containment join: |A∩B| / min(|A|,|B|) ≥ 0.9 — the
       // doc-in-doc rule (quotes, boilerplate, a page embedded in a
@@ -450,6 +486,23 @@ object Dedup {
         |SELECT da, db, CAST(inter AS DOUBLE) / uni AS jaccard
         |FROM pairs WHERE inter * 5 >= uni * 4""".stripMargin +
         orderByAll("da", "db", "jaccard")),
+    "q_dedup_incremental" ->
+      // brute-force twin: every new×hist pair scored exactly; the
+      // engine's prefix filter only prunes candidates, never results
+      (s"""WITH $shTableSql,
+        |hist AS (SELECT s.doc_id, s.sh FROM sh s
+        |         WHERE md5(CAST(s.doc_id AS VARCHAR)) >= '80'),
+        |newb AS (SELECT s.doc_id, s.sh FROM sh s
+        |         WHERE md5(CAST(s.doc_id AS VARCHAR)) < '80'),
+        |pairs AS (
+        |  SELECT n.doc_id AS doc_id, h.doc_id AS hist_id,
+        |    len(list_intersect(n.sh, h.sh)) AS inter,
+        |    len(n.sh) + len(h.sh) - len(list_intersect(n.sh, h.sh)) AS uni
+        |  FROM newb n CROSS JOIN hist h)
+        |SELECT doc_id, COUNT(*) AS n_hist_dups, MIN(hist_id) AS first_hist,
+        |  MAX(CAST(inter AS DOUBLE) / uni) AS best_jaccard
+        |FROM pairs WHERE inter * 5 >= uni * 4 GROUP BY doc_id""".stripMargin +
+        orderByAll("doc_id", "n_hist_dups", "first_hist", "best_jaccard")),
     "q_dedup_embed" ->
       (s"""WITH v AS (SELECT vec_id, embedding FROM embeddings),
         |p AS (

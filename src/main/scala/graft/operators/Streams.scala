@@ -587,6 +587,36 @@ object Streams {
         countDistinct(col("event_id")).as("n_ids")))
     }},
 
+    // A6 streaming decode, Avro wire format: binary Avro frames (with
+    // two undecodable poison frames) flow through the registry's
+    // per-partition DatumReader; good rows and quarantined rows are
+    // counted — the streaming twin of q_decode_avro, mirroring
+    // s_decode_stream's JSON path.
+    "s_decode_avro" -> { (s, dir) => withShufflePartitions(s, 8) {
+      import graft.sources.SchemaRegistry
+      import s.implicits._
+      val staged = tmp("decode_avro_frames")
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      val good = SchemaRegistry.encodeAvro(Tables(s, dir, "events")
+        .filter(col("user_id") < 50), "events", cols)
+      val poison = Seq(Array[Byte](1), Array[Byte](-1, -1, -1, -1, -1, -1))
+        .toDF("value")
+      good.union(poison).coalesce(2).write.mode("overwrite").parquet(staged)
+      val out = tmp("decode_avro_out"); val ck = tmp("decode_avro_ck")
+      val q = SchemaRegistry.decodeAvro(
+          s.readStream.schema(good.schema).parquet(staged), "events")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val decoded = s.read.parquet(out)
+      ordered(decoded.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("event_id")).as("n_good"),
+        count(col(SchemaRegistry.corruptCol)).as("n_quarantined"),
+        countDistinct(col("event_id")).as("n_ids")))
+    }},
+
     // A1–A5 Kafka wiring, config-gated on connector availability
     // (absent offline — SURVEY.md §0.1); reports the binding status.
     "s_ingest_kafka" -> { (s, dir) =>

@@ -152,6 +152,16 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[Long]("n_rows") === expectedGood + 3L)
   }
 
+  test("streaming avro decode quarantines poison frames and loses no good rows") {
+    val r = SparkEntry.queries("s_decode_avro")(spark, sf).collect()(0)
+    val expectedGood = graft.sources.Tables(spark, sf, "events")
+      .filter(col("user_id") < 50).count()
+    assert(r.getAs[Long]("n_good") === expectedGood)
+    assert(r.getAs[Long]("n_ids") === expectedGood)
+    assert(r.getAs[Long]("n_quarantined") === 2L)
+    assert(r.getAs[Long]("n_rows") === expectedGood + 2L)
+  }
+
   test("checkpointed AvailableNow re-run ingests nothing new (A4/A5 exactly-once)") {
     val out = java.nio.file.Files.createTempDirectory("graft_resume_out").toString
     val ck = java.nio.file.Files.createTempDirectory("graft_resume_ck").toString
