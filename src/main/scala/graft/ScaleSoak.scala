@@ -146,8 +146,15 @@ object ScaleSoak {
     // (Confs.partitionsFor): sized from the staged bytes, so the soak
     // runs under the knob the engine prescribes instead of the
     // bench-scale fixed fan-out
+    // Volume feed = staged bytes × an expansion factor: the spilling
+    // stages shuffle DESERIALIZED, EXPLODED data (the shingle table is
+    // ~10× its parquet bytes), so sizing on compressed input bytes
+    // under-partitions exactly the keys the rule exists for (measured
+    // x20: near-jaccard 57 s at the 32-partition floor vs 43.5 s at
+    // 128 in r5). SPARK_GRAFT_SOAK_PARTITIONS overrides for A/B runs.
     val staged = Confs.dirBytes(outDir)
-    val parts = Confs.partitionsFor(staged, cpus.toInt)
+    val parts = sys.env.get("SPARK_GRAFT_SOAK_PARTITIONS").map(_.toInt)
+      .getOrElse(Confs.partitionsFor(staged * 16, cpus.toInt))
     spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     System.err.println(s"[soak] staged ${staged >> 20} MiB -> shuffle.partitions=$parts")
     val results = keys.map { k =>

@@ -499,6 +499,59 @@ object Streams {
         dsum(col("value")).as("sum_value")))
     },
 
+    // A7 reference-layout twin #3 (r6): Avro CONTAINER files — the
+    // canonical Kafka→HDFS sink format of the reference's ecosystem
+    // [R]. Written via the Hadoop RDD bridge (AvroKeyOutputFormat from
+    // the on-box avro-mapred; spark-avro is absent), read back with
+    // AvroKeyInputFormat and field-decoded with the registry's shared
+    // record converters — schema parsed once per task, splittable
+    // blocks, the layout a downstream MR/Spark job actually consumes.
+    "s_sink_avro" -> { (s, dir) =>
+      import graft.sources.SchemaRegistry
+      import org.apache.avro.generic.GenericRecord
+      import org.apache.avro.mapred.AvroKey
+      import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat, AvroKeyOutputFormat}
+      import org.apache.hadoop.io.NullWritable
+      import org.apache.hadoop.mapreduce.Job
+      val out = tmp("sink_avro") + "/avro"
+      val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      val base = SchemaRegistry.schemaOf("events")
+      val fieldArr = cols.map(c => base.fields(base.fieldIndex(c))).toArray
+      val json = SchemaRegistry.avroSchemaJson("events")
+      val wjob = Job.getInstance(s.sparkContext.hadoopConfiguration)
+      AvroJob.setOutputKeySchema(wjob, new org.apache.avro.Schema.Parser().parse(json))
+      Tables(s, dir, "events").select(cols.map(col): _*).rdd
+        .mapPartitions { it =>
+          val schema = new org.apache.avro.Schema.Parser().parse(json)
+          it.map(r => (new AvroKey[GenericRecord](
+            SchemaRegistry.toAvroRecord(schema, fieldArr, r)), NullWritable.get()))
+        }
+        .saveAsNewAPIHadoopFile(out, classOf[AvroKey[GenericRecord]],
+          classOf[NullWritable], classOf[AvroKeyOutputFormat[GenericRecord]],
+          wjob.getConfiguration)
+      val rjob = Job.getInstance(s.sparkContext.hadoopConfiguration)
+      AvroJob.setInputKeySchema(rjob, new org.apache.avro.Schema.Parser().parse(json))
+      import s.implicits._
+      val back = s.sparkContext.newAPIHadoopFile(out,
+          classOf[AvroKeyInputFormat[GenericRecord]],
+          classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+          rjob.getConfiguration)
+        // extract INSIDE the map: Hadoop record readers reuse key objects
+        .map { case (k, _) =>
+          val d = k.datum()
+          (d.get("event_id").asInstanceOf[Long],
+            d.get("ts").asInstanceOf[Long],
+            d.get("value").asInstanceOf[Double],
+            String.valueOf(d.get("event_type")))
+        }
+        .toDF("event_id", "ts_us", "value", "event_type")
+      ordered(back.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("event_id")).as("n_ids"),
+        countDistinct(col("event_type")).as("n_types"),
+        dsum(col("value")).as("sum_value")))
+    },
+
     // B1 sink maintenance: small-file compaction — the pass every
     // micro-batch sink needs at scale. Each trigger writes a file per
     // partition per task, so a long-running sink accretes thousands of

@@ -119,6 +119,45 @@ object SchemaRegistry {
     java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
       Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
 
+  /** Row → GenericRecord under the payload's Avro schema — shared by
+    * the binary-frame encoder and the container-file sink. `fields`
+    * must be ordered like the row's columns. */
+  def toAvroRecord(schema: org.apache.avro.Schema,
+      fields: Array[org.apache.spark.sql.types.StructField],
+      row: org.apache.spark.sql.Row): org.apache.avro.generic.GenericData.Record = {
+    import org.apache.spark.sql.types._
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    var i = 0
+    while (i < fields.length) {
+      val v =
+        if (row.isNullAt(i)) null
+        else fields(i).dataType match {
+          case TimestampType => Long.box(tsToMicros(row.getTimestamp(i)))
+          case StringType => row.getString(i)
+          case _ => row.get(i).asInstanceOf[AnyRef]
+        }
+      rec.put(fields(i).name, v)
+      i += 1
+    }
+    rec
+  }
+
+  /** GenericRecord → Spark row values in `fields` order — the decode
+    * twin of [[toAvroRecord]]. */
+  def fromAvroRecord(fields: Array[org.apache.spark.sql.types.StructField],
+      rec: org.apache.avro.generic.GenericRecord): Array[Any] = {
+    import org.apache.spark.sql.types._
+    fields.map { f =>
+      val v = rec.get(f.name)
+      if (v == null) null
+      else f.dataType match {
+        case TimestampType => microsToTs(v.asInstanceOf[Long])
+        case StringType => v.toString
+        case _ => v
+      }
+    }
+  }
+
   /** Encode typed columns to a BINARY Avro value column — the Avro
     * twin of [[encode]]. */
   def encodeAvro(df: DataFrame, payloadType: String, cols: Seq[String]): DataFrame = {
@@ -137,20 +176,7 @@ object SchemaRegistry {
       it.map { row =>
         baos.reset()
         enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(baos, enc)
-        val rec = new org.apache.avro.generic.GenericData.Record(schema)
-        var i = 0
-        while (i < fields.length) {
-          val v =
-            if (row.isNullAt(i)) null
-            else fields(i).dataType match {
-              case TimestampType => Long.box(tsToMicros(row.getTimestamp(i)))
-              case StringType => row.getString(i)
-              case _ => row.get(i).asInstanceOf[AnyRef]
-            }
-          rec.put(fields(i).name, v)
-          i += 1
-        }
-        writer.write(rec, enc)
+        writer.write(toAvroRecord(schema, fields, row), enc)
         enc.flush()
         Row(baos.toByteArray)
       }
@@ -184,17 +210,7 @@ object SchemaRegistry {
         val decoded =
           try {
             dec = org.apache.avro.io.DecoderFactory.get().binaryDecoder(bytes, dec)
-            val rec = reader.read(null, dec)
-            val vals = fields.map { f =>
-              val v = rec.get(f.name)
-              if (v == null) null
-              else f.dataType match {
-                case TimestampType => microsToTs(v.asInstanceOf[Long])
-                case StringType => v.toString
-                case _ => v
-              }
-            }
-            Some(vals)
+            Some(fromAvroRecord(fields, reader.read(null, dec)))
           } catch { case scala.util.control.NonFatal(_) => None }
         decoded match {
           case Some(vals) =>

@@ -152,6 +152,17 @@ class StreamingSpec extends SparkSpec {
     assert(r.getAs[Long]("n_rows") === expectedGood + 3L)
   }
 
+  test("avro container sink round-trips all events (ids, types, decimal value sum)") {
+    val r = SparkEntry.queries("s_sink_avro")(spark, sf).collect()(0)
+    val e = graft.sources.Tables(spark, sf, "events")
+    val n = e.count()
+    assert(r.getAs[Long]("n_rows") === n)
+    assert(r.getAs[Long]("n_ids") === n)
+    assert(r.getAs[Long]("n_types") === e.select("event_type").distinct().count())
+    val want = e.agg(graft.functions.Det.dsum(col("value"))).collect()(0).getDouble(0)
+    assert(r.getAs[Double]("sum_value") === want)
+  }
+
   test("streaming avro decode quarantines poison frames and loses no good rows") {
     val r = SparkEntry.queries("s_decode_avro")(spark, sf).collect()(0)
     val expectedGood = graft.sources.Tables(spark, sf, "events")
