@@ -62,6 +62,39 @@ object Scans {
         .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
           col("user_id"), col("event_type"), col("value")))
     },
+    "q_scan_avro" -> { (s, dir) =>
+      // Avro container-file scan — reading back the classic Kafka→HDFS
+      // landing layout (s_sink_avro writes it). The RDD bridge
+      // (avro-mapred; spark-avro absent offline) has no predicate
+      // pushdown: container blocks are splittable so the scan
+      // parallelizes, but every record deserializes before the filter
+      // — which is WHY a 100 TB deployment lands Avro and converts to
+      // parquet for analytics (this engine's s_compact_files /
+      // parquet sinks); the scan exists so the landing format is
+      // queryable without that hop.
+      val staged = stageEventsAvro(s, dir)
+      import org.apache.avro.generic.GenericRecord
+      import org.apache.avro.mapred.AvroKey
+      import org.apache.avro.mapreduce.{AvroJob, AvroKeyInputFormat}
+      import org.apache.hadoop.io.NullWritable
+      val base = graft.sources.SchemaRegistry.schemaOf("events")
+      val json = graft.sources.SchemaRegistry.avroSchemaJson("events")
+      val rjob = org.apache.hadoop.mapreduce.Job.getInstance(
+        s.sparkContext.hadoopConfiguration)
+      AvroJob.setInputKeySchema(rjob, new org.apache.avro.Schema.Parser().parse(json))
+      val fieldArr = base.fields
+      val rdd = s.sparkContext.newAPIHadoopFile(staged,
+          classOf[AvroKeyInputFormat[GenericRecord]],
+          classOf[AvroKey[GenericRecord]], classOf[NullWritable],
+          rjob.getConfiguration)
+        // convert INSIDE the map: Hadoop record readers reuse key objects
+        .map { case (k, _) => org.apache.spark.sql.Row.fromSeq(
+          graft.sources.SchemaRegistry.fromAvroRecord(fieldArr, k.datum()).toSeq) }
+      val e = s.createDataFrame(rdd, base)
+      ordered(e.filter(col("user_id") < lit(100L))
+        .select(col("event_id"), unix_micros(col("ts")).as("ts_us"),
+          col("user_id"), col("event_type"), col("value")))
+    },
     "q_scan_csv" -> { (s, dir) =>
       // CSV source twin: the customer table staged as headerless CSV
       // (mtime-invalidated), read back with an EXPLICIT schema (inference
@@ -286,6 +319,34 @@ object Scans {
       m.setLastModified(System.currentTimeMillis())
     }
 
+  /** Stage events as Avro container files via the Hadoop RDD bridge
+    * (mtime-invalidated, [[graft.sources.Stage]]). */
+  private def stageEventsAvro(s: SparkSession, sfDir: String): String =
+    graft.sources.Stage.once(sfDir, "events_avro", "events") { staged =>
+      import org.apache.avro.generic.GenericRecord
+      import org.apache.avro.mapred.AvroKey
+      import org.apache.avro.mapreduce.{AvroJob, AvroKeyOutputFormat}
+      import org.apache.hadoop.io.NullWritable
+      val base = graft.sources.SchemaRegistry.schemaOf("events")
+      val cols = base.fields.map(_.name).toSeq
+      val json = graft.sources.SchemaRegistry.avroSchemaJson("events")
+      val fieldArr = base.fields
+      val wjob = org.apache.hadoop.mapreduce.Job.getInstance(
+        s.sparkContext.hadoopConfiguration)
+      AvroJob.setOutputKeySchema(wjob, new org.apache.avro.Schema.Parser().parse(json))
+      Tables(s, sfDir, "events").select(cols.map(col): _*)
+        .repartition(4).rdd
+        .mapPartitions { it =>
+          val schema = new org.apache.avro.Schema.Parser().parse(json)
+          it.map(r => (new AvroKey[GenericRecord](
+            graft.sources.SchemaRegistry.toAvroRecord(schema, fieldArr, r)),
+            NullWritable.get()))
+        }
+        .saveAsNewAPIHadoopFile(staged, classOf[AvroKey[GenericRecord]],
+          classOf[NullWritable], classOf[AvroKeyOutputFormat[GenericRecord]],
+          wjob.getConfiguration)
+    }
+
   /** Stage events as JSON-lines (mtime-invalidated, [[graft.sources.Stage]]). */
   private def stageEventsJson(s: SparkSession, sfDir: String): String =
     graft.sources.Stage.once(sfDir, "events_json", "events") { staged =>
@@ -360,6 +421,13 @@ object Scans {
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')""".stripMargin +
         orderByAll("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")),
     "q_scan_json" ->
+      ("""SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+        |  user_id, event_type, value
+        |FROM events WHERE user_id < 100""".stripMargin +
+        orderByAll("event_id", "ts_us", "user_id", "event_type", "value")),
+    "q_scan_avro" ->
+      // same plain filtered projection: any loss in the container
+      // round trip (timestamp micros, IEEE doubles) hash-mismatches
       ("""SELECT event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
         |  user_id, event_type, value
         |FROM events WHERE user_id < 100""".stripMargin +

@@ -291,7 +291,8 @@ class PlanSpec extends SparkSpec {
     for (k <- Seq("q_dedup_minhash",
         "q_dedup_simhash", "q_sim_lsh_bucketed",
         "q_dedup_embed", "q_sim_cosine_topk", "q_join_interval_binned",
-        "q_dedup_span", "q_dedup_containment", "q_join_fuzzy")) {
+        "q_dedup_span", "q_dedup_containment", "q_join_fuzzy",
+        "q_dedup_incremental")) {
       val p = planOf(k)
       assert(!p.contains("CartesianProduct"), s"$k plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$k plans a nested-loop join")
