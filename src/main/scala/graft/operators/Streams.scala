@@ -375,6 +375,13 @@ object Streams {
         .withWatermark("ts", "1 hour")
         .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
           col("event_id").as("b_id"))
+      // note: StreamingJoinHelper logs a per-batch stack trace trying
+      // to fold the a_id < b_id conjunct into a state watermark
+      // constraint, then correctly falls back to the time bounds
+      // (".. generated watermark constraint = -1"); phrasing the
+      // conjunct as a post-join filter does not help — the optimizer
+      // pushes it back into the join condition. Cosmetic, not a leak:
+      // state eviction runs off the b_ts/a_ts interval bounds.
       val j = a.join(b,
         col("user_id") === col("b_user") &&
           col("b_ts") >= col("a_ts") &&
