@@ -134,6 +134,16 @@ class PlanSpec extends SparkSpec {
     assert(!read.contains("o_orderpriority"), read)
   }
 
+  test("Confs.partitionsFor: volume-proportional above the core floor") {
+    // the x20-soak-proven rule: one partition per 64 MiB of (expanded)
+    // input, never fewer than the cores
+    assert(graft.Confs.partitionsFor(0L, 32) === 32)
+    assert(graft.Confs.partitionsFor(1L << 30, 32) === 32)         // 1 GiB -> 16 < cores
+    assert(graft.Confs.partitionsFor(8L << 30, 32) === 128)        // 8 GiB -> 128
+    assert(graft.Confs.partitionsFor(5L << 30, 4) === 80)          // 5 GiB at 4 cores
+    assert(graft.Confs.partitionsFor(1L << 30, 4, 32L << 20) === 32) // custom target
+  }
+
   test("Confs.withConfs restores previously-unset keys to unset and survives throws") {
     val k = "spark.graft.test.scopedconf"
     assert(spark.conf.getOption(k).isEmpty)
