@@ -248,18 +248,28 @@ class StreamingSpec extends SparkSpec {
       SparkEntry.queries(key)(spark, sf)
         .collect().map(_.mkString("|")).toSet
     val confKey = "spark.sql.streaming.stateStore.providerClass"
+    val clogKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prev = spark.conf.getOption(confKey)
+    val prevClog = spark.conf.getOption(clogKey)
     Seq("s_stateful_session", "s_stateful_zscore", "s_join_stream").foreach { k =>
       try {
         spark.conf.unset(confKey)
+        spark.conf.unset(clogKey)
         val hdfs = run(k)
         spark.conf.set(confKey,
           "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
         val rocks = run(k)
         assert(rocks === hdfs, s"$k: RocksDB-backed state diverged from default store")
         assert(rocks.nonEmpty, s"$k: empty result")
+        // changelog checkpointing is the large-state recovery mode (per
+        // batch: upload the delta, not a full snapshot) — results must
+        // be identical under it too
+        spark.conf.set(clogKey, "true")
+        val clog = run(k)
+        assert(clog === hdfs, s"$k: changelog-checkpointed state diverged")
       } finally {
         prev.fold(spark.conf.unset(confKey))(spark.conf.set(confKey, _))
+        prevClog.fold(spark.conf.unset(clogKey))(spark.conf.set(clogKey, _))
       }
     }
   }
