@@ -26,7 +26,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    (the old behavior mapped a throw to a silent fast time);
   *  - `value` stays the sum of recorded per-key times (comparable
   *    across rounds); `wall` is the actual wall clock including
-  *    re-runs.
+  *    re-runs;
+  *  - hypervisor steal (/proc/stat field 8) is sampled around every
+  *    key and the whole run: `steal_pct` on the stdout line, per-key
+  *    `steal` entries (≥ 2%) in the sidecar — r6 measured burst
+  *    windows slowing keys 8–14× with guest load ≈ 0, so a slow
+  *    number without its steal share is unadjudicable.
   */
 object Bench {
   /** Locale-stable 3-decimal format: f"$v%.3f" uses the JVM default
@@ -35,11 +40,34 @@ object Bench {
   private def num(v: Double): String =
     String.format(Locale.ROOT, "%.3f", Double.box(v))
 
-  /** One measured key: every timed run (first + any re-runs) and the
-    * first error message seen, if any run threw. */
-  final case class KeyResult(name: String, times: List[Double], error: Option[String]) {
+  /** One measured key: every timed run (first + any re-runs), the
+    * first error message seen if any run threw, and the hypervisor
+    * steal share during the measurement (r6: steal bursts proved to
+    * inflate keys 8–14× with guest load ≈ 0 — the number that
+    * adjudicates whether a slow time is the engine or the host). */
+  final case class KeyResult(name: String, times: List[Double],
+      error: Option[String], stealPct: Double = 0.0) {
     def median: Double = { val s = times.sorted; s(s.size / 2) }
     def best: Double = times.min
+  }
+
+  /** (stealTicks, totalTicks) from a /proc/stat aggregate cpu line —
+    * steal is field 8; separated from the file read for unit testing. */
+  private[graft] def parseStealTicks(cpuLine: String): (Long, Long) = {
+    val f = cpuLine.trim.split("\\s+").drop(1)
+      .flatMap(x => scala.util.Try(x.toLong).toOption)
+    (f.lift(7).getOrElse(0L), f.sum)
+  }
+
+  private def readSteal(): (Long, Long) =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try parseStealTicks(src.getLines().next()) finally src.close()
+    } catch { case _: Throwable => (0L, 0L) }
+
+  private def stealPctBetween(a: (Long, Long), b: (Long, Long)): Double = {
+    val dTotal = b._2 - a._2
+    if (dTotal <= 0) 0.0 else 100.0 * (b._1 - a._1) / dTotal.toDouble
   }
 
   /** Re-run trigger: floors absorb proportional noise on slow keys
@@ -64,19 +92,22 @@ object Bench {
       queries: Seq[(String, (SparkSession, String) => DataFrame)],
       floors: Map[String, Double], maxRuns: Int = 3): Seq[KeyResult] =
     queries.map { case (name, fn) =>
+      val s0 = readSteal()
       val (t1, e1) = timeOnce(spark, sfDir, name, fn)
       val suspicious = e1.isEmpty && floors.get(name).exists(f => t1 > threshold(f))
-      val r =
+      val r0 =
         if (!suspicious) KeyResult(name, List(t1), e1)
         else {
           val more = (2 to maxRuns).map(_ => timeOnce(spark, sfDir, name, fn))
           KeyResult(name, t1 :: more.map(_._1).toList,
             (e1 ++ more.flatMap(_._2)).headOption)
         }
+      val r = r0.copy(stealPct = stealPctBetween(s0, readSteal()))
+      val steal = if (r.stealPct >= 5.0) f"  (steal ${r.stealPct}%.0f%%)" else ""
       val note = r.error.map(e => s"  ERROR $e")
         .getOrElse(if (r.times.size > 1)
           s"  (median of ${r.times.size}: ${r.times.map(num).mkString(", ")})" else "")
-      System.err.println(f"[bench] $name%-28s ${r.median}%8.2fs$note")
+      System.err.println(f"[bench] $name%-28s ${r.median}%8.2fs$note$steal")
       r
     }
 
@@ -96,14 +127,16 @@ object Bench {
   /** `queries` may be a headline subset of the full run; `value` is
     * always the total across ALL keys and `count` says how many ran. */
   def jsonLine(rs: Map[String, Double], total: Double, count: Int, sfDir: String,
-      wall: Double, errors: Seq[String], reruns: Int, flagged: Seq[String]): String = {
-    val qs = rs.toSeq.sortBy(_._1)
+      wall: Double, errors: Seq[String], reruns: Int, flagged: Seq[String],
+      stealPct: Double = 0.0, stealByKey: Map[String, Double] = Map.empty): String = {
+    def numMap(m: Map[String, Double]) = m.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
     def strs(xs: Seq[String]) = xs.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val steal = if (stealByKey.isEmpty) "" else s""""steal":${numMap(stealByKey)},"""
     s"""{"metric":"total","value":${num(total)},"unit":"sec","count":$count,""" +
-      s""""wall":${num(wall)},"errors":${strs(errors)},"reruns":$reruns,""" +
-      s""""flagged":${strs(flagged)},"queries":$qs,"sf":"$sfDir"}"""
+      s""""wall":${num(wall)},"steal_pct":${num(stealPct)},"errors":${strs(errors)},""" +
+      s""""reruns":$reruns,"flagged":${strs(flagged)},$steal"queries":${numMap(rs)},"sf":"$sfDir"}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -118,10 +151,20 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect() // JVM/codegen warmup
 
     val floorsPath = Paths.get("BENCH_FLOORS.json")
-    val floors = loadFloors(floorsPath)
+    // floors are per-(sfDir, key): a run at another scale must neither
+    // use nor overwrite this scale's floors (a sf0.001 floor would
+    // mark every sf0.1 time suspicious and triple the driver's run)
+    val rawFloors = loadFloors(floorsPath)
+    val floors = rawFloors.collect {
+      case (k, v) if k.startsWith(s"$sfDir|") => k.drop(sfDir.length + 1) -> v
+    }
     val wall0 = System.nanoTime()
+    val steal0 = readSteal()
     val results = measure(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1), floors)
     val wall = (System.nanoTime() - wall0) / 1e9
+    val stealPct = stealPctBetween(steal0, readSteal())
+    val stealByKey = results.filter(_.stealPct >= 2.0)
+      .map(r => r.name -> r.stealPct).toMap
 
     val perKey = results.map(r => r.name -> r.median).toMap
     val total = perKey.values.sum
@@ -132,7 +175,8 @@ object Bench {
     // floor = best clean observation ever, monotone min across runs
     val newFloors = results.filter(_.error.isEmpty)
       .map(r => r.name -> floors.get(r.name).fold(r.best)(math.min(_, r.best))).toMap
-    try saveFloors(floorsPath, floors ++ newFloors)
+    try saveFloors(floorsPath,
+      rawFloors ++ newFloors.map { case (k, v) => s"$sfDir|$k" -> v })
     catch { case _: Throwable => () }
 
     // Full per-key map goes to the sidecar file only: the driver captures
@@ -142,7 +186,8 @@ object Bench {
     val errDetail = results.flatMap(r => r.error.map(e => r.name -> e))
     try Files.writeString(Paths.get("BENCH.json"),
       jsonLine(perKey, total, results.size, sfDir, wall,
-        errDetail.map { case (k, e) => s"$k: $e" }, reruns, flagged) + "\n")
+        errDetail.map { case (k, e) => s"$k: $e" }, reruns, flagged,
+        stealPct, stealByKey) + "\n")
     catch { case _: Throwable => () }
 
     val headline = Seq(
@@ -152,14 +197,14 @@ object Bench {
       "q_text_tfidf", "q_time_tumbling", "s_ingest_availablenow",
       "q_join_fuzzy", "s_stateful_zscore")
     val withQueries = jsonLine(perKey.view.filterKeys(headline.contains).toMap,
-      total, results.size, sfDir, wall, errors, reruns, flagged)
+      total, results.size, sfDir, wall, errors, reruns, flagged, stealPct)
     // Never throw on overflow: a too-long line degrades to total-only
     // (still driver-parseable) rather than rc!=0 with no stdout JSON.
     val compact =
       if (withQueries.length < 1800) withQueries
       else {
         System.err.println(s"[bench] headline line too long (${withQueries.length}), emitting total-only")
-        jsonLine(Map.empty, total, results.size, sfDir, wall, errors, reruns, flagged)
+        jsonLine(Map.empty, total, results.size, sfDir, wall, errors, reruns, flagged, stealPct)
       }
     spark.stop()
     // JSON is the LAST stdout line: after spark.stop() (Spark logs go to

@@ -47,6 +47,12 @@ class BenchSpec extends SparkSpec {
     assert(rs3.head.times.size === 1)
   }
 
+  test("steal parser reads field 8 of the aggregate cpu line") {
+    // user nice system idle iowait irq softirq STEAL guest guest_nice
+    assert(Bench.parseStealTicks("cpu  10 0 10 60 0 0 0 20 0 0") === ((20L, 100L)))
+    assert(Bench.parseStealTicks("cpu 1 2 3 4") === ((0L, 10L))) // old kernels: no steal field
+  }
+
   test("floors file round-trips and keeps the monotone min") {
     val p = Files.createTempDirectory("graft_bench_spec").resolve("floors.json")
     Bench.saveFloors(p, Map("a" -> 1.25, "b" -> 0.031))
