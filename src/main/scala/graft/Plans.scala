@@ -45,7 +45,8 @@ object Plans {
     "q_embed_rproj",          // derived-matrix projection: narrow map (r5)
     "q_text_vocab_prune",     // memoized token stream: checkpoint reads, no re-scan (r6)
     "q_text_decontaminate_bloom", // bloom_filter_agg + scalar-subquery might_contain probe (r6)
-    "q_dedup_incremental")    // new-prefix × hist-prefix equi join, no cartesian (r6)
+    "q_dedup_incremental",    // new-prefix × hist-prefix equi join, no cartesian (r6)
+    "q_text_chunk")           // sliding-window chunking: narrow explode+slice, zero hash exchange (r6)
 
   /** Hand-written analysis emitted after a key's plan — kept here so
     * regeneration never loses it. */

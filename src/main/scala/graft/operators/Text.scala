@@ -175,6 +175,29 @@ object Text {
           min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc")))
     },
+    "q_text_chunk" -> { (s, dir) =>
+      // Sliding-window token chunking (window 32, stride 24 → 8-token
+      // overlap): the context-window materialization step of a
+      // pretraining pipeline — q_text_pack bins whole docs by token
+      // budget; this key CUTS docs into overlapping windows and emits
+      // the reassembled chunk text itself. Chunk starts are
+      // sequence(0, n-1, stride), so every token lands in ≥1 chunk and
+      // the final tail may be short — all integer arithmetic over the
+      // shared tokenizer contract → oracle-exact. 100 TB posture:
+      // explode + slice + array_join are narrow codegen'd per-row ops
+      // (chunking shuffles NOTHING; the only exchange is the
+      // deterministic output order, which a real pipeline would drop).
+      val win = 32
+      val stride = 24
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), toks().as("tk")).filter(size(col("tk")) > 0)
+      val c = t.select(col("doc_id"), col("tk"),
+        explode(sequence(lit(0), size(col("tk")) - 1, lit(stride))).as("start"))
+      ordered(c.select(col("doc_id"),
+        (col("start") / stride).cast("long").as("chunk_id"),
+        array_join(slice(col("tk"), col("start") + 1, lit(win)), " ").as("chunk_text"),
+        least(size(col("tk")) - col("start"), lit(win)).cast("long").as("n_tokens")))
+    },
     "q_dedup_span" -> { (s, dir) =>
       // Span-level exact dedup (the Dolma/CCNet paragraph-dedup rule,
       // adapted to the fixtures' newline-free docs): split each doc
@@ -514,6 +537,15 @@ object Text {
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM p GROUP BY shard, CAST(cum_before // 2048 AS BIGINT)""".stripMargin +
         orderByAll("shard", "bin", "n_docs", "n_tokens", "first_doc", "last_doc")),
+    "q_text_chunk" ->
+      (s"""WITH d AS (SELECT doc_id, $tokSql AS tk FROM documents),
+        |c AS (SELECT doc_id, tk, unnest(range(0, len(tk), 24)) AS start
+        |  FROM d WHERE len(tk) > 0)
+        |SELECT doc_id, CAST(start // 24 AS BIGINT) AS chunk_id,
+        |  array_to_string(tk[start+1 : start+32], ' ') AS chunk_text,
+        |  CAST(LEAST(len(tk) - start, 32) AS BIGINT) AS n_tokens
+        |FROM c""".stripMargin +
+        orderByAll("doc_id", "chunk_id", "chunk_text", "n_tokens")),
     "q_dedup_span" ->
       (s"""WITH d AS (SELECT doc_id, $tokSql AS t FROM documents),
         |ch AS (SELECT doc_id,

@@ -393,6 +393,18 @@ class PlanSpec extends SparkSpec {
     assert(hashExchanges <= 1, s"unpivot shuffled beyond the pre-agg:\n$p")
   }
 
+  test("q_text_chunk: narrow explode+slice pipeline, no shuffle before the output order") {
+    // chunking is per-row (explode of chunk starts + slice + join of
+    // tokens) — the ONLY exchange allowed is the rangepartitioning of
+    // the deterministic output order; a hashpartitioning exchange
+    // would mean the cut stage itself started shuffling the corpus
+    val p = finalPlan(SparkEntry.queries("q_text_chunk")(spark, sf))
+    assert(p.contains("Generate explode"), s"no explode of chunk starts:\n$p")
+    val hashExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hashExchanges == 0, s"chunking shuffled the corpus:\n$p")
+  }
+
   test("q_time_ewma / q_time_anomaly: daily pre-agg + window, no join") {
     for (k <- Seq("q_time_ewma", "q_time_anomaly")) {
       val df = SparkEntry.queries(k)(spark, sf)
