@@ -46,7 +46,7 @@ object ScaleSoak {
     // r6 text-family watch list (r5 verdict: tfidf 4.7× at ×10 —
     // verify O(tokens + vocab); decontaminate/pack/vocab_prune join it)
     "q_text_decontaminate", "q_text_pack", "q_text_vocab_prune",
-    "q_text_decontaminate_bloom", "q_dedup_incremental")
+    "q_text_decontaminate_bloom", "q_dedup_incremental", "q_text_chunk")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */
