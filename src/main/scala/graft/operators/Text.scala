@@ -387,6 +387,25 @@ object Text {
         .agg(count(lit(1)).as("n_total"), kept.as("n_kept"),
           (kept.cast("double") / count(lit(1))).as("kept_frac")))
     },
+    "q_sample_reservoir" -> { (s, dir) =>
+      // Fixed-SIZE uniform sample (q_sample_stratified keeps a
+      // fraction; a training budget wants exactly k docs): the
+      // scalable, reproducible stand-in for reservoir sampling is a
+      // global top-k on a deterministic hash rank — same marginal
+      // distribution as a uniform k-of-n draw, but a pure function of
+      // the stable doc key (reruns, engines, and layouts agree; no
+      // rand() state to carry). Spark plans orderBy+limit as
+      // TakeOrderedAndProject: per-partition top-k then a single
+      // k-row merge at the driver — no global sort, no shuffle of the
+      // corpus, the only 100 TB-viable shape for "pick k of
+      // everything".
+      val d = Tables(s, dir, "documents")
+      val picked = d
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          md5(col("doc_id").cast("string")).as("rk"))
+        .orderBy(col("rk")).limit(100)
+      ordered(picked.select(col("doc_id"), col("lang"), col("n_chars")))
+    },
     "q_text_tokens_tf" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
       ordered(d.select(col("doc_id"), explode(toks()).as("term"))
@@ -680,6 +699,13 @@ object Text {
         |  CAST(SUM(kept) AS DOUBLE) / COUNT(*) AS kept_frac
         |FROM k GROUP BY lang""".stripMargin +
         orderByAll("lang", "n_total", "n_kept", "kept_frac")),
+    "q_sample_reservoir" ->
+      ("""WITH r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    md5(CAST(doc_id AS VARCHAR)) AS rk
+        |  FROM documents ORDER BY rk LIMIT 100)
+        |SELECT doc_id, lang, n_chars FROM r""".stripMargin +
+        orderByAll("doc_id", "lang", "n_chars")),
     "q_split_train_eval" ->
       (s"""SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a'
         |  THEN 'eval' ELSE 'train' END AS split, lang,

@@ -405,6 +405,18 @@ class PlanSpec extends SparkSpec {
     assert(hashExchanges == 0, s"chunking shuffled the corpus:\n$p")
   }
 
+  test("q_sample_reservoir: hash-rank top-k plans as TakeOrderedAndProject, no global sort") {
+    // "pick k of everything" must never globally sort the corpus: the
+    // inner orderBy+limit has to plan as TakeOrderedAndProject
+    // (per-partition top-k, k-row driver merge); the only Sort allowed
+    // is the k-row deterministic output order
+    val p = finalPlan(SparkEntry.queries("q_sample_reservoir")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not pushed:\n$p")
+    val rangeExchanges = p.linesIterator
+      .count(l => l.contains("Exchange rangepartitioning") && !l.contains("Reused"))
+    assert(rangeExchanges <= 1, s"corpus-sized sort exchange in sample plan:\n$p")
+  }
+
   test("q_time_ewma / q_time_anomaly: daily pre-agg + window, no join") {
     for (k <- Seq("q_time_ewma", "q_time_anomaly")) {
       val df = SparkEntry.queries(k)(spark, sf)

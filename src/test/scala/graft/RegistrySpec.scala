@@ -68,7 +68,8 @@ class RegistrySpec extends SparkSpec {
       "q_text_ngrams", "q_text_redact", "q_multimodal_join",
       // r6
       "q_decode_avro", "q_text_decontaminate_bloom", "q_dedup_incremental",
-      "s_decode_avro", "s_sink_avro", "q_scan_avro", "q_text_chunk")
+      "s_decode_avro", "s_sink_avro", "q_scan_avro", "q_text_chunk",
+      "q_sample_reservoir")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }
