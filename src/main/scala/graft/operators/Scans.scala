@@ -111,6 +111,24 @@ object Scans {
         .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
           col("c_acctbal"), col("c_mktsegment")))
     },
+    "q_scan_text" -> { (s, dir) =>
+      // Line-oriented text landing format — the classic consumer dump
+      // (one record per line, tab-delimited; the fixture text is
+      // tab-free word soup, so the delimiter is total). s_sink_text
+      // covers the write side; this key reads the staged lines back,
+      // parses with a bounded split + casts (narrow codegen
+      // projection), and the parquet-side oracle proves the round trip
+      // lossless. 100 TB posture: text is line-splittable, so
+      // parallelism = input splits like any columnar scan — what the
+      // format costs is pushdown (none; every byte is read and parsed),
+      // which is exactly why it's a landing format, not a table format.
+      val staged = stageDocumentsText(s, dir)
+      val f = split(col("value"), "\t", 3)
+      ordered(s.read.text(staged).select(
+        f.getItem(0).cast("long").as("doc_id"),
+        f.getItem(1).as("lang"),
+        f.getItem(2).as("text")))
+    },
     "q_scan_orc" -> { (s, dir) =>
       // ORC source twin (the other columnar format Spark ships a
       // native vectorized reader for): supplier staged as ORC
@@ -257,6 +275,15 @@ object Scans {
         .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
         .repartition(4)
         .write.mode("overwrite").csv(staged)
+    }
+
+  /** Stage documents as tab-delimited text lines (mtime-invalidated). */
+  private def stageDocumentsText(s: SparkSession, sfDir: String): String =
+    graft.sources.Stage.once(sfDir, "documents_text", "documents") { staged =>
+      Tables(s, sfDir, "documents")
+        .select(concat_ws("\t", col("doc_id"), col("lang"), col("text")).as("value"))
+        .repartition(4)
+        .write.mode("overwrite").text(staged)
     }
 
   /** Stage supplier as ORC (mtime-invalidated, [[graft.sources.Stage]]). */
@@ -436,6 +463,9 @@ object Scans {
       ("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer WHERE c_acctbal > 1000.0""".stripMargin +
         orderByAll("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")),
+    "q_scan_text" ->
+      ("SELECT doc_id, lang, text FROM documents" +
+        orderByAll("doc_id", "lang", "text")),
     "q_scan_project" ->
       ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem" +
         orderByAll("l_orderkey", "l_linenumber", "l_extendedprice")),
