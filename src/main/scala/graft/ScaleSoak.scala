@@ -136,8 +136,18 @@ object ScaleSoak {
     // any source fixture is newer than the staged _SUCCESS marker, so
     // a driver fixture regen is never soaked through a stale copy.
     val marker = new java.io.File(outDir, "embeddings.parquet/_SUCCESS")
-    val srcNewest = Option(new java.io.File(srcDir).listFiles())
-      .map(_.map(_.lastModified()).max).getOrElse(Long.MaxValue)
+    // Recursive newest-mtime: a rewrite that only touches files nested
+    // inside a table dir need not bump the dir's own mtime, and an
+    // existing-but-EMPTY srcDir must read as "unknown ⇒ regenerate"
+    // (Long.MaxValue), not throw on .max of an empty array.
+    def newestUnder(f: java.io.File): Long =
+      Option(f.listFiles()).map(_.foldLeft(f.lastModified()) {
+        (acc, c) => math.max(acc, if (c.isDirectory) newestUnder(c) else c.lastModified())
+      }).getOrElse(f.lastModified())
+    val srcRoot = new java.io.File(srcDir)
+    val srcNewest =
+      if (Option(srcRoot.listFiles()).exists(_.nonEmpty)) newestUnder(srcRoot)
+      else Long.MaxValue
     if (!marker.exists() || srcNewest > marker.lastModified()) {
       System.err.println(s"[soak] generating ×$n fixtures under $outDir")
       generate(spark, srcDir, outDir, n)

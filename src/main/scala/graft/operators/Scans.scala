@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Det._
 import graft.sources.Tables
@@ -277,11 +277,20 @@ object Scans {
         .write.mode("overwrite").csv(staged)
     }
 
-  /** Stage documents as tab-delimited text lines (mtime-invalidated). */
+  /** Stage documents as tab-delimited text lines (mtime-invalidated).
+    * concat_ws SKIPS null inputs, so a null lang would shift text into
+    * the lang slot on read-back — field misalignment, not a null round
+    * trip. The line format cannot represent nulls at all; staging
+    * fails loudly if the fixture ever grows one instead of silently
+    * corrupting columns. */
   private def stageDocumentsText(s: SparkSession, sfDir: String): String =
     graft.sources.Stage.once(sfDir, "documents_text", "documents") { staged =>
+      def nonNull(c: Column, n: String): Column = when(c.isNull, raise_error(
+        lit(s"documents_text staging: null $n cannot round-trip tab-delimited lines"))
+      ).otherwise(c)
       Tables(s, sfDir, "documents")
-        .select(concat_ws("\t", col("doc_id"), col("lang"), col("text")).as("value"))
+        .select(concat_ws("\t", nonNull(col("doc_id"), "doc_id"),
+          nonNull(col("lang"), "lang"), nonNull(col("text"), "text")).as("value"))
         .repartition(4)
         .write.mode("overwrite").text(staged)
     }

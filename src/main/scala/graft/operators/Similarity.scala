@@ -266,8 +266,14 @@ object Similarity {
     // the upstream lineage just to re-learn a constant
     val n = corpusSize.getOrElse {
       graft.plans.PlanKey.of(e) match {
-        case Some(k) => corpusCountMemo.computeIfAbsent(
-          (e.sparkSession, k), _ => Long.box(e.count())).longValue()
+        case Some(k) =>
+          // same clear-on-overflow bound as PlanKey.memoize: keys embed
+          // full PlanKey strings (sorted file lists) plus the session
+          // reference — unbounded they are a slow leak across many
+          // input identities in a long session
+          if (corpusCountMemo.size > 8) corpusCountMemo.clear()
+          corpusCountMemo.computeIfAbsent(
+            (e.sparkSession, k), _ => Long.box(e.count())).longValue()
         case None => e.count()
       }
     }

@@ -47,6 +47,45 @@ class BenchSpec extends SparkSpec {
     assert(rs3.head.times.size === 1)
   }
 
+  test("a first-inflated-then-quiet key clears its flag at late adjudication; sustained inflation keeps it") {
+    // transient: every sweep run sleeps (inflated median), the late
+    // re-measure is instant — models an external-load window that has
+    // passed by end-of-run
+    val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+    val transient: (SparkSession, String) => DataFrame =
+      (s, _) => { if (calls.incrementAndGet() <= 3) Thread.sleep(700); s.range(1).toDF("id") }
+    val floors = Map("k_trans" -> 0.01) // threshold 0.53 s
+    val swept = Bench.measure(spark, sf, Seq("k_trans" -> transient), floors)
+    assert(swept.head.median >= 0.7, "sweep runs must all be inflated")
+    val adj = Bench.adjudicate(spark, sf, Map("k_trans" -> transient), floors, swept)
+    assert(adj.head.times.size === 1, "late in-band measurement replaces the median")
+    assert(adj.head.median <= Bench.threshold(0.01), s"record must be the quiet time, got ${adj.head.median}")
+
+    // sustained: still slow at the tail — flag (i.e. the inflated median) stands
+    val sustained: (SparkSession, String) => DataFrame =
+      (s, _) => { Thread.sleep(700); s.range(1).toDF("id") }
+    val swept2 = Bench.measure(spark, sf, Seq("k_sust" -> sustained), Map("k_sust" -> 0.01))
+    val adj2 = Bench.adjudicate(spark, sf, Map("k_sust" -> sustained), Map("k_sust" -> 0.01), swept2)
+    assert(adj2.head.median >= 0.7, "sustained inflation is never averaged away")
+    assert(adj2.head.times === swept2.head.times, "original result stands")
+
+    // in-band keys are untouched (no extra run spent on them)
+    val quick = Bench.measure(spark, sf, Seq("k_ok" -> fast), Map("k_ok" -> 5.0))
+    assert(Bench.adjudicate(spark, sf, Map("k_ok" -> fast), Map("k_ok" -> 5.0), quick) === quick)
+  }
+
+  test("error strings with quotes/backslashes stay valid JSON in the sidecar") {
+    val line = Bench.jsonLine(Map.empty, 0.0, 1, sf, 0.1,
+      errors = Seq("""k_bad: [UNRESOLVED_COLUMN] A column "na\me" cannot be resolved"""),
+      reruns = 0, flagged = Seq.empty)
+    assert(line.contains("""k_bad: [UNRESOLVED_COLUMN] A column \"na\\me\" cannot be resolved"""), line)
+    // the whole line must parse as JSON: quote balance check via Spark's parser
+    val parsed = spark.range(1).selectExpr(
+      s"get_json_object('${line.replace("\\", "\\\\").replace("'", "\\'")}', '$$.errors') as e")
+      .collect().head.getString(0)
+    assert(parsed != null, s"jsonLine must stay machine-parseable, got: $line")
+  }
+
   test("steal parser reads field 8 of the aggregate cpu line") {
     // user nice system idle iowait irq softirq STEAL guest guest_nice
     assert(Bench.parseStealTicks("cpu  10 0 10 60 0 0 0 20 0 0") === ((20L, 100L)))
@@ -58,5 +97,9 @@ class BenchSpec extends SparkSpec {
     Bench.saveFloors(p, Map("a" -> 1.25, "b" -> 0.031))
     assert(Bench.loadFloors(p) === Map("a" -> 1.25, "b" -> 0.031))
     assert(Bench.loadFloors(p.resolveSibling("missing.json")) === Map.empty)
+    // persisted floors round DOWN: half-up would store 0.0006 as 0.001,
+    // strictly above the observed best (then re-amplified 3x by threshold)
+    Bench.saveFloors(p, Map("c" -> 0.0006))
+    assert(Bench.loadFloors(p)("c") === 0.0)
   }
 }
