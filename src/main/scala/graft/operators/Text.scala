@@ -226,6 +226,60 @@ object Text {
           col("n_dup").cast("long").as("n_dup"),
           (col("n_dup").cast("double") / col("n_chunks")).as("dup_ratio")))
     },
+    "q_dedup_substring" -> { (s, dir) =>
+      // Exact repeated-substring dedup at ARBITRARY boundaries — the
+      // suffix-array dedup shape (Lee et al. 2022, "Deduplicating
+      // Training Data Makes Language Models Better") re-expressed as
+      // relational ops. q_dedup_span's fixed 20-token chunks miss
+      // offset-shifted boilerplate (the same sentence starting at
+      // token 3 in one doc and token 11 in another never lands on the
+      // same chunk boundary); this key marks a token as duplicated iff
+      // it lies inside SOME cross-doc-repeated substring of ≥ k=16
+      // tokens. Equivalence used: a maximal repeated substring of
+      // length L ≥ k is exactly a maximal run of repeated k-grams at
+      // consecutive starts, so per-position k-gram keys (the
+      // "bounded-width suffix key" standing in for a true suffix
+      // array) + interval-union coverage reproduce suffix-array
+      // results without any global sort of suffixes.
+      // Plan / 100 TB posture: one k-gram per token position — rows =
+      // O(corpus tokens), each carrying a 128-bit md5 key, never the
+      // 16-token string, so the dup-set hash-agg shuffles O(tokens)
+      // fixed-width keys with map-side partial collapse. The dup-gram
+      // set is O(boilerplate volume) — deliberately NOT hinted
+      // broadcast (unlike span's tiny chunk set, it can reach many GB
+      // at corpus scale): the mark is a LEFT SEMI equi join on h whose
+      // build strategy is left to the cost model — broadcast while the
+      // dup set estimates small, SMJ reusing the groupBy exchange once
+      // it does not. Coverage = per-doc interval
+      // union of [s, s+k-1] via window lag (each dup start contributes
+      // min(k, s - prev_s) tokens): one window shuffle keyed by
+      // doc_id. No self-join of docs, nothing n².
+      val k = 16
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), toks().as("tk")).filter(size(col("tk")) >= k)
+      val g = t.select(col("doc_id"), col("tk"),
+          explode(sequence(lit(1), size(col("tk")) - (k - 1))).as("s"))
+        .select(col("doc_id"), col("s"),
+          md5(array_join(slice(col("tk"), col("s"), lit(k)), " ")).as("h"))
+      val dup = g.groupBy(col("h"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") > 1).select(col("h"))
+      val m = g.join(dup, Seq("h"), "left_semi")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("s"))
+      val per = m.select(col("doc_id"), col("s"), lag(col("s"), 1).over(w).as("ps"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_grams"),
+          sum(when(col("ps").isNull || col("s") - col("ps") >= k, k)
+            .otherwise(col("s") - col("ps"))).as("dup_tokens"))
+      ordered(per
+        .join(t.select(col("doc_id"), size(col("tk")).as("n_tokens")), Seq("doc_id"))
+        .select(col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_dup_grams").cast("long").as("n_dup_grams"),
+          col("dup_tokens").cast("long").as("dup_tokens"),
+          (col("dup_tokens").cast("double") / col("n_tokens")).as("dup_fraction")))
+    },
     "q_text_vocab_prune" -> { (s, dir) =>
       // Vocabulary-coverage gate — the OOV-ratio quality filter of a
       // training-data pipeline: vocabulary = tokens appearing in
@@ -579,6 +633,25 @@ object Text {
         |  CAST(n_dup AS DOUBLE) / n_chunks AS dup_ratio
         |FROM per WHERE n_dup > 0""".stripMargin +
         orderByAll("doc_id", "n_chunks", "n_dup", "dup_ratio")),
+    "q_dedup_substring" ->
+      (s"""WITH d AS (SELECT doc_id, $tokSql AS tk FROM documents),
+        |g AS (SELECT doc_id, s, md5(array_to_string(tk[s : s+15], ' ')) AS h
+        |  FROM d, unnest(range(1, len(tk) - 14)) AS u(s)
+        |  WHERE len(tk) >= 16),
+        |dup AS (SELECT h FROM g GROUP BY h HAVING COUNT(DISTINCT doc_id) > 1),
+        |m AS (SELECT doc_id, s FROM g WHERE h IN (SELECT h FROM dup)),
+        |cov AS (SELECT doc_id, s,
+        |    lag(s) OVER (PARTITION BY doc_id ORDER BY s) AS ps FROM m),
+        |per AS (SELECT doc_id, COUNT(*) AS n_dup_grams,
+        |    SUM(CASE WHEN ps IS NULL OR s - ps >= 16 THEN 16 ELSE s - ps END)
+        |      AS dup_tokens
+        |  FROM cov GROUP BY doc_id)
+        |SELECT per.doc_id, CAST(len(d.tk) AS BIGINT) AS n_tokens,
+        |  CAST(per.n_dup_grams AS BIGINT) AS n_dup_grams,
+        |  CAST(per.dup_tokens AS BIGINT) AS dup_tokens,
+        |  CAST(per.dup_tokens AS DOUBLE) / len(d.tk) AS dup_fraction
+        |FROM per JOIN d USING (doc_id)""".stripMargin +
+        orderByAll("doc_id", "n_tokens", "n_dup_grams", "dup_tokens", "dup_fraction")),
     "q_text_vocab_prune" ->
       (s"""WITH tok AS (SELECT doc_id, lang, unnest($tokSql) AS tok FROM documents),
         |nd AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM tok),

@@ -302,7 +302,7 @@ class PlanSpec extends SparkSpec {
         "q_dedup_simhash", "q_sim_lsh_bucketed",
         "q_dedup_embed", "q_sim_cosine_topk", "q_join_interval_binned",
         "q_dedup_span", "q_dedup_containment", "q_join_fuzzy",
-        "q_dedup_incremental")) {
+        "q_dedup_incremental", "q_dedup_substring")) {
       val p = planOf(k)
       assert(!p.contains("CartesianProduct"), s"$k plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$k plans a nested-loop join")
@@ -403,6 +403,21 @@ class PlanSpec extends SparkSpec {
     val hashExchanges = p.linesIterator
       .count(l => l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
     assert(hashExchanges == 0, s"chunking shuffled the corpus:\n$p")
+  }
+
+  test("q_dedup_substring: semi-join dup mark on hash keys, no cartesian, no dup-set broadcast") {
+    // the mark must be an EQUI semi join on the 128-bit gram key. The
+    // code does NOT hint broadcast(dup) — the dup-gram set is
+    // O(boilerplate volume), so the cost model must stay free to pick
+    // SMJ at corpus scale; at fixture scale its size estimate is
+    // rightly under the threshold and it plans a broadcast semi join.
+    // What can never appear is a product: a CartesianProduct/BNLJ here
+    // means the gram keying silently degenerated to all-pairs.
+    val p = planOf("q_dedup_substring")
+    assert(p.contains("LeftSemi"), s"dup mark is not a semi join:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"substring dedup degenerated to a product:\n$p")
+    assert(p.contains("Generate explode"), s"no per-position gram explode:\n$p")
   }
 
   test("q_sample_reservoir: hash-rank top-k plans as TakeOrderedAndProject, no global sort") {

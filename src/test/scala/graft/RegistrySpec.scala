@@ -69,7 +69,9 @@ class RegistrySpec extends SparkSpec {
       // r6
       "q_decode_avro", "q_text_decontaminate_bloom", "q_dedup_incremental",
       "s_decode_avro", "s_sink_avro", "q_scan_avro", "q_text_chunk",
-      "q_sample_reservoir", "q_scan_text")
+      "q_sample_reservoir", "q_scan_text",
+      // r7
+      "q_dedup_substring")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }
