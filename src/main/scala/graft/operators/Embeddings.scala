@@ -27,6 +27,46 @@ import graft.sources.Tables
   */
 object Embeddings {
 
+  /** Shared product-quantization trainer (q_embed_pq + the ADC recall
+    * spec): 64 dims split into 16 subspaces of 4, per-subspace Lloyd
+    * with k=16 codes — init = subvectors of the 16 lowest vec_ids,
+    * one recompute pass, final assignment. Returns (assignments =
+    * (vec_id, sp, cid, dist_q), codebook = (sp, cid, cv)). All sixteen
+    * subspaces train in the SAME two shuffles per pass: the subvector
+    * relation carries sp as a key, centroids pack per-sp into a
+    * broadcast row, and the recompute agg keys on (sp, cid, dim) —
+    * k·sp more centroid rows, zero extra corpus passes vs plain
+    * k-means. Same fixed-point determinism contract as q_embed_kmeans
+    * (l2_dist_q + 1e-7 centroid quantization). */
+  private[graft] def pqTrain(e: DataFrame): (DataFrame, DataFrame) = {
+    val sub = e.select(col("vec_id"), posexplode(
+      expr("transform(sequence(0, 15), sp -> slice(v, sp * 4 + 1, 4))"))
+      .as(Seq("sp", "sv")))
+    val init = sub.filter(col("vec_id") < 16)
+      .select(col("sp"), col("vec_id").cast("int").as("cid"), col("sv").as("cv"))
+    def assign(cents: DataFrame): DataFrame = {
+      val packed = cents.groupBy(col("sp"))
+        .agg(expr("array_sort(collect_list(struct(cid, cv)))").as("cs"))
+      sub.join(broadcast(packed), Seq("sp"))
+        .withColumn("best", expr(
+          "array_min(transform(cs, c -> named_struct(" +
+            "'dq', l2_dist_q(sv, c.cv), 'cid', c.cid)))"))
+        .select(col("vec_id"), col("sp"), col("sv"),
+          col("best.cid").as("cid"), col("best.dq").as("dist_q"))
+    }
+    def recompute(asg: DataFrame): DataFrame =
+      asg.select(col("sp"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
+        .withColumn("xq", floor(col("x") * lit(1e7)).cast("long"))
+        .groupBy(col("sp"), col("cid"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("xq")).as("sq"))
+        .withColumn("c", col("sq").cast("double") / lit(1e7) / col("n"))
+        .groupBy(col("sp"), col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
+          .as("cv"))
+    val c1 = recompute(assign(init))
+    (assign(c1), c1)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_centroid" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
@@ -115,6 +155,30 @@ object Embeddings {
           min(col("vec_id")).as("first_vec"))
         .join(broadcast(cent), Seq("cid")))
     },
+    "q_embed_pq" -> { (s, dir) =>
+      // Product quantization — the ANN-index compression step that
+      // completes the quantize (scalar) / IVF (coarse) / SRP (binary)
+      // family: each 64-dim vector compresses to 8 codebook ids
+      // (16 codes per 4-dim subspace here; 256 per 8-dim at
+      // production scale), 64 floats → 16 small ints, with reconstruction error carried
+      // as the exact fixed-point l2 residual. Output: per-vector code
+      // string + err_q. The ADC search path (query distance = sum of
+      // per-subspace lookup distances) is pinned by the recall spec.
+      //
+      // 100 TB posture: training touches the corpus twice per Lloyd
+      // pass (assign = narrow broadcast-codebook map; recompute =
+      // hash-agg collapsing to sp·k·dim rows map-side); the codebook
+      // is 16·16 rows of 4 doubles — driver/broadcast-bounded metadata
+      // like IVF's centroids. Encoding new vectors is one narrow map.
+      graft.functions.VectorExprs.register(s)
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val (a2, _) = pqTrain(e)
+      ordered(a2.groupBy(col("vec_id"))
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(sp, cid)))," +
+            " p -> CAST(p.cid AS STRING)), ',')").as("codes_csv"),
+          sum(col("dist_q")).cast("long").as("err_q")))
+    },
     "q_embed_rproj" -> { (s, dir) =>
       // Random-projection dimensionality reduction (64 → 8) — the
       // cheap JL-style shrink before clustering/ANN when full dims
@@ -172,6 +236,48 @@ object Embeddings {
         |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_sat
         |FROM q""".stripMargin +
         orderByAll("vec_id", "scale", "q_csv", "n_sat")),
+    "q_embed_pq" ->
+      ("""WITH e AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |sub AS (
+        |  SELECT vec_id, s.sp, list_transform(range(1, 5), j -> v[s.sp * 4 + j]) AS sv
+        |  FROM e, (SELECT unnest(range(0, 16)) AS sp) s),
+        |init AS (SELECT sp, CAST(vec_id AS INT) AS cid, sv AS cv
+        |  FROM sub WHERE vec_id < 16),
+        |d1 AS (
+        |  SELECT sub.vec_id, sub.sp, sub.sv, i.cid,
+        |    CAST(list_sum(list_transform(range(1, 5),
+        |      j -> CAST(FLOOR((sub.sv[j] - i.cv[j]) * (sub.sv[j] - i.cv[j]) * 1e12)
+        |        AS BIGINT))) AS BIGINT) AS dq
+        |  FROM sub JOIN init i ON sub.sp = i.sp),
+        |a1 AS (
+        |  SELECT vec_id, sp, sv, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sp ORDER BY dq, cid) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |cd AS (
+        |  SELECT sp, cid, u.j AS dim, COUNT(*) AS n,
+        |    CAST(SUM(CAST(FLOOR(sv[u.j] * 1e7) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM a1, (SELECT unnest(range(1, 5)) AS j) u
+        |  GROUP BY sp, cid, u.j),
+        |c1 AS (
+        |  SELECT sp, cid, list(CAST(sq AS DOUBLE) / 1e7 / n ORDER BY dim) AS cv
+        |  FROM cd GROUP BY sp, cid),
+        |d2 AS (
+        |  SELECT sub.vec_id, sub.sp, c.cid,
+        |    CAST(list_sum(list_transform(range(1, 5),
+        |      j -> CAST(FLOOR((sub.sv[j] - c.cv[j]) * (sub.sv[j] - c.cv[j]) * 1e12)
+        |        AS BIGINT))) AS BIGINT) AS dq
+        |  FROM sub JOIN c1 c ON sub.sp = c.sp),
+        |a2 AS (
+        |  SELECT vec_id, sp, cid, dq FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sp ORDER BY dq, cid) AS rn
+        |    FROM d2) WHERE rn = 1)
+        |SELECT vec_id,
+        |  array_to_string(list(CAST(cid AS VARCHAR) ORDER BY sp), ',') AS codes_csv,
+        |  CAST(SUM(dq) AS BIGINT) AS err_q
+        |FROM a2 GROUP BY vec_id""".stripMargin +
+        orderByAll("vec_id", "codes_csv", "err_q")),
     "q_embed_kmeans" ->
       ("""WITH e AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v

@@ -66,7 +66,82 @@ object Multimodal {
       "transform(sequence(0, n_frames - 1, 4), i -> CAST(substring(payload, i * 16 + 1, 16) AS STRING)) " +
       "ELSE CAST(array() AS ARRAY<STRING>) END")
 
+  /** Deterministic image blobs staged from the documents fixture: even
+    * doc_ids become minimal-but-well-formed PNGs (8-byte signature +
+    * IHDR chunk, big-endian dims), odd doc_ids become BMPs (BM header
+    * + BITMAPINFOHEADER, little-endian dims), each with a 16-byte
+    * md5-derived payload. Dimensions/depths are pure functions of
+    * doc_id, so the parse twin is oracle-checkable without DuckDB ever
+    * touching blob internals. Built entirely in SQL (hex-string concat
+    * → unhex) — staging is itself a narrow codegen map. */
+  private[graft] def stageImageBlobs(s: SparkSession, sfDir: String): String =
+    graft.sources.Stage.once(sfDir, "documents_img", "documents") { staged =>
+      def be4(c: org.apache.spark.sql.Column) = lpad(hex(c), 8, "0")
+      def le4(c: org.apache.spark.sql.Column) = {
+        val be = be4(c)
+        concat(substring(be, 7, 2), substring(be, 5, 2),
+          substring(be, 3, 2), substring(be, 1, 2))
+      }
+      def le2(c: org.apache.spark.sql.Column) = {
+        val be = lpad(hex(c), 4, "0")
+        concat(substring(be, 3, 2), substring(be, 1, 2))
+      }
+      val d = Tables(s, sfDir, "documents")
+        .withColumn("w", (lit(16) + col("doc_id") * 37 % 1009).cast("long"))
+        .withColumn("h", (lit(16) + col("doc_id") * 101 % 737).cast("long"))
+        .withColumn("png_depth",
+          when((col("doc_id") / 2).cast("long") % 2 === 0, 8L).otherwise(16L))
+        .withColumn("bmp_bpp",
+          when((col("doc_id") / 2).cast("long") % 2 === 0, 8L).otherwise(24L))
+        .withColumn("filler", upper(md5(col("doc_id").cast("string"))))
+      // PNG: sig(8) len=13(4) 'IHDR'(4) w(4) h(4) depth(1) color=6(1)
+      // comp(1) filter(1) interlace(1) crc(4, unchecked) payload(16) = 49 B
+      val pngHex = concat(lit("89504E470D0A1A0A" + "0000000D" + "49484452"),
+        be4(col("w")), be4(col("h")), lpad(hex(col("png_depth")), 2, "0"),
+        lit("06" + "00" + "00" + "00" + "DEADBEEF"), col("filler"))
+      // BMP: 'BM'(2) size=70 LE(4) reserved(4) offset=54 LE(4) then
+      // BITMAPINFOHEADER: hdrsize=40 LE(4) w LE(4) h LE(4) planes=1(2)
+      // bpp LE(2) + 24 zero bytes, payload(16) = 70 B
+      val bmpHex = concat(lit("424D"), le4(lit(70L)), lit("00000000"),
+        le4(lit(54L)), le4(lit(40L)), le4(col("w")), le4(col("h")),
+        lit("0100"), le2(col("bmp_bpp")), lit("00" * 24), col("filler"))
+      d.select(col("doc_id"),
+          unhex(when(col("doc_id") % 2 === 0, pngHex).otherwise(bmpHex)).as("img"))
+        .repartition(4).write.mode("overwrite").parquet(staged)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_image_meta" -> { (s, dir) =>
+      // REAL codec for the multimodal path (r7): pure byte-arithmetic
+      // image-header parse — PNG IHDR (big-endian) and BMP
+      // BITMAPINFOHEADER (little-endian) dimensions/depth read
+      // straight off the staged binary column. No image library, no
+      // UDF: the blob is hex-encoded once (codegen) and fields are
+      // fixed-offset hex-slice + radix conversions — all narrow
+      // codegen ops, so at 100 TB this runs at scan speed like any
+      // other projection. The oracle recomputes the expected metadata
+      // from the doc_id formulas the staging used — a single flipped
+      // byte order or off-by-one offset in EITHER the builder or the
+      // parser breaks the hash match.
+      val b = s.read.parquet(stageImageBlobs(s, dir))
+      val hx = hex(col("img"))
+      val isPng = substring(hx, 1, 16) === "89504E470D0A1A0A"
+      def beLong(start: Int, len: Int) =
+        conv(substring(hx, start, len), 16, 10).cast("long")
+      def le4Long(start: Int) =
+        conv(concat(substring(hx, start + 6, 2), substring(hx, start + 4, 2),
+          substring(hx, start + 2, 2), substring(hx, start, 2)), 16, 10).cast("long")
+      def le2Long(start: Int) =
+        conv(concat(substring(hx, start + 2, 2), substring(hx, start, 2)), 16, 10)
+          .cast("long")
+      ordered(b.select(col("doc_id"),
+        when(isPng, "png").when(substring(hx, 1, 4) === "424D", "bmp")
+          .otherwise("unknown").as("fmt"),
+        when(isPng, beLong(33, 8)).otherwise(le4Long(37)).as("width"),
+        when(isPng, beLong(41, 8)).otherwise(le4Long(45)).as("height"),
+        when(isPng, beLong(49, 2)).otherwise(le2Long(57)).as("depth"),
+        length(col("img")).cast("long").as("n_bytes")))
+    },
     "q_multimodal_features" -> { (s, dir) =>
       // text bytes stand in for the media blob (same plumbing)
       val payloads = Tables(s, dir, "documents")
@@ -117,6 +192,19 @@ object Multimodal {
       "sqrt(list_sum(list_transform(range(1,65), i -> CAST(q.embedding[i] AS DOUBLE) * q.embedding[i]))))"
 
   def oracle: Map[String, String] = Map(
+    "q_multimodal_image_meta" ->
+      // the expected metadata from the staging formulas — the Spark
+      // side must reproduce these by PARSING the blobs it built, so
+      // builder and parser must agree byte-for-byte on both endiannesses
+      ("""SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+        |  CAST(16 + (doc_id * 37) % 1009 AS BIGINT) AS width,
+        |  CAST(16 + (doc_id * 101) % 737 AS BIGINT) AS height,
+        |  CAST(CASE WHEN (doc_id // 2) % 2 = 0 THEN 8
+        |       WHEN doc_id % 2 = 0 THEN 16 ELSE 24 END AS BIGINT) AS depth,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 49 ELSE 70 END AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin +
+        orderByAll("doc_id", "fmt", "width", "height", "depth", "n_bytes")),
     "q_multimodal_frames" ->
       ("""WITH r AS (
         |  SELECT doc_id,

@@ -280,6 +280,64 @@ object Text {
           col("dup_tokens").cast("long").as("dup_tokens"),
           (col("dup_tokens").cast("double") / col("n_tokens")).as("dup_fraction")))
     },
+    "q_text_bpe" -> { (s, dir) =>
+      // Distributed BPE vocabulary training — the merge-table half of
+      // real LLM preprocessing (the shared tokenizer contract is
+      // whitespace words; this key learns subword merges INSIDE those
+      // words). Classic algorithm (Sennrich et al. 2016), re-expressed
+      // relationally: 8 unrolled rounds, each = one hash-agg of
+      // adjacent symbol pairs over the WORD VOCABULARY weighted by
+      // word count, argmax with total-order tie-break (cnt DESC, lsym,
+      // rsym), then a greedy left-to-right merge apply as a codegen
+      // `aggregate` fold. Fully declarative — the per-round winner is
+      // a 1-row broadcast joined back in, never a driver collect.
+      //
+      // 100 TB posture: the ONLY corpus-sized pass is the word-count
+      // agg (map-side combine → vocabulary-sized shuffle). Training
+      // then iterates on the vocab table (≈ millions of rows at web
+      // scale, NOT corpus rows) — each round one tiny agg + narrow
+      // fold; the per-round TakeOrderedAndProject ships k=1 rows.
+      // Integer counts and string equality throughout → oracle-exact
+      // (DuckDB twin replays the identical 8 rounds via list_reduce).
+      val nMerges = 8
+      val vocab0 = Tables(s, dir, "documents")
+        .select(explode(toks()).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .withColumn("syms",
+          expr("transform(sequence(1, length(word)), i -> substring(word, i, 1))"))
+      // single-symbol words contribute no pairs — and MUST be filtered
+      // before the explode: sequence(1, size-1) at size=1 is
+      // sequence(1, 0), which Spark generates DESCENDING ([1, 0]) and
+      // element_at(syms, 0) is an error, not an empty list
+      val pairsOf = (st: DataFrame) => st
+        .filter(size(col("syms")) > 1)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), j -> " +
+            "struct(element_at(syms, j) AS lsym, element_at(syms, j + 1) AS rsym))")).as("pr"))
+        .groupBy(col("pr.lsym").as("lsym"), col("pr.rsym").as("rsym"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("lsym").asc, col("rsym").asc).limit(1)
+      // greedy left-to-right merge apply: fold the tail onto the seeded
+      // head; a freshly merged symbol can never re-merge in the same
+      // round (its concatenated text no longer equals lsym) — exactly
+      // reference-BPE semantics
+      val applied = (st: DataFrame, m: DataFrame) => st.crossJoin(broadcast(m))
+        .withColumn("syms", expr(
+          "aggregate(slice(syms, 2, size(syms) - 1), array(element_at(syms, 1)), " +
+            "(acc, x) -> IF(element_at(acc, -1) = lsym AND x = rsym, " +
+            "concat(slice(acc, 1, size(acc) - 1), array(concat(lsym, rsym))), " +
+            "concat(acc, array(x))))"))
+        .select(col("word"), col("cnt"), col("syms"))
+      val (merges, _) = (1 to nMerges).foldLeft(
+          (List.empty[(Int, DataFrame)], vocab0)) { case ((ms, st), rank) =>
+        val m = pairsOf(st)
+        ((rank, m) :: ms, applied(st, m))
+      }
+      ordered(merges.reverse.map { case (rank, m) =>
+        m.select(lit(rank).cast("long").as("merge_rank"), col("lsym"),
+          col("rsym"), col("c").cast("long").as("pair_cnt"))
+      }.reduce(_.unionAll(_)))
+    },
     "q_text_vocab_prune" -> { (s, dir) =>
       // Vocabulary-coverage gate — the OOV-ratio quality filter of a
       // training-data pipeline: vocabulary = tokens appearing in
@@ -580,7 +638,38 @@ object Text {
     def sql(xs: Seq[String]): String = xs.mkString("['", "', '", "']")
   }
 
+  /** DuckDB twin of q_text_bpe: the identical 8 rounds unrolled as
+    * chained CTEs. The greedy merge apply is a list_reduce fold over a
+    * space-joined accumulator (symbols never contain spaces under the
+    * whitespace tokenizer contract, so the join is lossless); the
+    * trailing-symbol test (acc = l OR ends_with ' '||l) is the same
+    * last-element check as the Spark fold's element_at(acc, -1). */
+  private def bpeOracleSql: String = {
+    val rounds = (1 to 8).map { i =>
+      val prev = s"s${i - 1}"
+      s"""p$i AS (SELECT syms[j] AS lsym, syms[j+1] AS rsym, SUM(cnt) AS c
+        |  FROM $prev, unnest(range(1, len(syms))) AS u(j) GROUP BY 1, 2),
+        |m$i AS (SELECT lsym, rsym, c FROM p$i ORDER BY c DESC, lsym ASC, rsym ASC LIMIT 1),
+        |s$i AS (SELECT word, cnt, string_split(list_reduce(syms,
+        |    (acc, x) -> CASE WHEN (acc = m$i.lsym OR ends_with(acc, ' ' || m$i.lsym)) AND x = m$i.rsym
+        |      THEN substr(acc, 1, length(acc) - length(m$i.lsym)) || m$i.lsym || m$i.rsym
+        |      ELSE acc || ' ' || x END), ' ') AS syms
+        |  FROM $prev, m$i)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to 8).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS merge_rank, lsym, rsym, CAST(c AS BIGINT) AS pair_cnt FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH w AS (SELECT tok AS word, COUNT(*) AS cnt FROM
+      |  (SELECT unnest($tokSql) AS tok FROM documents) GROUP BY tok),
+      |s0 AS (SELECT word, cnt,
+      |  list_transform(generate_series(1, length(word)), i -> word[i:i]) AS syms FROM w),
+      |$rounds
+      |SELECT * FROM ($out)""".stripMargin +
+      orderByAll("merge_rank", "lsym", "rsym", "pair_cnt")
+  }
+
   def oracle: Map[String, String] = Map(
+    "q_text_bpe" -> bpeOracleSql,
     "q_text_decontaminate" ->
       (s"""WITH d AS (SELECT doc_id,
         |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'eval' ELSE 'train' END AS split,

@@ -71,7 +71,8 @@ class RegistrySpec extends SparkSpec {
       "s_decode_avro", "s_sink_avro", "q_scan_avro", "q_text_chunk",
       "q_sample_reservoir", "q_scan_text",
       // r7
-      "q_dedup_substring")
+      "q_dedup_substring", "q_text_bpe", "q_embed_pq",
+      "q_multimodal_image_meta")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }

@@ -60,6 +60,38 @@ class SimilaritySpec extends SparkSpec {
     info(s"IVF recall: $recall")
   }
 
+  test("PQ ADC top-k recall vs exact l2 top-k") {
+    // the search-side contract of q_embed_pq: asymmetric distance
+    // (query subvector vs looked-up codebook centroid, summed over
+    // subspaces) must rank true neighbors near the top — the 128-row
+    // LUT + code-join IS the production ANN probe shape
+    val dir = "/root/testdata/sf0.01"
+    val e = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val (codes, book) = graft.operators.Embeddings.pqTrain(e)
+    val qid = 257L
+    val qsub = e.filter(col("vec_id") === qid).select(posexplode(
+      expr("transform(sequence(0, 15), sp -> slice(v, sp * 4 + 1, 4))")).as(Seq("sp", "qsv")))
+    val lut = book.join(qsub, Seq("sp"))
+      .select(col("sp"), col("cid"), expr("l2_dist_q(qsv, cv)").as("adc_q"))
+    // candidate recall — the metric a quantized index actually ships
+    // with: the ADC top-50 candidate set (then exact-reranked in a
+    // real pipeline) must cover most of the exact top-10
+    val adc = codes.join(broadcast(lut), Seq("sp", "cid"))
+      .groupBy(col("vec_id")).agg(sum(col("adc_q")).as("adc"))
+      .filter(col("vec_id") =!= qid)
+      .orderBy(col("adc").asc, col("vec_id").asc).limit(50)
+      .collect().map(_.getLong(0)).toSet
+    val exact = e.filter(col("vec_id") =!= qid)
+      .crossJoin(broadcast(e.filter(col("vec_id") === qid).select(col("v").as("qv"))))
+      .select(col("vec_id"), expr("l2_dist_q(v, qv)").as("d"))
+      .orderBy(col("d").asc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.count(adc.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"PQ ADC candidate recall (top50 vs exact10) $recall < 0.6")
+    info(s"PQ ADC candidate recall: $recall")
+  }
+
   test("blocked pair join reproduces the quadratic baseline exactly (top-k and τ=0.45)") {
     // q_sim_cosine_topk / q_dedup_embed route through blockedScoredPairs
     // (exact by construction: every unordered pair lands in exactly one
