@@ -425,6 +425,28 @@ object Streams {
         stagedChunks(s, chunks).withWatermark("ts", "1 hour").as[Ev]).toDF()))
     }},
 
+    // B9 API-modernity twin: the SAME sessionization through Spark
+    // 4.x's transformWithState (named state slots + first-class timers
+    // + TTL — the successor to flatMapGroupsWithState). Semantics are
+    // pinned identical by StreamingSpec row-equality with
+    // s_stateful_session on watermark-closed sessions. tws requires
+    // the RocksDB state store (the large-keyspace provider), scoped
+    // around this run only.
+    "s_stateful_session_tws" -> { (s, dir) => withShufflePartitions(s, 8) {
+      import s.implicits._
+      graft.Confs.withConfs(s,
+        "spark.sql.streaming.stateStore.providerClass" ->
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider") {
+        val all = evFrame(s, dir).filter(col("user_id") < 40)
+        val chunks = Seq(
+          all.filter(col("ts") < day(10)),
+          all.filter(col("ts") >= day(10) && col("ts") < day(20)),
+          all.filter(col("ts") >= day(20)))
+        ordered(runToParquet(graft.streaming.StatefulSessionTws.sessions(
+          stagedChunks(s, chunks).withWatermark("ts", "1 hour").as[Ev]).toDF()))
+      }
+    }},
+
     // B9: stateful streaming anomaly detection — the online twin of
     // q_time_anomaly. flatMapGroupsWithState keeps the trailing daily
     // totals per event type (no built-in streaming agg can look ACROSS

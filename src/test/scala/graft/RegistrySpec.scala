@@ -72,7 +72,7 @@ class RegistrySpec extends SparkSpec {
       "q_sample_reservoir", "q_scan_text",
       // r7
       "q_dedup_substring", "q_text_bpe", "q_embed_pq",
-      "q_multimodal_image_meta")
+      "q_multimodal_image_meta", "s_stateful_session_tws")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }

@@ -238,6 +238,19 @@ class StreamingSpec extends SparkSpec {
       s"late day-2/3 buckets should have been dropped: ${buckets.get(day2)}, ${buckets.get(day3)}")
   }
 
+  test("s_stateful_session_tws: transformWithState twin equals flatMapGroupsWithState sessions") {
+    // the API-migration safety net: the Spark 4.x successor API
+    // (named state + explicit timers) must reproduce the legacy
+    // sessionization row for row — same closed sessions, same counts,
+    // same sums, nothing extra from stale timers
+    val legacy = SparkEntry.queries("s_stateful_session")(spark, sf)
+      .collect().map(_.mkString("|")).toSet
+    val tws = SparkEntry.queries("s_stateful_session_tws")(spark, sf)
+      .collect().map(_.mkString("|")).toSet
+    assert(tws.nonEmpty, "tws emitted no sessions")
+    assert(tws === legacy, "transformWithState sessions diverged from flatMapGroupsWithState")
+  }
+
   test("stateful keys are identical on the RocksDB state store (100 TB state config)") {
     // the three state-heavy shapes: flatMapGroupsWithState with
     // event-time timeout (sessions), flatMapGroupsWithState with a
