@@ -23,6 +23,7 @@ object SparkEntry {
       (Dedup.queries, Dedup.oracle),
       (Embeddings.queries, Embeddings.oracle),
       (Similarity.queries, Similarity.oracle),
+      (Graph.queries, Graph.oracle),
       (Multimodal.queries, Multimodal.oracle),
       (Sql.queries, Sql.oracle),
       (Extensibility.queries, Extensibility.oracle),
