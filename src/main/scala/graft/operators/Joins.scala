@@ -269,6 +269,35 @@ object Joins {
           sum(col("inserted")).cast("long").as("n_inserted"),
           dsum(col("price")).as("sum_price")))
     },
+    "q_merge_scd2" -> { (s, dir) =>
+      // SCD type-2 dimension build from a changelog (added r7) — the
+      // versioned-history twin of q_merge_upsert's SCD-1 overwrite:
+      // each customer's order stream is read as an attribute-change
+      // feed (tracked attribute = order priority), consecutive equal
+      // values collapse into one validity run, and each run gets
+      // [valid_from, valid_to) + is_current + version — the standard
+      // lakehouse dimension-history shape (Kimball SCD2), entirely as
+      // two window passes over the SAME (custkey | ts, seq) layout so
+      // Catalyst plans ONE shuffle-sort and both windows ride it.
+      // Ties inside a day are broken by the change-feed sequence key
+      // (o_orderkey), so the history is deterministic both engines.
+      // 100 TB posture: state per key is its change rows, partitioned
+      // by custkey — no global sort; a nightly incremental variant
+      // would window only (open tail ∪ new changes) per key, same plan.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("custkey")).orderBy(col("ts"), col("seq"))
+      val chg = Tables(s, dir, "orders").select(
+          col("o_custkey").as("custkey"), col("o_orderdate").as("ts"),
+          col("o_orderkey").as("seq"), col("o_orderpriority").as("val"))
+        .withColumn("prev", lag(col("val"), 1).over(w))
+      val runs = chg.filter(col("prev").isNull || col("val") =!= col("prev"))
+      val scd = runs
+        .withColumn("valid_to", lead(col("ts"), 1).over(w))
+        .withColumn("version", row_number().over(w))
+      ordered(scd.select(col("custkey"), col("val").as("priority"),
+        col("ts").as("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"), col("version").cast("long")))
+    },
     "q_join_fuzzy" -> { (s, dir) =>
       val names = Tables(s, dir, "part")
         .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("cnt"))
@@ -528,6 +557,26 @@ object Joins {
         |    AS sum_price
         |FROM m GROUP BY st""".stripMargin +
         orderByAll("st", "n_rows", "n_updated", "n_inserted", "sum_price")),
+    "q_merge_scd2" ->
+      ("""WITH chg AS (
+        |  SELECT o_custkey AS custkey, o_orderdate AS ts, o_orderkey AS seq,
+        |    o_orderpriority AS val,
+        |    lag(o_orderpriority) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |runs AS (
+        |  SELECT custkey, ts, seq, val FROM chg
+        |  WHERE prev IS NULL OR val <> prev),
+        |scd AS (
+        |  SELECT custkey, val, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY custkey ORDER BY ts, seq) AS valid_to,
+        |    row_number() OVER (PARTITION BY custkey ORDER BY ts, seq) AS version
+        |  FROM runs)
+        |SELECT custkey, val AS priority, valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current, CAST(version AS BIGINT) AS version
+        |FROM scd""".stripMargin +
+        orderByAll("custkey", "priority", "valid_from", "valid_to",
+          "is_current", "version")),
     "q_join_fuzzy" ->
       ("""WITH n AS (SELECT p_name AS name, COUNT(*) AS cnt
         |           FROM part GROUP BY p_name)

@@ -129,6 +129,31 @@ object Scans {
         f.getItem(1).as("lang"),
         f.getItem(2).as("text")))
     },
+    "q_scan_xml" -> { (s, dir) =>
+      // XML scan via Spark 4's built-in XML source (rowTag extraction;
+      // the databricks/spark-xml lineage merged into core in 4.0) —
+      // the legacy-feed landing format (SOAP exports, sitemap/feed
+      // dumps, config drops). Staging appends a literal `&<>"` tail
+      // to every text value BEFORE entity-escaping, so the
+      // escape → StAX-unescape round trip provably fires on every row
+      // (the fixture text itself is entity-free); the oracle computes
+      // md5 over the same suffixed text from parquet, so any fidelity
+      // loss (entities, whitespace trim, line-end normalization)
+      // hash-mismatches. Explicit schema — no inference pass.
+      // 100 TB posture: one rowTag element per line here, but the
+      // source must TOKENIZE xml to find record boundaries (no
+      // pushdown, no pruning) — same landing-format verdict as
+      // q_scan_text/q_scan_avro: queryable where it lands, convert to
+      // parquet for analytics.
+      val staged = stageDocumentsXml(s, dir)
+      val x = s.read.format("xml")
+        .option("rowTag", "doc")
+        .schema("id LONG, lang STRING, text STRING")
+        .load(staged)
+      ordered(x.select(col("id").as("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("n_chars_rt"),
+        md5(col("text")).as("text_md5")))
+    },
     "q_scan_orc" -> { (s, dir) =>
       // ORC source twin (the other columnar format Spark ships a
       // native vectorized reader for): supplier staged as ORC
@@ -292,6 +317,31 @@ object Scans {
         .select(concat_ws("\t", nonNull(col("doc_id"), "doc_id"),
           nonNull(col("lang"), "lang"), nonNull(col("text"), "text")).as("value"))
         .repartition(4)
+        .write.mode("overwrite").text(staged)
+    }
+
+  /** Stage documents as XML rows (mtime-invalidated): one `<doc>`
+    * element per line with entity-escaped content (&→&amp;amp; first,
+    * then angle brackets), and a literal `&<>"` tail appended to text
+    * pre-escape so the entity path is exercised by every row. */
+  private def stageDocumentsXml(s: SparkSession, sfDir: String): String =
+    graft.sources.Stage.once(sfDir, "documents_xml", "documents") { staged =>
+      def esc(c: Column): Column =
+        replace(replace(replace(c, lit("&"), lit("&amp;")),
+          lit("<"), lit("&lt;")), lit(">"), lit("&gt;"))
+      val lines = Tables(s, sfDir, "documents")
+        .select(concat(
+          lit("<doc><id>"), col("doc_id").cast("string"),
+          lit("</id><lang>"), esc(col("lang")),
+          lit("</lang><text>"), esc(concat(col("text"), lit(" &<>\""))),
+          lit("</text></doc>")).as("value"))
+      // the built-in XML source requires rowTags nested under a root
+      // element (a rootless tag sequence drops records); each output
+      // partition becomes one file, so frame per partition —
+      // mapPartitions is the right tool for per-FILE framing
+      import s.implicits._
+      lines.repartition(4).as[String]
+        .mapPartitions(it => Iterator("<docs>") ++ it ++ Iterator("</docs>"))
         .write.mode("overwrite").text(staged)
     }
 
@@ -475,6 +525,12 @@ object Scans {
     "q_scan_text" ->
       ("SELECT doc_id, lang, text FROM documents" +
         orderByAll("doc_id", "lang", "text")),
+    "q_scan_xml" ->
+      ("""SELECT doc_id, lang,
+        |  CAST(length(text || ' &<>"') AS BIGINT) AS n_chars_rt,
+        |  md5(text || ' &<>"') AS text_md5
+        |FROM documents""".stripMargin +
+        orderByAll("doc_id", "lang", "n_chars_rt", "text_md5")),
     "q_scan_project" ->
       ("SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem" +
         orderByAll("l_orderkey", "l_linenumber", "l_extendedprice")),

@@ -518,6 +518,40 @@ object Text {
         .orderBy(col("rk")).limit(100)
       ordered(picked.select(col("doc_id"), col("lang"), col("n_chars")))
     },
+    "q_sample_weighted" -> { (s, dir) =>
+      // Weighted fixed-size sample WITH an unbiased subset-sum
+      // estimator — priority sampling (Duffield, Lund & Thorup,
+      // JACM'07): priority p_i = w_i / u_i with u_i a deterministic
+      // uniform in (0,1] derived from the doc key (md5 → 52-bit int,
+      // u = (h+1)·2⁻⁵²), take the k highest priorities, and estimate
+      // each kept doc's weight as max(w_i, τ) where τ = the (k+1)-th
+      // priority — Σ est_w is then unbiased for Σw over ANY subset,
+      // the property a token-budgeted data mix needs from its sample.
+      // Determinism: u is a pure function of the key; p = (w·2⁵²)/(h+1)
+      // is exact-int products and ONE IEEE division, so both engines
+      // rank identically (doc_id tiebreak for safety).
+      // 100 TB posture: the only corpus-wide step is orderBy+limit
+      // (k+1), planned as TakeOrderedAndProject — per-partition top-k
+      // + a (k+1)-row driver merge, no shuffle, no global sort; the
+      // rank/τ window then runs on k+1 rows, not the corpus.
+      val d = Tables(s, dir, "documents")
+      val k = 200
+      val pri = d.select(col("doc_id"), col("lang"),
+          col("n_chars").cast("double").as("w"),
+          conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+            .cast("long").as("h"))
+        .withColumn("priority",
+          col("w") * lit(4503599627370496.0) / (col("h") + 1))
+      val top = pri.orderBy(col("priority").desc, col("doc_id")).limit(k + 1)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("priority").desc, col("doc_id"))
+      val rk = top.withColumn("rn", row_number().over(w))
+      val tau = rk.filter(col("rn") === k + 1)
+        .select(col("priority").as("tau"))
+      ordered(rk.filter(col("rn") <= k).crossJoin(broadcast(tau))
+        .select(col("doc_id"), col("lang"), col("w"), col("priority"),
+          greatest(col("w"), col("tau")).as("est_w")))
+    },
     "q_text_tokens_tf" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
       ordered(d.select(col("doc_id"), explode(toks()).as("term"))
@@ -868,6 +902,24 @@ object Text {
         |  FROM documents ORDER BY rk LIMIT 100)
         |SELECT doc_id, lang, n_chars FROM r""".stripMargin +
         orderByAll("doc_id", "lang", "n_chars")),
+    // u's 52-bit int comes from a hex fold here vs conv() in Spark —
+    // different mechanism, same exact integer, so priorities agree.
+    "q_sample_weighted" ->
+      ("""WITH pri AS (
+        |  SELECT doc_id, lang, CAST(n_chars AS DOUBLE) AS w,
+        |    CAST(n_chars AS DOUBLE) * 4503599627370496.0 /
+        |      (list_reduce(list_transform(
+        |        string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), ''),
+        |        c -> CAST(strpos('0123456789abcdef', c) - 1 AS BIGINT)),
+        |        (a, b) -> a * 16 + b) + 1) AS priority
+        |  FROM documents),
+        |rk AS (
+        |  SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id) AS rn
+        |  FROM pri),
+        |tau AS (SELECT priority AS tau FROM rk WHERE rn = 201)
+        |SELECT doc_id, lang, w, priority, GREATEST(w, tau.tau) AS est_w
+        |FROM rk, tau WHERE rn <= 200""".stripMargin +
+        orderByAll("doc_id", "lang", "w", "priority", "est_w")),
     "q_split_train_eval" ->
       (s"""SELECT CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a'
         |  THEN 'eval' ELSE 'train' END AS split, lang,
