@@ -202,6 +202,48 @@ object Embeddings {
     }
   )
 
+  /** DuckDB CTE chain replaying [[pqTrain]] exactly (subvectors →
+    * init → assign → recompute → re-assign); shared by the q_embed_pq
+    * oracle and q_sim_pq_adc's (Similarity.scala), which extends it
+    * with the LUT/ADC search stages. */
+  private[graft] val pqCtes: String =
+    """e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |sub AS (
+      |  SELECT vec_id, s.sp, list_transform(range(1, 5), j -> v[s.sp * 4 + j]) AS sv
+      |  FROM e, (SELECT unnest(range(0, 16)) AS sp) s),
+      |init AS (SELECT sp, CAST(vec_id AS INT) AS cid, sv AS cv
+      |  FROM sub WHERE vec_id < 16),
+      |d1 AS (
+      |  SELECT sub.vec_id, sub.sp, sub.sv, i.cid,
+      |    CAST(list_sum(list_transform(range(1, 5),
+      |      j -> CAST(FLOOR((sub.sv[j] - i.cv[j]) * (sub.sv[j] - i.cv[j]) * 1e12)
+      |        AS BIGINT))) AS BIGINT) AS dq
+      |  FROM sub JOIN init i ON sub.sp = i.sp),
+      |a1 AS (
+      |  SELECT vec_id, sp, sv, cid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, sp ORDER BY dq, cid) AS rn
+      |    FROM d1) WHERE rn = 1),
+      |cd AS (
+      |  SELECT sp, cid, u.j AS dim, COUNT(*) AS n,
+      |    CAST(SUM(CAST(FLOOR(sv[u.j] * 1e7) AS BIGINT)) AS BIGINT) AS sq
+      |  FROM a1, (SELECT unnest(range(1, 5)) AS j) u
+      |  GROUP BY sp, cid, u.j),
+      |c1 AS (
+      |  SELECT sp, cid, list(CAST(sq AS DOUBLE) / 1e7 / n ORDER BY dim) AS cv
+      |  FROM cd GROUP BY sp, cid),
+      |d2 AS (
+      |  SELECT sub.vec_id, sub.sp, c.cid,
+      |    CAST(list_sum(list_transform(range(1, 5),
+      |      j -> CAST(FLOOR((sub.sv[j] - c.cv[j]) * (sub.sv[j] - c.cv[j]) * 1e12)
+      |        AS BIGINT))) AS BIGINT) AS dq
+      |  FROM sub JOIN c1 c ON sub.sp = c.sp),
+      |a2 AS (
+      |  SELECT vec_id, sp, cid, dq FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id, sp ORDER BY dq, cid) AS rn
+      |    FROM d2) WHERE rn = 1)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q_embed_rproj" ->
       (("SELECT vec_id, " + (1 to 8).map { j =>
@@ -237,42 +279,7 @@ object Embeddings {
         |FROM q""".stripMargin +
         orderByAll("vec_id", "scale", "q_csv", "n_sat")),
     "q_embed_pq" ->
-      ("""WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |sub AS (
-        |  SELECT vec_id, s.sp, list_transform(range(1, 5), j -> v[s.sp * 4 + j]) AS sv
-        |  FROM e, (SELECT unnest(range(0, 16)) AS sp) s),
-        |init AS (SELECT sp, CAST(vec_id AS INT) AS cid, sv AS cv
-        |  FROM sub WHERE vec_id < 16),
-        |d1 AS (
-        |  SELECT sub.vec_id, sub.sp, sub.sv, i.cid,
-        |    CAST(list_sum(list_transform(range(1, 5),
-        |      j -> CAST(FLOOR((sub.sv[j] - i.cv[j]) * (sub.sv[j] - i.cv[j]) * 1e12)
-        |        AS BIGINT))) AS BIGINT) AS dq
-        |  FROM sub JOIN init i ON sub.sp = i.sp),
-        |a1 AS (
-        |  SELECT vec_id, sp, sv, cid FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sp ORDER BY dq, cid) AS rn
-        |    FROM d1) WHERE rn = 1),
-        |cd AS (
-        |  SELECT sp, cid, u.j AS dim, COUNT(*) AS n,
-        |    CAST(SUM(CAST(FLOOR(sv[u.j] * 1e7) AS BIGINT)) AS BIGINT) AS sq
-        |  FROM a1, (SELECT unnest(range(1, 5)) AS j) u
-        |  GROUP BY sp, cid, u.j),
-        |c1 AS (
-        |  SELECT sp, cid, list(CAST(sq AS DOUBLE) / 1e7 / n ORDER BY dim) AS cv
-        |  FROM cd GROUP BY sp, cid),
-        |d2 AS (
-        |  SELECT sub.vec_id, sub.sp, c.cid,
-        |    CAST(list_sum(list_transform(range(1, 5),
-        |      j -> CAST(FLOOR((sub.sv[j] - c.cv[j]) * (sub.sv[j] - c.cv[j]) * 1e12)
-        |        AS BIGINT))) AS BIGINT) AS dq
-        |  FROM sub JOIN c1 c ON sub.sp = c.sp),
-        |a2 AS (
-        |  SELECT vec_id, sp, cid, dq FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id, sp ORDER BY dq, cid) AS rn
-        |    FROM d2) WHERE rn = 1)
+      (s"""WITH $pqCtes
         |SELECT vec_id,
         |  array_to_string(list(CAST(cid AS VARCHAR) ORDER BY sp), ',') AS codes_csv,
         |  CAST(SUM(dq) AS BIGINT) AS err_q

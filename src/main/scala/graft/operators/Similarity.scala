@@ -169,6 +169,51 @@ object Similarity {
       // search — the clustered-data scale path complementing LSH.
       // Oracle=omit (approximate); SimilaritySpec bounds recall.
       ivfTopK(vecs(s, dir), k = 20)
+    },
+    "q_sim_pq_adc" -> { (s, dir) =>
+      // PQ-ADC search (added r7) — the compressed-domain ANN serving
+      // path that completes the PQ family (q_embed_pq trains the
+      // codebooks; this key SEARCHES the codes): per query, a 16×16
+      // lookup table of subspace distances to every codebook centroid
+      // (Jégou et al.'s asymmetric distance computation), approximate
+      // distance = Σ of 16 LUT entries per corpus vector, top-20
+      // candidates, then exact rerank on full vectors to top-10.
+      // All distances are the codegen fixed-point l2_dist_q, so the
+      // whole pipeline — training, LUT, ADC sums, rerank — is exact
+      // integers and the DuckDB oracle replays it bit-for-bit.
+      //
+      // 100 TB posture: the serving-time corpus pass touches ONLY the
+      // (vec_id, sp, cid) code table (16 small ints per vector — the
+      // 4×-compressed representation is what sharded ANN serving
+      // ships); the LUT is queries×256 rows, broadcast; the ADC agg
+      // is one hash-agg keyed (q_id, vec_id) with map-side partials;
+      // rerank touches full vectors for only q×20 candidates via an
+      // equi-join. Per-query top-k runs as a rank-filter window
+      // (WindowGroupLimit pushes the limit below the shuffle).
+      val e = vecs(s, dir).select(col("vec_id"), col("v"))
+      val (codes, codebook) = Embeddings.pqTrain(e)
+      val qs = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      val qsub = qs.select(col("q_id"), posexplode(
+          expr("transform(sequence(0, 15), sp -> slice(qv, sp * 4 + 1, 4))"))
+        .as(Seq("sp", "qsv")))
+      val lut = qsub.join(codebook, Seq("sp"))
+        .select(col("q_id"), col("sp"), col("cid"),
+          expr("l2_dist_q(qsv, cv)").as("adc_q"))
+      val adc = codes.join(broadcast(lut), Seq("sp", "cid"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(sum(col("adc_q")).as("adc"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("adc").asc, col("vec_id"))
+      val cand = adc.withColumn("rn", row_number().over(wc))
+        .filter(col("rn") <= 20).drop("rn")
+      val rer = cand.join(e, Seq("vec_id")).join(broadcast(qs), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"), col("adc"),
+          expr("l2_dist_q(v, qv)").as("exact_q"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("exact_q").asc, col("vec_id"))
+      ordered(rer.withColumn("rank", row_number().over(wr).cast("long"))
+        .filter(col("rank") <= 10))
     }
   )
 
@@ -338,6 +383,40 @@ object Similarity {
         |  FROM embeddings a, q WHERE a.vec_id <> 0)
         |SELECT vec_id, label, ROUND(c, 4) AS cosine FROM scored
         |WHERE c >= 0.3""".stripMargin +
-        orderByAll("vec_id", "label", "cosine"))
+        orderByAll("vec_id", "label", "cosine")),
+    // extends Embeddings.pqCtes (codebook c1 + final codes a2) with
+    // the ADC search stages; every distance is the same fixed-point
+    // integer kernel, so the replay is exact end to end.
+    "q_sim_pq_adc" ->
+      (s"""WITH ${Embeddings.pqCtes},
+        |qs AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 3),
+        |qsub AS (
+        |  SELECT q_id, s.sp, list_transform(range(1, 5), j -> qv[s.sp * 4 + j]) AS qsv
+        |  FROM qs, (SELECT unnest(range(0, 16)) AS sp) s),
+        |lut AS (
+        |  SELECT q.q_id, c.sp, c.cid,
+        |    CAST(list_sum(list_transform(range(1, 5),
+        |      j -> CAST(FLOOR((q.qsv[j] - c.cv[j]) * (q.qsv[j] - c.cv[j]) * 1e12)
+        |        AS BIGINT))) AS BIGINT) AS adc_q
+        |  FROM qsub q JOIN c1 c ON q.sp = c.sp),
+        |adc AS (
+        |  SELECT l.q_id, a2.vec_id, CAST(SUM(l.adc_q) AS BIGINT) AS adc
+        |  FROM a2 JOIN lut l ON a2.sp = l.sp AND a2.cid = l.cid
+        |  GROUP BY l.q_id, a2.vec_id),
+        |cand AS (
+        |  SELECT q_id, vec_id, adc FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY adc, vec_id) AS rn
+        |    FROM adc) WHERE rn <= 20),
+        |rer AS (
+        |  SELECT c.q_id, c.vec_id, c.adc,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      j -> CAST(FLOOR((e.v[j] - qs.qv[j]) * (e.v[j] - qs.qv[j]) * 1e12)
+        |        AS BIGINT))) AS BIGINT) AS exact_q
+        |  FROM cand c JOIN e ON c.vec_id = e.vec_id JOIN qs ON c.q_id = qs.q_id)
+        |SELECT q_id, vec_id, adc, exact_q, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY exact_q, vec_id) AS BIGINT) AS rank
+        |  FROM rer) WHERE rank <= 10""".stripMargin +
+        orderByAll("q_id", "vec_id", "adc", "exact_q", "rank"))
   )
 }
