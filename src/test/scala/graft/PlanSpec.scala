@@ -449,4 +449,49 @@ class PlanSpec extends SparkSpec {
       s"radius search should be a narrow broadcast scan:\n$p")
     assert(p.contains("cosine_sim") && !p.contains("ScalaUDF"), p)
   }
+
+  test("graph keys: equi joins only — no cartesian, no nested loop (r7)") {
+    // pagerank's 6 unrolled iterations and the triangle wedge/closure
+    // joins are all keyed on vertex ids; a CartesianProduct or BNLJ
+    // means an orientation/contribution join silently degenerated
+    for (k <- Seq("q_graph_pagerank", "q_graph_triangles")) {
+      val p = planOf(k)
+      assert(!p.contains("CartesianProduct"), s"$k plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$k plans a nested-loop join")
+    }
+  }
+
+  test("q_graph_triangles orients by struct comparison, not a global rank window (r7)") {
+    // a row_number over (degree, id) would single-partition the vertex
+    // set; the orientation must stay a join-condition comparison
+    val p = planOf("q_graph_triangles")
+    assert(!p.contains("Window"), s"orientation fell back to a window:\n$p")
+  }
+
+  test("q_merge_scd2: both windows ride ONE shuffle-sort (r7)") {
+    // lag (run collapse) and lead/row_number (validity spans) use the
+    // same (custkey | ts, seq) layout — Catalyst must plan a single
+    // hash exchange, not one per window pass
+    val p = finalPlan(SparkEntry.queries("q_merge_scd2")(spark, sf))
+    val hashExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hashExchanges == 1, s"SCD2 should shuffle once, saw $hashExchanges:\n$p")
+  }
+
+  test("q_sample_weighted: priority top-k plans as TakeOrderedAndProject (r7)") {
+    // same contract as q_sample_reservoir: the corpus-wide step is
+    // per-partition top-(k+1) + a driver merge; the tau/rank window
+    // then touches k+1 rows only
+    val p = finalPlan(SparkEntry.queries("q_sample_weighted")(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), s"top-k not pushed:\n$p")
+  }
+
+  test("q_sim_pq_adc: LUT broadcasts, candidate rank pushes a group limit (r7)") {
+    val p = planOf("q_sim_pq_adc")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"ADC join degenerated:\n$p")
+    assert(p.contains("WindowGroupLimit"), s"top-k rank not limit-pushed:\n$p")
+    assert(p.contains("l2_dist_q") && !p.contains("ScalaUDF"),
+      s"distance kernel left codegen:\n$p")
+  }
 }

@@ -72,7 +72,9 @@ class RegistrySpec extends SparkSpec {
       "q_sample_reservoir", "q_scan_text",
       // r7
       "q_dedup_substring", "q_text_bpe", "q_embed_pq",
-      "q_multimodal_image_meta", "s_stateful_session_tws")
+      "q_multimodal_image_meta", "s_stateful_session_tws",
+      "q_graph_pagerank", "q_graph_triangles", "q_merge_scd2",
+      "q_sample_weighted", "q_scan_xml", "q_sim_pq_adc")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }
