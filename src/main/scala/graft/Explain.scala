@@ -146,5 +146,8 @@ object Explain {
     println(s"[explain] wrote $out (${SparkEntry.queries.size} keys, ${failed.size} errors)")
     if (failed.nonEmpty) System.err.println(s"[explain] errors: ${failed.sorted.mkString(", ")}")
     spark.stop()
+    // the tool doubles as a full registry smoke pass — a CI invocation
+    // must FAIL when any key throws, not just mention it on stderr
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -158,7 +158,7 @@ object Embeddings {
     "q_embed_pq" -> { (s, dir) =>
       // Product quantization — the ANN-index compression step that
       // completes the quantize (scalar) / IVF (coarse) / SRP (binary)
-      // family: each 64-dim vector compresses to 8 codebook ids
+      // family: each 64-dim vector compresses to 16 codebook ids
       // (16 codes per 4-dim subspace here; 256 per 8-dim at
       // production scale), 64 floats → 16 small ints, with reconstruction error carried
       // as the exact fixed-point l2 residual. Output: per-vector code

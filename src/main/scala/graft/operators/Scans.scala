@@ -148,6 +148,13 @@ object Scans {
       val staged = stageDocumentsXml(s, dir)
       val x = s.read.format("xml")
         .option("rowTag", "doc")
+        // pinned, not defaulted: the md5 round-trip is a FIDELITY
+        // contract — a text value with leading/trailing whitespace must
+        // survive verbatim, and the source's default
+        // ignoreSurroundingSpaces=true would silently trim it (the
+        // fixtures happen to be trim-safe; the contract must not
+        // depend on that)
+        .option("ignoreSurroundingSpaces", "false")
         .schema("id LONG, lang STRING, text STRING")
         .load(staged)
       ordered(x.select(col("id").as("doc_id"), col("lang"),

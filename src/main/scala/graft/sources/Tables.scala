@@ -41,8 +41,19 @@ object Tables {
         // SQL and epoch-ns exceeds 2^53, so `/1000` rounds the µs.
         case org.apache.spark.sql.types.LongType =>
           raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+        // r8 fixtures store ts as µs WITHOUT tz annotation, which Spark
+        // infers as TIMESTAMP_NTZ; the engine contract (and TimeSpec)
+        // is an LTZ instant whose UTC wall clock equals the stored
+        // value — the same instant the old TIMESTAMP(NANOS) fixtures
+        // produced via timestamp_micros, and the same naive value
+        // DuckDB's oracle reads. The NTZ→LTZ cast resolves against the
+        // session time zone, which every graft entry point (Verify,
+        // Bench, Explain, specs) pins to UTC.
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
         // a DERIVED events dir (ScaleSoak's scaled copies, any
-        // re-written staging) carries a plain µs timestamp already
+        // re-written staging) carries a plain µs LTZ timestamp already
         case _ => raw
       }
     } finally {

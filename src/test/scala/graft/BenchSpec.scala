@@ -58,8 +58,13 @@ class BenchSpec extends SparkSpec {
     val swept = Bench.measure(spark, sf, Seq("k_trans" -> transient), floors)
     assert(swept.head.median >= 0.7, "sweep runs must all be inflated")
     val adj = Bench.adjudicate(spark, sf, Map("k_trans" -> transient), floors, swept)
-    assert(adj.head.times.size === 1, "late in-band measurement replaces the median")
+    assert(adj.head.times.size === 3, "late re-measure is median-of-3, not one warm run")
     assert(adj.head.median <= Bench.threshold(0.01), s"record must be the quiet time, got ${adj.head.median}")
+    assert(adj.head.sweepMedian.exists(_ >= 0.7), "discarded sweep median stays on the record")
+    // ...and ships in the sidecar next to the late value
+    val line = Bench.jsonLine(Map.empty, 0.0, 1, sf, 0.1, Seq.empty, 0, Seq.empty,
+      adjudicated = Map("k_trans" -> (adj.head.sweepMedian.get, adj.head.median)))
+    assert(line.contains(""""adjudicated":{"k_trans":{"sweep":"""), line)
 
     // sustained: still slow at the tail — flag (i.e. the inflated median) stands
     val sustained: (SparkSession, String) => DataFrame =

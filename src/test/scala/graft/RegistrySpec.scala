@@ -214,6 +214,24 @@ class RegistrySpec extends SparkSpec {
       java.sql.Timestamp.valueOf("2024-01-01 11:30:00").getTime)
   }
 
+  test("xml scan contract: ignoreSurroundingSpaces=false preserves padded element text") {
+    // q_scan_xml's md5 round-trip is a fidelity contract; the source's
+    // DEFAULT ignoreSurroundingSpaces=true would silently trim a text
+    // value with leading/trailing whitespace (the fixtures happen to be
+    // trim-safe — this pins the option so the contract never depends on
+    // fixture luck)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml_ws").toString
+    Seq("<docs><doc><id>1</id><text>  padded value  </text></doc></docs>")
+      .toDF("value").coalesce(1).write.mode("overwrite").text(dir)
+    def readWith(ignore: String) = spark.read.format("xml")
+      .option("rowTag", "doc").option("ignoreSurroundingSpaces", ignore)
+      .schema("id LONG, text STRING").load(dir)
+      .collect().head.getAs[String]("text")
+    assert(readWith("false") === "  padded value  ")
+    assert(readWith("true") === "padded value", "default trims — q_scan_xml must not use it")
+  }
+
   test("md5-threshold sampling is subset-monotone across rates") {
     // the property that makes deterministic sampling composable: the
     // kept set of a lower threshold nests inside a higher one's, so a
