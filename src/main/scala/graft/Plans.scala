@@ -46,7 +46,10 @@ object Plans {
     "q_text_vocab_prune",     // memoized token stream: checkpoint reads, no re-scan (r6)
     "q_text_decontaminate_bloom", // bloom_filter_agg + scalar-subquery might_contain probe (r6)
     "q_dedup_incremental",    // new-prefix × hist-prefix equi join, no cartesian (r6)
-    "q_text_chunk")           // sliding-window chunking: narrow explode+slice, zero hash exchange (r6)
+    "q_text_chunk",           // sliding-window chunking: narrow explode+slice, zero hash exchange (r6)
+    "q_merge_cdc",            // CDC compaction: 3-way union of one scan, single per-key window shuffle (r8)
+    "q_text_ngram_lm",        // bigram model hash aggs + eval-bigram equi join + 1-row V broadcast (r8)
+    "q_sample_temperature")   // two-pass: source counts → broadcast rate table → narrow keep map (r8)
 
   /** Hand-written analysis emitted after a key's plan — kept here so
     * regeneration never loses it. */

@@ -250,6 +250,45 @@ object Dedup {
     "q_dedup_near_jaccard" -> { (s, dir) =>
       ordered(nearDupPairs(Tables(s, dir, "documents")))
     },
+    "q_dedup_url" -> { (s, dir) =>
+      // URL-canonicalization dedup — the crawl-frontier rule that runs
+      // BEFORE any content fetch: the same page reached via tracking
+      // params, fragments, case-varied hosts, explicit default ports,
+      // or trailing slashes must collapse to one canonical key. URLs
+      // are manufactured deterministically from the fixtures (which
+      // carry none) with every noise class planted by doc_id residue,
+      // so each canonicalization step provably fires. Pipeline (order
+      // matters, mirrored in the oracle): drop fragment → lowercase →
+      // strip default :443 port → strip utm_* params (+ repair a
+      // dangling '?&') → strip trailing slash. All regex steps are
+      // Java/RE2-portable; DuckDB needs the 'g' flag (the house
+      // q_text_html_strip rule). 100 TB posture: canonicalization is
+      // a narrow per-row map at scan speed; the only shuffle is the
+      // hash agg on the canonical key — O(urls), the exact-dedup
+      // shape, no pairwise anything.
+      val d = Tables(s, dir, "documents")
+        .withColumn("host",
+          when(col("doc_id") % 3 === 0,
+            concat(upper(col("source")), lit(".Example.COM")))
+          .otherwise(concat(col("source"), lit(".example.com"))))
+        .withColumn("raw_url", concat(
+          lit("https://"), col("host"),
+          when(col("doc_id") % 5 === 0, ":443").otherwise(""),
+          lit("/p/"), pmod(col("doc_id"), lit(40L)),
+          when(col("doc_id") % 7 === 0, "/").otherwise(""),
+          when(col("doc_id") % 4 === 0, "?utm_source=feed&utm_campaign=x")
+            .when(col("doc_id") % 4 === 1, "?ref=keep").otherwise(""),
+          when(col("doc_id") % 6 === 0, "#sec2").otherwise("")))
+      val canon = d.withColumn("u1", regexp_replace(col("raw_url"), "#.*$", ""))
+        .withColumn("u2", lower(col("u1")))
+        .withColumn("u3", regexp_replace(col("u2"), ":443/", "/"))
+        .withColumn("u4", regexp_replace(col("u3"), "[?&]utm_[^&#]*", ""))
+        .withColumn("u5", regexp_replace(col("u4"), "\\?&", "?"))
+        .withColumn("canon_url", regexp_replace(col("u5"), "/$", ""))
+      ordered(canon.groupBy(col("canon_url"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("survivor_id"),
+          countDistinct(col("raw_url")).as("n_variants")))
+    },
     "q_dedup_incremental" -> { (s, dir) =>
       // Incremental-ingest dedup — the nightly-batch reality of a
       // 100 TB pipeline: dedupe the NEW batch against the HISTORICAL
@@ -474,6 +513,35 @@ object Dedup {
         |SELECT da, db, CAST(inter AS DOUBLE) / mn AS containment
         |FROM pairs WHERE inter * 10 >= mn * 9""".stripMargin +
         orderByAll("da", "db", "containment")),
+    "q_dedup_url" ->
+      ("""WITH u AS (
+        |  SELECT doc_id,
+        |    'https://' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN upper(source) || '.Example.COM'
+        |         ELSE source || '.example.com' END ||
+        |    CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END ||
+        |    '/p/' || CAST(doc_id % 40 AS VARCHAR) ||
+        |    CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN '?utm_source=feed&utm_campaign=x'
+        |         WHEN doc_id % 4 = 1 THEN '?ref=keep' ELSE '' END ||
+        |    CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END AS raw_url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, raw_url,
+        |    regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(
+        |          regexp_replace(
+        |            lower(regexp_replace(raw_url, '#.*$', '', 'g')),
+        |            ':443/', '/', 'g'),
+        |          '[?&]utm_[^&#]*', '', 'g'),
+        |        '\?&', '?', 'g'),
+        |      '/$', '', 'g') AS canon_url
+        |  FROM u)
+        |SELECT canon_url, COUNT(*) AS n_docs, MIN(doc_id) AS survivor_id,
+        |  COUNT(DISTINCT raw_url) AS n_variants
+        |FROM c GROUP BY canon_url""".stripMargin +
+        orderByAll("canon_url", "n_docs", "survivor_id", "n_variants")),
     "q_dedup_near_jaccard" ->
       // brute-force twin of the prefix-filtered join: integer-exact
       // threshold, double jaccard only in the projection

@@ -78,6 +78,41 @@ object Graph {
           col("d").as("out_deg")))
     },
 
+    // Single-source BFS hop distance — the traversal primitive next
+    // to PageRank (centrality) and triangles (cohesion): reachability
+    // radius from a seed vertex (min part key — deterministic), 6
+    // unrolled synchronous frontier rounds of min-distance relaxation
+    // (new dist = min(old, 1 + min over in-neighbors)); unreached
+    // vertices are dropped. Integer hop counts — bit-exact anywhere.
+    //
+    // 100 TB posture: per round ONE shuffle of frontier contributions
+    // keyed on dst (map-side min partials collapse to |V| rows) plus a
+    // node-sized left join — the same Pregel-superstep schedule as
+    // q_graph_pagerank over the SAME checkpointed edge table; distance
+    // state is |V| rows, never edge-sized, and no global sort exists.
+    // The null-safe LEAST(COALESCE…) pair sidesteps engine-specific
+    // LEAST null semantics.
+    "q_graph_bfs" -> { (s, dir) =>
+      val edges = copurchaseEdges(s, dir)
+      val nodes = edges.select(col("src").as("id")).distinct()
+      val seed = edges.agg(min(col("src")).as("s0"))
+      var dist = nodes.crossJoin(broadcast(seed))
+        .select(col("id"), when(col("id") === col("s0"), 0L)
+          .otherwise(lit(null).cast("long")).as("d"))
+      for (_ <- 1 to 6) {
+        val reach = dist.filter(col("d").isNotNull)
+        val upd = edges.join(reach, edges("src") === reach("id"))
+          .select(col("dst").as("id"), (col("d") + lit(1L)).as("nd"))
+          .groupBy(col("id")).agg(min(col("nd")).as("nd"))
+        dist = dist.join(upd, Seq("id"), "left")
+          .select(col("id"),
+            least(coalesce(col("d"), col("nd")), coalesce(col("nd"), col("d")))
+              .as("d"))
+      }
+      ordered(dist.filter(col("d").isNotNull)
+        .select(col("id").as("p_partkey"), col("d").as("hops")))
+    },
+
     // Degree-oriented triangle counting + local clustering coefficient
     // — the community-structure / cohesion primitive (spam-farm
     // detection, graph feature engineering). Every edge is oriented
@@ -142,7 +177,27 @@ object Graph {
        |    GROUP BY e.dst) c ON n.id = c.id)""".stripMargin
   }.mkString(",\n")
 
+  /** 6 chained BFS relaxation CTEs mirroring the unrolled Spark loop. */
+  private def bfsIters(n: Int): String = (1 to n).map { i =>
+    s"""d$i AS (
+       |  SELECT p.id,
+       |    LEAST(COALESCE(p.d, u.nd), COALESCE(u.nd, p.d)) AS d
+       |  FROM d${i - 1} p LEFT JOIN (
+       |    SELECT e.dst AS id, MIN(p2.d) + 1 AS nd
+       |    FROM edges e JOIN d${i - 1} p2 ON e.src = p2.id
+       |    WHERE p2.d IS NOT NULL GROUP BY e.dst) u ON p.id = u.id)""".stripMargin
+  }.mkString(",\n")
+
   def oracle: Map[String, String] = Map(
+    "q_graph_bfs" ->
+      (s"""WITH $edgesSql,
+        |nodes AS (SELECT DISTINCT src AS id FROM edges),
+        |seed AS (SELECT MIN(src) AS s0 FROM edges),
+        |d0 AS (SELECT id, CASE WHEN id = (SELECT s0 FROM seed)
+        |  THEN CAST(0 AS BIGINT) ELSE CAST(NULL AS BIGINT) END AS d FROM nodes),
+        |${bfsIters(6)}
+        |SELECT id AS p_partkey, d AS hops FROM d6 WHERE d IS NOT NULL""".stripMargin +
+        orderByAll("p_partkey", "hops")),
     "q_graph_pagerank" ->
       (s"""WITH $edgesSql,
         |deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),

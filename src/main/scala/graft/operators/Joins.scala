@@ -298,6 +298,43 @@ object Joins {
         col("ts").as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"), col("version").cast("long")))
     },
+    "q_merge_cdc" -> { (s, dir) =>
+      // CDC changelog apply — the third lakehouse merge shape next to
+      // q_merge_upsert (SCD-1 overwrite) and q_merge_scd2 (versioned
+      // history): a Debezium-style I/U/D operation feed is compacted
+      // to the CURRENT table state by latest-version-wins, with
+      // deletes tombstoning the key entirely. The feed is manufactured
+      // deterministically from orders (insert for every key, a priced
+      // update for keys ≡0 mod 7, a delete for keys ≡0 mod 13), so
+      // all three op paths and their override chains (I→U, I→D, I→U→D)
+      // provably fire. Apply = ONE row_number window per key ordered
+      // by version DESC, keep rn=1 where op≠'D' — the standard
+      // compaction query every CDC sink runs.
+      // 100 TB posture: the window partitions by the merge key — no
+      // global sort, state per key = its change rows; an incremental
+      // run windows only (current row ∪ new changes) per key, the
+      // identical plan. Union of three projections of ONE scan —
+      // Catalyst collapses to a single pass over orders.
+      val o = Tables(s, dir, "orders")
+      val ins = o.select(col("o_orderkey").as("k"), lit(1L).as("version"),
+        lit("I").as("op"), col("o_totalprice").as("price"),
+        col("o_orderstatus").as("status"))
+      val upd = o.filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("k"), lit(2L).as("version"),
+          lit("U").as("op"), (col("o_totalprice") * lit(1.1)).as("price"),
+          lit("P").as("status"))
+      val del = o.filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_orderkey").as("k"), lit(3L).as("version"),
+          lit("D").as("op"), lit(null).cast("double").as("price"),
+          lit(null).cast("string").as("status"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("version").desc)
+      val latest = ins.union(upd).union(del)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("op") =!= "D")
+      ordered(latest.select(col("k").as("o_orderkey"), col("status"),
+        col("price"), col("version")))
+    },
     "q_join_fuzzy" -> { (s, dir) =>
       val names = Tables(s, dir, "part")
         .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("cnt"))
@@ -557,6 +594,23 @@ object Joins {
         |    AS sum_price
         |FROM m GROUP BY st""".stripMargin +
         orderByAll("st", "n_rows", "n_updated", "n_inserted", "sum_price")),
+    "q_merge_cdc" ->
+      ("""WITH feed AS (
+        |  SELECT o_orderkey AS k, CAST(1 AS BIGINT) AS version, 'I' AS op,
+        |    o_totalprice AS price, o_orderstatus AS status FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, 2, 'U', o_totalprice * 1.1, 'P'
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 3, 'D', CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR)
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |latest AS (
+        |  SELECT k, version, op, price, status,
+        |    row_number() OVER (PARTITION BY k ORDER BY version DESC) AS rn
+        |  FROM feed)
+        |SELECT k AS o_orderkey, status, price, version
+        |FROM latest WHERE rn = 1 AND op <> 'D'""".stripMargin +
+        orderByAll("o_orderkey", "status", "price", "version")),
     "q_merge_scd2" ->
       ("""WITH chg AS (
         |  SELECT o_custkey AS custkey, o_orderdate AS ts, o_orderkey AS seq,

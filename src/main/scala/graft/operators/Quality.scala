@@ -45,6 +45,39 @@ object Quality {
           "'qty',         min_qty,                       max_qty) " +
           "AS (metric, v1, v2)"))
     },
+    "q_quality_classifier" -> { (s, dir) =>
+      // Model-based quality scoring, the fasttext-style linear
+      // classifier a curation pipeline runs per doc (the CCNet/GPT-3
+      // "quality model" stage) — here with a FIXED, shipped weight
+      // vector over integer features so the score is a pure function
+      // of the text: stopword density and unique-token ratio reward
+      // natural prose, digit-token density and out-of-band length
+      // penalize boilerplate/noise. Everything is integer arithmetic
+      // (densities as per-mille via integer DIV), so score and band
+      // replay exactly in any engine; swapping in LEARNED weights
+      // changes the literals, not the plan. 100 TB posture: pure
+      // narrow map over the corpus (features + dot product at scan
+      // speed), then a |bands|-row hash agg — nothing shuffles but
+      // the report.
+      val d = Tables(s, dir, "documents")
+        .withColumn("t", expr("filter(split(text, ' '), x -> x <> '')"))
+        .withColumn("n_tok", size(col("t")))
+        .filter(col("n_tok") > 0)
+        .withColumn("stop_cnt", expr(
+          s"size(filter(t, x -> array_contains(array${Text.Markers.en.mkString("('", "', '", "')")}, x)))"))
+        .withColumn("digit_cnt", expr("size(filter(t, x -> x rlike '^[0-9]+$'))"))
+        .withColumn("stop_ppt", expr("CAST(stop_cnt * 1000 AS BIGINT) DIV n_tok"))
+        .withColumn("uniq_ppt", expr("CAST(size(array_distinct(t)) * 1000 AS BIGINT) DIV n_tok"))
+        .withColumn("len_pen", when(col("n_tok") < 20, 500L)
+          .when(col("n_tok") > 400, 300L).otherwise(0L))
+        .withColumn("score",
+          lit(2L) * col("stop_ppt") + col("uniq_ppt")
+            - col("len_pen") - lit(5L) * col("digit_cnt"))
+        .withColumn("band", when(col("score") >= 1400L, "high")
+          .when(col("score") >= 900L, "mid").otherwise("low"))
+      ordered(d.select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
+        col("stop_ppt"), col("uniq_ppt"), col("score"), col("band")))
+    },
     "q_quality_audit" -> { (s, dir) =>
       // three constraint families over the TPC-H-ish schema, one count
       // per rule; orphans are manufactured (drop a slice of orders)
@@ -84,6 +117,31 @@ object Quality {
         |UNION ALL SELECT 'nd_orderkey', CAST(nd_orderkey AS DOUBLE), CAST(nd_returnflag AS DOUBLE) FROM p
         |UNION ALL SELECT 'qty', min_qty, max_qty FROM p""".stripMargin +
         orderByAll("metric", "v1", "v2")),
+    "q_quality_classifier" ->
+      (s"""WITH f AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, len(t) AS n_tok,
+        |    len(list_filter(t, x -> list_contains(${Text.Markers.sql(Text.Markers.en)}, x))) AS stop_cnt,
+        |    len(list_filter(t, x -> regexp_matches(x, '^[0-9]+$$'))) AS digit_cnt,
+        |    len(list_distinct(t)) AS n_uniq
+        |  FROM f WHERE len(t) > 0),
+        |sc AS (
+        |  SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |    CAST(stop_cnt AS BIGINT) * 1000 // n_tok AS stop_ppt,
+        |    CAST(n_uniq AS BIGINT) * 1000 // n_tok AS uniq_ppt,
+        |    CASE WHEN n_tok < 20 THEN 500 WHEN n_tok > 400 THEN 300 ELSE 0 END AS len_pen,
+        |    CAST(digit_cnt AS BIGINT) AS digit_cnt
+        |  FROM g)
+        |SELECT doc_id, n_tok, stop_ppt, uniq_ppt,
+        |  2 * stop_ppt + uniq_ppt - len_pen - 5 * digit_cnt AS score,
+        |  CASE WHEN 2 * stop_ppt + uniq_ppt - len_pen - 5 * digit_cnt >= 1400 THEN 'high'
+        |       WHEN 2 * stop_ppt + uniq_ppt - len_pen - 5 * digit_cnt >= 900 THEN 'mid'
+        |       ELSE 'low' END AS band
+        |FROM sc""".stripMargin +
+        orderByAll("doc_id", "n_tok", "stop_ppt", "uniq_ppt", "score", "band")),
     "q_quality_audit" ->
       ("""WITH o AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 <> 0)
         |SELECT 'fk_orphan_lineitems' AS rule, CAST(COUNT(*) AS BIGINT) AS n_violations

@@ -552,6 +552,119 @@ object Text {
         .select(col("doc_id"), col("lang"), col("w"), col("priority"),
           greatest(col("w"), col("tau")).as("est_w")))
     },
+    "q_sample_temperature" -> { (s, dir) =>
+      // Temperature-balanced multi-source sampling — the data-MIXING
+      // step of a multilingual/multi-source pretraining corpus (the
+      // XLM-R/mT5 recipe): sampling mass per source ∝ n_s^α flattens
+      // the head so low-resource sources are not drowned out. α = 1/2
+      // here because IEEE sqrt is correctly rounded in every engine —
+      // the rate math stays bit-reproducible without a pow() contract.
+      // Per-source keep rate r_s = min(1, K·√n_s / (Σ√n · n_s)) with
+      // K = a 25% token budget, quantized to ppm; membership is the
+      // house md5-threshold rule, with the ppm rate converted to an
+      // exact 6-hex-digit cutoff (h < thr ⇔ h·2²⁴ < r·2²⁴) so the
+      // comparison is pure string/integer arithmetic. Σ√n is a SORTED
+      // left-assoc fold (|sources| values), identical in the oracle.
+      // 100 TB posture: ONE corpus pass for per-source counts (hash
+      // agg), rate table is |sources| rows broadcast back, keep pass
+      // is a narrow map — the same two-pass shape as q_text_vocab_prune.
+      val d = Tables(s, dir, "documents")
+      val per = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      val tot = per.agg(
+        expr("aggregate(sort_array(collect_list(sqrt(CAST(n_docs AS DOUBLE)))), " +
+          "CAST(0 AS DOUBLE), (a, x) -> a + x)").as("sumw"),
+        sum(col("n_docs")).as("n_total"))
+      val rates = per.crossJoin(broadcast(tot))
+        .withColumn("rate_ppm",
+          least(lit(1000000L),
+            floor(lit(1e6) * (((expr("n_total DIV 4").cast("double")) *
+              sqrt(col("n_docs").cast("double"))) /
+              (col("sumw") * col("n_docs").cast("double")))).cast("long")))
+        .select(col("source"), col("n_docs"), col("rate_ppm"))
+      val thr = lpad(lower(hex(expr("rate_ppm * 16777216 DIV 1000000"))), 6, "0")
+      val marked = d.join(broadcast(rates), Seq("source"))
+        .withColumn("kept",
+          col("rate_ppm") >= 1000000L ||
+            substring(md5(col("doc_id").cast("string")), 1, 6) < thr)
+      ordered(marked.groupBy(col("source"), col("n_docs"), col("rate_ppm"))
+        .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept")))
+    },
+    "q_text_ngram_lm" -> { (s, dir) =>
+      // Statistical LM quality scoring — the CCNet/KenLM-style
+      // perplexity filter: a bigram model with add-one smoothing is
+      // trained on the TRAIN split (the house md5 split rule) and
+      // every EVAL doc is scored by its total/average negative
+      // log-likelihood; high-NLL docs are the gibberish/outlier
+      // candidates a curation pipeline drops or buckets. Cross-engine
+      // exactness: every bigram's NLL is quantized ONCE as
+      // -floor(1e6·ln((c2+1)/(ctx+V))) — the ln argument is an exact
+      // small-int ratio, and floor(1e6·ln(·)) was validated
+      // bit-identical Java-vs-DuckDB over a 24k-rational grid — so
+      // per-doc totals are BIGINT sums no addition order can perturb.
+      // 100 TB posture: model tables are vocabulary²-bounded hash aggs
+      // (map-side partials collapse the corpus stream); scoring joins
+      // eval bigrams to the model on bigram keys — O(eval tokens)
+      // shuffle, model side broadcast-sized in practice; V and the
+      // smoothing ride as a 1-row broadcast.
+      val d = Tables(s, dir, "documents")
+      val split = when(md5(col("doc_id").cast("string")) < lit("1a"), "eval")
+        .otherwise("train")
+      val bg = d.withColumn("split", split)
+        .withColumn("t", toks())
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("split"), explode(expr(
+          "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+          .as("b"))
+        .select(col("doc_id"), col("split"), col("b.w1"), col("b.w2"))
+      val c2 = bg.filter(col("split") === "train")
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      val v = d.withColumn("split", split).filter(col("split") === "train")
+        .select(explode(toks()).as("tok"))
+        .agg(countDistinct(col("tok")).as("v"))
+      val scored = bg.filter(col("split") === "eval")
+        .join(c2, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .withColumn("nll_q",
+          -floor(lit(1e6) * log(
+            (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+              (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))))
+      ordered(scored.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_q")).as("nll_total"))
+        .select(col("doc_id"), col("n_bigrams"), col("nll_total"),
+          (col("nll_total").cast("double") / col("n_bigrams").cast("double") /
+            lit(1e6)).as("avg_nll"),
+          (col("nll_total") <= col("n_bigrams") * lit(3400000L)).as("keep")))
+    },
+    "q_text_entropy" -> { (s, dir) =>
+      // Token-entropy quality gate — the Shannon-entropy repetition/
+      // gibberish detector (the information-theoretic cousin of
+      // q_text_repetition's Gopher count rules): a doc whose token
+      // distribution has low entropy is template/repetition spam even
+      // when no single token dominates. H = ln n − (Σ c·ln c)/n over
+      // the per-doc token histogram, computed in validated fixed point
+      // (floor(1e6·ln) per distinct count, then exact BIGINT sums) so
+      // the final double is ONE shared (num/(n·1e6)) expression on
+      // identical integers in both engines. Verdict: flag below 2.5
+      // nats (~e¹·² effective vocabulary). 100 TB posture: explode →
+      // two-level hash agg, map-side partials collapse the token
+      // stream; everything after the histogram is per-doc narrow.
+      val d = Tables(s, dir, "documents")
+      val counts = d.select(col("doc_id"), explode(toks()).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+      ordered(counts.groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tok"),
+          count(lit(1)).as("n_unique"),
+          sum(col("c") * floor(lit(1e6) * log(col("c").cast("double"))))
+            .as("s_clnc"))
+        .select(col("doc_id"), col("n_tok"), col("n_unique"),
+          ((col("n_tok") * floor(lit(1e6) * log(col("n_tok").cast("double")))
+            - col("s_clnc")).cast("double") /
+            (col("n_tok").cast("double") * lit(1e6))).as("entropy_nats"),
+          ((col("n_tok") * floor(lit(1e6) * log(col("n_tok").cast("double")))
+            - col("s_clnc")) < col("n_tok") * lit(2500000L)).as("low_entropy")))
+    },
     "q_text_tokens_tf" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
       ordered(d.select(col("doc_id"), explode(toks()).as("term"))
@@ -976,6 +1089,59 @@ object Text {
         |    (acc, x) -> (acc * 31 + x) % 1000000007) % 256 AS shard
         |FROM documents""".stripMargin +
         orderByAll("doc_id", "fingerprint", "shard")),
+    "q_sample_temperature" ->
+      ("""WITH per AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+        |tot AS (SELECT
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_sort(list(sqrt(CAST(n_docs AS DOUBLE))))), (a, x) -> a + x) AS sumw,
+        |  CAST(SUM(n_docs) AS BIGINT) AS n_total FROM per),
+        |rates AS (SELECT source, n_docs,
+        |  LEAST(1000000, CAST(floor(1e6 * ((CAST(n_total // 4 AS DOUBLE) *
+        |    sqrt(CAST(n_docs AS DOUBLE))) / (sumw * CAST(n_docs AS DOUBLE))))
+        |    AS BIGINT)) AS rate_ppm
+        |  FROM per, tot),
+        |marked AS (SELECT d.source, r.n_docs, r.rate_ppm,
+        |  (r.rate_ppm >= 1000000 OR substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 6) <
+        |    lpad(lower(hex(r.rate_ppm * 16777216 // 1000000)), 6, '0')) AS kept
+        |  FROM documents d JOIN rates r USING (source))
+        |SELECT source, n_docs, rate_ppm,
+        |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM marked GROUP BY source, n_docs, rate_ppm""".stripMargin +
+        orderByAll("source", "n_docs", "rate_ppm", "n_kept")),
+    "q_text_ngram_lm" ->
+      (s"""WITH d AS (SELECT doc_id,
+        |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'eval' ELSE 'train' END AS split,
+        |  $tokSql AS t FROM documents),
+        |bg AS (SELECT doc_id, split, t[j] AS w1, t[j+1] AS w2
+        |  FROM d, unnest(range(1, len(t))) AS u(j) WHERE len(t) >= 2),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE split = 'train' GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v FROM
+        |  (SELECT unnest(t) AS tok FROM d WHERE split = 'train')),
+        |sc AS (SELECT e.doc_id,
+        |  CAST(-floor(1e6 * ln(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE) /
+        |    CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE))) AS BIGINT) AS nll_q
+        |  FROM bg e LEFT JOIN c2 ON e.w1 = c2.w1 AND e.w2 = c2.w2
+        |  LEFT JOIN c1 ON e.w1 = c1.w1 CROSS JOIN v
+        |  WHERE e.split = 'eval')
+        |SELECT doc_id, COUNT(*) AS n_bigrams, CAST(SUM(nll_q) AS BIGINT) AS nll_total,
+        |  CAST(SUM(nll_q) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS avg_nll,
+        |  (CAST(SUM(nll_q) AS BIGINT) <= COUNT(*) * 3400000) AS keep
+        |FROM sc GROUP BY doc_id""".stripMargin +
+        orderByAll("doc_id", "n_bigrams", "nll_total", "avg_nll", "keep")),
+    "q_text_entropy" ->
+      (s"""WITH c AS (SELECT doc_id, tok, COUNT(*) AS c FROM
+        |  (SELECT doc_id, unnest($tokSql) AS tok FROM documents) GROUP BY doc_id, tok),
+        |h AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tok, COUNT(*) AS n_unique,
+        |  CAST(SUM(c * CAST(floor(1e6 * ln(CAST(c AS DOUBLE))) AS BIGINT)) AS BIGINT) AS s_clnc
+        |  FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_tok, n_unique,
+        |  CAST(n_tok * CAST(floor(1e6 * ln(CAST(n_tok AS DOUBLE))) AS BIGINT) - s_clnc AS DOUBLE)
+        |    / (CAST(n_tok AS DOUBLE) * 1000000.0) AS entropy_nats,
+        |  ((n_tok * CAST(floor(1e6 * ln(CAST(n_tok AS DOUBLE))) AS BIGINT) - s_clnc)
+        |    < n_tok * 2500000) AS low_entropy
+        |FROM h""".stripMargin +
+        orderByAll("doc_id", "n_tok", "n_unique", "entropy_nats", "low_entropy")),
     "q_text_tokens_tf" ->
       (s"""SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest($tokSql) AS term FROM documents)

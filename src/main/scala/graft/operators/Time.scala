@@ -222,6 +222,47 @@ object Time {
       ordered(lagged.filter(col("rn") >= 8)
         .select(col("event_type"), col("bucket"), col("x"), col("ewma")))
     },
+    "q_time_autocorr" -> { (s, dir) =>
+      // Lag-k autocorrelation (k = 1..3) of the per-type daily series —
+      // the seasonality/persistence diagnostic behind forecasting and
+      // drift monitors (is yesterday predictive of today?). The daily
+      // value is quantized ONCE to an exact integer (floor of the
+      // exact DECIMAL(18,4) day sum), so every Pearson moment (n, Σx,
+      // Σy, Σx², Σy², Σxy) is a BIGINT no addition order can perturb;
+      // r then comes from ONE shared IEEE expression —
+      // (n·Σxy−ΣxΣy)/(√(n·Σx²−Σx²̂)·√(n·Σy²−Σy²̂)) — on identical
+      // integers in both engines (the two separate sqrts also keep the
+      // variance product inside int64→double range). Degenerate
+      // (zero-variance) series yield NULL, not NaN.
+      // 100 TB posture: the heavy shuffle is the daily pre-agg of raw
+      // events (map-side decimal partials); ONE window sort per type
+      // yields all three lags (stack explodes 3 rows per day), and the
+      // final agg is |types|·3 rows.
+      val e = Tables(s, dir, "events")
+      val daily = e.groupBy(col("event_type"),
+          (expr("CAST(ts AS LONG) DIV 86400") * 86400).as("bucket"))
+        .agg(floor(sum(money(col("value")))).cast("long").as("x"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("bucket"))
+      val lagged = daily
+        .withColumn("y1", lag(col("x"), 1).over(w))
+        .withColumn("y2", lag(col("x"), 2).over(w))
+        .withColumn("y3", lag(col("x"), 3).over(w))
+        .selectExpr("event_type", "x",
+          "stack(3, CAST(1 AS BIGINT), y1, CAST(2 AS BIGINT), y2, CAST(3 AS BIGINT), y3) AS (lag, y)")
+        .filter(col("y").isNotNull)
+      val m = lagged.groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+      val va = col("n") * col("sxx") - col("sx") * col("sx")
+      val vb = col("n") * col("syy") - col("sy") * col("sy")
+      ordered(m.select(col("event_type"), col("lag"), col("n"),
+        when(va > 0L && vb > 0L,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (sqrt(va.cast("double")) * sqrt(vb.cast("double"))))
+          .as("autocorr")))
+    },
     "q_time_anomaly" -> { (s, dir) =>
       // Rolling z-score outlier flag over per-type daily totals: the
       // drift/spike monitor every ingestion pipeline runs. Trailing
@@ -415,6 +456,32 @@ object Time {
         |FROM l WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, event_type""".stripMargin +
         orderByAll("prev_type", "event_type", "n_transitions", "n_users")),
+    "q_time_autocorr" ->
+      ("""WITH daily AS (
+        |  SELECT event_type, epoch_us(ts)//1000000//86400*86400 AS bucket,
+        |    CAST(floor(SUM(CAST(value AS DECIMAL(18,4)))) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, epoch_us(ts)//1000000//86400*86400),
+        |l AS (
+        |  SELECT event_type, x,
+        |    lag(x, 1) OVER w AS y1, lag(x, 2) OVER w AS y2, lag(x, 3) OVER w AS y3
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+        |p AS (
+        |  SELECT event_type, CAST(1 AS BIGINT) AS lag, x, y1 AS y FROM l
+        |  UNION ALL SELECT event_type, 2, x, y2 FROM l
+        |  UNION ALL SELECT event_type, 3, x, y3 FROM l),
+        |m AS (
+        |  SELECT event_type, lag, COUNT(*) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+        |    CAST(SUM(x*y) AS BIGINT) AS sxy
+        |  FROM p WHERE y IS NOT NULL GROUP BY event_type, lag)
+        |SELECT event_type, lag, n,
+        |  CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
+        |    CAST(n*sxy - sx*sy AS DOUBLE) /
+        |      (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+        |  ELSE NULL END AS autocorr
+        |FROM m""".stripMargin +
+        orderByAll("event_type", "lag", "n", "autocorr")),
     "q_time_ewma" ->
       ("""WITH daily AS (
         |  SELECT event_type, epoch_us(ts)//1000000//86400*86400 AS bucket,

@@ -64,6 +64,25 @@ class DedupSpec extends SparkSpec {
     assert(labels.forall(_._2 === 0L), "all labels must be the component min (0)")
   }
 
+  test("q_dedup_url: canonical keys are noise-free and conserve the corpus (r8)") {
+    val rows = SparkEntry.queries("q_dedup_url")(spark, sf).collect()
+      .map(r => (r.getAs[String]("canon_url"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("survivor_id"), r.getAs[Long]("n_variants")))
+    assert(rows.nonEmpty)
+    val total = graft.sources.Tables(spark, sf, "documents").count()
+    assert(rows.map(_._2).sum === total, "every doc must land in exactly one cluster")
+    rows.foreach { case (u, n, _, variants) =>
+      // every canonicalization rule verifiably held on every key
+      assert(u == u.toLowerCase, s"case noise survived: $u")
+      assert(!u.contains("#") && !u.contains("utm_"), s"fragment/utm survived: $u")
+      assert(!u.contains(":443") && !u.endsWith("/"), s"port/slash noise survived: $u")
+      assert(variants >= 1 && variants <= n, s"$u variants=$variants docs=$n")
+    }
+    // the planted noise classes actually collapse something: some
+    // cluster must unite multiple RAW variants
+    assert(rows.exists(_._4 > 1), "no cluster merged distinct raw URLs — staging noise dead")
+  }
+
   test("simhash: identical texts collide, fingerprint is 64-bit stable") {
     import spark.implicits._
     val df = Seq("the quick brown fox", "the quick brown fox", "lorem ipsum dolor sit")

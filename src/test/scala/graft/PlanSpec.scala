@@ -494,4 +494,57 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("l2_dist_q") && !p.contains("ScalaUDF"),
       s"distance kernel left codegen:\n$p")
   }
+
+  test("q_quality_classifier / q_dedup_url: narrow map stages, no join anywhere (r8)") {
+    // both keys are pure per-row feature/canonicalization maps feeding
+    // one hash agg — a join or window here means the narrow pipeline
+    // silently grew a shuffle it does not need
+    for (k <- Seq("q_quality_classifier", "q_dedup_url")) {
+      val p = planOf(k)
+      assert(!p.contains("Join"), s"$k should not join:\n$p")
+      assert(!p.contains("Window"), s"$k should not window:\n$p")
+    }
+  }
+
+  test("q_text_entropy: two-level hash agg with map-side partials, no join (r8)") {
+    val p = planOf("q_text_entropy")
+    assert(!p.contains("Join"), s"entropy should not join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"histogram agg lost map-side partials:\n$p")
+  }
+
+  test("q_text_ngram_lm / q_sample_temperature: model/rate tables join equi or broadcast, never cartesian (r8)") {
+    // the 1-row V / totals sides ride BNLJ broadcasts by design; what
+    // must never appear is a CartesianProduct (an unkeyed model join
+    // would be corpus × vocabulary²)
+    for (k <- Seq("q_text_ngram_lm", "q_sample_temperature")) {
+      val p = planOf(k)
+      assert(!p.contains("CartesianProduct"), s"$k plans a cartesian:\n$p")
+      assert(p.contains("BroadcastExchange"), s"$k lost its broadcast side:\n$p")
+    }
+  }
+
+  test("q_merge_cdc: changelog apply rides ONE hash shuffle (r8)") {
+    // union of three projections of the same scan, then a single
+    // per-key window — more than one non-reused hash exchange means
+    // the union stopped collapsing or the window re-partitioned
+    val p = finalPlan(SparkEntry.queries("q_merge_cdc")(spark, sf))
+    val hashExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hashExchanges == 1, s"CDC apply should shuffle once, saw $hashExchanges:\n$p")
+    assert(p.contains("Window"), s"latest-wins window missing:\n$p")
+  }
+
+  test("q_graph_bfs: frontier relaxation joins stay keyed (r8)") {
+    val p = planOf("q_graph_bfs")
+    assert(!p.contains("CartesianProduct"), s"BFS plans a cartesian:\n$p")
+  }
+
+  test("q_time_autocorr: one window sort yields all three lags, no join (r8)") {
+    val p = planOf("q_time_autocorr")
+    assert(!p.contains("Join"), s"autocorr should not join:\n$p")
+    assert(p.contains("Window"), s"lag window missing:\n$p")
+    val sorts = p.linesIterator.count(_.trim.startsWith("Sort "))
+    assert(sorts <= 2, s"expected one window sort (+ output order), saw $sorts:\n$p")
+  }
 }

@@ -74,7 +74,11 @@ class RegistrySpec extends SparkSpec {
       "q_dedup_substring", "q_text_bpe", "q_embed_pq",
       "q_multimodal_image_meta", "s_stateful_session_tws",
       "q_graph_pagerank", "q_graph_triangles", "q_merge_scd2",
-      "q_sample_weighted", "q_scan_xml", "q_sim_pq_adc")
+      "q_sample_weighted", "q_scan_xml", "q_sim_pq_adc",
+      // r8
+      "q_text_ngram_lm", "q_text_entropy", "q_sample_temperature",
+      "q_quality_classifier", "q_dedup_url", "q_merge_cdc",
+      "q_graph_bfs", "q_time_autocorr")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }

@@ -22,6 +22,98 @@ class TextSpec extends SparkSpec {
       s"bloom flagged ${bloom.size} docs vs ${exact.size} exact — FP rate too high")
   }
 
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  private def fixtureToks(): Seq[(Long, Seq[String])] =
+    graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").filter(_.nonEmpty).toSeq)
+      .toSeq
+
+  test("q_text_ngram_lm matches an independent in-memory LM replay (r8)") {
+    // train the identical add-one bigram model in plain Scala (own md5
+    // split, own counting, own Math.log) and demand the per-doc
+    // quantized NLL totals agree exactly — catches any silent drift in
+    // the split rule, smoothing, context totals, or quantization
+    val docs = fixtureToks()
+    val (train, eval) = docs.partition { case (id, _) => md5Hex(id.toString) >= "1a" }
+    val c2 = scala.collection.mutable.Map.empty[(String, String), Long]
+    train.foreach { case (_, t) =>
+      t.sliding(2).filter(_.size == 2).foreach(p =>
+        c2((p(0), p(1))) = c2.getOrElse((p(0), p(1)), 0L) + 1) }
+    val c1 = c2.groupBy(_._1._1).map { case (w, m) => w -> m.values.sum }
+    val v = train.flatMap(_._2).distinct.size
+    val expected = eval.filter(_._2.size >= 2).map { case (id, t) =>
+      id -> t.sliding(2).filter(_.size == 2).map { p =>
+        val num = (c2.getOrElse((p(0), p(1)), 0L) + 1).toDouble
+        val den = (c1.getOrElse(p(0), 0L) + v).toDouble
+        -math.floor(1e6 * math.log(num / den)).toLong
+      }.sum
+    }.toMap
+    val got = SparkEntry.queries("q_text_ngram_lm")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("nll_total")).toMap
+    assert(got.keySet === expected.keySet, "eval doc set mismatch")
+    expected.foreach { case (id, nll) =>
+      assert(got(id) === nll, s"doc $id: engine ${got(id)} vs replay $nll") }
+  }
+
+  test("q_text_entropy matches an independent in-memory recompute (r8)") {
+    val expected = fixtureToks().filter(_._2.nonEmpty).map { case (id, t) =>
+      val n = t.size.toLong
+      val s = t.groupBy(identity).values
+        .map(g => g.size * math.floor(1e6 * math.log(g.size.toDouble)).toLong).sum
+      val num = n * math.floor(1e6 * math.log(n.toDouble)).toLong - s
+      id -> (num.toDouble / (n.toDouble * 1e6))
+    }.toMap
+    val got = SparkEntry.queries("q_text_entropy")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("entropy_nats")).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (id, h) =>
+      assert(got(id) === h, s"doc $id: engine ${got(id)} vs replay $h")
+      assert(h >= 0.0, s"entropy negative for doc $id") }
+  }
+
+  test("q_sample_temperature flattens the head: rates are anti-monotone in source size (r8)") {
+    val rows = SparkEntry.queries("q_sample_temperature")(spark, sf).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("rate_ppm"), r.getAs[Long]("n_kept")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, n, ppm, kept) =>
+      assert(ppm >= 0 && ppm <= 1000000, s"$src rate out of range: $ppm")
+      assert(kept >= 0 && kept <= n, s"$src kept $kept of $n") }
+    // temperature property: a strictly larger source never gets a
+    // strictly larger keep RATE (∝ n^(α-1), α = 1/2 → decreasing)
+    for (w <- rows.sortBy(_._2).sliding(2) if w.length == 2) {
+      val (sa, na, ra, _) = w(0); val (sb, nb, rb, _) = w(1)
+      if (na < nb)
+        assert(rb <= ra, s"rate not anti-monotone: $sa($na)→$ra vs $sb($nb)→$rb")
+    }
+  }
+
+  test("q_quality_classifier matches an independent in-memory scorer (r8)") {
+    val stop = graft.operators.Text.Markers.en.toSet
+    val expected = fixtureToks().filter(_._2.nonEmpty).map { case (id, t) =>
+      val n = t.size.toLong
+      val stopPpt = t.count(stop) * 1000L / n
+      val uniqPpt = t.distinct.size * 1000L / n
+      val pen = if (n < 20) 500L else if (n > 400) 300L else 0L
+      val digits = t.count(_.forall(_.isDigit)).toLong
+      val score = 2 * stopPpt + uniqPpt - pen - 5 * digits
+      val band = if (score >= 1400) "high" else if (score >= 900) "mid" else "low"
+      id -> (score, band)
+    }.toMap
+    val got = SparkEntry.queries("q_quality_classifier")(spark, sf).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("score"), r.getAs[String]("band"))).toMap
+    assert(got.keySet === expected.keySet)
+    expected.foreach { case (id, e) =>
+      assert(got(id) === e, s"doc $id: engine ${got(id)} vs replay $e") }
+    // the fixture must actually exercise more than one band
+    assert(got.values.map(_._2).toSet.size >= 2, "classifier collapsed to one band")
+  }
+
   test("q_text_bpe: greedy merge fold matches reference semantics; training is deterministic") {
     // the fold is the subtle half of BPE: greedy LEFT-TO-RIGHT,
     // non-overlapping, and a just-merged symbol must not re-merge in

@@ -45,6 +45,48 @@ class TimeSpec extends SparkSpec {
       org.apache.spark.sql.types.TimestampType)
   }
 
+  test("q_time_autocorr matches an independent in-memory Pearson replay (r8)") {
+    import org.apache.spark.sql.functions._
+    // recompute the quantized daily series and all three lag
+    // correlations in plain Scala off the raw events — catches drift
+    // in the quantization, lag pairing, or the moment formula
+    val raw = Tables(spark, sf, "events")
+      .select(col("event_type"), expr("CAST(ts AS LONG)").as("sec"),
+        col("value")).collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400 * 86400,
+        BigDecimal(r.getDouble(2)).setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+    val daily = raw.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._3).sum.setScale(0, BigDecimal.RoundingMode.FLOOR).toLong)
+      .toMap
+    val expected = (for {
+      typ <- daily.keys.map(_._1).toSeq.distinct
+      k <- 1 to 3
+    } yield {
+      val xs = daily.filter(_._1._1 == typ).toSeq.sortBy(_._1._2).map(_._2)
+      val pairs = xs.drop(k).zip(xs.dropRight(k)) // (x_t, x_{t-k})
+      val n = pairs.size.toLong
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val (sxx, syy, sxy) = (pairs.map(p => p._1 * p._1).sum,
+        pairs.map(p => p._2 * p._2).sum, pairs.map(p => p._1 * p._2).sum)
+      val (va, vb) = (n * sxx - sx * sx, n * syy - sy * sy)
+      val r = if (va > 0 && vb > 0)
+        Some((n * sxy - sx * sy).toDouble / (math.sqrt(va.toDouble) * math.sqrt(vb.toDouble)))
+      else None
+      (typ, k.toLong) -> (n, r)
+    }).toMap
+    val got = SparkEntry.queries("q_time_autocorr")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("lag")) ->
+        (r.getAs[Long]("n"), Option(r.get(r.fieldIndex("autocorr")))
+          .map(_.asInstanceOf[Double]))).toMap
+    assert(got.keySet === expected.filter(_._2._1 > 0).keySet)
+    got.foreach { case (key, (n, r)) =>
+      val (en, er) = expected(key)
+      assert(n === en, s"$key: n $n vs $en")
+      assert(r === er, s"$key: r $r vs replay $er")
+      r.foreach(v => assert(v >= -1.0000001 && v <= 1.0000001, s"$key out of [-1,1]: $v"))
+    }
+  }
+
   test("kill mid-stream, resume from checkpoint: no loss, no dupes (A4/A5)") {
     val staged = EventSource.stageEvents(spark, sf)
     val out = java.nio.file.Files.createTempDirectory("graft_kill_out").toString
