@@ -110,7 +110,82 @@ object Multimodal {
         .repartition(4).write.mode("overwrite").parquet(staged)
     }
 
+  /** Stage canonical 44-byte-header WAV blobs (PCM), one per doc, all
+    * fields derived from doc_id formulas (the audio twin of
+    * [[stageImageBlobs]]): RIFF/WAVE/fmt/data chunks little-endian,
+    * 16-byte md5 payload, 60 bytes total. Every derived field
+    * (blockAlign, byteRate) is written CONSISTENTLY so the parser's
+    * consistency check is meaningful. */
+  private[graft] def stageAudioBlobs(s: SparkSession, sfDir: String): String =
+    graft.sources.Stage.once(sfDir, "documents_wav", "documents") { staged =>
+      def le4(c: org.apache.spark.sql.Column) = {
+        val be = lpad(hex(c), 8, "0")
+        concat(substring(be, 7, 2), substring(be, 5, 2),
+          substring(be, 3, 2), substring(be, 1, 2))
+      }
+      def le2(c: org.apache.spark.sql.Column) = {
+        val be = lpad(hex(c), 4, "0")
+        concat(substring(be, 3, 2), substring(be, 1, 2))
+      }
+      val d = Tables(s, sfDir, "documents")
+        .withColumn("ch", (lit(1L) + col("doc_id") % 2).cast("long"))
+        .withColumn("rate", (lit(8000L) + col("doc_id") * 441 % 36000).cast("long"))
+        .withColumn("bits",
+          (lit(8L) * (lit(1L) + (col("doc_id") / 2).cast("long") % 2)).cast("long"))
+        .withColumn("block", (col("ch") * expr("bits DIV 8")).cast("long"))
+        .withColumn("brate", (col("rate") * col("block")).cast("long"))
+        .withColumn("filler", upper(md5(col("doc_id").cast("string"))))
+      // RIFF(4) size=52 LE(4) WAVE(4) | fmt (4) sub1=16 LE(4) tag=1
+      // LE(2) ch LE(2) rate LE(4) byteRate LE(4) block LE(2) bits
+      // LE(2) | data(4) size=16 LE(4) payload(16) = 60 B
+      val wavHex = concat(lit("52494646"), le4(lit(52L)), lit("57415645"),
+        lit("666D7420"), le4(lit(16L)), le2(lit(1L)), le2(col("ch")),
+        le4(col("rate")), le4(col("brate")), le2(col("block")),
+        le2(col("bits")), lit("64617461"), le4(lit(16L)), col("filler"))
+      d.select(col("doc_id"), unhex(wavHex).as("wav"))
+        .repartition(4).write.mode("overwrite").parquet(staged)
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_multimodal_audio_meta" -> { (s, dir) =>
+      // Audio twin of q_multimodal_image_meta (r8): WAV/RIFF header
+      // parsed by pure byte arithmetic off the staged binary column —
+      // channels, sample rate, bit depth, block align, byte rate, and
+      // a derived duration, all little-endian fixed-offset hex-slice +
+      // radix conversions in narrow codegen (scan speed; no audio
+      // library, no UDF). The parser also VALIDATES internal header
+      // consistency (blockAlign = channels·bits/8, byteRate =
+      // rate·blockAlign) — the real-world corrupt-header gate. The
+      // oracle recomputes expected metadata from the staging formulas:
+      // any endianness/offset disagreement between builder and parser
+      // breaks the hash.
+      val b = s.read.parquet(stageAudioBlobs(s, dir))
+      val hx = hex(col("wav"))
+      def le4Long(start: Int) =
+        conv(concat(substring(hx, start + 6, 2), substring(hx, start + 4, 2),
+          substring(hx, start + 2, 2), substring(hx, start, 2)), 16, 10).cast("long")
+      def le2Long(start: Int) =
+        conv(concat(substring(hx, start + 2, 2), substring(hx, start, 2)), 16, 10)
+          .cast("long")
+      val isWav = substring(hx, 1, 8) === "52494646" &&
+        substring(hx, 17, 8) === "57415645"
+      val parsed = b.select(col("doc_id"),
+        when(isWav, "wav").otherwise("unknown").as("fmt"),
+        le2Long(45).as("channels"), le4Long(49).as("sample_rate"),
+        le4Long(57).as("byte_rate"), le2Long(65).as("block_align"),
+        le2Long(69).as("bits"), le4Long(81).as("data_bytes"),
+        length(col("wav")).cast("long").as("n_bytes"))
+      ordered(parsed.select(col("doc_id"), col("fmt"), col("channels"),
+        col("sample_rate"), col("bits"), col("block_align"), col("byte_rate"),
+        // integral DIV, not `/`: column `/` is double division, and
+        // floor(IEEE quotient) can disagree with true integer division
+        // at near-integer quotients
+        expr("data_bytes * 1000000 DIV byte_rate").cast("long").as("duration_us"),
+        (col("block_align") === col("channels") * expr("bits DIV 8") &&
+          col("byte_rate") === col("sample_rate") * col("block_align"))
+          .as("consistent"),
+        col("n_bytes")))
+    },
     "q_multimodal_image_meta" -> { (s, dir) =>
       // REAL codec for the multimodal path (r7): pure byte-arithmetic
       // image-header parse — PNG IHDR (big-endian) and BMP
@@ -192,6 +267,27 @@ object Multimodal {
       "sqrt(list_sum(list_transform(range(1,65), i -> CAST(q.embedding[i] AS DOUBLE) * q.embedding[i]))))"
 
   def oracle: Map[String, String] = Map(
+    "q_multimodal_audio_meta" ->
+      // expected metadata from the staging formulas (the Spark side
+      // must reproduce these by PARSING its own staged WAV headers)
+      ("""WITH f AS (
+        |  SELECT doc_id,
+        |    1 + doc_id % 2 AS ch,
+        |    8000 + (doc_id * 441) % 36000 AS rate,
+        |    8 * (1 + (doc_id // 2) % 2) AS bits
+        |  FROM documents)
+        |SELECT doc_id, 'wav' AS fmt,
+        |  CAST(ch AS BIGINT) AS channels,
+        |  CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(bits AS BIGINT) AS bits,
+        |  CAST(ch * (bits // 8) AS BIGINT) AS block_align,
+        |  CAST(rate * ch * (bits // 8) AS BIGINT) AS byte_rate,
+        |  CAST(16 * 1000000 // (rate * ch * (bits // 8)) AS BIGINT) AS duration_us,
+        |  TRUE AS consistent,
+        |  CAST(60 AS BIGINT) AS n_bytes
+        |FROM f""".stripMargin +
+        orderByAll("doc_id", "fmt", "channels", "sample_rate", "bits",
+          "block_align", "byte_rate", "duration_us", "consistent", "n_bytes")),
     "q_multimodal_image_meta" ->
       // the expected metadata from the staging formulas — the Spark
       // side must reproduce these by PARSING the blobs it built, so

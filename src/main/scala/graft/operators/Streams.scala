@@ -486,6 +486,51 @@ object Streams {
     // A5/A7: micro-batch fan-out via foreachBatch — idempotent
     // per-batch overwrite into a batch-keyed dir (upsert-by-batch-id),
     // the pattern for multi-sink / transactional targets.
+    // Streaming CDC compaction — the incremental twin of q_merge_cdc:
+    // the event stream is read as a changelog (key = user_id, version
+    // = event_id, deterministic delete rule), and every micro-batch
+    // MERGES into a versioned parquet state table: state_{i} =
+    // latest-version-wins(state_{i-1} ∪ batch). Tombstones are KEPT in
+    // the state (a delete must keep shadowing older versions that may
+    // still arrive) and dropped only at read-out — the real CDC-sink
+    // subtlety. State versions alternate under v=<batchId> dirs, so a
+    // crash mid-write never corrupts the previous version (the
+    // lakehouse snapshot-isolation pattern, minus the table format).
+    // Validated by StreamingSpec equality with the batch compaction
+    // over the same derived changelog. 100 TB posture: per batch the
+    // window partitions by key over (state ∪ batch) — state is
+    // key-bounded, not history-bounded; a real deployment buckets the
+    // state table by key so only the batch side shuffles.
+    "s_stream_cdc" -> { (s, dir) => withShufflePartitions(s, 8) {
+      val stateRoot = tmp("cdc_state"); val ck = tmp("cdc_ck")
+      val latestDir = new java.util.concurrent.atomic.AtomicReference[String](null)
+      val q = EventSource.FileStream.load(s, dir)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val chg = batch.select(col("user_id").as("k"),
+            col("event_id").as("version"),
+            when(col("event_id") % 11 === 0, "D").otherwise("U").as("op"),
+            col("value"))
+          val prev = Option(latestDir.get())
+            .map(p => s.read.parquet(p))
+            .getOrElse(chg.limit(0))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("k")).orderBy(col("version").desc)
+          val out = s"$stateRoot/v=$id"
+          prev.union(chg)
+            .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .select(col("k"), col("version"), col("op"), col("value"))
+            .write.mode("overwrite").parquet(out)
+          latestDir.set(out)
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ordered(s.read.parquet(latestDir.get()).filter(col("op") =!= "D")
+        .select(col("k").as("user_id"), col("version").as("last_event_id"),
+          col("value").as("last_value")))
+    }},
+
     "s_foreachbatch_upsert" -> { (s, dir) => withShufflePartitions(s, 8) {
       val out = tmp("feb_out"); val ck = tmp("feb_ck")
       val q = EventSource.FileStream.load(s, dir)

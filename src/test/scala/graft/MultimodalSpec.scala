@@ -20,6 +20,40 @@ class MultimodalSpec extends SparkSpec {
     assert(d(1).getAs[Int]("n_sampled") === 0)
   }
 
+  test("q_multimodal_audio_meta: real RIFF layout, and the SQL parse matches a JVM byte-level reference (r8)") {
+    import graft.operators.Multimodal
+    val blobs = spark.read.parquet(Multimodal.stageAudioBlobs(spark, sf))
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getAs[Array[Byte]]("wav")).toMap
+    def le32(b: Array[Byte], off: Int): Long =
+      (3 to 0 by -1).foldLeft(0L)((a, i) => (a << 8) | (b(off + i) & 0xffL))
+    def le16(b: Array[Byte], off: Int): Long =
+      ((b(off + 1) & 0xffL) << 8) | (b(off) & 0xffL)
+    for ((id, wav) <- blobs) {
+      assert(new String(wav.take(4), "US-ASCII") === "RIFF", s"doc $id RIFF magic")
+      assert(new String(wav.slice(8, 12), "US-ASCII") === "WAVE", s"doc $id WAVE tag")
+      assert(new String(wav.slice(12, 16), "US-ASCII") === "fmt ", s"doc $id fmt chunk")
+      assert(new String(wav.slice(36, 40), "US-ASCII") === "data", s"doc $id data chunk")
+      assert(le32(wav, 4) === wav.length - 8L, s"doc $id RIFF size field")
+      assert(le16(wav, 20) === 1L, s"doc $id PCM format tag")
+    }
+    val out = SparkEntry.queries("q_multimodal_audio_meta")(spark, sf).collect()
+    assert(out.nonEmpty)
+    for (r <- out) {
+      val wav = blobs(r.getAs[Long]("doc_id"))
+      assert(r.getAs[String]("fmt") === "wav")
+      assert(r.getAs[Long]("channels") === le16(wav, 22))
+      assert(r.getAs[Long]("sample_rate") === le32(wav, 24))
+      assert(r.getAs[Long]("byte_rate") === le32(wav, 28))
+      assert(r.getAs[Long]("block_align") === le16(wav, 32))
+      assert(r.getAs[Long]("bits") === le16(wav, 34))
+      assert(r.getAs[Boolean]("consistent"), s"doc ${r.getAs[Long]("doc_id")} header inconsistent")
+      assert(r.getAs[Long]("duration_us") ===
+        le32(wav, 40) * 1000000L / le32(wav, 28))
+      assert(r.getAs[Long]("n_bytes") === wav.length.toLong)
+    }
+  }
+
   test("q_multimodal_image_meta: real magic bytes, and the SQL parse matches a JVM byte-level reference") {
     import graft.operators.Multimodal
     val blobs = spark.read.parquet(Multimodal.stageImageBlobs(spark, sf))

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
-import graft.sources.EventSource
+import graft.sources.{EventSource, Tables}
 
 /** Stream-vs-batch equivalence + ingestion lifecycle (SURVEY.md
   * §5.2.4/5.2.5): the Structured Streaming prefix-consistency contract
@@ -112,6 +112,30 @@ class StreamingSpec extends SparkSpec {
     assert(back.count() === batch.count())
     assert(back.exceptAll(batch).count() === 0, "read-back rows not in batch table")
     assert(batch.exceptAll(back).count() === 0, "batch rows lost in the text sink")
+  }
+
+  test("s_stream_cdc: incremental merge state equals the batch changelog compaction (r8)") {
+    import org.apache.spark.sql.expressions.Window
+    // batch twin: the SAME derived changelog compacted in one pass
+    val chg = Tables(spark, sf, "events")
+      .select(col("user_id").as("k"), col("event_id").as("version"),
+        when(col("event_id") % 11 === 0, "D").otherwise("U").as("op"),
+        col("value"))
+    val w = Window.partitionBy(col("k")).orderBy(col("version").desc)
+    val batchState = chg.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("k"), col("version"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = SparkEntry.queries("s_stream_cdc")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("last_event_id"),
+        r.getAs[Double]("last_value"))).toSet
+    assert(batchState.nonEmpty)
+    assert(streamed === batchState,
+      s"incremental CDC state diverged: ${streamed.size} vs ${batchState.size} rows")
+    // the delete path provably fired: some users' latest op is a tombstone
+    val tombstoned = chg.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") === "D").count()
+    assert(tombstoned > 0, "fixture produced no tombstoned keys — delete rule dead")
   }
 
   test("stream-stream interval self-join equals the batch twin") {

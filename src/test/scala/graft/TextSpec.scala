@@ -92,6 +92,23 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("q_text_bpe_apply: subword counts bounded by chars and words, corpus conserved (r8)") {
+    val rows = SparkEntry.queries("q_text_bpe_apply")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_chars"), r.getAs[Long]("n_subwords")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, w, c, sub) =>
+      // each word yields between 1 and len(word) subwords
+      assert(w <= sub && sub <= c, s"doc $id: words=$w subwords=$sub chars=$c")
+    }
+    // merges actually fired: the corpus compressed below character level
+    assert(rows.map(_._4).sum < rows.map(_._3).sum,
+      "8 merges produced zero compression — apply path dead")
+    // conservation: per-doc word counts sum to the corpus token count
+    val toks = fixtureToks().map(_._2.size.toLong).sum
+    assert(rows.map(_._2).sum === toks)
+  }
+
   test("q_quality_classifier matches an independent in-memory scorer (r8)") {
     val stop = graft.operators.Text.Markers.en.toSet
     val expected = fixtureToks().filter(_._2.nonEmpty).map { case (id, t) =>
