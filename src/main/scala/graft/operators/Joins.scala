@@ -298,6 +298,67 @@ object Joins {
         col("ts").as("valid_from"), col("valid_to"),
         col("valid_to").isNull.as("is_current"), col("version").cast("long")))
     },
+    "q_join_asof_tolerance" -> { (s, dir) =>
+      // As-of with TOLERANCE and direction="nearest" (the pandas
+      // merge_asof surface q_join_asof's backward-only rule lacks):
+      // each event matches the nearest order activity of its user
+      // within ±12 h, preferring backward on equal gaps; events with
+      // nothing in tolerance drop out. Order activity times are
+      // MANUFACTURED into the events' epoch window (deterministic
+      // o_orderkey arithmetic — the fixture's 1992-98 order dates are
+      // decades from the 2024 events, which would make every
+      // tolerance check vacuous), and all time math stays in exact
+      // epoch-second BIGINTs. Same UNION-MERGE shape as q_join_asof —
+      // one exchange on user_id, TWO frames over the SAME sort (the
+      // running last(ignoreNulls) carries the backward candidate, the
+      // mirrored first(ignoreNulls) over the following frame carries
+      // the forward one), so Catalyst plans a single shuffle-sort and
+      // both windows ride it. Equal-t orders sort BEFORE the event
+      // (≤ bound ⇒ backward, gap 0) and are correctly excluded from
+      // the forward frame. Key tiebreaks mirror q_join_asof: backward
+      // takes the max o_orderkey of an equal time, forward the min.
+      val e = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("CAST(ts AS LONG)").as("es"))
+      val o = Tables(s, dir, "orders")
+        .select(col("o_custkey").as("user_id"), col("o_orderkey"),
+          (lit(1704067200L) + (col("o_orderkey") * 7919L) % 2592000L)
+            .as("ord_sec"))
+      val merged = o.select(col("user_id"), col("ord_sec").as("t"),
+          lit(0).as("is_event"), lit(null).cast("long").as("event_id"),
+          struct(col("ord_sec"), col("o_orderkey")).as("ord"))
+        .unionByName(e.select(col("user_id"), col("es").as("t"),
+          lit(1).as("is_event"), col("event_id"),
+          lit(null).cast("struct<ord_sec:bigint,o_orderkey:bigint>").as("ord")))
+      val sortCols = Seq(col("t"), col("is_event"),
+        col("ord.o_orderkey").asc_nulls_first, col("event_id").asc_nulls_first)
+      val wPrev = Window.partitionBy(col("user_id")).orderBy(sortCols: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wNext = Window.partitionBy(col("user_id")).orderBy(sortCols: _*)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val tol = 43200L
+      val cand = merged
+        .withColumn("pv", last(col("ord"), ignoreNulls = true).over(wPrev))
+        .withColumn("nx", first(col("ord"), ignoreNulls = true).over(wNext))
+        .filter(col("is_event") === 1)
+        .withColumn("gp", col("t") - col("pv.ord_sec"))
+        .withColumn("gn", col("nx.ord_sec") - col("t"))
+      val takeBwd = col("pv").isNotNull && col("gp") <= tol &&
+        (col("nx").isNull || col("gn") > tol || col("gp") <= col("gn"))
+      val takeFwd = col("nx").isNotNull && col("gn") <= tol
+      ordered(cand
+        .withColumn("direction",
+          when(takeBwd, "backward").when(takeFwd, "forward"))
+        .filter(col("direction").isNotNull)
+        .select(col("event_id"), col("user_id"), col("t").as("event_sec"),
+          when(col("direction") === "backward", col("pv.o_orderkey"))
+            .otherwise(col("nx.o_orderkey")).as("o_orderkey"),
+          when(col("direction") === "backward", col("pv.ord_sec"))
+            .otherwise(col("nx.ord_sec")).as("ord_sec"),
+          col("direction"),
+          when(col("direction") === "backward", col("gp"))
+            .otherwise(col("gn")).as("gap_s")))
+    },
     "q_merge_cdc" -> { (s, dir) =>
       // CDC changelog apply — the third lakehouse merge shape next to
       // q_merge_upsert (SCD-1 overwrite) and q_merge_scd2 (versioned
@@ -594,6 +655,35 @@ object Joins {
         |    AS sum_price
         |FROM m GROUP BY st""".stripMargin +
         orderByAll("st", "n_rows", "n_updated", "n_inserted", "sum_price")),
+    "q_join_asof_tolerance" ->
+      // brute-force nearest-within-tolerance twin: candidate set =
+      // every order of the user within ±12 h, rank by (gap, backward
+      // preference, the direction-appropriate key tiebreak)
+      ("""WITH os AS (
+        |  SELECT o_custkey AS user_id, o_orderkey,
+        |    1704067200 + (o_orderkey * 7919) % 2592000 AS ord_sec
+        |  FROM orders),
+        |c AS (
+        |  SELECT e.event_id, e.user_id,
+        |    epoch_us(e.ts)//1000000 AS event_sec, o.o_orderkey, o.ord_sec,
+        |    (o.ord_sec <= epoch_us(e.ts)//1000000) AS bwd,
+        |    CASE WHEN o.ord_sec <= epoch_us(e.ts)//1000000
+        |      THEN epoch_us(e.ts)//1000000 - o.ord_sec
+        |      ELSE o.ord_sec - epoch_us(e.ts)//1000000
+        |    END AS gap_s
+        |  FROM events e JOIN os o ON o.user_id = e.user_id),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY event_id
+        |    ORDER BY gap_s ASC, bwd DESC,
+        |      CASE WHEN bwd THEN -o_orderkey ELSE o_orderkey END ASC) AS rn
+        |  FROM c WHERE gap_s <= 43200)
+        |SELECT event_id, user_id, CAST(event_sec AS BIGINT) AS event_sec,
+        |  o_orderkey, CAST(ord_sec AS BIGINT) AS ord_sec,
+        |  CASE WHEN bwd THEN 'backward' ELSE 'forward' END AS direction,
+        |  CAST(gap_s AS BIGINT) AS gap_s
+        |FROM r WHERE rn = 1""".stripMargin +
+        orderByAll("event_id", "user_id", "event_sec", "o_orderkey", "ord_sec",
+          "direction", "gap_s")),
     "q_merge_cdc" ->
       ("""WITH feed AS (
         |  SELECT o_orderkey AS k, CAST(1 AS BIGINT) AS version, 'I' AS op,

@@ -189,6 +189,29 @@ object Scans {
       ordered(o.select(col("o_orderkey"), col("o_custkey"),
         col("o_totalprice"), col("o_orderpriority")))
     },
+    "q_layout_hilbert" -> { (s, dir) =>
+      // Hilbert-curve layout key — the locality-superior sibling of
+      // q_layout_zorder: unlike the Z curve, the Hilbert curve has NO
+      // long diagonal jumps (every consecutive pair of cells is
+      // grid-adjacent — LayoutSpec proves both bijectivity and the
+      // adjacency law over the full 256×256 grid), so range buckets
+      // bound BOTH dimensions tighter per file and min/max skipping
+      // prunes more. The index is the classic xy→d walk (8 unrolled
+      // quadrant-rotation rounds, pure integer CASE/mask arithmetic —
+      // exact in any engine; the DuckDB twin replays the identical
+      // rounds). Same report shape as zorder: per would-be-file
+      // bucket, each dimension's bounded span. Narrow map + one hash
+      // agg; at 100 TB the hd value is the repartitionByRange key for
+      // the actual rewrite.
+      val li = Tables(s, dir, "lineitem")
+        .withColumn("hx", pmod(col("l_partkey"), lit(256L)))
+        .withColumn("hy", pmod(col("l_suppkey"), lit(256L)))
+        .withColumn("hd", lit(0L))
+      ordered(hilbertIndex(li).groupBy(expr("hd DIV 1024").as("h_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_partkey")).as("pk_min"), max(col("l_partkey")).as("pk_max"),
+          min(col("l_suppkey")).as("sk_min"), max(col("l_suppkey")).as("sk_max")))
+    },
     "q_layout_zorder" -> { (s, dir) =>
       // Z-order layout key — the multi-dimensional clustering that
       // makes min/max data skipping work on TWO predicate columns at
@@ -326,6 +349,59 @@ object Scans {
         .repartition(4)
         .write.mode("overwrite").text(staged)
     }
+
+  /** DuckDB twin of q_layout_hilbert: the identical 8 rotation rounds
+    * as chained CTEs (rx/ry in an inner subquery per round). */
+  private def hilbertOracleSql: String = {
+    val rounds = Seq(128, 64, 32, 16, 8, 4, 2, 1).zipWithIndex.map { case (s, i) =>
+      s"""h${i + 1} AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CASE WHEN ry = 1 THEN hx WHEN rx = 1 THEN 255 - hy ELSE hy END AS hx,
+        |    CASE WHEN ry = 1 THEN hy WHEN rx = 1 THEN 255 - hx ELSE hx END AS hy,
+        |    hd + $s * $s * (CASE WHEN rx = 0 AND ry = 0 THEN 0 WHEN rx = 0 THEN 1
+        |      WHEN ry = 1 THEN 2 ELSE 3 END) AS hd
+        |  FROM (SELECT *,
+        |    CASE WHEN (hx & $s) <> 0 THEN 1 ELSE 0 END AS rx,
+        |    CASE WHEN (hy & $s) <> 0 THEN 1 ELSE 0 END AS ry FROM h$i))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h0 AS (
+      |  SELECT l_partkey, l_suppkey, l_partkey % 256 AS hx,
+      |    l_suppkey % 256 AS hy, 0 AS hd
+      |  FROM lineitem),
+      |$rounds
+      |SELECT hd // 1024 AS h_bucket, COUNT(*) AS n_rows,
+      |  MIN(l_partkey) AS pk_min, MAX(l_partkey) AS pk_max,
+      |  MIN(l_suppkey) AS sk_min, MAX(l_suppkey) AS sk_max
+      |FROM h8 GROUP BY 1""".stripMargin +
+      orderByAll("h_bucket", "n_rows", "pk_min", "pk_max", "sk_min", "sk_max")
+  }
+
+  /** Hilbert xy→d walk over the 256×256 grid: 8 quadrant-rotation
+    * rounds folding columns `hx`/`hy` (in [0,256)) and accumulator
+    * `hd` (seeded 0) — the standard iterative algorithm as pure
+    * integer CASE/mask arithmetic. Shared by q_layout_hilbert and
+    * LayoutSpec's bijectivity/adjacency proofs. */
+  private[graft] def hilbertIndex(df0: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    var df = df0
+    for (s <- Seq(128, 64, 32, 16, 8, 4, 2, 1)) {
+      df = df
+        .withColumn("rx", expr(s"CASE WHEN (hx & $s) <> 0 THEN 1 ELSE 0 END"))
+        .withColumn("ry", expr(s"CASE WHEN (hy & $s) <> 0 THEN 1 ELSE 0 END"))
+        .withColumn("hd", expr(s"hd + $s * $s * (CASE WHEN rx = 0 AND ry = 0 " +
+          "THEN 0 WHEN rx = 0 THEN 1 WHEN ry = 1 THEN 2 ELSE 3 END)"))
+        // reflection uses the FULL-grid constant 255 (n-1), not s-1:
+        // bit s may still be set here, and 256 ≡ 0 (mod s) makes the
+        // low bits come out identical — while s-1-x would go negative
+        .withColumn("hx2", expr(s"CASE WHEN ry = 1 THEN hx WHEN rx = 1 " +
+          "THEN 255 - hy ELSE hy END"))
+        .withColumn("hy2", expr(s"CASE WHEN ry = 1 THEN hy WHEN rx = 1 " +
+          "THEN 255 - hx ELSE hx END"))
+        .withColumn("hx", col("hx2")).withColumn("hy", col("hy2"))
+        .drop("rx", "ry", "hx2", "hy2")
+    }
+    df
+  }
 
   /** Stage documents as XML rows (mtime-invalidated): one `<doc>`
     * element per line with entity-escaped content (&→&amp;amp; first,
@@ -485,6 +561,7 @@ object Scans {
         |FROM merged GROUP BY gen""".stripMargin +
         orderByAll("gen", "n_rows", "n_status_present",
           "n_priority_defaulted", "sum_price")),
+    "q_layout_hilbert" -> hilbertOracleSql,
     "q_layout_zorder" ->
       ("""WITH n AS (
         |  SELECT l_partkey, l_suppkey,

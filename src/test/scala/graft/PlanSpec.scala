@@ -540,6 +540,23 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"BFS plans a cartesian:\n$p")
   }
 
+  test("q_join_asof_tolerance: both direction frames ride ONE shuffle-sort (r8)") {
+    // backward (running last) and forward (following first) windows
+    // share the (user_id | t, is_event, key) layout — Catalyst must
+    // plan a single hash exchange, not one per frame
+    val p = finalPlan(SparkEntry.queries("q_join_asof_tolerance")(spark, sf))
+    val hashExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning") && !l.contains("Reused"))
+    assert(hashExchanges == 1, s"nearest-asof should shuffle once, saw $hashExchanges:\n$p")
+  }
+
+  test("q_layout_hilbert: narrow index map + one hash agg, no join/window (r8)") {
+    val p = planOf("q_layout_hilbert")
+    assert(!p.contains("Join") && !p.contains("Window"), s"hilbert grew a shuffle:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_min"),
+      s"bucket agg lost map-side partials:\n$p")
+  }
+
   test("q_time_autocorr: one window sort yields all three lags, no join (r8)") {
     val p = planOf("q_time_autocorr")
     assert(!p.contains("Join"), s"autocorr should not join:\n$p")
