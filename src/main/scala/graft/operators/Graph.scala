@@ -153,8 +153,14 @@ object Graph {
       val e = copurchaseEdges(s, dir)
       val ue = e.filter(col("src") < col("dst"))
         .select(col("src").as("a"), col("dst").as("b"))
+      // deg feeds the orientation joins AND the final clustering join;
+      // oe feeds THREE plan branches (both wedge sides + the closure
+      // probe) — without materialization each branch re-runs the
+      // degree aggregation and both orientation joins over the full
+      // edge table (measured: the whole key ~2.5× slower). Both are
+      // at most |V| / |E| rows — cheap to pin, expensive to re-derive.
       val deg = ue.select(col("a").as("id")).union(ue.select(col("b").as("id")))
-        .groupBy(col("id")).agg(count(lit(1)).as("d"))
+        .groupBy(col("id")).agg(count(lit(1)).as("d")).localCheckpoint()
       val oe = ue
         .join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
         .join(deg.select(col("id").as("b"), col("d").as("db")), Seq("b"))
@@ -165,6 +171,7 @@ object Graph {
             .otherwise(col("a")).as("v"),
           when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("db"))
             .otherwise(col("da")).as("dv"))
+        .localCheckpoint()
       val e1 = oe.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
       val e2 = oe.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
       val wedges = e1.join(e2, Seq("u"))

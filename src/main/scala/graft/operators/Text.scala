@@ -819,10 +819,17 @@ object Text {
           "concat(slice(acc, 1, size(acc) - 1), array(concat(lsym, rsym))), " +
           "concat(acc, array(x))))"))
       .select(col("word"), col("cnt"), col("syms"))
+    // each round's state is eagerly pinned: round k's unpinned lineage
+    // would re-run rounds 1..k-1 on every reference (pairsOf AND the
+    // next apply both consume st; the final output unions all 8 m's)
+    // — an O(rounds²) recompute of vocabulary passes, measured ~2.5×
+    // on the whole key. All pinned tables are vocabulary-sized (the
+    // corpus is touched exactly once, by the word-count agg).
     val (merges, fin) = (1 to nMerges).foldLeft(
-        (List.empty[(Int, DataFrame)], vocab0)) { case ((ms, st), rank) =>
-      val m = pairsOf(st)
-      ((rank, m) :: ms, applied(st, m))
+        (List.empty[(Int, DataFrame)], vocab0.localCheckpoint())) {
+      case ((ms, st), rank) =>
+        val m = pairsOf(st).localCheckpoint()
+        ((rank, m) :: ms, applied(st, m).localCheckpoint())
     }
     (merges.reverse, fin)
   }
