@@ -49,7 +49,9 @@ object Plans {
     "q_text_chunk",           // sliding-window chunking: narrow explode+slice, zero hash exchange (r6)
     "q_merge_cdc",            // CDC compaction: 3-way union of one scan, single per-key window shuffle (r8)
     "q_text_ngram_lm",        // bigram model hash aggs + eval-bigram equi join + 1-row V broadcast (r8)
-    "q_sample_temperature")   // two-pass: source counts → broadcast rate table → narrow keep map (r8)
+    "q_sample_temperature",   // two-pass: source counts → broadcast rate table → narrow keep map (r8)
+    "q_layout_hilbert",       // 8-round integer curve index: narrow map + one hash agg (r8)
+    "q_join_asof_tolerance")  // nearest-asof: two direction frames on ONE shuffle-sort (r8)
 
   /** Hand-written analysis emitted after a key's plan — kept here so
     * regeneration never loses it. */

@@ -662,6 +662,55 @@ object Text {
           ((col("n_tok") * floor(lit(1e6) * log(col("n_tok").cast("double")))
             - col("s_clnc")) < col("n_tok") * lit(2500000L)).as("low_entropy")))
     },
+    "q_text_langid_rank" -> { (s, dir) =>
+      // Cavnar-Trenkle n-gram language ID (the 1994 classic behind
+      // textcat/langid heuristics) — the rank-profile twin of
+      // q_text_langid's marker scoring: per-language char-trigram
+      // profiles (top-20 by frequency, total-order tiebreak) are
+      // TRAINED on the train split, eval docs build their own top-20
+      // profile, and the predicted language minimizes the
+      // out-of-place distance Σ |doc_rank − lang_rank| (missing gram
+      // = max penalty 20). Pure integer ranks and counts — exact in
+      // any engine. Output = the eval confusion matrix.
+      // 100 TB posture: ONE corpus trigram explode feeds both
+      // profile aggs (map-side partials); language profiles are
+      // |langs|·20 rows broadcast everywhere; the scoring join is
+      // eval-profile (docs·20) × |langs| — linear in eval docs, and
+      // the argmin window partitions per doc (bounded 5 rows).
+      val d = Tables(s, dir, "documents")
+      val split = when(md5(col("doc_id").cast("string")) < lit("1a"), "eval")
+        .otherwise("train")
+      val tri = d.withColumn("split", split)
+        .filter(length(col("text")) >= 3)
+        .select(col("doc_id"), col("lang"), col("split"), explode(expr(
+          "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))
+          .as("gram"))
+      val wLang = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("cnt").desc, col("gram").asc)
+      val prof = tri.filter(col("split") === "train")
+        .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("cnt"))
+        .withColumn("lrank", row_number().over(wLang))
+        .filter(col("lrank") <= 20)
+        .select(col("lang").as("cand"), col("gram"), col("lrank"))
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("cnt").desc, col("gram").asc)
+      val docProf = tri.filter(col("split") === "eval")
+        .groupBy(col("doc_id"), col("lang"), col("gram"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("drank", row_number().over(wDoc))
+        .filter(col("drank") <= 20)
+      val langs = prof.select(col("cand")).distinct()
+      val dist = docProf.crossJoin(broadcast(langs))
+        .join(broadcast(prof), Seq("cand", "gram"), "left")
+        .groupBy(col("doc_id"), col("lang"), col("cand"))
+        .agg(sum(coalesce(abs(col("drank") - col("lrank")), lit(20L))).as("oop"))
+      val wPick = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("oop").asc, col("cand").asc)
+      ordered(dist.withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .groupBy(col("lang").as("actual_lang"), col("cand").as("predicted_lang"))
+        .agg(count(lit(1)).as("n_docs")))
+    },
     "q_text_tokens_tf" -> { (s, dir) =>
       val d = Tables(s, dir, "documents")
       ordered(d.select(col("doc_id"), explode(toks()).as("term"))
@@ -1162,6 +1211,38 @@ object Text {
         |    (acc, x) -> (acc * 31 + x) % 1000000007) % 256 AS shard
         |FROM documents""".stripMargin +
         orderByAll("doc_id", "fingerprint", "shard")),
+    "q_text_langid_rank" ->
+      ("""WITH tri AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'eval' ELSE 'train' END AS split,
+        |    unnest(list_transform(range(1, length(text) - 1), i -> text[i:i+2])) AS gram
+        |  FROM documents WHERE length(text) >= 3),
+        |prof AS (
+        |  SELECT lang AS cand, gram, lrank FROM (
+        |    SELECT lang, gram, COUNT(*) AS cnt,
+        |      row_number() OVER (PARTITION BY lang ORDER BY COUNT(*) DESC, gram ASC) AS lrank
+        |    FROM tri WHERE split = 'train' GROUP BY lang, gram)
+        |  WHERE lrank <= 20),
+        |docprof AS (
+        |  SELECT doc_id, lang, gram, drank FROM (
+        |    SELECT doc_id, lang, gram, COUNT(*) AS cnt,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY COUNT(*) DESC, gram ASC) AS drank
+        |    FROM tri WHERE split = 'eval' GROUP BY doc_id, lang, gram)
+        |  WHERE drank <= 20),
+        |langs AS (SELECT DISTINCT cand FROM prof),
+        |dist AS (
+        |  SELECT d.doc_id, d.lang, l.cand,
+        |    CAST(SUM(COALESCE(abs(d.drank - p.lrank), 20)) AS BIGINT) AS oop
+        |  FROM docprof d CROSS JOIN langs l
+        |  LEFT JOIN prof p ON p.cand = l.cand AND p.gram = d.gram
+        |  GROUP BY d.doc_id, d.lang, l.cand),
+        |pick AS (
+        |  SELECT doc_id, lang, cand,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY oop ASC, cand ASC) AS rn
+        |  FROM dist)
+        |SELECT lang AS actual_lang, cand AS predicted_lang, COUNT(*) AS n_docs
+        |FROM pick WHERE rn = 1 GROUP BY lang, cand""".stripMargin +
+        orderByAll("actual_lang", "predicted_lang", "n_docs")),
     "q_sample_temperature" ->
       ("""WITH per AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
         |tot AS (SELECT

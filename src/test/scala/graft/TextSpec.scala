@@ -92,6 +92,24 @@ class TextSpec extends SparkSpec {
     }
   }
 
+  test("q_text_langid_rank: confusion matrix partitions the eval split (r8)") {
+    val rows = SparkEntry.queries("q_text_langid_rank")(spark, sf).collect()
+      .map(r => (r.getAs[String]("actual_lang"), r.getAs[String]("predicted_lang"),
+        r.getAs[Long]("n_docs")))
+    assert(rows.nonEmpty)
+    // every eval doc is classified exactly once (no drops, no dupes)
+    val d = graft.sources.Tables(spark, sf, "documents")
+      .select("doc_id", "text").collect()
+    val evalDocs = d.count(r =>
+      md5Hex(r.getLong(0).toString) < "1a" && r.getString(1).length >= 3)
+    assert(rows.map(_._3).sum === evalDocs.toLong,
+      s"matrix covers ${rows.map(_._3).sum} docs of $evalDocs eval docs")
+    // predictions come from the trained language set only
+    assert(rows.map(_._2).toSet.subsetOf(
+      graft.sources.Tables(spark, sf, "documents")
+        .select("lang").distinct().collect().map(_.getString(0)).toSet))
+  }
+
   test("q_text_bpe_apply: subword counts bounded by chars and words, corpus conserved (r8)") {
     val rows = SparkEntry.queries("q_text_bpe_apply")(spark, sf).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
