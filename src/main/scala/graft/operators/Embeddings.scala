@@ -68,6 +68,57 @@ object Embeddings {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_embed_pca" -> { (s, dir) =>
+      // Top principal component by POWER ITERATION (added r8) — the
+      // classic dimensionality diagnostic missing between centroid
+      // (mean), kmeans (clusters), rproj (random shrink) and pq
+      // (quantization): 4 unrolled covariance-free iterations
+      // w = Σ_x (x−μ)·((x−μ)·v), v' = w/‖w‖, from the exactly
+      // representable v₀ = 1/8 constant vector. Cross-engine exact:
+      // μ via the house 1e-7 fixed point; each row's dot is a
+      // left-assoc codegen fold (deterministic per row); per-row
+      // per-dim contributions quantize ONCE (floor·1e6) so the
+      // across-row sums are BIGINTs no order can perturb; ‖w‖ and the
+      // normalization are single shared IEEE expressions on identical
+      // integers. Sign is pinned by the all-positive init.
+      // 100 TB posture: each iteration is ONE corpus pass (narrow dot
+      // + explode → 64-row hash agg with map-side partials); μ and v
+      // ride as 1-row broadcasts; per-round state is eagerly pinned
+      // (64 doubles) so round k never re-runs rounds 1..k-1.
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val mu = e.select(posexplode(col("v")).as(Seq("dim0", "x")))
+        .withColumn("xq", floor(col("x") * lit(1e7)).cast("long"))
+        .groupBy(col("dim0")).agg(count(lit(1)).as("n"), sum(col("xq")).as("sq"))
+        .select(col("dim0"), (col("sq").cast("double") / lit(1e7) / col("n")).as("mu"))
+      val muArr = mu.agg(expr(
+        "transform(sort_array(collect_list(struct(dim0, mu))), p -> p.mu)").as("mu"))
+        .localCheckpoint()
+      var vArr = muArr.select(expr(
+        "transform(sequence(1, 64), j -> CAST(0.125 AS DOUBLE))").as("pv"))
+        .localCheckpoint()
+      for (_ <- 1 to 4) {
+        val joined = e.crossJoin(broadcast(muArr)).crossJoin(broadcast(vArr))
+          .withColumn("dot", expr(
+            "aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (acc, j) -> " +
+              "acc + (element_at(v, j) - element_at(mu, j)) * element_at(pv, j))"))
+        val w = joined.select(posexplode(expr(
+            "transform(sequence(1, 64), j -> CAST(floor(1e6 * " +
+              "(element_at(v, j) - element_at(mu, j)) * dot) AS BIGINT))"))
+            .as(Seq("dim0", "q")))
+          .groupBy(col("dim0")).agg(sum(col("q")).as("wq"))
+        vArr = w.agg(expr(
+            "transform(sort_array(collect_list(struct(dim0, wq))), p -> CAST(p.wq AS DOUBLE))")
+            .as("w"))
+          .select(expr(
+            "transform(w, x -> x / sqrt(aggregate(w, CAST(0 AS DOUBLE), " +
+              "(acc, y) -> acc + y * y)))").as("pv"))
+          .localCheckpoint()
+      }
+      ordered(mu.crossJoin(broadcast(vArr))
+        .select(col("dim0").cast("long").as("dim"), col("mu"),
+          expr("element_at(pv, CAST(dim0 + 1 AS INT))").as("loading")))
+    },
     "q_embed_centroid" -> { (s, dir) =>
       val e = Tables(s, dir, "embeddings")
       val q = e.select(col("label"),
@@ -244,6 +295,45 @@ object Embeddings {
       |    SELECT *, row_number() OVER (PARTITION BY vec_id, sp ORDER BY dq, cid) AS rn
       |    FROM d2) WHERE rn = 1)""".stripMargin
 
+  /** DuckDB twin of q_embed_pca: the identical 4 power-iteration
+    * rounds as chained CTEs — per-row dots via list_reduce with the
+    * same left-assoc order (prepended 0.0, rproj precedent), the same
+    * floor(1e6·) per-contribution quantization, and the same
+    * fold-of-squares norm. */
+  private def pcaOracleSql: String = {
+    val rounds = (1 to 4).map { r =>
+      s"""dt$r AS (
+        |  SELECT e.vec_id, e.v,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65),
+        |      j -> (e.v[j] - m.mu[j]) * p.pv[j])), (a, x) -> a + x) AS dot
+        |  FROM e, muarr m, v${r - 1} p),
+        |w$r AS (
+        |  SELECT u.j AS j, CAST(SUM(CAST(FLOOR(1e6 * (d.v[u.j] - m.mu[u.j]) * d.dot)
+        |    AS BIGINT)) AS BIGINT) AS wq
+        |  FROM dt$r d, muarr m, (SELECT unnest(range(1, 65)) AS j) u
+        |  GROUP BY u.j),
+        |v$r AS (
+        |  SELECT list_transform(warr, x -> x / sqrt(list_reduce(
+        |    list_prepend(CAST(0 AS DOUBLE), list_transform(warr, y -> y * y)),
+        |    (a, b) -> a + b))) AS pv
+        |  FROM (SELECT list(CAST(wq AS DOUBLE) ORDER BY j) AS warr FROM w$r))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |mu0 AS (
+      |  SELECT u.j AS j, COUNT(*) AS n,
+      |    CAST(SUM(CAST(FLOOR(v[u.j] * 1e7) AS BIGINT)) AS BIGINT) AS sq
+      |  FROM e, (SELECT unnest(range(1, 65)) AS j) u GROUP BY u.j),
+      |mu AS (SELECT j, CAST(sq AS DOUBLE) / 1e7 / n AS mu FROM mu0),
+      |muarr AS (SELECT list(mu ORDER BY j) AS mu FROM mu),
+      |v0 AS (SELECT list_transform(range(1, 65), j -> CAST(0.125 AS DOUBLE)) AS pv),
+      |$rounds
+      |SELECT CAST(m.j - 1 AS BIGINT) AS dim, m.mu AS mu, v4.pv[m.j] AS loading
+      |FROM mu m, v4""".stripMargin +
+      orderByAll("dim", "mu", "loading")
+  }
+
   def oracle: Map[String, String] = Map(
     "q_embed_rproj" ->
       (("SELECT vec_id, " + (1 to 8).map { j =>
@@ -253,6 +343,7 @@ object Embeddings {
           s"THEN 1.0 ELSE -1.0 END)), (a, b) -> a + b) AS p$j"
       }.mkString(", ") + " FROM embeddings") +
         orderByAll("vec_id" +: (1 to 8).map(j => s"p$j"): _*)),
+    "q_embed_pca" -> pcaOracleSql,
     "q_embed_centroid" ->
       ("""WITH ex AS (
         |  SELECT label, CAST(u.i - 1 AS INT) AS dim,

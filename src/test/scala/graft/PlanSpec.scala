@@ -557,6 +557,12 @@ class PlanSpec extends SparkSpec {
       s"bucket agg lost map-side partials:\n$p")
   }
 
+  test("q_embed_pca: iteration state rides 1-row broadcasts, no cartesian (r8)") {
+    val p = planOf("q_embed_pca")
+    assert(!p.contains("CartesianProduct"), s"PCA plans a cartesian:\n$p")
+    assert(p.contains("BroadcastExchange"), s"μ/v state must broadcast:\n$p")
+  }
+
   test("q_time_autocorr: one window sort yields all three lags, no join (r8)") {
     val p = planOf("q_time_autocorr")
     assert(!p.contains("Join"), s"autocorr should not join:\n$p")

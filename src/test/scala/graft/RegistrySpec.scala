@@ -80,7 +80,8 @@ class RegistrySpec extends SparkSpec {
       "q_quality_classifier", "q_dedup_url", "q_merge_cdc",
       "q_graph_bfs", "q_time_autocorr",
       "q_text_bpe_apply", "q_multimodal_audio_meta", "s_stream_cdc",
-      "q_layout_hilbert", "q_join_asof_tolerance", "q_text_langid_rank")
+      "q_layout_hilbert", "q_join_asof_tolerance", "q_text_langid_rank",
+      "q_embed_pca")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }

@@ -14,6 +14,31 @@ class SimilaritySpec extends SparkSpec {
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
   }
 
+  test("q_embed_pca: unit-norm loading whose Rayleigh quotient beats the init vector (r8)") {
+    // the quantized power iteration must still do PCA's job: v₄ is a
+    // unit vector capturing (much) more centered variance than v₀ —
+    // checked against an exact in-memory covariance quadratic form
+    val out = SparkEntry.queries("q_embed_pca")(spark, sf).collect()
+      .map(r => r.getAs[Long]("dim") -> r.getAs[Double]("loading")).sortBy(_._1)
+    assert(out.length === 64)
+    val v = out.map(_._2)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9, "loading not unit-norm")
+    val data = vecs.collect().map(_.getAs[Seq[Double]]("v").toArray)
+    val mu = Array.tabulate(64)(d => data.map(_(d)).sum / data.length)
+    def rayleigh(u: Array[Double]): Double = {
+      val q = data.map { x =>
+        val dot = (0 until 64).map(d => (x(d) - mu(d)) * u(d)).sum
+        dot * dot
+      }.sum
+      q / data.length
+    }
+    val v0 = Array.fill(64)(0.125)
+    val r4 = rayleigh(v)
+    val r0 = rayleigh(v0)
+    assert(r4 > r0 * 1.05,
+      s"power iteration did not climb the spectrum: R(v4)=$r4 vs R(v0)=$r0")
+  }
+
   test("codegen cosine_sim is bit-identical to the HOF formulation") {
     val pairs = vecs.limit(40).select(col("vec_id").as("va"), col("v").as("a"))
       .crossJoin(vecs.limit(40).select(col("vec_id").as("vb"), col("v").as("b")))
