@@ -222,6 +222,37 @@ object Time {
       ordered(lagged.filter(col("rn") >= 8)
         .select(col("event_type"), col("bucket"), col("x"), col("ewma")))
     },
+    "q_time_seasonal" -> { (s, dir) =>
+      // Day-of-week seasonality profile — the weekly-shape diagnostic
+      // beside q_time_autocorr's lag persistence: per (type, weekday)
+      // the daily-total mean and its ratio to the type's overall
+      // daily mean (the "Mondays run 1.3× hotter" number a capacity
+      // planner reads). Weekday from pure epoch arithmetic
+      // ((days+3) % 7, Monday=0) — no engine dayofweek() numbering
+      // contract; daily totals quantized exactly as in autocorr, so
+      // every aggregate is an order-proof BIGINT and the two means /
+      // ratio are single shared IEEE expressions.
+      // 100 TB posture: the heavy shuffle is the daily pre-agg; the
+      // weekday profile is |types|·7 rows, the type-level mean a tiny
+      // broadcast join back.
+      val e = Tables(s, dir, "events")
+      val daily = e.groupBy(col("event_type"),
+          expr("CAST(ts AS LONG) DIV 86400").as("day"))
+        .agg(floor(sum(money(col("value")))).cast("long").as("x"))
+      val byDow = daily
+        .withColumn("dow", expr("(day + 3) % 7"))
+        .groupBy(col("event_type"), col("dow"))
+        .agg(count(lit(1)).as("n_days"), sum(col("x")).as("tot"))
+      val byType = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_all"), sum(col("x")).as("tot_all"))
+      ordered(byDow.join(broadcast(byType), Seq("event_type"))
+        .select(col("event_type"), col("dow"), col("n_days"),
+          col("tot"),
+          (col("tot").cast("double") / col("n_days").cast("double")).as("dow_mean"),
+          ((col("tot").cast("double") / col("n_days").cast("double")) /
+            (col("tot_all").cast("double") / col("n_all").cast("double")))
+            .as("ratio_vs_mean")))
+    },
     "q_time_autocorr" -> { (s, dir) =>
       // Lag-k autocorrelation (k = 1..3) of the per-type daily series —
       // the seasonality/persistence diagnostic behind forecasting and
@@ -456,6 +487,25 @@ object Time {
         |FROM l WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, event_type""".stripMargin +
         orderByAll("prev_type", "event_type", "n_transitions", "n_users")),
+    "q_time_seasonal" ->
+      ("""WITH daily AS (
+        |  SELECT event_type, epoch_us(ts)//1000000//86400 AS day,
+        |    CAST(floor(SUM(CAST(value AS DECIMAL(18,4)))) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, epoch_us(ts)//1000000//86400),
+        |bydow AS (
+        |  SELECT event_type, (day + 3) % 7 AS dow, COUNT(*) AS n_days,
+        |    CAST(SUM(x) AS BIGINT) AS tot
+        |  FROM daily GROUP BY event_type, (day + 3) % 7),
+        |bytype AS (
+        |  SELECT event_type, COUNT(*) AS n_all, CAST(SUM(x) AS BIGINT) AS tot_all
+        |  FROM daily GROUP BY event_type)
+        |SELECT d.event_type AS event_type, CAST(d.dow AS BIGINT) AS dow, d.n_days, d.tot,
+        |  CAST(d.tot AS DOUBLE) / CAST(d.n_days AS DOUBLE) AS dow_mean,
+        |  (CAST(d.tot AS DOUBLE) / CAST(d.n_days AS DOUBLE)) /
+        |    (CAST(t.tot_all AS DOUBLE) / CAST(t.n_all AS DOUBLE)) AS ratio_vs_mean
+        |FROM bydow d JOIN bytype t ON d.event_type = t.event_type""".stripMargin +
+        orderByAll("event_type", "dow", "n_days", "tot", "dow_mean",
+          "ratio_vs_mean")),
     "q_time_autocorr" ->
       ("""WITH daily AS (
         |  SELECT event_type, epoch_us(ts)//1000000//86400*86400 AS bucket,

@@ -106,6 +106,37 @@ object Windows {
           first(col("event_type")).over(w).as("first_type"),
           last(col("event_type")).over(w).as("last_type")))
     },
+    "q_win_streak" -> { (s, dir) =>
+      // Gaps-and-islands — the classic consecutive-run windowing shape
+      // none of the other window keys exercise: per user, maximal runs
+      // of consecutive same-type events (islands), then per
+      // (user, type) the LONGEST streak with its span. Islands via the
+      // single-sort formulation (type-change flag from lag + running
+      // sum — q_sessionize's boundary trick, NOT the two-row_number
+      // difference, which would need a second events-sized
+      // shuffle-sort on (user, type)). Integer arithmetic end to end.
+      // 100 TB posture: ONE events-sized shuffle-sort on user_id
+      // carries both window passes (lag + running sum share the
+      // frame); everything after is island-sized — a hash agg with
+      // map-side partials and a best-pick window over islands.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc_nulls_first, col("event_id").asc_nulls_first)
+      val isl = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("flag", when(lag(col("event_type"), 1).over(w).isNull ||
+          col("event_type") =!= lag(col("event_type"), 1).over(w), 1L).otherwise(0L))
+        .withColumn("grp", sum(col("flag"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val streaks = isl.groupBy(col("user_id"), col("grp"))
+        .agg(min(col("event_type")).as("event_type"), count(lit(1)).as("len"),
+          min(col("event_id")).as("first_id"), max(col("event_id")).as("last_id"))
+      val wBest = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("len").desc, col("first_id").asc)
+      ordered(streaks.withColumn("rn", row_number().over(wBest))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type"), col("len").as("longest_streak"),
+          col("first_id"), col("last_id")))
+    },
     "q_win_session_window" -> { (s, dir) =>
       // The BUILT-IN session_window — the declarative twin of
       // q_sessionize's lag/flag/running-sum formulation (and of the
@@ -127,6 +158,30 @@ object Windows {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_win_streak" ->
+      ("""WITH fl AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |      OR event_type <> lag(event_type) OVER w THEN 1 ELSE 0 END AS flag
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |isl AS (
+        |  SELECT user_id, event_id, event_type,
+        |    SUM(flag) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM fl),
+        |st AS (
+        |  SELECT user_id, MIN(event_type) AS event_type, grp, COUNT(*) AS len,
+        |    MIN(event_id) AS first_id, MAX(event_id) AS last_id
+        |  FROM isl GROUP BY user_id, grp),
+        |best AS (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+        |    ORDER BY len DESC, first_id ASC) AS rn
+        |  FROM st)
+        |SELECT user_id, event_type, CAST(len AS BIGINT) AS longest_streak,
+        |  first_id, last_id
+        |FROM best WHERE rn = 1""".stripMargin +
+        orderByAll("user_id", "event_type", "longest_streak",
+          "first_id", "last_id")),
     "q_win_session_window" ->
       ("""WITH flagged AS (
         |  SELECT user_id, ts, value, event_id, epoch_us(ts) AS us,
