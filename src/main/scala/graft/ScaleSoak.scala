@@ -46,7 +46,13 @@ object ScaleSoak {
     // r6 text-family watch list (r5 verdict: tfidf 4.7× at ×10 —
     // verify O(tokens + vocab); decontaminate/pack/vocab_prune join it)
     "q_text_decontaminate", "q_text_pack", "q_text_vocab_prune",
-    "q_text_decontaminate_bloom", "q_dedup_incremental", "q_text_chunk")
+    "q_text_decontaminate_bloom", "q_dedup_incremental", "q_text_chunk",
+    // r7/r8 heavy-key watch list (wedge enumeration, suffix keys, BPE
+    // rounds, LM model join, frontier BFS — the keys whose slopes the
+    // scaling story leans on)
+    "q_graph_triangles", "q_graph_pagerank", "q_graph_bfs",
+    "q_dedup_substring", "q_text_bpe", "q_text_bpe_apply",
+    "q_text_ngram_lm", "q_text_langid_rank", "q_embed_pca")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */
