@@ -161,6 +161,28 @@ object Scans {
         length(col("text")).cast("long").as("n_chars_rt"),
         md5(col("text")).as("text_md5")))
     },
+    "q_scan_parquet_bloom" -> { (s, dir) =>
+      // Parquet bloom-filter pruning (added r8) — the row-group-skip
+      // primitive for NEEDLE-IN-HAYSTACK equality predicates that
+      // min/max statistics cannot serve (a high-cardinality key like
+      // o_custkey is spread across every row group, so min/max prunes
+      // nothing; the per-row-group bloom says "definitely absent" and
+      // the reader skips the group without decoding it). Orders are
+      // staged sorted-by-custkey-bucket with
+      // parquet.bloom.filter.enabled#o_custkey=true, then probed with
+      // an IN (...) equality set; PlanSpec pins that the EqualTo
+      // pushdown reaches the scan. Semantics are bloom-independent
+      // (the filter re-applies exactly) — the feature is pure I/O
+      // skipping, which is why a plain DuckDB filter is a valid
+      // oracle. At 100 TB this plus q_scan_partition_prune are the
+      // two scan-side pruning levers: partition values you organize
+      // by, blooms for the keys you cannot.
+      val staged = stageOrdersBloom(s, dir)
+      val o = s.read.parquet(staged)
+      ordered(o.filter(col("o_custkey").isin(11L, 407L, 1013L))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderstatus")))
+    },
     "q_scan_orc" -> { (s, dir) =>
       // ORC source twin (the other columnar format Spark ships a
       // native vectorized reader for): supplier staged as ORC
@@ -428,6 +450,21 @@ object Scans {
         .write.mode("overwrite").text(staged)
     }
 
+  /** Stage orders as parquet with a bloom filter on o_custkey
+    * (mtime-invalidated): repartitioned into several files so the
+    * probe has row groups to SKIP, written with the column bloom
+    * enabled (1M distinct hint keeps the bitset honest). */
+  private def stageOrdersBloom(s: SparkSession, sfDir: String): String =
+    graft.sources.Stage.once(sfDir, "orders_bloom", "orders") { staged =>
+      Tables(s, sfDir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+        .repartition(8, col("o_custkey"))
+        .write.mode("overwrite")
+        .option("parquet.bloom.filter.enabled#o_custkey", "true")
+        .option("parquet.bloom.filter.expected.ndv#o_custkey", "1000000")
+        .parquet(staged)
+    }
+
   /** Stage supplier as ORC (mtime-invalidated, [[graft.sources.Stage]]). */
   private def stageSupplierOrc(s: SparkSession, sfDir: String): String =
     graft.sources.Stage.once(sfDir, "supplier_orc", "supplier") { staged =>
@@ -582,6 +619,10 @@ object Scans {
         |FROM d GROUP BY 1""".stripMargin +
         orderByAll("z_bucket", "n_rows", "pk_min", "pk_max",
           "sk_min", "sk_max")),
+    "q_scan_parquet_bloom" ->
+      ("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+        |FROM orders WHERE o_custkey IN (11, 407, 1013)""".stripMargin +
+        orderByAll("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")),
     "q_scan_orc" ->
       ("""SELECT s_suppkey, s_name, s_nationkey, s_acctbal
         |FROM supplier WHERE s_acctbal > 1000.0""".stripMargin +

@@ -222,6 +222,40 @@ object Time {
       ordered(lagged.filter(col("rn") >= 8)
         .select(col("event_type"), col("bucket"), col("x"), col("ewma")))
     },
+    "q_time_cusum" -> { (s, dir) =>
+      // CUSUM changepoint detection (Page 1954) — the sequential
+      // level-shift detector beside q_time_anomaly's rolling z-score
+      // (z flags single outliers; CUSUM accumulates SMALL persistent
+      // drifts until they cross a decision threshold). The textbook
+      // recursion S⁺_t = max(0, S⁺_{t-1} + (x_t−μ−k)) is not a plain
+      // window aggregate, but it equals R_t − min(0, min_{j≤t} R_j)
+      // for the prefix sums R of the slack-adjusted deviations — so
+      // both one-sided statistics come out of ONE shuffle-sort as a
+      // running sum + running min (all exact BIGINTs: quantized daily
+      // totals, integer reference mean and slack k = μ/20, threshold
+      // h = μ/2). 100 TB posture: daily pre-agg shuffles the corpus
+      // once; the CUSUM windows run over |types|·|days| rows.
+      val e = Tables(s, dir, "events")
+      val daily = e.groupBy(col("event_type"),
+          expr("CAST(ts AS LONG) DIV 86400").as("day"))
+        .agg(floor(sum(money(col("value")))).cast("long").as("x"))
+      val ref = daily.groupBy(col("event_type"))
+        .agg(expr("CAST(sum(x) DIV count(1) AS BIGINT)").as("mu"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val d = daily.join(broadcast(ref), Seq("event_type"))
+        .withColumn("k", expr("mu DIV 20"))
+        .withColumn("rp", sum(expr("x - mu - k")).over(w))
+        .withColumn("rn_", sum(expr("mu - k - x")).over(w))
+        .withColumn("s_pos", col("rp") - least(min(col("rp")).over(w), lit(0L)))
+        .withColumn("s_neg", col("rn_") - least(min(col("rn_")).over(w), lit(0L)))
+      ordered(d.select(col("event_type"), col("day"), col("x"), col("mu"),
+        col("s_pos"), col("s_neg"),
+        (col("s_pos") > expr("mu DIV 2") ||
+          col("s_neg") > expr("mu DIV 2")).as("alarm")))
+    },
     "q_time_seasonal" -> { (s, dir) =>
       // Day-of-week seasonality profile — the weekly-shape diagnostic
       // beside q_time_autocorr's lag persistence: per (type, weekday)
@@ -487,6 +521,34 @@ object Time {
         |FROM l WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, event_type""".stripMargin +
         orderByAll("prev_type", "event_type", "n_transitions", "n_users")),
+    "q_time_cusum" ->
+      ("""WITH daily AS (
+        |  SELECT event_type, epoch_us(ts)//1000000//86400 AS day,
+        |    CAST(floor(SUM(CAST(value AS DECIMAL(18,4)))) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, epoch_us(ts)//1000000//86400),
+        |ref AS (
+        |  SELECT event_type, CAST(SUM(x) // COUNT(*) AS BIGINT) AS mu
+        |  FROM daily GROUP BY event_type),
+        |j AS (
+        |  SELECT d.event_type, d.day, d.x, r.mu, r.mu // 20 AS k
+        |  FROM daily d JOIN ref r ON d.event_type = r.event_type),
+        |c1 AS (
+        |  SELECT event_type, day, x, mu,
+        |    SUM(x - mu - k) OVER w AS rp,
+        |    SUM(mu - k - x) OVER w AS rn_
+        |  FROM j
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING)),
+        |c AS (
+        |  SELECT event_type, day, x, mu, rp, rn_,
+        |    MIN(rp) OVER w AS mrp, MIN(rn_) OVER w AS mrn
+        |  FROM c1
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS UNBOUNDED PRECEDING))
+        |SELECT event_type, day, x, mu,
+        |  CAST(rp - LEAST(mrp, 0) AS BIGINT) AS s_pos,
+        |  CAST(rn_ - LEAST(mrn, 0) AS BIGINT) AS s_neg,
+        |  (rp - LEAST(mrp, 0) > mu // 2 OR rn_ - LEAST(mrn, 0) > mu // 2) AS alarm
+        |FROM c""".stripMargin +
+        orderByAll("event_type", "day", "x", "mu", "s_pos", "s_neg", "alarm")),
     "q_time_seasonal" ->
       ("""WITH daily AS (
         |  SELECT event_type, epoch_us(ts)//1000000//86400 AS day,

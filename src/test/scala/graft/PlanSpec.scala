@@ -557,6 +557,15 @@ class PlanSpec extends SparkSpec {
       s"bucket agg lost map-side partials:\n$p")
   }
 
+  test("q_scan_parquet_bloom: equality set pushes to the parquet scan (r8)") {
+    // the bloom filter only fires when the In/EqualTo predicate
+    // reaches the reader — a post-scan filter would decode every row
+    // group and the bloom would be dead weight
+    val p = planOf("q_scan_parquet_bloom")
+    assert(p.contains("PushedFilters: [") && p.contains("In(o_custkey"),
+      s"equality set not pushed to the scan:\n$p")
+  }
+
   test("q_embed_pca: iteration state rides 1-row broadcasts, no cartesian (r8)") {
     val p = planOf("q_embed_pca")
     assert(!p.contains("CartesianProduct"), s"PCA plans a cartesian:\n$p")

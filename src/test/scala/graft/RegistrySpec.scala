@@ -81,7 +81,8 @@ class RegistrySpec extends SparkSpec {
       "q_graph_bfs", "q_time_autocorr",
       "q_text_bpe_apply", "q_multimodal_audio_meta", "s_stream_cdc",
       "q_layout_hilbert", "q_join_asof_tolerance", "q_text_langid_rank",
-      "q_embed_pca", "q_win_streak", "q_time_seasonal")
+      "q_embed_pca", "q_win_streak", "q_time_seasonal",
+      "q_scan_parquet_bloom", "q_time_cusum")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }

@@ -87,6 +87,29 @@ class TimeSpec extends SparkSpec {
     }
   }
 
+  test("q_time_cusum: prefix-sum/running-min identity equals the textbook recursion (r8)") {
+    import org.apache.spark.sql.functions._
+    // replay S+_t = max(0, S+_{t-1} + (x-mu-k)) and the mirrored S-
+    // directly in Scala and demand equality with the window identity
+    val rows = SparkEntry.queries("q_time_cusum")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("day"),
+        r.getAs[Long]("x"), r.getAs[Long]("mu"),
+        r.getAs[Long]("s_pos"), r.getAs[Long]("s_neg")))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (typ, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val mu = sorted.head._4
+      val k = mu / 20
+      var sp = 0L; var sn = 0L
+      sorted.foreach { case (_, day, x, _, gotP, gotN) =>
+        sp = math.max(0L, sp + (x - mu - k))
+        sn = math.max(0L, sn + (mu - k - x))
+        assert(gotP === sp, s"$typ day $day: s_pos $gotP != recursion $sp")
+        assert(gotN === sn, s"$typ day $day: s_neg $gotN != recursion $sn")
+      }
+    }
+  }
+
   test("kill mid-stream, resume from checkpoint: no loss, no dupes (A4/A5)") {
     val staged = EventSource.stageEvents(spark, sf)
     val out = java.nio.file.Files.createTempDirectory("graft_kill_out").toString
