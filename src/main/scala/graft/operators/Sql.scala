@@ -46,6 +46,51 @@ object Sql {
       |ORDER BY revenue DESC, o_orderdate, l_orderkey
       |LIMIT 10""".stripMargin
 
+  /** TPC-H-Q1-shaped pricing summary (the canonical scan-heavy
+    * aggregate; q_agg_group_pricing is its DataFrame twin). The
+    * sum_charge triple product price·(1−disc)·(1+tax) CANNOT be three
+    * chained DECIMAL(18,4) multiplies — the ideal result width (54)
+    * exceeds both engines' 38-digit decimals (DuckDB errors, Spark
+    * silently rounds under allowPrecisionLoss) — so the factors are
+    * scaled to exact BIGINTs (×10⁴ each, integral by construction),
+    * multiplied exactly (≤1.1e18 per row, inside int64), summed as
+    * DECIMAL(38,0), and scaled back by 1e12 once. */
+  private val q1 =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS STRING) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(SUM(CAST(
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,4)) * 10000 AS BIGINT) *
+      |    (10000 - CAST(CAST(l_discount AS DECIMAL(18,4)) * 10000 AS BIGINT)) *
+      |    (10000 + CAST(CAST(l_tax AS DECIMAL(18,4)) * 10000 AS BIGINT))
+      |    AS DECIMAL(38,0))) AS STRING) AS DOUBLE) / 1e12 AS sum_charge,
+      |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS STRING) AS DOUBLE) / COUNT(*) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H-Q10-shaped: returned-item revenue per customer for one
+    * half-year window, top 20 with a deterministic key tiebreak —
+    * fact⋈two dims + broadcast nation, one agg shuffle, then a
+    * TakeOrderedAndProject top-k. */
+  private val q10 =
+    """SELECT c_custkey, c_name,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS STRING) AS DOUBLE) AS revenue,
+      |  c_acctbal, n_name
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+      |  AND l_returnflag = 'R'
+      |  AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey ASC
+      |LIMIT 20""".stripMargin
+
   /** Correlated EXISTS — decorrelates to a left-semi join. */
   private val existsBig =
     """SELECT c_custkey, c_name, c_acctbal
@@ -153,6 +198,8 @@ object Sql {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sql_tpch_q1" -> run(q1),
+    "q_sql_tpch_q10" -> run(q10),
     "q_sql_tpch_q3" -> run(q3),
     "q_sql_tpch_q5" -> run(q5),
     "q_sql_tpch_q18" -> run(q18),
@@ -164,6 +211,13 @@ object Sql {
   )
 
   def oracle: Map[String, String] = Map(
+    "q_sql_tpch_q1" ->
+      (q1 + orderByAll("l_returnflag", "l_linestatus", "sum_qty",
+        "sum_base_price", "sum_disc_price", "sum_charge", "avg_qty",
+        "avg_price", "avg_disc", "count_order")),
+    "q_sql_tpch_q10" ->
+      (s"SELECT * FROM ($q10)" +
+        orderByAll("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")),
     "q_sql_tpch_q3" ->
       (s"SELECT * FROM ($q3)" +
         orderByAll("l_orderkey", "o_orderdate", "o_orderpriority", "revenue")),
