@@ -222,6 +222,42 @@ object Time {
       ordered(lagged.filter(col("rn") >= 8)
         .select(col("event_type"), col("bucket"), col("x"), col("ewma")))
     },
+    "q_time_trend" -> { (s, dir) =>
+      // Per-type OLS trend line over the daily series — the "is this
+      // metric drifting, and how fast" summary beside q_time_autocorr
+      // (persistence) and q_time_cusum (changepoints): slope and
+      // intercept of daily_total ~ day_index from the classic
+      // closed-form moments. Day index is re-based per type (day −
+      // min(day)) so the integer moments stay small; all moments are
+      // exact BIGINTs over the quantized daily totals, and
+      // slope/intercept/r² are single shared IEEE expressions on
+      // identical integers. Zero-variance/degenerate series → NULLs.
+      // 100 TB posture: daily pre-agg shuffles the corpus once; the
+      // regression is a |types|-row agg over |types|·|days| rows.
+      val e = Tables(s, dir, "events")
+      val daily = e.groupBy(col("event_type"),
+          expr("CAST(ts AS LONG) DIV 86400").as("day"))
+        .agg(floor(sum(money(col("value")))).cast("long").as("y"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type"))
+      val m = daily.withColumn("t", col("day") - min(col("day")).over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
+          sum(col("y")).as("sy"), sum(col("t") * col("t")).as("stt"),
+          sum(col("y") * col("y")).as("syy"), sum(col("t") * col("y")).as("sty"))
+      val den = m("n") * m("stt") - m("st") * m("st")
+      val varY = m("n") * m("syy") - m("sy") * m("sy")
+      val num = m("n") * m("sty") - m("st") * m("sy")
+      ordered(m.select(col("event_type"), col("n"),
+        when(den > 0L, num.cast("double") / den.cast("double")).as("slope"),
+        when(den > 0L,
+          (col("sy").cast("double") -
+            (num.cast("double") / den.cast("double")) * col("st").cast("double")) /
+            col("n").cast("double")).as("intercept"),
+        when(den > 0L && varY > 0L,
+          (num.cast("double") * num.cast("double")) /
+            (den.cast("double") * varY.cast("double"))).as("r2")))
+    },
     "q_time_cusum" -> { (s, dir) =>
       // CUSUM changepoint detection (Page 1954) — the sequential
       // level-shift detector beside q_time_anomaly's rolling z-score
@@ -521,6 +557,35 @@ object Time {
         |FROM l WHERE prev_type IS NOT NULL
         |GROUP BY prev_type, event_type""".stripMargin +
         orderByAll("prev_type", "event_type", "n_transitions", "n_users")),
+    "q_time_trend" ->
+      ("""WITH daily AS (
+        |  SELECT event_type, epoch_us(ts)//1000000//86400 AS day,
+        |    CAST(floor(SUM(CAST(value AS DECIMAL(18,4)))) AS BIGINT) AS y
+        |  FROM events GROUP BY event_type, epoch_us(ts)//1000000//86400),
+        |b AS (
+        |  SELECT event_type, day - MIN(day) OVER (PARTITION BY event_type) AS t, y
+        |  FROM daily),
+        |m AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |    CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(t*t) AS BIGINT) AS stt, CAST(SUM(y*y) AS BIGINT) AS syy,
+        |    CAST(SUM(t*y) AS BIGINT) AS sty
+        |  FROM b GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CASE WHEN n*stt - st*st > 0
+        |    THEN CAST(n*sty - st*sy AS DOUBLE) / CAST(n*stt - st*st AS DOUBLE)
+        |    ELSE NULL END AS slope,
+        |  CASE WHEN n*stt - st*st > 0
+        |    THEN (CAST(sy AS DOUBLE) -
+        |      (CAST(n*sty - st*sy AS DOUBLE) / CAST(n*stt - st*st AS DOUBLE))
+        |        * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE)
+        |    ELSE NULL END AS intercept,
+        |  CASE WHEN n*stt - st*st > 0 AND n*syy - sy*sy > 0
+        |    THEN (CAST(n*sty - st*sy AS DOUBLE) * CAST(n*sty - st*sy AS DOUBLE)) /
+        |      (CAST(n*stt - st*st AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+        |    ELSE NULL END AS r2
+        |FROM m""".stripMargin +
+        orderByAll("event_type", "n", "slope", "intercept", "r2")),
     "q_time_cusum" ->
       ("""WITH daily AS (
         |  SELECT event_type, epoch_us(ts)//1000000//86400 AS day,

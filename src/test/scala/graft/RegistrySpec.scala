@@ -83,7 +83,7 @@ class RegistrySpec extends SparkSpec {
       "q_layout_hilbert", "q_join_asof_tolerance", "q_text_langid_rank",
       "q_embed_pca", "q_win_streak", "q_time_seasonal",
       "q_scan_parquet_bloom", "q_time_cusum",
-      "q_sql_tpch_q1", "q_sql_tpch_q10")
+      "q_sql_tpch_q1", "q_sql_tpch_q10", "q_time_trend")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }
