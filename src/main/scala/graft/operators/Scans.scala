@@ -161,6 +161,34 @@ object Scans {
         length(col("text")).cast("long").as("n_chars_rt"),
         md5(col("text")).as("text_md5")))
     },
+    "q_scan_csv_malformed" -> { (s, dir) =>
+      // PERMISSIVE CSV quarantine (added r8) — the landing-format
+      // reality the clean q_scan_csv skips: real CSV feeds carry
+      // malformed rows, and the ingestion contract is quarantine-
+      // don't-crash (the CSV twin of the JSON/Avro registry decode
+      // paths). Poison is PLANTED by doc_id rule (every 11th row's
+      // numeric column is the unparseable token `oops`), read back
+      // with an explicit schema + columnNameOfCorruptRecord, and the
+      // report proves (a) nothing was dropped, (b) exactly the
+      // planted rows quarantined with their RAW line recoverable,
+      // (c) good-row arithmetic is untouched. The oracle recomputes
+      // every number from the planting rule — a parser that silently
+      // dropped or mis-flagged a row breaks the hash.
+      val staged = stageDocumentsCsvPoison(s, dir)
+      val r = s.read
+        .schema("doc_id LONG, lang STRING, n_chars LONG, _corrupt STRING")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(staged)
+      ordered(r.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_good"),
+        sum(when(col("_corrupt").isNull, col("n_chars")).otherwise(0L))
+          .cast("long").as("sum_chars_good"),
+        sum(when(col("_corrupt").endsWith(",oops"), 1L).otherwise(0L))
+          .as("n_corrupt_marked")))
+    },
     "q_scan_parquet_bloom" -> { (s, dir) =>
       // Parquet bloom-filter pruning (added r8) — the row-group-skip
       // primitive for NEEDLE-IN-HAYSTACK equality predicates that
@@ -450,6 +478,19 @@ object Scans {
         .write.mode("overwrite").text(staged)
     }
 
+  /** Stage documents as CSV lines with PLANTED poison: every 11th
+    * row's numeric column is the unparseable token `oops`
+    * (mtime-invalidated). */
+  private def stageDocumentsCsvPoison(s: SparkSession, sfDir: String): String =
+    graft.sources.Stage.once(sfDir, "documents_csv_poison", "documents") { staged =>
+      Tables(s, sfDir, "documents")
+        .select(concat(col("doc_id"), lit(","), col("lang"), lit(","),
+          when(col("doc_id") % 11 === 0, lit("oops"))
+            .otherwise(col("n_chars").cast("string"))).as("value"))
+        .repartition(4)
+        .write.mode("overwrite").text(staged)
+    }
+
   /** Stage orders as parquet with a bloom filter on o_custkey
     * (mtime-invalidated): repartitioned into several files so the
     * probe has row groups to SKIP, written with the column bloom
@@ -619,6 +660,15 @@ object Scans {
         |FROM d GROUP BY 1""".stripMargin +
         orderByAll("z_bucket", "n_rows", "pk_min", "pk_max",
           "sk_min", "sk_max")),
+    "q_scan_csv_malformed" ->
+      ("""SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt,
+        |  CAST(SUM(CASE WHEN doc_id % 11 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_good,
+        |  CAST(SUM(CASE WHEN doc_id % 11 = 0 THEN 0 ELSE n_chars END) AS BIGINT) AS sum_chars_good,
+        |  CAST(SUM(CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt_marked
+        |FROM documents""".stripMargin +
+        orderByAll("n_rows", "n_corrupt", "n_good", "sum_chars_good",
+          "n_corrupt_marked")),
     "q_scan_parquet_bloom" ->
       ("""SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
         |FROM orders WHERE o_custkey IN (11, 407, 1013)""".stripMargin +

@@ -191,6 +191,43 @@ object Time {
         .agg(count(lit(1)).as("n_transitions"),
           countDistinct(col("user_id")).as("n_users")))
     },
+    "q_event_attribution" -> { (s, dir) =>
+      // Last-touch attribution — the conversion-credit rule every
+      // growth pipeline runs (beside funnel/transitions/retention):
+      // each purchase attributes to the user's most recent prior
+      // click/view within a 3-day lookback; purchases with no
+      // in-window touch report as unattributed. ONE per-user window
+      // sort: a conditional struct carried by last(ignoreNulls) over
+      // the preceding frame holds the latest touch; the lookback is a
+      // residual integer-second check. Per (touch_type, attributed)
+      // report with exact decimal revenue.
+      // 100 TB posture: identical layout to q_event_transitions — one
+      // shuffle on user_id, per-user-local sort; no self-join of the
+      // event table against itself (the naive purchase×touch join is
+      // quadratic in a user's activity).
+      val e = Tables(s, dir, "events")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val touch = when(col("event_type").isin("click", "view"),
+        struct(expr("CAST(ts AS LONG)").as("tsec"), col("event_type").as("ttype"),
+          col("event_id").as("tid")))
+      val marked = e
+        .withColumn("lt", last(touch, ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("gap", expr("CAST(ts AS LONG)") - col("lt.tsec"))
+        // a purchase row's own struct is null (not click/view), so lt
+        // at the purchase row is genuinely the latest PRIOR touch
+        .withColumn("attributed",
+          col("lt").isNotNull && col("gap") <= lit(259200L))
+      ordered(marked.groupBy(
+          when(col("attributed"), col("lt.ttype")).otherwise("none").as("touch_type"),
+          col("attributed"))
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("revenue")))
+    },
     "q_time_ewma" -> { (s, dir) =>
       // Exponentially-weighted moving average (α = 1/2) over the
       // per-type daily mean series, truncated at 8 taps. Cross-engine
@@ -545,6 +582,26 @@ object Time {
         |FROM w GROUP BY bucket""".stripMargin +
         orderByAll("bucket", "open", "close", "low", "high",
           "n_events", "volume")),
+    "q_event_attribution" ->
+      ("""WITH m AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |      THEN struct_pack(tsec := epoch_us(ts)//1000000,
+        |        ttype := event_type, tid := event_id) END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |        ROWS UNBOUNDED PRECEDING) AS lt
+        |  FROM events),
+        |p AS (
+        |  SELECT user_id, value, lt,
+        |    (lt IS NOT NULL AND epoch_us(ts)//1000000 - lt.tsec <= 259200) AS attributed
+        |  FROM m WHERE event_type = 'purchase')
+        |SELECT CASE WHEN attributed THEN lt.ttype ELSE 'none' END AS touch_type,
+        |  attributed, COUNT(*) AS n_purchases,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS revenue
+        |FROM p GROUP BY 1, 2""".stripMargin +
+        orderByAll("touch_type", "attributed", "n_purchases", "n_users",
+          "revenue")),
     "q_event_transitions" ->
       ("""WITH l AS (
         |  SELECT user_id, event_type,

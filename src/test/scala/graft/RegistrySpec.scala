@@ -83,7 +83,8 @@ class RegistrySpec extends SparkSpec {
       "q_layout_hilbert", "q_join_asof_tolerance", "q_text_langid_rank",
       "q_embed_pca", "q_win_streak", "q_time_seasonal",
       "q_scan_parquet_bloom", "q_time_cusum",
-      "q_sql_tpch_q1", "q_sql_tpch_q10", "q_time_trend")
+      "q_sql_tpch_q1", "q_sql_tpch_q10", "q_time_trend",
+      "q_event_attribution", "q_scan_csv_malformed")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }
