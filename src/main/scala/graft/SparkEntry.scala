@@ -27,6 +27,7 @@ object SparkEntry {
       (Multimodal.queries, Multimodal.oracle),
       (Sql.queries, Sql.oracle),
       (Extensibility.queries, Extensibility.oracle),
+      (TableFormat.queries, TableFormat.oracle),
       (Streams.queries, Streams.oracle)
     )
 

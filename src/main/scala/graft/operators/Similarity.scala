@@ -167,8 +167,38 @@ object Similarity {
     "q_sim_ivf" -> { (s, dir) =>
       // IVF (inverted-file) ANN: coarse quantizer cells + probe-N
       // search — the clustered-data scale path complementing LSH.
-      // Oracle=omit (approximate); SimilaritySpec bounds recall.
+      // Fully deterministic since r9 (fixed-point Lloyd step), so
+      // oracle-CHECKED; SimilaritySpec additionally bounds recall
+      // vs the exact k-NN twin.
       ivfTopK(vecs(s, dir), k = 20)
+    },
+    "s_sim_index_build" -> { (s, dir) =>
+      // Build-and-persist the IVF index (r9, VERDICT top-next): cell
+      // assignments land as a parquet table PARTITIONED BY cell +
+      // a centroid metadata table. Returns the per-cell inventory
+      // (posting-list sizes) — deterministic, so oracle-checked by
+      // replaying the training in DuckDB.
+      val root = buildIvfIndex(s, dir)
+      ordered(s.read.parquet(root + "/assigned")
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("first_vec")))
+    },
+    "q_sim_ivf_probe" -> { (s, dir) =>
+      // Probe the PERSISTED index (r9): the probe reads ONLY the
+      // nProbe matching cell partitions — the plan carries
+      // PartitionFilters [cell IN (...)], asserted in PlanSpec, which
+      // is the 100 TB ANN candidate-selection story as an actual plan
+      // instead of a comment. The only driver round-trip is the
+      // 8-row probe-cell id list (index metadata). Output is equal to
+      // q_sim_ivf by construction (same assignment, same scoring) —
+      // asserted in SimilaritySpec, and both keys share one oracle.
+      val root = buildIvfIndex(s, dir)
+      val assigned = s.read.parquet(root + "/assigned")
+      val cents = s.read.parquet(root + "/centroids")
+      val q = vecs(s, dir).filter(col("vec_id") === lit(0L)).select(col("v").as("qv"))
+      val probes = probeCellsOf(cents, q, nProbe = 8)
+        .collect().map(_.getInt(0)).toIndexedSeq
+      scoreProbed(assigned.filter(col("cell").isin(probes: _*)), q, k = 20)
     },
     "q_sim_pq_adc" -> { (s, dir) =>
       // PQ-ADC search (added r7) — the compressed-domain ANN serving
@@ -217,58 +247,108 @@ object Similarity {
     }
   )
 
-  /** IVF approximate k-NN of the fixed query vector (vec_id=0):
+  /** Shared IVF coarse quantizer (r9 rework — q_sim_ivf, q_sim_ivf_probe,
+    * s_sim_index_build): `nCells` seed centroids (the lowest vec_ids)
+    * refined by ONE distributed Lloyd step, exactly the q_embed_kmeans
+    * determinism contract — assignment argmin over the codegen
+    * fixed-point `l2_dist_q` (exact integers, partition-order- and
+    * engine-independent) and centroid means from 1e-7 fixed-point
+    * BIGINT sums (order-independent, unlike a double `avg`). That
+    * makes the WHOLE pipeline — training, assignment, probe selection,
+    * scoring — DuckDB-replayable, so the IVF family is oracle-checked
+    * rather than recall-bounded-only (the r8 formulation's float
+    * `avg` means were partition-order-dependent and forced omit).
     *
-    *   1. coarse quantizer: `nCells` deterministic seed vectors
-    *      (lowest vec_ids) refined by ONE distributed Lloyd step
-    *      (assign via the codegen cosine kernel, component-wise means
-    *      by hash aggregation — no driver-side training loop);
-    *   2. every vector is assigned to its nearest cell — at 100 TB
-    *      this cell id is a partition/bucket column, so a probe only
-    *      reads the matching partitions (partition pruning does the
-    *      candidate selection);
-    *   3. the query probes its `nProbe` nearest cells and scores only
-    *      those candidates exactly, then TakeOrderedAndProject top-k.
+    * Returns (assigned = (vec_id, label, v, cell), centroids =
+    * (cell, cv)). Zero driver round-trips: centroids stay a
+    * dataframe; q_sim_ivf consumes them via broadcast.
     *
-    * Driver-side materialization is index METADATA only (nCells
-    * centroids + the query row), never the data. */
-  def ivfTopK(e: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 8): DataFrame = {
+    * 100 TB posture: assignment is a narrow broadcast-codebook map
+    * (no corpus shuffle); the recompute agg collapses to
+    * nCells·dim rows map-side. The cell id is the partition column
+    * of the persisted index (s_sim_index_build), so a probe prunes
+    * to nProbe directories — demonstrated, not just claimed, by
+    * q_sim_ivf_probe's PartitionFilters (PlanSpec). */
+  private[graft] def ivfTrain(e: DataFrame, nCells: Int = 16): (DataFrame, DataFrame) = {
     VectorExprs.register(e.sparkSession)
-    def cellCol(cents: IndexedSeq[Seq[Double]]): Column = {
-      val scored = cents.zipWithIndex.map { case (c, i) =>
-        struct(call_function("cosine_sim", col("v"), typedLit(c)).as("c"),
-          lit(i).as("i"))
-      }
-      array_max(array(scored: _*)).getField("i")
+    def assign(cents: DataFrame): DataFrame = {
+      val packed = cents.agg(
+        expr("array_sort(collect_list(struct(cell, cv)))").as("cs"))
+      e.crossJoin(broadcast(packed))
+        .withColumn("best", expr(
+          "array_min(transform(cs, c -> named_struct(" +
+            "'dq', l2_dist_q(v, c.cv), 'cell', c.cell)))"))
+        .select(col("vec_id"), col("label"), col("v"),
+          col("best.cell").as("cell"))
     }
-    val seeds = e.orderBy(col("vec_id")).limit(nCells)
-      .select(col("v")).collect().map(_.getSeq[Double](0)).toIndexedSeq
-    // one Lloyd refinement, fully distributed
-    val means = e.withColumn("cell", cellCol(seeds))
-      .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy(col("cell"), col("dim")).agg(avg(col("x")).as("m"))
-      .groupBy(col("cell"))
-      .agg(expr("transform(array_sort(collect_list(struct(dim, m))), s -> s.m)").as("centroid"))
-      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
-    val cents = (0 until nCells).map(i => means.getOrElse(i, seeds(i)))
-    val assigned = e.withColumn("cell", cellCol(cents))
-    val qv = e.filter(col("vec_id") === lit(0L)).select(col("v"))
-      .collect()(0).getSeq[Double](0)
-    def cosLocal(a: Seq[Double], b: Seq[Double]): Double = {
-      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < math.min(a.size, b.size)) {
-        dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
-      }
-      dot / (math.sqrt(na) * math.sqrt(nb))
-    }
-    val probes = cents.zipWithIndex
-      .map { case (c, i) => (cosLocal(qv, c), i) }
-      .sortBy { case (c, i) => (-c, i) }.take(nProbe).map(_._2)
-    val cand = assigned
-      .filter(col("cell").isin(probes: _*) && col("vec_id") =!= lit(0L))
-      .withColumn("c", call_function("cosine_sim", col("v"), typedLit(qv)))
-    ordered(cand.orderBy(col("c").desc, col("vec_id")).limit(k)
+    def recompute(asg: DataFrame): DataFrame =
+      asg.select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+        .withColumn("xq", floor(col("x") * lit(1e7)).cast("long"))
+        .groupBy(col("cell"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("xq")).as("sq"))
+        .withColumn("c", col("sq").cast("double") / lit(1e7) / col("n"))
+        .groupBy(col("cell"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
+          .as("cv"))
+    val init = e.filter(col("vec_id") < nCells)
+      .select(col("vec_id").cast("int").as("cell"), col("v").as("cv"))
+    val c1 = recompute(assign(init))
+    (assign(c1), c1)
+  }
+
+  /** nProbe cells nearest the query centroid-wise (fixed-point l2,
+    * ties by cell id) — index metadata, nCells rows. */
+  private def probeCellsOf(cents: DataFrame, q: DataFrame, nProbe: Int): DataFrame =
+    cents.crossJoin(broadcast(q))
+      .select(col("cell"), call_function("l2_dist_q", col("cv"), col("qv")).as("dq"))
+      .orderBy(col("dq"), col("cell")).limit(nProbe).select("cell")
+
+  /** Exact cosine scoring + top-k over the probed candidate set —
+    * shared tail of q_sim_ivf and q_sim_ivf_probe (their outputs are
+    * equal by construction; SimilaritySpec asserts it). */
+  private def scoreProbed(cand: DataFrame, q: DataFrame, k: Int): DataFrame =
+    ordered(cand.filter(col("vec_id") =!= lit(0L))
+      .crossJoin(broadcast(q))
+      .withColumn("c", call_function("cosine_sim", col("v"), col("qv")))
+      .orderBy(col("c").desc, col("vec_id")).limit(k)
       .select(col("vec_id"), col("label"), round(col("c"), 4).as("cosine")))
+
+  /** IVF approximate k-NN of the fixed query vector (vec_id=0),
+    * index built inline: train → probe-cell selection via a broadcast
+    * semi-join on the cell id → exact scoring of candidates only. */
+  def ivfTopK(e: DataFrame, k: Int, nCells: Int = 16, nProbe: Int = 8): DataFrame = {
+    val (assigned, cents) = ivfTrain(e, nCells)
+    val q = e.filter(col("vec_id") === lit(0L)).select(col("v").as("qv"))
+    scoreProbed(assigned.join(broadcast(probeCellsOf(cents, q, nProbe)), "cell"), q, k)
+  }
+
+  /** Persisted-index memo: one IVF index build per (session, fixture
+    * dir) — s_sim_index_build and q_sim_ivf_probe share the build the
+    * way a lakehouse deployment shares an index table across queries.
+    * Same clear-on-overflow bound as corpusCountMemo. */
+  private val ivfIndexMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+
+  /** Materialize the IVF index: the cell assignment as a parquet table
+    * PARTITIONED BY cell (so a probe is directory pruning, the 100 TB
+    * candidate-selection mechanism) plus the centroid table as index
+    * metadata alongside. Returns the index root. */
+  private[graft] def buildIvfIndex(s: SparkSession, dir: String,
+      nCells: Int = 16): String = {
+    if (ivfIndexMemo.size > 8) ivfIndexMemo.clear()
+    ivfIndexMemo.computeIfAbsent((s, dir), _ => {
+      val (assigned, cents) = ivfTrain(vecs(s, dir), nCells)
+      val root = java.nio.file.Files.createTempDirectory("graft_ivf_idx")
+      root.toFile.deleteOnExit()
+      // one file per cell locally (fixture-sized cells); at 100 TB the
+      // same write fans each cell dir into many files sized by
+      // maxRecordsPerFile — pruning semantics are identical
+      assigned.repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell")
+        .parquet(root.toString + "/assigned")
+      cents.write.mode("overwrite").parquet(root.toString + "/centroids")
+      root.toString
+    })
   }
 
   /** Banded sign-random-projection LSH pairs: 32 tables × adaptive
@@ -342,12 +422,81 @@ object Similarity {
       round(col("euclidean"), 4).as("euclidean")))
   }
 
+  /** DuckDB CTE chain replaying [[ivfTrain]] exactly (the
+    * q_embed_kmeans oracle shape at k=16 over full vectors): seed →
+    * fixed-point assign → fixed-point recompute → final assign, then
+    * the probe-cell selection and exact cosine scoring. Shared by
+    * q_sim_ivf, q_sim_ivf_probe (equal outputs) and s_sim_index_build
+    * (per-cell inventory over the same a2). */
+  private val ivfCtes: String =
+    """e AS (
+      |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |init AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM e WHERE vec_id < 16),
+      |d1 AS (
+      |  SELECT e.vec_id, e.v, i.cell,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      j -> CAST(FLOOR((e.v[j] - i.cv[j]) * (e.v[j] - i.cv[j]) * 1e12)
+      |        AS BIGINT))) AS BIGINT) AS dq
+      |  FROM e CROSS JOIN init i),
+      |a1 AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dq, cell) AS rn
+      |    FROM d1) WHERE rn = 1),
+      |cd AS (
+      |  SELECT cell, u.j AS dim, COUNT(*) AS n,
+      |    CAST(SUM(CAST(FLOOR(v[u.j] * 1e7) AS BIGINT)) AS BIGINT) AS sq
+      |  FROM a1, (SELECT unnest(range(1, 65)) AS j) u
+      |  GROUP BY cell, u.j),
+      |c1 AS (
+      |  SELECT cell, list(CAST(sq AS DOUBLE) / 1e7 / n ORDER BY dim) AS cv
+      |  FROM cd GROUP BY cell),
+      |d2 AS (
+      |  SELECT e.vec_id, e.label, e.v, c.cell,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      j -> CAST(FLOOR((e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j]) * 1e12)
+      |        AS BIGINT))) AS BIGINT) AS dq
+      |  FROM e CROSS JOIN c1 c),
+      |a2 AS (
+      |  SELECT vec_id, label, v, cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dq, cell) AS rn
+      |    FROM d2) WHERE rn = 1),
+      |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |pd AS (
+      |  SELECT c1.cell,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      j -> CAST(FLOOR((c1.cv[j] - q.qv[j]) * (c1.cv[j] - q.qv[j]) * 1e12)
+      |        AS BIGINT))) AS BIGINT) AS dq
+      |  FROM c1, q),
+      |pr AS (SELECT cell FROM pd ORDER BY dq, cell LIMIT 8),
+      |scored AS (
+      |  SELECT a2.vec_id, a2.label,
+      |    list_sum(list_transform(range(1, 65), i -> a2.v[i] * q.qv[i])) /
+      |      (sqrt(list_sum(list_transform(range(1, 65), i -> a2.v[i] * a2.v[i]))) *
+      |       sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))) AS c
+      |  FROM a2, pr, q
+      |  WHERE a2.cell = pr.cell AND a2.vec_id <> 0),
+      |ivf_top AS (
+      |  SELECT vec_id, label, ROUND(c, 4) AS cosine FROM scored
+      |  ORDER BY c DESC, vec_id LIMIT 20)""".stripMargin
+
+  private val ivfTopSql: String =
+    s"WITH $ivfCtes\nSELECT vec_id, label, cosine FROM ivf_top" +
+      orderByAll("vec_id", "label", "cosine")
+
   private def cosSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1,65), i -> CAST($a.embedding[i] AS DOUBLE) * $b.embedding[i])) / " +
       s"(sqrt(list_sum(list_transform(range(1,65), i -> CAST($a.embedding[i] AS DOUBLE) * $a.embedding[i]))) * " +
       s"sqrt(list_sum(list_transform(range(1,65), i -> CAST($b.embedding[i] AS DOUBLE) * $b.embedding[i]))))"
 
   def oracle: Map[String, String] = Map(
+    "q_sim_ivf" -> ivfTopSql,
+    "q_sim_ivf_probe" -> ivfTopSql,
+    "s_sim_index_build" ->
+      (s"""WITH $ivfCtes
+        |SELECT cell, COUNT(*) AS n_vectors, MIN(vec_id) AS first_vec
+        |FROM a2 GROUP BY cell""".stripMargin +
+        orderByAll("cell", "n_vectors", "first_vec")),
     "q_sim_cosine_topk" ->
       (s"""WITH p AS (
         |  SELECT a.vec_id AS va, b.vec_id AS vb, ${cosSql("a", "b")} AS c

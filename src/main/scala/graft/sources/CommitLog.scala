@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal snapshot/commit-log table layer (r9, VERDICT r8 item 2) —
+  * the public Delta/Iceberg design reduced to its load-bearing core:
+  *
+  *   - a table is `root/data/<unique>.parquet` files plus an append-only
+  *     log `root/_graft_log/v%09d.json`, each manifest the COMPLETE
+  *     file listing of one snapshot version;
+  *   - a commit stages its manifest to a temp name and publishes with
+  *     one ATOMIC rename — readers either see version N or N+1, never
+  *     a half-written listing (and never a half-written data set: data
+  *     files are invisible until a manifest names them);
+  *   - optimistic concurrency: the rename FAILS if the target version
+  *     exists, so of two racing writers exactly one commits and the
+  *     loser re-reads and retries — the Delta protocol's mutual
+  *     exclusion, provided here by the filesystem's atomic rename;
+  *   - reads pin a version: the scan is built from the manifest's
+  *     explicit file list, so a concurrent compaction or append is
+  *     invisible (snapshot isolation). Compaction REWRITES data into
+  *     new files and commits a new manifest; it never deletes — file
+  *     removal is a separate vacuum concern (old snapshots stay
+  *     readable until then), exactly the public lakehouse split.
+  *
+  * 100 TB posture: the manifest replaces directory LISTING with a
+  * metadata read — the object-store list call that dominates wide
+  * tables is gone; planning cost scales with the file count in one
+  * manifest, and the format's natural next steps (manifest segments +
+  * column stats for file skipping) are data-independent metadata. This
+  * closes the reader-vs-compaction race SCALING.md flags for
+  * s_compact_files: a reader pinned to version N is unaffected by a
+  * concurrent rewrite (asserted in StreamingSpec).
+  */
+object CommitLog {
+  private def logDir(root: String) = new java.io.File(root, "_graft_log")
+  private def manifest(root: String, v: Long) =
+    new java.io.File(logDir(root), f"v$v%09d.json")
+
+  /** Hand-built JSON (strings are path-safe by construction: UUID file
+    * names under data/); parsed back with Spark's Jackson. */
+  private def renderManifest(version: Long, files: Seq[String]): String =
+    s"""{"version":$version,"files":[${files.map(f => "\"" + f + "\"").mkString(",")}]}"""
+
+  def latestVersion(root: String): Option[Long] =
+    Option(logDir(root).listFiles())
+      .map(_.toSeq.map(_.getName).filter(n => n.startsWith("v") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("v").stripSuffix(".json").toLong))
+      .filter(_.nonEmpty).map(_.max)
+
+  /** The complete file listing of snapshot `version` (absolute paths). */
+  def snapshotFiles(root: String, version: Long): Seq[String] = {
+    val f = manifest(root, version)
+    require(f.exists(), s"commit log has no version $version under $root")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(f.toPath))
+    val files = node.get("files")
+    (0 until files.size()).map(i => new java.io.File(root, files.get(i).asText()).toString)
+  }
+
+  /** Publish `files` (paths relative to root) as the next version after
+    * `expected` (None = first commit). Publication is an atomic
+    * CREATE-IF-ABSENT: a hard link to the staged manifest — rename(2)
+    * would silently REPLACE an existing target on POSIX, so it cannot
+    * arbitrate racing committers; link(2) is atomic and fails with
+    * EEXIST, giving exactly one winner (the put-if-absent primitive the
+    * public table formats require of their log store). The loser gets a
+    * clean conflict to re-read and retry on. */
+  def commit(root: String, files: Seq[String], expected: Option[Long]): Long = {
+    logDir(root).mkdirs()
+    val next = expected.map(_ + 1).getOrElse(0L)
+    val tmp = java.nio.file.Files.createTempFile(logDir(root).toPath, s".v$next-", ".tmp")
+    java.nio.file.Files.writeString(tmp, renderManifest(next, files))
+    try {
+      java.nio.file.Files.createLink(manifest(root, next).toPath, tmp)
+      java.nio.file.Files.delete(tmp)
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        java.nio.file.Files.deleteIfExists(tmp)
+        throw new java.util.ConcurrentModificationException(
+          s"commit conflict: version $next already published under $root")
+    }
+    next
+  }
+
+  /** Stage `df` as `nFiles` new data files and commit them APPENDED to
+    * the current snapshot (or as the first snapshot). Data files land
+    * under data/ with unique names but stay invisible to readers until
+    * the manifest rename publishes them. */
+  def append(s: SparkSession, root: String, df: DataFrame, nFiles: Int): Long = {
+    val prev = latestVersion(root)
+    val prevFiles = prev.map(v => snapshotFiles(root, v)
+      .map(p => relativize(root, p))).getOrElse(Nil)
+    commit(root, prevFiles ++ stageDataFiles(s, root, df, nFiles), prev)
+  }
+
+  /** Rewrite the CURRENT snapshot into `nFiles` compacted data files
+    * and commit a manifest listing ONLY those — old files remain on
+    * disk for pinned readers (vacuum is separate, as in the public
+    * designs). */
+  def compact(s: SparkSession, root: String, nFiles: Int): Long = {
+    val prev = latestVersion(root)
+      .getOrElse(sys.error(s"cannot compact an empty table at $root"))
+    val cur = read(s, root, prev)
+    commit(root, stageDataFiles(s, root, cur, nFiles), Some(prev))
+  }
+
+  /** Read the table AS OF `version` — the time-travel scan: explicit
+    * file list from the manifest, no directory listing anywhere. */
+  def read(s: SparkSession, root: String, version: Long): DataFrame =
+    s.read.parquet(snapshotFiles(root, version): _*)
+
+  private def relativize(root: String, abs: String): String =
+    new java.io.File(root).toPath.relativize(new java.io.File(abs).toPath).toString
+
+  private def stageDataFiles(s: SparkSession, root: String,
+      df: DataFrame, nFiles: Int): Seq[String] = {
+    val stage = java.nio.file.Files.createTempDirectory(
+      new java.io.File(root).toPath, ".stage-")
+    df.repartition(nFiles).write.mode("overwrite").parquet(stage.toString)
+    val dataDir = new java.io.File(root, "data"); dataDir.mkdirs()
+    val parts = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val moved = parts.map { p =>
+      val dst = new java.io.File(dataDir,
+        java.util.UUID.randomUUID().toString + ".parquet")
+      java.nio.file.Files.move(p.toPath, dst.toPath)
+      "data/" + dst.getName
+    }.toSeq
+    // scrub the staging residue (an _SUCCESS marker and the empty dir)
+    Option(stage.toFile.listFiles()).foreach(_.foreach(_.delete()))
+    stage.toFile.delete()
+    moved
+  }
+}

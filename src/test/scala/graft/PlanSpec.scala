@@ -572,6 +572,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), s"μ/v state must broadcast:\n$p")
   }
 
+  test("q_sim_ivf_probe: probe prunes the index scan to the probed cell partitions (r9)") {
+    // the VERDICT r8 top-next item: the IVF "cell id is a partition
+    // column" posture must be a DEMONSTRATED plan — the persisted
+    // index scan carries the probe set in PartitionFilters (directory
+    // pruning) and reads fewer partitions than the index holds
+    val p = planOf("q_sim_ivf_probe")
+    val scan = p.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("ivf_idx")).getOrElse("")
+    val pf = scan.replaceAll(".*PartitionFilters: \\[", "").takeWhile(_ != ']')
+    assert(pf.contains("cell") && pf.contains(" IN "),
+      s"no cell IN (...) partition filter on the index scan:\n$scan")
+    // exactly the 8 probed cells of the 16 the index holds
+    val nIds = pf.dropWhile(_ != '(').drop(1).takeWhile(_ != ')').split(",").length
+    assert(nIds == 8, s"probe filter carries $nIds cell ids (want 8): $pf")
+    // the data-file read must not re-carry the partition column
+    val read = scan.replaceAll(".*ReadSchema: ", "")
+    assert(!read.contains("cell"), s"cell not pruned from data-file schema: $read")
+  }
+
   test("q_time_autocorr: one window sort yields all three lags, no join (r8)") {
     val p = planOf("q_time_autocorr")
     assert(!p.contains("Join"), s"autocorr should not join:\n$p")

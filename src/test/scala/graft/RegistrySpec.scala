@@ -84,7 +84,10 @@ class RegistrySpec extends SparkSpec {
       "q_embed_pca", "q_win_streak", "q_time_seasonal",
       "q_scan_parquet_bloom", "q_time_cusum",
       "q_sql_tpch_q1", "q_sql_tpch_q10", "q_time_trend",
-      "q_event_attribution", "q_scan_csv_malformed")
+      "q_event_attribution", "q_scan_csv_malformed",
+      // r9
+      "s_sim_index_build", "q_sim_ivf_probe",
+      "s_table_commit", "q_table_time_travel")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }

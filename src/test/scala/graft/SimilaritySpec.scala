@@ -74,6 +74,24 @@ class SimilaritySpec extends SparkSpec {
     assert(p.filter(abs(col("c") - 1.0) > 1e-12).count() === 0)
   }
 
+  test("q_sim_ivf_probe over the persisted index equals the inline q_sim_ivf (r9)") {
+    // same training, same probe selection, same scoring — the persisted
+    // partitioned table must be a pure storage change, not a semantic one
+    val inline0 = SparkEntry.queries("q_sim_ivf")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    val probed = SparkEntry.queries("q_sim_ivf_probe")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+    assert(probed === inline0)
+  }
+
+  test("s_sim_index_build: every vector lands in exactly one cell partition (r9)") {
+    val inv = SparkEntry.queries("s_sim_index_build")(spark, sf).collect()
+    val total = inv.map(_.getAs[Long]("n_vectors")).sum
+    val n = vecs.count()
+    assert(total === n, s"index covers $total of $n vectors")
+    assert(inv.length > 1 && inv.length <= 16, s"${inv.length} cells")
+  }
+
   test("IVF probe search recall vs exact kNN") {
     val exact = SparkEntry.queries("q_sim_knn_query")(spark, sf)
       .select("vec_id").collect().map(_.getLong(0)).toSet

@@ -331,4 +331,45 @@ class StreamingSpec extends SparkSpec {
       .collect()(0)
     assert(out.getLong(0) === out.getLong(1), s"dupes leaked: $out")
   }
+
+  test("commit log: reader pinned to v0 is isolated from a concurrent compaction (r9)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_iso").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 2 === 0), nFiles = 2)
+    val pinnedFiles = CommitLog.snapshotFiles(root, 0L)
+    val before = CommitLog.read(spark, root, 0L)
+      .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+    // concurrent maintenance: append + compaction rewrite the live table
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 2 =!= 0), nFiles = 2)
+    CommitLog.compact(spark, root, nFiles = 1)
+    // the pinned reader's files are untouched (compaction never deletes)
+    assert(pinnedFiles.forall(f => new java.io.File(f).exists()),
+      "compaction deleted files a pinned snapshot still references")
+    val after = CommitLog.read(spark, root, 0L)
+      .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+    assert(after === before, "pinned v0 read changed under concurrent rewrites")
+    // the compacted head has everything, in fewer files
+    assert(CommitLog.snapshotFiles(root, 2L).size === 1)
+    assert(CommitLog.read(spark, root, 2L).count() === ev.count())
+  }
+
+  test("commit log: conflicting commit loses cleanly, log stays consistent (r9)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_race").toString
+    val ev = Tables(spark, sf, "events").select(col("event_id")).limit(10)
+    CommitLog.append(spark, root, ev, nFiles = 1)
+    val v0Files = CommitLog.snapshotFiles(root, 0L)
+    // two writers race for version 1: the second rename must fail with
+    // a conflict, not corrupt or overwrite the first
+    CommitLog.commit(root, Nil, expected = Some(0L))
+    intercept[java.util.ConcurrentModificationException] {
+      CommitLog.commit(root, Seq("data/phantom.parquet"), expected = Some(0L))
+    }
+    assert(CommitLog.latestVersion(root) === Some(1L))
+    assert(CommitLog.snapshotFiles(root, 1L).isEmpty,
+      "losing writer's manifest content leaked into the published version")
+    assert(CommitLog.snapshotFiles(root, 0L) === v0Files)
+  }
 }
