@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Det._
 import graft.sources.Tables
@@ -237,6 +237,32 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc_id"))
   }
 
+  /** URL canonicalization pipeline (q_dedup_url; r9 rework of the
+    * middle steps per VERDICT r8 #2/#3 + ADVICE):
+    *
+    *  - lowercase SCOPED to scheme+authority — query values and paths
+    *    are case-significant (?ref=KEEP ≠ ?ref=keep; the r8 whole-URL
+    *    lower() over-merged);
+    *  - default :443 strips at the END of the extracted authority, so
+    *    pathless `https://host:443?x=1` normalizes too (the r8
+    *    ":443/" rule needed a following slash);
+    *  - the trailing slash strips before a query string as well
+    *    ("/p/21/?ref=x" ≡ "/p/21?ref=x") — two RE2-safe replaces
+    *    ("/?"→"?", then "/$"→"") because RE2/DuckDB has no lookahead.
+    *
+    * Every step is a narrow per-row regex map (scan speed; the oracle
+    * mirrors it step for step). */
+  private[graft] def canonicalizeUrl(raw: Column): Column = {
+    val u1 = regexp_replace(raw, "#.*$", "")
+    val auth = regexp_extract(u1, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
+    val u2 = concat(regexp_replace(lower(auth), ":443$", ""),
+      u1.substr(length(auth) + lit(1), length(u1)))
+    val u4 = regexp_replace(u2, "[?&]utm_[^&#]*", "")
+    val u5 = regexp_replace(u4, "\\?&", "?")
+    val u6 = regexp_replace(u5, "/\\?", "?")
+    regexp_replace(u6, "/$", "")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_cluster" -> { (s, dir) =>
       ordered(dedupClusters(Tables(s, dir, "documents")))
@@ -258,9 +284,10 @@ object Dedup {
       // are manufactured deterministically from the fixtures (which
       // carry none) with every noise class planted by doc_id residue,
       // so each canonicalization step provably fires. Pipeline (order
-      // matters, mirrored in the oracle): drop fragment → lowercase →
-      // strip default :443 port → strip utm_* params (+ repair a
-      // dangling '?&') → strip trailing slash. All regex steps are
+      // matters, mirrored in the oracle): drop fragment → lowercase
+      // scheme+authority + strip default :443 port → strip utm_*
+      // params (+ repair a dangling '?&') → strip trailing slash
+      // (also before a query string). All regex steps are
       // Java/RE2-portable; DuckDB needs the 'g' flag (the house
       // q_text_html_strip rule). 100 TB posture: canonicalization is
       // a narrow per-row map at scan speed; the only shuffle is the
@@ -279,12 +306,7 @@ object Dedup {
           when(col("doc_id") % 4 === 0, "?utm_source=feed&utm_campaign=x")
             .when(col("doc_id") % 4 === 1, "?ref=keep").otherwise(""),
           when(col("doc_id") % 6 === 0, "#sec2").otherwise("")))
-      val canon = d.withColumn("u1", regexp_replace(col("raw_url"), "#.*$", ""))
-        .withColumn("u2", lower(col("u1")))
-        .withColumn("u3", regexp_replace(col("u2"), ":443/", "/"))
-        .withColumn("u4", regexp_replace(col("u3"), "[?&]utm_[^&#]*", ""))
-        .withColumn("u5", regexp_replace(col("u4"), "\\?&", "?"))
-        .withColumn("canon_url", regexp_replace(col("u5"), "/$", ""))
+      val canon = d.withColumn("canon_url", canonicalizeUrl(col("raw_url")))
       ordered(canon.groupBy(col("canon_url"))
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("survivor_id"),
           countDistinct(col("raw_url")).as("n_variants")))
@@ -526,18 +548,27 @@ object Dedup {
         |         WHEN doc_id % 4 = 1 THEN '?ref=keep' ELSE '' END ||
         |    CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END AS raw_url
         |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, raw_url,
+        |    regexp_replace(raw_url, '#.*$', '', 'g') AS u1
+        |  FROM u),
+        |a AS (
+        |  SELECT doc_id, raw_url, u1,
+        |    regexp_extract(u1, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*') AS auth
+        |  FROM f),
         |c AS (
         |  SELECT doc_id, raw_url,
         |    regexp_replace(
         |      regexp_replace(
         |        regexp_replace(
         |          regexp_replace(
-        |            lower(regexp_replace(raw_url, '#.*$', '', 'g')),
-        |            ':443/', '/', 'g'),
-        |          '[?&]utm_[^&#]*', '', 'g'),
-        |        '\?&', '?', 'g'),
+        |            regexp_replace(lower(auth), ':443$', '') ||
+        |              substring(u1, length(auth) + 1),
+        |            '[?&]utm_[^&#]*', '', 'g'),
+        |          '\?&', '?', 'g'),
+        |        '/\?', '?', 'g'),
         |      '/$', '', 'g') AS canon_url
-        |  FROM u)
+        |  FROM a)
         |SELECT canon_url, COUNT(*) AS n_docs, MIN(doc_id) AS survivor_id,
         |  COUNT(DISTINCT raw_url) AS n_variants
         |FROM c GROUP BY canon_url""".stripMargin +

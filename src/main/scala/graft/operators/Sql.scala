@@ -192,6 +192,72 @@ object Sql {
       |  ORDER BY l_extendedprice DESC, l_linenumber ASC LIMIT 1) l
       |WHERE o.o_totalprice > 450000.0""".stripMargin
 
+  /** TPC-H-Q21-shaped (added r9 — the optimizer-stress trio): suppliers
+    * who were the SOLE returning supplier on a finished multi-supplier
+    * order. The reference Q21's "kept waiting" predicate
+    * (receiptdate > commitdate) maps to the fixture's returned-line
+    * flag; the plan stress is identical and is the point: one EXISTS
+    * and one NOT EXISTS, both correlated SELF-joins of the fact with a
+    * non-equi residual (l2.l_suppkey <> l1.l_suppkey), must decorrelate
+    * to a left-semi and a left-anti hash join on l_orderkey — a naive
+    * planner re-scans lineitem per row or degenerates to a product
+    * (PlanSpec pins semi+anti, no cartesian). */
+  private val q21 =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier, lineitem l1, orders, nation
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |  AND s_nationkey = n_nationkey
+      |  AND n_name IN ('NATION_1', 'NATION_3', 'NATION_5', 'NATION_7')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
+  /** TPC-H-Q16-shaped: distinct-supplier counts per part group,
+    * excluding flagged suppliers via NOT IN — the null-aware anti join
+    * (Spark's NullAwareAntiJoin path) plus a COUNT(DISTINCT) over the
+    * join result; lineitem stands in for partsupp (same key shape), the
+    * negative-balance rule for the complaints LIKE. */
+  private val q16 =
+    """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey
+      |  AND p_brand <> 'Brand#15'
+      |  AND p_type NOT LIKE 'MEDIUM%'
+      |  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+      |  AND l_suppkey NOT IN (
+      |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size LIMIT 200""".stripMargin
+
+  /** TPC-H-Q2-shaped: per part, the cheapest EUROPE-region offer —
+    * unit cost = l_extendedprice / l_quantity (one IEEE division, bit-
+    * identical cross-engine), the correlated MIN subquery re-filters by
+    * the SAME region inside the correlation. Catalyst must decorrelate
+    * to one grouped min + equi join back on the part key, never a
+    * per-part rescan of the fact (the classic Q2 planner trap). */
+  private val q2 =
+    """SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_brand,
+      |  l_extendedprice / l_quantity AS unit_cost
+      |FROM part, supplier, lineitem, nation, region
+      |WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |  AND p_size = 25
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'EUROPE'
+      |  AND l_extendedprice / l_quantity = (
+      |    SELECT MIN(l2.l_extendedprice / l2.l_quantity)
+      |    FROM lineitem l2, supplier s2, nation n2, region r2
+      |    WHERE l2.l_partkey = p_partkey AND s2.s_suppkey = l2.l_suppkey
+      |      AND s2.s_nationkey = n2.n_nationkey
+      |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
+
   private def run(sql: String): (SparkSession, String) => DataFrame = { (s, dir) =>
     registerViews(s, dir)
     ordered(s.sql(sql))
@@ -203,6 +269,9 @@ object Sql {
     "q_sql_tpch_q3" -> run(q3),
     "q_sql_tpch_q5" -> run(q5),
     "q_sql_tpch_q18" -> run(q18),
+    "q_sql_tpch_q21" -> run(q21),
+    "q_sql_tpch_q16" -> run(q16),
+    "q_sql_tpch_q2" -> run(q2),
     "q_sql_exists_subquery" -> run(existsBig),
     "q_sql_scalar_subquery" -> run(scalarSub),
     "q_sql_cte_window" -> run(cteWindow),
@@ -225,6 +294,15 @@ object Sql {
       (q5 + orderByAll("n_name", "revenue")),
     "q_sql_tpch_q18" ->
       (q18 + orderByAll("c_name", "c_custkey", "o_orderkey", "o_orderdate", "total_qty")),
+    "q_sql_tpch_q21" ->
+      (s"SELECT * FROM ($q21)" + orderByAll("s_name", "numwait")),
+    "q_sql_tpch_q16" ->
+      (s"SELECT * FROM ($q16)" +
+        orderByAll("p_brand", "p_type", "p_size", "supplier_cnt")),
+    "q_sql_tpch_q2" ->
+      (s"SELECT * FROM ($q2)" +
+        orderByAll("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+          "unit_cost")),
     "q_sql_exists_subquery" ->
       (existsBig + orderByAll("c_custkey", "c_name", "c_acctbal")),
     "q_sql_scalar_subquery" ->

@@ -265,10 +265,16 @@ object Time {
       // (persistence) and q_time_cusum (changepoints): slope and
       // intercept of daily_total ~ day_index from the classic
       // closed-form moments. Day index is re-based per type (day −
-      // min(day)) so the integer moments stay small; all moments are
-      // exact BIGINTs over the quantized daily totals, and
-      // slope/intercept/r² are single shared IEEE expressions on
-      // identical integers. Zero-variance/degenerate series → NULLs.
+      // min(day)) so the t-moments stay small; all moments sum as
+      // exact DECIMAL(38,0) (r9 — BIGINT squared moments had limited
+      // headroom: sy² nears 1e17 at fixture scale and a ×10 soak
+      // multiplies squared terms ×100, where Spark int64 wraps
+      // silently while DuckDB promotes to HUGEINT; 38-digit decimals
+      // match HUGEINT exactness to ~1e38), and slope/intercept/r² are
+      // single shared IEEE expressions on identical integers (each
+      // decimal→double cast is correctly rounded in Spark; the oracle
+      // takes the VARCHAR hop per the house Det rule). Zero-variance/
+      // degenerate series → NULLs.
       // 100 TB posture: daily pre-agg shuffles the corpus once; the
       // regression is a |types|-row agg over |types|·|days| rows.
       val e = Tables(s, dir, "events")
@@ -278,10 +284,12 @@ object Time {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("event_type"))
       val m = daily.withColumn("t", col("day") - min(col("day")).over(w))
+        .withColumn("td", col("t").cast("decimal(19,0)"))
+        .withColumn("yd", col("y").cast("decimal(19,0)"))
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(col("t")).as("st"),
-          sum(col("y")).as("sy"), sum(col("t") * col("t")).as("stt"),
-          sum(col("y") * col("y")).as("syy"), sum(col("t") * col("y")).as("sty"))
+        .agg(count(lit(1)).as("n"), sum(col("td")).as("st"),
+          sum(col("yd")).as("sy"), sum(col("td") * col("td")).as("stt"),
+          sum(col("yd") * col("yd")).as("syy"), sum(col("td") * col("yd")).as("sty"))
       val den = m("n") * m("stt") - m("st") * m("st")
       val varY = m("n") * m("syy") - m("sy") * m("sy")
       val num = m("n") * m("sty") - m("st") * m("sy")
@@ -366,12 +374,15 @@ object Time {
       // drift monitors (is yesterday predictive of today?). The daily
       // value is quantized ONCE to an exact integer (floor of the
       // exact DECIMAL(18,4) day sum), so every Pearson moment (n, Σx,
-      // Σy, Σx², Σy², Σxy) is a BIGINT no addition order can perturb;
-      // r then comes from ONE shared IEEE expression —
+      // Σy, Σx², Σy², Σxy) is an exact integer no addition order can
+      // perturb — summed as DECIMAL(38,0) since r9 (BIGINT wrapped
+      // silently once sy² crossed int64 on soak scales while DuckDB
+      // promoted to HUGEINT; 38-digit decimals match HUGEINT
+      // exactness). r then comes from ONE shared IEEE expression —
       // (n·Σxy−ΣxΣy)/(√(n·Σx²−Σx²̂)·√(n·Σy²−Σy²̂)) — on identical
-      // integers in both engines (the two separate sqrts also keep the
-      // variance product inside int64→double range). Degenerate
-      // (zero-variance) series yield NULL, not NaN.
+      // integers in both engines (correctly-rounded decimal→double in
+      // Spark; VARCHAR hop in the oracle). Degenerate (zero-variance)
+      // series yield NULL, not NaN.
       // 100 TB posture: the heavy shuffle is the daily pre-agg of raw
       // events (map-side decimal partials); ONE window sort per type
       // yields all three lags (stack explodes 3 rows per day), and the
@@ -389,10 +400,13 @@ object Time {
         .selectExpr("event_type", "x",
           "stack(3, CAST(1 AS BIGINT), y1, CAST(2 AS BIGINT), y2, CAST(3 AS BIGINT), y3) AS (lag, y)")
         .filter(col("y").isNotNull)
-      val m = lagged.groupBy(col("event_type"), col("lag"))
-        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
-          sum(col("x") * col("y")).as("sxy"))
+      val m = lagged
+        .withColumn("xd", col("x").cast("decimal(19,0)"))
+        .withColumn("yd", col("y").cast("decimal(19,0)"))
+        .groupBy(col("event_type"), col("lag"))
+        .agg(count(lit(1)).as("n"), sum(col("xd")).as("sx"), sum(col("yd")).as("sy"),
+          sum(col("xd") * col("xd")).as("sxx"), sum(col("yd") * col("yd")).as("syy"),
+          sum(col("xd") * col("yd")).as("sxy"))
       val va = col("n") * col("sxx") - col("sx") * col("sx")
       val vb = col("n") * col("syy") - col("sy") * col("sy")
       ordered(m.select(col("event_type"), col("lag"), col("n"),
@@ -624,22 +638,28 @@ object Time {
         |  FROM daily),
         |m AS (
         |  SELECT event_type, COUNT(*) AS n,
-        |    CAST(SUM(t) AS BIGINT) AS st, CAST(SUM(y) AS BIGINT) AS sy,
-        |    CAST(SUM(t*t) AS BIGINT) AS stt, CAST(SUM(y*y) AS BIGINT) AS syy,
-        |    CAST(SUM(t*y) AS BIGINT) AS sty
+        |    CAST(SUM(CAST(t AS HUGEINT)) AS HUGEINT) AS st,
+        |    CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(t AS HUGEINT)*t) AS HUGEINT) AS stt,
+        |    CAST(SUM(CAST(y AS HUGEINT)*y) AS HUGEINT) AS syy,
+        |    CAST(SUM(CAST(t AS HUGEINT)*y) AS HUGEINT) AS sty
         |  FROM b GROUP BY event_type)
         |SELECT event_type, n,
         |  CASE WHEN n*stt - st*st > 0
-        |    THEN CAST(n*sty - st*sy AS DOUBLE) / CAST(n*stt - st*st AS DOUBLE)
+        |    THEN CAST(CAST(n*sty - st*sy AS VARCHAR) AS DOUBLE)
+        |      / CAST(CAST(n*stt - st*st AS VARCHAR) AS DOUBLE)
         |    ELSE NULL END AS slope,
         |  CASE WHEN n*stt - st*st > 0
-        |    THEN (CAST(sy AS DOUBLE) -
-        |      (CAST(n*sty - st*sy AS DOUBLE) / CAST(n*stt - st*st AS DOUBLE))
-        |        * CAST(st AS DOUBLE)) / CAST(n AS DOUBLE)
+        |    THEN (CAST(CAST(sy AS VARCHAR) AS DOUBLE) -
+        |      (CAST(CAST(n*sty - st*sy AS VARCHAR) AS DOUBLE)
+        |        / CAST(CAST(n*stt - st*st AS VARCHAR) AS DOUBLE))
+        |        * CAST(CAST(st AS VARCHAR) AS DOUBLE)) / CAST(n AS DOUBLE)
         |    ELSE NULL END AS intercept,
         |  CASE WHEN n*stt - st*st > 0 AND n*syy - sy*sy > 0
-        |    THEN (CAST(n*sty - st*sy AS DOUBLE) * CAST(n*sty - st*sy AS DOUBLE)) /
-        |      (CAST(n*stt - st*st AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+        |    THEN (CAST(CAST(n*sty - st*sy AS VARCHAR) AS DOUBLE)
+        |        * CAST(CAST(n*sty - st*sy AS VARCHAR) AS DOUBLE)) /
+        |      (CAST(CAST(n*stt - st*st AS VARCHAR) AS DOUBLE)
+        |        * CAST(CAST(n*syy - sy*sy AS VARCHAR) AS DOUBLE))
         |    ELSE NULL END AS r2
         |FROM m""".stripMargin +
         orderByAll("event_type", "n", "slope", "intercept", "r2")),
@@ -705,14 +725,17 @@ object Time {
         |  UNION ALL SELECT event_type, 3, x, y3 FROM l),
         |m AS (
         |  SELECT event_type, lag, COUNT(*) AS n,
-        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-        |    CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
-        |    CAST(SUM(x*y) AS BIGINT) AS sxy
+        |    CAST(SUM(CAST(x AS HUGEINT)) AS HUGEINT) AS sx,
+        |    CAST(SUM(CAST(y AS HUGEINT)) AS HUGEINT) AS sy,
+        |    CAST(SUM(CAST(x AS HUGEINT)*x) AS HUGEINT) AS sxx,
+        |    CAST(SUM(CAST(y AS HUGEINT)*y) AS HUGEINT) AS syy,
+        |    CAST(SUM(CAST(x AS HUGEINT)*y) AS HUGEINT) AS sxy
         |  FROM p WHERE y IS NOT NULL GROUP BY event_type, lag)
         |SELECT event_type, lag, n,
         |  CASE WHEN (n*sxx - sx*sx) > 0 AND (n*syy - sy*sy) > 0 THEN
-        |    CAST(n*sxy - sx*sy AS DOUBLE) /
-        |      (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))
+        |    CAST(CAST(n*sxy - sx*sy AS VARCHAR) AS DOUBLE) /
+        |      (sqrt(CAST(CAST(n*sxx - sx*sx AS VARCHAR) AS DOUBLE))
+        |        * sqrt(CAST(CAST(n*syy - sy*sy AS VARCHAR) AS DOUBLE)))
         |  ELSE NULL END AS autocorr
         |FROM m""".stripMargin +
         orderByAll("event_type", "lag", "n", "autocorr")),

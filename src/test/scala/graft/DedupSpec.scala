@@ -72,15 +72,45 @@ class DedupSpec extends SparkSpec {
     val total = graft.sources.Tables(spark, sf, "documents").count()
     assert(rows.map(_._2).sum === total, "every doc must land in exactly one cluster")
     rows.foreach { case (u, n, _, variants) =>
-      // every canonicalization rule verifiably held on every key
-      assert(u == u.toLowerCase, s"case noise survived: $u")
+      // every canonicalization rule verifiably held on every key —
+      // r9: case scrubbing is scoped to scheme+authority (query values
+      // keep their case), and the slash rule also covers "/?"
+      val auth = u.replaceAll("^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*).*$", "$1")
+      assert(auth == auth.toLowerCase, s"authority case noise survived: $u")
       assert(!u.contains("#") && !u.contains("utm_"), s"fragment/utm survived: $u")
-      assert(!u.contains(":443") && !u.endsWith("/"), s"port/slash noise survived: $u")
+      assert(!u.contains(":443") && !u.endsWith("/") && !u.contains("/?"),
+        s"port/slash noise survived: $u")
       assert(variants >= 1 && variants <= n, s"$u variants=$variants docs=$n")
     }
     // the planted noise classes actually collapse something: some
     // cluster must unite multiple RAW variants
     assert(rows.exists(_._4 > 1), "no cluster merged distinct raw URLs — staging noise dead")
+  }
+
+  test("canonicalizeUrl unit cases: scoped lowercase, portless :443, slash-before-query (r9)") {
+    import spark.implicits._
+    val cases = Seq(
+      // mixed-case QUERY VALUE must survive; host+scheme lowercase
+      ("HTTPS://Host.Example.COM/p/1?ref=KEEP",
+        "https://host.example.com/p/1?ref=KEEP"),
+      // pathless explicit :443 (no following slash) still strips
+      ("https://host.example.com:443?x=1", "https://host.example.com?x=1"),
+      // bare authority with :443 and nothing after
+      ("https://host.example.com:443", "https://host.example.com"),
+      // slash before the query collapses with the slash-free variant
+      ("https://host.example.com/p/21/?ref=keep",
+        "https://host.example.com/p/21?ref=keep"),
+      // :443 inside a PATH must NOT strip (only the authority port)
+      ("https://host.example.com/a:443/b", "https://host.example.com/a:443/b"),
+      // full noise stack at once
+      ("https://UP.Example.COM:443/p/3/?utm_source=feed&utm_campaign=x#sec",
+        "https://up.example.com/p/3"))
+    val out = cases.map(_._1).toDF("raw")
+      .withColumn("canon", graft.operators.Dedup.canonicalizeUrl(col("raw")))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (raw, want) =>
+      assert(out(raw) === want, s"canonicalizeUrl($raw)")
+    }
   }
 
   test("simhash: identical texts collide, fingerprint is 64-bit stable") {

@@ -572,6 +572,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), s"μ/v state must broadcast:\n$p")
   }
 
+  test("q_sql_tpch_q21: EXISTS/NOT EXISTS self-joins decorrelate to semi+anti, dims broadcast (r9)") {
+    val p = planOf("q_sql_tpch_q21")
+    assert(p.contains("LeftSemi"), s"EXISTS did not decorrelate to a semi join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not decorrelate to an anti join:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"small dims not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q21 degenerated to a product:\n$p")
+  }
+
+  test("q_sql_tpch_q16: NOT IN plans a null-aware anti join, never a product (r9)") {
+    val p = planOf("q_sql_tpch_q16")
+    assert(p.contains("LeftAnti"), s"NOT IN did not plan an anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q16 plans a cartesian:\n$p")
+  }
+
+  test("q_sql_tpch_q2: correlated MIN decorrelates to one grouped agg + join-back (r9)") {
+    val p = planOf("q_sql_tpch_q2")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q2 degenerated to a product:\n$p")
+    assert(p.contains("partial_min"),
+      s"correlated min did not become a grouped aggregate:\n$p")
+  }
+
   test("q_sim_ivf_probe: probe prunes the index scan to the probed cell partitions (r9)") {
     // the VERDICT r8 top-next item: the IVF "cell id is a partition
     // column" posture must be a DEMONSTRATED plan — the persisted
