@@ -109,32 +109,7 @@ object Graph {
     // drop the hints and co-partition edges by src instead. The
     // oracle replays the equivalent min-relaxation (identical result
     // for unit weights — first-touch distance IS the min).
-    "q_graph_bfs" -> { (s, dir) =>
-      val edges = copurchaseEdges(s, dir)
-      var settled = edges.agg(min(col("src")).as("id"))
-        .withColumn("hops", lit(0L)).localCheckpoint()
-      var frontier = settled.select(col("id"))
-      var r = 1
-      var exhausted = false
-      while (r <= 6 && !exhausted) {
-        val next = edges
-          .join(broadcast(frontier), edges("src") === frontier("id"), "left_semi")
-          .select(col("dst").as("id")).distinct()
-          .join(broadcast(settled.select(col("id"))), Seq("id"), "left_anti")
-          .withColumn("hops", lit(r.toLong)).localCheckpoint()
-        // an empty layer means the component is exhausted — the
-        // remaining rounds would scan |E| against nothing; the check is
-        // free (the layer is already materialized) and cannot change
-        // the result (every later layer would also be empty)
-        if (next.isEmpty) exhausted = true
-        else {
-          settled = settled.union(next)
-          frontier = next.select(col("id"))
-        }
-        r += 1
-      }
-      ordered(settled.select(col("id").as("p_partkey"), col("hops")))
-    },
+    "q_graph_bfs" -> { (s, dir) => ordered(bfsHops(s, dir)) },
 
     // Degree-oriented triangle counting + local clustering coefficient
     // — the community-structure / cohesion primitive (spam-farm
@@ -178,15 +153,80 @@ object Graph {
         .filter(struct(col("dv1"), col("v1")) < struct(col("dv2"), col("v2")))
       val closed = wedges.join(
         oe.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
-      val pernode = closed.select(col("u").as("id"))
-        .union(closed.select(col("v1").as("id")))
-        .union(closed.select(col("v2").as("id")))
+      // r9 (VERDICT item 5): one explode pass instead of a 3-way union
+      // of projections — the union branches each re-derive the whole
+      // wedge-closure join (exchange reuse does not always rescue
+      // three distinct projections), while explode emits the same
+      // 3 rows/triangle from ONE computation of `closed`, then a
+      // single hash agg. Output identical (same oracle hash).
+      val pernode = closed
+        .select(explode(array(col("u"), col("v1"), col("v2"))).as("id"))
         .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
       ordered(pernode.join(deg, Seq("id"))
         .select(col("id").as("p_partkey"), col("n_tri"), col("d").as("degree"),
           ((lit(2.0) * col("n_tri")) / (col("d") * (col("d") - 1))).as("clustering")))
     }
   )
+
+  /** Frontier BFS with a size-gated broadcast/co-partition switch
+    * (r9 — implements the fallback the r8 Scaladoc only described).
+    *
+    * Fast path (layer ≤ `broadcastMaxLayer` rows): frontier and
+    * settled sets BROADCAST to the edge scan — each round is a narrow
+    * pass over the checkpointed edge table (broadcast semi + broadcast
+    * anti) plus one small shuffle to distinct the candidate layer; the
+    * edge table never shuffles.
+    *
+    * Fallback (a layer outgrows the broadcast budget): the edge table
+    * is re-partitioned ON src ONCE (materialized on first use) and the
+    * hints drop — the semi join then co-locates on the standing edge
+    * partitioning, shuffling only the |layer|-sized frontier per
+    * round, which is exactly the co-partitioned schedule a 100 TB
+    * graph needs when layers are corpus-sized. The layer COUNT gates
+    * the switch and is free: the layer is already materialized for
+    * the exhaustion check. Both paths produce identical layers
+    * (GraphSpec forces the threshold to 0 and asserts equality). */
+  private[graft] def bfsHops(s: SparkSession, dir: String,
+      broadcastMaxLayer: Long = 1000000L): DataFrame = {
+    val edges = copurchaseEdges(s, dir)
+    var coEdges: Option[DataFrame] = None
+    var settled = edges.agg(min(col("src")).as("id"))
+      .withColumn("hops", lit(0L)).localCheckpoint()
+    var frontier = settled.select(col("id"))
+    var layerSize = 1L
+    var r = 1
+    var exhausted = false
+    while (r <= 6 && !exhausted) {
+      val expanded =
+        if (layerSize <= broadcastMaxLayer)
+          edges.join(broadcast(frontier), edges("src") === frontier("id"), "left_semi")
+            .select(col("dst").as("id")).distinct()
+            .join(broadcast(settled.select(col("id"))), Seq("id"), "left_anti")
+        else {
+          val ce = coEdges.getOrElse {
+            val c = edges.repartition(col("src")).localCheckpoint()
+            coEdges = Some(c); c
+          }
+          ce.join(frontier, ce("src") === frontier("id"), "left_semi")
+            .select(col("dst").as("id")).distinct()
+            .join(settled.select(col("id")), Seq("id"), "left_anti")
+        }
+      val next = expanded.withColumn("hops", lit(r.toLong)).localCheckpoint()
+      // an empty layer means the component is exhausted — the
+      // remaining rounds would scan |E| against nothing; the count is
+      // free (the layer is already materialized) and cannot change
+      // the result (every later layer would also be empty)
+      val n = next.count()
+      if (n == 0) exhausted = true
+      else {
+        settled = settled.union(next)
+        frontier = next.select(col("id"))
+        layerSize = n
+      }
+      r += 1
+    }
+    settled.select(col("id").as("p_partkey"), col("hops"))
+  }
 
   private val edgesSql =
     """edges AS (

@@ -7,6 +7,18 @@ import org.apache.spark.sql.functions._
   * distances against the edge set itself). */
 class GraphSpec extends SparkSpec {
 
+  test("bfsHops: co-partitioned fallback path equals the broadcast path (r9)") {
+    // threshold 0 forces the fallback from round 1 (every layer
+    // "outgrows" broadcast) — the schedules must be semantically
+    // interchangeable, layer for layer
+    val fast = graft.operators.Graph.bfsHops(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val coPart = graft.operators.Graph.bfsHops(spark, sf, broadcastMaxLayer = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fast.nonEmpty)
+    assert(coPart === fast, "fallback path diverged from the broadcast path")
+  }
+
   test("q_graph_bfs: seed at 0, hop metric is edge-consistent (r8)") {
     val hops = SparkEntry.queries("q_graph_bfs")(spark, sf).collect()
       .map(r => r.getAs[Long]("p_partkey") -> r.getAs[Long]("hops")).toMap
