@@ -52,7 +52,14 @@ object ScaleSoak {
     // scaling story leans on)
     "q_graph_triangles", "q_graph_pagerank", "q_graph_bfs",
     "q_dedup_substring", "q_text_bpe", "q_text_bpe_apply",
-    "q_text_ngram_lm", "q_text_langid_rank", "q_embed_pca")
+    "q_text_ngram_lm", "q_text_langid_rank", "q_embed_pca",
+    // r9 additions: persisted-index ANN probe, commit-log table layer,
+    // optimizer-stress SQL, and the decimal-moment keys whose int64
+    // headroom the soak scale is exactly what exposed
+    "s_sim_index_build", "q_sim_ivf_probe", "s_table_commit",
+    "q_table_changes", "q_table_time_travel",
+    "q_sql_tpch_q21", "q_sql_tpch_q16", "q_sql_tpch_q2",
+    "q_time_trend", "q_time_autocorr")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */

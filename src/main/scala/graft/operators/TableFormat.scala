@@ -58,6 +58,39 @@ object TableFormat {
       }
       ordered(rows.toDF("version", "n_files", "n_rows"))
     },
+    "q_table_changes" -> { (s, dir) =>
+      // incremental (CDF-style) read: rows ADDED between v0 and v1 =
+      // the scan of exactly the data files that joined the listing —
+      // the nightly-ingest consumer's shape (process only the new
+      // files, never re-read history). The commit-kind metadata guards
+      // the range: a file diff across the v2 compaction would re-emit
+      // unchanged rows, so changes() refuses it (StreamingSpec pins)
+      val root = buildEventsTable(s, dir)
+      ordered(CommitLog.changes(s, root, 0L, 1L)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
+    },
+    "s_table_vacuum" -> { (s, dir) =>
+      // retention vacuum — the storage-reclaim half of the layer: a
+      // FRESH table (never the shared memoized one — vacuum destroys
+      // old snapshots by design and must not break the sibling keys'
+      // pinned reads) built with the same deterministic history, then
+      // vacuumed to retain only the compacted head: the 8 append-era
+      // files drop, the 2 compacted files survive, and the surviving
+      // snapshot still holds every row. File counts are pinned by the
+      // explicit repartition, so the whole report is oracle-checkable.
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_table_vac")
+      root.toFile.deleteOnExit()
+      val ev = Tables(s, dir, "events")
+      CommitLog.append(s, root.toString, ev.filter(col("event_id") % 3 =!= 0), nFiles = 4)
+      CommitLog.append(s, root.toString, ev.filter(col("event_id") % 3 === 0), nFiles = 4)
+      val head = CommitLog.compact(s, root.toString, nFiles = 2)
+      val (removed, kept) = CommitLog.vacuum(root.toString, retainFrom = head)
+      val rows = CommitLog.read(s, root.toString, head).count()
+      ordered(Seq((removed, kept, rows))
+        .toDF("n_files_removed", "n_files_kept", "n_rows_after"))
+    },
     "q_table_time_travel" -> { (s, dir) =>
       // read AS OF v0 after the append and the compaction both
       // committed: the pinned scan sees only v0's file list, so the
@@ -83,6 +116,17 @@ object TableFormat {
         |  SELECT 2, 2, (SELECT COUNT(*) FROM events))
         |SELECT version, n_files, n_rows FROM h""".stripMargin +
         orderByAll("version", "n_files", "n_rows")),
+    "q_table_changes" ->
+      ("""SELECT event_type, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
+        |FROM events WHERE event_id % 3 = 0
+        |GROUP BY event_type""".stripMargin +
+        orderByAll("event_type", "n", "sum_value")),
+    "s_table_vacuum" ->
+      ("""SELECT CAST(8 AS BIGINT) AS n_files_removed,
+        |  CAST(2 AS BIGINT) AS n_files_kept,
+        |  (SELECT COUNT(*) FROM events) AS n_rows_after""".stripMargin +
+        orderByAll("n_files_removed", "n_files_kept", "n_rows_after")),
     "q_table_time_travel" ->
       ("""SELECT event_type, COUNT(*) AS n,
         |  COUNT(DISTINCT user_id) AS n_users,

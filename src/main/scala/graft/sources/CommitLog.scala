@@ -38,9 +38,13 @@ object CommitLog {
     new java.io.File(logDir(root), f"v$v%09d.json")
 
   /** Hand-built JSON (strings are path-safe by construction: UUID file
-    * names under data/); parsed back with Spark's Jackson. */
-  private def renderManifest(version: Long, files: Seq[String]): String =
-    s"""{"version":$version,"files":[${files.map(f => "\"" + f + "\"").mkString(",")}]}"""
+    * names under data/); parsed back with Spark's Jackson. `op` records
+    * the commit KIND — incremental readers need it to distinguish
+    * data-adding commits (append) from data-neutral rewrites (compact),
+    * the public change-data-feed design's commit metadata. */
+  private def renderManifest(version: Long, files: Seq[String], op: String): String =
+    s"""{"version":$version,"op":"$op",""" +
+      s""""files":[${files.map(f => "\"" + f + "\"").mkString(",")}]}"""
 
   def latestVersion(root: String): Option[Long] =
     Option(logDir(root).listFiles())
@@ -48,15 +52,24 @@ object CommitLog {
         .map(n => n.stripPrefix("v").stripSuffix(".json").toLong))
       .filter(_.nonEmpty).map(_.max)
 
-  /** The complete file listing of snapshot `version` (absolute paths). */
-  def snapshotFiles(root: String, version: Long): Seq[String] = {
+  private def readManifest(root: String, version: Long): (String, Seq[String]) = {
     val f = manifest(root, version)
     require(f.exists(), s"commit log has no version $version under $root")
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(java.nio.file.Files.readString(f.toPath))
     val files = node.get("files")
-    (0 until files.size()).map(i => new java.io.File(root, files.get(i).asText()).toString)
+    (Option(node.get("op")).map(_.asText()).getOrElse("append"),
+      (0 until files.size()).map(i => files.get(i).asText()))
   }
+
+  /** The complete file listing of snapshot `version` (absolute paths). */
+  def snapshotFiles(root: String, version: Long): Seq[String] =
+    readManifest(root, version)._2.map(f => new java.io.File(root, f).toString)
+
+  /** The commit kind of `version`: "append" (adds data) or "compact"
+    * (rewrites, data-neutral). */
+  def snapshotOp(root: String, version: Long): String =
+    readManifest(root, version)._1
 
   /** Publish `files` (paths relative to root) as the next version after
     * `expected` (None = first commit). Publication is an atomic
@@ -66,11 +79,12 @@ object CommitLog {
     * EEXIST, giving exactly one winner (the put-if-absent primitive the
     * public table formats require of their log store). The loser gets a
     * clean conflict to re-read and retry on. */
-  def commit(root: String, files: Seq[String], expected: Option[Long]): Long = {
+  def commit(root: String, files: Seq[String], expected: Option[Long],
+      op: String = "append"): Long = {
     logDir(root).mkdirs()
     val next = expected.map(_ + 1).getOrElse(0L)
     val tmp = java.nio.file.Files.createTempFile(logDir(root).toPath, s".v$next-", ".tmp")
-    java.nio.file.Files.writeString(tmp, renderManifest(next, files))
+    java.nio.file.Files.writeString(tmp, renderManifest(next, files, op))
     try {
       java.nio.file.Files.createLink(manifest(root, next).toPath, tmp)
       java.nio.file.Files.delete(tmp)
@@ -102,13 +116,62 @@ object CommitLog {
     val prev = latestVersion(root)
       .getOrElse(sys.error(s"cannot compact an empty table at $root"))
     val cur = read(s, root, prev)
-    commit(root, stageDataFiles(s, root, cur, nFiles), Some(prev))
+    commit(root, stageDataFiles(s, root, cur, nFiles), Some(prev), op = "compact")
   }
 
   /** Read the table AS OF `version` — the time-travel scan: explicit
     * file list from the manifest, no directory listing anywhere. */
   def read(s: SparkSession, root: String, version: Long): DataFrame =
     s.read.parquet(snapshotFiles(root, version): _*)
+
+  /** Incremental (change-data-feed-style) read: the rows ADDED between
+    * `fromVersion` (exclusive) and `toVersion` (inclusive) = the scan
+    * of exactly the data files that joined the listing — an
+    * append-only table's CDC without any diffing of row contents.
+    * Requires every commit in the range to be an append: a compaction
+    * rewrites unchanged rows into new files, so a file-level diff
+    * across it would re-emit old data as "new" (the public CDF designs
+    * carry the same caveat and skip data-neutral commits by commit
+    * metadata, which is what `op` records). */
+  def changes(s: SparkSession, root: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    require(fromVersion < toVersion,
+      s"changes: need fromVersion < toVersion, got $fromVersion..$toVersion")
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      val op = snapshotOp(root, v)
+      require(op == "append",
+        s"changes: version $v is a '$op' commit — file-level diff across " +
+          "a rewrite would re-emit unchanged rows; read full snapshots instead")
+    }
+    val before = snapshotFiles(root, fromVersion).toSet
+    val added = snapshotFiles(root, toVersion).filterNot(before)
+    if (added.isEmpty) read(s, root, toVersion).limit(0)
+    else s.read.parquet(added: _*)
+  }
+
+  /** Retention-gated file removal — the other half of "compaction
+    * never deletes": physically drop data files referenced ONLY by
+    * versions older than `retainFrom` (plus their manifests). Readers
+    * pinned at >= retainFrom are untouched because anything their
+    * manifests name is kept; readers pinned older lose their snapshot
+    * — which is the retention contract every public table format
+    * ships (vacuum trades time-travel depth for storage).
+    * Returns (filesRemoved, filesKept). */
+  def vacuum(root: String, retainFrom: Long): (Long, Long) = {
+    val latest = latestVersion(root)
+      .getOrElse(sys.error(s"cannot vacuum an empty table at $root"))
+    require(retainFrom <= latest, s"retainFrom $retainFrom > latest $latest")
+    val keep = (retainFrom to latest)
+      .flatMap(v => readManifest(root, v)._2).toSet
+    val dataDir = new java.io.File(root, "data")
+    val all = Option(dataDir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+    val (kept, dropped) = all.partition(f => keep.contains("data/" + f.getName))
+    dropped.foreach(_.delete())
+    (0L until retainFrom).foreach(v =>
+      java.nio.file.Files.deleteIfExists(manifest(root, v).toPath))
+    (dropped.length.toLong, kept.length.toLong)
+  }
 
   private def relativize(root: String, abs: String): String =
     new java.io.File(root).toPath.relativize(new java.io.File(abs).toPath).toString

@@ -355,6 +355,40 @@ class StreamingSpec extends SparkSpec {
     assert(CommitLog.read(spark, root, 2L).count() === ev.count())
   }
 
+  test("commit log: changes() refuses a range crossing a compaction (r9)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_cdf").toString
+    val ev = Tables(spark, sf, "events").select(col("event_id"), col("value"))
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 2 === 0), nFiles = 1)
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 2 =!= 0), nFiles = 1)
+    CommitLog.compact(spark, root, nFiles = 1)
+    // append-only range works and carries exactly the appended rows
+    val delta = CommitLog.changes(spark, root, 0L, 1L)
+    assert(delta.filter(col("event_id") % 2 === 0).count() === 0)
+    assert(delta.count() === ev.filter(col("event_id") % 2 =!= 0).count())
+    // a range crossing the rewrite must refuse, not re-emit old rows
+    val ex = intercept[IllegalArgumentException] {
+      CommitLog.changes(spark, root, 1L, 2L)
+    }
+    assert(ex.getMessage.contains("compact"), ex.getMessage)
+  }
+
+  test("commit log: vacuum keeps retained snapshots readable, drops older ones (r9)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_vac").toString
+    val ev = Tables(spark, sf, "events").select(col("event_id"), col("value"))
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 2 === 0), nFiles = 2)
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 2 =!= 0), nFiles = 2)
+    val head = CommitLog.compact(spark, root, nFiles = 1)
+    val total = ev.count()
+    val (removed, kept) = CommitLog.vacuum(root, retainFrom = head)
+    assert(removed === 4L && kept === 1L, s"removed=$removed kept=$kept")
+    // the retained head is untouched...
+    assert(CommitLog.read(spark, root, head).count() === total)
+    // ...and the pre-retention snapshot is genuinely gone (files AND log)
+    intercept[Exception] { CommitLog.snapshotFiles(root, 0L) }
+  }
+
   test("commit log: conflicting commit loses cleanly, log stays consistent (r9)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_cl_race").toString
