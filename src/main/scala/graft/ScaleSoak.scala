@@ -59,7 +59,15 @@ object ScaleSoak {
     "s_sim_index_build", "q_sim_ivf_probe", "s_table_commit",
     "q_table_changes", "q_table_time_travel",
     "q_sql_tpch_q21", "q_sql_tpch_q16", "q_sql_tpch_q2",
-    "q_time_trend", "q_time_autocorr")
+    "q_time_trend", "q_time_autocorr",
+    // r9 batch 2: the widened TPC-H stress set (correlated-AVG and
+    // disjunctive-pushdown traps deserve slope evidence), LPA rounds
+    // (per-round 2 hash aggs — must scale with |E|, not |V|²), and
+    // the one-scan PSI monitor
+    "q_sql_tpch_q7", "q_sql_tpch_q11", "q_sql_tpch_q13",
+    "q_sql_tpch_q14", "q_sql_tpch_q17", "q_sql_tpch_q19",
+    "q_sql_tpch_q20", "q_sql_tpch_q22",
+    "q_graph_label_prop", "q_quality_drift")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */

@@ -111,6 +111,33 @@ object Graph {
     // for unit weights — first-touch distance IS the min).
     "q_graph_bfs" -> { (s, dir) => ordered(bfsHops(s, dir)) },
 
+    // Label-propagation community detection (added r9) — the standard
+    // semi-supervised clustering primitive for near-dup corpus
+    // partitioning and link-farm grouping (Raghavan et al. 2007).
+    // Deterministic SYNCHRONOUS variant: seed label(v)=v, then 3
+    // rounds of label(v) := mode of neighbors' labels, ties broken by
+    // the SMALLEST label — a total order, so the fixture converges
+    // identically in any engine (all-integer state, no floats).
+    //
+    // 100 TB posture: per round TWO hash-agg shuffles keyed on vertex
+    // id — count per (dst, label) with map-side partial aggregation,
+    // then argmax per dst via max(struct(count, -label)) — and NO
+    // window anywhere (a per-node rank window would sort; the struct
+    // max is a pure hash agg). Label state is |V| rows; the memoized
+    // edge table is walked once per round, never re-derived. The
+    // oracle replays the same rounds with a ROW_NUMBER tie-break —
+    // the identical total order, so results match bit-for-bit.
+    "q_graph_label_prop" -> { (s, dir) =>
+      val edges = copurchaseEdges(s, dir)
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+      for (_ <- 1 to 3) {
+        labels = lpaRound(edges, labels).localCheckpoint()
+      }
+      ordered(labels.select(col("id").as("p_partkey"),
+        col("label").as("community")))
+    },
+
     // Degree-oriented triangle counting + local clustering coefficient
     // — the community-structure / cohesion primitive (spam-farm
     // detection, graph feature engineering). Every edge is oriented
@@ -167,6 +194,21 @@ object Graph {
           ((lit(2.0) * col("n_tri")) / (col("d") * (col("d") - 1))).as("clustering")))
     }
   )
+
+  /** One synchronous label-propagation round: label(v) := mode of
+    * neighbors' labels, ties to the SMALLEST label. Two hash aggs —
+    * count per (dst, label), then argmax per dst via
+    * max(struct(count, -label)) — and deliberately NO per-node rank
+    * window (a window would sort each vertex partition; the struct max
+    * is a pure hash agg with map-side partials). PlanSpec pins the
+    * window-free shape. */
+  private[graft] def lpaRound(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges.join(labels, edges("src") === labels("id"))
+      .groupBy(col("dst"), col("label"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("dst"))
+      .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+      .select(col("dst").as("id"), (-col("m.nl")).as("label"))
 
   /** Frontier BFS with a size-gated broadcast/co-partition switch
     * (r9 — implements the fallback the r8 Scaladoc only described).
@@ -258,7 +300,26 @@ object Graph {
        |    WHERE p2.d IS NOT NULL GROUP BY e.dst) u ON p.id = u.id)""".stripMargin
   }.mkString(",\n")
 
+  /** 3 chained label-propagation CTEs — mode of neighbor labels, ties
+    * to the smallest label (ROW_NUMBER tie-break = the same total
+    * order as the Spark side's max(struct(c, -label))). */
+  private def lpaIters(n: Int): String = (1 to n).map { i =>
+    s"""l$i AS (
+       |  SELECT id, label FROM (
+       |    SELECT e.dst AS id, p.label, COUNT(*) AS c,
+       |      ROW_NUMBER() OVER (PARTITION BY e.dst
+       |        ORDER BY COUNT(*) DESC, p.label ASC) AS rn
+       |    FROM edges e JOIN l${i - 1} p ON e.src = p.id
+       |    GROUP BY e.dst, p.label) t WHERE rn = 1)""".stripMargin
+  }.mkString(",\n")
+
   def oracle: Map[String, String] = Map(
+    "q_graph_label_prop" ->
+      (s"""WITH $edgesSql,
+        |l0 AS (SELECT DISTINCT src AS id, src AS label FROM edges),
+        |${lpaIters(3)}
+        |SELECT id AS p_partkey, label AS community FROM l3""".stripMargin +
+        orderByAll("p_partkey", "community")),
     "q_graph_bfs" ->
       (s"""WITH $edgesSql,
         |nodes AS (SELECT DISTINCT src AS id FROM edges),

@@ -78,6 +78,65 @@ object Quality {
       ordered(d.select(col("doc_id"), col("n_tok").cast("long").as("n_tok"),
         col("stop_ppt"), col("uniq_ppt"), col("score"), col("band")))
     },
+    "q_quality_drift" -> { (s, dir) =>
+      // Distribution-drift gate (added r9) — the Population Stability
+      // Index check a training pipeline runs between data windows
+      // before retraining (the classic "did the feature distribution
+      // move" monitor): PSI = Σ_buckets (p−q)·ln(p/q) between the
+      // first and second half-month of events, per event_type, over 10
+      // equal-width value buckets with Laplace (+1) smoothing so every
+      // ln argument is a positive INTEGER product.
+      //
+      // Determinism (the q_text_entropy fixed-point pattern): with
+      // a = cs1·N2 and b = cs2·N1 (smoothed count × opposite total,
+      // exact BIGINTs), each bucket term is the INTEGER product
+      // (a−b)·(floor(1e6·ln a) − floor(1e6·ln b)) — ln on integer-
+      // valued doubles, floor-quantized, so the Σ is an exact BIGINT
+      // in any engine and psi is ONE shared double expression over it;
+      // the 0.1 drift verdict compares integers only. Drift is
+      // MANUFACTURED for one type (second-window purchase values ×0.25
+      // — exact in IEEE) so the drifted=true path provably fires;
+      // ambient types land at psi < 0.01 (drifted=false path).
+      //
+      // 100 TB posture: ONE scan of events collapsed by a
+      // (type, window, bucket) hash agg with map-side partials —
+      // everything after is |types×buckets| rows (50); the bucket grid
+      // is explode(sequence), not a cartesian, and the window-count
+      // joins broadcast.
+      val ev = Tables(s, dir, "events").select(
+        col("event_type"),
+        expr("CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END").as("w"),
+        expr("CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16 00:00:00' " +
+          "THEN value * CAST(0.25 AS DOUBLE) ELSE value END").as("v"))
+      val b = ev
+        .withColumn("bucket",
+          expr("LEAST(9, GREATEST(0, CAST(floor(v / CAST(50 AS DOUBLE)) AS INT)))"))
+        .groupBy(col("event_type"), col("w"), col("bucket"))
+        .agg(count(lit(1)).as("c"))
+      val grid = ev.select(col("event_type")).distinct()
+        .select(col("event_type"), explode(expr("sequence(0, 9)")).as("bucket"))
+      val f = grid
+        .join(b.filter(col("w") === 0).select(col("event_type"), col("bucket"),
+          col("c").as("c1")), Seq("event_type", "bucket"), "left")
+        .join(b.filter(col("w") === 1).select(col("event_type"), col("bucket"),
+          col("c").as("c2")), Seq("event_type", "bucket"), "left")
+        .select(col("event_type"),
+          (coalesce(col("c1"), lit(0L)) + 1L).as("cs1"),
+          (coalesce(col("c2"), lit(0L)) + 1L).as("cs2"))
+      val n = f.groupBy(col("event_type"))
+        .agg(sum(col("cs1")).as("n1"), sum(col("cs2")).as("n2"))
+      val t = f.join(n, Seq("event_type"))
+        .withColumn("termS", expr(
+          "(cs1 * n2 - cs2 * n1) * " +
+            "(CAST(floor(1e6 * ln(CAST(cs1 * n2 AS DOUBLE))) AS BIGINT) - " +
+            " CAST(floor(1e6 * ln(CAST(cs2 * n1 AS DOUBLE))) AS BIGINT))"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("termS")).as("s"), min(col("n1")).as("n1"), min(col("n2")).as("n2"))
+      ordered(t.select(col("event_type"),
+        (col("n1") - 10).as("n_first"), (col("n2") - 10).as("n_second"),
+        expr("CAST(s AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * 1e6)").as("psi"),
+        expr("(10 * s) > (n1 * n2 * 1000000)").as("drifted")))
+    },
     "q_quality_audit" -> { (s, dir) =>
       // three constraint families over the TPC-H-ish schema, one count
       // per rule; orphans are manufactured (drop a slice of orders)
@@ -142,6 +201,44 @@ object Quality {
         |       ELSE 'low' END AS band
         |FROM sc""".stripMargin +
         orderByAll("doc_id", "n_tok", "stop_ppt", "uniq_ppt", "score", "band")),
+    "q_quality_drift" ->
+      ("""WITH ev AS (
+        |  SELECT event_type,
+        |    CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END AS w,
+        |    CASE WHEN event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |         THEN value * CAST(0.25 AS DOUBLE) ELSE value END AS v
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, w,
+        |    LEAST(9, GREATEST(0, CAST(floor(v / CAST(50 AS DOUBLE)) AS INT))) AS bucket,
+        |    COUNT(*) AS c
+        |  FROM ev GROUP BY event_type, w, bucket),
+        |grid AS (
+        |  SELECT t.event_type, g.bucket
+        |  FROM (SELECT DISTINCT event_type FROM ev) t,
+        |       (SELECT unnest(range(0, 10)) AS bucket) g),
+        |f AS (
+        |  SELECT g.event_type,
+        |    COALESCE(c0.c, 0) + 1 AS cs1, COALESCE(c1.c, 0) + 1 AS cs2
+        |  FROM grid g
+        |  LEFT JOIN b c0 ON c0.event_type = g.event_type AND c0.bucket = g.bucket AND c0.w = 0
+        |  LEFT JOIN b c1 ON c1.event_type = g.event_type AND c1.bucket = g.bucket AND c1.w = 1),
+        |n AS (
+        |  SELECT event_type, CAST(SUM(cs1) AS BIGINT) AS n1, CAST(SUM(cs2) AS BIGINT) AS n2
+        |  FROM f GROUP BY event_type),
+        |t AS (
+        |  SELECT f.event_type,
+        |    CAST(SUM((f.cs1 * n.n2 - f.cs2 * n.n1) *
+        |      (CAST(floor(1e6 * ln(CAST(f.cs1 * n.n2 AS DOUBLE))) AS BIGINT) -
+        |       CAST(floor(1e6 * ln(CAST(f.cs2 * n.n1 AS DOUBLE))) AS BIGINT))) AS BIGINT) AS s,
+        |    MIN(n.n1) AS n1, MIN(n.n2) AS n2
+        |  FROM f JOIN n ON f.event_type = n.event_type
+        |  GROUP BY f.event_type)
+        |SELECT event_type, n1 - 10 AS n_first, n2 - 10 AS n_second,
+        |  CAST(s AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) * 1e6) AS psi,
+        |  (10 * s) > (n1 * n2 * 1000000) AS drifted
+        |FROM t""".stripMargin +
+        orderByAll("event_type", "n_first", "n_second", "psi", "drifted")),
     "q_quality_audit" ->
       ("""WITH o AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 10 <> 0)
         |SELECT 'fk_orphan_lineitems' AS rule, CAST(COUNT(*) AS BIGINT) AS n_violations

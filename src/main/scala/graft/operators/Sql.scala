@@ -258,6 +258,244 @@ object Sql {
       |      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = 'EUROPE')
       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin
 
+  /** TPC-H-Q7-shaped (added r9): bidirectional two-nation trade volume
+    * by ship year. The OR of the two (supp, cust) nation pairs is a
+    * join-level disjunction Catalyst must keep as a residual on the
+    * n1×n2 pair while still planning both nation joins as broadcasts;
+    * the year extraction must not block partition-era pruning of the
+    * date range. EXTRACT(YEAR) is cast BIGINT on both engines (DuckDB
+    * yields BIGINT, Spark INT — schema match requires the cast). */
+  private val q7 =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS STRING) AS DOUBLE) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+      |    l_extendedprice, l_discount
+      |  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      |  WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+      |    AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+      |    AND c_nationkey = n2.n_nationkey
+      |    AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00') shipping
+      |GROUP BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H-Q11-shaped: per-part value concentration for one nation's
+    * suppliers, kept above a fraction of that nation's TOTAL value —
+    * the same 3-way join feeds both the grouped agg and the
+    * uncorrelated scalar subquery; Catalyst plans the scalar once
+    * (subquery, not a rescan per group) and broadcasts it into the
+    * HAVING filter. Both sums decimal-exact; ONE double multiply for
+    * the threshold. */
+  private val q11 =
+    """SELECT l_partkey, value_sum
+      |FROM (
+      |  SELECT l_partkey,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS value_sum
+      |  FROM lineitem, supplier, nation
+      |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_2'
+      |  GROUP BY l_partkey) t
+      |WHERE value_sum > (
+      |  SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) * CAST(0.001 AS DOUBLE)
+      |  FROM lineitem, supplier, nation
+      |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey AND n_name = 'NATION_2')""".stripMargin
+
+  /** TPC-H-Q13-shaped: customer order-count distribution. The stress is
+    * the OUTER join with a predicate on the INNER side only (must stay
+    * in the join condition, NOT be pushed as a filter — pushing it
+    * below the left join would drop zero-order customers) followed by a
+    * double aggregation (count per customer, then histogram of counts).
+    * All-integer output — bit-exact anywhere. */
+  private val q13 =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      |  FROM customer c LEFT JOIN orders o
+      |    ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      |  GROUP BY c.c_custkey) c_orders
+      |GROUP BY c_count""".stripMargin
+
+  /** TPC-H-Q14-shaped: promo revenue share for one ship month — the
+    * conditional-aggregate pattern (CASE inside SUM), two decimal-exact
+    * sums over ONE scan (no self-join), one IEEE divide + multiply.
+    * Left-assoc `100 * a / b` parses identically on both engines. */
+  private val q14 =
+    """SELECT CAST(100 AS DOUBLE) *
+      |  CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+      |    ELSE CAST(0 AS DECIMAL(18,4)) END) AS STRING) AS DOUBLE) /
+      |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS STRING) AS DOUBLE) AS promo_revenue
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'""".stripMargin
+
+  /** TPC-H-Q17-shaped: revenue from small-quantity lines of one brand,
+    * where "small" is relative to the PER-PART average quantity — the
+    * correlated scalar AVG subquery must decorrelate to one grouped agg
+    * over lineitem + an equi join back on l_partkey (the classic Q17
+    * planner trap: a naive plan rescans lineitem per outer row). The
+    * threshold is decimal-exact sum / count → two IEEE ops; comparing
+    * stored doubles against it is engine-identical. */
+  private val q17 =
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS STRING) AS DOUBLE) / CAST(7 AS DOUBLE) AS avg_yearly
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand = 'Brand#12'
+      |  AND l_quantity < (
+      |    SELECT CAST(0.2 AS DOUBLE) * (CAST(CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) / COUNT(*))
+      |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** TPC-H-Q19-shaped: disjunctive predicate groups spanning BOTH join
+    * sides — the planner must extract the common `p_partkey = l_partkey`
+    * equi-condition and the per-side implied filters (p_brand IN …,
+    * l_quantity BETWEEN global bounds) from under the OR so the scans
+    * prune, leaving the cross-side disjunction as a post-join residual
+    * — not degenerate to a cartesian with one giant OR filter. */
+  private val q19 =
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS STRING) AS DOUBLE) AS revenue
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND (
+      |  (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 5 AND l_quantity >= 1 AND l_quantity <= 11)
+      |  OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10 AND l_quantity >= 10 AND l_quantity <= 20)
+      |  OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 20 AND l_quantity <= 30))""".stripMargin
+
+  /** TPC-H-Q20-shaped: suppliers who moved serious volume of a part
+    * family — a DOUBLY NESTED semi-join chain (suppkey IN grouped-
+    * HAVING subquery whose input is itself filtered by partkey IN
+    * part-name subquery). Both IN's must become left-semi hash joins,
+    * with the grouped HAVING aggregated BEFORE the semi (the aggregate,
+    * not raw lineitem, crosses the shuffle). Exact decimal HAVING. */
+  private val q20 =
+    """SELECT s_name, s_acctbal
+      |FROM supplier, nation
+      |WHERE s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      |    GROUP BY l_suppkey, l_partkey
+      |    HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 25)
+      |  AND s_nationkey = n_nationkey AND n_name IN ('NATION_2', 'NATION_4')""".stripMargin
+
+  /** TPC-H-Q22-shaped churn roll-up: well-funded customers in a nation
+    * cohort with NO recent orders — an uncorrelated scalar AVG (over
+    * the positive-balance cohort) feeding a filter, plus a correlated
+    * NOT EXISTS that must plan as a left-ANTI hash join on o_custkey
+    * with the date bound pushed into the orders scan (the anti side
+    * shrinks by ~10× before the join at any scale). */
+  private val q22 =
+    """SELECT cntrycode, COUNT(*) AS numcust,
+      |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS totacctbal
+      |FROM (
+      |  SELECT c_nationkey AS cntrycode, c_acctbal
+      |  FROM customer c
+      |  WHERE c_nationkey IN (1, 3, 5, 7, 9)
+      |    AND c_acctbal > (
+      |      SELECT CAST(CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,4))) AS STRING) AS DOUBLE) / COUNT(*)
+      |      FROM customer c2 WHERE c2.c_acctbal > CAST(0 AS DOUBLE)
+      |        AND c2.c_nationkey IN (1, 3, 5, 7, 9))
+      |    AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')) custsale
+      |GROUP BY cntrycode""".stripMargin
+
+  /** TPC-H-Q4-shaped (added r9, completing the 22-query suite): order
+    * priority counts for one quarter where some line shipped late —
+    * correlated EXISTS against the fact with a non-equi residual
+    * (l_shipdate > o_orderdate pulls a column from EACH side into the
+    * semi-join condition); late-ship stands in for the absent
+    * commit/receipt dates. All-integer output. */
+  private val q4 =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority""".stripMargin
+
+  /** TPC-H-Q6-shaped: the pure scan-predicate aggregate — no join at
+    * all; date + two range predicates must ALL reach the parquet scan
+    * (this is the canonical pushdown benchmark query). Range literals
+    * cast to DOUBLE explicitly so both engines compare the same bits. */
+  private val q6 =
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount >= CAST(0.03 AS DOUBLE) AND l_discount <= CAST(0.05 AS DOUBLE)
+      |  AND l_quantity < CAST(24 AS DOUBLE)""".stripMargin
+
+  /** TPC-H-Q8-shaped market share: the 8-table star (both nation roles
+    * — customer region filter vs supplier nationality) with a
+    * conditional share ratio per year. The CASE keeps DECIMAL type
+    * through the sum (explicit ELSE 0 decimal), so both engine sums
+    * are exact and the share is one IEEE division. */
+  private val q8 =
+    """SELECT o_year,
+      |  CAST(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume_q ELSE CAST(0 AS DECIMAL(18,4)) END) AS STRING) AS DOUBLE) /
+      |  CAST(CAST(SUM(volume_q) AS STRING) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4))) AS volume_q,
+      |    n2.n_name AS nation
+      |  FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
+      |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey AND l_orderkey = o_orderkey
+      |    AND o_custkey = c_custkey AND c_nationkey = n1.n_nationkey
+      |    AND n1.n_regionkey = r_regionkey AND r_name = 'EUROPE'
+      |    AND s_nationkey = n2.n_nationkey
+      |    AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      |    AND p_type = 'PROMO') all_nations
+      |GROUP BY o_year""".stripMargin
+
+  /** TPC-H-Q9-shaped profit by nation and year — the LIKE-filtered
+    * 5-table join with a two-term decimal expression inside the sum
+    * (revenue − cost, cost = retailprice·quantity standing in for the
+    * absent supplycost); the %infix% LIKE cannot prune the scan (a
+    * known Q9 trait), so the plan lives on join order + broadcast
+    * dims. */
+  private val q9 =
+    """SELECT nation, o_year, sum_profit FROM (
+      |  SELECT n_name AS nation, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))
+      |      - CAST(p_retailprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_profit
+      |  FROM part, supplier, lineitem, orders, nation
+      |  WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey AND l_orderkey = o_orderkey
+      |    AND s_nationkey = n_nationkey AND p_name LIKE '%gear%'
+      |  GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)) profit""".stripMargin
+
+  /** TPC-H-Q12-shaped late-shipment priority split: conditional
+    * IN/NOT-IN counts per return flag (stand-in for the absent
+    * shipmode) with a cross-table residual (l_shipdate > o_orderdate)
+    * on the join. All-integer output. */
+  private val q12 =
+    """SELECT l_returnflag,
+      |  SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+      |  SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate > o_orderdate
+      |GROUP BY l_returnflag""".stripMargin
+
+  /** TPC-H-Q15-shaped top supplier: the same CTE referenced TWICE —
+    * once as the join input and once under a scalar MAX — Catalyst
+    * must either reuse the aggregated subplan (exchange/subquery
+    * reuse) or at worst aggregate lineitem twice, never rescan per
+    * row; revenue equality compares identically-derived doubles. */
+  private val q15 =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))) AS STRING) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = supplier_no
+      |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)""".stripMargin
+
   private def run(sql: String): (SparkSession, String) => DataFrame = { (s, dir) =>
     registerViews(s, dir)
     ordered(s.sql(sql))
@@ -272,6 +510,20 @@ object Sql {
     "q_sql_tpch_q21" -> run(q21),
     "q_sql_tpch_q16" -> run(q16),
     "q_sql_tpch_q2" -> run(q2),
+    "q_sql_tpch_q7" -> run(q7),
+    "q_sql_tpch_q11" -> run(q11),
+    "q_sql_tpch_q13" -> run(q13),
+    "q_sql_tpch_q14" -> run(q14),
+    "q_sql_tpch_q17" -> run(q17),
+    "q_sql_tpch_q19" -> run(q19),
+    "q_sql_tpch_q20" -> run(q20),
+    "q_sql_tpch_q22" -> run(q22),
+    "q_sql_tpch_q4" -> run(q4),
+    "q_sql_tpch_q6" -> run(q6),
+    "q_sql_tpch_q8" -> run(q8),
+    "q_sql_tpch_q9" -> run(q9),
+    "q_sql_tpch_q12" -> run(q12),
+    "q_sql_tpch_q15" -> run(q15),
     "q_sql_exists_subquery" -> run(existsBig),
     "q_sql_scalar_subquery" -> run(scalarSub),
     "q_sql_cte_window" -> run(cteWindow),
@@ -303,6 +555,34 @@ object Sql {
       (s"SELECT * FROM ($q2)" +
         orderByAll("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
           "unit_cost")),
+    "q_sql_tpch_q7" ->
+      (q7 + orderByAll("supp_nation", "cust_nation", "l_year", "revenue")),
+    "q_sql_tpch_q11" ->
+      (q11 + orderByAll("l_partkey", "value_sum")),
+    "q_sql_tpch_q13" ->
+      (q13 + orderByAll("c_count", "custdist")),
+    "q_sql_tpch_q14" ->
+      (q14 + orderByAll("promo_revenue")),
+    "q_sql_tpch_q17" ->
+      (q17 + orderByAll("avg_yearly")),
+    "q_sql_tpch_q19" ->
+      (q19 + orderByAll("revenue")),
+    "q_sql_tpch_q20" ->
+      (q20 + orderByAll("s_name", "s_acctbal")),
+    "q_sql_tpch_q22" ->
+      (q22 + orderByAll("cntrycode", "numcust", "totacctbal")),
+    "q_sql_tpch_q4" ->
+      (q4 + orderByAll("o_orderpriority", "order_count")),
+    "q_sql_tpch_q6" ->
+      (q6 + orderByAll("revenue")),
+    "q_sql_tpch_q8" ->
+      (q8 + orderByAll("o_year", "mkt_share")),
+    "q_sql_tpch_q9" ->
+      (q9 + orderByAll("nation", "o_year", "sum_profit")),
+    "q_sql_tpch_q12" ->
+      (q12 + orderByAll("l_returnflag", "high_line_count", "low_line_count")),
+    "q_sql_tpch_q15" ->
+      (q15 + orderByAll("s_suppkey", "s_name", "total_revenue")),
     "q_sql_exists_subquery" ->
       (existsBig + orderByAll("c_custkey", "c_name", "c_acctbal")),
     "q_sql_scalar_subquery" ->

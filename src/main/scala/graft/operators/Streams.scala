@@ -399,6 +399,73 @@ object Streams {
           min(col("a_id")).as("first_a"), max(col("b_id")).as("last_b")))
     }},
 
+    // B9: STREAM-STREAM LEFT OUTER interval join (added r9) — the
+    // attribution shape where NON-conversion is itself the signal:
+    // every impression ('view') left-joins conversions ('purchase')
+    // by user within [a_ts, a_ts + 30 min]; an impression with no
+    // conversion EMITS with nulls once the watermark passes its
+    // interval end (inner joins drop it silently — the outer variant
+    // is the one that needs state-eviction-time emission, the part
+    // Spark only added for watermarked time-bound joins). A final
+    // HORIZON chunk (2024-02-05) pushes the watermark past every
+    // impression's interval end so all unmatched rows emit under
+    // Trigger.AvailableNow; spacer batches give the eviction pass its
+    // own trigger after the horizon lands. The horizon rows MUST pass
+    // the per-side type filters (one 'view' on sentinel user −1, one
+    // 'purchase' on sentinel user −2, stripped batch-side after the
+    // run): EventTimeWatermark tracks the max event time of rows that
+    // reach IT, and Catalyst pushes deterministic filters BELOW the
+    // watermark node into the file source — a row of a filtered-out
+    // type never advances the watermark (measured: the globally last
+    // impression then sits 24 min past the final watermark and its
+    // unmatched row is silently never emitted). Equality vs the batch
+    // left join asserted in StreamingSpec, including that unmatched
+    // rows actually emitted.
+    //
+    // 100 TB posture: same as the inner variant — state is bounded by
+    // the 30-min interval + 1 h watermark per user partition, both
+    // sides shuffle once on user_id; outer emission adds no extra
+    // shuffle (eviction happens inside the join operator's state
+    // store commit).
+    "s_stream_outer_join" -> { (s, dir) => withStreamShuffle(s, dir) {
+      val all = evFrame(s, dir).filter(col("user_id") < 15)
+      val horizonTs = lit(java.sql.Timestamp.valueOf("2024-02-05 00:00:00"))
+      val horizon = all.limit(1).select(
+        lit(999999999L).as("event_id"), horizonTs.as("ts"),
+        lit(-1L).as("user_id"), lit("view").as("event_type"),
+        lit(0.0).as("value"))
+        .union(all.limit(1).select(
+          lit(999999998L).as("event_id"), horizonTs.as("ts"),
+          lit(-2L).as("user_id"), lit("purchase").as("event_type"),
+          lit(0.0).as("value")))
+      val waves = Seq(
+        all.filter(col("ts") < day(16)),
+        all.filter(col("ts") >= day(16)),
+        horizon)
+      val staged = stageChunkFiles(s, waves, spacers = true)
+      val a = chunkStream(s, waves.head.schema, staged)
+        .withWatermark("ts", "1 hour")
+        .filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("a_ts"), col("event_id").as("a_id"))
+      val b = chunkStream(s, waves.head.schema, staged)
+        .withWatermark("ts", "1 hour")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+          col("event_id").as("b_id"))
+      val j = a.join(b,
+        col("user_id") === col("b_user") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      ordered(runToParquet(j.select(col("user_id"), col("a_id"), col("b_id")))
+        .filter(col("user_id") >= 0) // strip the sentinel horizon rows
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("b_id")).as("n_converted"),
+          sum(when(col("b_id").isNull, 1L).otherwise(0L)).as("n_unconverted"),
+          min(col("a_id")).as("first_impression")))
+    }},
+
     // B9: BUILT-IN streaming session windows — session_window under a
     // watermark in Append mode (a session emits once the watermark
     // passes its [start, last+gap) end). Completes the sessionization

@@ -614,6 +614,108 @@ class PlanSpec extends SparkSpec {
     assert(!read.contains("cell"), s"cell not pruned from data-file schema: $read")
   }
 
+  test("q_sql_tpch_q17: correlated AVG decorrelates to a grouped agg + join-back (r9)") {
+    // the classic Q17 planner trap: a naive plan rescans lineitem per
+    // outer row; the correct plan aggregates sum+count per l_partkey
+    // ONCE and joins the threshold back on the part key
+    val p = planOf("q_sql_tpch_q17")
+    assert(p.contains("partial_sum") && p.contains("partial_count"),
+      s"correlated avg did not become a grouped aggregate:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q17 degenerated to a product:\n$p")
+  }
+
+  test("q_sql_tpch_q19: disjunctive predicates keep the equi join and push per-side filters (r9)") {
+    // the OR spans both join sides; the planner must still extract the
+    // p_partkey = l_partkey equi-condition (hash join, not a product)
+    // AND derive the per-side implied disjunctions so BOTH scans prune
+    val p = planOf("q_sql_tpch_q19")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q19 degenerated to a product:\n$p")
+    val scans = p.linesIterator.count(l =>
+      l.contains("PushedFilters") && l.contains("Or(Or(And("))
+    assert(scans >= 2, s"implied per-side OR filters not pushed to both scans:\n$p")
+  }
+
+  test("q_sql_tpch_q20: nested IN subqueries plan as a left-semi chain, HAVING aggregated first (r9)") {
+    val p = planOf("q_sql_tpch_q20")
+    val semis = p.linesIterator.count(_.contains("LeftSemi"))
+    assert(semis >= 2, s"expected two left-semi joins, saw $semis:\n$p")
+    assert(!p.contains("CartesianProduct"), s"q20 plans a cartesian:\n$p")
+  }
+
+  test("q_sql_tpch_q22: NOT EXISTS plans a left-anti join with the date bound pushed (r9)") {
+    val p = planOf("q_sql_tpch_q22")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS did not plan an anti join:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"date bound not pushed into the orders scan:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q22 degenerated to a product:\n$p")
+  }
+
+  test("q_sql_tpch_q13: outer join preserved, inner-side predicate pushed below it (r9)") {
+    val p = planOf("q_sql_tpch_q13")
+    // the join must stay LeftOuter (flattening to inner would drop
+    // zero-order customers from the histogram) while the inner-side-
+    // only priority predicate — semantics-preserving under LeftOuter —
+    // is pushed INTO the orders scan, shrinking the broadcast side
+    // before the exchange
+    assert(p.contains("LeftOuter"), s"left join lost:\n$p")
+    val ordersScan = p.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("orders.parquet")).getOrElse("")
+    assert(ordersScan.contains("Not(EqualTo(o_orderpriority"),
+      s"priority filter not pushed to the orders scan:\n$ordersScan")
+  }
+
+  test("q_graph_label_prop: a propagation round is two hash aggs, no window, no product (r9)") {
+    val edges = Graph.copurchaseEdges(spark, sf)
+    val labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    val p = Graph.lpaRound(edges, labels)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"LPA round plans a rank window:\n$p")
+    assert(!p.contains("CartesianProduct"), s"LPA round plans a cartesian:\n$p")
+    assert(p.linesIterator.count(_.contains("partial_count")) >= 1 &&
+      p.linesIterator.count(_.contains("partial_max")) >= 1,
+      s"expected map-side partial count + max aggs:\n$p")
+  }
+
+  test("q_sql_tpch_q4: EXISTS with cross-table residual plans a left-semi join (r9)") {
+    val p = planOf("q_sql_tpch_q4")
+    assert(p.contains("LeftSemi"), s"EXISTS did not decorrelate to a semi join:\n$p")
+    // the non-equi l_shipdate > o_orderdate must ride the semi join as
+    // a residual, not degenerate the join to a product
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q4 degenerated to a product:\n$p")
+  }
+
+  test("q_sql_tpch_q6: all three predicates reach the parquet scan, no join (r9)") {
+    val p = planOf("q_sql_tpch_q6")
+    assert(!p.contains("Join"), s"q6 should be join-free:\n$p")
+    // PushedFilters is truncated at 100 chars in toString, so assert
+    // the data-filter list via the (untruncated) scan-adjacent Filter
+    // node: all three columns' range predicates present, none left for
+    // a post-shuffle filter
+    val filt = p.linesIterator.find(_.trim.startsWith("+- Filter")).getOrElse("")
+    assert(filt.contains("l_shipdate") && filt.contains("(l_discount") &&
+      filt.contains("(l_quantity"),
+      s"not all predicates reached the scan filter:\n$filt")
+    val scan = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    assert(scan.contains("PushedFilters: [IsNotNull"),
+      s"no parquet pushdown at all:\n$scan")
+  }
+
+  test("q_sql_tpch_q15: the twice-consumed CTE never rescans per row (r9)") {
+    val p = planOf("q_sql_tpch_q15")
+    // scalar MAX over the CTE + the CTE as join input: at worst two
+    // lineitem aggregations, never a per-row rescan or a product
+    val scans = p.linesIterator.count(l =>
+      l.contains("FileScan") && l.contains("lineitem.parquet"))
+    assert(scans <= 2, s"lineitem scanned $scans times:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"q15 degenerated to a product:\n$p")
+  }
+
   test("q_time_autocorr: one window sort yields all three lags, no join (r8)") {
     val p = planOf("q_time_autocorr")
     assert(!p.contains("Join"), s"autocorr should not join:\n$p")

@@ -158,6 +158,35 @@ class StreamingSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("stream-stream LEFT OUTER interval join equals the batch twin, unmatched rows emit (r9)") {
+    val stream = SparkEntry.queries("s_stream_outer_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val e = graft.sources.Tables(spark, sf, "events").filter(col("user_id") < 15)
+    val a = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts").as("a_ts"), col("event_id").as("a_id"))
+    val b = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("b_user"), col("ts").as("b_ts"),
+        col("event_id").as("b_id"))
+    val batch = a.join(b,
+        col("user_id") === col("b_user") &&
+          col("b_ts") >= col("a_ts") &&
+          col("b_ts") <= col("a_ts") + expr("INTERVAL 30 MINUTES"),
+        "left_outer")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("b_id")).as("n_converted"),
+        sum(when(col("b_id").isNull, 1L).otherwise(0L)).as("n_unconverted"),
+        min(col("a_id")).as("first_impression"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(stream.nonEmpty)
+    // the OUTER path must actually fire: at least one user has an
+    // unconverted impression (30-min conversion windows are sparse)
+    assert(stream.exists(_._4 > 0L), s"no unmatched rows emitted: $stream")
+    assert(stream === batch)
+  }
+
   test("sequence-file sink round-trips all events with offset == event_id (A7 contrib layout)") {
     val r = SparkEntry.queries("s_sink_seqfile")(spark, sf).collect()(0)
     val n = graft.sources.Tables(spark, sf, "events").count()
