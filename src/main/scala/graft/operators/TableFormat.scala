@@ -91,6 +91,34 @@ object TableFormat {
       ordered(Seq((removed, kept, rows))
         .toDF("n_files_removed", "n_files_kept", "n_rows_after"))
     },
+    "q_table_delete" -> { (s, dir) =>
+      // Copy-on-write row-level DELETE (added r9) — the GDPR/retention
+      // write path the merge family lacks: only files HOLDING matching
+      // rows are rewritten, everything else carries over into the new
+      // manifest untouched. Staging is PREDICATE-ALIGNED so the CoW
+      // file accounting is deterministic and oracle-checkable: v0
+      // holds only user_id%4<2 rows (2 files), v1 appends the
+      // user_id%4>=2 rows (2 more); delete(user_id%4=1) therefore
+      // dirties exactly the two v0-era files (every v1-era file is
+      // provably clean) — 2 carried byte-identical, 2 rewritten
+      // without their matching rows. StreamingSpec pins the mechanism
+      // (clean paths literally reused; pinned reader still sees
+      // deleted rows; changes() refuses ranges across the delete).
+      // Fresh table, never the shared memo — delete changes history.
+      val root = java.nio.file.Files.createTempDirectory("graft_table_del")
+      root.toFile.deleteOnExit()
+      val ev = Tables(s, dir, "events")
+      CommitLog.append(s, root.toString, ev.filter(col("user_id") % 4 < 2), nFiles = 2)
+      CommitLog.append(s, root.toString, ev.filter(col("user_id") % 4 >= 2), nFiles = 2)
+      val (v, carried, rewritten) =
+        CommitLog.delete(s, root.toString, col("user_id") % 4 === 1)
+      ordered(CommitLog.read(s, root.toString, v)
+        .agg(count(lit(1)).as("n_rows_after"),
+          dsum(col("value")).as("sum_value_after"))
+        .select(lit(carried).as("n_files_carried"),
+          lit(rewritten).as("n_files_rewritten"),
+          col("n_rows_after"), col("sum_value_after")))
+    },
     "q_table_time_travel" -> { (s, dir) =>
       // read AS OF v0 after the append and the compaction both
       // committed: the pinned scan sees only v0's file list, so the
@@ -127,6 +155,14 @@ object TableFormat {
         |  CAST(2 AS BIGINT) AS n_files_kept,
         |  (SELECT COUNT(*) FROM events) AS n_rows_after""".stripMargin +
         orderByAll("n_files_removed", "n_files_kept", "n_rows_after")),
+    "q_table_delete" ->
+      ("""SELECT CAST(2 AS BIGINT) AS n_files_carried,
+        |  CAST(2 AS BIGINT) AS n_files_rewritten,
+        |  COUNT(*) AS n_rows_after,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value_after
+        |FROM events WHERE user_id % 4 <> 1""".stripMargin +
+        orderByAll("n_files_carried", "n_files_rewritten", "n_rows_after",
+          "sum_value_after")),
     "q_table_time_travel" ->
       ("""SELECT event_type, COUNT(*) AS n,
         |  COUNT(DISTINCT user_id) AS n_users,

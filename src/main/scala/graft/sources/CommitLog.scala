@@ -149,6 +149,43 @@ object CommitLog {
     else s.read.parquet(added: _*)
   }
 
+  /** Copy-on-write row-level DELETE (the public Delta/Iceberg CoW
+    * write path): one pass finds the data files that HOLD matching
+    * rows (`input_file_name` + distinct — the collect is file PATHS,
+    * metadata-sized, never rows), untouched files carry over into the
+    * new manifest byte-identical (their paths are reused, no rewrite,
+    * no read), and only the dirty files are rewritten without their
+    * matching rows. Commits op="delete" — a data-CHANGING rewrite, so
+    * `changes()` refuses ranges across it just as it refuses
+    * compactions (a file-level diff would mis-state the delta).
+    *
+    * 100 TB posture: cost scales with the DIRTY file set, not the
+    * table — a predicate aligned with the layout (partition/z-order
+    * keys) touches few files; the dirty-file scan itself benefits from
+    * parquet pushdown of `cond`. Pinned readers at older versions
+    * still see the deleted rows (snapshot isolation), exactly the
+    * lakehouse contract. Returns (newVersion, filesCarried,
+    * filesRewritten). */
+  def delete(s: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.input_file_name
+    val prev = latestVersion(root)
+      .getOrElse(sys.error(s"cannot delete from an empty table at $root"))
+    val files = snapshotFiles(root, prev)
+    val dirtyAbs = s.read.parquet(files: _*).filter(cond)
+      .select(input_file_name()).distinct()
+      .collect().map(r => new java.io.File(new java.net.URI(r.getString(0))).toString)
+      .toSet
+    val (dirty, clean) = files.partition(dirtyAbs.contains)
+    val carried = clean.map(p => relativize(root, p))
+    val rewritten =
+      if (dirty.isEmpty) Nil
+      else stageDataFiles(s, root,
+        s.read.parquet(dirty: _*).filter(!cond), math.max(1, dirty.size))
+    val v = commit(root, carried ++ rewritten, Some(prev), op = "delete")
+    (v, clean.size.toLong, rewritten.size.toLong)
+  }
+
   /** Retention-gated file removal — the other half of "compaction
     * never deletes": physically drop data files referenced ONLY by
     * versions older than `retainFrom` (plus their manifests). Readers

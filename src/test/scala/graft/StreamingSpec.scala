@@ -418,6 +418,44 @@ class StreamingSpec extends SparkSpec {
     intercept[Exception] { CommitLog.snapshotFiles(root, 0L) }
   }
 
+  test("commit log: copy-on-write delete carries clean files, isolates pinned readers (r9)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_del").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    // predicate-aligned staging: v0 = user_id%4<2 (2 files), v1 adds
+    // the user_id%4>=2 rows (2 files) — so delete(user_id%4=1) can
+    // only dirty v0-era files
+    CommitLog.append(spark, root, ev.filter(col("user_id") % 4 < 2), nFiles = 2)
+    CommitLog.append(spark, root, ev.filter(col("user_id") % 4 >= 2), nFiles = 2)
+    val v1Files = CommitLog.snapshotFiles(root, 1L)
+    val cleanEra = CommitLog.snapshotFiles(root, 1L).toSet --
+      CommitLog.snapshotFiles(root, 0L).toSet
+    val (v2, carried, rewritten) =
+      CommitLog.delete(spark, root, col("user_id") % 4 === 1)
+    assert(v2 === 2L && carried === 2L && rewritten === 2L,
+      s"v=$v2 carried=$carried rewritten=$rewritten")
+    // mechanism: the clean-era file PATHS are literally reused in v2
+    val v2Files = CommitLog.snapshotFiles(root, v2).toSet
+    assert(cleanEra.subsetOf(v2Files),
+      "clean files were rewritten instead of carried over")
+    assert(CommitLog.snapshotFiles(root, 0L).forall(f => !v2Files.contains(f)),
+      "a dirty file survived into the post-delete manifest")
+    // semantics: deleted rows gone at v2, intact for a reader pinned at v1
+    assert(CommitLog.read(spark, root, v2)
+      .filter(col("user_id") % 4 === 1).count() === 0)
+    assert(CommitLog.read(spark, root, 1L)
+      .filter(col("user_id") % 4 === 1).count() ===
+      ev.filter(col("user_id") % 4 === 1).count(),
+      "pinned v1 reader lost rows to a later delete")
+    assert(v1Files.forall(f => new java.io.File(f).exists()))
+    // a file-level diff across the delete would mis-state the delta
+    val ex = intercept[IllegalArgumentException] {
+      CommitLog.changes(spark, root, 1L, v2)
+    }
+    assert(ex.getMessage.contains("delete"), ex.getMessage)
+  }
+
   test("commit log: conflicting commit loses cleanly, log stays consistent (r9)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_cl_race").toString
