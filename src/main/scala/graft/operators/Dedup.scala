@@ -439,6 +439,44 @@ object Dedup {
         col("embedding").cast("array<double>").as("v"))
       val p = Similarity.blockedScoredPairs(e).filter(col("c") >= lit(0.45))
       ordered(p.select(col("va"), col("vb"), round(col("c"), 4).as("cosine")))
+    },
+    "q_dedup_semdedup" -> { (s, dir) =>
+      // SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC
+      // dedup for web-scale corpora: cluster embeddings with k-means,
+      // then compare pairs ONLY within a cluster and drop every vector
+      // that has a lower-id in-cluster neighbor above the cosine
+      // threshold (the paper keeps one exemplar per semantic
+      // duplicate group; lowest-id is its deterministic stand-in for
+      // "keep one"). Clustering is the SHARED Embeddings.kmeans2
+      // trainer, so assignment — and the oracle's replay of it — is
+      // bit-exact; τ=0.45 matches q_dedup_embed (fixture max ≈ 0.51),
+      // putting the semantic-dup pairs in range while most pairs stay
+      // near-orthogonal.
+      //
+      // 100 TB posture (the paper's own scaling argument): pairwise
+      // work is confined to clusters — an equi-join on cid with
+      // candidate volume Σ n_c² ≈ n²/k for balanced clusters, and k
+      // grows with n (the paper uses k ≈ √n·c), so per-cluster sizes
+      // stay bounded; assignment itself is the narrow broadcast-
+      // centroid map (no corpus shuffle). The assignment is
+      // localCheckpointed once and self-joined — the 2-iteration
+      // training never re-runs per join side.
+      graft.functions.VectorExprs.register(s)
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      val asg = Embeddings.kmeans2(e)._1
+        .select(col("vec_id"), col("cid"), col("v")).localCheckpoint(true)
+      val dup = asg.as("a").join(asg.as("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("c", Similarity.cosine(col("a.v"), col("b.v")))
+        .filter(col("c") >= lit(0.45))
+        .groupBy(col("b.vec_id").as("vec_id"))
+        .agg(min(col("a.vec_id")).as("dup_of"),
+          round(max(col("c")), 4).as("dup_cosine"))
+      ordered(asg.select(col("vec_id"), col("cid"))
+        .join(dup, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid"), col("dup_of").isNull.as("kept"),
+          col("dup_of"), col("dup_cosine")))
     }
   )
 
@@ -611,6 +649,24 @@ object Dedup {
         |     sqrt(list_sum(list_transform(range(1,65), i -> CAST(b.embedding[i] AS DOUBLE) * b.embedding[i])))) AS c
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
         |SELECT va, vb, ROUND(c, 4) AS cosine FROM p WHERE c >= 0.45""".stripMargin +
-        orderByAll("va", "vb", "cosine"))
+        orderByAll("va", "vb", "cosine")),
+    "q_dedup_semdedup" ->
+      (s"""WITH ${Embeddings.kmeansCtes},
+        |av AS (SELECT a2.vec_id, a2.cid, e.v FROM a2 JOIN e USING (vec_id)),
+        |p AS (
+        |  SELECT a.vec_id AS va, b.vec_id AS vb,
+        |    list_sum(list_transform(range(1, 65), j -> a.v[j] * b.v[j])) /
+        |    (sqrt(list_sum(list_transform(range(1, 65), j -> a.v[j] * a.v[j]))) *
+        |     sqrt(list_sum(list_transform(range(1, 65), j -> b.v[j] * b.v[j])))) AS c
+        |  FROM av a JOIN av b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+        |d AS (
+        |  SELECT vb AS vec_id, MIN(va) AS dup_of, ROUND(MAX(c), 4) AS dup_cosine
+        |  FROM p WHERE c >= 0.45 GROUP BY vb),
+        |fin AS (
+        |  SELECT av.vec_id AS vec_id, av.cid, d.dup_of IS NULL AS kept,
+        |    d.dup_of, d.dup_cosine
+        |  FROM av LEFT JOIN d ON av.vec_id = d.vec_id)
+        |SELECT vec_id, cid, kept, dup_of, dup_cosine FROM fin""".stripMargin +
+        orderByAll("vec_id", "cid", "kept", "dup_of", "dup_cosine"))
   )
 }

@@ -67,6 +67,42 @@ object Embeddings {
     (assign(c1), c1)
   }
 
+  /** Shared two-iteration Lloyd k-means (k=8) over the embeddings
+    * fixture — q_embed_kmeans's trainer, factored so q_dedup_semdedup
+    * clusters with the IDENTICAL assignment (and the identical DuckDB
+    * oracle CTE chain). Deterministic everywhere: init = the k lowest
+    * vec_ids; distances are the codegen l2_dist_q expression
+    * (fixed-point Σ floor((x−y)²·1e12) — exact integers, so argmin
+    * order is engine- and partition-order-independent); centroid means
+    * go through the same 1e-7 fixed-point trick as q_embed_centroid.
+    * Returns (a2 = final assignment (vec_id, v, cid, dist_q), c1 =
+    * the centroids it was assigned against). */
+  private[graft] def kmeans2(e: DataFrame): (DataFrame, DataFrame) = {
+    def assign(cents: DataFrame): DataFrame = {
+      val packed = cents.agg(
+        expr("array_sort(collect_list(struct(cid, cv)))").as("cs"))
+      e.crossJoin(broadcast(packed))
+        .withColumn("best", expr(
+          "array_min(transform(cs, c -> named_struct(" +
+            "'dq', l2_dist_q(v, c.cv), 'cid', c.cid)))"))
+        .select(col("vec_id"), col("v"),
+          col("best.cid").as("cid"), col("best.dq").as("dist_q"))
+    }
+    def recompute(asg: DataFrame): DataFrame =
+      asg.select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .withColumn("xq", floor(col("x") * lit(1e7)).cast("long"))
+        .groupBy(col("cid"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("xq")).as("sq"))
+        .withColumn("c", col("sq").cast("double") / lit(1e7) / col("n"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
+          .as("cv"))
+    val init = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
+    val c1 = recompute(assign(init))
+    (assign(c1), c1)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_embed_pca" -> { (s, dir) =>
       // Top principal component by POWER ITERATION (added r8) — the
@@ -157,12 +193,9 @@ object Embeddings {
     "q_embed_kmeans" -> { (s, dir) =>
       // Distributed Lloyd k-means (k=8, two unrolled iterations) —
       // the coarse-quantizer / corpus-clustering step behind IVF
-      // indexes and balanced data mixes. Deterministic everywhere:
-      // init = the k lowest vec_ids; distances are the codegen
-      // l2_dist_q expression (fixed-point Σ floor((x−y)²·1e12) —
-      // exact integers, so argmin order is engine- and partition-
-      // order-independent); centroid means go through the same
-      // 1e-7 fixed-point trick as q_embed_centroid.
+      // indexes and balanced data mixes; the trainer (and its
+      // determinism contract) is the shared kmeans2 above, which
+      // q_dedup_semdedup clusters with too.
       //
       // 100 TB posture (the MLlib shape, in pure Catalyst): the k
       // centroids are packed into ONE broadcast row and assignment is
@@ -174,29 +207,7 @@ object Embeddings {
       graft.functions.VectorExprs.register(s)
       val e = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      def assign(cents: DataFrame): DataFrame = {
-        val packed = cents.agg(
-          expr("array_sort(collect_list(struct(cid, cv)))").as("cs"))
-        e.crossJoin(broadcast(packed))
-          .withColumn("best", expr(
-            "array_min(transform(cs, c -> named_struct(" +
-              "'dq', l2_dist_q(v, c.cv), 'cid', c.cid)))"))
-          .select(col("vec_id"), col("v"),
-            col("best.cid").as("cid"), col("best.dq").as("dist_q"))
-      }
-      def recompute(asg: DataFrame): DataFrame =
-        asg.select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-          .withColumn("xq", floor(col("x") * lit(1e7)).cast("long"))
-          .groupBy(col("cid"), col("dim"))
-          .agg(count(lit(1)).as("n"), sum(col("xq")).as("sq"))
-          .withColumn("c", col("sq").cast("double") / lit(1e7) / col("n"))
-          .groupBy(col("cid"))
-          .agg(expr("transform(array_sort(collect_list(struct(dim, c))), p -> p.c)")
-            .as("cv"))
-      val init = e.filter(col("vec_id") < 8)
-        .select(col("vec_id").cast("int").as("cid"), col("v").as("cv"))
-      val c1 = recompute(assign(init))
-      val a2 = assign(c1)
+      val (a2, c1) = kmeans2(e)
       val cent = c1.select(col("cid"), expr(
         "array_join(transform(cv, x -> CAST(CAST(floor(x * 1e7) AS BIGINT) AS STRING)), ',')")
         .as("centroid_q_csv"))
@@ -257,6 +268,44 @@ object Embeddings {
     * init → assign → recompute → re-assign); shared by the q_embed_pq
     * oracle and q_sim_pq_adc's (Similarity.scala), which extends it
     * with the LUT/ADC search stages. */
+  /** DuckDB replay of kmeans2 (two unrolled Lloyd iterations, k=8) —
+    * the shared oracle CTE chain behind q_embed_kmeans and
+    * q_dedup_semdedup. Exposes `e` (vec_id, v) and `a2` (vec_id, cid,
+    * dq), the final assignment. */
+  private[graft] val kmeansCtes: String =
+    """e AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      |  FROM embeddings),
+      |init AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),
+      |d1 AS (
+      |  SELECT e.vec_id, e.v, i.cid,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      j -> CAST(FLOOR((e.v[j] - i.cv[j]) * (e.v[j] - i.cv[j]) * 1e12)
+      |        AS BIGINT))) AS BIGINT) AS dq
+      |  FROM e CROSS JOIN init i),
+      |a1 AS (
+      |  SELECT vec_id, v, cid FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dq, cid) AS rn
+      |    FROM d1) WHERE rn = 1),
+      |cd AS (
+      |  SELECT cid, u.j AS dim, COUNT(*) AS n,
+      |    CAST(SUM(CAST(FLOOR(v[u.j] * 1e7) AS BIGINT)) AS BIGINT) AS sq
+      |  FROM a1, (SELECT unnest(range(1, 65)) AS j) u
+      |  GROUP BY cid, u.j),
+      |c1 AS (
+      |  SELECT cid, list(CAST(sq AS DOUBLE) / 1e7 / n ORDER BY dim) AS cv
+      |  FROM cd GROUP BY cid),
+      |d2 AS (
+      |  SELECT e.vec_id, c.cid,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      j -> CAST(FLOOR((e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j]) * 1e12)
+      |        AS BIGINT))) AS BIGINT) AS dq
+      |  FROM e CROSS JOIN c1 c),
+      |a2 AS (
+      |  SELECT vec_id, cid, dq FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dq, cid) AS rn
+      |    FROM d2) WHERE rn = 1)""".stripMargin
+
   private[graft] val pqCtes: String =
     """e AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -377,38 +426,7 @@ object Embeddings {
         |FROM a2 GROUP BY vec_id""".stripMargin +
         orderByAll("vec_id", "codes_csv", "err_q")),
     "q_embed_kmeans" ->
-      ("""WITH e AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-        |  FROM embeddings),
-        |init AS (SELECT CAST(vec_id AS INT) AS cid, v AS cv FROM e WHERE vec_id < 8),
-        |d1 AS (
-        |  SELECT e.vec_id, e.v, i.cid,
-        |    CAST(list_sum(list_transform(range(1, 65),
-        |      j -> CAST(FLOOR((e.v[j] - i.cv[j]) * (e.v[j] - i.cv[j]) * 1e12)
-        |        AS BIGINT))) AS BIGINT) AS dq
-        |  FROM e CROSS JOIN init i),
-        |a1 AS (
-        |  SELECT vec_id, v, cid FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dq, cid) AS rn
-        |    FROM d1) WHERE rn = 1),
-        |cd AS (
-        |  SELECT cid, u.j AS dim, COUNT(*) AS n,
-        |    CAST(SUM(CAST(FLOOR(v[u.j] * 1e7) AS BIGINT)) AS BIGINT) AS sq
-        |  FROM a1, (SELECT unnest(range(1, 65)) AS j) u
-        |  GROUP BY cid, u.j),
-        |c1 AS (
-        |  SELECT cid, list(CAST(sq AS DOUBLE) / 1e7 / n ORDER BY dim) AS cv
-        |  FROM cd GROUP BY cid),
-        |d2 AS (
-        |  SELECT e.vec_id, c.cid,
-        |    CAST(list_sum(list_transform(range(1, 65),
-        |      j -> CAST(FLOOR((e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j]) * 1e12)
-        |        AS BIGINT))) AS BIGINT) AS dq
-        |  FROM e CROSS JOIN c1 c),
-        |a2 AS (
-        |  SELECT vec_id, cid, dq FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dq, cid) AS rn
-        |    FROM d2) WHERE rn = 1),
+      (s"""WITH $kmeansCtes,
         |cent AS (
         |  SELECT cid, array_to_string(list_transform(cv,
         |    x -> CAST(CAST(FLOOR(x * 1e7) AS BIGINT) AS VARCHAR)), ',')

@@ -113,6 +113,28 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semdedup: drops are cluster-local, exemplar-kept, and a subset of global τ-pairs (r9)") {
+    val out = SparkEntry.queries("q_dedup_semdedup")(spark, sf).cache()
+    try {
+      val n = Tables(spark, sf, "embeddings").count()
+      assert(out.count() === n, "semdedup must report every vector")
+      val dropped = out.filter(!col("kept")).as("d")
+      assert(dropped.count() > 0, "fixture must exercise the drop path")
+      // the exemplar (dup_of) is a lower id in the SAME cluster
+      val byId = out.select(col("vec_id").as("ref_id"), col("cid").as("cid_of"))
+      assert(dropped.join(byId, col("d.dup_of") === col("ref_id"))
+        .filter(col("d.cid") =!= col("cid_of") || col("d.dup_of") >= col("d.vec_id"))
+        .count() === 0, "dup_of must be a lower id in the same cluster")
+      // cluster-restricted dups ⊆ the global τ=0.45 pair list
+      val global = SparkEntry.queries("q_dedup_embed")(spark, sf)
+        .select("va", "vb").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val claimed = dropped.select(col("dup_of"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(claimed.forall(global.contains),
+        "a semdedup drop cites a pair below the global threshold")
+    } finally out.unpersist()
+  }
+
   test("simhash: identical texts collide, fingerprint is 64-bit stable") {
     import spark.implicits._
     val df = Seq("the quick brown fox", "the quick brown fox", "lorem ipsum dolor sit")
