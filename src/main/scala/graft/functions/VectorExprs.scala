@@ -499,6 +499,45 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization as a native codegen expression — the
+  * encoding-cleanup primitive (ftfy/CCNet shape) Spark SQL lacks:
+  * canonical composition folds decomposed sequences (e + U+0301) into
+  * their precomposed forms (U+00E9) so that byte-different, canonically
+  * equivalent strings get ONE canonical key for exact dedup and
+  * fingerprinting. Backed by `java.text.Normalizer` (the JDK's ICU
+  * subset — the same tables DuckDB's `nfc_normalize` uses, asserted by
+  * the q_text_normalize oracle).
+  *
+  * Hot-path contract: `isNormalized` runs first — on already-NFC text
+  * (the overwhelming majority of a real corpus, and a pure quick-check
+  * scan over the UTF-16 form) the input UTF8String is returned
+  * UNCOPIED; only strings that actually need composing pay the
+  * String round-trip. Stays inside the WholeStageCodegen span. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  def compute(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nfcNormalize", this, classOf[NfcNormalize].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $ref.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+    copy(child = newChild)
+}
+
 object VectorExprs {
   /** Register the native expressions on the session (idempotent);
     * callers then use `call_function("cosine_sim", …)` etc. */
@@ -548,6 +587,9 @@ object VectorExprs {
       "might_contain", (args: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           args.head, args(1)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "nfc_normalize", (args: Seq[Expression]) => NfcNormalize(args.head),
       "built-in")
   }
 }

@@ -459,6 +459,42 @@ object Text {
             .as("link_domain"),
           when(col("clean") === expected, 1L).otherwise(0L).as("recovered")))
     },
+    "q_text_normalize" -> { (s, dir) =>
+      // Unicode normalization + whitespace hygiene (added r9) — the
+      // ftfy/CCNet encoding-cleanup stage that must run BEFORE any
+      // hash-keyed dedup: canonically equivalent but byte-different
+      // strings (decomposed e+U+0301 vs precomposed U+00E9) otherwise
+      // land in different dedup buckets. Fixtures are pure ASCII, so
+      // each noise class is MANUFACTURED by doc_id residue and
+      // provably fires: %4==0 gets a decomposed suffix (NFC shortens),
+      // %4==1 the precomposed twin (NFC is a no-op, but the two
+      // variants' cleaned text converges — `canon_key` proves it),
+      // %4==2 a control char + tab, %4==3 NBSP + doubled spaces.
+      // Pipeline: NFC (the codegen NfcNormalize expression — fast
+      // isNormalized path returns already-clean strings uncopied) →
+      // strip C0/DEL controls → collapse [space/tab/NBSP] runs → trim.
+      // 100 TB posture: a narrow per-row map at scan speed, zero
+      // shuffle beyond the presentation sort; the canon-key hash agg
+      // is the exact-dedup shape.
+      graft.functions.VectorExprs.register(s)
+      val d = Tables(s, dir, "documents")
+        .withColumn("raw", concat(col("text"),
+          when(col("doc_id") % 4 === 0, lit(" grafté café"))
+            .when(col("doc_id") % 4 === 1, lit(" grafté café"))
+            .when(col("doc_id") % 4 === 2, lit("ctl\there"))
+            .otherwise(lit("  twin spaces  "))))
+        .withColumn("nfc", call_function("nfc_normalize", col("raw")))
+        .withColumn("clean", trim(regexp_replace(
+          regexp_replace(col("nfc"), "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", ""),
+          "[ \t\n\r ]+", " ")))
+      ordered(d.select(col("doc_id"),
+        length(col("raw")).cast("long").as("n_raw"),
+        length(col("nfc")).cast("long").as("n_nfc"),
+        length(col("clean")).cast("long").as("n_clean"),
+        (length(col("raw")) - length(col("nfc"))).cast("long")
+          .as("n_composed"),
+        md5(col("clean")).as("canon_key")))
+    },
     "q_text_url_filter" -> { (s, dir) =>
       // Domain blocklist filter — the URL-level source gate of a crawl
       // pipeline: derive each doc's origin URL (deterministically
@@ -1102,6 +1138,29 @@ object Text {
         |FROM s""".stripMargin +
         orderByAll("doc_id", "len_html", "len_clean", "title",
           "link_domain", "recovered")),
+    "q_text_normalize" ->
+      ("""WITH raw AS (
+        |  SELECT doc_id, text ||
+        |    CASE CAST(doc_id % 4 AS INT)
+        |      WHEN 0 THEN ' grafte' || chr(769) || ' cafe' || chr(769)
+        |      WHEN 1 THEN ' graft' || chr(233) || ' caf' || chr(233)
+        |      WHEN 2 THEN chr(7) || 'ctl' || chr(9) || 'here'
+        |      ELSE '  twin' || chr(160) || 'spaces  ' END AS raw
+        |  FROM documents),
+        |n AS (SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM raw),
+        |c AS (
+        |  SELECT doc_id, raw, nfc,
+        |    trim(regexp_replace(regexp_replace(nfc,
+        |      '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+        |      '[ \t\n\r' || chr(160) || ']+', ' ', 'g')) AS clean
+        |  FROM n)
+        |SELECT doc_id, length(raw) AS n_raw, length(nfc) AS n_nfc,
+        |  length(clean) AS n_clean,
+        |  length(raw) - length(nfc) AS n_composed,
+        |  md5(clean) AS canon_key
+        |FROM c""".stripMargin +
+        orderByAll("doc_id", "n_raw", "n_nfc", "n_clean", "n_composed",
+          "canon_key")),
     "q_text_url_filter" ->
       ("""WITH u AS (
         |  SELECT *, 'https://' || source || '.example.com/docs/'

@@ -192,4 +192,32 @@ class TextSpec extends SparkSpec {
         s"merge '$merged' is not a substring of any corpus word")
     }
   }
+
+  test("nfc_normalize: composes decomposed text, identity fast-path, variants converge (r9)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    graft.functions.VectorExprs.register(spark)
+    // decomposed e+U+0301 composes to U+00E9 (length shrinks by 1 per mark)
+    val rows = Seq("cafe\u0301", "caf\u00e9", "plain ascii")
+      .toDF("t").selectExpr("t", "nfc_normalize(t) AS n", "length(t) AS lt",
+        "length(nfc_normalize(t)) AS ln").collect()
+    assert(rows(0).getString(1) === rows(1).getString(1), "variants must converge")
+    assert(rows(0).getInt(2) === 5 && rows(0).getInt(3) === 4)
+    assert(rows(2).getString(0) === rows(2).getString(1), "ASCII is a no-op")
+    // the operator key: composed length shrink fires exactly on %4==0,
+    // and the canonical key of a %4==0 doc equals its %4==1 twin's
+    // cleaned text shape (both end ' grafte\u0301...'->' graft\u00e9...')
+    val out = SparkEntry.queries("q_text_normalize")(spark, sf).cache()
+    try {
+      assert(out.filter(col("doc_id") % 4 === 0)
+        .filter(col("n_composed") =!= 2L).count() === 0,
+        "both decomposed marks must compose on %4==0 docs")
+      assert(out.filter(col("doc_id") % 4 =!= 0)
+        .filter(col("n_composed") =!= 0L).count() === 0,
+        "NFC must be a no-op off the decomposed class")
+      // NBSP/doubled spaces collapse: cleaned text is strictly shorter
+      assert(out.filter(col("doc_id") % 4 === 3)
+        .filter(col("n_clean") >= col("n_nfc")).count() === 0)
+    } finally out.unpersist()
+  }
 }
