@@ -166,6 +166,43 @@ object Embeddings {
         col("sum_q"),
         (col("sum_q").cast("double") / lit(1e7) / col("n")).as("centroid")))
     },
+    "q_embed_outliers" -> { (s, dir) =>
+      // Embedding-norm outlier gate (added r9) — the QA pass an
+      // embedding pipeline runs before indexing/training: a vector
+      // whose L2 norm sits far from its label's distribution usually
+      // means a broken encoder batch, truncated input, or mis-scaled
+      // normalization. Per-label z-score of the squared norm, flagged
+      // at |z| > 2.
+      //
+      // Determinism: norm_q = Σ floor(x²·1e6) is an exact per-row
+      // BIGINT (left-fold, engine-identical); label moments (n, Σ, Σ²)
+      // sum as DECIMAL(38,0) (the q_time_trend headroom rule — norm_q²
+      // ≈ 4e15 would overflow int64 under a ×10 soak), and the outlier
+      // verdict compares INTEGERS only: z² > 4 ⟺ (n·x−S1)² > 4·(n·S2−S1²).
+      // z itself is one shared IEEE expression over the same integers.
+      //
+      // 100 TB posture: one narrow map (norm at scan speed) + a
+      // |labels|-row hash agg with map-side partials + a broadcast
+      // join of the |labels|-row moment table back onto the corpus —
+      // the classic two-pass profile, nothing shuffles but the report.
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+        .withColumn("norm_q", expr(
+          "aggregate(v, 0L, (a, x) -> a + CAST(FLOOR(x * x * 1e6) AS BIGINT))"))
+      val m = e.groupBy(col("label")).agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("norm_q").cast("decimal(38,0)")).as("s1"),
+        sum(col("norm_q").cast("decimal(19,0)") *
+          col("norm_q").cast("decimal(19,0)")).as("s2"))
+      val j = e.join(broadcast(m), Seq("label"))
+        .withColumn("dev", col("n") * col("norm_q").cast("decimal(38,0)") - col("s1"))
+        .withColumn("varn", col("n") * col("s2") - col("s1") * col("s1"))
+      ordered(j.select(col("vec_id"), col("label"), col("norm_q"),
+        (col("dev").cast("double") / sqrt(col("varn").cast("double"))).as("z"),
+        (col("dev") * col("dev") > col("varn") * lit(4).cast("decimal(38,0)"))
+          .as("is_outlier")))
+    },
     "q_embed_quantize" -> { (s, dir) =>
       // Int8 symmetric scalar quantization — the 4× compression step
       // before shipping an embedding corpus to an ANN index or a
@@ -393,6 +430,27 @@ object Embeddings {
       }.mkString(", ") + " FROM embeddings") +
         orderByAll("vec_id" +: (1 to 8).map(j => s"p$j"): _*)),
     "q_embed_pca" -> pcaOracleSql,
+    "q_embed_outliers" ->
+      ("""WITH e AS (
+        |  SELECT vec_id, label,
+        |    CAST(list_sum(list_transform(embedding,
+        |      x -> CAST(FLOOR(CAST(x AS DOUBLE) * x * 1e6) AS BIGINT)))
+        |      AS BIGINT) AS norm_q
+        |  FROM embeddings),
+        |m AS (
+        |  SELECT label, CAST(COUNT(*) AS HUGEINT) AS n,
+        |    CAST(SUM(CAST(norm_q AS HUGEINT)) AS HUGEINT) AS s1,
+        |    CAST(SUM(CAST(norm_q AS HUGEINT) * norm_q) AS HUGEINT) AS s2
+        |  FROM e GROUP BY label),
+        |fin AS (
+        |  SELECT vec_id, e.label AS label, norm_q,
+        |    CAST(CAST(n * norm_q - s1 AS VARCHAR) AS DOUBLE) /
+        |      sqrt(CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE)) AS z,
+        |    (n * norm_q - s1) * (n * norm_q - s1) > 4 * (n * s2 - s1 * s1)
+        |      AS is_outlier
+        |  FROM e JOIN m ON e.label = m.label)
+        |SELECT vec_id, label, norm_q, z, is_outlier FROM fin""".stripMargin +
+        orderByAll("vec_id", "label", "norm_q", "z", "is_outlier")),
     "q_embed_centroid" ->
       ("""WITH ex AS (
         |  SELECT label, CAST(u.i - 1 AS INT) AS dim,
