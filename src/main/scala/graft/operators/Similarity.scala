@@ -141,6 +141,43 @@ object Similarity {
         .select(col("q_id"), col("vec_id"), col("rn"),
           round(col("c"), 4).as("cosine")))
     },
+    "q_sim_hard_negatives" -> { (s, dir) =>
+      // Hard-negative mining (added r9) — the contrastive-training
+      // data op: for each anchor, the top-3 most-similar vectors with
+      // a DIFFERENT label ("hard" negatives — near the anchor yet
+      // labeled apart — are what make InfoNCE/triplet training
+      // informative; random negatives are too easy to carry signal).
+      // Exact formulation: the blocked pair equi-join scores each
+      // unordered pair once (localCheckpointed — never recomputed per
+      // direction), both orientations are unioned (cosine_sim is
+      // bit-symmetric: products and the denominator commute exactly),
+      // labels join back on the small id→label relation, and the
+      // per-anchor top-3 runs as a rank window that Spark executes as
+      // WindowGroupLimit (per-partition partial top-k before the
+      // shuffle — the q_win_topk_group plan).
+      //
+      // 100 TB posture: O(n·B) blocked scoring + a group-limit window
+      // keyed on anchor; at corpus scale you'd swap the exact pair
+      // source for ANN candidates (q_sim_ivf_probe's pruned cells or
+      // LSH buckets) and rerank — the mining window is unchanged.
+      val e = vecs(s, dir)
+      val lab = e.select(col("vec_id"), col("label"))
+      val p = blockedScoredPairs(e).localCheckpoint(true)
+      val sym = p.select(col("va").as("anchor"), col("vb").as("cand"), col("c"))
+        .union(p.select(col("vb").as("anchor"), col("va").as("cand"), col("c")))
+      val j = sym
+        .join(lab.select(col("vec_id").as("anchor"),
+          col("label").as("anchor_label")), Seq("anchor"))
+        .join(lab.select(col("vec_id").as("cand"),
+          col("label").as("cand_label")), Seq("cand"))
+        .filter(col("anchor_label") =!= col("cand_label"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("anchor")).orderBy(col("c").desc, col("cand"))
+      ordered(j.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("anchor"), col("rank"), col("cand"), col("anchor_label"),
+          col("cand_label"), round(col("c"), 4).as("cosine")))
+    },
     "q_sim_range_search" -> { (s, dir) =>
       // Radius (range) search: every vector within cosine ≥ 0.3 of a
       // fixed query — the "find all near-duplicates of THIS item"
@@ -525,6 +562,22 @@ object Similarity {
         |        ORDER BY c DESC, vec_id LIMIT 20)
         |SELECT * FROM top""".stripMargin +
         orderByAll("vec_id", "label", "cosine")),
+    "q_sim_hard_negatives" ->
+      (s"""WITH p AS (
+        |  SELECT a.vec_id AS anchor, b.vec_id AS cand,
+        |    a.label AS anchor_label, b.label AS cand_label,
+        |    ${cosSql("a", "b")} AS c
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id <> b.vec_id AND a.label <> b.label),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY anchor ORDER BY c DESC, cand) AS rank
+        |  FROM p)
+        |SELECT anchor, rank, cand, anchor_label, cand_label,
+        |  ROUND(c, 4) AS cosine
+        |FROM r WHERE rank <= 3""".stripMargin +
+        orderByAll("anchor", "rank", "cand", "anchor_label", "cand_label",
+          "cosine")),
     "q_sim_range_search" ->
       (s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
         |scored AS (
