@@ -51,7 +51,10 @@ object Plans {
     "q_text_ngram_lm",        // bigram model hash aggs + eval-bigram equi join + 1-row V broadcast (r8)
     "q_sample_temperature",   // two-pass: source counts → broadcast rate table → narrow keep map (r8)
     "q_layout_hilbert",       // 8-round integer curve index: narrow map + one hash agg (r8)
-    "q_join_asof_tolerance")  // nearest-asof: two direction frames on ONE shuffle-sort (r8)
+    "q_join_asof_tolerance",  // nearest-asof: two direction frames on ONE shuffle-sort (r8)
+    "q_dedup_semdedup",       // SemDeDup: broadcast-centroid assignment + cid-keyed pair join (r9)
+    "q_sim_hard_negatives",   // blocked scoring + WindowGroupLimit per-anchor top-3 (r9)
+    "q_text_normalize")       // NFC codegen narrow map, zero exchange before the sort (r9)
 
   /** Hand-written analysis emitted after a key's plan — kept here so
     * regeneration never loses it. */

@@ -67,7 +67,13 @@ object ScaleSoak {
     "q_sql_tpch_q7", "q_sql_tpch_q11", "q_sql_tpch_q13",
     "q_sql_tpch_q14", "q_sql_tpch_q17", "q_sql_tpch_q19",
     "q_sql_tpch_q20", "q_sql_tpch_q22",
-    "q_graph_label_prop", "q_quality_drift")
+    "q_graph_label_prop", "q_quality_drift",
+    // r9 batch 3: SemDeDup's intra-cluster pair join (must scale with
+    // Σ n_c², not n²), hard-negative mining (blocked scoring + group
+    // limit), CoW delete (cost ∝ dirty files), NFC narrow map, and
+    // the decimal-moment outlier gate
+    "q_dedup_semdedup", "q_sim_hard_negatives", "q_table_delete",
+    "q_text_normalize", "q_embed_outliers")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */

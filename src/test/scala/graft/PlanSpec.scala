@@ -723,4 +723,36 @@ class PlanSpec extends SparkSpec {
     val sorts = p.linesIterator.count(_.trim.startsWith("Sort "))
     assert(sorts <= 2, s"expected one window sort (+ output order), saw $sorts:\n$p")
   }
+
+  test("q_dedup_semdedup: pair work is cid-keyed, assignment broadcast, no cartesian (r9)") {
+    val p = planOf("q_dedup_semdedup")
+    assert(!p.contains("CartesianProduct"),
+      s"semdedup pair join degenerated to a product:\n$p")
+    // clustering assignment rides a broadcast centroid row; the
+    // checkpointed assignment is scanned, never retrained per side
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastHashJoin"),
+      s"no broadcast anywhere in semdedup plan:\n$p")
+  }
+
+  test("q_sim_hard_negatives: per-anchor top-3 runs as WindowGroupLimit (r9)") {
+    val p = planOf("q_sim_hard_negatives")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter did not push into a group limit:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"blocked scoring degenerated to a product:\n$p")
+  }
+
+  test("q_text_normalize: narrow map — no exchange before the presentation sort (r9)") {
+    val p = planOf("q_text_normalize")
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges <= 1, s"normalize should be map-only + output sort, saw $exchanges exchanges:\n$p")
+    assert(!p.contains("Join"), s"normalize must not join:\n$p")
+  }
+
+  test("q_embed_outliers: moment table joins back as a broadcast, one corpus agg (r9)") {
+    val p = planOf("q_embed_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-label moments must broadcast, not shuffle the corpus:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"corpus re-shuffled for the moment join:\n$p")
+  }
 }
