@@ -190,4 +190,28 @@ class SimilaritySpec extends SparkSpec {
       .filter(exists(col("errs"), e => e > lit(0.5000001) / col("scale")))
     assert(bad.count() === 0, "reconstruction error exceeds half a quantization step")
   }
+
+  test("hard negatives: cell-scoped mining keeps >= 70% of global-exact hardness (r9)") {
+    // mining needs sufficiently hard negatives, not the global argmax;
+    // pin the hardness ratio of the cell-scoped picks against the
+    // brute-force global top-3 (and sanity-check vs the random-negative
+    // baseline, which sits near 0 on this near-orthogonal fixture)
+    val mined = SparkEntry.queries("q_sim_hard_negatives")(spark, sf)
+    val minedMean = mined.agg(avg(col("cosine"))).collect()(0).getDouble(0)
+    val lab = Tables(spark, sf, "embeddings").select(col("vec_id"), col("label"))
+    val ev = vecs.join(lab, "vec_id")
+    val pairs = ev.select(col("vec_id").as("anchor"), col("label").as("la"), col("v").as("a"))
+      .join(ev.select(col("vec_id").as("cand"), col("label").as("lb"), col("v").as("b")),
+        col("anchor") =!= col("cand") && col("la") =!= col("lb"))
+      .withColumn("c", Similarity.cosine(col("a"), col("b")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("anchor")).orderBy(col("c").desc, col("cand"))
+    val globalMean = pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3).agg(avg(col("c"))).collect()(0).getDouble(0)
+    val randomMean = pairs.agg(avg(col("c"))).collect()(0).getDouble(0)
+    assert(minedMean >= 0.7 * globalMean,
+      s"cell-scoped hardness $minedMean < 70% of global $globalMean")
+    assert(minedMean > 100 * math.abs(randomMean),
+      s"mined negatives $minedMean not meaningfully harder than random $randomMean")
+  }
 }
