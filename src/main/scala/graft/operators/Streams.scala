@@ -608,6 +608,44 @@ object Streams {
           col("value").as("last_value")))
     }},
 
+    "s_table_stream_commit" -> { (s, dir) => withStreamShuffle(s, dir) {
+      // Streaming ingest THROUGH the commit log (added r9) — the weld
+      // between the streaming tier and the table layer (the public
+      // Delta streaming-sink design): each micro-batch publishes as
+      // ONE atomic snapshot commit, so a reader either sees a whole
+      // batch or none of it — never the partial file set a plain
+      // parquet sink exposes mid-write. Exactly-once at the table
+      // level rides ON the log: version ≡ batchId, so a restarted
+      // query re-delivering batch N (at-least-once upstream) finds
+      // its version already published and skips
+      // (CommitLog.appendBatch; StreamingSpec pins replay-no-dupes,
+      // per-version atomicity, and a pinned reader racing ingest).
+      // Output is delivery-invariant (the final snapshot equals the
+      // full events table) — oracle-checked like s_stream_enrich.
+      // 100 TB posture: data flows as distributed parquet writes;
+      // the commit is a metadata rename. Log contention bounds the
+      // commit RATE, not the data rate — the public formats' story.
+      import graft.sources.CommitLog
+      val root = tmp("tbl_stream")
+      val ck = tmp("tbl_stream_ck")
+      val ev = Tables(s, dir, "events")
+      val chunks = Seq(0L, 1L, 2L).map(r =>
+        ev.filter(col("event_id") % 3 === r))
+      val q = stagedChunks(s, chunks).writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          CommitLog.appendBatch(s, root, batch, nFiles = 2, batchId = id)
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val head = CommitLog.latestVersion(root).getOrElse(
+        sys.error("s_table_stream_commit: no batches committed"))
+      ordered(CommitLog.read(s, root, head)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
+    }},
+
     "s_foreachbatch_upsert" -> { (s, dir) => withStreamShuffle(s, dir) {
       val out = tmp("feb_out"); val ck = tmp("feb_ck")
       val q = EventSource.FileStream.load(s, dir)
@@ -865,6 +903,14 @@ object Streams {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events e JOIN customer c ON c.c_custkey = e.user_id
         |GROUP BY c_mktsegment""".stripMargin +
-        graft.functions.Det.orderByAll("c_mktsegment", "n_events", "n_users", "sum_value"))
+        graft.functions.Det.orderByAll("c_mktsegment", "n_events", "n_users", "sum_value")),
+    // the final snapshot is delivery-invariant: all three staged
+    // chunks land, so the head version equals the whole events table
+    "s_table_stream_commit" ->
+      ("""SELECT event_type, COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY event_type""".stripMargin +
+        graft.functions.Det.orderByAll("event_type", "n", "sum_value"))
   )
 }

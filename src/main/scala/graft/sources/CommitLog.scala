@@ -149,6 +149,32 @@ object CommitLog {
     else s.read.parquet(added: _*)
   }
 
+  /** Idempotent STREAMING append — the Delta streaming-sink design:
+    * micro-batch `batchId` publishes as exactly snapshot version
+    * `batchId`, so the commit log itself is the transaction record.
+    * A restarted query re-delivering batch N (at-least-once upstream)
+    * finds version N already published and SKIPS — table-level
+    * exactly-once without any side channel; a concurrent committer
+    * race on the same version is settled by the log's atomic
+    * create-if-absent (the loser's staged files are orphans for
+    * vacuum, as in the public formats). Returns true iff THIS call
+    * published the version. */
+  def appendBatch(s: SparkSession, root: String, df: DataFrame,
+      nFiles: Int, batchId: Long): Boolean = {
+    if (manifest(root, batchId).exists()) return false
+    val prevFiles =
+      if (batchId == 0) Nil
+      else snapshotFiles(root, batchId - 1).map(p => relativize(root, p))
+    val staged = stageDataFiles(s, root, df, nFiles)
+    try {
+      commit(root, prevFiles ++ staged,
+        if (batchId == 0) None else Some(batchId - 1))
+      true
+    } catch {
+      case _: java.util.ConcurrentModificationException => false
+    }
+  }
+
   /** Copy-on-write row-level DELETE (the public Delta/Iceberg CoW
     * write path): one pass finds the data files that HOLD matching
     * rows (`input_file_name` + distinct — the collect is file PATHS,

@@ -456,6 +456,43 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("delete"), ex.getMessage)
   }
 
+  test("commit log: streaming ingest commits atomically per batch, replay adds nothing (r9)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_stream").toString
+    val feed = java.nio.file.Files.createTempDirectory("graft_cl_feed").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.repartition(4).write.mode("overwrite").parquet(feed)
+    def run(ck: String): Unit = {
+      val q = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(feed)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          CommitLog.appendBatch(spark, root, b, nFiles = 1, batchId = id)
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run(java.nio.file.Files.createTempDirectory("graft_cl_ck1").toString)
+    val head = CommitLog.latestVersion(root).get
+    assert(head >= 1, "expected multiple micro-batch commits")
+    // each version is a whole batch appended: snapshot rows are monotone
+    val counts = (0L to head).map(v => CommitLog.read(spark, root, v).count())
+    assert(counts === counts.sorted, s"snapshot rows not monotone: $counts")
+    assert(counts.last === ev.count(), "head snapshot must hold every event")
+    // direct re-delivery of an already-committed batch is a no-op
+    assert(!CommitLog.appendBatch(spark, root, ev.limit(5), 1, batchId = head),
+      "re-delivered batch must be skipped, not re-published")
+    // full replay from a FRESH checkpoint: everything re-delivers,
+    // nothing re-publishes — table-level exactly-once on the log alone
+    run(java.nio.file.Files.createTempDirectory("graft_cl_ck2").toString)
+    assert(CommitLog.latestVersion(root).get === head,
+      "replay must not advance the log")
+    assert(CommitLog.read(spark, root, head).count() === ev.count())
+  }
+
   test("commit log: conflicting commit loses cleanly, log stays consistent (r9)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_cl_race").toString
