@@ -68,6 +68,29 @@ object Windows {
         (sum(col("rev_dec")).over(w).cast("double") /
           count(lit(1)).over(w)).as("ma7")))
     },
+    "q_win_median" -> { (s, dir) =>
+      // Rolling MEDIAN (added r9) — the order-statistic window the
+      // running-sum family (q_win_sliding's MA, q_win_running) cannot
+      // express: a 7-row trailing median of the daily series per event
+      // type, the robust smoother dashboards use where a mean is
+      // outlier-dragged. Exact percentile(0.5) over a rows frame —
+      // Spark evaluates the frame buffer per row (no partial-agg
+      // shortcut exists for order statistics; cost is frame-bounded,
+      // 7 values here). Determinism: the daily inputs are exact
+      // quantized BIGINTs (floor of the decimal day sum), and the
+      // even-count interpolation (a+b)/2 is the same IEEE expression
+      // in both engines on integers < 2^53.
+      // 100 TB posture: one corpus shuffle into the daily pre-agg;
+      // the window runs over |types|·|days| rows with a 7-deep buffer.
+      val daily = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("CAST(ts AS LONG) DIV 86400").as("day"))
+        .agg(floor(sum(money(col("value")))).cast("long").as("y"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("day").asc_nulls_first).rowsBetween(-6, 0)
+      ordered(daily.select(col("event_type"), col("day"), col("y"),
+        expr("percentile(y, 0.5)").over(w).as("med7")))
+    },
     "q_win_range_frame" -> { (s, dir) =>
       // RANGE frame over orderdate epoch-seconds: per customer, total
       // of orders in the trailing 90 days (inclusive).
@@ -208,6 +231,16 @@ object Windows {
         |WINDOW w AS (PARTITION BY c_nationkey
         |  ORDER BY c_acctbal DESC NULLS LAST, c_custkey ASC NULLS FIRST)""".stripMargin +
         orderByAll("c_custkey", "c_nationkey", "c_acctbal", "rnk", "drnk", "rn")),
+    "q_win_median" ->
+      ("""WITH daily AS (
+        |  SELECT event_type, epoch_us(ts)//1000000//86400 AS day,
+        |    CAST(floor(SUM(CAST(value AS DECIMAL(18,4)))) AS BIGINT) AS y
+        |  FROM events GROUP BY event_type, epoch_us(ts)//1000000//86400)
+        |SELECT event_type, day, y,
+        |  quantile_cont(y, 0.5) OVER (PARTITION BY event_type
+        |    ORDER BY day ASC ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS med7
+        |FROM daily""".stripMargin +
+        orderByAll("event_type", "day", "y", "med7")),
     "q_win_dist" ->
       ("""SELECT c_custkey, c_mktsegment, c_acctbal,
         |  percent_rank() OVER w AS pct_rnk, cume_dist() OVER w AS cdist
