@@ -91,6 +91,42 @@ object TableFormat {
       ordered(Seq((removed, kept, rows))
         .toDF("n_files_removed", "n_files_kept", "n_rows_after"))
     },
+    "q_table_stats_prune" -> { (s, dir) =>
+      // Manifest column statistics + file skipping (added r9) — the
+      // commit log's "natural next step" (CommitLog Scaladoc) made
+      // real: appendWithStats records per-file min/max of event_id in
+      // the MANIFEST (Delta stats JSON / Iceberg manifest bounds), so
+      // a selective read prunes to overlapping files from the log
+      // alone — no directory listing, no footer reads at plan time.
+      // Four RANGE-ALIGNED appends (event_id quartiles, 2 files each)
+      // make the accounting deterministic: the probe predicate covers
+      // exactly the second quartile, so 2 of 8 files survive pruning.
+      // Pruning is pure metadata — the precise predicate still runs,
+      // so correctness never depends on the stats (StreamingSpec pins
+      // pruned ≡ full-scan and the unprunable-file fallback).
+      // The quartile cutoffs derive from one MAX(event_id) scalar
+      // (metadata-grade driver round-trip, the IVF-centroid rule).
+      val root = java.nio.file.Files.createTempDirectory("graft_table_st")
+      root.toFile.deleteOnExit()
+      val ev = Tables(s, dir, "events")
+      val m = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+      val (q1, q2, q3) = (m / 4, m / 2, 3 * m / 4)
+      CommitLog.appendWithStats(s, root.toString,
+        ev.filter(col("event_id") <= q1), nFiles = 2, statsCol = "event_id")
+      CommitLog.appendWithStats(s, root.toString,
+        ev.filter(col("event_id") > q1 && col("event_id") <= q2), 2, "event_id")
+      CommitLog.appendWithStats(s, root.toString,
+        ev.filter(col("event_id") > q2 && col("event_id") <= q3), 2, "event_id")
+      val head = CommitLog.appendWithStats(s, root.toString,
+        ev.filter(col("event_id") > q3), 2, "event_id")
+      val (df, total, nRead) =
+        CommitLog.prunedRead(s, root.toString, head, q1 + 1, q2)
+      ordered(df.filter(col("event_id").between(q1 + 1, q2))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("sum_value"))
+        .select(lit(total.toLong).as("n_files_total"),
+          lit(nRead.toLong).as("n_files_read"),
+          col("n_rows"), col("sum_value")))
+    },
     "q_table_delete" -> { (s, dir) =>
       // Copy-on-write row-level DELETE (added r9) — the GDPR/retention
       // write path the merge family lacks: only files HOLDING matching
@@ -155,6 +191,15 @@ object TableFormat {
         |  CAST(2 AS BIGINT) AS n_files_kept,
         |  (SELECT COUNT(*) FROM events) AS n_rows_after""".stripMargin +
         orderByAll("n_files_removed", "n_files_kept", "n_rows_after")),
+    "q_table_stats_prune" ->
+      ("""WITH b AS (SELECT MAX(event_id) AS m FROM events)
+        |SELECT CAST(8 AS BIGINT) AS n_files_total,
+        |  CAST(2 AS BIGINT) AS n_files_read,
+        |  COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
+        |FROM events, b
+        |WHERE event_id > m // 4 AND event_id <= m // 2""".stripMargin +
+        orderByAll("n_files_total", "n_files_read", "n_rows", "sum_value")),
     "q_table_delete" ->
       ("""SELECT CAST(2 AS BIGINT) AS n_files_carried,
         |  CAST(2 AS BIGINT) AS n_files_rewritten,

@@ -42,9 +42,20 @@ object CommitLog {
     * the commit KIND — incremental readers need it to distinguish
     * data-adding commits (append) from data-neutral rewrites (compact),
     * the public change-data-feed design's commit metadata. */
-  private def renderManifest(version: Long, files: Seq[String], op: String): String =
-    s"""{"version":$version,"op":"$op",""" +
-      s""""files":[${files.map(f => "\"" + f + "\"").mkString(",")}]}"""
+  private def renderManifest(version: Long, files: Seq[String], op: String,
+      statsCol: Option[String] = None,
+      stats: Map[String, (Long, Long)] = Map.empty): String = {
+    val base = s"""{"version":$version,"op":"$op",""" +
+      s""""files":[${files.map(f => "\"" + f + "\"").mkString(",")}]"""
+    val statsJson = statsCol match {
+      case Some(c) if stats.nonEmpty =>
+        s""","statsCol":"$c","stats":{""" +
+          stats.toSeq.sortBy(_._1).map { case (f, (lo, hi)) =>
+            s""""$f":[$lo,$hi]""" }.mkString(",") + "}"
+      case _ => ""
+    }
+    base + statsJson + "}"
+  }
 
   def latestVersion(root: String): Option[Long] =
     Option(logDir(root).listFiles())
@@ -80,11 +91,13 @@ object CommitLog {
     * public table formats require of their log store). The loser gets a
     * clean conflict to re-read and retry on. */
   def commit(root: String, files: Seq[String], expected: Option[Long],
-      op: String = "append"): Long = {
+      op: String = "append", statsCol: Option[String] = None,
+      stats: Map[String, (Long, Long)] = Map.empty): Long = {
     logDir(root).mkdirs()
     val next = expected.map(_ + 1).getOrElse(0L)
     val tmp = java.nio.file.Files.createTempFile(logDir(root).toPath, s".v$next-", ".tmp")
-    java.nio.file.Files.writeString(tmp, renderManifest(next, files, op))
+    java.nio.file.Files.writeString(tmp,
+      renderManifest(next, files, op, statsCol, stats))
     try {
       java.nio.file.Files.createLink(manifest(root, next).toPath, tmp)
       java.nio.file.Files.delete(tmp)
@@ -105,7 +118,14 @@ object CommitLog {
     val prev = latestVersion(root)
     val prevFiles = prev.map(v => snapshotFiles(root, v)
       .map(p => relativize(root, p))).getOrElse(Nil)
-    commit(root, prevFiles ++ stageDataFiles(s, root, df, nFiles), prev)
+    // stats are per-FILE metadata: a commit that carries a file forward
+    // carries its stats entry too (the new stat-less files are simply
+    // unprunable), so one stats-unaware writer never strips the whole
+    // snapshot's skipping metadata
+    val (prevCol, prevStats) =
+      prev.map(v => snapshotStatsOf(root, v)).getOrElse((None, Map.empty[String, (Long, Long)]))
+    commit(root, prevFiles ++ stageDataFiles(s, root, df, nFiles), prev,
+      statsCol = prevCol, stats = prevStats)
   }
 
   /** Rewrite the CURRENT snapshot into `nFiles` compacted data files
@@ -123,6 +143,75 @@ object CommitLog {
     * file list from the manifest, no directory listing anywhere. */
   def read(s: SparkSession, root: String, version: Long): DataFrame =
     s.read.parquet(snapshotFiles(root, version): _*)
+
+  /** Per-file column statistics of `version`'s manifest: the stats
+    * column name (if the committing writer recorded one) and
+    * file → (min, max), relative paths. Files without an entry are
+    * UNPRUNABLE — a reader must always scan them (mixed manifests
+    * stay correct across writers that don't compute stats). */
+  def snapshotStatsOf(root: String, version: Long): (Option[String], Map[String, (Long, Long)]) = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(manifest(root, version).toPath))
+    val colName = Option(node.get("statsCol")).map(_.asText())
+    val stats = Option(node.get("stats")).map { st =>
+      val it = st.fields()
+      val b = Map.newBuilder[String, (Long, Long)]
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> (e.getValue.get(0).asLong(), e.getValue.get(1).asLong())
+      }
+      b.result()
+    }.getOrElse(Map.empty)
+    (colName, stats)
+  }
+
+  /** Append with per-file min/max statistics on integer column
+    * `statsCol` — the manifest-level file-skipping metadata of the
+    * public table formats (Delta's stats JSON / Iceberg's manifest
+    * column bounds): planning consults the LOG, not file footers, so
+    * a selective scan opens only overlapping files. Stats are computed
+    * from the staged files in one small aggregate per file (staging-
+    * time cost, amortized over every future pruned read). Prior
+    * versions' entries carry over, so the whole snapshot stays
+    * prunable after many appends. */
+  def appendWithStats(s: SparkSession, root: String, df: DataFrame,
+      nFiles: Int, statsCol: String): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val prev = latestVersion(root)
+    val prevFiles = prev.map(v => snapshotFiles(root, v)
+      .map(p => relativize(root, p))).getOrElse(Nil)
+    val prevStats = prev.map(v => snapshotStatsOf(root, v)._2).getOrElse(Map.empty)
+    val staged = stageDataFiles(s, root, df, nFiles)
+    val newStats = staged.map { rel =>
+      val r = s.read.parquet(new java.io.File(root, rel).toString)
+        .agg(min(col(statsCol)), max(col(statsCol))).collect()(0)
+      rel -> (r.getLong(0), r.getLong(1))
+    }.toMap
+    commit(root, prevFiles ++ staged, prev,
+      statsCol = Some(statsCol), stats = prevStats ++ newStats)
+  }
+
+  /** Stats-pruned scan: the files of `version` whose [min, max] range
+    * on the stats column OVERLAPS [lo, hi], plus every file without
+    * stats (unprunable ⇒ always read). Returns (dataframe over the
+    * surviving files, filesTotal, filesRead). Pruning is a pure
+    * metadata decision — the caller still applies its precise
+    * predicate, so correctness never depends on the stats. */
+  def prunedRead(s: SparkSession, root: String, version: Long,
+      lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val files = readManifest(root, version)._2
+    val (_, stats) = snapshotStatsOf(root, version)
+    val keep = files.filter { f =>
+      stats.get(f) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true
+      }
+    }
+    val df =
+      if (keep.isEmpty) read(s, root, version).limit(0)
+      else s.read.parquet(keep.map(f => new java.io.File(root, f).toString): _*)
+    (df, files.size, keep.size)
+  }
 
   /** Incremental (change-data-feed-style) read: the rows ADDED between
     * `fromVersion` (exclusive) and `toVersion` (inclusive) = the scan
@@ -165,10 +254,14 @@ object CommitLog {
     val prevFiles =
       if (batchId == 0) Nil
       else snapshotFiles(root, batchId - 1).map(p => relativize(root, p))
+    val (prevCol, prevStats) =
+      if (batchId == 0) (None, Map.empty[String, (Long, Long)])
+      else snapshotStatsOf(root, batchId - 1)
     val staged = stageDataFiles(s, root, df, nFiles)
     try {
       commit(root, prevFiles ++ staged,
-        if (batchId == 0) None else Some(batchId - 1))
+        if (batchId == 0) None else Some(batchId - 1),
+        statsCol = prevCol, stats = prevStats)
       true
     } catch {
       case _: java.util.ConcurrentModificationException => false
@@ -208,7 +301,11 @@ object CommitLog {
       if (dirty.isEmpty) Nil
       else stageDataFiles(s, root,
         s.read.parquet(dirty: _*).filter(!cond), math.max(1, dirty.size))
-    val v = commit(root, carried ++ rewritten, Some(prev), op = "delete")
+    // carried files keep their stats entries; rewritten files have no
+    // stats (unprunable) unless a stats-aware writer recomputes them
+    val (prevCol, prevStats) = snapshotStatsOf(root, prev)
+    val v = commit(root, carried ++ rewritten, Some(prev), op = "delete",
+      statsCol = prevCol, stats = prevStats.filter(kv => carried.contains(kv._1)))
     (v, clean.size.toLong, rewritten.size.toLong)
   }
 

@@ -493,6 +493,31 @@ class StreamingSpec extends SparkSpec {
     assert(CommitLog.read(spark, root, head).count() === ev.count())
   }
 
+  test("commit log: manifest stats prune files but never change results; stat-less files always read (r9)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_stats").toString
+    val ev = Tables(spark, sf, "events").select(col("event_id"), col("value"))
+    val m = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+    CommitLog.appendWithStats(spark, root,
+      ev.filter(col("event_id") <= m / 2), nFiles = 2, statsCol = "event_id")
+    val v1 = CommitLog.appendWithStats(spark, root,
+      ev.filter(col("event_id") > m / 2), nFiles = 2, statsCol = "event_id")
+    // selective probe: only the low half's files survive pruning...
+    val (df, total, nRead) = CommitLog.prunedRead(spark, root, v1, 0L, m / 4)
+    assert(total === 4 && nRead === 2, s"total=$total read=$nRead")
+    // ...and the pruned scan + precise predicate equals the full scan
+    val pruned = df.filter(col("event_id") <= m / 4)
+      .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+    val full = CommitLog.read(spark, root, v1).filter(col("event_id") <= m / 4)
+      .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+    assert(pruned === full, "stats pruning changed the result")
+    // a legacy (stat-less) append stays unprunable: always read
+    val v2 = CommitLog.append(spark, root, ev.limit(10), nFiles = 1)
+    val (_, total2, read2) = CommitLog.prunedRead(spark, root, v2, 0L, m / 4)
+    assert(total2 === 5 && read2 === 3,
+      s"stat-less file must survive pruning: total=$total2 read=$read2")
+  }
+
   test("commit log: conflicting commit loses cleanly, log stays consistent (r9)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_cl_race").toString
