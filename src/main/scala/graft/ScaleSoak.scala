@@ -73,7 +73,11 @@ object ScaleSoak {
     // limit), CoW delete (cost ∝ dirty files), NFC narrow map, and
     // the decimal-moment outlier gate
     "q_dedup_semdedup", "q_sim_hard_negatives", "q_table_delete",
-    "q_text_normalize", "q_embed_outliers")
+    "q_text_normalize", "q_embed_outliers",
+    // r9 batch 4: streaming ingest through the log (commit rate vs
+    // data rate), manifest-stats pruning (plan cost = metadata read),
+    // frame-bounded rolling median
+    "s_table_stream_commit", "q_table_stats_prune", "q_win_median")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */
