@@ -186,6 +186,28 @@ object Multimodal {
           .as("consistent"),
         col("n_bytes")))
     },
+    "q_multimodal_dedup" -> { (s, dir) =>
+      // Exact binary dedup (added r9) — the standard FIRST multimodal
+      // curation step: identical media removed by content hash before
+      // any decode (the same image arrives under many URLs/mirrors).
+      // The crawl here is the staged image blobs plus a deterministic
+      // MIRROR of the same payloads under shifted doc_ids, so every
+      // payload occurs exactly twice and the original id must survive
+      // — structure the oracle checks without touching blob bytes.
+      // Group key = md5 of the blob hex, computed executor-side at
+      // scan speed; if the binary grouping ever mis-keyed (collision
+      // handling, byte-order, null padding), copy counts would break.
+      // 100 TB posture: the exact-dedup shape — ONE hash agg keyed on
+      // a 16-byte digest, map-side partials, nothing pairwise; blobs
+      // never leave the executors (the digest does).
+      val imgs = s.read.parquet(stageImageBlobs(s, dir))
+        .select(col("doc_id"), col("img"))
+      val crawl = imgs.union(
+        imgs.select((col("doc_id") + lit(100000L)).as("doc_id"), col("img")))
+      ordered(crawl.groupBy(md5(hex(col("img"))).as("ck"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select(col("keep_id"), col("n_copies")))
+    },
     "q_multimodal_image_meta" -> { (s, dir) =>
       // REAL codec for the multimodal path (r7): pure byte-arithmetic
       // image-header parse — PNG IHDR (big-endian) and BMP
@@ -288,6 +310,13 @@ object Multimodal {
         |FROM f""".stripMargin +
         orderByAll("doc_id", "fmt", "channels", "sample_rate", "bits",
           "block_align", "byte_rate", "duration_us", "consistent", "n_bytes")),
+    "q_multimodal_dedup" ->
+      // the planted mirror structure: every payload exactly twice,
+      // the original (lower) id survives — blob identity itself is
+      // exercised on the Spark side, where the bytes live
+      ("""SELECT doc_id AS keep_id, CAST(2 AS BIGINT) AS n_copies
+        |FROM documents""".stripMargin +
+        orderByAll("keep_id", "n_copies")),
     "q_multimodal_image_meta" ->
       // the expected metadata from the staging formulas — the Spark
       // side must reproduce these by PARSING the blobs it built, so
