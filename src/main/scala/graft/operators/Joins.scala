@@ -27,6 +27,27 @@ object Joins {
       ordered(o.join(c, o("o_custkey") === c("c_custkey"), "inner")
         .select(col("o_orderkey"), col("c_custkey"), col("c_name"), col("o_totalprice")))
     },
+    "q_join_null_safe" -> { (s, dir) =>
+      // Null-safe equi join (added r9): `<=>` treats NULL = NULL as a
+      // MATCH — the dimension-with-unknown-bucket join every warehouse
+      // needs (unknown customers roll up to the unknown nation row
+      // instead of silently dropping, the classic inner-join data-loss
+      // bug). Nulls are planted deterministically on BOTH sides
+      // (c_custkey%7, n_nationkey%5) so the null-match path provably
+      // fires. EqualNullSafe is a hashable equi-key (null hashes like
+      // any value), so the plan is a plain hash join — null-safety
+      // costs nothing at scale, unlike the OR (a IS NULL AND b IS
+      // NULL) rewrite, which breaks equi-key extraction.
+      val c = Tables(s, dir, "customer")
+        .withColumn("nk", when(col("c_custkey") % 7 === 0, lit(null))
+          .otherwise(col("c_nationkey")).cast("int"))
+      val n = Tables(s, dir, "nation")
+        .withColumn("nk2", when(col("n_nationkey") % 5 === 0, lit(null))
+          .otherwise(col("n_nationkey")).cast("int"))
+      ordered(c.join(n, col("nk") <=> col("nk2"))
+        .groupBy(col("nk").isNull.as("null_match"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"), dsum(col("c_acctbal")).as("sum_acctbal")))
+    },
     "q_join_broadcast" -> { (s, dir) =>
       val n = Tables(s, dir, "nation")
       val r = Tables(s, dir, "region")
@@ -550,6 +571,20 @@ object Joins {
       ("""SELECT o_orderkey, c_custkey, c_name, o_totalprice
         |FROM orders JOIN customer ON o_custkey = c_custkey""".stripMargin +
         orderByAll("o_orderkey", "c_custkey", "c_name", "o_totalprice")),
+    "q_join_null_safe" ->
+      ("""WITH c AS (
+        |  SELECT c_acctbal,
+        |    CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END AS nk
+        |  FROM customer),
+        |n AS (
+        |  SELECT n_name,
+        |    CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey END AS nk2
+        |  FROM nation)
+        |SELECT nk IS NULL AS null_match, n_name, COUNT(*) AS n_cust,
+        |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_acctbal
+        |FROM c JOIN n ON nk IS NOT DISTINCT FROM nk2
+        |GROUP BY nk IS NULL, n_name""".stripMargin +
+        orderByAll("null_match", "n_name", "n_cust", "sum_acctbal")),
     "q_join_skew_salted" ->
       ("""SELECT o_orderpriority, COUNT(*) AS n_items,
         |  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price

@@ -755,4 +755,12 @@ class PlanSpec extends SparkSpec {
       s"per-label moments must broadcast, not shuffle the corpus:\n$p")
     assert(!p.contains("SortMergeJoin"), s"corpus re-shuffled for the moment join:\n$p")
   }
+
+  test("q_join_null_safe: <=> stays an equi hash join, never a product (r9)") {
+    val p = planOf("q_join_null_safe")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"null-safe equality broke equi-key extraction:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"no hash/merge join in plan:\n$p")
+  }
 }
