@@ -26,8 +26,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * 100 TB posture: the manifest replaces directory LISTING with a
   * metadata read — the object-store list call that dominates wide
   * tables is gone; planning cost scales with the file count in one
-  * manifest, and the format's natural next steps (manifest segments +
-  * column stats for file skipping) are data-independent metadata. This
+  * manifest. Per-file column statistics live IN the manifest too
+  * (appendWithStats/prunedRead — the Delta stats-JSON / Iceberg
+  * manifest-bounds design), so selective scans prune files from the
+  * log alone; the remaining natural step (manifest segments for
+  * million-file tables) is likewise data-independent metadata. This
   * closes the reader-vs-compaction race SCALING.md flags for
   * s_compact_files: a reader pinned to version N is unaffected by a
   * concurrent rewrite (asserted in StreamingSpec).
