@@ -77,7 +77,10 @@ object ScaleSoak {
     // r9 batch 4: streaming ingest through the log (commit rate vs
     // data rate), manifest-stats pruning (plan cost = metadata read),
     // frame-bounded rolling median
-    "s_table_stream_commit", "q_table_stats_prune", "q_win_median")
+    "s_table_stream_commit", "q_table_stats_prune", "q_win_median",
+    // r9 batch 5: manifest segments (commit cost O(new files); probe
+    // prunes whole segments before reading per-file entries)
+    "q_table_manifest_segments")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */

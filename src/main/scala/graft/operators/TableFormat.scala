@@ -127,6 +127,46 @@ object TableFormat {
           lit(nRead.toLong).as("n_files_read"),
           col("n_rows"), col("sum_value")))
     },
+    "q_table_manifest_segments" -> { (s, dir) =>
+      // Manifest SEGMENTS (added r9) — the million-file-table metadata
+      // step SCALING.md flagged after q_table_stats_prune: the Iceberg
+      // manifest-list / manifest-file split. Each append writes ONE
+      // immutable segment file (per-file entries + stats) and the
+      // version manifest lists segment REFERENCES with aggregated
+      // bounds — so commit cost is O(new files) and plan-time metadata
+      // I/O prunes whole segments before any per-file entry is read.
+      // Same quartile-aligned staging as q_table_stats_prune: 4
+      // segments × 2 files; the probe covers exactly the second
+      // quartile, so 1 of 4 segments survives the segment-level prune
+      // and both its files survive the file-level one (repartition is
+      // hash-based, so each file spans ~the whole quartile). All five
+      // counters are pinned by construction → oracle-checkable.
+      // StreamingSpec pins the mechanism: prior segment files are
+      // carried by REFERENCE (byte-identical, never reopened), a
+      // disjoint probe reads 0 segments, and pruned ≡ full scan.
+      val root = java.nio.file.Files.createTempDirectory("graft_table_seg")
+      root.toFile.deleteOnExit()
+      val ev = Tables(s, dir, "events")
+      val m = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+      val (q1, q2, q3) = (m / 4, m / 2, 3 * m / 4)
+      CommitLog.appendSegment(s, root.toString,
+        ev.filter(col("event_id") <= q1), nFiles = 2, statsCol = "event_id")
+      CommitLog.appendSegment(s, root.toString,
+        ev.filter(col("event_id") > q1 && col("event_id") <= q2), 2, "event_id")
+      CommitLog.appendSegment(s, root.toString,
+        ev.filter(col("event_id") > q2 && col("event_id") <= q3), 2, "event_id")
+      val head = CommitLog.appendSegment(s, root.toString,
+        ev.filter(col("event_id") > q3), 2, "event_id")
+      val (df, segTotal, segRead, fTotal, fRead) =
+        CommitLog.segmentedPrunedRead(s, root.toString, head, q1 + 1, q2)
+      ordered(df.filter(col("event_id").between(q1 + 1, q2))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("sum_value"))
+        .select(lit(segTotal.toLong).as("n_segments_total"),
+          lit(segRead.toLong).as("n_segments_read"),
+          lit(fTotal.toLong).as("n_files_total"),
+          lit(fRead.toLong).as("n_files_read"),
+          col("n_rows"), col("sum_value")))
+    },
     "q_table_delete" -> { (s, dir) =>
       // Copy-on-write row-level DELETE (added r9) — the GDPR/retention
       // write path the merge family lacks: only files HOLDING matching
@@ -200,6 +240,18 @@ object TableFormat {
         |FROM events, b
         |WHERE event_id > m // 4 AND event_id <= m // 2""".stripMargin +
         orderByAll("n_files_total", "n_files_read", "n_rows", "sum_value")),
+    "q_table_manifest_segments" ->
+      ("""WITH b AS (SELECT MAX(event_id) AS m FROM events)
+        |SELECT CAST(4 AS BIGINT) AS n_segments_total,
+        |  CAST(1 AS BIGINT) AS n_segments_read,
+        |  CAST(8 AS BIGINT) AS n_files_total,
+        |  CAST(2 AS BIGINT) AS n_files_read,
+        |  COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
+        |FROM events, b
+        |WHERE event_id > m // 4 AND event_id <= m // 2""".stripMargin +
+        orderByAll("n_segments_total", "n_segments_read", "n_files_total",
+          "n_files_read", "n_rows", "sum_value")),
     "q_table_delete" ->
       ("""SELECT CAST(2 AS BIGINT) AS n_files_carried,
         |  CAST(2 AS BIGINT) AS n_files_rewritten,

@@ -96,11 +96,17 @@ object CommitLog {
   def commit(root: String, files: Seq[String], expected: Option[Long],
       op: String = "append", statsCol: Option[String] = None,
       stats: Map[String, (Long, Long)] = Map.empty): Long = {
-    logDir(root).mkdirs()
     val next = expected.map(_ + 1).getOrElse(0L)
+    publish(root, next, renderManifest(next, files, op, statsCol, stats))
+    next
+  }
+
+  /** Atomic create-if-absent publication of version `next`'s manifest
+    * content (the link(2) put-if-absent primitive — see commit()). */
+  private def publish(root: String, next: Long, content: String): Unit = {
+    logDir(root).mkdirs()
     val tmp = java.nio.file.Files.createTempFile(logDir(root).toPath, s".v$next-", ".tmp")
-    java.nio.file.Files.writeString(tmp,
-      renderManifest(next, files, op, statsCol, stats))
+    java.nio.file.Files.writeString(tmp, content)
     try {
       java.nio.file.Files.createLink(manifest(root, next).toPath, tmp)
       java.nio.file.Files.delete(tmp)
@@ -110,7 +116,6 @@ object CommitLog {
         throw new java.util.ConcurrentModificationException(
           s"commit conflict: version $next already published under $root")
     }
-    next
   }
 
   /** Stage `df` as `nFiles` new data files and commit them APPENDED to
@@ -334,6 +339,133 @@ object CommitLog {
     (0L until retainFrom).foreach(v =>
       java.nio.file.Files.deleteIfExists(manifest(root, v).toPath))
     (dropped.length.toLong, kept.length.toLong)
+  }
+
+  // ------------------------------------------------------------------
+  // Manifest SEGMENTS — the million-file-table metadata step (r9):
+  // the Iceberg manifest-list / manifest-file split. A segmented
+  // version's manifest lists SEGMENT files (with per-segment file
+  // count and aggregated column bounds), and each immutable segment
+  // file under _graft_log/ holds the per-file entries (+ per-file
+  // stats). Two scaling properties fall out by construction:
+  //   - commit cost is O(new files), not O(table files): an append
+  //     writes ONE new segment and copies only the prior SEGMENT
+  //     REFERENCES (a few bytes each) into the next manifest — a
+  //     10^6-file table's append touches one segment + a ~dozen-line
+  //     manifest, never a million-entry listing;
+  //   - planning prunes whole segments by their aggregated bounds
+  //     BEFORE reading any per-file entry — metadata I/O at plan time
+  //     scales with the SURVIVING segment count, and within a
+  //     surviving segment the per-file stats prune again (the same
+  //     two-level skip Iceberg runs: manifest-list bounds, then
+  //     manifest entry bounds).
+  // ------------------------------------------------------------------
+
+  /** One segment reference as listed in a version manifest: the
+    * segment file's name under _graft_log/, how many data files it
+    * holds, and the aggregated [lo, hi] bounds of its stats column
+    * (None = segment has stat-less files ⇒ unprunable). */
+  final case class SegmentRef(path: String, nFiles: Int,
+      bounds: Option[(Long, Long)])
+
+  private def renderSegmentManifest(version: Long, op: String,
+      segs: Seq[SegmentRef]): String =
+    s"""{"version":$version,"op":"$op","segments":[""" +
+      segs.map { sr =>
+        val b = sr.bounds.map { case (lo, hi) => s""","lo":$lo,"hi":$hi""" }.getOrElse("")
+        s"""{"path":"${sr.path}","nFiles":${sr.nFiles}$b}"""
+      }.mkString(",") + "]}"
+
+  /** The segment references of a segmented version's manifest. */
+  def segmentsOf(root: String, version: Long): Seq[SegmentRef] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(manifest(root, version).toPath))
+    val segs = node.get("segments")
+    require(segs != null, s"version $version under $root is not a segmented manifest")
+    (0 until segs.size()).map { i =>
+      val sn = segs.get(i)
+      SegmentRef(sn.get("path").asText(), sn.get("nFiles").asInt(),
+        if (sn.has("lo")) Some((sn.get("lo").asLong(), sn.get("hi").asLong())) else None)
+    }
+  }
+
+  /** Read one immutable segment file: (relative data-file paths,
+    * per-file stats). */
+  def segmentEntries(root: String, segPath: String): (Seq[String], Map[String, (Long, Long)]) = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(
+        new java.io.File(logDir(root), segPath).toPath))
+    val files = node.get("files")
+    val fs = (0 until files.size()).map(i => files.get(i).asText())
+    val stats = Option(node.get("stats")).map { st =>
+      val it = st.fields()
+      val b = Map.newBuilder[String, (Long, Long)]
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> (e.getValue.get(0).asLong(), e.getValue.get(1).asLong())
+      }
+      b.result()
+    }.getOrElse(Map.empty)
+    (fs, stats)
+  }
+
+  /** Stage `df` as `nFiles` data files, write them (with per-file
+    * min/max stats on `statsCol`) as ONE new immutable segment file,
+    * and commit a manifest listing the prior version's segment
+    * references (copied verbatim — the segment files themselves are
+    * never reopened or rewritten) plus the new one. */
+  def appendSegment(s: SparkSession, root: String, df: DataFrame,
+      nFiles: Int, statsCol: String): Long = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val prev = latestVersion(root)
+    val prevSegs = prev.map(v => segmentsOf(root, v)).getOrElse(Nil)
+    val staged = stageDataFiles(s, root, df, nFiles)
+    val stats = staged.map { rel =>
+      val r = s.read.parquet(new java.io.File(root, rel).toString)
+        .agg(min(col(statsCol)), max(col(statsCol))).collect()(0)
+      rel -> (r.getLong(0), r.getLong(1))
+    }.toMap
+    logDir(root).mkdirs()
+    val segName = "seg-" + java.util.UUID.randomUUID().toString + ".json"
+    val segJson = s"""{"files":[${staged.map(f => "\"" + f + "\"").mkString(",")}],""" +
+      s""""statsCol":"$statsCol","stats":{""" +
+      stats.toSeq.sortBy(_._1).map { case (f, (lo, hi)) =>
+        s""""$f":[$lo,$hi]""" }.mkString(",") + "}}"
+    java.nio.file.Files.writeString(
+      new java.io.File(logDir(root), segName).toPath, segJson)
+    val bounds =
+      if (stats.isEmpty) None
+      else Some((stats.values.map(_._1).min, stats.values.map(_._2).max))
+    val next = prev.map(_ + 1).getOrElse(0L)
+    publish(root, next, renderSegmentManifest(next, "append",
+      prevSegs :+ SegmentRef(segName, staged.size, bounds)))
+    next
+  }
+
+  /** Two-level pruned scan of a segmented version: segments whose
+    * aggregated bounds miss [lo, hi] are skipped WITHOUT reading their
+    * per-file entries (plan-time metadata I/O ∝ surviving segments);
+    * within a surviving segment the per-file stats prune again.
+    * Stat-less segments/files are unprunable ⇒ always read. Returns
+    * (df, segsTotal, segsRead, filesTotal, filesRead) — filesTotal
+    * comes from the manifest's per-segment counts, so reporting it
+    * costs no segment reads. Pruning is pure metadata: the caller
+    * still applies its precise predicate. */
+  def segmentedPrunedRead(s: SparkSession, root: String, version: Long,
+      lo: Long, hi: Long): (DataFrame, Int, Int, Int, Int) = {
+    val segs = segmentsOf(root, version)
+    val live = segs.filter(_.bounds.forall { case (mn, mx) => mx >= lo && mn <= hi })
+    val keep = live.flatMap { sr =>
+      val (fs, stats) = segmentEntries(root, sr.path)
+      fs.filter(f => stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi })
+    }
+    val df =
+      if (keep.isEmpty)
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          s.read.parquet(new java.io.File(root,
+            segmentEntries(root, segs.head.path)._1.head).toString).schema)
+      else s.read.parquet(keep.map(f => new java.io.File(root, f).toString): _*)
+    (df, segs.size, live.size, segs.map(_.nFiles).sum, keep.size)
   }
 
   private def relativize(root: String, abs: String): String =

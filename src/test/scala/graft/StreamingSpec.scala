@@ -518,6 +518,52 @@ class StreamingSpec extends SparkSpec {
       s"stat-less file must survive pruning: total=$total2 read=$read2")
   }
 
+  test("commit log: manifest segments — O(new) commits, two-level prune, result-invariant (r9)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_segs").toString
+    val ev = Tables(spark, sf, "events").select(col("event_id"), col("value"))
+    val m = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+    CommitLog.appendSegment(spark, root,
+      ev.filter(col("event_id") <= m / 2), nFiles = 2, statsCol = "event_id")
+    // the first version's one segment file, byte-for-byte
+    val seg0 = CommitLog.segmentsOf(root, 0L)
+    assert(seg0.size === 1 && seg0.head.nFiles === 2)
+    val seg0Bytes = java.nio.file.Files.readAllBytes(
+      new java.io.File(root, "_graft_log/" + seg0.head.path).toPath)
+    val v1 = CommitLog.appendSegment(spark, root,
+      ev.filter(col("event_id") > m / 2), nFiles = 2, statsCol = "event_id")
+    // O(new-files) commit: v1 carries v0's segment by REFERENCE — the
+    // same path, and the segment file itself was never rewritten
+    val seg1 = CommitLog.segmentsOf(root, v1)
+    assert(seg1.size === 2 && seg1.head.path === seg0.head.path,
+      "append must copy prior segment references verbatim")
+    assert(java.util.Arrays.equals(seg0Bytes, java.nio.file.Files.readAllBytes(
+      new java.io.File(root, "_graft_log/" + seg0.head.path).toPath)),
+      "append rewrote a prior segment file")
+    // per-segment bounds in the manifest = aggregate of per-file stats
+    seg1.foreach { sr =>
+      val (_, stats) = CommitLog.segmentEntries(root, sr.path)
+      assert(sr.bounds === Some((stats.values.map(_._1).min, stats.values.map(_._2).max)),
+        s"segment ${sr.path} bounds disagree with its file stats")
+    }
+    // two-level prune: the high-half probe skips segment 0 entirely
+    // (its per-file entries are never read) and reads only segment 1
+    val (df, segT, segR, fT, fR) =
+      CommitLog.segmentedPrunedRead(spark, root, v1, m / 2 + 1, m)
+    assert(segT === 2 && segR === 1 && fT === 4 && fR === 2,
+      s"segT=$segT segR=$segR fT=$fT fR=$fR")
+    // ...and pruned scan + precise predicate equals the full snapshot scan
+    val pruned = df.filter(col("event_id") > m / 2)
+      .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+    val full = ev.filter(col("event_id") > m / 2)
+      .agg(count(lit(1)), sum(col("event_id"))).collect()(0)
+    assert(pruned === full, "segment pruning changed the result")
+    // a disjoint probe reads zero segments and zero files, empty result
+    val (dfNone, _, segR0, _, fR0) =
+      CommitLog.segmentedPrunedRead(spark, root, v1, m + 1000, m + 2000)
+    assert(segR0 === 0 && fR0 === 0 && dfNone.count() === 0)
+  }
+
   test("commit log: conflicting commit loses cleanly, log stays consistent (r9)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_cl_race").toString
