@@ -141,59 +141,95 @@ object Graph {
     // Degree-oriented triangle counting + local clustering coefficient
     // — the community-structure / cohesion primitive (spam-farm
     // detection, graph feature engineering). Every edge is oriented
-    // from its lower-(degree, id) endpoint, so wedge enumeration is
+    // from its lower-(degree, id) endpoint, so enumeration work is
     // bounded by Σ out-deg² with out-deg = O(√|E|) — the standard
     // distributed bound (cf. Suri & Vassilvitskii, WWW'11) — and each
     // triangle is found exactly once.
     //
-    // 100 TB posture: three equi-joins on vertex keys (wedge build
-    // shuffles on u, closure probe on (v,w)) — no cartesian anywhere;
-    // the orientation total order is carried as a (degree, id) struct
-    // compared in the join condition, NOT a global row_number window
-    // (a rank window would single-partition the vertex set).
+    // r9 rework 2: adjacency-INTERSECTION accumulation — oriented
+    // successor sets pack into |V| array rows (the whole adjacency is
+    // |E| longs), each oriented edge picks up (N⁺(u), N⁺(v)), and
+    // array_intersect finds each triangle's third vertex exactly once
+    // (at the edge between its two orientation-smallest vertices).
+    // The wedge table of the r7/r8 plan is never materialized or
+    // shuffled — the same Σ out-deg² element bound now flows as packed
+    // long arrays through codegen set-intersections instead of a
+    // row-per-wedge shuffle + (v,w) closure join (A/B on this box:
+    // wedge 276 s at the ×10 soak vs 159 s co-partitioned intersect;
+    // at bench scale the wedge was ~3× slower than broadcast
+    // intersect). The BFS broadcast-overflow rule picks HOW the
+    // adjacency reaches the edges: |E| ≤ threshold (default 4M
+    // entries ≈ 32 MB packed) → broadcast both probe joins (no
+    // shuffle at all); larger → co-partitioned hash joins (the
+    // forced-broadcast variant measured 260 s at ×10 — collecting a
+    // multi-hundred-MB adjacency to the driver twice is the
+    // anti-pattern the gate exists to avoid). Both paths emit the
+    // same 3-rows-per-triangle multiset before the final hash agg
+    // (GraphSpec pins equality); the gate reads ONE scalar off the
+    // |V|-row degree table (the IVF-centroid metadata rule).
+    //
+    // 100 TB posture: equi-joins on vertex keys only — no cartesian,
+    // no window (the orientation total order is a (degree, id) struct
+    // comparison, never a row_number).
     "q_graph_triangles" -> { (s, dir) =>
-      val e = copurchaseEdges(s, dir)
-      val ue = e.filter(col("src") < col("dst"))
-        .select(col("src").as("a"), col("dst").as("b"))
-      // deg feeds the orientation joins AND the final clustering join;
-      // oe feeds THREE plan branches (both wedge sides + the closure
-      // probe) — without materialization each branch re-runs the
-      // degree aggregation and both orientation joins over the full
-      // edge table (measured: the whole key ~2.5× slower). Both are
-      // at most |V| / |E| rows — cheap to pin, expensive to re-derive.
-      val deg = ue.select(col("a").as("id")).union(ue.select(col("b").as("id")))
-        .groupBy(col("id")).agg(count(lit(1)).as("d")).localCheckpoint()
-      val oe = ue
-        .join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
-        .join(deg.select(col("id").as("b"), col("d").as("db")), Seq("b"))
-        .select(
-          when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a"))
-            .otherwise(col("b")).as("u"),
-          when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b"))
-            .otherwise(col("a")).as("v"),
-          when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("db"))
-            .otherwise(col("da")).as("dv"))
-        .localCheckpoint()
-      val e1 = oe.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
-      val e2 = oe.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
-      val wedges = e1.join(e2, Seq("u"))
-        .filter(struct(col("dv1"), col("v1")) < struct(col("dv2"), col("v2")))
-      val closed = wedges.join(
-        oe.select(col("u").as("v1"), col("v").as("v2")), Seq("v1", "v2"))
-      // r9 (VERDICT item 5): one explode pass instead of a 3-way union
-      // of projections — the union branches each re-derive the whole
-      // wedge-closure join (exchange reuse does not always rescue
-      // three distinct projections), while explode emits the same
-      // 3 rows/triangle from ONE computation of `closed`, then a
-      // single hash agg. Output identical (same oracle hash).
-      val pernode = closed
-        .select(explode(array(col("u"), col("v1"), col("v2"))).as("id"))
-        .groupBy(col("id")).agg(count(lit(1)).as("n_tri"))
+      val (pernode, deg) = trianglesPerNode(s, dir)
       ordered(pernode.join(deg, Seq("id"))
         .select(col("id").as("p_partkey"), col("n_tri"), col("d").as("degree"),
           ((lit(2.0) * col("n_tri")) / (col("d") * (col("d") - 1))).as("clustering")))
     }
   )
+
+  /** Per-node triangle participation counts (3 rows per triangle —
+    * one per corner — pre-aggregated to (id, n_tri)) plus the degree
+    * table. `forcePath` pins the adjacency-delivery strategy for
+    * tests: Some(true) = broadcast probe joins, Some(false) =
+    * co-partitioned hash joins, None = size-gated (broadcast iff
+    * |E| ≤ spark.graft.triangles.broadcastEdges, default 4M entries
+    * ≈ 32 MB of packed longs). */
+  private[graft] def trianglesPerNode(s: SparkSession, dir: String,
+      forcePath: Option[Boolean] = None): (DataFrame, DataFrame) = {
+    val e = copurchaseEdges(s, dir)
+    val ue = e.filter(col("src") < col("dst"))
+      .select(col("src").as("a"), col("dst").as("b"))
+    // deg feeds the orientation joins AND the final clustering join;
+    // oe feeds multiple plan branches — without materialization each
+    // branch re-runs the degree aggregation and both orientation
+    // joins over the full edge table (measured: ~2.5× slower). Both
+    // are at most |V| / |E| rows — cheap to pin, expensive to re-derive.
+    val deg = ue.select(col("a").as("id")).union(ue.select(col("b").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("d")).localCheckpoint()
+    val oe = ue
+      .join(deg.select(col("id").as("a"), col("d").as("da")), Seq("a"))
+      .join(deg.select(col("id").as("b"), col("d").as("db")), Seq("b"))
+      .select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("a"))
+          .otherwise(col("b")).as("u"),
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")), col("b"))
+          .otherwise(col("a")).as("v"))
+      .localCheckpoint()
+    val useBroadcast = forcePath.getOrElse {
+      // |E| = Σd/2 off the checkpointed |V|-row degree table — a
+      // metadata-grade scalar, same rule as the IVF centroid read
+      val nEdges = deg.agg(sum(col("d"))).collect()(0).getLong(0) / 2
+      nEdges <= s.conf.getOption("spark.graft.triangles.broadcastEdges")
+        .map(_.toLong).getOrElse(4000000L)
+    }
+    val adj = oe.groupBy(col("u")).agg(collect_list(col("v")).as("nbrs"))
+      .localCheckpoint()
+    def deliver(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df
+    val triples = oe.select(col("u"), col("v"))
+      .join(deliver(adj), Seq("u"))
+      .withColumnRenamed("nbrs", "nu")
+      .join(deliver(adj.select(col("u").as("v"), col("nbrs").as("nv"))), Seq("v"))
+      .select(col("u"), col("v"),
+        array_intersect(col("nu"), col("nv")).as("common"))
+      .filter(size(col("common")) > 0)
+      .select(explode(concat(col("common"),
+        array_repeat(col("u"), size(col("common"))),
+        array_repeat(col("v"), size(col("common"))))).as("id"))
+    (triples.groupBy(col("id")).agg(count(lit(1)).as("n_tri")), deg)
+  }
 
   /** One synchronous label-propagation round: label(v) := mode of
     * neighbors' labels, ties to the SMALLEST label. Two hash aggs —

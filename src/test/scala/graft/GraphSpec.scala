@@ -19,6 +19,21 @@ class GraphSpec extends SparkSpec {
     assert(coPart === fast, "fallback path diverged from the broadcast path")
   }
 
+  test("triangles: co-partitioned adjacency path equals the broadcast path (r9)") {
+    // the size gate must be a pure delivery choice — broadcast and
+    // co-partitioned probe joins consume the same packed adjacency and
+    // emit the same 3-rows-per-triangle multiset, so per-node counts
+    // agree exactly
+    val bcast = graft.operators.Graph
+      .trianglesPerNode(spark, sf, forcePath = Some(true))._1.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val coPart = graft.operators.Graph
+      .trianglesPerNode(spark, sf, forcePath = Some(false))._1.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bcast.nonEmpty)
+    assert(coPart === bcast, "co-partitioned path diverged from broadcast path")
+  }
+
   test("q_graph_bfs: seed at 0, hop metric is edge-consistent (r8)") {
     val hops = SparkEntry.queries("q_graph_bfs")(spark, sf).collect()
       .map(r => r.getAs[Long]("p_partkey") -> r.getAs[Long]("hops")).toMap
