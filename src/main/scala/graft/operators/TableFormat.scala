@@ -195,6 +195,78 @@ object TableFormat {
           lit(rewritten).as("n_files_rewritten"),
           col("n_rows_after"), col("sum_value_after")))
     },
+    "q_table_optimize" -> { (s, dir) =>
+      // Range-cluster OPTIMIZE (added r9) — the layout-maintenance
+      // command that makes the manifest stats EFFECTIVE: the table is
+      // built as two ingest-ordered appends (user_id halves, each file
+      // hash-scattered in event_id, so every file's [min,max] spans
+      // ~the whole id range and the second-quartile probe must read
+      // 8 of 8 files despite the stats being present); OPTIMIZE then
+      // rewrites the snapshot into quartile-aligned files (explicit
+      // integer cutoffs from one MAX scalar — deterministic, never a
+      // sampled RangePartitioner) and the SAME probe prunes to 2 of 8
+      // from the log alone. Before/after counters are pinned by
+      // construction → the whole report is oracle-checkable.
+      // StreamingSpec pins the mechanism: optimize is data-neutral
+      // (pre ≡ post full read), pinned readers at the pre-optimize
+      // version are untouched, and changes() refuses ranges across it.
+      val root = java.nio.file.Files.createTempDirectory("graft_table_opt")
+      root.toFile.deleteOnExit()
+      val ev = Tables(s, dir, "events")
+      val m = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+      val (q1, q2, q3) = (m / 4, m / 2, 3 * m / 4)
+      CommitLog.appendWithStats(s, root.toString,
+        ev.filter(col("user_id") % 2 === 0), nFiles = 4, statsCol = "event_id")
+      val v1 = CommitLog.appendWithStats(s, root.toString,
+        ev.filter(col("user_id") % 2 === 1), 4, "event_id")
+      val (_, befTotal, befRead) =
+        CommitLog.prunedRead(s, root.toString, v1, q1 + 1, q2)
+      val v2 = CommitLog.optimize(s, root.toString, "event_id",
+        cutoffs = Seq(q1, q2, q3), filesPerBucket = 2)
+      val (df, aftTotal, aftRead) =
+        CommitLog.prunedRead(s, root.toString, v2, q1 + 1, q2)
+      ordered(df.filter(col("event_id").between(q1 + 1, q2))
+        .agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("sum_value"))
+        .select(lit(befTotal.toLong).as("files_before"),
+          lit(befRead.toLong).as("files_read_before"),
+          lit(aftTotal.toLong).as("files_after"),
+          lit(aftRead.toLong).as("files_read_after"),
+          col("n_rows"), col("sum_value")))
+    },
+    "s_table_commit_retry" -> { (s, dir) =>
+      // Optimistic multi-writer commit (added r9) — two concurrent
+      // ingest jobs append disjoint halves of events to the SAME empty
+      // table through appendWithRetry: both stage their data once,
+      // race for each version, and the loser rebases (winner's
+      // complete listing + its own staged files) and retries. Either
+      // interleaving yields the identical final table — 2 versions,
+      // 8 files, every row exactly once — so the key is
+      // oracle-checkable despite the real race. StreamingSpec pins the
+      // retry path deterministically via the beforeCommit test seam
+      // (a forced mid-commit competitor) and that staged data is
+      // written once even when the commit retries.
+      import s.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft_table_mw")
+      root.toFile.deleteOnExit()
+      val ev = Tables(s, dir, "events")
+      val halves = Seq(col("event_id") % 2 === 0, col("event_id") % 2 === 1)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val futs = halves.map { h =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long =
+              CommitLog.appendWithRetry(s, root.toString, ev.filter(h), nFiles = 4)
+          })
+        }
+        futs.foreach(_.get())
+      } finally pool.shutdown()
+      val head = CommitLog.latestVersion(root.toString).get
+      val rows = CommitLog.read(s, root.toString, head)
+        .agg(count(lit(1)), dsum(col("value"))).collect()(0)
+      ordered(Seq((head + 1, CommitLog.snapshotFiles(root.toString, head).size.toLong,
+          rows.getLong(0), rows.getDouble(1)))
+        .toDF("n_versions", "n_files", "n_rows", "sum_value"))
+    },
     "q_table_time_travel" -> { (s, dir) =>
       // read AS OF v0 after the append and the compaction both
       // committed: the pinned scan sees only v0's file list, so the
@@ -260,6 +332,25 @@ object TableFormat {
         |FROM events WHERE user_id % 4 <> 1""".stripMargin +
         orderByAll("n_files_carried", "n_files_rewritten", "n_rows_after",
           "sum_value_after")),
+    "q_table_optimize" ->
+      ("""WITH b AS (SELECT MAX(event_id) AS m FROM events)
+        |SELECT CAST(8 AS BIGINT) AS files_before,
+        |  CAST(8 AS BIGINT) AS files_read_before,
+        |  CAST(8 AS BIGINT) AS files_after,
+        |  CAST(2 AS BIGINT) AS files_read_after,
+        |  COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
+        |FROM events, b
+        |WHERE event_id > m // 4 AND event_id <= m // 2""".stripMargin +
+        orderByAll("files_before", "files_read_before", "files_after",
+          "files_read_after", "n_rows", "sum_value")),
+    "s_table_commit_retry" ->
+      ("""SELECT CAST(2 AS BIGINT) AS n_versions,
+        |  CAST(8 AS BIGINT) AS n_files,
+        |  COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
+        |FROM events""".stripMargin +
+        orderByAll("n_versions", "n_files", "n_rows", "sum_value")),
     "q_table_time_travel" ->
       ("""SELECT event_type, COUNT(*) AS n,
         |  COUNT(DISTINCT user_id) AS n_users,

@@ -53,7 +53,81 @@ object Text {
   def simhash64(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     call_function("simhash64", filter(split(c, " "), t => t =!= lit("")))
 
+  /** Per-doc bigram-LM scores over the EVAL split — (doc_id,
+    * n_bigrams, nll_total) with nll_total an exact BIGINT sum of
+    * per-bigram fixed-point NLLs (see q_text_ngram_lm for the
+    * cross-engine exactness argument). Shared by q_text_ngram_lm
+    * (per-doc report) and q_quality_perplexity_bucket (CCNet-style
+    * per-language bucketing of the same scores). */
+  private def lmDocScores(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables(s, dir, "documents")
+    val split = when(md5(col("doc_id").cast("string")) < lit("1a"), "eval")
+      .otherwise("train")
+    val bg = d.withColumn("split", split)
+      .withColumn("t", toks())
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("split"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
+        .as("b"))
+      .select(col("doc_id"), col("split"), col("b.w1"), col("b.w2"))
+    val c2 = bg.filter(col("split") === "train")
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val v = d.withColumn("split", split).filter(col("split") === "train")
+      .select(explode(toks()).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    bg.filter(col("split") === "eval")
+      .join(c2, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .withColumn("nll_q",
+        -floor(lit(1e6) * log(
+          (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_q")).as("nll_total"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_perplexity_bucket" -> { (s, dir) =>
+      // CCNet-style perplexity bucketing (added late r9) — the data-
+      // mixing step downstream of the LM filter: per LANGUAGE, eval
+      // docs are ranked by average NLL and cut into head/middle/tail
+      // TERCILES (Wenzek et al.'s head=cleanest third kept, tail
+      // dropped or down-weighted). Ranking uses the per-doc avg
+      // (nll_total/n_bigrams — ONE shared IEEE division on exact
+      // integers, so the order is engine-identical; ties by doc_id)
+      // and ntile(3) over it (both engines implement the standard
+      // remainder-to-leading-buckets split). Per-bucket aggregates
+      // stay exact: BIGINT sums of nll_total / n_bigrams, one final
+      // division for the bucket's average NLL.
+      //
+      // 100 TB posture: scoring is the lmDocScores shape (vocab-
+      // bounded model aggs + O(eval tokens) join); the bucketing adds
+      // ONE |eval docs|-row window partitioned by language — no
+      // corpus-sized shuffle, and the per-language partitions are the
+      // natural parallel unit. A 1000-executor run would swap ntile
+      // for a quantile-sketch cutoff to avoid the per-language sort;
+      // the bucket SEMANTICS (tercile membership) are unchanged.
+      val d = Tables(s, dir, "documents")
+      val scored = lmDocScores(s, dir)
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("avg_nll",
+          col("nll_total").cast("double") / col("n_bigrams").cast("double"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("avg_nll"), col("doc_id"))
+      ordered(scored.withColumn("b", ntile(3).over(w))
+        .groupBy(col("lang"), col("b"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bigrams")).as("sum_bigrams"),
+          sum(col("nll_total")).as("sum_nll"))
+        .select(col("lang"),
+          when(col("b") === 1, "head").when(col("b") === 2, "middle")
+            .otherwise("tail").as("bucket"),
+          col("n_docs"), col("sum_bigrams"), col("sum_nll"),
+          (col("sum_nll").cast("double") / col("sum_bigrams").cast("double") /
+            lit(1e6)).as("bucket_avg_nll")))
+    },
     "q_split_train_eval" -> { (s, dir) =>
       // Deterministic held-out split — the step before any training
       // run. Assignment is a pure function of the stable doc key
@@ -639,32 +713,7 @@ object Text {
       // eval bigrams to the model on bigram keys — O(eval tokens)
       // shuffle, model side broadcast-sized in practice; V and the
       // smoothing ride as a 1-row broadcast.
-      val d = Tables(s, dir, "documents")
-      val split = when(md5(col("doc_id").cast("string")) < lit("1a"), "eval")
-        .otherwise("train")
-      val bg = d.withColumn("split", split)
-        .withColumn("t", toks())
-        .filter(size(col("t")) >= 2)
-        .select(col("doc_id"), col("split"), explode(expr(
-          "transform(sequence(0, size(t) - 2), i -> struct(t[i] AS w1, t[i+1] AS w2))"))
-          .as("b"))
-        .select(col("doc_id"), col("split"), col("b.w1"), col("b.w2"))
-      val c2 = bg.filter(col("split") === "train")
-        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-      val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-      val v = d.withColumn("split", split).filter(col("split") === "train")
-        .select(explode(toks()).as("tok"))
-        .agg(countDistinct(col("tok")).as("v"))
-      val scored = bg.filter(col("split") === "eval")
-        .join(c2, Seq("w1", "w2"), "left")
-        .join(c1, Seq("w1"), "left")
-        .crossJoin(broadcast(v))
-        .withColumn("nll_q",
-          -floor(lit(1e6) * log(
-            (coalesce(col("c2"), lit(0L)) + lit(1L)).cast("double") /
-              (coalesce(col("c1"), lit(0L)) + col("v")).cast("double"))))
-      ordered(scored.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_q")).as("nll_total"))
+      ordered(lmDocScores(s, dir)
         .select(col("doc_id"), col("n_bigrams"), col("nll_total"),
           (col("nll_total").cast("double") / col("n_bigrams").cast("double") /
             lit(1e6)).as("avg_nll"),
@@ -1321,6 +1370,40 @@ object Text {
         |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM marked GROUP BY source, n_docs, rate_ppm""".stripMargin +
         orderByAll("source", "n_docs", "rate_ppm", "n_kept")),
+    "q_quality_perplexity_bucket" ->
+      (s"""WITH d AS (SELECT doc_id, lang,
+        |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'eval' ELSE 'train' END AS split,
+        |  $tokSql AS t FROM documents),
+        |bg AS (SELECT doc_id, split, t[j] AS w1, t[j+1] AS w2
+        |  FROM d, unnest(range(1, len(t))) AS u(j) WHERE len(t) >= 2),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg WHERE split = 'train' GROUP BY w1, w2),
+        |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+        |v AS (SELECT COUNT(DISTINCT tok) AS v FROM
+        |  (SELECT unnest(t) AS tok FROM d WHERE split = 'train')),
+        |sc AS (SELECT e.doc_id,
+        |  CAST(-floor(1e6 * ln(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE) /
+        |    CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE))) AS BIGINT) AS nll_q
+        |  FROM bg e LEFT JOIN c2 ON e.w1 = c2.w1 AND e.w2 = c2.w2
+        |  LEFT JOIN c1 ON e.w1 = c1.w1 CROSS JOIN v
+        |  WHERE e.split = 'eval'),
+        |docs AS (SELECT sc.doc_id, d.lang, COUNT(*) AS n_bigrams,
+        |    CAST(SUM(nll_q) AS BIGINT) AS nll_total
+        |  FROM sc JOIN (SELECT DISTINCT doc_id, lang FROM d) d ON sc.doc_id = d.doc_id
+        |  GROUP BY sc.doc_id, d.lang),
+        |bk AS (SELECT lang, n_bigrams, nll_total,
+        |    ntile(3) OVER (PARTITION BY lang
+        |      ORDER BY CAST(nll_total AS DOUBLE) / CAST(n_bigrams AS DOUBLE), doc_id) AS b
+        |  FROM docs)
+        |SELECT lang,
+        |  CASE WHEN b = 1 THEN 'head' WHEN b = 2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_bigrams) AS BIGINT) AS sum_bigrams,
+        |  CAST(SUM(nll_total) AS BIGINT) AS sum_nll,
+        |  CAST(SUM(nll_total) AS DOUBLE) / CAST(SUM(n_bigrams) AS DOUBLE) / 1000000.0
+        |    AS bucket_avg_nll
+        |FROM bk GROUP BY lang, b""".stripMargin +
+        orderByAll("lang", "bucket", "n_docs", "sum_bigrams", "sum_nll",
+          "bucket_avg_nll")),
     "q_text_ngram_lm" ->
       (s"""WITH d AS (SELECT doc_id,
         |  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '1a' THEN 'eval' ELSE 'train' END AS split,

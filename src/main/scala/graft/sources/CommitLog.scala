@@ -341,6 +341,100 @@ object CommitLog {
     (dropped.length.toLong, kept.length.toLong)
   }
 
+  /** Optimistic-retry APPEND — the multi-writer commit protocol of the
+    * public formats (Delta's optimistic concurrency control): stage the
+    * data files ONCE, then loop {read head, rebase, attempt commit};
+    * a lost race costs one manifest re-read and one more create-if-
+    * absent attempt, never a data rewrite. The rebase is sound because
+    * an append's logical action is "ADD these files", which commutes
+    * with every commit kind this log ships: the winning head's manifest
+    * is a COMPLETE listing of its snapshot, so winner-listing + our
+    * staged files preserves both writers' rows whether the winner was
+    * another append, a compaction, an optimize (both data-neutral
+    * rewrites) or a delete (the delete acted on ITS snapshot — blind
+    * appends land after it, the WriteSerializable contract). Rewrites
+    * racing EACH OTHER are not rebased here — compact()/delete()/
+    * optimize() stay fail-on-conflict, as validating a rewrite-vs-
+    * rewrite race needs row-level reasoning the public formats also
+    * refuse at this isolation level.
+    *
+    * `beforeCommit` is a test seam: StreamingSpec injects a competing
+    * commit between head-read and publish to force the retry path
+    * deterministically (a wall-clock race cannot be pinned in a test).
+    *
+    * 100 TB posture: contention burns manifest METADATA round-trips
+    * only — the staged data (the expensive distributed write) is
+    * untouched across retries, so N concurrent ingest jobs serialize
+    * at log-commit rate, not data rate. Returns the committed
+    * version. */
+  def appendWithRetry(s: SparkSession, root: String, df: DataFrame,
+      nFiles: Int, maxAttempts: Int = 10,
+      beforeCommit: () => Unit = () => ()): Long = {
+    val staged = stageDataFiles(s, root, df, nFiles)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val prev = latestVersion(root)
+      val prevFiles = prev.map(v => snapshotFiles(root, v)
+        .map(p => relativize(root, p))).getOrElse(Nil)
+      val (prevCol, prevStats) =
+        prev.map(v => snapshotStatsOf(root, v)).getOrElse((None, Map.empty[String, (Long, Long)]))
+      beforeCommit()
+      try {
+        return commit(root, prevFiles ++ staged, prev,
+          statsCol = prevCol, stats = prevStats)
+      } catch {
+        case _: java.util.ConcurrentModificationException => // rebase and retry
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"appendWithRetry: gave up after $maxAttempts attempts under $root")
+  }
+
+  /** Range-cluster OPTIMIZE — the data-layout maintenance command of
+    * the public formats (Delta OPTIMIZE ZORDER BY / Iceberg rewrite
+    * with a sort order), single-column form: rewrite the CURRENT
+    * snapshot so each file covers one contiguous `statsCol` range
+    * (buckets = the intervals between `cutoffs`), and record per-file
+    * min/max in the manifest. An ingest-ordered table's files each
+    * span ~the whole key range (every selective scan reads every
+    * file); after clustering, file bounds align with the ranges and
+    * manifest-stats pruning starts to bite — layout is what makes the
+    * skipping metadata EFFECTIVE, not just present. Bucket boundaries
+    * are explicit integer cutoffs supplied by the caller (derived from
+    * one scalar agg — metadata-grade), NOT a sampled RangePartitioner,
+    * so file contents and bounds are deterministic and the key's file
+    * accounting is oracle-checkable. Commits op="optimize": a
+    * data-neutral rewrite, so changes() refuses file-diff ranges
+    * across it exactly as it refuses compactions, and pinned readers
+    * at earlier versions are untouched (rewrite-never-delete).
+    *
+    * 100 TB posture: each bucket stages as its own distributed write
+    * (buckets are independent jobs — at cluster scale they run as one
+    * partitionBy write or parallel jobs); the pruning payoff is read-
+    * side and permanent. Returns the committed version. */
+  def optimize(s: SparkSession, root: String, statsCol: String,
+      cutoffs: Seq[Long], filesPerBucket: Int): Long = {
+    import org.apache.spark.sql.functions.{col, lit, max, min}
+    val prev = latestVersion(root)
+      .getOrElse(sys.error(s"cannot optimize an empty table at $root"))
+    val cur = read(s, root, prev) // pinned: immune to concurrent commits
+    val bounds = (None +: cutoffs.map(Some(_))).zip(cutoffs.map(Some(_)) :+ None)
+    val staged = bounds.flatMap { case (lo, hi) =>
+      val part = cur.filter(
+        lo.map(col(statsCol) > lit(_)).getOrElse(lit(true)) &&
+          hi.map(col(statsCol) <= lit(_)).getOrElse(lit(true)))
+      stageDataFiles(s, root, part, filesPerBucket)
+    }
+    val stats = staged.map { rel =>
+      val r = s.read.parquet(new java.io.File(root, rel).toString)
+        .agg(min(col(statsCol)), max(col(statsCol))).collect()(0)
+      rel -> (r.getLong(0), r.getLong(1))
+    }.toMap
+    commit(root, staged, Some(prev), op = "optimize",
+      statsCol = Some(statsCol), stats = stats)
+  }
+
   // ------------------------------------------------------------------
   // Manifest SEGMENTS — the million-file-table metadata step (r9):
   // the Iceberg manifest-list / manifest-file split. A segmented

@@ -89,7 +89,9 @@ class RegistrySpec extends SparkSpec {
       "s_sim_index_build", "q_sim_ivf_probe",
       "s_table_commit", "q_table_time_travel",
       "q_sql_tpch_q21", "q_sql_tpch_q16", "q_sql_tpch_q2",
-      "q_table_changes", "s_table_vacuum")
+      "q_table_changes", "s_table_vacuum",
+      "q_table_optimize", "s_table_commit_retry",
+      "q_quality_perplexity_bucket")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }

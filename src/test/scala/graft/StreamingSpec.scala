@@ -564,6 +564,57 @@ class StreamingSpec extends SparkSpec {
     assert(segR0 === 0 && fR0 === 0 && dfNone.count() === 0)
   }
 
+  test("commit log: appendWithRetry rebases past a mid-commit competitor, stages data once (r9)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_retry").toString
+    val ev = Tables(spark, sf, "events").select(col("event_id"), col("value"))
+    val base = CommitLog.append(spark, root, ev.filter(col("event_id") % 3 === 0), nFiles = 2)
+    // force the retry path deterministically: between head-read and
+    // publish, a competitor lands a COMPACTION — the append must lose
+    // round 1, re-read the compacted head, rebase onto its listing,
+    // and win round 2 with both writers' rows intact
+    var fired = false
+    val v = CommitLog.appendWithRetry(spark, root,
+      ev.filter(col("event_id") % 3 =!= 0), nFiles = 2,
+      beforeCommit = () => if (!fired) { fired = true; CommitLog.compact(spark, root, nFiles = 1) })
+    assert(v === base + 2, "append should land at the version after the competitor's")
+    // rebase correctness: final snapshot = compacted base rows + appended rows
+    assert(CommitLog.read(spark, root, v).count() === ev.count())
+    // the compacted head's single file is carried by reference
+    val compactedFiles = CommitLog.snapshotFiles(root, base + 1)
+    assert(compactedFiles.forall(CommitLog.snapshotFiles(root, v).contains))
+    // stage-once: 2 (base) + 1 (compact) + 2 (append) data files total —
+    // the lost round added no orphan copies of the appended data
+    val nData = new java.io.File(root, "data").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(nData === 5, s"retry re-staged data files: $nData on disk")
+  }
+
+  test("commit log: optimize is data-neutral, pinned readers untouched, changes() refuses across it (r9)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_opt").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val m = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+    CommitLog.appendWithStats(spark, root, ev.filter(col("event_id") % 2 === 0), 2, "event_id")
+    val v1 = CommitLog.appendWithStats(spark, root, ev.filter(col("event_id") % 2 === 1), 2, "event_id")
+    val before = CommitLog.read(spark, root, v1).orderBy(col("event_id")).collect().toSeq
+    val v2 = CommitLog.optimize(spark, root, "event_id",
+      cutoffs = Seq(m / 2), filesPerBucket = 2)
+    // data-neutral: the optimized snapshot holds exactly the same rows
+    val after = CommitLog.read(spark, root, v2).orderBy(col("event_id")).collect().toSeq
+    assert(after === before, "optimize changed the data")
+    // pinned reader at v1 still sees the pre-optimize file list
+    assert(CommitLog.read(spark, root, v1).orderBy(col("event_id")).collect().toSeq === before)
+    // layout now aligns with the cutoff: a half-range probe prunes
+    val (_, total, nRead) = CommitLog.prunedRead(spark, root, v2, 0L, m / 2)
+    assert(total === 4 && nRead === 2,
+      s"clustered layout should prune to one bucket's files, read $nRead of $total")
+    // optimize is a rewrite: file-diff changes() across it must refuse
+    intercept[IllegalArgumentException] {
+      CommitLog.changes(spark, root, v1, v2).count()
+    }
+  }
+
   test("commit log: conflicting commit loses cleanly, log stays consistent (r9)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_cl_race").toString
