@@ -257,6 +257,55 @@ object Similarity {
         .collect().map(_.getInt(0)).toIndexedSeq
       scoreProbed(assigned.filter(col("cell").isin(probes: _*)), q, k = 20)
     },
+    "q_sim_ivfpq" -> { (s, dir) =>
+      // IVF+PQ composite (added late r9) — the full FAISS-style ANN
+      // serving stack as ONE pipeline, welding the two halves the
+      // family already ships: candidate SELECTION from the persisted
+      // partitioned IVF index (the probe reads only nProbe cell
+      // directories — q_sim_ivf_probe's partition pruning), then
+      // compressed-domain SCORING of just those candidates via the
+      // PQ-ADC lookup-table sum (q_sim_pq_adc's 16-small-ints-per-
+      // vector representation), then exact cosine rerank of the ADC
+      // top-20 to a final top-10. Codes are trained on the full
+      // corpus and encode raw vectors (FAISS IVFPQ with
+      // by_residual=false — the variant whose replay needs no
+      // per-cell codebooks). Every stage is fixed-point exact, so the
+      // whole pipeline is DuckDB-replayed bit-for-bit.
+      //
+      // 100 TB posture: the serving read = nProbe cell partitions of
+      // the CODE table (16 bytes/vector, not 256 — the compressed
+      // scan is why IVFPQ serves at scale), one broadcast 16×16 LUT,
+      // one hash-agg keyed vec_id, and a 20-row exact-rerank join.
+      // Cell pruning bounds the scan; PQ bounds the bytes per
+      // scanned vector; rerank bounds the full-vector I/O.
+      val e = vecs(s, dir).select(col("vec_id"), col("label"), col("v"))
+      val root = buildIvfIndex(s, dir)
+      val assigned = s.read.parquet(root + "/assigned")
+      val cents = s.read.parquet(root + "/centroids")
+      val q = e.filter(col("vec_id") === lit(0L)).select(col("v").as("qv"))
+      val probes = probeCellsOf(cents, q, nProbe = 8)
+        .collect().map(_.getInt(0)).toIndexedSeq
+      val candIds = assigned.filter(col("cell").isin(probes: _*))
+        .filter(col("vec_id") =!= lit(0L)).select(col("vec_id"))
+      val (codes, codebook) = Embeddings.pqTrain(e.select(col("vec_id"), col("v")))
+      val qsub = q.select(posexplode(
+          expr("transform(sequence(0, 15), sp -> slice(qv, sp * 4 + 1, 4))"))
+        .as(Seq("sp", "qsv")))
+      val lut = qsub.join(codebook, Seq("sp"))
+        .select(col("sp"), col("cid"), expr("l2_dist_q(qsv, cv)").as("adc_q"))
+      val adc = codes.join(candIds, Seq("vec_id"), "left_semi")
+        .join(broadcast(lut), Seq("sp", "cid"))
+        .groupBy(col("vec_id")).agg(sum(col("adc_q")).as("adc"))
+      val top20 = adc.orderBy(col("adc").asc, col("vec_id")).limit(20)
+      val rer = top20.join(e, Seq("vec_id")).crossJoin(broadcast(q))
+        .withColumn("c", call_function("cosine_sim", col("v"), col("qv")))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("c").desc, col("vec_id"))
+      ordered(rer.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select(col("vec_id"), col("label"), col("adc"), col("rank"),
+          round(col("c"), 4).as("cosine")))
+    },
     "q_sim_pq_adc" -> { (s, dir) =>
       // PQ-ADC search (added r7) — the compressed-domain ANN serving
       // path that completes the PQ family (q_embed_pq trains the
@@ -541,6 +590,55 @@ object Similarity {
     s"WITH $ivfCtes\nSELECT vec_id, label, cosine FROM ivf_top" +
       orderByAll("vec_id", "label", "cosine")
 
+  /** The [[ivfCtes]] training/probe chain with every CTE renamed
+    * iv_* (and label dropped) so it composes with
+    * [[Embeddings.pqCtes]] — both chains define e/init/d1/a1/cd/c1/
+    * d2/a2, so the q_sim_ivfpq oracle needs one of them prefixed.
+    * Semantics are byte-for-byte [[ivfTrain]]'s: 16 seed cells, one
+    * fixed-point Lloyd step (1e12 distance quanta, 1e7 mean quanta),
+    * final assign, then the 8 probe cells nearest the query. */
+  private val ivfCellCtes: String =
+    """iv_init AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM e WHERE vec_id < 16),
+      |iv_d1 AS (
+      |  SELECT e.vec_id, e.v, i.cell,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      j -> CAST(FLOOR((e.v[j] - i.cv[j]) * (e.v[j] - i.cv[j]) * 1e12)
+      |        AS BIGINT))) AS BIGINT) AS dq
+      |  FROM e CROSS JOIN iv_init i),
+      |iv_a1 AS (
+      |  SELECT vec_id, v, cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dq, cell) AS rn
+      |    FROM iv_d1) WHERE rn = 1),
+      |iv_cd AS (
+      |  SELECT cell, u.j AS dim, COUNT(*) AS n,
+      |    CAST(SUM(CAST(FLOOR(v[u.j] * 1e7) AS BIGINT)) AS BIGINT) AS sq
+      |  FROM iv_a1, (SELECT unnest(range(1, 65)) AS j) u
+      |  GROUP BY cell, u.j),
+      |iv_c1 AS (
+      |  SELECT cell, list(CAST(sq AS DOUBLE) / 1e7 / n ORDER BY dim) AS cv
+      |  FROM iv_cd GROUP BY cell),
+      |iv_d2 AS (
+      |  SELECT e.vec_id, e.v, c.cell,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      j -> CAST(FLOOR((e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j]) * 1e12)
+      |        AS BIGINT))) AS BIGINT) AS dq
+      |  FROM e CROSS JOIN iv_c1 c),
+      |iv_a2 AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dq, cell) AS rn
+      |    FROM iv_d2) WHERE rn = 1),
+      |qf AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      |iv_pd AS (
+      |  SELECT c.cell,
+      |    CAST(list_sum(list_transform(range(1, 65),
+      |      j -> CAST(FLOOR((c.cv[j] - q.qv[j]) * (c.cv[j] - q.qv[j]) * 1e12)
+      |        AS BIGINT))) AS BIGINT) AS dq
+      |  FROM iv_c1 c, qf q),
+      |iv_pr AS (SELECT cell FROM iv_pd ORDER BY dq, cell LIMIT 8),
+      |iv_cand AS (
+      |  SELECT a.vec_id FROM iv_a2 a JOIN iv_pr p ON a.cell = p.cell
+      |  WHERE a.vec_id <> 0)""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"list_sum(list_transform(range(1,65), i -> CAST($a.embedding[i] AS DOUBLE) * $b.embedding[i])) / " +
       s"(sqrt(list_sum(list_transform(range(1,65), i -> CAST($a.embedding[i] AS DOUBLE) * $a.embedding[i]))) * " +
@@ -611,6 +709,39 @@ object Similarity {
         |SELECT vec_id, label, ROUND(c, 4) AS cosine FROM scored
         |WHERE c >= 0.3""".stripMargin +
         orderByAll("vec_id", "label", "cosine")),
+    // Embeddings.pqCtes (codes a2 + codebook c1) composed with the
+    // iv_*-renamed IVF chain: ADC scoring restricted to the probed
+    // cells' vectors, exact cosine rerank of the ADC top-20 — the
+    // full IVFPQ pipeline replayed on exact integers.
+    "q_sim_ivfpq" ->
+      (s"""WITH ${Embeddings.pqCtes},
+        |$ivfCellCtes,
+        |qsub AS (
+        |  SELECT s.sp, list_transform(range(1, 5), j -> q.qv[s.sp * 4 + j]) AS qsv
+        |  FROM qf q, (SELECT unnest(range(0, 16)) AS sp) s),
+        |lut AS (
+        |  SELECT c.sp, c.cid,
+        |    CAST(list_sum(list_transform(range(1, 5),
+        |      j -> CAST(FLOOR((q.qsv[j] - c.cv[j]) * (q.qsv[j] - c.cv[j]) * 1e12)
+        |        AS BIGINT))) AS BIGINT) AS adc_q
+        |  FROM qsub q JOIN c1 c ON q.sp = c.sp),
+        |adc AS (
+        |  SELECT a2.vec_id, CAST(SUM(l.adc_q) AS BIGINT) AS adc
+        |  FROM a2 JOIN iv_cand cd ON a2.vec_id = cd.vec_id
+        |  JOIN lut l ON a2.sp = l.sp AND a2.cid = l.cid
+        |  GROUP BY a2.vec_id),
+        |top20 AS (SELECT vec_id, adc FROM adc ORDER BY adc, vec_id LIMIT 20),
+        |rer AS (
+        |  SELECT t.vec_id, emb.label, t.adc,
+        |    list_sum(list_transform(range(1, 65), i -> e.v[i] * q.qv[i])) /
+        |      (sqrt(list_sum(list_transform(range(1, 65), i -> e.v[i] * e.v[i]))) *
+        |       sqrt(list_sum(list_transform(range(1, 65), i -> q.qv[i] * q.qv[i])))) AS c
+        |  FROM top20 t JOIN e ON t.vec_id = e.vec_id
+        |  JOIN embeddings emb ON t.vec_id = emb.vec_id, qf q)
+        |SELECT vec_id, label, adc, rank, ROUND(c, 4) AS cosine FROM (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY c DESC, vec_id) AS BIGINT) AS rank
+        |  FROM rer) WHERE rank <= 10""".stripMargin +
+        orderByAll("vec_id", "label", "adc", "rank", "cosine")),
     // extends Embeddings.pqCtes (codebook c1 + final codes a2) with
     // the ADC search stages; every distance is the same fixed-point
     // integer kernel, so the replay is exact end to end.

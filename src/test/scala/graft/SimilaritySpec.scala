@@ -135,6 +135,26 @@ class SimilaritySpec extends SparkSpec {
     info(s"PQ ADC candidate recall: $recall")
   }
 
+  test("IVFPQ composite recall vs exact cosine top-10 (r9)") {
+    // the two-stage approximation (IVF probe loses cells, ADC loses
+    // precision) must still surface most true neighbors after exact
+    // rerank — measured 0.7 at sf0.01; pin the ≥0.6 floor the PQ
+    // family uses
+    val dir = "/root/testdata/sf0.01"
+    val got = graft.SparkEntry.queries("q_sim_ivfpq")(spark, dir)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val e = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val exact = e.filter(col("vec_id") =!= 0L)
+      .crossJoin(broadcast(e.filter(col("vec_id") === 0L).select(col("v").as("qv"))))
+      .select(col("vec_id"), expr("cosine_sim(v, qv)").as("c"))
+      .orderBy(col("c").desc, col("vec_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.count(got.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"IVFPQ recall $recall < 0.6")
+    info(s"IVFPQ recall: $recall")
+  }
+
   test("blocked pair join reproduces the quadratic baseline exactly (top-k and τ=0.45)") {
     // q_sim_cosine_topk / q_dedup_embed route through blockedScoredPairs
     // (exact by construction: every unordered pair lands in exactly one
