@@ -80,7 +80,13 @@ object ScaleSoak {
     "s_table_stream_commit", "q_table_stats_prune", "q_win_median",
     // r9 batch 5: manifest segments (commit cost O(new files); probe
     // prunes whole segments before reading per-file entries)
-    "q_table_manifest_segments")
+    "q_table_manifest_segments",
+    // late-r9 batch: range-cluster optimize (per-bucket rewrites ∝
+    // table), optimistic two-writer retry (contention = metadata
+    // only), CCNet perplexity terciles (LM join + |eval|-row window),
+    // IVFPQ composite (probe-pruned code scan + LUT agg + rerank)
+    "q_table_optimize", "s_table_commit_retry",
+    "q_quality_perplexity_bucket", "q_sim_ivfpq", "q_pipeline_curation")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */

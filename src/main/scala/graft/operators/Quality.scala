@@ -24,6 +24,64 @@ import graft.sources.Tables
 object Quality {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_curation" -> { (s, dir) =>
+      // End-to-end curation funnel (added late r9) — the composition
+      // story as a GRADED key, not just the Pipeline demo main: the
+      // documents corpus flows raw → exact dedup (one survivor per
+      // content hash) → near-dup removal (the prefix-filtered
+      // Jaccard≥0.8 join, higher doc_id loses) → quality gate
+      // (≥10 tokens, ≥60 chars — the Gopher-style floor) →
+      // benchmark decontamination (drop the eval split AND any train
+      // doc sharing a distinct word 8-gram with it — the GPT-3/Dolma
+      // rule), and the key reports the FUNNEL: per stage, surviving
+      // doc and token counts. Every stage is an already-oracle-checked
+      // operator shape (q_dedup_exact / q_dedup_near_jaccard /
+      // q_text_quality / q_text_decontaminate), so the whole
+      // composition replays exactly in DuckDB — the report a corpus
+      // build publishes with each release.
+      //
+      // 100 TB posture: the funnel is ONE DAG — each stage is the
+      // constituent key's plan (hash-agg dedup, prefix-filtered
+      // shingle join, narrow filters, broadcast-able eval shingle
+      // set), and the five stage summaries are map-side-partial
+      // count/sum aggs unioned at the end; nothing materializes
+      // between stages unless the optimizer chooses to (the shingle
+      // and pair tables ride the Dedup family's memoized
+      // checkpoints).
+      graft.functions.VectorExprs.register(s)
+      val d = Tables(s, dir, "documents")
+      val ntok = size(expr("filter(split(text, ' '), t -> t <> '')"))
+      val raw = d.withColumn("n_tok", ntok)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val exact = raw.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+      val nearLosers = Dedup.nearDupPairs(exact)
+        .select(col("db").as("doc_id")).distinct()
+      val near = exact.join(nearLosers, Seq("doc_id"), "left_anti")
+      val quality = near.filter(col("n_tok") >= 10 && col("n_chars") >= 60)
+      val isEval = md5(col("doc_id").cast("string")) < lit("1a")
+      val evalSh = d.filter(isEval).select(
+        explode(call_function("word_shingles", split(col("text"), " "), lit(8)))
+          .as("sng")).distinct()
+      val qSh = quality.filter(!isEval).select(col("doc_id"),
+        explode(call_function("word_shingles", split(col("text"), " "), lit(8)))
+          .as("sng"))
+      val contaminated = qSh.join(evalSh, Seq("sng"), "left_semi")
+        .select(col("doc_id")).distinct()
+      val decon = quality.filter(!isEval)
+        .join(contaminated, Seq("doc_id"), "left_anti")
+      def stage(id: Int, name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tok").cast("long")).as("n_tokens"))
+          .select(lit(id.toLong).as("stage_id"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"))
+      ordered(stage(1, "raw", raw)
+        .union(stage(2, "exact_dedup", exact))
+        .union(stage(3, "near_dedup", near))
+        .union(stage(4, "quality", quality))
+        .union(stage(5, "decontaminated", decon)))
+    },
     "q_profile_table" -> { (s, dir) =>
       // single-pass per-column profile of lineitem: nulls are
       // manufactured with nullif (fixtures are null-free) so the null
@@ -163,6 +221,53 @@ object Quality {
   )
 
   def oracle: Map[String, String] = Map(
+    // each funnel stage replays its constituent key's validated
+    // oracle fragment: md5-window exact dedup, 3-gram Jaccard pairs
+    // (inter*5 >= uni*4 ⇔ J >= 0.8), the quality floor, and the
+    // distinct-8-gram decontamination rule
+    "q_pipeline_curation" ->
+      ("""WITH t AS (SELECT doc_id, text, n_chars, md5(text) AS h,
+        |    list_filter(string_split(text, ' '), x -> x <> '') AS tk,
+        |    (md5(CAST(doc_id AS VARCHAR)) < '1a') AS is_eval
+        |  FROM documents),
+        |ex AS (SELECT * FROM (
+        |    SELECT t.*, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        |    FROM t) WHERE rn = 1),
+        |shx AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tk)-1),
+        |      i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS sh
+        |  FROM ex WHERE len(tk) >= 3),
+        |losers AS (SELECT DISTINCT b.doc_id
+        |  FROM shx a JOIN shx b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) * 5 >=
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 4),
+        |nr AS (SELECT * FROM ex
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        |ql AS (SELECT * FROM nr WHERE len(tk) >= 10 AND n_chars >= 60),
+        |esh AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+        |    range(1, len(tk)-6), i -> list_aggregate(tk[i:i+7], 'string_agg', ' ')))) AS sng
+        |  FROM t WHERE is_eval AND len(tk) >= 8),
+        |qsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, len(tk)-6), i -> list_aggregate(tk[i:i+7], 'string_agg', ' ')))) AS sng
+        |  FROM ql WHERE NOT is_eval AND len(tk) >= 8),
+        |cont AS (SELECT DISTINCT doc_id FROM qsh
+        |  WHERE sng IN (SELECT sng FROM esh)),
+        |dc AS (SELECT * FROM ql WHERE NOT is_eval
+        |  AND doc_id NOT IN (SELECT doc_id FROM cont)),
+        |f AS (
+        |  SELECT 1 AS sid, 'raw' AS stage, COUNT(*) AS n_docs,
+        |    CAST(SUM(len(tk)) AS BIGINT) AS n_tokens FROM t
+        |  UNION ALL SELECT 2, 'exact_dedup', COUNT(*),
+        |    CAST(SUM(len(tk)) AS BIGINT) FROM ex
+        |  UNION ALL SELECT 3, 'near_dedup', COUNT(*),
+        |    CAST(SUM(len(tk)) AS BIGINT) FROM nr
+        |  UNION ALL SELECT 4, 'quality', COUNT(*),
+        |    CAST(SUM(len(tk)) AS BIGINT) FROM ql
+        |  UNION ALL SELECT 5, 'decontaminated', COUNT(*),
+        |    CAST(SUM(len(tk)) AS BIGINT) FROM dc)
+        |SELECT CAST(sid AS BIGINT) AS stage_id, stage, n_docs, n_tokens
+        |FROM f""".stripMargin +
+        orderByAll("stage_id", "stage", "n_docs", "n_tokens")),
     "q_profile_table" ->
       ("""WITH p AS (SELECT COUNT(*) AS n_rows,
         |    SUM(CASE WHEN nullif(l_returnflag, 'N') IS NULL THEN 1 ELSE 0 END) AS rf_nulls,
