@@ -267,6 +267,33 @@ object TableFormat {
           rows.getLong(0), rows.getDouble(1)))
         .toDF("n_versions", "n_files", "n_rows", "sum_value"))
     },
+    "q_table_add_column" -> { (s, dir) =>
+      // Schema evolution through the log (added late r9) — the Delta
+      // schema-in-the-log design, distinct from q_scan_schema_evolution
+      // (which pays mergeSchema FOOTER reads: at 10^5 files that is
+      // 10^5 metadata opens at plan time): v0 appends events without
+      // the tier column, the evolved append commits a manifest whose
+      // UNION schema adds value_tier, and the head read projects
+      // nulls for it over the v0-era files from the LOG schema alone
+      // — zero footer reads, the scan schema is pinned by metadata.
+      // Output: per-tier counts + exact value sums, the null tier
+      // being exactly the pre-evolution rows. StreamingSpec pins the
+      // contracts: pinned readers keep their version's schema, a
+      // retyped column fails at COMMIT time, and post-evolution
+      // plain appends carry the evolved schema forward.
+      val root = java.nio.file.Files.createTempDirectory("graft_table_evo")
+      root.toFile.deleteOnExit()
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      CommitLog.append(s, root.toString, ev.filter(col("event_id") % 2 === 0), nFiles = 2)
+      val evolved = ev.filter(col("event_id") % 2 === 1)
+        .withColumn("value_tier",
+          when(col("value") >= 50.0, "high").otherwise("low"))
+      val head = CommitLog.appendEvolved(s, root.toString, evolved, nFiles = 2)
+      ordered(CommitLog.read(s, root.toString, head)
+        .groupBy(col("value_tier"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
+    },
     "q_table_time_travel" -> { (s, dir) =>
       // read AS OF v0 after the append and the compaction both
       // committed: the pinned scan sees only v0's file list, so the
@@ -351,6 +378,13 @@ object TableFormat {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
         |FROM events""".stripMargin +
         orderByAll("n_versions", "n_files", "n_rows", "sum_value")),
+    "q_table_add_column" ->
+      ("""SELECT CASE WHEN event_id % 2 = 0 THEN NULL
+        |    WHEN value >= 50.0 THEN 'high' ELSE 'low' END AS value_tier,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin +
+        orderByAll("value_tier", "n", "sum_value")),
     "q_table_time_travel" ->
       ("""SELECT event_type, COUNT(*) AS n,
         |  COUNT(DISTINCT user_id) AS n_users,

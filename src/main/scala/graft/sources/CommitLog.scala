@@ -47,7 +47,8 @@ object CommitLog {
     * the public change-data-feed design's commit metadata. */
   private def renderManifest(version: Long, files: Seq[String], op: String,
       statsCol: Option[String] = None,
-      stats: Map[String, (Long, Long)] = Map.empty): String = {
+      stats: Map[String, (Long, Long)] = Map.empty,
+      schemaJson: Option[String] = None): String = {
     val base = s"""{"version":$version,"op":"$op",""" +
       s""""files":[${files.map(f => "\"" + f + "\"").mkString(",")}]"""
     val statsJson = statsCol match {
@@ -57,7 +58,9 @@ object CommitLog {
             s""""$f":[$lo,$hi]""" }.mkString(",") + "}"
       case _ => ""
     }
-    base + statsJson + "}"
+    // StructType.json is already a JSON object — embedded raw
+    val schemaField = schemaJson.map(j => s""","schema":$j""").getOrElse("")
+    base + statsJson + schemaField + "}"
   }
 
   def latestVersion(root: String): Option[Long] =
@@ -95,9 +98,10 @@ object CommitLog {
     * clean conflict to re-read and retry on. */
   def commit(root: String, files: Seq[String], expected: Option[Long],
       op: String = "append", statsCol: Option[String] = None,
-      stats: Map[String, (Long, Long)] = Map.empty): Long = {
+      stats: Map[String, (Long, Long)] = Map.empty,
+      schemaJson: Option[String] = None): Long = {
     val next = expected.map(_ + 1).getOrElse(0L)
-    publish(root, next, renderManifest(next, files, op, statsCol, stats))
+    publish(root, next, renderManifest(next, files, op, statsCol, stats, schemaJson))
     next
   }
 
@@ -122,6 +126,13 @@ object CommitLog {
     * the current snapshot (or as the first snapshot). Data files land
     * under data/ with unique names but stay invisible to readers until
     * the manifest rename publishes them. */
+  /** The schema JSON the previous version's manifest carries, if any —
+    * every commit kind passes it forward so one schema-unaware writer
+    * never strips an evolved table's log schema (the stats-carry
+    * rule, applied to the schema). */
+  private def carriedSchemaJson(root: String, prev: Option[Long]): Option[String] =
+    prev.flatMap(v => snapshotSchemaOf(root, v)).map(_.json)
+
   def append(s: SparkSession, root: String, df: DataFrame, nFiles: Int): Long = {
     val prev = latestVersion(root)
     val prevFiles = prev.map(v => snapshotFiles(root, v)
@@ -133,7 +144,8 @@ object CommitLog {
     val (prevCol, prevStats) =
       prev.map(v => snapshotStatsOf(root, v)).getOrElse((None, Map.empty[String, (Long, Long)]))
     commit(root, prevFiles ++ stageDataFiles(s, root, df, nFiles), prev,
-      statsCol = prevCol, stats = prevStats)
+      statsCol = prevCol, stats = prevStats,
+      schemaJson = carriedSchemaJson(root, prev))
   }
 
   /** Rewrite the CURRENT snapshot into `nFiles` compacted data files
@@ -144,13 +156,73 @@ object CommitLog {
     val prev = latestVersion(root)
       .getOrElse(sys.error(s"cannot compact an empty table at $root"))
     val cur = read(s, root, prev)
-    commit(root, stageDataFiles(s, root, cur, nFiles), Some(prev), op = "compact")
+    commit(root, stageDataFiles(s, root, cur, nFiles), Some(prev), op = "compact",
+      schemaJson = carriedSchemaJson(root, Some(prev)))
   }
 
   /** Read the table AS OF `version` — the time-travel scan: explicit
-    * file list from the manifest, no directory listing anywhere. */
-  def read(s: SparkSession, root: String, version: Long): DataFrame =
-    s.read.parquet(snapshotFiles(root, version): _*)
+    * file list from the manifest, no directory listing anywhere. If
+    * the manifest records a schema (a schema-evolved table), the scan
+    * uses IT — files predating an added column project nulls for it,
+    * and planning never opens a parquet footer (the Delta
+    * schema-in-the-log design; `mergeSchema` footer reads are the
+    * cost this avoids at 10^5 files). */
+  def read(s: SparkSession, root: String, version: Long): DataFrame = {
+    val files = snapshotFiles(root, version)
+    snapshotSchemaOf(root, version) match {
+      case Some(st) => s.read.schema(st).parquet(files: _*)
+      case None => s.read.parquet(files: _*)
+    }
+  }
+
+  /** The schema the manifest of `version` records, if its committing
+    * writer was schema-aware (appendEvolved); None = pre-evolution
+    * manifest, reader falls back to footer inference. */
+  def snapshotSchemaOf(root: String, version: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(manifest(root, version).toPath))
+    Option(node.get("schema")).map(j =>
+      org.apache.spark.sql.types.DataType.fromJson(j.toString)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Schema-evolving APPEND — add-column through the log (the public
+    * formats' schema evolution): the committed manifest records the
+    * UNION schema (prior columns in their order, then `df`'s new
+    * columns), so readers of the new version project nulls for the
+    * added columns over pre-evolution files without ever reading a
+    * footer, while readers pinned at older versions keep the exact
+    * schema their manifest recorded (schema changes are versioned
+    * like data changes). Type conflicts on a shared column name fail
+    * the COMMIT, not some later read — the log is the schema
+    * authority, so it enforces compatibility at write time. */
+  def appendEvolved(s: SparkSession, root: String, df: DataFrame,
+      nFiles: Int): Long = {
+    val prev = latestVersion(root)
+    val prevFiles = prev.map(v => snapshotFiles(root, v)
+      .map(p => relativize(root, p))).getOrElse(Nil)
+    val prevSchema: Seq[org.apache.spark.sql.types.StructField] =
+      prev.map { v =>
+        snapshotSchemaOf(root, v)
+          .getOrElse(s.read.parquet(snapshotFiles(root, v): _*).schema)
+          .fields.toSeq
+      }.getOrElse(Nil)
+    val byName = prevSchema.map(f => f.name -> f).toMap
+    df.schema.fields.foreach { f =>
+      byName.get(f.name).foreach { p =>
+        require(p.dataType == f.dataType,
+          s"appendEvolved: column '${f.name}' is ${p.dataType} in the " +
+            s"table but ${f.dataType} in the append — evolution adds " +
+            "columns, it never retypes them")
+      }
+    }
+    val merged = org.apache.spark.sql.types.StructType(
+      prevSchema ++ df.schema.fields.filterNot(f => byName.contains(f.name)))
+    val (prevCol, prevStats) =
+      prev.map(v => snapshotStatsOf(root, v)).getOrElse((None, Map.empty[String, (Long, Long)]))
+    commit(root, prevFiles ++ stageDataFiles(s, root, df, nFiles), prev,
+      statsCol = prevCol, stats = prevStats, schemaJson = Some(merged.json))
+  }
 
   /** Per-file column statistics of `version`'s manifest: the stats
     * column name (if the committing writer recorded one) and
@@ -269,7 +341,9 @@ object CommitLog {
     try {
       commit(root, prevFiles ++ staged,
         if (batchId == 0) None else Some(batchId - 1),
-        statsCol = prevCol, stats = prevStats)
+        statsCol = prevCol, stats = prevStats,
+        schemaJson = carriedSchemaJson(root,
+          if (batchId == 0) None else Some(batchId - 1)))
       true
     } catch {
       case _: java.util.ConcurrentModificationException => false
@@ -313,7 +387,8 @@ object CommitLog {
     // stats (unprunable) unless a stats-aware writer recomputes them
     val (prevCol, prevStats) = snapshotStatsOf(root, prev)
     val v = commit(root, carried ++ rewritten, Some(prev), op = "delete",
-      statsCol = prevCol, stats = prevStats.filter(kv => carried.contains(kv._1)))
+      statsCol = prevCol, stats = prevStats.filter(kv => carried.contains(kv._1)),
+      schemaJson = carriedSchemaJson(root, Some(prev)))
     (v, clean.size.toLong, rewritten.size.toLong)
   }
 
@@ -382,7 +457,8 @@ object CommitLog {
       beforeCommit()
       try {
         return commit(root, prevFiles ++ staged, prev,
-          statsCol = prevCol, stats = prevStats)
+          statsCol = prevCol, stats = prevStats,
+          schemaJson = carriedSchemaJson(root, prev))
       } catch {
         case _: java.util.ConcurrentModificationException => // rebase and retry
       }

@@ -91,7 +91,8 @@ class RegistrySpec extends SparkSpec {
       "q_sql_tpch_q21", "q_sql_tpch_q16", "q_sql_tpch_q2",
       "q_table_changes", "s_table_vacuum",
       "q_table_optimize", "s_table_commit_retry",
-      "q_quality_perplexity_bucket", "q_sim_ivfpq", "q_pipeline_curation")
+      "q_quality_perplexity_bucket", "q_sim_ivfpq", "q_pipeline_curation",
+      "q_table_add_column")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }

@@ -615,6 +615,32 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("commit log: schema evolution is versioned, type conflicts fail at commit, carried forward (r9)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_evo").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value"))
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 2 === 0), nFiles = 1)
+    val v1 = CommitLog.appendEvolved(spark, root,
+      ev.filter(col("event_id") % 2 === 1).withColumn("flag", lit(1L)), nFiles = 1)
+    // head read projects the union schema; pre-evolution rows are null
+    val head = CommitLog.read(spark, root, v1)
+    assert(head.schema.fieldNames.toSeq === Seq("event_id", "value", "flag"))
+    assert(head.filter(col("event_id") % 2 === 0 && col("flag").isNull).count() ===
+      head.filter(col("event_id") % 2 === 0).count())
+    // pinned reader at v0 keeps ITS schema — evolution is versioned
+    assert(!CommitLog.read(spark, root, 0L).schema.fieldNames.contains("flag"))
+    // a plain append after evolution carries the evolved schema forward
+    val v2 = CommitLog.append(spark, root, ev.limit(0), nFiles = 1)
+    assert(CommitLog.snapshotSchemaOf(root, v2).exists(_.fieldNames.contains("flag")))
+    // retyping a column fails at COMMIT time with a clear error
+    val err = intercept[IllegalArgumentException] {
+      CommitLog.appendEvolved(spark, root,
+        ev.withColumn("flag", lit("not a long")), nFiles = 1)
+    }
+    assert(err.getMessage.contains("never retypes"))
+  }
+
   test("commit log: conflicting commit loses cleanly, log stays consistent (r9)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_cl_race").toString
