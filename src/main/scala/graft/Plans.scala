@@ -54,7 +54,9 @@ object Plans {
     "q_join_asof_tolerance",  // nearest-asof: two direction frames on ONE shuffle-sort (r8)
     "q_dedup_semdedup",       // SemDeDup: broadcast-centroid assignment + cid-keyed pair join (r9)
     "q_sim_hard_negatives",   // blocked scoring + WindowGroupLimit per-anchor top-3 (r9)
-    "q_text_normalize")       // NFC codegen narrow map, zero exchange before the sort (r9)
+    "q_text_normalize",       // NFC codegen narrow map, zero exchange before the sort (r9)
+    "q_sim_ivfpq",            // IVFPQ: pruned cell scan + broadcast LUT + ADC agg + 20-row rerank (late r9)
+    "q_pipeline_curation")    // five-stage funnel in one DAG: memoized shingle checkpoints + unioned partial aggs (late r9)
 
   /** Hand-written analysis emitted after a key's plan — kept here so
     * regeneration never loses it. */

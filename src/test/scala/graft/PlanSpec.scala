@@ -614,6 +614,22 @@ class PlanSpec extends SparkSpec {
     assert(!read.contains("cell"), s"cell not pruned from data-file schema: $read")
   }
 
+  test("q_sim_ivfpq: code-table ADC runs only over probe-pruned candidates (late r9)") {
+    // the composite must keep BOTH scale guarantees at once: the index
+    // scan prunes to the probed cell partitions (candidate selection),
+    // and no cartesian/BNLJ appears except the intentional 1-row
+    // query-vector broadcast for the rerank
+    val p = planOf("q_sim_ivfpq")
+    val scan = p.linesIterator.find(l =>
+      l.contains("FileScan") && l.contains("ivf_idx")).getOrElse("")
+    val pf = scan.replaceAll(".*PartitionFilters: \\[", "").takeWhile(_ != ']')
+    assert(pf.contains("cell") && pf.contains(" IN "),
+      s"no cell IN (...) partition filter on the index scan:\n$scan")
+    assert(!p.contains("CartesianProduct"), "cartesian in the IVFPQ plan")
+    // the candidate restriction reaches the code table as a semi join
+    assert(p.contains("LeftSemi"), "no semi join restricting codes to probed candidates")
+  }
+
   test("q_sql_tpch_q17: correlated AVG decorrelates to a grouped agg + join-back (r9)") {
     // the classic Q17 planner trap: a naive plan rescans lineitem per
     // outer row; the correct plan aggregates sum+count per l_partkey
