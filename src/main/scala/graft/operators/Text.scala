@@ -89,6 +89,68 @@ object Text {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_unigram_segment" -> { (s, dir) =>
+      // Unigram-LM Viterbi segmentation (added late r9) — the
+      // SentencePiece-style counterpart to the BPE pair, completing
+      // the two production subword families: pieces are the corpus's
+      // character substrings of length 1–4, scored by their
+      // occurrence-weighted unigram surprisal (the fixed-point
+      // -floor(1e6·ln(cnt/total)) pattern of q_text_ngram_lm — exact
+      // BIGINT everywhere), and each DISTINCT word is segmented by
+      // the exact Viterbi DP: min total cost, ties to fewer pieces —
+      // computed INSIDE one codegen HOF (aggregate over positions
+      // carrying the prefix-cost array; the piece table rides along
+      // as a 1-row broadcast map). A closed corpus means every 1-char
+      // piece exists, so the unknown-fallback path is unreachable
+      // (real deployments add a char-fallback penalty constant).
+      // The DuckDB twin replays the DP as 16 Bellman-Ford relaxation
+      // rounds over the (word, position) grid (edges only go forward,
+      // word length ≤ 16 — asserted), so the whole pipeline is
+      // oracle-checked, unlike most "apply a learned tokenizer" code.
+      //
+      // 100 TB posture: the DP runs per DISTINCT word (vocabulary-
+      // sized, never per token — the q_join_fuzzy dedupe-first rule);
+      // piece counting is an O(chars·4) explode into a hash agg with
+      // map-side partials; the segmentation table broadcasts back to
+      // the corpus join exactly like q_text_bpe_apply's.
+      val d = Tables(s, dir, "documents")
+      val words = d.select(col("doc_id"), explode(toks()).as("word"))
+      val wf = words.groupBy(col("word")).agg(count(lit(1)).as("wf"))
+      val maxLen = wf.agg(max(length(col("word")))).collect()(0).getInt(0)
+      require(maxLen <= 16,
+        s"q_text_unigram_segment: oracle replays 16 DP rounds, corpus has a $maxLen-char word")
+      val pcnt = wf.select(col("wf"), explode(expr(
+          "flatten(transform(sequence(1, length(word)), st -> " +
+            "transform(sequence(1, least(4, length(word) - st + 1)), " +
+            "ln -> substring(word, st, ln))))")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("wf")).as("cnt"))
+      val tot = pcnt.agg(sum(col("cnt")).as("tot"))
+      val pc = pcnt.crossJoin(broadcast(tot))
+        .select(col("piece"),
+          (-floor(lit(1e6) * log(col("cnt").cast("double") / col("tot").cast("double"))))
+            .cast("long").as("cq"))
+      val vm = pc.agg(map_from_entries(collect_list(struct(col("piece"), col("cq")))).as("vm"))
+      val seg = wf.select(col("word")).crossJoin(broadcast(vm))
+        .withColumn("fin", expr(
+          """element_at(
+            |  aggregate(sequence(1, length(word)),
+            |    array(named_struct('c', 0L, 'n', 0L)),
+            |    (acc, i) -> array_append(acc,
+            |      array_min(transform(sequence(greatest(1, i - 3), i),
+            |        j -> named_struct(
+            |          'c', element_at(acc, j).c + element_at(vm, substring(word, j, i - j + 1)),
+            |          'n', element_at(acc, j).n + 1L))))),
+            |  length(word) + 1)""".stripMargin))
+        .select(col("word"), col("fin.c").as("wc"), col("fin.n").as("wn"))
+      ordered(words.join(broadcast(seg), Seq("word"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("wn")).as("n_pieces"),
+          sum(col("wc")).as("cost_q"))
+        .select(col("doc_id"), col("n_words"), col("n_pieces"), col("cost_q"),
+          (col("n_pieces").cast("double") / col("n_words").cast("double"))
+            .as("pieces_per_word")))
+    },
     "q_quality_perplexity_bucket" -> { (s, dir) =>
       // CCNet-style perplexity bucketing (added late r9) — the data-
       // mixing step downstream of the LM filter: per LANGUAGE, eval
@@ -978,7 +1040,7 @@ object Text {
     * and the 8 unrolled merge rounds (p_i candidates, m_i winner, s_i
     * re-segmented vocabulary). */
   private def bpeRoundsSql: String = {
-    val rounds = (1 to 8).map { i =>
+    val rounds = (1 to 16).map { i =>
       val prev = s"s${i - 1}"
       s"""p$i AS (SELECT syms[j] AS lsym, syms[j+1] AS rsym, SUM(cnt) AS c
         |  FROM $prev, unnest(range(1, len(syms))) AS u(j) GROUP BY 1, 2),
@@ -1021,7 +1083,55 @@ object Text {
       |GROUP BY dw.doc_id""".stripMargin +
       orderByAll("doc_id", "n_words", "n_chars", "n_subwords", "chars_per_subword")
 
+  /** DuckDB twin of q_text_unigram_segment's Viterbi DP: 16 Bellman-
+    * Ford relaxation rounds over the (word, position) grid — edges
+    * only go forward (a piece spans 1–4 chars), so round k finalizes
+    * every shortest path of ≤ k edges and 16 rounds cover up to
+    * 16-char words (the Spark side asserts that bound; the fixture's
+    * max is 8, the ×10 soak's vocab remap makes 11 — extra rounds
+    * are no-ops once converged). Tie-break matches
+    * array_min's struct order: (cost, pieces) lexicographic. */
+  private val unigramSql: String = {
+    val rounds = (1 to 16).map { k =>
+      s"""dp$k AS MATERIALIZED (
+        |  SELECT word, i, c, n FROM (
+        |    SELECT word, i, c, n,
+        |      row_number() OVER (PARTITION BY word, i ORDER BY c, n) AS rn
+        |    FROM (
+        |      SELECT p.word, p.i, prev.c + pc.cq AS c, prev.n + 1 AS n
+        |      FROM pos p
+        |      JOIN dp${k - 1} prev ON prev.word = p.word
+        |        AND prev.i BETWEEN p.i - 4 AND p.i - 1
+        |      JOIN pc ON pc.piece = substring(p.word, prev.i + 1, p.i - prev.i)
+        |      UNION ALL
+        |      SELECT word, i, c, n FROM dp${k - 1})) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT doc_id, unnest($tokSql) AS word FROM documents),
+      |wf AS MATERIALIZED (SELECT word, COUNT(*) AS wf FROM w GROUP BY word),
+      |pi AS (SELECT substring(word, u1.st, u2.ln) AS piece, wf
+      |  FROM wf, unnest(range(1, len(word) + 1)) AS u1(st),
+      |    unnest(range(1, least(4, len(word) - u1.st + 1) + 1)) AS u2(ln)),
+      |pcnt AS (SELECT piece, CAST(SUM(wf) AS BIGINT) AS cnt FROM pi GROUP BY piece),
+      |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS tot FROM pcnt),
+      |pc AS MATERIALIZED (SELECT piece,
+      |    CAST(-floor(1e6 * ln(CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE))) AS BIGINT) AS cq
+      |  FROM pcnt, tot),
+      |pos AS MATERIALIZED (SELECT word, u.i FROM wf, unnest(range(0, len(word) + 1)) AS u(i)),
+      |dp0 AS MATERIALIZED (SELECT word, i,
+      |    CAST(CASE WHEN i = 0 THEN 0 ELSE 1000000000000000 END AS BIGINT) AS c,
+      |    CAST(0 AS BIGINT) AS n FROM pos),
+      |$rounds,
+      |seg AS (SELECT word, c AS wc, n AS wn FROM dp16 WHERE i = len(word))
+      |SELECT w.doc_id, COUNT(*) AS n_words,
+      |  CAST(SUM(wn) AS BIGINT) AS n_pieces,
+      |  CAST(SUM(wc) AS BIGINT) AS cost_q,
+      |  CAST(SUM(wn) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS pieces_per_word
+      |FROM w JOIN seg ON w.word = seg.word GROUP BY w.doc_id""".stripMargin +
+      orderByAll("doc_id", "n_words", "n_pieces", "cost_q", "pieces_per_word")
+  }
+
   def oracle: Map[String, String] = Map(
+    "q_text_unigram_segment" -> unigramSql,
     "q_text_bpe" -> bpeOracleSql,
     "q_text_bpe_apply" -> bpeApplyOracleSql,
     "q_text_decontaminate" ->

@@ -127,6 +127,25 @@ class TextSpec extends SparkSpec {
     assert(rows.map(_._2).sum === toks)
   }
 
+  test("q_text_unigram_segment: Viterbi beats char-level, piece counts bounded (late r9)") {
+    val rows = SparkEntry.queries("q_text_unigram_segment")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_pieces"), r.getAs[Double]("pieces_per_word")))
+    assert(rows.nonEmpty)
+    val charCounts = fixtureToks().map { case (id, t) =>
+      id -> t.map(_.length.toLong).sum }.toMap
+    rows.foreach { case (id, w, p, ppw) =>
+      // each word yields between 1 piece and len(word) pieces
+      assert(w <= p && p <= charCounts(id),
+        s"doc $id: words=$w pieces=$p chars=${charCounts(id)}")
+      assert(ppw >= 1.0, s"doc $id: pieces_per_word $ppw < 1")
+    }
+    // the DP genuinely chose multi-char pieces: corpus-wide pieces are
+    // strictly below the char-level segmentation's count
+    assert(rows.map(_._3).sum < rows.map(r => charCounts(r._1)).sum,
+      "Viterbi never merged characters — DP path dead")
+  }
+
   test("q_quality_classifier matches an independent in-memory scorer (r8)") {
     val stop = graft.operators.Text.Markers.en.toSet
     val expected = fixtureToks().filter(_._2.nonEmpty).map { case (id, t) =>
