@@ -267,6 +267,42 @@ object TableFormat {
           rows.getLong(0), rows.getDouble(1)))
         .toDF("n_versions", "n_files", "n_rows", "sum_value"))
     },
+    "q_table_merge" -> { (s, dir) =>
+      // Copy-on-write MERGE through the log (added late r9) — Delta
+      // MERGE INTO, completing the write trio (append/delete/merge)
+      // and distinct from q_merge_upsert (which computes merge
+      // SEMANTICS on dataframes; this key commits them ATOMICALLY
+      // with CoW file accounting). Staging is predicate-aligned like
+      // q_table_delete: v0 holds user_id%4<2 (2 files), v1 appends
+      // the rest (2 more); updates REPLACE every user_id%4=1 row
+      // (value+1000 — those keys live only in the v0-era files, so
+      // exactly 2 files dirty, 2 carry byte-identical) and INSERT
+      // id-shifted copies of the user_id%4=3 rows (match nothing).
+      // One atomic commit publishes carried + rewritten + staged
+      // update files; the counters and the post-merge aggregate are
+      // pinned by construction → oracle-checkable. StreamingSpec pins
+      // the mechanism (clean paths reused, pinned pre-merge reader,
+      // changes() refusal across op="merge").
+      val root = java.nio.file.Files.createTempDirectory("graft_table_mrg")
+      root.toFile.deleteOnExit()
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      CommitLog.append(s, root.toString, ev.filter(col("user_id") % 4 < 2), nFiles = 2)
+      CommitLog.append(s, root.toString, ev.filter(col("user_id") % 4 >= 2), nFiles = 2)
+      val replaced = ev.filter(col("user_id") % 4 === 1)
+        .withColumn("value", col("value") + lit(1000.0))
+      val inserts = ev.filter(col("user_id") % 4 === 3)
+        .withColumn("event_id", col("event_id") + lit(1000000000L))
+      val updates = replaced.unionByName(inserts)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val (v, carried, rewritten) =
+        CommitLog.merge(s, root.toString, updates, "event_id", nInsertFiles = 2)
+      ordered(CommitLog.read(s, root.toString, v)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("sum_value"))
+        .select(lit(carried).as("n_files_carried"),
+          lit(rewritten).as("n_files_rewritten"),
+          col("n_rows"), col("sum_value")))
+    },
     "q_table_add_column" -> { (s, dir) =>
       // Schema evolution through the log (added late r9) — the Delta
       // schema-in-the-log design, distinct from q_scan_schema_evolution
@@ -378,6 +414,17 @@ object TableFormat {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
         |FROM events""".stripMargin +
         orderByAll("n_versions", "n_files", "n_rows", "sum_value")),
+    "q_table_merge" ->
+      ("""WITH m AS (
+        |  SELECT value FROM events WHERE user_id % 4 <> 1
+        |  UNION ALL SELECT value + 1000 FROM events WHERE user_id % 4 = 1
+        |  UNION ALL SELECT value FROM events WHERE user_id % 4 = 3)
+        |SELECT CAST(2 AS BIGINT) AS n_files_carried,
+        |  CAST(2 AS BIGINT) AS n_files_rewritten,
+        |  COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
+        |FROM m""".stripMargin +
+        orderByAll("n_files_carried", "n_files_rewritten", "n_rows", "sum_value")),
     "q_table_add_column" ->
       ("""SELECT CASE WHEN event_id % 2 = 0 THEN NULL
         |    WHEN value >= 50.0 THEN 'high' ELSE 'low' END AS value_tier,

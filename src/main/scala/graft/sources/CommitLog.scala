@@ -392,6 +392,53 @@ object CommitLog {
     (v, clean.size.toLong, rewritten.size.toLong)
   }
 
+  /** Copy-on-write MERGE (upsert) — the Delta MERGE INTO write path,
+    * completing the log's write trio (append / delete / merge):
+    * matched keys are REPLACED by their update rows, unmatched update
+    * rows INSERT. One pass finds the data files holding matched keys
+    * (a left-semi join against the update keys; the collect is file
+    * PATHS, metadata-sized), clean files carry over byte-identical,
+    * dirty files are rewritten WITHOUT their matched rows, and every
+    * update row (replacement + insert alike) stages into new files —
+    * all published as ONE atomic commit, op="merge" (a data-changing
+    * rewrite: changes() refuses file-diff ranges across it, pinned
+    * readers at older versions still see pre-merge rows).
+    *
+    * 100 TB posture: cost scales with the DIRTY file set plus the
+    * update volume, never the table — a key-aligned layout (partition
+    * or cluster by the merge key, q_table_optimize) keeps the dirty
+    * set small, and the dirty-file scan pushes the key predicate to
+    * parquet. Returns (newVersion, filesCarried, filesRewritten). */
+  def merge(s: SparkSession, root: String, updates: DataFrame,
+      keyCol: String, nInsertFiles: Int): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{col, input_file_name}
+    val prev = latestVersion(root)
+      .getOrElse(sys.error(s"cannot merge into an empty table at $root"))
+    val files = snapshotFiles(root, prev)
+    val keys = updates.select(col(keyCol)).distinct()
+    // input_file_name is captured BEFORE the join (after a join the
+    // expression is ambiguous across sources and Spark rejects it)
+    val dirtyAbs = s.read.parquet(files: _*)
+      .select(col(keyCol), input_file_name().as("_graft_file"))
+      .join(keys, Seq(keyCol), "left_semi")
+      .select(col("_graft_file")).distinct()
+      .collect().map(r => new java.io.File(new java.net.URI(r.getString(0))).toString)
+      .toSet
+    val (dirty, clean) = files.partition(dirtyAbs.contains)
+    val carried = clean.map(p => relativize(root, p))
+    val rewritten =
+      if (dirty.isEmpty) Nil
+      else stageDataFiles(s, root,
+        s.read.parquet(dirty: _*).join(keys, Seq(keyCol), "left_anti"),
+        math.max(1, dirty.size))
+    val inserted = stageDataFiles(s, root, updates, nInsertFiles)
+    val (prevCol, prevStats) = snapshotStatsOf(root, prev)
+    val v = commit(root, carried ++ rewritten ++ inserted, Some(prev), op = "merge",
+      statsCol = prevCol, stats = prevStats.filter(kv => carried.contains(kv._1)),
+      schemaJson = carriedSchemaJson(root, Some(prev)))
+    (v, clean.size.toLong, rewritten.size.toLong)
+  }
+
   /** Retention-gated file removal — the other half of "compaction
     * never deletes": physically drop data files referenced ONLY by
     * versions older than `retainFrom` (plus their manifests). Readers

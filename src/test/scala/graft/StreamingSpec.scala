@@ -615,6 +615,42 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("commit log: CoW merge carries clean files, isolates pinned readers, blocks changes() (r9)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_mrg").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    CommitLog.append(spark, root, ev.filter(col("user_id") % 4 < 2), nFiles = 2)
+    val v1 = CommitLog.append(spark, root, ev.filter(col("user_id") % 4 >= 2), nFiles = 2)
+    val preFiles = CommitLog.snapshotFiles(root, v1)
+    val preSum = CommitLog.read(spark, root, v1)
+      .agg(sum(col("event_id"))).collect()(0).getLong(0)
+    val updates = ev.filter(col("user_id") % 4 === 1)
+      .withColumn("value", col("value") * 2)
+    val (v2, carried, rewritten) =
+      CommitLog.merge(spark, root, updates, "event_id", nInsertFiles = 1)
+    assert(carried === 2 && rewritten === 2)
+    // clean files are carried by PATH — byte-identical, never rewritten
+    val postFiles = CommitLog.snapshotFiles(root, v2).toSet
+    assert(preFiles.count(postFiles.contains) === 2)
+    // row identity: pure replace, no inserts here — same key set
+    assert(CommitLog.read(spark, root, v2)
+      .agg(sum(col("event_id"))).collect()(0).getLong(0) === preSum)
+    // matched rows really were replaced
+    val doubled = CommitLog.read(spark, root, v2)
+      .filter(col("user_id") % 4 === 1).agg(sum(col("value").cast("decimal(18,4)"))).collect()(0).getDecimal(0)
+    val orig = ev.filter(col("user_id") % 4 === 1)
+      .agg(sum((col("value") * 2).cast("decimal(18,4)"))).collect()(0).getDecimal(0)
+    assert(doubled === orig, "merged values do not match the update rows")
+    // pinned reader at v1 still sees pre-merge values
+    assert(CommitLog.read(spark, root, v1)
+      .agg(sum(col("value").cast("decimal(18,4)"))).collect()(0).getDecimal(0) !== doubled)
+    // merge is a data-changing rewrite: changes() must refuse across it
+    intercept[IllegalArgumentException] {
+      CommitLog.changes(spark, root, v1, v2).count()
+    }
+  }
+
   test("commit log: schema evolution is versioned, type conflicts fail at commit, carried forward (r9)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_cl_evo").toString
