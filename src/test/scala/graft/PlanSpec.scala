@@ -630,6 +630,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), "no semi join restricting codes to probed candidates")
   }
 
+  test("q_pipeline_curation: the five-stage funnel plans without a cartesian (late r9)") {
+    // the funnel composes a window dedup, the prefix-filtered shingle
+    // join, narrow filters, and the 8-gram decontamination join — at
+    // no stage may the composition degrade to an all-pairs product
+    val p = planOf("q_pipeline_curation")
+    assert(!p.contains("CartesianProduct"), "cartesian in the funnel plan")
+    assert(!p.contains("BroadcastNestedLoopJoin Inner"),
+      "inner BNLJ in the funnel plan")
+    // the near-dup and decontamination stages are both anti joins
+    assert(p.contains("LeftAnti"), "no anti join — a drop stage is missing")
+  }
+
   test("q_sql_tpch_q17: correlated AVG decorrelates to a grouped agg + join-back (r9)") {
     // the classic Q17 planner trap: a naive plan rescans lineitem per
     // outer row; the correct plan aggregates sum+count per l_partkey
