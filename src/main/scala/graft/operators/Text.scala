@@ -362,6 +362,41 @@ object Text {
           col("n_dup").cast("long").as("n_dup"),
           (col("n_dup").cast("double") / col("n_chunks")).as("dup_ratio")))
     },
+    "q_dedup_span_strip" -> { (s, dir) =>
+      // Span-strip TRANSFORM (added late r9) — the removal half of
+      // q_dedup_span (which only REPORTS dup pressure): the Dolma
+      // paragraph rule actually applied. Every duplicated chunk keeps
+      // its occurrence in the LOWEST doc_id (a deterministic global
+      // first-keeper; Dolma keeps the first by corpus order) and is
+      // stripped everywhere else; per affected doc the key reports
+      // token counts before/after and chunks stripped — the transform
+      // a corpus build executes, with conservation auditable from the
+      // numbers. Same chunking and 128-bit chunk keys as q_dedup_span
+      // (20-token non-overlapping, md5 of the joined span).
+      //
+      // 100 TB posture: identical to q_dedup_span's — O(chunks) rows
+      // carrying hashes, one hash-agg for the keeper map (min doc_id
+      // + distinct count in the same agg), broadcast join-back, then
+      // a per-doc hash agg; the strip decision is a pure per-row
+      // predicate, no second corpus pass.
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), toks().as("t")).filter(size(col("t")) > 0)
+      val ch = t.select(col("doc_id"), explode(expr(
+          "transform(sequence(0, CAST(ceil(size(t) / 20.0) AS INT) - 1)," +
+            " i -> slice(t, i * 20 + 1, 20))")).as("ck"))
+        .select(col("doc_id"), md5(array_join(col("ck"), " ")).as("h"),
+          size(col("ck")).cast("long").as("n"))
+      val keeper = ch.groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keep_doc"),
+          countDistinct(col("doc_id")).as("nd"))
+      val m = ch.join(broadcast(keeper), Seq("h"))
+        .withColumn("strip", col("nd") > 1 && col("doc_id") =!= col("keep_doc"))
+      ordered(m.groupBy(col("doc_id"))
+        .agg(sum(col("n")).as("n_tok_before"),
+          sum(when(col("strip"), 0L).otherwise(col("n"))).as("n_tok_after"),
+          sum(when(col("strip"), 1L).otherwise(0L)).as("n_chunks_stripped"))
+        .filter(col("n_chunks_stripped") > 0))
+    },
     "q_dedup_substring" -> { (s, dir) =>
       // Exact repeated-substring dedup at ARBITRARY boundaries — the
       // suffix-array dedup shape (Lee et al. 2022, "Deduplicating
@@ -1172,6 +1207,24 @@ object Text {
         |  CAST(LEAST(len(tk) - start, 32) AS BIGINT) AS n_tokens
         |FROM c""".stripMargin +
         orderByAll("doc_id", "chunk_id", "chunk_text", "n_tokens")),
+    "q_dedup_span_strip" ->
+      (s"""WITH d AS (SELECT doc_id, $tokSql AS t FROM documents),
+        |ch AS (SELECT doc_id,
+        |    md5(list_aggregate(t[i*20+1 : i*20+20], 'string_agg', ' ')) AS h,
+        |    CAST(len(t[i*20+1 : i*20+20]) AS BIGINT) AS n
+        |  FROM d, unnest(range(0, CAST(ceil(len(t) / 20.0) AS INT))) AS u(i)
+        |  WHERE len(t) > 0),
+        |k AS (SELECT h, MIN(doc_id) AS keep_doc, COUNT(DISTINCT doc_id) AS nd
+        |  FROM ch GROUP BY h),
+        |m AS (SELECT ch.doc_id, ch.n,
+        |    (k.nd > 1 AND ch.doc_id <> k.keep_doc) AS strip
+        |  FROM ch JOIN k USING (h))
+        |SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tok_before,
+        |  CAST(SUM(CASE WHEN strip THEN 0 ELSE n END) AS BIGINT) AS n_tok_after,
+        |  CAST(SUM(CASE WHEN strip THEN 1 ELSE 0 END) AS BIGINT) AS n_chunks_stripped
+        |FROM m GROUP BY doc_id
+        |HAVING SUM(CASE WHEN strip THEN 1 ELSE 0 END) > 0""".stripMargin +
+        orderByAll("doc_id", "n_tok_before", "n_tok_after", "n_chunks_stripped")),
     "q_dedup_span" ->
       (s"""WITH d AS (SELECT doc_id, $tokSql AS t FROM documents),
         |ch AS (SELECT doc_id,
