@@ -139,7 +139,16 @@ object Dedup {
     * lineage; a 20-round cap guards non-convergence (then O(log² n)
     * would have to exceed 20 — require fails loudly, never splits a
     * component silently). */
-  def dedupClusters(d: DataFrame): DataFrame = {
+  def dedupClusters(d: DataFrame): DataFrame =
+    clusterLabels(d)
+      .groupBy(col("label").as("cluster_id"))
+      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc_id"))
+
+  /** Per-doc cluster labels (doc_id, label) — label = min doc_id of
+    * the connected component; singletons label themselves. Shared by
+    * q_dedup_cluster (aggregated report) and q_dedup_survivors
+    * (per-cluster survivor selection). */
+  private[graft] def clusterLabels(d: DataFrame): DataFrame = {
     // MATERIALIZE the pair join first, at the session's batch fan-out:
     // it is the expensive half (the full prefix-filtered similarity
     // join), and its memoized eager checkpoint pins the result so the
@@ -233,8 +242,6 @@ object Dedup {
       .join(inGraph, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("doc_id").as("label"))
     labels.union(singletons)
-      .groupBy(col("label").as("cluster_id"))
-      .agg(count(lit(1)).as("n_docs"), max(col("doc_id")).as("max_doc_id"))
   }
 
   /** URL canonicalization pipeline (q_dedup_url; r9 rework of the
@@ -266,6 +273,35 @@ object Dedup {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_cluster" -> { (s, dir) =>
       ordered(dedupClusters(Tables(s, dir, "documents")))
+    },
+    "q_dedup_survivors" -> { (s, dir) =>
+      // Survivor selection (added late r9) — the TRANSFORM half of
+      // q_dedup_cluster, the doc-level analog of q_dedup_span_strip:
+      // per near-dup cluster keep the LONGEST doc (most tokens — the
+      // keep-the-most-content heuristic corpus builds use; ties to
+      // the lowest doc_id), report per multi-doc cluster the
+      // survivor and the token mass dropped. The argmax is ONE
+      // hash-agg via max(struct(n_tok, -doc_id)) — no rank window,
+      // no second pass; labels come from the shared clusterLabels
+      // (same connected components the cluster report uses, so the
+      // two keys are mutually consistent by construction).
+      //
+      // 100 TB posture: clusterLabels' cost is the memoized pair
+      // join + O(|edges|) contraction rounds; this adds one narrow
+      // token-count map and one hash-agg keyed by label.
+      val d = Tables(s, dir, "documents")
+      val ntok = d.select(col("doc_id"),
+        expr("size(filter(split(text, ' '), t -> t <> ''))").cast("long").as("n_tok"))
+      val j = clusterLabels(d).join(ntok, Seq("doc_id"))
+      ordered(j.groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("total_tokens"),
+          max(struct(col("n_tok"), (-col("doc_id")).as("neg_id"))).as("b"))
+        .filter(col("n_docs") > 1)
+        .select(col("cluster_id"), col("n_docs"),
+          (-col("b.neg_id")).as("survivor_id"),
+          col("b.n_tok").as("survivor_tokens"),
+          (col("total_tokens") - col("b.n_tok")).as("n_tokens_dropped")))
     },
     "q_dedup_exact" -> { (s, dir) =>
       // canonical survivor per content hash: min doc_id + group size
@@ -557,6 +593,38 @@ object Dedup {
         |  MAX(doc_id) AS max_doc_id
         |FROM lab GROUP BY label""".stripMargin +
         orderByAll("cluster_id", "n_docs", "max_doc_id")),
+    // same recursive closure as q_dedup_cluster, then the longest-doc
+    // argmax replayed as a rank (the engine's struct-max total order =
+    // n_tok DESC, doc_id ASC)
+    "q_dedup_survivors" ->
+      (s"""WITH RECURSIVE $shTableSql,
+        |pairs AS (
+        |  SELECT a.doc_id AS da, b.doc_id AS db
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.sh, b.sh)) * 5 >=
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) * 4),
+        |edges AS (SELECT da AS src, db AS dst FROM pairs
+        |          UNION ALL SELECT db, da FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src),
+        |lab AS (SELECT a AS doc_id, MIN(b) AS label FROM reach GROUP BY a),
+        |nt AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |j AS (SELECT lab.doc_id, lab.label, nt.n_tok
+        |  FROM lab JOIN nt ON lab.doc_id = nt.doc_id),
+        |r AS (SELECT *, row_number() OVER (
+        |    PARTITION BY label ORDER BY n_tok DESC, doc_id) AS rn FROM j)
+        |SELECT label AS cluster_id, COUNT(*) AS n_docs,
+        |  MAX(CASE WHEN rn = 1 THEN doc_id END) AS survivor_id,
+        |  MAX(CASE WHEN rn = 1 THEN n_tok END) AS survivor_tokens,
+        |  CAST(SUM(n_tok) AS BIGINT) - MAX(CASE WHEN rn = 1 THEN n_tok END)
+        |    AS n_tokens_dropped
+        |FROM r GROUP BY label HAVING COUNT(*) > 1""".stripMargin +
+        orderByAll("cluster_id", "n_docs", "survivor_id", "survivor_tokens",
+          "n_tokens_dropped")),
     "q_dedup_exact" ->
       ("""SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
         |  COUNT(*) AS n_dups
