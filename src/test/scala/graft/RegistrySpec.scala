@@ -20,6 +20,35 @@ class RegistrySpec extends SparkSpec {
     assert(orphans.isEmpty, s"oracle-only keys: $orphans")
   }
 
+  test("every no-oracle key is an explicit, spec-covered exemption") {
+    // the correctness gate only checks keys with an oracle twin — a
+    // new key silently missing its oracle would otherwise degrade to
+    // the weaker rows-only check without anyone deciding that. Every
+    // exemption here is deliberate (approximate sketch/LSH families
+    // whose output is seed-dependent, and streaming sinks/state whose
+    // contract is stream-vs-batch equivalence) and each is asserted
+    // by a named sbt test (AggregatesSpec sketch bounds, DedupSpec /
+    // SimilaritySpec recall bounds, TextSpec bloom superset,
+    // StreamingSpec / KafkaBindingSpec lifecycle + equivalence).
+    val allowed = Set(
+      "q_agg_approx_distinct", "q_agg_approx_percentile",
+      "q_agg_countmin", "q_agg_sketch_partial", "q_agg_theta_intersect",
+      "q_dedup_minhash", "q_dedup_simhash", "q_sim_lsh_bucketed",
+      "q_text_decontaminate_bloom",
+      "s_compact_files", "s_decode_avro", "s_decode_stream",
+      "s_dedup_stream", "s_dedup_stream_near", "s_foreachbatch_upsert",
+      "s_ingest_availablenow", "s_ingest_kafka", "s_join_stream",
+      "s_late_data", "s_sink_avro", "s_sink_partitioned",
+      "s_sink_seqfile", "s_sink_text", "s_stateful_session",
+      "s_stateful_session_tws", "s_stateful_zscore", "s_stream_cdc",
+      "s_stream_outer_join", "s_stream_session_window",
+      "s_stream_sliding", "s_stream_topk", "s_stream_tumbling")
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle === allowed,
+      s"unexpected no-oracle keys: ${noOracle -- allowed}; " +
+        s"stale exemptions: ${allowed -- noOracle}")
+  }
+
   test("inventory covers all SURVEY §2 declared keys") {
     val declared = Seq(
       // B1
