@@ -250,9 +250,12 @@ object Dedup {
     *  - lowercase SCOPED to scheme+authority — query values and paths
     *    are case-significant (?ref=KEEP ≠ ?ref=keep; the r8 whole-URL
     *    lower() over-merged);
-    *  - default :443 strips at the END of the extracted authority, so
-    *    pathless `https://host:443?x=1` normalizes too (the r8
-    *    ":443/" rule needed a following slash);
+    *  - default :443 strips at the END of the extracted authority —
+    *    and ONLY under the https scheme (late-r9 review fix: on
+    *    http://host:443 the port is NON-default, a different origin,
+    *    and stripping it would merge distinct URLs); pathless
+    *    `https://host:443?x=1` normalizes too (the r8 ":443/" rule
+    *    needed a following slash);
     *  - the trailing slash strips before a query string as well
     *    ("/p/21/?ref=x" ≡ "/p/21?ref=x") — two RE2-safe replaces
     *    ("/?"→"?", then "/$"→"") because RE2/DuckDB has no lookahead.
@@ -262,7 +265,7 @@ object Dedup {
   private[graft] def canonicalizeUrl(raw: Column): Column = {
     val u1 = regexp_replace(raw, "#.*$", "")
     val auth = regexp_extract(u1, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
-    val u2 = concat(regexp_replace(lower(auth), ":443$", ""),
+    val u2 = concat(regexp_replace(lower(auth), "^(https://[^:]*):443$", "$1"),
       u1.substr(length(auth) + lit(1), length(u1)))
     val u4 = regexp_replace(u2, "[?&]utm_[^&#]*", "")
     val u5 = regexp_replace(u4, "\\?&", "?")
@@ -668,7 +671,7 @@ object Dedup {
         |      regexp_replace(
         |        regexp_replace(
         |          regexp_replace(
-        |            regexp_replace(lower(auth), ':443$', '') ||
+        |            regexp_replace(lower(auth), '^(https://[^:]*):443$', '\1') ||
         |              substring(u1, length(auth) + 1),
         |            '[?&]utm_[^&#]*', '', 'g'),
         |          '\?&', '?', 'g'),

@@ -1075,7 +1075,7 @@ object Text {
     * and the 8 unrolled merge rounds (p_i candidates, m_i winner, s_i
     * re-segmented vocabulary). */
   private def bpeRoundsSql: String = {
-    val rounds = (1 to 16).map { i =>
+    val rounds = (1 to 8).map { i =>
       val prev = s"s${i - 1}"
       s"""p$i AS (SELECT syms[j] AS lsym, syms[j+1] AS rsym, SUM(cnt) AS c
         |  FROM $prev, unnest(range(1, len(syms))) AS u(j) GROUP BY 1, 2),

@@ -122,17 +122,19 @@ object CommitLog {
     }
   }
 
+  /** The schema JSON the previous version's manifest carries, if any —
+    * every commit kind passes it forward so one schema-unaware writer
+    * never strips an evolved table's log schema (the stats-carry
+    * rule, applied to the schema). Segment manifests are a separate
+    * format without a schema field — the segmented keys build fresh,
+    * never-evolved tables. */
+  private def carriedSchemaJson(root: String, prev: Option[Long]): Option[String] =
+    prev.flatMap(v => snapshotSchemaOf(root, v)).map(_.json)
+
   /** Stage `df` as `nFiles` new data files and commit them APPENDED to
     * the current snapshot (or as the first snapshot). Data files land
     * under data/ with unique names but stay invisible to readers until
     * the manifest rename publishes them. */
-  /** The schema JSON the previous version's manifest carries, if any —
-    * every commit kind passes it forward so one schema-unaware writer
-    * never strips an evolved table's log schema (the stats-carry
-    * rule, applied to the schema). */
-  private def carriedSchemaJson(root: String, prev: Option[Long]): Option[String] =
-    prev.flatMap(v => snapshotSchemaOf(root, v)).map(_.json)
-
   def append(s: SparkSession, root: String, df: DataFrame, nFiles: Int): Long = {
     val prev = latestVersion(root)
     val prevFiles = prev.map(v => snapshotFiles(root, v)
@@ -174,6 +176,19 @@ object CommitLog {
       case None => s.read.parquet(files: _*)
     }
   }
+
+  /** Read an explicit subset of `version`'s files under the manifest
+    * schema when one is recorded — every partial-snapshot reader
+    * (pruned scan, CDF delta, CoW dirty-file pass) must use this, not
+    * a raw parquet read: on a schema-evolved table a raw read
+    * footer-infers from a sampled file and an added column silently
+    * appears or vanishes with the sample. */
+  private def readSubset(s: SparkSession, root: String, version: Long,
+      files: Seq[String]): DataFrame =
+    snapshotSchemaOf(root, version) match {
+      case Some(st) => s.read.schema(st).parquet(files: _*)
+      case None => s.read.parquet(files: _*)
+    }
 
   /** The schema the manifest of `version` records, if its committing
     * writer was schema-aware (appendEvolved); None = pre-evolution
@@ -262,13 +277,17 @@ object CommitLog {
       .map(p => relativize(root, p))).getOrElse(Nil)
     val prevStats = prev.map(v => snapshotStatsOf(root, v)._2).getOrElse(Map.empty)
     val staged = stageDataFiles(s, root, df, nFiles)
-    val newStats = staged.map { rel =>
+    // an all-NULL (or empty) file has no min/max — it stays stat-less
+    // and therefore unprunable, which is the safe default
+    val newStats = staged.flatMap { rel =>
       val r = s.read.parquet(new java.io.File(root, rel).toString)
         .agg(min(col(statsCol)), max(col(statsCol))).collect()(0)
-      rel -> (r.getLong(0), r.getLong(1))
+      if (r.isNullAt(0) || r.isNullAt(1)) None
+      else Some(rel -> (r.getLong(0), r.getLong(1)))
     }.toMap
     commit(root, prevFiles ++ staged, prev,
-      statsCol = Some(statsCol), stats = prevStats ++ newStats)
+      statsCol = Some(statsCol), stats = prevStats ++ newStats,
+      schemaJson = carriedSchemaJson(root, prev))
   }
 
   /** Stats-pruned scan: the files of `version` whose [min, max] range
@@ -289,7 +308,8 @@ object CommitLog {
     }
     val df =
       if (keep.isEmpty) read(s, root, version).limit(0)
-      else s.read.parquet(keep.map(f => new java.io.File(root, f).toString): _*)
+      else readSubset(s, root, version,
+        keep.map(f => new java.io.File(root, f).toString))
     (df, files.size, keep.size)
   }
 
@@ -315,7 +335,7 @@ object CommitLog {
     val before = snapshotFiles(root, fromVersion).toSet
     val added = snapshotFiles(root, toVersion).filterNot(before)
     if (added.isEmpty) read(s, root, toVersion).limit(0)
-    else s.read.parquet(added: _*)
+    else readSubset(s, root, toVersion, added)
   }
 
   /** Idempotent STREAMING append — the Delta streaming-sink design:
@@ -373,7 +393,7 @@ object CommitLog {
     val prev = latestVersion(root)
       .getOrElse(sys.error(s"cannot delete from an empty table at $root"))
     val files = snapshotFiles(root, prev)
-    val dirtyAbs = s.read.parquet(files: _*).filter(cond)
+    val dirtyAbs = readSubset(s, root, prev, files).filter(cond)
       .select(input_file_name()).distinct()
       .collect().map(r => new java.io.File(new java.net.URI(r.getString(0))).toString)
       .toSet
@@ -382,7 +402,7 @@ object CommitLog {
     val rewritten =
       if (dirty.isEmpty) Nil
       else stageDataFiles(s, root,
-        s.read.parquet(dirty: _*).filter(!cond), math.max(1, dirty.size))
+        readSubset(s, root, prev, dirty).filter(!cond), math.max(1, dirty.size))
     // carried files keep their stats entries; rewritten files have no
     // stats (unprunable) unless a stats-aware writer recomputes them
     val (prevCol, prevStats) = snapshotStatsOf(root, prev)
@@ -418,7 +438,7 @@ object CommitLog {
     val keys = updates.select(col(keyCol)).distinct()
     // input_file_name is captured BEFORE the join (after a join the
     // expression is ambiguous across sources and Spark rejects it)
-    val dirtyAbs = s.read.parquet(files: _*)
+    val dirtyAbs = readSubset(s, root, prev, files)
       .select(col(keyCol), input_file_name().as("_graft_file"))
       .join(keys, Seq(keyCol), "left_semi")
       .select(col("_graft_file")).distinct()
@@ -429,7 +449,7 @@ object CommitLog {
     val rewritten =
       if (dirty.isEmpty) Nil
       else stageDataFiles(s, root,
-        s.read.parquet(dirty: _*).join(keys, Seq(keyCol), "left_anti"),
+        readSubset(s, root, prev, dirty).join(keys, Seq(keyCol), "left_anti"),
         math.max(1, dirty.size))
     val inserted = stageDataFiles(s, root, updates, nInsertFiles)
     val (prevCol, prevStats) = snapshotStatsOf(root, prev)
@@ -544,18 +564,28 @@ object CommitLog {
     val cur = read(s, root, prev) // pinned: immune to concurrent commits
     val bounds = (None +: cutoffs.map(Some(_))).zip(cutoffs.map(Some(_)) :+ None)
     val staged = bounds.flatMap { case (lo, hi) =>
-      val part = cur.filter(
+      // NULL keys route to the FIRST bucket (a range predicate is
+      // null-rejecting, so without this a row with a NULL cluster key
+      // would match no bucket and the "data-neutral rewrite" would
+      // silently drop it); the bucket's file stats ignore nulls, which
+      // stays safe — a range probe never matches NULL rows anyway
+      val rangePred =
         lo.map(col(statsCol) > lit(_)).getOrElse(lit(true)) &&
-          hi.map(col(statsCol) <= lit(_)).getOrElse(lit(true)))
+          hi.map(col(statsCol) <= lit(_)).getOrElse(lit(true))
+      val part = cur.filter(
+        if (lo.isEmpty) col(statsCol).isNull || rangePred else rangePred)
       stageDataFiles(s, root, part, filesPerBucket)
     }
-    val stats = staged.map { rel =>
+    // an all-NULL (or empty) file has no min/max — stat-less ⇒ always read
+    val stats = staged.flatMap { rel =>
       val r = s.read.parquet(new java.io.File(root, rel).toString)
         .agg(min(col(statsCol)), max(col(statsCol))).collect()(0)
-      rel -> (r.getLong(0), r.getLong(1))
+      if (r.isNullAt(0) || r.isNullAt(1)) None
+      else Some(rel -> (r.getLong(0), r.getLong(1)))
     }.toMap
     commit(root, staged, Some(prev), op = "optimize",
-      statsCol = Some(statsCol), stats = stats)
+      statsCol = Some(statsCol), stats = stats,
+      schemaJson = carriedSchemaJson(root, Some(prev)))
   }
 
   // ------------------------------------------------------------------

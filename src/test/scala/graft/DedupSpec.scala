@@ -102,6 +102,9 @@ class DedupSpec extends SparkSpec {
         "https://host.example.com/p/21?ref=keep"),
       // :443 inside a PATH must NOT strip (only the authority port)
       ("https://host.example.com/a:443/b", "https://host.example.com/a:443/b"),
+      // :443 under http is a NON-default port — a different origin,
+      // must survive (late-r9 review fix: the strip is https-scoped)
+      ("http://host.example.com:443/p/1", "http://host.example.com:443/p/1"),
       // full noise stack at once
       ("https://UP.Example.COM:443/p/3/?utm_source=feed&utm_campaign=x#sec",
         "https://up.example.com/p/3"))

@@ -669,6 +669,18 @@ class StreamingSpec extends SparkSpec {
     // a plain append after evolution carries the evolved schema forward
     val v2 = CommitLog.append(spark, root, ev.limit(0), nFiles = 1)
     assert(CommitLog.snapshotSchemaOf(root, v2).exists(_.fieldNames.contains("flag")))
+    // …and so do the rewrite commits (late-r9 review fix: optimize and
+    // the stats-aware append used to strip the log schema), and the
+    // rewritten head still reads the full evolved schema
+    val m = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+    val v3 = CommitLog.optimize(spark, root, "event_id",
+      cutoffs = Seq(m / 2), filesPerBucket = 1)
+    assert(CommitLog.snapshotSchemaOf(root, v3).exists(_.fieldNames.contains("flag")),
+      "optimize stripped the evolved log schema")
+    val v4 = CommitLog.appendWithStats(spark, root, ev.limit(0), 1, "event_id")
+    assert(CommitLog.snapshotSchemaOf(root, v4).exists(_.fieldNames.contains("flag")),
+      "appendWithStats stripped the evolved log schema")
+    assert(CommitLog.read(spark, root, v4).schema.fieldNames.contains("flag"))
     // retyping a column fails at COMMIT time with a clear error
     val err = intercept[IllegalArgumentException] {
       CommitLog.appendEvolved(spark, root,
