@@ -299,6 +299,10 @@ object Similarity {
       val top20 = adc.orderBy(col("adc").asc, col("vec_id")).limit(20)
       val rer = top20.join(e, Seq("vec_id")).crossJoin(broadcast(q))
         .withColumn("c", call_function("cosine_sim", col("v"), col("qv")))
+      // unpartitioned window is safe here: its input is the 20-row
+      // rerank set (TakeOrderedAndProject upstream bounds it), never
+      // corpus-sized — the multi-query variant partitions by q_id
+      // (q_sim_pq_adc)
       val w = org.apache.spark.sql.expressions.Window
         .orderBy(col("c").desc, col("vec_id"))
       ordered(rer.withColumn("rank", row_number().over(w).cast("long"))
