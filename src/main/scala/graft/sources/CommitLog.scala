@@ -75,6 +75,9 @@ object CommitLog {
     val node = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(java.nio.file.Files.readString(f.toPath))
     val files = node.get("files")
+    require(files != null,
+      s"version $version under $root is a SEGMENTED manifest — " +
+        "read it through segmentsOf/segmentedPrunedRead, not the flat-manifest API")
     (Option(node.get("op")).map(_.asText()).getOrElse("append"),
       (0 until files.size()).map(i => files.get(i).asText()))
   }
@@ -269,24 +272,51 @@ object CommitLog {
     * time cost, amortized over every future pruned read). Prior
     * versions' entries carry over, so the whole snapshot stays
     * prunable after many appends. */
+  /** Per-file min/max of `statsCol` over `staged` (relative paths) in
+    * ONE Spark job — a groupBy(input_file_name) aggregate, not a
+    * read+agg+collect per file (N driver round-trips on the commit
+    * path). An all-NULL or empty file yields no entry: stat-less ⇒
+    * unprunable, the safe default. Paths compare canonicalized so a
+    * relative `root` still matches input_file_name's absolute URIs.
+    * Column names are validated here because they interpolate into
+    * hand-built manifest JSON — a quote or backslash would commit a
+    * permanently unparseable manifest. */
+  private def perFileStats(s: SparkSession, root: String,
+      staged: Seq[String], statsCol: String): Map[String, (Long, Long)] = {
+    import org.apache.spark.sql.functions.{col, input_file_name, max, min}
+    require(!statsCol.exists(c => c == '"' || c == '\\' || c < ' '),
+      s"statsCol '$statsCol' would corrupt the manifest JSON")
+    if (staged.isEmpty) return Map.empty
+    val byCanon = staged.map(rel =>
+      new java.io.File(root, rel).getCanonicalPath -> rel).toMap
+    s.read.parquet(staged.map(rel => new java.io.File(root, rel).toString): _*)
+      .groupBy(input_file_name().as("_graft_file"))
+      .agg(min(col(statsCol)).as("mn"), max(col(statsCol)).as("mx"))
+      .collect().toSeq.flatMap { r =>
+        if (r.isNullAt(1) || r.isNullAt(2)) None
+        else byCanon
+          .get(new java.io.File(new java.net.URI(r.getString(0))).getCanonicalPath)
+          .map(_ -> (r.getLong(1), r.getLong(2)))
+      }.toMap
+  }
+
   def appendWithStats(s: SparkSession, root: String, df: DataFrame,
       nFiles: Int, statsCol: String): Long = {
-    import org.apache.spark.sql.functions.{col, max, min}
     val prev = latestVersion(root)
     val prevFiles = prev.map(v => snapshotFiles(root, v)
       .map(p => relativize(root, p))).getOrElse(Nil)
-    val prevStats = prev.map(v => snapshotStatsOf(root, v)._2).getOrElse(Map.empty)
+    // carried stats stay only if the previous writer recorded the SAME
+    // column — carrying another column's bounds under this one's name
+    // would make pruned reads skip files that DO hold matching rows
+    val (prevCol, prevStats0) =
+      prev.map(v => snapshotStatsOf(root, v)).getOrElse((None, Map.empty[String, (Long, Long)]))
+    val prevStats =
+      if (prevCol.contains(statsCol)) prevStats0
+      else Map.empty[String, (Long, Long)]
     val staged = stageDataFiles(s, root, df, nFiles)
-    // an all-NULL (or empty) file has no min/max — it stays stat-less
-    // and therefore unprunable, which is the safe default
-    val newStats = staged.flatMap { rel =>
-      val r = s.read.parquet(new java.io.File(root, rel).toString)
-        .agg(min(col(statsCol)), max(col(statsCol))).collect()(0)
-      if (r.isNullAt(0) || r.isNullAt(1)) None
-      else Some(rel -> (r.getLong(0), r.getLong(1)))
-    }.toMap
     commit(root, prevFiles ++ staged, prev,
-      statsCol = Some(statsCol), stats = prevStats ++ newStats,
+      statsCol = Some(statsCol),
+      stats = prevStats ++ perFileStats(s, root, staged, statsCol),
       schemaJson = carriedSchemaJson(root, prev))
   }
 
@@ -393,21 +423,33 @@ object CommitLog {
     val prev = latestVersion(root)
       .getOrElse(sys.error(s"cannot delete from an empty table at $root"))
     val files = snapshotFiles(root, prev)
-    val dirtyAbs = readSubset(s, root, prev, files).filter(cond)
+    // canonical paths on both sides: input_file_name yields absolute
+    // URIs while snapshotFiles reflects the caller's (possibly
+    // relative) root — a raw string compare would mark nothing dirty
+    // and silently no-op the delete
+    val dirtyCanon = readSubset(s, root, prev, files).filter(cond)
       .select(input_file_name()).distinct()
-      .collect().map(r => new java.io.File(new java.net.URI(r.getString(0))).toString)
+      .collect().map(r =>
+        new java.io.File(new java.net.URI(r.getString(0))).getCanonicalPath)
       .toSet
-    val (dirty, clean) = files.partition(dirtyAbs.contains)
+    val (dirty, clean) =
+      files.partition(f => dirtyCanon.contains(new java.io.File(f).getCanonicalPath))
     val carried = clean.map(p => relativize(root, p))
     val rewritten =
       if (dirty.isEmpty) Nil
+      // keep = NOT(cond) under three-valued logic would DROP rows where
+      // cond is NULL (a NULL-keyed row is not a match — it must survive)
       else stageDataFiles(s, root,
-        readSubset(s, root, prev, dirty).filter(!cond), math.max(1, dirty.size))
+        readSubset(s, root, prev, dirty)
+          .filter(!org.apache.spark.sql.functions.coalesce(
+            cond, org.apache.spark.sql.functions.lit(false))),
+        math.max(1, dirty.size))
     // carried files keep their stats entries; rewritten files have no
     // stats (unprunable) unless a stats-aware writer recomputes them
     val (prevCol, prevStats) = snapshotStatsOf(root, prev)
     val v = commit(root, carried ++ rewritten, Some(prev), op = "delete",
-      statsCol = prevCol, stats = prevStats.filter(kv => carried.contains(kv._1)),
+      statsCol = prevCol,
+      stats = { val cs = carried.toSet; prevStats.filter(kv => cs(kv._1)) },
       schemaJson = carriedSchemaJson(root, Some(prev)))
     (v, clean.size.toLong, rewritten.size.toLong)
   }
@@ -438,13 +480,17 @@ object CommitLog {
     val keys = updates.select(col(keyCol)).distinct()
     // input_file_name is captured BEFORE the join (after a join the
     // expression is ambiguous across sources and Spark rejects it)
-    val dirtyAbs = readSubset(s, root, prev, files)
+    // canonical paths on both sides (see delete() — a relative root
+    // would otherwise silently turn the merge into insert-only)
+    val dirtyCanon = readSubset(s, root, prev, files)
       .select(col(keyCol), input_file_name().as("_graft_file"))
       .join(keys, Seq(keyCol), "left_semi")
       .select(col("_graft_file")).distinct()
-      .collect().map(r => new java.io.File(new java.net.URI(r.getString(0))).toString)
+      .collect().map(r =>
+        new java.io.File(new java.net.URI(r.getString(0))).getCanonicalPath)
       .toSet
-    val (dirty, clean) = files.partition(dirtyAbs.contains)
+    val (dirty, clean) =
+      files.partition(f => dirtyCanon.contains(new java.io.File(f).getCanonicalPath))
     val carried = clean.map(p => relativize(root, p))
     val rewritten =
       if (dirty.isEmpty) Nil
@@ -454,7 +500,8 @@ object CommitLog {
     val inserted = stageDataFiles(s, root, updates, nInsertFiles)
     val (prevCol, prevStats) = snapshotStatsOf(root, prev)
     val v = commit(root, carried ++ rewritten ++ inserted, Some(prev), op = "merge",
-      statsCol = prevCol, stats = prevStats.filter(kv => carried.contains(kv._1)),
+      statsCol = prevCol,
+      stats = { val cs = carried.toSet; prevStats.filter(kv => cs(kv._1)) },
       schemaJson = carriedSchemaJson(root, Some(prev)))
     (v, clean.size.toLong, rewritten.size.toLong)
   }
@@ -466,8 +513,17 @@ object CommitLog {
     * manifests name is kept; readers pinned older lose their snapshot
     * — which is the retention contract every public table format
     * ships (vacuum trades time-travel depth for storage).
+    *
+    * `graceMs` guards the vacuum-vs-in-flight-writer race: a
+    * concurrent writer stages data files BEFORE any manifest names
+    * them, and a zero-grace vacuum would delete them out from under
+    * the commit (which then publishes dangling entries). Files younger
+    * than `graceMs` are kept — the public formats ship the same
+    * defense as a retention PERIOD (Delta's default is 7 days);
+    * the fixture keys run single-writer and use the 0 default so the
+    * crash-orphan reclamation stays deterministic.
     * Returns (filesRemoved, filesKept). */
-  def vacuum(root: String, retainFrom: Long): (Long, Long) = {
+  def vacuum(root: String, retainFrom: Long, graceMs: Long = 0L): (Long, Long) = {
     val latest = latestVersion(root)
       .getOrElse(sys.error(s"cannot vacuum an empty table at $root"))
     require(retainFrom <= latest, s"retainFrom $retainFrom > latest $latest")
@@ -476,7 +532,10 @@ object CommitLog {
     val dataDir = new java.io.File(root, "data")
     val all = Option(dataDir.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet"))
-    val (kept, dropped) = all.partition(f => keep.contains("data/" + f.getName))
+    val now = System.currentTimeMillis()
+    val (kept, dropped) = all.partition(f =>
+      keep.contains("data/" + f.getName) ||
+        (graceMs > 0 && now - f.lastModified() < graceMs))
     dropped.foreach(_.delete())
     (0L until retainFrom).foreach(v =>
       java.nio.file.Files.deleteIfExists(manifest(root, v).toPath))
@@ -558,9 +617,13 @@ object CommitLog {
     * side and permanent. Returns the committed version. */
   def optimize(s: SparkSession, root: String, statsCol: String,
       cutoffs: Seq[Long], filesPerBucket: Int): Long = {
-    import org.apache.spark.sql.functions.{col, lit, max, min}
+    import org.apache.spark.sql.functions.{col, lit}
     val prev = latestVersion(root)
       .getOrElse(sys.error(s"cannot optimize an empty table at $root"))
+    // overlapping buckets would stage the same rows twice and publish a
+    // row-duplicating commit under a data-neutral op
+    require(cutoffs == cutoffs.sorted && cutoffs.distinct.size == cutoffs.size,
+      s"optimize cutoffs must be strictly increasing, got $cutoffs")
     val cur = read(s, root, prev) // pinned: immune to concurrent commits
     val bounds = (None +: cutoffs.map(Some(_))).zip(cutoffs.map(Some(_)) :+ None)
     val staged = bounds.flatMap { case (lo, hi) =>
@@ -576,15 +639,9 @@ object CommitLog {
         if (lo.isEmpty) col(statsCol).isNull || rangePred else rangePred)
       stageDataFiles(s, root, part, filesPerBucket)
     }
-    // an all-NULL (or empty) file has no min/max — stat-less ⇒ always read
-    val stats = staged.flatMap { rel =>
-      val r = s.read.parquet(new java.io.File(root, rel).toString)
-        .agg(min(col(statsCol)), max(col(statsCol))).collect()(0)
-      if (r.isNullAt(0) || r.isNullAt(1)) None
-      else Some(rel -> (r.getLong(0), r.getLong(1)))
-    }.toMap
     commit(root, staged, Some(prev), op = "optimize",
-      statsCol = Some(statsCol), stats = stats,
+      statsCol = Some(statsCol),
+      stats = perFileStats(s, root, staged, statsCol),
       schemaJson = carriedSchemaJson(root, Some(prev)))
   }
 
@@ -663,15 +720,10 @@ object CommitLog {
     * never reopened or rewritten) plus the new one. */
   def appendSegment(s: SparkSession, root: String, df: DataFrame,
       nFiles: Int, statsCol: String): Long = {
-    import org.apache.spark.sql.functions.{col, max, min}
     val prev = latestVersion(root)
     val prevSegs = prev.map(v => segmentsOf(root, v)).getOrElse(Nil)
     val staged = stageDataFiles(s, root, df, nFiles)
-    val stats = staged.map { rel =>
-      val r = s.read.parquet(new java.io.File(root, rel).toString)
-        .agg(min(col(statsCol)), max(col(statsCol))).collect()(0)
-      rel -> (r.getLong(0), r.getLong(1))
-    }.toMap
+    val stats = perFileStats(s, root, staged, statsCol)
     logDir(root).mkdirs()
     val segName = "seg-" + java.util.UUID.randomUUID().toString + ".json"
     val segJson = s"""{"files":[${staged.map(f => "\"" + f + "\"").mkString(",")}],""" +

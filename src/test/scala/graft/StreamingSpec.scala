@@ -689,6 +689,41 @@ class StreamingSpec extends SparkSpec {
     assert(err.getMessage.contains("never retypes"))
   }
 
+  test("commit log: delete keeps NULL-predicate rows; stats never carry across a column switch (late r9)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_null").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"),
+        when(col("event_id") % 5 === 0, lit(null)).otherwise(col("user_id"))
+          .as("uid"),
+        col("value")).limit(500)
+    CommitLog.append(spark, root, ev, nFiles = 2)
+    val nNull = ev.filter(col("uid").isNull).count()
+    val target = ev.filter(col("uid").isNotNull).select(col("uid"))
+      .limit(1).collect()(0).getLong(0)
+    val (v, _, _) = CommitLog.delete(spark, root, col("uid") === target)
+    // three-valued logic trap: NOT(uid = t) is NULL for NULL uids — a
+    // naive keep-filter silently deletes them; every NULL row survives
+    assert(CommitLog.read(spark, root, v).filter(col("uid").isNull).count() === nNull,
+      "delete dropped NULL-predicate rows")
+    assert(CommitLog.read(spark, root, v).filter(col("uid") === target).count() === 0)
+    // stats column switch: bounds recorded for one column must never
+    // be re-labeled as another's (that would prune files that DO match)
+    val root2 = java.nio.file.Files.createTempDirectory("graft_cl_colsw").toString
+    val e2 = Tables(spark, sf, "events").select(col("event_id"), col("user_id"))
+    CommitLog.appendWithStats(spark, root2, e2.filter(col("event_id") % 2 === 0), 2, "event_id")
+    val h2 = CommitLog.appendWithStats(spark, root2, e2.filter(col("event_id") % 2 === 1), 2, "user_id")
+    // the old event_id bounds are dropped: the v0-era files are
+    // stat-less under user_id and therefore ALWAYS read
+    val (_, total, nRead) = CommitLog.prunedRead(spark, root2, h2, Long.MaxValue - 1, Long.MaxValue)
+    assert(total === 4 && nRead >= 2,
+      s"v0 files must stay unprunable after the stats column switched ($nRead of $total read)")
+    // unsorted optimize cutoffs would duplicate rows — refused loudly
+    intercept[IllegalArgumentException] {
+      CommitLog.optimize(spark, root2, "event_id", cutoffs = Seq(10L, 5L), filesPerBucket = 1)
+    }
+  }
+
   test("commit log: orphaned staging is invisible to readers and reclaimed by vacuum (r9)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_cl_orph").toString
