@@ -265,9 +265,17 @@ object Dedup {
   private[graft] def canonicalizeUrl(raw: Column): Column = {
     val u1 = regexp_replace(raw, "#.*$", "")
     val auth = regexp_extract(u1, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", 0)
-    val u2 = concat(regexp_replace(lower(auth), "^(https://[^:]*):443$", "$1"),
+    // greedy .* lets the :443 strip cross userinfo/IPv6 colons
+    // (user:pw@host:443, [::1]:443) while staying https-scoped and
+    // end-anchored (host:4433 never matches)
+    val u2 = concat(regexp_replace(lower(auth), "^(https://.*):443$", "$1"),
       u1.substr(length(auth) + lit(1), length(u1)))
-    val u4 = regexp_replace(u2, "[?&]utm_[^&#]*", "")
+    // two-step utm strip: first "utm_x=y&" (utm followed by another
+    // param — the leading ?/& stays for the NEXT param, so
+    // "?utm_a=1&x=1" → "?x=1", not the dangling "&x=1"), then any
+    // trailing/only "[?&]utm_x=y"
+    val u3 = regexp_replace(u2, "utm_[^&#]*&", "")
+    val u4 = regexp_replace(u3, "[?&]utm_[^&#]*", "")
     val u5 = regexp_replace(u4, "\\?&", "?")
     val u6 = regexp_replace(u5, "/\\?", "?")
     regexp_replace(u6, "/$", "")
@@ -671,8 +679,10 @@ object Dedup {
         |      regexp_replace(
         |        regexp_replace(
         |          regexp_replace(
-        |            regexp_replace(lower(auth), '^(https://[^:]*):443$', '\1') ||
-        |              substring(u1, length(auth) + 1),
+        |            regexp_replace(
+        |              regexp_replace(lower(auth), '^(https://.*):443$', '\1') ||
+        |                substring(u1, length(auth) + 1),
+        |              'utm_[^&#]*&', '', 'g'),
         |            '[?&]utm_[^&#]*', '', 'g'),
         |          '\?&', '?', 'g'),
         |        '/\?', '?', 'g'),

@@ -115,10 +115,16 @@ object Text {
       // the corpus join exactly like q_text_bpe_apply's.
       val d = Tables(s, dir, "documents")
       val words = d.select(col("doc_id"), explode(toks()).as("word"))
-      val wf = words.groupBy(col("word")).agg(count(lit(1)).as("wf"))
-      val maxLen = wf.agg(max(length(col("word")))).collect()(0).getInt(0)
-      require(maxLen <= 16,
-        s"q_text_unigram_segment: oracle replays 16 DP rounds, corpus has a $maxLen-char word")
+      // the 16-round oracle bound rides INSIDE the plan as a row-level
+      // assert (late-r9 review fix: the old collect-based guard paid a
+      // whole extra tokenize+agg pass per invocation and NPE'd on an
+      // empty corpus) — a >16-char word fails the job with this message
+      // instead of silently diverging from the 16-round DP replay
+      val wf = words
+        .filter(coalesce(assert_true(length(col("word")) <= 16,
+          lit("q_text_unigram_segment: oracle replays 16 DP rounds, " +
+            "corpus has a >16-char word")).isNull, lit(true)))
+        .groupBy(col("word")).agg(count(lit(1)).as("wf"))
       val pcnt = wf.select(col("wf"), explode(expr(
           "flatten(transform(sequence(1, length(word)), st -> " +
             "transform(sequence(1, least(4, length(word) - st + 1)), " +

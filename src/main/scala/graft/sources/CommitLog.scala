@@ -134,12 +134,38 @@ object CommitLog {
   private def carriedSchemaJson(root: String, prev: Option[Long]): Option[String] =
     prev.flatMap(v => snapshotSchemaOf(root, v)).map(_.json)
 
+  /** Enforce the log schema at WRITE time on every append-like path —
+    * the other half of appendEvolved's "type conflicts fail the
+    * COMMIT, not some later read" contract: without this, a plain
+    * append of a retyped column commits fine and explodes at scan
+    * time, and an append with an EXTRA column commits data the log
+    * schema makes invisible to every reader (silent loss). Subsets
+    * are fine — missing columns project as nulls under the log
+    * schema. No-op on never-evolved tables (no recorded schema). */
+  private def requireSchemaCompatible(root: String, prev: Option[Long],
+      df: DataFrame, opName: String): Unit =
+    prev.flatMap(v => snapshotSchemaOf(root, v)).foreach { st =>
+      val byName = st.fields.map(f => f.name -> f.dataType).toMap
+      df.schema.fields.foreach { f =>
+        byName.get(f.name) match {
+          case None => throw new IllegalArgumentException(
+            s"$opName: column '${f.name}' is not in the table schema — " +
+              "use appendEvolved to add columns (it would otherwise be " +
+              "invisible to every reader of the log schema)")
+          case Some(dt) => require(dt == f.dataType,
+            s"$opName: column '${f.name}' is $dt in the table but " +
+              s"${f.dataType} in the write — evolution never retypes")
+        }
+      }
+    }
+
   /** Stage `df` as `nFiles` new data files and commit them APPENDED to
     * the current snapshot (or as the first snapshot). Data files land
     * under data/ with unique names but stay invisible to readers until
     * the manifest rename publishes them. */
   def append(s: SparkSession, root: String, df: DataFrame, nFiles: Int): Long = {
     val prev = latestVersion(root)
+    requireSchemaCompatible(root, prev, df, "append")
     val prevFiles = prev.map(v => snapshotFiles(root, v)
       .map(p => relativize(root, p))).getOrElse(Nil)
     // stats are per-FILE metadata: a commit that carries a file forward
@@ -172,13 +198,8 @@ object CommitLog {
     * and planning never opens a parquet footer (the Delta
     * schema-in-the-log design; `mergeSchema` footer reads are the
     * cost this avoids at 10^5 files). */
-  def read(s: SparkSession, root: String, version: Long): DataFrame = {
-    val files = snapshotFiles(root, version)
-    snapshotSchemaOf(root, version) match {
-      case Some(st) => s.read.schema(st).parquet(files: _*)
-      case None => s.read.parquet(files: _*)
-    }
-  }
+  def read(s: SparkSession, root: String, version: Long): DataFrame =
+    readSubset(s, root, version, snapshotFiles(root, version))
 
   /** Read an explicit subset of `version`'s files under the manifest
     * schema when one is recorded — every partial-snapshot reader
@@ -303,6 +324,7 @@ object CommitLog {
   def appendWithStats(s: SparkSession, root: String, df: DataFrame,
       nFiles: Int, statsCol: String): Long = {
     val prev = latestVersion(root)
+    requireSchemaCompatible(root, prev, df, "appendWithStats")
     val prevFiles = prev.map(v => snapshotFiles(root, v)
       .map(p => relativize(root, p))).getOrElse(Nil)
     // carried stats stay only if the previous writer recorded the SAME
@@ -381,6 +403,8 @@ object CommitLog {
   def appendBatch(s: SparkSession, root: String, df: DataFrame,
       nFiles: Int, batchId: Long): Boolean = {
     if (manifest(root, batchId).exists()) return false
+    requireSchemaCompatible(root,
+      if (batchId == 0) None else Some(batchId - 1), df, "appendBatch")
     val prevFiles =
       if (batchId == 0) Nil
       else snapshotFiles(root, batchId - 1).map(p => relativize(root, p))
@@ -576,6 +600,10 @@ object CommitLog {
     while (attempt < maxAttempts) {
       attempt += 1
       val prev = latestVersion(root)
+      // validated per attempt: a competitor may have EVOLVED the
+      // schema since the last read — the rebase must respect the head
+      // it actually lands on
+      requireSchemaCompatible(root, prev, df, "appendWithRetry")
       val prevFiles = prev.map(v => snapshotFiles(root, v)
         .map(p => relativize(root, p))).getOrElse(Nil)
       val (prevCol, prevStats) =

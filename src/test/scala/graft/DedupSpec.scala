@@ -105,6 +105,14 @@ class DedupSpec extends SparkSpec {
       // :443 under http is a NON-default port — a different origin,
       // must survive (late-r9 review fix: the strip is https-scoped)
       ("http://host.example.com:443/p/1", "http://host.example.com:443/p/1"),
+      // utm FIRST then a real param: the separator must repair to '?'
+      ("https://host.example.com/p/1?utm_source=t&x=1",
+        "https://host.example.com/p/1?x=1"),
+      // userinfo carries a colon — the default-port strip still fires
+      ("https://user:pw@host.example.com:443/p/1",
+        "https://user:pw@host.example.com/p/1"),
+      // near-miss port must NOT strip
+      ("https://host.example.com:4433/p/1", "https://host.example.com:4433/p/1"),
       // full noise stack at once
       ("https://UP.Example.COM:443/p/3/?utm_source=feed&utm_campaign=x#sec",
         "https://up.example.com/p/3"))
