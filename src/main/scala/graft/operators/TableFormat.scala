@@ -330,6 +330,46 @@ object TableFormat {
         .groupBy(col("value_tier"))
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
     },
+    "s_table_stream_read" -> { (s, dir) =>
+      // Streaming READ from the commit log (added late r9) — the
+      // read-side weld completing what s_table_stream_commit started:
+      // a real DataSource-V2 MicroBatchStream
+      // ([[graft.sources.TableStreamProvider]], format "graft-table")
+      // whose offsets ARE the log's version numbers. Three appends
+      // stage the table; one AvailableNow drain delivers each
+      // version's added files as its own micro-batch (per-file input
+      // partitions, log-metadata planning — never a directory
+      // listing) and the union equals the head snapshot exactly, so
+      // the key is oracle-checked like its write-side twin.
+      // StreamingSpec pins the incremental contracts: a checkpointed
+      // restart after a fourth append emits ONLY the delta,
+      // compaction versions are skipped (data-neutral), and a delete
+      // version fails the stream unless ignoreChanges accepts the
+      // documented re-emission.
+      val root = java.nio.file.Files.createTempDirectory("graft_tsr")
+      root.toFile.deleteOnExit()
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      (0 until 3).foreach(i => CommitLog.append(s, root.toString,
+        ev.filter(col("event_id") % 3 === i), nFiles = 2))
+      val out = java.nio.file.Files.createTempDirectory("graft_tsr_out").toString
+      val ck = java.nio.file.Files.createTempDirectory("graft_tsr_ck").toString
+      // fully-qualified provider class: resolution via Class.forName —
+      // immune to a classpath missing the META-INF/services resource
+      // (plain `sbt compile` does not copy resources; `format(
+      // "graft-table")` also works whenever the resource is present)
+      val q = s.readStream.format("graft.sources.TableStreamProvider")
+        .option("path", root.toString)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ordered(s.read.parquet(out).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("sum_value")))
+    },
     "q_table_time_travel" -> { (s, dir) =>
       // read AS OF v0 after the append and the compaction both
       // committed: the pinned scan sees only v0's file list, so the
@@ -432,6 +472,12 @@ object TableFormat {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1""".stripMargin +
         orderByAll("value_tier", "n", "sum_value")),
+    "s_table_stream_read" ->
+      ("""SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin +
+        orderByAll("event_type", "n", "n_users", "sum_value")),
     "q_table_time_travel" ->
       ("""SELECT event_type, COUNT(*) AS n,
         |  COUNT(DISTINCT user_id) AS n_users,

@@ -775,6 +775,51 @@ class StreamingSpec extends SparkSpec {
     assert(CommitLog.snapshotFiles(root, 3L).size === 8)
   }
 
+  test("graft-table source: delta-only restarts, compaction skipped, delete refused (late r9)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_tsr_spec").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value")).limit(400)
+    val out = java.nio.file.Files.createTempDirectory("graft_tsr_spec_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_tsr_spec_ck").toString
+    def drain(extra: Map[String, String] = Map.empty): Unit = {
+      var r = spark.readStream.format("graft.sources.TableStreamProvider")
+        .option("path", root)
+      extra.foreach { case (k, v) => r = r.option(k, v) }
+      val q = r.load().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def emitted(): Long = spark.read.parquet(out).count()
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 4 === 0), nFiles = 1)
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 4 === 1), nFiles = 1)
+    drain()
+    val n01 = ev.filter(col("event_id") % 4 <= 1).count()
+    assert(emitted() === n01, "first drain must deliver both append versions")
+    // a compaction is data-neutral: the checkpointed restart skips it
+    CommitLog.compact(spark, root, nFiles = 1)
+    drain()
+    assert(emitted() === n01, "compaction version re-emitted rows")
+    // a new append after restart delivers ONLY the delta, exactly once
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 4 === 2), nFiles = 1)
+    drain()
+    val n012 = ev.filter(col("event_id") % 4 <= 2).count()
+    assert(emitted() === n012, "restart did not deliver exactly the delta")
+    assert(spark.read.parquet(out).select(col("event_id")).distinct().count() === n012,
+      "duplicate rows across restarts")
+    // a data-changing rewrite fails the stream with a clear error...
+    CommitLog.delete(spark, root, col("event_id") % 8 === 1)
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    assert(err.getMessage.contains("ignoreChanges") ||
+      Option(err.getCause).exists(_.getMessage.contains("ignoreChanges")))
+    // ...and proceeds under ignoreChanges (documented re-emission)
+    drain(Map("ignoreChanges" -> "true"))
+    assert(emitted() > n012, "ignoreChanges drain emitted nothing")
+  }
+
   test("commit log: conflicting commit loses cleanly, log stays consistent (r9)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_cl_race").toString
