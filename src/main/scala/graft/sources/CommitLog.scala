@@ -69,7 +69,7 @@ object CommitLog {
         .map(n => n.stripPrefix("v").stripSuffix(".json").toLong))
       .filter(_.nonEmpty).map(_.max)
 
-  private def readManifest(root: String, version: Long): (String, Seq[String]) = {
+  private[sources] def readManifest(root: String, version: Long): (String, Seq[String]) = {
     val f = manifest(root, version)
     require(f.exists(), s"commit log has no version $version under $root")
     val node = new com.fasterxml.jackson.databind.ObjectMapper()

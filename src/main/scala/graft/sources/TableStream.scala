@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -17,37 +17,45 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Streaming SOURCE over the [[CommitLog]] table — the read-side weld
   * between the streaming tier and the table layer (the public Delta
   * streaming-source design; s_table_stream_commit is the write-side
-  * twin). The commit log's version numbers ARE the offset space:
-  * micro-batch (start, end] delivers the data files that JOINED the
-  * listing at each version in the range, so a consumer reads each
-  * appended row exactly once, checkpoints restart at the exact
-  * version boundary, and backfill-then-tail is one unchanged query.
+  * twin). The commit log's version numbers ARE the offset space, and
+  * each micro-batch admits exactly ONE version (the natural batch
+  * granule): a consumer reads each appended row exactly once,
+  * checkpoints restart at an exact version boundary, a long backlog
+  * drains as per-version batches (incremental checkpoint progress,
+  * never one table-sized batch), and backfill-then-tail is one
+  * unchanged query.
   *
   * Commit-kind semantics mirror the public source's:
   *   - "append" versions emit their added files;
   *   - data-neutral rewrites ("compact"/"optimize") are SKIPPED — a
   *     file-level diff across them would re-emit unchanged rows;
   *   - data-CHANGING rewrites ("delete"/"merge") FAIL the stream with
-  *     a clear error unless `ignoreChanges=true`, which emits the
-  *     version's added files accepting the documented re-emission of
-  *     carried rows in rewritten files (exactly Delta's
-  *     ignoreChanges contract).
+  *     a clear error unless `ignoreChanges=true` (emit the version's
+  *     added files, accepting the documented re-emission of carried
+  *     rows) or the query starts past them via `startingVersion`.
+  *
+  * Options: `path` (table root, required), `startingVersion` (first
+  * version a FRESH checkpoint consumes; the recovery lever after a
+  * vacuum dropped old manifests, and the Delta option of the same
+  * name), `ignoreChanges`.
   *
   * Schema comes from the LOG when the table is schema-evolved (no
-  * footer reads), else from the head snapshot. The per-file
-  * PartitionReader decodes parquet through the parquet-hadoop Group
-  * API and supports flat primitive schemas (long/int/double/float/
-  * string/boolean/timestamp-µs) — the fixture tables' shape; nested
-  * columns would need the vectorized reader and fail fast with a
-  * clear error instead of mis-decoding.
+  * footer reads), else from the head snapshot. Segmented tables
+  * (appendSegment) are not streamable — they fail at planning with a
+  * clear message. The per-file PartitionReader decodes parquet through
+  * the parquet-hadoop Group API with a BY-NAME projection pushed into
+  * the requested read schema (column pruning — unselected columns are
+  * never decoded), and supports flat primitive schemas (long/int/
+  * double/float/string/boolean/timestamp as INT64-µs or legacy INT96);
+  * nested columns fail fast instead of mis-decoding. Pre-evolution
+  * files (missing an added column) project nulls exactly like the
+  * batch reader under the log schema.
   *
-  * 100 TB posture: planning is pure log metadata (version manifests
-  * diffed — never a directory listing); one input partition per added
-  * file gives full read parallelism; a micro-batch's volume is the
-  * delta, never the table.
-  *
-  * Usage: `spark.readStream.format("graft-table").option("path", root)
-  * .load()` (registered via META-INF/services and short name). */
+  * 100 TB posture: planning is pure log metadata — each planned batch
+  * parses its version's manifest ONCE (op + file diff in one read,
+  * never a directory listing); one input partition per added file
+  * gives full read parallelism; a micro-batch's volume is one
+  * version's delta, never the table. */
 class TableStreamProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft-table"
 
@@ -59,13 +67,23 @@ class TableStreamProvider extends TableProvider with DataSourceRegister {
     val root = rootOf(options)
     val head = CommitLog.latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"graft-table: no commit log under $root"))
-    CommitLog.snapshotSchemaOf(root, head)
+    try CommitLog.snapshotSchemaOf(root, head)
       .getOrElse(CommitLog.read(SparkSession.active, root, head).schema)
+    catch {
+      case e: IllegalArgumentException if e.getMessage.contains("SEGMENTED") =>
+        throw new UnsupportedOperationException(
+          s"graft-table: $root is a SEGMENTED table (appendSegment) — " +
+            "the streaming source serves flat-manifest tables only", e)
+    }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new GraftStreamTable(schema, properties.get("path"))
+      properties: util.Map[String, String]): Table = {
+    // option keys keep the user's casing here — re-wrap so PATH /
+    // Path resolve instead of silently streaming an empty ./ table
+    val opts = new CaseInsensitiveStringMap(properties)
+    new GraftStreamTable(schema, rootOf(opts))
+  }
 }
 
 class GraftStreamTable(tableSchema: StructType, root: String)
@@ -77,23 +95,34 @@ class GraftStreamTable(tableSchema: StructType, root: String)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val ignoreChanges =
       Option(options.get("ignoreChanges")).exists(_.toBoolean)
-    new ScanBuilder {
+    val startingVersion =
+      Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var projected: StructType = tableSchema
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        // preserve a deterministic projection; empty (count-only)
+        // falls back to the narrowest single column
+        projected =
+          if (requiredSchema.fields.isEmpty)
+            StructType(tableSchema.fields.take(1))
+          else requiredSchema
       override def build(): Scan = new Scan {
-        override def readSchema(): StructType = tableSchema
+        override def readSchema(): StructType = projected
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new TableMicroBatchStream(root, tableSchema, ignoreChanges)
+          new TableMicroBatchStream(root, projected, ignoreChanges, startingVersion)
       }
     }
   }
 }
 
-/** Offset = last fully-delivered VERSION (-1 = nothing yet). */
+/** Offset = last fully-delivered VERSION (startingVersion-1 = nothing
+  * consumed yet). */
 case class TableVersionOffset(v: Long) extends Offset {
   override def json(): String = v.toString
 }
 
 class TableMicroBatchStream(root: String, schema: StructType,
-    ignoreChanges: Boolean)
+    ignoreChanges: Boolean, startingVersion: Long)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def head: Long = CommitLog.latestVersion(root).getOrElse(-1L)
@@ -104,15 +133,19 @@ class TableMicroBatchStream(root: String, schema: StructType,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd = Some(head)
 
-  override def initialOffset(): Offset = TableVersionOffset(-1L)
+  override def initialOffset(): Offset = TableVersionOffset(startingVersion - 1)
   override def latestOffset(): Offset =
     TableVersionOffset(availableNowEnd.getOrElse(head))
-  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): the
-  // source admits whole VERSIONS — one commit is the natural batch
-  // granule, so rate limits are not sliced below it
-  override def latestOffset(start: Offset,
-      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset =
-    TableVersionOffset(availableNowEnd.getOrElse(head))
+  // SupportsAdmissionControl (via SupportsTriggerAvailableNow): admit
+  // ONE VERSION per micro-batch — the natural granule. A backlog of N
+  // versions drains as N batches with checkpoint progress after each,
+  // never one table-sized batch whose mid-failure restarts the whole
+  // backfill; AvailableNow loops until the prepared end.
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[TableVersionOffset].v
+    val end = availableNowEnd.getOrElse(head)
+    TableVersionOffset(math.min(s + 1, end))
+  }
   override def deserializeOffset(json: String): Offset =
     TableVersionOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
@@ -121,26 +154,32 @@ class TableMicroBatchStream(root: String, schema: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[TableVersionOffset].v
     val e = end.asInstanceOf[TableVersionOffset].v
+    // one manifest parse per version: fold carries the previous
+    // version's file set for the diff (op + files come from the same
+    // read)
+    var before: Set[String] =
+      if (s < 0) Set.empty
+      else CommitLog.readManifest(root, s)._2.toSet
     ((s + 1) to e).flatMap { v =>
-      val added = CommitLog.snapshotOp(root, v) match {
-        case "append" => addedFiles(v)
+      val (op, rel) = CommitLog.readManifest(root, v)
+      val files = rel.toSet
+      val addedRel = rel.filterNot(before)
+      before = files
+      val added = op match {
+        case "append" => addedRel
         case "compact" | "optimize" => Nil // data-neutral rewrite: skip
         case changing =>
-          if (ignoreChanges) addedFiles(v)
+          if (ignoreChanges) addedRel
           else throw new IllegalStateException(
             s"graft-table: version $v is a '$changing' commit — a file " +
               "diff across a data-changing rewrite re-emits carried " +
               "rows; set ignoreChanges=true to accept that (the public " +
-              "sources' contract) or start past it")
+              s"sources' contract) or start a fresh checkpoint with " +
+              s"startingVersion=${v + 1}")
       }
-      added.map(f => TableFilePartition(f, v))
+      added.map(f =>
+        TableFilePartition(new java.io.File(root, f).toString, v))
     }.toArray
-  }
-
-  private def addedFiles(v: Long): Seq[String] = {
-    val before =
-      if (v == 0) Set.empty[String] else CommitLog.snapshotFiles(root, v - 1).toSet
-    CommitLog.snapshotFiles(root, v).filterNot(before)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -157,15 +196,20 @@ class TableFileReaderFactory(schema: StructType) extends PartitionReaderFactory 
 }
 
 /** Row-by-row parquet decode via the parquet-hadoop Group API — flat
-  * primitive schemas only (nested types fail fast). The column lookup
-  * is BY NAME against each file's own schema, so pre-evolution files
-  * (missing an added column) project nulls exactly like the batch
-  * reader under the log schema. */
+  * primitive schemas only (nested types fail fast). The requested
+  * columns project BY NAME against each file's own schema, pushed into
+  * the parquet read schema so unselected columns are never decoded;
+  * pre-evolution files (missing an added column) project nulls exactly
+  * like the batch reader under the log schema. Timestamps decode from
+  * both INT64-µs (spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS)
+  * and the INT96 legacy default (Julian day + nano-of-day). */
 class GroupParquetReader(path: String, schema: StructType)
     extends PartitionReader[InternalRow] {
-  import org.apache.parquet.hadoop.ParquetReader
+  import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
   import org.apache.parquet.hadoop.example.GroupReadSupport
+  import org.apache.parquet.hadoop.util.HadoopInputFile
   import org.apache.parquet.example.data.Group
+  import org.apache.parquet.schema.{MessageType, PrimitiveType}
 
   schema.fields.foreach { f =>
     require(f.dataType match {
@@ -175,18 +219,46 @@ class GroupParquetReader(path: String, schema: StructType)
     }, s"graft-table reader supports flat primitive columns; '${f.name}' is ${f.dataType}")
   }
 
+  private val conf = new org.apache.hadoop.conf.Configuration()
+  private val hPath = new org.apache.hadoop.fs.Path(path)
+
+  // column pruning: request only the selected fields, typed exactly as
+  // THIS file stores them (a requested schema with foreign physical
+  // types would fail; by-name subset of the file's own always matches)
+  private val fileSchema: MessageType = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
+    try r.getFooter.getFileMetaData.getSchema finally r.close()
+  }
+  private val wanted = schema.fields.map(_.name).toSet
+  private val requested: MessageType = {
+    import scala.jdk.CollectionConverters._
+    new MessageType(fileSchema.getName,
+      fileSchema.getFields.asScala.filter(f => wanted(f.getName)).asJava)
+  }
+  conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+    requested.toString)
+
   private val reader: ParquetReader[Group] = ParquetReader
-    .builder(new GroupReadSupport(), new org.apache.hadoop.fs.Path(path))
-    .build()
+    .builder(new GroupReadSupport(), hPath).withConf(conf).build()
   private var current: Group = _
 
   override def next(): Boolean = { current = reader.read(); current != null }
 
+  /** INT96 → micros-since-epoch: 12 bytes little-endian = nano-of-day
+    * (8) + Julian day (4); 2440588 = the Unix epoch's Julian day. */
+  private def int96Micros(bytes: Array[Byte]): Long = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val nanosOfDay = bb.getLong
+    val julianDay = bb.getInt
+    (julianDay - 2440588L) * 86400000000L + nanosOfDay / 1000L
+  }
+
   override def get(): InternalRow = {
     val g = current
-    val fileType = g.getType
+    val gType = g.getType
     new GenericInternalRow(schema.fields.map { f =>
-      val idx = if (fileType.containsField(f.name)) fileType.getFieldIndex(f.name) else -1
+      val idx = if (gType.containsField(f.name)) gType.getFieldIndex(f.name) else -1
       if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) null
       else f.dataType match {
         case LongType => g.getLong(idx, 0)
@@ -195,8 +267,12 @@ class GroupParquetReader(path: String, schema: StructType)
         case FloatType => g.getFloat(idx, 0)
         case BooleanType => g.getBoolean(idx, 0)
         case StringType => UTF8String.fromString(g.getString(idx, 0))
-        // Spark writes timestamps as INT64 micros; InternalRow wants µs
-        case TimestampType | TimestampNTZType => g.getLong(idx, 0)
+        case TimestampType | TimestampNTZType =>
+          gType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+            case PrimitiveType.PrimitiveTypeName.INT96 =>
+              int96Micros(g.getInt96(idx, 0).getBytes)
+            case _ => g.getLong(idx, 0) // INT64 micros
+          }
         case other => throw new IllegalStateException(s"unreachable: $other")
       }
     }.toArray[Any])

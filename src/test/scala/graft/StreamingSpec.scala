@@ -778,8 +778,10 @@ class StreamingSpec extends SparkSpec {
   test("graft-table source: delta-only restarts, compaction skipped, delete refused (late r9)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_tsr_spec").toString
+    // ts included deliberately: Spark writes TimestampType parquet as
+    // INT96 by default — the reader's Julian-day decode path must run
     val ev = Tables(spark, sf, "events")
-      .select(col("event_id"), col("value")).limit(400)
+      .select(col("event_id"), col("ts"), col("value")).limit(400)
     val out = java.nio.file.Files.createTempDirectory("graft_tsr_spec_out").toString
     val ck = java.nio.file.Files.createTempDirectory("graft_tsr_spec_ck").toString
     def drain(extra: Map[String, String] = Map.empty): Unit = {
@@ -818,6 +820,27 @@ class StreamingSpec extends SparkSpec {
     // ...and proceeds under ignoreChanges (documented re-emission)
     drain(Map("ignoreChanges" -> "true"))
     assert(emitted() > n012, "ignoreChanges drain emitted nothing")
+    // INT96 timestamps round-tripped bit-exactly through the stream
+    val got = spark.read.parquet(out)
+      .select(col("event_id"), col("ts")).distinct()
+    val want = ev.select(col("event_id"), col("ts"))
+    assert(got.join(want, Seq("event_id", "ts"), "left_anti").count() === 0,
+      "streamed timestamps diverge from the batch values")
+    // a FRESH checkpoint can start past the delete via startingVersion
+    // (the vacuum-recovery lever); it sees only the post-delete tail
+    val out2 = java.nio.file.Files.createTempDirectory("graft_tsr_out2").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_tsr_ck2").toString
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 4 === 3), nFiles = 1)
+    val head = CommitLog.latestVersion(root).get
+    val q2 = spark.readStream.format("graft.sources.TableStreamProvider")
+      .option("path", root).option("startingVersion", head.toString)
+      .load().writeStream.format("parquet")
+      .option("path", out2).option("checkpointLocation", ck2)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(spark.read.parquet(out2).count() ===
+      ev.filter(col("event_id") % 4 === 3).count(),
+      "startingVersion did not scope the fresh checkpoint to the tail")
   }
 
   test("commit log: conflicting commit loses cleanly, log stays consistent (r9)") {
