@@ -5,24 +5,36 @@ import org.apache.spark.sql.functions._
 import graft.functions.Det._
 import graft.sources.{CommitLog, Tables}
 
-/** B1 table-format tier (added r9, VERDICT r8 item 2): the
-  * snapshot/commit-log layer over parquet dirs — atomic multi-file
-  * commits, version pinning (time travel), compaction that cannot
-  * disturb pinned readers. The mechanism lives in
-  * [[graft.sources.CommitLog]]; these keys exercise it end-to-end on
-  * the events fixture with a DETERMINISTIC history:
+/** B1 table-format tier (added r9, VERDICT r8 item 2; completed late
+  * r9): the snapshot/commit-log layer over parquet dirs, grown into a
+  * working mini-lakehouse. The mechanism lives in
+  * [[graft.sources.CommitLog]] (+ [[graft.sources.TableStreamProvider]]
+  * for the streaming read); these keys exercise the full lifecycle on
+  * the events fixture with DETERMINISTIC histories:
   *
-  *   v0 = events with event_id % 3 != 0 (4 data files),
-  *   v1 = v0 + append of the remaining rows (8 files),
-  *   v2 = compaction of v1 into 2 files (same rows).
+  *   commits:   s_table_commit (append/compact history),
+  *              s_table_commit_retry (optimistic multi-writer),
+  *              s_table_stream_commit (version-per-batch ingest —
+  *              lives in Streams.scala beside its streaming kin)
+  *   reads:     q_table_time_travel (pinned snapshots),
+  *              q_table_changes (CDF delta),
+  *              s_table_stream_read (DSv2 version-offset source)
+  *   writes:    q_table_delete / q_table_merge (CoW row-level),
+  *              q_table_add_column (schema evolution in the log)
+  *   layout:    q_table_stats_prune (manifest file skipping),
+  *              q_table_manifest_segments (two-level metadata),
+  *              q_table_optimize (range clustering)
+  *   lifecycle: s_table_vacuum (retention reclaim)
   *
-  * Both keys replay in DuckDB exactly (row sets are pure predicates on
-  * events; file counts are pinned by the explicit repartition), so the
-  * layer is oracle-checked, not just spec-tested. StreamingSpec
-  * additionally pins the isolation/atomicity contracts (a reader at v0
-  * is byte-stable across a concurrent compaction; a conflicting commit
-  * loses with a clean error and the log is unchanged).
-  */
+  * Every key replays in DuckDB exactly (row sets are pure predicates
+  * on events; file/version counters are pinned by predicate-aligned
+  * staging and explicit repartition), so the layer is oracle-checked,
+  * not just spec-tested. StreamingSpec additionally pins the
+  * mechanism contracts: snapshot isolation across rewrites, commit
+  * atomicity and retry rebase, orphan invisibility, NULL-predicate
+  * row survival, stats-column switches, schema carry-forward and
+  * commit-time type rejection, and the streaming source's delta-only
+  * restarts. */
 object TableFormat {
 
   /** One deterministic three-version table per (session, fixture dir),
