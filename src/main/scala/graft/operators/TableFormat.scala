@@ -382,6 +382,36 @@ object TableFormat {
           countDistinct(col("user_id")).as("n_users"),
           dsum(col("value")).as("sum_value")))
     },
+    "q_table_restore" -> { (s, dir) =>
+      // RESTORE (added late r9) — time travel upgraded from read-only
+      // pinning to a writable ROLLBACK: v0 appends the even-user rows,
+      // v1 appends the rest, a (mistaken) delete at v2 drops every
+      // user_id%4=1 row — and restore(v1) commits a NEW head whose
+      // manifest re-lists v1's files verbatim. Zero data I/O (one
+      // manifest read, one commit); history stays append-only — the
+      // bad v2 remains readable for audit. The report pins the
+      // lifecycle: head version (3 = restore is a NEW commit, never a
+      // history rewrite), restored row count == pre-delete count, and
+      // the deleted subset is back in full. StreamingSpec pins the
+      // mechanism: restored file list is v1's verbatim (byte-identical
+      // carry), v2 still readable, changes() refuses across the
+      // restore.
+      val root = java.nio.file.Files.createTempDirectory("graft_table_rst")
+      root.toFile.deleteOnExit()
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      CommitLog.append(s, root.toString, ev.filter(col("user_id") % 4 < 2), nFiles = 2)
+      val v1 = CommitLog.append(s, root.toString,
+        ev.filter(col("user_id") % 4 >= 2), nFiles = 2)
+      CommitLog.delete(s, root.toString, col("user_id") % 4 === 1)
+      val head = CommitLog.restore(root.toString, v1)
+      ordered(CommitLog.read(s, root.toString, head)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("user_id") % 4 === 1, 1L).otherwise(0L)).as("n_restored_subset"),
+          dsum(col("value")).as("sum_value"))
+        .select(lit(head).as("head_version"), col("n_rows"),
+          col("n_restored_subset"), col("sum_value")))
+    },
     "q_table_time_travel" -> { (s, dir) =>
       // read AS OF v0 after the append and the compaction both
       // committed: the pinned scan sees only v0's file list, so the
@@ -490,6 +520,14 @@ object TableFormat {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin +
         orderByAll("event_type", "n", "n_users", "sum_value")),
+    "q_table_restore" ->
+      ("""SELECT CAST(3 AS BIGINT) AS head_version,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN user_id % 4 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_restored_subset,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
+        |FROM events""".stripMargin +
+        orderByAll("head_version", "n_rows", "n_restored_subset", "sum_value")),
     "q_table_time_travel" ->
       ("""SELECT event_type, COUNT(*) AS n,
         |  COUNT(DISTINCT user_id) AS n_users,

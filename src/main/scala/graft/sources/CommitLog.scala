@@ -530,6 +530,29 @@ object CommitLog {
     (v, clean.size.toLong, rewritten.size.toLong)
   }
 
+  /** RESTORE — roll the table back to `toVersion` (the Delta RESTORE
+    * command), completing time travel from read-only pinning into a
+    * writable rollback: the new HEAD's manifest re-lists exactly
+    * `toVersion`'s files (plus its stats and schema), committed as a
+    * NEW version — history is append-only, the bad versions stay
+    * readable for audit, and a second restore can undo the undo.
+    * op="restore" marks a data-changing transition, so changes()
+    * refuses file-diff ranges across it like any rewrite. Zero data
+    * I/O: the restore is one manifest read and one commit (the
+    * restored files must still exist — a vacuum that dropped
+    * pre-retention versions limits how far back restore reaches,
+    * exactly the public trade). Returns the new head version. */
+  def restore(root: String, toVersion: Long): Long = {
+    val prev = latestVersion(root)
+      .getOrElse(sys.error(s"cannot restore an empty table at $root"))
+    require(toVersion <= prev, s"restore: version $toVersion > head $prev")
+    val (_, files) = readManifest(root, toVersion)
+    val (statsCol, stats) = snapshotStatsOf(root, toVersion)
+    commit(root, files, Some(prev), op = "restore",
+      statsCol = statsCol, stats = stats,
+      schemaJson = snapshotSchemaOf(root, toVersion).map(_.json))
+  }
+
   /** Retention-gated file removal — the other half of "compaction
     * never deletes": physically drop data files referenced ONLY by
     * versions older than `retainFrom` (plus their manifests). Readers

@@ -843,6 +843,32 @@ class StreamingSpec extends SparkSpec {
       "startingVersion did not scope the fresh checkpoint to the tail")
   }
 
+  test("commit log: restore re-lists the target verbatim, preserves history, blocks changes() (late r9)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_rst").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value")).limit(300)
+    CommitLog.append(spark, root, ev.filter(col("user_id") % 2 === 0), nFiles = 1)
+    val v1 = CommitLog.append(spark, root, ev.filter(col("user_id") % 2 === 1), nFiles = 1)
+    val v1Files = CommitLog.snapshotFiles(root, v1)
+    val (v2, _, _) = CommitLog.delete(spark, root, col("user_id") % 2 === 1)
+    val v2Count = CommitLog.read(spark, root, v2).count()
+    val head = CommitLog.restore(root, v1)
+    // the restored head re-lists v1's files VERBATIM — zero data I/O
+    assert(head === v2 + 1, "restore must be a NEW commit, never a history rewrite")
+    assert(CommitLog.snapshotFiles(root, head) === v1Files)
+    assert(CommitLog.read(spark, root, head).count() === ev.count())
+    // the bad version stays readable for audit
+    assert(CommitLog.read(spark, root, v2).count() === v2Count)
+    // a data-changing transition: file-diff changes() refuses across it
+    intercept[IllegalArgumentException] {
+      CommitLog.changes(spark, root, v2, head).count()
+    }
+    // restore-the-restore: rolling forward to v2's state also works
+    val head2 = CommitLog.restore(root, v2)
+    assert(CommitLog.read(spark, root, head2).count() === v2Count)
+  }
+
   test("commit log: conflicting commit loses cleanly, log stays consistent (r9)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_cl_race").toString
