@@ -270,11 +270,12 @@ object Dedup {
     // end-anchored (host:4433 never matches)
     val u2 = concat(regexp_replace(lower(auth), "^(https://.*):443$", "$1"),
       u1.substr(length(auth) + lit(1), length(u1)))
-    // two-step utm strip: first "utm_x=y&" (utm followed by another
-    // param — the leading ?/& stays for the NEXT param, so
-    // "?utm_a=1&x=1" → "?x=1", not the dangling "&x=1"), then any
-    // trailing/only "[?&]utm_x=y"
-    val u3 = regexp_replace(u2, "utm_[^&#]*&", "")
+    // two-step utm strip: first a RUN of "utm_x=y&" params anchored to
+    // their ?/& separator (the separator stays for the NEXT param, so
+    // "?utm_a=1&x=1" → "?x=1", not the dangling "&x=1"; the r9
+    // unanchored version matched 'utm_' mid-value — "?a=utm_x&b=1"
+    // over-merged to "?a=b=1"), then any trailing/only "[?&]utm_x=y"
+    val u3 = regexp_replace(u2, "([?&])(utm_[^&#]*&)+", "$1")
     val u4 = regexp_replace(u3, "[?&]utm_[^&#]*", "")
     val u5 = regexp_replace(u4, "\\?&", "?")
     val u6 = regexp_replace(u5, "/\\?", "?")
@@ -682,7 +683,7 @@ object Dedup {
         |            regexp_replace(
         |              regexp_replace(lower(auth), '^(https://.*):443$', '\1') ||
         |                substring(u1, length(auth) + 1),
-        |              'utm_[^&#]*&', '', 'g'),
+        |              '([?&])(utm_[^&#]*&)+', '\1', 'g'),
         |            '[?&]utm_[^&#]*', '', 'g'),
         |          '\?&', '?', 'g'),
         |        '/\?', '?', 'g'),

@@ -69,6 +69,12 @@ object CommitLog {
         .map(n => n.stripPrefix("v").stripSuffix(".json").toLong))
       .filter(_.nonEmpty).map(_.max)
 
+  /** Does `version`'s manifest still exist? False once vacuum dropped
+    * it — the probe incremental readers use to seed a startingVersion
+    * diff without tripping over the retention floor. */
+  private[sources] def manifestExists(root: String, version: Long): Boolean =
+    manifest(root, version).exists()
+
   private[sources] def readManifest(root: String, version: Long): (String, Seq[String]) = {
     val f = manifest(root, version)
     require(f.exists(), s"commit log has no version $version under $root")
@@ -547,6 +553,16 @@ object CommitLog {
       .getOrElse(sys.error(s"cannot restore an empty table at $root"))
     require(toVersion <= prev, s"restore: version $toVersion > head $prev")
     val (_, files) = readManifest(root, toVersion)
+    // enforce, not just document, the retention trade: a vacuum that
+    // dropped toVersion's data files must fail HERE with a clear
+    // error, not publish a head with dangling entries that only
+    // breaks at read time
+    val missing = files.filterNot(f => new java.io.File(root, f).exists())
+    require(missing.isEmpty,
+      s"restore: vacuumed past restore target $toVersion — " +
+        s"${missing.size} of its data file(s) no longer exist " +
+        s"(e.g. ${missing.headOption.getOrElse("")}); restore only " +
+        "reaches versions inside the vacuum retention floor")
     val (statsCol, stats) = snapshotStatsOf(root, toVersion)
     commit(root, files, Some(prev), op = "restore",
       statsCol = statsCol, stats = stats,

@@ -156,10 +156,28 @@ class TableMicroBatchStream(root: String, schema: StructType,
     val e = end.asInstanceOf[TableVersionOffset].v
     // one manifest parse per version: fold carries the previous
     // version's file set for the diff (op + files come from the same
-    // read)
+    // read). Two vacuum-adjacent cases at the seed (r10):
+    //   - a FRESH checkpoint at startingVersion = the retention floor
+    //     (the documented recovery lever) finds manifest(s) vacuumed:
+    //     seed EMPTY so the first admitted version emits its full
+    //     listing — Delta's startingVersion semantics; without this
+    //     the retained base snapshot could never be consumed, only
+    //     versions >= retainFrom+1;
+    //   - a RESUMED checkpoint whose offset predates the retention
+    //     floor must fail with a NAMED error (not an opaque
+    //     FileNotFound downstream): its next delta is unrecoverable,
+    //     and silently emitting a full listing would duplicate every
+    //     retained row into the sink.
     var before: Set[String] =
       if (s < 0) Set.empty
-      else CommitLog.readManifest(root, s)._2.toSet
+      else if (CommitLog.manifestExists(root, s))
+        CommitLog.readManifest(root, s)._2.toSet
+      else if (s == startingVersion - 1) Set.empty
+      else throw new IllegalStateException(
+        s"graft-table: checkpoint resumes at version ${s + 1} but " +
+          s"version $s's manifest was vacuumed — the file diff is " +
+          "unrecoverable. Start a FRESH checkpoint with " +
+          "startingVersion at or above the vacuum retention floor.")
     ((s + 1) to e).flatMap { v =>
       val (op, rel) = CommitLog.readManifest(root, v)
       val files = rel.toSet

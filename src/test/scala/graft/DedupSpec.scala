@@ -115,7 +115,20 @@ class DedupSpec extends SparkSpec {
       ("https://host.example.com:4433/p/1", "https://host.example.com:4433/p/1"),
       // full noise stack at once
       ("https://UP.Example.COM:443/p/3/?utm_source=feed&utm_campaign=x#sec",
-        "https://up.example.com/p/3"))
+        "https://up.example.com/p/3"),
+      // r10 anchoring fixes: 'utm_' INSIDE a param VALUE must survive
+      // (the r9 unanchored strip merged "?a=utm_x&b=1" into "?a=b=1")
+      ("https://host.example.com/p?a=utm_x&b=1",
+        "https://host.example.com/p?a=utm_x&b=1"),
+      // 'utm_' as a SUFFIX of another param name must survive
+      ("https://host.example.com/p?xutm_a=1&b=2",
+        "https://host.example.com/p?xutm_a=1&b=2"),
+      // a host that merely CONTAINS utm_ must survive
+      ("https://utm_x.example.com/?a=1&b=2",
+        "https://utm_x.example.com?a=1&b=2"),
+      // a RUN of leading utm params collapses to the one separator
+      ("https://host.example.com/p?utm_a=1&utm_b=2&x=1",
+        "https://host.example.com/p?x=1"))
     val out = cases.map(_._1).toDF("raw")
       .withColumn("canon", graft.operators.Dedup.canonicalizeUrl(col("raw")))
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap

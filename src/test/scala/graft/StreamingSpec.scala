@@ -418,6 +418,70 @@ class StreamingSpec extends SparkSpec {
     intercept[Exception] { CommitLog.snapshotFiles(root, 0L) }
   }
 
+  test("commit log: vacuum vs streaming reader — floor restart recovers, stale resume fails named (r10)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_vacstr").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value")).limit(400)
+    def drain(outDir: String, ckDir: String,
+        opts: Map[String, String] = Map.empty): Unit = {
+      val q = spark.readStream.format("graft.sources.TableStreamProvider")
+        .option("path", root).options(opts).load()
+        .writeStream.format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 4 === 0), nFiles = 1)
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 4 === 1), nFiles = 1)
+    val out1 = java.nio.file.Files.createTempDirectory("graft_vs_out1").toString
+    val ck1 = java.nio.file.Files.createTempDirectory("graft_vs_ck1").toString
+    drain(out1, ck1)
+    assert(spark.read.parquet(out1).count() ===
+      ev.filter(col("event_id") % 4 <= 1).count())
+    // a third append, then vacuum to the head: manifests 0 and 1 are
+    // gone, but v2's manifest (a COMPLETE snapshot listing) retains
+    // every data file
+    val v2 = CommitLog.append(spark, root,
+      ev.filter(col("event_id") % 4 === 2), nFiles = 1)
+    CommitLog.vacuum(root, retainFrom = v2)
+    // the OLD checkpoint resumes at an offset whose diff base was
+    // vacuumed: it must fail with the NAMED error, not an opaque
+    // FileNotFound, and never silently re-emit the retained snapshot
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(out1, ck1)
+    }
+    val msgs = Iterator.iterate(err: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("vacuumed") && msgs.contains("startingVersion"),
+      s"stale resume did not fail with the named vacuum error: $msgs")
+    // a FRESH checkpoint at startingVersion = the retention floor
+    // consumes the retained base snapshot in FULL (Delta's
+    // startingVersion semantics — the r10 seed fix; before it, only
+    // versions >= floor+1 were consumable)
+    val out2 = java.nio.file.Files.createTempDirectory("graft_vs_out2").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_vs_ck2").toString
+    drain(out2, ck2, Map("startingVersion" -> v2.toString))
+    assert(spark.read.parquet(out2).count() ===
+      ev.filter(col("event_id") % 4 <= 2).count(),
+      "floor restart did not deliver the full retained snapshot")
+  }
+
+  test("commit log: restore refuses a vacuumed-past target instead of publishing dangling entries (r10)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_rstvac").toString
+    val ev = Tables(spark, sf, "events").select(col("event_id")).limit(100)
+    val v0 = CommitLog.append(spark, root,
+      ev.filter(col("event_id") % 2 === 0), nFiles = 1)
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 2 =!= 0), nFiles = 1)
+    // simulate a raced/partial vacuum: one of v0's data files is gone
+    // while its manifest survives — restore must fail HERE with the
+    // named error, not publish a head that breaks at read time
+    assert(new java.io.File(CommitLog.snapshotFiles(root, v0).head).delete())
+    val ex = intercept[IllegalArgumentException] { CommitLog.restore(root, v0) }
+    assert(ex.getMessage.contains("vacuumed past restore target"), ex.getMessage)
+  }
+
   test("commit log: copy-on-write delete carries clean files, isolates pinned readers (r9)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_cl_del").toString
