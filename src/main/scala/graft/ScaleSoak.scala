@@ -89,7 +89,13 @@ object ScaleSoak {
     "q_quality_perplexity_bucket", "q_sim_ivfpq", "q_pipeline_curation",
     "q_table_add_column", "q_text_unigram_segment", "q_table_merge",
     "q_dedup_span_strip", "q_dedup_survivors", "s_table_stream_read",
-    "q_table_restore")
+    "q_table_restore",
+    // r10 batch: partitioned commits (per-partition staging jobs ∝
+    // partition count), typed multi-column stats (one stats agg per
+    // append), z-order clustered optimize (cell grid rewrites ∝
+    // table), row-level CDF (changed-row staging on the CoW path)
+    "q_table_partition_prune", "q_table_stats_prune_ts",
+    "q_table_optimize_zorder", "q_table_cdf")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */

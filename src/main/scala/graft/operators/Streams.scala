@@ -631,9 +631,15 @@ object Streams {
       val ev = Tables(s, dir, "events")
       val chunks = Seq(0L, 1L, 2L).map(r =>
         ev.filter(col("event_id") % 3 === r))
+      // r10: the sink appends PARTITIONED (partition values recorded
+      // per file in the manifest — CommitLog.appendBatchPartitioned),
+      // so the streamed table is date/category-prunable from log
+      // metadata alone while keeping version ≡ batchId exactly-once.
+      // StreamingSpec pins the pruning on the streamed table.
       val q = stagedChunks(s, chunks).writeStream
         .foreachBatch { (batch: DataFrame, id: Long) =>
-          CommitLog.appendBatch(s, root, batch, nFiles = 2, batchId = id)
+          CommitLog.appendBatchPartitioned(s, root, batch,
+            partCol = "event_type", filesPerPartition = 1, batchId = id)
           ()
         }
         .option("checkpointLocation", ck)

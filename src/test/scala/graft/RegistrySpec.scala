@@ -123,7 +123,10 @@ class RegistrySpec extends SparkSpec {
       "q_quality_perplexity_bucket", "q_sim_ivfpq", "q_pipeline_curation",
       "q_table_add_column", "q_text_unigram_segment", "q_table_merge",
       "q_dedup_span_strip", "q_dedup_survivors", "s_table_stream_read",
-      "q_table_restore")
+      "q_table_restore",
+      // r10
+      "q_table_partition_prune", "q_table_stats_prune_ts",
+      "q_table_optimize_zorder", "q_table_cdf")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }

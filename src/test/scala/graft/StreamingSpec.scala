@@ -482,6 +482,198 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("vacuumed past restore target"), ex.getMessage)
   }
 
+  test("commit log: partition values prune from log metadata, carry across appends and CoW (r10)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_part").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    CommitLog.appendPartitioned(spark, root,
+      ev.filter(col("event_id") % 2 === 0), "event_type", filesPerPartition = 1)
+    val v1 = CommitLog.appendPartitioned(spark, root,
+      ev.filter(col("event_id") % 2 === 1), "event_type", filesPerPartition = 1)
+    // 5 event types × 1 file × 2 appends; the one-partition probe
+    // reads exactly its 2 files — and the PLAN holds only the manifest
+    // survivors (inputFiles is the no-directory-listing pin)
+    val (df, total, nRead) =
+      CommitLog.partitionPrunedRead(spark, root, v1, "event_type", Seq("click"))
+    assert(total === 10 && nRead === 2, s"total=$total read=$nRead")
+    assert(df.inputFiles.length === 2,
+      "pruned plan reads more files than the manifest survivors")
+    assert(df.filter(col("event_type") === "click").count() ===
+      ev.filter(col("event_type") === "click").count())
+    // rows outside the probed partitions are physically absent from
+    // the pruned scan (value-level, not just file counting)
+    assert(df.filter(col("event_type") =!= "click").count() === 0)
+    // a CoW delete carries clean files WITH their partition entries:
+    // the deleted partition's files rewrite, every other keeps pruning
+    val (v2, carried, rewritten) =
+      CommitLog.delete(spark, root, col("event_type") === "click")
+    assert(carried === 8L && rewritten === 0L,
+      s"delete should dirty exactly click's 2 files: carried=$carried rewritten=$rewritten")
+    val (df2, total2, nRead2) =
+      CommitLog.partitionPrunedRead(spark, root, v2, "event_type", Seq("error"))
+    assert(total2 === 8 && nRead2 === 2, s"post-delete total=$total2 read=$nRead2")
+    assert(df2.filter(col("event_type") === "error").count() ===
+      ev.filter(col("event_type") === "error").count())
+    // probing a column the table is not partitioned by refuses
+    val ex = intercept[IllegalArgumentException] {
+      CommitLog.partitionPrunedRead(spark, root, v2, "user_id", Seq("1"))
+    }
+    assert(ex.getMessage.contains("partition column"), ex.getMessage)
+    // the streaming sink twin: version ≡ batchId with partition values
+    val root2 = java.nio.file.Files.createTempDirectory("graft_cl_partb").toString
+    assert(CommitLog.appendBatchPartitioned(spark, root2,
+      ev.filter(col("event_id") % 2 === 0), "event_type", 1, batchId = 0L))
+    assert(!CommitLog.appendBatchPartitioned(spark, root2,
+      ev.filter(col("event_id") % 2 === 0), "event_type", 1, batchId = 0L),
+      "re-delivered batch must skip, not double-append")
+    val (_, t2, r2) =
+      CommitLog.partitionPrunedRead(spark, root2, 0L, "event_type", Seq("view"))
+    assert(t2 === 5 && r2 === 1, s"streamed table total=$t2 read=$r2")
+  }
+
+  test("commit log: typed stats prune strings and all-NULL files, reject tag conflicts (r10)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_ts2").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("maybe_type", when(col("value") >= 50.0, col("event_type")))
+    val statCols = Seq("event_type", "maybe_type", "event_id")
+    // string-range-aligned staging: file bounds [click..error] vs
+    // [purchase..view]
+    CommitLog.appendWithColumnStats(spark, root,
+      ev.filter(col("event_type").isin("click", "error")), 1, statCols)
+    val v1 = CommitLog.appendWithColumnStats(spark, root,
+      ev.filter(col("event_type").isin("purchase", "signup", "view")), 1, statCols)
+    val (df, total, nRead) = CommitLog.prunedReadTyped(spark, root, v1,
+      Seq(CommitLog.StatProbe("event_type", "a", "f")))
+    assert(total === 2 && nRead === 1, s"string prune total=$total read=$nRead")
+    assert(df.filter(col("event_type") <= "f").count() ===
+      ev.filter(col("event_type").isin("click", "error")).count())
+    // an ALL-NULL file is prunable by ANY range probe (a range
+    // predicate never matches NULL)
+    val v2 = CommitLog.appendWithColumnStats(spark, root,
+      ev.filter(col("value") < 50.0)
+        .withColumn("maybe_type", lit(null).cast("string")), 1, statCols)
+    val (_, t3, r3) = CommitLog.prunedReadTyped(spark, root, v2,
+      Seq(CommitLog.StatProbe("maybe_type", "a", "zzzz")))
+    assert(t3 === 3 && r3 === 2, s"all-null file not pruned: total=$t3 read=$r3")
+    // null counts recorded exactly
+    val aux = CommitLog.auxOf(root, v2)
+    val logged = aux.stats2.values.map(_("maybe_type").nulls).sum
+    val actual = CommitLog.read(spark, root, v2)
+      .filter(col("maybe_type").isNull).count()
+    assert(logged === actual, s"manifest nulls $logged != scan nulls $actual")
+    // a retyped stats column fails the COMMIT (bounds compared under
+    // the wrong type would prune wrongly)
+    val retyped = ev.withColumn("event_id", col("event_id").cast("string"))
+    val ex = intercept[IllegalArgumentException] {
+      CommitLog.appendWithColumnStats(spark, root, retyped, 1, Seq("event_id"))
+    }
+    assert(ex.getMessage.contains("recorded as") ||
+      ex.getMessage.contains("appendWithColumnStats"), ex.getMessage)
+  }
+
+  test("commit log: CDF replays every version as its snapshot diff; pre-CDF refusal; vacuum reclaims (r10)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_cdf").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .limit(2000)
+    CommitLog.append(spark, root, ev.filter(col("user_id") % 4 < 2), nFiles = 2)
+    CommitLog.append(spark, root, ev.filter(col("user_id") % 4 >= 2), nFiles = 2)
+    CommitLog.delete(spark, root, col("user_id") % 4 === 1)
+    val updates = ev.filter(col("user_id") % 4 === 2)
+      .withColumn("value", col("value") + lit(1000.0))
+      .unionByName(ev.filter(col("user_id") % 4 === 3)
+        .withColumn("event_id", col("event_id") + lit(1000000000L)))
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val (head, _, _) = CommitLog.merge(spark, root, updates, "event_id", 2)
+    val cols = Seq("event_id", "user_id", "event_type", "value").map(col)
+    // version-by-version: prev snapshot + changelog ≡ next snapshot
+    // (multiset equality — the CDF is COMPLETE and MINIMAL per commit)
+    (0L to head).foreach { v =>
+      val prev =
+        if (v == 0) CommitLog.read(spark, root, 0L).limit(0)
+        else CommitLog.read(spark, root, v - 1)
+      val cur = CommitLog.read(spark, root, v)
+      val ch = CommitLog.changesRows(spark, root, v - 1, v)
+      val removed = ch.filter(col("_change_type")
+        .isin("delete", "update_preimage")).select(cols: _*)
+      val added = ch.filter(col("_change_type")
+        .isin("insert", "update_postimage")).select(cols: _*)
+      val applied = prev.exceptAll(removed).unionByName(added)
+      assert(applied.exceptAll(cur).count() === 0 &&
+        cur.exceptAll(applied).count() === 0,
+        s"CDF of version $v does not replay its snapshot transition")
+    }
+    // a RESTORE's changelog is the lazy snapshot diff
+    val rhead = CommitLog.restore(root, 1L)
+    val rch = CommitLog.changesRows(spark, root, rhead - 1, rhead)
+    val back = CommitLog.read(spark, root, rhead)
+    val pre = CommitLog.read(spark, root, rhead - 1)
+    assert(rch.filter(col("_change_type") === "insert").count() ===
+      back.exceptAll(pre).count())
+    assert(rch.filter(col("_change_type") === "delete").count() ===
+      pre.exceptAll(back).count())
+    // pre-CDF writer's delete (a manifest with op=delete and no cdf
+    // field) still refuses with the old clear error
+    val root2 = java.nio.file.Files.createTempDirectory("graft_cl_cdf2").toString
+    CommitLog.append(spark, root2, ev.limit(100), nFiles = 1)
+    CommitLog.commit(root2,
+      CommitLog.snapshotFiles(root2, 0L).map(f =>
+        "data/" + new java.io.File(f).getName),
+      expected = Some(0L), op = "delete")
+    val ex = intercept[IllegalArgumentException] {
+      CommitLog.changesRows(spark, root2, -1L, 1L).count()
+    }
+    assert(ex.getMessage.contains("pre-CDF"), ex.getMessage)
+    // vacuum reclaims the dropped versions' cdf files, keeps retained
+    val cdfDir = new java.io.File(root, "cdf")
+    val beforeN = Option(cdfDir.listFiles()).map(_.length).getOrElse(0)
+    assert(beforeN >= 2, s"expected cdf files from delete+merge, got $beforeN")
+    CommitLog.vacuum(root, retainFrom = rhead)
+    val afterN = Option(cdfDir.listFiles()).map(_.length).getOrElse(0)
+    assert(afterN === 0,
+      s"vacuum left $afterN cdf files for dropped versions")
+  }
+
+  test("commit log: clustered optimize is data-neutral, dual-dim prunable, diff-refusing (r10)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_zo").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val mr = ev.agg(max(col("event_id")), max(col("user_id"))).collect()(0)
+    val (m, u) = (mr.getLong(0), mr.getLong(1))
+    CommitLog.appendWithColumnStats(spark, root,
+      ev.filter(col("user_id") % 2 === 0), 4, Seq("event_id", "user_id"))
+    val v1 = CommitLog.appendWithColumnStats(spark, root,
+      ev.filter(col("user_id") % 2 === 1), 4, Seq("event_id", "user_id"))
+    val v2 = CommitLog.optimizeClustered(spark, root,
+      dims = Seq("event_id" -> Seq(m / 4, m / 2, 3 * m / 4),
+        "user_id" -> Seq(u / 2)), filesPerCell = 1)
+    // data-neutral: the rewrite preserves the snapshot as a multiset
+    val pre = CommitLog.read(spark, root, v1)
+    val post = CommitLog.read(spark, root, v2)
+    assert(pre.exceptAll(post).count() === 0 && post.exceptAll(pre).count() === 0,
+      "clustered optimize changed the data")
+    // dual-dim pruning bites, and pruned ≡ full-scan filter
+    val probes = Seq(CommitLog.StatProbe("event_id", m / 4 + 1, m / 2),
+      CommitLog.StatProbe("user_id", u / 2 + 1, u))
+    val (df, total, nRead) = CommitLog.prunedReadTyped(spark, root, v2, probes)
+    assert(total === 8 && nRead === 1, s"total=$total read=$nRead")
+    val precise = df.filter(col("event_id").between(m / 4 + 1, m / 2) &&
+      col("user_id").between(u / 2 + 1, u))
+    assert(precise.count() ===
+      post.filter(col("event_id").between(m / 4 + 1, m / 2) &&
+        col("user_id").between(u / 2 + 1, u)).count())
+    // a file-level diff across the optimize still refuses
+    val ex = intercept[IllegalArgumentException] {
+      CommitLog.changes(spark, root, v1, v2)
+    }
+    assert(ex.getMessage.contains("optimize"), ex.getMessage)
+  }
+
   test("commit log: copy-on-write delete carries clean files, isolates pinned readers (r9)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_cl_del").toString
