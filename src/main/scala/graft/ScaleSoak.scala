@@ -95,7 +95,12 @@ object ScaleSoak {
     // append), z-order clustered optimize (cell grid rewrites ∝
     // table), row-level CDF (changed-row staging on the CoW path)
     "q_table_partition_prune", "q_table_stats_prune_ts",
-    "q_table_optimize_zorder", "q_table_cdf")
+    "q_table_optimize_zorder", "q_table_cdf",
+    // r10 batch 2: the SQL front-end (catalog scans plan from one
+    // manifest; INSERT INTO stages distributed; the maintenance
+    // statements are metadata + the same clustered rewrite)
+    "q_sql_table_time_travel", "q_sql_table_insert",
+    "q_sql_table_restore", "q_sql_table_maintenance")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */
@@ -176,6 +181,7 @@ object ScaleSoak {
     val outDir = s"/tmp/graft_soak_v${GenVersion}_x$n"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")

@@ -1,0 +1,144 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StructType}
+
+import graft.sources.CommitLog
+
+/** Injected SQL statements for the table layer's MAINTENANCE commands
+  * (r10) — the Delta split exactly: standard statements (SELECT with
+  * VERSION AS OF, INSERT INTO, CREATE TABLE) flow through the V2
+  * catalog ([[graft.sources.GraftCatalog]]); the commands ANSI SQL
+  * has no words for ride a delegating parser extension
+  * (SparkSessionExtensions.injectParser — Delta's DeltaSqlParser
+  * pattern):
+  *
+  *   RESTORE TABLE cat.tbl TO VERSION [AS OF] n
+  *   VACUUM cat.tbl RETAIN n VERSIONS
+  *   OPTIMIZE cat.tbl ZORDER BY (colA, colB, ...)
+  *
+  * Anything unmatched delegates VERBATIM to Spark's parser, so the
+  * extension is invisible to every other statement. Each command is a
+  * LeafRunnableCommand — driver-side metadata work returning its
+  * counters as rows (the data movement, if any, runs as ordinary
+  * distributed jobs inside the CommitLog call). */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+  private val restoreRe =
+    """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+(?:AS\s+OF\s+)?(\d+)\s*;?\s*""".r
+  private val vacuumRe =
+    """(?is)\s*VACUUM\s+([\w.]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+  private val optimizeRe =
+    """(?is)\s*OPTIMIZE\s+([\w.]+)\s+ZORDER\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s*;?\s*""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case restoreRe(ident, v) =>
+      RestoreTableCommand(ident.split('.').toSeq, v.toLong)
+    case vacuumRe(ident, n) =>
+      VacuumTableCommand(ident.split('.').toSeq, n.toLong)
+    case optimizeRe(ident, cols) =>
+      OptimizeZorderCommand(ident.split('.').toSeq,
+        cols.split(',').map(_.trim).toSeq)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+private object GraftSqlCommands {
+  /** `<catalog>.<table>` → the table root under the catalog's base
+    * dir (the same resolution GraftCatalog runs, without forcing the
+    * command through catalog table loading — maintenance must work on
+    * tables whose head state a normal load would reject). */
+  def rootOf(s: SparkSession, parts: Seq[String]): String = {
+    require(parts.length == 2,
+      s"graft maintenance commands address tables as <catalog>.<table>, got ${parts.mkString(".")}")
+    val base = s.conf.getOption(s"spark.sql.catalog.${parts.head}.base")
+      .getOrElse(throw new IllegalArgumentException(
+        s"'${parts.head}' is not a registered graft catalog " +
+          s"(missing spark.sql.catalog.${parts.head}.base)"))
+    new java.io.File(base, parts.last).toString
+  }
+  def attr(name: String): AttributeReference =
+    AttributeReference(name, LongType, nullable = false)()
+}
+
+/** RESTORE TABLE t TO VERSION n — CommitLog.restore as a statement.
+  * Returns the new head version. */
+case class RestoreTableCommand(parts: Seq[String], toVersion: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(GraftSqlCommands.attr("head_version"))
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(CommitLog.restore(GraftSqlCommands.rootOf(s, parts), toVersion)))
+}
+
+/** VACUUM t RETAIN n VERSIONS — keep the newest n snapshots readable,
+  * reclaim files referenced only by older ones. Returns
+  * (files_removed, files_kept). */
+case class VacuumTableCommand(parts: Seq[String], retainVersions: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(GraftSqlCommands.attr("files_removed"), GraftSqlCommands.attr("files_kept"))
+  override def run(s: SparkSession): Seq[Row] = {
+    require(retainVersions >= 1, "VACUUM must retain at least the head version")
+    val root = GraftSqlCommands.rootOf(s, parts)
+    val head = CommitLog.latestVersion(root).getOrElse(
+      sys.error(s"cannot vacuum an empty table at $root"))
+    val retainFrom = math.max(0L, head - retainVersions + 1)
+    val (removed, kept) = CommitLog.vacuum(root, retainFrom)
+    Seq(Row(removed, kept))
+  }
+}
+
+/** OPTIMIZE t ZORDER BY (a, b, ...) — multi-dimensional cluster
+  * rewrite through SQL. Cutoffs derive from one per-column MIN/MAX
+  * scalar agg (metadata-grade): each dimension splits into 4 equal
+  * integer ranges, so k columns tile into 4^k cells (one file per
+  * cell), stats recorded on every dimension — the same
+  * CommitLog.optimizeClustered the Scala API exposes, with the grid
+  * choice the statement form has to make for you. Returns
+  * (head_version, n_files). */
+case class OptimizeZorderCommand(parts: Seq[String], cols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(GraftSqlCommands.attr("head_version"), GraftSqlCommands.attr("n_files"))
+  override def run(s: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    val root = GraftSqlCommands.rootOf(s, parts)
+    val head = CommitLog.latestVersion(root).getOrElse(
+      sys.error(s"cannot optimize an empty table at $root"))
+    val cur = CommitLog.read(s, root, head)
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+    val r = cur.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val dims = cols.zipWithIndex.map { case (c, i) =>
+      val (lo, hi) = (r.getLong(2 * i), r.getLong(2 * i + 1))
+      // 4 equal integer ranges per dimension; a constant column
+      // degenerates to one bucket (empty cutoff list)
+      val cuts = (1 to 3).map(k => lo + (hi - lo) * k / 4)
+        .filter(c0 => c0 > lo && c0 < hi).distinct
+      c -> cuts
+    }
+    val v = CommitLog.optimizeClustered(s, root, dims, filesPerCell = 1)
+    Seq(Row(v, CommitLog.snapshotFiles(root, v).size.toLong))
+  }
+}

@@ -108,10 +108,14 @@ object RewriteCosineThresholdJoin extends Rule[LogicalPlan] with PredicateHelper
 
 /** Session-extension injection point:
   * `--conf spark.sql.extensions=graft.plans.GraftExtensions` wires the
-  * LSH rewrite rule (flag-gated) and the native vector/hash functions
-  * into every session built from that config. */
+  * LSH rewrite rule (flag-gated), and (r10) the table-maintenance SQL
+  * statements (RESTORE / VACUUM / OPTIMIZE ZORDER BY — the Delta
+  * DeltaSqlParser pattern) into every session built from that config.
+  * The harness mains and the test session all register it, so the
+  * SQL front-end is on everywhere. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteCosineThresholdJoin)
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }

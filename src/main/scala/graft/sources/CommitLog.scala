@@ -1417,6 +1417,7 @@ object CommitLog {
 
   private def stageDataFiles(s: SparkSession, root: String,
       df: DataFrame, nFiles: Int): Seq[String] = {
+    new java.io.File(root).mkdirs() // first commit may create the table root
     val stage = java.nio.file.Files.createTempDirectory(
       new java.io.File(root).toPath, ".stage-")
     df.repartition(nFiles).write.mode("overwrite").parquet(stage.toString)

@@ -126,7 +126,9 @@ class RegistrySpec extends SparkSpec {
       "q_table_restore",
       // r10
       "q_table_partition_prune", "q_table_stats_prune_ts",
-      "q_table_optimize_zorder", "q_table_cdf")
+      "q_table_optimize_zorder", "q_table_cdf",
+      "q_sql_table_time_travel", "q_sql_table_insert",
+      "q_sql_table_restore", "q_sql_table_maintenance")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }
