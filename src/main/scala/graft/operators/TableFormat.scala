@@ -548,6 +548,9 @@ object TableFormat {
       // reclaims cdf files).
       val root = java.nio.file.Files.createTempDirectory("graft_table_cdf")
       root.toFile.deleteOnExit()
+      // CDF is opt-in per table (default OFF — the Delta contract);
+      // this is the table with a changelog consumer, so turn it on
+      CommitLog.setTableProperty(root.toString, "enableChangeDataFeed", "true")
       val ev = Tables(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       CommitLog.append(s, root.toString, ev.filter(col("user_id") % 4 < 2), nFiles = 2)

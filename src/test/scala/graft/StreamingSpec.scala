@@ -577,6 +577,7 @@ class StreamingSpec extends SparkSpec {
   test("commit log: CDF replays every version as its snapshot diff; pre-CDF refusal; vacuum reclaims (r10)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_cl_cdf").toString
+    CommitLog.setTableProperty(root, "enableChangeDataFeed", "true")
     val ev = Tables(spark, sf, "events")
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       .limit(2000)
@@ -628,6 +629,18 @@ class StreamingSpec extends SparkSpec {
       CommitLog.changesRows(spark, root2, -1L, 1L).count()
     }
     assert(ex.getMessage.contains("pre-CDF"), ex.getMessage)
+    // CDF is opt-in (default OFF): a delete on a table WITHOUT
+    // enableChangeDataFeed stages no cdf/ files (no changelog tax)
+    // and its version refuses changesRows with the same clear error
+    val root3 = java.nio.file.Files.createTempDirectory("graft_cl_cdf3").toString
+    CommitLog.append(spark, root3, ev.limit(200), nFiles = 1)
+    CommitLog.delete(spark, root3, col("user_id") % 4 === 1)
+    assert(!new java.io.File(root3, "cdf").exists(),
+      "delete on a CDF-disabled table must not stage cdf files")
+    val ex3 = intercept[IllegalArgumentException] {
+      CommitLog.changesRows(spark, root3, -1L, 1L).count()
+    }
+    assert(ex3.getMessage.contains("enableChangeDataFeed"), ex3.getMessage)
     // vacuum reclaims the dropped versions' cdf files, keeps retained
     val cdfDir = new java.io.File(root, "cdf")
     val beforeN = Option(cdfDir.listFiles()).map(_.length).getOrElse(0)
