@@ -602,32 +602,34 @@ object CommitLog {
     * NULL partition values route under an explicit sentinel before
     * the write (never Hive's default-partition encoding). */
   private val nullPartSentinel = "__GRAFT_NULL_PARTITION__"
-  private def stagePartitioned(s: SparkSession, root: String, df: DataFrame,
-      partCol: String, filesPerPartition: Int): (Seq[String], Aux) = {
-    import org.apache.spark.sql.functions.{coalesce, col, hash, lit, pmod}
-    require(!df.columns.contains("_gp") && !df.columns.contains("_gs"),
-      "partitioned staging reserves column names _gp and _gs")
+
+  /** Shared single-job routed staging: `df` must carry a string
+    * routing column `_gp`; rows are repartitioned so each (_gp, salt)
+    * combo lands in exactly ONE task, one partitionBy write splits
+    * file-per-combo, and the result is the (groupKey → staged paths)
+    * accounting read back off the staging directory walk (sorted by
+    * group key). Dynamic partition writers only open a file on its
+    * first row, so every staged file is non-empty by construction.
+    * Dir names carry Hive %XX escaping of special value characters —
+    * decoded back exactly (a literal '%' in a value always arrives
+    * as %25, so the blind decode is the precise inverse). */
+  private def stageRouted(s: SparkSession, root: String, df: DataFrame,
+      filesPerGroup: Int): Seq[(String, Seq[String])] = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     new java.io.File(root).mkdirs()
     val stage = java.nio.file.Files.createTempDirectory(
       new java.io.File(root).toPath, ".pstage-")
-    val tagged = df.withColumn("_gp",
-      coalesce(col(partCol).cast("string"), lit(nullPartSentinel)))
+    val dataCols = df.columns.filterNot(c => c == "_gp" || c == "_gs")
     val (routed, partDepth) =
-      if (filesPerPartition <= 1)
-        (tagged.repartition(col("_gp")), Seq("_gp"))
+      if (filesPerGroup <= 1)
+        (df.repartition(col("_gp")), Seq("_gp"))
       else {
-        val salted = tagged.withColumn("_gs",
-          pmod(hash(df.columns.map(col): _*), lit(filesPerPartition)))
+        val salted = df.withColumn("_gs",
+          pmod(hash(dataCols.map(col).toSeq: _*), lit(filesPerGroup)))
         (salted.repartition(col("_gp"), col("_gs")), Seq("_gp", "_gs"))
       }
     routed.write.mode("overwrite").partitionBy(partDepth: _*)
       .parquet(stage.toString)
-    // walk stage/_gp=V[/_gs=N]/part-*.parquet; dynamic partition
-    // writers only open a file on its first row, so every file is
-    // non-empty by construction (no footer check needed). Dir names
-    // carry Hive %XX escaping of special value characters — decode it
-    // back (a literal '%' in a value always arrives as %25, so the
-    // blind decode is exact).
     def unescape(n: String): String = {
       val sb = new StringBuilder(n.length)
       var i = 0
@@ -665,6 +667,17 @@ object CommitLog {
       d.delete()
     }
     scrub(stage.toFile)
+    groups
+  }
+
+  private def stagePartitioned(s: SparkSession, root: String, df: DataFrame,
+      partCol: String, filesPerPartition: Int): (Seq[String], Aux) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    require(!df.columns.contains("_gp") && !df.columns.contains("_gs"),
+      "partitioned staging reserves column names _gp and _gs")
+    val tagged = df.withColumn("_gp",
+      coalesce(col(partCol).cast("string"), lit(nullPartSentinel)))
+    val groups = stageRouted(s, root, tagged, filesPerPartition)
     val parts = groups.flatMap { case (v, fs) => fs.map(_ -> v) }.toMap
     (groups.flatMap(_._2), Aux(partCol = Some(partCol), parts = parts))
   }
@@ -892,20 +905,39 @@ object CommitLog {
       z
     }
     val perDim = dims.map { case (c, cuts) => c -> bucketBounds(cuts) }
-    val cells = perDim.map(_._2.indices.toList)
-      .foldLeft(Seq(List.empty[Int]))((acc, idxs) =>
-        acc.flatMap(prefix => idxs.map(prefix :+ _)))
-      .sortBy(interleave)
-    val staged = cells.flatMap { cell =>
-      val pred = perDim.zip(cell).map { case ((c, bounds), bIx) =>
-        val (lo, hi) = bounds(bIx)
-        val range =
-          lo.map(col(c) > lit(_)).getOrElse(lit(true)) &&
-            hi.map(col(c) <= lit(_)).getOrElse(lit(true))
-        if (lo.isEmpty) col(c).isNull || range else range
-      }.reduce(_ && _)
-      stageDataFiles(s, root, cur.filter(pred), filesPerCell)
+    // ONE distributed rewrite for the whole grid (r10 rework: the
+    // first cut looped one filtered write job per cell — a 4×4 grid
+    // re-scanned the table 16 times; a clustered OPTIMIZE over 100 TB
+    // must be a single shuffle). The per-dim bucket index is computed
+    // as a COLUMN (count of cutoffs strictly below the value; NULLs
+    // route to bucket 0 — range predicates are null-rejecting, so the
+    // first bucket's stats stay correct), the composite cell id routes
+    // the single partitionBy write via stageRouted, and the manifest
+    // lists cells in z-curve order of the decoded indices — same grid,
+    // same file contents, same accounting, one job.
+    require(!cur.columns.contains("_gp") && !cur.columns.contains("_gs"),
+      "clustered staging reserves column names _gp and _gs")
+    val widths = perDim.map(_._2.size)
+    val cellIdCol = dims.zipWithIndex.map { case ((c, cuts), d) =>
+      val bucket =
+        if (cuts.isEmpty) lit(0)
+        else cuts.map(x => (col(c) > lit(x)).cast("int")).reduce(_ + _)
+      val safe = org.apache.spark.sql.functions
+        .when(col(c).isNull, lit(0)).otherwise(bucket)
+      safe * lit(widths.drop(d + 1).product)
+    }.reduce(_ + _)
+    val tagged = cur.withColumn("_gp",
+      org.apache.spark.sql.functions.format_string("%06d", cellIdCol))
+    val groups = stageRouted(s, root, tagged, filesPerCell)
+    def decode(key: String): List[Int] = {
+      var rem = key.toInt
+      widths.indices.map { d =>
+        val stride = widths.drop(d + 1).product
+        val ix = rem / stride; rem %= stride; ix
+      }.toList
     }
+    val staged = groups.sortBy { case (key, _) => interleave(decode(key)) }
+      .flatMap(_._2)
     commit(root, staged, Some(prev), op = "optimize",
       schemaJson = carriedSchemaJson(root, Some(prev)),
       extra = auxExtra(perFileColStats(s, root, staged, dims.map(_._1))))
