@@ -100,7 +100,12 @@ object ScaleSoak {
     // manifest; INSERT INTO stages distributed; the maintenance
     // statements are metadata + the same clustered rewrite)
     "q_sql_table_time_travel", "q_sql_table_insert",
-    "q_sql_table_restore", "q_sql_table_maintenance")
+    "q_sql_table_restore", "q_sql_table_maintenance",
+    // r10 batch 3: DELETE FROM / MERGE INTO through the parser (the
+    // CoW writes themselves — cost ∝ dirty files + update volume),
+    // and streaming-by-table-name (the version-diff source behind
+    // the catalog identifier)
+    "q_sql_table_dml", "s_table_stream_sql")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */

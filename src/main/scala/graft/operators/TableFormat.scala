@@ -382,6 +382,37 @@ object TableFormat {
           countDistinct(col("user_id")).as("n_users"),
           dsum(col("value")).as("sum_value")))
     },
+    "s_table_stream_sql" -> { (s, dir) =>
+      // Streaming read by TABLE NAME (added r10): `spark.readStream
+      // .table("cat.tbl")` — the catalog table doubles as the
+      // streaming source (MICRO_BATCH_READ on GraftCatalogTable,
+      // delegating to the same TableMicroBatchStream the standalone
+      // format runs), so batch SQL, streaming, and the maintenance
+      // statements all address ONE table name; no path or format
+      // string at the call site. Three appends stage the table; one
+      // AvailableNow drain must union to the head snapshot exactly.
+      val base = java.nio.file.Files.createTempDirectory("graft_tss")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "tbl").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      (0 until 3).foreach(i => CommitLog.append(s, root,
+        ev.filter(col("event_id") % 3 === i), nFiles = 2))
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      val out = java.nio.file.Files.createTempDirectory("graft_tss_out").toString
+      val ck = java.nio.file.Files.createTempDirectory("graft_tss_ck").toString
+      val q = s.readStream.table(s"$cat.tbl")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ordered(s.read.parquet(out).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("sum_value")))
+    },
     "q_table_restore" -> { (s, dir) =>
       // RESTORE (added late r9) — time travel upgraded from read-only
       // pinning to a writable ROLLBACK: v0 appends the even-user rows,
@@ -682,6 +713,49 @@ object TableFormat {
           lit(vac.getLong(1)).as("files_kept"),
           col("n_rows"), col("sum_value")))
     },
+    "q_sql_table_dml" -> { (s, dir) =>
+      // SQL front-end #5 (added r10): DELETE FROM and MERGE INTO as
+      // statements — Spark PARSES both natively but cannot EXECUTE
+      // them against a plain V2 table (they need the row-level
+      // operation API), so the graft forms intercept in the parser
+      // extension (gated on the identifier naming a registered graft
+      // catalog; everything else delegates verbatim) and route to the
+      // same CoW delete/merge the Scala API exposes. The history is
+      // q_table_cdf's: delete the user_id%4=1 rows (the GDPR shape),
+      // then a canonical upsert (UPDATE SET * / INSERT *) that
+      // replaces every %4=2 row (value+1000) and inserts id-shifted
+      // clones of the %4=3 rows — the final state is pure predicates
+      // over events, fully oracle-checkable.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_dml")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "tbl").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      CommitLog.append(s, root, ev.filter(col("user_id") % 4 < 2), nFiles = 2)
+      CommitLog.append(s, root, ev.filter(col("user_id") % 4 >= 2), nFiles = 2)
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      s.sql(s"DELETE FROM $cat.tbl WHERE user_id % 4 = 1")
+      val updates = ev.filter(col("user_id") % 4 === 2)
+        .withColumn("value", col("value") + lit(1000.0))
+        .unionByName(ev.filter(col("user_id") % 4 === 3)
+          .withColumn("event_id", col("event_id") + lit(1000000000L)))
+      val view = "graft_dml_src_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      updates.createOrReplaceTempView(view)
+      val head = s.sql(
+        s"""MERGE INTO $cat.tbl t USING $view s ON t.event_id = s.event_id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+        .collect()(0).getLong(0)
+      ordered(s.sql(s"SELECT event_id, value FROM $cat.tbl")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("event_id") >= 1000000000L, 1L).otherwise(0L))
+            .as("n_inserted_clones"),
+          dsum(col("value")).as("sum_value"))
+        .select(lit(head).as("head_version"), col("n_rows"),
+          col("n_inserted_clones"), col("sum_value")))
+    },
     "q_table_time_travel" -> { (s, dir) =>
       // read AS OF v0 after the append and the compaction both
       // committed: the pinned scan sees only v0's file list, so the
@@ -790,6 +864,12 @@ object TableFormat {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin +
         orderByAll("event_type", "n", "n_users", "sum_value")),
+    "s_table_stream_sql" ->
+      ("""SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY event_type""".stripMargin +
+        orderByAll("event_type", "n", "n_users", "sum_value")),
     "q_table_restore" ->
       ("""SELECT CAST(3 AS BIGINT) AS head_version,
         |  COUNT(*) AS n_rows,
@@ -827,6 +907,24 @@ object TableFormat {
         |FROM events""".stripMargin +
         orderByAll("opt_files", "files_removed", "files_kept",
           "n_rows", "sum_value")),
+    "q_sql_table_dml" ->
+      ("""WITH final AS (
+        |  SELECT event_id, value FROM events WHERE user_id % 4 = 0
+        |  UNION ALL
+        |  SELECT event_id, value + 1000 AS value FROM events WHERE user_id % 4 = 2
+        |  UNION ALL
+        |  SELECT event_id, value FROM events WHERE user_id % 4 = 3
+        |  UNION ALL
+        |  SELECT event_id + 1000000000 AS event_id, value
+        |  FROM events WHERE user_id % 4 = 3
+        |)
+        |SELECT CAST(3 AS BIGINT) AS head_version,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN event_id >= 1000000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_inserted_clones,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
+        |FROM final""".stripMargin +
+        orderByAll("head_version", "n_rows", "n_inserted_clones", "sum_value")),
     "q_table_partition_prune" ->
       ("""SELECT CAST(20 AS BIGINT) AS n_files_total,
         |  CAST(8 AS BIGINT) AS n_files_read,

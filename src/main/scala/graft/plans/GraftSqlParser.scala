@@ -34,6 +34,28 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*VACUUM\s+([\w.]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
   private val optimizeRe =
     """(?is)\s*OPTIMIZE\s+([\w.]+)\s+ZORDER\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s*;?\s*""".r
+  // DELETE / MERGE are statements Spark PARSES natively but cannot
+  // EXECUTE against a plain V2 catalog table (they need the row-level
+  // operation API) — so the graft forms intercept here and route to
+  // the commit log's CoW writes, and gate on the identifier actually
+  // naming a registered graft catalog: anything else delegates
+  // verbatim, keeping Spark's own DELETE/MERGE semantics for every
+  // other table. MERGE supports the canonical upsert shape
+  // (UPDATE SET * / INSERT *) — exactly CommitLog.merge's contract.
+  private val deleteRe =
+    """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val mergeRe =
+    ("""(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?""" +
+      """\s+ON\s+(\w+)\s*\.\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)""" +
+      """\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
+      """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
+
+  private def isGraftCatalog(ident: String): Boolean = {
+    val parts = ident.split('.')
+    parts.length == 2 && SparkSession.getActiveSession.exists(
+      _.conf.getOption(s"spark.sql.catalog.${parts.head}")
+        .contains("graft.sources.GraftCatalog"))
+  }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case restoreRe(ident, v) =>
@@ -43,6 +65,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case optimizeRe(ident, cols) =>
       OptimizeZorderCommand(ident.split('.').toSeq,
         cols.split(',').map(_.trim).toSeq)
+    case deleteRe(ident, cond) if isGraftCatalog(ident) =>
+      DeleteFromGraftCommand(ident.split('.').toSeq, cond)
+    case mergeRe(ident, tAls, src, sAls, q1, c1, q2, c2) if isGraftCatalog(ident) =>
+      val tAlias = Option(tAls).getOrElse(ident.split('.').last)
+      val sAlias = Option(sAls).getOrElse(src.split('.').last)
+      // the ON equality must bind one side to the target, one to the
+      // source, and name the SAME column (CommitLog.merge keys on one
+      // shared column name)
+      val (tCol, sCol) =
+        if (q1 == tAlias && q2 == sAlias) (c1, c2)
+        else if (q1 == sAlias && q2 == tAlias) (c2, c1)
+        else throw new IllegalArgumentException(
+          s"MERGE ON must equate target and source columns, got $q1.$c1 = $q2.$c2")
+      require(tCol == sCol,
+        s"graft MERGE keys on one shared column name, got $tCol vs $sCol")
+      MergeIntoGraftCommand(ident.split('.').toSeq, src, tCol)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -106,6 +144,49 @@ case class VacuumTableCommand(parts: Seq[String], retainVersions: Long)
     val retainFrom = math.max(0L, head - retainVersions + 1)
     val (removed, kept) = CommitLog.vacuum(root, retainFrom)
     Seq(Row(removed, kept))
+  }
+}
+
+/** DELETE FROM cat.tbl WHERE cond — the commit log's copy-on-write
+  * delete as the standard SQL statement: the predicate text re-parses
+  * through the session's own expression parser (functions.expr), so
+  * any deterministic SQL predicate works; clean files carry over
+  * byte-identical, dirty files rewrite without matching rows, one
+  * atomic commit. Returns (head_version, files_carried,
+  * files_rewritten). */
+case class DeleteFromGraftCommand(parts: Seq[String], condSql: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlCommands.attr("head_version"),
+    GraftSqlCommands.attr("files_carried"),
+    GraftSqlCommands.attr("files_rewritten"))
+  override def run(s: SparkSession): Seq[Row] = {
+    val (v, carried, rewritten) = CommitLog.delete(s,
+      GraftSqlCommands.rootOf(s, parts),
+      org.apache.spark.sql.functions.expr(condSql))
+    Seq(Row(v, carried, rewritten))
+  }
+}
+
+/** MERGE INTO cat.tbl t USING src s ON t.k = s.k WHEN MATCHED THEN
+  * UPDATE SET * WHEN NOT MATCHED THEN INSERT * — the canonical upsert
+  * as a statement, routed to CommitLog.merge: matched keys replaced by
+  * their source rows, unmatched source rows inserted, one atomic
+  * commit. `src` is a table or view visible to the session. Insert
+  * file count: `spark.graft.insert.files` (default 2). Returns
+  * (head_version, files_carried, files_rewritten). */
+case class MergeIntoGraftCommand(parts: Seq[String], source: String,
+    keyCol: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlCommands.attr("head_version"),
+    GraftSqlCommands.attr("files_carried"),
+    GraftSqlCommands.attr("files_rewritten"))
+  override def run(s: SparkSession): Seq[Row] = {
+    val n = s.conf.getOption("spark.graft.insert.files").map(_.toInt).getOrElse(2)
+    val (v, carried, rewritten) = CommitLog.merge(s,
+      GraftSqlCommands.rootOf(s, parts), s.table(source), keyCol,
+      nInsertFiles = n)
+    Seq(Row(v, carried, rewritten))
   }
 }
 

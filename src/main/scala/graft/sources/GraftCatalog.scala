@@ -6,6 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.MicroBatchStream
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.InsertableRelation
 import org.apache.spark.sql.types.StructType
@@ -128,11 +129,18 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
 
   override def capabilities(): util.Set[TableCapability] =
     if (writable)
-      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+      util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+        TableCapability.MICRO_BATCH_READ)
     else util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val tableSchema = schema()
+    // streaming options — same names as TableStreamProvider
+    // (`readStream.table("cat.tbl")` passes reader options here)
+    val ignoreChanges =
+      Option(options.get("ignoreChanges")).exists(_.toBoolean)
+    val startingVersion =
+      Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
     new ScanBuilder with SupportsPushDownRequiredColumns {
       private var projected: StructType = tableSchema
       override def pruneColumns(requiredSchema: StructType): Unit =
@@ -149,6 +157,13 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
           override def createReaderFactory(): PartitionReaderFactory =
             new TableFileReaderFactory(projected)
         }
+        /** `spark.readStream.table("cat.tbl")` — the catalog table IS
+          * the streaming source: the same incremental version-diff
+          * MicroBatchStream the standalone `graft-table` format runs
+          * ([[TableMicroBatchStream]]), so batch SQL, streaming and
+          * maintenance all address one table name. */
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new TableMicroBatchStream(root, projected, ignoreChanges, startingVersion)
       }
     }
   }

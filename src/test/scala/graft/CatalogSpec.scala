@@ -112,4 +112,47 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql("SHOW DATABASES").count() >= 1)
     intercept[Exception] { spark.sql("RESTORE TABLE nocatalog.t TO VERSION AS OF 0").collect() }
   }
+
+  test("parser: DELETE FROM / MERGE INTO route to the log only for graft catalogs") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "t").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value")).limit(1000)
+    CommitLog.append(spark, root, ev, nFiles = 2)
+    // DELETE: any deterministic SQL predicate; counters are the CoW's
+    val del = spark.sql(s"DELETE FROM $cat.t WHERE user_id % 2 = 1 AND value >= 0")
+      .collect()(0)
+    assert(del.getLong(0) === 1L)
+    val expect = ev.filter(!(col("user_id") % 2 === 1 && col("value") >= 0)).count()
+    assert(spark.sql(s"SELECT * FROM $cat.t").count() === expect)
+    // MERGE (canonical upsert): replaced rows and fresh inserts land
+    val updates = ev.filter(col("user_id") % 2 === 0).limit(50)
+      .withColumn("value", lit(-1.0))
+      .unionByName(ev.limit(5).withColumn("event_id", col("event_id") + 500000000L))
+    updates.createOrReplaceTempView("catspec_merge_src")
+    val mrg = spark.sql(
+      s"""MERGE INTO $cat.t t USING catspec_merge_src s ON t.event_id = s.event_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()(0)
+    assert(mrg.getLong(0) === 2L)
+    assert(spark.sql(s"SELECT * FROM $cat.t WHERE value = -1.0").count() === 50)
+    assert(spark.sql(s"SELECT * FROM $cat.t WHERE event_id >= 500000000").count() === 5)
+    // gating: a DELETE on a NON-graft identifier delegates to Spark's
+    // own path (which rejects deletes on temp views) — the graft
+    // command must not hijack it
+    ev.createOrReplaceTempView("catspec_plain_view")
+    val ex = intercept[Exception] {
+      spark.sql("DELETE FROM catspec_plain_view WHERE user_id = 1").collect()
+    }
+    assert(!ex.getMessage.contains("graft catalog"),
+      s"non-graft DELETE must delegate to Spark, got: ${ex.getMessage}")
+    // a MERGE whose ON clause keys different column names refuses
+    val ex2 = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $cat.t t USING catspec_merge_src s ON t.event_id = s.user_id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    }
+    assert(ex2.getMessage.contains("shared column name"), ex2.getMessage)
+  }
 }
