@@ -105,7 +105,10 @@ object ScaleSoak {
     // CoW writes themselves — cost ∝ dirty files + update volume),
     // and streaming-by-table-name (the version-diff source behind
     // the catalog identifier)
-    "q_sql_table_dml", "s_table_stream_sql")
+    "q_sql_table_dml", "s_table_stream_sql",
+    // r10 batch 4: the CDF table-valued function (changelog plan
+    // resolution; data volume ∝ changed rows)
+    "q_sql_table_cdf")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */

@@ -756,6 +756,39 @@ object TableFormat {
         .select(lit(head).as("head_version"), col("n_rows"),
           col("n_inserted_clones"), col("sum_value")))
     },
+    "q_sql_table_cdf" -> { (s, dir) =>
+      // SQL front-end #6 (added r10): the change-data-feed as a
+      // TABLE-VALUED FUNCTION — `SELECT ... FROM table_changes(
+      // 'cat.tbl', from, to)`, Delta's CDF query surface, registered
+      // via SparkSessionExtensions.injectTableFunction: resolution
+      // maps the literal args onto CommitLog.changesRows' plan
+      // (manifest reads only; data stays lazy). Same history as
+      // q_table_cdf — appends, GDPR delete, replace+insert merge on a
+      // CDF-enabled table — replayed entirely through SQL.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_cdf")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "tbl").toString
+      CommitLog.setTableProperty(root, "enableChangeDataFeed", "true")
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      CommitLog.append(s, root, ev.filter(col("user_id") % 4 < 2), nFiles = 2)
+      CommitLog.append(s, root, ev.filter(col("user_id") % 4 >= 2), nFiles = 2)
+      CommitLog.delete(s, root, col("user_id") % 4 === 1)
+      val updates = ev.filter(col("user_id") % 4 === 2)
+        .withColumn("value", col("value") + lit(1000.0))
+        .unionByName(ev.filter(col("user_id") % 4 === 3)
+          .withColumn("event_id", col("event_id") + lit(1000000000L)))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val (head, _, _) = CommitLog.merge(s, root, updates, "event_id", nInsertFiles = 2)
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      ordered(s.sql(
+        s"SELECT * FROM table_changes('$cat.tbl', -1, $head)")
+        .groupBy(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
+    },
     "q_table_time_travel" -> { (s, dir) =>
       // read AS OF v0 after the append and the compaction both
       // committed: the pinned scan sees only v0's file list, so the
@@ -956,6 +989,22 @@ object TableFormat {
         |  AND user_id > u // 2 AND user_id <= u""".stripMargin +
         orderByAll("files_before", "files_read_before", "files_after",
           "files_read_after", "n_rows", "sum_value")),
+    "q_sql_table_cdf" ->
+      ("""WITH ch AS (
+        |  SELECT 0 AS commit_version, 'insert' AS change_type, value
+        |  FROM events WHERE user_id % 4 < 2
+        |  UNION ALL SELECT 1, 'insert', value FROM events WHERE user_id % 4 >= 2
+        |  UNION ALL SELECT 2, 'delete', value FROM events WHERE user_id % 4 = 1
+        |  UNION ALL SELECT 3, 'update_preimage', value
+        |  FROM events WHERE user_id % 4 = 2
+        |  UNION ALL SELECT 3, 'update_postimage', value + 1000
+        |  FROM events WHERE user_id % 4 = 2
+        |  UNION ALL SELECT 3, 'insert', value FROM events WHERE user_id % 4 = 3)
+        |SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
+        |FROM ch GROUP BY commit_version, change_type""".stripMargin +
+        orderByAll("commit_version", "change_type", "n", "sum_value")),
     "q_table_cdf" ->
       ("""WITH ch AS (
         |  SELECT 0 AS commit_version, 'insert' AS change_type, value

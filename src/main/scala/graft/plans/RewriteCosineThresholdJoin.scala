@@ -117,5 +117,28 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteCosineThresholdJoin)
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+    // table_changes('cat.tbl', fromVersion, toVersion) — the Delta CDF
+    // table-valued function: resolves to the commit log's row-level
+    // changelog plan (graft.sources.CommitLog.changesRows). Resolution
+    // reads manifests only; data reading stays lazy in the plan.
+    ext.injectTableFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("table_changes"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GraftExtensions].getName, "table_changes"),
+      (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(args.length == 3,
+          "table_changes(table, fromVersion, toVersion) takes 3 arguments")
+        def evalOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Any = {
+          require(e.foldable, s"table_changes arguments must be literals, got $e")
+          e.eval()
+        }
+        val ident = String.valueOf(evalOf(args(0)))
+        val from = evalOf(args(1)).asInstanceOf[Number].longValue()
+        val to = evalOf(args(2)).asInstanceOf[Number].longValue()
+        val s = org.apache.spark.sql.SparkSession.active
+        graft.sources.CommitLog.changesRows(s,
+          GraftSqlCommands.rootOf(s, ident.split('.').toSeq), from, to)
+          .queryExecution.logical
+      }))
   }
 }

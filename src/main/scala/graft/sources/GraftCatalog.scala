@@ -87,16 +87,30 @@ class GraftCatalog extends TableCatalog {
 
   /** CREATE TABLE — an empty version-0 manifest carrying the schema:
     * the log is the schema authority from the first commit, so a
-    * later INSERT with a retyped column fails at commit time. */
+    * later INSERT with a retyped column fails at commit time.
+    * `PARTITIONED BY (c)` (one identity column — the single-partCol
+    * manifest spec) records the column as a table property; every
+    * INSERT then routes through appendPartitioned, so the streamed-in
+    * table is partition-prunable from log metadata alone. */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    require(partitions.isEmpty,
-      "use CommitLog.appendPartitioned for partitioned tables — CREATE " +
-        "TABLE ... PARTITIONED BY is not wired to the manifest partCol yet")
     val root = rootOf(ident)
     require(CommitLog.latestVersion(root).isEmpty,
       s"table ${ident.name} already exists under $base")
+    val partCol = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) =>
+        require(t.name == "identity",
+          s"only PARTITIONED BY (column) is supported, got ${t.describe}")
+        val c = t.references()(0).fieldNames().mkString(".")
+        require(schema.fieldNames.contains(c),
+          s"partition column '$c' is not in the table schema")
+        Some(c)
+      case many => throw new IllegalArgumentException(
+        s"one partition column per table (the manifest partCol spec), got ${many.size}")
+    }
     CommitLog.commit(root, Nil, expected = None, schemaJson = Some(schema.json))
+    partCol.foreach(c => CommitLog.setTableProperty(root, "partitionColumn", c))
     new GraftCatalogTable(root, 0L, ident.name, writable = true)
   }
 
@@ -118,6 +132,11 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
     writable: Boolean) extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = s"graft.$tblName@v$version"
+
+  override def partitioning(): Array[Transform] =
+    CommitLog.tableProperty(root, "partitionColumn")
+      .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c): Transform)
+      .toArray
 
   override def schema(): StructType =
     CommitLog.snapshotSchemaOf(root, version).getOrElse {
@@ -184,7 +203,12 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
                 "the log is append-only; use CommitLog.delete + append")
               val n = SparkSession.active.conf
                 .getOption("spark.graft.insert.files").map(_.toInt).getOrElse(2)
-              CommitLog.append(SparkSession.active, root, data, nFiles = n)
+              CommitLog.tableProperty(root, "partitionColumn") match {
+                case Some(c) => CommitLog.appendPartitioned(
+                  SparkSession.active, root, data, c, filesPerPartition = 1)
+                case None =>
+                  CommitLog.append(SparkSession.active, root, data, nFiles = n)
+              }
             }
           }
       }

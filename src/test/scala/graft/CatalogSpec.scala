@@ -155,4 +155,33 @@ class CatalogSpec extends SparkSpec {
     }
     assert(ex2.getMessage.contains("shared column name"), ex2.getMessage)
   }
+
+  test("catalog: CREATE TABLE PARTITIONED BY routes inserts through appendPartitioned") {
+    val (cat, base) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.pt (k BIGINT, cat_col STRING) PARTITIONED BY (cat_col)")
+    val root = new java.io.File(base, "pt").toString
+    assert(CommitLog.tableProperty(root, "partitionColumn").contains("cat_col"))
+    spark.sql(s"INSERT INTO $cat.pt VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    spark.sql(s"INSERT INTO $cat.pt VALUES (4, 'c'), (5, 'a')")
+    val head = CommitLog.latestVersion(root).get
+    // manifests carry per-file partition values: pruning to 'a' reads
+    // exactly the 'a' files, from log metadata alone
+    val (pruned, total, read) =
+      CommitLog.partitionPrunedRead(spark, root, head, "cat_col", Seq("a"))
+    assert(total === 4 && read === 2,
+      s"expected 4 files (a,b from v1; c,a from v2) with 2 'a' files, got $total/$read")
+    assert(pruned.count() === 3)
+    // the partition column stays physically in the files (every
+    // non-partition-aware reader unchanged)
+    assert(spark.sql(s"SELECT cat_col FROM $cat.pt WHERE k = 4").collect()(0)
+      .getString(0) === "c")
+    // SQL DELETE + streaming read still work on the partitioned table
+    spark.sql(s"DELETE FROM $cat.pt WHERE cat_col = 'b'")
+    assert(spark.sql(s"SELECT * FROM $cat.pt").count() === 4)
+    // two partition columns refuse
+    val ex = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.pt2 (k BIGINT, a STRING, b STRING) PARTITIONED BY (a, b)")
+    }
+    assert(ex.getMessage.contains("one partition column"), ex.getMessage)
+  }
 }
