@@ -532,6 +532,34 @@ class StreamingSpec extends SparkSpec {
     assert(t2 === 5 && r2 === 1, s"streamed table total=$t2 read=$r2")
   }
 
+  test("commit log: partition values with special characters and NULL round-trip the staging escape (r10)") {
+    import graft.sources.CommitLog
+    import spark.implicits._
+    // values chosen to exercise Hive %XX path escaping — space, '=',
+    // '/', ':', a literal '%', and NULL (the explicit sentinel route)
+    val nasty = Seq("a b", "k=v", "x/y", "t:00", "p%25q")
+    val rows = nasty.zipWithIndex.map { case (v, i) => (i.toLong, v) } :+
+      ((99L, null: String))
+    val df = rows.toDF("k", "part_val")
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_esc").toString
+    val v = CommitLog.appendPartitioned(spark, root, df, "part_val",
+      filesPerPartition = 1)
+    // every recorded partition value decodes back to the EXACT input
+    nasty.foreach { value =>
+      val (pruned, total, nRead) =
+        CommitLog.partitionPrunedRead(spark, root, v, "part_val", Seq(value))
+      assert(total === 6 && nRead === 1, s"'$value': total=$total read=$nRead")
+      assert(pruned.count() === 1 &&
+        pruned.collect()(0).getString(1) === value,
+        s"partition value '$value' did not round-trip the staging escape")
+    }
+    // NULL routes under the sentinel: no Hive default-partition dir
+    val aux = CommitLog.auxOf(root, v)
+    assert(aux.parts.values.toSet ===
+      (nasty.toSet + "__GRAFT_NULL_PARTITION__"),
+      s"recorded values: ${aux.parts.values.toSet}")
+  }
+
   test("commit log: typed stats prune strings and all-NULL files, reject tag conflicts (r10)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_cl_ts2").toString
