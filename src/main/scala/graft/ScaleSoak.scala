@@ -107,8 +107,10 @@ object ScaleSoak {
     // the catalog identifier)
     "q_sql_table_dml", "s_table_stream_sql",
     // r10 batch 4: the CDF table-valued function (changelog plan
-    // resolution; data volume ∝ changed rows)
-    "q_sql_table_cdf")
+    // resolution; data volume ∝ changed rows) and the shape-changing
+    // statements (overwrite rewrites ∝ incoming data; ALTER is
+    // metadata-only)
+    "q_sql_table_cdf", "q_sql_table_evolve")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */

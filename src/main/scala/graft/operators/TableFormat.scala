@@ -756,6 +756,43 @@ object TableFormat {
         .select(lit(head).as("head_version"), col("n_rows"),
           col("n_inserted_clones"), col("sum_value")))
     },
+    "q_sql_table_evolve" -> { (s, dir) =>
+      // SQL front-end #7 (added r10): the table-lifecycle statements
+      // that CHANGE a table's shape — INSERT OVERWRITE (one
+      // op="overwrite" snapshot commit; changes()/streaming treat it
+      // as the data-changing rewrite it is) and ALTER TABLE ADD
+      // COLUMNS (a metadata-only evolveSchema commit: zero data I/O,
+      // pre-evolution rows null-fill the new column). History: create,
+      // insert the %3=0 rows, OVERWRITE with the %3<>0 rows, add a
+      // grade column, insert the %3=0 rows again WITH grades — five
+      // versions, final state pure predicates over events.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_evo")
+      base.toFile.deleteOnExit()
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      Tables(s, dir, "events").createOrReplaceTempView("graft_sql_evo_src")
+      s.sql(s"CREATE TABLE $cat.evo (event_id BIGINT, event_type STRING, value DOUBLE)")
+      s.sql(s"""INSERT INTO $cat.evo
+        |SELECT event_id, event_type, value FROM graft_sql_evo_src
+        |WHERE event_id % 3 = 0""".stripMargin)
+      s.sql(s"""INSERT OVERWRITE $cat.evo
+        |SELECT event_id, event_type, value FROM graft_sql_evo_src
+        |WHERE event_id % 3 <> 0""".stripMargin)
+      s.sql(s"ALTER TABLE $cat.evo ADD COLUMNS (grade BIGINT)")
+      s.sql(s"""INSERT INTO $cat.evo
+        |SELECT event_id, event_type, value, event_id % 5 AS grade
+        |FROM graft_sql_evo_src WHERE event_id % 3 = 0""".stripMargin)
+      val head = CommitLog.latestVersion(
+        new java.io.File(base.toFile, "evo").toString).get
+      ordered(s.sql(s"SELECT event_id, value, grade FROM $cat.evo")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("grade").isNull, 1L).otherwise(0L)).as("n_null_grade"),
+          sum(col("grade")).as("sum_grade"),
+          dsum(col("value")).as("sum_value"))
+        .select(lit(head).as("head_version"), col("n_rows"),
+          col("n_null_grade"), col("sum_grade"), col("sum_value")))
+    },
     "q_sql_table_cdf" -> { (s, dir) =>
       // SQL front-end #6 (added r10): the change-data-feed as a
       // TABLE-VALUED FUNCTION — `SELECT ... FROM table_changes(
@@ -989,6 +1026,23 @@ object TableFormat {
         |  AND user_id > u // 2 AND user_id <= u""".stripMargin +
         orderByAll("files_before", "files_read_before", "files_after",
           "files_read_after", "n_rows", "sum_value")),
+    "q_sql_table_evolve" ->
+      ("""WITH final AS (
+        |  SELECT event_id, value, CAST(NULL AS BIGINT) AS grade
+        |  FROM events WHERE event_id % 3 <> 0
+        |  UNION ALL
+        |  SELECT event_id, value, event_id % 5 AS grade
+        |  FROM events WHERE event_id % 3 = 0
+        |)
+        |SELECT CAST(4 AS BIGINT) AS head_version,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN grade IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_null_grade,
+        |  CAST(SUM(grade) AS BIGINT) AS sum_grade,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
+        |FROM final""".stripMargin +
+        orderByAll("head_version", "n_rows", "n_null_grade",
+          "sum_grade", "sum_value")),
     "q_sql_table_cdf" ->
       ("""WITH ch AS (
         |  SELECT 0 AS commit_version, 'insert' AS change_type, value

@@ -471,6 +471,66 @@ object CommitLog {
       extra = auxExtra(carriedAux(root, prev)))
   }
 
+  /** Metadata-only schema evolution — ALTER TABLE ADD COLUMNS: a new
+    * version re-listing the head's files verbatim under a WIDENED
+    * schema (old ++ newFields). Zero data I/O; existing files
+    * null-fill the added columns under the log schema, exactly
+    * appendEvolved's read contract without the append. Adding an
+    * existing column name fails (evolution never retypes or
+    * duplicates). */
+  def evolveSchema(s: SparkSession, root: String,
+      newFields: Seq[org.apache.spark.sql.types.StructField]): Long = {
+    val prev = latestVersion(root)
+      .getOrElse(sys.error(s"cannot evolve an empty table at $root"))
+    val prevSchema = snapshotSchemaOf(root, prev)
+      .getOrElse(s.read.parquet(snapshotFiles(root, prev): _*).schema)
+    val existing = prevSchema.fieldNames.toSet
+    newFields.foreach(f => require(!existing.contains(f.name),
+      s"evolveSchema: column '${f.name}' already exists — evolution " +
+        "adds columns, it never retypes them"))
+    val merged = org.apache.spark.sql.types.StructType(
+      prevSchema.fields.toSeq ++ newFields)
+    val prevFiles = snapshotFiles(root, prev).map(p => relativize(root, p))
+    val (prevCol, prevStats) = snapshotStatsOf(root, prev)
+    commit(root, prevFiles, Some(prev),
+      statsCol = prevCol, stats = prevStats, schemaJson = Some(merged.json),
+      extra = auxExtra(carriedAux(root, Some(prev))))
+  }
+
+  /** Full-snapshot OVERWRITE (INSERT OVERWRITE / Delta replace): the
+    * new version lists ONLY the incoming files, op="overwrite" — a
+    * data-changing rewrite, so `changes()` refuses ranges across it
+    * and the streaming source fails without ignoreChanges, exactly
+    * the delete/merge contract. Prior stats/partition metadata are
+    * NOT carried (every file they described is gone); a `partCol`
+    * routes the staging through the partitioned writer so the
+    * replacement snapshot is prunable from the manifest. With CDF
+    * enabled the changelog records the full transition (old rows
+    * delete-tagged, new rows insert-tagged — cost ∝ table, the
+    * public CDF-on-overwrite trade). */
+  def overwrite(s: SparkSession, root: String, df: DataFrame,
+      nFiles: Int, partCol: Option[String] = None): Long = {
+    import org.apache.spark.sql.functions.lit
+    val prev = latestVersion(root)
+      .getOrElse(sys.error(s"cannot overwrite an empty table at $root — append first"))
+    requireSchemaCompatible(root, Some(prev), df, "overwrite")
+    val cdf: Option[Seq[String]] =
+      if (!cdfEnabled(root)) None
+      else Some(stageCdfFiles(s, root,
+        read(s, root, prev).withColumn("_change_type", lit("delete"))
+          .unionByName(df.withColumn("_change_type", lit("insert")),
+            allowMissingColumns = true)))
+    val (staged, aux) = partCol match {
+      case Some(c) =>
+        val (fs, a) = stagePartitioned(s, root, df, c, nFiles)
+        (fs, auxExtra(a))
+      case None => (stageDataFiles(s, root, df, nFiles), Nil)
+    }
+    commit(root, staged, Some(prev), op = "overwrite",
+      schemaJson = carriedSchemaJson(root, Some(prev)),
+      extra = aux ++ cdf.map(renderCdf).toSeq)
+  }
+
   /** Per-file column statistics of `version`'s manifest: the stats
     * column name (if the committing writer recorded one) and
     * file → (min, max), relative paths. Files without an entry are

@@ -114,9 +114,26 @@ class GraftCatalog extends TableCatalog {
     new GraftCatalogTable(root, 0L, ident.name, writable = true)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "schema evolution goes through CommitLog.appendEvolved (versioned in the log)")
+  /** ALTER TABLE ADD COLUMNS — a metadata-only schema-evolution
+    * commit (CommitLog.evolveSchema): the new version re-lists the
+    * head's files under the widened schema, existing rows null-fill
+    * the added columns. Every other change kind refuses (the log
+    * never retypes, renames, or drops). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    val added = changes.map {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"nested columns are not supported: ${a.fieldNames.mkString(".")}")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType, nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"only ALTER TABLE ADD COLUMNS is supported (the log never " +
+          s"retypes, renames, or drops), got $other")
+    }
+    val v = CommitLog.evolveSchema(SparkSession.active, root, added)
+    new GraftCatalogTable(root, v, ident.name, writable = true)
+  }
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(
       "dropping a table is a storage-reclaim concern — use CommitLog.vacuum")
@@ -149,7 +166,7 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
   override def capabilities(): util.Set[TableCapability] =
     if (writable)
       util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
-        TableCapability.MICRO_BATCH_READ)
+        TableCapability.MICRO_BATCH_READ, TableCapability.TRUNCATE)
     else util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
@@ -194,20 +211,31 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
     * File count per insert: `spark.graft.insert.files` (default 2). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(writable, s"$name is a pinned snapshot — writes target the head")
-    new WriteBuilder {
+    // SupportsTruncate is how Spark spells full INSERT OVERWRITE at
+    // the write-builder level (OverwriteByExpression with a
+    // literal-true delete filter → truncate() + append)
+    new WriteBuilder with org.apache.spark.sql.connector.write.SupportsTruncate {
+      private var doOverwrite = false
+      override def truncate(): WriteBuilder = { doOverwrite = true; this }
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
-            override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-              require(!overwrite, "INSERT OVERWRITE is not supported — " +
-                "the log is append-only; use CommitLog.delete + append")
-              val n = SparkSession.active.conf
+            override def insert(data: DataFrame, overwriteFlag: Boolean): Unit = {
+              val overwrite = doOverwrite || overwriteFlag
+              val s = SparkSession.active
+              val n = s.conf
                 .getOption("spark.graft.insert.files").map(_.toInt).getOrElse(2)
-              CommitLog.tableProperty(root, "partitionColumn") match {
+              val partCol = CommitLog.tableProperty(root, "partitionColumn")
+              if (overwrite)
+                // INSERT OVERWRITE → one op="overwrite" snapshot
+                // commit (changes()/streaming treat it as the
+                // data-changing rewrite it is)
+                CommitLog.overwrite(s, root, data,
+                  nFiles = if (partCol.isDefined) 1 else n, partCol = partCol)
+              else partCol match {
                 case Some(c) => CommitLog.appendPartitioned(
-                  SparkSession.active, root, data, c, filesPerPartition = 1)
-                case None =>
-                  CommitLog.append(SparkSession.active, root, data, nFiles = n)
+                  s, root, data, c, filesPerPartition = 1)
+                case None => CommitLog.append(s, root, data, nFiles = n)
               }
             }
           }

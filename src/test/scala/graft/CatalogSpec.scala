@@ -184,4 +184,46 @@ class CatalogSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("one partition column"), ex.getMessage)
   }
+
+  test("catalog: INSERT OVERWRITE and ALTER TABLE ADD COLUMNS evolve the table through the log") {
+    val (cat, base) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.ev (k BIGINT, v DOUBLE)")
+    val root = new java.io.File(base, "ev").toString
+    spark.sql(s"INSERT INTO $cat.ev VALUES (1, 1.0), (2, 2.0)")
+    spark.sql(s"INSERT OVERWRITE $cat.ev VALUES (10, 10.0), (11, 11.0), (12, 12.0)")
+    // overwrite is ONE snapshot commit listing only incoming files;
+    // time travel still reaches the pre-overwrite state
+    assert(CommitLog.latestVersion(root).contains(2L))
+    assert(spark.sql(s"SELECT * FROM $cat.ev").count() === 3)
+    assert(spark.sql(s"SELECT * FROM $cat.ev VERSION AS OF 1").count() === 2)
+    // changes() refuses a file-diff range across the rewrite
+    val exc = intercept[Exception] {
+      CommitLog.changes(spark, root, 1L, 2L).count()
+    }
+    assert(exc.getMessage.contains("overwrite"), exc.getMessage)
+    // ALTER ADD COLUMNS: zero data I/O (same file list), null-fill
+    val filesBefore = CommitLog.snapshotFiles(root, 2L).toSet
+    spark.sql(s"ALTER TABLE $cat.ev ADD COLUMNS (w STRING)")
+    assert(CommitLog.snapshotFiles(root, 3L).toSet === filesBefore,
+      "schema evolution must not touch data files")
+    assert(spark.sql(s"SELECT * FROM $cat.ev WHERE w IS NULL").count() === 3)
+    spark.sql(s"INSERT INTO $cat.ev VALUES (20, 20.0, 'x')")
+    assert(spark.sql(s"SELECT * FROM $cat.ev WHERE w = 'x'").count() === 1)
+    // non-ADD changes refuse
+    val exa = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.ev DROP COLUMN w")
+    }
+    assert(exa.getMessage.contains("ADD COLUMNS") ||
+      exa.getMessage.toLowerCase.contains("unsupported"), exa.getMessage)
+    // an overwrite on a CDF-enabled table records the full transition
+    val (cat2, base2) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat2.c (k BIGINT)")
+    val root2 = new java.io.File(base2, "c").toString
+    CommitLog.setTableProperty(root2, "enableChangeDataFeed", "true")
+    spark.sql(s"INSERT INTO $cat2.c VALUES (1), (2)")
+    spark.sql(s"INSERT OVERWRITE $cat2.c VALUES (7)")
+    val ch = CommitLog.changesRows(spark, root2, 1L, 2L)
+    assert(ch.filter(col("_change_type") === "delete").count() === 2)
+    assert(ch.filter(col("_change_type") === "insert").count() === 1)
+  }
 }
