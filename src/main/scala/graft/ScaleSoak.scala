@@ -110,7 +110,10 @@ object ScaleSoak {
     // resolution; data volume ∝ changed rows) and the shape-changing
     // statements (overwrite rewrites ∝ incoming data; ALTER is
     // metadata-only)
-    "q_sql_table_cdf", "q_sql_table_evolve")
+    "q_sql_table_cdf", "q_sql_table_evolve",
+    // DESCRIBE HISTORY is pure log metadata — soaked to prove the
+    // statement cost is version-count-bounded, not data-bounded
+    "q_sql_table_history")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */

@@ -756,6 +756,28 @@ object TableFormat {
         .select(lit(head).as("head_version"), col("n_rows"),
           col("n_inserted_clones"), col("sum_value")))
     },
+    "q_sql_table_history" -> { (s, dir) =>
+      // SQL front-end #8 (added r10): DESCRIBE HISTORY — the audit
+      // surface every public table format ships, one row per RETAINED
+      // version (version, operation, n_files), pure log metadata.
+      // History staged: two appends (2 then +2 files), a compaction
+      // to 1 file, a restore to v1 (re-lists its 4) — every count
+      // pinned by explicit nFiles, fully oracle-checkable.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_hist")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "tbl").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      CommitLog.append(s, root, ev.filter(col("event_id") % 2 === 0), nFiles = 2)
+      CommitLog.append(s, root, ev.filter(col("event_id") % 2 =!= 0), nFiles = 2)
+      CommitLog.compact(s, root, nFiles = 1)
+      CommitLog.restore(root, 1L)
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      ordered(s.sql(s"DESCRIBE HISTORY $cat.tbl")
+        .select(col("version"), col("operation"), col("n_files")))
+    },
     "q_sql_table_evolve" -> { (s, dir) =>
       // SQL front-end #7 (added r10): the table-lifecycle statements
       // that CHANGE a table's shape — INSERT OVERWRITE (one
@@ -805,10 +827,17 @@ object TableFormat {
       val base = java.nio.file.Files.createTempDirectory("graft_cat_cdf")
       base.toFile.deleteOnExit()
       val root = new java.io.File(base.toFile, "tbl").toString
-      CommitLog.setTableProperty(root, "enableChangeDataFeed", "true")
+      val cat0 = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat0", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat0.base", base.toString)
       val ev = Tables(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
       CommitLog.append(s, root, ev.filter(col("user_id") % 4 < 2), nFiles = 2)
+      // the CDF opt-in set entirely through SQL (ALTER TABLE ... SET
+      // TBLPROPERTIES → the log's properties file) before the first
+      // data-changing commit
+      s.sql(s"ALTER TABLE $cat0.tbl SET TBLPROPERTIES " +
+        "('enableChangeDataFeed' = 'true')")
       CommitLog.append(s, root, ev.filter(col("user_id") % 4 >= 2), nFiles = 2)
       CommitLog.delete(s, root, col("user_id") % 4 === 1)
       val updates = ev.filter(col("user_id") % 4 === 2)
@@ -1026,6 +1055,14 @@ object TableFormat {
         |  AND user_id > u // 2 AND user_id <= u""".stripMargin +
         orderByAll("files_before", "files_read_before", "files_after",
           "files_read_after", "n_rows", "sum_value")),
+    "q_sql_table_history" ->
+      ("""SELECT version, operation, n_files FROM (VALUES
+        |  (CAST(0 AS BIGINT), 'append',  CAST(2 AS BIGINT)),
+        |  (CAST(1 AS BIGINT), 'append',  CAST(4 AS BIGINT)),
+        |  (CAST(2 AS BIGINT), 'compact', CAST(1 AS BIGINT)),
+        |  (CAST(3 AS BIGINT), 'restore', CAST(4 AS BIGINT))
+        |) AS t(version, operation, n_files)""".stripMargin +
+        orderByAll("version", "operation", "n_files")),
     "q_sql_table_evolve" ->
       ("""WITH final AS (
         |  SELECT event_id, value, CAST(NULL AS BIGINT) AS grade

@@ -42,6 +42,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // verbatim, keeping Spark's own DELETE/MERGE semantics for every
   // other table. MERGE supports the canonical upsert shape
   // (UPDATE SET * / INSERT *) — exactly CommitLog.merge's contract.
+  private val historyRe =
+    """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
   private val deleteRe =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val mergeRe =
@@ -65,6 +67,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case optimizeRe(ident, cols) =>
       OptimizeZorderCommand(ident.split('.').toSeq,
         cols.split(',').map(_.trim).toSeq)
+    case historyRe(ident) if isGraftCatalog(ident) =>
+      DescribeHistoryCommand(ident.split('.').toSeq)
     case deleteRe(ident, cond) if isGraftCatalog(ident) =>
       DeleteFromGraftCommand(ident.split('.').toSeq, cond)
     case mergeRe(ident, tAls, src, sAls, q1, c1, q2, c2) if isGraftCatalog(ident) =>
@@ -145,6 +149,22 @@ case class VacuumTableCommand(parts: Seq[String], retainVersions: Long)
     val (removed, kept) = CommitLog.vacuum(root, retainFrom)
     Seq(Row(removed, kept))
   }
+}
+
+/** DESCRIBE HISTORY cat.tbl — one row per RETAINED version (vacuumed
+  * manifests are gone and do not row): (version, operation, n_files).
+  * Pure log metadata, zero data I/O — the audit surface every public
+  * table format ships. */
+case class DescribeHistoryCommand(parts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlCommands.attr("version"),
+    AttributeReference("operation", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    GraftSqlCommands.attr("n_files"))
+  override def run(s: SparkSession): Seq[Row] =
+    CommitLog.history(GraftSqlCommands.rootOf(s, parts))
+      .map { case (v, op, n) => Row(v, op, n) }
 }
 
 /** DELETE FROM cat.tbl WHERE cond — the commit log's copy-on-write

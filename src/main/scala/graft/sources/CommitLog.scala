@@ -306,6 +306,44 @@ object CommitLog {
   def cdfEnabled(root: String): Boolean =
     tableProperty(root, "enableChangeDataFeed").contains("true")
 
+  /** Table history — one (version, op, nFiles) per RETAINED version
+    * (vacuumed manifests are gone and do not row). Pure log metadata:
+    * one manifest parse per retained version, zero data I/O. */
+  def history(root: String): Seq[(Long, String, Long)] = {
+    val head = latestVersion(root)
+      .getOrElse(sys.error(s"no table history at $root"))
+    (0L to head).flatMap { v =>
+      if (!manifestExists(root, v)) None
+      else {
+        val (op, files) = readManifest(root, v)
+        Some((v, op, files.size.toLong))
+      }
+    }
+  }
+
+  /** All table properties (empty map when none were ever set). */
+  def tableProperties(root: String): Map[String, String] = {
+    val f = propsFile(root)
+    if (!f.exists()) Map.empty
+    else {
+      val it = mapper.readTree(java.nio.file.Files.readString(f.toPath)).fields()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asText() }
+      b.result()
+    }
+  }
+
+  def removeTableProperty(root: String, key: String): Unit = {
+    val next = tableProperties(root) - key
+    logDir(root).mkdirs()
+    val tmp = java.nio.file.Files.createTempFile(logDir(root).toPath, ".props-", ".tmp")
+    java.nio.file.Files.writeString(tmp, next.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}"))
+    java.nio.file.Files.move(tmp, propsFile(root).toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** Atomic create-if-absent publication of version `next`'s manifest
     * content (the link(2) put-if-absent primitive — see commit()). */
   private def publish(root: String, next: Long, content: String): Unit = {

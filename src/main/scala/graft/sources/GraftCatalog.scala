@@ -114,24 +114,40 @@ class GraftCatalog extends TableCatalog {
     new GraftCatalogTable(root, 0L, ident.name, writable = true)
   }
 
-  /** ALTER TABLE ADD COLUMNS — a metadata-only schema-evolution
-    * commit (CommitLog.evolveSchema): the new version re-lists the
-    * head's files under the widened schema, existing rows null-fill
-    * the added columns. Every other change kind refuses (the log
-    * never retypes, renames, or drops). */
+  /** ALTER TABLE — two supported change families:
+    *   - ADD COLUMNS: a metadata-only schema-evolution commit
+    *     (CommitLog.evolveSchema) — the new version re-lists the
+    *     head's files under the widened schema, existing rows
+    *     null-fill;
+    *   - SET/UNSET TBLPROPERTIES: writes the table-properties file
+    *     (e.g. `enableChangeDataFeed` — the CDF opt-in — entirely
+    *     through SQL).
+    * Everything else refuses (the log never retypes, renames, or
+    * drops). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
-    val added = changes.map {
+    val added = Seq.newBuilder[org.apache.spark.sql.types.StructField]
+    changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
           s"nested columns are not supported: ${a.fieldNames.mkString(".")}")
-        org.apache.spark.sql.types.StructField(
+        added += org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType, nullable = true)
+      case p: TableChange.SetProperty =>
+        CommitLog.setTableProperty(root, p.property, p.value)
+      case r: TableChange.RemoveProperty =>
+        CommitLog.removeTableProperty(root, r.property)
       case other => throw new UnsupportedOperationException(
-        s"only ALTER TABLE ADD COLUMNS is supported (the log never " +
-          s"retypes, renames, or drops), got $other")
+        s"only ALTER TABLE ADD COLUMNS / SET / UNSET TBLPROPERTIES are " +
+          s"supported (the log never retypes, renames, or drops), got $other")
     }
-    val v = CommitLog.evolveSchema(SparkSession.active, root, added)
+    val fields = added.result()
+    val v =
+      if (fields.nonEmpty)
+        CommitLog.evolveSchema(SparkSession.active, root, fields)
+      else CommitLog.latestVersion(root).getOrElse(
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+          Seq(catName, ident.name)))
     new GraftCatalogTable(root, v, ident.name, writable = true)
   }
   override def dropTable(ident: Identifier): Boolean =
@@ -154,6 +170,13 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
     CommitLog.tableProperty(root, "partitionColumn")
       .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c): Transform)
       .toArray
+
+  /** SHOW TBLPROPERTIES reads these — the log's properties file. */
+  override def properties(): util.Map[String, String] = {
+    val m = new util.HashMap[String, String]()
+    CommitLog.tableProperties(root).foreach { case (k, v) => m.put(k, v) }
+    m
+  }
 
   override def schema(): StructType =
     CommitLog.snapshotSchemaOf(root, version).getOrElse {

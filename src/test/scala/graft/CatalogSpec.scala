@@ -226,4 +226,21 @@ class CatalogSpec extends SparkSpec {
     assert(ch.filter(col("_change_type") === "delete").count() === 2)
     assert(ch.filter(col("_change_type") === "insert").count() === 1)
   }
+
+  test("catalog: SHOW/SET/UNSET TBLPROPERTIES round-trip the log's properties file") {
+    val (cat, base) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.p (k BIGINT)")
+    val root = new java.io.File(base, "p").toString
+    spark.sql(s"ALTER TABLE $cat.p SET TBLPROPERTIES ('a' = '1', 'b' = 'two')")
+    val shown = spark.sql(s"SHOW TBLPROPERTIES $cat.p").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(shown.get("a").contains("1") && shown.get("b").contains("two"), shown.toString)
+    spark.sql(s"ALTER TABLE $cat.p UNSET TBLPROPERTIES ('a')")
+    assert(CommitLog.tableProperties(root) === Map("b" -> "two"))
+    // DESCRIBE HISTORY on a non-graft identifier delegates to Spark
+    val ex = intercept[Exception] {
+      spark.sql("DESCRIBE HISTORY not_a_catalog.t").collect()
+    }
+    assert(!ex.getMessage.contains("graft"), ex.getMessage)
+  }
 }
