@@ -113,7 +113,9 @@ object ScaleSoak {
     "q_sql_table_cdf", "q_sql_table_evolve",
     // DESCRIBE HISTORY is pure log metadata — soaked to prove the
     // statement cost is version-count-bounded, not data-bounded
-    "q_sql_table_history")
+    "q_sql_table_history",
+    // streaming CDF: per-batch volume is one version's changed rows
+    "s_table_stream_cdf")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */

@@ -382,6 +382,45 @@ object TableFormat {
           countDistinct(col("user_id")).as("n_users"),
           dsum(col("value")).as("sum_value")))
     },
+    "s_table_stream_cdf" -> { (s, dir) =>
+      // Streaming CHANGE-DATA-FEED (added r10) — readChangeFeed=true
+      // on the DSv2 source: the stream IS the changelog, each
+      // micro-batch one version's row-level changes tagged
+      // _change_type/_commit_version (appends replay added files
+      // insert-tagged; delete/merge replay their recorded cdf/ files;
+      // the Delta streaming-CDF surface). Same deterministic history
+      // as q_table_cdf; one AvailableNow drain must deliver the
+      // complete changelog — the aggregate hash-matches q_table_cdf's
+      // oracle exactly.
+      val root = java.nio.file.Files.createTempDirectory("graft_tscdf")
+      root.toFile.deleteOnExit()
+      CommitLog.setTableProperty(root.toString, "enableChangeDataFeed", "true")
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      CommitLog.append(s, root.toString, ev.filter(col("user_id") % 4 < 2), nFiles = 2)
+      CommitLog.append(s, root.toString, ev.filter(col("user_id") % 4 >= 2), nFiles = 2)
+      CommitLog.delete(s, root.toString, col("user_id") % 4 === 1)
+      val updates = ev.filter(col("user_id") % 4 === 2)
+        .withColumn("value", col("value") + lit(1000.0))
+        .unionByName(ev.filter(col("user_id") % 4 === 3)
+          .withColumn("event_id", col("event_id") + lit(1000000000L)))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      CommitLog.merge(s, root.toString, updates, "event_id", nInsertFiles = 2)
+      val out = java.nio.file.Files.createTempDirectory("graft_tscdf_out").toString
+      val ck = java.nio.file.Files.createTempDirectory("graft_tscdf_ck").toString
+      val q = s.readStream.format("graft.sources.TableStreamProvider")
+        .option("path", root.toString)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      ordered(s.read.parquet(out)
+        .groupBy(col("_commit_version").as("commit_version"),
+          col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
+    },
     "s_table_stream_sql" -> { (s, dir) =>
       // Streaming read by TABLE NAME (added r10): `spark.readStream
       // .table("cat.tbl")` — the catalog table doubles as the
@@ -963,6 +1002,22 @@ object TableFormat {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin +
         orderByAll("event_type", "n", "n_users", "sum_value")),
+    "s_table_stream_cdf" ->
+      ("""WITH ch AS (
+        |  SELECT 0 AS commit_version, 'insert' AS change_type, value
+        |  FROM events WHERE user_id % 4 < 2
+        |  UNION ALL SELECT 1, 'insert', value FROM events WHERE user_id % 4 >= 2
+        |  UNION ALL SELECT 2, 'delete', value FROM events WHERE user_id % 4 = 1
+        |  UNION ALL SELECT 3, 'update_preimage', value
+        |  FROM events WHERE user_id % 4 = 2
+        |  UNION ALL SELECT 3, 'update_postimage', value + 1000
+        |  FROM events WHERE user_id % 4 = 2
+        |  UNION ALL SELECT 3, 'insert', value FROM events WHERE user_id % 4 = 3)
+        |SELECT CAST(commit_version AS BIGINT) AS commit_version, change_type,
+        |  COUNT(*) AS n,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
+        |FROM ch GROUP BY commit_version, change_type""".stripMargin +
+        orderByAll("commit_version", "change_type", "n", "sum_value")),
     "s_table_stream_sql" ->
       ("""SELECT event_type, COUNT(*) AS n,
         |  COUNT(DISTINCT user_id) AS n_users,

@@ -67,14 +67,24 @@ class TableStreamProvider extends TableProvider with DataSourceRegister {
     val root = rootOf(options)
     val head = CommitLog.latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"graft-table: no commit log under $root"))
-    try CommitLog.snapshotSchemaOf(root, head)
-      .getOrElse(CommitLog.read(SparkSession.active, root, head).schema)
-    catch {
-      case e: IllegalArgumentException if e.getMessage.contains("SEGMENTED") =>
-        throw new UnsupportedOperationException(
-          s"graft-table: $root is a SEGMENTED table (appendSegment) — " +
-            "the streaming source serves flat-manifest tables only", e)
-    }
+    val base =
+      try CommitLog.snapshotSchemaOf(root, head)
+        .getOrElse(CommitLog.read(SparkSession.active, root, head).schema)
+      catch {
+        case e: IllegalArgumentException if e.getMessage.contains("SEGMENTED") =>
+          throw new UnsupportedOperationException(
+            s"graft-table: $root is a SEGMENTED table (appendSegment) — " +
+              "the streaming source serves flat-manifest tables only", e)
+      }
+    // readChangeFeed=true (Delta's streaming-CDF option): the stream
+    // IS the changelog, so the relation schema carries the two CDF
+    // metadata columns
+    if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+      StructType(base.fields.toSeq :+
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType) :+
+        org.apache.spark.sql.types.StructField("_commit_version", LongType))
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -109,7 +119,10 @@ class GraftStreamTable(tableSchema: StructType, root: String)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = projected
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new TableMicroBatchStream(root, projected, ignoreChanges, startingVersion)
+          if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+            new TableCdfMicroBatchStream(root, projected, startingVersion)
+          else
+            new TableMicroBatchStream(root, projected, ignoreChanges, startingVersion)
       }
     }
   }
@@ -297,4 +310,107 @@ class GroupParquetReader(path: String, schema: StructType)
   }
 
   override def close(): Unit = reader.close()
+}
+
+/** Streaming CHANGE-DATA-FEED (r10) — `readStream.format("graft.sources
+  * .TableStreamProvider").option("readChangeFeed", "true")`, the Delta
+  * streaming-CDF surface: each micro-batch delivers version v's
+  * row-level changes, tagged `_change_type` + `_commit_version`.
+  * Per-version sources mirror the batch changesRows contract exactly:
+  * appends replay their added files insert-tagged (zero extra
+  * storage), delete/merge/overwrite replay the cdf/ files their CoW
+  * commit recorded (type read from the file), compact/optimize are
+  * data-neutral and emit nothing, a version from a CDF-disabled
+  * writer fails with the enableChangeDataFeed error, and restore
+  * REFUSES (its changelog is a snapshot diff — derivable in batch,
+  * not as a file-sourced stream; start a fresh checkpoint past it).
+  * Offsets are the same log versions as the plain stream, so the
+  * incremental-consumer checkpointing story is unchanged. */
+class TableCdfMicroBatchStream(root: String, schema: StructType,
+    startingVersion: Long)
+    extends TableMicroBatchStream(root, schema, ignoreChanges = false,
+      startingVersion) {
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[TableVersionOffset].v
+    val e = end.asInstanceOf[TableVersionOffset].v
+    var before: Set[String] =
+      if (s < 0) Set.empty
+      else if (CommitLog.manifestExists(root, s))
+        CommitLog.readManifest(root, s)._2.toSet
+      else if (s == startingVersion - 1) Set.empty
+      else throw new IllegalStateException(
+        s"graft-table CDF: checkpoint resumes at version ${s + 1} but " +
+          s"version $s's manifest was vacuumed — the changelog is " +
+          "unrecoverable. Start a FRESH checkpoint with startingVersion " +
+          "at or above the vacuum retention floor.")
+    ((s + 1) to e).flatMap { v =>
+      val (op, rel) = CommitLog.readManifest(root, v)
+      val addedRel = rel.filterNot(before)
+      before = rel.toSet
+      op match {
+        case "append" =>
+          addedRel.map(f => TableCdfPartition(
+            new java.io.File(root, f).toString, v, inject = "insert"): InputPartition)
+        case "compact" | "optimize" => Nil
+        case "restore" => throw new IllegalStateException(
+          s"graft-table CDF: version $v is a restore — its changelog is " +
+            "a snapshot diff (CommitLog.changesRows serves it in batch); " +
+            s"start a fresh checkpoint with startingVersion=${v + 1}")
+        case changing =>
+          CommitLog.cdfFilesOf(root, v) match {
+            case Some(fs) => fs.map(f => TableCdfPartition(
+              new java.io.File(root, f).toString, v, inject = null): InputPartition)
+            case None => throw new IllegalStateException(
+              s"graft-table CDF: version $v is a '$changing' commit " +
+                "without recorded changes — set table property " +
+                "enableChangeDataFeed=true before data-changing commits")
+          }
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TableCdfReaderFactory(schema)
+}
+
+case class TableCdfPartition(path: String, version: Long, inject: String)
+    extends InputPartition
+
+/** Reads a data or cdf file and serves the projected columns plus the
+  * two CDF metadata columns: `_commit_version` comes from the
+  * partition, `_change_type` from the file when it records one (cdf
+  * files do) or the partition's injected tag (append files →
+  * "insert"). Column pruning still reaches the parquet read schema
+  * for the data columns. */
+class TableCdfReaderFactory(projected: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[TableCdfPartition]
+    val dataCols = projected.fields.filterNot(f =>
+      f.name == "_change_type" || f.name == "_commit_version")
+    val wantType = projected.fieldNames.contains("_change_type")
+    val readSchema = StructType(
+      if (wantType) dataCols.toSeq :+ StructField("_change_type", StringType)
+      else dataCols.toSeq)
+    val inner = new GroupParquetReader(p.path, readSchema)
+    val typeIdx = if (wantType) readSchema.fieldIndex("_change_type") else -1
+    new PartitionReader[InternalRow] {
+      override def next(): Boolean = inner.next()
+      override def get(): InternalRow = {
+        val row = inner.get()
+        new GenericInternalRow(projected.fields.map { f =>
+          f.name match {
+            case "_commit_version" => p.version
+            case "_change_type" =>
+              val fromFile = row.get(typeIdx, StringType)
+              if (fromFile != null) fromFile
+              else if (p.inject != null) UTF8String.fromString(p.inject)
+              else null
+            case n => row.get(readSchema.fieldIndex(n), f.dataType)
+          }
+        }.toArray[Any])
+      }
+      override def close(): Unit = inner.close()
+    }
+  }
 }

@@ -532,6 +532,62 @@ class StreamingSpec extends SparkSpec {
     assert(t2 === 5 && r2 === 1, s"streamed table total=$t2 read=$r2")
   }
 
+  test("streaming CDF: checkpointed restart delivers only the delta; restore and disabled tables refuse (r10)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_scdf").toString
+    CommitLog.setTableProperty(root, "enableChangeDataFeed", "true")
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value")).limit(600)
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 3 === 0), nFiles = 1)
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 3 === 1), nFiles = 1)
+    val out = java.nio.file.Files.createTempDirectory("graft_scdf_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_scdf_ck").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.TableStreamProvider")
+        .option("path", root).option("readChangeFeed", "true").load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    val n0 = spark.read.parquet(out).count()
+    assert(n0 === ev.filter(col("event_id") % 3 =!= 2).count())
+    // delta-only restart: a delete between drains emits ONLY its
+    // deleted rows (delete-tagged), nothing re-emitted
+    CommitLog.delete(spark, root, col("event_id") % 3 === 0)
+    drain()
+    val after = spark.read.parquet(out)
+    assert(after.count() === n0 + ev.filter(col("event_id") % 3 === 0).count())
+    assert(after.filter(col("_change_type") === "delete").count() ===
+      ev.filter(col("event_id") % 3 === 0).count())
+    assert(after.select("_commit_version").distinct().count() === 3)
+    // a restore version refuses with a named error
+    CommitLog.restore(root, 1L)
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain()
+    }
+    assert(ex.getMessage.contains("restore") ||
+      Option(ex.getCause).exists(_.getMessage.contains("restore")), ex.getMessage)
+    // a CDF-disabled table's delete version fails naming the property
+    val root2 = java.nio.file.Files.createTempDirectory("graft_scdf2").toString
+    CommitLog.append(spark, root2, ev.limit(100), nFiles = 1)
+    CommitLog.delete(spark, root2, col("event_id") % 2 === 0)
+    val out2 = java.nio.file.Files.createTempDirectory("graft_scdf_o2").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_scdf_c2").toString
+    val ex2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft.sources.TableStreamProvider")
+        .option("path", root2).option("readChangeFeed", "true").load()
+        .writeStream.format("parquet")
+        .option("path", out2).option("checkpointLocation", ck2)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(ex2.getMessage.contains("enableChangeDataFeed") ||
+      Option(ex2.getCause).exists(_.getMessage.contains("enableChangeDataFeed")),
+      ex2.getMessage)
+  }
+
   test("commit log: partition values with special characters and NULL round-trip the staging escape (r10)") {
     import graft.sources.CommitLog
     import spark.implicits._
