@@ -134,7 +134,10 @@ object CommitLog {
       stats: Map[String, (Long, Long)] = Map.empty,
       schemaJson: Option[String] = None,
       extra: Seq[String] = Nil): String = {
+    // commit wall-clock (millis) — TIMESTAMP AS OF resolves against
+    // it; versions and content stay the ordering/identity authority
     val base = s"""{"version":$version,"op":"$op",""" +
+      s""""ts":${System.currentTimeMillis()},""" +
       s""""files":[${files.map(f => "\"" + f + "\"").mkString(",")}]"""
     val statsJson = statsCol match {
       case Some(c) if stats.nonEmpty =>
@@ -305,6 +308,35 @@ object CommitLog {
   /** Is row-level CDF staging on for this table? Default OFF. */
   def cdfEnabled(root: String): Boolean =
     tableProperty(root, "enableChangeDataFeed").contains("true")
+
+  /** The commit wall-clock (epoch millis) `version`'s manifest
+    * records; None for manifests from pre-timestamp writers. */
+  def commitTimestampOf(root: String, version: Long): Option[Long] = {
+    val node = mapper.readTree(
+      java.nio.file.Files.readString(manifest(root, version).toPath))
+    Option(node.get("ts")).map(_.asLong())
+  }
+
+  /** TIMESTAMP AS OF resolution — the greatest RETAINED version whose
+    * commit timestamp is <= `tsMillis` (the Delta contract: "the
+    * snapshot as of that wall-clock instant"). Errors when the instant
+    * precedes the earliest retained commit, or when the candidate
+    * manifest predates timestamp recording. */
+  def versionAtTime(root: String, tsMillis: Long): Long = {
+    val head = latestVersion(root)
+      .getOrElse(sys.error(s"no commit log under $root"))
+    val hit = (0L to head).reverseIterator
+      .filter(manifestExists(root, _))
+      .find(v => commitTimestampOf(root, v) match {
+        case Some(t) => t <= tsMillis
+        case None => sys.error(
+          s"version $v predates commit-timestamp recording — " +
+            "time travel by version instead")
+      })
+    hit.getOrElse(sys.error(
+      s"no retained snapshot at or before timestamp $tsMillis " +
+        s"(earliest retained commit is newer, or was vacuumed)"))
+  }
 
   /** Table history — one (version, op, nFiles) per RETAINED version
     * (vacuumed manifests are gone and do not row). Pure log metadata:

@@ -81,9 +81,15 @@ class GraftCatalog extends TableCatalog {
     new GraftCatalogTable(rootOf(ident), version.toLong, ident.name,
       writable = false)
 
-  override def loadTable(ident: Identifier, timestamp: Long): Table =
-    throw new UnsupportedOperationException(
-      "graft time travel is by VERSION AS OF — the log records no commit timestamps")
+  /** `TIMESTAMP AS OF t` — Spark hands the instant in MICROSECONDS;
+    * the log resolves it to the greatest retained version committed
+    * at or before it (manifests record commit wall-clock since r10).
+    * The pinned snapshot is read-only, like VERSION AS OF. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident)
+    val v = CommitLog.versionAtTime(root, timestamp / 1000L)
+    new GraftCatalogTable(root, v, ident.name, writable = false)
+  }
 
   /** CREATE TABLE — an empty version-0 manifest carrying the schema:
     * the log is the schema authority from the first commit, so a

@@ -227,6 +227,38 @@ class CatalogSpec extends SparkSpec {
     assert(ch.filter(col("_change_type") === "insert").count() === 1)
   }
 
+  test("catalog: TIMESTAMP AS OF resolves the greatest version committed at or before the instant") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "tt").toString
+    val ev = Tables(spark, sf, "events").select(col("event_id")).limit(300)
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 3 === 0), nFiles = 1)
+    Thread.sleep(50) // distinct commit wall-clocks
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 3 === 1), nFiles = 1)
+    val ts0 = CommitLog.commitTimestampOf(root, 0L).get
+    val ts1 = CommitLog.commitTimestampOf(root, 1L).get
+    assert(ts0 < ts1, "test needs distinct commit timestamps")
+    // an instant between the commits pins version 0
+    val mid = new java.sql.Timestamp((ts0 + ts1) / 2)
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss.SSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val n0 = spark.sql(
+      s"SELECT * FROM $cat.tt TIMESTAMP AS OF '${fmt.format(mid)}'").count()
+    assert(n0 === ev.filter(col("event_id") % 3 === 0).count())
+    // an instant after the head pins the head
+    val late = new java.sql.Timestamp(ts1 + 10000)
+    assert(spark.sql(
+      s"SELECT * FROM $cat.tt TIMESTAMP AS OF '${fmt.format(late)}'").count() ===
+      ev.filter(col("event_id") % 3 =!= 2).count())
+    // an instant before the first commit errors clearly
+    val early = new java.sql.Timestamp(ts0 - 60000)
+    val ex = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.tt TIMESTAMP AS OF '${fmt.format(early)}'").count()
+    }
+    assert(ex.getMessage.contains("no retained snapshot") ||
+      Option(ex.getCause).exists(_.getMessage.contains("no retained snapshot")),
+      ex.getMessage)
+  }
+
   test("catalog: SHOW/SET/UNSET TBLPROPERTIES round-trip the log's properties file") {
     val (cat, base) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.p (k BIGINT)")
