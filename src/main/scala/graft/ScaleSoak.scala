@@ -115,7 +115,9 @@ object ScaleSoak {
     // statement cost is version-count-bounded, not data-bounded
     "q_sql_table_history",
     // streaming CDF: per-batch volume is one version's changed rows
-    "s_table_stream_cdf")
+    "s_table_stream_cdf",
+    // CHECK constraints: one limit(1) probe per constraint per write
+    "q_sql_table_constraints")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */

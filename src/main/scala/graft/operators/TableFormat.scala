@@ -795,6 +795,50 @@ object TableFormat {
         .select(lit(head).as("head_version"), col("n_rows"),
           col("n_inserted_clones"), col("sum_value")))
     },
+    "q_sql_table_constraints" -> { (s, dir) =>
+      // SQL front-end #9 (added r10): CHECK constraints — Delta's
+      // TBLPROPERTIES surface (`constraint.<name>` = a boolean SQL
+      // expression), enforced on EVERY row-adding write path before
+      // anything stages: a violating INSERT fails atomically (no
+      // version published, no files staged), a NULL check PASSES
+      // (SQL-standard three-valued semantics), and clean inserts are
+      // untouched. The rejected statement's atomicity is pinned by
+      // the head version in the result.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_ck")
+      base.toFile.deleteOnExit()
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      Tables(s, dir, "events").createOrReplaceTempView("graft_sql_ck_src")
+      s.sql(s"CREATE TABLE $cat.ck (event_id BIGINT, value DOUBLE)")
+      s.sql(s"ALTER TABLE $cat.ck SET TBLPROPERTIES " +
+        "('constraint.id_nonneg' = 'event_id >= 0')")
+      s.sql(s"INSERT INTO $cat.ck SELECT event_id, value FROM graft_sql_ck_src")
+      // a violating insert fails the WRITE and publishes nothing
+      val rejected =
+        try {
+          s.sql(s"""INSERT INTO $cat.ck
+            |SELECT -event_id - 1 AS event_id, value
+            |FROM graft_sql_ck_src""".stripMargin)
+          0L
+        } catch {
+          case e: Exception
+            if String.valueOf(e.getMessage).contains("id_nonneg") ||
+              Option(e.getCause).exists(c =>
+                String.valueOf(c.getMessage).contains("id_nonneg")) => 1L
+        }
+      // NULL checks pass (three-valued CHECK semantics)
+      s.sql(s"INSERT INTO $cat.ck VALUES (CAST(NULL AS BIGINT), 0.5)")
+      val head = CommitLog.latestVersion(
+        new java.io.File(base.toFile, "ck").toString).get
+      ordered(s.sql(s"SELECT event_id, value FROM $cat.ck")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("event_id").isNull, 1L).otherwise(0L)).as("n_null_ids"),
+          sum(when(col("event_id") < 0, 1L).otherwise(0L)).as("n_negative"),
+          dsum(col("value")).as("sum_value"))
+        .select(lit(head).as("head_version"), lit(rejected).as("rejected"),
+          col("n_rows"), col("n_null_ids"), col("n_negative"), col("sum_value")))
+    },
     "q_sql_table_history" -> { (s, dir) =>
       // SQL front-end #8 (added r10): DESCRIBE HISTORY — the audit
       // surface every public table format ships, one row per RETAINED
@@ -1110,6 +1154,17 @@ object TableFormat {
         |  AND user_id > u // 2 AND user_id <= u""".stripMargin +
         orderByAll("files_before", "files_read_before", "files_after",
           "files_read_after", "n_rows", "sum_value")),
+    "q_sql_table_constraints" ->
+      ("""SELECT CAST(2 AS BIGINT) AS head_version,
+        |  CAST(1 AS BIGINT) AS rejected,
+        |  COUNT(*) + 1 AS n_rows,
+        |  CAST(1 AS BIGINT) AS n_null_ids,
+        |  CAST(0 AS BIGINT) AS n_negative,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) + CAST(0.5 AS DECIMAL(18,4))
+        |    AS STRING) AS DOUBLE) AS sum_value
+        |FROM events""".stripMargin +
+        orderByAll("head_version", "rejected", "n_rows", "n_null_ids",
+          "n_negative", "sum_value")),
     "q_sql_table_history" ->
       ("""SELECT version, operation, n_files FROM (VALUES
         |  (CAST(0 AS BIGINT), 'append',  CAST(2 AS BIGINT)),

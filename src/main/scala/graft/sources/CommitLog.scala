@@ -309,6 +309,29 @@ object CommitLog {
   def cdfEnabled(root: String): Boolean =
     tableProperty(root, "enableChangeDataFeed").contains("true")
 
+  /** CHECK constraints — the Delta TBLPROPERTIES surface
+    * (`constraint.<name>` = a boolean SQL expression): every
+    * row-ADDING write validates the incoming rows before anything
+    * stages, failing the WRITE (never a later read) with the
+    * constraint's name. SQL-standard three-valued semantics: a NULL
+    * check passes, only FALSE violates. Zero cost for tables without
+    * constraints; with them, one short-circuiting limit(1) probe per
+    * constraint over the incoming frame. */
+  private[sources] def enforceConstraints(s: SparkSession, root: String,
+      df: DataFrame, opName: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val cs = tableProperties(root).collect {
+      case (k, v) if k.startsWith("constraint.") => k.stripPrefix("constraint.") -> v
+    }
+    cs.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+      val violated = df.filter(not(coalesce(expr(sql), lit(true))))
+        .limit(1).count() > 0
+      if (violated) throw new IllegalArgumentException(
+        s"$opName: rows violate CHECK constraint '$name' ($sql) — " +
+          "nothing was committed")
+    }
+  }
+
   /** The commit wall-clock (epoch millis) `version`'s manifest
     * records; None for manifests from pre-timestamp writers. */
   def commitTimestampOf(root: String, version: Long): Option[Long] = {
@@ -442,6 +465,7 @@ object CommitLog {
   def append(s: SparkSession, root: String, df: DataFrame, nFiles: Int): Long = {
     val prev = latestVersion(root)
     requireSchemaCompatible(root, prev, df, "append")
+    enforceConstraints(s, root, df, "append")
     val prevFiles = prev.map(v => snapshotFiles(root, v)
       .map(p => relativize(root, p))).getOrElse(Nil)
     // stats are per-FILE metadata: a commit that carries a file forward
@@ -515,6 +539,7 @@ object CommitLog {
   def appendEvolved(s: SparkSession, root: String, df: DataFrame,
       nFiles: Int): Long = {
     val prev = latestVersion(root)
+    enforceConstraints(s, root, df, "appendEvolved")
     val prevFiles = prev.map(v => snapshotFiles(root, v)
       .map(p => relativize(root, p))).getOrElse(Nil)
     val prevSchema: Seq[org.apache.spark.sql.types.StructField] =
@@ -584,6 +609,7 @@ object CommitLog {
     val prev = latestVersion(root)
       .getOrElse(sys.error(s"cannot overwrite an empty table at $root — append first"))
     requireSchemaCompatible(root, Some(prev), df, "overwrite")
+    enforceConstraints(s, root, df, "overwrite")
     val cdf: Option[Seq[String]] =
       if (!cdfEnabled(root)) None
       else Some(stageCdfFiles(s, root,
@@ -663,6 +689,7 @@ object CommitLog {
       nFiles: Int, statsCol: String): Long = {
     val prev = latestVersion(root)
     requireSchemaCompatible(root, prev, df, "appendWithStats")
+    enforceConstraints(s, root, df, "appendWithStats")
     val prevFiles = prev.map(v => snapshotFiles(root, v)
       .map(p => relativize(root, p))).getOrElse(Nil)
     // carried stats stay only if the previous writer recorded the SAME
@@ -821,6 +848,7 @@ object CommitLog {
       partCol: String, filesPerPartition: Int): Long = {
     val prev = latestVersion(root)
     requireSchemaCompatible(root, prev, df, "appendPartitioned")
+    enforceConstraints(s, root, df, "appendPartitioned")
     val prevFiles = prev.map(v => snapshotFiles(root, v)
       .map(p => relativize(root, p))).getOrElse(Nil)
     val (prevCol, prevStats) =
@@ -922,6 +950,7 @@ object CommitLog {
       nFiles: Int, cols: Seq[String]): Long = {
     val prev = latestVersion(root)
     requireSchemaCompatible(root, prev, df, "appendWithColumnStats")
+    enforceConstraints(s, root, df, "appendWithColumnStats")
     val prevFiles = prev.map(v => snapshotFiles(root, v)
       .map(p => relativize(root, p))).getOrElse(Nil)
     val (prevCol, prevStats) =
@@ -1190,6 +1219,7 @@ object CommitLog {
     if (manifest(root, batchId).exists()) return false
     requireSchemaCompatible(root,
       if (batchId == 0) None else Some(batchId - 1), df, "appendBatch")
+    enforceConstraints(s, root, df, "appendBatch")
     val prevFiles =
       if (batchId == 0) Nil
       else snapshotFiles(root, batchId - 1).map(p => relativize(root, p))
@@ -1223,6 +1253,7 @@ object CommitLog {
     if (manifest(root, batchId).exists()) return false
     val prev = if (batchId == 0) None else Some(batchId - 1)
     requireSchemaCompatible(root, prev, df, "appendBatchPartitioned")
+    enforceConstraints(s, root, df, "appendBatchPartitioned")
     val prevFiles = prev.map(v => snapshotFiles(root, v)
       .map(p => relativize(root, p))).getOrElse(Nil)
     val (prevCol, prevStats) =
@@ -1328,6 +1359,7 @@ object CommitLog {
   def merge(s: SparkSession, root: String, updates: DataFrame,
       keyCol: String, nInsertFiles: Int): (Long, Long, Long) = {
     import org.apache.spark.sql.functions.{col, input_file_name}
+    enforceConstraints(s, root, updates, "merge")
     val prev = latestVersion(root)
       .getOrElse(sys.error(s"cannot merge into an empty table at $root"))
     val files = snapshotFiles(root, prev)
@@ -1647,6 +1679,7 @@ object CommitLog {
   def appendSegment(s: SparkSession, root: String, df: DataFrame,
       nFiles: Int, statsCol: String): Long = {
     val prev = latestVersion(root)
+    enforceConstraints(s, root, df, "appendSegment")
     val prevSegs = prev.map(v => segmentsOf(root, v)).getOrElse(Nil)
     val staged = stageDataFiles(s, root, df, nFiles)
     val stats = perFileStats(s, root, staged, statsCol)

@@ -259,6 +259,43 @@ class CatalogSpec extends SparkSpec {
       ex.getMessage)
   }
 
+  test("constraints: CHECK enforcement covers merge and partitioned appends; UNSET lifts it") {
+    // The q_sql_table_constraints key drives plain INSERT; this pins
+    // the rest of the write surface: a violating merge and a violating
+    // partitioned append both fail ATOMICALLY (head untouched, no
+    // version published), and dropping the constraint property
+    // re-admits the same frame.
+    val (cat, base) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.c (k BIGINT, grp STRING, v DOUBLE)")
+    val root = new java.io.File(base, "c").toString
+    spark.sql(s"ALTER TABLE $cat.c SET TBLPROPERTIES " +
+      "('constraint.v_small' = 'v < 100')")
+    import spark.implicits._
+    val clean = Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "grp", "v")
+    CommitLog.appendPartitioned(spark, root, clean, "grp", filesPerPartition = 1)
+    val head0 = CommitLog.latestVersion(root).get
+
+    val dirty = Seq((3L, "a", 500.0)).toDF("k", "grp", "v")
+    val exPart = intercept[IllegalArgumentException] {
+      CommitLog.appendPartitioned(spark, root, dirty, "grp", filesPerPartition = 1)
+    }
+    assert(exPart.getMessage.contains("v_small"), exPart.getMessage)
+    val exMerge = intercept[IllegalArgumentException] {
+      CommitLog.merge(spark, root, dirty, "k", nInsertFiles = 1)
+    }
+    assert(exMerge.getMessage.contains("v_small"), exMerge.getMessage)
+    assert(CommitLog.latestVersion(root).get === head0,
+      "a rejected write must publish no version")
+
+    // NULL checks pass (three-valued CHECK), and UNSET lifts the gate
+    CommitLog.appendPartitioned(spark, root,
+      Seq((4L, "a", Option.empty[Double])).toDF("k", "grp", "v"),
+      "grp", filesPerPartition = 1)
+    spark.sql(s"ALTER TABLE $cat.c UNSET TBLPROPERTIES ('constraint.v_small')")
+    CommitLog.appendPartitioned(spark, root, dirty, "grp", filesPerPartition = 1)
+    assert(spark.sql(s"SELECT * FROM $cat.c").count() === 4)
+  }
+
   test("catalog: SHOW/SET/UNSET TBLPROPERTIES round-trip the log's properties file") {
     val (cat, base) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.p (k BIGINT)")
