@@ -117,7 +117,9 @@ object ScaleSoak {
     // streaming CDF: per-batch volume is one version's changed rows
     "s_table_stream_cdf",
     // CHECK constraints: one limit(1) probe per constraint per write
-    "q_sql_table_constraints")
+    "q_sql_table_constraints",
+    // CTAS: cost is the SELECT + one partitioned stage, like INSERT
+    "q_sql_table_ctas")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */

@@ -795,6 +795,39 @@ object TableFormat {
         .select(lit(head).as("head_version"), col("n_rows"),
           col("n_inserted_clones"), col("sum_value")))
     },
+    "q_sql_table_ctas" -> { (s, dir) =>
+      // SQL front-end #10 (added r10): CREATE TABLE AS SELECT — the
+      // statement every SQL-first user reaches for before INSERT.
+      // Spark's non-atomic CTAS over a plain TableCatalog is
+      // createTable (v0 manifest carrying the QUERY's schema) + one
+      // insert commit (v1); PARTITIONED BY routes the insert through
+      // appendPartitioned, so the CTAS result's manifest carries
+      // per-file partition values and a partition probe prunes from
+      // log metadata alone — pinned here by the files_total/files_read
+      // counters (one file per partition value, one read for 'click').
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_ctas")
+      base.toFile.deleteOnExit()
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      Tables(s, dir, "events").createOrReplaceTempView("graft_sql_ctas_src")
+      s.sql(s"""CREATE TABLE $cat.ct PARTITIONED BY (event_type) AS
+        |SELECT event_id, event_type, value FROM graft_sql_ctas_src
+        |WHERE event_id % 3 = 0""".stripMargin)
+      val root = new java.io.File(base.toFile, "ct").toString
+      val head = CommitLog.latestVersion(root).get
+      val (pdf, total, nRead) = CommitLog.partitionPrunedRead(
+        s, root, head, "event_type", Seq("click"))
+      val full = s.sql(s"SELECT event_type, value FROM $cat.ct")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("sum_value"))
+      val click = pdf.filter(col("event_type") === "click")
+        .agg(count(lit(1)).as("n_click"), dsum(col("value")).as("sum_click"))
+      ordered(full.crossJoin(click)
+        .select(lit(head).as("head_version"),
+          lit(total.toLong).as("n_files_total"),
+          lit(nRead.toLong).as("n_files_read"),
+          col("n_rows"), col("sum_value"), col("n_click"), col("sum_click")))
+    },
     "q_sql_table_constraints" -> { (s, dir) =>
       // SQL front-end #9 (added r10): CHECK constraints — Delta's
       // TBLPROPERTIES surface (`constraint.<name>` = a boolean SQL
@@ -1154,6 +1187,18 @@ object TableFormat {
         |  AND user_id > u // 2 AND user_id <= u""".stripMargin +
         orderByAll("files_before", "files_read_before", "files_after",
           "files_read_after", "n_rows", "sum_value")),
+    "q_sql_table_ctas" ->
+      ("""SELECT CAST(1 AS BIGINT) AS head_version,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_files_total,
+        |  CAST(1 AS BIGINT) AS n_files_read,
+        |  COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(CAST(SUM(CASE WHEN event_type = 'click'
+        |    THEN CAST(value AS DECIMAL(18,4)) END) AS STRING) AS DOUBLE) AS sum_click
+        |FROM events WHERE event_id % 3 = 0""".stripMargin +
+        orderByAll("head_version", "n_files_total", "n_files_read",
+          "n_rows", "sum_value", "n_click", "sum_click")),
     "q_sql_table_constraints" ->
       ("""SELECT CAST(2 AS BIGINT) AS head_version,
         |  CAST(1 AS BIGINT) AS rejected,

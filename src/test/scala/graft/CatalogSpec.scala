@@ -259,6 +259,43 @@ class CatalogSpec extends SparkSpec {
       ex.getMessage)
   }
 
+  test("catalog: CREATE TABLE AS SELECT lands schema + data in one statement; partitioned CTAS carries partition values") {
+    // Spark's non-atomic CTAS path over a plain TableCatalog:
+    // createTable (v0, schema from the query) then the V1 insert
+    // (v1). A partitioned CTAS must route through appendPartitioned
+    // so the manifest carries per-file partition values — pruning
+    // works on the CTAS result exactly as on a hand-built table.
+    val (cat, base) = freshCatalog()
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    ev.createOrReplaceTempView("ctas_spec_src")
+    spark.sql(s"CREATE TABLE $cat.ct AS SELECT * FROM ctas_spec_src WHERE event_id % 3 = 0")
+    val expect = ev.filter(col("event_id") % 3 === 0)
+    assert(spark.sql(s"SELECT * FROM $cat.ct").count() === expect.count())
+    val root = new java.io.File(base, "ct").toString
+    assert(CommitLog.latestVersion(root).contains(1L),
+      "CTAS = create (v0) + insert (v1), nothing more")
+    // schema came from the query, not a DDL column list
+    assert(spark.table(s"$cat.ct").schema.fieldNames.toSeq ===
+      Seq("event_id", "event_type", "value"))
+
+    spark.sql(s"CREATE TABLE $cat.cp PARTITIONED BY (event_type) AS " +
+      "SELECT * FROM ctas_spec_src WHERE event_id % 3 = 0")
+    val proot = new java.io.File(base, "cp").toString
+    val types = expect.select("event_type").distinct().count()
+    val (pdf, total, nRead) = CommitLog.partitionPrunedRead(spark, proot,
+      CommitLog.latestVersion(proot).get, "event_type", Seq("click"))
+    assert(total === types && nRead === 1,
+      s"partitioned CTAS must stage one file per partition value ($total/$nRead)")
+    assert(pdf.filter(col("event_type") === "click").count() ===
+      expect.filter(col("event_type") === "click").count())
+    // CTAS onto an existing table refuses (no implicit replace)
+    val ex = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.ct AS SELECT * FROM ctas_spec_src")
+    }
+    assert(ex.getMessage.toLowerCase.contains("exist"), ex.getMessage)
+  }
+
   test("constraints: CHECK enforcement covers merge and partitioned appends; UNSET lifts it") {
     // The q_sql_table_constraints key drives plain INSERT; this pins
     // the rest of the write surface: a violating merge and a violating
