@@ -119,7 +119,9 @@ object ScaleSoak {
     // CHECK constraints: one limit(1) probe per constraint per write
     "q_sql_table_constraints",
     // CTAS: cost is the SELECT + one partitioned stage, like INSERT
-    "q_sql_table_ctas")
+    "q_sql_table_ctas",
+    // shallow clone: metadata-bounded fork + one dirty-file CoW delete
+    "q_sql_table_clone")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */

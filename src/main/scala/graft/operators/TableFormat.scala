@@ -795,6 +795,63 @@ object TableFormat {
         .select(lit(head).as("head_version"), col("n_rows"),
           col("n_inserted_clones"), col("sum_value")))
     },
+    "q_sql_table_clone" -> { (s, dir) =>
+      // SQL front-end #11 (added r10): SHALLOW CLONE — the zero-copy
+      // table fork (Delta's CREATE TABLE ... SHALLOW CLONE). The
+      // clone's v0 REFERENCES the source snapshot's files (../-relative
+      // manifest entries — pinned by n_local_before=0: not one data
+      // file exists under the clone root until it diverges); carried
+      // partition values make a partition probe prune 1-of-N on the
+      // fresh clone; a CoW DELETE on the clone rewrites ONLY the dirty
+      // file into the clone's own data/ dir (n_local_after=1) and the
+      // source never observes it, while a post-clone append to the
+      // SOURCE is invisible to the clone — isolation pinned in both
+      // directions by the row counts.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_clone")
+      base.toFile.deleteOnExit()
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val srcRoot = new java.io.File(base.toFile, "src").toString
+      CommitLog.appendPartitioned(s, srcRoot, ev, "event_type", filesPerPartition = 1)
+      s.sql(s"CREATE TABLE $cat.cl SHALLOW CLONE $cat.src")
+      val cloneRoot = new java.io.File(base.toFile, "cl").toString
+      def localFiles(): Long =
+        Option(new java.io.File(cloneRoot, "data").listFiles())
+          .map(_.count(_.getName.endsWith(".parquet")).toLong).getOrElse(0L)
+      val nRef = CommitLog.snapshotFiles(cloneRoot, 0L).size.toLong
+      val localBefore = localFiles()
+      // partition values carried: the 'error' probe prunes 1-of-N
+      val (pdf, total, nRead) = CommitLog.partitionPrunedRead(
+        s, cloneRoot, 0L, "event_type", Seq("error"))
+      val errAgg = pdf.filter(col("event_type") === "error")
+        .agg(count(lit(1)).as("n_err_rows"))
+      // diverge the CLONE: CoW delete rewrites only the dirty file
+      val del = s.sql(s"DELETE FROM $cat.cl " +
+        "WHERE event_type = 'click' AND event_id % 2 = 0").collect()(0)
+      val localAfter = localFiles()
+      // diverge the SOURCE: the clone must not see this append
+      CommitLog.appendPartitioned(s, srcRoot,
+        ev.filter(col("event_id") % 7 === 0), "event_type", filesPerPartition = 1)
+      val cloneAgg = s.sql(s"SELECT event_type, value FROM $cat.cl")
+        .agg(count(lit(1)).as("clone_n_rows"), dsum(col("value")).as("clone_sum_value"))
+      val srcAgg = s.sql(s"SELECT event_id FROM $cat.src")
+        .agg(count(lit(1)).as("src_n_rows"))
+      ordered(cloneAgg.crossJoin(srcAgg).crossJoin(errAgg)
+        .select(lit(del.getLong(0)).as("head_clone"),
+          lit(CommitLog.latestVersion(srcRoot).get).as("head_src"),
+          lit(nRef).as("n_files_referenced"),
+          lit(total.toLong).as("n_files_total"),
+          lit(nRead.toLong).as("n_files_read"),
+          lit(del.getLong(1)).as("files_carried"),
+          lit(del.getLong(2)).as("files_rewritten"),
+          lit(localBefore).as("n_local_before"),
+          lit(localAfter).as("n_local_after"),
+          col("n_err_rows"), col("clone_n_rows"), col("clone_sum_value"),
+          col("src_n_rows")))
+    },
     "q_sql_table_ctas" -> { (s, dir) =>
       // SQL front-end #10 (added r10): CREATE TABLE AS SELECT — the
       // statement every SQL-first user reaches for before INSERT.
@@ -1187,6 +1244,30 @@ object TableFormat {
         |  AND user_id > u // 2 AND user_id <= u""".stripMargin +
         orderByAll("files_before", "files_read_before", "files_after",
           "files_read_after", "n_rows", "sum_value")),
+    "q_sql_table_clone" ->
+      ("""SELECT CAST(1 AS BIGINT) AS head_clone,
+        |  CAST(1 AS BIGINT) AS head_src,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_files_referenced,
+        |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_files_total,
+        |  CAST(1 AS BIGINT) AS n_files_read,
+        |  CAST(COUNT(DISTINCT event_type) - 1 AS BIGINT) AS files_carried,
+        |  CAST(1 AS BIGINT) AS files_rewritten,
+        |  CAST(0 AS BIGINT) AS n_local_before,
+        |  CAST(1 AS BIGINT) AS n_local_after,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_err_rows,
+        |  CAST(SUM(CASE WHEN event_type = 'click' AND event_id % 2 = 0
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS clone_n_rows,
+        |  CAST(CAST(SUM(CASE WHEN event_type = 'click' AND event_id % 2 = 0
+        |    THEN NULL ELSE CAST(value AS DECIMAL(18,4)) END) AS STRING) AS DOUBLE)
+        |    AS clone_sum_value,
+        |  CAST(COUNT(*) + SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS src_n_rows
+        |FROM events""".stripMargin +
+        orderByAll("head_clone", "head_src", "n_files_referenced",
+          "n_files_total", "n_files_read", "files_carried", "files_rewritten",
+          "n_local_before", "n_local_after", "n_err_rows", "clone_n_rows",
+          "clone_sum_value", "src_n_rows")),
     "q_sql_table_ctas" ->
       ("""SELECT CAST(1 AS BIGINT) AS head_version,
         |  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_files_total,

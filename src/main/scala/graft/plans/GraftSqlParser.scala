@@ -44,6 +44,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // (UPDATE SET * / INSERT *) — exactly CommitLog.merge's contract.
   private val historyRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
+  private val cloneRe =
+    ("""(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)""" +
+      """(?:\s+VERSION\s+(?:AS\s+OF\s+)?(\d+))?\s*;?\s*""").r
   private val deleteRe =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val mergeRe =
@@ -69,6 +72,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         cols.split(',').map(_.trim).toSeq)
     case historyRe(ident) if isGraftCatalog(ident) =>
       DescribeHistoryCommand(ident.split('.').toSeq)
+    case cloneRe(target, source, v) if isGraftCatalog(target) && isGraftCatalog(source) =>
+      ShallowCloneCommand(target.split('.').toSeq, source.split('.').toSeq,
+        Option(v).map(_.toLong))
     case deleteRe(ident, cond) if isGraftCatalog(ident) =>
       DeleteFromGraftCommand(ident.split('.').toSeq, cond)
     case mergeRe(ident, tAls, src, sAls, q1, c1, q2, c2) if isGraftCatalog(ident) =>
@@ -165,6 +171,25 @@ case class DescribeHistoryCommand(parts: Seq[String])
   override def run(s: SparkSession): Seq[Row] =
     CommitLog.history(GraftSqlCommands.rootOf(s, parts))
       .map { case (v, op, n) => Row(v, op, n) }
+}
+
+/** CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n] — the
+  * zero-copy table fork (Delta's statement), routed to
+  * CommitLog.shallowClone: the clone's v0 references the source
+  * snapshot's files without copying a byte; schema, partition values,
+  * column stats and table properties carry. Returns (head_version,
+  * n_files_referenced). */
+case class ShallowCloneCommand(target: Seq[String], source: Seq[String],
+    version: Option[Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlCommands.attr("head_version"),
+    GraftSqlCommands.attr("n_files_referenced"))
+  override def run(s: SparkSession): Seq[Row] = {
+    val dst = GraftSqlCommands.rootOf(s, target)
+    val v0 = CommitLog.shallowClone(
+      GraftSqlCommands.rootOf(s, source), dst, version)
+    Seq(Row(v0, CommitLog.snapshotFiles(dst, v0).size.toLong))
+  }
 }
 
 /** DELETE FROM cat.tbl WHERE cond — the commit log's copy-on-write

@@ -1165,7 +1165,10 @@ object CommitLog {
     val parts = ((fromVersion + 1) to toVersion).flatMap { v =>
       val (op, _) = readManifest(root, v)
       op match {
-        case "append" =>
+        // a clone's v0 is an insert of every referenced row into THIS
+        // table — the diff-vs-empty emits the full listing, like the
+        // first append
+        case "append" | "clone" =>
           val before =
             if (v == 0) Set.empty[String]
             else snapshotFiles(root, v - 1).toSet
@@ -1448,6 +1451,65 @@ object CommitLog {
       statsCol = statsCol, stats = stats,
       schemaJson = snapshotSchemaOf(root, toVersion).map(_.json),
       extra = auxExtra(auxOf(root, toVersion)))
+  }
+
+  /** SHALLOW CLONE — the zero-copy table fork of the public formats
+    * (Delta's CREATE TABLE ... SHALLOW CLONE): the clone's v0 manifest
+    * lists the SOURCE snapshot's data files by `../`-relative
+    * reference — not a byte of data is copied — and carries the
+    * snapshot's schema, per-file partition values, typed column
+    * statistics, legacy stats and the source's table properties, so
+    * every reader-side capability (pruning, time-travel pinning, CDF
+    * on future writes, CHECK constraints) works on the clone
+    * immediately. Writes to the clone are ordinary CoW commits into
+    * the CLONE's own data/ dir — the source never observes them — and
+    * clone-side vacuum reclaims only files under the clone root
+    * (referenced source files live outside its data/ dir and are
+    * untouchable by construction, see vacuum()'s name-scoped keep
+    * set). The one shared-fate hazard is the public one: vacuuming
+    * the SOURCE can strand the clone's references — existence is
+    * checked HERE so a clone of an already-vacuumed snapshot refuses,
+    * and afterwards the clone holds no pin on the source (Delta's
+    * documented trade). Returns the clone's v0.
+    *
+    * 100 TB posture: clone cost is one manifest read + one manifest
+    * write + a per-file existence probe — metadata-bounded, never
+    * data-bounded. The table-fork workflows this enables (dev copies,
+    * experiment branches, migration staging) pay zero data I/O until
+    * they actually diverge. */
+  def shallowClone(srcRoot: String, dstRoot: String,
+      version: Option[Long] = None): Long = {
+    require(latestVersion(dstRoot).isEmpty,
+      s"clone target $dstRoot already holds a table")
+    val srcHead = latestVersion(srcRoot).getOrElse(
+      sys.error(s"cannot clone an empty table at $srcRoot"))
+    val v = version.getOrElse(srcHead)
+    require(manifestExists(srcRoot, v),
+      s"clone source version $v was vacuumed from $srcRoot")
+    val srcRel = readManifest(srcRoot, v)._2
+    val abs = srcRel.map(f => new java.io.File(srcRoot, f).toString)
+    val missing = abs.filterNot(f => new java.io.File(f).exists())
+    require(missing.isEmpty,
+      s"shallowClone: ${missing.size} of version $v's data file(s) no " +
+        s"longer exist under $srcRoot (vacuumed?) — refusing a " +
+        s"stranded clone (e.g. ${missing.headOption.getOrElse("")})")
+    // source-relative entry -> dst-relative (../-path) entry; aux and
+    // stats keys are per-file facts and remap with their file
+    val relMap = srcRel.zip(abs.map(a => relativize(dstRoot, a))).toMap
+    val a0 = auxOf(srcRoot, v)
+    val aux = Aux(a0.partCol,
+      a0.parts.map { case (f, pv) => relMap.getOrElse(f, f) -> pv },
+      a0.statsTags,
+      a0.stats2.map { case (f, cs) => relMap.getOrElse(f, f) -> cs })
+    val (statsCol, stats) = snapshotStatsOf(srcRoot, v)
+    val v0 = commit(dstRoot, srcRel.map(relMap), expected = None, op = "clone",
+      statsCol = statsCol,
+      stats = stats.map { case (f, b) => relMap.getOrElse(f, f) -> b },
+      schemaJson = snapshotSchemaOf(srcRoot, v).map(_.json),
+      extra = auxExtra(aux))
+    tableProperties(srcRoot).foreach { case (k, value) =>
+      setTableProperty(dstRoot, k, value) }
+    v0
   }
 
   /** Retention-gated file removal — the other half of "compaction

@@ -197,7 +197,7 @@ class TableMicroBatchStream(root: String, schema: StructType,
       val addedRel = rel.filterNot(before)
       before = files
       val added = op match {
-        case "append" => addedRel
+        case "append" | "clone" => addedRel
         case "compact" | "optimize" => Nil // data-neutral rewrite: skip
         case changing =>
           if (ignoreChanges) addedRel
@@ -349,7 +349,7 @@ class TableCdfMicroBatchStream(root: String, schema: StructType,
       val addedRel = rel.filterNot(before)
       before = rel.toSet
       op match {
-        case "append" =>
+        case "append" | "clone" =>
           addedRel.map(f => TableCdfPartition(
             new java.io.File(root, f).toString, v, inject = "insert"): InputPartition)
         case "compact" | "optimize" => Nil

@@ -296,6 +296,53 @@ class CatalogSpec extends SparkSpec {
     assert(ex.getMessage.toLowerCase.contains("exist"), ex.getMessage)
   }
 
+  test("clone: VERSION AS OF pins, clone vacuum spares source files, stranded clones refuse") {
+    val (cat, base) = freshCatalog()
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val srcRoot = new java.io.File(base, "s").toString
+    CommitLog.append(spark, srcRoot, ev.filter(col("event_id") % 2 === 0), nFiles = 2)
+    CommitLog.append(spark, srcRoot, ev.filter(col("event_id") % 2 =!= 0), nFiles = 2)
+
+    // clone a PINNED version, not the head
+    spark.sql(s"CREATE TABLE $cat.c0 SHALLOW CLONE $cat.s VERSION AS OF 0")
+    val c0Root = new java.io.File(base, "c0").toString
+    assert(CommitLog.read(spark, c0Root, 0L).count() ===
+      ev.filter(col("event_id") % 2 === 0).count())
+
+    // the clone's CDF replays its v0 as inserts (op=clone is
+    // data-adding from the clone's own point of view)
+    assert(CommitLog.changesRows(spark, c0Root, -1L, 0L)
+      .filter(col("_change_type") === "insert").count() ===
+      ev.filter(col("event_id") % 2 === 0).count())
+
+    // appends to the clone then a clone-side vacuum: only the CLONE's
+    // own data files are reclaimable; referenced source files survive
+    CommitLog.append(spark, c0Root,
+      ev.filter(col("event_id") % 3 === 0), nFiles = 2)
+    val srcFilesBefore = CommitLog.snapshotFiles(srcRoot, 1L)
+      .count(f => new java.io.File(f).exists())
+    CommitLog.vacuum(c0Root, retainFrom = 1L)
+    assert(CommitLog.snapshotFiles(srcRoot, 1L)
+      .count(f => new java.io.File(f).exists()) === srcFilesBefore,
+      "clone vacuum must never reclaim source-owned files")
+    // the clone head (which still references source files) stays readable
+    assert(CommitLog.read(spark, c0Root, 1L).count() ===
+      ev.filter(col("event_id") % 2 === 0).count() +
+        ev.filter(col("event_id") % 3 === 0).count())
+
+    // refusals: existing target; vacuumed source version
+    val exists = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.c0 SHALLOW CLONE $cat.s")
+    }
+    assert(exists.getMessage.contains("already"), exists.getMessage)
+    CommitLog.vacuum(srcRoot, retainFrom = 1L)
+    val stranded = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.c1 SHALLOW CLONE $cat.s VERSION AS OF 0")
+    }
+    assert(stranded.getMessage.contains("vacuum"), stranded.getMessage)
+  }
+
   test("constraints: CHECK enforcement covers merge and partitioned appends; UNSET lifts it") {
     // The q_sql_table_constraints key drives plain INSERT; this pins
     // the rest of the write surface: a violating merge and a violating
