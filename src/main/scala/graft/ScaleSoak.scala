@@ -121,7 +121,9 @@ object ScaleSoak {
     // CTAS: cost is the SELECT + one partitioned stage, like INSERT
     "q_sql_table_ctas",
     // shallow clone: metadata-bounded fork + one dirty-file CoW delete
-    "q_sql_table_clone")
+    "q_sql_table_clone",
+    // partition-scoped optimize: rewrite ∝ one partition, not the table
+    "q_sql_table_optimize_where")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */

@@ -795,6 +795,45 @@ object TableFormat {
         .select(lit(head).as("head_version"), col("n_rows"),
           col("n_inserted_clones"), col("sum_value")))
     },
+    "q_sql_table_optimize_where" -> { (s, dir) =>
+      // SQL front-end #12 (added r10): OPTIMIZE ... WHERE — the
+      // partition-scoped compaction (Delta's statement). Three
+      // partitioned appends leave every partition with 3 small files;
+      // compacting ONLY 'click' rewrites its 3 files into 1 and
+      // carries every other file verbatim — the daily
+      // compact-yesterday's-partition pattern. Prune counters prove
+      // both halves from the log alone: the click probe reads 1 file
+      // after, the error probe still reads its 3 untouched ones; the
+      // data is byte-identical (data-neutral op), pinned by
+      // n_rows/sum_value over the post-optimize head.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_ow")
+      base.toFile.deleteOnExit()
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val root = new java.io.File(base.toFile, "ow").toString
+      (0 to 2).foreach(k => CommitLog.appendPartitioned(s, root,
+        ev.filter(col("event_id") % 3 === k), "event_type", filesPerPartition = 1))
+      val before = CommitLog.snapshotFiles(root, 2L).size.toLong
+      val r = s.sql(s"OPTIMIZE $cat.ow WHERE event_type = 'click'").collect()(0)
+      val head = r.getLong(0)
+      val after = CommitLog.snapshotFiles(root, head).size.toLong
+      val (_, _, readClick) = CommitLog.partitionPrunedRead(
+        s, root, head, "event_type", Seq("click"))
+      val (_, _, readError) = CommitLog.partitionPrunedRead(
+        s, root, head, "event_type", Seq("error"))
+      ordered(s.sql(s"SELECT event_type, value FROM $cat.ow")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("sum_value"))
+        .select(lit(head).as("head_version"),
+          lit(before).as("files_before"), lit(after).as("files_after"),
+          lit(r.getLong(1)).as("files_selected"),
+          lit(r.getLong(2)).as("files_staged"),
+          lit(readClick.toLong).as("files_read_click"),
+          lit(readError.toLong).as("files_read_error"),
+          col("n_rows"), col("sum_value")))
+    },
     "q_sql_table_clone" -> { (s, dir) =>
       // SQL front-end #11 (added r10): SHALLOW CLONE — the zero-copy
       // table fork (Delta's CREATE TABLE ... SHALLOW CLONE). The
@@ -1244,6 +1283,30 @@ object TableFormat {
         |  AND user_id > u // 2 AND user_id <= u""".stripMargin +
         orderByAll("files_before", "files_read_before", "files_after",
           "files_read_after", "n_rows", "sum_value")),
+    "q_sql_table_optimize_where" ->
+      ("""SELECT CAST(3 AS BIGINT) AS head_version,
+        |  CAST(COUNT(DISTINCT CASE WHEN event_id % 3 = 0 THEN event_type END)
+        |     + COUNT(DISTINCT CASE WHEN event_id % 3 = 1 THEN event_type END)
+        |     + COUNT(DISTINCT CASE WHEN event_id % 3 = 2 THEN event_type END)
+        |    AS BIGINT) AS files_before,
+        |  CAST(COUNT(DISTINCT CASE WHEN event_id % 3 = 0 THEN event_type END)
+        |     + COUNT(DISTINCT CASE WHEN event_id % 3 = 1 THEN event_type END)
+        |     + COUNT(DISTINCT CASE WHEN event_id % 3 = 2 THEN event_type END)
+        |     - COUNT(DISTINCT CASE WHEN event_type = 'click' THEN event_id % 3 END)
+        |     + 1 AS BIGINT) AS files_after,
+        |  CAST(COUNT(DISTINCT CASE WHEN event_type = 'click' THEN event_id % 3 END)
+        |    AS BIGINT) AS files_selected,
+        |  CAST(1 AS BIGINT) AS files_staged,
+        |  CAST(1 AS BIGINT) AS files_read_click,
+        |  CAST(COUNT(DISTINCT CASE WHEN event_type = 'error' THEN event_id % 3 END)
+        |    AS BIGINT) AS files_read_error,
+        |  COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+        |    AS sum_value
+        |FROM events""".stripMargin +
+        orderByAll("head_version", "files_before", "files_after",
+          "files_selected", "files_staged", "files_read_click",
+          "files_read_error", "n_rows", "sum_value")),
     "q_sql_table_clone" ->
       ("""SELECT CAST(1 AS BIGINT) AS head_clone,
         |  CAST(1 AS BIGINT) AS head_src,

@@ -34,6 +34,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*VACUUM\s+([\w.]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
   private val optimizeRe =
     """(?is)\s*OPTIMIZE\s+([\w.]+)\s+ZORDER\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s*;?\s*""".r
+  private val optimizeWhereRe =
+    """(?is)\s*OPTIMIZE\s+([\w.]+)\s+WHERE\s+(\w+)\s*=\s*'([^']*)'\s*;?\s*""".r
   // DELETE / MERGE are statements Spark PARSES natively but cannot
   // EXECUTE against a plain V2 catalog table (they need the row-level
   // operation API) — so the graft forms intercept here and route to
@@ -70,6 +72,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case optimizeRe(ident, cols) =>
       OptimizeZorderCommand(ident.split('.').toSeq,
         cols.split(',').map(_.trim).toSeq)
+    case optimizeWhereRe(ident, partCol, value) if isGraftCatalog(ident) =>
+      OptimizeWhereCommand(ident.split('.').toSeq, partCol, value)
     case historyRe(ident) if isGraftCatalog(ident) =>
       DescribeHistoryCommand(ident.split('.').toSeq)
     case cloneRe(target, source, v) if isGraftCatalog(target) && isGraftCatalog(source) =>
@@ -171,6 +175,26 @@ case class DescribeHistoryCommand(parts: Seq[String])
   override def run(s: SparkSession): Seq[Row] =
     CommitLog.history(GraftSqlCommands.rootOf(s, parts))
       .map { case (v, op, n) => Row(v, op, n) }
+}
+
+/** OPTIMIZE cat.tbl WHERE part = 'v' — partition-scoped compaction
+  * (Delta's OPTIMIZE ... WHERE), routed to
+  * CommitLog.compactPartitions: only the named partition's files
+  * rewrite (into one file); everything else carries verbatim. The
+  * daily small-file cleanup for a partitioned ingest table. Returns
+  * (head_version, files_selected, files_staged). */
+case class OptimizeWhereCommand(parts: Seq[String], partCol: String,
+    value: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlCommands.attr("head_version"),
+    GraftSqlCommands.attr("files_selected"),
+    GraftSqlCommands.attr("files_staged"))
+  override def run(s: SparkSession): Seq[Row] = {
+    val (v, sel, staged) = CommitLog.compactPartitions(s,
+      GraftSqlCommands.rootOf(s, parts), partCol, Seq(value),
+      filesPerPartition = 1)
+    Seq(Row(v, sel, staged))
+  }
 }
 
 /** CREATE TABLE dst SHALLOW CLONE src [VERSION AS OF n] — the

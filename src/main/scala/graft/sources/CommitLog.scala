@@ -1453,6 +1453,47 @@ object CommitLog {
       extra = auxExtra(auxOf(root, toVersion)))
   }
 
+  /** Partition-scoped OPTIMIZE (Delta's `OPTIMIZE ... WHERE`): compact
+    * ONLY the files whose recorded partition value is in `values` —
+    * the small-file cleanup a partitioned ingest table needs after
+    * many appends, without rewriting the partitions that are already
+    * healthy. Selection is pure log metadata (the manifest's partition
+    * entries); the rewrite reads only the selected files; every other
+    * file — other partitions AND entry-less (unprunable) files —
+    * carries verbatim with its stats and partition metadata.
+    * op="optimize" (data-neutral: changes()/streaming skip it).
+    * Rewritten files get fresh partition entries from the routed
+    * stage, so the table stays fully prunable. No-op (nothing
+    * selected) publishes nothing. Returns (version, filesSelected,
+    * filesStaged).
+    *
+    * 100 TB posture: the daily compaction pattern — OPTIMIZE
+    * yesterday's partition while today's keeps ingesting — costs one
+    * partition's data, never the table's. */
+  def compactPartitions(s: SparkSession, root: String, partCol: String,
+      values: Seq[String], filesPerPartition: Int = 1): (Long, Long, Long) = {
+    val prev = latestVersion(root)
+      .getOrElse(sys.error(s"cannot optimize an empty table at $root"))
+    val files = readManifest(root, prev)._2
+    val aux = auxOf(root, prev)
+    require(aux.partCol.contains(partCol),
+      s"table records partition column ${aux.partCol.getOrElse("<none>")}, " +
+        s"not '$partCol'")
+    val want = values.toSet
+    val (selected, carried) = files.partition(f => aux.parts.get(f).exists(want))
+    if (selected.isEmpty) return (prev, 0L, 0L)
+    val sub = readSubset(s, root, prev,
+      selected.map(f => new java.io.File(root, f).toString))
+    val (staged, newAux) = stagePartitioned(s, root, sub, partCol, filesPerPartition)
+    val (prevCol, prevStats) = snapshotStatsOf(root, prev)
+    val cs = carried.toSet
+    val v = commit(root, carried ++ staged, Some(prev), op = "optimize",
+      statsCol = prevCol, stats = prevStats.filter(kv => cs(kv._1)),
+      schemaJson = carriedSchemaJson(root, Some(prev)),
+      extra = auxExtra(aux.filterFiles(cs).merged(newAux)))
+    (v, selected.size.toLong, staged.size.toLong)
+  }
+
   /** SHALLOW CLONE — the zero-copy table fork of the public formats
     * (Delta's CREATE TABLE ... SHALLOW CLONE): the clone's v0 manifest
     * lists the SOURCE snapshot's data files by `../`-relative

@@ -296,6 +296,37 @@ class CatalogSpec extends SparkSpec {
     assert(ex.getMessage.toLowerCase.contains("exist"), ex.getMessage)
   }
 
+  test("optimize where: no-op publishes nothing; untouched partitions carry byte-identical") {
+    val (cat, base) = freshCatalog()
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val root = new java.io.File(base, "o").toString
+    CommitLog.appendPartitioned(spark, root,
+      ev.filter(col("event_id") % 2 === 0), "event_type", filesPerPartition = 1)
+    CommitLog.appendPartitioned(spark, root,
+      ev.filter(col("event_id") % 2 =!= 0), "event_type", filesPerPartition = 1)
+    val h0 = CommitLog.latestVersion(root).get
+
+    // a value that matches no partition publishes NO version
+    val (vNoop, sel0, st0) = CommitLog.compactPartitions(
+      spark, root, "event_type", Seq("no_such_type"))
+    assert(vNoop === h0 && sel0 === 0L && st0 === 0L)
+    assert(CommitLog.latestVersion(root).get === h0)
+
+    val beforeFiles = CommitLog.snapshotFiles(root, h0).toSet
+    val (h1, sel, staged) = CommitLog.compactPartitions(
+      spark, root, "event_type", Seq("click"))
+    assert(h1 === h0 + 1 && sel === 2L && staged === 1L)
+    // untouched partitions carry the SAME physical files (no rewrite)
+    val afterFiles = CommitLog.snapshotFiles(root, h1).toSet
+    assert((afterFiles -- beforeFiles).size === 1, "exactly the one staged file is new")
+    assert((beforeFiles -- afterFiles).size === 2, "exactly the click files left")
+    // data-neutral: the snapshot's rows are unchanged
+    assert(CommitLog.read(spark, root, h1).count() === ev.count())
+    // the pre-optimize snapshot still reads (history is append-only)
+    assert(CommitLog.read(spark, root, h0).count() === ev.count())
+  }
+
   test("clone: VERSION AS OF pins, clone vacuum spares source files, stranded clones refuse") {
     val (cat, base) = freshCatalog()
     val ev = Tables(spark, sf, "events")
