@@ -123,7 +123,9 @@ object ScaleSoak {
     // shallow clone: metadata-bounded fork + one dirty-file CoW delete
     "q_sql_table_clone",
     // partition-scoped optimize: rewrite ∝ one partition, not the table
-    "q_sql_table_optimize_where")
+    "q_sql_table_optimize_where",
+    // time-based vacuum: floor resolution is one manifest parse/version
+    "q_sql_table_vacuum_hours")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */

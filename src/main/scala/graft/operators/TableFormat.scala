@@ -795,6 +795,38 @@ object TableFormat {
         .select(lit(head).as("head_version"), col("n_rows"),
           col("n_inserted_clones"), col("sum_value")))
     },
+    "q_sql_table_vacuum_hours" -> { (s, dir) =>
+      // SQL front-end #13 (added r10): VACUUM ... RETAIN n HOURS —
+      // time-based retention, the public formats' ACTUAL contract
+      // (Delta's default is 7 days; version counts are the internal
+      // mechanism). The floor resolves from the manifests' commit
+      // timestamps: RETAIN 0 HOURS keeps only versions committed
+      // "now or later" — deterministically just the head — so the
+      // two appends' four pre-compaction files reclaim and exactly
+      // the compacted file survives. DESCRIBE HISTORY after proves
+      // the manifests are gone too (1 row), and the head snapshot
+      // reads back complete — vacuum never touches live data.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_vh")
+      base.toFile.deleteOnExit()
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      val root = new java.io.File(base.toFile, "vh").toString
+      CommitLog.append(s, root, ev.filter(col("event_id") % 2 === 0), nFiles = 2)
+      CommitLog.append(s, root, ev.filter(col("event_id") % 2 =!= 0), nFiles = 2)
+      CommitLog.compact(s, root, nFiles = 1)
+      val r = s.sql(s"VACUUM $cat.vh RETAIN 0 HOURS").collect()(0)
+      val nHist = s.sql(s"DESCRIBE HISTORY $cat.vh").count()
+      ordered(s.sql(s"SELECT event_id, value FROM $cat.vh")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("sum_value"))
+        .select(lit(r.getLong(0)).as("retain_from"),
+          lit(r.getLong(1)).as("files_removed"),
+          lit(r.getLong(2)).as("files_kept"),
+          lit(nHist).as("n_history_rows"),
+          col("n_rows"), col("sum_value")))
+    },
     "q_sql_table_optimize_where" -> { (s, dir) =>
       // SQL front-end #12 (added r10): OPTIMIZE ... WHERE — the
       // partition-scoped compaction (Delta's statement). Three
@@ -1283,6 +1315,17 @@ object TableFormat {
         |  AND user_id > u // 2 AND user_id <= u""".stripMargin +
         orderByAll("files_before", "files_read_before", "files_after",
           "files_read_after", "n_rows", "sum_value")),
+    "q_sql_table_vacuum_hours" ->
+      ("""SELECT CAST(2 AS BIGINT) AS retain_from,
+        |  CAST(4 AS BIGINT) AS files_removed,
+        |  CAST(1 AS BIGINT) AS files_kept,
+        |  CAST(1 AS BIGINT) AS n_history_rows,
+        |  COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+        |    AS sum_value
+        |FROM events""".stripMargin +
+        orderByAll("retain_from", "files_removed", "files_kept",
+          "n_history_rows", "n_rows", "sum_value")),
     "q_sql_table_optimize_where" ->
       ("""SELECT CAST(3 AS BIGINT) AS head_version,
         |  CAST(COUNT(DISTINCT CASE WHEN event_id % 3 = 0 THEN event_type END)

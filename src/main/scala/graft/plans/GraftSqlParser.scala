@@ -32,6 +32,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+(?:AS\s+OF\s+)?(\d+)\s*;?\s*""".r
   private val vacuumRe =
     """(?is)\s*VACUUM\s+([\w.]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+  private val vacuumHoursRe =
+    """(?is)\s*VACUUM\s+([\w.]+)\s+RETAIN\s+(\d+)\s+HOURS\s*;?\s*""".r
   private val optimizeRe =
     """(?is)\s*OPTIMIZE\s+([\w.]+)\s+ZORDER\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s*;?\s*""".r
   private val optimizeWhereRe =
@@ -69,6 +71,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       RestoreTableCommand(ident.split('.').toSeq, v.toLong)
     case vacuumRe(ident, n) =>
       VacuumTableCommand(ident.split('.').toSeq, n.toLong)
+    case vacuumHoursRe(ident, h) =>
+      VacuumHoursCommand(ident.split('.').toSeq, h.toLong)
     case optimizeRe(ident, cols) =>
       OptimizeZorderCommand(ident.split('.').toSeq,
         cols.split(',').map(_.trim).toSeq)
@@ -175,6 +179,25 @@ case class DescribeHistoryCommand(parts: Seq[String])
   override def run(s: SparkSession): Seq[Row] =
     CommitLog.history(GraftSqlCommands.rootOf(s, parts))
       .map { case (v, op, n) => Row(v, op, n) }
+}
+
+/** VACUUM t RETAIN n HOURS — time-based retention (the public
+  * formats' actual retention contract is a PERIOD, Delta's default 7
+  * days): the floor resolves to the oldest version committed within
+  * the last n hours (head always retained), then the version-based
+  * vacuum runs. Returns (retain_from, files_removed, files_kept). */
+case class VacuumHoursCommand(parts: Seq[String], hours: Long)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlCommands.attr("retain_from"),
+    GraftSqlCommands.attr("files_removed"), GraftSqlCommands.attr("files_kept"))
+  override def run(s: SparkSession): Seq[Row] = {
+    val root = GraftSqlCommands.rootOf(s, parts)
+    val floor = CommitLog.versionFloorByAge(root,
+      hours * 3600L * 1000L, System.currentTimeMillis())
+    val (removed, kept) = CommitLog.vacuum(root, floor)
+    Seq(Row(floor, removed, kept))
+  }
 }
 
 /** OPTIMIZE cat.tbl WHERE part = 'v' — partition-scoped compaction

@@ -1453,6 +1453,24 @@ object CommitLog {
       extra = auxExtra(auxOf(root, toVersion)))
   }
 
+  /** The version-retention floor implied by an AGE bound — the
+    * resolution step behind `VACUUM ... RETAIN n HOURS` (the public
+    * formats' retention is a PERIOD, not a version count): the oldest
+    * version whose commit timestamp is within `maxAgeMs` of `now`,
+    * clamped to head (the head snapshot is always retained, even when
+    * it is older than the bound — a vacuum may shrink history to one
+    * version but never to zero). Pre-timestamp manifests (older
+    * writers) count as out-of-age. `now` is a parameter so the
+    * resolution is deterministic under test; the SQL statement passes
+    * wall-clock. Pure log metadata: one manifest parse per version. */
+  def versionFloorByAge(root: String, maxAgeMs: Long, now: Long): Long = {
+    val head = latestVersion(root)
+      .getOrElse(sys.error(s"cannot resolve a retention floor for an empty table at $root"))
+    val cutoff = now - maxAgeMs
+    (0L to head).find(v => manifestExists(root, v) &&
+      commitTimestampOf(root, v).exists(_ >= cutoff)).getOrElse(head)
+  }
+
   /** Partition-scoped OPTIMIZE (Delta's `OPTIMIZE ... WHERE`): compact
     * ONLY the files whose recorded partition value is in `values` —
     * the small-file cleanup a partitioned ingest table needs after

@@ -296,6 +296,26 @@ class CatalogSpec extends SparkSpec {
     assert(ex.getMessage.toLowerCase.contains("exist"), ex.getMessage)
   }
 
+  test("vacuum hours: the age floor resolves deterministically against an explicit now") {
+    val (_, base) = freshCatalog()
+    val root = new java.io.File(base, "vf").toString
+    import spark.implicits._
+    (0 to 2).foreach { k =>
+      CommitLog.append(spark, root, Seq((k.toLong, k.toDouble)).toDF("k", "v"), nFiles = 1)
+      Thread.sleep(20) // force distinct commit timestamps (ms resolution)
+    }
+    val ts = (0L to 2L).map(v => CommitLog.commitTimestampOf(root, v).get)
+    assert(ts(0) < ts(1) && ts(1) < ts(2), s"timestamps must be distinct: $ts")
+    val now = ts(2) + 1000L
+    // cutoff strictly between v1 and v2 → the floor is v2
+    assert(CommitLog.versionFloorByAge(root, now - (ts(1) + ts(2)) / 2, now) === 2L)
+    // cutoff before v0 → everything is inside retention, floor 0
+    assert(CommitLog.versionFloorByAge(root, now - ts(0) + 1000L, now) === 0L)
+    // zero retention → nothing is inside the bound, but the head is
+    // ALWAYS retained
+    assert(CommitLog.versionFloorByAge(root, 0L, now) === 2L)
+  }
+
   test("optimize where: no-op publishes nothing; untouched partitions carry byte-identical") {
     val (cat, base) = freshCatalog()
     val ev = Tables(spark, sf, "events")
