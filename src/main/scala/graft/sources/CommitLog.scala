@@ -488,8 +488,13 @@ object CommitLog {
     val prev = latestVersion(root)
       .getOrElse(sys.error(s"cannot compact an empty table at $root"))
     val cur = read(s, root, prev)
-    commit(root, stageDataFiles(s, root, cur, nFiles), Some(prev), op = "compact",
-      schemaJson = carriedSchemaJson(root, Some(prev)))
+    val staged = stageDataFiles(s, root, cur, nFiles)
+    // typed stats survive the rewrite (restageColStats); partition
+    // entries cannot — a plain compaction mixes partitions per file
+    commit(root, staged, Some(prev), op = "compact",
+      schemaJson = carriedSchemaJson(root, Some(prev)),
+      extra = auxExtra(restageColStats(s, root,
+        carriedAux(root, Some(prev)).filterFiles(Set.empty), staged)))
   }
 
   /** Read the table AS OF `version` — the time-travel scan: explicit
@@ -616,15 +621,18 @@ object CommitLog {
         read(s, root, prev).withColumn("_change_type", lit("delete"))
           .unionByName(df.withColumn("_change_type", lit("insert")),
             allowMissingColumns = true)))
-    val (staged, aux) = partCol match {
-      case Some(c) =>
-        val (fs, a) = stagePartitioned(s, root, df, c, nFiles)
-        (fs, auxExtra(a))
-      case None => (stageDataFiles(s, root, df, nFiles), Nil)
+    val (staged, stagedAux) = partCol match {
+      case Some(c) => stagePartitioned(s, root, df, c, nFiles)
+      case None => (stageDataFiles(s, root, df, nFiles), Aux())
     }
+    // the prior snapshot's statsTags seed a recompute over the
+    // incoming files — an overwrite must not strip data-skipping
+    val fullAux = restageColStats(s, root,
+      carriedAux(root, Some(prev)).filterFiles(Set.empty).merged(stagedAux),
+      staged)
     commit(root, staged, Some(prev), op = "overwrite",
       schemaJson = carriedSchemaJson(root, Some(prev)),
-      extra = aux ++ cdf.map(renderCdf).toSeq)
+      extra = auxExtra(fullAux) ++ cdf.map(renderCdf).toSeq)
   }
 
   /** Per-file column statistics of `version`'s manifest: the stats
@@ -1330,14 +1338,16 @@ object CommitLog {
       else Some(stageCdfFiles(s, root,
         readSubset(s, root, prev, dirty).filter(cond)
           .withColumn("_change_type", lit("delete"))))
-    // carried files keep their stats entries; rewritten files have no
-    // stats (unprunable) unless a stats-aware writer recomputes them
+    // carried files keep their stats entries; rewritten files get
+    // TYPED stats recomputed (restageColStats — data-skipping must
+    // survive deletes); the legacy single-column ints stay carry-only
     val (prevCol, prevStats) = snapshotStatsOf(root, prev)
     val v = commit(root, carried ++ rewritten, Some(prev), op = "delete",
       statsCol = prevCol,
       stats = { val cs = carried.toSet; prevStats.filter(kv => cs(kv._1)) },
       schemaJson = carriedSchemaJson(root, Some(prev)),
-      extra = auxExtra(carriedAux(root, Some(prev)).filterFiles(carried.toSet)) ++
+      extra = auxExtra(restageColStats(s, root,
+        carriedAux(root, Some(prev)).filterFiles(carried.toSet), rewritten)) ++
         cdf.map(renderCdf).toSeq)
     (v, clean.size.toLong, rewritten.size.toLong)
   }
@@ -1414,7 +1424,9 @@ object CommitLog {
       statsCol = prevCol,
       stats = { val cs = carried.toSet; prevStats.filter(kv => cs(kv._1)) },
       schemaJson = carriedSchemaJson(root, Some(prev)),
-      extra = auxExtra(carriedAux(root, Some(prev)).filterFiles(carried.toSet)) ++
+      extra = auxExtra(restageColStats(s, root,
+        carriedAux(root, Some(prev)).filterFiles(carried.toSet),
+        rewritten ++ inserted)) ++
         cdf.map(renderCdf).toSeq)
     (v, clean.size.toLong, rewritten.size.toLong)
   }
@@ -1451,6 +1463,29 @@ object CommitLog {
       statsCol = statsCol, stats = stats,
       schemaJson = snapshotSchemaOf(root, toVersion).map(_.json),
       extra = auxExtra(auxOf(root, toVersion)))
+  }
+
+  /** Typed-stats maintenance across CoW rewrites (r10): when the
+    * table records statsTags, recompute per-file bounds for freshly
+    * staged files on those same columns — without this every
+    * delete/merge/compaction grows an unprunable tail (rewritten
+    * files carry no entries and must always be read), and a
+    * long-lived table's data-skipping decays to nothing. This is the
+    * public formats' behavior: stats are computed on every write, not
+    * only on the first. Cost: one groupBy(input_file_name) aggregate
+    * over the STAGED files only — data the rewrite just produced;
+    * tables without typed stats pay nothing. Columns the staged
+    * frame no longer carries are skipped (mixed-schema safety). */
+  private def restageColStats(s: SparkSession, root: String,
+      aux: Aux, staged: Seq[String]): Aux = {
+    if (aux.statsTags.isEmpty || staged.isEmpty) aux
+    else {
+      val have = s.read.parquet(
+        staged.map(f => new java.io.File(root, f).toString): _*).columns.toSet
+      val cols = aux.statsTags.keys.toSeq.sorted.filter(have)
+      if (cols.isEmpty) aux
+      else aux.merged(perFileColStats(s, root, staged, cols))
+    }
   }
 
   /** The version-retention floor implied by an AGE bound — the
@@ -1508,7 +1543,8 @@ object CommitLog {
     val v = commit(root, carried ++ staged, Some(prev), op = "optimize",
       statsCol = prevCol, stats = prevStats.filter(kv => cs(kv._1)),
       schemaJson = carriedSchemaJson(root, Some(prev)),
-      extra = auxExtra(aux.filterFiles(cs).merged(newAux)))
+      extra = auxExtra(restageColStats(s, root,
+        aux.filterFiles(cs).merged(newAux), staged)))
     (v, selected.size.toLong, staged.size.toLong)
   }
 

@@ -771,6 +771,44 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("optimize"), ex.getMessage)
   }
 
+  test("commit log: CoW rewrites recompute typed stats — skipping survives delete/compact/overwrite (r10)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_rs").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val m = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+    // range-aligned staging: low half then high half, typed stats on event_id
+    CommitLog.appendWithColumnStats(spark, root,
+      ev.filter(col("event_id") <= m / 2), 2, Seq("event_id"))
+    val v1 = CommitLog.appendWithColumnStats(spark, root,
+      ev.filter(col("event_id") > m / 2), 2, Seq("event_id"))
+    // the delete dirties ONLY low-half files; their rewrites must get
+    // fresh bounds or the high-half probe would have to read them
+    val (v2, _, rew) = CommitLog.delete(spark, root,
+      col("event_id") % 5 === 0 && col("event_id") <= m / 2)
+    assert(rew === 2L, s"expected both low files dirty, got $rew")
+    val (_, total2, read2) = CommitLog.prunedReadTyped(spark, root, v2,
+      Seq(CommitLog.StatProbe("event_id", m / 2 + 1, m)))
+    assert(total2 === 4 && read2 === 2,
+      s"rewritten files lost their stats: read $read2 of $total2")
+    // plain compaction hash-mixes ranges (bounds go wide) but every
+    // compacted file still carries a recomputed entry
+    val v3 = CommitLog.compact(spark, root, 2)
+    val aux3 = CommitLog.auxOf(root, v3)
+    assert(aux3.statsTags.contains("event_id") && aux3.stats2.size === 2,
+      s"compaction dropped typed stats: $aux3")
+    // overwrite: the prior snapshot's tags seed a recompute over the
+    // incoming files — a high-half probe prunes EVERYTHING
+    val v4 = CommitLog.overwrite(spark, root,
+      ev.filter(col("event_id") <= m / 2), 2)
+    val (_, total4, read4) = CommitLog.prunedReadTyped(spark, root, v4,
+      Seq(CommitLog.StatProbe("event_id", m / 2 + 1, m)))
+    assert(total4 === 2 && read4 === 0,
+      s"overwrite stripped data-skipping: read $read4 of $total4")
+    // and the semantics never changed along the way
+    assert(CommitLog.read(spark, root, v1).count() === ev.count())
+  }
+
   test("commit log: copy-on-write delete carries clean files, isolates pinned readers (r9)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_cl_del").toString
