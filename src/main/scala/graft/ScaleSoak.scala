@@ -125,7 +125,10 @@ object ScaleSoak {
     // partition-scoped optimize: rewrite ∝ one partition, not the table
     "q_sql_table_optimize_where",
     // time-based vacuum: floor resolution is one manifest parse/version
-    "q_sql_table_vacuum_hours")
+    "q_sql_table_vacuum_hours",
+    // CoW UPDATE: cost ∝ dirty files (discovery is one pushdown scan);
+    // the SQL form adds only parsing on top
+    "q_table_update", "q_sql_table_update")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */

@@ -207,6 +207,53 @@ object TableFormat {
           lit(rewritten).as("n_files_rewritten"),
           col("n_rows_after"), col("sum_value_after")))
     },
+    "q_table_update" -> { (s, dir) =>
+      // Copy-on-write row-level UPDATE (added r10) — UPDATE ... SET
+      // ... WHERE, completing the DML trio beside q_table_delete /
+      // q_table_merge. Predicate-aligned staging (the q_table_delete
+      // layout): v0 holds only user_id%4<2 rows (2 files), v1 appends
+      // the rest (2 more), so update(user_id%4=1) dirties exactly the
+      // two v0-era files — 2 carried byte-identical, 2 rewritten with
+      // the assignments applied ONLY to matching rows. CDF is ON for
+      // this table: the update's pre/post images replay through
+      // changesRows and re-aggregate here, so the changelog is
+      // oracle-checked too (pre counts the matched rows, post sums
+      // their boosted values). StreamingSpec pins the mechanism
+      // (NULL-cond survival, post-image constraint enforcement,
+      // partition-column refusal, pinned-reader isolation).
+      val root = java.nio.file.Files.createTempDirectory("graft_table_upd")
+      root.toFile.deleteOnExit()
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      CommitLog.append(s, root.toString, ev.filter(col("user_id") % 4 < 2), nFiles = 2)
+      val v1 = CommitLog.append(s, root.toString, ev.filter(col("user_id") % 4 >= 2), nFiles = 2)
+      CommitLog.setTableProperty(root.toString, "enableChangeDataFeed", "true")
+      val (v2, carried, rewritten) = CommitLog.update(s, root.toString,
+        col("user_id") % 4 === 1,
+        Seq("value" -> (col("value") + lit(1000.0)),
+          "event_type" -> lit("boosted")))
+      // one metadata-sized collect: the changelog aggregate is 1 row
+      val c = CommitLog.changesRows(s, root.toString, v1, v2)
+        .agg(
+          sum(when(col("_change_type") === "update_preimage", 1L)
+            .otherwise(0L)).as("n_cdf_pre"),
+          sum(when(col("_change_type") === "update_postimage", 1L)
+            .otherwise(0L)).as("n_cdf_post"),
+          dsum(when(col("_change_type") === "update_postimage", col("value"))
+            .otherwise(lit(null))).as("sum_cdf_post"))
+        .collect()(0)
+      ordered(CommitLog.read(s, root.toString, v2)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("event_type") === "boosted", 1L).otherwise(0L))
+            .as("n_boosted"),
+          dsum(col("value")).as("sum_value"))
+        .select(lit(carried).as("n_files_carried"),
+          lit(rewritten).as("n_files_rewritten"),
+          col("n_rows"), col("n_boosted"), col("sum_value"),
+          lit(c.getLong(0)).as("n_cdf_pre"),
+          lit(c.getLong(1)).as("n_cdf_post"),
+          lit(c.getDouble(2)).as("sum_cdf_post")))
+    },
     "q_table_optimize" -> { (s, dir) =>
       // Range-cluster OPTIMIZE (added r9) — the layout-maintenance
       // command that makes the manifest stats EFFECTIVE: the table is
@@ -795,6 +842,41 @@ object TableFormat {
         .select(lit(head).as("head_version"), col("n_rows"),
           col("n_inserted_clones"), col("sum_value")))
     },
+    "q_sql_table_update" -> { (s, dir) =>
+      // SQL front-end (added r10): UPDATE ... SET ... WHERE as a
+      // statement — the third row-level DML next to q_sql_table_dml's
+      // DELETE FROM / MERGE INTO, intercepted by the parser extension
+      // (gated on a registered graft catalog; every other UPDATE
+      // delegates verbatim) and routed to CommitLog.update's CoW
+      // write. The SET list deliberately exercises the top-level
+      // comma splitter: a function call carrying a comma INSIDE an
+      // assignment (greatest(value, 50.0)) plus a second string
+      // assignment. Predicate-aligned staging as in q_table_update:
+      // the %4=2 predicate dirties exactly the two v1-era files.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_upd")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "tbl").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      CommitLog.append(s, root, ev.filter(col("user_id") % 4 < 2), nFiles = 2)
+      CommitLog.append(s, root, ev.filter(col("user_id") % 4 >= 2), nFiles = 2)
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      val r = s.sql(
+        s"""UPDATE $cat.tbl SET value = greatest(value, 50.0),
+          |event_type = 'floored' WHERE user_id % 4 = 2""".stripMargin)
+        .collect()(0)
+      ordered(s.sql(s"SELECT event_type, value FROM $cat.tbl")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("event_type") === "floored", 1L).otherwise(0L))
+            .as("n_floored"),
+          dsum(col("value")).as("sum_value"))
+        .select(lit(r.getLong(0)).as("head_version"),
+          lit(r.getLong(1)).as("files_carried"),
+          lit(r.getLong(2)).as("files_rewritten"),
+          col("n_rows"), col("n_floored"), col("sum_value")))
+    },
     "q_sql_table_vacuum_hours" -> { (s, dir) =>
       // SQL front-end #13 (added r10): VACUUM ... RETAIN n HOURS —
       // time-based retention, the public formats' ACTUAL contract
@@ -1164,6 +1246,38 @@ object TableFormat {
         |FROM events WHERE user_id % 4 <> 1""".stripMargin +
         orderByAll("n_files_carried", "n_files_rewritten", "n_rows_after",
           "sum_value_after")),
+    "q_table_update" ->
+      ("""WITH u AS (
+        |  SELECT CASE WHEN user_id % 4 = 1 THEN value + 1000.0 ELSE value END AS value,
+        |    CASE WHEN user_id % 4 = 1 THEN 'boosted' ELSE event_type END AS event_type
+        |  FROM events)
+        |SELECT CAST(2 AS BIGINT) AS n_files_carried,
+        |  CAST(2 AS BIGINT) AS n_files_rewritten,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN event_type = 'boosted' THEN 1 ELSE 0 END) AS BIGINT) AS n_boosted,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value,
+        |  (SELECT COUNT(*) FROM events WHERE user_id % 4 = 1) AS n_cdf_pre,
+        |  (SELECT COUNT(*) FROM events WHERE user_id % 4 = 1) AS n_cdf_post,
+        |  (SELECT CAST(CAST(SUM(CAST(value + 1000.0 AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+        |    FROM events WHERE user_id % 4 = 1) AS sum_cdf_post
+        |FROM u""".stripMargin +
+        orderByAll("n_files_carried", "n_files_rewritten", "n_rows",
+          "n_boosted", "sum_value", "n_cdf_pre", "n_cdf_post",
+          "sum_cdf_post")),
+    "q_sql_table_update" ->
+      ("""WITH u AS (
+        |  SELECT CASE WHEN user_id % 4 = 2 THEN GREATEST(value, 50.0) ELSE value END AS value,
+        |    CASE WHEN user_id % 4 = 2 THEN 'floored' ELSE event_type END AS event_type
+        |  FROM events)
+        |SELECT CAST(2 AS BIGINT) AS head_version,
+        |  CAST(2 AS BIGINT) AS files_carried,
+        |  CAST(2 AS BIGINT) AS files_rewritten,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN event_type = 'floored' THEN 1 ELSE 0 END) AS BIGINT) AS n_floored,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
+        |FROM u""".stripMargin +
+        orderByAll("head_version", "files_carried", "files_rewritten",
+          "n_rows", "n_floored", "sum_value")),
     "q_table_optimize" ->
       ("""WITH b AS (SELECT MAX(event_id) AS m FROM events)
         |SELECT CAST(8 AS BIGINT) AS files_before,

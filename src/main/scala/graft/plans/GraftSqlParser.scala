@@ -53,6 +53,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """(?:\s+VERSION\s+(?:AS\s+OF\s+)?(\d+))?\s*;?\s*""").r
   private val deleteRe =
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val updateRe =
+    """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val mergeRe =
     ("""(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?""" +
       """\s+ON\s+(\w+)\s*\.\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)""" +
@@ -85,6 +87,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         Option(v).map(_.toLong))
     case deleteRe(ident, cond) if isGraftCatalog(ident) =>
       DeleteFromGraftCommand(ident.split('.').toSeq, cond)
+    case updateRe(ident, sets, cond) if isGraftCatalog(ident) =>
+      UpdateGraftCommand(ident.split('.').toSeq, sets, cond)
     case mergeRe(ident, tAls, src, sAls, q1, c1, q2, c2) if isGraftCatalog(ident) =>
       val tAlias = Option(tAls).getOrElse(ident.split('.').last)
       val sAlias = Option(sAls).getOrElse(src.split('.').last)
@@ -256,6 +260,55 @@ case class DeleteFromGraftCommand(parts: Seq[String], condSql: String)
     val (v, carried, rewritten) = CommitLog.delete(s,
       GraftSqlCommands.rootOf(s, parts),
       org.apache.spark.sql.functions.expr(condSql))
+    Seq(Row(v, carried, rewritten))
+  }
+}
+
+/** UPDATE cat.tbl SET col = expr[, ...] WHERE cond — the commit log's
+  * copy-on-write update as the standard SQL statement, completing the
+  * row-level DML trio (DELETE / MERGE / UPDATE): assignment
+  * right-hand sides and the predicate re-parse through the session's
+  * own expression parser (functions.expr), so any deterministic SQL
+  * expression works; clean files carry over byte-identical, dirty
+  * files rewrite with the assignments applied only to matching rows,
+  * one atomic commit. Returns (head_version, files_carried,
+  * files_rewritten). */
+case class UpdateGraftCommand(parts: Seq[String], setSql: String,
+    condSql: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlCommands.attr("head_version"),
+    GraftSqlCommands.attr("files_carried"),
+    GraftSqlCommands.attr("files_rewritten"))
+  /** Top-level comma split of the SET list — commas inside parens or
+    * single-quoted literals belong to the assignment expression
+    * (`SET x = greatest(a, b), y = 'a,b'` is two assignments). */
+  private def splitAssignments(sets: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false
+    sets.foreach { ch =>
+      if (inStr) { cur += ch; if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true; cur += ch
+        case '(' => depth += 1; cur += ch
+        case ')' => depth -= 1; cur += ch
+        case ',' if depth == 0 => out += cur.toString; cur.clear()
+        case c => cur += c
+      }
+    }
+    out += cur.toString
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+  override def run(s: SparkSession): Seq[Row] = {
+    val asgRe = """(?s)\s*(\w+)\s*=\s*(.+)""".r
+    val assignments = splitAssignments(setSql).map {
+      case asgRe(name, rhs) => name -> org.apache.spark.sql.functions.expr(rhs)
+      case other => throw new IllegalArgumentException(
+        s"UPDATE SET expects <column> = <expression>, got '$other'")
+    }
+    val (v, carried, rewritten) = CommitLog.update(s,
+      GraftSqlCommands.rootOf(s, parts),
+      org.apache.spark.sql.functions.expr(condSql), assignments)
     Seq(Row(v, carried, rewritten))
   }
 }

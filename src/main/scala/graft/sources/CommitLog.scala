@@ -1431,6 +1431,101 @@ object CommitLog {
     (v, clean.size.toLong, rewritten.size.toLong)
   }
 
+  /** Copy-on-write UPDATE — `UPDATE ... SET ... WHERE` as a write
+    * path, completing the log's row-level DML trio (delete / merge /
+    * update). Same dirty-file discovery as [[delete]]: one pushdown
+    * scan finds the files holding cond-matching rows (the collect is
+    * file PATHS, metadata-sized), clean files carry over
+    * byte-identical with their stats, dirty files rewrite with the
+    * assignments applied ONLY to matching rows (three-valued logic: a
+    * NULL cond is not a match, the row survives unchanged), all
+    * published as ONE atomic commit, op="update" — a data-changing
+    * rewrite (changes() refuses file-diff ranges across it; pinned
+    * readers at older versions still see pre-update values).
+    *
+    * Schema is INVARIANT under UPDATE: every assignment must target
+    * an existing column and casts to that column's current type
+    * (widen the schema first via evolveSchema if needed). On a
+    * partitioned table, assigning the partition column is refused —
+    * that would MOVE rows across partitions (use merge/overwrite);
+    * other assignments are fine, the rewritten files just drop their
+    * partition entries (unprunable but correct — the delete
+    * convention). Post-image rows re-validate CHECK constraints
+    * BEFORE anything stages — an update cannot write rows an append
+    * would have refused. Typed column stats are recomputed for the
+    * rewritten files (restageColStats — data-skipping survives).
+    * With enableChangeDataFeed, the matched rows stage under cdf/ as
+    * update_preimage/update_postimage pairs (cost ∝ updated rows).
+    *
+    * 100 TB posture: cost scales with the DIRTY file set, never the
+    * table — a predicate aligned with the layout (partition/z-order
+    * keys) touches few files, and the dirty-file scan pushes `cond`
+    * to parquet. Returns (newVersion, filesCarried, filesRewritten). */
+  def update(s: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)]): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, when}
+    require(assignments.nonEmpty, "update: no SET assignments")
+    val prev = latestVersion(root)
+      .getOrElse(sys.error(s"cannot update an empty table at $root"))
+    val files = snapshotFiles(root, prev)
+    val full = readSubset(s, root, prev, files)
+    val types = full.schema.fields.map(f => f.name -> f.dataType).toMap
+    assignments.foreach { case (c, _) =>
+      require(types.contains(c),
+        s"update: column '$c' does not exist — UPDATE never adds " +
+          "columns (evolve the schema first)")
+    }
+    val aux0 = carriedAux(root, Some(prev))
+    aux0.partCol.foreach { pc =>
+      require(!assignments.exists(_._1 == pc),
+        s"update: assigning partition column '$pc' would move rows " +
+          "across partitions — use merge or overwrite instead")
+    }
+    val hit = coalesce(cond, lit(false))
+    def applied(df: DataFrame): DataFrame =
+      assignments.foldLeft(df) { case (d, (c, e)) =>
+        d.withColumn(c, when(hit, e.cast(types(c))).otherwise(col(c)))
+      }
+    // canonical paths on both sides (see delete — a relative root
+    // would otherwise silently no-op the update)
+    val dirtyCanon = full.filter(cond)
+      .select(input_file_name()).distinct()
+      .collect().map(r =>
+        new java.io.File(new java.net.URI(r.getString(0))).getCanonicalPath)
+      .toSet
+    val (dirty, clean) =
+      files.partition(f => dirtyCanon.contains(new java.io.File(f).getCanonicalPath))
+    val carried = clean.map(p => relativize(root, p))
+    if (dirty.nonEmpty) {
+      // the post-images are the only NEW row states this commit
+      // introduces — they must satisfy the table's CHECK constraints
+      enforceConstraints(s, root,
+        applied(readSubset(s, root, prev, dirty)).filter(hit), "update")
+    }
+    val rewritten =
+      if (dirty.isEmpty) Nil
+      else stageDataFiles(s, root, applied(readSubset(s, root, prev, dirty)),
+        math.max(1, dirty.size))
+    val cdf: Option[Seq[String]] =
+      if (!cdfEnabled(root)) None
+      else if (dirty.isEmpty) Some(Nil)
+      else Some(stageCdfFiles(s, root,
+        readSubset(s, root, prev, dirty).filter(cond)
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(applied(readSubset(s, root, prev, dirty)).filter(hit)
+            .withColumn("_change_type", lit("update_postimage")))))
+    val (prevCol, prevStats) = snapshotStatsOf(root, prev)
+    val v = commit(root, carried ++ rewritten, Some(prev), op = "update",
+      statsCol = prevCol,
+      stats = { val cs = carried.toSet; prevStats.filter(kv => cs(kv._1)) },
+      schemaJson = carriedSchemaJson(root, Some(prev)),
+      extra = auxExtra(restageColStats(s, root,
+        aux0.filterFiles(carried.toSet), rewritten)) ++
+        cdf.map(renderCdf).toSeq)
+    (v, clean.size.toLong, rewritten.size.toLong)
+  }
+
   /** RESTORE — roll the table back to `toVersion` (the Delta RESTORE
     * command), completing time travel from read-only pinning into a
     * writable rollback: the new HEAD's manifest re-lists exactly

@@ -146,6 +146,13 @@ class CatalogSpec extends SparkSpec {
     }
     assert(!ex.getMessage.contains("graft catalog"),
       s"non-graft DELETE must delegate to Spark, got: ${ex.getMessage}")
+    // same gating for UPDATE: a non-graft identifier delegates to
+    // Spark's own path (which rejects updates on temp views)
+    val exU = intercept[Exception] {
+      spark.sql("UPDATE catspec_plain_view SET value = 0.0 WHERE user_id = 1").collect()
+    }
+    assert(!exU.getMessage.contains("graft catalog"),
+      s"non-graft UPDATE must delegate to Spark, got: ${exU.getMessage}")
     // a MERGE whose ON clause keys different column names refuses
     val ex2 = intercept[Exception] {
       spark.sql(

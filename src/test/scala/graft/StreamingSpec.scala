@@ -847,6 +847,94 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("delete"), ex.getMessage)
   }
 
+  test("commit log: copy-on-write update — CoW carry, NULL-cond survival, pinned readers (r10)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_upd").toString
+    // `maybe` is NULL off the %5 grid — the three-valued branch: a
+    // NULL cond is not a match, the row must survive UNCHANGED
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("maybe",
+        when(col("event_id") % 5 === 0, col("value")))
+    CommitLog.append(spark, root, ev.filter(col("user_id") % 4 < 2), nFiles = 2)
+    CommitLog.append(spark, root, ev.filter(col("user_id") % 4 >= 2), nFiles = 2)
+    val cleanEra = CommitLog.snapshotFiles(root, 1L).toSet --
+      CommitLog.snapshotFiles(root, 0L).toSet
+    val nMatch = ev.filter(col("user_id") % 4 === 1 && col("maybe").isNotNull).count()
+    val nNullCond = ev.filter(col("user_id") % 4 === 1 && col("maybe").isNull).count()
+    assert(nMatch > 0 && nNullCond > 0, s"fixture too thin: $nMatch/$nNullCond")
+    // cond is NULL wherever maybe is NULL — those rows are v0-era too
+    val (v2, carried, rewritten) = CommitLog.update(spark, root,
+      col("user_id") % 4 === 1 && col("maybe") > lit(-1.0),
+      Seq("value" -> (col("value") + lit(1000.0))))
+    assert(v2 === 2L && carried === 2L && rewritten === 2L,
+      s"v=$v2 carried=$carried rewritten=$rewritten")
+    val v2Files = CommitLog.snapshotFiles(root, v2).toSet
+    assert(cleanEra.subsetOf(v2Files),
+      "clean files were rewritten instead of carried over")
+    val after = CommitLog.read(spark, root, v2)
+    assert(after.count() === ev.count(), "update changed the row count")
+    assert(after.filter(col("value") >= 1000.0).count() === nMatch,
+      "matched-row count drifted through the rewrite")
+    // NULL-cond rows rode along in the dirty files but kept their values
+    assert(after.filter(col("user_id") % 4 === 1 && col("maybe").isNull &&
+      col("value") >= 1000.0).count() === 0,
+      "a NULL-cond row was updated — three-valued logic broken")
+    // pinned reader at v1 still sees pre-update values
+    assert(CommitLog.read(spark, root, 1L)
+      .filter(col("value") >= 1000.0).count() === 0,
+      "pinned v1 reader sees post-update values")
+    // a file-level diff across the update would mis-state the delta
+    val ex = intercept[IllegalArgumentException] {
+      CommitLog.changes(spark, root, 1L, v2)
+    }
+    assert(ex.getMessage.contains("update"), ex.getMessage)
+  }
+
+  test("commit log: update refuses unknown/partition columns, re-validates CHECK constraints (r10)") {
+    import graft.sources.{CommitLog, Tables}
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    // (1) post-images must satisfy CHECK constraints — nothing commits
+    val r1 = java.nio.file.Files.createTempDirectory("graft_cl_updc").toString
+    CommitLog.append(spark, r1, ev, nFiles = 2)
+    CommitLog.setTableProperty(r1, "constraint.value_cap", "value <= 2000.0")
+    val exC = intercept[IllegalArgumentException] {
+      CommitLog.update(spark, r1, col("user_id") % 4 === 1,
+        Seq("value" -> (col("value") + lit(5000.0))))
+    }
+    assert(exC.getMessage.contains("value_cap"), exC.getMessage)
+    assert(CommitLog.latestVersion(r1) === Some(0L),
+      "a constraint-violating update still committed")
+    // ... while a compliant update passes the same constraint
+    val (v1, _, _) = CommitLog.update(spark, r1, col("user_id") % 4 === 1,
+      Seq("value" -> (col("value") * lit(0.5))))
+    assert(v1 === 1L)
+    // (2) unknown column — UPDATE never adds columns
+    val exU = intercept[IllegalArgumentException] {
+      CommitLog.update(spark, r1, col("user_id") === 1, Seq("no_such" -> lit(1)))
+    }
+    assert(exU.getMessage.contains("no_such"), exU.getMessage)
+    // (3) partitioned table: assigning the partition column would move
+    // rows across partitions — refused; other assignments still work
+    // and untouched partitions keep pruning from the log
+    val r2 = java.nio.file.Files.createTempDirectory("graft_cl_updp").toString
+    CommitLog.appendPartitioned(spark, r2, ev, "event_type", filesPerPartition = 1)
+    val exP = intercept[IllegalArgumentException] {
+      CommitLog.update(spark, r2, col("value") > 50.0,
+        Seq("event_type" -> lit("moved")))
+    }
+    assert(exP.getMessage.contains("event_type"), exP.getMessage)
+    val oneType = ev.select(col("event_type")).distinct()
+      .orderBy(col("event_type")).collect()(0).getString(0)
+    val (v2p, _, _) = CommitLog.update(spark, r2,
+      col("event_type") === oneType, Seq("value" -> lit(0.0)))
+    val afterP = CommitLog.read(spark, r2, v2p)
+    assert(afterP.filter(col("event_type") === oneType &&
+      col("value") =!= 0.0).count() === 0)
+    assert(afterP.count() === ev.count())
+  }
+
   test("commit log: streaming ingest commits atomically per batch, replay adds nothing (r9)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_cl_stream").toString
