@@ -128,7 +128,10 @@ object ScaleSoak {
     "q_sql_table_vacuum_hours",
     // CoW UPDATE: cost ∝ dirty files (discovery is one pushdown scan);
     // the SQL form adds only parsing on top
-    "q_table_update", "q_sql_table_update")
+    "q_table_update", "q_sql_table_update",
+    // column mapping: rename/drop are one manifest write each; the
+    // soaked cost is the fixture staging + one mapped CoW delete
+    "q_table_column_mapping", "q_sql_table_rename_drop")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */

@@ -254,6 +254,44 @@ object TableFormat {
           lit(c.getLong(1)).as("n_cdf_post"),
           lit(c.getDouble(2)).as("sum_cdf_post")))
     },
+    "q_table_column_mapping" -> { (s, dir) =>
+      // Column mapping (added r10) — RENAME COLUMN / DROP COLUMN as
+      // METADATA-ONLY commits, the Delta columnMapping.mode=name
+      // design: logical names live in the log schema, each field's
+      // immutable PHYSICAL parquet name rides in field metadata, so a
+      // rename re-lists the head's files verbatim (zero data I/O, no
+      // rewrite debt, in-flight streams unaffected) and a drop stops
+      // projecting the column (bytes linger until any rewrite purges
+      // them — REORG's job, not ALTER's). The key proves the whole
+      // lifecycle STAYS correct under mapping: rename value→amount,
+      // drop event_type, then a CoW delete whose rewrite stages
+      // physical names and reads back logically. Counters pinned by
+      // predicate-aligned staging (the q_table_delete layout).
+      // StreamingSpec pins the mechanism (metadata-only file sets,
+      // versioned schemas, stats following renames, physical-clash
+      // avoidance, constraint guards, stream skip).
+      val root = java.nio.file.Files.createTempDirectory("graft_table_map")
+      root.toFile.deleteOnExit()
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      CommitLog.append(s, root.toString, ev.filter(col("user_id") % 4 < 2), nFiles = 2)
+      val v1 = CommitLog.append(s, root.toString, ev.filter(col("user_id") % 4 >= 2), nFiles = 2)
+      val v2 = CommitLog.renameColumn(s, root.toString, "value", "amount")
+      val v3 = CommitLog.dropColumn(s, root.toString, "event_type")
+      // metadata-only proof, folded into the report as a counter
+      val newFiles = (CommitLog.snapshotFiles(root.toString, v3).toSet --
+        CommitLog.snapshotFiles(root.toString, v1).toSet).size.toLong
+      val (v4, carried, rewritten) =
+        CommitLog.delete(s, root.toString, col("user_id") % 4 === 1)
+      ordered(CommitLog.read(s, root.toString, v4)
+        .agg(count(lit(1)).as("n_rows"),
+          dsum(col("amount")).as("sum_amount"))
+        .select(lit(v2).as("rename_version"),
+          lit(newFiles).as("n_new_files_metadata_ops"),
+          lit(carried).as("n_files_carried"),
+          lit(rewritten).as("n_files_rewritten"),
+          col("n_rows"), col("sum_amount")))
+    },
     "q_table_optimize" -> { (s, dir) =>
       // Range-cluster OPTIMIZE (added r9) — the layout-maintenance
       // command that makes the manifest stats EFFECTIVE: the table is
@@ -877,6 +915,44 @@ object TableFormat {
           lit(r.getLong(2)).as("files_rewritten"),
           col("n_rows"), col("n_floored"), col("sum_value")))
     },
+    "q_sql_table_rename_drop" -> { (s, dir) =>
+      // SQL front-end (added r10): ALTER TABLE RENAME COLUMN / DROP
+      // COLUMN — Spark's OWN ALTER statements routed through the V2
+      // catalog's alterTable (TableChange.RenameColumn/DeleteColumn)
+      // into the commit log's metadata-only column-mapping commits.
+      // The key drives the full SQL arc: rename, INSERT INTO under
+      // the NEW name (physical files stay byte-compatible), drop,
+      // then aggregates the head through the mapped DSv2 scan AND
+      // re-reads version 0 under the ORIGINAL name — schemas are
+      // versioned, so both eras replay against the oracle at once.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_map")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "tbl").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      CommitLog.append(s, root, ev.filter(col("user_id") % 2 === 0), nFiles = 2)
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      s.sql(s"ALTER TABLE $cat.tbl RENAME COLUMN value TO amount")
+      // a post-rename writer speaks the new name; the files it stages
+      // store the immutable physical one
+      val odd = ev.filter(col("user_id") % 2 =!= 0)
+        .withColumnRenamed("value", "amount")
+      val view = "graft_map_src_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      odd.createOrReplaceTempView(view)
+      s.sql(s"INSERT INTO $cat.tbl SELECT * FROM $view")
+      s.sql(s"ALTER TABLE $cat.tbl DROP COLUMN event_type")
+      val nCols = s.sql(s"SELECT * FROM $cat.tbl").columns.length.toLong
+      val v0 = s.sql(
+        s"SELECT CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s, COUNT(*) AS n " +
+          s"FROM $cat.tbl VERSION AS OF 0").collect()(0)
+      ordered(s.sql(s"SELECT amount FROM $cat.tbl")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("amount")).as("sum_amount"))
+        .select(lit(nCols).as("n_cols_head"), col("n_rows"), col("sum_amount"),
+          lit(v0.getLong(1)).as("n_rows_v0"),
+          lit(v0.getDouble(0)).as("sum_value_v0")))
+    },
     "q_sql_table_vacuum_hours" -> { (s, dir) =>
       // SQL front-end #13 (added r10): VACUUM ... RETAIN n HOURS —
       // time-based retention, the public formats' ACTUAL contract
@@ -1278,6 +1354,26 @@ object TableFormat {
         |FROM u""".stripMargin +
         orderByAll("head_version", "files_carried", "files_rewritten",
           "n_rows", "n_floored", "sum_value")),
+    "q_table_column_mapping" ->
+      ("""SELECT CAST(2 AS BIGINT) AS rename_version,
+        |  CAST(0 AS BIGINT) AS n_new_files_metadata_ops,
+        |  CAST(2 AS BIGINT) AS n_files_carried,
+        |  CAST(2 AS BIGINT) AS n_files_rewritten,
+        |  COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_amount
+        |FROM events WHERE user_id % 4 <> 1""".stripMargin +
+        orderByAll("rename_version", "n_new_files_metadata_ops",
+          "n_files_carried", "n_files_rewritten", "n_rows", "sum_amount")),
+    "q_sql_table_rename_drop" ->
+      ("""SELECT CAST(3 AS BIGINT) AS n_cols_head,
+        |  COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_amount,
+        |  (SELECT COUNT(*) FROM events WHERE user_id % 2 = 0) AS n_rows_v0,
+        |  (SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+        |    FROM events WHERE user_id % 2 = 0) AS sum_value_v0
+        |FROM events""".stripMargin +
+        orderByAll("n_cols_head", "n_rows", "sum_amount", "n_rows_v0",
+          "sum_value_v0")),
     "q_table_optimize" ->
       ("""WITH b AS (SELECT MAX(event_id) AS m FROM events)
         |SELECT CAST(8 AS BIGINT) AS files_before,

@@ -516,9 +516,67 @@ object CommitLog {
   private def readSubset(s: SparkSession, root: String, version: Long,
       files: Seq[String]): DataFrame =
     snapshotSchemaOf(root, version) match {
+      case Some(st) if hasMapping(st) =>
+        // column mapping (r10): files store PHYSICAL names; read under
+        // them, surface the version's logical names positionally
+        s.read.schema(physicalSchema(st)).parquet(files: _*)
+          .select(st.fields.map(f =>
+            org.apache.spark.sql.functions.col(physicalName(f)).as(f.name))
+            .toIndexedSeq: _*)
       case Some(st) => s.read.schema(st).parquet(files: _*)
       case None => s.read.parquet(files: _*)
     }
+
+  /** Column mapping (r10) — the Delta columnMapping design: LOGICAL
+    * names live in the log schema; each field's parquet (physical)
+    * name rides in field metadata under `graft.physical` (absent =
+    * identical). Physical names are IMMUTABLE once assigned — RENAME
+    * COLUMN changes only the logical name, so every data file ever
+    * staged stays readable, in-flight streams keep working, and
+    * rewrites never chase renames. */
+  private[sources] val PhysicalKey = "graft.physical"
+  private[sources] def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey) else f.name
+  private[sources] def hasMapping(st: org.apache.spark.sql.types.StructType): Boolean =
+    st.fields.exists(f => physicalName(f) != f.name)
+  private[sources] def physicalSchema(
+      st: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(st.fields.map(f =>
+      org.apache.spark.sql.types.StructField(physicalName(f), f.dataType, f.nullable)))
+
+  private def headSchema(root: String): Option[org.apache.spark.sql.types.StructType] =
+    latestVersion(root).flatMap(v => snapshotSchemaOf(root, v))
+
+  /** Rename a LOGICAL frame's columns to their physical names before
+    * staging (no-op for unmapped tables and for columns outside the
+    * table schema, e.g. _change_type). Every staging path calls this,
+    * so writers uniformly produce physical files. */
+  private def toPhysicalDf(root: String, df: DataFrame): DataFrame =
+    headSchema(root) match {
+      case Some(st) if hasMapping(st) =>
+        val m = st.fields.map(f => f.name -> physicalName(f)).toMap
+        // ONE select, not a rename fold: sequential renames collide
+        // transiently when a logical name equals another's physical
+        df.select(df.columns.map(c =>
+          df(c).as(m.getOrElse(c, c))).toIndexedSeq: _*)
+      case _ => df
+    }
+
+  /** Read freshly STAGED files under the head's logical names — the
+    * stats-recompute paths read what they just wrote, which is
+    * physical on a mapped table. */
+  private def readStagedLogical(s: SparkSession, root: String,
+      files: Seq[String]): DataFrame = {
+    val raw = s.read.parquet(files.map(f => new java.io.File(root, f).toString): _*)
+    headSchema(root) match {
+      case Some(st) if hasMapping(st) =>
+        val byPhys = st.fields.map(f => physicalName(f) -> f.name).toMap
+        raw.select(raw.columns.map(c =>
+          org.apache.spark.sql.functions.col(c).as(byPhys.getOrElse(c, c)))
+          .toIndexedSeq: _*)
+      case _ => raw
+    }
+  }
 
   /** The schema the manifest of `version` records, if its committing
     * writer was schema-aware (appendEvolved); None = pre-evolution
@@ -563,10 +621,20 @@ object CommitLog {
       }
     }
     val merged = org.apache.spark.sql.types.StructType(
-      prevSchema ++ df.schema.fields.filterNot(f => byName.contains(f.name)))
+      prevSchema ++ df.schema.fields.filterNot(f => byName.contains(f.name))
+        .map(avoidPhysicalClash(
+          org.apache.spark.sql.types.StructType(prevSchema), _)))
     val (prevCol, prevStats) =
       prev.map(v => snapshotStatsOf(root, v)).getOrElse((None, Map.empty[String, (Long, Long)]))
-    commit(root, prevFiles ++ stageDataFiles(s, root, df, nFiles), prev,
+    // a clash-renamed NEW column is unknown to the prior head's
+    // mapping (which is what stageDataFiles applies), so its physical
+    // name must be applied here, before staging
+    val physDf = merged.fields.filterNot(f => byName.contains(f.name))
+      .foldLeft(df) { (d, f) =>
+        if (physicalName(f) == f.name) d
+        else d.withColumnRenamed(f.name, physicalName(f))
+      }
+    commit(root, prevFiles ++ stageDataFiles(s, root, physDf, nFiles), prev,
       statsCol = prevCol, stats = prevStats, schemaJson = Some(merged.json),
       extra = auxExtra(carriedAux(root, prev)))
   }
@@ -589,12 +657,124 @@ object CommitLog {
       s"evolveSchema: column '${f.name}' already exists — evolution " +
         "adds columns, it never retypes them"))
     val merged = org.apache.spark.sql.types.StructType(
-      prevSchema.fields.toSeq ++ newFields)
+      prevSchema.fields.toSeq ++ newFields.map(avoidPhysicalClash(prevSchema, _)))
     val prevFiles = snapshotFiles(root, prev).map(p => relativize(root, p))
     val (prevCol, prevStats) = snapshotStatsOf(root, prev)
     commit(root, prevFiles, Some(prev),
       statsCol = prevCol, stats = prevStats, schemaJson = Some(merged.json),
       extra = auxExtra(carriedAux(root, Some(prev))))
+  }
+
+  /** A new column whose logical name collides with an EXISTING
+    * field's physical name (possible after a rename freed the logical
+    * name but not the parquet one) gets a fresh physical name — two
+    * fields must never stage to the same parquet column. */
+  private def avoidPhysicalClash(
+      prev: org.apache.spark.sql.types.StructType,
+      f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.types.StructField = {
+    val taken = prev.fields.map(physicalName).toSet
+    if (!taken.contains(physicalName(f))) f
+    else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+      .withMetadata(f.metadata)
+      .putString(PhysicalKey,
+        f.name + "_p" + java.util.UUID.randomUUID().toString.take(8))
+      .build())
+  }
+
+  /** No table-property CHECK constraint may reference `name` — a
+    * rename would silently detach the constraint from its column and
+    * a drop would fail every later write's expr() parse. The public
+    * formats refuse both at ALTER time; so does the log. */
+  private def requireUnconstrained(root: String, name: String, op: String): Unit = {
+    val re = ("(?i)\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+    tableProperties(root).foreach { case (k, sql) =>
+      if (k.startsWith("constraint.") && re.findFirstIn(sql).isDefined)
+        throw new IllegalArgumentException(
+          s"$op: column '$name' is referenced by CHECK constraint " +
+            s"'${k.stripPrefix("constraint.")}' ($sql) — drop the " +
+            "constraint first")
+    }
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN — a METADATA-ONLY commit via
+    * column mapping (the Delta columnMapping.mode=name design): the
+    * new version re-lists the head's files verbatim; the renamed
+    * field keeps its immutable PHYSICAL parquet name in field
+    * metadata (`graft.physical`), so zero data I/O now and zero
+    * forever — every reader resolves physical→logical from the log,
+    * every writer stages physical, and files written before and after
+    * the rename are byte-compatible. Readers pinned at older versions
+    * keep the old name (schema changes are versioned like data
+    * changes). Stats keys, the legacy stats column, and the partition
+    * column follow the rename — data-skipping and partition pruning
+    * survive. changesRows refuses ranges crossing the rename (names
+    * change mid-range); in-flight streams keep working because the
+    * physical layout never changed. */
+  def renameColumn(s: SparkSession, root: String, from: String,
+      to: String): Long = {
+    val prev = latestVersion(root)
+      .getOrElse(sys.error(s"cannot rename a column of an empty table at $root"))
+    val st = snapshotSchemaOf(root, prev)
+      .getOrElse(s.read.parquet(snapshotFiles(root, prev): _*).schema)
+    require(st.fieldNames.contains(from), s"renameColumn: no column '$from'")
+    require(!st.fieldNames.contains(to),
+      s"renameColumn: column '$to' already exists")
+    requireUnconstrained(root, from, "renameColumn")
+    val fields = st.fields.map { f =>
+      if (f.name != from) f
+      else org.apache.spark.sql.types.StructField(to, f.dataType, f.nullable,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putString(PhysicalKey, physicalName(f)).build())
+    }
+    val aux = carriedAux(root, Some(prev))
+    val ren = (k: String) => if (k == from) to else k
+    val newAux = Aux(aux.partCol.map(ren), aux.parts,
+      aux.statsTags.map { case (k, v) => ren(k) -> v },
+      aux.stats2.map { case (f2, m) =>
+        f2 -> m.map { case (k, v) => ren(k) -> v } })
+    val (prevCol, prevStats) = snapshotStatsOf(root, prev)
+    commit(root, snapshotFiles(root, prev).map(p => relativize(root, p)),
+      Some(prev), op = "rename_column",
+      statsCol = prevCol.map(ren), stats = prevStats,
+      schemaJson = Some(org.apache.spark.sql.types.StructType(fields).json),
+      extra = auxExtra(newAux))
+  }
+
+  /** ALTER TABLE ... DROP COLUMN — a METADATA-ONLY commit: the new
+    * version re-lists the head's files verbatim under a schema
+    * without the column; readers stop projecting it (the parquet scan
+    * never decodes it), its stats entries drop from the manifest, and
+    * the physical bytes linger in existing files until any rewrite
+    * (compact/optimize stages only the surviving schema) — exactly
+    * the Delta DROP COLUMN contract, where physical purging is
+    * REORG's job, not ALTER's. Refused for the partition column, for
+    * constrained columns, and for the last column. Pinned readers at
+    * older versions still see it. */
+  def dropColumn(s: SparkSession, root: String, name: String): Long = {
+    val prev = latestVersion(root)
+      .getOrElse(sys.error(s"cannot drop a column of an empty table at $root"))
+    val st = snapshotSchemaOf(root, prev)
+      .getOrElse(s.read.parquet(snapshotFiles(root, prev): _*).schema)
+    require(st.fieldNames.contains(name), s"dropColumn: no column '$name'")
+    require(st.fields.length > 1, "dropColumn: cannot drop the last column")
+    requireUnconstrained(root, name, "dropColumn")
+    val aux = carriedAux(root, Some(prev))
+    require(!aux.partCol.contains(name),
+      s"dropColumn: '$name' is the partition column — repartition " +
+        "(overwrite with a new partCol) before dropping it")
+    val fields = st.fields.filterNot(_.name == name)
+    val newAux = Aux(aux.partCol, aux.parts,
+      aux.statsTags - name,
+      aux.stats2.map { case (f2, m) => f2 -> (m - name) })
+    val (prevCol, prevStats) = snapshotStatsOf(root, prev)
+    val keepLegacy = !prevCol.contains(name)
+    commit(root, snapshotFiles(root, prev).map(p => relativize(root, p)),
+      Some(prev), op = "drop_column",
+      statsCol = if (keepLegacy) prevCol else None,
+      stats = if (keepLegacy) prevStats else Map.empty,
+      schemaJson = Some(org.apache.spark.sql.types.StructType(fields).json),
+      extra = auxExtra(newAux))
   }
 
   /** Full-snapshot OVERWRITE (INSERT OVERWRITE / Delta replace): the
@@ -682,7 +862,7 @@ object CommitLog {
     if (staged.isEmpty) return Map.empty
     val byCanon = staged.map(rel =>
       new java.io.File(root, rel).getCanonicalPath -> rel).toMap
-    s.read.parquet(staged.map(rel => new java.io.File(root, rel).toString): _*)
+    readStagedLogical(s, root, staged)
       .groupBy(input_file_name().as("_graft_file"))
       .agg(min(col(statsCol)).as("mn"), max(col(statsCol)).as("mx"))
       .collect().toSeq.flatMap { r =>
@@ -778,12 +958,13 @@ object CommitLog {
     * Dir names carry Hive %XX escaping of special value characters —
     * decoded back exactly (a literal '%' in a value always arrives
     * as %25, so the blind decode is the precise inverse). */
-  private def stageRouted(s: SparkSession, root: String, df: DataFrame,
+  private def stageRouted(s: SparkSession, root: String, rawDf: DataFrame,
       filesPerGroup: Int): Seq[(String, Seq[String])] = {
     import org.apache.spark.sql.functions.{col, hash, lit, pmod}
     new java.io.File(root).mkdirs()
     val stage = java.nio.file.Files.createTempDirectory(
       new java.io.File(root).toPath, ".pstage-")
+    val df = toPhysicalDf(root, rawDf)
     val dataCols = df.columns.filterNot(c => c == "_gp" || c == "_gs")
     val (routed, partDepth) =
       if (filesPerGroup <= 1)
@@ -923,7 +1104,7 @@ object CommitLog {
     if (staged.isEmpty || cols.isEmpty) return Aux()
     val byCanon = staged.map(rel =>
       new java.io.File(root, rel).getCanonicalPath -> rel).toMap
-    val df = s.read.parquet(staged.map(rel => new java.io.File(root, rel).toString): _*)
+    val df = readStagedLogical(s, root, staged)
     val tags = cols.map(c => c -> statTagOf(df.schema(c).dataType)).toMap
     def probe(c: String) = tags(c) match {
       case "ts" => unix_micros(col(c).cast("timestamp"))
@@ -1193,12 +1374,30 @@ object CommitLog {
           val broughtBack = target.exceptAll(prevSnap)
             .withColumn("_change_type", lit("insert"))
           Some(tagged(removed.unionByName(broughtBack), v))
+        case "rename_column" | "drop_column" =>
+          // a changelog crossing a logical-name change cannot
+          // unionByName coherently — the Delta contract refuses CDF
+          // ranges across column-mapping changes; read full snapshots
+          throw new IllegalArgumentException(
+            s"changesRows: version $v is a '${readManifest(root, v)._1}' " +
+              "commit — column names changed mid-range; read ranges " +
+              "that do not cross it, or full snapshots")
         case changing =>
           cdfFilesOf(root, v) match {
             case Some(Nil) => None // a no-op delete/merge: nothing changed
             case Some(fs) =>
-              Some(tagged(s.read.parquet(
-                fs.map(f => new java.io.File(root, f).toString): _*), v))
+              // cdf files store PHYSICAL names (+_change_type); alias
+              // to the version's logical names before tagging
+              val raw = s.read.parquet(
+                fs.map(f => new java.io.File(root, f).toString): _*)
+              val mapped = snapshotSchemaOf(root, v) match {
+                case Some(st) if hasMapping(st) =>
+                  val byPhys = st.fields.map(f => physicalName(f) -> f.name).toMap
+                  raw.select(raw.columns.map(c =>
+                    col(c).as(byPhys.getOrElse(c, c))).toIndexedSeq: _*)
+                case _ => raw
+              }
+              Some(tagged(mapped, v))
             case None => throw new IllegalArgumentException(
               s"changesRows: version $v is a '$changing' commit from a " +
                 "pre-CDF writer (or a table without enableChangeDataFeed) " +
@@ -1575,8 +1774,7 @@ object CommitLog {
       aux: Aux, staged: Seq[String]): Aux = {
     if (aux.statsTags.isEmpty || staged.isEmpty) aux
     else {
-      val have = s.read.parquet(
-        staged.map(f => new java.io.File(root, f).toString): _*).columns.toSet
+      val have = readStagedLogical(s, root, staged).columns.toSet
       val cols = aux.statsTags.keys.toSeq.sorted.filter(have)
       if (cols.isEmpty) aux
       else aux.merged(perFileColStats(s, root, staged, cols))
@@ -1986,7 +2184,8 @@ object CommitLog {
     new java.io.File(root).mkdirs() // first commit may create the table root
     val stage = java.nio.file.Files.createTempDirectory(
       new java.io.File(root).toPath, ".stage-")
-    df.repartition(nFiles).write.mode("overwrite").parquet(stage.toString)
+    toPhysicalDf(root, df).repartition(nFiles)
+      .write.mode("overwrite").parquet(stage.toString)
     val dataDir = new java.io.File(root, "data"); dataDir.mkdirs()
     // drop zero-row part files (a fully-empty write leaves one): an
     // empty file in the manifest defeats file-count accounting and
@@ -2023,7 +2222,8 @@ object CommitLog {
       df: DataFrame): Seq[String] = {
     val stage = java.nio.file.Files.createTempDirectory(
       new java.io.File(root).toPath, ".cdfstage-")
-    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    toPhysicalDf(root, df).coalesce(1)
+      .write.mode("overwrite").parquet(stage.toString)
     val cdfDir = new java.io.File(root, "cdf"); cdfDir.mkdirs()
     val parts = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)

@@ -128,8 +128,10 @@ class GraftCatalog extends TableCatalog {
     *   - SET/UNSET TBLPROPERTIES: writes the table-properties file
     *     (e.g. `enableChangeDataFeed` — the CDF opt-in — entirely
     *     through SQL).
-    * Everything else refuses (the log never retypes, renames, or
-    * drops). */
+    *   - RENAME COLUMN / DROP COLUMN: metadata-only commits through
+    *     column mapping (CommitLog.renameColumn/dropColumn — parquet
+    *     physical names stay immutable, zero data I/O).
+    * Everything else refuses (the log never retypes). */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = rootOf(ident)
     val added = Seq.newBuilder[org.apache.spark.sql.types.StructField]
@@ -139,13 +141,23 @@ class GraftCatalog extends TableCatalog {
           s"nested columns are not supported: ${a.fieldNames.mkString(".")}")
         added += org.apache.spark.sql.types.StructField(
           a.fieldNames()(0), a.dataType, nullable = true)
+      case rn: TableChange.RenameColumn =>
+        require(rn.fieldNames.length == 1,
+          s"nested columns are not supported: ${rn.fieldNames.mkString(".")}")
+        CommitLog.renameColumn(SparkSession.active, root,
+          rn.fieldNames()(0), rn.newName())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          s"nested columns are not supported: ${d.fieldNames.mkString(".")}")
+        CommitLog.dropColumn(SparkSession.active, root, d.fieldNames()(0))
       case p: TableChange.SetProperty =>
         CommitLog.setTableProperty(root, p.property, p.value)
       case r: TableChange.RemoveProperty =>
         CommitLog.removeTableProperty(root, r.property)
       case other => throw new UnsupportedOperationException(
-        s"only ALTER TABLE ADD COLUMNS / SET / UNSET TBLPROPERTIES are " +
-          s"supported (the log never retypes, renames, or drops), got $other")
+        s"only ALTER TABLE ADD COLUMNS / RENAME COLUMN / DROP COLUMN / " +
+          s"SET / UNSET TBLPROPERTIES are supported (the log never " +
+          s"retypes), got $other")
     }
     val fields = added.result()
     val v =

@@ -199,6 +199,12 @@ class TableMicroBatchStream(root: String, schema: StructType,
       val added = op match {
         case "append" | "clone" => addedRel
         case "compact" | "optimize" => Nil // data-neutral rewrite: skip
+        // a rename is metadata-only AND physically invisible (column
+        // mapping keeps parquet names immutable) — this stream's
+        // pinned schema stays valid, skip. A DROP falls to `changing`:
+        // files after it lack the column, silently null-filling an
+        // in-flight aggregate — fail unless ignoreChanges
+        case "rename_column" => Nil
         case changing =>
           if (ignoreChanges) addedRel
           else throw new IllegalStateException(
@@ -222,7 +228,9 @@ case class TableFilePartition(path: String, version: Long) extends InputPartitio
 class TableFileReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TableFilePartition]
-    new GroupParquetReader(p.path, schema)
+    // column mapping: project the files' PHYSICAL names; InternalRow
+    // is positional, so rows surface under the logical schema as-is
+    new GroupParquetReader(p.path, CommitLog.physicalSchema(schema))
   }
 }
 
@@ -353,6 +361,11 @@ class TableCdfMicroBatchStream(root: String, schema: StructType,
           addedRel.map(f => TableCdfPartition(
             new java.io.File(root, f).toString, v, inject = "insert"): InputPartition)
         case "compact" | "optimize" => Nil
+        case "rename_column" => Nil // metadata-only; physical layout unchanged
+        case "drop_column" => throw new IllegalStateException(
+          s"graft-table CDF: version $v drops a column — this stream's " +
+            "pinned schema no longer matches; start a fresh checkpoint " +
+            s"with startingVersion=${v + 1}")
         case "restore" => throw new IllegalStateException(
           s"graft-table CDF: version $v is a restore — its changelog is " +
             "a snapshot diff (CommitLog.changesRows serves it in batch); " +
@@ -389,11 +402,16 @@ class TableCdfReaderFactory(projected: StructType) extends PartitionReaderFactor
     val dataCols = projected.fields.filterNot(f =>
       f.name == "_change_type" || f.name == "_commit_version")
     val wantType = projected.fieldNames.contains("_change_type")
+    // column mapping: cdf and data files store PHYSICAL names; the
+    // inner reader projects those, rows map back positionally
+    val physData = dataCols.map(f =>
+      StructField(CommitLog.physicalName(f), f.dataType, f.nullable))
     val readSchema = StructType(
-      if (wantType) dataCols.toSeq :+ StructField("_change_type", StringType)
-      else dataCols.toSeq)
+      if (wantType) physData.toSeq :+ StructField("_change_type", StringType)
+      else physData.toSeq)
+    val idxOf: Map[String, Int] = dataCols.map(_.name).zipWithIndex.toMap
     val inner = new GroupParquetReader(p.path, readSchema)
-    val typeIdx = if (wantType) readSchema.fieldIndex("_change_type") else -1
+    val typeIdx = if (wantType) readSchema.length - 1 else -1
     new PartitionReader[InternalRow] {
       override def next(): Boolean = inner.next()
       override def get(): InternalRow = {
@@ -406,7 +424,7 @@ class TableCdfReaderFactory(projected: StructType) extends PartitionReaderFactor
               if (fromFile != null) fromFile
               else if (p.inject != null) UTF8String.fromString(p.inject)
               else null
-            case n => row.get(readSchema.fieldIndex(n), f.dataType)
+            case n => row.get(idxOf(n), f.dataType)
           }
         }.toArray[Any])
       }

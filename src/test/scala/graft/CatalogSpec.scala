@@ -216,11 +216,14 @@ class CatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM $cat.ev WHERE w IS NULL").count() === 3)
     spark.sql(s"INSERT INTO $cat.ev VALUES (20, 20.0, 'x')")
     assert(spark.sql(s"SELECT * FROM $cat.ev WHERE w = 'x'").count() === 1)
-    // non-ADD changes refuse
+    // DROP COLUMN is supported since the r10 column-mapping work;
+    // retypes still refuse (the log never retypes)
+    spark.sql(s"ALTER TABLE $cat.ev DROP COLUMN w")
+    assert(!spark.sql(s"SELECT * FROM $cat.ev").columns.contains("w"))
     val exa = intercept[Exception] {
-      spark.sql(s"ALTER TABLE $cat.ev DROP COLUMN w")
+      spark.sql(s"ALTER TABLE $cat.ev ALTER COLUMN v TYPE STRING")
     }
-    assert(exa.getMessage.contains("ADD COLUMNS") ||
+    assert(exa.getMessage.contains("retypes") ||
       exa.getMessage.toLowerCase.contains("unsupported"), exa.getMessage)
     // an overwrite on a CDF-enabled table records the full transition
     val (cat2, base2) = freshCatalog()
@@ -436,6 +439,46 @@ class CatalogSpec extends SparkSpec {
     spark.sql(s"ALTER TABLE $cat.c UNSET TBLPROPERTIES ('constraint.v_small')")
     CommitLog.appendPartitioned(spark, root, dirty, "grp", filesPerPartition = 1)
     assert(spark.sql(s"SELECT * FROM $cat.c").count() === 4)
+  }
+
+  test("catalog: ALTER TABLE RENAME/DROP COLUMN are metadata-only; mapped scans read physical files (r10)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "t").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    CommitLog.append(spark, root, ev, nFiles = 2)
+    val filesBefore = CommitLog.snapshotFiles(root, 0L).toSet
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN value TO amount")
+    // metadata-only: no new data files
+    assert(CommitLog.snapshotFiles(root,
+      CommitLog.latestVersion(root).get).toSet === filesBefore)
+    // the DSv2 scan resolves logical 'amount' from physical 'value'
+    val got = spark.sql(s"SELECT SUM(CAST(amount AS DECIMAL(18,4))) AS s FROM $cat.t")
+      .collect()(0).getDecimal(0)
+    val want = ev.agg(sum(col("value").cast("decimal(18,4)"))).collect()(0).getDecimal(0)
+    assert(got.compareTo(want) === 0, s"$got != $want")
+    // the old name is gone from the head schema
+    val exOld = intercept[Exception] {
+      spark.sql(s"SELECT value FROM $cat.t").collect()
+    }
+    assert(exOld.getMessage.contains("value"), exOld.getMessage)
+    // ... but VERSION AS OF 0 still reads it (schema is versioned)
+    assert(spark.sql(s"SELECT value FROM $cat.t VERSION AS OF 0").count() === ev.count())
+    // INSERT INTO after the rename writes PHYSICAL files: a fresh scan
+    // still aggregates both eras coherently
+    spark.sql(
+      s"INSERT INTO $cat.t SELECT event_id, event_type, amount FROM $cat.t VERSION AS OF 1")
+    assert(spark.sql(s"SELECT COUNT(*) AS n FROM $cat.t").collect()(0).getLong(0) ===
+      2 * ev.count())
+    // DROP COLUMN: projection gone at head, intact at older versions
+    spark.sql(s"ALTER TABLE $cat.t DROP COLUMN event_type")
+    assert(!spark.sql(s"SELECT * FROM $cat.t").columns.contains("event_type"))
+    assert(spark.sql(s"SELECT event_type FROM $cat.t VERSION AS OF 1").count() === ev.count())
+    // physical layer check: head files still store the ORIGINAL names
+    val raw = spark.read.parquet(CommitLog.snapshotFiles(root,
+      CommitLog.latestVersion(root).get): _*)
+    assert(raw.columns.contains("value") && raw.columns.contains("event_type"),
+      s"physical names drifted: ${raw.columns.mkString(",")}")
   }
 
   test("catalog: SHOW/SET/UNSET TBLPROPERTIES round-trip the log's properties file") {

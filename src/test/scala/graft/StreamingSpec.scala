@@ -891,6 +891,91 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("update"), ex.getMessage)
   }
 
+  test("commit log: column mapping — rename/drop are metadata-only, stats and CoW survive (r10)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_map").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val m = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+    CommitLog.appendWithColumnStats(spark, root,
+      ev.filter(col("event_id") <= m / 2), 2, Seq("event_id"))
+    val v1 = CommitLog.appendWithColumnStats(spark, root,
+      ev.filter(col("event_id") > m / 2), 2, Seq("event_id"))
+    // (1) rename is METADATA-ONLY: the new head re-lists v1's files
+    val v2 = CommitLog.renameColumn(spark, root, "value", "amount")
+    assert(CommitLog.snapshotFiles(root, v2).toSet ===
+      CommitLog.snapshotFiles(root, v1).toSet, "rename staged data files")
+    val r2 = CommitLog.read(spark, root, v2)
+    assert(r2.columns.contains("amount") && !r2.columns.contains("value"))
+    assert(math.abs(r2.agg(sum(col("amount"))).collect()(0).getDouble(0) -
+      ev.agg(sum(col("value"))).collect()(0).getDouble(0)) < 1e-6)
+    // pinned readers keep the OLD name — schema changes are versioned
+    assert(CommitLog.read(spark, root, v1).columns.contains("value"))
+    // (2) stats keys follow a rename of the STATS column: pruning works
+    val v3 = CommitLog.renameColumn(spark, root, "event_id", "eid")
+    val (_, total3, read3) = CommitLog.prunedReadTyped(spark, root, v3,
+      Seq(CommitLog.StatProbe("eid", m / 2 + 1, m)))
+    assert(total3 === 4 && read3 === 2,
+      s"stats did not follow the rename: read $read3 of $total3")
+    // (3) CoW delete on the MAPPED table: rewrite stages physical
+    // names, logical reads stay coherent, recomputed stats still prune
+    val (v4, _, rew4) = CommitLog.delete(spark, root,
+      col("eid") % 5 === 0 && col("eid") <= m / 2)
+    assert(rew4 === 2L)
+    val after4 = CommitLog.read(spark, root, v4)
+    assert(after4.columns.sorted === Array("amount", "eid", "event_type", "user_id"))
+    assert(after4.filter(col("eid") % 5 === 0 && col("eid") <= m / 2).count() === 0)
+    val (_, total4, read4) = CommitLog.prunedReadTyped(spark, root, v4,
+      Seq(CommitLog.StatProbe("eid", m / 2 + 1, m)))
+    assert(read4 === 2, s"mapped rewrite lost pruning: read $read4 of $total4")
+    // (4) adding a column under a FREED logical name must not collide
+    // with the old physical name: new 'value' is independent of 'amount'
+    val v5 = CommitLog.evolveSchema(spark, root,
+      Seq(org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType, nullable = true)))
+    val r5 = CommitLog.read(spark, root, v5)
+    assert(r5.filter(col("value").isNotNull).count() === 0,
+      "new 'value' column leaked the renamed column's physical data")
+    assert(r5.agg(sum(col("amount"))).collect()(0).getDouble(0) > 0.0)
+    // (5) changelog refuses ranges crossing the rename
+    val exC = intercept[IllegalArgumentException] {
+      CommitLog.changesRows(spark, root, v1, v4)
+    }
+    assert(exC.getMessage.contains("rename_column"), exC.getMessage)
+    // (6) drop is metadata-only; compaction physically purges
+    val v6 = CommitLog.dropColumn(spark, root, "event_type")
+    assert(CommitLog.snapshotFiles(root, v6).toSet ===
+      CommitLog.snapshotFiles(root, v5).toSet, "drop staged data files")
+    assert(!CommitLog.read(spark, root, v6).columns.contains("event_type"))
+    assert(CommitLog.read(spark, root, v5).columns.contains("event_type"),
+      "pinned reader lost the dropped column")
+    val v7 = CommitLog.compact(spark, root, 2)
+    val rawCols = spark.read.parquet(
+      CommitLog.snapshotFiles(root, v7): _*).columns.toSet
+    assert(!rawCols.contains("event_type"),
+      s"compaction kept the dropped column's bytes: $rawCols")
+    // physical names in files stay the ORIGINAL parquet names
+    assert(rawCols.contains("event_id") && rawCols.contains("value"),
+      s"physical names drifted: $rawCols")
+    assert(CommitLog.read(spark, root, v7).columns.sorted ===
+      Array("amount", "eid", "user_id", "value"))
+    // (7) guards: constrained / partition / last-column refusals
+    CommitLog.setTableProperty(root, "constraint.pos", "amount >= -1e9")
+    val exR = intercept[IllegalArgumentException] {
+      CommitLog.renameColumn(spark, root, "amount", "amt")
+    }
+    assert(exR.getMessage.contains("constraint"), exR.getMessage)
+    val exD = intercept[IllegalArgumentException] {
+      CommitLog.dropColumn(spark, root, "amount")
+    }
+    assert(exD.getMessage.contains("constraint"), exD.getMessage)
+    CommitLog.removeTableProperty(root, "constraint.pos")
+    val exE = intercept[IllegalArgumentException] {
+      CommitLog.renameColumn(spark, root, "eid", "amount")
+    }
+    assert(exE.getMessage.contains("already exists"), exE.getMessage)
+  }
+
   test("commit log: update refuses unknown/partition columns, re-validates CHECK constraints (r10)") {
     import graft.sources.{CommitLog, Tables}
     val ev = Tables(spark, sf, "events")
@@ -1320,6 +1405,51 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(out2).count() ===
       ev.filter(col("event_id") % 4 === 3).count(),
       "startingVersion did not scope the fresh checkpoint to the tail")
+  }
+
+  test("graft-table source: rename is skipped mid-stream; a fresh stream reads the mapped schema (r10)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_tsm_spec").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value")).limit(400)
+    val out = java.nio.file.Files.createTempDirectory("graft_tsm_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_tsm_ck").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.TableStreamProvider")
+        .option("path", root).load().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 2 === 0), nFiles = 1)
+    drain()
+    val nEven = ev.filter(col("event_id") % 2 === 0).count()
+    assert(spark.read.parquet(out).count() === nEven)
+    // the rename version is metadata-only AND physically invisible —
+    // the checkpointed restart skips it and keeps delivering deltas
+    CommitLog.renameColumn(spark, root, "value", "amount")
+    // post-rename writers speak the NEW logical name
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 2 =!= 0)
+      .withColumnRenamed("value", "amount"), nFiles = 1)
+    drain()
+    assert(spark.read.parquet(out).count() === ev.count(),
+      "rename broke the in-flight checkpointed stream")
+    // a FRESH stream starts under the mapped schema: logical 'amount'
+    // resolves from the physical 'value' bytes in EVERY era's files
+    val out2 = java.nio.file.Files.createTempDirectory("graft_tsm_out2").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("graft_tsm_ck2").toString
+    val q2 = spark.readStream.format("graft.sources.TableStreamProvider")
+      .option("path", root).load()
+      .select(col("event_id"), col("amount"))
+      .writeStream.format("parquet")
+      .option("path", out2).option("checkpointLocation", ck2)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    val got = spark.read.parquet(out2)
+    assert(got.count() === ev.count())
+    assert(got.join(ev.withColumnRenamed("value", "amount"),
+      Seq("event_id", "amount"), "left_anti").count() === 0,
+      "mapped stream values diverge from the batch values")
   }
 
   test("commit log: restore re-lists the target verbatim, preserves history, blocks changes() (late r9)") {
