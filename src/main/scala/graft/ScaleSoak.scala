@@ -131,7 +131,10 @@ object ScaleSoak {
     "q_table_update", "q_sql_table_update",
     // column mapping: rename/drop are one manifest write each; the
     // soaked cost is the fixture staging + one mapped CoW delete
-    "q_table_column_mapping", "q_sql_table_rename_drop")
+    "q_table_column_mapping", "q_sql_table_rename_drop",
+    // deletion vectors: write ∝ deleted rows (no rewrite), read adds
+    // one broadcast anti-join until compaction purges
+    "q_table_delete_dv", "q_sql_table_delete_dv")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */

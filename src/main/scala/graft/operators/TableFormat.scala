@@ -254,6 +254,68 @@ object TableFormat {
           lit(c.getLong(1)).as("n_cdf_post"),
           lit(c.getDouble(2)).as("sum_cdf_post")))
     },
+    "q_table_delete_dv" -> { (s, dir) =>
+      // Merge-on-read delete via DELETION VECTORS (added r10) — the
+      // Delta DV / Iceberg positional-delete design, the CoW trade
+      // inverted: the commit rewrites NOTHING (identical file listing
+      // — pinned as a counter), one pushdown scan records the doomed
+      // rows' (file, row index) coordinates into a tiny dv/ sidecar,
+      // and readers mask them with one broadcast anti-join until a
+      // rewrite purges. Right for frequent fine-grained deletes (daily
+      // GDPR erasure across thousands of files) where CoW would
+      // rewrite the table week over week. Predicate-aligned staging:
+      // vectors land on exactly the two v0-era files. The key then
+      // COMPACTS and reports the raw physical row count — proving the
+      // purge actually removed the masked bytes, not just hid them.
+      // StreamingSpec pins the rest (accumulation, no re-delete,
+      // CoW-after-MoR equivalence, vacuum reclaim, pinned readers).
+      val root = java.nio.file.Files.createTempDirectory("graft_table_dv")
+      root.toFile.deleteOnExit()
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      CommitLog.append(s, root.toString, ev.filter(col("user_id") % 4 < 2), nFiles = 2)
+      val v1 = CommitLog.append(s, root.toString, ev.filter(col("user_id") % 4 >= 2), nFiles = 2)
+      val (v2, nFilesDv, nRowsDel) =
+        CommitLog.deleteMergeOnRead(s, root.toString, col("user_id") % 4 === 1)
+      val rewrote = (CommitLog.snapshotFiles(root.toString, v2).toSet !=
+        CommitLog.snapshotFiles(root.toString, v1).toSet)
+      val v3 = CommitLog.compact(s, root.toString, 2)
+      val nRaw = s.read.parquet(CommitLog.snapshotFiles(root.toString, v3): _*).count()
+      ordered(CommitLog.read(s, root.toString, v3)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("sum_value"))
+        .select(lit(nFilesDv).as("n_files_with_vectors"),
+          lit(nRowsDel).as("n_rows_deleted"),
+          lit(if (rewrote) 1L else 0L).as("n_rewrites"),
+          lit(nRaw).as("n_raw_rows_after_compact"),
+          col("n_rows"), col("sum_value")))
+    },
+    "q_sql_table_delete_dv" -> { (s, dir) =>
+      // SQL front-end (added r10): DELETE FROM on a table that opted
+      // into deletion vectors (TBLPROPERTIES enableDeletionVectors —
+      // the Delta property split) routes to the merge-on-read write:
+      // same statement, zero rewrites (files_rewritten pinned 0), the
+      // masked head read through the DSv2 catalog scan — whose
+      // per-file reader skips each file's vectored row indexes.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_dv")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "tbl").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      CommitLog.append(s, root, ev, nFiles = 4)
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      s.sql(s"ALTER TABLE $cat.tbl SET TBLPROPERTIES ('enableDeletionVectors' = 'true')")
+      val r = s.sql(s"DELETE FROM $cat.tbl WHERE user_id % 4 = 1").collect()(0)
+      ordered(s.sql(s"SELECT user_id, value FROM $cat.tbl")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("user_id") % 4 === 1, 1L).otherwise(0L)).as("n_masked_leaks"),
+          dsum(col("value")).as("sum_value"))
+        .select(lit(r.getLong(0)).as("head_version"),
+          lit(r.getLong(1)).as("files_carried"),
+          lit(r.getLong(2)).as("files_rewritten"),
+          col("n_rows"), col("n_masked_leaks"), col("sum_value")))
+    },
     "q_table_column_mapping" -> { (s, dir) =>
       // Column mapping (added r10) — RENAME COLUMN / DROP COLUMN as
       // METADATA-ONLY commits, the Delta columnMapping.mode=name
@@ -1354,6 +1416,26 @@ object TableFormat {
         |FROM u""".stripMargin +
         orderByAll("head_version", "files_carried", "files_rewritten",
           "n_rows", "n_floored", "sum_value")),
+    "q_table_delete_dv" ->
+      ("""SELECT CAST(2 AS BIGINT) AS n_files_with_vectors,
+        |  (SELECT COUNT(*) FROM events WHERE user_id % 4 = 1) AS n_rows_deleted,
+        |  CAST(0 AS BIGINT) AS n_rewrites,
+        |  COUNT(*) AS n_raw_rows_after_compact,
+        |  COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
+        |FROM events WHERE user_id % 4 <> 1""".stripMargin +
+        orderByAll("n_files_with_vectors", "n_rows_deleted", "n_rewrites",
+          "n_raw_rows_after_compact", "n_rows", "sum_value")),
+    "q_sql_table_delete_dv" ->
+      ("""SELECT CAST(1 AS BIGINT) AS head_version,
+        |  CAST(4 AS BIGINT) AS files_carried,
+        |  CAST(0 AS BIGINT) AS files_rewritten,
+        |  COUNT(*) AS n_rows,
+        |  CAST(0 AS BIGINT) AS n_masked_leaks,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
+        |FROM events WHERE user_id % 4 <> 1""".stripMargin +
+        orderByAll("head_version", "files_carried", "files_rewritten",
+          "n_rows", "n_masked_leaks", "sum_value")),
     "q_table_column_mapping" ->
       ("""SELECT CAST(2 AS BIGINT) AS rename_version,
         |  CAST(0 AS BIGINT) AS n_new_files_metadata_ops,

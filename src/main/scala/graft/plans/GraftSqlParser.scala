@@ -257,10 +257,18 @@ case class DeleteFromGraftCommand(parts: Seq[String], condSql: String)
     GraftSqlCommands.attr("files_carried"),
     GraftSqlCommands.attr("files_rewritten"))
   override def run(s: SparkSession): Seq[Row] = {
-    val (v, carried, rewritten) = CommitLog.delete(s,
-      GraftSqlCommands.rootOf(s, parts),
-      org.apache.spark.sql.functions.expr(condSql))
-    Seq(Row(v, carried, rewritten))
+    val root = GraftSqlCommands.rootOf(s, parts)
+    val cond = org.apache.spark.sql.functions.expr(condSql)
+    // the Delta property split: tables that opted into deletion
+    // vectors get the merge-on-read write (zero rewrites — every file
+    // carries, the vectors mask); everyone else the copy-on-write
+    if (CommitLog.tableProperty(root, "enableDeletionVectors").contains("true")) {
+      val (v, _, _) = CommitLog.deleteMergeOnRead(s, root, cond)
+      Seq(Row(v, CommitLog.snapshotFiles(root, v).size.toLong, 0L))
+    } else {
+      val (v, carried, rewritten) = CommitLog.delete(s, root, cond)
+      Seq(Row(v, carried, rewritten))
+    }
   }
 }
 

@@ -66,17 +66,23 @@ object CommitLog {
       partCol: Option[String] = None,
       parts: Map[String, String] = Map.empty,
       statsTags: Map[String, String] = Map.empty,
-      stats2: Map[String, Map[String, ColStat]] = Map.empty) {
-    def isEmpty: Boolean = parts.isEmpty && stats2.isEmpty
+      stats2: Map[String, Map[String, ColStat]] = Map.empty,
+      dvs: Map[String, Seq[String]] = Map.empty) {
+    def isEmpty: Boolean = parts.isEmpty && stats2.isEmpty && dvs.isEmpty
     /** Keep only entries for `keep` (relative paths) — the CoW carry
-      * rule: a commit that carries a file carries its metadata. */
+      * rule: a commit that carries a file carries its metadata (a
+      * REWRITTEN file's deletion vectors die with it — the rewrite
+      * read was masked, so the rows are physically gone). */
     def filterFiles(keep: Set[String]): Aux = Aux(
       partCol.filter(_ => parts.exists(kv => keep(kv._1))),
       parts.filter(kv => keep(kv._1)),
-      statsTags, stats2.filter(kv => keep(kv._1)))
+      statsTags, stats2.filter(kv => keep(kv._1)),
+      dvs.filter(kv => keep(kv._1)))
     /** Prior metadata + a newer writer's entries (newer wins on a
-      * shared file; tag conflicts on a shared column fail loudly —
-      * bounds compared under the wrong type would prune wrongly). */
+      * shared file — except deletion vectors, which ACCUMULATE: each
+      * merge-on-read delete adds a sidecar; tag conflicts on a shared
+      * column fail loudly — bounds compared under the wrong type
+      * would prune wrongly). */
     def merged(newer: Aux): Aux = {
       statsTags.foreach { case (c, t) =>
         newer.statsTags.get(c).foreach(t2 => require(t2 == t,
@@ -86,7 +92,10 @@ object CommitLog {
         partCol == newer.partCol,
         s"partition column ${newer.partCol.get} != table's ${partCol.get}")
       Aux(newer.partCol.orElse(partCol), parts ++ newer.parts,
-        statsTags ++ newer.statsTags, stats2 ++ newer.stats2)
+        statsTags ++ newer.statsTags, stats2 ++ newer.stats2,
+        (dvs.keySet ++ newer.dvs.keySet).map(f =>
+          f -> (dvs.getOrElse(f, Nil) ++ newer.dvs.getOrElse(f, Nil)).distinct)
+          .filter(_._2.nonEmpty).toMap)
     }
   }
 
@@ -118,7 +127,13 @@ object CommitLog {
           }.mkString(",") + "}"
         }.mkString(",") + "}"
     }
-    p + s2
+    val dv = if (aux.dvs.isEmpty) "" else {
+      s""","dv":{""" +
+        aux.dvs.toSeq.sortBy(_._1).map { case (f, refs) =>
+          s"""${jstr(f)}:[${refs.map(jstr).mkString(",")}]"""
+        }.mkString(",") + "}"
+    }
+    p + s2 + dv
   }
 
   /** Hand-built JSON (strings are path-safe by construction: UUID file
@@ -245,7 +260,16 @@ object CommitLog {
       }
       b.result()
     }.getOrElse(Map.empty[String, Map[String, ColStat]])
-    Aux(partCol, parts, tags, stats2)
+    val dvs = Option(node.get("dv")).map { p =>
+      val it = p.fields()
+      val b = Map.newBuilder[String, Seq[String]]
+      while (it.hasNext) {
+        val e = it.next(); val arr = e.getValue
+        b += e.getKey -> (0 until arr.size()).map(i => arr.get(i).asText())
+      }
+      b.result()
+    }.getOrElse(Map.empty[String, Seq[String]])
+    Aux(partCol, parts, tags, stats2, dvs)
   }
 
   /** The CDF (change-data-feed) file list `version`'s manifest records
@@ -515,17 +539,83 @@ object CommitLog {
     * appears or vanishes with the sample. */
   private def readSubset(s: SparkSession, root: String, version: Long,
       files: Seq[String]): DataFrame =
-    snapshotSchemaOf(root, version) match {
+    readSubsetCore(s, root, version, files, withFile = false)
+
+  /** readSubset plus a `_graft_file` column (the absolute source file
+    * URI, captured BEFORE any join — the CoW dirty-discovery paths
+    * need it, and input_file_name() cannot be captured after the
+    * deletion-vector mask join). */
+  private def readSubsetWithFile(s: SparkSession, root: String,
+      version: Long, files: Seq[String]): DataFrame =
+    readSubsetCore(s, root, version, files, withFile = true)
+
+  /** readSubsetWithFile plus `_graft_pos` — each row's PHYSICAL
+    * row index within its file (_metadata.row_index, captured at the
+    * scan), the coordinate a deletion vector records. */
+  private def readSubsetWithFilePos(s: SparkSession, root: String,
+      version: Long, files: Seq[String]): DataFrame =
+    readSubsetCore(s, root, version, files, withFile = true, withPos = true)
+
+  private def readSubsetCore(s: SparkSession, root: String, version: Long,
+      files: Seq[String], withFile: Boolean, withPos: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions.{col, input_file_name, substring_index}
+    val stOpt = snapshotSchemaOf(root, version)
+    val dvMap = auxOf(root, version).dvs
+    val dvOf: String => Seq[String] =
+      if (dvMap.isEmpty) _ => Nil
+      else f => dvMap.getOrElse(relativize(root, f), Nil)
+    val (dvFiles, plainFiles) = files.partition(f => dvOf(f).nonEmpty)
+    def scan(fs: Seq[String]): DataFrame = stOpt match {
       case Some(st) if hasMapping(st) =>
-        // column mapping (r10): files store PHYSICAL names; read under
-        // them, surface the version's logical names positionally
-        s.read.schema(physicalSchema(st)).parquet(files: _*)
-          .select(st.fields.map(f =>
-            org.apache.spark.sql.functions.col(physicalName(f)).as(f.name))
-            .toIndexedSeq: _*)
-      case Some(st) => s.read.schema(st).parquet(files: _*)
-      case None => s.read.parquet(files: _*)
+        s.read.schema(physicalSchema(st)).parquet(fs: _*)
+      case Some(st) => s.read.schema(st).parquet(fs: _*)
+      case None => s.read.parquet(fs: _*)
     }
+    // fast path — no deletion vectors, no file column: today's plan
+    // shape exactly (no extra projection, full codegen)
+    if (dvFiles.isEmpty && !withFile && !withPos) {
+      val base = scan(files)
+      return stOpt match {
+        case Some(st) if hasMapping(st) =>
+          base.select(st.fields.map(f =>
+            col(physicalName(f)).as(f.name)).toIndexedSeq: _*)
+        case _ => base
+      }
+    }
+    // masked path: rows listed in a file's deletion vectors drop via
+    // ONE left-anti join on (file name, row index); files without
+    // vectors scan plain and union in. DV volume ∝ deleted rows —
+    // AQE broadcasts the small side.
+    def tagged(fs: Seq[String]): DataFrame = {
+      val base = scan(fs).withColumn("_graft_file", input_file_name())
+      if (withPos) base.withColumn("_graft_pos", col("_metadata.row_index"))
+      else base
+    }
+    val parts0 = Seq(
+      if (plainFiles.isEmpty) None else Some(tagged(plainFiles)),
+      if (dvFiles.isEmpty) None
+      else Some {
+        val dvPaths = dvFiles.flatMap(dvOf).distinct
+          .map(r => new java.io.File(root, r).toString)
+        val dv = s.read.parquet(dvPaths: _*).select(col("f"), col("i"))
+        tagged(dvFiles)
+          .withColumn("_gi", col("_metadata.row_index"))
+          .join(dv, substring_index(col("_graft_file"), "/", -1) === col("f") &&
+            col("_gi") === col("i"), "left_anti")
+          .drop("_gi")
+      }).flatten
+    val unioned = parts0.reduce(_.unionByName(_))
+    val extras =
+      (if (withFile) Seq(col("_graft_file")) else Nil) ++
+        (if (withPos) Seq(col("_graft_pos")) else Nil)
+    val logical = stOpt match {
+      case Some(st) if hasMapping(st) =>
+        unioned.select((st.fields.map(f =>
+          col(physicalName(f)).as(f.name)) ++ extras).toIndexedSeq: _*)
+      case _ => unioned
+    }
+    if (withFile) logical else logical.drop("_graft_file")
+  }
 
   /** Column mapping (r10) — the Delta columnMapping design: LOGICAL
     * names live in the log schema; each field's parquet (physical)
@@ -1500,16 +1590,16 @@ object CommitLog {
     * filesRewritten). */
   def delete(s: SparkSession, root: String,
       cond: org.apache.spark.sql.Column): (Long, Long, Long) = {
-    import org.apache.spark.sql.functions.{input_file_name, lit}
+    import org.apache.spark.sql.functions.{col, lit}
     val prev = latestVersion(root)
       .getOrElse(sys.error(s"cannot delete from an empty table at $root"))
     val files = snapshotFiles(root, prev)
-    // canonical paths on both sides: input_file_name yields absolute
+    // canonical paths on both sides: _graft_file yields absolute
     // URIs while snapshotFiles reflects the caller's (possibly
     // relative) root — a raw string compare would mark nothing dirty
     // and silently no-op the delete
-    val dirtyCanon = readSubset(s, root, prev, files).filter(cond)
-      .select(input_file_name()).distinct()
+    val dirtyCanon = readSubsetWithFile(s, root, prev, files).filter(cond)
+      .select(col("_graft_file")).distinct()
       .collect().map(r =>
         new java.io.File(new java.net.URI(r.getString(0))).getCanonicalPath)
       .toSet
@@ -1551,6 +1641,100 @@ object CommitLog {
     (v, clean.size.toLong, rewritten.size.toLong)
   }
 
+  /** MERGE-ON-READ delete — deletion vectors (the Delta DV / Iceberg
+    * positional-delete design), the copy-on-write trade inverted: the
+    * commit rewrites NOTHING. One pushdown scan records the doomed
+    * rows' (file, row index) coordinates into a small dv/ sidecar;
+    * the manifest maps each affected data file to its vectors, every
+    * data file carries over byte-identical, and readers drop the dead
+    * rows with one left-anti join against the (tiny) vector set —
+    * cost ∝ deleted rows at WRITE time, a broadcast-anti-join at READ
+    * time, until any rewrite (compact / optimize / a CoW pass over
+    * the file) physically purges them and retires the vectors.
+    *
+    * When to choose which: copy-on-write [[delete]] pays the rewrite
+    * once and reads stay pristine — right for rare, large deletes;
+    * merge-on-read pays ~nothing at write and a small mask at read —
+    * right for frequent, fine-grained deletes (GDPR row erasure
+    * landing daily across thousands of files, the case where CoW
+    * would rewrite the whole table week over week). Both are the SAME
+    * logical delete: snapshot isolation, CDF, changes() refusal, and
+    * constraint semantics are identical, and they compose — vectors
+    * accumulate across MoR deletes and die with any rewrite.
+    *
+    * Per-file stats are NOT narrowed by a vector (bounds stay valid,
+    * just possibly loose — the public formats keep the same slack).
+    * Returns (newVersion, filesWithNewVectors, rowsDeleted). */
+  def deleteMergeOnRead(s: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{col, lit, substring_index}
+    val prev = latestVersion(root)
+      .getOrElse(sys.error(s"cannot delete from an empty table at $root"))
+    val files = snapshotFiles(root, prev)
+    // positions are PHYSICAL row indexes; the scan respects existing
+    // vectors, so an already-dead row can never re-delete
+    val doomed = readSubsetWithFilePos(s, root, prev, files).filter(cond)
+      .select(substring_index(col("_graft_file"), "/", -1).as("f"),
+        col("_graft_pos").as("i"))
+    val staged = stageDvFiles(s, root, doomed)
+    // rows + affected files from the sidecar just written (footer +
+    // one tiny read — never a second scan of the table)
+    val (nRows, affected) =
+      if (staged.isEmpty) (0L, Set.empty[String])
+      else {
+        val dv = s.read.parquet(
+          staged.map(f => new java.io.File(root, f).toString): _*)
+        (dv.count(),
+          dv.select(col("f")).distinct().collect().map(_.getString(0)).toSet)
+      }
+    val byName = files.map(f =>
+      new java.io.File(f).getName -> relativize(root, f)).toMap
+    val newDvs = Aux(dvs = affected.flatMap(byName.get).map(_ -> staged).toMap)
+    val cdf: Option[Seq[String]] =
+      if (!cdfEnabled(root)) None
+      else if (nRows == 0) Some(Nil)
+      else Some(stageCdfFiles(s, root,
+        readSubset(s, root, prev, files).filter(cond)
+          .withColumn("_change_type", lit("delete"))))
+    val (prevCol, prevStats) = snapshotStatsOf(root, prev)
+    val v = commit(root, files.map(p => relativize(root, p)), Some(prev),
+      op = "delete",
+      statsCol = prevCol, stats = prevStats,
+      schemaJson = carriedSchemaJson(root, Some(prev)),
+      extra = auxExtra(carriedAux(root, Some(prev)).merged(newDvs)) ++
+        cdf.map(renderCdf).toSeq)
+    (v, affected.size.toLong, nRows)
+  }
+
+  /** Stage a deletion-vector row set (columns f: file name, i: row
+    * index) under dv/ — same stage-then-atomic-move discipline as
+    * data files; an empty vector stages nothing. */
+  private def stageDvFiles(s: SparkSession, root: String,
+      df: DataFrame): Seq[String] = {
+    val stage = java.nio.file.Files.createTempDirectory(
+      new java.io.File(root).toPath, ".dvstage-")
+    df.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    val dvDir = new java.io.File(root, "dv"); dvDir.mkdirs()
+    val parts = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet"))
+      .filter { p =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p.getAbsolutePath),
+            new org.apache.hadoop.conf.Configuration()))
+        try r.getRecordCount > 0 finally r.close()
+      }
+    val moved = parts.map { p =>
+      val dst = new java.io.File(dvDir,
+        java.util.UUID.randomUUID().toString + ".parquet")
+      java.nio.file.Files.move(p.toPath, dst.toPath)
+      "dv/" + dst.getName
+    }.toSeq
+    Option(stage.toFile.listFiles()).foreach(_.foreach(_.delete()))
+    stage.toFile.delete()
+    moved
+  }
+
   /** Copy-on-write MERGE (upsert) — the Delta MERGE INTO write path,
     * completing the log's write trio (append / delete / merge):
     * matched keys are REPLACED by their update rows, unmatched update
@@ -1570,18 +1754,19 @@ object CommitLog {
     * parquet. Returns (newVersion, filesCarried, filesRewritten). */
   def merge(s: SparkSession, root: String, updates: DataFrame,
       keyCol: String, nInsertFiles: Int): (Long, Long, Long) = {
-    import org.apache.spark.sql.functions.{col, input_file_name}
+    import org.apache.spark.sql.functions.col
     enforceConstraints(s, root, updates, "merge")
     val prev = latestVersion(root)
       .getOrElse(sys.error(s"cannot merge into an empty table at $root"))
     val files = snapshotFiles(root, prev)
     val keys = updates.select(col(keyCol)).distinct()
-    // input_file_name is captured BEFORE the join (after a join the
-    // expression is ambiguous across sources and Spark rejects it)
-    // canonical paths on both sides (see delete() — a relative root
-    // would otherwise silently turn the merge into insert-only)
-    val dirtyCanon = readSubset(s, root, prev, files)
-      .select(col(keyCol), input_file_name().as("_graft_file"))
+    // the file identity is captured BEFORE the join (after a join
+    // input_file_name is ambiguous across sources — readSubsetWithFile
+    // pins it at the scan); canonical paths on both sides (see
+    // delete() — a relative root would otherwise silently turn the
+    // merge into insert-only)
+    val dirtyCanon = readSubsetWithFile(s, root, prev, files)
+      .select(col(keyCol), col("_graft_file"))
       .join(keys, Seq(keyCol), "left_semi")
       .select(col("_graft_file")).distinct()
       .collect().map(r =>
@@ -1663,13 +1848,14 @@ object CommitLog {
   def update(s: SparkSession, root: String,
       cond: org.apache.spark.sql.Column,
       assignments: Seq[(String, org.apache.spark.sql.Column)]): (Long, Long, Long) = {
-    import org.apache.spark.sql.functions.{coalesce, col, input_file_name, lit, when}
+    import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(assignments.nonEmpty, "update: no SET assignments")
     val prev = latestVersion(root)
       .getOrElse(sys.error(s"cannot update an empty table at $root"))
     val files = snapshotFiles(root, prev)
-    val full = readSubset(s, root, prev, files)
-    val types = full.schema.fields.map(f => f.name -> f.dataType).toMap
+    val full = readSubsetWithFile(s, root, prev, files)
+    val types = full.schema.fields.filterNot(_.name == "_graft_file")
+      .map(f => f.name -> f.dataType).toMap
     assignments.foreach { case (c, _) =>
       require(types.contains(c),
         s"update: column '$c' does not exist — UPDATE never adds " +
@@ -1689,7 +1875,7 @@ object CommitLog {
     // canonical paths on both sides (see delete — a relative root
     // would otherwise silently no-op the update)
     val dirtyCanon = full.filter(cond)
-      .select(input_file_name()).distinct()
+      .select(col("_graft_file")).distinct()
       .collect().map(r =>
         new java.io.File(new java.net.URI(r.getString(0))).getCanonicalPath)
       .toSet
@@ -1743,10 +1929,12 @@ object CommitLog {
     require(toVersion <= prev, s"restore: version $toVersion > head $prev")
     val (_, files) = readManifest(root, toVersion)
     // enforce, not just document, the retention trade: a vacuum that
-    // dropped toVersion's data files must fail HERE with a clear
-    // error, not publish a head with dangling entries that only
-    // breaks at read time
-    val missing = files.filterNot(f => new java.io.File(root, f).exists())
+    // dropped toVersion's data files (or deletion vectors — without
+    // them the restored head would resurrect deleted rows) must fail
+    // HERE with a clear error, not publish a head with dangling
+    // entries that only breaks at read time
+    val missing = (files ++ auxOf(root, toVersion).dvs.values.flatten)
+      .filterNot(f => new java.io.File(root, f).exists())
     require(missing.isEmpty,
       s"restore: vacuumed past restore target $toVersion — " +
         s"${missing.size} of its data file(s) no longer exist " +
@@ -1876,7 +2064,9 @@ object CommitLog {
       s"clone source version $v was vacuumed from $srcRoot")
     val srcRel = readManifest(srcRoot, v)._2
     val abs = srcRel.map(f => new java.io.File(srcRoot, f).toString)
-    val missing = abs.filterNot(f => new java.io.File(f).exists())
+    val missing = (abs ++ auxOf(srcRoot, v).dvs.values.flatten
+      .map(r => new java.io.File(srcRoot, r).toString))
+      .filterNot(f => new java.io.File(f).exists())
     require(missing.isEmpty,
       s"shallowClone: ${missing.size} of version $v's data file(s) no " +
         s"longer exist under $srcRoot (vacuumed?) — refusing a " +
@@ -1888,7 +2078,12 @@ object CommitLog {
     val aux = Aux(a0.partCol,
       a0.parts.map { case (f, pv) => relMap.getOrElse(f, f) -> pv },
       a0.statsTags,
-      a0.stats2.map { case (f, cs) => relMap.getOrElse(f, f) -> cs })
+      a0.stats2.map { case (f, cs) => relMap.getOrElse(f, f) -> cs },
+      // deletion vectors remap with their files: the clone masks the
+      // SOURCE's sidecars until its own rewrites retire them
+      a0.dvs.map { case (f, refs) => relMap.getOrElse(f, f) ->
+        refs.map(r => relativize(dstRoot,
+          new java.io.File(srcRoot, r).toString)) })
     val (statsCol, stats) = snapshotStatsOf(srcRoot, v)
     val v0 = commit(dstRoot, srcRel.map(relMap), expected = None, op = "clone",
       statsCol = statsCol,
@@ -1939,6 +2134,17 @@ object CommitLog {
     Option(cdfDir.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.endsWith(".parquet") &&
         !cdfKeep.contains("cdf/" + f.getName) &&
+        !(graceMs > 0 && now - f.lastModified() < graceMs))
+      .foreach(_.delete())
+    // deletion vectors live exactly as long as a retained manifest
+    // references them (they die with rewrites; old versions' vectors
+    // reclaim with those versions)
+    val dvKeep = (retainFrom to latest)
+      .flatMap(v => auxOf(root, v).dvs.values.flatten).toSet
+    val dvDir = new java.io.File(root, "dv")
+    Option(dvDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.endsWith(".parquet") &&
+        !dvKeep.contains("dv/" + f.getName) &&
         !(graceMs > 0 && now - f.lastModified() < graceMs))
       .foreach(_.delete())
     (0L until retainFrom).foreach(v =>
@@ -2176,7 +2382,7 @@ object CommitLog {
     (df, segs.size, live.size, segs.map(_.nFiles).sum, keep.size)
   }
 
-  private def relativize(root: String, abs: String): String =
+  private[sources] def relativize(root: String, abs: String): String =
     new java.io.File(root).toPath.relativize(new java.io.File(abs).toPath).toString
 
   private def stageDataFiles(s: SparkSession, root: String,

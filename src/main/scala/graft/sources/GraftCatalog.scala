@@ -228,9 +228,16 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = projected
         override def toBatch: Batch = new Batch {
-          override def planInputPartitions(): Array[InputPartition] =
-            CommitLog.snapshotFiles(root, version)
-              .map(f => TableFilePartition(f, version): InputPartition).toArray
+          override def planInputPartitions(): Array[InputPartition] = {
+            // deletion vectors: each partition carries its file's
+            // sidecar refs so the reader can mask dead rows
+            val dvs = CommitLog.auxOf(root, version).dvs
+            CommitLog.snapshotFiles(root, version).map { f =>
+              val refs = dvs.getOrElse(CommitLog.relativize(root, f), Nil)
+                .map(r => new java.io.File(root, r).toString)
+              TableFilePartition(f, version, refs): InputPartition
+            }.toArray
+          }
           override def createReaderFactory(): PartitionReaderFactory =
             new TableFileReaderFactory(projected)
         }

@@ -223,14 +223,56 @@ class TableMicroBatchStream(root: String, schema: StructType,
     new TableFileReaderFactory(schema)
 }
 
-case class TableFilePartition(path: String, version: Long) extends InputPartition
+case class TableFilePartition(path: String, version: Long,
+    dvPaths: Seq[String] = Nil) extends InputPartition
 
 class TableFileReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[TableFilePartition]
     // column mapping: project the files' PHYSICAL names; InternalRow
     // is positional, so rows surface under the logical schema as-is
-    new GroupParquetReader(p.path, CommitLog.physicalSchema(schema))
+    val base = new GroupParquetReader(p.path, CommitLog.physicalSchema(schema))
+    if (p.dvPaths.isEmpty) base
+    else {
+      // deletion vectors: skip this file's masked row indexes while
+      // counting physical rows — the sequential read order IS the
+      // row_index coordinate the vectors record
+      val skip = DvSidecar.skipSet(p.dvPaths, new java.io.File(p.path).getName)
+      new PartitionReader[InternalRow] {
+        private var idx = -1L
+        override def next(): Boolean = {
+          while (base.next()) {
+            idx += 1
+            if (!skip.contains(idx)) return true
+          }
+          false
+        }
+        override def get(): InternalRow = base.get()
+        override def close(): Unit = base.close()
+      }
+    }
+  }
+}
+
+/** Loads a file's deletion-vector entries from dv/ sidecars (columns
+  * f: data file name, i: physical row index) into a skip set — DV
+  * volume ∝ deleted rows, executor-local and per-file. */
+object DvSidecar {
+  def skipSet(dvPaths: Seq[String], fileName: String): java.util.HashSet[java.lang.Long] = {
+    val out = new java.util.HashSet[java.lang.Long]()
+    val dvSchema = StructType(Seq(
+      StructField("f", StringType), StructField("i", LongType)))
+    dvPaths.foreach { dv =>
+      val r = new GroupParquetReader(dv, dvSchema)
+      try {
+        while (r.next()) {
+          val row = r.get()
+          if (!row.isNullAt(0) && row.getUTF8String(0).toString == fileName)
+            out.add(row.getLong(1))
+        }
+      } finally r.close()
+    }
+    out
   }
 }
 

@@ -481,6 +481,34 @@ class CatalogSpec extends SparkSpec {
       s"physical names drifted: ${raw.columns.mkString(",")}")
   }
 
+  test("catalog: scans mask deletion vectors; pinned versions see the pre-delete rows (r10)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "t").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    CommitLog.append(spark, root, ev, nFiles = 3)
+    val (_, nf, nr) =
+      CommitLog.deleteMergeOnRead(spark, root, col("user_id") % 4 === 1)
+    assert(nf === 3L && nr === ev.filter(col("user_id") % 4 === 1).count())
+    // the DSv2 per-file reader must skip the masked row indexes
+    val got = spark.sql(
+      s"SELECT COUNT(*) AS n, CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s FROM $cat.t")
+      .collect()(0)
+    val keep = ev.filter(col("user_id") % 4 =!= 1)
+    assert(got.getLong(0) === keep.count())
+    assert(math.abs(got.getDouble(1) -
+      keep.agg(sum(col("value").cast("decimal(18,4)"))).collect()(0)
+        .getDecimal(0).doubleValue()) < 1e-6)
+    assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 0").count() === ev.count(),
+      "pinned version leaked the deletion vectors")
+    // row identity, not just counts: no masked row survives, no
+    // surviving row was dropped
+    val viaCat = spark.sql(s"SELECT event_id, user_id, value FROM $cat.t")
+    assert(viaCat.exceptAll(keep).count() === 0 &&
+      keep.exceptAll(viaCat).count() === 0,
+      "catalog scan rows diverge from the logical delete")
+  }
+
   test("catalog: SHOW/SET/UNSET TBLPROPERTIES round-trip the log's properties file") {
     val (cat, base) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.p (k BIGINT)")

@@ -891,6 +891,66 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("update"), ex.getMessage)
   }
 
+  test("commit log: deletion vectors — merge-on-read delete, masked reads, rewrite purge (r10)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_dv").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    CommitLog.append(spark, root, ev.filter(col("user_id") % 4 < 2), nFiles = 2)
+    val v1 = CommitLog.append(spark, root, ev.filter(col("user_id") % 4 >= 2), nFiles = 2)
+    CommitLog.setTableProperty(root, "enableChangeDataFeed", "true")
+    val nDel = ev.filter(col("user_id") % 4 === 1).count()
+    // (1) the MoR delete rewrites NOTHING: identical file listing
+    val (v2, nFilesDv, nRows) =
+      CommitLog.deleteMergeOnRead(spark, root, col("user_id") % 4 === 1)
+    assert(nRows === nDel && nFilesDv === 2L,
+      s"rows=$nRows files=$nFilesDv (want $nDel/2)")
+    assert(CommitLog.snapshotFiles(root, v2).toSet ===
+      CommitLog.snapshotFiles(root, v1).toSet,
+      "merge-on-read delete rewrote data files")
+    // (2) masked read: dead rows gone at v2, alive for a pinned reader
+    val r2 = CommitLog.read(spark, root, v2)
+    assert(r2.filter(col("user_id") % 4 === 1).count() === 0)
+    assert(r2.count() === ev.count() - nDel)
+    assert(CommitLog.read(spark, root, v1)
+      .filter(col("user_id") % 4 === 1).count() === nDel,
+      "pinned reader lost rows to a later MoR delete")
+    // ... and the changelog recorded the erasure
+    assert(CommitLog.changesRows(spark, root, v1, v2)
+      .filter(col("_change_type") === "delete").count() === nDel)
+    // (3) vectors ACCUMULATE across MoR deletes (and respect the mask:
+    // re-deleting dead rows is a no-op)
+    val (v3, _, n0) = CommitLog.deleteMergeOnRead(spark, root, col("user_id") % 4 === 1)
+    assert(n0 === 0L, s"re-delete found $n0 already-dead rows")
+    val nDel2 = ev.filter(col("user_id") % 4 === 2 && col("event_id") % 3 === 0).count()
+    val (v4, _, nRows2) = CommitLog.deleteMergeOnRead(spark, root,
+      col("user_id") % 4 === 2 && col("event_id") % 3 === 0)
+    assert(nRows2 === nDel2)
+    val r4 = CommitLog.read(spark, root, v4)
+    assert(r4.count() === ev.count() - nDel - nDel2)
+    // (4) a CoW pass over vectored files keeps the mask: rewrite reads
+    // are masked, rewritten files retire their vectors
+    val (v5, _, _) = CommitLog.delete(spark, root, col("user_id") % 4 === 0)
+    val r5 = CommitLog.read(spark, root, v5)
+    val want5 = ev.filter(!(col("user_id") % 4 === 1) &&
+      !(col("user_id") % 4 === 2 && col("event_id") % 3 === 0) &&
+      !(col("user_id") % 4 === 0))
+    assert(r5.count() === want5.count())
+    assert(r5.exceptAll(want5).count() === 0 && want5.exceptAll(r5).count() === 0,
+      "CoW-after-MoR state diverges from the logical delete sequence")
+    // (5) compaction physically purges: raw row count == logical count
+    val v6 = CommitLog.compact(spark, root, 2)
+    assert(CommitLog.auxOf(root, v6).dvs.isEmpty, "compaction kept vectors")
+    assert(spark.read.parquet(CommitLog.snapshotFiles(root, v6): _*).count() ===
+      want5.count(), "compaction did not purge masked rows")
+    // (6) vacuum reclaims the retired sidecars from disk
+    CommitLog.vacuum(root, retainFrom = v6)
+    val dvLeft = Option(new java.io.File(root, "dv").listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    assert(dvLeft === 0, s"$dvLeft orphan dv sidecars survived vacuum")
+    assert(CommitLog.read(spark, root, v6).count() === want5.count())
+  }
+
   test("commit log: column mapping — rename/drop are metadata-only, stats and CoW survive (r10)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_cl_map").toString
