@@ -134,7 +134,10 @@ object ScaleSoak {
     "q_table_column_mapping", "q_sql_table_rename_drop",
     // deletion vectors: write ∝ deleted rows (no rewrite), read adds
     // one broadcast anti-join until compaction purges
-    "q_table_delete_dv", "q_sql_table_delete_dv")
+    "q_table_delete_dv", "q_sql_table_delete_dv",
+    // MoR update (sidecar + post-image append ∝ updated rows) and the
+    // surgical purge (rewrite ∝ vectored files only)
+    "q_table_update_dv", "q_sql_table_reorg")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */

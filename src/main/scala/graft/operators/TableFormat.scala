@@ -316,6 +316,90 @@ object TableFormat {
           lit(r.getLong(2)).as("files_rewritten"),
           col("n_rows"), col("n_masked_leaks"), col("sum_value")))
     },
+    "q_table_update_dv" -> { (s, dir) =>
+      // Merge-on-read UPDATE (added r10) — q_table_update's deletion-
+      // vector twin: matched rows' OLD versions are masked by a
+      // vector (cost ∝ matched rows), their NEW versions append as
+      // fresh files — zero rewrites, pinned by the carried-file-set
+      // counter. A point update of 100 rows scattered across 10k wide
+      // files writes one sidecar + one small file instead of 10k
+      // rewrites. Semantics identical to the CoW form: the SAME
+      // oracle aggregates (snapshot AND replayed CDF changelog) must
+      // hold, plus the MoR counters.
+      val root = java.nio.file.Files.createTempDirectory("graft_table_udv")
+      root.toFile.deleteOnExit()
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      CommitLog.append(s, root.toString, ev.filter(col("user_id") % 4 < 2), nFiles = 2)
+      val v1 = CommitLog.append(s, root.toString, ev.filter(col("user_id") % 4 >= 2), nFiles = 2)
+      CommitLog.setTableProperty(root.toString, "enableChangeDataFeed", "true")
+      val (v2, nFilesDv, nUpd) = CommitLog.updateMergeOnRead(s, root.toString,
+        col("user_id") % 4 === 1,
+        Seq("value" -> (col("value") + lit(1000.0)),
+          "event_type" -> lit("boosted")))
+      val prior = CommitLog.snapshotFiles(root.toString, v1).toSet
+      val now = CommitLog.snapshotFiles(root.toString, v2).toSet
+      val added = (now -- prior).size.toLong
+      val carriedAll = if (prior.subsetOf(now)) 1L else 0L
+      val c = CommitLog.changesRows(s, root.toString, v1, v2)
+        .agg(
+          sum(when(col("_change_type") === "update_preimage", 1L)
+            .otherwise(0L)).as("n_cdf_pre"),
+          sum(when(col("_change_type") === "update_postimage", 1L)
+            .otherwise(0L)).as("n_cdf_post"),
+          dsum(when(col("_change_type") === "update_postimage", col("value"))
+            .otherwise(lit(null))).as("sum_cdf_post"))
+        .collect()(0)
+      ordered(CommitLog.read(s, root.toString, v2)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("event_type") === "boosted", 1L).otherwise(0L))
+            .as("n_boosted"),
+          dsum(col("value")).as("sum_value"))
+        .select(lit(nFilesDv).as("n_files_with_vectors"),
+          lit(nUpd).as("n_rows_updated"),
+          lit(added).as("n_files_added"),
+          lit(carriedAll).as("all_prior_files_carried"),
+          col("n_rows"), col("n_boosted"), col("sum_value"),
+          lit(c.getLong(0)).as("n_cdf_pre"),
+          lit(c.getLong(1)).as("n_cdf_post"),
+          lit(c.getDouble(2)).as("sum_cdf_post")))
+    },
+    "q_sql_table_reorg" -> { (s, dir) =>
+      // SQL front-end (added r10): REORG TABLE ... APPLY (PURGE) —
+      // the selective physical purge behind deletion vectors: rewrite
+      // ONLY the vectored files (masked read → clean replacements,
+      // vectors retired), carry everything else byte-identical; where
+      // compact is total, reorg is surgical. Predicate-aligned: the
+      // MoR delete vectors exactly the two v0-era files, so the purge
+      // rewrites 2 of 4; the report pins the raw physical row count
+      // (purge proven, not assumed) and that a second REORG is a
+      // no-op publishing nothing.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_reorg")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "tbl").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      CommitLog.append(s, root, ev.filter(col("user_id") % 4 < 2), nFiles = 2)
+      CommitLog.append(s, root, ev.filter(col("user_id") % 4 >= 2), nFiles = 2)
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      s.sql(s"ALTER TABLE $cat.tbl SET TBLPROPERTIES ('enableDeletionVectors' = 'true')")
+      s.sql(s"DELETE FROM $cat.tbl WHERE user_id % 4 = 1")
+      val r = s.sql(s"REORG TABLE $cat.tbl APPLY (PURGE)").collect()(0)
+      val nRaw = s.read.parquet(CommitLog.snapshotFiles(root,
+        CommitLog.latestVersion(root).get): _*).count()
+      val r2 = s.sql(s"REORG TABLE $cat.tbl APPLY (PURGE)").collect()(0)
+      ordered(s.sql(s"SELECT value FROM $cat.tbl")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("sum_value"))
+        .select(lit(r.getLong(0)).as("head_version"),
+          lit(r.getLong(1)).as("files_carried"),
+          lit(r.getLong(2)).as("files_rewritten"),
+          lit(nRaw).as("n_raw_rows_after_purge"),
+          lit(r2.getLong(0)).as("noop_head_version"),
+          lit(r2.getLong(2)).as("noop_files_rewritten"),
+          col("n_rows"), col("sum_value")))
+    },
     "q_table_column_mapping" -> { (s, dir) =>
       // Column mapping (added r10) — RENAME COLUMN / DROP COLUMN as
       // METADATA-ONLY commits, the Delta columnMapping.mode=name
@@ -1416,6 +1500,39 @@ object TableFormat {
         |FROM u""".stripMargin +
         orderByAll("head_version", "files_carried", "files_rewritten",
           "n_rows", "n_floored", "sum_value")),
+    "q_table_update_dv" ->
+      ("""WITH u AS (
+        |  SELECT CASE WHEN user_id % 4 = 1 THEN value + 1000.0 ELSE value END AS value,
+        |    CASE WHEN user_id % 4 = 1 THEN 'boosted' ELSE event_type END AS event_type
+        |  FROM events)
+        |SELECT CAST(2 AS BIGINT) AS n_files_with_vectors,
+        |  (SELECT COUNT(*) FROM events WHERE user_id % 4 = 1) AS n_rows_updated,
+        |  CAST(1 AS BIGINT) AS n_files_added,
+        |  CAST(1 AS BIGINT) AS all_prior_files_carried,
+        |  COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN event_type = 'boosted' THEN 1 ELSE 0 END) AS BIGINT) AS n_boosted,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value,
+        |  (SELECT COUNT(*) FROM events WHERE user_id % 4 = 1) AS n_cdf_pre,
+        |  (SELECT COUNT(*) FROM events WHERE user_id % 4 = 1) AS n_cdf_post,
+        |  (SELECT CAST(CAST(SUM(CAST(value + 1000.0 AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+        |    FROM events WHERE user_id % 4 = 1) AS sum_cdf_post
+        |FROM u""".stripMargin +
+        orderByAll("n_files_with_vectors", "n_rows_updated", "n_files_added",
+          "all_prior_files_carried", "n_rows", "n_boosted", "sum_value",
+          "n_cdf_pre", "n_cdf_post", "sum_cdf_post")),
+    "q_sql_table_reorg" ->
+      ("""SELECT CAST(3 AS BIGINT) AS head_version,
+        |  CAST(2 AS BIGINT) AS files_carried,
+        |  CAST(2 AS BIGINT) AS files_rewritten,
+        |  COUNT(*) AS n_raw_rows_after_purge,
+        |  CAST(3 AS BIGINT) AS noop_head_version,
+        |  CAST(0 AS BIGINT) AS noop_files_rewritten,
+        |  COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
+        |FROM events WHERE user_id % 4 <> 1""".stripMargin +
+        orderByAll("head_version", "files_carried", "files_rewritten",
+          "n_raw_rows_after_purge", "noop_head_version",
+          "noop_files_rewritten", "n_rows", "sum_value")),
     "q_table_delete_dv" ->
       ("""SELECT CAST(2 AS BIGINT) AS n_files_with_vectors,
         |  (SELECT COUNT(*) FROM events WHERE user_id % 4 = 1) AS n_rows_deleted,

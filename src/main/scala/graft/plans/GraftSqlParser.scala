@@ -55,6 +55,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val updateRe =
     """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
+  private val reorgRe =
+    """(?is)\s*REORG\s+TABLE\s+([\w.]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
   private val mergeRe =
     ("""(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?""" +
       """\s+ON\s+(\w+)\s*\.\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)""" +
@@ -89,6 +91,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       DeleteFromGraftCommand(ident.split('.').toSeq, cond)
     case updateRe(ident, sets, cond) if isGraftCatalog(ident) =>
       UpdateGraftCommand(ident.split('.').toSeq, sets, cond)
+    case reorgRe(ident) if isGraftCatalog(ident) =>
+      ReorgTableCommand(ident.split('.').toSeq)
     case mergeRe(ident, tAls, src, sAls, q1, c1, q2, c2) if isGraftCatalog(ident) =>
       val tAlias = Option(tAls).getOrElse(ident.split('.').last)
       val sAlias = Option(sAls).getOrElse(src.split('.').last)
@@ -314,9 +318,32 @@ case class UpdateGraftCommand(parts: Seq[String], setSql: String,
       case other => throw new IllegalArgumentException(
         s"UPDATE SET expects <column> = <expression>, got '$other'")
     }
-    val (v, carried, rewritten) = CommitLog.update(s,
-      GraftSqlCommands.rootOf(s, parts),
-      org.apache.spark.sql.functions.expr(condSql), assignments)
+    val root = GraftSqlCommands.rootOf(s, parts)
+    val cond = org.apache.spark.sql.functions.expr(condSql)
+    // same property split as DELETE: vectored tables mask old rows
+    // and append new ones (zero rewrites), the rest copy-on-write
+    if (CommitLog.tableProperty(root, "enableDeletionVectors").contains("true")) {
+      val (v, _, _) = CommitLog.updateMergeOnRead(s, root, cond, assignments)
+      Seq(Row(v, CommitLog.snapshotFiles(root, v).size.toLong, 0L))
+    } else {
+      val (v, carried, rewritten) = CommitLog.update(s, root, cond, assignments)
+      Seq(Row(v, carried, rewritten))
+    }
+  }
+}
+
+/** REORG TABLE cat.tbl APPLY (PURGE) — the selective physical purge:
+  * rewrite only the files carrying deletion vectors, carry the rest
+  * byte-identical; data-neutral. Returns (head_version,
+  * files_carried, files_rewritten). */
+case class ReorgTableCommand(parts: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlCommands.attr("head_version"),
+    GraftSqlCommands.attr("files_carried"),
+    GraftSqlCommands.attr("files_rewritten"))
+  override def run(s: SparkSession): Seq[Row] = {
+    val (v, carried, rewritten) =
+      CommitLog.reorgPurge(s, GraftSqlCommands.rootOf(s, parts))
     Seq(Row(v, carried, rewritten))
   }
 }

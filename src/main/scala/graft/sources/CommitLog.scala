@@ -1735,6 +1735,37 @@ object CommitLog {
     moved
   }
 
+  /** REORG ... APPLY (PURGE) — the selective physical purge (Delta's
+    * REORG TABLE): rewrite ONLY the files carrying deletion vectors
+    * (the masked read stages clean replacements, retiring their
+    * vectors), carry every other file byte-identical. Data-neutral —
+    * op="optimize", so changes()/streams skip it — and surgical where
+    * compact is total: a 10k-file table with vectors on 12 files
+    * rewrites 12. A no-op (no vectored files) publishes nothing.
+    * Returns (headVersion, filesCarried, filesRewritten). */
+  def reorgPurge(s: SparkSession, root: String): (Long, Long, Long) = {
+    val prev = latestVersion(root)
+      .getOrElse(sys.error(s"cannot reorg an empty table at $root"))
+    val files = snapshotFiles(root, prev)
+    val aux = carriedAux(root, Some(prev))
+    val vectored = files.filter(f =>
+      aux.dvs.getOrElse(relativize(root, f), Nil).nonEmpty)
+    if (vectored.isEmpty) return (prev, files.size.toLong, 0L)
+    val vs = vectored.toSet
+    val clean = files.filterNot(vs)
+    val carried = clean.map(p => relativize(root, p))
+    val staged = stageDataFiles(s, root,
+      readSubset(s, root, prev, vectored), math.max(1, vectored.size))
+    val (prevCol, prevStats) = snapshotStatsOf(root, prev)
+    val v = commit(root, carried ++ staged, Some(prev), op = "optimize",
+      statsCol = prevCol,
+      stats = { val cs = carried.toSet; prevStats.filter(kv => cs(kv._1)) },
+      schemaJson = carriedSchemaJson(root, Some(prev)),
+      extra = auxExtra(restageColStats(s, root,
+        aux.filterFiles(carried.toSet), staged)))
+    (v, clean.size.toLong, staged.size.toLong)
+  }
+
   /** Copy-on-write MERGE (upsert) — the Delta MERGE INTO write path,
     * completing the log's write trio (append / delete / merge):
     * matched keys are REPLACED by their update rows, unmatched update
@@ -1909,6 +1940,87 @@ object CommitLog {
         aux0.filterFiles(carried.toSet), rewritten)) ++
         cdf.map(renderCdf).toSeq)
     (v, clean.size.toLong, rewritten.size.toLong)
+  }
+
+  /** MERGE-ON-READ update — [[update]]'s deletion-vector twin (the
+    * Delta DV-for-UPDATE design): instead of rewriting every dirty
+    * file, the matched rows' OLD versions are masked by a vector
+    * (cost ∝ matched rows) and their NEW versions append as fresh
+    * files — write cost ∝ updated rows, never the dirty-file volume.
+    * A point update of 100 rows scattered across 10k wide files
+    * writes one sidecar + one small file instead of 10k rewrites.
+    * Same semantics as [[update]] otherwise: three-valued cond,
+    * schema invariance, post-image CHECK validation, CDF pre/post
+    * pairs, snapshot isolation, changes() refusal — and typed stats
+    * are computed for the appended post-image files. Returns
+    * (newVersion, filesWithNewVectors, rowsUpdated). */
+  def updateMergeOnRead(s: SparkSession, root: String,
+      cond: org.apache.spark.sql.Column,
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      nFiles: Int = 1): (Long, Long, Long) = {
+    import org.apache.spark.sql.functions.{col, lit, substring_index}
+    require(assignments.nonEmpty, "updateMergeOnRead: no SET assignments")
+    val prev = latestVersion(root)
+      .getOrElse(sys.error(s"cannot update an empty table at $root"))
+    val files = snapshotFiles(root, prev)
+    val full = readSubsetWithFilePos(s, root, prev, files)
+    val types = full.schema.fields
+      .filterNot(f => f.name == "_graft_file" || f.name == "_graft_pos")
+      .map(f => f.name -> f.dataType).toMap
+    assignments.foreach { case (c, _) =>
+      require(types.contains(c),
+        s"updateMergeOnRead: column '$c' does not exist — UPDATE never " +
+          "adds columns (evolve the schema first)")
+    }
+    val aux0 = carriedAux(root, Some(prev))
+    aux0.partCol.foreach { pc =>
+      require(!assignments.exists(_._1 == pc),
+        s"updateMergeOnRead: assigning partition column '$pc' would " +
+          "move rows across partitions — use merge or overwrite instead")
+    }
+    // filter(cond) is the three-valued gate: NULL-cond rows are not
+    // matches, so they neither mask nor re-append
+    val matched = full.filter(cond)
+    // old versions die by vector ...
+    val staged = stageDvFiles(s, root, matched
+      .select(substring_index(col("_graft_file"), "/", -1).as("f"),
+        col("_graft_pos").as("i")))
+    val (nRows, affected) =
+      if (staged.isEmpty) (0L, Set.empty[String])
+      else {
+        val dv = s.read.parquet(
+          staged.map(f => new java.io.File(root, f).toString): _*)
+        (dv.count(),
+          dv.select(col("f")).distinct().collect().map(_.getString(0)).toSet)
+      }
+    // ... new versions append; they are the only NEW row states, so
+    // they alone re-validate CHECK constraints
+    val post = assignments.foldLeft(
+      matched.drop("_graft_file", "_graft_pos")) { case (d, (c, e)) =>
+      d.withColumn(c, e.cast(types(c)))
+    }
+    if (nRows > 0) enforceConstraints(s, root, post, "updateMergeOnRead")
+    val inserted = if (nRows == 0) Nil
+      else stageDataFiles(s, root, post, math.max(1, nFiles))
+    val cdf: Option[Seq[String]] =
+      if (!cdfEnabled(root)) None
+      else if (nRows == 0) Some(Nil)
+      else Some(stageCdfFiles(s, root,
+        matched.drop("_graft_file", "_graft_pos")
+          .withColumn("_change_type", lit("update_preimage"))
+          .unionByName(post.withColumn("_change_type", lit("update_postimage")))))
+    val byName = files.map(f =>
+      new java.io.File(f).getName -> relativize(root, f)).toMap
+    val newDvs = Aux(dvs = affected.flatMap(byName.get).map(_ -> staged).toMap)
+    val (prevCol, prevStats) = snapshotStatsOf(root, prev)
+    val v = commit(root, files.map(p => relativize(root, p)) ++ inserted,
+      Some(prev), op = "update",
+      statsCol = prevCol, stats = prevStats,
+      schemaJson = carriedSchemaJson(root, Some(prev)),
+      extra = auxExtra(restageColStats(s, root,
+        aux0.merged(newDvs), inserted)) ++
+        cdf.map(renderCdf).toSeq)
+    (v, affected.size.toLong, nRows)
   }
 
   /** RESTORE — roll the table back to `toVersion` (the Delta RESTORE

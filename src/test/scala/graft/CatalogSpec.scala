@@ -507,6 +507,14 @@ class CatalogSpec extends SparkSpec {
     assert(viaCat.exceptAll(keep).count() === 0 &&
       keep.exceptAll(viaCat).count() === 0,
       "catalog scan rows diverge from the logical delete")
+    // statement routing: with enableDeletionVectors, UPDATE goes
+    // merge-on-read too — zero rewrites, values still land
+    spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES ('enableDeletionVectors' = 'true')")
+    val upd = spark.sql(
+      s"UPDATE $cat.t SET value = value + 9000.0 WHERE user_id % 4 = 2").collect()(0)
+    assert(upd.getLong(2) === 0L, s"vectored UPDATE rewrote ${upd.getLong(2)} files")
+    assert(spark.sql(s"SELECT * FROM $cat.t WHERE value >= 9000.0").count() ===
+      ev.filter(col("user_id") % 4 === 2).count())
   }
 
   test("catalog: SHOW/SET/UNSET TBLPROPERTIES round-trip the log's properties file") {

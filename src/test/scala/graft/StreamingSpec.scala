@@ -951,6 +951,52 @@ class StreamingSpec extends SparkSpec {
     assert(CommitLog.read(spark, root, v6).count() === want5.count())
   }
 
+  test("commit log: merge-on-read update equals CoW update; REORG purges surgically, keeps stats (r10)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_udv").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val m = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+    CommitLog.appendWithColumnStats(spark, root,
+      ev.filter(col("event_id") <= m / 2), 2, Seq("event_id"))
+    val v1 = CommitLog.appendWithColumnStats(spark, root,
+      ev.filter(col("event_id") > m / 2), 2, Seq("event_id"))
+    // MoR update: zero rewrites, one appended post-image file, and the
+    // RESULT is exactly what the CoW form would produce
+    val (v2, nDv, nUpd) = CommitLog.updateMergeOnRead(spark, root,
+      col("user_id") % 4 === 1, Seq("value" -> (col("value") + lit(5000.0))))
+    assert(nDv === 4L && nUpd === ev.filter(col("user_id") % 4 === 1).count())
+    val prior = CommitLog.snapshotFiles(root, v1).toSet
+    val now2 = CommitLog.snapshotFiles(root, v2).toSet
+    assert(prior.subsetOf(now2) && (now2 -- prior).size === 1,
+      "MoR update must carry every prior file and append one")
+    val want = ev.withColumn("value",
+      when(col("user_id") % 4 === 1, col("value") + 5000.0).otherwise(col("value")))
+    val got = CommitLog.read(spark, root, v2)
+    assert(got.count() === want.count() &&
+      got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+      "MoR update result diverges from the logical update")
+    // the appended post-image file got typed stats (restage path)
+    val aux2 = CommitLog.auxOf(root, v2)
+    val addedRel = (now2 -- prior).head
+    assert(aux2.stats2.keys.exists(k => addedRel.endsWith(k.stripPrefix("data/"))),
+      s"appended post-image file has no stats entry: ${aux2.stats2.keys}")
+    // REORG purges ONLY vectored files; clean files carry; the typed
+    // stats survive and still prune
+    val (v3, carried3, rewritten3) = CommitLog.reorgPurge(spark, root)
+    assert(rewritten3 === 4L && carried3 === 1L,
+      s"reorg must rewrite the 4 vectored files only: c=$carried3 r=$rewritten3")
+    assert(CommitLog.auxOf(root, v3).dvs.isEmpty, "reorg kept vectors")
+    assert(spark.read.parquet(CommitLog.snapshotFiles(root, v3): _*).count() ===
+      want.count(), "reorg did not purge masked rows")
+    val gotAfter = CommitLog.read(spark, root, v3)
+    assert(gotAfter.exceptAll(want).count() === 0 &&
+      want.exceptAll(gotAfter).count() === 0)
+    // a second reorg is a no-op: same head, nothing rewritten
+    val (v4, _, r4) = CommitLog.reorgPurge(spark, root)
+    assert(v4 === v3 && r4 === 0L, s"no-op reorg published v$v4 ($r4 rewrites)")
+  }
+
   test("commit log: column mapping — rename/drop are metadata-only, stats and CoW survive (r10)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_cl_map").toString
