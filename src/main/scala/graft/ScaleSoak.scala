@@ -137,7 +137,10 @@ object ScaleSoak {
     "q_table_delete_dv", "q_sql_table_delete_dv",
     // MoR update (sidecar + post-image append ∝ updated rows) and the
     // surgical purge (rewrite ∝ vectored files only)
-    "q_table_update_dv", "q_sql_table_reorg")
+    "q_table_update_dv", "q_sql_table_reorg",
+    // incremental view maintenance: refresh ∝ changed rows + a MERGE
+    // over affected view keys, never the source
+    "q_table_incr_view")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */

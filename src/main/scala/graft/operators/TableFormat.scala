@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Det._
-import graft.sources.{CommitLog, Tables}
+import graft.sources.{CommitLog, IncrementalView, Tables}
 
 /** B1 table-format tier (added r9, VERDICT r8 item 2; completed late
   * r9): the snapshot/commit-log layer over parquet dirs, grown into a
@@ -315,6 +315,46 @@ object TableFormat {
           lit(r.getLong(1)).as("files_carried"),
           lit(r.getLong(2)).as("files_rewritten"),
           col("n_rows"), col("n_masked_leaks"), col("sum_value")))
+    },
+    "q_table_incr_view" -> { (s, dir) =>
+      // Incrementally-maintained materialized view (added r10) — the
+      // CDF surface paying off: a per-key COUNT+SUM view refreshed by
+      // folding the changelog's signed deltas (insert/post +, delete/
+      // pre −) into the view state with one MERGE, instead of
+      // rescanning the source. The history runs the full DML mix
+      // (append, CoW delete, CoW update) after view creation; ONE
+      // refresh folds all of it, the report pins the rows consumed
+      // (= changed rows exactly — pure predicates) AND that the
+      // incremental state equals a from-scratch recompute bit-for-bit
+      // (the exactness claim, checked as a multiset-equality flag).
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val src = java.nio.file.Files.createTempDirectory("graft_iv_src")
+      val vw = java.nio.file.Files.createTempDirectory("graft_iv_view")
+      src.toFile.deleteOnExit(); vw.toFile.deleteOnExit()
+      CommitLog.append(s, src.toString, ev.filter(col("event_id") % 2 === 0), nFiles = 2)
+      CommitLog.setTableProperty(src.toString, "enableChangeDataFeed", "true")
+      IncrementalView.create(s, vw.toString, src.toString, "event_type", "value")
+      CommitLog.append(s, src.toString, ev.filter(col("event_id") % 2 =!= 0), nFiles = 2)
+      CommitLog.delete(s, src.toString, col("user_id") % 4 === 1)
+      CommitLog.update(s, src.toString, col("user_id") % 4 === 2,
+        Seq("value" -> (col("value") + lit(1000.0))))
+      val (vv, consumed) = IncrementalView.refresh(s, vw.toString)
+      val view = CommitLog.read(s, vw.toString, vv)
+      val full = CommitLog.read(s, src.toString,
+        CommitLog.latestVersion(src.toString).get)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("total"))
+      val exact = if (view.exceptAll(full).count() == 0 &&
+        full.exceptAll(view).count() == 0) 1L else 0L
+      ordered(view
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+          sum(col("total")).cast("double").as("sum_value"))
+        .select(lit(consumed).as("n_change_rows_consumed"),
+          lit(exact).as("equals_full_recompute"),
+          col("n_keys"), col("n_rows"), col("sum_value")))
     },
     "q_table_update_dv" -> { (s, dir) =>
       // Merge-on-read UPDATE (added r10) — q_table_update's deletion-
@@ -1500,6 +1540,24 @@ object TableFormat {
         |FROM u""".stripMargin +
         orderByAll("head_version", "files_carried", "files_rewritten",
           "n_rows", "n_floored", "sum_value")),
+    "q_table_incr_view" ->
+      ("""WITH f AS (
+        |  SELECT event_type,
+        |    CASE WHEN user_id % 4 = 2 THEN value + 1000.0 ELSE value END AS value
+        |  FROM events WHERE user_id % 4 <> 1),
+        |g AS (SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS total FROM f GROUP BY 1)
+        |SELECT CAST(
+        |    (SELECT COUNT(*) FROM events WHERE event_id % 2 <> 0) +
+        |    (SELECT COUNT(*) FROM events WHERE user_id % 4 = 1) +
+        |    2 * (SELECT COUNT(*) FROM events WHERE user_id % 4 = 2)
+        |  AS BIGINT) AS n_change_rows_consumed,
+        |  CAST(1 AS BIGINT) AS equals_full_recompute,
+        |  (SELECT COUNT(*) FROM g) AS n_keys,
+        |  CAST((SELECT SUM(n) FROM g) AS BIGINT) AS n_rows,
+        |  CAST(CAST((SELECT SUM(total) FROM g) AS STRING) AS DOUBLE) AS sum_value""".stripMargin +
+        orderByAll("n_change_rows_consumed", "equals_full_recompute",
+          "n_keys", "n_rows", "sum_value")),
     "q_table_update_dv" ->
       ("""WITH u AS (
         |  SELECT CASE WHEN user_id % 4 = 1 THEN value + 1000.0 ELSE value END AS value,

@@ -1,0 +1,119 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incrementally-maintained materialized view over a commit-log table
+  * (r10) — the payoff of the row-level CDF surface: a grouped
+  * aggregate (per-key COUNT + SUM, the canonical IVM shape) that
+  * REFRESHES from the changelog instead of rescanning the source.
+  *
+  * The maintenance algebra is the standard delta-propagation rule for
+  * distributive aggregates: each change row contributes a signed
+  * delta — insert (+1, +v), delete (−1, −v), update_preimage (−1, −v),
+  * update_postimage (+1, +v) — and the refresh folds the deltas into
+  * the view state with one MERGE keyed by the group key (keys whose
+  * count reaches zero drop out). Sums fold in DECIMAL(18,4) so the
+  * incremental path is EXACT — refresh-after-many-commits equals a
+  * full recompute bit-for-bit, which is what the oracle gate checks.
+  *
+  * The view IS a commit-log table (snapshot isolation, time travel,
+  * vacuum all apply); `graft.view.*` table properties record the
+  * source root and the last source version folded in, so refresh
+  * resumes exactly where it left off and is idempotent per source
+  * version range.
+  *
+  * 100 TB posture: refresh cost ∝ CHANGED rows since the last refresh
+  * (the CDF contract) plus a MERGE that rewrites only the view files
+  * holding affected keys — never the source, never the whole view. A
+  * daily refresh over a petabyte source whose day touched 0.1% of
+  * rows reads 0.1%, not 100%. Restriction, honest: refresh refuses
+  * ranges the changelog itself refuses (rename/drop commits, pre-CDF
+  * writes) — rebuild with [[create]] across those. */
+object IncrementalView {
+
+  private val SrcProp = "graft.view.sourceRoot"
+  private val KeyProp = "graft.view.keyCol"
+  private val ValProp = "graft.view.valCol"
+  private val VerProp = "graft.view.sourceVersion"
+
+  // total stays DECIMAL(18,4) on both the create and refresh paths —
+  // Spark widens a decimal SUM to (28,4), which the log would (rightly)
+  // refuse as a retype when the refresh merges
+  private def state(keyCol: String, valCol: String, rows: DataFrame): DataFrame =
+    rows.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valCol).cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("total"))
+
+  /** Full compute at the source's current head; returns the view's
+    * version 0. The source head folded in is recorded so the first
+    * refresh starts from exactly here. */
+  def create(s: SparkSession, viewRoot: String, srcRoot: String,
+      keyCol: String, valCol: String, nFiles: Int = 2): Long = {
+    val srcHead = CommitLog.latestVersion(srcRoot)
+      .getOrElse(sys.error(s"cannot build a view over an empty table at $srcRoot"))
+    val v = CommitLog.append(s, viewRoot,
+      state(keyCol, valCol, CommitLog.read(s, srcRoot, srcHead)), nFiles)
+    CommitLog.setTableProperty(viewRoot, SrcProp, srcRoot)
+    CommitLog.setTableProperty(viewRoot, KeyProp, keyCol)
+    CommitLog.setTableProperty(viewRoot, ValProp, valCol)
+    CommitLog.setTableProperty(viewRoot, VerProp, srcHead.toString)
+    v
+  }
+
+  /** Fold the source changes since the last refresh into the view.
+    * Returns (newViewVersion, changeRowsConsumed); a no-change
+    * refresh publishes nothing and returns the current view head. */
+  def refresh(s: SparkSession, viewRoot: String): (Long, Long) = {
+    val srcRoot = CommitLog.tableProperty(viewRoot, SrcProp)
+      .getOrElse(sys.error(s"$viewRoot is not an incremental view (no $SrcProp)"))
+    val keyCol = CommitLog.tableProperty(viewRoot, KeyProp).get
+    val valCol = CommitLog.tableProperty(viewRoot, ValProp).get
+    val from = CommitLog.tableProperty(viewRoot, VerProp).get.toLong
+    val srcHead = CommitLog.latestVersion(srcRoot)
+      .getOrElse(sys.error(s"source table vanished from $srcRoot"))
+    val viewHead = CommitLog.latestVersion(viewRoot)
+      .getOrElse(sys.error(s"view table vanished from $viewRoot"))
+    if (srcHead == from) return (viewHead, 0L)
+    val changes = CommitLog.changesRows(s, srcRoot, from, srcHead)
+    // the signed delta of each change row — the IVM algebra
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+    val deltas = changes
+      .select(col(keyCol), sign.as("_sgn"), col(valCol))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_sgn")).as("dn"),
+        sum(col(valCol).cast("decimal(18,4)") * col("_sgn")).as("dtotal"))
+    val nChanges = changes.count()
+    // fold: affected keys' new states replace their old rows via the
+    // log's MERGE (dirty view files only); zero-count keys drop
+    val current = CommitLog.read(s, viewRoot, viewHead)
+    val folded = deltas.as("d")
+      .join(current.as("c"), Seq(keyCol), "left_outer")
+      .select(col(keyCol),
+        (coalesce(col("c.n"), lit(0L)) + col("d.dn")).as("n"),
+        (coalesce(col("c.total"), lit(java.math.BigDecimal.ZERO)
+          .cast("decimal(18,4)")) + col("d.dtotal"))
+          .cast("decimal(18,4)").as("total"))
+    require(folded.filter(col("n") < 0).isEmpty,
+      "refresh: a key's count went negative — the changelog and view " +
+        "state disagree (was the view edited out-of-band?)")
+    val survivors = folded.filter(col("n") > 0)
+    val vanished = folded.filter(col("n") === 0).select(col(keyCol))
+    val (v1, _, _) = CommitLog.merge(s, viewRoot, survivors, keyCol,
+      nInsertFiles = 1)
+    val v2 =
+      if (vanished.isEmpty) v1
+      else {
+        // bounded by the keys whose count hit zero THIS refresh — a
+        // subset of the changed keys, metadata-sized by the CDF bound
+        val gone = vanished.collect().map(_.get(0)).toSet
+        val (vd, _, _) = CommitLog.delete(s, viewRoot,
+          col(keyCol).isInCollection(gone))
+        vd
+      }
+    CommitLog.setTableProperty(viewRoot, VerProp, srcHead.toString)
+    (v2, nChanges)
+  }
+}

@@ -951,6 +951,50 @@ class StreamingSpec extends SparkSpec {
     assert(CommitLog.read(spark, root, v6).count() === want5.count())
   }
 
+  test("incremental view: deltas fold exactly, vanished keys drop, refresh is idempotent (r10)") {
+    import graft.sources.{CommitLog, IncrementalView, Tables}
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val src = java.nio.file.Files.createTempDirectory("graft_iv_s").toString
+    val vw = java.nio.file.Files.createTempDirectory("graft_iv_v").toString
+    CommitLog.append(spark, src, ev, nFiles = 2)
+    CommitLog.setTableProperty(src, "enableChangeDataFeed", "true")
+    IncrementalView.create(spark, vw, src, "event_type", "value")
+    def recompute() = CommitLog.read(spark, src, CommitLog.latestVersion(src).get)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(18,4)").as("total"))
+    // a MERGE on the source (replace + insert) folds through its
+    // pre/post/insert change types
+    val oneType = ev.select(col("event_type")).distinct()
+      .orderBy(col("event_type")).collect()(0).getString(0)
+    val ups = ev.filter(col("event_type") === oneType).limit(30)
+      .withColumn("value", col("value") * lit(2.0))
+      .unionByName(ev.limit(7)
+        .withColumn("event_id", col("event_id") + 900000000L)
+        .withColumn("event_type", lit("iv_fresh")))
+    CommitLog.merge(spark, src, ups, "event_id", nInsertFiles = 1)
+    val (v1, c1) = IncrementalView.refresh(spark, vw)
+    assert(c1 === 30L * 2 + 7, s"consumed $c1 change rows")
+    val view1 = CommitLog.read(spark, vw, v1)
+    assert(view1.exceptAll(recompute()).count() === 0 &&
+      recompute().exceptAll(view1).count() === 0,
+      "post-merge incremental state diverges from recompute")
+    assert(view1.filter(col("event_type") === "iv_fresh")
+      .collect()(0).getLong(1) === 7L, "inserted key missing from view")
+    // deleting EVERY row of a key drops it from the view
+    CommitLog.delete(spark, src, col("event_type") === "iv_fresh")
+    val (v2, _) = IncrementalView.refresh(spark, vw)
+    val view2 = CommitLog.read(spark, vw, v2)
+    assert(view2.filter(col("event_type") === "iv_fresh").count() === 0,
+      "zero-count key survived in the view")
+    assert(view2.exceptAll(recompute()).count() === 0 &&
+      recompute().exceptAll(view2).count() === 0)
+    // idempotent: nothing new → nothing published, nothing consumed
+    val (v3, c3) = IncrementalView.refresh(spark, vw)
+    assert(v3 === v2 && c3 === 0L, s"no-change refresh published v$v3 ($c3 rows)")
+  }
+
   test("commit log: merge-on-read update equals CoW update; REORG purges surgically, keeps stats (r10)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_cl_udv").toString
