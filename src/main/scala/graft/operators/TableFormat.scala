@@ -19,8 +19,13 @@ import graft.sources.{CommitLog, IncrementalView, Tables}
   *   reads:     q_table_time_travel (pinned snapshots),
   *              q_table_changes (CDF delta),
   *              s_table_stream_read (DSv2 version-offset source)
-  *   writes:    q_table_delete / q_table_merge (CoW row-level),
-  *              q_table_add_column (schema evolution in the log)
+  *   writes:    q_table_delete / q_table_merge / q_table_update (CoW
+  *              row-level), q_table_delete_dv / q_table_update_dv
+  *              (merge-on-read via deletion vectors, purged by
+  *              q_sql_table_reorg), q_table_add_column /
+  *              q_table_column_mapping (schema evolution + rename/drop
+  *              in the log), q_table_incr_view (CDF-folded
+  *              materialized view)
   *   layout:    q_table_stats_prune (manifest file skipping),
   *              q_table_manifest_segments (two-level metadata),
   *              q_table_optimize (range clustering)

@@ -794,4 +794,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
       p.contains("ShuffledHashJoin"), s"no hash/merge join in plan:\n$p")
   }
+
+  test("deletion vectors: unvectored reads keep the fast-path plan; vectored reads add ONE anti join (r10)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_plan_dv").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    CommitLog.append(spark, root, ev, nFiles = 2)
+    // before any vector: the read is a bare parquet scan — no join,
+    // no extra projection (the 285-key fast path must not regress)
+    val before = CommitLog.read(spark, root, 0L)
+      .queryExecution.executedPlan.toString
+    assert(!before.toLowerCase.contains("join"),
+      s"fast-path read grew a join:\n$before")
+    assert(!before.contains("_graft_file"),
+      s"fast-path read grew the file column:\n$before")
+    val (v1, _, _) =
+      CommitLog.deleteMergeOnRead(spark, root, col("user_id") % 4 === 1)
+    // after: exactly one LeftAnti against the sidecar — never a
+    // product, never a per-row filter
+    val after = CommitLog.read(spark, root, v1)
+      .queryExecution.executedPlan.toString
+    assert(after.contains("LeftAnti"), s"no anti join in masked read:\n$after")
+    assert(after.split("LeftAnti").length == 2,
+      s"more than one anti join in masked read:\n$after")
+    assert(!after.contains("CartesianProduct") &&
+      !after.contains("BroadcastNestedLoopJoin"),
+      s"mask degenerated to a product:\n$after")
+  }
 }
