@@ -139,8 +139,9 @@ object ScaleSoak {
     // surgical purge (rewrite ∝ vectored files only)
     "q_table_update_dv", "q_sql_table_reorg",
     // incremental view maintenance: refresh ∝ changed rows + a MERGE
-    // over affected view keys, never the source
-    "q_table_incr_view")
+    // over affected view keys, never the source; the streaming form
+    // folds per micro-batch, idempotent at version granularity
+    "q_table_incr_view", "s_table_view_stream", "q_sql_table_incr_view")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */

@@ -321,6 +321,62 @@ object TableFormat {
           lit(r.getLong(2)).as("files_rewritten"),
           col("n_rows"), col("n_masked_leaks"), col("sum_value")))
     },
+    "s_table_view_stream" -> { (s, dir) =>
+      // CONTINUOUS view maintenance (added r10) — the CDF stream
+      // driving IncrementalView.foldDeltas from foreachBatch: every
+      // micro-batch's change rows fold into the view as they arrive,
+      // so the view trails the table by one trigger instead of one
+      // scheduled refresh. Exactly-once WITHOUT a side channel: folds
+      // are idempotent at source-version granularity (rows at or
+      // below the last folded version drop before folding), so an
+      // at-least-once replay after a crashed batch folds zero rows.
+      // The stream replays from version 0 — the create-time snapshot
+      // (v0) is ALREADY in the view and must be skipped by exactly
+      // that idempotency, which this key therefore proves. Final
+      // state re-derived from pure predicates; consumed counter
+      // pinned (= v1 inserts + v2 deletes, v0 filtered).
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val src = java.nio.file.Files.createTempDirectory("graft_ivs_src")
+      val vw = java.nio.file.Files.createTempDirectory("graft_ivs_view")
+      src.toFile.deleteOnExit(); vw.toFile.deleteOnExit()
+      CommitLog.setTableProperty(src.toString, "enableChangeDataFeed", "true")
+      CommitLog.append(s, src.toString, ev.filter(col("event_id") % 2 === 0), nFiles = 2)
+      IncrementalView.create(s, vw.toString, src.toString, "event_type", "value")
+      CommitLog.append(s, src.toString, ev.filter(col("event_id") % 2 =!= 0), nFiles = 2)
+      CommitLog.delete(s, src.toString, col("user_id") % 4 === 1)
+      val ck = java.nio.file.Files.createTempDirectory("graft_ivs_ck").toString
+      val consumed = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = s.readStream.format("graft.sources.TableStreamProvider")
+        .option("path", src.toString)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          consumed.addAndGet(
+            IncrementalView.foldDeltas(s, vw.toString, batch)._2)
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val view = CommitLog.read(s, vw.toString,
+        CommitLog.latestVersion(vw.toString).get)
+      val full = CommitLog.read(s, src.toString,
+        CommitLog.latestVersion(src.toString).get)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("total"))
+      val exact = if (view.exceptAll(full).count() == 0 &&
+        full.exceptAll(view).count() == 0) 1L else 0L
+      ordered(view
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+          sum(col("total")).cast("double").as("sum_value"))
+        .select(lit(consumed.get()).as("n_change_rows_folded"),
+          lit(exact).as("equals_full_recompute"),
+          col("n_keys"), col("n_rows"), col("sum_value")))
+    },
     "q_table_incr_view" -> { (s, dir) =>
       // Incrementally-maintained materialized view (added r10) — the
       // CDF surface paying off: a per-key COUNT+SUM view refreshed by
@@ -359,6 +415,38 @@ object TableFormat {
           sum(col("total")).cast("double").as("sum_value"))
         .select(lit(consumed).as("n_change_rows_consumed"),
           lit(exact).as("equals_full_recompute"),
+          col("n_keys"), col("n_rows"), col("sum_value")))
+    },
+    "q_sql_table_incr_view" -> { (s, dir) =>
+      // SQL front-end (added r10): CREATE MATERIALIZED VIEW / REFRESH
+      // MATERIALIZED VIEW — the canonical per-key COUNT+SUM aggregate
+      // maintained from the changelog, entirely through SQL: the view
+      // is created as a statement, the source then takes the full
+      // row-level DML mix AS STATEMENTS (DELETE FROM + UPDATE), one
+      // REFRESH folds it all (rows_folded pinned against pure
+      // predicates), and the view reads back through the same catalog
+      // — tables and their derived views live under one namespace.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_mv")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "t").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      CommitLog.append(s, root, ev, nFiles = 2)
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      s.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES ('enableChangeDataFeed' = 'true')")
+      s.sql(
+        s"""CREATE MATERIALIZED VIEW $cat.v AS
+          |SELECT event_type, COUNT(*) AS n, SUM(value) AS total
+          |FROM $cat.t GROUP BY event_type""".stripMargin)
+      s.sql(s"DELETE FROM $cat.t WHERE user_id % 4 = 1")
+      s.sql(s"UPDATE $cat.t SET value = value + 1000.0 WHERE user_id % 4 = 2")
+      val r = s.sql(s"REFRESH MATERIALIZED VIEW $cat.v").collect()(0)
+      ordered(s.sql(s"SELECT n, total FROM $cat.v")
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+          sum(col("total")).cast("double").as("sum_value"))
+        .select(lit(r.getLong(1)).as("rows_folded"),
           col("n_keys"), col("n_rows"), col("sum_value")))
     },
     "q_table_update_dv" -> { (s, dir) =>
@@ -1545,6 +1633,36 @@ object TableFormat {
         |FROM u""".stripMargin +
         orderByAll("head_version", "files_carried", "files_rewritten",
           "n_rows", "n_floored", "sum_value")),
+    "q_sql_table_incr_view" ->
+      ("""WITH f AS (
+        |  SELECT event_type,
+        |    CASE WHEN user_id % 4 = 2 THEN value + 1000.0 ELSE value END AS value
+        |  FROM events WHERE user_id % 4 <> 1),
+        |g AS (SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS total FROM f GROUP BY 1)
+        |SELECT CAST(
+        |    (SELECT COUNT(*) FROM events WHERE user_id % 4 = 1) +
+        |    2 * (SELECT COUNT(*) FROM events WHERE user_id % 4 = 2)
+        |  AS BIGINT) AS rows_folded,
+        |  (SELECT COUNT(*) FROM g) AS n_keys,
+        |  CAST((SELECT SUM(n) FROM g) AS BIGINT) AS n_rows,
+        |  CAST(CAST((SELECT SUM(total) FROM g) AS STRING) AS DOUBLE) AS sum_value""".stripMargin +
+        orderByAll("rows_folded", "n_keys", "n_rows", "sum_value")),
+    "s_table_view_stream" ->
+      ("""WITH f AS (
+        |  SELECT event_type, value FROM events WHERE user_id % 4 <> 1),
+        |g AS (SELECT event_type, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS total FROM f GROUP BY 1)
+        |SELECT CAST(
+        |    (SELECT COUNT(*) FROM events WHERE event_id % 2 <> 0) +
+        |    (SELECT COUNT(*) FROM events WHERE user_id % 4 = 1)
+        |  AS BIGINT) AS n_change_rows_folded,
+        |  CAST(1 AS BIGINT) AS equals_full_recompute,
+        |  (SELECT COUNT(*) FROM g) AS n_keys,
+        |  CAST((SELECT SUM(n) FROM g) AS BIGINT) AS n_rows,
+        |  CAST(CAST((SELECT SUM(total) FROM g) AS STRING) AS DOUBLE) AS sum_value""".stripMargin +
+        orderByAll("n_change_rows_folded", "equals_full_recompute",
+          "n_keys", "n_rows", "sum_value")),
     "q_table_incr_view" ->
       ("""WITH f AS (
         |  SELECT event_type,

@@ -57,6 +57,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*UPDATE\s+([\w.]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*""".r
   private val reorgRe =
     """(?is)\s*REORG\s+TABLE\s+([\w.]+)\s+APPLY\s*\(\s*PURGE\s*\)\s*;?\s*""".r
+  // the canonical incrementally-maintainable aggregate shape (per-key
+  // COUNT + SUM — IncrementalView's contract), aliased n/total
+  private val createMvRe =
+    ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+AS\s+SELECT\s+(\w+)\s*,\s*""" +
+      """COUNT\s*\(\s*\*\s*\)\s+AS\s+n\s*,\s*SUM\s*\(\s*(\w+)\s*\)\s+AS\s+total\s+""" +
+      """FROM\s+([\w.]+)\s+GROUP\s+BY\s+(?:1|\w+)\s*;?\s*""").r
+  private val refreshMvRe =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
   private val mergeRe =
     ("""(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?""" +
       """\s+ON\s+(\w+)\s*\.\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)""" +
@@ -93,6 +101,12 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       UpdateGraftCommand(ident.split('.').toSeq, sets, cond)
     case reorgRe(ident) if isGraftCatalog(ident) =>
       ReorgTableCommand(ident.split('.').toSeq)
+    case createMvRe(view, key, value, srcT)
+        if isGraftCatalog(view) && isGraftCatalog(srcT) =>
+      CreateMaterializedViewCommand(view.split('.').toSeq,
+        srcT.split('.').toSeq, key, value)
+    case refreshMvRe(view) if isGraftCatalog(view) =>
+      RefreshMaterializedViewCommand(view.split('.').toSeq)
     case mergeRe(ident, tAls, src, sAls, q1, c1, q2, c2) if isGraftCatalog(ident) =>
       val tAlias = Option(tAls).getOrElse(ident.split('.').last)
       val sAlias = Option(sAls).getOrElse(src.split('.').last)
@@ -329,6 +343,37 @@ case class UpdateGraftCommand(parts: Seq[String], setSql: String,
       val (v, carried, rewritten) = CommitLog.update(s, root, cond, assignments)
       Seq(Row(v, carried, rewritten))
     }
+  }
+}
+
+/** CREATE MATERIALIZED VIEW cat.v AS SELECT key, COUNT(*) AS n,
+  * SUM(val) AS total FROM cat.t GROUP BY key — the canonical
+  * incrementally-maintainable aggregate as a statement, routed to
+  * [[graft.sources.IncrementalView.create]]: a full compute at the
+  * source head, with the source root and folded version recorded so
+  * REFRESH folds only the changelog. Returns the view's version 0. */
+case class CreateMaterializedViewCommand(view: Seq[String],
+    source: Seq[String], keyCol: String, valCol: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(GraftSqlCommands.attr("view_version"))
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(graft.sources.IncrementalView.create(s,
+      GraftSqlCommands.rootOf(s, view), GraftSqlCommands.rootOf(s, source),
+      keyCol, valCol)))
+}
+
+/** REFRESH MATERIALIZED VIEW cat.v — fold the source's changelog
+  * since the last refresh into the view (cost ∝ changed rows, never
+  * the source). Returns (view_version, rows_folded). */
+case class RefreshMaterializedViewCommand(view: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlCommands.attr("view_version"),
+    GraftSqlCommands.attr("rows_folded"))
+  override def run(s: SparkSession): Seq[Row] = {
+    val (v, n) = graft.sources.IncrementalView.refresh(s,
+      GraftSqlCommands.rootOf(s, view))
+    Seq(Row(v, n))
   }
 }
 

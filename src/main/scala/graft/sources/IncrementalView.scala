@@ -68,15 +68,32 @@ object IncrementalView {
   def refresh(s: SparkSession, viewRoot: String): (Long, Long) = {
     val srcRoot = CommitLog.tableProperty(viewRoot, SrcProp)
       .getOrElse(sys.error(s"$viewRoot is not an incremental view (no $SrcProp)"))
-    val keyCol = CommitLog.tableProperty(viewRoot, KeyProp).get
-    val valCol = CommitLog.tableProperty(viewRoot, ValProp).get
     val from = CommitLog.tableProperty(viewRoot, VerProp).get.toLong
     val srcHead = CommitLog.latestVersion(srcRoot)
       .getOrElse(sys.error(s"source table vanished from $srcRoot"))
     val viewHead = CommitLog.latestVersion(viewRoot)
       .getOrElse(sys.error(s"view table vanished from $viewRoot"))
     if (srcHead == from) return (viewHead, 0L)
-    val changes = CommitLog.changesRows(s, srcRoot, from, srcHead)
+    foldDeltas(s, viewRoot, CommitLog.changesRows(s, srcRoot, from, srcHead))
+  }
+
+  /** Fold a batch of change rows (tagged `_change_type` +
+    * `_commit_version` — [[CommitLog.changesRows]]'s shape, also the
+    * streaming CDF source's) into the view. IDEMPOTENT at version
+    * granularity: rows at or below the last folded source version are
+    * dropped before folding, so an at-least-once delivery (a replayed
+    * micro-batch after a crashed foreachBatch) folds zero rows the
+    * second time — this is what makes continuous maintenance off the
+    * CDF STREAM exactly-once without any side channel. Returns
+    * (viewVersion, changeRowsFolded). */
+  def foldDeltas(s: SparkSession, viewRoot: String,
+      changeRows: DataFrame): (Long, Long) = {
+    val keyCol = CommitLog.tableProperty(viewRoot, KeyProp).get
+    val valCol = CommitLog.tableProperty(viewRoot, ValProp).get
+    val from = CommitLog.tableProperty(viewRoot, VerProp).get.toLong
+    val viewHead = CommitLog.latestVersion(viewRoot)
+      .getOrElse(sys.error(s"view table vanished from $viewRoot"))
+    val changes = changeRows.filter(col("_commit_version") > from)
     // the signed delta of each change row — the IVM algebra
     val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .when(col("_change_type").isin("delete", "update_preimage"), -1L)
@@ -86,6 +103,8 @@ object IncrementalView {
       .agg(sum(col("_sgn")).as("dn"),
         sum(col(valCol).cast("decimal(18,4)") * col("_sgn")).as("dtotal"))
     val nChanges = changes.count()
+    if (nChanges == 0) return (viewHead, 0L)
+    val maxVer = changes.agg(max(col("_commit_version"))).collect()(0).getLong(0)
     // fold: affected keys' new states replace their old rows via the
     // log's MERGE (dirty view files only); zero-count keys drop
     val current = CommitLog.read(s, viewRoot, viewHead)
@@ -113,7 +132,7 @@ object IncrementalView {
           col(keyCol).isInCollection(gone))
         vd
       }
-    CommitLog.setTableProperty(viewRoot, VerProp, srcHead.toString)
+    CommitLog.setTableProperty(viewRoot, VerProp, maxVer.toString)
     (v2, nChanges)
   }
 }

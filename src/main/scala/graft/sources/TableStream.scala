@@ -296,6 +296,7 @@ class GroupParquetReader(path: String, schema: StructType)
     require(f.dataType match {
       case LongType | IntegerType | DoubleType | FloatType | StringType |
            BooleanType | TimestampType | TimestampNTZType => true
+      case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
       case _ => false
     }, s"graft-table reader supports flat primitive columns; '${f.name}' is ${f.dataType}")
   }
@@ -353,6 +354,24 @@ class GroupParquetReader(path: String, schema: StructType)
             case PrimitiveType.PrimitiveTypeName.INT96 =>
               int96Micros(g.getInt96(idx, 0).getBytes)
             case _ => g.getLong(idx, 0) // INT64 micros
+          }
+        case d: org.apache.spark.sql.types.DecimalType =>
+          // precision ≤ 18 stores the unscaled value: INT64 (Spark's
+          // default) or INT32 for tiny precisions; byte-array-backed
+          // decimals decode from big-endian two's-complement
+          gType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+            case PrimitiveType.PrimitiveTypeName.INT64 =>
+              org.apache.spark.sql.types.Decimal(
+                g.getLong(idx, 0), d.precision, d.scale)
+            case PrimitiveType.PrimitiveTypeName.INT32 =>
+              org.apache.spark.sql.types.Decimal(
+                g.getInteger(idx, 0).toLong, d.precision, d.scale)
+            case _ =>
+              val bytes = g.getBinary(idx, 0).getBytes
+              org.apache.spark.sql.types.Decimal(
+                new java.math.BigDecimal(
+                  new java.math.BigInteger(bytes), d.scale),
+                d.precision, d.scale)
           }
         case other => throw new IllegalStateException(s"unreachable: $other")
       }
