@@ -1606,11 +1606,12 @@ object CommitLog {
     val (dirty, clean) =
       files.partition(f => dirtyCanon.contains(new java.io.File(f).getCanonicalPath))
     val carried = clean.map(p => relativize(root, p))
-    val rewritten =
-      if (dirty.isEmpty) Nil
+    val aux0 = carriedAux(root, Some(prev))
+    val (rewritten, rewriteAux) =
+      if (dirty.isEmpty) (Nil, Aux())
       // keep = NOT(cond) under three-valued logic would DROP rows where
       // cond is NULL (a NULL-keyed row is not a match — it must survive)
-      else stageDataFiles(s, root,
+      else stageRewrite(s, root, aux0,
         readSubset(s, root, prev, dirty)
           .filter(!org.apache.spark.sql.functions.coalesce(
             cond, org.apache.spark.sql.functions.lit(false))),
@@ -1628,15 +1629,17 @@ object CommitLog {
         readSubset(s, root, prev, dirty).filter(cond)
           .withColumn("_change_type", lit("delete"))))
     // carried files keep their stats entries; rewritten files get
-    // TYPED stats recomputed (restageColStats — data-skipping must
-    // survive deletes); the legacy single-column ints stay carry-only
+    // TYPED stats recomputed (restageColStats) AND fresh partition
+    // entries on a partitioned table (stageRewrite) — data-skipping
+    // and partition pruning both survive deletes; the legacy
+    // single-column ints stay carry-only
     val (prevCol, prevStats) = snapshotStatsOf(root, prev)
     val v = commit(root, carried ++ rewritten, Some(prev), op = "delete",
       statsCol = prevCol,
       stats = { val cs = carried.toSet; prevStats.filter(kv => cs(kv._1)) },
       schemaJson = carriedSchemaJson(root, Some(prev)),
       extra = auxExtra(restageColStats(s, root,
-        carriedAux(root, Some(prev)).filterFiles(carried.toSet), rewritten)) ++
+        aux0.filterFiles(carried.toSet).merged(rewriteAux), rewritten)) ++
         cdf.map(renderCdf).toSeq)
     (v, clean.size.toLong, rewritten.size.toLong)
   }
@@ -1806,12 +1809,16 @@ object CommitLog {
     val (dirty, clean) =
       files.partition(f => dirtyCanon.contains(new java.io.File(f).getCanonicalPath))
     val carried = clean.map(p => relativize(root, p))
-    val rewritten =
-      if (dirty.isEmpty) Nil
-      else stageDataFiles(s, root,
+    val mAux0 = carriedAux(root, Some(prev))
+    val (rewritten, rewriteAux) =
+      if (dirty.isEmpty) (Nil, Aux())
+      else stageRewrite(s, root, mAux0,
         readSubset(s, root, prev, dirty).join(keys, Seq(keyCol), "left_anti"),
         math.max(1, dirty.size))
-    val inserted = stageDataFiles(s, root, updates, nInsertFiles)
+    // update rows keep the table's layout too: a partitioned table's
+    // merge stages its replacements + inserts partition-aligned
+    val (inserted, insertAux) =
+      stageRewrite(s, root, mAux0, updates, nInsertFiles)
     // row-level CDF (r10) from data the CoW pass already touches:
     // matched rows in dirty files are the pre-images; updates on
     // matched keys are the post-images; updates on unmatched keys are
@@ -1840,7 +1847,7 @@ object CommitLog {
       stats = { val cs = carried.toSet; prevStats.filter(kv => cs(kv._1)) },
       schemaJson = carriedSchemaJson(root, Some(prev)),
       extra = auxExtra(restageColStats(s, root,
-        carriedAux(root, Some(prev)).filterFiles(carried.toSet),
+        mAux0.filterFiles(carried.toSet).merged(rewriteAux).merged(insertAux),
         rewritten ++ inserted)) ++
         cdf.map(renderCdf).toSeq)
     (v, clean.size.toLong, rewritten.size.toLong)
@@ -1919,10 +1926,10 @@ object CommitLog {
       enforceConstraints(s, root,
         applied(readSubset(s, root, prev, dirty)).filter(hit), "update")
     }
-    val rewritten =
-      if (dirty.isEmpty) Nil
-      else stageDataFiles(s, root, applied(readSubset(s, root, prev, dirty)),
-        math.max(1, dirty.size))
+    val (rewritten, rewriteAux) =
+      if (dirty.isEmpty) (Nil, Aux())
+      else stageRewrite(s, root, aux0,
+        applied(readSubset(s, root, prev, dirty)), math.max(1, dirty.size))
     val cdf: Option[Seq[String]] =
       if (!cdfEnabled(root)) None
       else if (dirty.isEmpty) Some(Nil)
@@ -1937,7 +1944,7 @@ object CommitLog {
       stats = { val cs = carried.toSet; prevStats.filter(kv => cs(kv._1)) },
       schemaJson = carriedSchemaJson(root, Some(prev)),
       extra = auxExtra(restageColStats(s, root,
-        aux0.filterFiles(carried.toSet), rewritten)) ++
+        aux0.filterFiles(carried.toSet).merged(rewriteAux), rewritten)) ++
         cdf.map(renderCdf).toSeq)
     (v, clean.size.toLong, rewritten.size.toLong)
   }
@@ -2000,8 +2007,9 @@ object CommitLog {
       d.withColumn(c, e.cast(types(c)))
     }
     if (nRows > 0) enforceConstraints(s, root, post, "updateMergeOnRead")
-    val inserted = if (nRows == 0) Nil
-      else stageDataFiles(s, root, post, math.max(1, nFiles))
+    val (inserted, insertAux) =
+      if (nRows == 0) (Nil, Aux())
+      else stageRewrite(s, root, aux0, post, math.max(1, nFiles))
     val cdf: Option[Seq[String]] =
       if (!cdfEnabled(root)) None
       else if (nRows == 0) Some(Nil)
@@ -2018,7 +2026,7 @@ object CommitLog {
       statsCol = prevCol, stats = prevStats,
       schemaJson = carriedSchemaJson(root, Some(prev)),
       extra = auxExtra(restageColStats(s, root,
-        aux0.merged(newDvs), inserted)) ++
+        aux0.merged(newDvs).merged(insertAux), inserted)) ++
         cdf.map(renderCdf).toSeq)
     (v, affected.size.toLong, nRows)
   }
@@ -2058,6 +2066,23 @@ object CommitLog {
       schemaJson = snapshotSchemaOf(root, toVersion).map(_.json),
       extra = auxExtra(auxOf(root, toVersion)))
   }
+
+  /** Layout maintenance across CoW rewrites (r10) — the
+    * partition-pruning twin of [[restageColStats]]: on a PARTITIONED
+    * table, a rewrite's surviving rows restage through the
+    * partitioned writer so the rewritten files get fresh partition
+    * entries — without this every delete/update/merge grew a
+    * partition-unprunable tail and a long-lived partitioned table's
+    * pruning decayed exactly like its stats used to. Unpartitioned
+    * tables (or frames that dropped the partition column) stage
+    * plain, as before. */
+  private def stageRewrite(s: SparkSession, root: String, aux: Aux,
+      df: DataFrame, nFiles: Int): (Seq[String], Aux) =
+    aux.partCol match {
+      case Some(pc) if df.columns.contains(pc) =>
+        stagePartitioned(s, root, df, pc, filesPerPartition = 1)
+      case _ => (stageDataFiles(s, root, df, nFiles), Aux())
+    }
 
   /** Typed-stats maintenance across CoW rewrites (r10): when the
     * table records statsTags, recompute per-file bounds for freshly

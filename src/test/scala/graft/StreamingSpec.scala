@@ -520,6 +520,26 @@ class StreamingSpec extends SparkSpec {
       CommitLog.partitionPrunedRead(spark, root, v2, "user_id", Seq("1"))
     }
     assert(ex.getMessage.contains("partition column"), ex.getMessage)
+    // a PARTIAL-partition delete rewrites files — since late r10 the
+    // rewrites restage partition-aligned, so the layout (and pruning)
+    // survives: an 'error' probe must NOT read 'view''s rewritten files
+    val (v3, _, rew3) = CommitLog.delete(spark, root,
+      col("event_type") === "view" && col("user_id") % 4 === 0)
+    assert(rew3 > 0, "fixture must dirty view's files")
+    val (df3, total3, nRead3) =
+      CommitLog.partitionPrunedRead(spark, root, v3, "event_type", Seq("error"))
+    assert(nRead3 === 2,
+      s"rewritten files lost their partition entries: read $nRead3 of $total3")
+    assert(df3.filter(col("event_type") === "error").count() ===
+      ev.filter(col("event_type") === "error").count())
+    // ... and the rewritten partition itself still prunes AND is whole
+    val (df3v, _, nRead3v) =
+      CommitLog.partitionPrunedRead(spark, root, v3, "event_type", Seq("view"))
+    assert(nRead3v.toInt === df3v.inputFiles.length && nRead3v <= 2,
+      s"view probe read $nRead3v files")
+    assert(df3v.filter(col("event_type") === "view").count() ===
+      ev.filter(col("event_type") === "view" &&
+        !(col("user_id") % 4 === 0)).count())
     // the streaming sink twin: version ≡ batchId with partition values
     val root2 = java.nio.file.Files.createTempDirectory("graft_cl_partb").toString
     assert(CommitLog.appendBatchPartitioned(spark, root2,
