@@ -338,7 +338,9 @@ case class UpdateGraftCommand(parts: Seq[String], setSql: String,
     // and append new ones (zero rewrites), the rest copy-on-write
     if (CommitLog.tableProperty(root, "enableDeletionVectors").contains("true")) {
       val (v, _, _) = CommitLog.updateMergeOnRead(s, root, cond, assignments)
-      Seq(Row(v, CommitLog.snapshotFiles(root, v).size.toLong, 0L))
+      // carried = the PRIOR snapshot (every file rides through); the
+      // head additionally holds the appended post-image files
+      Seq(Row(v, CommitLog.snapshotFiles(root, v - 1).size.toLong, 0L))
     } else {
       val (v, carried, rewritten) = CommitLog.update(s, root, cond, assignments)
       Seq(Row(v, carried, rewritten))

@@ -272,6 +272,17 @@ object CommitLog {
     Aux(partCol, parts, tags, stats2, dvs)
   }
 
+  /** A writer-defined numeric manifest field (threaded through
+    * commit's `extra` fragments — e.g. the incremental view's
+    * folded-source watermark, which must land ATOMICALLY with the
+    * fold's own commit). None when the version's writer never
+    * recorded it. */
+  def longMetaOf(root: String, version: Long, field: String): Option[Long] = {
+    val node = mapper.readTree(
+      java.nio.file.Files.readString(manifest(root, version).toPath))
+    Option(node.get(field)).map(_.asLong())
+  }
+
   /** The CDF (change-data-feed) file list `version`'s manifest records
     * — relative paths under cdf/, present only on delete/merge
     * commits made by CDF-aware writers. */
@@ -597,14 +608,28 @@ object CommitLog {
       else Some {
         val dvPaths = dvFiles.flatMap(dvOf).distinct
           .map(r => new java.io.File(root, r).toString)
-        val dv = s.read.parquet(dvPaths: _*).select(col("f"), col("i"))
+        // dv-side columns pinned by frame reference — a user table
+        // with its own 'f' or 'i' column must not make the join
+        // condition ambiguous
+        val dv = s.read.parquet(dvPaths: _*)
         tagged(dvFiles)
           .withColumn("_gi", col("_metadata.row_index"))
-          .join(dv, substring_index(col("_graft_file"), "/", -1) === col("f") &&
-            col("_gi") === col("i"), "left_anti")
+          .join(dv, substring_index(col("_graft_file"), "/", -1) === dv("f") &&
+            col("_gi") === dv("i"), "left_anti")
           .drop("_gi")
       }).flatten
-    val unioned = parts0.reduce(_.unionByName(_))
+    // an EMPTY snapshot (every row deleted) still needs a well-formed
+    // frame for the CoW discovery paths — same schema'd empty scan the
+    // fast path produces, plus null-typed tag columns
+    val unioned =
+      if (parts0.nonEmpty) parts0.reduce(_.unionByName(_))
+      else {
+        val base = scan(files).withColumn("_graft_file",
+          org.apache.spark.sql.functions.lit(null).cast("string"))
+        if (withPos) base.withColumn("_graft_pos",
+          org.apache.spark.sql.functions.lit(null).cast("long"))
+        else base
+      }
     val extras =
       (if (withFile) Seq(col("_graft_file")) else Nil) ++
         (if (withPos) Seq(col("_graft_pos")) else Nil)
@@ -712,7 +737,7 @@ object CommitLog {
     }
     val merged = org.apache.spark.sql.types.StructType(
       prevSchema ++ df.schema.fields.filterNot(f => byName.contains(f.name))
-        .map(avoidPhysicalClash(
+        .map(avoidPhysicalClash(root,
           org.apache.spark.sql.types.StructType(prevSchema), _)))
     val (prevCol, prevStats) =
       prev.map(v => snapshotStatsOf(root, v)).getOrElse((None, Map.empty[String, (Long, Long)]))
@@ -747,7 +772,7 @@ object CommitLog {
       s"evolveSchema: column '${f.name}' already exists — evolution " +
         "adds columns, it never retypes them"))
     val merged = org.apache.spark.sql.types.StructType(
-      prevSchema.fields.toSeq ++ newFields.map(avoidPhysicalClash(prevSchema, _)))
+      prevSchema.fields.toSeq ++ newFields.map(avoidPhysicalClash(root, prevSchema, _)))
     val prevFiles = snapshotFiles(root, prev).map(p => relativize(root, p))
     val (prevCol, prevStats) = snapshotStatsOf(root, prev)
     commit(root, prevFiles, Some(prev),
@@ -755,14 +780,24 @@ object CommitLog {
       extra = auxExtra(carriedAux(root, Some(prev))))
   }
 
+  /** Dropped columns' PHYSICAL parquet names, comma-joined — their
+    * bytes linger in existing files, so those names stay reserved
+    * forever (see [[dropColumn]] / [[avoidPhysicalClash]]). */
+  private val PhysTombstonesProp = "graft.physical.tombstones"
+
   /** A new column whose logical name collides with an EXISTING
     * field's physical name (possible after a rename freed the logical
-    * name but not the parquet one) gets a fresh physical name — two
-    * fields must never stage to the same parquet column. */
-  private def avoidPhysicalClash(
+    * name but not the parquet one) — or with a DROPPED column's
+    * tombstoned physical name (the old bytes still sit in files and
+    * would resurrect under the new column) — gets a fresh physical
+    * name: two fields must never stage to, or read from, the same
+    * parquet column. */
+  private def avoidPhysicalClash(root: String,
       prev: org.apache.spark.sql.types.StructType,
       f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.types.StructField = {
-    val taken = prev.fields.map(physicalName).toSet
+    val taken = prev.fields.map(physicalName).toSet ++
+      tableProperty(root, PhysTombstonesProp)
+        .map(_.split(',').toSet).getOrElse(Set.empty)
     if (!taken.contains(physicalName(f))) f
     else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
       .withMetadata(f.metadata)
@@ -822,7 +857,10 @@ object CommitLog {
     val newAux = Aux(aux.partCol.map(ren), aux.parts,
       aux.statsTags.map { case (k, v) => ren(k) -> v },
       aux.stats2.map { case (f2, m) =>
-        f2 -> m.map { case (k, v) => ren(k) -> v } })
+        f2 -> m.map { case (k, v) => ren(k) -> v } },
+      // deletion vectors are file-keyed, not column-keyed — they ride
+      // through untouched (dropping them would RESURRECT deleted rows)
+      aux.dvs)
     val (prevCol, prevStats) = snapshotStatsOf(root, prev)
     commit(root, snapshotFiles(root, prev).map(p => relativize(root, p)),
       Some(prev), op = "rename_column",
@@ -856,7 +894,17 @@ object CommitLog {
     val fields = st.fields.filterNot(_.name == name)
     val newAux = Aux(aux.partCol, aux.parts,
       aux.statsTags - name,
-      aux.stats2.map { case (f2, m) => f2 -> (m - name) })
+      aux.stats2.map { case (f2, m) => f2 -> (m - name) },
+      // file-keyed deletion vectors ride through (see renameColumn)
+      aux.dvs)
+    // tombstone the dropped PHYSICAL name: the bytes linger in files,
+    // so a later re-add under the same name must NOT reuse it — it
+    // would resurrect the old values under the "new" column
+    val dropped = st.fields.find(_.name == name).map(physicalName).get
+    val prevTs = tableProperty(root, PhysTombstonesProp)
+      .map(_.split(',').toSeq).getOrElse(Nil)
+    setTableProperty(root, PhysTombstonesProp,
+      (prevTs :+ dropped).distinct.mkString(","))
     val (prevCol, prevStats) = snapshotStatsOf(root, prev)
     val keepLegacy = !prevCol.contains(name)
     commit(root, snapshotFiles(root, prev).map(p => relativize(root, p)),
@@ -1589,11 +1637,15 @@ object CommitLog {
     * lakehouse contract. Returns (newVersion, filesCarried,
     * filesRewritten). */
   def delete(s: SparkSession, root: String,
-      cond: org.apache.spark.sql.Column): (Long, Long, Long) = {
+      cond: org.apache.spark.sql.Column,
+      extraMeta: Seq[String] = Nil): (Long, Long, Long) = {
     import org.apache.spark.sql.functions.{col, lit}
     val prev = latestVersion(root)
       .getOrElse(sys.error(s"cannot delete from an empty table at $root"))
     val files = snapshotFiles(root, prev)
+    // a row-less snapshot has nothing to delete — and nothing to scan
+    // (a schemaless empty scan cannot even infer its own shape)
+    if (files.isEmpty) return (prev, 0L, 0L)
     // canonical paths on both sides: _graft_file yields absolute
     // URIs while snapshotFiles reflects the caller's (possibly
     // relative) root — a raw string compare would mark nothing dirty
@@ -1640,7 +1692,7 @@ object CommitLog {
       schemaJson = carriedSchemaJson(root, Some(prev)),
       extra = auxExtra(restageColStats(s, root,
         aux0.filterFiles(carried.toSet).merged(rewriteAux), rewritten)) ++
-        cdf.map(renderCdf).toSeq)
+        cdf.map(renderCdf).toSeq ++ extraMeta)
     (v, clean.size.toLong, rewritten.size.toLong)
   }
 
@@ -1674,6 +1726,7 @@ object CommitLog {
     val prev = latestVersion(root)
       .getOrElse(sys.error(s"cannot delete from an empty table at $root"))
     val files = snapshotFiles(root, prev)
+    if (files.isEmpty) return (prev, 0L, 0L) // row-less snapshot: no-op
     // positions are PHYSICAL row indexes; the scan respects existing
     // vectors, so an already-dead row can never re-delete
     val doomed = readSubsetWithFilePos(s, root, prev, files).filter(cond)
@@ -1757,7 +1810,10 @@ object CommitLog {
     val vs = vectored.toSet
     val clean = files.filterNot(vs)
     val carried = clean.map(p => relativize(root, p))
-    val staged = stageDataFiles(s, root,
+    // stageRewrite: a partitioned table's purge keeps its layout
+    // (fresh partition entries for the replacements), like every
+    // other CoW rewrite path
+    val (staged, stagedAux) = stageRewrite(s, root, aux,
       readSubset(s, root, prev, vectored), math.max(1, vectored.size))
     val (prevCol, prevStats) = snapshotStatsOf(root, prev)
     val v = commit(root, carried ++ staged, Some(prev), op = "optimize",
@@ -1765,7 +1821,7 @@ object CommitLog {
       stats = { val cs = carried.toSet; prevStats.filter(kv => cs(kv._1)) },
       schemaJson = carriedSchemaJson(root, Some(prev)),
       extra = auxExtra(restageColStats(s, root,
-        aux.filterFiles(carried.toSet), staged)))
+        aux.filterFiles(carried.toSet).merged(stagedAux), staged)))
     (v, clean.size.toLong, staged.size.toLong)
   }
 
@@ -1787,7 +1843,8 @@ object CommitLog {
     * set small, and the dirty-file scan pushes the key predicate to
     * parquet. Returns (newVersion, filesCarried, filesRewritten). */
   def merge(s: SparkSession, root: String, updates: DataFrame,
-      keyCol: String, nInsertFiles: Int): (Long, Long, Long) = {
+      keyCol: String, nInsertFiles: Int,
+      extraMeta: Seq[String] = Nil): (Long, Long, Long) = {
     import org.apache.spark.sql.functions.col
     enforceConstraints(s, root, updates, "merge")
     val prev = latestVersion(root)
@@ -1799,13 +1856,15 @@ object CommitLog {
     // pins it at the scan); canonical paths on both sides (see
     // delete() — a relative root would otherwise silently turn the
     // merge into insert-only)
-    val dirtyCanon = readSubsetWithFile(s, root, prev, files)
-      .select(col(keyCol), col("_graft_file"))
-      .join(keys, Seq(keyCol), "left_semi")
-      .select(col("_graft_file")).distinct()
-      .collect().map(r =>
-        new java.io.File(new java.net.URI(r.getString(0))).getCanonicalPath)
-      .toSet
+    val dirtyCanon =
+      if (files.isEmpty) Set.empty[String] // row-less target: all inserts
+      else readSubsetWithFile(s, root, prev, files)
+        .select(col(keyCol), col("_graft_file"))
+        .join(keys, Seq(keyCol), "left_semi")
+        .select(col("_graft_file")).distinct()
+        .collect().map(r =>
+          new java.io.File(new java.net.URI(r.getString(0))).getCanonicalPath)
+        .toSet
     val (dirty, clean) =
       files.partition(f => dirtyCanon.contains(new java.io.File(f).getCanonicalPath))
     val carried = clean.map(p => relativize(root, p))
@@ -1849,7 +1908,7 @@ object CommitLog {
       extra = auxExtra(restageColStats(s, root,
         mAux0.filterFiles(carried.toSet).merged(rewriteAux).merged(insertAux),
         rewritten ++ inserted)) ++
-        cdf.map(renderCdf).toSeq)
+        cdf.map(renderCdf).toSeq ++ extraMeta)
     (v, clean.size.toLong, rewritten.size.toLong)
   }
 
@@ -1891,6 +1950,7 @@ object CommitLog {
     val prev = latestVersion(root)
       .getOrElse(sys.error(s"cannot update an empty table at $root"))
     val files = snapshotFiles(root, prev)
+    if (files.isEmpty) return (prev, 0L, 0L) // row-less snapshot: no-op
     val full = readSubsetWithFile(s, root, prev, files)
     val types = full.schema.fields.filterNot(_.name == "_graft_file")
       .map(f => f.name -> f.dataType).toMap
@@ -1906,10 +1966,18 @@ object CommitLog {
           "across partitions — use merge or overwrite instead")
     }
     val hit = coalesce(cond, lit(false))
+    val asg = assignments.toMap
+    // ONE select: the predicate AND every RHS evaluate against the
+    // PRE-image row — SQL UPDATE semantics. A withColumn chain would
+    // re-resolve them against earlier assignments' outputs (cond over
+    // an assigned column would flip mid-statement, and
+    // SET a = b, b = a would fail to swap).
     def applied(df: DataFrame): DataFrame =
-      assignments.foldLeft(df) { case (d, (c, e)) =>
-        d.withColumn(c, when(hit, e.cast(types(c))).otherwise(col(c)))
-      }
+      df.select(df.columns.map { c =>
+        asg.get(c)
+          .map(e => when(hit, e.cast(types(c))).otherwise(col(c)).as(c))
+          .getOrElse(col(c))
+      }.toIndexedSeq: _*)
     // canonical paths on both sides (see delete — a relative root
     // would otherwise silently no-op the update)
     val dirtyCanon = full.filter(cond)
@@ -1970,6 +2038,7 @@ object CommitLog {
     val prev = latestVersion(root)
       .getOrElse(sys.error(s"cannot update an empty table at $root"))
     val files = snapshotFiles(root, prev)
+    if (files.isEmpty) return (prev, 0L, 0L) // row-less snapshot: no-op
     val full = readSubsetWithFilePos(s, root, prev, files)
     val types = full.schema.fields
       .filterNot(f => f.name == "_graft_file" || f.name == "_graft_pos")
@@ -2001,11 +2070,13 @@ object CommitLog {
           dv.select(col("f")).distinct().collect().map(_.getString(0)).toSet)
       }
     // ... new versions append; they are the only NEW row states, so
-    // they alone re-validate CHECK constraints
-    val post = assignments.foldLeft(
-      matched.drop("_graft_file", "_graft_pos")) { case (d, (c, e)) =>
-      d.withColumn(c, e.cast(types(c)))
-    }
+    // they alone re-validate CHECK constraints. ONE select: every RHS
+    // evaluates against the PRE-image row (see update()'s applied)
+    val postBase = matched.drop("_graft_file", "_graft_pos")
+    val asg = assignments.toMap
+    val post = postBase.select(postBase.columns.map { c =>
+      asg.get(c).map(e => e.cast(types(c)).as(c)).getOrElse(col(c))
+    }.toIndexedSeq: _*)
     if (nRows > 0) enforceConstraints(s, root, post, "updateMergeOnRead")
     val (inserted, insertAux) =
       if (nRows == 0) (Nil, Aux())

@@ -16,12 +16,17 @@ import org.apache.spark.sql.functions._
   * count reaches zero drop out). Sums fold in DECIMAL(18,4) so the
   * incremental path is EXACT — refresh-after-many-commits equals a
   * full recompute bit-for-bit, which is what the oracle gate checks.
+  * NULL group keys are excluded from the view contract (the log's
+  * MERGE keys by equality, where NULL never matches itself — the
+  * public engines restrict their maintainable views the same way).
   *
   * The view IS a commit-log table (snapshot isolation, time travel,
   * vacuum all apply); `graft.view.*` table properties record the
-  * source root and the last source version folded in, so refresh
-  * resumes exactly where it left off and is idempotent per source
-  * version range.
+  * source root and column spec. The last source version folded in
+  * rides IN THE FOLD'S OWN COMMIT (manifest field `viewSrc`), so the
+  * watermark advances atomically with the state it describes — a
+  * crash cannot leave an advanced watermark over unfolded deltas or
+  * silently double-fold on replay (see [[foldDeltas]]).
   *
   * 100 TB posture: refresh cost ∝ CHANGED rows since the last refresh
   * (the CDF contract) plus a MERGE that rewrites only the view files
@@ -36,15 +41,33 @@ object IncrementalView {
   private val KeyProp = "graft.view.keyCol"
   private val ValProp = "graft.view.valCol"
   private val VerProp = "graft.view.sourceVersion"
+  private val VerField = "viewSrc"
 
   // total stays DECIMAL(18,4) on both the create and refresh paths —
   // Spark widens a decimal SUM to (28,4), which the log would (rightly)
   // refuse as a retype when the refresh merges
   private def state(keyCol: String, valCol: String, rows: DataFrame): DataFrame =
-    rows.groupBy(col(keyCol))
+    rows.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"),
         sum(col(valCol).cast("decimal(18,4)"))
           .cast("decimal(18,4)").as("total"))
+
+  /** The last source version folded into the view: the most recent
+    * retained commit carrying a `viewSrc` field (a fold wrote it —
+    * atomic with the fold; maintenance commits like compact don't, so
+    * the walk skips them), else the create-time property. The walk is
+    * one manifest parse per version, newest first — metadata-sized. */
+  private def lastFolded(viewRoot: String): Long = {
+    val head = CommitLog.latestVersion(viewRoot)
+      .getOrElse(sys.error(s"view table vanished from $viewRoot"))
+    (head to 0L by -1).iterator
+      .takeWhile(v => CommitLog.manifestExists(viewRoot, v))
+      .flatMap(v => CommitLog.longMetaOf(viewRoot, v, VerField).iterator)
+      .nextOption()
+      .orElse(CommitLog.tableProperty(viewRoot, VerProp).map(_.toLong))
+      .getOrElse(sys.error(s"$viewRoot is not an incremental view"))
+  }
 
   /** Full compute at the source's current head; returns the view's
     * version 0. The source head folded in is recorded so the first
@@ -68,7 +91,7 @@ object IncrementalView {
   def refresh(s: SparkSession, viewRoot: String): (Long, Long) = {
     val srcRoot = CommitLog.tableProperty(viewRoot, SrcProp)
       .getOrElse(sys.error(s"$viewRoot is not an incremental view (no $SrcProp)"))
-    val from = CommitLog.tableProperty(viewRoot, VerProp).get.toLong
+    val from = lastFolded(viewRoot)
     val srcHead = CommitLog.latestVersion(srcRoot)
       .getOrElse(sys.error(s"source table vanished from $srcRoot"))
     val viewHead = CommitLog.latestVersion(viewRoot)
@@ -80,20 +103,26 @@ object IncrementalView {
   /** Fold a batch of change rows (tagged `_change_type` +
     * `_commit_version` — [[CommitLog.changesRows]]'s shape, also the
     * streaming CDF source's) into the view. IDEMPOTENT at version
-    * granularity: rows at or below the last folded source version are
-    * dropped before folding, so an at-least-once delivery (a replayed
-    * micro-batch after a crashed foreachBatch) folds zero rows the
-    * second time — this is what makes continuous maintenance off the
-    * CDF STREAM exactly-once without any side channel. Returns
-    * (viewVersion, changeRowsFolded). */
+    * granularity: rows at or below the last folded source version
+    * drop before folding, and the new watermark commits ATOMICALLY
+    * inside the fold's own MERGE (manifest field `viewSrc`), so an
+    * at-least-once delivery (a replayed micro-batch after a crashed
+    * foreachBatch) folds zero rows the second time. Crash anatomy:
+    * the fold runs vanished-keys DELETE first, watermark-carrying
+    * MERGE second — a crash between the two leaves the watermark
+    * unadvanced, and the replay's negative-count guard REFUSES
+    * loudly (rebuild with create()) instead of silently
+    * double-folding; a crash after the merge replays as a no-op.
+    * Returns (viewVersion, changeRowsFolded). */
   def foldDeltas(s: SparkSession, viewRoot: String,
       changeRows: DataFrame): (Long, Long) = {
     val keyCol = CommitLog.tableProperty(viewRoot, KeyProp).get
     val valCol = CommitLog.tableProperty(viewRoot, ValProp).get
-    val from = CommitLog.tableProperty(viewRoot, VerProp).get.toLong
+    val from = lastFolded(viewRoot)
     val viewHead = CommitLog.latestVersion(viewRoot)
       .getOrElse(sys.error(s"view table vanished from $viewRoot"))
-    val changes = changeRows.filter(col("_commit_version") > from)
+    val changes = changeRows
+      .filter(col("_commit_version") > from && col(keyCol).isNotNull)
     // the signed delta of each change row — the IVM algebra
     val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .when(col("_change_type").isin("delete", "update_preimage"), -1L)
@@ -117,22 +146,21 @@ object IncrementalView {
           .cast("decimal(18,4)").as("total"))
     require(folded.filter(col("n") < 0).isEmpty,
       "refresh: a key's count went negative — the changelog and view " +
-        "state disagree (was the view edited out-of-band?)")
+        "state disagree (an interrupted fold, or the view edited " +
+        "out-of-band); rebuild the view with create()")
     val survivors = folded.filter(col("n") > 0)
     val vanished = folded.filter(col("n") === 0).select(col(keyCol))
+    val wm = Seq(s""","$VerField":$maxVer""")
+    // vanished keys FIRST, watermark-carrying merge SECOND — see the
+    // crash anatomy in the scaladoc
+    if (!vanished.isEmpty) {
+      // bounded by the keys whose count hit zero THIS refresh — a
+      // subset of the changed keys, metadata-sized by the CDF bound
+      val gone = vanished.collect().map(_.get(0)).toSet
+      CommitLog.delete(s, viewRoot, col(keyCol).isInCollection(gone))
+    }
     val (v1, _, _) = CommitLog.merge(s, viewRoot, survivors, keyCol,
-      nInsertFiles = 1)
-    val v2 =
-      if (vanished.isEmpty) v1
-      else {
-        // bounded by the keys whose count hit zero THIS refresh — a
-        // subset of the changed keys, metadata-sized by the CDF bound
-        val gone = vanished.collect().map(_.get(0)).toSet
-        val (vd, _, _) = CommitLog.delete(s, viewRoot,
-          col(keyCol).isInCollection(gone))
-        vd
-      }
-    CommitLog.setTableProperty(viewRoot, VerProp, maxVer.toString)
-    (v2, nChanges)
+      nInsertFiles = 1, extraMeta = wm)
+    (v1, nChanges)
   }
 }

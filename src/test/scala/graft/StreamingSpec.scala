@@ -971,6 +971,101 @@ class StreamingSpec extends SparkSpec {
     assert(CommitLog.read(spark, root, v6).count() === want5.count())
   }
 
+  test("review fixes: DVs survive rename/drop, tombstoned physicals, pre-image UPDATE, empty-table CoW (r10)") {
+    import graft.sources.{CommitLog, Tables}
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    // (1) a metadata-only rename/drop must NOT resurrect MoR-deleted rows
+    val r1 = java.nio.file.Files.createTempDirectory("graft_fix_dvren").toString
+    CommitLog.append(spark, r1, ev, nFiles = 2)
+    val nDel = ev.filter(col("user_id") % 4 === 1).count()
+    CommitLog.deleteMergeOnRead(spark, r1, col("user_id") % 4 === 1)
+    val vRen = CommitLog.renameColumn(spark, r1, "value", "amount")
+    assert(CommitLog.read(spark, r1, vRen).count() === ev.count() - nDel,
+      "rename resurrected MoR-deleted rows")
+    val vDrop = CommitLog.dropColumn(spark, r1, "event_type")
+    assert(CommitLog.read(spark, r1, vDrop).count() === ev.count() - nDel,
+      "drop resurrected MoR-deleted rows")
+    // (2) drop-then-re-add: the old bytes must not surface under the
+    // re-added name (the physical name is tombstoned)
+    val vRe = CommitLog.evolveSchema(spark, r1,
+      Seq(org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType, nullable = true)))
+    assert(CommitLog.read(spark, r1, vRe)
+      .filter(col("event_type").isNotNull).count() === 0,
+      "re-added column resurrected the dropped column's bytes")
+    // (3) UPDATE pre-image semantics: the predicate references an
+    // ASSIGNED column; both assignments must land on the pre-image
+    // matched set (a withColumn chain would re-evaluate cond mid-way)
+    val r3 = java.nio.file.Files.createTempDirectory("graft_fix_upre").toString
+    CommitLog.append(spark, r3, ev, nFiles = 2)
+    val nBig = ev.filter(col("value") > 50.0).count()
+    assert(nBig > 0)
+    val (v3, _, _) = CommitLog.update(spark, r3, col("value") > 50.0,
+      Seq("value" -> lit(0.0), "event_type" -> lit("zeroed")))
+    val after3 = CommitLog.read(spark, r3, v3)
+    assert(after3.filter(col("event_type") === "zeroed").count() === nBig,
+      "second assignment missed rows — cond re-evaluated post-assignment")
+    assert(after3.filter(col("value") > 50.0).count() === 0)
+    // ... and RHS reads pre-image values: a swap actually swaps
+    val r4 = java.nio.file.Files.createTempDirectory("graft_fix_uswap").toString
+    val two = ev.select(col("event_id"),
+      col("value").as("a"), (col("value") * 2).as("b"))
+    CommitLog.append(spark, r4, two, nFiles = 1)
+    val (v4, _, _) = CommitLog.update(spark, r4, lit(true),
+      Seq("a" -> col("b"), "b" -> col("a")))
+    val sw = CommitLog.read(spark, r4, v4)
+    assert(sw.filter(col("a") =!= col("b") * 2).count() === 0,
+      "SET a = b, b = a did not swap — RHS saw post-image values")
+    // (4) empty-snapshot CoW paths stay well-formed
+    val r5 = java.nio.file.Files.createTempDirectory("graft_fix_empty").toString
+    CommitLog.append(spark, r5, ev.limit(50), nFiles = 1)
+    CommitLog.delete(spark, r5, lit(true))
+    val (v5, _, rew5) = CommitLog.delete(spark, r5, col("user_id") === 1)
+    assert(rew5 === 0L)
+    assert(CommitLog.snapshotFiles(r5, v5).isEmpty)
+    // (5) a user column named 'i' must not break the DV mask join
+    val r6 = java.nio.file.Files.createTempDirectory("graft_fix_dvi").toString
+    CommitLog.append(spark, r6,
+      ev.select(col("event_id"), col("user_id").as("i"), col("value").as("f")),
+      nFiles = 2)
+    val nDel6 = ev.filter(col("user_id") % 4 === 2).count()
+    CommitLog.deleteMergeOnRead(spark, r6, col("i") % 4 === 2)
+    assert(CommitLog.read(spark, r6,
+      CommitLog.latestVersion(r6).get).count() === ev.count() - nDel6,
+      "DV mask broke on a table with columns named f/i")
+  }
+
+  test("incremental view: watermark rides the fold commit and survives view compaction (r10)") {
+    import graft.sources.{CommitLog, IncrementalView, Tables}
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .limit(800)
+    val src = java.nio.file.Files.createTempDirectory("graft_ivwm_s").toString
+    val vw = java.nio.file.Files.createTempDirectory("graft_ivwm_v").toString
+    CommitLog.setTableProperty(src, "enableChangeDataFeed", "true")
+    CommitLog.append(spark, src, ev.filter(col("event_id") % 2 === 0), nFiles = 1)
+    IncrementalView.create(spark, vw, src, "event_type", "value")
+    CommitLog.append(spark, src, ev.filter(col("event_id") % 2 =!= 0), nFiles = 1)
+    val (_, c1) = IncrementalView.refresh(spark, vw)
+    assert(c1 === ev.filter(col("event_id") % 2 =!= 0).count())
+    // a maintenance commit on the VIEW hides the head's watermark
+    // field — the walk must find the fold's commit behind it, so the
+    // next refresh does NOT re-fold (re-folding would double counts)
+    CommitLog.compact(spark, vw, 1)
+    val (_, c2) = IncrementalView.refresh(spark, vw)
+    assert(c2 === 0L, s"refresh after view compaction re-folded $c2 rows")
+    CommitLog.delete(spark, src, col("user_id") % 5 === 0)
+    val (_, c3) = IncrementalView.refresh(spark, vw)
+    assert(c3 === ev.filter(col("user_id") % 5 === 0).count())
+    val view = CommitLog.read(spark, vw, CommitLog.latestVersion(vw).get)
+    val want = CommitLog.read(spark, src, CommitLog.latestVersion(src).get)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(18,4)").as("total"))
+    assert(view.exceptAll(want).count() === 0 && want.exceptAll(view).count() === 0)
+  }
+
   test("incremental view: streamed folds continue across drains and never double-fold (r10)") {
     import graft.sources.{CommitLog, IncrementalView, Tables}
     val ev = Tables(spark, sf, "events")
