@@ -161,6 +161,11 @@ object IncrementalView {
     }
     val (v1, _, _) = CommitLog.merge(s, viewRoot, survivors, keyCol,
       nInsertFiles = 1, extraMeta = wm)
+    // best-effort backstop, NOT the correctness anchor (that's the
+    // manifest field): keeps lastFolded's property fallback current
+    // for the case where a vacuum later drops every fold commit's
+    // manifest from the retained range
+    CommitLog.setTableProperty(viewRoot, VerProp, maxVer.toString)
     (v1, nChanges)
   }
 }
