@@ -141,7 +141,10 @@ object ScaleSoak {
     // incremental view maintenance: refresh ∝ changed rows + a MERGE
     // over affected view keys, never the source; the streaming form
     // folds per micro-batch, idempotent at version granularity
-    "q_table_incr_view", "s_table_view_stream", "q_sql_table_incr_view")
+    "q_table_incr_view", "s_table_view_stream", "q_sql_table_incr_view",
+    // DESCRIBE DETAIL is one manifest parse + a history walk — the
+    // soaked cost is its fixture's staging + the masked read
+    "q_sql_table_detail")
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */

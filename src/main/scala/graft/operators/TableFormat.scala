@@ -417,6 +417,42 @@ object TableFormat {
           lit(exact).as("equals_full_recompute"),
           col("n_keys"), col("n_rows"), col("sum_value")))
     },
+    "q_sql_table_detail" -> { (s, dir) =>
+      // SQL front-end (added late r10): DESCRIBE DETAIL — the Delta
+      // table-metadata summary as ONE row from the log alone (no data
+      // I/O): head version, live files, partition column, vectored
+      // files, retained versions, property count. The fixture stacks
+      // every metadata dimension at once — a partitioned table (5
+      // event types × 1 file × 2 appends), a property, and a
+      // merge-on-read delete whose vectors touch every file — and the
+      // report joins the summary with the MASKED head read, so the
+      // statement's counters and the data they describe replay
+      // against the oracle together.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_det")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "tbl").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      CommitLog.appendPartitioned(s, root, ev.filter(col("event_id") % 2 === 0),
+        "event_type", filesPerPartition = 1)
+      CommitLog.appendPartitioned(s, root, ev.filter(col("event_id") % 2 =!= 0),
+        "event_type", filesPerPartition = 1)
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      s.sql(s"ALTER TABLE $cat.tbl SET TBLPROPERTIES ('enableDeletionVectors' = 'true')")
+      s.sql(s"DELETE FROM $cat.tbl WHERE user_id % 4 = 1")
+      val d = s.sql(s"DESCRIBE DETAIL $cat.tbl").collect()(0)
+      ordered(s.sql(s"SELECT user_id, value FROM $cat.tbl")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("sum_value"))
+        .select(lit(d.getLong(0)).as("head_version"),
+          lit(d.getLong(1)).as("n_files"),
+          lit(d.getString(2)).as("partition_col"),
+          lit(d.getLong(3)).as("n_files_with_vectors"),
+          lit(d.getLong(4)).as("n_versions_retained"),
+          lit(d.getLong(5)).as("n_properties"),
+          col("n_rows"), col("sum_value")))
+    },
     "q_sql_table_incr_view" -> { (s, dir) =>
       // SQL front-end (added r10): CREATE MATERIALIZED VIEW / REFRESH
       // MATERIALIZED VIEW — the canonical per-key COUNT+SUM aggregate
@@ -1633,6 +1669,19 @@ object TableFormat {
         |FROM u""".stripMargin +
         orderByAll("head_version", "files_carried", "files_rewritten",
           "n_rows", "n_floored", "sum_value")),
+    "q_sql_table_detail" ->
+      ("""SELECT CAST(2 AS BIGINT) AS head_version,
+        |  CAST(10 AS BIGINT) AS n_files,
+        |  'event_type' AS partition_col,
+        |  CAST(10 AS BIGINT) AS n_files_with_vectors,
+        |  CAST(3 AS BIGINT) AS n_versions_retained,
+        |  CAST(1 AS BIGINT) AS n_properties,
+        |  COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
+        |FROM events WHERE user_id % 4 <> 1""".stripMargin +
+        orderByAll("head_version", "n_files", "partition_col",
+          "n_files_with_vectors", "n_versions_retained", "n_properties",
+          "n_rows", "sum_value")),
     "q_sql_table_incr_view" ->
       ("""WITH f AS (
         |  SELECT event_type,

@@ -48,6 +48,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // (UPDATE SET * / INSERT *) — exactly CommitLog.merge's contract.
   private val historyRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
+  private val detailRe =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
   private val cloneRe =
     ("""(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s+SHALLOW\s+CLONE\s+([\w.]+)""" +
       """(?:\s+VERSION\s+(?:AS\s+OF\s+)?(\d+))?\s*;?\s*""").r
@@ -92,6 +94,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       OptimizeWhereCommand(ident.split('.').toSeq, partCol, value)
     case historyRe(ident) if isGraftCatalog(ident) =>
       DescribeHistoryCommand(ident.split('.').toSeq)
+    case detailRe(ident) if isGraftCatalog(ident) =>
+      DescribeDetailCommand(ident.split('.').toSeq)
     case cloneRe(target, source, v) if isGraftCatalog(target) && isGraftCatalog(source) =>
       ShallowCloneCommand(target.split('.').toSeq, source.split('.').toSeq,
         Option(v).map(_.toLong))
@@ -191,6 +195,35 @@ case class VacuumTableCommand(parts: Seq[String], retainVersions: Long)
   * manifests are gone and do not row): (version, operation, n_files).
   * Pure log metadata, zero data I/O — the audit surface every public
   * table format ships. */
+/** DESCRIBE DETAIL cat.tbl — the Delta table-metadata summary, one
+  * row from the log alone (no data I/O): head version, live file
+  * count, partition column (empty = unpartitioned), files carrying
+  * deletion vectors, retained version count, and property count. */
+case class DescribeDetailCommand(parts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlCommands.attr("head_version"),
+    GraftSqlCommands.attr("n_files"),
+    AttributeReference("partition_col", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    GraftSqlCommands.attr("n_files_with_vectors"),
+    GraftSqlCommands.attr("n_versions_retained"),
+    GraftSqlCommands.attr("n_properties"))
+  override def run(s: SparkSession): Seq[Row] = {
+    val root = GraftSqlCommands.rootOf(s, parts)
+    val head = CommitLog.latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no table at $root"))
+    val aux = CommitLog.auxOf(root, head)
+    val retained = CommitLog.history(root).size.toLong
+    Seq(Row(head,
+      CommitLog.snapshotFiles(root, head).size.toLong,
+      aux.partCol.getOrElse(""),
+      aux.dvs.count(_._2.nonEmpty).toLong,
+      retained,
+      CommitLog.tableProperties(root).size.toLong))
+  }
+}
+
 case class DescribeHistoryCommand(parts: Seq[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
