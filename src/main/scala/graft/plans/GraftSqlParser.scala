@@ -81,13 +81,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
-    case restoreRe(ident, v) =>
+    // every graft statement gates on the identifier actually naming a
+    // registered graft catalog — an unmatched RESTORE/VACUUM/OPTIMIZE
+    // delegates verbatim, so another extension (e.g. Delta) that owns
+    // the same syntax keeps its tables (r11, ADVICE)
+    case restoreRe(ident, v) if isGraftCatalog(ident) =>
       RestoreTableCommand(ident.split('.').toSeq, v.toLong)
-    case vacuumRe(ident, n) =>
+    case vacuumRe(ident, n) if isGraftCatalog(ident) =>
       VacuumTableCommand(ident.split('.').toSeq, n.toLong)
-    case vacuumHoursRe(ident, h) =>
+    case vacuumHoursRe(ident, h) if isGraftCatalog(ident) =>
       VacuumHoursCommand(ident.split('.').toSeq, h.toLong)
-    case optimizeRe(ident, cols) =>
+    case optimizeRe(ident, cols) if isGraftCatalog(ident) =>
       OptimizeZorderCommand(ident.split('.').toSeq,
         cols.split(',').map(_.trim).toSeq)
     case optimizeWhereRe(ident, partCol, value) if isGraftCatalog(ident) =>

@@ -212,11 +212,32 @@ object CommitLog {
       op: String = "append", statsCol: Option[String] = None,
       stats: Map[String, (Long, Long)] = Map.empty,
       schemaJson: Option[String] = None,
-      extra: Seq[String] = Nil): Long = {
+      extra: Seq[String] = Nil,
+      newTombstones: Seq[String] = Nil): Long = {
     val next = expected.map(_ + 1).getOrElse(0L)
+    // dropped-physical-name tombstones ride IN the manifest and carry
+    // forward on every commit, like the schema — atomic with the
+    // optimistic-concurrency check, where the old properties-file
+    // read-modify-write could lose a racing writer's entry and
+    // resurrect a dropped column (r11, ADVICE)
+    val ts = (expected.toSeq.flatMap(v => tombstonesOf(root, v)) ++
+      newTombstones).distinct
+    val tsJson =
+      if (ts.isEmpty) Nil
+      else Seq(s""","tombstones":[${ts.map(jstr).mkString(",")}]""")
     publish(root, next,
-      renderManifest(next, files, op, statsCol, stats, schemaJson, extra))
+      renderManifest(next, files, op, statsCol, stats, schemaJson,
+        extra ++ tsJson))
     next
+  }
+
+  /** Dropped columns' reserved physical parquet names as recorded in
+    * `version`'s manifest (carried forward by every [[commit]]). */
+  def tombstonesOf(root: String, version: Long): Seq[String] = {
+    val node = mapper.readTree(
+      java.nio.file.Files.readString(manifest(root, version).toPath))
+    Option(node.get("tombstones")).map(arr =>
+      (0 until arr.size()).map(i => arr.get(i).asText())).getOrElse(Nil)
   }
 
   /** The auxiliary per-file metadata (partition values + typed column
@@ -569,8 +590,22 @@ object CommitLog {
 
   private def readSubsetCore(s: SparkSession, root: String, version: Long,
       files: Seq[String], withFile: Boolean, withPos: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions.{col, input_file_name, substring_index}
+    import org.apache.spark.sql.functions.{col, input_file_name, lit, substring_index}
     val stOpt = snapshotSchemaOf(root, version)
+    // a ROW-LESS snapshot (a mass delete can legally empty the table)
+    // reads as an empty relation under the recorded schema — a raw
+    // zero-path parquet read would fail schema inference (r11)
+    if (files.isEmpty) {
+      val st = stOpt.getOrElse(sys.error(
+        s"cannot read an empty snapshot with no recorded schema under $root"))
+      var df = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(st.fields.map(f =>
+          org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable))))
+      if (withFile) df = df.withColumn("_graft_file", lit(null).cast("string"))
+      if (withPos) df = df.withColumn("_graft_pos", lit(null).cast("long"))
+      return df
+    }
     val dvMap = auxOf(root, version).dvs
     val dvOf: String => Seq[String] =
       if (dvMap.isEmpty) _ => Nil
@@ -795,7 +830,11 @@ object CommitLog {
   private def avoidPhysicalClash(root: String,
       prev: org.apache.spark.sql.types.StructType,
       f: org.apache.spark.sql.types.StructField): org.apache.spark.sql.types.StructField = {
+    // tombstones live in the head manifest since r11 (atomic with the
+    // drop commit); the property read stays as the legacy fallback for
+    // tables whose drops predate the move
     val taken = prev.fields.map(physicalName).toSet ++
+      latestVersion(root).toSeq.flatMap(v => tombstonesOf(root, v)) ++
       tableProperty(root, PhysTombstonesProp)
         .map(_.split(',').toSet).getOrElse(Set.empty)
     if (!taken.contains(physicalName(f))) f
@@ -899,12 +938,11 @@ object CommitLog {
       aux.dvs)
     // tombstone the dropped PHYSICAL name: the bytes linger in files,
     // so a later re-add under the same name must NOT reuse it — it
-    // would resurrect the old values under the "new" column
+    // would resurrect the old values under the "new" column. The
+    // tombstone rides IN this commit's manifest (carried forward by
+    // every later commit) — atomic with the drop itself, never a racy
+    // properties-file read-modify-write (r11, ADVICE)
     val dropped = st.fields.find(_.name == name).map(physicalName).get
-    val prevTs = tableProperty(root, PhysTombstonesProp)
-      .map(_.split(',').toSeq).getOrElse(Nil)
-    setTableProperty(root, PhysTombstonesProp,
-      (prevTs :+ dropped).distinct.mkString(","))
     val (prevCol, prevStats) = snapshotStatsOf(root, prev)
     val keepLegacy = !prevCol.contains(name)
     commit(root, snapshotFiles(root, prev).map(p => relativize(root, p)),
@@ -912,7 +950,8 @@ object CommitLog {
       statsCol = if (keepLegacy) prevCol else None,
       stats = if (keepLegacy) prevStats else Map.empty,
       schemaJson = Some(org.apache.spark.sql.types.StructType(fields).json),
-      extra = auxExtra(newAux))
+      extra = auxExtra(newAux),
+      newTombstones = Seq(dropped))
   }
 
   /** Full-snapshot OVERWRITE (INSERT OVERWRITE / Delta replace): the
@@ -1244,11 +1283,26 @@ object CommitLog {
       new java.io.File(root, rel).getCanonicalPath -> rel).toMap
     val df = readStagedLogical(s, root, staged)
     val tags = cols.map(c => c -> statTagOf(df.schema(c).dataType)).toMap
-    def probe(c: String) = tags(c) match {
-      case "ts" => unix_micros(col(c).cast("timestamp"))
-      case "long" => col(c).cast("long")
-      case "double" => col(c).cast("double")
-      case _ => col(c)
+    def probe(c: String) = df.schema(c).dataType match {
+      // DATE → epoch days: Spark refuses a direct date→long cast, and
+      // the scaladoc's "dates as epoch days" is exactly unix_date (r11,
+      // ADVICE)
+      case org.apache.spark.sql.types.DateType => unix_date(col(c))
+      case _ => tags(c) match {
+        case "ts" => unix_micros(col(c).cast("timestamp"))
+        case "long" => col(c).cast("long")
+        case "double" => col(c).cast("double")
+        case _ => col(c)
+      }
+    }
+    // a non-finite double bound (NaN/Infinity) has no JSON literal —
+    // rendering it would brick the manifest for every future parse, so
+    // the column's entry for that file is DROPPED instead (no entry =
+    // unprunable = always read — correct, just not skippable) (r11,
+    // ADVICE)
+    def finite(st: ColStat): Boolean = Seq(st.lo, st.hi).flatten.forall {
+      case d: Double => !d.isNaN && !d.isInfinite
+      case _ => true
     }
     val aggs = cols.flatMap(c => Seq(
       min(probe(c)).as(s"mn_$c"), max(probe(c)).as(s"mx_$c"),
@@ -1258,11 +1312,12 @@ object CommitLog {
     val stats2 = rows.flatMap { r =>
       byCanon.get(new java.io.File(new java.net.URI(r.getString(0))).getCanonicalPath)
         .map { rel =>
-          rel -> cols.zipWithIndex.map { case (c, i) =>
+          rel -> cols.zipWithIndex.flatMap { case (c, i) =>
             val (mnI, mxI, nuI) = (1 + 3 * i, 2 + 3 * i, 3 + 3 * i)
             def v(ix: Int): Option[Any] =
               if (r.isNullAt(ix)) None else Some(r.get(ix))
-            c -> ColStat(v(mnI), v(mxI), r.getLong(nuI))
+            val st = ColStat(v(mnI), v(mxI), r.getLong(nuI))
+            if (finite(st)) Some(c -> st) else None
           }.toMap
         }
     }.toMap
@@ -1841,16 +1896,29 @@ object CommitLog {
     * update volume, never the table — a key-aligned layout (partition
     * or cluster by the merge key, q_table_optimize) keeps the dirty
     * set small, and the dirty-file scan pushes the key predicate to
-    * parquet. Returns (newVersion, filesCarried, filesRewritten). */
+    * parquet. Returns (newVersion, filesCarried, filesRewritten).
+    *
+    * `deleteKeys` (r11, VERDICT item 1): an optional key RELATION
+    * whose matching rows are removed in the SAME commit — WHEN MATCHED
+    * THEN DELETE alongside the upsert, the shape the incremental
+    * view's fold needs (survivors merge, zero-count keys drop). The
+    * delete side stays fully distributed: its keys join into the
+    * dirty-file discovery and the rewrite's anti-join as a DataFrame —
+    * never a collected driver-side list, so a mass delete (every key
+    * vanishing) is just a bigger shuffle, not a driver OOM. A key in
+    * both relations resolves as an update (delete-then-reinsert). */
   def merge(s: SparkSession, root: String, updates: DataFrame,
       keyCol: String, nInsertFiles: Int,
-      extraMeta: Seq[String] = Nil): (Long, Long, Long) = {
+      extraMeta: Seq[String] = Nil,
+      deleteKeys: Option[DataFrame] = None): (Long, Long, Long) = {
     import org.apache.spark.sql.functions.col
     enforceConstraints(s, root, updates, "merge")
     val prev = latestVersion(root)
       .getOrElse(sys.error(s"cannot merge into an empty table at $root"))
     val files = snapshotFiles(root, prev)
-    val keys = updates.select(col(keyCol)).distinct()
+    val updKeys = updates.select(col(keyCol)).distinct()
+    val delKeys = deleteKeys.map(_.select(col(keyCol)).distinct())
+    val keys = delKeys.map(updKeys.unionByName(_).distinct()).getOrElse(updKeys)
     // the file identity is captured BEFORE the join (after a join
     // input_file_name is ambiguous across sources — readSubsetWithFile
     // pins it at the scan); canonical paths on both sides (see
@@ -1889,16 +1957,24 @@ object CommitLog {
       if (!cdfEnabled(root)) None
       else Some {
         import org.apache.spark.sql.functions.{col, lit}
-        val pre = (if (dirty.isEmpty) updates.limit(0)
-          else readSubset(s, root, prev, dirty).join(keys, Seq(keyCol), "left_semi"))
+        val dirtyRows =
+          if (dirty.isEmpty) updates.limit(0)
+          else readSubset(s, root, prev, dirty)
+        val pre = dirtyRows.join(updKeys, Seq(keyCol), "left_semi")
           .withColumn("_change_type", lit("update_preimage"))
         val matchedKeys = pre.select(col(keyCol)).distinct()
         val post = updates.join(matchedKeys, Seq(keyCol), "left_semi")
           .withColumn("_change_type", lit("update_postimage"))
         val ins = updates.join(matchedKeys, Seq(keyCol), "left_anti")
           .withColumn("_change_type", lit("insert"))
+        // delete-side matched rows (updates win on a shared key, so
+        // anti-join the update keys out) record as plain deletes
+        val del = delKeys.map(dk =>
+          dirtyRows.join(dk, Seq(keyCol), "left_semi")
+            .join(updKeys, Seq(keyCol), "left_anti")
+            .withColumn("_change_type", lit("delete")))
         stageCdfFiles(s, root,
-          pre.unionByName(post).unionByName(ins))
+          del.foldLeft(pre.unionByName(post).unionByName(ins))(_.unionByName(_)))
       }
     val (prevCol, prevStats) = snapshotStatsOf(root, prev)
     val v = commit(root, carried ++ rewritten ++ inserted, Some(prev), op = "merge",

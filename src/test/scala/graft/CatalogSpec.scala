@@ -533,4 +533,22 @@ class CatalogSpec extends SparkSpec {
     }
     assert(!ex.getMessage.contains("graft"), ex.getMessage)
   }
+
+  test("parser: RESTORE/VACUUM/OPTIMIZE on non-graft identifiers delegate verbatim (r11, ADVICE)") {
+    // each maintenance statement on an unregistered identifier must
+    // fall through to Spark's parser (whose syntax error owns the
+    // message) — never fail inside the graft command's catalog
+    // resolution. This is what lets the extension COEXIST with another
+    // extension (e.g. Delta) that owns the same statements: unmatched
+    // identifiers reach the next parser untouched.
+    Seq(
+      "RESTORE TABLE nocatalog.t TO VERSION AS OF 0",
+      "VACUUM nocatalog.t RETAIN 1 VERSIONS",
+      "VACUUM nocatalog.t RETAIN 2 HOURS",
+      "OPTIMIZE nocatalog.t ZORDER BY (a, b)").foreach { stmt =>
+      val ex = intercept[Exception] { spark.sql(stmt).collect() }
+      assert(!ex.getMessage.contains("graft catalog"),
+        s"'$stmt' failed inside the graft command instead of delegating: ${ex.getMessage}")
+    }
+  }
 }

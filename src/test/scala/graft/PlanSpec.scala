@@ -822,4 +822,61 @@ class PlanSpec extends SparkSpec {
       !after.contains("BroadcastNestedLoopJoin"),
       s"mask degenerated to a product:\n$after")
   }
+
+  test("incremental view fold: zero key-relation collects, driver actions constant in vanished keys (r11)") {
+    import graft.sources.{CommitLog, IncrementalView, Tables}
+    import scala.jdk.CollectionConverters._
+    // the r10 scale-killer: vanished keys collected to the driver for
+    // an isInCollection delete — bounded by the CHANGED-key count,
+    // which a mass delete makes table-sized. The r11 fold routes them
+    // through the merge's distributed delete-keys relation. Pin both
+    // halves: (a) no action during the fold collects the key-only
+    // relation; (b) the NUMBER of driver actions is identical whether
+    // 5 keys vanish or EVERY key vanishes.
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[(String, Seq[String])]()
+    val qel = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        actions.add((funcName, qe.analyzed.output.map(_.name))); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    // listener delivery is async — poll until the captured set settles
+    def settle(): Int = {
+      var last = -1; var cur = actions.size(); var spins = 0
+      while (cur != last && spins < 60) {
+        last = cur; Thread.sleep(120); cur = actions.size(); spins += 1
+      }
+      cur
+    }
+    def foldActions(vanish: org.apache.spark.sql.Column): Seq[(String, Seq[String])] = {
+      val src = java.nio.file.Files.createTempDirectory("graft_ivplan_s").toString
+      val vw = java.nio.file.Files.createTempDirectory("graft_ivplan_v").toString
+      CommitLog.setTableProperty(src, "enableChangeDataFeed", "true")
+      CommitLog.append(spark, src, ev, nFiles = 2)
+      IncrementalView.create(spark, vw, src, "event_id", "value")
+      CommitLog.delete(spark, src, vanish)
+      actions.clear()
+      spark.listenerManager.register(qel)
+      try { IncrementalView.refresh(spark, vw); settle() }
+      finally spark.listenerManager.unregister(qel)
+      actions.asScala.toSeq
+    }
+    val tiny = foldActions(col("event_id") < 5)    // a few keys vanish
+    val mass = foldActions(lit(true))              // EVERY key vanishes
+    Seq("tiny" -> tiny, "mass" -> mass).foreach { case (name, acts) =>
+      val keyCollects = acts.filter { case (fn, out) =>
+        fn == "collect" && out == Seq("event_id")
+      }
+      assert(keyCollects.isEmpty,
+        s"$name fold collected the key-only relation to the driver: $acts")
+    }
+    assert(tiny.size === mass.size,
+      s"driver action count scales with vanished keys: tiny=${tiny.map(_._1)} mass=${mass.map(_._1)}")
+  }
 }

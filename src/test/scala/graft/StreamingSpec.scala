@@ -1806,4 +1806,167 @@ class StreamingSpec extends SparkSpec {
       "losing writer's manifest content leaked into the published version")
     assert(CommitLog.snapshotFiles(root, 0L) === v0Files)
   }
+
+  test("incremental view: mass delete — EVERY key vanishes in ONE distributed fold commit (r11)") {
+    import graft.sources.{CommitLog, IncrementalView, Tables}
+    // the retention-purge / GDPR-sweep shape the r10 verdict flagged:
+    // the vanished-key set is TABLE-sized, so it must ride the fold's
+    // merge as a distributed delete-keys relation, never a driver
+    // collect. user_id gives a key domain in the thousands at sf0.01.
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val src = java.nio.file.Files.createTempDirectory("graft_ivmass_s").toString
+    val vw = java.nio.file.Files.createTempDirectory("graft_ivmass_v").toString
+    CommitLog.setTableProperty(src, "enableChangeDataFeed", "true")
+    CommitLog.append(spark, src, ev, nFiles = 2)
+    // event_id is the row key — the key domain is the table itself,
+    // the worst case for any driver-side vanished-key structure
+    IncrementalView.create(spark, vw, src, "event_id", "value")
+    val nKeys = ev.filter(col("event_id").isNotNull)
+      .select(col("event_id")).distinct().count()
+    assert(nKeys >= 1000, s"fixture too small to exercise a mass vanish: $nKeys keys")
+    val head0 = CommitLog.latestVersion(vw).get
+    CommitLog.delete(spark, src, lit(true)) // purge EVERYTHING
+    val (v1, c1) = IncrementalView.refresh(spark, vw)
+    assert(c1 === ev.count(), s"folded $c1 of ${ev.count()} change rows")
+    assert(v1 === head0 + 1,
+      "mass-delete fold must publish ONE commit (survivor merge + vanish delete fused)")
+    assert(CommitLog.read(spark, vw, v1).count() === 0, "vanished keys survived")
+    // idempotent + watermark advanced atomically with that single commit
+    val (v2, c2) = IncrementalView.refresh(spark, vw)
+    assert(v2 === v1 && c2 === 0L)
+    // and the view comes BACK from empty when the source refills
+    CommitLog.append(spark, src, ev.limit(500), nFiles = 1)
+    val (v3, _) = IncrementalView.refresh(spark, vw)
+    val want = ev.limit(500).filter(col("event_id").isNotNull)
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(18,4)").as("total"))
+    val got = CommitLog.read(spark, vw, v3)
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+      "refill after mass delete diverges from recompute")
+  }
+
+  test("incremental view: all-NULL measure deltas fold as SUM does, never null the total (r11, ADVICE)") {
+    import graft.sources.{CommitLog, IncrementalView, Tables}
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .limit(1000)
+    val src = java.nio.file.Files.createTempDirectory("graft_ivnull_s").toString
+    val vw = java.nio.file.Files.createTempDirectory("graft_ivnull_v").toString
+    CommitLog.setTableProperty(src, "enableChangeDataFeed", "true")
+    CommitLog.append(spark, src, ev, nFiles = 1)
+    IncrementalView.create(spark, vw, src, "event_type", "value")
+    def recompute() = CommitLog.read(spark, src, CommitLog.latestVersion(src).get)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("decimal(18,4)").as("total"))
+    // a change batch whose EVERY row carries a NULL measure: dtotal is
+    // NULL (SUM over zero non-null terms) — the fold must treat it as
+    // zero for keys with history, and keep a never-non-null NEW key's
+    // total NULL, exactly like the recompute's SUM
+    val nulls = ev.limit(40)
+      .withColumn("event_id", col("event_id") + 700000000L)
+      .withColumn("value", lit(null).cast("double"))
+    val fresh = ev.limit(6)
+      .withColumn("event_id", col("event_id") + 800000000L)
+      .withColumn("event_type", lit("iv_nullonly"))
+      .withColumn("value", lit(null).cast("double"))
+    CommitLog.append(spark, src, nulls.unionByName(fresh), nFiles = 1)
+    val (v1, _) = IncrementalView.refresh(spark, vw)
+    val view1 = CommitLog.read(spark, vw, v1)
+    assert(view1.exceptAll(recompute()).count() === 0 &&
+      recompute().exceptAll(view1).count() === 0,
+      "all-NULL insert batch diverged from recompute")
+    assert(view1.filter(col("event_type") === "iv_nullonly")
+      .collect()(0).isNullAt(2), "never-non-null key's total must stay NULL")
+    // the delete side of the same hazard: removing the NULL-valued
+    // rows again is another all-NULL delta batch
+    CommitLog.delete(spark, src,
+      col("value").isNull && col("event_type") =!= "iv_nullonly")
+    val (v2, _) = IncrementalView.refresh(spark, vw)
+    val view2 = CommitLog.read(spark, vw, v2)
+    assert(view2.exceptAll(recompute()).count() === 0 &&
+      recompute().exceptAll(view2).count() === 0,
+      "all-NULL delete batch diverged from recompute")
+  }
+
+  test("commit log: non-finite double stats never brick the manifest; DATE columns get stats (r11, ADVICE)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_naninf").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value"), col("ts")).limit(600)
+      .withColumn("day", col("ts").cast("date"))
+    // file 1: finite doubles + dates — prunable on both
+    val v0 = CommitLog.appendWithColumnStats(spark, root,
+      ev.filter(col("event_id") % 3 === 0), 1, Seq("value", "day"))
+    // file 2: a NaN and an Infinity land in the double column — the
+    // old renderer emitted bare NaN/Infinity tokens Jackson refuses,
+    // bricking every future read of the table
+    val poisoned = ev.filter(col("event_id") % 3 === 1)
+      .withColumn("value",
+        when(col("event_id") % 2 === 0, lit(Double.NaN))
+          .when(col("event_id") % 5 === 0, lit(Double.PositiveInfinity))
+          .otherwise(col("value")))
+    val v1 = CommitLog.appendWithColumnStats(spark, root, poisoned, 1,
+      Seq("value", "day"))
+    // the manifest must PARSE (auxOf is on every read path) and the
+    // poisoned file's value entry must be absent = unprunable
+    val aux = CommitLog.auxOf(root, v1)
+    assert(aux.stats2.size === 2, s"expected 2 per-file entries, got ${aux.stats2.keySet}")
+    assert(aux.stats2.values.count(_.contains("value")) === 1,
+      "non-finite double bounds must DROP the column entry, not render")
+    assert(aux.stats2.values.forall(_.contains("day")),
+      "date stats missing — the date→long probe cast regressed")
+    assert(CommitLog.read(spark, root, v1).count() === ev.count() - ev.filter(col("event_id") % 3 === 2).count())
+    // double probe: the finite file prunes normally, the poisoned file
+    // always reads (no entry = unprunable, correct just not skippable)
+    val (_, totalD, readD) = CommitLog.prunedReadTyped(spark, root, v1,
+      Seq(CommitLog.StatProbe("value", 1.0e17, 1.1e17)))
+    assert(totalD === 2 && readD === 1,
+      s"double probe after poison: total=$totalD read=$readD (want the poisoned file only)")
+    // date probe prunes on epoch days: a range far in the past keeps
+    // nothing
+    val (_, totalP, readP) = CommitLog.prunedReadTyped(spark, root, v1,
+      Seq(CommitLog.StatProbe("day", -20000L, -19990L)))
+    assert(totalP === 2 && readP === 0,
+      s"date probe: total=$totalP read=$readP (want all pruned)")
+    // and a live date range reads the right files: recorded bounds are
+    // true epoch days
+    val lohi = ev.agg(min(datediff(col("day"), lit("1970-01-01").cast("date"))),
+      max(datediff(col("day"), lit("1970-01-01").cast("date")))).collect()(0)
+    val (dfAll, _, readAll) = CommitLog.prunedReadTyped(spark, root, v1,
+      Seq(CommitLog.StatProbe("day", lohi.getInt(0).toLong, lohi.getInt(1).toLong)))
+    assert(readAll === 2 && dfAll.count() > 0)
+    assert(v0 === 0L)
+  }
+
+  test("commit log: drop-column tombstones ride the manifest, carry forward, stay atomic (r11, ADVICE)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_tomb").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value")).limit(300)
+    CommitLog.append(spark, root, ev, nFiles = 1)
+    val vDrop = CommitLog.dropColumn(spark, root, "user_id")
+    // the tombstone is IN the drop commit's manifest — atomic with the
+    // commit itself, not a separate properties-file write that a
+    // racing writer could clobber
+    assert(CommitLog.tombstonesOf(root, vDrop) === Seq("user_id"),
+      "dropped physical name missing from the drop commit's manifest")
+    assert(CommitLog.tableProperty(root, "graft.physical.tombstones").isEmpty,
+      "r11 moved tombstones into the manifest — the racy property write must be gone")
+    // EVERY later commit carries the tombstone forward like the schema
+    val vNext = CommitLog.append(spark, root,
+      ev.select(col("event_id"), col("value")), nFiles = 1)
+    assert(CommitLog.tombstonesOf(root, vNext) === Seq("user_id"),
+      "tombstones must carry forward across ordinary commits")
+    // and the re-add still gets a fresh physical name (no resurrection)
+    CommitLog.evolveSchema(spark, root, Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType, nullable = true)))
+    val head = CommitLog.latestVersion(root).get
+    val readded = CommitLog.read(spark, root, head)
+    assert(readded.filter(col("user_id").isNotNull).count() === 0,
+      "re-added column resurrected the dropped column's lingering bytes")
+  }
 }
