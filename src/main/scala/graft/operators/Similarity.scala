@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Det._
 import graft.functions.VectorExprs
-import graft.sources.Tables
+import graft.sources.{CommitLog, Tables, VectorIndex}
 
 /** B10 (similarity half) — vector similarity search over `embeddings`
   * (SURVEY.md §2 B10): brute-force cosine top-k (the exactness
@@ -239,6 +239,58 @@ object Similarity {
       ordered(s.read.parquet(root + "/assigned")
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("first_vec")))
+    },
+    "s_sim_index_refresh" -> { (s, dir) =>
+      // Incremental index MAINTENANCE (r11, VERDICT item 3): the
+      // corpus is a commit-log table; the index trains on its v0
+      // (two-thirds of the vectors), the rest arrives as TWO appends,
+      // and ONE refresh folds them — each new vector assigned against
+      // the FROZEN codebook (broadcast argmin, no retrain, no corpus
+      // rescan) and appended to its cell partition, watermarked in the
+      // posting commit itself. The report is the refreshed index's
+      // per-cell inventory plus two exactness flags: the refreshed
+      // postings EQUAL a from-scratch assignment of the whole corpus
+      // against the same codebook, and a probe over the refreshed
+      // index equals the probe over that rebuilt assignment. (A
+      // RETRAINED rebuild is a different index by design — FAISS `add`
+      // vs retrain; freezing is the maintenance contract.)
+      val e = vecs(s, dir)
+      val corpus = java.nio.file.Files.createTempDirectory("graft_ivfr_c")
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfr_i")
+      corpus.toFile.deleteOnExit(); idx.toFile.deleteOnExit()
+      CommitLog.append(s, corpus.toString,
+        e.filter(col("vec_id") % 3 =!= 2), nFiles = 2)
+      val (assigned, cents) = ivfTrain(CommitLog.read(s, corpus.toString, 0L))
+      VectorIndex.create(s, idx.toString, corpus.toString, 0L, assigned, cents)
+      CommitLog.append(s, corpus.toString,
+        e.filter(col("vec_id") % 3 === 2 && col("vec_id") % 2 === 0), nFiles = 1)
+      CommitLog.append(s, corpus.toString,
+        e.filter(col("vec_id") % 3 === 2 && col("vec_id") % 2 =!= 0), nFiles = 1)
+      val (av, folded) = VectorIndex.refresh(s, idx.toString)
+      val aRoot = VectorIndex.assignedRoot(idx.toString)
+      val refreshed = CommitLog.read(s, aRoot, av)
+      val corpusHead = CommitLog.read(s, corpus.toString,
+        CommitLog.latestVersion(corpus.toString).get)
+      val rebuilt = VectorIndex.assignFrozen(corpusHead, cents)
+      val equalsReassign = if (refreshed.exceptAll(rebuilt).count() == 0 &&
+        rebuilt.exceptAll(refreshed).count() == 0) 1L else 0L
+      // probe the REFRESHED index through manifest partition pruning —
+      // the candidate-selection read path an ANN serve actually runs
+      val q = e.filter(col("vec_id") === lit(0L)).select(col("v").as("qv"))
+      val probes = probeCellsOf(cents, q, nProbe = 8)
+        .collect().map(_.getInt(0)).toIndexedSeq
+      val (cand, _, _) = CommitLog.partitionPrunedRead(s, aRoot, av,
+        "cell", probes.map(_.toString))
+      val topRefreshed = scoreProbed(cand, q, k = 20)
+      val topRebuilt =
+        scoreProbed(rebuilt.filter(col("cell").isin(probes: _*)), q, k = 20)
+      val probeEqual = if (topRefreshed.exceptAll(topRebuilt).count() == 0 &&
+        topRebuilt.exceptAll(topRefreshed).count() == 0) 1L else 0L
+      ordered(refreshed.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("first_vec"))
+        .withColumn("rows_folded", lit(folded))
+        .withColumn("equals_reassignment", lit(equalsReassign))
+        .withColumn("probe_equal", lit(probeEqual)))
     },
     "q_sim_ivf_probe" -> { (s, dir) =>
       // Probe the PERSISTED index (r9): the probe reads ONLY the
@@ -656,6 +708,53 @@ object Similarity {
         |SELECT cell, COUNT(*) AS n_vectors, MIN(vec_id) AS first_vec
         |FROM a2 GROUP BY cell""".stripMargin +
         orderByAll("cell", "n_vectors", "first_vec")),
+    // s_sim_index_refresh: the ivfCtes chain with TRAINING confined to
+    // the create-time corpus (vec_id % 3 <> 2) and the final assign
+    // over the FULL corpus against those frozen centroids — exactly
+    // the refreshed index's content; the exactness flags replay as
+    // literal 1s because the Spark side asserts them as multiset
+    // equalities the oracle-side construction makes true by definition
+    "s_sim_index_refresh" ->
+      ("""WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |et AS (SELECT * FROM e WHERE vec_id % 3 <> 2),
+        |init AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM et WHERE vec_id < 16),
+        |d1 AS (
+        |  SELECT et.vec_id, et.v, i.cell,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      j -> CAST(FLOOR((et.v[j] - i.cv[j]) * (et.v[j] - i.cv[j]) * 1e12)
+        |        AS BIGINT))) AS BIGINT) AS dq
+        |  FROM et CROSS JOIN init i),
+        |a1 AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dq, cell) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |cd AS (
+        |  SELECT cell, u.j AS dim, COUNT(*) AS n,
+        |    CAST(SUM(CAST(FLOOR(v[u.j] * 1e7) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM a1, (SELECT unnest(range(1, 65)) AS j) u
+        |  GROUP BY cell, u.j),
+        |c1 AS (
+        |  SELECT cell, list(CAST(sq AS DOUBLE) / 1e7 / n ORDER BY dim) AS cv
+        |  FROM cd GROUP BY cell),
+        |d2 AS (
+        |  SELECT e.vec_id, e.v, c.cell,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      j -> CAST(FLOOR((e.v[j] - c.cv[j]) * (e.v[j] - c.cv[j]) * 1e12)
+        |        AS BIGINT))) AS BIGINT) AS dq
+        |  FROM e CROSS JOIN c1 c),
+        |a2 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dq, cell) AS rn
+        |    FROM d2) WHERE rn = 1)
+        |SELECT cell, COUNT(*) AS n_vectors, MIN(vec_id) AS first_vec,
+        |  CAST((SELECT COUNT(*) FROM e WHERE vec_id % 3 = 2) AS BIGINT) AS rows_folded,
+        |  CAST(1 AS BIGINT) AS equals_reassignment,
+        |  CAST(1 AS BIGINT) AS probe_equal
+        |FROM a2 GROUP BY cell""".stripMargin +
+        orderByAll("cell", "n_vectors", "first_vec", "rows_folded",
+          "equals_reassignment", "probe_equal")),
     "q_sim_cosine_topk" ->
       (s"""WITH p AS (
         |  SELECT a.vec_id AS va, b.vec_id AS vb, ${cosSql("a", "b")} AS c

@@ -417,6 +417,62 @@ object TableFormat {
           lit(exact).as("equals_full_recompute"),
           col("n_keys"), col("n_rows"), col("sum_value")))
     },
+    "q_table_incr_view_minmax" -> { (s, dir) =>
+      // Multi-aggregate incremental view (r11, VERDICT item 2): per
+      // key COUNT(*) + per measure COUNT/SUM/MIN/MAX over TWO measure
+      // columns, maintained from the changelog. COUNT/SUM fold as
+      // signed deltas; MIN/MAX fold monotonically on inserts and
+      // re-aggregate ONLY the keys whose delete-side bounds touch a
+      // recorded extreme (the published bounded-recompute rule) — a
+      // sparse delete slice (event_id % 97) plus an update whose
+      // pre-images may hold per-key maxima exercise both the monotone
+      // and the recompute paths in one refresh. The report pins the
+      // rows consumed AND a bit-for-bit equality flag against a
+      // from-scratch recompute; StreamingSpec pins the recompute-path
+      // key count from a handcrafted fixture.
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val src = java.nio.file.Files.createTempDirectory("graft_ivmm_src")
+      val vw = java.nio.file.Files.createTempDirectory("graft_ivmm_view")
+      src.toFile.deleteOnExit(); vw.toFile.deleteOnExit()
+      CommitLog.append(s, src.toString, ev.filter(col("event_id") % 2 === 0), nFiles = 2)
+      CommitLog.setTableProperty(src.toString, "enableChangeDataFeed", "true")
+      graft.sources.IncrementalViewMulti.create(s, vw.toString, src.toString,
+        "event_type", Seq("value", "user_id"))
+      CommitLog.append(s, src.toString, ev.filter(col("event_id") % 2 =!= 0), nFiles = 2)
+      CommitLog.delete(s, src.toString, col("event_id") % 97 === 0)
+      CommitLog.update(s, src.toString, col("user_id") % 4 === 2,
+        Seq("value" -> (col("value") + lit(1000.0))))
+      val (vv, consumed, _) = graft.sources.IncrementalViewMulti.refresh(s, vw.toString)
+      val view = CommitLog.read(s, vw.toString, vv)
+      val cur = CommitLog.read(s, src.toString,
+        CommitLog.latestVersion(src.toString).get)
+      val full = cur.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count(col("value")).as("nv_value"),
+          sum(col("value").cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("total_value"),
+          min(col("value")).as("mn_value"), max(col("value")).as("mx_value"),
+          count(col("user_id")).as("nv_user_id"),
+          sum(col("user_id").cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("total_user_id"),
+          min(col("user_id")).as("mn_user_id"), max(col("user_id")).as("mx_user_id"))
+      val exact = if (view.exceptAll(full).count() == 0 &&
+        full.exceptAll(view).count() == 0) 1L else 0L
+      ordered(view
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+          sum(col("total_value")).cast("double").as("sum_value"),
+          min(col("mn_value")).as("min_value"),
+          max(col("mx_value")).as("max_value"),
+          sum(col("nv_user_id")).as("n_user_nonnull"),
+          min(col("mn_user_id")).as("min_user"),
+          max(col("mx_user_id")).as("max_user"))
+        .select(lit(consumed).as("rows_folded"),
+          lit(exact).as("equals_full_recompute"),
+          col("n_keys"), col("n_rows"), col("sum_value"), col("min_value"),
+          col("max_value"), col("n_user_nonnull"), col("min_user"),
+          col("max_user")))
+    },
     "q_sql_table_detail" -> { (s, dir) =>
       // SQL front-end (added late r10): DESCRIBE DETAIL — the Delta
       // table-metadata summary as ONE row from the log alone (no data
@@ -1697,6 +1753,34 @@ object TableFormat {
         |  CAST((SELECT SUM(n) FROM g) AS BIGINT) AS n_rows,
         |  CAST(CAST((SELECT SUM(total) FROM g) AS STRING) AS DOUBLE) AS sum_value""".stripMargin +
         orderByAll("rows_folded", "n_keys", "n_rows", "sum_value")),
+    "q_table_incr_view_minmax" ->
+      ("""WITH f AS (
+        |  SELECT event_type, user_id,
+        |    CASE WHEN user_id % 4 = 2 THEN value + 1000.0 ELSE value END AS value
+        |  FROM events WHERE event_id % 97 <> 0),
+        |g AS (SELECT event_type, COUNT(*) AS n, COUNT(value) AS nv,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS total,
+        |    MIN(value) AS mn, MAX(value) AS mx,
+        |    COUNT(user_id) AS nvu, MIN(user_id) AS mnu, MAX(user_id) AS mxu
+        |  FROM f GROUP BY 1)
+        |SELECT CAST(
+        |    (SELECT COUNT(*) FROM events WHERE event_id % 2 <> 0) +
+        |    (SELECT COUNT(*) FROM events WHERE event_id % 97 = 0) +
+        |    2 * (SELECT COUNT(*) FROM events
+        |         WHERE user_id % 4 = 2 AND event_id % 97 <> 0)
+        |  AS BIGINT) AS rows_folded,
+        |  CAST(1 AS BIGINT) AS equals_full_recompute,
+        |  (SELECT COUNT(*) FROM g) AS n_keys,
+        |  CAST((SELECT SUM(n) FROM g) AS BIGINT) AS n_rows,
+        |  CAST(CAST((SELECT SUM(total) FROM g) AS STRING) AS DOUBLE) AS sum_value,
+        |  (SELECT MIN(mn) FROM g) AS min_value,
+        |  (SELECT MAX(mx) FROM g) AS max_value,
+        |  CAST((SELECT SUM(nvu) FROM g) AS BIGINT) AS n_user_nonnull,
+        |  (SELECT MIN(mnu) FROM g) AS min_user,
+        |  (SELECT MAX(mxu) FROM g) AS max_user""".stripMargin +
+        orderByAll("rows_folded", "equals_full_recompute", "n_keys",
+          "n_rows", "sum_value", "min_value", "max_value",
+          "n_user_nonnull", "min_user", "max_user")),
     "s_table_view_stream" ->
       ("""WITH f AS (
         |  SELECT event_type, value FROM events WHERE user_id % 4 <> 1),

@@ -1211,7 +1211,8 @@ object CommitLog {
     * column on the same table is rejected (one partCol per table,
     * the public formats' single partitioning spec). */
   def appendPartitioned(s: SparkSession, root: String, df: DataFrame,
-      partCol: String, filesPerPartition: Int): Long = {
+      partCol: String, filesPerPartition: Int,
+      extraMeta: Seq[String] = Nil): Long = {
     val prev = latestVersion(root)
     requireSchemaCompatible(root, prev, df, "appendPartitioned")
     enforceConstraints(s, root, df, "appendPartitioned")
@@ -1224,7 +1225,7 @@ object CommitLog {
     commit(root, prevFiles ++ staged, prev,
       statsCol = prevCol, stats = prevStats,
       schemaJson = carriedSchemaJson(root, prev),
-      extra = auxExtra(carriedAux(root, prev).merged(aux)))
+      extra = auxExtra(carriedAux(root, prev).merged(aux)) ++ extraMeta)
   }
 
   /** Partition-pruned scan: the files of `version` whose recorded

@@ -1,0 +1,211 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multi-aggregate incrementally-maintained view (r11, VERDICT item 2)
+  * — [[IncrementalView]] widened past the canonical COUNT+SUM pair to
+  * the full distributive family per measure column:
+  *
+  *   n        COUNT(*)      (one per key — the key-drop arbiter)
+  *   nv_m     COUNT(m)      (non-null count — SUM/AVG null-ness and
+  *                           the AVG numerator/denominator are exact)
+  *   total_m  SUM(m)        (DECIMAL(18,4), exact)
+  *   mn_m     MIN(m)
+  *   mx_m     MAX(m)
+  *
+  * COUNT/SUM fold as signed deltas exactly like the 2-column view.
+  * MIN/MAX are only SEMI-distributive: inserts fold monotonically
+  * (new mn = least(old, batch insert min)), but a delete that removes
+  * the recorded extreme invalidates the monotone fold — the standard
+  * bounded-recompute rule of the published IVM playbook applies
+  * (Gupta & Mumick's summary-delta method for non-distributive
+  * aggregates): keys whose DELETE-side batch bounds touch their
+  * recorded extremes re-aggregate FROM THE SOURCE, restricted to
+  * exactly those keys by a semi join; every other key folds
+  * arithmetically. AVG is derivable (total_m / nv_m) so it is not
+  * materialized — the public engines make the same call.
+  *
+  * The watermark contract, crash anatomy and idempotency are
+  * [[IncrementalView]]'s verbatim: the last folded source version
+  * rides the fold's own MERGE commit (manifest field `viewSrc`), and
+  * the whole fold — survivors merged, zero-count keys deleted — is
+  * ONE atomic commit via the merge's distributed delete-keys side.
+  *
+  * 100 TB posture: the arithmetic path costs changed-rows + a MERGE
+  * over dirty view files, like the 2-column view. The re-aggregation
+  * path reads the SOURCE at the folded version for the affected keys
+  * — shuffle volume is bounded by those keys' rows (the semi join),
+  * scan volume by whatever layout pruning the source offers; a
+  * key-aligned layout (partition/cluster by the group key) makes the
+  * re-read surgical. Deletes that never touch an extreme (the common
+  * case — most deletes are retention slices, not argmin rows) never
+  * pay it. */
+object IncrementalViewMulti {
+
+  private val SrcProp = "graft.view.sourceRoot"
+  private val KeyProp = "graft.view.keyCol"
+  private val ValsProp = "graft.view.valCols"
+  private val VerProp = "graft.view.sourceVersion"
+  private val VerField = "viewSrc"
+
+  /** Full per-key state at `rows` — also the bounded re-aggregation
+    * kernel (recomputed keys get ALL their aggregates from here, so
+    * the two paths can never disagree on shape). */
+  private def state(keyCol: String, valCols: Seq[String],
+      rows: DataFrame): DataFrame = {
+    val aggs = count(lit(1)).as("n") +: valCols.flatMap { m => Seq(
+      count(col(m)).as(s"nv_$m"),
+      sum(col(m).cast("decimal(18,4)")).cast("decimal(18,4)").as(s"total_$m"),
+      min(col(m)).as(s"mn_$m"),
+      max(col(m)).as(s"mx_$m")) }
+    rows.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** See [[IncrementalView.lastFolded]] — same walk, same contract. */
+  private def lastFolded(viewRoot: String): Long = {
+    val head = CommitLog.latestVersion(viewRoot)
+      .getOrElse(sys.error(s"view table vanished from $viewRoot"))
+    (head to 0L by -1).iterator
+      .takeWhile(v => CommitLog.manifestExists(viewRoot, v))
+      .flatMap(v => CommitLog.longMetaOf(viewRoot, v, VerField).iterator)
+      .nextOption()
+      .orElse(CommitLog.tableProperty(viewRoot, VerProp).map(_.toLong))
+      .getOrElse(sys.error(s"$viewRoot is not an incremental view"))
+  }
+
+  /** Full compute at the source's current head; the view's version 0.
+    * appendEvolved records the schema, so a fold that empties the view
+    * still reads back. */
+  def create(s: SparkSession, viewRoot: String, srcRoot: String,
+      keyCol: String, valCols: Seq[String], nFiles: Int = 2): Long = {
+    require(valCols.nonEmpty, "multi-aggregate view needs at least one measure")
+    require(!valCols.contains(keyCol),
+      s"'$keyCol' is the group key — it cannot also be a measure")
+    val srcHead = CommitLog.latestVersion(srcRoot)
+      .getOrElse(sys.error(s"cannot build a view over an empty table at $srcRoot"))
+    val v = CommitLog.appendEvolved(s, viewRoot,
+      state(keyCol, valCols, CommitLog.read(s, srcRoot, srcHead)), nFiles)
+    CommitLog.setTableProperty(viewRoot, SrcProp, srcRoot)
+    CommitLog.setTableProperty(viewRoot, KeyProp, keyCol)
+    CommitLog.setTableProperty(viewRoot, ValsProp, valCols.mkString(","))
+    CommitLog.setTableProperty(viewRoot, VerProp, srcHead.toString)
+    v
+  }
+
+  /** Fold the source changes since the last refresh. Returns
+    * (newViewVersion, changeRowsFolded, keysReaggregated) — the last
+    * counter is the bounded-recompute volume: keys whose delete-side
+    * bounds hit a recorded extreme. */
+  def refresh(s: SparkSession, viewRoot: String): (Long, Long, Long) = {
+    val srcRoot = CommitLog.tableProperty(viewRoot, SrcProp)
+      .getOrElse(sys.error(s"$viewRoot is not an incremental view (no $SrcProp)"))
+    val from = lastFolded(viewRoot)
+    val srcHead = CommitLog.latestVersion(srcRoot)
+      .getOrElse(sys.error(s"source table vanished from $srcRoot"))
+    val viewHead = CommitLog.latestVersion(viewRoot)
+      .getOrElse(sys.error(s"view table vanished from $viewRoot"))
+    if (srcHead == from) return (viewHead, 0L, 0L)
+    foldDeltas(s, viewRoot, srcRoot,
+      CommitLog.changesRows(s, srcRoot, from, srcHead))
+  }
+
+  /** Fold a batch of change rows ([[CommitLog.changesRows]]'s shape).
+    * Same idempotency/atomicity contract as [[IncrementalView
+    * .foldDeltas]]; additionally runs the MIN/MAX bounded recompute
+    * for keys whose delete-side bounds touch their recorded extremes
+    * — re-aggregated from the source AT THE FOLDED VERSION (`maxVer`),
+    * never the live head, so a concurrent source commit cannot leak
+    * unfolded rows into this fold's state. */
+  def foldDeltas(s: SparkSession, viewRoot: String, srcRoot: String,
+      changeRows: DataFrame): (Long, Long, Long) = {
+    val keyCol = CommitLog.tableProperty(viewRoot, KeyProp).get
+    val valCols = CommitLog.tableProperty(viewRoot, ValsProp).get.split(',').toSeq
+    val from = lastFolded(viewRoot)
+    val viewHead = CommitLog.latestVersion(viewRoot)
+      .getOrElse(sys.error(s"view table vanished from $viewRoot"))
+    val changes = changeRows
+      .filter(col("_commit_version") > from && col(keyCol).isNotNull)
+    val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .when(col("_change_type").isin("delete", "update_preimage"), -1L)
+    // ONE changelog pass: per-key deltas, insert-side and delete-side
+    // bounds, and the batch totals, all from a single checkpointed agg
+    val aggs = Seq(
+      sum(col("_sgn")).as("dn"),
+      count(lit(1)).as("_cnt"),
+      max(col("_commit_version")).as("_maxv")) ++
+      valCols.flatMap { m => Seq(
+        sum(when(col(m).isNotNull, col("_sgn")).otherwise(0L)).as(s"dnv_$m"),
+        sum(col(m).cast("decimal(18,4)") * col("_sgn")).as(s"dtotal_$m"),
+        min(when(col("_sgn") === 1L, col(m))).as(s"insmn_$m"),
+        max(when(col("_sgn") === 1L, col(m))).as(s"insmx_$m"),
+        min(when(col("_sgn") === -1L, col(m))).as(s"delmn_$m"),
+        max(when(col("_sgn") === -1L, col(m))).as(s"delmx_$m")) }
+    val deltas = changes
+      .select((col(keyCol) +: col("_commit_version") +: sign.as("_sgn") +:
+        valCols.map(col)): _*)
+      .groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+      .localCheckpoint()
+    val tot = deltas
+      .agg(coalesce(sum(col("_cnt")), lit(0L)), max(col("_maxv"))).collect()(0)
+    val nChanges = tot.getLong(0)
+    if (nChanges == 0) return (viewHead, 0L, 0L)
+    val maxVer = tot.getLong(1)
+    // the bounded-recompute trigger, per measure: a delete-side bound
+    // at or past the recorded extreme (or a delete against a key the
+    // view has no state for — insert+delete within one batch) breaks
+    // the monotone fold for that key
+    def hit(m: String): Column =
+      (col(s"d.delmn_$m").isNotNull &&
+        (col(s"c.mn_$m").isNull || col(s"d.delmn_$m") <= col(s"c.mn_$m"))) ||
+        (col(s"d.delmx_$m").isNotNull &&
+          (col(s"c.mx_$m").isNull || col(s"d.delmx_$m") >= col(s"c.mx_$m")))
+    val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(18,4)")
+    val current = CommitLog.read(s, viewRoot, viewHead)
+    val perMeasure = valCols.flatMap { m =>
+      val nv = coalesce(col(s"c.nv_$m"), lit(0L)) + coalesce(col(s"d.dnv_$m"), lit(0L))
+      Seq(
+        nv.as(s"nv_$m"),
+        // SUM null-ness is exact here: nv_m tracks the non-null count
+        when(nv === 0L, lit(null).cast("decimal(18,4)"))
+          .otherwise((coalesce(col(s"c.total_$m"), zero) +
+            coalesce(col(s"d.dtotal_$m"), zero)).cast("decimal(18,4)"))
+          .as(s"total_$m"),
+        // monotone insert fold (least/greatest skip nulls) — only
+        // sound for keys the recompute trigger did NOT fire on
+        least(col(s"c.mn_$m"), col(s"d.insmn_$m")).as(s"mn_$m"),
+        greatest(col(s"c.mx_$m"), col(s"d.insmx_$m")).as(s"mx_$m"))
+    }
+    val arith = deltas.as("d")
+      .join(current.as("c"), Seq(keyCol), "left_outer")
+      .select((col(keyCol) +:
+        (coalesce(col("c.n"), lit(0L)) + col("d.dn")).as("n") +:
+        valCols.map(hit).reduce(_ || _).as("_rec") +:
+        perMeasure): _*)
+      .localCheckpoint() // one evaluation feeds guard + all three sides
+    require(arith.filter(col("n") < 0).isEmpty,
+      "refresh: a key's count went negative — the changelog and view " +
+        "state disagree (an interrupted fold, or the view edited " +
+        "out-of-band); rebuild the view with create()")
+    val recKeys = arith.filter(col("_rec") && col("n") > 0).select(col(keyCol))
+    val nRec = recKeys.count() // scalar: the affected-KEY count
+    val stateCols = col(keyCol) +: col("n") +: valCols.flatMap(m =>
+      Seq(col(s"nv_$m"), col(s"total_$m"), col(s"mn_$m"), col(s"mx_$m")))
+    val folded = arith.filter(!col("_rec") && col("n") > 0).select(stateCols: _*)
+    val survivors =
+      if (nRec == 0) folded
+      // re-aggregate ONLY the affected keys, from the source at the
+      // version this fold lands on — a distributed semi join, never a
+      // collected key list
+      else folded.unionByName(state(keyCol, valCols,
+        CommitLog.read(s, srcRoot, maxVer)
+          .join(recKeys, Seq(keyCol), "left_semi")))
+    val vanished = arith.filter(col("n") === 0).select(col(keyCol))
+    val wm = Seq(s""","$VerField":$maxVer""")
+    val (v1, _, _) = CommitLog.merge(s, viewRoot, survivors, keyCol,
+      nInsertFiles = 1, extraMeta = wm, deleteKeys = Some(vanished))
+    CommitLog.setTableProperty(viewRoot, VerProp, maxVer.toString)
+    (v1, nChanges, nRec)
+  }
+}

@@ -234,4 +234,44 @@ class SimilaritySpec extends SparkSpec {
     assert(minedMean > 100 * math.abs(randomMean),
       s"mined negatives $minedMean not meaningfully harder than random $randomMean")
   }
+
+  test("index refresh: idempotent on no change, appends-only refusal named, watermark atomic (r11)") {
+    import graft.sources.{CommitLog, VectorIndex}
+    val e = vecs.join(
+      Tables(spark, sf, "embeddings").select(col("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id"), col("label"), col("v"))
+    val corpus = java.nio.file.Files.createTempDirectory("graft_vir_c").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft_vir_i").toString
+    CommitLog.append(spark, corpus, e.filter(col("vec_id") % 2 === 0), nFiles = 1)
+    val (assigned, cents) = Similarity.ivfTrain(CommitLog.read(spark, corpus, 0L))
+    VectorIndex.create(spark, idx, corpus, 0L, assigned, cents)
+    val aRoot = VectorIndex.assignedRoot(idx)
+    // no new source commits → publishes nothing, folds nothing
+    val head0 = CommitLog.latestVersion(aRoot).get
+    val (v0, n0) = VectorIndex.refresh(spark, idx)
+    assert(v0 === head0 && n0 === 0L, s"no-change refresh published v$v0 ($n0 rows)")
+    // an append folds exactly its rows; a SECOND refresh folds nothing
+    // (the watermark rode the posting commit)
+    CommitLog.append(spark, corpus, e.filter(col("vec_id") % 2 =!= 0), nFiles = 1)
+    val (v1, n1) = VectorIndex.refresh(spark, idx)
+    assert(n1 === e.filter(col("vec_id") % 2 =!= 0).count(), s"folded $n1")
+    assert(v1 === head0 + 1, "refresh must be ONE posting commit")
+    val (v2, n2) = VectorIndex.refresh(spark, idx)
+    assert(v2 === v1 && n2 === 0L, "replayed refresh double-folded")
+    // the refreshed index equals full reassignment under the codebook
+    val refreshed = CommitLog.read(spark, aRoot, v1)
+    val full = VectorIndex.assignFrozen(
+      CommitLog.read(spark, corpus, CommitLog.latestVersion(corpus).get), cents)
+    assert(refreshed.exceptAll(full).count() === 0 &&
+      full.exceptAll(refreshed).count() === 0,
+      "refreshed index diverges from full reassignment")
+    // a row-removing source commit refuses BY NAME (rebuild, don't
+    // silently serve stale postings for deleted vectors)
+    CommitLog.setTableProperty(corpus, "enableChangeDataFeed", "true")
+    CommitLog.delete(spark, corpus, col("vec_id") % 7 === 3)
+    val ex = intercept[IllegalArgumentException] {
+      VectorIndex.refresh(spark, idx)
+    }
+    assert(ex.getMessage.contains("APPENDS only"), ex.getMessage)
+  }
 }

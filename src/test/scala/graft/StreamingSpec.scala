@@ -1807,6 +1807,66 @@ class StreamingSpec extends SparkSpec {
     assert(CommitLog.snapshotFiles(root, 0L) === v0Files)
   }
 
+  test("multi-agg incremental view: MIN/MAX bounded recompute fires only on bound-touching deletes (r11)") {
+    import graft.sources.{CommitLog, IncrementalViewMulti}
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_ivmm_s").toString
+    val vw = java.nio.file.Files.createTempDirectory("graft_ivmm_v").toString
+    // handcrafted bounds: a=[1,5,9], b=[10,20,30], c=[7,NULL]
+    val base = Seq[(String, Long, java.lang.Double)](
+      ("a", 1L, 1.0), ("a", 2L, 5.0), ("a", 3L, 9.0),
+      ("b", 4L, 10.0), ("b", 5L, 20.0), ("b", 6L, 30.0),
+      ("c", 7L, 7.0), ("c", 8L, null)).toDF("k", "id", "v")
+    CommitLog.append(spark, src, base, nFiles = 1)
+    CommitLog.setTableProperty(src, "enableChangeDataFeed", "true")
+    IncrementalViewMulti.create(spark, vw, src, "k", Seq("v"))
+    def recompute() = CommitLog.read(spark, src, CommitLog.latestVersion(src).get)
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n"), count(col("v")).as("nv_v"),
+        sum(col("v").cast("decimal(18,4)")).cast("decimal(18,4)").as("total_v"),
+        min(col("v")).as("mn_v"), max(col("v")).as("mx_v"))
+    def check(tag: String): Unit = {
+      val view = CommitLog.read(spark, vw, CommitLog.latestVersion(vw).get)
+      assert(view.exceptAll(recompute()).count() === 0 &&
+        recompute().exceptAll(view).count() === 0,
+        s"$tag: incremental state diverges from recompute")
+    }
+    // delete a's MIN (bound hit → re-aggregate) and b's MIDDLE value
+    // (no bound touched → monotone fold): exactly ONE key re-aggregates
+    CommitLog.delete(spark, src,
+      (col("k") === "a" && col("v") === 1.0) ||
+        (col("k") === "b" && col("v") === 20.0))
+    val (_, _, rec1) = IncrementalViewMulti.refresh(spark, vw)
+    assert(rec1 === 1L, s"expected only 'a' to re-aggregate, got $rec1 keys")
+    check("bound-touching delete")
+    // deleting a key's LAST non-null value: n stays up, nv drops to 0,
+    // SUM/MIN/MAX all go NULL — exactly SQL's aggregates over NULLs
+    CommitLog.delete(spark, src, col("k") === "c" && col("v").isNotNull)
+    val (_, _, rec2) = IncrementalViewMulti.refresh(spark, vw)
+    assert(rec2 === 1L)
+    check("last non-null value deleted")
+    val cRow = CommitLog.read(spark, vw, CommitLog.latestVersion(vw).get)
+      .filter(col("k") === "c").collect()(0)
+    assert(cRow.getLong(1) === 1L && cRow.getLong(2) === 0L &&
+      cRow.isNullAt(3) && cRow.isNullAt(4) && cRow.isNullAt(5),
+      s"all-NULL key state wrong: $cRow")
+    // insert-only batches NEVER re-aggregate — a new minimum folds
+    // monotonically
+    CommitLog.append(spark, src,
+      Seq[(String, Long, java.lang.Double)](("b", 9L, 5.0)).toDF("k", "id", "v"),
+      nFiles = 1)
+    val (_, _, rec3) = IncrementalViewMulti.refresh(spark, vw)
+    assert(rec3 === 0L, s"insert-only fold re-aggregated $rec3 keys")
+    check("monotone insert fold")
+    // deleting a key's every row drops it (vanish path shared with the
+    // 2-column view), without re-aggregation
+    CommitLog.delete(spark, src, col("k") === "a")
+    IncrementalViewMulti.refresh(spark, vw)
+    check("key vanish")
+    assert(CommitLog.read(spark, vw, CommitLog.latestVersion(vw).get)
+      .filter(col("k") === "a").count() === 0, "vanished key survived")
+  }
+
   test("incremental view: mass delete — EVERY key vanishes in ONE distributed fold commit (r11)") {
     import graft.sources.{CommitLog, IncrementalView, Tables}
     // the retention-purge / GDPR-sweep shape the r10 verdict flagged:
