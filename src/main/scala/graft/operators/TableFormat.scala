@@ -473,6 +473,39 @@ object TableFormat {
           col("max_value"), col("n_user_nonnull"), col("min_user"),
           col("max_user")))
     },
+    "q_table_history_checkpoint" -> { (s, dir) =>
+      // Log CHECKPOINT (r11, VERDICT item 4) — the million-commit
+      // axis: with checkpointInterval=7 set, every 7th commit
+      // snapshots one compact summary row per version, and every
+      // history-shaped read (DESCRIBE HISTORY, TIMESTAMP AS OF, the
+      // views' watermark walks) parses only the manifests AFTER the
+      // checkpoint. 24 commits here → auto-checkpoints at v7/14/21 →
+      // the history walk parses TWO manifests (v22, v23) instead of
+      // 24; at 10^5 commits the same walk parses <= interval. Time
+      // travel to v0 stays exact (checkpoints are metadata cache,
+      // manifests stay the read authority).
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val root = java.nio.file.Files.createTempDirectory("graft_ckpt")
+      root.toFile.deleteOnExit()
+      CommitLog.setTableProperty(root.toString, "checkpointInterval", "7")
+      (0 until 24).foreach { i =>
+        CommitLog.append(s, root.toString,
+          ev.filter(col("event_id") % 24 === i), nFiles = 1)
+      }
+      val (rows, parsed) = CommitLog.historySummaries(root.toString)
+      val ckptV = CommitLog.lastCheckpointVersion(root.toString).getOrElse(-1L)
+      val v0 = CommitLog.read(s, root.toString, 0L)
+      val head = CommitLog.read(s, root.toString,
+        CommitLog.latestVersion(root.toString).get)
+      ordered(head.agg(count(lit(1)).as("n_rows_head"),
+        dsum(col("value")).as("sum_value"))
+        .select(lit(rows.size.toLong).as("n_versions"),
+          lit(parsed).as("manifests_parsed"),
+          lit(ckptV).as("ckpt_version"),
+          lit(v0.count()).as("n_rows_v0"),
+          col("n_rows_head"), col("sum_value")))
+    },
     "q_sql_table_detail" -> { (s, dir) =>
       // SQL front-end (added late r10): DESCRIBE DETAIL — the Delta
       // table-metadata summary as ONE row from the log alone (no data
@@ -1753,6 +1786,16 @@ object TableFormat {
         |  CAST((SELECT SUM(n) FROM g) AS BIGINT) AS n_rows,
         |  CAST(CAST((SELECT SUM(total) FROM g) AS STRING) AS DOUBLE) AS sum_value""".stripMargin +
         orderByAll("rows_folded", "n_keys", "n_rows", "sum_value")),
+    "q_table_history_checkpoint" ->
+      ("""SELECT CAST(24 AS BIGINT) AS n_versions,
+        |  CAST(2 AS BIGINT) AS manifests_parsed,
+        |  CAST(21 AS BIGINT) AS ckpt_version,
+        |  (SELECT COUNT(*) FROM events WHERE event_id % 24 = 0) AS n_rows_v0,
+        |  COUNT(*) AS n_rows_head,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
+        |FROM events""".stripMargin +
+        orderByAll("n_versions", "manifests_parsed", "ckpt_version",
+          "n_rows_v0", "n_rows_head", "sum_value")),
     "q_table_incr_view_minmax" ->
       ("""WITH f AS (
         |  SELECT event_type, user_id,

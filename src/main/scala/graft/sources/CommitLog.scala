@@ -228,8 +228,21 @@ object CommitLog {
     publish(root, next,
       renderManifest(next, files, op, statsCol, stats, schemaJson,
         extra ++ tsJson))
+    maybeCheckpoint(root, next)
     next
   }
+
+  /** Opt-in auto-checkpoint (table property `checkpointInterval`,
+    * Delta's name): every k-th commit snapshots the history — AFTER
+    * the commit published, best-effort (a failed cache write must
+    * never fail a healthy commit; the next interval retries). */
+  private def maybeCheckpoint(root: String, next: Long): Unit =
+    tableProperty(root, "checkpointInterval").map(_.toLong)
+      .filter(k => k > 0 && next > 0 && next % k == 0)
+      .foreach { _ =>
+        try checkpoint(root)
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
 
   /** Dropped columns' reserved physical parquet names as recorded in
     * `version`'s manifest (carried forward by every [[commit]]). */
@@ -396,41 +409,199 @@ object CommitLog {
     Option(node.get("ts")).map(_.asLong())
   }
 
+  // ------------------------------------------------------------------
+  // Log CHECKPOINT (r11, VERDICT item 4) — the million-COMMIT axis.
+  // Data manifests are already complete snapshots, so reads never
+  // replay the log; what IS O(versions) is the HISTORY metadata walk:
+  // DESCRIBE HISTORY, TIMESTAMP AS OF resolution, and the incremental
+  // readers' watermark walks each parse one JSON manifest per version.
+  // A year-old streaming table has ~10^5 commits — the walk dominates.
+  //
+  // The answer is Delta's `_last_checkpoint` design on the history
+  // axis: every `checkpointInterval` commits (opt-in table property,
+  // Delta's name) the writer snapshots ONE compact summary row per
+  // version — (version, op, ts, nFiles, writer long fields such as
+  // the views' viewSrc watermark) — into _graft_log/ckpt-v{N}.json and
+  // repoints _last_checkpoint. Checkpoints build INCREMENTALLY (prior
+  // rows carry, only (prevN, N] parses — amortized O(1) per commit),
+  // and every history-shaped reader starts from the checkpoint and
+  // parses only (N, head]. The checkpoint is a pure metadata CACHE: a
+  // missing/stale one degrades to the full walk, never to wrong
+  // answers, and its write is best-effort AFTER the commit publishes —
+  // it can never fail a healthy commit.
+  //
+  // One deliberate semantic: checkpoint rows of later-VACUUMED
+  // versions keep appearing in DESCRIBE HISTORY (log retention and
+  // data retention are separate axes — the Delta contract), while
+  // TIMESTAMP AS OF still resolves only to READABLE versions.
+  // ------------------------------------------------------------------
+
+  /** One history summary row: a version's op, commit timestamp, file
+    * count, and any writer-defined top-level long fields (e.g. the
+    * incremental views' `viewSrc`). */
+  final case class HistRow(version: Long, op: String, ts: Option[Long],
+      nFiles: Long, meta: Map[String, Long])
+
+  private def lastCkptPointer(root: String) =
+    new java.io.File(logDir(root), "_last_checkpoint")
+  private def ckptFile(root: String, n: Long) =
+    new java.io.File(logDir(root), s"ckpt-v$n.json")
+
+  /** The checkpointed version, validated (pointer AND snapshot file
+    * present) — None degrades every reader to the full walk. */
+  def lastCheckpointVersion(root: String): Option[Long] = {
+    val p = lastCkptPointer(root)
+    if (!p.exists()) None
+    else Option(mapper.readTree(java.nio.file.Files.readString(p.toPath))
+      .get("version")).map(_.asLong()).filter(n => ckptFile(root, n).exists())
+  }
+
+  /** One summary row from one manifest parse. Works on flat AND
+    * segmented manifests (file count from the segment refs). Writer
+    * long fields = every top-level integral field except version/ts. */
+  private def summarize(root: String, v: Long): Option[HistRow] = {
+    if (!manifestExists(root, v)) return None
+    val node = mapper.readTree(
+      java.nio.file.Files.readString(manifest(root, v).toPath))
+    val op = Option(node.get("op")).map(_.asText()).getOrElse("append")
+    val ts = Option(node.get("ts")).map(_.asLong())
+    val nFiles = Option(node.get("files")).map(_.size().toLong)
+      .orElse(Option(node.get("segments")).map { segs =>
+        (0 until segs.size()).map(i =>
+          segs.get(i).get("nFiles").asLong()).sum
+      }).getOrElse(0L)
+    val meta = {
+      val it = node.fields(); val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val e = it.next()
+        if (e.getValue.isIntegralNumber &&
+          e.getKey != "version" && e.getKey != "ts")
+          b += e.getKey -> e.getValue.asLong()
+      }
+      b.result()
+    }
+    Some(HistRow(v, op, ts, nFiles, meta))
+  }
+
+  private def readCheckpointRows(root: String, n: Long): Seq[HistRow] = {
+    val node = mapper.readTree(
+      java.nio.file.Files.readString(ckptFile(root, n).toPath))
+    val rows = node.get("rows")
+    (0 until rows.size()).map { i =>
+      val r = rows.get(i)
+      val meta = Option(r.get("meta")).map { m =>
+        val it = m.fields(); val b = Map.newBuilder[String, Long]
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
+        b.result()
+      }.getOrElse(Map.empty[String, Long])
+      HistRow(r.get("v").asLong(),
+        r.get("op").asText(),
+        Option(r.get("ts")).filterNot(_.isNull).map(_.asLong()),
+        r.get("nf").asLong(), meta)
+    }
+  }
+
+  /** Write (or advance) the history checkpoint to the current head.
+    * Incremental: a prior checkpoint's rows carry verbatim, only the
+    * versions after it parse. Idempotent and monotone — a stale racer
+    * never moves the pointer backwards. Returns the checkpointed
+    * version. */
+  def checkpoint(root: String): Long = {
+    val head = latestVersion(root)
+      .getOrElse(sys.error(s"nothing to checkpoint under $root"))
+    val prev = lastCheckpointVersion(root)
+    if (prev.contains(head)) return head
+    val base = prev.map(readCheckpointRows(root, _)).getOrElse(Nil)
+    val fresh = (prev.map(_ + 1).getOrElse(0L) to head)
+      .flatMap(summarize(root, _))
+    val rows = (base ++ fresh).map { r =>
+      val metaJson =
+        if (r.meta.isEmpty) ""
+        else s""","meta":{${r.meta.toSeq.sortBy(_._1)
+          .map { case (k, x) => s"${jstr(k)}:$x" }.mkString(",")}}"""
+      s"""{"v":${r.version},"op":${jstr(r.op)},""" +
+        s""""ts":${r.ts.map(_.toString).getOrElse("null")},""" +
+        s""""nf":${r.nFiles}$metaJson}"""
+    }
+    val content = s"""{"version":$head,"rows":[${rows.mkString(",")}]}"""
+    val tmp = java.nio.file.Files.createTempFile(
+      logDir(root).toPath, ".ckpt-", ".tmp")
+    java.nio.file.Files.writeString(tmp, content)
+    java.nio.file.Files.move(tmp, ckptFile(root, head).toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // monotone pointer: re-read under the move's atomicity — a racer
+    // that already advanced further wins
+    if (!lastCheckpointVersion(root).exists(_ >= head)) {
+      val ptmp = java.nio.file.Files.createTempFile(
+        logDir(root).toPath, ".ckptp-", ".tmp")
+      java.nio.file.Files.writeString(ptmp, s"""{"version":$head}""")
+      java.nio.file.Files.move(ptmp, lastCkptPointer(root).toPath,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    head
+  }
+
+  /** All history summary rows (checkpoint rows + fresh manifest
+    * parses after it) and HOW MANY manifests this call parsed — the
+    * counter the checkpoint key pins. Checkpoint rows of vacuumed
+    * versions stay (log vs data retention); fresh rows cover only
+    * retained manifests. */
+  def historySummaries(root: String): (Seq[HistRow], Long) = {
+    val head = latestVersion(root)
+      .getOrElse(sys.error(s"no table history at $root"))
+    val ckpt = lastCheckpointVersion(root)
+    val base = ckpt.map(readCheckpointRows(root, _)).getOrElse(Nil)
+    val fresh = (ckpt.map(_ + 1).getOrElse(0L) to head)
+      .flatMap(summarize(root, _))
+    (base ++ fresh, fresh.size.toLong)
+  }
+
+  /** The newest value of a writer-defined manifest long field at or
+    * below the head — the incremental readers' watermark walk, now
+    * checkpoint-floored: parse newest-first only down to the
+    * checkpoint, then read the rest from its rows. Early-stops on the
+    * first hit either way. */
+  def lastLongMeta(root: String, field: String): Option[Long] = {
+    val head = latestVersion(root).getOrElse(return None)
+    val ckpt = lastCheckpointVersion(root)
+    val stop = ckpt.map(_ + 1).getOrElse(0L)
+    (head to stop by -1).iterator
+      .takeWhile(v => manifestExists(root, v))
+      .flatMap(v => longMetaOf(root, v, field).iterator)
+      .nextOption()
+      .orElse(ckpt.flatMap(n => readCheckpointRows(root, n)
+        .reverseIterator.flatMap(_.meta.get(field)).nextOption()))
+  }
+
   /** TIMESTAMP AS OF resolution — the greatest RETAINED version whose
     * commit timestamp is <= `tsMillis` (the Delta contract: "the
-    * snapshot as of that wall-clock instant"). Errors when the instant
-    * precedes the earliest retained commit, or when the candidate
-    * manifest predates timestamp recording. */
+    * snapshot as of that wall-clock instant"). Checkpoint-floored:
+    * timestamps below the checkpoint come from its rows (no manifest
+    * parse), but the answer must be READABLE, so candidates still
+    * check manifest existence. Errors when the instant precedes the
+    * earliest retained commit, or when the candidate predates
+    * timestamp recording. */
   def versionAtTime(root: String, tsMillis: Long): Long = {
-    val head = latestVersion(root)
-      .getOrElse(sys.error(s"no commit log under $root"))
-    val hit = (0L to head).reverseIterator
-      .filter(manifestExists(root, _))
-      .find(v => commitTimestampOf(root, v) match {
+    val (rows, _) = historySummaries(root)
+    val hit = rows.reverseIterator
+      .filter(r => manifestExists(root, r.version))
+      .find(r => r.ts match {
         case Some(t) => t <= tsMillis
         case None => sys.error(
-          s"version $v predates commit-timestamp recording — " +
+          s"version ${r.version} predates commit-timestamp recording — " +
             "time travel by version instead")
       })
-    hit.getOrElse(sys.error(
+    hit.map(_.version).getOrElse(sys.error(
       s"no retained snapshot at or before timestamp $tsMillis " +
         s"(earliest retained commit is newer, or was vacuumed)"))
   }
 
-  /** Table history — one (version, op, nFiles) per RETAINED version
-    * (vacuumed manifests are gone and do not row). Pure log metadata:
-    * one manifest parse per retained version, zero data I/O. */
-  def history(root: String): Seq[(Long, String, Long)] = {
-    val head = latestVersion(root)
-      .getOrElse(sys.error(s"no table history at $root"))
-    (0L to head).flatMap { v =>
-      if (!manifestExists(root, v)) None
-      else {
-        val (op, files) = readManifest(root, v)
-        Some((v, op, files.size.toLong))
-      }
-    }
-  }
+  /** Table history — one (version, op, nFiles) per summary row (see
+    * [[historySummaries]]). Pure log metadata, zero data I/O; with a
+    * checkpoint, manifest parses cover only the versions after it. */
+  def history(root: String): Seq[(Long, String, Long)] =
+    historySummaries(root)._1.map(r => (r.version, r.op, r.nFiles))
 
   /** All table properties (empty map when none were ever set). */
   def tableProperties(root: String): Map[String, String] = {
@@ -2638,6 +2809,7 @@ object CommitLog {
     val next = prev.map(_ + 1).getOrElse(0L)
     publish(root, next, renderSegmentManifest(next, "append",
       prevSegs :+ SegmentRef(segName, staged.size, bounds)))
+    maybeCheckpoint(root, next) // summarize() reads segment manifests too
     next
   }
 

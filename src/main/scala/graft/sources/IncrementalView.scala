@@ -54,20 +54,15 @@ object IncrementalView {
           .cast("decimal(18,4)").as("total"))
 
   /** The last source version folded into the view: the most recent
-    * retained commit carrying a `viewSrc` field (a fold wrote it —
-    * atomic with the fold; maintenance commits like compact don't, so
-    * the walk skips them), else the create-time property. The walk is
-    * one manifest parse per version, newest first — metadata-sized. */
-  private def lastFolded(viewRoot: String): Long = {
-    val head = CommitLog.latestVersion(viewRoot)
-      .getOrElse(sys.error(s"view table vanished from $viewRoot"))
-    (head to 0L by -1).iterator
-      .takeWhile(v => CommitLog.manifestExists(viewRoot, v))
-      .flatMap(v => CommitLog.longMetaOf(viewRoot, v, VerField).iterator)
-      .nextOption()
+    * commit carrying a `viewSrc` field (a fold wrote it — atomic with
+    * the fold; maintenance commits like compact don't, so the walk
+    * skips them), else the create-time property. The walk parses
+    * newest-first manifests only down to the log CHECKPOINT (r11),
+    * whose rows answer below it — O(interval), not O(history). */
+  private def lastFolded(viewRoot: String): Long =
+    CommitLog.lastLongMeta(viewRoot, VerField)
       .orElse(CommitLog.tableProperty(viewRoot, VerProp).map(_.toLong))
       .getOrElse(sys.error(s"$viewRoot is not an incremental view"))
-  }
 
   /** Full compute at the source's current head; returns the view's
     * version 0. The source head folded in is recorded so the first

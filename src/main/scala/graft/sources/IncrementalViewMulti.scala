@@ -63,17 +63,12 @@ object IncrementalViewMulti {
       .groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** See [[IncrementalView.lastFolded]] — same walk, same contract. */
-  private def lastFolded(viewRoot: String): Long = {
-    val head = CommitLog.latestVersion(viewRoot)
-      .getOrElse(sys.error(s"view table vanished from $viewRoot"))
-    (head to 0L by -1).iterator
-      .takeWhile(v => CommitLog.manifestExists(viewRoot, v))
-      .flatMap(v => CommitLog.longMetaOf(viewRoot, v, VerField).iterator)
-      .nextOption()
+  /** See [[IncrementalView.lastFolded]] — same checkpoint-floored
+    * walk, same contract. */
+  private def lastFolded(viewRoot: String): Long =
+    CommitLog.lastLongMeta(viewRoot, VerField)
       .orElse(CommitLog.tableProperty(viewRoot, VerProp).map(_.toLong))
       .getOrElse(sys.error(s"$viewRoot is not an incremental view"))
-  }
 
   /** Full compute at the source's current head; the view's version 0.
     * appendEvolved records the schema, so a fold that empties the view

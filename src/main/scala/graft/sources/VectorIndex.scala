@@ -62,18 +62,12 @@ object VectorIndex {
         col("best.cell").as("cell"))
   }
 
-  /** See IncrementalView.lastFolded — same walk over the ASSIGNED
-    * table's manifests for the `indexSrc` field. */
-  private def lastIndexed(aRoot: String): Long = {
-    val head = CommitLog.latestVersion(aRoot)
-      .getOrElse(sys.error(s"index table vanished from $aRoot"))
-    (head to 0L by -1).iterator
-      .takeWhile(v => CommitLog.manifestExists(aRoot, v))
-      .flatMap(v => CommitLog.longMetaOf(aRoot, v, VerField).iterator)
-      .nextOption()
+  /** See IncrementalView.lastFolded — the same checkpoint-floored
+    * walk, over the ASSIGNED table's `indexSrc` field. */
+  private def lastIndexed(aRoot: String): Long =
+    CommitLog.lastLongMeta(aRoot, VerField)
       .orElse(CommitLog.tableProperty(aRoot, VerProp).map(_.toLong))
       .getOrElse(sys.error(s"$aRoot is not a maintained vector index"))
-  }
 
   /** Persist a freshly-trained index over `srcRoot`@`srcVersion`:
     * `assigned` and `cents` are the trainer's outputs (the caller owns

@@ -1807,6 +1807,60 @@ class StreamingSpec extends SparkSpec {
     assert(CommitLog.snapshotFiles(root, 0L) === v0Files)
   }
 
+  test("commit log: history checkpoint — same rows, watermark past vacuum, monotone and idempotent (r11)") {
+    import graft.sources.{CommitLog, IncrementalView, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_ckpt_t").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .limit(600)
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 3 === 0), nFiles = 1)
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 3 === 1), nFiles = 1)
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 3 === 2), nFiles = 1)
+    CommitLog.delete(spark, root, col("user_id") % 5 === 0)
+    // checkpointing changes NOTHING about what history says
+    val before = CommitLog.history(root)
+    val n1 = CommitLog.checkpoint(root)
+    assert(n1 === 3L)
+    assert(CommitLog.history(root) === before,
+      "checkpointed history diverges from the full walk")
+    // idempotent at the same head; incremental afterwards
+    assert(CommitLog.checkpoint(root) === n1)
+    CommitLog.append(spark, root, ev.limit(10), nFiles = 1)
+    val (rows, parsed) = CommitLog.historySummaries(root)
+    assert(parsed === 1L, s"walk parsed $parsed manifests past a v$n1 checkpoint")
+    assert(rows.map(_.version) === (0L to 4L), s"rows: ${rows.map(_.version)}")
+    // TIMESTAMP AS OF through checkpoint rows = the same resolution
+    val tsHead = System.currentTimeMillis() + 1000
+    assert(CommitLog.versionAtTime(root, tsHead) === 4L)
+    // vacuum drops old manifests and their data; checkpointed history
+    // KEEPS their rows (log retention vs data retention — the Delta
+    // split), while time travel to them correctly refuses
+    CommitLog.checkpoint(root)
+    CommitLog.vacuum(root, retainFrom = 4L)
+    assert(CommitLog.history(root).map(_._1) === (0L to 4L),
+      "vacuum erased checkpointed history rows")
+    intercept[Exception] { CommitLog.read(spark, root, 1L).count() }
+    // the watermark walk answers from the checkpoint even after vacuum
+    // dropped every fold commit's manifest — previously only the
+    // best-effort property backstop covered this; remove the property
+    // to prove the checkpoint itself answers
+    val src = java.nio.file.Files.createTempDirectory("graft_ckpt_s").toString
+    val vw = java.nio.file.Files.createTempDirectory("graft_ckpt_v").toString
+    CommitLog.setTableProperty(src, "enableChangeDataFeed", "true")
+    CommitLog.append(spark, src, ev.filter(col("event_id") % 2 === 0), nFiles = 1)
+    IncrementalView.create(spark, vw, src, "event_type", "value")
+    CommitLog.append(spark, src, ev.filter(col("event_id") % 2 =!= 0), nFiles = 1)
+    IncrementalView.refresh(spark, vw) // fold commit carries viewSrc
+    CommitLog.checkpoint(vw)
+    CommitLog.compact(spark, vw, nFiles = 1) // maintenance: no viewSrc
+    CommitLog.compact(spark, vw, nFiles = 1)
+    CommitLog.vacuum(vw, retainFrom = CommitLog.latestVersion(vw).get)
+    CommitLog.removeTableProperty(vw, "graft.view.sourceVersion")
+    val (_, folded) = IncrementalView.refresh(spark, vw)
+    assert(folded === 0L,
+      s"post-vacuum refresh re-folded $folded rows — the checkpoint lost the watermark")
+  }
+
   test("multi-agg incremental view: MIN/MAX bounded recompute fires only on bound-touching deletes (r11)") {
     import graft.sources.{CommitLog, IncrementalViewMulti}
     import spark.implicits._
