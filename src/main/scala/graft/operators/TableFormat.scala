@@ -473,6 +473,91 @@ object TableFormat {
           col("max_value"), col("n_user_nonnull"), col("min_user"),
           col("max_user")))
     },
+    "q_table_view_chain" -> { (s, dir) =>
+      // Views COMPOSE (r11, VERDICT item 8): the fold's MERGE commit
+      // emits its own CDF rows when the VIEW table enables the feed,
+      // so a second-level view folds the first's changelog — a
+      // per-user multi-aggregate view over the source, then a
+      // count-histogram view ("how many users have k events, and
+      // their total spend") over THAT view. One source DML batch
+      // (append + a key-vanishing delete) propagates through both
+      // levels as deltas: level 1 re-merges affected users, level 2
+      // consumes exactly level 1's pre/post/insert/delete rows —
+      // rows_folded_v2 pins that count against pure predicates, and
+      // both levels carry equals-full-recompute flags.
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val src = java.nio.file.Files.createTempDirectory("graft_vc_src")
+      val v1 = java.nio.file.Files.createTempDirectory("graft_vc_v1")
+      val v2 = java.nio.file.Files.createTempDirectory("graft_vc_v2")
+      Seq(src, v1, v2).foreach(_.toFile.deleteOnExit())
+      CommitLog.setTableProperty(src.toString, "enableChangeDataFeed", "true")
+      CommitLog.append(s, src.toString, ev.filter(col("event_id") % 2 === 0), nFiles = 2)
+      graft.sources.IncrementalViewMulti.create(s, v1.toString, src.toString,
+        "user_id", Seq("value"))
+      CommitLog.setTableProperty(v1.toString, "enableChangeDataFeed", "true")
+      IncrementalView.create(s, v2.toString, v1.toString, "nv_value", "total_value")
+      CommitLog.append(s, src.toString, ev.filter(col("event_id") % 2 =!= 0), nFiles = 2)
+      CommitLog.delete(s, src.toString, col("user_id") % 5 === 0)
+      graft.sources.IncrementalViewMulti.refresh(s, v1.toString)
+      val (v2v, c2) = IncrementalView.refresh(s, v2.toString)
+      val v1head = CommitLog.read(s, v1.toString,
+        CommitLog.latestVersion(v1.toString).get)
+      val srcHead = CommitLog.read(s, src.toString,
+        CommitLog.latestVersion(src.toString).get)
+      val full1 = srcHead.filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), count(col("value")).as("nv_value"),
+          sum(col("value").cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("total_value"),
+          min(col("value")).as("mn_value"), max(col("value")).as("mx_value"))
+      val exact1 = if (v1head.exceptAll(full1).count() == 0 &&
+        full1.exceptAll(v1head).count() == 0) 1L else 0L
+      val view2 = CommitLog.read(s, v2.toString, v2v)
+      val full2 = v1head.groupBy(col("nv_value"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("total_value").cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("total"))
+      val exact2 = if (view2.exceptAll(full2).count() == 0 &&
+        full2.exceptAll(view2).count() == 0) 1L else 0L
+      ordered(view2.agg(count(lit(1)).as("n_buckets"),
+        sum(col("n")).as("n_users"),
+        sum(col("total")).cast("double").as("sum_total"))
+        .select(lit(c2).as("rows_folded_v2"),
+          lit(exact1).as("v1_exact"), lit(exact2).as("v2_exact"),
+          col("n_buckets"), col("n_users"), col("sum_total")))
+    },
+    "q_table_merge_evolve" -> { (s, dir) =>
+      // MERGE with automatic schema evolution (r11, VERDICT item 7 —
+      // Delta autoMerge): the update rows carry a NEW `score` column;
+      // the merge widens the schema (metadata-only commit), replaced
+      // and inserted rows land with scores, and every untouched row
+      // null-fills the column under the log schema. head_version pins
+      // the commit anatomy (create, widen, merge = v2); the aggregates
+      // replay the merged state including the null-fill.
+      // StreamingSpec's named negative pins that a RETYPED column
+      // fails before anything stages.
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val root = java.nio.file.Files.createTempDirectory("graft_mrgev")
+      root.toFile.deleteOnExit()
+      CommitLog.appendEvolved(s, root.toString, ev, nFiles = 2)
+      val ups = ev.filter(col("user_id") % 4 === 1)
+        .withColumn("score", col("value") * lit(2.0))
+        .withColumn("value", col("value") + lit(1000.0))
+        .unionByName(ev.filter(col("user_id") % 4 === 2)
+          .withColumn("event_id", col("event_id") + lit(1000000000L))
+          .withColumn("score", lit(-1.0)))
+      val (v, _, _) = CommitLog.mergeEvolved(s, root.toString, ups, "event_id", 2)
+      val head = CommitLog.read(s, root.toString, v)
+      ordered(head.agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("value")).as("sum_value"),
+        count(col("score")).as("n_score_nonnull"),
+        dsum(col("score")).as("sum_score"))
+        .select(lit(v).as("head_version"), col("n_rows"), col("sum_value"),
+          col("n_score_nonnull"), col("sum_score")))
+    },
     "q_table_history_checkpoint" -> { (s, dir) =>
       // Log CHECKPOINT (r11, VERDICT item 4) — the million-commit
       // axis: with checkpointInterval=7 set, every 7th commit
@@ -1786,6 +1871,45 @@ object TableFormat {
         |  CAST((SELECT SUM(n) FROM g) AS BIGINT) AS n_rows,
         |  CAST(CAST((SELECT SUM(total) FROM g) AS STRING) AS DOUBLE) AS sum_value""".stripMargin +
         orderByAll("rows_folded", "n_keys", "n_rows", "sum_value")),
+    "q_table_view_chain" ->
+      ("""WITH old_u AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 0),
+        |aff AS (SELECT DISTINCT user_id FROM events
+        |        WHERE event_id % 2 <> 0 OR user_id % 5 = 0),
+        |surv AS (SELECT user_id FROM aff WHERE user_id % 5 <> 0),
+        |g AS (SELECT user_id, COUNT(value) AS nv,
+        |        SUM(CAST(value AS DECIMAL(18,4))) AS total
+        |      FROM events WHERE user_id % 5 <> 0 GROUP BY 1),
+        |h AS (SELECT nv, COUNT(*) AS n, SUM(total) AS total_sum FROM g GROUP BY 1)
+        |SELECT CAST(
+        |    2 * (SELECT COUNT(*) FROM surv
+        |         WHERE user_id IN (SELECT user_id FROM old_u))
+        |    + (SELECT COUNT(*) FROM surv
+        |       WHERE user_id NOT IN (SELECT user_id FROM old_u))
+        |    + (SELECT COUNT(*) FROM aff
+        |       WHERE user_id % 5 = 0 AND user_id IN (SELECT user_id FROM old_u))
+        |  AS BIGINT) AS rows_folded_v2,
+        |  CAST(1 AS BIGINT) AS v1_exact,
+        |  CAST(1 AS BIGINT) AS v2_exact,
+        |  (SELECT COUNT(*) FROM h) AS n_buckets,
+        |  CAST((SELECT SUM(n) FROM h) AS BIGINT) AS n_users,
+        |  CAST(CAST((SELECT SUM(total_sum) FROM h) AS STRING) AS DOUBLE) AS sum_total""".stripMargin +
+        orderByAll("rows_folded_v2", "v1_exact", "v2_exact",
+          "n_buckets", "n_users", "sum_total")),
+    "q_table_merge_evolve" ->
+      ("""WITH m AS (
+        |  SELECT CASE WHEN user_id % 4 = 1 THEN value + 1000.0 ELSE value END AS value,
+        |    CASE WHEN user_id % 4 = 1 THEN value * 2.0 ELSE NULL END AS score
+        |  FROM events
+        |  UNION ALL
+        |  SELECT value, -1.0 AS score FROM events WHERE user_id % 4 = 2)
+        |SELECT CAST(2 AS BIGINT) AS head_version,
+        |  COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value,
+        |  CAST(COUNT(score) AS BIGINT) AS n_score_nonnull,
+        |  CAST(CAST(SUM(CAST(score AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_score
+        |FROM m""".stripMargin +
+        orderByAll("head_version", "n_rows", "sum_value",
+          "n_score_nonnull", "sum_score")),
     "q_table_history_checkpoint" ->
       ("""SELECT CAST(24 AS BIGINT) AS n_versions,
         |  CAST(2 AS BIGINT) AS manifests_parsed,

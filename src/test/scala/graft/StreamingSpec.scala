@@ -1807,6 +1807,84 @@ class StreamingSpec extends SparkSpec {
     assert(CommitLog.snapshotFiles(root, 0L) === v0Files)
   }
 
+  test("merge evolution: a RETYPED column fails before staging; plain merge rejects unknown columns (r11)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_mev_neg").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value")).limit(400)
+    CommitLog.appendEvolved(spark, root, ev, nFiles = 1)
+    // evolution adds columns, it never retypes them — the type
+    // conflict fails the COMMIT, before anything stages
+    val retyped = ev.limit(10).withColumn("value", col("value").cast("string"))
+    val ex = intercept[IllegalArgumentException] {
+      CommitLog.mergeEvolved(spark, root, retyped, "event_id", 1)
+    }
+    assert(ex.getMessage.contains("never retypes"), ex.getMessage)
+    // plain merge on a schema-recording table rejects a column the
+    // schema does not know (evolution must be EXPLICIT — mergeEvolved)
+    val extra = ev.limit(5).withColumn("bonus", lit(1.0))
+    val ex2 = intercept[IllegalArgumentException] {
+      CommitLog.merge(spark, root, extra, "event_id", 1)
+    }
+    assert(ex2.getMessage.contains("merge"), ex2.getMessage)
+    assert(CommitLog.latestVersion(root) === Some(0L),
+      "a refused merge left commits behind")
+    // the positive path composes with column mapping: drop a column,
+    // then evolve-merge a NEW column under the same logical name — it
+    // gets a fresh physical name, so the dropped bytes stay dead
+    CommitLog.dropColumn(spark, root, "user_id")
+    val revived = ev.select(col("event_id"), col("value"))
+      .limit(20).withColumn("user_id", lit(-7L))
+    CommitLog.mergeEvolved(spark, root, revived, "event_id", 1)
+    val head = CommitLog.read(spark, root, CommitLog.latestVersion(root).get)
+    val vals = head.filter(col("user_id").isNotNull)
+      .select(col("user_id")).distinct().collect().map(_.getLong(0)).toSet
+    assert(vals === Set(-7L),
+      s"re-added merge column resurrected dropped bytes: $vals")
+  }
+
+  test("commit log: CoW delete rebases past a concurrent append — BOTH commit; rewrites still refuse (r11)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_reb").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value")).limit(1000)
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 5 =!= 0), nFiles = 2)
+    // a competitor lands an APPEND between the delete's head-read and
+    // its publish (the appendWithRetry test seam) — the delete must
+    // REBASE: both commits land, the appended files carry forward
+    val late = ev.filter(col("event_id") % 5 === 0)
+    var injected = false
+    val (v, carriedN, _) = CommitLog.delete(spark, root,
+      col("user_id") % 2 === 1,
+      beforeCommit = () => if (!injected) {
+        injected = true
+        CommitLog.append(spark, root, late, nFiles = 1); ()
+      })
+    assert(v === 2L, s"expected v0 append, v1 competitor, v2 delete — got v$v")
+    // WriteSerializable: the delete acted on ITS snapshot; the blind
+    // append lands after it, so late rows survive EVEN where they
+    // match the predicate
+    val got = CommitLog.read(spark, root, v)
+    val want = ev.filter(col("event_id") % 5 =!= 0)
+      .filter(!(col("user_id") % 2 === 1))
+      .unionByName(late)
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+      "rebased delete lost rows (or deleted the competitor's late rows)")
+    assert(carriedN >= 1L, "competitor's appended file was not carried")
+    // rewrite-vs-rewrite stays fail-on-conflict, named: a concurrent
+    // DELETE cannot be rebased
+    var injected2 = false
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      CommitLog.delete(spark, root, col("user_id") % 7 === 1,
+        beforeCommit = () => if (!injected2) {
+          injected2 = true
+          CommitLog.delete(spark, root, col("user_id") % 7 === 2); ()
+        })
+    }
+    assert(ex.getMessage.contains("rewrite-vs-rewrite") ||
+      ex.getMessage.contains("removed"), ex.getMessage)
+  }
+
   test("commit log: history checkpoint — same rows, watermark past vacuum, monotone and idempotent (r11)") {
     import graft.sources.{CommitLog, IncrementalView, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_ckpt_t").toString
