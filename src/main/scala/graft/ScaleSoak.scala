@@ -144,7 +144,39 @@ object ScaleSoak {
     "q_table_incr_view", "s_table_view_stream", "q_sql_table_incr_view",
     // DESCRIBE DETAIL is one manifest parse + a history walk — the
     // soaked cost is its fixture's staging + the masked read
-    "q_sql_table_detail")
+    "q_sql_table_detail",
+    // r11 batch: multi-agg IVM (arith path ∝ changed rows; recompute
+    // path ∝ affected keys' source rows), two-level view chain (each
+    // level ∝ ITS deltas), incremental ANN-index refresh (∝ new rows,
+    // never a retrain), history checkpoint (walk ≤ interval parses —
+    // the soaked cost is the 24-commit staging), evolving merge
+    // (widening is metadata-only on top of the CoW merge)
+    "q_table_incr_view_minmax", "q_table_view_chain",
+    "s_sim_index_refresh", "q_table_history_checkpoint",
+    "q_table_merge_evolve",
+    // the r10 verdict's mass-delete scenario, soaked as its own
+    // fixture (below — not a registry key): EVERY view key vanishes
+    // in one fold; the driver-OOM shape the r11 distributed
+    // delete-keys rework exists for
+    "x_iv_mass_delete")
+
+  /** Soak-only fixtures (not registry keys): scenarios the soak must
+    * time that no oracle-checked key stages at soak scale. */
+  private val extraSoaks: Map[String, (SparkSession, String) => Unit] = Map(
+    "x_iv_mass_delete" -> { (s, dir) =>
+      val src = java.nio.file.Files.createTempDirectory("soak_ivmass_s").toString
+      val vw = java.nio.file.Files.createTempDirectory("soak_ivmass_v").toString
+      graft.sources.CommitLog.setTableProperty(src, "enableChangeDataFeed", "true")
+      val ev = graft.sources.Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      graft.sources.CommitLog.append(s, src, ev, nFiles = 4)
+      graft.sources.IncrementalView.create(s, vw, src, "event_id", "value")
+      // the retention-purge shape: one delete vanishes EVERY key
+      graft.sources.CommitLog.delete(s, src, lit(true))
+      val (v1, _) = graft.sources.IncrementalView.refresh(s, vw)
+      require(graft.sources.CommitLog.read(s, vw, v1).isEmpty,
+        "mass-delete fold left rows behind")
+    })
 
   /** Per-copy part-name suffix tokens, pairwise Levenshtein ≥ 3: keeps
     * every cross-copy name pair out of the k=2 fuzzy threshold. */
@@ -269,7 +301,13 @@ object ScaleSoak {
     val results = keys.map { k =>
       val t0 = System.nanoTime()
       val ok =
-        try { SparkEntry.queries(k)(spark, outDir).count(); true }
+        try {
+          extraSoaks.get(k) match {
+            case Some(f) => f(spark, outDir)
+            case None => SparkEntry.queries(k)(spark, outDir).count()
+          }
+          true
+        }
         catch { case e: Throwable =>
           System.err.println(s"[soak] $k FAILED: ${e.getMessage}"); false }
       // a failed key must never read as a fast run in the ratio table
