@@ -153,7 +153,7 @@ object ScaleSoak {
     // (widening is metadata-only on top of the CoW merge)
     "q_table_incr_view_minmax", "q_table_view_chain",
     "s_sim_index_refresh", "q_table_history_checkpoint",
-    "q_table_merge_evolve",
+    "q_table_merge_evolve", "q_table_incr_view_multikey",
     // the r10 verdict's mass-delete scenario, soaked as its own
     // fixture (below — not a registry key): EVERY view key vanishes
     // in one fold; the driver-OOM shape the r11 distributed

@@ -473,6 +473,49 @@ object TableFormat {
           col("max_value"), col("n_user_nonnull"), col("min_user"),
           col("max_user")))
     },
+    "q_table_incr_view_multikey" -> { (s, dir) =>
+      // Multi-GROUP-KEY incremental view (r11, the verdict's "first
+      // real materialized view has multiple group keys"): GROUP BY
+      // (event_type, user_id) maintained from the changelog, folding
+      // through the log's COMPOSITE-key MERGE (CommitLog.mergeKeyed —
+      // match on equality of every key column, vanished composite
+      // keys dropped through the same distributed delete-keys side).
+      // Full DML mix, one refresh, bit-for-bit equality vs recompute.
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val src = java.nio.file.Files.createTempDirectory("graft_ivmk_src")
+      val vw = java.nio.file.Files.createTempDirectory("graft_ivmk_view")
+      src.toFile.deleteOnExit(); vw.toFile.deleteOnExit()
+      CommitLog.append(s, src.toString, ev.filter(col("event_id") % 2 === 0), nFiles = 2)
+      CommitLog.setTableProperty(src.toString, "enableChangeDataFeed", "true")
+      graft.sources.IncrementalViewMulti.createKeyed(s, vw.toString, src.toString,
+        Seq("event_type", "user_id"), Seq("value"))
+      CommitLog.append(s, src.toString, ev.filter(col("event_id") % 2 =!= 0), nFiles = 2)
+      CommitLog.delete(s, src.toString, col("user_id") % 7 === 3)
+      CommitLog.update(s, src.toString, col("user_id") % 4 === 2,
+        Seq("value" -> (col("value") + lit(1000.0))))
+      val (vv, consumed, _) =
+        graft.sources.IncrementalViewMulti.refresh(s, vw.toString)
+      val view = CommitLog.read(s, vw.toString, vv)
+      val full = CommitLog.read(s, src.toString,
+        CommitLog.latestVersion(src.toString).get)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"), count(col("value")).as("nv_value"),
+          sum(col("value").cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("total_value"),
+          min(col("value")).as("mn_value"), max(col("value")).as("mx_value"))
+      val exact = if (view.exceptAll(full).count() == 0 &&
+        full.exceptAll(view).count() == 0) 1L else 0L
+      ordered(view
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+          sum(col("total_value")).cast("double").as("sum_value"),
+          min(col("mn_value")).as("min_value"),
+          max(col("mx_value")).as("max_value"))
+        .select(lit(consumed).as("rows_folded"),
+          lit(exact).as("equals_full_recompute"),
+          col("n_keys"), col("n_rows"), col("sum_value"),
+          col("min_value"), col("max_value")))
+    },
     "q_table_view_chain" -> { (s, dir) =>
       // Views COMPOSE (r11, VERDICT item 8): the fold's MERGE commit
       // emits its own CDF rows when the VIEW table enables the feed,
@@ -1871,6 +1914,29 @@ object TableFormat {
         |  CAST((SELECT SUM(n) FROM g) AS BIGINT) AS n_rows,
         |  CAST(CAST((SELECT SUM(total) FROM g) AS STRING) AS DOUBLE) AS sum_value""".stripMargin +
         orderByAll("rows_folded", "n_keys", "n_rows", "sum_value")),
+    "q_table_incr_view_multikey" ->
+      ("""WITH f AS (
+        |  SELECT event_type, user_id,
+        |    CASE WHEN user_id % 4 = 2 THEN value + 1000.0 ELSE value END AS value
+        |  FROM events WHERE user_id % 7 <> 3),
+        |g AS (SELECT event_type, user_id, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS total,
+        |    MIN(value) AS mn, MAX(value) AS mx
+        |  FROM f GROUP BY 1, 2)
+        |SELECT CAST(
+        |    (SELECT COUNT(*) FROM events WHERE event_id % 2 <> 0) +
+        |    (SELECT COUNT(*) FROM events WHERE user_id % 7 = 3) +
+        |    2 * (SELECT COUNT(*) FROM events
+        |         WHERE user_id % 4 = 2 AND user_id % 7 <> 3)
+        |  AS BIGINT) AS rows_folded,
+        |  CAST(1 AS BIGINT) AS equals_full_recompute,
+        |  (SELECT COUNT(*) FROM g) AS n_keys,
+        |  CAST((SELECT SUM(n) FROM g) AS BIGINT) AS n_rows,
+        |  CAST(CAST((SELECT SUM(total) FROM g) AS STRING) AS DOUBLE) AS sum_value,
+        |  (SELECT MIN(mn) FROM g) AS min_value,
+        |  (SELECT MAX(mx) FROM g) AS max_value""".stripMargin +
+        orderByAll("rows_folded", "equals_full_recompute", "n_keys",
+          "n_rows", "sum_value", "min_value", "max_value")),
     "q_table_view_chain" ->
       ("""WITH old_u AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 0),
         |aff AS (SELECT DISTINCT user_id FROM events

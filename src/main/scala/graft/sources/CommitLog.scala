@@ -2130,8 +2130,24 @@ object CommitLog {
   def merge(s: SparkSession, root: String, updates: DataFrame,
       keyCol: String, nInsertFiles: Int,
       extraMeta: Seq[String] = Nil,
+      deleteKeys: Option[DataFrame] = None): (Long, Long, Long) =
+    mergeKeyed(s, root, updates, Seq(keyCol), nInsertFiles, extraMeta,
+      deleteKeys)
+
+  /** [[merge]] on a COMPOSITE key (r11): the match predicate is
+    * equality on EVERY column in `keyCols` — `MERGE ... ON t.a = s.a
+    * AND t.b = s.b`, the multi-column upsert real schemas need (and
+    * what the multi-group-key incremental views fold through). All
+    * semantics (CoW carry, CDF, constraints, snapshot isolation,
+    * deleteKeys) are the single-key merge's verbatim; a NULL in any
+    * key column never matches (SQL equality), exactly the single-key
+    * contract. */
+  def mergeKeyed(s: SparkSession, root: String, updates: DataFrame,
+      keyCols: Seq[String], nInsertFiles: Int,
+      extraMeta: Seq[String] = Nil,
       deleteKeys: Option[DataFrame] = None): (Long, Long, Long) = {
     import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "merge needs at least one key column")
     enforceConstraints(s, root, updates, "merge")
     val prev = latestVersion(root)
       .getOrElse(sys.error(s"cannot merge into an empty table at $root"))
@@ -2140,8 +2156,9 @@ object CommitLog {
     // read (use mergeEvolved to add columns) (r11)
     requireSchemaCompatible(root, Some(prev), updates, "merge")
     val files = snapshotFiles(root, prev)
-    val updKeys = updates.select(col(keyCol)).distinct()
-    val delKeys = deleteKeys.map(_.select(col(keyCol)).distinct())
+    val kc = keyCols.map(col)
+    val updKeys = updates.select(kc: _*).distinct()
+    val delKeys = deleteKeys.map(_.select(kc: _*).distinct())
     val keys = delKeys.map(updKeys.unionByName(_).distinct()).getOrElse(updKeys)
     // the file identity is captured BEFORE the join (after a join
     // input_file_name is ambiguous across sources — readSubsetWithFile
@@ -2151,8 +2168,8 @@ object CommitLog {
     val dirtyCanon =
       if (files.isEmpty) Set.empty[String] // row-less target: all inserts
       else readSubsetWithFile(s, root, prev, files)
-        .select(col(keyCol), col("_graft_file"))
-        .join(keys, Seq(keyCol), "left_semi")
+        .select((kc :+ col("_graft_file")): _*)
+        .join(keys, keyCols, "left_semi")
         .select(col("_graft_file")).distinct()
         .collect().map(r =>
           new java.io.File(new java.net.URI(r.getString(0))).getCanonicalPath)
@@ -2164,7 +2181,7 @@ object CommitLog {
     val (rewritten, rewriteAux) =
       if (dirty.isEmpty) (Nil, Aux())
       else stageRewrite(s, root, mAux0,
-        readSubset(s, root, prev, dirty).join(keys, Seq(keyCol), "left_anti"),
+        readSubset(s, root, prev, dirty).join(keys, keyCols, "left_anti"),
         math.max(1, dirty.size))
     // update rows keep the table's layout too: a partitioned table's
     // merge stages its replacements + inserts partition-aligned
@@ -2180,22 +2197,22 @@ object CommitLog {
     val cdf: Option[Seq[String]] =
       if (!cdfEnabled(root)) None
       else Some {
-        import org.apache.spark.sql.functions.{col, lit}
+        import org.apache.spark.sql.functions.lit
         val dirtyRows =
           if (dirty.isEmpty) updates.limit(0)
           else readSubset(s, root, prev, dirty)
-        val pre = dirtyRows.join(updKeys, Seq(keyCol), "left_semi")
+        val pre = dirtyRows.join(updKeys, keyCols, "left_semi")
           .withColumn("_change_type", lit("update_preimage"))
-        val matchedKeys = pre.select(col(keyCol)).distinct()
-        val post = updates.join(matchedKeys, Seq(keyCol), "left_semi")
+        val matchedKeys = pre.select(kc: _*).distinct()
+        val post = updates.join(matchedKeys, keyCols, "left_semi")
           .withColumn("_change_type", lit("update_postimage"))
-        val ins = updates.join(matchedKeys, Seq(keyCol), "left_anti")
+        val ins = updates.join(matchedKeys, keyCols, "left_anti")
           .withColumn("_change_type", lit("insert"))
         // delete-side matched rows (updates win on a shared key, so
         // anti-join the update keys out) record as plain deletes
         val del = delKeys.map(dk =>
-          dirtyRows.join(dk, Seq(keyCol), "left_semi")
-            .join(updKeys, Seq(keyCol), "left_anti")
+          dirtyRows.join(dk, keyCols, "left_semi")
+            .join(updKeys, keyCols, "left_anti")
             .withColumn("_change_type", lit("delete")))
         stageCdfFiles(s, root,
           del.foldLeft(pre.unionByName(post).unionByName(ins))(_.unionByName(_)))

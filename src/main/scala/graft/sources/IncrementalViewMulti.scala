@@ -51,16 +51,19 @@ object IncrementalViewMulti {
 
   /** Full per-key state at `rows` — also the bounded re-aggregation
     * kernel (recomputed keys get ALL their aggregates from here, so
-    * the two paths can never disagree on shape). */
-  private def state(keyCol: String, valCols: Seq[String],
+    * the two paths can never disagree on shape). NULL in ANY group-key
+    * column excludes the row (the log's MERGE keys by equality, where
+    * NULL never matches itself — the single-key restriction, applied
+    * per column). */
+  private def state(keyCols: Seq[String], valCols: Seq[String],
       rows: DataFrame): DataFrame = {
     val aggs = count(lit(1)).as("n") +: valCols.flatMap { m => Seq(
       count(col(m)).as(s"nv_$m"),
       sum(col(m).cast("decimal(18,4)")).cast("decimal(18,4)").as(s"total_$m"),
       min(col(m)).as(s"mn_$m"),
       max(col(m)).as(s"mx_$m")) }
-    rows.filter(col(keyCol).isNotNull)
-      .groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    rows.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
 
   /** See [[IncrementalView.lastFolded]] — same checkpoint-floored
@@ -74,16 +77,28 @@ object IncrementalViewMulti {
     * appendEvolved records the schema, so a fold that empties the view
     * still reads back. */
   def create(s: SparkSession, viewRoot: String, srcRoot: String,
-      keyCol: String, valCols: Seq[String], nFiles: Int = 2): Long = {
+      keyCol: String, valCols: Seq[String], nFiles: Int): Long =
+    createKeyed(s, viewRoot, srcRoot, Seq(keyCol), valCols, nFiles)
+  def create(s: SparkSession, viewRoot: String, srcRoot: String,
+      keyCol: String, valCols: Seq[String]): Long =
+    createKeyed(s, viewRoot, srcRoot, Seq(keyCol), valCols)
+
+  /** [[create]] on a COMPOSITE group key (r11): GROUP BY k1, k2, ... —
+    * the first materialized view a real user declares has more than
+    * one grouping column; the fold MERGEs through the log's composite
+    * key path (CommitLog.mergeKeyed). */
+  def createKeyed(s: SparkSession, viewRoot: String, srcRoot: String,
+      keyCols: Seq[String], valCols: Seq[String], nFiles: Int = 2): Long = {
+    require(keyCols.nonEmpty, "multi-aggregate view needs a group key")
     require(valCols.nonEmpty, "multi-aggregate view needs at least one measure")
-    require(!valCols.contains(keyCol),
-      s"'$keyCol' is the group key — it cannot also be a measure")
+    keyCols.foreach(k => require(!valCols.contains(k),
+      s"'$k' is a group key — it cannot also be a measure"))
     val srcHead = CommitLog.latestVersion(srcRoot)
       .getOrElse(sys.error(s"cannot build a view over an empty table at $srcRoot"))
     val v = CommitLog.appendEvolved(s, viewRoot,
-      state(keyCol, valCols, CommitLog.read(s, srcRoot, srcHead)), nFiles)
+      state(keyCols, valCols, CommitLog.read(s, srcRoot, srcHead)), nFiles)
     CommitLog.setTableProperty(viewRoot, SrcProp, srcRoot)
-    CommitLog.setTableProperty(viewRoot, KeyProp, keyCol)
+    CommitLog.setTableProperty(viewRoot, KeyProp, keyCols.mkString(","))
     CommitLog.setTableProperty(viewRoot, ValsProp, valCols.mkString(","))
     CommitLog.setTableProperty(viewRoot, VerProp, srcHead.toString)
     v
@@ -115,13 +130,15 @@ object IncrementalViewMulti {
     * unfolded rows into this fold's state. */
   def foldDeltas(s: SparkSession, viewRoot: String, srcRoot: String,
       changeRows: DataFrame): (Long, Long, Long) = {
-    val keyCol = CommitLog.tableProperty(viewRoot, KeyProp).get
+    val keyCols = CommitLog.tableProperty(viewRoot, KeyProp).get.split(',').toSeq
     val valCols = CommitLog.tableProperty(viewRoot, ValsProp).get.split(',').toSeq
     val from = lastFolded(viewRoot)
     val viewHead = CommitLog.latestVersion(viewRoot)
       .getOrElse(sys.error(s"view table vanished from $viewRoot"))
+    val kc = keyCols.map(col)
     val changes = changeRows
-      .filter(col("_commit_version") > from && col(keyCol).isNotNull)
+      .filter(col("_commit_version") > from &&
+        keyCols.map(col(_).isNotNull).reduce(_ && _))
     val sign = when(col("_change_type").isin("insert", "update_postimage"), 1L)
       .when(col("_change_type").isin("delete", "update_preimage"), -1L)
     // ONE changelog pass: per-key deltas, insert-side and delete-side
@@ -138,9 +155,9 @@ object IncrementalViewMulti {
         min(when(col("_sgn") === -1L, col(m))).as(s"delmn_$m"),
         max(when(col("_sgn") === -1L, col(m))).as(s"delmx_$m")) }
     val deltas = changes
-      .select((col(keyCol) +: col("_commit_version") +: sign.as("_sgn") +:
-        valCols.map(col)): _*)
-      .groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+      .select((kc ++ (col("_commit_version") +: sign.as("_sgn") +:
+        valCols.map(col))): _*)
+      .groupBy(kc: _*).agg(aggs.head, aggs.tail: _*)
       .localCheckpoint()
     val tot = deltas
       .agg(coalesce(sum(col("_cnt")), lit(0L)), max(col("_maxv"))).collect()(0)
@@ -173,32 +190,32 @@ object IncrementalViewMulti {
         greatest(col(s"c.mx_$m"), col(s"d.insmx_$m")).as(s"mx_$m"))
     }
     val arith = deltas.as("d")
-      .join(current.as("c"), Seq(keyCol), "left_outer")
-      .select((col(keyCol) +:
-        (coalesce(col("c.n"), lit(0L)) + col("d.dn")).as("n") +:
-        valCols.map(hit).reduce(_ || _).as("_rec") +:
-        perMeasure): _*)
+      .join(current.as("c"), keyCols, "left_outer")
+      .select((kc ++
+        ((coalesce(col("c.n"), lit(0L)) + col("d.dn")).as("n") +:
+          valCols.map(hit).reduce(_ || _).as("_rec") +:
+          perMeasure)): _*)
       .localCheckpoint() // one evaluation feeds guard + all three sides
     require(arith.filter(col("n") < 0).isEmpty,
       "refresh: a key's count went negative — the changelog and view " +
         "state disagree (an interrupted fold, or the view edited " +
         "out-of-band); rebuild the view with create()")
-    val recKeys = arith.filter(col("_rec") && col("n") > 0).select(col(keyCol))
+    val recKeys = arith.filter(col("_rec") && col("n") > 0).select(kc: _*)
     val nRec = recKeys.count() // scalar: the affected-KEY count
-    val stateCols = col(keyCol) +: col("n") +: valCols.flatMap(m =>
-      Seq(col(s"nv_$m"), col(s"total_$m"), col(s"mn_$m"), col(s"mx_$m")))
+    val stateCols = kc ++ (col("n") +: valCols.flatMap(m =>
+      Seq(col(s"nv_$m"), col(s"total_$m"), col(s"mn_$m"), col(s"mx_$m"))))
     val folded = arith.filter(!col("_rec") && col("n") > 0).select(stateCols: _*)
     val survivors =
       if (nRec == 0) folded
       // re-aggregate ONLY the affected keys, from the source at the
       // version this fold lands on — a distributed semi join, never a
       // collected key list
-      else folded.unionByName(state(keyCol, valCols,
+      else folded.unionByName(state(keyCols, valCols,
         CommitLog.read(s, srcRoot, maxVer)
-          .join(recKeys, Seq(keyCol), "left_semi")))
-    val vanished = arith.filter(col("n") === 0).select(col(keyCol))
+          .join(recKeys, keyCols, "left_semi")))
+    val vanished = arith.filter(col("n") === 0).select(kc: _*)
     val wm = Seq(s""","$VerField":$maxVer""")
-    val (v1, _, _) = CommitLog.merge(s, viewRoot, survivors, keyCol,
+    val (v1, _, _) = CommitLog.mergeKeyed(s, viewRoot, survivors, keyCols,
       nInsertFiles = 1, extraMeta = wm, deleteKeys = Some(vanished))
     CommitLog.setTableProperty(viewRoot, VerProp, maxVer.toString)
     (v1, nChanges, nRec)
