@@ -67,11 +67,15 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """FROM\s+([\w.]+)\s+GROUP\s+BY\s+(?:1|\w+)\s*;?\s*""").r
   private val refreshMvRe =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
+  // the ON clause is one or more AND-joined qualified equalities —
+  // composite keys route to CommitLog.mergeKeyed (r11)
   private val mergeRe =
     ("""(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?""" +
-      """\s+ON\s+(\w+)\s*\.\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)""" +
+      """\s+ON\s+((?:\w+\s*\.\s*\w+\s*=\s*\w+\s*\.\s*\w+)(?:\s+AND\s+\w+\s*\.\s*\w+\s*=\s*\w+\s*\.\s*\w+)*)""" +
       """\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
       """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
+  private val onEqRe =
+    """(?is)(\w+)\s*\.\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)""".r
 
   private def isGraftCatalog(ident: String): Boolean = {
     val parts = ident.split('.')
@@ -115,20 +119,25 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         srcT.split('.').toSeq, key, value)
     case refreshMvRe(view) if isGraftCatalog(view) =>
       RefreshMaterializedViewCommand(view.split('.').toSeq)
-    case mergeRe(ident, tAls, src, sAls, q1, c1, q2, c2) if isGraftCatalog(ident) =>
+    case mergeRe(ident, tAls, src, sAls, onClause) if isGraftCatalog(ident) =>
       val tAlias = Option(tAls).getOrElse(ident.split('.').last)
       val sAlias = Option(sAls).getOrElse(src.split('.').last)
-      // the ON equality must bind one side to the target, one to the
-      // source, and name the SAME column (CommitLog.merge keys on one
-      // shared column name)
-      val (tCol, sCol) =
-        if (q1 == tAlias && q2 == sAlias) (c1, c2)
-        else if (q1 == sAlias && q2 == tAlias) (c2, c1)
-        else throw new IllegalArgumentException(
-          s"MERGE ON must equate target and source columns, got $q1.$c1 = $q2.$c2")
-      require(tCol == sCol,
-        s"graft MERGE keys on one shared column name, got $tCol vs $sCol")
-      MergeIntoGraftCommand(ident.split('.').toSeq, src, tCol)
+      // every ON equality must bind one side to the target, one to the
+      // source, and name the SAME column (the log's merge keys on
+      // shared column names); multiple AND-joined equalities form a
+      // composite key (r11)
+      val keyCols = onEqRe.findAllMatchIn(onClause).map { m =>
+        val (q1, c1, q2, c2) = (m.group(1), m.group(2), m.group(3), m.group(4))
+        val (tCol, sCol) =
+          if (q1 == tAlias && q2 == sAlias) (c1, c2)
+          else if (q1 == sAlias && q2 == tAlias) (c2, c1)
+          else throw new IllegalArgumentException(
+            s"MERGE ON must equate target and source columns, got $q1.$c1 = $q2.$c2")
+        require(tCol == sCol,
+          s"graft MERGE keys on shared column names, got $tCol vs $sCol")
+        tCol
+      }.toSeq
+      MergeIntoGraftCommand(ident.split('.').toSeq, src, keyCols)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -440,15 +449,15 @@ case class ReorgTableCommand(parts: Seq[String]) extends LeafRunnableCommand {
   * file count: `spark.graft.insert.files` (default 2). Returns
   * (head_version, files_carried, files_rewritten). */
 case class MergeIntoGraftCommand(parts: Seq[String], source: String,
-    keyCol: String) extends LeafRunnableCommand {
+    keyCols: Seq[String]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     GraftSqlCommands.attr("head_version"),
     GraftSqlCommands.attr("files_carried"),
     GraftSqlCommands.attr("files_rewritten"))
   override def run(s: SparkSession): Seq[Row] = {
     val n = s.conf.getOption("spark.graft.insert.files").map(_.toInt).getOrElse(2)
-    val (v, carried, rewritten) = CommitLog.merge(s,
-      GraftSqlCommands.rootOf(s, parts), s.table(source), keyCol,
+    val (v, carried, rewritten) = CommitLog.mergeKeyed(s,
+      GraftSqlCommands.rootOf(s, parts), s.table(source), keyCols,
       nInsertFiles = n)
     Seq(Row(v, carried, rewritten))
   }

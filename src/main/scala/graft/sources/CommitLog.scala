@@ -539,6 +539,18 @@ object CommitLog {
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
+    // retention: each snapshot holds the FULL row history, so old ones
+    // are strictly redundant — without cleanup a 10^5-commit table
+    // accumulates O(versions/interval) files of O(versions) rows each
+    // (quadratic bytes). Keep the newest prior snapshot for readers
+    // mid-flight on the old pointer; unlink the rest.
+    val stale = Option(logDir(root).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("ckpt-v") && f.getName.endsWith(".json"))
+      .flatMap(f => scala.util.Try(
+        f.getName.stripPrefix("ckpt-v").stripSuffix(".json").toLong).toOption
+        .map(_ -> f))
+      .filter(_._1 < head).sortBy(-_._1).drop(1)
+    stale.foreach(_._2.delete())
     head
   }
 

@@ -534,6 +534,45 @@ class CatalogSpec extends SparkSpec {
     assert(!ex.getMessage.contains("graft"), ex.getMessage)
   }
 
+  test("parser: MERGE INTO with a composite ON key routes to mergeKeyed (r11)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "t").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .limit(800)
+    CommitLog.append(spark, root, ev, nFiles = 2)
+    // replace every (event_type, user_id) group's rows... the merge is
+    // row-level, so key on the composite (event_id, event_type) pair —
+    // event_id alone is unique, so a MATCH requires BOTH columns to
+    // line up: rows re-keyed on event_type must NOT match
+    val ups = ev.limit(60).withColumn("value", lit(-5.0))
+      .unionByName(ev.limit(10)
+        .withColumn("event_type", lit("composite_fresh"))
+        .withColumn("value", lit(-9.0)))
+    ups.createOrReplaceTempView("catspec_ck_src")
+    val r = spark.sql(
+      s"""MERGE INTO $cat.t t USING catspec_ck_src s
+        |ON t.event_id = s.event_id AND t.event_type = s.event_type
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()(0)
+    assert(r.getLong(0) === 1L)
+    // matched pairs replaced; the re-typed rows did NOT match their
+    // event_id twins (second key column differs) and inserted instead
+    assert(spark.sql(s"SELECT * FROM $cat.t WHERE value = -5.0").count() === 60)
+    assert(spark.sql(
+      s"SELECT * FROM $cat.t WHERE event_type = 'composite_fresh'").count() === 10)
+    assert(spark.sql(s"SELECT * FROM $cat.t").count() === ev.count() + 10)
+    // mismatched qualifiers still refuse by name
+    val ex = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $cat.t t USING catspec_ck_src s
+          |ON t.event_id = s.user_id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(ex.getMessage.contains("shared column"), ex.getMessage)
+  }
+
   test("parser: RESTORE/VACUUM/OPTIMIZE on non-graft identifiers delegate verbatim (r11, ADVICE)") {
     // each maintenance statement on an unregistered identifier must
     // fall through to Spark's parser (whose syntax error owns the

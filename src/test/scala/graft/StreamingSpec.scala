@@ -1937,6 +1937,16 @@ class StreamingSpec extends SparkSpec {
     val (_, folded) = IncrementalView.refresh(spark, vw)
     assert(folded === 0L,
       s"post-vacuum refresh re-folded $folded rows — the checkpoint lost the watermark")
+    // checkpoint retention: each snapshot carries the full row history,
+    // so only the newest (plus one prior for mid-flight readers) stays
+    CommitLog.append(spark, root, ev.limit(5), nFiles = 1)
+    CommitLog.checkpoint(root)
+    CommitLog.append(spark, root, ev.limit(5), nFiles = 1)
+    CommitLog.checkpoint(root)
+    val ckpts = Option(new java.io.File(root, "_graft_log").listFiles())
+      .getOrElse(Array.empty)
+      .count(f => f.getName.startsWith("ckpt-v") && f.getName.endsWith(".json"))
+    assert(ckpts <= 2, s"$ckpts checkpoint snapshots retained — cleanup dead")
   }
 
   test("multi-agg incremental view: MIN/MAX bounded recompute fires only on bound-touching deletes (r11)") {
