@@ -1941,24 +1941,51 @@ object CommitLog {
     // also refuse at this isolation level. The staged data files are
     // written ONCE; retries cost manifest metadata only.
     val baseFiles = files.map(p => relativize(root, p)).toSet
+    val (v, addedN) = commitRewriteRebasing(s, root, prev, baseFiles,
+      "delete", carried, rewritten, rewriteAux, rewritten,
+      cdf.map(renderCdf).toSeq ++ extraMeta, maxAttempts, beforeCommit)
+    (v, clean.size.toLong + addedN, rewritten.size.toLong)
+  }
+
+  /** The rewrite commit's SEMANTIC conflict-rebase loop (r11, shared
+    * by delete / mergeKeyed / update): attempt the commit against the
+    * current head; on a lost race, re-read and validate — if every
+    * intervening commit is a pure APPEND (op append/clone: never
+    * removes, rewrites, re-maps or vectors a file) and every file the
+    * rewrite READ is still listed, REBASE: the winners' new files
+    * carry forward verbatim (blind appends land after the rewrite —
+    * the WriteSerializable contract: a late row matching the
+    * predicate/key survives untouched) and both writers commit.
+    * Anything else — a concurrent delete/update/merge/compact/
+    * optimize/rename — throws a named ConcurrentModificationException:
+    * validating rewrite-vs-rewrite needs row-level reasoning the
+    * public formats also refuse at this isolation level. The staged
+    * data files are written ONCE; retries cost manifest metadata
+    * only. Returns (version, filesCarriedFromWinners). */
+  private def commitRewriteRebasing(s: SparkSession, root: String,
+      prev: Long, baseFiles: Set[String], op: String,
+      carried: Seq[String], staged: Seq[String],
+      newAux: Aux, restageFiles: Seq[String],
+      extraFragments: Seq[String],
+      maxAttempts: Int, beforeCommit: () => Unit): (Long, Long) = {
     var attempt = 0
     while (true) {
       attempt += 1
       val head = latestVersion(root).get
       if (head != prev) {
         val ops = ((prev + 1) to head).map(v => readManifest(root, v)._1)
-        val blocked = ops.filterNot(op => op == "append" || op == "clone")
+        val blocked = ops.filterNot(o => o == "append" || o == "clone")
         if (blocked.nonEmpty) throw new java.util.ConcurrentModificationException(
-          s"delete under $root lost to a concurrent '${blocked.head}' " +
+          s"$op under $root lost to a concurrent '${blocked.head}' " +
             "commit — a rewrite-vs-rewrite race cannot be rebased; retry " +
-            "the delete against the new head")
+            s"the $op against the new head")
       }
       val headFiles =
         if (head == prev) baseFiles
         else snapshotFiles(root, head).map(p => relativize(root, p)).toSet
       if (!baseFiles.subsetOf(headFiles))
         throw new java.util.ConcurrentModificationException(
-          s"delete under $root read files a concurrent commit removed — " +
+          s"$op under $root read files a concurrent commit removed — " +
             "rebase impossible; retry against the new head")
       val added = (headFiles -- baseFiles).toSeq.sorted
       val keep = carried.toSet ++ added
@@ -1966,15 +1993,15 @@ object CommitLog {
       val auxHead = carriedAux(root, Some(head))
       beforeCommit()
       try {
-        val v = commit(root, carried ++ added ++ rewritten, Some(head),
-          op = "delete",
+        val v = commit(root, carried ++ added ++ staged, Some(head),
+          op = op,
           statsCol = prevCol,
           stats = prevStats.filter(kv => keep(kv._1)),
           schemaJson = carriedSchemaJson(root, Some(head)),
           extra = auxExtra(restageColStats(s, root,
-            auxHead.filterFiles(keep).merged(rewriteAux), rewritten)) ++
-            cdf.map(renderCdf).toSeq ++ extraMeta)
-        return (v, clean.size.toLong + added.size, rewritten.size.toLong)
+            auxHead.filterFiles(keep).merged(newAux), restageFiles)) ++
+            extraFragments)
+        return (v, added.size.toLong)
       } catch {
         case _: java.util.ConcurrentModificationException
           if attempt < maxAttempts => // rebase and retry
@@ -2157,7 +2184,9 @@ object CommitLog {
   def mergeKeyed(s: SparkSession, root: String, updates: DataFrame,
       keyCols: Seq[String], nInsertFiles: Int,
       extraMeta: Seq[String] = Nil,
-      deleteKeys: Option[DataFrame] = None): (Long, Long, Long) = {
+      deleteKeys: Option[DataFrame] = None,
+      maxAttempts: Int = 10,
+      beforeCommit: () => Unit = () => ()): (Long, Long, Long) = {
     import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "merge needs at least one key column")
     enforceConstraints(s, root, updates, "merge")
@@ -2229,16 +2258,17 @@ object CommitLog {
         stageCdfFiles(s, root,
           del.foldLeft(pre.unionByName(post).unionByName(ins))(_.unionByName(_)))
       }
-    val (prevCol, prevStats) = snapshotStatsOf(root, prev)
-    val v = commit(root, carried ++ rewritten ++ inserted, Some(prev), op = "merge",
-      statsCol = prevCol,
-      stats = { val cs = carried.toSet; prevStats.filter(kv => cs(kv._1)) },
-      schemaJson = carriedSchemaJson(root, Some(prev)),
-      extra = auxExtra(restageColStats(s, root,
-        mAux0.filterFiles(carried.toSet).merged(rewriteAux).merged(insertAux),
-        rewritten ++ inserted)) ++
-        cdf.map(renderCdf).toSeq ++ extraMeta)
-    (v, clean.size.toLong, rewritten.size.toLong)
+    // semantic conflict rebase (r11, shared loop): a concurrent pure
+    // APPEND and this merge both commit — the late rows land after the
+    // merge (WriteSerializable: a late row sharing a merge key is NOT
+    // matched; it is a new row the merge never saw, Delta's
+    // blind-append allowance). Rewrite-vs-rewrite still refuses.
+    val baseFiles = files.map(p => relativize(root, p)).toSet
+    val (v, addedN) = commitRewriteRebasing(s, root, prev, baseFiles,
+      "merge", carried, rewritten ++ inserted,
+      rewriteAux.merged(insertAux), rewritten ++ inserted,
+      cdf.map(renderCdf).toSeq ++ extraMeta, maxAttempts, beforeCommit)
+    (v, clean.size.toLong + addedN, rewritten.size.toLong)
   }
 
   /** MERGE with automatic schema evolution (r11, VERDICT item 7) —
@@ -2310,7 +2340,9 @@ object CommitLog {
     * to parquet. Returns (newVersion, filesCarried, filesRewritten). */
   def update(s: SparkSession, root: String,
       cond: org.apache.spark.sql.Column,
-      assignments: Seq[(String, org.apache.spark.sql.Column)]): (Long, Long, Long) = {
+      assignments: Seq[(String, org.apache.spark.sql.Column)],
+      maxAttempts: Int = 10,
+      beforeCommit: () => Unit = () => ()): (Long, Long, Long) = {
     import org.apache.spark.sql.functions.{coalesce, col, lit, when}
     require(assignments.nonEmpty, "update: no SET assignments")
     val prev = latestVersion(root)
@@ -2372,15 +2404,15 @@ object CommitLog {
           .withColumn("_change_type", lit("update_preimage"))
           .unionByName(applied(readSubset(s, root, prev, dirty)).filter(hit)
             .withColumn("_change_type", lit("update_postimage")))))
-    val (prevCol, prevStats) = snapshotStatsOf(root, prev)
-    val v = commit(root, carried ++ rewritten, Some(prev), op = "update",
-      statsCol = prevCol,
-      stats = { val cs = carried.toSet; prevStats.filter(kv => cs(kv._1)) },
-      schemaJson = carriedSchemaJson(root, Some(prev)),
-      extra = auxExtra(restageColStats(s, root,
-        aux0.filterFiles(carried.toSet).merged(rewriteAux), rewritten)) ++
-        cdf.map(renderCdf).toSeq)
-    (v, clean.size.toLong, rewritten.size.toLong)
+    // semantic conflict rebase (r11, shared loop): concurrent pure
+    // appends carry forward (their rows land after the update — late
+    // cond-matching rows stay untouched, the blind-append allowance);
+    // rewrite-vs-rewrite still refuses.
+    val baseFiles = files.map(p => relativize(root, p)).toSet
+    val (v, addedN) = commitRewriteRebasing(s, root, prev, baseFiles,
+      "update", carried, rewritten, rewriteAux, rewritten,
+      cdf.map(renderCdf).toSeq, maxAttempts, beforeCommit)
+    (v, clean.size.toLong + addedN, rewritten.size.toLong)
   }
 
   /** MERGE-ON-READ update — [[update]]'s deletion-vector twin (the
@@ -2737,11 +2769,13 @@ object CommitLog {
     * staged files preserves both writers' rows whether the winner was
     * another append, a compaction, an optimize (both data-neutral
     * rewrites) or a delete (the delete acted on ITS snapshot — blind
-    * appends land after it, the WriteSerializable contract). Rewrites
-    * racing EACH OTHER are not rebased here — compact()/delete()/
-    * optimize() stay fail-on-conflict, as validating a rewrite-vs-
-    * rewrite race needs row-level reasoning the public formats also
-    * refuse at this isolation level.
+    * appends land after it, the WriteSerializable contract). The
+    * inverse direction rebases too since r11: delete/mergeKeyed/update
+    * losing to a pure APPEND re-validate and carry the winner's files
+    * forward (commitRewriteRebasing). Rewrites racing EACH OTHER stay
+    * fail-on-conflict, as validating a rewrite-vs-rewrite race needs
+    * row-level reasoning the public formats also refuse at this
+    * isolation level.
     *
     * `beforeCommit` is a test seam: StreamingSpec injects a competing
     * commit between head-read and publish to force the retry path

@@ -1883,6 +1883,39 @@ class StreamingSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("rewrite-vs-rewrite") ||
       ex.getMessage.contains("removed"), ex.getMessage)
+    // MERGE and UPDATE rebase through the same shared loop: a racing
+    // append lands and survives; a late row sharing a merge key is NOT
+    // matched (it is a row the merge never saw — blind-append
+    // semantics), so both the update row and the late twin coexist
+    val root2 = java.nio.file.Files.createTempDirectory("graft_cl_reb2").toString
+    CommitLog.append(spark, root2, ev.limit(600), nFiles = 2)
+    val twin = ev.limit(1).withColumn("value", lit(7777.0))
+    val ups = ev.limit(50).withColumn("value", lit(-3.0))
+    var injected3 = false
+    val (vm, _, _) = CommitLog.mergeKeyed(spark, root2, ups, Seq("event_id"),
+      nInsertFiles = 1,
+      beforeCommit = () => if (!injected3) {
+        injected3 = true
+        CommitLog.append(spark, root2, twin, nFiles = 1); ()
+      })
+    val afterMerge = CommitLog.read(spark, root2, vm)
+    assert(afterMerge.count() === 601, "rebased merge lost the late append")
+    assert(afterMerge.filter(col("value") === -3.0).count() === 50)
+    assert(afterMerge.filter(col("value") === 7777.0).count() === 1,
+      "the late twin was matched away — blind-append semantics broken")
+    var injected4 = false
+    val (vu, _, _) = CommitLog.update(spark, root2,
+      col("value") === -3.0, Seq("value" -> lit(-4.0)),
+      beforeCommit = () => if (!injected4) {
+        injected4 = true
+        CommitLog.append(spark, root2,
+          ev.limit(1).withColumn("event_id", col("event_id") + 555000000L)
+            .withColumn("value", lit(-3.0)), nFiles = 1); ()
+      })
+    val afterUpd = CommitLog.read(spark, root2, vu)
+    assert(afterUpd.filter(col("value") === -4.0).count() === 50)
+    assert(afterUpd.filter(col("value") === -3.0).count() === 1,
+      "the late cond-matching row must land AFTER the update, untouched")
   }
 
   test("commit log: history checkpoint — same rows, watermark past vacuum, monotone and idempotent (r11)") {
