@@ -473,6 +473,51 @@ object TableFormat {
           col("max_value"), col("n_user_nonnull"), col("min_user"),
           col("max_user")))
     },
+    "q_sql_table_incr_view_multi" -> { (s, dir) =>
+      // SQL front-end for the MULTI-aggregate view (r11): composite
+      // group keys + the canonical COUNT/SUM/MIN/MAX measure family in
+      // ONE statement (the restricted-canonical-form discipline of the
+      // MERGE statement), the source's DML as statements, one REFRESH
+      // folding it all — REFRESH dispatches on the view's recorded
+      // shape, so both view kinds share the statement surface.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_mvm")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "t").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      CommitLog.append(s, root, ev, nFiles = 2)
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      s.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES ('enableChangeDataFeed' = 'true')")
+      s.sql(
+        s"""CREATE MATERIALIZED VIEW $cat.v AS
+          |SELECT event_type, user_id, COUNT(*) AS n,
+          |  COUNT(value) AS nv_value, SUM(value) AS total_value,
+          |  MIN(value) AS mn_value, MAX(value) AS mx_value
+          |FROM $cat.t GROUP BY event_type, user_id""".stripMargin)
+      s.sql(s"DELETE FROM $cat.t WHERE user_id % 7 = 3")
+      s.sql(s"UPDATE $cat.t SET value = value + 1000.0 WHERE user_id % 4 = 2")
+      val r = s.sql(s"REFRESH MATERIALIZED VIEW $cat.v").collect()(0)
+      val view = s.sql(s"SELECT * FROM $cat.v")
+      val full = s.sql(
+        s"""SELECT event_type, user_id, COUNT(*) AS n,
+          |  COUNT(value) AS nv_value,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_value,
+          |  MIN(value) AS mn_value, MAX(value) AS mx_value
+          |FROM $cat.t GROUP BY event_type, user_id""".stripMargin)
+      val exact = if (view.exceptAll(full).count() == 0 &&
+        full.exceptAll(view).count() == 0) 1L else 0L
+      ordered(view
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+          sum(col("total_value")).cast("double").as("sum_value"),
+          min(col("mn_value")).as("min_value"),
+          max(col("mx_value")).as("max_value"))
+        .select(lit(r.getLong(1)).as("rows_folded"),
+          lit(exact).as("equals_full_recompute"),
+          col("n_keys"), col("n_rows"), col("sum_value"),
+          col("min_value"), col("max_value")))
+    },
     "q_table_incr_view_multikey" -> { (s, dir) =>
       // Multi-GROUP-KEY incremental view (r11, the verdict's "first
       // real materialized view has multiple group keys"): GROUP BY
@@ -1914,6 +1959,28 @@ object TableFormat {
         |  CAST((SELECT SUM(n) FROM g) AS BIGINT) AS n_rows,
         |  CAST(CAST((SELECT SUM(total) FROM g) AS STRING) AS DOUBLE) AS sum_value""".stripMargin +
         orderByAll("rows_folded", "n_keys", "n_rows", "sum_value")),
+    "q_sql_table_incr_view_multi" ->
+      ("""WITH f AS (
+        |  SELECT event_type, user_id,
+        |    CASE WHEN user_id % 4 = 2 THEN value + 1000.0 ELSE value END AS value
+        |  FROM events WHERE user_id % 7 <> 3),
+        |g AS (SELECT event_type, user_id, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS total,
+        |    MIN(value) AS mn, MAX(value) AS mx
+        |  FROM f GROUP BY 1, 2)
+        |SELECT CAST(
+        |    (SELECT COUNT(*) FROM events WHERE user_id % 7 = 3) +
+        |    2 * (SELECT COUNT(*) FROM events
+        |         WHERE user_id % 4 = 2 AND user_id % 7 <> 3)
+        |  AS BIGINT) AS rows_folded,
+        |  CAST(1 AS BIGINT) AS equals_full_recompute,
+        |  (SELECT COUNT(*) FROM g) AS n_keys,
+        |  CAST((SELECT SUM(n) FROM g) AS BIGINT) AS n_rows,
+        |  CAST(CAST((SELECT SUM(total) FROM g) AS STRING) AS DOUBLE) AS sum_value,
+        |  (SELECT MIN(mn) FROM g) AS min_value,
+        |  (SELECT MAX(mx) FROM g) AS max_value""".stripMargin +
+        orderByAll("rows_folded", "equals_full_recompute", "n_keys",
+          "n_rows", "sum_value", "min_value", "max_value")),
     "q_table_incr_view_multikey" ->
       ("""WITH f AS (
         |  SELECT event_type, user_id,

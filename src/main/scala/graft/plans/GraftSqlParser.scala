@@ -65,6 +65,19 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+AS\s+SELECT\s+(\w+)\s*,\s*""" +
       """COUNT\s*\(\s*\*\s*\)\s+AS\s+n\s*,\s*SUM\s*\(\s*(\w+)\s*\)\s+AS\s+total\s+""" +
       """FROM\s+([\w.]+)\s+GROUP\s+BY\s+(?:1|\w+)\s*;?\s*""").r
+  // the MULTI-aggregate form (r11): one or more group keys, COUNT(*),
+  // then per measure the canonical 4-aggregate family aliased
+  // nv_/total_/mn_/mx_<measure> — IncrementalViewMulti's restricted
+  // canonical form, like the MERGE statement's UPDATE SET * shape
+  private val createMvMultiRe =
+    ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+AS\s+SELECT\s+""" +
+      """((?:\w+\s*,\s*)+)COUNT\s*\(\s*\*\s*\)\s+AS\s+n\s*,\s*(.+?)\s+""" +
+      """FROM\s+([\w.]+)\s+GROUP\s+BY\s+([\w\s,]+?)\s*;?\s*""").r
+  private val mvMeasureRe =
+    ("""(?is)COUNT\s*\(\s*(\w+)\s*\)\s+AS\s+nv_(\w+)\s*,\s*""" +
+      """SUM\s*\(\s*(\w+)\s*\)\s+AS\s+total_(\w+)\s*,\s*""" +
+      """MIN\s*\(\s*(\w+)\s*\)\s+AS\s+mn_(\w+)\s*,\s*""" +
+      """MAX\s*\(\s*(\w+)\s*\)\s+AS\s+mx_(\w+)""").r
   private val refreshMvRe =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
   // the ON clause is one or more AND-joined qualified equalities —
@@ -113,6 +126,26 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       UpdateGraftCommand(ident.split('.').toSeq, sets, cond)
     case reorgRe(ident) if isGraftCatalog(ident) =>
       ReorgTableCommand(ident.split('.').toSeq)
+    // guard on a measure-family match so the canonical COUNT+SUM pair
+    // falls through to the 2-column form below
+    case createMvMultiRe(view, keysBlob, aggBlob, srcT, groupBlob)
+        if isGraftCatalog(view) && isGraftCatalog(srcT) &&
+          mvMeasureRe.findFirstIn(aggBlob).isDefined =>
+      val keyCols = keysBlob.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val units = mvMeasureRe.findAllMatchIn(aggBlob).map { m =>
+        val names = (1 to 8).map(m.group)
+        require(names.distinct.size == 1,
+          s"materialized-view measure aggregates must cover ONE column " +
+            s"with the canonical aliases, got ${names.distinct}")
+        names.head
+      }.toSeq
+      val grouped = groupBlob.split(',').map(_.trim).toSeq
+      require(grouped == keyCols ||
+        grouped == keyCols.indices.map(i => (i + 1).toString),
+        s"GROUP BY must list the selected keys (or their positions), " +
+          s"got $grouped vs $keyCols")
+      CreateMaterializedViewMultiCommand(view.split('.').toSeq,
+        srcT.split('.').toSeq, keyCols, units)
     case createMvRe(view, key, value, srcT)
         if isGraftCatalog(view) && isGraftCatalog(srcT) =>
       CreateMaterializedViewCommand(view.split('.').toSeq,
@@ -410,17 +443,38 @@ case class CreateMaterializedViewCommand(view: Seq[String],
       keyCol, valCol)))
 }
 
+/** CREATE MATERIALIZED VIEW (multi-aggregate form, r11): one or more
+  * group keys and per measure the canonical COUNT/SUM/MIN/MAX family —
+  * routes to IncrementalViewMulti.createKeyed (composite-key MERGE
+  * folds, MIN/MAX bounded recompute under deletes). */
+case class CreateMaterializedViewMultiCommand(view: Seq[String],
+    source: Seq[String], keyCols: Seq[String], valCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(GraftSqlCommands.attr("view_version"))
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(graft.sources.IncrementalViewMulti.createKeyed(s,
+      GraftSqlCommands.rootOf(s, view), GraftSqlCommands.rootOf(s, source),
+      keyCols, valCols)))
+}
+
 /** REFRESH MATERIALIZED VIEW cat.v — fold the source's changelog
   * since the last refresh into the view (cost ∝ changed rows, never
-  * the source). Returns (view_version, rows_folded). */
+  * the source). Dispatches on the view's recorded shape: multi-
+  * aggregate views (graft.view.valCols) fold through
+  * IncrementalViewMulti, the canonical COUNT+SUM pair through
+  * IncrementalView. Returns (view_version, rows_folded). */
 case class RefreshMaterializedViewCommand(view: Seq[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     GraftSqlCommands.attr("view_version"),
     GraftSqlCommands.attr("rows_folded"))
   override def run(s: SparkSession): Seq[Row] = {
-    val (v, n) = graft.sources.IncrementalView.refresh(s,
-      GraftSqlCommands.rootOf(s, view))
+    val root = GraftSqlCommands.rootOf(s, view)
+    val (v, n) =
+      if (CommitLog.tableProperty(root, "graft.view.valCols").isDefined) {
+        val (v1, n1, _) = graft.sources.IncrementalViewMulti.refresh(s, root)
+        (v1, n1)
+      } else graft.sources.IncrementalView.refresh(s, root)
     Seq(Row(v, n))
   }
 }

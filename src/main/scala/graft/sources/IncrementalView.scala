@@ -80,6 +80,10 @@ object IncrementalView {
     CommitLog.setTableProperty(viewRoot, KeyProp, keyCol)
     CommitLog.setTableProperty(viewRoot, ValProp, valCol)
     CommitLog.setTableProperty(viewRoot, VerProp, srcHead.toString)
+    // a view accumulates one commit per fold — exactly the
+    // long-history table the log checkpoint exists for (r11): every
+    // 10th fold snapshots the history, flooring the watermark walk
+    CommitLog.setTableProperty(viewRoot, "checkpointInterval", "10")
     v
   }
 

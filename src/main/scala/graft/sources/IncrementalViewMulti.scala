@@ -101,6 +101,10 @@ object IncrementalViewMulti {
     CommitLog.setTableProperty(viewRoot, KeyProp, keyCols.mkString(","))
     CommitLog.setTableProperty(viewRoot, ValsProp, valCols.mkString(","))
     CommitLog.setTableProperty(viewRoot, VerProp, srcHead.toString)
+    // a view accumulates one commit per fold — exactly the
+    // long-history table the log checkpoint exists for (r11): every
+    // 10th fold snapshots the history, flooring the watermark walk
+    CommitLog.setTableProperty(viewRoot, "checkpointInterval", "10")
     v
   }
 

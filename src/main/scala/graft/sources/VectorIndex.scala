@@ -82,6 +82,9 @@ object VectorIndex {
       extraMeta = Seq(s""","$VerField":$srcVersion"""))
     CommitLog.setTableProperty(aRoot, SrcProp, srcRoot)
     CommitLog.setTableProperty(aRoot, VerProp, srcVersion.toString)
+    // one commit per refresh — checkpoint the history every 10th so
+    // the watermark walk stays O(interval) on a long-lived index (r11)
+    CommitLog.setTableProperty(aRoot, "checkpointInterval", "10")
     v
   }
 
