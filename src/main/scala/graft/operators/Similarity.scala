@@ -266,9 +266,9 @@ object Similarity {
         e.filter(col("vec_id") % 3 === 2 && col("vec_id") % 2 === 0), nFiles = 1)
       CommitLog.append(s, corpus.toString,
         e.filter(col("vec_id") % 3 === 2 && col("vec_id") % 2 =!= 0), nFiles = 1)
-      val (av, folded) = VectorIndex.refresh(s, idx.toString)
+      val (av, folded, _) = VectorIndex.refresh(s, idx.toString)
       val aRoot = VectorIndex.assignedRoot(idx.toString)
-      val refreshed = CommitLog.read(s, aRoot, av)
+      val refreshed = CommitLog.read(s, aRoot, av).drop("gen")
       val corpusHead = CommitLog.read(s, corpus.toString,
         CommitLog.latestVersion(corpus.toString).get)
       val rebuilt = VectorIndex.assignFrozen(corpusHead, cents)
@@ -281,7 +281,8 @@ object Similarity {
         .collect().map(_.getInt(0)).toIndexedSeq
       val (cand, _, _) = CommitLog.partitionPrunedRead(s, aRoot, av,
         "cell", probes.map(_.toString))
-      val topRefreshed = scoreProbed(cand, q, k = 20)
+      val topRefreshed = scoreProbed(
+        VectorIndex.maskTombstones(s, idx.toString, cand), q, k = 20)
       val topRebuilt =
         scoreProbed(rebuilt.filter(col("cell").isin(probes: _*)), q, k = 20)
       val probeEqual = if (topRefreshed.exceptAll(topRebuilt).count() == 0 &&
@@ -291,6 +292,46 @@ object Similarity {
         .withColumn("rows_folded", lit(folded))
         .withColumn("equals_reassignment", lit(equalsReassign))
         .withColumn("probe_equal", lit(probeEqual)))
+    },
+    "s_sim_index_delete" -> { (s, dir) =>
+      // Index maintenance under DELETES (r11): a corpus slice vanishes
+      // (CoW delete, CDF on); the refresh folds it as TOMBSTONES —
+      // cost ∝ deleted rows, zero posting rewrites — and the probe
+      // masks dead generations with one anti join. purge() then
+      // physically retires them (REORG APPLY (PURGE) for postings)
+      // and the masked and purged reads stay identical. Both states
+      // pin equality against a from-scratch assignment of the LIVE
+      // corpus under the frozen codebook.
+      val e = vecs(s, dir)
+      val corpus = java.nio.file.Files.createTempDirectory("graft_ivfd_c")
+      val idx = java.nio.file.Files.createTempDirectory("graft_ivfd_i")
+      corpus.toFile.deleteOnExit(); idx.toFile.deleteOnExit()
+      CommitLog.setTableProperty(corpus.toString, "enableChangeDataFeed", "true")
+      CommitLog.append(s, corpus.toString,
+        e.filter(col("vec_id") % 3 =!= 2), nFiles = 2)
+      val (assigned, cents) = ivfTrain(CommitLog.read(s, corpus.toString, 0L))
+      VectorIndex.create(s, idx.toString, corpus.toString, 0L, assigned, cents)
+      CommitLog.append(s, corpus.toString,
+        e.filter(col("vec_id") % 3 === 2), nFiles = 1)
+      VectorIndex.refresh(s, idx.toString) // appends fold first
+      CommitLog.delete(s, corpus.toString, col("vec_id") % 5 === 1)
+      val (_, _, tombstoned) = VectorIndex.refresh(s, idx.toString)
+      val live = CommitLog.read(s, corpus.toString,
+        CommitLog.latestVersion(corpus.toString).get)
+      val rebuilt = VectorIndex.assignFrozen(live, cents)
+      val masked = VectorIndex.postings(s, idx.toString).drop("gen")
+      val maskedEqual = if (masked.exceptAll(rebuilt).count() == 0 &&
+        rebuilt.exceptAll(masked).count() == 0) 1L else 0L
+      val (purged, _) = VectorIndex.purge(s, idx.toString)
+      val after = VectorIndex.postings(s, idx.toString).drop("gen")
+      val purgedEqual = if (after.exceptAll(rebuilt).count() == 0 &&
+        rebuilt.exceptAll(after).count() == 0) 1L else 0L
+      ordered(after.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("first_vec"))
+        .withColumn("n_tombstoned", lit(tombstoned))
+        .withColumn("n_purged", lit(purged))
+        .withColumn("masked_equal", lit(maskedEqual))
+        .withColumn("purged_equal", lit(purgedEqual)))
     },
     "q_sim_ivf_probe" -> { (s, dir) =>
       // Probe the PERSISTED index (r9): the probe reads ONLY the
@@ -755,6 +796,52 @@ object Similarity {
         |FROM a2 GROUP BY cell""".stripMargin +
         orderByAll("cell", "n_vectors", "first_vec", "rows_folded",
           "equals_reassignment", "probe_equal")),
+    // s_sim_index_delete: the same train-on-subset chain, final assign
+    // over the LIVE corpus (the %5=1 slice deleted); counters replay
+    // as pure predicates (every %5=1 vector had exactly one posting)
+    "s_sim_index_delete" ->
+      ("""WITH e AS (
+        |  SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |et AS (SELECT * FROM e WHERE vec_id % 3 <> 2),
+        |init AS (SELECT CAST(vec_id AS INT) AS cell, v AS cv FROM et WHERE vec_id < 16),
+        |d1 AS (
+        |  SELECT et.vec_id, et.v, i.cell,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      j -> CAST(FLOOR((et.v[j] - i.cv[j]) * (et.v[j] - i.cv[j]) * 1e12)
+        |        AS BIGINT))) AS BIGINT) AS dq
+        |  FROM et CROSS JOIN init i),
+        |a1 AS (
+        |  SELECT vec_id, v, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dq, cell) AS rn
+        |    FROM d1) WHERE rn = 1),
+        |cd AS (
+        |  SELECT cell, u.j AS dim, COUNT(*) AS n,
+        |    CAST(SUM(CAST(FLOOR(v[u.j] * 1e7) AS BIGINT)) AS BIGINT) AS sq
+        |  FROM a1, (SELECT unnest(range(1, 65)) AS j) u
+        |  GROUP BY cell, u.j),
+        |c1 AS (
+        |  SELECT cell, list(CAST(sq AS DOUBLE) / 1e7 / n ORDER BY dim) AS cv
+        |  FROM cd GROUP BY cell),
+        |live AS (SELECT * FROM e WHERE vec_id % 5 <> 1),
+        |d2 AS (
+        |  SELECT live.vec_id, live.v, c.cell,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      j -> CAST(FLOOR((live.v[j] - c.cv[j]) * (live.v[j] - c.cv[j]) * 1e12)
+        |        AS BIGINT))) AS BIGINT) AS dq
+        |  FROM live CROSS JOIN c1 c),
+        |a2 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY dq, cell) AS rn
+        |    FROM d2) WHERE rn = 1)
+        |SELECT cell, COUNT(*) AS n_vectors, MIN(vec_id) AS first_vec,
+        |  CAST((SELECT COUNT(*) FROM e WHERE vec_id % 5 = 1) AS BIGINT) AS n_tombstoned,
+        |  CAST((SELECT COUNT(*) FROM e WHERE vec_id % 5 = 1) AS BIGINT) AS n_purged,
+        |  CAST(1 AS BIGINT) AS masked_equal,
+        |  CAST(1 AS BIGINT) AS purged_equal
+        |FROM a2 GROUP BY cell""".stripMargin +
+        orderByAll("cell", "n_vectors", "first_vec", "n_tombstoned",
+          "n_purged", "masked_equal", "purged_equal")),
     "q_sim_cosine_topk" ->
       (s"""WITH p AS (
         |  SELECT a.vec_id AS va, b.vec_id AS vb, ${cosSql("a", "b")} AS c

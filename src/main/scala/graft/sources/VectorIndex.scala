@@ -5,36 +5,45 @@ import org.apache.spark.sql.functions._
 
 /** Incrementally-maintained IVF vector index (r11, VERDICT item 3) —
   * the [[IncrementalView]] watermark pattern applied to the persisted
-  * ANN index: the index is TWO commit-log tables under one root,
+  * ANN index. The index is THREE commit-log tables under one root:
   *
-  *   <root>/assigned   (vec_id, label, v, cell) PARTITIONED BY cell —
-  *                     the posting lists; a probe reads nProbe cell
-  *                     partitions via manifest partition pruning
-  *   <root>/centroids  (cell, cv) — the coarse quantizer, FROZEN at
-  *                     create time (version 0 is the codebook)
+  *   <root>/assigned    (vec_id, label, v, cell, gen) PARTITIONED BY
+  *                      cell — the posting lists; a probe reads nProbe
+  *                      cell partitions via manifest partition
+  *                      pruning. `gen` is the source version whose
+  *                      fold added the posting.
+  *   <root>/centroids   (cell, cv) — the coarse quantizer, FROZEN at
+  *                      create time (version 0 is the codebook).
+  *   <root>/tombstones  (vec_id, gen) — merge-on-read DELETE masks:
+  *                      a posting is dead iff a tombstone for its
+  *                      vec_id carries a HIGHER generation (so a
+  *                      re-inserted or updated vector's new posting
+  *                      stays live while its older ones die) — the
+  *                      deletion-vector design applied to postings.
   *
-  * and corpus APPENDS fold in by assigning only the NEW vectors
-  * against the frozen centroids (a narrow broadcast-codebook map, no
-  * corpus shuffle, no retrain) and appending their postings to the
-  * matching cell partitions — refresh cost ∝ new rows, the FAISS
-  * `add` operation expressed as log commits. The last indexed source
-  * version rides the posting commit's own manifest (field `indexSrc`),
-  * so the watermark advances atomically with the postings it covers
-  * and an at-least-once replay folds nothing twice.
+  * Corpus APPENDS fold by assigning only the NEW vectors against the
+  * frozen centroids (a narrow broadcast-codebook map, no retrain, no
+  * corpus rescan) and appending their postings to the matching cell
+  * partitions — FAISS `add` as log commits. Corpus DELETES (and the
+  * delete half of updates) fold as tombstone appends — cost ∝ deleted
+  * rows, zero posting rewrites — and [[postings]] masks them at read
+  * time with one anti join; [[purge]] is the REORG APPLY (PURGE)
+  * twin: rewrite the postings without their dead rows and clear the
+  * tombstones. The last indexed source version rides the posting
+  * commit's own manifest (field `indexSrc`), atomic with the postings
+  * it covers; tombstone appends land BEFORE the watermark commit, and
+  * a crash between them replays as duplicate tombstone rows — masking
+  * is an exists-style anti join, so duplicates are semantically inert
+  * (idempotent by construction, not by bookkeeping).
   *
-  * Frozen centroids keep refresh exact-by-construction: the refreshed
-  * index EQUALS a from-scratch assignment of the whole corpus against
-  * the same codebook (asserted by the s_sim_index_refresh key), and
-  * probe results follow. What freezing gives up is codebook drift —
-  * after enough appends the cells no longer balance; that is the
-  * public engines' answer too (FAISS adds to a trained index; retrain
-  * is a deliberate rebuild, here `create` again).
-  *
-  * Row-REMOVING source commits are refused loudly (fold appends only,
-  * rebuild across deletes): a deletion would need posting-list
-  * tombstones the probe must mask — the merge-on-read design the
-  * commit log already ships for tables, deliberately not duplicated
-  * here until an operator needs it. */
+  * Frozen centroids keep maintenance exact-by-construction: the
+  * maintained index EQUALS a from-scratch assignment of the live
+  * corpus against the same codebook (the s_sim_index_refresh /
+  * s_sim_index_delete keys pin both directions), and probe results
+  * follow. What freezing gives up is codebook drift — after enough
+  * churn the cells no longer balance; that is the public engines'
+  * answer too (FAISS add/remove on a trained index; retrain is a
+  * deliberate rebuild, here `create` again). */
 object VectorIndex {
 
   private val SrcProp = "graft.index.sourceRoot"
@@ -45,6 +54,8 @@ object VectorIndex {
     new java.io.File(indexRoot, "assigned").toString
   def centroidsRoot(indexRoot: String): String =
     new java.io.File(indexRoot, "centroids").toString
+  def tombstonesRoot(indexRoot: String): String =
+    new java.io.File(indexRoot, "tombstones").toString
 
   /** Narrow broadcast-codebook assignment against FROZEN centroids —
     * the exact argmin expression of Similarity.ivfTrain's assign step
@@ -77,7 +88,8 @@ object VectorIndex {
       srcVersion: Long, assigned: DataFrame, cents: DataFrame): Long = {
     CommitLog.append(s, centroidsRoot(indexRoot), cents, nFiles = 1)
     val aRoot = assignedRoot(indexRoot)
-    val v = CommitLog.appendPartitioned(s, aRoot, assigned, "cell",
+    val v = CommitLog.appendPartitioned(s, aRoot,
+      assigned.withColumn("gen", lit(srcVersion)), "cell",
       filesPerPartition = 1,
       extraMeta = Seq(s""","$VerField":$srcVersion"""))
     CommitLog.setTableProperty(aRoot, SrcProp, srcRoot)
@@ -88,11 +100,40 @@ object VectorIndex {
     v
   }
 
-  /** Fold corpus appends since the last refresh into the index.
-    * Returns (assignedVersion, vectorsIndexed); a no-change refresh
-    * publishes nothing. Refuses ranges containing row-removing
-    * commits (delete/update/overwrite) — rebuild across those. */
-  def refresh(s: SparkSession, indexRoot: String): (Long, Long) = {
+  /** The LIVE postings at the index head: the assigned table with
+    * tombstoned generations masked out (one anti join against the
+    * tombstone set — ∝ deleted rows until [[purge]] retires them).
+    * Callers prune cells FIRST (partitionPrunedRead on `assigned`)
+    * and mask the survivors via [[maskTombstones]] — this full-table
+    * form exists for rebuild-equality checks and purge. */
+  def postings(s: SparkSession, indexRoot: String): DataFrame =
+    maskTombstones(s, indexRoot, CommitLog.read(s, assignedRoot(indexRoot),
+      CommitLog.latestVersion(assignedRoot(indexRoot)).get))
+
+  /** Mask `rows` (any subset of the assigned table — e.g. the probe's
+    * cell-pruned candidates) against the current tombstone set: a
+    * posting is dead iff a tombstone for its vec_id has a higher
+    * generation. No tombstone table (or an emptied one) = no mask. */
+  def maskTombstones(s: SparkSession, indexRoot: String,
+      rows: DataFrame): DataFrame =
+    CommitLog.latestVersion(tombstonesRoot(indexRoot))
+      .filter(tv => CommitLog
+        .snapshotFiles(tombstonesRoot(indexRoot), tv).nonEmpty) match {
+      case None => rows // no tombstone table, or purged empty: no mask
+      case Some(tv) =>
+        val t = CommitLog.read(s, tombstonesRoot(indexRoot), tv)
+          .select(col("vec_id").as("_t_vid"), col("gen").as("_t_gen"))
+        rows.join(t,
+          rows("vec_id") === t("_t_vid") && t("_t_gen") > rows("gen"),
+          "left_anti")
+    }
+
+  /** Fold corpus changes since the last refresh into the index:
+    * inserts (and update post-images) assign against the frozen
+    * codebook and append postings; deletes (and update pre-images)
+    * append tombstones. Returns (assignedVersion, vectorsIndexed,
+    * vectorsTombstoned); a no-change refresh publishes nothing. */
+  def refresh(s: SparkSession, indexRoot: String): (Long, Long, Long) = {
     val aRoot = assignedRoot(indexRoot)
     val srcRoot = CommitLog.tableProperty(aRoot, SrcProp)
       .getOrElse(sys.error(s"$aRoot is not a maintained vector index (no $SrcProp)"))
@@ -101,32 +142,73 @@ object VectorIndex {
       .getOrElse(sys.error(s"source corpus vanished from $srcRoot"))
     val head = CommitLog.latestVersion(aRoot)
       .getOrElse(sys.error(s"index table vanished from $aRoot"))
-    if (srcHead == from) return (head, 0L)
-    // ONE pass over the changelog: localCheckpoint the new vectors,
-    // then a scalar agg for (inserts, non-inserts, max version)
+    if (srcHead == from) return (head, 0L, 0L)
+    // ONE pass over the changelog: localCheckpoint the change rows,
+    // then a scalar agg for (inserts, deletes, max version)
     val changes = CommitLog.changesRows(s, srcRoot, from, srcHead)
       .localCheckpoint()
+    val pos = col("_change_type").isin("insert", "update_postimage")
     val sig = changes.agg(
-      coalesce(sum(when(col("_change_type") === "insert", 1L)
-        .otherwise(0L)), lit(0L)),
-      coalesce(sum(when(col("_change_type") =!= "insert", 1L)
-        .otherwise(0L)), lit(0L)),
+      coalesce(sum(when(pos, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(!pos, 1L).otherwise(0L)), lit(0L)),
       max(col("_commit_version"))).collect()(0)
-    val (nIns, nOther) = (sig.getLong(0), sig.getLong(1))
-    require(nOther == 0L,
-      s"index refresh folds APPENDS only; versions ($from, $srcHead] " +
-        "contain row-removing changes — rebuild the index with create()")
-    if (nIns == 0L) return (head, 0L)
+    val (nIns, nDel) = (sig.getLong(0), sig.getLong(1))
+    if (nIns == 0L && nDel == 0L) return (head, 0L, 0L)
     val maxVer = sig.getLong(2)
+    // tombstones FIRST, watermark-carrying posting commit SECOND: a
+    // crash between them replays as duplicate tombstones — inert under
+    // the exists-style mask (see the crash anatomy above)
+    if (nDel > 0L) {
+      // appendEvolved records the tombstone schema at v0, so a purged
+      // (emptied) tombstone table still reads back as an empty relation
+      CommitLog.appendEvolved(s, tombstonesRoot(indexRoot),
+        changes.filter(!pos)
+          .select(col("vec_id"), col("_commit_version").as("gen")),
+        nFiles = 1)
+    }
     val cents = CommitLog.read(s, centroidsRoot(indexRoot),
       CommitLog.latestVersion(centroidsRoot(indexRoot)).get)
-    val fresh = assignFrozen(
-      changes.select(col("vec_id"), col("label"), col("v")), cents)
+    // per-row generations ride through the assignment (a vector
+    // updated twice in one batch keeps only its newest posting live)
+    val packed = cents.agg(
+      expr("array_sort(collect_list(struct(cell, cv)))").as("cs"))
+    val fresh = changes.filter(pos)
+      .select(col("vec_id"), col("label"), col("v"),
+        col("_commit_version").as("gen"))
+      .crossJoin(broadcast(packed))
+      .withColumn("best", expr(
+        "array_min(transform(cs, c -> named_struct(" +
+          "'dq', l2_dist_q(v, c.cv), 'cell', c.cell)))"))
+      .select(col("vec_id"), col("label"), col("v"),
+        col("best.cell").as("cell"), col("gen"))
+    graft.functions.VectorExprs.register(s)
+    // an all-delete batch appends zero posting files — the commit
+    // still publishes, carrying the watermark atomically
     val v = CommitLog.appendPartitioned(s, aRoot, fresh, "cell",
       filesPerPartition = 1,
       extraMeta = Seq(s""","$VerField":$maxVer"""))
     // best-effort backstop for vacuumed fold manifests, like the views
     CommitLog.setTableProperty(aRoot, VerProp, maxVer.toString)
-    (v, nIns)
+    (v, nIns, nDel)
+  }
+
+  /** Physically retire the masked postings — the REORG APPLY (PURGE)
+    * twin: overwrite the assigned table with its LIVE postings (one
+    * routed cell-partitioned write), then empty the tombstone table.
+    * A crash between the two leaves stale tombstones masking
+    * already-purged generations — inert (nothing left to mask).
+    * Returns (postingsPurged, tombstonesCleared). */
+  def purge(s: SparkSession, indexRoot: String): (Long, Long) = {
+    val aRoot = assignedRoot(indexRoot)
+    val tRoot = tombstonesRoot(indexRoot)
+    val nTomb = CommitLog.latestVersion(tRoot)
+      .map(tv => CommitLog.read(s, tRoot, tv).count()).getOrElse(0L)
+    if (nTomb == 0L) return (0L, 0L)
+    val all = CommitLog.read(s, aRoot, CommitLog.latestVersion(aRoot).get)
+    val live = maskTombstones(s, indexRoot, all)
+    val purged = all.count() - live.count()
+    CommitLog.overwrite(s, aRoot, live, nFiles = 1, partCol = Some("cell"))
+    CommitLog.delete(s, tRoot, lit(true))
+    (purged, nTomb)
   }
 }

@@ -235,43 +235,68 @@ class SimilaritySpec extends SparkSpec {
       s"mined negatives $minedMean not meaningfully harder than random $randomMean")
   }
 
-  test("index refresh: idempotent on no change, appends-only refusal named, watermark atomic (r11)") {
+  test("index refresh: idempotent, watermark atomic; deletes tombstone, update re-cells, purge retires (r11)") {
     import graft.sources.{CommitLog, VectorIndex}
     val e = vecs.join(
       Tables(spark, sf, "embeddings").select(col("vec_id"), col("label")), "vec_id")
       .select(col("vec_id"), col("label"), col("v"))
     val corpus = java.nio.file.Files.createTempDirectory("graft_vir_c").toString
     val idx = java.nio.file.Files.createTempDirectory("graft_vir_i").toString
+    CommitLog.setTableProperty(corpus, "enableChangeDataFeed", "true")
     CommitLog.append(spark, corpus, e.filter(col("vec_id") % 2 === 0), nFiles = 1)
     val (assigned, cents) = Similarity.ivfTrain(CommitLog.read(spark, corpus, 0L))
     VectorIndex.create(spark, idx, corpus, 0L, assigned, cents)
     val aRoot = VectorIndex.assignedRoot(idx)
+    def liveEqualsRebuild(tag: String): Unit = {
+      val live = VectorIndex.postings(spark, idx).drop("gen")
+      val full = VectorIndex.assignFrozen(
+        CommitLog.read(spark, corpus, CommitLog.latestVersion(corpus).get), cents)
+      assert(live.exceptAll(full).count() === 0 &&
+        full.exceptAll(live).count() === 0,
+        s"$tag: maintained index diverges from full reassignment")
+    }
     // no new source commits → publishes nothing, folds nothing
     val head0 = CommitLog.latestVersion(aRoot).get
-    val (v0, n0) = VectorIndex.refresh(spark, idx)
+    val (v0, n0, _) = VectorIndex.refresh(spark, idx)
     assert(v0 === head0 && n0 === 0L, s"no-change refresh published v$v0 ($n0 rows)")
     // an append folds exactly its rows; a SECOND refresh folds nothing
     // (the watermark rode the posting commit)
     CommitLog.append(spark, corpus, e.filter(col("vec_id") % 2 =!= 0), nFiles = 1)
-    val (v1, n1) = VectorIndex.refresh(spark, idx)
+    val (v1, n1, _) = VectorIndex.refresh(spark, idx)
     assert(n1 === e.filter(col("vec_id") % 2 =!= 0).count(), s"folded $n1")
     assert(v1 === head0 + 1, "refresh must be ONE posting commit")
-    val (v2, n2) = VectorIndex.refresh(spark, idx)
+    val (v2, n2, _) = VectorIndex.refresh(spark, idx)
     assert(v2 === v1 && n2 === 0L, "replayed refresh double-folded")
-    // the refreshed index equals full reassignment under the codebook
-    val refreshed = CommitLog.read(spark, aRoot, v1)
-    val full = VectorIndex.assignFrozen(
-      CommitLog.read(spark, corpus, CommitLog.latestVersion(corpus).get), cents)
-    assert(refreshed.exceptAll(full).count() === 0 &&
-      full.exceptAll(refreshed).count() === 0,
-      "refreshed index diverges from full reassignment")
-    // a row-removing source commit refuses BY NAME (rebuild, don't
-    // silently serve stale postings for deleted vectors)
-    CommitLog.setTableProperty(corpus, "enableChangeDataFeed", "true")
+    liveEqualsRebuild("after appends")
+    // a corpus DELETE folds as tombstones (cost ∝ deleted rows, no
+    // posting rewrite) and the masked read drops exactly those vectors
+    val nDel = CommitLog.read(spark, corpus, CommitLog.latestVersion(corpus).get)
+      .filter(col("vec_id") % 7 === 3).count()
     CommitLog.delete(spark, corpus, col("vec_id") % 7 === 3)
-    val ex = intercept[IllegalArgumentException] {
-      VectorIndex.refresh(spark, idx)
-    }
-    assert(ex.getMessage.contains("APPENDS only"), ex.getMessage)
+    val (_, ins3, del3) = VectorIndex.refresh(spark, idx)
+    assert(ins3 === 0L && del3 === nDel, s"tombstoned $del3, want $nDel")
+    liveEqualsRebuild("after delete")
+    // an UPDATE that moves a vector re-cells it: pre-image tombstones
+    // the old posting, post-image appends the new one — only the
+    // newest generation stays live
+    CommitLog.update(spark, corpus, col("vec_id") === 2L,
+      Seq("v" -> expr("transform(v, x -> -x)")))
+    val (_, ins4, del4) = VectorIndex.refresh(spark, idx)
+    assert(ins4 === 1L && del4 === 1L)
+    liveEqualsRebuild("after update")
+    assert(VectorIndex.postings(spark, idx)
+      .filter(col("vec_id") === 2L).count() === 1L,
+      "an updated vector must have exactly ONE live posting")
+    // purge physically retires masked postings; reads stay identical
+    val before = CommitLog.read(spark, aRoot,
+      CommitLog.latestVersion(aRoot).get).count()
+    val (purged, cleared) = VectorIndex.purge(spark, idx)
+    assert(purged === nDel + 1 && cleared === nDel + 1,
+      s"purged $purged / cleared $cleared, want ${nDel + 1}")
+    assert(CommitLog.read(spark, aRoot,
+      CommitLog.latestVersion(aRoot).get).count() === before - purged)
+    liveEqualsRebuild("after purge")
+    // and a purge with nothing to do publishes nothing
+    assert(VectorIndex.purge(spark, idx) === ((0L, 0L)))
   }
 }
