@@ -823,6 +823,42 @@ class PlanSpec extends SparkSpec {
       s"mask degenerated to a product:\n$after")
   }
 
+  test("index probe under tombstones: cell pruning intact, mask is ONE anti join, purge restores fast path (r11)") {
+    import graft.sources.{CommitLog, VectorIndex}
+    val e = graft.operators.Similarity.vecs(spark, sf)
+    val corpus = java.nio.file.Files.createTempDirectory("graft_vip_c").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft_vip_i").toString
+    CommitLog.setTableProperty(corpus, "enableChangeDataFeed", "true")
+    CommitLog.append(spark, corpus, e, nFiles = 1)
+    val (assigned, cents) = graft.operators.Similarity.ivfTrain(
+      CommitLog.read(spark, corpus, 0L))
+    VectorIndex.create(spark, idx, corpus, 0L, assigned, cents)
+    CommitLog.delete(spark, corpus, col("vec_id") % 9 === 4)
+    VectorIndex.refresh(spark, idx)
+    val aRoot = VectorIndex.assignedRoot(idx)
+    // candidate selection stays manifest partition pruning: 8 of 16
+    // cell partitions listed, REGARDLESS of outstanding tombstones
+    val (cand, total, read) = CommitLog.partitionPrunedRead(spark, aRoot,
+      CommitLog.latestVersion(aRoot).get, "cell",
+      (0 until 8).map(_.toString))
+    assert(total === 16 && read === 8, s"pruning: $read of $total")
+    // the mask is exactly ONE anti join on the pruned candidates —
+    // never a product, never a per-row filter
+    val p = VectorIndex.maskTombstones(spark, idx, cand)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), s"no anti join in masked probe:\n$p")
+    assert(p.split("LeftAnti").length == 2, s"more than one anti join:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+    // after purge the mask disappears — the unmasked fast path returns
+    VectorIndex.purge(spark, idx)
+    val p2 = VectorIndex.maskTombstones(spark, idx,
+      CommitLog.partitionPrunedRead(spark, aRoot,
+        CommitLog.latestVersion(aRoot).get, "cell",
+        (0 until 8).map(_.toString))._1)
+      .queryExecution.executedPlan.toString
+    assert(!p2.contains("LeftAnti"), s"purged index still masks:\n$p2")
+  }
+
   test("incremental view fold: zero key-relation collects, driver actions constant in vanished keys (r11)") {
     import graft.sources.{CommitLog, IncrementalView, Tables}
     import scala.jdk.CollectionConverters._
