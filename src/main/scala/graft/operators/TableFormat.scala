@@ -473,6 +473,57 @@ object TableFormat {
           col("max_value"), col("n_user_nonnull"), col("min_user"),
           col("max_user")))
     },
+    "q_table_incr_view_join" -> { (s, dir) =>
+      // JOIN view (r11): an aggregate over FACT ⋈ DIM — the
+      // star-schema rollup. The dimension (user_id → segment) is
+      // PINNED at create; folds enrich only the fact DELTAS with one
+      // inner join against it (Δ(R ⋈ S) = ΔR ⋈ S for immutable S) and
+      // run the ordinary multi-aggregate fold — the group key comes
+      // from the DIM side, the measure from the fact. Full DML mix on
+      // the fact, one refresh, bit-for-bit equality vs a recompute of
+      // fact-head ⋈ dim. StreamingSpec pins the dim-advance refusal.
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val fact = java.nio.file.Files.createTempDirectory("graft_ivj_f")
+      val dimT = java.nio.file.Files.createTempDirectory("graft_ivj_d")
+      val vw = java.nio.file.Files.createTempDirectory("graft_ivj_v")
+      Seq(fact, dimT, vw).foreach(_.toFile.deleteOnExit())
+      CommitLog.setTableProperty(fact.toString, "enableChangeDataFeed", "true")
+      CommitLog.append(s, fact.toString, ev.filter(col("event_id") % 2 === 0), nFiles = 2)
+      val dim = ev.select(col("user_id")).distinct()
+        .withColumn("segment",
+          concat(lit("seg_"), (col("user_id") % 4).cast("string")))
+      CommitLog.append(s, dimT.toString, dim, nFiles = 1)
+      graft.sources.IncrementalViewMulti.createJoined(s, vw.toString,
+        fact.toString, dimT.toString, "user_id",
+        Seq("segment"), Seq("value"))
+      CommitLog.append(s, fact.toString, ev.filter(col("event_id") % 2 =!= 0), nFiles = 2)
+      CommitLog.delete(s, fact.toString, col("user_id") % 7 === 3)
+      CommitLog.update(s, fact.toString, col("user_id") % 4 === 2,
+        Seq("value" -> (col("value") + lit(1000.0))))
+      val (vv, consumed, _) =
+        graft.sources.IncrementalViewMulti.refresh(s, vw.toString)
+      val view = CommitLog.read(s, vw.toString, vv)
+      val full = CommitLog.read(s, fact.toString,
+        CommitLog.latestVersion(fact.toString).get)
+        .join(dim, Seq("user_id"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"), count(col("value")).as("nv_value"),
+          sum(col("value").cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("total_value"),
+          min(col("value")).as("mn_value"), max(col("value")).as("mx_value"))
+      val exact = if (view.exceptAll(full).count() == 0 &&
+        full.exceptAll(view).count() == 0) 1L else 0L
+      ordered(view
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+          sum(col("total_value")).cast("double").as("sum_value"),
+          min(col("mn_value")).as("min_value"),
+          max(col("mx_value")).as("max_value"))
+        .select(lit(consumed).as("rows_folded"),
+          lit(exact).as("equals_full_recompute"),
+          col("n_keys"), col("n_rows"), col("sum_value"),
+          col("min_value"), col("max_value")))
+    },
     "q_sql_table_incr_view_multi" -> { (s, dir) =>
       // SQL front-end for the MULTI-aggregate view (r11): composite
       // group keys + the canonical COUNT/SUM/MIN/MAX measure family in
@@ -1959,6 +2010,30 @@ object TableFormat {
         |  CAST((SELECT SUM(n) FROM g) AS BIGINT) AS n_rows,
         |  CAST(CAST((SELECT SUM(total) FROM g) AS STRING) AS DOUBLE) AS sum_value""".stripMargin +
         orderByAll("rows_folded", "n_keys", "n_rows", "sum_value")),
+    "q_table_incr_view_join" ->
+      ("""WITH f AS (
+        |  SELECT 'seg_' || CAST(user_id % 4 AS VARCHAR) AS segment,
+        |    CASE WHEN user_id % 4 = 2 THEN value + 1000.0 ELSE value END AS value,
+        |    user_id, event_id
+        |  FROM events WHERE user_id % 7 <> 3),
+        |g AS (SELECT segment, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS total,
+        |    MIN(value) AS mn, MAX(value) AS mx
+        |  FROM f GROUP BY 1)
+        |SELECT CAST(
+        |    (SELECT COUNT(*) FROM events WHERE event_id % 2 <> 0) +
+        |    (SELECT COUNT(*) FROM events WHERE user_id % 7 = 3) +
+        |    2 * (SELECT COUNT(*) FROM events
+        |         WHERE user_id % 4 = 2 AND user_id % 7 <> 3)
+        |  AS BIGINT) AS rows_folded,
+        |  CAST(1 AS BIGINT) AS equals_full_recompute,
+        |  (SELECT COUNT(*) FROM g) AS n_keys,
+        |  CAST((SELECT SUM(n) FROM g) AS BIGINT) AS n_rows,
+        |  CAST(CAST((SELECT SUM(total) FROM g) AS STRING) AS DOUBLE) AS sum_value,
+        |  (SELECT MIN(mn) FROM g) AS min_value,
+        |  (SELECT MAX(mx) FROM g) AS max_value""".stripMargin +
+        orderByAll("rows_folded", "equals_full_recompute", "n_keys",
+          "n_rows", "sum_value", "min_value", "max_value")),
     "q_sql_table_incr_view_multi" ->
       ("""WITH f AS (
         |  SELECT event_type, user_id,

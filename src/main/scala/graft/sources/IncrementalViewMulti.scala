@@ -48,6 +48,9 @@ object IncrementalViewMulti {
   private val ValsProp = "graft.view.valCols"
   private val VerProp = "graft.view.sourceVersion"
   private val VerField = "viewSrc"
+  private val DimProp = "graft.view.dimRoot"
+  private val DimVerProp = "graft.view.dimVersion"
+  private val DimKeyProp = "graft.view.dimKey"
 
   /** Full per-key state at `rows` — also the bounded re-aggregation
     * kernel (recomputed keys get ALL their aggregates from here, so
@@ -108,10 +111,49 @@ object IncrementalViewMulti {
     v
   }
 
+  /** JOIN view (r11): an aggregate over FACT ⋈ DIM — the star-schema
+    * rollup ("enrich then aggregate", the canonical dashboard query).
+    * The dimension is PINNED at create (its version recorded, the
+    * frozen-codebook pattern): a fold enriches only the fact DELTAS
+    * with one inner join against the pinned dim — Δ(R ⋈ S) = ΔR ⋈ S
+    * when S is immutable, the one delta rule that needs no pair terms
+    * — and then runs the ordinary multi-aggregate fold. Group keys
+    * and measures may come from EITHER side. A dim that has advanced
+    * past its pinned version refuses loudly at refresh (Δdim
+    * propagation is deliberately not maintained — a changed mapping
+    * re-attributes HISTORY, which only a rebuild can do exactly);
+    * fact rows without a dim match drop on BOTH the create and fold
+    * paths (inner-join semantics, consistently — so incremental
+    * stays bit-for-bit equal to recompute). */
+  def createJoined(s: SparkSession, viewRoot: String, srcRoot: String,
+      dimRoot: String, dimKey: String, keyCols: Seq[String],
+      valCols: Seq[String], nFiles: Int = 2): Long = {
+    require(keyCols.nonEmpty && valCols.nonEmpty,
+      "join view needs group keys and at least one measure")
+    val srcHead = CommitLog.latestVersion(srcRoot)
+      .getOrElse(sys.error(s"cannot build a view over an empty table at $srcRoot"))
+    val dimHead = CommitLog.latestVersion(dimRoot)
+      .getOrElse(sys.error(s"cannot join an empty dimension at $dimRoot"))
+    val dim = CommitLog.read(s, dimRoot, dimHead)
+    val v = CommitLog.appendEvolved(s, viewRoot,
+      state(keyCols, valCols,
+        CommitLog.read(s, srcRoot, srcHead).join(dim, Seq(dimKey))), nFiles)
+    CommitLog.setTableProperty(viewRoot, SrcProp, srcRoot)
+    CommitLog.setTableProperty(viewRoot, KeyProp, keyCols.mkString(","))
+    CommitLog.setTableProperty(viewRoot, ValsProp, valCols.mkString(","))
+    CommitLog.setTableProperty(viewRoot, VerProp, srcHead.toString)
+    CommitLog.setTableProperty(viewRoot, DimProp, dimRoot)
+    CommitLog.setTableProperty(viewRoot, DimVerProp, dimHead.toString)
+    CommitLog.setTableProperty(viewRoot, DimKeyProp, dimKey)
+    CommitLog.setTableProperty(viewRoot, "checkpointInterval", "10")
+    v
+  }
+
   /** Fold the source changes since the last refresh. Returns
     * (newViewVersion, changeRowsFolded, keysReaggregated) — the last
     * counter is the bounded-recompute volume: keys whose delete-side
-    * bounds hit a recorded extreme. */
+    * bounds hit a recorded extreme. Join views enrich the deltas (and
+    * the recompute reads) against the PINNED dimension first. */
   def refresh(s: SparkSession, viewRoot: String): (Long, Long, Long) = {
     val srcRoot = CommitLog.tableProperty(viewRoot, SrcProp)
       .getOrElse(sys.error(s"$viewRoot is not an incremental view (no $SrcProp)"))
@@ -121,8 +163,24 @@ object IncrementalViewMulti {
     val viewHead = CommitLog.latestVersion(viewRoot)
       .getOrElse(sys.error(s"view table vanished from $viewRoot"))
     if (srcHead == from) return (viewHead, 0L, 0L)
-    foldDeltas(s, viewRoot, srcRoot,
-      CommitLog.changesRows(s, srcRoot, from, srcHead))
+    val changes = CommitLog.changesRows(s, srcRoot, from, srcHead)
+    CommitLog.tableProperty(viewRoot, DimProp) match {
+      case None =>
+        foldCore(s, viewRoot, changes, from, viewHead,
+          ver => CommitLog.read(s, srcRoot, ver))
+      case Some(dimRoot) =>
+        val pinned = CommitLog.tableProperty(viewRoot, DimVerProp).get.toLong
+        val dimHead = CommitLog.latestVersion(dimRoot)
+          .getOrElse(sys.error(s"dimension table vanished from $dimRoot"))
+        require(dimHead == pinned,
+          s"dimension $dimRoot advanced to v$dimHead past the view's " +
+            s"pinned v$pinned — a changed mapping re-attributes history, " +
+            "which only a rebuild can do exactly; rebuild with createJoined")
+        val dimKey = CommitLog.tableProperty(viewRoot, DimKeyProp).get
+        val dim = CommitLog.read(s, dimRoot, pinned)
+        foldCore(s, viewRoot, changes.join(dim, Seq(dimKey)), from, viewHead,
+          ver => CommitLog.read(s, srcRoot, ver).join(dim, Seq(dimKey)))
+    }
   }
 
   /** Fold a batch of change rows ([[CommitLog.changesRows]]'s shape).
@@ -134,11 +192,22 @@ object IncrementalViewMulti {
     * unfolded rows into this fold's state. */
   def foldDeltas(s: SparkSession, viewRoot: String, srcRoot: String,
       changeRows: DataFrame): (Long, Long, Long) = {
-    val keyCols = CommitLog.tableProperty(viewRoot, KeyProp).get.split(',').toSeq
-    val valCols = CommitLog.tableProperty(viewRoot, ValsProp).get.split(',').toSeq
     val from = lastFolded(viewRoot)
     val viewHead = CommitLog.latestVersion(viewRoot)
       .getOrElse(sys.error(s"view table vanished from $viewRoot"))
+    foldCore(s, viewRoot, changeRows, from, viewHead,
+      ver => CommitLog.read(s, srcRoot, ver))
+  }
+
+  /** The fold body shared by plain and JOIN views: `changeRows` is the
+    * (possibly dim-enriched) changelog, `sourceAt` reads the (possibly
+    * dim-enriched) source at a pinned version for the MIN/MAX bounded
+    * recompute. */
+  private def foldCore(s: SparkSession, viewRoot: String,
+      changeRows: DataFrame, from: Long, viewHead: Long,
+      sourceAt: Long => DataFrame): (Long, Long, Long) = {
+    val keyCols = CommitLog.tableProperty(viewRoot, KeyProp).get.split(',').toSeq
+    val valCols = CommitLog.tableProperty(viewRoot, ValsProp).get.split(',').toSeq
     val kc = keyCols.map(col)
     val changes = changeRows
       .filter(col("_commit_version") > from &&
@@ -215,8 +284,7 @@ object IncrementalViewMulti {
       // version this fold lands on — a distributed semi join, never a
       // collected key list
       else folded.unionByName(state(keyCols, valCols,
-        CommitLog.read(s, srcRoot, maxVer)
-          .join(recKeys, keyCols, "left_semi")))
+        sourceAt(maxVer).join(recKeys, keyCols, "left_semi")))
     val vanished = arith.filter(col("n") === 0).select(kc: _*)
     val wm = Seq(s""","$VerField":$maxVer""")
     val (v1, _, _) = CommitLog.mergeKeyed(s, viewRoot, survivors, keyCols,

@@ -2042,6 +2042,48 @@ class StreamingSpec extends SparkSpec {
       .filter(col("k") === "a").count() === 0, "vanished key survived")
   }
 
+  test("join view: dim pinned at create, a dim advance refuses by name, unmatched fact rows drop (r11)") {
+    import graft.sources.{CommitLog, IncrementalViewMulti, Tables}
+    import spark.implicits._
+    val fact = java.nio.file.Files.createTempDirectory("graft_ivjn_f").toString
+    val dimT = java.nio.file.Files.createTempDirectory("graft_ivjn_d").toString
+    val vw = java.nio.file.Files.createTempDirectory("graft_ivjn_v").toString
+    CommitLog.setTableProperty(fact, "enableChangeDataFeed", "true")
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value")).limit(600)
+    CommitLog.append(spark, fact, ev.filter(col("event_id") % 2 === 0), nFiles = 1)
+    // the dim deliberately misses some users — their fact rows must
+    // drop on BOTH the create and fold paths (consistent inner join)
+    val dim = ev.select(col("user_id")).distinct()
+      .filter(col("user_id") % 5 =!= 0)
+      .withColumn("segment", concat(lit("s"), (col("user_id") % 3).cast("string")))
+    CommitLog.append(spark, dimT, dim, nFiles = 1)
+    IncrementalViewMulti.createJoined(spark, vw, fact, dimT, "user_id",
+      Seq("segment"), Seq("value"))
+    CommitLog.append(spark, fact, ev.filter(col("event_id") % 2 =!= 0), nFiles = 1)
+    IncrementalViewMulti.refresh(spark, vw)
+    val view = CommitLog.read(spark, vw, CommitLog.latestVersion(vw).get)
+    val want = CommitLog.read(spark, fact, CommitLog.latestVersion(fact).get)
+      .join(dim, Seq("user_id"))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n"), count(col("value")).as("nv_value"),
+        sum(col("value").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("total_value"),
+        min(col("value")).as("mn_value"), max(col("value")).as("mx_value"))
+    assert(view.exceptAll(want).count() === 0 && want.exceptAll(view).count() === 0,
+      "join view diverges from fact-head join dim recompute")
+    // a dim ADVANCE refuses by name: a changed mapping re-attributes
+    // history — only a rebuild does that exactly
+    CommitLog.append(spark, dimT,
+      Seq((-1L, "s9")).toDF("user_id", "segment"), nFiles = 1)
+    CommitLog.append(spark, fact, ev.limit(10)
+      .withColumn("event_id", col("event_id") + 900000000L), nFiles = 1)
+    val ex = intercept[IllegalArgumentException] {
+      IncrementalViewMulti.refresh(spark, vw)
+    }
+    assert(ex.getMessage.contains("re-attributes history"), ex.getMessage)
+  }
+
   test("incremental view: mass delete — EVERY key vanishes in ONE distributed fold commit (r11)") {
     import graft.sources.{CommitLog, IncrementalView, Tables}
     // the retention-purge / GDPR-sweep shape the r10 verdict flagged:
