@@ -511,8 +511,12 @@ object CommitLog {
       .getOrElse(sys.error(s"nothing to checkpoint under $root"))
     val prev = lastCheckpointVersion(root)
     if (prev.contains(head)) return head
-    val base = prev.map(readCheckpointRows(root, _)).getOrElse(Nil)
-    val fresh = (prev.map(_ + 1).getOrElse(0L) to head)
+    // a racing checkpoint's retention may unlink the snapshot between
+    // the pointer read and this read — degrade to a full rebuild
+    val baseOpt = prev.flatMap(n =>
+      scala.util.Try(readCheckpointRows(root, n)).toOption.map(n -> _))
+    val base = baseOpt.map(_._2).getOrElse(Nil)
+    val fresh = (baseOpt.map(_._1 + 1).getOrElse(0L) to head)
       .flatMap(summarize(root, _))
     val rows = (base ++ fresh).map { r =>
       val metaJson =
@@ -562,9 +566,12 @@ object CommitLog {
   def historySummaries(root: String): (Seq[HistRow], Long) = {
     val head = latestVersion(root)
       .getOrElse(sys.error(s"no table history at $root"))
-    val ckpt = lastCheckpointVersion(root)
-    val base = ckpt.map(readCheckpointRows(root, _)).getOrElse(Nil)
-    val fresh = (ckpt.map(_ + 1).getOrElse(0L) to head)
+    // retention race (see checkpoint): a vanished snapshot degrades to
+    // the full walk, never an error
+    val baseOpt = lastCheckpointVersion(root).flatMap(n =>
+      scala.util.Try(readCheckpointRows(root, n)).toOption.map(n -> _))
+    val base = baseOpt.map(_._2).getOrElse(Nil)
+    val fresh = (baseOpt.map(_._1 + 1).getOrElse(0L) to head)
       .flatMap(summarize(root, _))
     (base ++ fresh, fresh.size.toLong)
   }
@@ -582,8 +589,17 @@ object CommitLog {
       .takeWhile(v => manifestExists(root, v))
       .flatMap(v => longMetaOf(root, v, field).iterator)
       .nextOption()
-      .orElse(ckpt.flatMap(n => readCheckpointRows(root, n)
-        .reverseIterator.flatMap(_.meta.get(field)).nextOption()))
+      .orElse(ckpt.flatMap(n =>
+        scala.util.Try(readCheckpointRows(root, n)).toOption.toSeq
+          .flatMap(_.reverseIterator.flatMap(_.meta.get(field)))
+          .headOption))
+      // retention-race fallback: finish the walk below the vanished
+      // checkpoint's floor
+      .orElse(if (ckpt.isEmpty) None
+        else (math.min(head, stop - 1) to 0L by -1).iterator
+          .takeWhile(v => manifestExists(root, v))
+          .flatMap(v => longMetaOf(root, v, field).iterator)
+          .nextOption())
   }
 
   /** TIMESTAMP AS OF resolution — the greatest RETAINED version whose

@@ -166,6 +166,9 @@ object VectorIndex {
           .select(col("vec_id"), col("_commit_version").as("gen")),
         nFiles = 1)
     }
+    // register BEFORE the assignment expression analyzes (withColumn
+    // resolves eagerly — l2_dist_q must already be in the registry)
+    graft.functions.VectorExprs.register(s)
     val cents = CommitLog.read(s, centroidsRoot(indexRoot),
       CommitLog.latestVersion(centroidsRoot(indexRoot)).get)
     // per-row generations ride through the assignment (a vector
@@ -181,7 +184,6 @@ object VectorIndex {
           "'dq', l2_dist_q(v, c.cv), 'cell', c.cell)))"))
       .select(col("vec_id"), col("label"), col("v"),
         col("best.cell").as("cell"), col("gen"))
-    graft.functions.VectorExprs.register(s)
     // an all-delete batch appends zero posting files — the commit
     // still publishes, carrying the watermark atomically
     val v = CommitLog.appendPartitioned(s, aRoot, fresh, "cell",

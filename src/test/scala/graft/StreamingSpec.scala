@@ -2042,6 +2042,57 @@ class StreamingSpec extends SparkSpec {
       .filter(col("k") === "a").count() === 0, "vanished key survived")
   }
 
+  test("multi-agg view: streamed folds continue across drains and never double-fold (r11)") {
+    import graft.sources.{CommitLog, IncrementalViewMulti, Tables}
+    // the CONTINUOUS maintenance story holds for the widened algebra
+    // too: foldDeltas from foreachBatch, version-granularity
+    // idempotency, MIN/MAX recompute mid-stream (the delete batch
+    // removes per-key minima)
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .limit(600)
+    val src = java.nio.file.Files.createTempDirectory("graft_ivms_s").toString
+    val vw = java.nio.file.Files.createTempDirectory("graft_ivms_v").toString
+    CommitLog.setTableProperty(src, "enableChangeDataFeed", "true")
+    CommitLog.append(spark, src, ev.filter(col("event_id") % 2 === 0), nFiles = 1)
+    IncrementalViewMulti.create(spark, vw, src, "event_type", Seq("value"))
+    val ck = java.nio.file.Files.createTempDirectory("graft_ivms_ck").toString
+    val folded = new java.util.concurrent.atomic.AtomicLong(0L)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.TableStreamProvider")
+        .option("path", src).option("readChangeFeed", "true").load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          folded.addAndGet(
+            IncrementalViewMulti.foldDeltas(spark, vw, src, b)._2); ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def recompute() = CommitLog.read(spark, src, CommitLog.latestVersion(src).get)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("value")).as("nv_value"),
+        sum(col("value").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("total_value"),
+        min(col("value")).as("mn_value"), max(col("value")).as("mx_value"))
+    CommitLog.append(spark, src, ev.filter(col("event_id") % 2 =!= 0), nFiles = 1)
+    drain()
+    assert(folded.get() === ev.filter(col("event_id") % 2 =!= 0).count(),
+      s"folded ${folded.get()} — v0 double-folded or v1 missed")
+    drain() // idle re-drain folds nothing
+    assert(folded.get() === ev.filter(col("event_id") % 2 =!= 0).count())
+    // a delete that removes per-key minima folds THROUGH the stream
+    // (bounded recompute inside a micro-batch)
+    val cut = ev.agg(expr("percentile(value, 0.2)")).collect()(0).getDouble(0)
+    CommitLog.delete(spark, src, col("value") <= cut)
+    drain()
+    val view = CommitLog.read(spark, vw, CommitLog.latestVersion(vw).get)
+    assert(view.exceptAll(recompute()).count() === 0 &&
+      recompute().exceptAll(view).count() === 0,
+      "continuously-maintained multi-agg view diverges from recompute")
+  }
+
   test("join view: dim pinned at create, a dim advance refuses by name, unmatched fact rows drop (r11)") {
     import graft.sources.{CommitLog, IncrementalViewMulti, Tables}
     import spark.implicits._
