@@ -139,6 +139,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
             s"with the canonical aliases, got ${names.distinct}")
         names.head
       }.toSeq
+      // the canonical families must TILE the aggregate list exactly —
+      // an unmatched aggregate (AVG, a misordered family, a stray
+      // alias) must fail the statement, never silently drop (r11
+      // review)
+      val residue = mvMeasureRe.replaceAllIn(aggBlob, "")
+        .replaceAll("[,\\s]", "")
+      require(residue.isEmpty,
+        s"materialized view supports COUNT(*) AS n plus per-measure " +
+          s"COUNT/SUM/MIN/MAX families (canonical aliases); " +
+          s"unsupported aggregates remain: '$residue'")
       val grouped = groupBlob.split(',').map(_.trim).toSeq
       require(grouped == keyCols ||
         grouped == keyCols.indices.map(i => (i + 1).toString),
@@ -260,7 +270,11 @@ case class DescribeDetailCommand(parts: Seq[String])
     val head = CommitLog.latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no table at $root"))
     val aux = CommitLog.auxOf(root, head)
-    val retained = CommitLog.history(root).size.toLong
+    // READABLE versions only: checkpointed history keeps rows of
+    // vacuumed versions (log vs data retention), but this column
+    // promises versions a read can still pin (r11 review)
+    val retained = CommitLog.history(root)
+      .count { case (v, _, _) => CommitLog.manifestExists(root, v) }.toLong
     Seq(Row(head,
       CommitLog.snapshotFiles(root, head).size.toLong,
       aux.partCol.getOrElse(""),

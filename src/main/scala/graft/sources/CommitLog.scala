@@ -175,7 +175,7 @@ object CommitLog {
   /** Does `version`'s manifest still exist? False once vacuum dropped
     * it — the probe incremental readers use to seed a startingVersion
     * diff without tripping over the retention floor. */
-  private[sources] def manifestExists(root: String, version: Long): Boolean =
+  private[graft] def manifestExists(root: String, version: Long): Boolean =
     manifest(root, version).exists()
 
   private[sources] def readManifest(root: String, version: Long): (String, Seq[String]) = {
@@ -589,17 +589,21 @@ object CommitLog {
       .takeWhile(v => manifestExists(root, v))
       .flatMap(v => longMetaOf(root, v, field).iterator)
       .nextOption()
-      .orElse(ckpt.flatMap(n =>
-        scala.util.Try(readCheckpointRows(root, n)).toOption.toSeq
-          .flatMap(_.reverseIterator.flatMap(_.meta.get(field)))
-          .headOption))
-      // retention-race fallback: finish the walk below the vanished
-      // checkpoint's floor
-      .orElse(if (ckpt.isEmpty) None
-        else (math.min(head, stop - 1) to 0L by -1).iterator
-          .takeWhile(v => manifestExists(root, v))
-          .flatMap(v => longMetaOf(root, v, field).iterator)
-          .nextOption())
+      .orElse(ckpt.flatMap { n =>
+        scala.util.Try(readCheckpointRows(root, n)) match {
+          case scala.util.Success(rows) =>
+            rows.reverseIterator.flatMap(_.meta.get(field)).nextOption()
+          case scala.util.Failure(_) =>
+            // retention race (snapshot unlinked between pointer and
+            // read): finish the walk below the vanished floor — ONLY
+            // then; a mere field miss must not trigger the O(history)
+            // walk the checkpoint exists to eliminate
+            (math.min(head, stop - 1) to 0L by -1).iterator
+              .takeWhile(v => manifestExists(root, v))
+              .flatMap(v => longMetaOf(root, v, field).iterator)
+              .nextOption()
+        }
+      })
   }
 
   /** TIMESTAMP AS OF resolution — the greatest RETAINED version whose

@@ -60,8 +60,13 @@ object IncrementalView {
     * newest-first manifests only down to the log CHECKPOINT (r11),
     * whose rows answer below it — O(interval), not O(history). */
   private def lastFolded(viewRoot: String): Long =
-    CommitLog.lastLongMeta(viewRoot, VerField)
-      .orElse(CommitLog.tableProperty(viewRoot, VerProp).map(_.toLong))
+    // MAX of the two sources (r11 review): a vacuum can gap the
+    // manifests between an old checkpoint's answer and the newest
+    // fold, leaving the walk's answer BEHIND the property backstop —
+    // preferring the stale one would silently double-fold
+    (CommitLog.lastLongMeta(viewRoot, VerField).toSeq ++
+      CommitLog.tableProperty(viewRoot, VerProp).map(_.toLong).toSeq)
+      .maxOption
       .getOrElse(sys.error(s"$viewRoot is not an incremental view"))
 
   /** Full compute at the source's current head; returns the view's

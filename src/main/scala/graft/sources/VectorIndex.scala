@@ -61,7 +61,8 @@ object VectorIndex {
     * the exact argmin expression of Similarity.ivfTrain's assign step
     * (fixed-point l2_dist_q, ties by cell id), so an incremental
     * assignment can never disagree with a full one. */
-  private[graft] def assignFrozen(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def assignFrozen(e: DataFrame, cents: DataFrame,
+      carry: Seq[String] = Nil): DataFrame = {
     graft.functions.VectorExprs.register(e.sparkSession)
     val packed = cents.agg(
       expr("array_sort(collect_list(struct(cell, cv)))").as("cs"))
@@ -69,15 +70,19 @@ object VectorIndex {
       .withColumn("best", expr(
         "array_min(transform(cs, c -> named_struct(" +
           "'dq', l2_dist_q(v, c.cv), 'cell', c.cell)))"))
-      .select(col("vec_id"), col("label"), col("v"),
-        col("best.cell").as("cell"))
+      .select((Seq(col("vec_id"), col("label"), col("v"),
+        col("best.cell").as("cell")) ++ carry.map(col)): _*)
   }
 
   /** See IncrementalView.lastFolded — the same checkpoint-floored
     * walk, over the ASSIGNED table's `indexSrc` field. */
   private def lastIndexed(aRoot: String): Long =
-    CommitLog.lastLongMeta(aRoot, VerField)
-      .orElse(CommitLog.tableProperty(aRoot, VerProp).map(_.toLong))
+    // MAX of the two sources (r11 review — see IncrementalView
+    // .lastFolded): a stale checkpoint answer behind the property
+    // backstop would re-append duplicate postings
+    (CommitLog.lastLongMeta(aRoot, VerField).toSeq ++
+      CommitLog.tableProperty(aRoot, VerProp).map(_.toLong).toSeq)
+      .maxOption
       .getOrElse(sys.error(s"$aRoot is not a maintained vector index"))
 
   /** Persist a freshly-trained index over `srcRoot`@`srcVersion`:
@@ -166,24 +171,16 @@ object VectorIndex {
           .select(col("vec_id"), col("_commit_version").as("gen")),
         nFiles = 1)
     }
-    // register BEFORE the assignment expression analyzes (withColumn
-    // resolves eagerly — l2_dist_q must already be in the registry)
-    graft.functions.VectorExprs.register(s)
     val cents = CommitLog.read(s, centroidsRoot(indexRoot),
       CommitLog.latestVersion(centroidsRoot(indexRoot)).get)
-    // per-row generations ride through the assignment (a vector
-    // updated twice in one batch keeps only its newest posting live)
-    val packed = cents.agg(
-      expr("array_sort(collect_list(struct(cell, cv)))").as("cs"))
-    val fresh = changes.filter(pos)
-      .select(col("vec_id"), col("label"), col("v"),
-        col("_commit_version").as("gen"))
-      .crossJoin(broadcast(packed))
-      .withColumn("best", expr(
-        "array_min(transform(cs, c -> named_struct(" +
-          "'dq', l2_dist_q(v, c.cv), 'cell', c.cell)))"))
-      .select(col("vec_id"), col("label"), col("v"),
-        col("best.cell").as("cell"), col("gen"))
+    // ONE assignment kernel for create, rebuild and refresh
+    // (assignFrozen — the exactness contract lives in one place);
+    // per-row generations ride through as a carried column, so a
+    // vector updated twice in one batch keeps only its newest posting
+    val fresh = assignFrozen(
+      changes.filter(pos).select(col("vec_id"), col("label"), col("v"),
+        col("_commit_version").as("gen")),
+      cents, carry = Seq("gen"))
     // an all-delete batch appends zero posting files — the commit
     // still publishes, carrying the watermark atomically
     val v = CommitLog.appendPartitioned(s, aRoot, fresh, "cell",
@@ -207,7 +204,9 @@ object VectorIndex {
       .map(tv => CommitLog.read(s, tRoot, tv).count()).getOrElse(0L)
     if (nTomb == 0L) return (0L, 0L)
     val all = CommitLog.read(s, aRoot, CommitLog.latestVersion(aRoot).get)
-    val live = maskTombstones(s, indexRoot, all)
+    // materialize the masked set ONCE: the count and the overwrite's
+    // staging read the checkpoint, not two more scan+anti-join passes
+    val live = maskTombstones(s, indexRoot, all).localCheckpoint()
     val purged = all.count() - live.count()
     CommitLog.overwrite(s, aRoot, live, nFiles = 1, partCol = Some("cell"))
     CommitLog.delete(s, tRoot, lit(true))

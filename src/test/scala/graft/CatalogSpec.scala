@@ -573,6 +573,26 @@ class CatalogSpec extends SparkSpec {
     assert(ex.getMessage.contains("shared column"), ex.getMessage)
   }
 
+  test("parser: multi-agg materialized view rejects non-canonical aggregates instead of dropping them (r11)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "t").toString
+    CommitLog.append(spark, root, Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value")).limit(100), nFiles = 1)
+    // an AVG (or any aggregate outside the canonical families) must
+    // FAIL the statement — silently creating the view without the
+    // requested column would be worse than refusing
+    val ex = intercept[Exception] {
+      spark.sql(
+        s"""CREATE MATERIALIZED VIEW $cat.v AS
+          |SELECT user_id, COUNT(*) AS n,
+          |  COUNT(value) AS nv_value, SUM(value) AS total_value,
+          |  MIN(value) AS mn_value, MAX(value) AS mx_value,
+          |  AVG(value) AS avg_value
+          |FROM $cat.t GROUP BY user_id""".stripMargin)
+    }
+    assert(ex.getMessage.contains("unsupported aggregates"), ex.getMessage)
+  }
+
   test("parser: RESTORE/VACUUM/OPTIMIZE on non-graft identifiers delegate verbatim (r11, ADVICE)") {
     // each maintenance statement on an unregistered identifier must
     // fall through to Spark's parser (whose syntax error owns the

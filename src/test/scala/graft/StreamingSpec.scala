@@ -1970,6 +1970,19 @@ class StreamingSpec extends SparkSpec {
     val (_, folded) = IncrementalView.refresh(spark, vw)
     assert(folded === 0L,
       s"post-vacuum refresh re-folded $folded rows — the checkpoint lost the watermark")
+    // the STALE-checkpoint hazard (r11 review): a fold lands AFTER the
+    // checkpoint, then compaction + vacuum gap the manifests between
+    // them — the walk's checkpoint answer is BEHIND the property
+    // backstop, and preferring it would silently double-fold; the
+    // max-of-both rule must let the fresher property win
+    CommitLog.append(spark, src, ev.limit(50)
+      .withColumn("event_id", col("event_id") + 770000000L), nFiles = 1)
+    IncrementalView.refresh(spark, vw) // fold commit AFTER the checkpoint
+    CommitLog.compact(spark, vw, nFiles = 1)
+    CommitLog.vacuum(vw, retainFrom = CommitLog.latestVersion(vw).get)
+    val (_, folded2) = IncrementalView.refresh(spark, vw)
+    assert(folded2 === 0L,
+      s"stale checkpoint watermark replayed $folded2 change rows")
     // checkpoint retention: each snapshot carries the full row history,
     // so only the newest (plus one prior for mid-flight readers) stays
     CommitLog.append(spark, root, ev.limit(5), nFiles = 1)
