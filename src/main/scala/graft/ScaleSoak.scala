@@ -155,7 +155,7 @@ object ScaleSoak {
     "s_sim_index_refresh", "q_table_history_checkpoint",
     "q_table_merge_evolve", "q_table_incr_view_multikey",
     "q_sql_table_incr_view_multi", "s_sim_index_delete",
-    "q_table_incr_view_join",
+    "q_table_incr_view_join", "q_sql_table_incr_view_join",
     // the r10 verdict's mass-delete scenario, soaked as its own
     // fixture (below — not a registry key): EVERY view key vanishes
     // in one fold; the driver-OOM shape the r11 distributed

@@ -569,6 +569,58 @@ object TableFormat {
           col("n_keys"), col("n_rows"), col("sum_value"),
           col("min_value"), col("max_value")))
     },
+    "q_sql_table_incr_view_join" -> { (s, dir) =>
+      // SQL front-end for the JOIN view (r11): `CREATE MATERIALIZED
+      // VIEW v AS SELECT seg, COUNT(*) ... FROM cat.f JOIN cat.d ON
+      // f.user_id = d.user_id GROUP BY seg` — the star-schema rollup
+      // as ONE statement with the dimension pinned at create; the
+      // fact's DML as statements; one REFRESH folds the fact deltas
+      // through the pinned-dim join.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_mvj")
+      base.toFile.deleteOnExit()
+      val fRoot = new java.io.File(base.toFile, "f").toString
+      val dRoot = new java.io.File(base.toFile, "d").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      CommitLog.append(s, fRoot, ev, nFiles = 2)
+      val dim = ev.select(col("user_id")).distinct()
+        .withColumn("segment",
+          concat(lit("seg_"), (col("user_id") % 4).cast("string")))
+      CommitLog.append(s, dRoot, dim, nFiles = 1)
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      s.sql(s"ALTER TABLE $cat.f SET TBLPROPERTIES ('enableChangeDataFeed' = 'true')")
+      s.sql(
+        s"""CREATE MATERIALIZED VIEW $cat.v AS
+          |SELECT segment, COUNT(*) AS n,
+          |  COUNT(value) AS nv_value, SUM(value) AS total_value,
+          |  MIN(value) AS mn_value, MAX(value) AS mx_value
+          |FROM $cat.f JOIN $cat.d ON f.user_id = d.user_id
+          |GROUP BY segment""".stripMargin)
+      s.sql(s"DELETE FROM $cat.f WHERE user_id % 7 = 3")
+      s.sql(s"UPDATE $cat.f SET value = value + 1000.0 WHERE user_id % 4 = 2")
+      val r = s.sql(s"REFRESH MATERIALIZED VIEW $cat.v").collect()(0)
+      val view = s.sql(s"SELECT * FROM $cat.v")
+      val full = s.sql(
+        s"""SELECT segment, COUNT(*) AS n,
+          |  COUNT(value) AS nv_value,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_value,
+          |  MIN(value) AS mn_value, MAX(value) AS mx_value
+          |FROM $cat.f JOIN $cat.d ON f.user_id = d.user_id
+          |GROUP BY segment""".stripMargin)
+      val exact = if (view.exceptAll(full).count() == 0 &&
+        full.exceptAll(view).count() == 0) 1L else 0L
+      ordered(view
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+          sum(col("total_value")).cast("double").as("sum_value"),
+          min(col("mn_value")).as("min_value"),
+          max(col("mx_value")).as("max_value"))
+        .select(lit(r.getLong(1)).as("rows_folded"),
+          lit(exact).as("equals_full_recompute"),
+          col("n_keys"), col("n_rows"), col("sum_value"),
+          col("min_value"), col("max_value")))
+    },
     "q_table_incr_view_multikey" -> { (s, dir) =>
       // Multi-GROUP-KEY incremental view (r11, the verdict's "first
       // real materialized view has multiple group keys"): GROUP BY
@@ -2010,6 +2062,28 @@ object TableFormat {
         |  CAST((SELECT SUM(n) FROM g) AS BIGINT) AS n_rows,
         |  CAST(CAST((SELECT SUM(total) FROM g) AS STRING) AS DOUBLE) AS sum_value""".stripMargin +
         orderByAll("rows_folded", "n_keys", "n_rows", "sum_value")),
+    "q_sql_table_incr_view_join" ->
+      ("""WITH f AS (
+        |  SELECT 'seg_' || CAST(user_id % 4 AS VARCHAR) AS segment,
+        |    CASE WHEN user_id % 4 = 2 THEN value + 1000.0 ELSE value END AS value
+        |  FROM events WHERE user_id % 7 <> 3),
+        |g AS (SELECT segment, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS total,
+        |    MIN(value) AS mn, MAX(value) AS mx
+        |  FROM f GROUP BY 1)
+        |SELECT CAST(
+        |    (SELECT COUNT(*) FROM events WHERE user_id % 7 = 3) +
+        |    2 * (SELECT COUNT(*) FROM events
+        |         WHERE user_id % 4 = 2 AND user_id % 7 <> 3)
+        |  AS BIGINT) AS rows_folded,
+        |  CAST(1 AS BIGINT) AS equals_full_recompute,
+        |  (SELECT COUNT(*) FROM g) AS n_keys,
+        |  CAST((SELECT SUM(n) FROM g) AS BIGINT) AS n_rows,
+        |  CAST(CAST((SELECT SUM(total) FROM g) AS STRING) AS DOUBLE) AS sum_value,
+        |  (SELECT MIN(mn) FROM g) AS min_value,
+        |  (SELECT MAX(mx) FROM g) AS max_value""".stripMargin +
+        orderByAll("rows_folded", "equals_full_recompute", "n_keys",
+          "n_rows", "sum_value", "min_value", "max_value")),
     "q_table_incr_view_join" ->
       ("""WITH f AS (
         |  SELECT 'seg_' || CAST(user_id % 4 AS VARCHAR) AS segment,

@@ -78,6 +78,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """SUM\s*\(\s*(\w+)\s*\)\s+AS\s+total_(\w+)\s*,\s*""" +
       """MIN\s*\(\s*(\w+)\s*\)\s+AS\s+mn_(\w+)\s*,\s*""" +
       """MAX\s*\(\s*(\w+)\s*\)\s+AS\s+mx_(\w+)""").r
+  // the JOIN form (r11): FROM fact JOIN dim ON f.k = d.k — routes to
+  // IncrementalViewMulti.createJoined (pinned dimension, delta rule
+  // for an immutable join side)
+  private val createMvJoinRe =
+    ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+AS\s+SELECT\s+""" +
+      """((?:\w+\s*,\s*)+)COUNT\s*\(\s*\*\s*\)\s+AS\s+n\s*,\s*(.+?)\s+""" +
+      """FROM\s+([\w.]+)\s+JOIN\s+([\w.]+)\s+ON\s+(\w+)\s*\.\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)\s+""" +
+      """GROUP\s+BY\s+([\w\s,]+?)\s*;?\s*""").r
   private val refreshMvRe =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s*;?\s*""".r
   // the ON clause is one or more AND-joined qualified equalities —
@@ -126,6 +134,42 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       UpdateGraftCommand(ident.split('.').toSeq, sets, cond)
     case reorgRe(ident) if isGraftCatalog(ident) =>
       ReorgTableCommand(ident.split('.').toSeq)
+    case createMvJoinRe(view, keysBlob, aggBlob, factT, dimT,
+        q1, c1, q2, c2, groupBlob)
+        if isGraftCatalog(view) && isGraftCatalog(factT) &&
+          isGraftCatalog(dimT) &&
+          mvMeasureRe.findFirstIn(aggBlob).isDefined =>
+      val (fAls, dAls) = (factT.split('.').last, dimT.split('.').last)
+      // the ON equality binds fact and dim on ONE shared column name
+      // (createJoined's contract), qualified by the table names
+      val (fCol, dCol) =
+        if (q1 == fAls && q2 == dAls) (c1, c2)
+        else if (q1 == dAls && q2 == fAls) (c2, c1)
+        else throw new IllegalArgumentException(
+          s"JOIN ON must equate fact and dim columns, got $q1.$c1 = $q2.$c2")
+      require(fCol == dCol,
+        s"graft join views key on one shared column name, got $fCol vs $dCol")
+      val keyCols = keysBlob.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      val units = mvMeasureRe.findAllMatchIn(aggBlob).map { m =>
+        val names = (1 to 8).map(m.group)
+        require(names.distinct.size == 1,
+          s"materialized-view measure aggregates must cover ONE column " +
+            s"with the canonical aliases, got ${names.distinct}")
+        names.head
+      }.toSeq
+      val residue = mvMeasureRe.replaceAllIn(aggBlob, "")
+        .replaceAll("[,\\s]", "")
+      require(residue.isEmpty,
+        s"materialized view supports COUNT(*) AS n plus per-measure " +
+          s"COUNT/SUM/MIN/MAX families (canonical aliases); " +
+          s"unsupported aggregates remain: '$residue'")
+      val grouped = groupBlob.split(',').map(_.trim).toSeq
+      require(grouped == keyCols ||
+        grouped == keyCols.indices.map(i => (i + 1).toString),
+        s"GROUP BY must list the selected keys (or their positions), " +
+          s"got $grouped vs $keyCols")
+      CreateMaterializedViewJoinCommand(view.split('.').toSeq,
+        factT.split('.').toSeq, dimT.split('.').toSeq, fCol, keyCols, units)
     // guard on a measure-family match so the canonical COUNT+SUM pair
     // falls through to the 2-column form below
     case createMvMultiRe(view, keysBlob, aggBlob, srcT, groupBlob)
@@ -469,6 +513,21 @@ case class CreateMaterializedViewMultiCommand(view: Seq[String],
     Seq(Row(graft.sources.IncrementalViewMulti.createKeyed(s,
       GraftSqlCommands.rootOf(s, view), GraftSqlCommands.rootOf(s, source),
       keyCols, valCols)))
+}
+
+/** CREATE MATERIALIZED VIEW (JOIN form, r11): an aggregate over
+  * FACT ⋈ DIM with the dimension pinned at create — routes to
+  * IncrementalViewMulti.createJoined; REFRESH folds only the fact
+  * deltas enriched by one join against the pinned dim. */
+case class CreateMaterializedViewJoinCommand(view: Seq[String],
+    fact: Seq[String], dim: Seq[String], dimKey: String,
+    keyCols: Seq[String], valCols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(GraftSqlCommands.attr("view_version"))
+  override def run(s: SparkSession): Seq[Row] =
+    Seq(Row(graft.sources.IncrementalViewMulti.createJoined(s,
+      GraftSqlCommands.rootOf(s, view), GraftSqlCommands.rootOf(s, fact),
+      GraftSqlCommands.rootOf(s, dim), dimKey, keyCols, valCols)))
 }
 
 /** REFRESH MATERIALIZED VIEW cat.v — fold the source's changelog

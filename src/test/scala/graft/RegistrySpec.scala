@@ -142,7 +142,7 @@ class RegistrySpec extends SparkSpec {
       "q_table_history_checkpoint", "q_table_merge_evolve",
       "q_table_view_chain", "q_table_incr_view_multikey",
       "q_sql_table_incr_view_multi", "s_sim_index_delete",
-      "q_table_incr_view_join",
+      "q_table_incr_view_join", "q_sql_table_incr_view_join",
       "q_sql_table_detail")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
