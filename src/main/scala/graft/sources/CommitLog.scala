@@ -3048,20 +3048,30 @@ object CommitLog {
     moved
   }
 
-  /** Stage a change-data-feed row set under cdf/ (one file — CDF
-    * volumes are the CHANGED rows, orders below the data files they
-    * describe; a huge delete would raise this). Same
+  /** Stage a change-data-feed row set under cdf/. CDF volumes are
+    * usually the CHANGED rows — orders below the data files they
+    * describe — but a MASS delete's changelog is table-sized, so the
+    * write keeps bounded parallelism (coalesce(8), zero-row parts
+    * dropped) instead of the r10 single-file funnel that serialized
+    * 2M rows through one task at the ×20 soak. Same
     * stage-then-atomic-move discipline as data files: cdf files are
     * invisible until a manifest lists them. */
   private def stageCdfFiles(s: SparkSession, root: String,
       df: DataFrame): Seq[String] = {
     val stage = java.nio.file.Files.createTempDirectory(
       new java.io.File(root).toPath, ".cdfstage-")
-    toPhysicalDf(root, df).coalesce(1)
+    toPhysicalDf(root, df).coalesce(8)
       .write.mode("overwrite").parquet(stage.toString)
     val cdfDir = new java.io.File(root, "cdf"); cdfDir.mkdirs()
     val parts = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .filter { p =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(p.getAbsolutePath),
+            new org.apache.hadoop.conf.Configuration()))
+        try r.getRecordCount > 0 finally r.close()
+      }
     val moved = parts.map { p =>
       val dst = new java.io.File(cdfDir,
         java.util.UUID.randomUUID().toString + ".parquet")
