@@ -166,8 +166,14 @@ object ScaleSoak {
     * time that no oracle-checked key stages at soak scale. */
   private val extraSoaks: Map[String, (SparkSession, String) => Unit] = Map(
     "x_iv_mass_delete" -> { (s, dir) =>
-      val src = java.nio.file.Files.createTempDirectory("soak_ivmass_s").toString
-      val vw = java.nio.file.Files.createTempDirectory("soak_ivmass_v").toString
+      // deleteOnExit like the registry fixtures — these two trees are
+      // TABLE-sized (full events fixture + a table-sized CDF
+      // changelog), so a ×20 soak run must not leak them (r12, ADVICE)
+      val srcDir = java.nio.file.Files.createTempDirectory("soak_ivmass_s")
+      val vwDir = java.nio.file.Files.createTempDirectory("soak_ivmass_v")
+      Seq(srcDir, vwDir).foreach(_.toFile.deleteOnExit())
+      val src = srcDir.toString
+      val vw = vwDir.toString
       graft.sources.CommitLog.setTableProperty(src, "enableChangeDataFeed", "true")
       val ev = graft.sources.Tables(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("event_type"), col("value"))

@@ -377,6 +377,90 @@ object TableFormat {
           lit(exact).as("equals_full_recompute"),
           col("n_keys"), col("n_rows"), col("sum_value")))
     },
+    "s_table_view_stream_multi" -> { (s, dir) =>
+      // CONTINUOUS maintenance for the MULTI-aggregate AND JOIN views
+      // (r12, VERDICT item 5): ONE CDF stream drives
+      // IncrementalViewMulti.foldDeltas for BOTH view kinds from
+      // foreachBatch — the multi view folds the raw change rows, the
+      // join view enriches them against its PINNED dim inside
+      // foldDeltas. Exactly-once by fold idempotency (the replayed v0
+      // create snapshot folds zero rows), one table version per
+      // trigger (the TableStream admission contract), and the
+      // exactness witness runs PER MICRO-BATCH: after each fold, both
+      // views are compared bit-for-bit against a recompute at that
+      // batch's source version — all_exact ANDs every batch's flag.
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val src = java.nio.file.Files.createTempDirectory("graft_ivsm_src")
+      val dimT = java.nio.file.Files.createTempDirectory("graft_ivsm_dim")
+      val vm = java.nio.file.Files.createTempDirectory("graft_ivsm_vm")
+      val vj = java.nio.file.Files.createTempDirectory("graft_ivsm_vj")
+      Seq(src, dimT, vm, vj).foreach(_.toFile.deleteOnExit())
+      CommitLog.setTableProperty(src.toString, "enableChangeDataFeed", "true")
+      CommitLog.append(s, src.toString, ev.filter(col("event_id") % 2 === 0), nFiles = 2)
+      val dim = ev.select(col("user_id")).distinct()
+        .withColumn("segment",
+          concat(lit("seg_"), (col("user_id") % 4).cast("string")))
+      CommitLog.append(s, dimT.toString, dim, nFiles = 1)
+      graft.sources.IncrementalViewMulti.create(s, vm.toString, src.toString,
+        "event_type", Seq("value"))
+      graft.sources.IncrementalViewMulti.createJoined(s, vj.toString,
+        src.toString, dimT.toString, "user_id", Seq("segment"), Seq("value"))
+      CommitLog.append(s, src.toString, ev.filter(col("event_id") % 2 =!= 0), nFiles = 2)
+      CommitLog.delete(s, src.toString, col("user_id") % 4 === 1)
+      val ck = java.nio.file.Files.createTempDirectory("graft_ivsm_ck").toString
+      val consumedM = new java.util.concurrent.atomic.AtomicLong(0L)
+      val consumedJ = new java.util.concurrent.atomic.AtomicLong(0L)
+      val allExact = new java.util.concurrent.atomic.AtomicBoolean(true)
+      def multiState(rows: DataFrame, keyCol: String): DataFrame =
+        rows.filter(col(keyCol).isNotNull).groupBy(col(keyCol))
+          .agg(count(lit(1)).as("n"), count(col("value")).as("nv_value"),
+            sum(col("value").cast("decimal(18,4)"))
+              .cast("decimal(18,4)").as("total_value"),
+            min(col("value")).as("mn_value"), max(col("value")).as("mx_value"))
+      val q = s.readStream.format("graft.sources.TableStreamProvider")
+        .option("path", src.toString)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.localCheckpoint()
+          consumedM.addAndGet(graft.sources.IncrementalViewMulti
+            .foldDeltas(s, vm.toString, src.toString, b)._2)
+          consumedJ.addAndGet(graft.sources.IncrementalViewMulti
+            .foldDeltas(s, vj.toString, src.toString, b)._2)
+          // the per-batch exactness witness, at THIS batch's version
+          val verRow = b.agg(max(col("_commit_version"))).collect()(0)
+          if (!verRow.isNullAt(0)) {
+            val ver = verRow.getLong(0)
+            val at = CommitLog.read(s, src.toString, ver)
+            val wantM = multiState(at, "event_type")
+            val gotM = CommitLog.read(s, vm.toString,
+              CommitLog.latestVersion(vm.toString).get)
+            val wantJ = multiState(at.join(dim, Seq("user_id"))
+              .select(col("segment"), col("value")), "segment")
+            val gotJ = CommitLog.read(s, vj.toString,
+              CommitLog.latestVersion(vj.toString).get)
+            if (gotM.exceptAll(wantM).count() != 0 ||
+              wantM.exceptAll(gotM).count() != 0 ||
+              gotJ.exceptAll(wantJ).count() != 0 ||
+              wantJ.exceptAll(gotJ).count() != 0) allExact.set(false)
+          }
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val viewJ = CommitLog.read(s, vj.toString,
+        CommitLog.latestVersion(vj.toString).get)
+      ordered(viewJ
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+          sum(col("total_value")).cast("double").as("sum_value"))
+        .select(lit(consumedM.get()).as("rows_folded_multi"),
+          lit(consumedJ.get()).as("rows_folded_join"),
+          lit(if (allExact.get()) 1L else 0L).as("all_batches_exact"),
+          col("n_keys"), col("n_rows"), col("sum_value")))
+    },
     "q_table_incr_view" -> { (s, dir) =>
       // Incrementally-maintained materialized view (added r10) — the
       // CDF surface paying off: a per-key COUNT+SUM view refreshed by
@@ -507,6 +591,70 @@ object TableFormat {
       val full = CommitLog.read(s, fact.toString,
         CommitLog.latestVersion(fact.toString).get)
         .join(dim, Seq("user_id"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"), count(col("value")).as("nv_value"),
+          sum(col("value").cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("total_value"),
+          min(col("value")).as("mn_value"), max(col("value")).as("mx_value"))
+      val exact = if (view.exceptAll(full).count() == 0 &&
+        full.exceptAll(view).count() == 0) 1L else 0L
+      ordered(view
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+          sum(col("total_value")).cast("double").as("sum_value"),
+          min(col("mn_value")).as("min_value"),
+          max(col("mx_value")).as("max_value"))
+        .select(lit(consumed).as("rows_folded"),
+          lit(exact).as("equals_full_recompute"),
+          col("n_keys"), col("n_rows"), col("sum_value"),
+          col("min_value"), col("max_value")))
+    },
+    "q_table_incr_view_join_dimupd" -> { (s, dir) =>
+      // Δdim propagation for JOIN views (r12, VERDICT item 1): the
+      // pinned dimension ADVANCES — a segment remap (SCD-style dim
+      // update), a dim delete (users leave), and no-impact churn (new
+      // dim rows no fact row joins) — and refresh folds the dim's OWN
+      // changelog exactly: only group keys touched by changed dim
+      // rows re-aggregate (old-mapping keys retire, new-mapping keys
+      // build — a left-semi against fact@folded ⋈ dim@head), the pin
+      // advances, and THEN the fact deltas fold against the new pin.
+      // rows_folded pins the enriched fact-delta count (inner-join
+      // drops the deleted users' rows) by pure predicates;
+      // equals_full_recompute pins bit-for-bit equality vs
+      // fact-head ⋈ dim-head. StreamingSpec keeps the no-CDF refusal.
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val fact = java.nio.file.Files.createTempDirectory("graft_ivjd_f")
+      val dimT = java.nio.file.Files.createTempDirectory("graft_ivjd_d")
+      val vw = java.nio.file.Files.createTempDirectory("graft_ivjd_v")
+      Seq(fact, dimT, vw).foreach(_.toFile.deleteOnExit())
+      CommitLog.setTableProperty(fact.toString, "enableChangeDataFeed", "true")
+      CommitLog.setTableProperty(dimT.toString, "enableChangeDataFeed", "true")
+      CommitLog.append(s, fact.toString, ev.filter(col("event_id") % 2 === 0), nFiles = 2)
+      val dim = ev.select(col("user_id")).distinct()
+        .filter(col("user_id").isNotNull)
+        .withColumn("segment",
+          concat(lit("seg_"), (col("user_id") % 4).cast("string")))
+      CommitLog.append(s, dimT.toString, dim, nFiles = 1)
+      graft.sources.IncrementalViewMulti.createJoined(s, vw.toString,
+        fact.toString, dimT.toString, "user_id",
+        Seq("segment"), Seq("value"))
+      // the dim advances: remap, leave, and join-less churn
+      CommitLog.update(s, dimT.toString, col("user_id") % 3 === 1,
+        Seq("segment" -> lit("seg_x")))
+      CommitLog.delete(s, dimT.toString, col("user_id") % 5 === 0)
+      CommitLog.append(s, dimT.toString,
+        dim.select((col("user_id") + 1000000L).as("user_id"),
+          lit("seg_ghost").as("segment")), nFiles = 1)
+      // and the fact advances too — folds against the NEW pin
+      CommitLog.append(s, fact.toString, ev.filter(col("event_id") % 2 =!= 0), nFiles = 2)
+      val (vv, consumed, _) =
+        graft.sources.IncrementalViewMulti.refresh(s, vw.toString)
+      val view = CommitLog.read(s, vw.toString, vv)
+      val dimHead = CommitLog.read(s, dimT.toString,
+        CommitLog.latestVersion(dimT.toString).get)
+      val full = CommitLog.read(s, fact.toString,
+        CommitLog.latestVersion(fact.toString).get)
+        .join(dimHead, Seq("user_id"))
         .groupBy(col("segment"))
         .agg(count(lit(1)).as("n"), count(col("value")).as("nv_value"),
           sum(col("value").cast("decimal(18,4)"))
@@ -2108,6 +2256,32 @@ object TableFormat {
         |  (SELECT MAX(mx) FROM g) AS max_value""".stripMargin +
         orderByAll("rows_folded", "equals_full_recompute", "n_keys",
           "n_rows", "sum_value", "min_value", "max_value")),
+    "q_table_incr_view_join_dimupd" ->
+      ("""WITH d AS (
+        |  SELECT DISTINCT user_id,
+        |    CASE WHEN user_id % 3 = 1 THEN 'seg_x'
+        |         ELSE 'seg_' || CAST(user_id % 4 AS VARCHAR) END AS segment
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND user_id % 5 <> 0),
+        |f AS (
+        |  SELECT d.segment, e.value
+        |  FROM events e JOIN d ON e.user_id = d.user_id),
+        |g AS (SELECT segment, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS total,
+        |    MIN(value) AS mn, MAX(value) AS mx
+        |  FROM f GROUP BY 1)
+        |SELECT CAST(
+        |    (SELECT COUNT(*) FROM events
+        |     WHERE event_id % 2 <> 0 AND user_id % 5 <> 0)
+        |  AS BIGINT) AS rows_folded,
+        |  CAST(1 AS BIGINT) AS equals_full_recompute,
+        |  (SELECT COUNT(*) FROM g) AS n_keys,
+        |  CAST((SELECT SUM(n) FROM g) AS BIGINT) AS n_rows,
+        |  CAST(CAST((SELECT SUM(total) FROM g) AS STRING) AS DOUBLE) AS sum_value,
+        |  (SELECT MIN(mn) FROM g) AS min_value,
+        |  (SELECT MAX(mx) FROM g) AS max_value""".stripMargin +
+        orderByAll("rows_folded", "equals_full_recompute", "n_keys",
+          "n_rows", "sum_value", "min_value", "max_value")),
     "q_sql_table_incr_view_multi" ->
       ("""WITH f AS (
         |  SELECT event_type, user_id,
@@ -2245,6 +2419,24 @@ object TableFormat {
         |  CAST(CAST((SELECT SUM(total) FROM g) AS STRING) AS DOUBLE) AS sum_value""".stripMargin +
         orderByAll("n_change_rows_folded", "equals_full_recompute",
           "n_keys", "n_rows", "sum_value")),
+    "s_table_view_stream_multi" ->
+      ("""WITH f AS (
+        |  SELECT 'seg_' || CAST(user_id % 4 AS VARCHAR) AS segment, value
+        |  FROM events WHERE user_id % 4 <> 1),
+        |g AS (SELECT segment, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS total FROM f GROUP BY 1),
+        |c AS (SELECT CAST(
+        |    (SELECT COUNT(*) FROM events WHERE event_id % 2 <> 0) +
+        |    (SELECT COUNT(*) FROM events WHERE user_id % 4 = 1)
+        |  AS BIGINT) AS folded)
+        |SELECT (SELECT folded FROM c) AS rows_folded_multi,
+        |  (SELECT folded FROM c) AS rows_folded_join,
+        |  CAST(1 AS BIGINT) AS all_batches_exact,
+        |  (SELECT COUNT(*) FROM g) AS n_keys,
+        |  CAST((SELECT SUM(n) FROM g) AS BIGINT) AS n_rows,
+        |  CAST(CAST((SELECT SUM(total) FROM g) AS STRING) AS DOUBLE) AS sum_value""".stripMargin +
+        orderByAll("rows_folded_multi", "rows_folded_join",
+          "all_batches_exact", "n_keys", "n_rows", "sum_value")),
     "q_table_incr_view" ->
       ("""WITH f AS (
         |  SELECT event_type,

