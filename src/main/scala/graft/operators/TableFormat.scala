@@ -717,6 +717,58 @@ object TableFormat {
           col("n_keys"), col("n_rows"), col("sum_value"),
           col("min_value"), col("max_value")))
     },
+    "q_sql_table_incr_view_avg" -> { (s, dir) =>
+      // AVG + family-subset MV statement (r12, VERDICT item 2): the
+      // first statement a real analyst writes — an AVG, a SUM, no
+      // MIN/MAX, reordered. The parser accepts any order/subset of
+      // the canonical per-measure family plus AVG; the engine
+      // materializes the full family (maintenance needs nv/total/
+      // mn/mx for exactness under deletes) plus avg_value as a
+      // DERIVED column — total/nv over the exact decimal total, the
+      // ONE derivation shared by create, every fold, and the bounded
+      // recompute, so the statement's AVG stays bit-for-bit equal to
+      // a full recompute through arbitrary DML. The oracle replays
+      // the derivation through DuckDB's string-hop double cast.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_mva")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "t").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      CommitLog.append(s, root, ev, nFiles = 2)
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      s.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES ('enableChangeDataFeed' = 'true')")
+      s.sql(
+        s"""CREATE MATERIALIZED VIEW $cat.v AS
+          |SELECT event_type, COUNT(*) AS n,
+          |  AVG(value) AS avg_value, SUM(value) AS total_value
+          |FROM $cat.t GROUP BY event_type""".stripMargin)
+      s.sql(s"DELETE FROM $cat.t WHERE user_id % 7 = 3")
+      s.sql(s"UPDATE $cat.t SET value = value + 1000.0 WHERE user_id % 4 = 2")
+      val r = s.sql(s"REFRESH MATERIALIZED VIEW $cat.v").collect()(0)
+      val view = s.sql(s"SELECT * FROM $cat.v")
+      val full = s.sql(
+        s"""SELECT event_type, COUNT(*) AS n,
+          |  COUNT(value) AS nv_value,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_value,
+          |  MIN(value) AS mn_value, MAX(value) AS mx_value,
+          |  CASE WHEN COUNT(value) > 0 THEN
+          |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+          |      AS DOUBLE) / COUNT(value) END AS avg_value
+          |FROM $cat.t GROUP BY event_type""".stripMargin)
+      val exact = if (view.exceptAll(full).count() == 0 &&
+        full.exceptAll(view).count() == 0) 1L else 0L
+      ordered(view
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+          sum(col("total_value")).cast("double").as("sum_value"),
+          min(col("avg_value")).as("min_avg"),
+          max(col("avg_value")).as("max_avg"))
+        .select(lit(r.getLong(1)).as("rows_folded"),
+          lit(exact).as("equals_full_recompute"),
+          col("n_keys"), col("n_rows"), col("sum_value"),
+          col("min_avg"), col("max_avg")))
+    },
     "q_sql_table_incr_view_join" -> { (s, dir) =>
       // SQL front-end for the JOIN view (r11): `CREATE MATERIALIZED
       // VIEW v AS SELECT seg, COUNT(*) ... FROM cat.f JOIN cat.d ON
@@ -865,6 +917,81 @@ object TableFormat {
         .select(lit(c2).as("rows_folded_v2"),
           lit(exact1).as("v1_exact"), lit(exact2).as("v2_exact"),
           col("n_buckets"), col("n_users"), col("sum_total")))
+    },
+    "q_table_view_chain3" -> { (s, dir) =>
+      // Chain depth 3 with MULTI-measure at every level (r12, VERDICT
+      // item 6): source → per-user multi view (v1) → bucket view over
+      // v1's changelog (v2: "users with k non-null values", grouped
+      // on nv_value — v1's mergeKeyed fold EMITS the CDF v2 consumes)
+      // → v3 over v2's changelog (grouped on nv_total_value) — a
+      // mergeKeyed fold consuming a mergeKeyed fold consuming a
+      // mergeKeyed fold. One source DML batch (append + a
+      // user-vanishing delete) propagates through all three levels as
+      // deltas; rows_folded is pinned PER LEVEL against pure
+      // predicates (level 2: per-user pre/post/insert/delete row
+      // accounting; level 3: per-bucket born/died/survived), and all
+      // three levels carry equals-full-recompute flags.
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val src = java.nio.file.Files.createTempDirectory("graft_vc3_src")
+      val v1 = java.nio.file.Files.createTempDirectory("graft_vc3_v1")
+      val v2 = java.nio.file.Files.createTempDirectory("graft_vc3_v2")
+      val v3 = java.nio.file.Files.createTempDirectory("graft_vc3_v3")
+      Seq(src, v1, v2, v3).foreach(_.toFile.deleteOnExit())
+      CommitLog.setTableProperty(src.toString, "enableChangeDataFeed", "true")
+      CommitLog.append(s, src.toString, ev.filter(col("event_id") % 2 === 0), nFiles = 2)
+      graft.sources.IncrementalViewMulti.create(s, v1.toString, src.toString,
+        "user_id", Seq("value"))
+      CommitLog.setTableProperty(v1.toString, "enableChangeDataFeed", "true")
+      graft.sources.IncrementalViewMulti.createKeyed(s, v2.toString, v1.toString,
+        Seq("nv_value"), Seq("total_value"))
+      CommitLog.setTableProperty(v2.toString, "enableChangeDataFeed", "true")
+      graft.sources.IncrementalViewMulti.createKeyed(s, v3.toString, v2.toString,
+        Seq("nv_total_value"), Seq("total_total_value"))
+      CommitLog.append(s, src.toString, ev.filter(col("event_id") % 2 =!= 0), nFiles = 2)
+      CommitLog.delete(s, src.toString, col("user_id") % 5 === 0)
+      val (_, c1, _) = graft.sources.IncrementalViewMulti.refresh(s, v1.toString)
+      val (_, c2, _) = graft.sources.IncrementalViewMulti.refresh(s, v2.toString)
+      val (_, c3, _) = graft.sources.IncrementalViewMulti.refresh(s, v3.toString)
+      val v1head = CommitLog.read(s, v1.toString,
+        CommitLog.latestVersion(v1.toString).get)
+      val v2head = CommitLog.read(s, v2.toString,
+        CommitLog.latestVersion(v2.toString).get)
+      val v3head = CommitLog.read(s, v3.toString,
+        CommitLog.latestVersion(v3.toString).get)
+      val full1 = CommitLog.read(s, src.toString,
+        CommitLog.latestVersion(src.toString).get)
+        .filter(col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), count(col("value")).as("nv_value"),
+          sum(col("value").cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("total_value"),
+          min(col("value")).as("mn_value"), max(col("value")).as("mx_value"))
+      val full2 = v1head.groupBy(col("nv_value"))
+        .agg(count(lit(1)).as("n"),
+          count(col("total_value")).as("nv_total_value"),
+          sum(col("total_value").cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("total_total_value"),
+          min(col("total_value")).as("mn_total_value"),
+          max(col("total_value")).as("mx_total_value"))
+      val full3 = v2head.groupBy(col("nv_total_value"))
+        .agg(count(lit(1)).as("n"),
+          count(col("total_total_value")).as("nv_total_total_value"),
+          sum(col("total_total_value").cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("total_total_total_value"),
+          min(col("total_total_value")).as("mn_total_total_value"),
+          max(col("total_total_value")).as("mx_total_total_value"))
+      def eq(a: DataFrame, b: DataFrame): Long =
+        if (a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0) 1L else 0L
+      ordered(v3head
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+          sum(col("total_total_total_value")).cast("double").as("sum_total"))
+        .select(lit(c1).as("rows_folded_v1"), lit(c2).as("rows_folded_v2"),
+          lit(c3).as("rows_folded_v3"),
+          lit(eq(v1head, full1)).as("v1_exact"),
+          lit(eq(v2head, full2)).as("v2_exact"),
+          lit(eq(v3head, full3)).as("v3_exact"),
+          col("n_keys"), col("n_rows"), col("sum_total")))
     },
     "q_table_merge_evolve" -> { (s, dir) =>
       // MERGE with automatic schema evolution (r11, VERDICT item 7 —
@@ -2282,6 +2409,31 @@ object TableFormat {
         |  (SELECT MAX(mx) FROM g) AS max_value""".stripMargin +
         orderByAll("rows_folded", "equals_full_recompute", "n_keys",
           "n_rows", "sum_value", "min_value", "max_value")),
+    "q_sql_table_incr_view_avg" ->
+      ("""WITH f AS (
+        |  SELECT event_type,
+        |    CASE WHEN user_id % 4 = 2 THEN value + 1000.0 ELSE value END AS value
+        |  FROM events WHERE user_id % 7 <> 3),
+        |g AS (SELECT event_type, COUNT(*) AS n, COUNT(value) AS nv,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total
+        |  FROM f GROUP BY 1),
+        |a AS (SELECT event_type, n, nv, total,
+        |    CASE WHEN nv > 0
+        |      THEN CAST(CAST(total AS STRING) AS DOUBLE) / nv END AS avgv
+        |  FROM g)
+        |SELECT CAST(
+        |    (SELECT COUNT(*) FROM events WHERE user_id % 7 = 3) +
+        |    2 * (SELECT COUNT(*) FROM events
+        |         WHERE user_id % 4 = 2 AND user_id % 7 <> 3)
+        |  AS BIGINT) AS rows_folded,
+        |  CAST(1 AS BIGINT) AS equals_full_recompute,
+        |  (SELECT COUNT(*) FROM a) AS n_keys,
+        |  CAST((SELECT SUM(n) FROM a) AS BIGINT) AS n_rows,
+        |  CAST(CAST((SELECT SUM(total) FROM a) AS STRING) AS DOUBLE) AS sum_value,
+        |  (SELECT MIN(avgv) FROM a) AS min_avg,
+        |  (SELECT MAX(avgv) FROM a) AS max_avg""".stripMargin +
+        orderByAll("rows_folded", "equals_full_recompute", "n_keys",
+          "n_rows", "sum_value", "min_avg", "max_avg")),
     "q_sql_table_incr_view_multi" ->
       ("""WITH f AS (
         |  SELECT event_type, user_id,
@@ -2327,6 +2479,53 @@ object TableFormat {
         |  (SELECT MAX(mx) FROM g) AS max_value""".stripMargin +
         orderByAll("rows_folded", "equals_full_recompute", "n_keys",
           "n_rows", "sum_value", "min_value", "max_value")),
+    "q_table_view_chain3" ->
+      ("""WITH u1 AS (
+        |  SELECT user_id, COUNT(*) AS n, COUNT(value) AS nv,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total
+        |  FROM events WHERE user_id % 5 <> 0 GROUP BY 1),
+        |v2f AS (
+        |  SELECT nv, COUNT(*) AS n, COUNT(total) AS nvt,
+        |    CAST(SUM(CAST(total AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS tott
+        |  FROM u1 GROUP BY 1),
+        |v3f AS (
+        |  SELECT nvt, COUNT(*) AS n,
+        |    CAST(SUM(CAST(tott AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS tottt
+        |  FROM v2f GROUP BY 1),
+        |ub AS (SELECT user_id, COUNT(value) AS nv FROM events
+        |  WHERE event_id % 2 = 0 GROUP BY 1),
+        |ou AS (SELECT DISTINCT user_id FROM events
+        |  WHERE event_id % 2 <> 0 AND user_id % 5 <> 0),
+        |cu AS (SELECT DISTINCT user_id FROM events
+        |  WHERE event_id % 2 <> 0 OR user_id % 5 = 0),
+        |bdelta AS (
+        |  SELECT ub.nv FROM ub JOIN cu ON ub.user_id = cu.user_id
+        |  UNION
+        |  SELECT u1.nv FROM u1 JOIN cu ON u1.user_id = cu.user_id)
+        |SELECT CAST(
+        |    (SELECT COUNT(*) FROM events WHERE event_id % 2 <> 0) +
+        |    (SELECT COUNT(*) FROM events WHERE user_id % 5 = 0)
+        |  AS BIGINT) AS rows_folded_v1,
+        |  CAST(
+        |    (SELECT COUNT(*) FROM ub WHERE user_id % 5 = 0) +
+        |    2 * (SELECT COUNT(*) FROM ou
+        |         WHERE user_id IN (SELECT user_id FROM ub)) +
+        |    (SELECT COUNT(*) FROM ou
+        |     WHERE user_id NOT IN (SELECT user_id FROM ub))
+        |  AS BIGINT) AS rows_folded_v2,
+        |  CAST(COALESCE((SELECT SUM(
+        |    CASE WHEN nv IN (SELECT nv FROM ub)
+        |          AND nv IN (SELECT nv FROM u1) THEN 2 ELSE 1 END)
+        |    FROM bdelta), 0) AS BIGINT) AS rows_folded_v3,
+        |  CAST(1 AS BIGINT) AS v1_exact,
+        |  CAST(1 AS BIGINT) AS v2_exact,
+        |  CAST(1 AS BIGINT) AS v3_exact,
+        |  (SELECT COUNT(*) FROM v3f) AS n_keys,
+        |  CAST((SELECT SUM(n) FROM v3f) AS BIGINT) AS n_rows,
+        |  CAST(CAST((SELECT SUM(tottt) FROM v3f) AS STRING) AS DOUBLE) AS sum_total""".stripMargin +
+        orderByAll("rows_folded_v1", "rows_folded_v2", "rows_folded_v3",
+          "v1_exact", "v2_exact", "v3_exact", "n_keys", "n_rows",
+          "sum_total")),
     "q_table_view_chain" ->
       ("""WITH old_u AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 0),
         |aff AS (SELECT DISTINCT user_id FROM events

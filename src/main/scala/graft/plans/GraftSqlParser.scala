@@ -73,11 +73,45 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+AS\s+SELECT\s+""" +
       """((?:\w+\s*,\s*)+)COUNT\s*\(\s*\*\s*\)\s+AS\s+n\s*,\s*(.+?)\s+""" +
       """FROM\s+([\w.]+)\s+GROUP\s+BY\s+([\w\s,]+?)\s*;?\s*""").r
-  private val mvMeasureRe =
-    ("""(?is)COUNT\s*\(\s*(\w+)\s*\)\s+AS\s+nv_(\w+)\s*,\s*""" +
-      """SUM\s*\(\s*(\w+)\s*\)\s+AS\s+total_(\w+)\s*,\s*""" +
-      """MIN\s*\(\s*(\w+)\s*\)\s+AS\s+mn_(\w+)\s*,\s*""" +
-      """MAX\s*\(\s*(\w+)\s*\)\s+AS\s+mx_(\w+)""").r
+  // one canonical measure aggregate: COUNT/SUM/MIN/MAX/AVG over a
+  // single column, aliased nv_/total_/mn_/mx_/avg_<column>. The
+  // family may appear in ANY order and as ANY subset per measure
+  // (r12, VERDICT item 2 — exact tiling was the r11 rule; the first
+  // statement a real analyst writes has an AVG and skips MIN/MAX);
+  // AVG is derived (total/nv) and maintained by every fold.
+  private val mvItemRe =
+    """(?is)\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
+  // the arm guard: at least one CANONICAL alias present — this is
+  // what lets `SUM(v) AS total` (the 2-column form) fall through
+  private val mvCanonAliasRe =
+    """(?is)\bAS\s+(?:nv_|total_|mn_|mx_|avg_)\w+""".r
+
+  /** Parse a multi-view measure list into (measure columns in
+    * first-mention order, AVG-declared measures). Throws with the
+    * statement-contract message on anything outside the canonical
+    * families (STDDEV, a mis-aliased aggregate, an expression). */
+  private def parseMvMeasures(aggBlob: String): (Seq[String], Seq[String]) = {
+    val items = aggBlob.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+    val parsed = items.map {
+      case mvItemRe(func, colName, alias) =>
+        val prefix = func.toUpperCase match {
+          case "COUNT" => "nv_"
+          case "SUM" => "total_"
+          case "MIN" => "mn_"
+          case "MAX" => "mx_"
+          case "AVG" => "avg_"
+        }
+        require(alias == prefix + colName,
+          s"materialized-view aggregates use canonical aliases " +
+            s"($prefix$colName), got '$alias' for $func($colName)")
+        (func.toUpperCase, colName)
+      case other => throw new IllegalArgumentException(
+        s"materialized view supports COUNT(*) AS n plus per-measure " +
+          s"COUNT/SUM/MIN/MAX/AVG (canonical aliases, any order or " +
+          s"subset); unsupported aggregates remain: '$other'")
+    }
+    (parsed.map(_._2).distinct, parsed.filter(_._1 == "AVG").map(_._2).distinct)
+  }
   // the JOIN form (r11): FROM fact JOIN dim ON f.k = d.k — routes to
   // IncrementalViewMulti.createJoined (pinned dimension, delta rule
   // for an immutable join side)
@@ -138,7 +172,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         q1, c1, q2, c2, groupBlob)
         if isGraftCatalog(view) && isGraftCatalog(factT) &&
           isGraftCatalog(dimT) &&
-          mvMeasureRe.findFirstIn(aggBlob).isDefined =>
+          mvCanonAliasRe.findFirstIn(aggBlob).isDefined =>
       val (fAls, dAls) = (factT.split('.').last, dimT.split('.').last)
       // the ON equality binds fact and dim on ONE shared column name
       // (createJoined's contract), qualified by the table names
@@ -150,56 +184,32 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       require(fCol == dCol,
         s"graft join views key on one shared column name, got $fCol vs $dCol")
       val keyCols = keysBlob.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-      val units = mvMeasureRe.findAllMatchIn(aggBlob).map { m =>
-        val names = (1 to 8).map(m.group)
-        require(names.distinct.size == 1,
-          s"materialized-view measure aggregates must cover ONE column " +
-            s"with the canonical aliases, got ${names.distinct}")
-        names.head
-      }.toSeq
-      val residue = mvMeasureRe.replaceAllIn(aggBlob, "")
-        .replaceAll("[,\\s]", "")
-      require(residue.isEmpty,
-        s"materialized view supports COUNT(*) AS n plus per-measure " +
-          s"COUNT/SUM/MIN/MAX families (canonical aliases); " +
-          s"unsupported aggregates remain: '$residue'")
+      val (units, avgs) = parseMvMeasures(aggBlob)
       val grouped = groupBlob.split(',').map(_.trim).toSeq
       require(grouped == keyCols ||
         grouped == keyCols.indices.map(i => (i + 1).toString),
         s"GROUP BY must list the selected keys (or their positions), " +
           s"got $grouped vs $keyCols")
       CreateMaterializedViewJoinCommand(view.split('.').toSeq,
-        factT.split('.').toSeq, dimT.split('.').toSeq, fCol, keyCols, units)
-    // guard on a measure-family match so the canonical COUNT+SUM pair
-    // falls through to the 2-column form below
+        factT.split('.').toSeq, dimT.split('.').toSeq, fCol, keyCols,
+        units, avgs)
+    // guard on a canonical alias so the canonical COUNT+SUM pair
+    // falls through to the 2-column form below; every item must then
+    // parse — an unsupported aggregate (STDDEV, a stray alias) fails
+    // the statement, never silently drops (r11 review; r12 widened
+    // acceptance to any order/subset + derived AVG)
     case createMvMultiRe(view, keysBlob, aggBlob, srcT, groupBlob)
         if isGraftCatalog(view) && isGraftCatalog(srcT) &&
-          mvMeasureRe.findFirstIn(aggBlob).isDefined =>
+          mvCanonAliasRe.findFirstIn(aggBlob).isDefined =>
       val keyCols = keysBlob.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-      val units = mvMeasureRe.findAllMatchIn(aggBlob).map { m =>
-        val names = (1 to 8).map(m.group)
-        require(names.distinct.size == 1,
-          s"materialized-view measure aggregates must cover ONE column " +
-            s"with the canonical aliases, got ${names.distinct}")
-        names.head
-      }.toSeq
-      // the canonical families must TILE the aggregate list exactly —
-      // an unmatched aggregate (AVG, a misordered family, a stray
-      // alias) must fail the statement, never silently drop (r11
-      // review)
-      val residue = mvMeasureRe.replaceAllIn(aggBlob, "")
-        .replaceAll("[,\\s]", "")
-      require(residue.isEmpty,
-        s"materialized view supports COUNT(*) AS n plus per-measure " +
-          s"COUNT/SUM/MIN/MAX families (canonical aliases); " +
-          s"unsupported aggregates remain: '$residue'")
+      val (units, avgs) = parseMvMeasures(aggBlob)
       val grouped = groupBlob.split(',').map(_.trim).toSeq
       require(grouped == keyCols ||
         grouped == keyCols.indices.map(i => (i + 1).toString),
         s"GROUP BY must list the selected keys (or their positions), " +
           s"got $grouped vs $keyCols")
       CreateMaterializedViewMultiCommand(view.split('.').toSeq,
-        srcT.split('.').toSeq, keyCols, units)
+        srcT.split('.').toSeq, keyCols, units, avgs)
     case createMvRe(view, key, value, srcT)
         if isGraftCatalog(view) && isGraftCatalog(srcT) =>
       CreateMaterializedViewCommand(view.split('.').toSeq,
@@ -519,13 +529,14 @@ case class CreateMaterializedViewCommand(view: Seq[String],
   * routes to IncrementalViewMulti.createKeyed (composite-key MERGE
   * folds, MIN/MAX bounded recompute under deletes). */
 case class CreateMaterializedViewMultiCommand(view: Seq[String],
-    source: Seq[String], keyCols: Seq[String], valCols: Seq[String])
+    source: Seq[String], keyCols: Seq[String], valCols: Seq[String],
+    avgCols: Seq[String] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(GraftSqlCommands.attr("view_version"))
   override def run(s: SparkSession): Seq[Row] =
     Seq(Row(graft.sources.IncrementalViewMulti.createKeyed(s,
       GraftSqlCommands.rootOf(s, view), GraftSqlCommands.rootOf(s, source),
-      keyCols, valCols)))
+      keyCols, valCols, avgCols = avgCols)))
 }
 
 /** CREATE MATERIALIZED VIEW (JOIN form, r11): an aggregate over
@@ -534,13 +545,15 @@ case class CreateMaterializedViewMultiCommand(view: Seq[String],
   * deltas enriched by one join against the pinned dim. */
 case class CreateMaterializedViewJoinCommand(view: Seq[String],
     fact: Seq[String], dim: Seq[String], dimKey: String,
-    keyCols: Seq[String], valCols: Seq[String])
+    keyCols: Seq[String], valCols: Seq[String],
+    avgCols: Seq[String] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(GraftSqlCommands.attr("view_version"))
   override def run(s: SparkSession): Seq[Row] =
     Seq(Row(graft.sources.IncrementalViewMulti.createJoined(s,
       GraftSqlCommands.rootOf(s, view), GraftSqlCommands.rootOf(s, fact),
-      GraftSqlCommands.rootOf(s, dim), dimKey, keyCols, valCols)))
+      GraftSqlCommands.rootOf(s, dim), dimKey, keyCols, valCols,
+      avgCols = avgCols)))
 }
 
 /** REFRESH MATERIALIZED VIEW cat.v — fold the source's changelog

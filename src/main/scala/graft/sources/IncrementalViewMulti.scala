@@ -52,6 +52,7 @@ object IncrementalViewMulti {
   private val DimVerProp = "graft.view.dimVersion"
   private val DimKeyProp = "graft.view.dimKey"
   private val DimVerField = "viewDim"
+  private val AvgProp = "graft.view.avgCols"
 
   /** Full per-key state at `rows` — also the bounded re-aggregation
     * kernel (recomputed keys get ALL their aggregates from here, so
@@ -60,12 +61,24 @@ object IncrementalViewMulti {
     * NULL never matches itself — the single-key restriction, applied
     * per column). */
   private def state(keyCols: Seq[String], valCols: Seq[String],
-      rows: DataFrame): DataFrame = {
-    val aggs = count(lit(1)).as("n") +: valCols.flatMap { m => Seq(
-      count(col(m)).as(s"nv_$m"),
-      sum(col(m).cast("decimal(18,4)")).cast("decimal(18,4)").as(s"total_$m"),
-      min(col(m)).as(s"mn_$m"),
-      max(col(m)).as(s"mx_$m")) }
+      rows: DataFrame, avgCols: Seq[String] = Nil): DataFrame = {
+    val aggs = count(lit(1)).as("n") +: valCols.flatMap { m =>
+      val total =
+        sum(col(m).cast("decimal(18,4)")).cast("decimal(18,4)")
+      Seq(
+        count(col(m)).as(s"nv_$m"),
+        total.as(s"total_$m"),
+        min(col(m)).as(s"mn_$m"),
+        max(col(m)).as(s"mx_$m")) ++
+        // AVG is DERIVED, never independently aggregated: exactly
+        // total/nv over the exact decimal total, cast through double
+        // ONCE — the same derivation the fold applies, so the two
+        // paths cannot disagree (r12, VERDICT item 2)
+        (if (avgCols.contains(m))
+          Seq(when(count(col(m)) > 0,
+            total.cast("double") / count(col(m))).as(s"avg_$m"))
+        else Nil)
+    }
     rows.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
       .groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
@@ -110,7 +123,10 @@ object IncrementalViewMulti {
     * one grouping column; the fold MERGEs through the log's composite
     * key path (CommitLog.mergeKeyed). */
   def createKeyed(s: SparkSession, viewRoot: String, srcRoot: String,
-      keyCols: Seq[String], valCols: Seq[String], nFiles: Int = 2): Long = {
+      keyCols: Seq[String], valCols: Seq[String], nFiles: Int = 2,
+      avgCols: Seq[String] = Nil): Long = {
+    require(avgCols.forall(valCols.contains),
+      s"AVG columns must be declared measures: ${avgCols.diff(valCols)}")
     require(keyCols.nonEmpty, "multi-aggregate view needs a group key")
     require(valCols.nonEmpty, "multi-aggregate view needs at least one measure")
     keyCols.foreach(k => require(!valCols.contains(k),
@@ -126,10 +142,13 @@ object IncrementalViewMulti {
     val srcHead = CommitLog.latestVersion(srcRoot)
       .getOrElse(sys.error(s"cannot build a view over an empty table at $srcRoot"))
     val v = CommitLog.appendEvolved(s, viewRoot,
-      state(keyCols, valCols, CommitLog.read(s, srcRoot, srcHead)), nFiles)
+      state(keyCols, valCols, CommitLog.read(s, srcRoot, srcHead), avgCols),
+      nFiles)
     CommitLog.setTableProperty(viewRoot, SrcProp, srcRoot)
     CommitLog.setTableProperty(viewRoot, KeyProp, keyCols.mkString(","))
     CommitLog.setTableProperty(viewRoot, ValsProp, valCols.mkString(","))
+    if (avgCols.nonEmpty)
+      CommitLog.setTableProperty(viewRoot, AvgProp, avgCols.mkString(","))
     CommitLog.setTableProperty(viewRoot, VerProp, srcHead.toString)
     // a view accumulates one commit per fold — exactly the
     // long-history table the log checkpoint exists for (r11): every
@@ -156,9 +175,12 @@ object IncrementalViewMulti {
     * to recompute). */
   def createJoined(s: SparkSession, viewRoot: String, srcRoot: String,
       dimRoot: String, dimKey: String, keyCols: Seq[String],
-      valCols: Seq[String], nFiles: Int = 2): Long = {
+      valCols: Seq[String], nFiles: Int = 2,
+      avgCols: Seq[String] = Nil): Long = {
     require(keyCols.nonEmpty && valCols.nonEmpty,
       "join view needs group keys and at least one measure")
+    require(avgCols.forall(valCols.contains),
+      s"AVG columns must be declared measures: ${avgCols.diff(valCols)}")
     val srcHead = CommitLog.latestVersion(srcRoot)
       .getOrElse(sys.error(s"cannot build a view over an empty table at $srcRoot"))
     val dimHead = CommitLog.latestVersion(dimRoot)
@@ -166,10 +188,13 @@ object IncrementalViewMulti {
     val dim = CommitLog.read(s, dimRoot, dimHead)
     val v = CommitLog.appendEvolved(s, viewRoot,
       state(keyCols, valCols,
-        CommitLog.read(s, srcRoot, srcHead).join(dim, Seq(dimKey))), nFiles)
+        CommitLog.read(s, srcRoot, srcHead).join(dim, Seq(dimKey)), avgCols),
+      nFiles)
     CommitLog.setTableProperty(viewRoot, SrcProp, srcRoot)
     CommitLog.setTableProperty(viewRoot, KeyProp, keyCols.mkString(","))
     CommitLog.setTableProperty(viewRoot, ValsProp, valCols.mkString(","))
+    if (avgCols.nonEmpty)
+      CommitLog.setTableProperty(viewRoot, AvgProp, avgCols.mkString(","))
     CommitLog.setTableProperty(viewRoot, VerProp, srcHead.toString)
     CommitLog.setTableProperty(viewRoot, DimProp, dimRoot)
     CommitLog.setTableProperty(viewRoot, DimVerProp, dimHead.toString)
@@ -293,8 +318,11 @@ object IncrementalViewMulti {
     // exact new state of exactly the affected keys, from the fact at
     // the FOLDED version joined to the new dim — the same
     // full-source-scan-semi-filtered shape as the MIN/MAX recompute
+    val avgCols = CommitLog.tableProperty(viewRoot, AvgProp)
+      .map(_.split(',').toSeq).getOrElse(Nil)
     val newStates = state(keyCols, valCols,
-      fact.join(newDim, Seq(dimKey)).join(affKeys, keyCols, "left_semi"))
+      fact.join(newDim, Seq(dimKey)).join(affKeys, keyCols, "left_semi"),
+      avgCols)
       .localCheckpoint() // feeds both the merge and the gone-key anti
     // affected keys with no rows under the new mapping (their users
     // left the dim, or re-mapped away) delete distributively
@@ -397,12 +425,21 @@ object IncrementalViewMulti {
         least(col(s"c.mn_$m"), col(s"d.insmn_$m")).as(s"mn_$m"),
         greatest(col(s"c.mx_$m"), col(s"d.insmx_$m")).as(s"mx_$m"))
     }
-    val arith = deltas.as("d")
+    val avgCols = CommitLog.tableProperty(viewRoot, AvgProp)
+      .map(_.split(',').toSeq).getOrElse(Nil)
+    val arithBase = deltas.as("d")
       .join(current.as("c"), keyCols, "left_outer")
       .select((kc ++
         ((coalesce(col("c.n"), lit(0L)) + col("d.dn")).as("n") +:
           valCols.map(hit).reduce(_ || _).as("_rec") +:
           perMeasure)): _*)
+    // derived AVG columns re-derive from the FOLDED total/nv in one
+    // extra projection — same total-through-double derivation as
+    // state(), so the arithmetic and recompute paths agree (r12)
+    val arith = (if (avgCols.isEmpty) arithBase
+      else arithBase.select(col("*") +: avgCols.map(m =>
+        when(col(s"nv_$m") > 0,
+          col(s"total_$m").cast("double") / col(s"nv_$m")).as(s"avg_$m")): _*))
       .localCheckpoint() // one evaluation feeds guard + all three sides
     require(arith.filter(col("n") < 0).isEmpty,
       "refresh: a key's count went negative — the changelog and view " +
@@ -411,7 +448,8 @@ object IncrementalViewMulti {
     val recKeys = arith.filter(col("_rec") && col("n") > 0).select(kc: _*)
     val nRec = recKeys.count() // scalar: the affected-KEY count
     val stateCols = kc ++ (col("n") +: valCols.flatMap(m =>
-      Seq(col(s"nv_$m"), col(s"total_$m"), col(s"mn_$m"), col(s"mx_$m"))))
+      Seq(col(s"nv_$m"), col(s"total_$m"), col(s"mn_$m"), col(s"mx_$m")) ++
+        (if (avgCols.contains(m)) Seq(col(s"avg_$m")) else Nil)))
     val folded = arith.filter(!col("_rec") && col("n") > 0).select(stateCols: _*)
     val survivors =
       if (nRec == 0) folded
@@ -419,7 +457,7 @@ object IncrementalViewMulti {
       // version this fold lands on — a distributed semi join, never a
       // collected key list
       else folded.unionByName(state(keyCols, valCols,
-        sourceAt(maxVer).join(recKeys, keyCols, "left_semi")))
+        sourceAt(maxVer).join(recKeys, keyCols, "left_semi"), avgCols))
     val vanished = arith.filter(col("n") === 0).select(kc: _*)
     val wm = Seq(s""","$VerField":$maxVer""")
     val (v1, _, _) = CommitLog.mergeKeyed(s, viewRoot, survivors, keyCols,

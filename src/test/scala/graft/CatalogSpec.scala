@@ -573,24 +573,47 @@ class CatalogSpec extends SparkSpec {
     assert(ex.getMessage.contains("shared column"), ex.getMessage)
   }
 
-  test("parser: multi-agg materialized view rejects non-canonical aggregates instead of dropping them (r11)") {
+  test("parser: multi-agg materialized view accepts AVG + any family order/subset, rejects the rest (r12)") {
     val (cat, base) = freshCatalog()
     val root = new java.io.File(base, "t").toString
     CommitLog.append(spark, root, Tables(spark, sf, "events")
       .select(col("event_id"), col("user_id"), col("value")).limit(100), nFiles = 1)
-    // an AVG (or any aggregate outside the canonical families) must
-    // FAIL the statement — silently creating the view without the
-    // requested column would be worse than refusing
+    // r12 (VERDICT item 2): AVG is derivable (total/nv) so the
+    // statement surface accepts it — reordered and as a SUBSET of the
+    // canonical family; the engine still materializes the full family
+    // (maintenance needs it) plus the derived avg_<m> column
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.v AS
+        |SELECT user_id, COUNT(*) AS n,
+        |  AVG(value) AS avg_value, SUM(value) AS total_value
+        |FROM $cat.t GROUP BY user_id""".stripMargin)
+    val v = spark.sql(s"SELECT * FROM $cat.v")
+    assert(v.columns.contains("avg_value"), v.columns.mkString(","))
+    // the derived column IS total/nv over the exact decimal total
+    val bad = v.filter(col("nv_value") > 0 &&
+      col("avg_value") =!=
+        col("total_value").cast("double") / col("nv_value"))
+    assert(bad.isEmpty, "avg_value diverges from total/nv")
+    // a genuinely unsupported aggregate (STDDEV) still FAILS the
+    // statement — silently creating the view without the requested
+    // column would be worse than refusing
     val ex = intercept[Exception] {
       spark.sql(
-        s"""CREATE MATERIALIZED VIEW $cat.v AS
+        s"""CREATE MATERIALIZED VIEW $cat.v2 AS
           |SELECT user_id, COUNT(*) AS n,
-          |  COUNT(value) AS nv_value, SUM(value) AS total_value,
-          |  MIN(value) AS mn_value, MAX(value) AS mx_value,
-          |  AVG(value) AS avg_value
+          |  SUM(value) AS total_value, STDDEV(value) AS sd_value
           |FROM $cat.t GROUP BY user_id""".stripMargin)
     }
     assert(ex.getMessage.contains("unsupported aggregates"), ex.getMessage)
+    // a mis-aliased canonical aggregate refuses by name too
+    val ex2 = intercept[Exception] {
+      spark.sql(
+        s"""CREATE MATERIALIZED VIEW $cat.v3 AS
+          |SELECT user_id, COUNT(*) AS n, SUM(value) AS total_wrong
+          |FROM $cat.t GROUP BY user_id""".stripMargin)
+    }
+    assert(ex2.getMessage.contains("canonical aliases") ||
+      ex2.getMessage.contains("unsupported aggregates"), ex2.getMessage)
   }
 
   test("parser: RESTORE/VACUUM/OPTIMIZE on non-graft identifiers delegate verbatim (r11, ADVICE)") {
