@@ -1981,53 +1981,80 @@ object CommitLog {
     (v, clean.size.toLong + addedN, rewritten.size.toLong)
   }
 
+  /** Winner ops a lost rewrite can REBASE past (r12 widened from
+    * append/clone): the sound classes are row-ADDING-blind (append,
+    * clone — land after the rewrite, WriteSerializable's blind-append
+    * allowance), row-PRESERVING (compact, optimize — same logical
+    * rows in new files), and row-SHRINKING (delete — a file can only
+    * LOSE rows, so "no rows here match my predicate/keys" judgments
+    * on carried files stay true). Value-CHANGING winners (update,
+    * merge, overwrite, restore, rename/drop column) stay blocked:
+    * their rewritten rows may newly match this rewrite's predicate,
+    * and validating that needs row-level reasoning the public formats
+    * also refuse at this isolation level. */
+  private val rebaseableWinnerOps =
+    Set("append", "clone", "compact", "optimize", "delete")
+
   /** The rewrite commit's SEMANTIC conflict-rebase loop (r11, shared
-    * by delete / mergeKeyed / update): attempt the commit against the
-    * current head; on a lost race, re-read and validate — if every
-    * intervening commit is a pure APPEND (op append/clone: never
-    * removes, rewrites, re-maps or vectors a file) and every file the
-    * rewrite READ is still listed, REBASE: the winners' new files
-    * carry forward verbatim (blind appends land after the rewrite —
-    * the WriteSerializable contract: a late row matching the
-    * predicate/key survives untouched) and both writers commit.
-    * Anything else — a concurrent delete/update/merge/compact/
-    * optimize/rename — throws a named ConcurrentModificationException:
-    * validating rewrite-vs-rewrite needs row-level reasoning the
-    * public formats also refuse at this isolation level. The staged
+    * by delete / mergeKeyed / update; r12 also partition-scoped
+    * optimize): attempt the commit against the current head; on a
+    * lost race, re-read and validate. REBASE is sound iff (1) every
+    * intervening op is in [[rebaseableWinnerOps]], (2) every file
+    * THIS rewrite removes (its dirty set) is still listed at head —
+    * file-DISJOINTNESS from the winners' removals, the r11 verdict's
+    * missing half: OPTIMIZE racing DELETE on different partitions
+    * both commit, overlapping rewrites still refuse — and (3) no
+    * winner attached a deletion vector to a file this rewrite is
+    * replacing from its pre-vector content (the staged rewrite would
+    * resurrect the winner's dead rows). On rebase the new snapshot is
+    * (head's files − my dirty files) + my staged files: winners' adds
+    * carry, winners' removals stick, my rewrite applies. The staged
     * data files are written ONCE; retries cost manifest metadata
-    * only. Returns (version, filesCarriedFromWinners). */
+    * only. Returns (version, carriedDeltaVsBase). */
   private def commitRewriteRebasing(s: SparkSession, root: String,
       prev: Long, baseFiles: Set[String], op: String,
       carried: Seq[String], staged: Seq[String],
       newAux: Aux, restageFiles: Seq[String],
       extraFragments: Seq[String],
       maxAttempts: Int, beforeCommit: () => Unit): (Long, Long) = {
+    val myRemoved = baseFiles -- carried.toSet
+    val dvPrev = carriedAux(root, Some(prev)).dvs
     var attempt = 0
     while (true) {
       attempt += 1
       val head = latestVersion(root).get
       if (head != prev) {
         val ops = ((prev + 1) to head).map(v => readManifest(root, v)._1)
-        val blocked = ops.filterNot(o => o == "append" || o == "clone")
+        val blocked = ops.filterNot(rebaseableWinnerOps)
         if (blocked.nonEmpty) throw new java.util.ConcurrentModificationException(
           s"$op under $root lost to a concurrent '${blocked.head}' " +
-            "commit — a rewrite-vs-rewrite race cannot be rebased; retry " +
+            "commit — a value-changing rewrite-vs-rewrite race cannot be " +
+            s"rebased (its rewritten rows may match this $op); retry " +
             s"the $op against the new head")
       }
       val headFiles =
         if (head == prev) baseFiles
         else snapshotFiles(root, head).map(p => relativize(root, p)).toSet
-      if (!baseFiles.subsetOf(headFiles))
+      if (!myRemoved.subsetOf(headFiles))
         throw new java.util.ConcurrentModificationException(
-          s"$op under $root read files a concurrent commit removed — " +
-            "rebase impossible; retry against the new head")
-      val added = (headFiles -- baseFiles).toSeq.sorted
-      val keep = carried.toSet ++ added
+          s"$op under $root read-and-rewrote files a concurrent commit " +
+            "removed — overlapping rewrites cannot be rebased; retry " +
+            "against the new head")
+      val auxHead =
+        if (head == prev) carriedAux(root, Some(prev))
+        else carriedAux(root, Some(head))
+      if (head != prev && myRemoved.exists(f =>
+        dvPrev.getOrElse(f, Nil) != auxHead.dvs.getOrElse(f, Nil)))
+        throw new java.util.ConcurrentModificationException(
+          s"$op under $root rewrote a file whose deletion vectors a " +
+            "concurrent commit changed — the staged rewrite would " +
+            "resurrect its dead rows; retry against the new head")
+      val finalCarried = (headFiles -- myRemoved).toSeq.sorted
+      val keep = finalCarried.toSet
       val (prevCol, prevStats) = snapshotStatsOf(root, head)
-      val auxHead = carriedAux(root, Some(head))
       beforeCommit()
       try {
-        val v = commit(root, carried ++ added ++ staged, Some(head),
+        val v = commit(root, finalCarried ++ staged, Some(head),
           op = op,
           statsCol = prevCol,
           stats = prevStats.filter(kv => keep(kv._1)),
@@ -2035,7 +2062,7 @@ object CommitLog {
           extra = auxExtra(restageColStats(s, root,
             auxHead.filterFiles(keep).merged(newAux), restageFiles)) ++
             extraFragments)
-        return (v, added.size.toLong)
+        return (v, (finalCarried.size - carried.size).toLong)
       } catch {
         case _: java.util.ConcurrentModificationException
           if attempt < maxAttempts => // rebase and retry
@@ -2645,7 +2672,9 @@ object CommitLog {
     * yesterday's partition while today's keeps ingesting — costs one
     * partition's data, never the table's. */
   def compactPartitions(s: SparkSession, root: String, partCol: String,
-      values: Seq[String], filesPerPartition: Int = 1): (Long, Long, Long) = {
+      values: Seq[String], filesPerPartition: Int = 1,
+      maxAttempts: Int = 10,
+      beforeCommit: () => Unit = () => ()): (Long, Long, Long) = {
     val prev = latestVersion(root)
       .getOrElse(sys.error(s"cannot optimize an empty table at $root"))
     val files = readManifest(root, prev)._2
@@ -2659,13 +2688,14 @@ object CommitLog {
     val sub = readSubset(s, root, prev,
       selected.map(f => new java.io.File(root, f).toString))
     val (staged, newAux) = stagePartitioned(s, root, sub, partCol, filesPerPartition)
-    val (prevCol, prevStats) = snapshotStatsOf(root, prev)
-    val cs = carried.toSet
-    val v = commit(root, carried ++ staged, Some(prev), op = "optimize",
-      statsCol = prevCol, stats = prevStats.filter(kv => cs(kv._1)),
-      schemaJson = carriedSchemaJson(root, Some(prev)),
-      extra = auxExtra(restageColStats(s, root,
-        aux.filterFiles(cs).merged(newAux), staged)))
+    // r12 (VERDICT item 4): the partition-scoped optimize rides the
+    // SAME semantic rebase loop as delete/merge/update — a compaction
+    // daemon racing a GDPR delete on DIFFERENT partitions must not
+    // lose its commit (the compaction is row-preserving, so any
+    // file-disjoint rebaseable winner is safe to carry past)
+    val (v, _) = commitRewriteRebasing(s, root, prev, files.toSet,
+      "optimize", carried, staged, newAux, staged, Nil,
+      maxAttempts, beforeCommit)
     (v, selected.size.toLong, staged.size.toLong)
   }
 

@@ -299,4 +299,57 @@ class SimilaritySpec extends SparkSpec {
     // and a purge with nothing to do publishes nothing
     assert(VectorIndex.purge(spark, idx) === ((0L, 0L)))
   }
+
+  test("index auto-purge: threshold-crossing refresh retires tombstones; detail reports the signal (r12)") {
+    import graft.sources.{CommitLog, VectorIndex}
+    val e = vecs.join(
+      Tables(spark, sf, "embeddings").select(col("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id"), col("label"), col("v"))
+    val corpus = java.nio.file.Files.createTempDirectory("graft_vap_c").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft_vap_i").toString
+    CommitLog.setTableProperty(corpus, "enableChangeDataFeed", "true")
+    CommitLog.append(spark, corpus, e, nFiles = 1)
+    val (assigned, cents) = Similarity.ivfTrain(CommitLog.read(spark, corpus, 0L))
+    VectorIndex.create(spark, idx, corpus, 0L, assigned, cents)
+    val aRoot = VectorIndex.assignedRoot(idx)
+    val tRoot = VectorIndex.tombstonesRoot(idx)
+    def tombCount(): Long = CommitLog.latestVersion(tRoot)
+      .filter(v => CommitLog.snapshotFiles(tRoot, v).nonEmpty)
+      .map(v => CommitLog.read(spark, tRoot, v).count()).getOrElse(0L)
+    // BELOW threshold: tombstones stand (explicit-REORG posture kept)
+    CommitLog.setTableProperty(aRoot, "purgeThreshold", "0.9")
+    val nSmall = CommitLog.read(spark, corpus,
+      CommitLog.latestVersion(corpus).get).filter(col("vec_id") % 11 === 3).count()
+    CommitLog.delete(spark, corpus, col("vec_id") % 11 === 3)
+    VectorIndex.refresh(spark, idx)
+    assert(tombCount() === nSmall,
+      s"below-threshold refresh must NOT purge (${tombCount()} vs $nSmall)")
+    val d1 = VectorIndex.detail(spark, idx).collect()(0)
+    assert(d1.getAs[Long]("n_tombstones") === nSmall)
+    assert(d1.getAs[Double]("tombstone_ratio") > 0.0)
+    assert(d1.getAs[Double]("cell_balance") >= 1.0)
+    // CROSSING the threshold: the refresh purges inline — tombstone
+    // table empties, postings shrink, the live read is unchanged
+    CommitLog.setTableProperty(aRoot, "purgeThreshold", "0.1")
+    CommitLog.delete(spark, corpus, col("vec_id") % 3 === 1)
+    VectorIndex.refresh(spark, idx)
+    assert(tombCount() === 0L, "threshold-crossing refresh must auto-purge")
+    val live = VectorIndex.postings(spark, idx).drop("gen")
+    val full = VectorIndex.assignFrozen(
+      CommitLog.read(spark, corpus, CommitLog.latestVersion(corpus).get), cents)
+    assert(live.exceptAll(full).count() === 0 &&
+      full.exceptAll(live).count() === 0,
+      "auto-purged index diverges from full reassignment")
+    // the physical posting table carries NO dead rows after auto-purge
+    assert(CommitLog.read(spark, aRoot,
+      CommitLog.latestVersion(aRoot).get).count() === live.count())
+    val d2 = VectorIndex.detail(spark, idx).collect()(0)
+    assert(d2.getAs[Long]("n_tombstones") === 0L)
+    assert(d2.getAs[Double]("tombstone_ratio") === 0.0)
+    // a malformed threshold disables instead of failing the refresh
+    CommitLog.setTableProperty(aRoot, "purgeThreshold", "weekly")
+    CommitLog.delete(spark, corpus, col("vec_id") % 13 === 5)
+    VectorIndex.refresh(spark, idx) // must not throw
+    assert(tombCount() > 0L, "malformed threshold must mean NO auto-purge")
+  }
 }

@@ -1918,6 +1918,104 @@ class StreamingSpec extends SparkSpec {
       "the late cond-matching row must land AFTER the update, untouched")
   }
 
+  test("commit log: file-disjoint rewrite-vs-rewrite rebases — OPTIMIZE racing DELETE both commit (r12)") {
+    import graft.sources.{CommitLog, Tables}
+    def freshTable(): String = {
+      val root = java.nio.file.Files.createTempDirectory("graft_rr_reb").toString
+      val ev = Tables(spark, sf, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .limit(2000)
+      CommitLog.appendPartitioned(spark, root, ev, "event_type",
+        filesPerPartition = 2)
+      root
+    }
+    // (1) DELETE rebases past a partition-scoped OPTIMIZE on a
+    // DIFFERENT partition: the compaction is row-preserving and
+    // file-disjoint from the delete's dirty set — both commit
+    val r1 = freshTable()
+    val want1 = CommitLog.read(spark, r1, 0L)
+      .filter(!(col("event_type") === "click" && col("user_id") % 2 === 1))
+    var inj1 = false
+    val (v1, _, _) = CommitLog.delete(spark, r1,
+      col("event_type") === "click" && col("user_id") % 2 === 1,
+      beforeCommit = () => if (!inj1) {
+        inj1 = true
+        val (_, sel, _) = CommitLog.compactPartitions(spark, r1,
+          "event_type", Seq("view"), filesPerPartition = 1)
+        assert(sel === 2L, "competitor compaction must have fired")
+      })
+    assert(v1 === 2L, s"expected v1 optimize + v2 delete, got v$v1")
+    val got1 = CommitLog.read(spark, r1, v1)
+    assert(got1.exceptAll(want1).count() === 0 && want1.exceptAll(got1).count() === 0,
+      "delete rebased past disjoint optimize lost/kept wrong rows")
+    // (2) the CONVERSE: partition-scoped OPTIMIZE rebases past a
+    // CoW DELETE on a different partition — the compaction daemon
+    // racing a GDPR delete, the r11 verdict's named scenario
+    val r2 = freshTable()
+    val want2 = CommitLog.read(spark, r2, 0L)
+      .filter(!(col("event_type") === "click" && col("user_id") % 3 === 1))
+    var inj2 = false
+    val (v2, sel2, _) = CommitLog.compactPartitions(spark, r2,
+      "event_type", Seq("signup"), filesPerPartition = 1,
+      beforeCommit = () => if (!inj2) {
+        inj2 = true
+        CommitLog.delete(spark, r2,
+          col("event_type") === "click" && col("user_id") % 3 === 1); ()
+      })
+    assert(v2 === 2L && sel2 === 2L, s"optimize must rebase, got v$v2")
+    val got2 = CommitLog.read(spark, r2, v2)
+    assert(got2.exceptAll(want2).count() === 0 && want2.exceptAll(got2).count() === 0,
+      "optimize rebased past disjoint delete lost the delete (or rows)")
+    // (3) disjoint DELETE-vs-DELETE both commit (row-shrinking winner
+    // cannot create new predicate matches in the loser's clean files)
+    val r3 = freshTable()
+    var inj3 = false
+    val (v3, _, _) = CommitLog.delete(spark, r3,
+      col("event_type") === "click" && col("user_id") % 2 === 0,
+      beforeCommit = () => if (!inj3) {
+        inj3 = true
+        CommitLog.delete(spark, r3,
+          col("event_type") === "view" && col("user_id") % 2 === 0); ()
+      })
+    val got3 = CommitLog.read(spark, r3, v3)
+    val want3 = CommitLog.read(spark, r3, 0L)
+      .filter(!(col("event_type").isin("click", "view") && col("user_id") % 2 === 0))
+    assert(got3.exceptAll(want3).count() === 0 && want3.exceptAll(got3).count() === 0,
+      "disjoint delete-vs-delete rebase diverged")
+    // (4) value-changing winners still refuse by name: an UPDATE
+    // cannot be rebased past even when file-disjoint — its rewritten
+    // rows may newly match the loser's predicate
+    val r4 = freshTable()
+    var inj4 = false
+    val ex4 = intercept[java.util.ConcurrentModificationException] {
+      CommitLog.delete(spark, r4,
+        col("event_type") === "click" && col("user_id") % 2 === 0,
+        beforeCommit = () => if (!inj4) {
+          inj4 = true
+          CommitLog.update(spark, r4,
+            col("event_type") === "view" && col("user_id") % 5 === 0,
+            Seq("value" -> lit(-1.0))); ()
+        })
+    }
+    assert(ex4.getMessage.contains("cannot be rebased"), ex4.getMessage)
+    // (5) a winner that attached a DELETION VECTOR to a file the loser
+    // is rewriting refuses (the staged rewrite would resurrect the
+    // winner's dead rows)
+    val r5 = freshTable()
+    var inj5 = false
+    val ex5 = intercept[java.util.ConcurrentModificationException] {
+      CommitLog.delete(spark, r5,
+        col("event_type") === "click" && col("user_id") % 2 === 0,
+        beforeCommit = () => if (!inj5) {
+          inj5 = true
+          CommitLog.deleteMergeOnRead(spark, r5,
+            col("event_type") === "click" && col("user_id") % 2 === 1); ()
+        })
+    }
+    assert(ex5.getMessage.contains("deletion vectors") ||
+      ex5.getMessage.contains("resurrect"), ex5.getMessage)
+  }
+
   test("commit log: history checkpoint — same rows, watermark past vacuum, monotone and idempotent (r11)") {
     import graft.sources.{CommitLog, IncrementalView, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_ckpt_t").toString
