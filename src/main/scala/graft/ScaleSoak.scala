@@ -156,6 +156,13 @@ object ScaleSoak {
     "q_table_merge_evolve", "q_table_incr_view_multikey",
     "q_sql_table_incr_view_multi", "s_sim_index_delete",
     "q_table_incr_view_join", "q_sql_table_incr_view_join",
+    // r12 batch: Δdim propagation (dim fold ∝ changed-dim-key fact
+    // rows + affected group keys), continuous multi/join view
+    // maintenance (per-trigger ∝ batch change rows), depth-3 chains
+    // (each level ∝ ITS deltas), AVG statement surface (derivation is
+    // a projection over folded state)
+    "q_table_incr_view_join_dimupd", "s_table_view_stream_multi",
+    "q_table_view_chain3", "q_sql_table_incr_view_avg",
     // the r10 verdict's mass-delete scenario, soaked as its own
     // fixture (below — not a registry key): EVERY view key vanishes
     // in one fold; the driver-OOM shape the r11 distributed

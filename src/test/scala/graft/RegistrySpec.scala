@@ -143,7 +143,11 @@ class RegistrySpec extends SparkSpec {
       "q_table_view_chain", "q_table_incr_view_multikey",
       "q_sql_table_incr_view_multi", "s_sim_index_delete",
       "q_table_incr_view_join", "q_sql_table_incr_view_join",
-      "q_sql_table_detail")
+      "q_sql_table_detail",
+      // r12: dim-advance propagation, continuous multi/join view
+      // maintenance, depth-3 chains, AVG statement surface
+      "q_table_incr_view_join_dimupd", "s_table_view_stream_multi",
+      "q_table_view_chain3", "q_sql_table_incr_view_avg")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }
