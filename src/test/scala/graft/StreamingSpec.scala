@@ -2246,6 +2246,77 @@ class StreamingSpec extends SparkSpec {
     assert(ex.getMessage.contains("re-attributes history"), ex.getMessage)
   }
 
+  test("join view: dim advance with a CDF propagates exactly — dim-only, ghost churn, idempotent replay (r12)") {
+    import graft.sources.{CommitLog, IncrementalViewMulti, Tables}
+    import spark.implicits._
+    val fact = java.nio.file.Files.createTempDirectory("graft_ivdd_f").toString
+    val dimT = java.nio.file.Files.createTempDirectory("graft_ivdd_d").toString
+    val vw = java.nio.file.Files.createTempDirectory("graft_ivdd_v").toString
+    CommitLog.setTableProperty(fact, "enableChangeDataFeed", "true")
+    CommitLog.setTableProperty(dimT, "enableChangeDataFeed", "true")
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value")).limit(800)
+    CommitLog.append(spark, fact, ev, nFiles = 2)
+    val dim = ev.select(col("user_id")).distinct()
+      .withColumn("segment", concat(lit("s"), (col("user_id") % 3).cast("string")))
+    CommitLog.append(spark, dimT, dim, nFiles = 1)
+    IncrementalViewMulti.createJoined(spark, vw, fact, dimT, "user_id",
+      Seq("segment"), Seq("value"))
+    def recompute(): org.apache.spark.sql.DataFrame =
+      CommitLog.read(spark, fact, CommitLog.latestVersion(fact).get)
+        .join(CommitLog.read(spark, dimT, CommitLog.latestVersion(dimT).get),
+          Seq("user_id"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n"), count(col("value")).as("nv_value"),
+          sum(col("value").cast("decimal(18,4)"))
+            .cast("decimal(18,4)").as("total_value"),
+          min(col("value")).as("mn_value"), max(col("value")).as("mx_value"))
+    def assertExact(tag: String): Unit = {
+      val v = CommitLog.read(spark, vw, CommitLog.latestVersion(vw).get)
+      val want = recompute()
+      assert(v.exceptAll(want).count() === 0 && want.exceptAll(v).count() === 0,
+        s"$tag: dim-folded view diverges from recompute")
+    }
+    // (1) DIM-ONLY advance: a segment remap with zero fact deltas —
+    // refresh folds Δdim, reports zero fact rows, nonzero reagg keys
+    CommitLog.update(spark, dimT, col("user_id") % 4 === 1,
+      Seq("segment" -> lit("s_remap")))
+    val (_, n1, r1) = IncrementalViewMulti.refresh(spark, vw)
+    assert(n1 === 0L, s"dim-only advance must fold 0 fact rows, got $n1")
+    assert(r1 > 0L, "a remap that touches fact-joined keys must re-aggregate")
+    assertExact("after dim remap")
+    // (2) replayed refresh is a no-op at both watermarks
+    val (v2, n2, r2) = IncrementalViewMulti.refresh(spark, vw)
+    assert(n2 === 0L && r2 === 0L,
+      s"replayed refresh must fold nothing, got ($n2, $r2)")
+    assert(v2 === CommitLog.latestVersion(vw).get)
+    // (3) GHOST churn: dim rows no fact row joins advance the pin
+    // without publishing a merge
+    val headBefore = CommitLog.latestVersion(vw).get
+    CommitLog.append(spark, dimT,
+      Seq((-777L, "s_ghost"), (-778L, "s_ghost")).toDF("user_id", "segment"),
+      nFiles = 1)
+    val (v3, n3, r3) = IncrementalViewMulti.refresh(spark, vw)
+    assert(n3 === 0L && r3 === 0L && v3 === headBefore,
+      s"ghost dim churn must only advance the pin, got (v$v3, $n3, $r3)")
+    assertExact("after ghost churn")
+    // (4) dim DELETE + fact delta in ONE refresh: Δdim folds first
+    // (users leave → their segments re-aggregate), fact deltas then
+    // fold against the NEW pin
+    CommitLog.delete(spark, dimT, col("user_id") % 5 === 2)
+    CommitLog.append(spark, fact, ev.limit(100)
+      .withColumn("event_id", col("event_id") + 900000000L), nFiles = 1)
+    val (_, n4, r4) = IncrementalViewMulti.refresh(spark, vw)
+    assert(r4 > 0L, "dim delete must re-aggregate the left users' segments")
+    // the fact fold enriches against the NEW dim: rows of deleted
+    // users drop from the delta count
+    val expected4 = ev.limit(100).join(
+      CommitLog.read(spark, dimT, CommitLog.latestVersion(dimT).get)
+        .select(col("user_id")), Seq("user_id"), "left_semi").count()
+    assert(n4 === expected4, s"fact fold counted $n4, want $expected4")
+    assertExact("after dim delete + fact append")
+  }
+
   test("incremental view: mass delete — EVERY key vanishes in ONE distributed fold commit (r11)") {
     import graft.sources.{CommitLog, IncrementalView, Tables}
     // the retention-purge / GDPR-sweep shape the r10 verdict flagged:
