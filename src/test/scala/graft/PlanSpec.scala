@@ -915,4 +915,67 @@ class PlanSpec extends SparkSpec {
     assert(tiny.size === mass.size,
       s"driver action count scales with vanished keys: tiny=${tiny.map(_._1)} mass=${mass.map(_._1)}")
   }
+
+  test("dim-advance fold: zero key-relation collects, driver actions constant in dim-churn size (r12)") {
+    import graft.sources.{CommitLog, IncrementalViewMulti, Tables}
+    import scala.jdk.CollectionConverters._
+    // the Δdim fold's affected-key set is bounded by the dim churn —
+    // which a TOTAL remap makes dim-sized. Pin that it stays a
+    // distributed relation end-to-end: (a) no action collects a
+    // key-only relation (group keys or dim keys); (b) the driver
+    // action COUNT is identical whether 1 user remaps or EVERY user
+    // does.
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value")).limit(1000)
+    val actions = new java.util.concurrent.ConcurrentLinkedQueue[(String, Seq[String])]()
+    val qel = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        actions.add((funcName, qe.analyzed.output.map(_.name))); ()
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    def settle(): Int = {
+      var last = -1; var cur = actions.size(); var spins = 0
+      while (cur != last && spins < 60) {
+        last = cur; Thread.sleep(120); cur = actions.size(); spins += 1
+      }
+      cur
+    }
+    def dimFoldActions(remap: org.apache.spark.sql.Column): Seq[(String, Seq[String])] = {
+      val fact = java.nio.file.Files.createTempDirectory("graft_ddplan_f").toString
+      val dimT = java.nio.file.Files.createTempDirectory("graft_ddplan_d").toString
+      val vw = java.nio.file.Files.createTempDirectory("graft_ddplan_v").toString
+      CommitLog.setTableProperty(fact, "enableChangeDataFeed", "true")
+      CommitLog.setTableProperty(dimT, "enableChangeDataFeed", "true")
+      CommitLog.append(spark, fact, ev, nFiles = 1)
+      val dim = ev.select(col("user_id")).distinct()
+        .withColumn("segment", concat(lit("s"), (col("user_id") % 3).cast("string")))
+      CommitLog.append(spark, dimT, dim, nFiles = 1)
+      IncrementalViewMulti.createJoined(spark, vw, fact, dimT, "user_id",
+        Seq("segment"), Seq("value"))
+      CommitLog.update(spark, dimT, remap, Seq("segment" -> lit("s_remap")))
+      actions.clear()
+      spark.listenerManager.register(qel)
+      try { IncrementalViewMulti.refresh(spark, vw); settle() }
+      finally spark.listenerManager.unregister(qel)
+      actions.asScala.toSeq
+    }
+    val oneUser = ev.select(col("user_id")).first().getLong(0)
+    val tiny = dimFoldActions(col("user_id") === oneUser)
+    val mass = dimFoldActions(lit(true))
+    Seq("tiny" -> tiny, "mass" -> mass).foreach { case (name, acts) =>
+      val keyCollects = acts.filter { case (fn, out) =>
+        fn == "collect" && (out == Seq("segment") || out == Seq("user_id"))
+      }
+      assert(keyCollects.isEmpty,
+        s"$name dim fold collected a key-only relation to the driver: $acts")
+    }
+    assert(tiny.size === mass.size,
+      s"driver action count scales with dim churn: " +
+        s"tiny=${tiny.map(_._1)} mass=${mass.map(_._1)}")
+  }
 }
