@@ -441,12 +441,18 @@ object IncrementalViewMulti {
         when(col(s"nv_$m") > 0,
           col(s"total_$m").cast("double") / col(s"nv_$m")).as(s"avg_$m")): _*))
       .localCheckpoint() // one evaluation feeds guard + all three sides
-    require(arith.filter(col("n") < 0).isEmpty,
+    // guard + recompute-trigger count in ONE scalar action over the
+    // checkpoint (r12, the r11 "counter consolidation" nit)
+    val chk = arith.agg(
+      coalesce(sum(when(col("n") < 0, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("_rec") && col("n") > 0, 1L).otherwise(0L)),
+        lit(0L))).collect()(0)
+    require(chk.getLong(0) == 0L,
       "refresh: a key's count went negative — the changelog and view " +
         "state disagree (an interrupted fold, or the view edited " +
         "out-of-band); rebuild the view with create()")
     val recKeys = arith.filter(col("_rec") && col("n") > 0).select(kc: _*)
-    val nRec = recKeys.count() // scalar: the affected-KEY count
+    val nRec = chk.getLong(1) // scalar: the affected-KEY count
     val stateCols = kc ++ (col("n") +: valCols.flatMap(m =>
       Seq(col(s"nv_$m"), col(s"total_$m"), col(s"mn_$m"), col(s"mx_$m")) ++
         (if (avgCols.contains(m)) Seq(col(s"avg_$m")) else Nil)))
