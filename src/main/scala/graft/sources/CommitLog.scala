@@ -757,17 +757,25 @@ object CommitLog {
     * and commit a manifest listing ONLY those — old files remain on
     * disk for pinned readers (vacuum is separate, as in the public
     * designs). */
-  def compact(s: SparkSession, root: String, nFiles: Int): Long = {
+  def compact(s: SparkSession, root: String, nFiles: Int,
+      maxAttempts: Int = 10,
+      beforeCommit: () => Unit = () => ()): Long = {
     val prev = latestVersion(root)
       .getOrElse(sys.error(s"cannot compact an empty table at $root"))
+    val files = snapshotFiles(root, prev)
     val cur = read(s, root, prev)
     val staged = stageDataFiles(s, root, cur, nFiles)
     // typed stats survive the rewrite (restageColStats); partition
-    // entries cannot — a plain compaction mixes partitions per file
-    commit(root, staged, Some(prev), op = "compact",
-      schemaJson = carriedSchemaJson(root, Some(prev)),
-      extra = auxExtra(restageColStats(s, root,
-        carriedAux(root, Some(prev)).filterFiles(Set.empty), staged)))
+    // entries cannot — a plain compaction mixes partitions per file.
+    // r12: the total rewrite rides the semantic rebase loop too — a
+    // compaction daemon racing blind APPENDS must not lose its
+    // commit (the winners' files carry verbatim, uncompacted until
+    // the next run); any concurrent rewrite removed a file this
+    // compaction read, so overlap refuses inside the loop as before.
+    val (v, _) = commitRewriteRebasing(s, root, prev,
+      files.map(p => relativize(root, p)).toSet, "compact",
+      Nil, staged, Aux(), staged, Nil, maxAttempts, beforeCommit)
+    v
   }
 
   /** Read the table AS OF `version` — the time-travel scan: explicit
@@ -2016,7 +2024,14 @@ object CommitLog {
       carried: Seq[String], staged: Seq[String],
       newAux: Aux, restageFiles: Seq[String],
       extraFragments: Seq[String],
-      maxAttempts: Int, beforeCommit: () => Unit): (Long, Long) = {
+      maxAttempts: Int, beforeCommit: () => Unit,
+      // a CLUSTERING rewrite (optimize) replaces the legacy stats
+      // column wholesale: carrying the head's per-file entries keyed
+      // on a DIFFERENT column would misattribute them, so the
+      // override drops them and records only the staged files' stats
+      // under the new column (carried files read as unprunable — the
+      // pre-r12 optimize contract)
+      newStats: Option[(String, Map[String, (Long, Long)])] = None): (Long, Long) = {
     val myRemoved = baseFiles -- carried.toSet
     val dvPrev = carriedAux(root, Some(prev)).dvs
     var attempt = 0
@@ -2052,12 +2067,16 @@ object CommitLog {
       val finalCarried = (headFiles -- myRemoved).toSeq.sorted
       val keep = finalCarried.toSet
       val (prevCol, prevStats) = snapshotStatsOf(root, head)
+      val (statsCol, stats) = newStats match {
+        case Some((c, m)) => (Some(c), m)
+        case None => (prevCol, prevStats.filter(kv => keep(kv._1)))
+      }
       beforeCommit()
       try {
         val v = commit(root, finalCarried ++ staged, Some(head),
           op = op,
-          statsCol = prevCol,
-          stats = prevStats.filter(kv => keep(kv._1)),
+          statsCol = statsCol,
+          stats = stats,
           schemaJson = carriedSchemaJson(root, Some(head)),
           extra = auxExtra(restageColStats(s, root,
             auxHead.filterFiles(keep).merged(newAux), restageFiles)) ++
@@ -2174,7 +2193,9 @@ object CommitLog {
     * compact is total: a 10k-file table with vectors on 12 files
     * rewrites 12. A no-op (no vectored files) publishes nothing.
     * Returns (headVersion, filesCarried, filesRewritten). */
-  def reorgPurge(s: SparkSession, root: String): (Long, Long, Long) = {
+  def reorgPurge(s: SparkSession, root: String,
+      maxAttempts: Int = 10,
+      beforeCommit: () => Unit = () => ()): (Long, Long, Long) = {
     val prev = latestVersion(root)
       .getOrElse(sys.error(s"cannot reorg an empty table at $root"))
     val files = snapshotFiles(root, prev)
@@ -2187,17 +2208,17 @@ object CommitLog {
     val carried = clean.map(p => relativize(root, p))
     // stageRewrite: a partitioned table's purge keeps its layout
     // (fresh partition entries for the replacements), like every
-    // other CoW rewrite path
+    // other CoW rewrite path. r12: the surgical purge rebases past
+    // file-disjoint winners through the shared loop — REORG racing a
+    // blind append (or a delete on un-vectored files) both commit;
+    // a winner that touched a vectored file refuses inside the loop.
     val (staged, stagedAux) = stageRewrite(s, root, aux,
       readSubset(s, root, prev, vectored), math.max(1, vectored.size))
-    val (prevCol, prevStats) = snapshotStatsOf(root, prev)
-    val v = commit(root, carried ++ staged, Some(prev), op = "optimize",
-      statsCol = prevCol,
-      stats = { val cs = carried.toSet; prevStats.filter(kv => cs(kv._1)) },
-      schemaJson = carriedSchemaJson(root, Some(prev)),
-      extra = auxExtra(restageColStats(s, root,
-        aux.filterFiles(carried.toSet).merged(stagedAux), staged)))
-    (v, clean.size.toLong, staged.size.toLong)
+    val (v, addedN) = commitRewriteRebasing(s, root, prev,
+      files.map(p => relativize(root, p)).toSet, "optimize",
+      carried, staged, stagedAux, staged, Nil,
+      maxAttempts, beforeCommit)
+    (v, clean.size.toLong + addedN, staged.size.toLong)
   }
 
   /** Copy-on-write MERGE (upsert) — the Delta MERGE INTO write path,
@@ -2902,7 +2923,9 @@ object CommitLog {
     * partitionBy write or parallel jobs); the pruning payoff is read-
     * side and permanent. Returns the committed version. */
   def optimize(s: SparkSession, root: String, statsCol: String,
-      cutoffs: Seq[Long], filesPerBucket: Int): Long = {
+      cutoffs: Seq[Long], filesPerBucket: Int,
+      maxAttempts: Int = 10,
+      beforeCommit: () => Unit = () => ()): Long = {
     import org.apache.spark.sql.functions.{col, lit}
     val prev = latestVersion(root)
       .getOrElse(sys.error(s"cannot optimize an empty table at $root"))
@@ -2925,10 +2948,17 @@ object CommitLog {
         if (lo.isEmpty) col(statsCol).isNull || rangePred else rangePred)
       stageDataFiles(s, root, part, filesPerBucket)
     }
-    commit(root, staged, Some(prev), op = "optimize",
-      statsCol = Some(statsCol),
-      stats = perFileStats(s, root, staged, statsCol),
-      schemaJson = carriedSchemaJson(root, Some(prev)))
+    // r12: the clustering rewrite rebases past blind appends like
+    // compact; the stats override records ONLY the staged buckets'
+    // bounds under the (possibly new) stats column — a winner's
+    // carried files read as unprunable, exactly the pre-r12 contract
+    // for files the optimize did not stage
+    val (v, _) = commitRewriteRebasing(s, root, prev,
+      snapshotFiles(root, prev).map(p => relativize(root, p)).toSet,
+      "optimize", Nil, staged, Aux(), staged, Nil,
+      maxAttempts, beforeCommit,
+      newStats = Some((statsCol, perFileStats(s, root, staged, statsCol))))
+    v
   }
 
   // ------------------------------------------------------------------

@@ -2016,6 +2016,63 @@ class StreamingSpec extends SparkSpec {
       ex5.getMessage.contains("resurrect"), ex5.getMessage)
   }
 
+  test("commit log: total rewrites (compact/optimize/reorg) rebase past blind appends (r12)") {
+    import graft.sources.{CommitLog, Tables}
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value")).limit(1200)
+    // (1) compact racing an append: the daemon's commit lands, the
+    // late rows carry verbatim (uncompacted until the next run)
+    val r1 = java.nio.file.Files.createTempDirectory("graft_tc_reb").toString
+    CommitLog.append(spark, r1, ev.filter(col("event_id") % 3 =!= 0), nFiles = 4)
+    val late1 = ev.filter(col("event_id") % 3 === 0)
+    var inj1 = false
+    val v1 = CommitLog.compact(spark, r1, nFiles = 1,
+      beforeCommit = () => if (!inj1) {
+        inj1 = true; CommitLog.append(spark, r1, late1, nFiles = 1); ()
+      })
+    assert(v1 === 2L, s"compact must rebase to v2, got v$v1")
+    val got1 = CommitLog.read(spark, r1, v1)
+    assert(got1.exceptAll(ev).count() === 0 && ev.exceptAll(got1).count() === 0,
+      "compact rebase lost rows (its own or the late append's)")
+    // the late file is carried UNcompacted: 1 compacted + 1 late
+    assert(CommitLog.snapshotFiles(r1, v1).size === 2)
+    // (2) range-clustered optimize racing an append — both commit,
+    // and the staged buckets' stats survive under the new stats column
+    val r2 = java.nio.file.Files.createTempDirectory("graft_to_reb").toString
+    CommitLog.append(spark, r2, ev.filter(col("event_id") % 3 =!= 0), nFiles = 4)
+    val late2 = ev.filter(col("event_id") % 3 === 0)
+    var inj2 = false
+    val mid = ev.agg(expr("percentile(event_id, 0.5)")).collect()(0).getDouble(0).toLong
+    val v2 = CommitLog.optimize(spark, r2, "event_id", Seq(mid), filesPerBucket = 1,
+      beforeCommit = () => if (!inj2) {
+        inj2 = true; CommitLog.append(spark, r2, late2, nFiles = 1); ()
+      })
+    assert(v2 === 2L, s"optimize must rebase to v2, got v$v2")
+    val got2 = CommitLog.read(spark, r2, v2)
+    assert(got2.exceptAll(ev).count() === 0 && ev.exceptAll(got2).count() === 0,
+      "optimize rebase lost rows")
+    val (sc2, st2) = CommitLog.snapshotStatsOf(r2, v2)
+    assert(sc2.contains("event_id") && st2.nonEmpty,
+      "staged buckets must record stats under the new column")
+    // (3) REORG APPLY (PURGE) racing an append: the vectored files
+    // rewrite clean, the late rows carry
+    val r3 = java.nio.file.Files.createTempDirectory("graft_tr_reb").toString
+    CommitLog.append(spark, r3, ev.filter(col("event_id") % 3 =!= 0), nFiles = 4)
+    CommitLog.deleteMergeOnRead(spark, r3, col("user_id") % 9 === 4)
+    val late3 = ev.filter(col("event_id") % 3 === 0)
+    var inj3 = false
+    val (v3, _, rew3) = CommitLog.reorgPurge(spark, r3,
+      beforeCommit = () => if (!inj3) {
+        inj3 = true; CommitLog.append(spark, r3, late3, nFiles = 1); ()
+      })
+    assert(v3 === 3L && rew3 >= 1L, s"reorg must rebase to v3, got v$v3")
+    val got3 = CommitLog.read(spark, r3, v3)
+    val want3 = ev.filter(col("event_id") % 3 =!= 0)
+      .filter(!(col("user_id") % 9 === 4)).unionByName(late3)
+    assert(got3.exceptAll(want3).count() === 0 && want3.exceptAll(got3).count() === 0,
+      "reorg rebase lost rows or resurrected vectored ones")
+  }
+
   test("commit log: history checkpoint — same rows, watermark past vacuum, monotone and idempotent (r11)") {
     import graft.sources.{CommitLog, IncrementalView, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_ckpt_t").toString
