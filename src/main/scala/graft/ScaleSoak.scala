@@ -163,6 +163,10 @@ object ScaleSoak {
     // a projection over folded state)
     "q_table_incr_view_join_dimupd", "s_table_view_stream_multi",
     "q_table_view_chain3", "q_sql_table_incr_view_avg",
+    // auto-compact: the policy compaction is one total rewrite when
+    // the threshold crosses — cost ∝ table at the trigger commit,
+    // amortized O(1/threshold) per append
+    "q_table_auto_compact",
     // the r10 verdict's mass-delete scenario, soaked as its own
     // fixture (below — not a registry key): EVERY view key vanishes
     // in one fold; the driver-OOM shape the r11 distributed

@@ -993,6 +993,40 @@ object TableFormat {
           lit(eq(v3head, full3)).as("v3_exact"),
           col("n_keys"), col("n_rows"), col("sum_total")))
     },
+    "q_table_auto_compact" -> { (s, dir) =>
+      // AUTO-COMPACT policy (r12) — the small-file problem closed by
+      // policy instead of a cron job: table property `autoCompact`
+      // (file-count threshold) + `autoCompact.target`; each append
+      // checks the NEW snapshot's file count and compacts inline when
+      // it crosses — op="compact" in the log, so the history is an
+      // honest record (3 appends, then the triggered compaction as
+      // its own version). Pinned: the head version (proves exactly
+      // ONE compaction fired, exactly after the crossing append), the
+      // head file count (= target), the pre-compaction file count (a
+      // pinned time-travel read), and the data surviving untouched.
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val root = java.nio.file.Files.createTempDirectory("graft_autoc")
+      root.toFile.deleteOnExit()
+      CommitLog.setTableProperty(root.toString, "autoCompact", "5")
+      CommitLog.setTableProperty(root.toString, "autoCompact.target", "2")
+      CommitLog.append(s, root.toString, ev.filter(col("event_id") % 3 === 0), nFiles = 2)
+      CommitLog.append(s, root.toString, ev.filter(col("event_id") % 3 === 1), nFiles = 2)
+      // this append crosses the threshold (6 >= 5) → inline compact
+      CommitLog.append(s, root.toString, ev.filter(col("event_id") % 3 === 2), nFiles = 2)
+      val head = CommitLog.latestVersion(root.toString).get
+      val filesBefore = CommitLog.snapshotFiles(root.toString, head - 1).size
+      val filesHead = CommitLog.snapshotFiles(root.toString, head).size
+      val ops = CommitLog.history(root.toString).map(_._2)
+      ordered(CommitLog.read(s, root.toString, head)
+        .agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("sum_value"))
+        .select(lit(head).as("head_version"),
+          lit(ops.count(_ == "append").toLong).as("n_appends"),
+          lit(ops.count(_ == "compact").toLong).as("n_compacts"),
+          lit(filesBefore.toLong).as("n_files_before"),
+          lit(filesHead.toLong).as("n_files_head"),
+          col("n_rows"), col("sum_value")))
+    },
     "q_table_merge_evolve" -> { (s, dir) =>
       // MERGE with automatic schema evolution (r11, VERDICT item 7 —
       // Delta autoMerge): the update rows carry a NEW `score` column;
@@ -2550,6 +2584,17 @@ object TableFormat {
         |  CAST(CAST((SELECT SUM(total_sum) FROM h) AS STRING) AS DOUBLE) AS sum_total""".stripMargin +
         orderByAll("rows_folded_v2", "v1_exact", "v2_exact",
           "n_buckets", "n_users", "sum_total")),
+    "q_table_auto_compact" ->
+      ("""SELECT CAST(3 AS BIGINT) AS head_version,
+        |  CAST(3 AS BIGINT) AS n_appends,
+        |  CAST(1 AS BIGINT) AS n_compacts,
+        |  CAST(6 AS BIGINT) AS n_files_before,
+        |  CAST(2 AS BIGINT) AS n_files_head,
+        |  COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
+        |FROM events""".stripMargin +
+        orderByAll("head_version", "n_appends", "n_compacts",
+          "n_files_before", "n_files_head", "n_rows", "sum_value")),
     "q_table_merge_evolve" ->
       ("""WITH m AS (
         |  SELECT CASE WHEN user_id % 4 = 1 THEN value + 1000.0 ELSE value END AS value,

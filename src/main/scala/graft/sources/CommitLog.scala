@@ -747,11 +747,39 @@ object CommitLog {
     // snapshot's skipping metadata
     val (prevCol, prevStats) =
       prev.map(v => snapshotStatsOf(root, v)).getOrElse((None, Map.empty[String, (Long, Long)]))
-    commit(root, prevFiles ++ stageDataFiles(s, root, df, nFiles), prev,
+    val v = commit(root, prevFiles ++ stageDataFiles(s, root, df, nFiles), prev,
       statsCol = prevCol, stats = prevStats,
       schemaJson = carriedSchemaJson(root, prev),
       extra = auxExtra(carriedAux(root, prev)))
+    maybeAutoCompact(s, root, v)
+    v
   }
+
+  /** Opt-in AUTO-COMPACT (r12) — the public engines' answer to the
+    * small-file problem a streaming/micro-batch ingest accumulates
+    * (Delta's `autoOptimize.autoCompact`): table property
+    * `autoCompact` = a file-count threshold; after an append
+    * publishes, if the new snapshot lists at least that many files,
+    * compact to `autoCompact.target` files (default 2) inline — the
+    * next version in the log, op="compact", so pinned readers,
+    * changes() and streams see exactly the commits that happened.
+    * Best-effort AFTER the append published (a failed policy
+    * compaction must never fail a healthy append — the next append
+    * retries) and parsed defensively like checkpointInterval. Only
+    * the plain-append path triggers; partitioned/segmented tables
+    * compact through their own scoped paths (compactPartitions)
+    * where a total rewrite would destroy the layout. */
+  private def maybeAutoCompact(s: SparkSession, root: String, v: Long): Unit =
+    tableProperty(root, "autoCompact")
+      .flatMap(n => scala.util.Try(n.trim.toLong).toOption)
+      .filter(n => n > 0 && snapshotFiles(root, v).size >= n)
+      .foreach { _ =>
+        val target = tableProperty(root, "autoCompact.target")
+          .flatMap(t => scala.util.Try(t.trim.toInt).toOption)
+          .filter(_ > 0).getOrElse(2)
+        try { compact(s, root, target); () }
+        catch { case scala.util.control.NonFatal(_) => () }
+      }
 
   /** Rewrite the CURRENT snapshot into `nFiles` compacted data files
     * and commit a manifest listing ONLY those — old files remain on
