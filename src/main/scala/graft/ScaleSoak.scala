@@ -167,6 +167,10 @@ object ScaleSoak {
     // the threshold crosses — cost ∝ table at the trigger commit,
     // amortized O(1/threshold) per append
     "q_table_auto_compact",
+    // generated columns: fill/validate is one projection / one
+    // limit(1) probe per write; the derived-partition layout prunes
+    // from log metadata alone
+    "q_table_generated_cols",
     // the r10 verdict's mass-delete scenario, soaked as its own
     // fixture (below — not a registry key): EVERY view key vanishes
     // in one fold; the driver-OOM shape the r11 distributed

@@ -993,6 +993,39 @@ object TableFormat {
           lit(eq(v3head, full3)).as("v3_exact"),
           col("n_keys"), col("n_rows"), col("sum_total")))
     },
+    "q_table_generated_cols" -> { (s, dir) =>
+      // GENERATED columns (r12 — Delta's GENERATED ALWAYS AS): table
+      // property `generated.day` = 'event_id % 7'; a writer that
+      // OMITS the column gets it computed, one that SUPPLIES it is
+      // validated against the expression (divergence fails the WRITE
+      // by name — spec-pinned). The headline use is the DERIVED
+      // PARTITION LAYOUT: both appends partition by the generated
+      // column, so a day-scoped read prunes to 2 of 14 files from
+      // log metadata alone — the writer never computed a day value.
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val root = java.nio.file.Files.createTempDirectory("graft_gencol")
+      root.toFile.deleteOnExit()
+      CommitLog.setTableProperty(root.toString, "generated.day", "event_id % 7")
+      // writer 1 omits the column — computed, then routed by it
+      CommitLog.appendPartitioned(s, root.toString,
+        ev.filter(col("event_id") % 2 === 0), "day", filesPerPartition = 1)
+      // writer 2 supplies it correctly — validated, then routed
+      CommitLog.appendPartitioned(s, root.toString,
+        ev.filter(col("event_id") % 2 =!= 0)
+          .withColumn("day", expr("event_id % 7")),
+        "day", filesPerPartition = 1)
+      val head = CommitLog.latestVersion(root.toString).get
+      val (pruned, total, read) = CommitLog.partitionPrunedRead(s,
+        root.toString, head, "day", Seq("3"))
+      val full = CommitLog.read(s, root.toString, head)
+      val mism = full.filter(!(col("day") <=> expr("event_id % 7"))).count()
+      ordered(pruned.filter(col("day") === 3)
+        .agg(count(lit(1)).as("n_rows_day3"), dsum(col("value")).as("sum_value_day3"))
+        .select(lit(total).as("files_total"), lit(read).as("files_read"),
+          lit(mism).as("n_mismatch"),
+          col("n_rows_day3"), col("sum_value_day3")))
+    },
     "q_table_auto_compact" -> { (s, dir) =>
       // AUTO-COMPACT policy (r12) — the small-file problem closed by
       // policy instead of a cron job: table property `autoCompact`
@@ -2584,6 +2617,15 @@ object TableFormat {
         |  CAST(CAST((SELECT SUM(total_sum) FROM h) AS STRING) AS DOUBLE) AS sum_total""".stripMargin +
         orderByAll("rows_folded_v2", "v1_exact", "v2_exact",
           "n_buckets", "n_users", "sum_total")),
+    "q_table_generated_cols" ->
+      ("""SELECT CAST(14 AS BIGINT) AS files_total,
+        |  CAST(2 AS BIGINT) AS files_read,
+        |  CAST(0 AS BIGINT) AS n_mismatch,
+        |  COUNT(*) AS n_rows_day3,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value_day3
+        |FROM events WHERE event_id % 7 = 3""".stripMargin +
+        orderByAll("files_total", "files_read", "n_mismatch",
+          "n_rows_day3", "sum_value_day3")),
     "q_table_auto_compact" ->
       ("""SELECT CAST(3 AS BIGINT) AS head_version,
         |  CAST(3 AS BIGINT) AS n_appends,

@@ -31,7 +31,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val restoreRe =
     """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+(?:AS\s+OF\s+)?(\d+)\s*;?\s*""".r
   private val vacuumRe =
-    """(?is)\s*VACUUM\s+([\w.]+)\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+([\w.]+)\s+RETAIN\s+(\d+)\s+VERSIONS(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val vacuumHoursRe =
     """(?is)\s*VACUUM\s+([\w.]+)\s+RETAIN\s+(\d+)\s+HOURS\s*;?\s*""".r
   private val optimizeRe =
@@ -146,8 +146,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     // the same syntax keeps its tables (r11, ADVICE)
     case restoreRe(ident, v) if isGraftCatalog(ident) =>
       RestoreTableCommand(ident.split('.').toSeq, v.toLong)
-    case vacuumRe(ident, n) if isGraftCatalog(ident) =>
-      VacuumTableCommand(ident.split('.').toSeq, n.toLong)
+    case vacuumRe(ident, n, dry) if isGraftCatalog(ident) =>
+      VacuumTableCommand(ident.split('.').toSeq, n.toLong, dry != null)
     case vacuumHoursRe(ident, h) if isGraftCatalog(ident) =>
       VacuumHoursCommand(ident.split('.').toSeq, h.toLong)
     case optimizeRe(ident, cols) if isGraftCatalog(ident) =>
@@ -283,10 +283,13 @@ case class RestoreTableCommand(parts: Seq[String], toVersion: Long)
     Seq(Row(CommitLog.restore(GraftSqlCommands.rootOf(s, parts), toVersion)))
 }
 
-/** VACUUM t RETAIN n VERSIONS — keep the newest n snapshots readable,
-  * reclaim files referenced only by older ones. Returns
-  * (files_removed, files_kept). */
-case class VacuumTableCommand(parts: Seq[String], retainVersions: Long)
+/** VACUUM t RETAIN n VERSIONS [DRY RUN] — keep the newest n snapshots
+  * readable, reclaim files referenced only by older ones. Returns
+  * (files_removed, files_kept). DRY RUN (r12, Delta's contract)
+  * reports the SAME counts without deleting anything — the operator's
+  * pre-flight check before an irreversible reclaim. */
+case class VacuumTableCommand(parts: Seq[String], retainVersions: Long,
+    dryRun: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(GraftSqlCommands.attr("files_removed"), GraftSqlCommands.attr("files_kept"))
@@ -296,7 +299,9 @@ case class VacuumTableCommand(parts: Seq[String], retainVersions: Long)
     val head = CommitLog.latestVersion(root).getOrElse(
       sys.error(s"cannot vacuum an empty table at $root"))
     val retainFrom = math.max(0L, head - retainVersions + 1)
-    val (removed, kept) = CommitLog.vacuum(root, retainFrom)
+    val (removed, kept) =
+      if (dryRun) CommitLog.vacuumDryRun(root, retainFrom)
+      else CommitLog.vacuum(root, retainFrom)
     Seq(Row(removed, kept))
   }
 }

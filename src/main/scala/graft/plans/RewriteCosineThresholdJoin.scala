@@ -117,27 +117,51 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => RewriteCosineThresholdJoin)
     ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
-    // table_changes('cat.tbl', fromVersion, toVersion) — the Delta CDF
-    // table-valued function: resolves to the commit log's row-level
-    // changelog plan (graft.sources.CommitLog.changesRows). Resolution
-    // reads manifests only; data reading stays lazy in the plan.
+    // table_changes('cat.tbl', from, to) — the Delta CDF table-valued
+    // function: resolves to the commit log's row-level changelog plan
+    // (graft.sources.CommitLog.changesRows). Resolution reads
+    // manifests only; data reading stays lazy in the plan. Bounds are
+    // VERSIONS (numeric literals) or TIMESTAMPS (r12 — string
+    // literals, 'yyyy-MM-dd HH:mm:ss[.SSS]' or ISO-8601, read as UTC
+    // like every engine timestamp): a timestamp bound resolves to the
+    // greatest retained version committed at or before that instant
+    // (CommitLog.versionAtTime — the Delta "snapshot as of" rule), so
+    // a timestamp FROM means "changes SINCE the snapshot at that
+    // instant" (exclusive, like a version FROM) and a timestamp TO
+    // means "changes up to the snapshot at that instant" (inclusive).
     ext.injectTableFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("table_changes"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[GraftExtensions].getName, "table_changes"),
       (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(args.length == 3,
-          "table_changes(table, fromVersion, toVersion) takes 3 arguments")
+          "table_changes(table, from, to) takes 3 arguments " +
+            "(versions as numbers, timestamps as strings)")
         def evalOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Any = {
           require(e.foldable, s"table_changes arguments must be literals, got $e")
           e.eval()
         }
+        def tsMillis(raw: String): Long = {
+          val t = raw.trim
+          scala.util.Try(java.time.Instant.parse(t).toEpochMilli)
+            .orElse(scala.util.Try(
+              java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+                .toInstant(java.time.ZoneOffset.UTC).toEpochMilli))
+            .getOrElse(throw new IllegalArgumentException(
+              s"table_changes: '$raw' is neither a version number nor a " +
+                "timestamp ('yyyy-MM-dd HH:mm:ss[.SSS]' or ISO-8601, UTC)"))
+        }
         val ident = String.valueOf(evalOf(args(0)))
-        val from = evalOf(args(1)).asInstanceOf[Number].longValue()
-        val to = evalOf(args(2)).asInstanceOf[Number].longValue()
         val s = org.apache.spark.sql.SparkSession.active
-        graft.sources.CommitLog.changesRows(s,
-          GraftSqlCommands.rootOf(s, ident.split('.').toSeq), from, to)
+        val root = GraftSqlCommands.rootOf(s, ident.split('.').toSeq)
+        def boundOf(e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
+          evalOf(e) match {
+            case n: Number => n.longValue()
+            case other => graft.sources.CommitLog.versionAtTime(
+              root, tsMillis(String.valueOf(other)))
+          }
+        graft.sources.CommitLog.changesRows(s, root,
+          boundOf(args(1)), boundOf(args(2)))
           .queryExecution.logical
       }))
   }

@@ -735,7 +735,37 @@ object CommitLog {
     * the current snapshot (or as the first snapshot). Data files land
     * under data/ with unique names but stay invisible to readers until
     * the manifest rename publishes them. */
-  def append(s: SparkSession, root: String, df: DataFrame, nFiles: Int): Long = {
+  /** GENERATED columns (r12 — Delta's GENERATED ALWAYS AS): table
+    * property `generated.<col>` = a SQL expression over the row's
+    * other columns. On every plain append: a write that OMITS the
+    * column gets it COMPUTED (the common case — the writer doesn't
+    * know the derivation); a write that SUPPLIES it is VALIDATED
+    * against the expression (null-safe equality, a short-circuiting
+    * limit(1) probe like CHECK constraints) and fails the WRITE by
+    * name on divergence — never a silently wrong partition/stat.
+    * Applied BEFORE the schema check (a missing generated column
+    * must fill, not null-project). Returns the completed frame. */
+  private def applyGeneratedColumns(s: SparkSession, root: String,
+      df: DataFrame, opName: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, not}
+    val gens = tableProperties(root).collect {
+      case (k, v) if k.startsWith("generated.") => k.stripPrefix("generated.") -> v
+    }.toSeq.sortBy(_._1)
+    gens.foldLeft(df) { case (d, (name, sql)) =>
+      if (!d.columns.contains(name)) d.withColumn(name, expr(sql))
+      else {
+        val diverges = d.filter(not(col(name) <=> expr(sql))).limit(1).count() > 0
+        if (diverges) throw new IllegalArgumentException(
+          s"$opName: supplied values for generated column '$name' diverge " +
+            s"from its expression ($sql) — omit the column to have it " +
+            "computed, or supply matching values")
+        d
+      }
+    }
+  }
+
+  def append(s: SparkSession, root: String, df0: DataFrame, nFiles: Int): Long = {
+    val df = applyGeneratedColumns(s, root, df0, "append")
     val prev = latestVersion(root)
     requireSchemaCompatible(root, prev, df, "append")
     enforceConstraints(s, root, df, "append")
@@ -1463,9 +1493,13 @@ object CommitLog {
     * partition-prunable across many appends. A second partition
     * column on the same table is rejected (one partCol per table,
     * the public formats' single partitioning spec). */
-  def appendPartitioned(s: SparkSession, root: String, df: DataFrame,
+  def appendPartitioned(s: SparkSession, root: String, df0: DataFrame,
       partCol: String, filesPerPartition: Int,
       extraMeta: Seq[String] = Nil): Long = {
+    // generated columns fill/validate FIRST — partitioning by a
+    // generated column (the derived-date layout) is the feature's
+    // headline use
+    val df = applyGeneratedColumns(s, root, df0, "appendPartitioned")
     val prev = latestVersion(root)
     requireSchemaCompatible(root, prev, df, "appendPartitioned")
     enforceConstraints(s, root, df, "appendPartitioned")
@@ -2831,6 +2865,22 @@ object CommitLog {
     * the fixture keys run single-writer and use the 0 default so the
     * crash-orphan reclamation stays deterministic.
     * Returns (filesRemoved, filesKept). */
+  /** [[vacuum]]'s pre-flight twin (r12 — Delta's VACUUM DRY RUN): the
+    * same (wouldRemove, wouldKeep) data-file accounting with ZERO
+    * deletions — manifests, CDF and deletion-vector sidecars all stay.
+    * The operator's check before an irreversible reclaim. */
+  def vacuumDryRun(root: String, retainFrom: Long): (Long, Long) = {
+    val latest = latestVersion(root)
+      .getOrElse(sys.error(s"cannot vacuum an empty table at $root"))
+    require(retainFrom <= latest, s"retainFrom $retainFrom > latest $latest")
+    val keep = (retainFrom to latest)
+      .flatMap(v => readManifest(root, v)._2).toSet
+    val all = Option(new java.io.File(root, "data").listFiles())
+      .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet"))
+    val (kept, dropped) = all.partition(f => keep.contains("data/" + f.getName))
+    (dropped.length.toLong, kept.length.toLong)
+  }
+
   def vacuum(root: String, retainFrom: Long, graceMs: Long = 0L): (Long, Long) = {
     val latest = latestVersion(root)
       .getOrElse(sys.error(s"cannot vacuum an empty table at $root"))
@@ -2899,9 +2949,10 @@ object CommitLog {
     * untouched across retries, so N concurrent ingest jobs serialize
     * at log-commit rate, not data rate. Returns the committed
     * version. */
-  def appendWithRetry(s: SparkSession, root: String, df: DataFrame,
+  def appendWithRetry(s: SparkSession, root: String, df0: DataFrame,
       nFiles: Int, maxAttempts: Int = 10,
       beforeCommit: () => Unit = () => ()): Long = {
+    val df = applyGeneratedColumns(s, root, df0, "appendWithRetry")
     val staged = stageDataFiles(s, root, df, nFiles)
     var attempt = 0
     while (attempt < maxAttempts) {

@@ -616,6 +616,78 @@ class CatalogSpec extends SparkSpec {
       ex2.getMessage.contains("unsupported aggregates"), ex2.getMessage)
   }
 
+  test("generated columns: omitted fills, supplied validates, divergence fails the write by name (r12)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_gcol_t").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value")).limit(300)
+    CommitLog.setTableProperty(root, "generated.day", "event_id % 7")
+    // omitted → computed
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 2 === 0), nFiles = 1)
+    val v0 = CommitLog.read(spark, root, 0L)
+    assert(v0.columns.contains("day"))
+    assert(v0.filter(!(col("day") <=> expr("event_id % 7"))).count() === 0)
+    // supplied-and-matching → validated, accepted
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 2 =!= 0)
+      .withColumn("day", expr("event_id % 7")), nFiles = 1)
+    // supplied-and-DIVERGENT → the write fails by name, nothing lands
+    val headBefore = CommitLog.latestVersion(root).get
+    val ex = intercept[IllegalArgumentException] {
+      CommitLog.append(spark, root,
+        ev.limit(5).withColumn("day", lit(99L)), nFiles = 1)
+    }
+    assert(ex.getMessage.contains("generated column 'day'"), ex.getMessage)
+    assert(CommitLog.latestVersion(root).get === headBefore,
+      "a rejected generated-column write must not publish")
+  }
+
+  test("table_changes accepts timestamp string bounds; VACUUM DRY RUN deletes nothing (r12)") {
+    import graft.sources.{CommitLog, Tables}
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "t").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value")).limit(300)
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 3 === 0), nFiles = 1)
+    Thread.sleep(30)
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 3 === 1), nFiles = 1)
+    Thread.sleep(30)
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 3 === 2), nFiles = 1)
+    // timestamp bounds resolve through versionAtTime: FROM at v1's
+    // commit instant means "changes since the v1 snapshot" = v2 only
+    val ts1 = CommitLog.historySummaries(root)._1.find(_.version == 1L)
+      .flatMap(_.ts).get
+    val fmt = java.time.Instant.ofEpochMilli(ts1).toString
+    val viaTs = spark.sql(
+      s"SELECT * FROM table_changes('$cat.t', '$fmt', 2)")
+    val viaVer = spark.sql(s"SELECT * FROM table_changes('$cat.t', 1, 2)")
+    assert(viaTs.exceptAll(viaVer).count() === 0 &&
+      viaVer.exceptAll(viaTs).count() === 0,
+      "timestamp FROM must resolve to the version-at-instant bound")
+    // a garbage bound refuses by name
+    val ex = intercept[Exception] {
+      spark.sql(s"SELECT * FROM table_changes('$cat.t', 'not-a-time', 2)").collect()
+    }
+    assert(ex.getMessage.contains("neither a version number nor a timestamp"),
+      ex.getMessage)
+    // VACUUM DRY RUN reports what a real vacuum would do, removes
+    // nothing — a compaction first, so the pre-compaction files are
+    // referenced only by older versions (appends alone carry every
+    // file forward and leave nothing droppable)
+    CommitLog.compact(spark, root, nFiles = 1)
+    val filesBefore = Option(new java.io.File(root, "data").listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    val dry = spark.sql(s"VACUUM $cat.t RETAIN 1 VERSIONS DRY RUN").collect()(0)
+    assert(dry.getLong(0) > 0L, "retaining 1 of 3 versions must have droppable files")
+    val filesAfterDry = Option(new java.io.File(root, "data").listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    assert(filesAfterDry === filesBefore, "DRY RUN must not delete")
+    // and the real vacuum removes exactly what the dry run predicted
+    val real = spark.sql(s"VACUUM $cat.t RETAIN 1 VERSIONS").collect()(0)
+    assert(real.getLong(0) === dry.getLong(0) &&
+      real.getLong(1) === dry.getLong(1),
+      s"dry-run prediction ${dry} diverges from the real vacuum ${real}")
+  }
+
   test("parser: RESTORE/VACUUM/OPTIMIZE on non-graft identifiers delegate verbatim (r11, ADVICE)") {
     // each maintenance statement on an unregistered identifier must
     // fall through to Spark's parser (whose syntax error owns the
