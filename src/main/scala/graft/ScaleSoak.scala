@@ -171,6 +171,9 @@ object ScaleSoak {
     // limit(1) probe per write; the derived-partition layout prunes
     // from log metadata alone
     "q_table_generated_cols",
+    // mixed-clause MERGE (CDC apply): one atomic commit carrying
+    // deletes+updates+inserts; cost ∝ dirty files + feed volume
+    "q_sql_table_merge_delete",
     // the r10 verdict's mass-delete scenario, soaked as its own
     // fixture (below — not a registry key): EVERY view key vanishes
     // in one fold; the driver-OOM shape the r11 distributed

@@ -993,6 +993,55 @@ object TableFormat {
           lit(eq(v3head, full3)).as("v3_exact"),
           col("n_keys"), col("n_rows"), col("sum_total")))
     },
+    "q_sql_table_merge_delete" -> { (s, dir) =>
+      // MIXED-clause MERGE (r12) — the CDC-apply statement: the
+      // source carries an op marker; `WHEN MATCHED AND s.op = 'D'
+      // THEN DELETE` drops matched targets, the canonical upsert pair
+      // handles the rest, and the `WHEN NOT MATCHED AND s.op <> 'D'`
+      // guard keeps unmatched delete-markers from inserting (the
+      // documented Delta CDC MERGE pattern). The marker column drives
+      // routing but never lands — the write projects to the target's
+      // schema. One statement, one atomic commit: deletes, updates
+      // and inserts together.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_mgd")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "t").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      CommitLog.append(s, root, ev, nFiles = 2)
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      val feed = ev.filter(col("user_id") % 5 === 1)
+        .withColumn("op", lit("D"))                     // matched deletes
+        .unionByName(ev.limit(50)
+          .withColumn("event_id", col("event_id") + 2000000000L)
+          .withColumn("op", lit("D")))                  // unmatched: no-op
+        .unionByName(ev.filter(col("user_id") % 5 === 2)
+          .withColumn("value", col("value") + lit(1000.0))
+          .withColumn("op", lit("U")))                  // matched updates
+        .unionByName(ev.filter(col("user_id") % 5 === 3)
+          .withColumn("event_id", col("event_id") + 1000000000L)
+          .withColumn("op", lit("I")))                  // unmatched inserts
+      val view = "cdc_src_" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      feed.createOrReplaceTempView(view)
+      val r = s.sql(
+        s"""MERGE INTO $cat.t t USING $view s
+          |ON t.event_id = s.event_id
+          |WHEN MATCHED AND s.op = 'D' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *""".stripMargin)
+        .collect()(0)
+      ordered(s.sql(s"SELECT * FROM $cat.t")
+        .agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("sum_value"),
+          sum(when(col("user_id") % 5 === 1, 1L).otherwise(0L))
+            .as("n_deleted_remaining"),
+          sum(when(col("event_id") >= 1000000000L, 1L).otherwise(0L))
+            .as("n_inserted"))
+        .select(lit(r.getLong(0)).as("head_version"),
+          col("n_rows"), col("sum_value"),
+          col("n_deleted_remaining"), col("n_inserted")))
+    },
     "q_table_generated_cols" -> { (s, dir) =>
       // GENERATED columns (r12 — Delta's GENERATED ALWAYS AS): table
       // property `generated.day` = 'event_id % 7'; a writer that
@@ -2617,6 +2666,23 @@ object TableFormat {
         |  CAST(CAST((SELECT SUM(total_sum) FROM h) AS STRING) AS DOUBLE) AS sum_total""".stripMargin +
         orderByAll("rows_folded_v2", "v1_exact", "v2_exact",
           "n_buckets", "n_users", "sum_total")),
+    "q_sql_table_merge_delete" ->
+      ("""WITH fin AS (
+        |  SELECT event_id, user_id,
+        |    CASE WHEN user_id % 5 = 2 THEN value + 1000.0 ELSE value END AS value
+        |  FROM events WHERE user_id % 5 <> 1
+        |  UNION ALL
+        |  SELECT event_id + 1000000000, user_id, value
+        |  FROM events WHERE user_id % 5 = 3)
+        |SELECT CAST(1 AS BIGINT) AS head_version,
+        |  COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value,
+        |  CAST(0 AS BIGINT) AS n_deleted_remaining,
+        |  CAST((SELECT COUNT(*) FROM events WHERE user_id % 5 = 3)
+        |    AS BIGINT) AS n_inserted
+        |FROM fin""".stripMargin +
+        orderByAll("head_version", "n_rows", "sum_value",
+          "n_deleted_remaining", "n_inserted")),
     "q_table_generated_cols" ->
       ("""SELECT CAST(14 AS BIGINT) AS files_total,
         |  CAST(2 AS BIGINT) AS files_read,

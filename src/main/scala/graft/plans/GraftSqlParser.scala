@@ -27,6 +27,29 @@ import graft.sources.CommitLog
   * LeafRunnableCommand — driver-side metadata work returning its
   * counters as rows (the data movement, if any, runs as ordinary
   * distributed jobs inside the CommitLog call). */
+object GraftSqlParser {
+  private val onEqRe =
+    """(?is)(\w+)\s*\.\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)""".r
+
+  /** Validate a MERGE ON clause: every equality binds one side to the
+    * target, one to the source, and names the SAME column (the log's
+    * merge keys on shared column names); multiple AND-joined
+    * equalities form a composite key (r11). Returns the key columns. */
+  private[plans] def mergeKeyColsOf(onClause: String, tAlias: String,
+      sAlias: String): Seq[String] =
+    onEqRe.findAllMatchIn(onClause).map { m =>
+      val (q1, c1, q2, c2) = (m.group(1), m.group(2), m.group(3), m.group(4))
+      val (tCol, sCol) =
+        if (q1 == tAlias && q2 == sAlias) (c1, c2)
+        else if (q1 == sAlias && q2 == tAlias) (c2, c1)
+        else throw new IllegalArgumentException(
+          s"MERGE ON must equate target and source columns, got $q1.$c1 = $q2.$c2")
+      require(tCol == sCol,
+        s"graft MERGE keys on shared column names, got $tCol vs $sCol")
+      tCol
+    }.toSeq
+}
+
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val restoreRe =
     """(?is)\s*RESTORE\s+TABLE\s+([\w.]+)\s+TO\s+VERSION\s+(?:AS\s+OF\s+)?(\d+)\s*;?\s*""".r
@@ -129,6 +152,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """\s+ON\s+((?:\w+\s*\.\s*\w+\s*=\s*\w+\s*\.\s*\w+)(?:\s+AND\s+\w+\s*\.\s*\w+\s*=\s*\w+\s*\.\s*\w+)*)""" +
       """\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
       """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
+  // the MIXED-clause form (r12): a conditional DELETE clause ahead of
+  // the canonical upsert pair, plus an optional insert guard — the
+  // CDC-apply statement (source rows carry an op marker; matched
+  // deletes drop, the guard keeps unmatched delete-markers from
+  // inserting — the documented Delta CDC MERGE pattern)
+  private val mergeDeleteRe =
+    ("""(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?""" +
+      """\s+ON\s+((?:\w+\s*\.\s*\w+\s*=\s*\w+\s*\.\s*\w+)(?:\s+AND\s+\w+\s*\.\s*\w+\s*=\s*\w+\s*\.\s*\w+)*)""" +
+      """\s+WHEN\s+MATCHED\s+AND\s+(.+?)\s+THEN\s+DELETE""" +
+      """\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
+      """\s+WHEN\s+NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
   private val onEqRe =
     """(?is)(\w+)\s*\.\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)""".r
 
@@ -216,25 +250,21 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         srcT.split('.').toSeq, key, value)
     case refreshMvRe(view) if isGraftCatalog(view) =>
       RefreshMaterializedViewCommand(view.split('.').toSeq)
+    // the MIXED-clause form first (more specific): conditional DELETE
+    // + upsert + optional insert guard (r12, the CDC-apply statement)
+    case mergeDeleteRe(ident, tAls, src, sAls, onClause, delCond, insCond)
+        if isGraftCatalog(ident) =>
+      val tAlias = Option(tAls).getOrElse(ident.split('.').last)
+      val sAlias = Option(sAls).getOrElse(src.split('.').last)
+      MergeIntoGraftCommand(ident.split('.').toSeq, src,
+        GraftSqlParser.mergeKeyColsOf(onClause, tAlias, sAlias),
+        sourceAlias = sAlias, deleteCond = Option(delCond),
+        insertCond = Option(insCond))
     case mergeRe(ident, tAls, src, sAls, onClause) if isGraftCatalog(ident) =>
       val tAlias = Option(tAls).getOrElse(ident.split('.').last)
       val sAlias = Option(sAls).getOrElse(src.split('.').last)
-      // every ON equality must bind one side to the target, one to the
-      // source, and name the SAME column (the log's merge keys on
-      // shared column names); multiple AND-joined equalities form a
-      // composite key (r11)
-      val keyCols = onEqRe.findAllMatchIn(onClause).map { m =>
-        val (q1, c1, q2, c2) = (m.group(1), m.group(2), m.group(3), m.group(4))
-        val (tCol, sCol) =
-          if (q1 == tAlias && q2 == sAlias) (c1, c2)
-          else if (q1 == sAlias && q2 == tAlias) (c2, c1)
-          else throw new IllegalArgumentException(
-            s"MERGE ON must equate target and source columns, got $q1.$c1 = $q2.$c2")
-        require(tCol == sCol,
-          s"graft MERGE keys on shared column names, got $tCol vs $sCol")
-        tCol
-      }.toSeq
-      MergeIntoGraftCommand(ident.split('.').toSeq, src, keyCols)
+      MergeIntoGraftCommand(ident.split('.').toSeq, src,
+        GraftSqlParser.mergeKeyColsOf(onClause, tAlias, sAlias))
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -607,16 +637,58 @@ case class ReorgTableCommand(parts: Seq[String]) extends LeafRunnableCommand {
   * file count: `spark.graft.insert.files` (default 2). Returns
   * (head_version, files_carried, files_rewritten). */
 case class MergeIntoGraftCommand(parts: Seq[String], source: String,
-    keyCols: Seq[String]) extends LeafRunnableCommand {
+    keyCols: Seq[String], sourceAlias: String = "",
+    deleteCond: Option[String] = None,
+    insertCond: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     GraftSqlCommands.attr("head_version"),
     GraftSqlCommands.attr("files_carried"),
     GraftSqlCommands.attr("files_rewritten"))
   override def run(s: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val root = GraftSqlCommands.rootOf(s, parts)
     val n = s.conf.getOption("spark.graft.insert.files").map(_.toInt).getOrElse(2)
-    val (v, carried, rewritten) = CommitLog.mergeKeyed(s,
-      GraftSqlCommands.rootOf(s, parts), s.table(source), keyCols,
-      nInsertFiles = n)
+    val srcRaw = s.table(source)
+    val (v, carried, rewritten) = deleteCond match {
+      case None =>
+        CommitLog.mergeKeyed(s, root, srcRaw, keyCols, nInsertFiles = n)
+      case Some(dc) =>
+        // the MIXED-clause routing (r12): source rows matching the
+        // DELETE condition drop their matched targets (unmatched
+        // delete-markers are a no-op — a clause for them would have
+        // to be the insert guard's business); the rest upsert, with
+        // the optional NOT MATCHED guard filtering which UNMATCHED
+        // rows may insert (matched rows always update — the guard is
+        // an insert guard, not an update guard, per the statement's
+        // clause structure). Conditions reference source columns via
+        // the source alias; exact MERGE semantics, fully distributed
+        // (the matched-ness split is one left-semi/anti against the
+        // target's key projection).
+        val src = srcRaw.as(sourceAlias)
+        val head = CommitLog.latestVersion(root)
+          .getOrElse(sys.error(s"cannot merge into an empty table at $root"))
+        val tgt = CommitLog.read(s, root, head)
+        val delSide = src.filter(coalesce(expr(dc), lit(false)))
+        val nonDel = src.filter(not(coalesce(expr(dc), lit(false))))
+        val ups = insertCond match {
+          case None => nonDel
+          case Some(ic) =>
+            val tgtKeys = tgt
+              .select(keyCols.map(org.apache.spark.sql.functions.col): _*)
+            nonDel.join(tgtKeys, keyCols, "left_semi")
+              .unionByName(nonDel.join(tgtKeys, keyCols, "left_anti")
+                .filter(coalesce(expr(ic), lit(false))))
+        }
+        // the conditions see the source's marker columns (s.op); the
+        // WRITE sees the TARGET's schema — clause-only columns project
+        // away here, exactly the Delta CDC-apply shape where `op`
+        // drives routing but never lands
+        val tgtShape = ups.select(
+          tgt.columns.map(org.apache.spark.sql.functions.col).toSeq: _*)
+        CommitLog.mergeKeyed(s, root, tgtShape, keyCols, nInsertFiles = n,
+          deleteKeys = Some(delSide
+            .select(keyCols.map(org.apache.spark.sql.functions.col): _*)))
+    }
     Seq(Row(v, carried, rewritten))
   }
 }

@@ -616,6 +616,45 @@ class CatalogSpec extends SparkSpec {
       ex2.getMessage.contains("unsupported aggregates"), ex2.getMessage)
   }
 
+  test("SQL join view: dim advance with CDF propagates through REFRESH; AVG accepted in the JOIN form (r12)") {
+    import graft.sources.CommitLog
+    val (cat, base) = freshCatalog()
+    val factRoot = new java.io.File(base, "f").toString
+    val dimRoot = new java.io.File(base, "d").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value")).limit(600)
+    CommitLog.setTableProperty(factRoot, "enableChangeDataFeed", "true")
+    CommitLog.setTableProperty(dimRoot, "enableChangeDataFeed", "true")
+    CommitLog.append(spark, factRoot, ev, nFiles = 1)
+    CommitLog.append(spark, dimRoot, ev.select(col("user_id")).distinct()
+      .withColumn("segment", concat(lit("s"), (col("user_id") % 3).cast("string"))),
+      nFiles = 1)
+    // the JOIN statement form with AVG + a family subset (r12)
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.v AS
+        |SELECT segment, COUNT(*) AS n,
+        |  AVG(value) AS avg_value, SUM(value) AS total_value
+        |FROM $cat.f JOIN $cat.d ON f.user_id = d.user_id
+        |GROUP BY segment""".stripMargin)
+    assert(spark.sql(s"SELECT * FROM $cat.v").columns.contains("avg_value"))
+    // the dim advances (SCD remap) — REFRESH folds Δdim exactly
+    spark.sql(s"UPDATE $cat.d SET segment = 's_remap' WHERE user_id % 4 = 1")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.v")
+    val got = spark.sql(s"SELECT * FROM $cat.v")
+    val want = spark.sql(
+      s"""SELECT segment, COUNT(*) AS n, COUNT(value) AS nv_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_value,
+        |  MIN(value) AS mn_value, MAX(value) AS mx_value,
+        |  CASE WHEN COUNT(value) > 0 THEN
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
+        |      AS DOUBLE) / COUNT(value) END AS avg_value
+        |FROM $cat.f JOIN $cat.d ON f.user_id = d.user_id
+        |GROUP BY segment""".stripMargin)
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+      "SQL REFRESH after a dim advance diverges from recompute")
+    assert(got.filter(col("segment") === "s_remap").count() === 1L)
+  }
+
   test("generated columns: omitted fills, supplied validates, divergence fails the write by name (r12)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_gcol_t").toString

@@ -148,7 +148,8 @@ class RegistrySpec extends SparkSpec {
       // maintenance, depth-3 chains, AVG statement surface
       "q_table_incr_view_join_dimupd", "s_table_view_stream_multi",
       "q_table_view_chain3", "q_sql_table_incr_view_avg",
-      "q_table_auto_compact", "q_table_generated_cols")
+      "q_table_auto_compact", "q_table_generated_cols",
+      "q_sql_table_merge_delete")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }
