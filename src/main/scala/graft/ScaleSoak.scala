@@ -174,6 +174,9 @@ object ScaleSoak {
     // mixed-clause MERGE (CDC apply): one atomic commit carrying
     // deletes+updates+inserts; cost ∝ dirty files + feed volume
     "q_sql_table_merge_delete",
+    // type widening: a metadata-only schema upgrade — narrow files
+    // read natively under the widened schema, zero rewrite
+    "q_table_type_widening",
     // the r10 verdict's mass-delete scenario, soaked as its own
     // fixture (below — not a registry key): EVERY view key vanishes
     // in one fold; the driver-OOM shape the r11 distributed

@@ -993,6 +993,43 @@ object TableFormat {
           lit(eq(v3head, full3)).as("v3_exact"),
           col("n_keys"), col("n_rows"), col("sum_total")))
     },
+    "q_table_type_widening" -> { (s, dir) =>
+      // TYPE WIDENING (r12 — Delta's type-widening feature): the
+      // table starts (int, float), an evolved append carrying
+      // (bigint, double) WIDENS the recorded schema — existing narrow
+      // files read NATIVELY under it (this Spark's parquet readers
+      // upcast int32/float at scan; zero rewrite, pinned by the
+      // version anatomy: no compaction, no CoW, just appends) — and a
+      // subsequent PLAIN append with the old narrow types still
+      // lands (its files stage narrow, the scan upcasts), so old
+      // writers survive the widen. Head schema pinned by name;
+      // aggregates replay the float-rounding exactly.
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val root = java.nio.file.Files.createTempDirectory("graft_widen")
+      root.toFile.deleteOnExit()
+      val narrow1 = ev.filter(col("event_id") % 2 === 0)
+        .select(col("event_id").cast("int").as("event_id"),
+          col("user_id"), col("value").cast("float").as("value"))
+      CommitLog.appendEvolved(s, root.toString, narrow1, nFiles = 2)
+      val wide = ev.filter(col("event_id") % 2 =!= 0)
+      CommitLog.appendEvolved(s, root.toString, wide, nFiles = 2)
+      // the old narrow writer keeps working through the PLAIN path
+      val narrow2 = ev.filter(col("event_id") <= 500)
+        .select((col("event_id") + 10000000L).cast("int").as("event_id"),
+          col("user_id"), col("value").cast("float").as("value"))
+      CommitLog.append(s, root.toString, narrow2, nFiles = 1)
+      val head = CommitLog.latestVersion(root.toString).get
+      val got = CommitLog.read(s, root.toString, head)
+      val types = got.schema.fields
+        .map(f => f.name + ":" + f.dataType.simpleString).mkString(",")
+      ordered(got.agg(count(lit(1)).as("n_rows"),
+        dsum(col("value")).as("sum_value"),
+        min(col("value")).as("min_value"), max(col("value")).as("max_value"))
+        .select(lit(head).as("head_version"), lit(types).as("head_schema"),
+          col("n_rows"), col("sum_value"), col("min_value"),
+          col("max_value")))
+    },
     "q_sql_table_merge_delete" -> { (s, dir) =>
       // MIXED-clause MERGE (r12) — the CDC-apply statement: the
       // source carries an op marker; `WHEN MATCHED AND s.op = 'D'
@@ -2666,6 +2703,23 @@ object TableFormat {
         |  CAST(CAST((SELECT SUM(total_sum) FROM h) AS STRING) AS DOUBLE) AS sum_total""".stripMargin +
         orderByAll("rows_folded_v2", "v1_exact", "v2_exact",
           "n_buckets", "n_users", "sum_total")),
+    "q_table_type_widening" ->
+      ("""WITH fin AS (
+        |  SELECT CAST(CAST(value AS REAL) AS DOUBLE) AS value
+        |  FROM events WHERE event_id % 2 = 0
+        |  UNION ALL
+        |  SELECT value FROM events WHERE event_id % 2 <> 0
+        |  UNION ALL
+        |  SELECT CAST(CAST(value AS REAL) AS DOUBLE) AS value
+        |  FROM events WHERE event_id <= 500)
+        |SELECT CAST(2 AS BIGINT) AS head_version,
+        |  'event_id:bigint,user_id:bigint,value:double' AS head_schema,
+        |  COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value,
+        |  MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM fin""".stripMargin +
+        orderByAll("head_version", "head_schema", "n_rows", "sum_value",
+          "min_value", "max_value")),
     "q_sql_table_merge_delete" ->
       ("""WITH fin AS (
         |  SELECT event_id, user_id,

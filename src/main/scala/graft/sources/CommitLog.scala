@@ -724,9 +724,16 @@ object CommitLog {
             s"$opName: column '${f.name}' is not in the table schema — " +
               "use appendEvolved to add columns (it would otherwise be " +
               "invisible to every reader of the log schema)")
-          case Some(dt) => require(dt == f.dataType,
+          // a NARROWER incoming type is fine post-widening (r12): the
+          // staged files carry the narrow physical type and the scan
+          // upcasts under the log schema — old writers keep working
+          // after a widen, zero rewrite. A WIDER (or crossing) type
+          // through a plain write still refuses: widening is a schema
+          // change, and schema changes go through appendEvolved.
+          case Some(dt) => require(dt == f.dataType || isWidening(f.dataType, dt),
             s"$opName: column '${f.name}' is $dt in the table but " +
-              s"${f.dataType} in the write — evolution never retypes")
+              s"${f.dataType} in the write — evolution never retypes " +
+              "(widen via appendEvolved)")
         }
       }
     }
@@ -1022,6 +1029,30 @@ object CommitLog {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
+  /** TYPE WIDENING lattice (r12 — Delta's type-widening table
+    * feature): `from` may be stored in parquet files that a scan
+    * under a `to`-typed log schema reads natively (verified against
+    * this Spark's vectorized AND row-based parquet readers): the
+    * integral chain upward, float→double, and decimal growth that
+    * loses neither integer nor fractional digits. Everything else —
+    * narrowing, string/number crossings, int→double (a precision
+    * loss for large longs in disguise) — is a RETYPE and refuses. */
+  private[sources] def isWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.scale >= f.scale &&
+          (t.precision - t.scale) >= (f.precision - f.scale)
+      case _ => false
+    }
+  }
+
   /** Schema-evolving APPEND — add-column through the log (the public
     * formats' schema evolution): the committed manifest records the
     * UNION schema (prior columns in their order, then `df`'s new
@@ -1031,7 +1062,13 @@ object CommitLog {
     * schema their manifest recorded (schema changes are versioned
     * like data changes). Type conflicts on a shared column name fail
     * the COMMIT, not some later read — the log is the schema
-    * authority, so it enforces compatibility at write time. */
+    * authority, so it enforces compatibility at write time. r12 adds
+    * TYPE WIDENING under [[isWidening]]: an append carrying a WIDER
+    * type records the widened schema (existing narrow files read
+    * natively under it — zero rewrite, the Delta type-widening
+    * contract), one carrying a NARROWER type stages as-is under the
+    * recorded wide schema (the scan upcasts); everything else still
+    * refuses as a retype. */
   def appendEvolved(s: SparkSession, root: String, df: DataFrame,
       nFiles: Int): Long = {
     val prev = latestVersion(root)
@@ -1047,14 +1084,25 @@ object CommitLog {
     val byName = prevSchema.map(f => f.name -> f).toMap
     df.schema.fields.foreach { f =>
       byName.get(f.name).foreach { p =>
-        require(p.dataType == f.dataType,
+        require(p.dataType == f.dataType ||
+          isWidening(p.dataType, f.dataType) ||
+          isWidening(f.dataType, p.dataType),
           s"appendEvolved: column '${f.name}' is ${p.dataType} in the " +
             s"table but ${f.dataType} in the append — evolution adds " +
-            "columns, it never retypes them")
+            "columns or WIDENS types (byte→short→int→long, " +
+            "float→double, decimal growth), it never retypes them")
+      }
+    }
+    // widen recorded columns the append carries wider
+    val widenedPrev = prevSchema.map { p =>
+      df.schema.fields.find(_.name == p.name) match {
+        case Some(f) if isWidening(p.dataType, f.dataType) =>
+          p.copy(dataType = f.dataType)
+        case _ => p
       }
     }
     val merged = org.apache.spark.sql.types.StructType(
-      prevSchema ++ df.schema.fields.filterNot(f => byName.contains(f.name))
+      widenedPrev ++ df.schema.fields.filterNot(f => byName.contains(f.name))
         .map(avoidPhysicalClash(root,
           org.apache.spark.sql.types.StructType(prevSchema), _)))
     val (prevCol, prevStats) =

@@ -149,7 +149,7 @@ class RegistrySpec extends SparkSpec {
       "q_table_incr_view_join_dimupd", "s_table_view_stream_multi",
       "q_table_view_chain3", "q_sql_table_incr_view_avg",
       "q_table_auto_compact", "q_table_generated_cols",
-      "q_sql_table_merge_delete")
+      "q_sql_table_merge_delete", "q_table_type_widening")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }

@@ -2016,6 +2016,75 @@ class StreamingSpec extends SparkSpec {
       ex5.getMessage.contains("resurrect"), ex5.getMessage)
   }
 
+  test("type widening: lattice-only, wider plain writes refuse, narrow writers survive the widen (r12)") {
+    import graft.sources.{CommitLog, Tables}
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value")).limit(400)
+    val root = java.nio.file.Files.createTempDirectory("graft_widen_t").toString
+    CommitLog.appendEvolved(spark, root,
+      ev.select(col("event_id").cast("int").as("event_id"),
+        col("value").cast("float").as("value")), nFiles = 1)
+    // a type CROSSING refuses (string is not wider than int)
+    val ex1 = intercept[IllegalArgumentException] {
+      CommitLog.appendEvolved(spark, root,
+        ev.select(col("event_id").cast("string").as("event_id"),
+          col("value").cast("float").as("value")), nFiles = 1)
+    }
+    assert(ex1.getMessage.contains("WIDENS"), ex1.getMessage)
+    // int→double is NOT widening (large-long precision loss in
+    // disguise at the long tier; the lattice is deliberately strict)
+    val ex2 = intercept[IllegalArgumentException] {
+      CommitLog.appendEvolved(spark, root,
+        ev.select(col("event_id").cast("double").as("event_id"),
+          col("value").cast("float").as("value")), nFiles = 1)
+    }
+    assert(ex2.getMessage.contains("WIDENS"), ex2.getMessage)
+    // a WIDER type through the PLAIN path refuses — widening is a
+    // schema change and goes through appendEvolved
+    val ex3 = intercept[IllegalArgumentException] {
+      CommitLog.append(spark, root,
+        ev.select(col("event_id"), col("value")), nFiles = 1)
+    }
+    assert(ex3.getMessage.contains("widen via appendEvolved"), ex3.getMessage)
+    // the widen itself, then: narrow files read natively, a narrow
+    // PLAIN append still lands, and values survive bit-for-bit
+    CommitLog.appendEvolved(spark, root,
+      ev.select(col("event_id"), col("value")), nFiles = 1)
+    CommitLog.append(spark, root,
+      ev.select((col("event_id") + 10000000L).cast("int").as("event_id"),
+        col("value").cast("float").as("value")), nFiles = 1)
+    val head = CommitLog.latestVersion(root).get
+    val got = CommitLog.read(spark, root, head)
+    assert(got.schema("event_id").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(got.schema("value").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    val want = ev.select(col("event_id"),
+        col("value").cast("float").cast("double").as("value"))
+      .unionByName(ev)
+      .unionByName(ev.select((col("event_id") + 10000000L).as("event_id"),
+        col("value").cast("float").cast("double").as("value")))
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+      "widened reads diverge from the upcast replay")
+    // decimal growth widens; fractional-digit LOSS refuses
+    val r2 = java.nio.file.Files.createTempDirectory("graft_widen_d").toString
+    CommitLog.appendEvolved(spark, r2,
+      ev.select(col("event_id"), col("value").cast("decimal(10,2)").as("d")),
+      nFiles = 1)
+    CommitLog.appendEvolved(spark, r2,
+      ev.select(col("event_id"), col("value").cast("decimal(18,4)").as("d")),
+      nFiles = 1)
+    val ex4 = intercept[IllegalArgumentException] {
+      CommitLog.appendEvolved(spark, r2,
+        ev.select(col("event_id"), col("value").cast("decimal(18,1)").as("d")),
+        nFiles = 1)
+    }
+    assert(ex4.getMessage.contains("WIDENS"), ex4.getMessage)
+    assert(CommitLog.read(spark, r2, CommitLog.latestVersion(r2).get)
+      .schema("d").dataType ===
+      org.apache.spark.sql.types.DecimalType(18, 4))
+  }
+
   test("commit log: total rewrites (compact/optimize/reorg) rebase past blind appends (r12)") {
     import graft.sources.{CommitLog, Tables}
     val ev = Tables(spark, sf, "events")
