@@ -1146,6 +1146,35 @@ object CommitLog {
       extra = auxExtra(carriedAux(root, Some(prev))))
   }
 
+  /** Metadata-only TYPE WIDEN (r12) — ALTER TABLE ALTER COLUMN TYPE
+    * under the [[isWidening]] lattice: one commit re-listing the
+    * head's files verbatim under the widened schema. Zero data I/O —
+    * every existing narrow file reads natively under the new type
+    * (the same reader contract [[appendEvolved]]'s widening relies
+    * on); anything off the lattice refuses by name. */
+  def widenColumnType(s: SparkSession, root: String, name: String,
+      newType: org.apache.spark.sql.types.DataType): Long = {
+    val prev = latestVersion(root)
+      .getOrElse(sys.error(s"cannot alter an empty table at $root"))
+    val prevSchema = snapshotSchemaOf(root, prev)
+      .getOrElse(s.read.parquet(snapshotFiles(root, prev): _*).schema)
+    val f = prevSchema.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"ALTER COLUMN: no column '$name' in the table schema"))
+    require(isWidening(f.dataType, newType),
+      s"ALTER COLUMN '$name': ${f.dataType.simpleString} → " +
+        s"${newType.simpleString} is not a widening " +
+        "(byte→short→int→long, float→double, decimal growth) — " +
+        "the log never retypes")
+    val widened = org.apache.spark.sql.types.StructType(prevSchema.fields
+      .map(x => if (x.name == name) x.copy(dataType = newType) else x))
+    val prevFiles = snapshotFiles(root, prev).map(p => relativize(root, p))
+    val (prevCol, prevStats) = snapshotStatsOf(root, prev)
+    commit(root, prevFiles, Some(prev),
+      statsCol = prevCol, stats = prevStats, schemaJson = Some(widened.json),
+      extra = auxExtra(carriedAux(root, Some(prev))))
+  }
+
   /** Dropped columns' PHYSICAL parquet names, comma-joined — their
     * bytes linger in existing files, so those names stay reserved
     * forever (see [[dropColumn]] / [[avoidPhysicalClash]]). */

@@ -154,10 +154,17 @@ class GraftCatalog extends TableCatalog {
         CommitLog.setTableProperty(root, p.property, p.value)
       case r: TableChange.RemoveProperty =>
         CommitLog.removeTableProperty(root, r.property)
+      case u: TableChange.UpdateColumnType =>
+        // ALTER COLUMN c TYPE t — metadata-only under the widening
+        // lattice (r12); off-lattice changes refuse inside
+        require(u.fieldNames.length == 1,
+          s"nested columns are not supported: ${u.fieldNames.mkString(".")}")
+        CommitLog.widenColumnType(SparkSession.active, root,
+          u.fieldNames()(0), u.newDataType())
       case other => throw new UnsupportedOperationException(
         s"only ALTER TABLE ADD COLUMNS / RENAME COLUMN / DROP COLUMN / " +
-          s"SET / UNSET TBLPROPERTIES are supported (the log never " +
-          s"retypes), got $other")
+          s"ALTER COLUMN TYPE (widening) / SET / UNSET TBLPROPERTIES " +
+          s"are supported, got $other")
     }
     val fields = added.result()
     val v =

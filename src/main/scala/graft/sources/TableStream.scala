@@ -343,9 +343,24 @@ class GroupParquetReader(path: String, schema: StructType)
       val idx = if (gType.containsField(f.name)) gType.getFieldIndex(f.name) else -1
       if (idx < 0 || g.getFieldRepetitionCount(idx) == 0) null
       else f.dataType match {
-        case LongType => g.getLong(idx, 0)
+        // TYPE WIDENING (r12): a file may store a NARROWER physical
+        // type than the log schema requests (int32 under a widened
+        // bigint, float under double) — decode by the file's physical
+        // type and upcast, the same contract Spark's native parquet
+        // readers honor for the batch path
+        case LongType =>
+          gType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+            case PrimitiveType.PrimitiveTypeName.INT32 =>
+              g.getInteger(idx, 0).toLong
+            case _ => g.getLong(idx, 0)
+          }
         case IntegerType => g.getInteger(idx, 0)
-        case DoubleType => g.getDouble(idx, 0)
+        case DoubleType =>
+          gType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+            case PrimitiveType.PrimitiveTypeName.FLOAT =>
+              g.getFloat(idx, 0).toDouble
+            case _ => g.getDouble(idx, 0)
+          }
         case FloatType => g.getFloat(idx, 0)
         case BooleanType => g.getBoolean(idx, 0)
         case StringType => UTF8String.fromString(g.getString(idx, 0))
@@ -358,21 +373,29 @@ class GroupParquetReader(path: String, schema: StructType)
         case d: org.apache.spark.sql.types.DecimalType =>
           // precision ≤ 18 stores the unscaled value: INT64 (Spark's
           // default) or INT32 for tiny precisions; byte-array-backed
-          // decimals decode from big-endian two's-complement
-          gType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
-            case PrimitiveType.PrimitiveTypeName.INT64 =>
-              org.apache.spark.sql.types.Decimal(
-                g.getLong(idx, 0), d.precision, d.scale)
-            case PrimitiveType.PrimitiveTypeName.INT32 =>
-              org.apache.spark.sql.types.Decimal(
-                g.getInteger(idx, 0).toLong, d.precision, d.scale)
-            case _ =>
-              val bytes = g.getBinary(idx, 0).getBytes
-              org.apache.spark.sql.types.Decimal(
-                new java.math.BigDecimal(
-                  new java.math.BigInteger(bytes), d.scale),
-                d.precision, d.scale)
+          // decimals decode from big-endian two's-complement. The
+          // unscaled value is at the FILE's recorded scale — under a
+          // widened log schema (r12) that may be smaller than the
+          // requested scale, so rescale exactly (scale growth only,
+          // never lossy by the widening lattice).
+          val pt = gType.getType(idx).asPrimitiveType()
+          val fileScale = pt.getLogicalTypeAnnotation match {
+            case dec: org.apache.parquet.schema.LogicalTypeAnnotation
+              .DecimalLogicalTypeAnnotation => dec.getScale
+            case _ => d.scale
           }
+          val unscaled = pt.getPrimitiveTypeName match {
+            case PrimitiveType.PrimitiveTypeName.INT64 =>
+              java.math.BigDecimal.valueOf(g.getLong(idx, 0), fileScale)
+            case PrimitiveType.PrimitiveTypeName.INT32 =>
+              java.math.BigDecimal.valueOf(g.getInteger(idx, 0).toLong, fileScale)
+            case _ =>
+              new java.math.BigDecimal(
+                new java.math.BigInteger(g.getBinary(idx, 0).getBytes),
+                fileScale)
+          }
+          org.apache.spark.sql.types.Decimal(
+            unscaled.setScale(d.scale), d.precision, d.scale)
         case other => throw new IllegalStateException(s"unreachable: $other")
       }
     }.toArray[Any])

@@ -727,6 +727,36 @@ class CatalogSpec extends SparkSpec {
       s"dry-run prediction ${dry} diverges from the real vacuum ${real}")
   }
 
+  test("ALTER COLUMN TYPE widens through the catalog, off-lattice refuses (r12)") {
+    import graft.sources.CommitLog
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "t").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value")).limit(300)
+    CommitLog.appendEvolved(spark, root,
+      ev.select(col("event_id").cast("int").as("event_id"),
+        col("value").cast("float").as("value")), nFiles = 1)
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN event_id TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN value TYPE DOUBLE")
+    val got = spark.sql(s"SELECT * FROM $cat.t")
+    assert(got.schema("event_id").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(got.schema("value").dataType ===
+      org.apache.spark.sql.types.DoubleType)
+    // the narrow files read natively under the widened schema, and a
+    // wide INSERT now lands
+    assert(got.count() === 300)
+    spark.sql(s"INSERT INTO $cat.t SELECT event_id + 10000000, " +
+      s"CAST(value AS DOUBLE) FROM (SELECT * FROM $cat.t LIMIT 10)")
+    assert(spark.sql(s"SELECT * FROM $cat.t").count() === 310)
+    // off-lattice refuses by name
+    val ex = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN value TYPE STRING")
+    }
+    assert(ex.getMessage.contains("not a widening") ||
+      ex.getMessage.contains("never retypes"), ex.getMessage)
+  }
+
   test("parser: RESTORE/VACUUM/OPTIMIZE on non-graft identifiers delegate verbatim (r11, ADVICE)") {
     // each maintenance statement on an unregistered identifier must
     // fall through to Spark's parser (whose syntax error owns the
