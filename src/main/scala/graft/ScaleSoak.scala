@@ -177,6 +177,14 @@ object ScaleSoak {
     // type widening: a metadata-only schema upgrade — narrow files
     // read natively under the widened schema, zero rewrite
     "q_table_type_widening",
+    // r13 batch: continuous dim-advance (per-trigger dim check is one
+    // metadata read; the Δdim fold ∝ changed-dim-key fact rows),
+    // STDDEV/VAR statement surface (one extra decimal agg riding the
+    // existing changelog pass), partition spec evolution (planning
+    // O(manifest); each probe reads its generation's match + the
+    // other generation in full)
+    "s_table_view_stream_dimupd", "q_sql_table_incr_view_stddev",
+    "q_table_partition_evolve",
     // the r10 verdict's mass-delete scenario, soaked as its own
     // fixture (below — not a registry key): EVERY view key vanishes
     // in one fold; the driver-OOM shape the r11 distributed

@@ -461,6 +461,97 @@ object TableFormat {
           lit(if (allExact.get()) 1L else 0L).as("all_batches_exact"),
           col("n_keys"), col("n_rows"), col("sum_value")))
     },
+    "s_table_view_stream_dimupd" -> { (s, dir) =>
+      // CONTINUOUS maintenance SURVIVING A DIM ADVANCE (r13, VERDICT
+      // item 2): the JOIN view's foreachBatch loop no longer needs a
+      // manual refresh when the dimension changes mid-stream —
+      // foldDeltas compares the dim head to the pin per trigger (one
+      // metadata read) and, when it moved, folds Δdim exactly
+      // (bounded to the dim-changed group keys, from the dim's own
+      // CDF) BEFORE the batch's fact deltas, so the batch enriches
+      // against the new pin. The dim UPDATE commits from INSIDE the
+      // loop after the first fact batch folds — deterministic
+      // mid-stream placement — and the per-batch exactness witness
+      // compares the view bit-for-bit against a recompute at (fact @
+      // batch version ⋈ dim @ current head), ANDed across batches.
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val src = java.nio.file.Files.createTempDirectory("graft_ivsd_src")
+      val dimT = java.nio.file.Files.createTempDirectory("graft_ivsd_dim")
+      val vj = java.nio.file.Files.createTempDirectory("graft_ivsd_vj")
+      Seq(src, dimT, vj).foreach(_.toFile.deleteOnExit())
+      CommitLog.setTableProperty(src.toString, "enableChangeDataFeed", "true")
+      CommitLog.setTableProperty(dimT.toString, "enableChangeDataFeed", "true")
+      CommitLog.append(s, src.toString, ev.filter(col("event_id") % 2 === 0), nFiles = 2)
+      val dim0 = ev.select(col("user_id")).distinct()
+        .withColumn("segment",
+          concat(lit("seg_"), (col("user_id") % 4).cast("string")))
+      CommitLog.append(s, dimT.toString, dim0, nFiles = 1)
+      graft.sources.IncrementalViewMulti.createJoined(s, vj.toString,
+        src.toString, dimT.toString, "user_id", Seq("segment"), Seq("value"))
+      CommitLog.append(s, src.toString, ev.filter(col("event_id") % 2 =!= 0), nFiles = 2)
+      CommitLog.delete(s, src.toString, col("user_id") % 4 === 1)
+      val ck = java.nio.file.Files.createTempDirectory("graft_ivsd_ck").toString
+      val consumed = new java.util.concurrent.atomic.AtomicLong(0L)
+      val dimReagg = new java.util.concurrent.atomic.AtomicLong(0L)
+      val allExact = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val dimBumped = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val q = s.readStream.format("graft.sources.TableStreamProvider")
+        .option("path", src.toString)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.localCheckpoint()
+          val (_, n, nRec) = graft.sources.IncrementalViewMulti
+            .foldDeltas(s, vj.toString, src.toString, b)
+          consumed.addAndGet(n); dimReagg.addAndGet(nRec)
+          // witness at THIS batch's fact version ⋈ the dim's head
+          // (the pin after any Δdim fold this batch ran)
+          val verRow = b.agg(max(col("_commit_version"))).collect()(0)
+          if (!verRow.isNullAt(0)) {
+            val ver = verRow.getLong(0)
+            val at = CommitLog.read(s, src.toString, ver)
+            val dimNow = CommitLog.read(s, dimT.toString,
+              CommitLog.latestVersion(dimT.toString).get)
+            val want = at.join(dimNow, Seq("user_id"))
+              .filter(col("segment").isNotNull).groupBy(col("segment"))
+              .agg(count(lit(1)).as("n"), count(col("value")).as("nv_value"),
+                sum(col("value").cast("decimal(18,4)"))
+                  .cast("decimal(18,4)").as("total_value"),
+                min(col("value")).as("mn_value"), max(col("value")).as("mx_value"))
+            val got = CommitLog.read(s, vj.toString,
+              CommitLog.latestVersion(vj.toString).get)
+            if (got.exceptAll(want).count() != 0 ||
+              want.exceptAll(got).count() != 0) allExact.set(false)
+            // the mid-stream dim advance: AFTER the first fact batch
+            // folded and verified — the NEXT trigger must propagate it
+            if (ver >= 1L && dimBumped.compareAndSet(false, true)) {
+              CommitLog.update(s, dimT.toString, col("user_id") % 4 === 2,
+                Seq("segment" -> lit("seg_moved")))
+              ()
+            }
+          }
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val viewJ = CommitLog.read(s, vj.toString,
+        CommitLog.latestVersion(vj.toString).get)
+      ordered(viewJ
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+          sum(col("total_value")).cast("double").as("sum_value"))
+        .select(lit(consumed.get()).as("rows_folded"),
+          // ≥2: the Δdim fold re-aggregated BOTH sides of the remap
+          // (seg_2 retired + seg_moved built). The raw counter also
+          // carries the delete batch's MIN/MAX bounded-recompute keys,
+          // whose exact count is the fold's business — the flag pins
+          // that propagation HAPPENED without over-specifying it.
+          lit(if (dimReagg.get() >= 2L) 1L else 0L).as("dim_propagated"),
+          lit(if (allExact.get()) 1L else 0L).as("all_batches_exact"),
+          col("n_keys"), col("n_rows"), col("sum_value")))
+    },
     "q_table_incr_view" -> { (s, dir) =>
       // Incrementally-maintained materialized view (added r10) — the
       // CDF surface paying off: a per-key COUNT+SUM view refreshed by
@@ -768,6 +859,70 @@ object TableFormat {
           lit(exact).as("equals_full_recompute"),
           col("n_keys"), col("n_rows"), col("sum_value"),
           col("min_avg"), col("max_avg")))
+    },
+    "q_sql_table_incr_view_stddev" -> { (s, dir) =>
+      // STDDEV/VAR in the IVM family (r13, VERDICT item 4): the MV
+      // statement accepts STDDEV_POP/VAR_POP; the engine maintains
+      // the exact decimal SUM-OF-SQUARES per declared measure — it
+      // folds SIGNED like total (x² is sign-invariant), fully
+      // distributive, never a recompute trigger — and derives
+      // var_/std_ at read from (total, ss, nv) in the ONE shared
+      // derivation (varExpr), so the statement's STDDEV stays
+      // bit-for-bit equal to a full recompute through the full DML
+      // mix. Sample forms (STDDEV/VARIANCE/VAR_SAMP) refuse by name.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_mvs")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "t").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      CommitLog.append(s, root, ev, nFiles = 2)
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      s.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES ('enableChangeDataFeed' = 'true')")
+      s.sql(
+        s"""CREATE MATERIALIZED VIEW $cat.v AS
+          |SELECT event_type, COUNT(*) AS n,
+          |  STDDEV_POP(value) AS std_value, VAR_POP(value) AS var_value,
+          |  SUM(value) AS total_value
+          |FROM $cat.t GROUP BY event_type""".stripMargin)
+      s.sql(s"DELETE FROM $cat.t WHERE user_id % 7 = 3")
+      s.sql(s"UPDATE $cat.t SET value = value + 1000.0 WHERE user_id % 4 = 2")
+      val r = s.sql(s"REFRESH MATERIALIZED VIEW $cat.v").collect()(0)
+      val view = s.sql(s"SELECT * FROM $cat.v")
+      // the recompute replays the EXACT derivation: decimal total and
+      // sum-of-squares cast through double once, explicit multiply,
+      // GREATEST-0 clamp — identical IEEE op sequence to varExpr
+      val full = s.sql(
+        s"""SELECT event_type, n, nv_value, total_value, mn_value,
+          |  mx_value, ss_value,
+          |  CASE WHEN nv_value > 0 THEN GREATEST(
+          |    CAST(ss_value AS DOUBLE) / nv_value -
+          |    (CAST(total_value AS DOUBLE) / nv_value) *
+          |    (CAST(total_value AS DOUBLE) / nv_value), 0.0D) END AS var_value,
+          |  CASE WHEN nv_value > 0 THEN SQRT(GREATEST(
+          |    CAST(ss_value AS DOUBLE) / nv_value -
+          |    (CAST(total_value AS DOUBLE) / nv_value) *
+          |    (CAST(total_value AS DOUBLE) / nv_value), 0.0D)) END AS std_value
+          |FROM (
+          |  SELECT event_type, COUNT(*) AS n, COUNT(value) AS nv_value,
+          |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_value,
+          |    MIN(value) AS mn_value, MAX(value) AS mx_value,
+          |    CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+          |      AS DECIMAL(38,8)) AS ss_value
+          |  FROM $cat.t GROUP BY event_type)""".stripMargin)
+      val exact = if (view.selectExpr(full.columns: _*).exceptAll(full).count() == 0 &&
+        full.exceptAll(view.selectExpr(full.columns: _*)).count() == 0) 1L else 0L
+      ordered(view
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+          sum(col("total_value")).cast("double").as("sum_value"),
+          min(col("std_value")).as("min_std"),
+          max(col("std_value")).as("max_std"),
+          max(col("var_value")).as("max_var"))
+        .select(lit(r.getLong(1)).as("rows_folded"),
+          lit(exact).as("equals_full_recompute"),
+          col("n_keys"), col("n_rows"), col("sum_value"),
+          col("min_std"), col("max_std"), col("max_var")))
     },
     "q_sql_table_incr_view_join" -> { (s, dir) =>
       // SQL front-end for the JOIN view (r11): `CREATE MATERIALIZED
@@ -1707,6 +1862,45 @@ object TableFormat {
           lit(nRead.toLong).as("n_files_read"),
           col("n_rows"), col("sum_value")))
     },
+    "q_table_partition_evolve" -> { (s, dir) =>
+      // PARTITION SPEC EVOLUTION (r13, VERDICT item 6 — Iceberg's
+      // design): the layout changes for FUTURE appends while old
+      // files keep THEIR recorded layout; each file prunes under its
+      // own generation's column, and a file from the OTHER generation
+      // is simply unprunable for that query (pruning may only widen,
+      // never drop a row). Zero data I/O at evolution time. Gen-1:
+      // even event_ids under event_type (5 values × 1 file); the
+      // repartitionLayout property gates the evolution (a different
+      // partition column WITHOUT it still refuses — one active spec);
+      // gen-2: odd event_ids under day = event_id % 7 (7 values × 1
+      // file). The event_type probe reads its 1 gen-1 file + all 7
+      // gen-2 files; the day probe reads its 1 gen-2 file + all 5
+      // gen-1 files — both counters pinned by construction, both
+      // reads exact after the precise predicate.
+      val root = java.nio.file.Files.createTempDirectory("graft_table_pe")
+      root.toFile.deleteOnExit()
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .withColumn("day", (col("event_id") % 7).cast("string"))
+      CommitLog.appendPartitioned(s, root.toString,
+        ev.filter(col("event_id") % 2 === 0), "event_type", filesPerPartition = 1)
+      CommitLog.setTableProperty(root.toString, "repartitionLayout", "day")
+      val head = CommitLog.appendPartitioned(s, root.toString,
+        ev.filter(col("event_id") % 2 === 1), "day", filesPerPartition = 1)
+      val (dfT, total, readT) = CommitLog.partitionPrunedRead(s, root.toString,
+        head, "event_type", Seq("click"))
+      val (dfD, _, readD) = CommitLog.partitionPrunedRead(s, root.toString,
+        head, "day", Seq("3"))
+      ordered(dfT.filter(col("event_type") === "click")
+        .agg(count(lit(1)).as("n_click"), dsum(col("value")).as("sum_click"))
+        // 1-row × 1-row: a broadcast scalar pairing, not a data join
+        .crossJoin(dfD.filter(col("day") === "3")
+          .agg(count(lit(1)).as("n_day3"), dsum(col("value")).as("sum_day3")))
+        .select(lit(total.toLong).as("n_files_total"),
+          lit(readT.toLong).as("files_read_type"),
+          lit(readD.toLong).as("files_read_day"),
+          col("n_click"), col("sum_click"), col("n_day3"), col("sum_day3")))
+    },
     "q_table_stats_prune_ts" -> { (s, dir) =>
       // Typed multi-column manifest statistics (added r10, VERDICT r9
       // item 5 — "most real predicates are on TIME"): per-file
@@ -2587,6 +2781,36 @@ object TableFormat {
         |  (SELECT MAX(avgv) FROM a) AS max_avg""".stripMargin +
         orderByAll("rows_folded", "equals_full_recompute", "n_keys",
           "n_rows", "sum_value", "min_avg", "max_avg")),
+    "q_sql_table_incr_view_stddev" ->
+      ("""WITH f AS (
+        |  SELECT event_type,
+        |    CASE WHEN user_id % 4 = 2 THEN value + 1000.0 ELSE value END AS value
+        |  FROM events WHERE user_id % 7 <> 3),
+        |g AS (SELECT event_type, COUNT(*) AS n, COUNT(value) AS nv,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+        |      AS DECIMAL(38,8)) AS ss
+        |  FROM f GROUP BY 1),
+        |a AS (SELECT event_type, n, nv, total,
+        |    CASE WHEN nv > 0 THEN GREATEST(
+        |      CAST(CAST(ss AS STRING) AS DOUBLE) / nv -
+        |      (CAST(CAST(total AS STRING) AS DOUBLE) / nv) *
+        |      (CAST(CAST(total AS STRING) AS DOUBLE) / nv), 0.0) END AS varv
+        |  FROM g)
+        |SELECT CAST(
+        |    (SELECT COUNT(*) FROM events WHERE user_id % 7 = 3) +
+        |    2 * (SELECT COUNT(*) FROM events
+        |         WHERE user_id % 4 = 2 AND user_id % 7 <> 3)
+        |  AS BIGINT) AS rows_folded,
+        |  CAST(1 AS BIGINT) AS equals_full_recompute,
+        |  (SELECT COUNT(*) FROM a) AS n_keys,
+        |  CAST((SELECT SUM(n) FROM a) AS BIGINT) AS n_rows,
+        |  CAST(CAST((SELECT SUM(total) FROM a) AS STRING) AS DOUBLE) AS sum_value,
+        |  (SELECT MIN(SQRT(varv)) FROM a) AS min_std,
+        |  (SELECT MAX(SQRT(varv)) FROM a) AS max_std,
+        |  (SELECT MAX(varv) FROM a) AS max_var""".stripMargin +
+        orderByAll("rows_folded", "equals_full_recompute", "n_keys",
+          "n_rows", "sum_value", "min_std", "max_std", "max_var")),
     "q_sql_table_incr_view_multi" ->
       ("""WITH f AS (
         |  SELECT event_type, user_id,
@@ -2843,6 +3067,25 @@ object TableFormat {
         |  CAST(CAST((SELECT SUM(total) FROM g) AS STRING) AS DOUBLE) AS sum_value""".stripMargin +
         orderByAll("rows_folded_multi", "rows_folded_join",
           "all_batches_exact", "n_keys", "n_rows", "sum_value")),
+    "s_table_view_stream_dimupd" ->
+      ("""WITH f AS (
+        |  SELECT CASE WHEN user_id % 4 = 2 THEN 'seg_moved'
+        |    ELSE 'seg_' || CAST(user_id % 4 AS VARCHAR) END AS segment, value
+        |  FROM events WHERE user_id % 4 <> 1),
+        |g AS (SELECT segment, COUNT(*) AS n,
+        |    SUM(CAST(value AS DECIMAL(18,4))) AS total FROM f GROUP BY 1),
+        |c AS (SELECT CAST(
+        |    (SELECT COUNT(*) FROM events WHERE event_id % 2 <> 0) +
+        |    (SELECT COUNT(*) FROM events WHERE user_id % 4 = 1)
+        |  AS BIGINT) AS folded)
+        |SELECT (SELECT folded FROM c) AS rows_folded,
+        |  CAST(1 AS BIGINT) AS dim_propagated,
+        |  CAST(1 AS BIGINT) AS all_batches_exact,
+        |  (SELECT COUNT(*) FROM g) AS n_keys,
+        |  CAST((SELECT SUM(n) FROM g) AS BIGINT) AS n_rows,
+        |  CAST(CAST((SELECT SUM(total) FROM g) AS STRING) AS DOUBLE) AS sum_value""".stripMargin +
+        orderByAll("rows_folded", "dim_propagated",
+          "all_batches_exact", "n_keys", "n_rows", "sum_value")),
     "q_table_incr_view" ->
       ("""WITH f AS (
         |  SELECT event_type,
@@ -3061,6 +3304,18 @@ object TableFormat {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
         |FROM events WHERE event_type IN ('click', 'purchase')""".stripMargin +
         orderByAll("n_files_total", "n_files_read", "n_rows", "sum_value")),
+    "q_table_partition_evolve" ->
+      ("""SELECT CAST(12 AS BIGINT) AS n_files_total,
+        |  CAST(8 AS BIGINT) AS files_read_type,
+        |  CAST(6 AS BIGINT) AS files_read_day,
+        |  (SELECT COUNT(*) FROM events WHERE event_type = 'click') AS n_click,
+        |  (SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+        |    FROM events WHERE event_type = 'click') AS sum_click,
+        |  (SELECT COUNT(*) FROM events WHERE event_id % 7 = 3) AS n_day3,
+        |  (SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+        |    FROM events WHERE event_id % 7 = 3) AS sum_day3""".stripMargin +
+        orderByAll("n_files_total", "files_read_type", "files_read_day",
+          "n_click", "sum_click", "n_day3", "sum_day3")),
     "q_table_stats_prune_ts" ->
       ("""SELECT CAST(8 AS BIGINT) AS n_files_total,
         |  CAST(2 AS BIGINT) AS n_files_read,

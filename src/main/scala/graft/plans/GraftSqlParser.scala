@@ -96,24 +96,28 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     ("""(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+([\w.]+)\s+AS\s+SELECT\s+""" +
       """((?:\w+\s*,\s*)+)COUNT\s*\(\s*\*\s*\)\s+AS\s+n\s*,\s*(.+?)\s+""" +
       """FROM\s+([\w.]+)\s+GROUP\s+BY\s+([\w\s,]+?)\s*;?\s*""").r
-  // one canonical measure aggregate: COUNT/SUM/MIN/MAX/AVG over a
-  // single column, aliased nv_/total_/mn_/mx_/avg_<column>. The
+  // one canonical measure aggregate: COUNT/SUM/MIN/MAX/AVG — and,
+  // since r13 (VERDICT item 4), STDDEV_POP/VAR_POP — over a single
+  // column, aliased nv_/total_/mn_/mx_/avg_/std_/var_<column>. The
   // family may appear in ANY order and as ANY subset per measure
   // (r12, VERDICT item 2 — exact tiling was the r11 rule; the first
   // statement a real analyst writes has an AVG and skips MIN/MAX);
-  // AVG is derived (total/nv) and maintained by every fold.
+  // AVG derives as total/nv, STDDEV_POP/VAR_POP from the maintained
+  // exact sum-of-squares — the SAMPLE forms (STDDEV, STDDEV_SAMP,
+  // VARIANCE, VAR_SAMP) still refuse by name below.
   private val mvItemRe =
-    """(?is)\s*(COUNT|SUM|MIN|MAX|AVG)\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
+    """(?is)\s*(COUNT|SUM|MIN|MAX|AVG|STDDEV_POP|VAR_POP)\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
   // the arm guard: at least one CANONICAL alias present — this is
   // what lets `SUM(v) AS total` (the 2-column form) fall through
   private val mvCanonAliasRe =
-    """(?is)\bAS\s+(?:nv_|total_|mn_|mx_|avg_)\w+""".r
+    """(?is)\bAS\s+(?:nv_|total_|mn_|mx_|avg_|std_|var_)\w+""".r
 
   /** Parse a multi-view measure list into (measure columns in
-    * first-mention order, AVG-declared measures). Throws with the
-    * statement-contract message on anything outside the canonical
-    * families (STDDEV, a mis-aliased aggregate, an expression). */
-  private def parseMvMeasures(aggBlob: String): (Seq[String], Seq[String]) = {
+    * first-mention order, AVG-declared measures, second-moment
+    * measures). Throws with the statement-contract message on
+    * anything outside the canonical families (a SAMPLE
+    * stddev/variance, a mis-aliased aggregate, an expression). */
+  private def parseMvMeasures(aggBlob: String): (Seq[String], Seq[String], Seq[String]) = {
     val items = aggBlob.split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val parsed = items.map {
       case mvItemRe(func, colName, alias) =>
@@ -123,6 +127,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           case "MIN" => "mn_"
           case "MAX" => "mx_"
           case "AVG" => "avg_"
+          case "STDDEV_POP" => "std_"
+          case "VAR_POP" => "var_"
         }
         require(alias == prefix + colName,
           s"materialized-view aggregates use canonical aliases " +
@@ -130,10 +136,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         (func.toUpperCase, colName)
       case other => throw new IllegalArgumentException(
         s"materialized view supports COUNT(*) AS n plus per-measure " +
-          s"COUNT/SUM/MIN/MAX/AVG (canonical aliases, any order or " +
-          s"subset); unsupported aggregates remain: '$other'")
+          s"COUNT/SUM/MIN/MAX/AVG/STDDEV_POP/VAR_POP (canonical " +
+          s"aliases, any order or subset; sample-variance forms " +
+          s"(STDDEV/STDDEV_SAMP/VARIANCE/VAR_SAMP) refuse by name — " +
+          s"derive them from the population family at read); " +
+          s"unsupported aggregates remain: '$other'")
     }
-    (parsed.map(_._2).distinct, parsed.filter(_._1 == "AVG").map(_._2).distinct)
+    (parsed.map(_._2).distinct,
+      parsed.filter(_._1 == "AVG").map(_._2).distinct,
+      parsed.filter(p => p._1 == "STDDEV_POP" || p._1 == "VAR_POP")
+        .map(_._2).distinct)
   }
   // the JOIN form (r11): FROM fact JOIN dim ON f.k = d.k — routes to
   // IncrementalViewMulti.createJoined (pinned dimension, delta rule
@@ -165,6 +177,28 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """\s+WHEN\s+NOT\s+MATCHED(?:\s+AND\s+(.+?))?\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
   private val onEqRe =
     """(?is)(\w+)\s*\.\s*(\w+)\s*=\s*(\w+)\s*\.\s*(\w+)""".r
+  // INSERT INTO t (a, b) SELECT/VALUES ... — intercepted ONLY when
+  // the target is a graft table with generated columns the column
+  // list OMITS (r13, VERDICT item 3): Spark's analysis null-fills
+  // omitted columns BEFORE any V1 writer sees the frame, so the
+  // omission-means-compute contract can only be honored where the
+  // omission is still visible — the statement's own column list.
+  // Everything else (no column list, generated column supplied,
+  // non-graft target) delegates verbatim: supplied values still
+  // VALIDATE in the write path, so an explicit NULL fails by name.
+  private val insertColsRe =
+    """(?is)\s*INSERT\s+INTO\s+([\w.]+)\s*\(\s*([\w\s,]+?)\s*\)\s+((?:SELECT|VALUES|WITH|TABLE|FROM)\b.+?)\s*;?\s*""".r
+
+  private def insertOmitsGenerated(ident: String, colsBlob: String): Boolean =
+    SparkSession.getActiveSession.exists { s =>
+      try {
+        val root = GraftSqlCommands.rootOf(s, ident.split('.').toSeq)
+        val cols = colsBlob.split(',').map(_.trim.toLowerCase(java.util.Locale.ROOT)).toSet
+        graft.sources.CommitLog.tableProperties(root).keys.exists(k =>
+          k.startsWith("generated.") && !cols.contains(
+            k.stripPrefix("generated.").toLowerCase(java.util.Locale.ROOT)))
+      } catch { case scala.util.control.NonFatal(_) => false }
+    }
 
   private def isGraftCatalog(ident: String): Boolean = {
     val parts = ident.split('.')
@@ -218,7 +252,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       require(fCol == dCol,
         s"graft join views key on one shared column name, got $fCol vs $dCol")
       val keyCols = keysBlob.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-      val (units, avgs) = parseMvMeasures(aggBlob)
+      val (units, avgs, moments) = parseMvMeasures(aggBlob)
       val grouped = groupBlob.split(',').map(_.trim).toSeq
       require(grouped == keyCols ||
         grouped == keyCols.indices.map(i => (i + 1).toString),
@@ -226,7 +260,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           s"got $grouped vs $keyCols")
       CreateMaterializedViewJoinCommand(view.split('.').toSeq,
         factT.split('.').toSeq, dimT.split('.').toSeq, fCol, keyCols,
-        units, avgs)
+        units, avgs, moments)
     // guard on a canonical alias so the canonical COUNT+SUM pair
     // falls through to the 2-column form below; every item must then
     // parse — an unsupported aggregate (STDDEV, a stray alias) fails
@@ -236,20 +270,24 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         if isGraftCatalog(view) && isGraftCatalog(srcT) &&
           mvCanonAliasRe.findFirstIn(aggBlob).isDefined =>
       val keyCols = keysBlob.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-      val (units, avgs) = parseMvMeasures(aggBlob)
+      val (units, avgs, moments) = parseMvMeasures(aggBlob)
       val grouped = groupBlob.split(',').map(_.trim).toSeq
       require(grouped == keyCols ||
         grouped == keyCols.indices.map(i => (i + 1).toString),
         s"GROUP BY must list the selected keys (or their positions), " +
           s"got $grouped vs $keyCols")
       CreateMaterializedViewMultiCommand(view.split('.').toSeq,
-        srcT.split('.').toSeq, keyCols, units, avgs)
+        srcT.split('.').toSeq, keyCols, units, avgs, moments)
     case createMvRe(view, key, value, srcT)
         if isGraftCatalog(view) && isGraftCatalog(srcT) =>
       CreateMaterializedViewCommand(view.split('.').toSeq,
         srcT.split('.').toSeq, key, value)
     case refreshMvRe(view) if isGraftCatalog(view) =>
       RefreshMaterializedViewCommand(view.split('.').toSeq)
+    case insertColsRe(ident, colsBlob, query)
+        if isGraftCatalog(ident) && insertOmitsGenerated(ident, colsBlob) =>
+      InsertIntoGraftGeneratedCommand(ident.split('.').toSeq,
+        colsBlob.split(',').map(_.trim).filter(_.nonEmpty).toSeq, query)
     // the MIXED-clause form first (more specific): conditional DELETE
     // + upsert + optional insert guard (r12, the CDC-apply statement)
     case mergeDeleteRe(ident, tAls, src, sAls, onClause, delCond, insCond)
@@ -565,13 +603,13 @@ case class CreateMaterializedViewCommand(view: Seq[String],
   * folds, MIN/MAX bounded recompute under deletes). */
 case class CreateMaterializedViewMultiCommand(view: Seq[String],
     source: Seq[String], keyCols: Seq[String], valCols: Seq[String],
-    avgCols: Seq[String] = Nil)
+    avgCols: Seq[String] = Nil, momentCols: Seq[String] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(GraftSqlCommands.attr("view_version"))
   override def run(s: SparkSession): Seq[Row] =
     Seq(Row(graft.sources.IncrementalViewMulti.createKeyed(s,
       GraftSqlCommands.rootOf(s, view), GraftSqlCommands.rootOf(s, source),
-      keyCols, valCols, avgCols = avgCols)))
+      keyCols, valCols, avgCols = avgCols, momentCols = momentCols)))
 }
 
 /** CREATE MATERIALIZED VIEW (JOIN form, r11): an aggregate over
@@ -581,14 +619,66 @@ case class CreateMaterializedViewMultiCommand(view: Seq[String],
 case class CreateMaterializedViewJoinCommand(view: Seq[String],
     fact: Seq[String], dim: Seq[String], dimKey: String,
     keyCols: Seq[String], valCols: Seq[String],
-    avgCols: Seq[String] = Nil)
+    avgCols: Seq[String] = Nil, momentCols: Seq[String] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(GraftSqlCommands.attr("view_version"))
   override def run(s: SparkSession): Seq[Row] =
     Seq(Row(graft.sources.IncrementalViewMulti.createJoined(s,
       GraftSqlCommands.rootOf(s, view), GraftSqlCommands.rootOf(s, fact),
       GraftSqlCommands.rootOf(s, dim), dimKey, keyCols, valCols,
-      avgCols = avgCols)))
+      avgCols = avgCols, momentCols = momentCols)))
+}
+
+/** INSERT INTO cat.t (a, b) SELECT/VALUES ... where the column list
+  * OMITS one of the table's GENERATED columns (r13, VERDICT item 3):
+  * the omitted generated column COMPUTES from its expression instead
+  * of null-filling. Spark's own analysis resolves missing columns to
+  * NULL before any V1 writer runs, erasing the omission — so the
+  * statement is intercepted while the column list is still visible,
+  * the query runs as written, listed columns cast to the table's
+  * types (ordinary INSERT coercion), omitted NON-generated columns
+  * null-fill (ordinary INSERT semantics), and the omitted generated
+  * columns are left for the write path to compute — the same
+  * fill-or-validate kernel every API write runs. A column list that
+  * SUPPLIES the generated column delegates to the normal DSv2 path,
+  * where an explicit NULL or divergent value fails validation by
+  * name. Returns the committed head version. */
+case class InsertIntoGraftGeneratedCommand(parts: Seq[String],
+    cols: Seq[String], query: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(GraftSqlCommands.attr("head_version"))
+  override def run(s: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = GraftSqlCommands.rootOf(s, parts)
+    val head = CommitLog.latestVersion(root)
+      .getOrElse(sys.error(s"cannot insert into an empty table at $root"))
+    val tblSchema = CommitLog.read(s, root, head).schema
+    val byName = tblSchema.fields.map(f => f.name -> f).toMap
+    cols.foreach(c => require(byName.contains(c),
+      s"INSERT INTO ${parts.mkString(".")}: unknown column '$c'"))
+    val df0 = s.sql(query)
+    require(df0.columns.length == cols.length,
+      s"INSERT INTO ${parts.mkString(".")}: column list has " +
+        s"${cols.length} columns but the query produces ${df0.columns.length}")
+    val gens = CommitLog.tableProperties(root).keys
+      .filter(_.startsWith("generated."))
+      .map(_.stripPrefix("generated.")).toSet
+    // listed columns cast to the table's types (INSERT coercion);
+    // omitted plain columns null-fill; omitted GENERATED columns stay
+    // absent so the append's fill-or-validate kernel computes them
+    val named = df0.toDF(cols: _*)
+      .select(cols.map(c => col(c).cast(byName(c).dataType).as(c)): _*)
+    val filled = tblSchema.fields
+      .filterNot(f => cols.contains(f.name) || gens.contains(f.name))
+      .foldLeft(named)((d, f) =>
+        d.withColumn(f.name, lit(null).cast(f.dataType)))
+    val n = s.conf.getOption("spark.graft.insert.files").map(_.toInt).getOrElse(2)
+    val v = CommitLog.tableProperty(root, "partitionColumn") match {
+      case Some(c) => CommitLog.appendPartitioned(s, root, filled, c,
+        filesPerPartition = 1)
+      case None => CommitLog.append(s, root, filled, nFiles = n)
+    }
+    Seq(Row(v))
+  }
 }
 
 /** REFRESH MATERIALIZED VIEW cat.v — fold the source's changelog
@@ -645,12 +735,39 @@ case class MergeIntoGraftCommand(parts: Seq[String], source: String,
     GraftSqlCommands.attr("files_carried"),
     GraftSqlCommands.attr("files_rewritten"))
   override def run(s: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
     val root = GraftSqlCommands.rootOf(s, parts)
     val n = s.conf.getOption("spark.graft.insert.files").map(_.toInt).getOrElse(2)
     val srcRaw = s.table(source)
+    // MULTIPLE SOURCE ROWS MATCHING ONE TARGET ROW fail the statement
+    // (r13, ADVICE — the Delta/ANSI MERGE cardinality error): a CDC
+    // batch carrying both an op='D' and an op='U' row for one key, or
+    // two update images for one key, has no deterministic sequential
+    // meaning — silently routing it (upsert-wins / duplicate target
+    // rows) can diverge from a sequential apply. Duplicate UNMATCHED
+    // keys stay legal: each inserts, the documented MERGE contract.
+    // ONE distributed count — duplicate source keys semi-restricted
+    // to keys present in the target — and limit(1): metadata-sized.
+    def requireNoDupMatches(effectiveSrc: org.apache.spark.sql.DataFrame): Unit = {
+      val head = CommitLog.latestVersion(root)
+        .getOrElse(sys.error(s"cannot merge into an empty table at $root"))
+      val kc = keyCols.map(col)
+      val dup = effectiveSrc.select(kc: _*)
+        .groupBy(kc: _*).count().filter(col("count") > 1)
+        .join(CommitLog.read(s, root, head).select(kc: _*).distinct(),
+          keyCols, "left_semi")
+        .limit(1).collect()
+      if (dup.nonEmpty) throw new IllegalArgumentException(
+        s"MERGE INTO ${parts.mkString(".")}: multiple source rows match " +
+          s"the target row with ${keyCols.mkString("(", ", ", ")")} = " +
+          dup(0).toSeq.dropRight(1).mkString("(", ", ", ")") +
+          " — a MERGE cannot apply two images to one target row; " +
+          "de-duplicate the source (e.g. keep the last image per key) " +
+          "before merging")
+    }
     val (v, carried, rewritten) = deleteCond match {
       case None =>
+        requireNoDupMatches(srcRaw)
         CommitLog.mergeKeyed(s, root, srcRaw, keyCols, nInsertFiles = n)
       case Some(dc) =>
         // the MIXED-clause routing (r12): source rows matching the
@@ -679,6 +796,14 @@ case class MergeIntoGraftCommand(parts: Seq[String], source: String,
               .unionByName(nonDel.join(tgtKeys, keyCols, "left_anti")
                 .filter(coalesce(expr(ic), lit(false))))
         }
+        // cardinality check over the EFFECTIVE source — delete-side ∪
+        // upsert-side — so a key carried by both an op='D' row and an
+        // op='U'/'I' row (or by two update images) fails rather than
+        // silently resolving upsert-wins (r13, ADVICE). Guarded-out
+        // unmatched rows are already excluded from `ups`.
+        requireNoDupMatches(
+          delSide.select(keyCols.map(col): _*)
+            .unionByName(ups.select(keyCols.map(col): _*)))
         // the conditions see the source's marker columns (s.op); the
         // WRITE sees the TARGET's schema — clause-only columns project
         // away here, exactly the Delta CDC-apply shape where `op`

@@ -53,6 +53,23 @@ object IncrementalViewMulti {
   private val DimKeyProp = "graft.view.dimKey"
   private val DimVerField = "viewDim"
   private val AvgProp = "graft.view.avgCols"
+  private val MomentProp = "graft.view.momentCols"
+
+  /** The second-moment derivations (r13, VERDICT item 4) — VAR_POP /
+    * STDDEV_POP from the maintained (total, ss, nv) triple, in ONE
+    * place shared by state(), every fold and the bounded recompute,
+    * so the arithmetic and recompute paths cannot disagree: the
+    * exact decimal total and sum-of-squares cast through double
+    * ONCE, then var = E[x²] − mean² with an explicit multiply (no
+    * POW — the oracle replays the identical IEEE op sequence).
+    * Negative-zero clamp: greatest(0, ·) absorbs the tiny negative
+    * residue a constant column's cancellation can leave in double. */
+  private def varExpr(total: Column, ss: Column, nv: Column): Column = {
+    val mean = total.cast("double") / nv
+    when(nv > 0, greatest(ss.cast("double") / nv - mean * mean, lit(0.0)))
+  }
+  private def stdExpr(total: Column, ss: Column, nv: Column): Column =
+    sqrt(varExpr(total, ss, nv))
 
   /** Full per-key state at `rows` — also the bounded re-aggregation
     * kernel (recomputed keys get ALL their aggregates from here, so
@@ -61,12 +78,14 @@ object IncrementalViewMulti {
     * NULL never matches itself — the single-key restriction, applied
     * per column). */
   private def state(keyCols: Seq[String], valCols: Seq[String],
-      rows: DataFrame, avgCols: Seq[String] = Nil): DataFrame = {
+      rows: DataFrame, avgCols: Seq[String] = Nil,
+      momentCols: Seq[String] = Nil): DataFrame = {
     val aggs = count(lit(1)).as("n") +: valCols.flatMap { m =>
       val total =
         sum(col(m).cast("decimal(18,4)")).cast("decimal(18,4)")
+      val nv = count(col(m))
       Seq(
-        count(col(m)).as(s"nv_$m"),
+        nv.as(s"nv_$m"),
         total.as(s"total_$m"),
         min(col(m)).as(s"mn_$m"),
         max(col(m)).as(s"mx_$m")) ++
@@ -75,9 +94,20 @@ object IncrementalViewMulti {
         // ONCE — the same derivation the fold applies, so the two
         // paths cannot disagree (r12, VERDICT item 2)
         (if (avgCols.contains(m))
-          Seq(when(count(col(m)) > 0,
-            total.cast("double") / count(col(m))).as(s"avg_$m"))
-        else Nil)
+          Seq(when(nv > 0, total.cast("double") / nv).as(s"avg_$m"))
+        else Nil) ++
+        // second moment (r13): the exact decimal sum-of-squares is
+        // MAINTAINED (folds signed like total); VAR_POP/STDDEV_POP
+        // derive from it via the shared varExpr/stdExpr — declared
+        // per measure, the full std+var family materializes together
+        // (the AVG family-materialization precedent)
+        (if (momentCols.contains(m)) {
+          val ss = sum(col(m).cast("decimal(18,4)") *
+            col(m).cast("decimal(18,4)")).cast("decimal(38,8)")
+          Seq(ss.as(s"ss_$m"),
+            varExpr(total, ss, nv).as(s"var_$m"),
+            stdExpr(total, ss, nv).as(s"std_$m"))
+        } else Nil)
     }
     rows.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
       .groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
@@ -124,9 +154,11 @@ object IncrementalViewMulti {
     * key path (CommitLog.mergeKeyed). */
   def createKeyed(s: SparkSession, viewRoot: String, srcRoot: String,
       keyCols: Seq[String], valCols: Seq[String], nFiles: Int = 2,
-      avgCols: Seq[String] = Nil): Long = {
+      avgCols: Seq[String] = Nil, momentCols: Seq[String] = Nil): Long = {
     require(avgCols.forall(valCols.contains),
       s"AVG columns must be declared measures: ${avgCols.diff(valCols)}")
+    require(momentCols.forall(valCols.contains),
+      s"STDDEV/VAR columns must be declared measures: ${momentCols.diff(valCols)}")
     require(keyCols.nonEmpty, "multi-aggregate view needs a group key")
     require(valCols.nonEmpty, "multi-aggregate view needs at least one measure")
     keyCols.foreach(k => require(!valCols.contains(k),
@@ -142,13 +174,16 @@ object IncrementalViewMulti {
     val srcHead = CommitLog.latestVersion(srcRoot)
       .getOrElse(sys.error(s"cannot build a view over an empty table at $srcRoot"))
     val v = CommitLog.appendEvolved(s, viewRoot,
-      state(keyCols, valCols, CommitLog.read(s, srcRoot, srcHead), avgCols),
+      state(keyCols, valCols, CommitLog.read(s, srcRoot, srcHead), avgCols,
+        momentCols),
       nFiles)
     CommitLog.setTableProperty(viewRoot, SrcProp, srcRoot)
     CommitLog.setTableProperty(viewRoot, KeyProp, keyCols.mkString(","))
     CommitLog.setTableProperty(viewRoot, ValsProp, valCols.mkString(","))
     if (avgCols.nonEmpty)
       CommitLog.setTableProperty(viewRoot, AvgProp, avgCols.mkString(","))
+    if (momentCols.nonEmpty)
+      CommitLog.setTableProperty(viewRoot, MomentProp, momentCols.mkString(","))
     CommitLog.setTableProperty(viewRoot, VerProp, srcHead.toString)
     // a view accumulates one commit per fold — exactly the
     // long-history table the log checkpoint exists for (r11): every
@@ -176,11 +211,13 @@ object IncrementalViewMulti {
   def createJoined(s: SparkSession, viewRoot: String, srcRoot: String,
       dimRoot: String, dimKey: String, keyCols: Seq[String],
       valCols: Seq[String], nFiles: Int = 2,
-      avgCols: Seq[String] = Nil): Long = {
+      avgCols: Seq[String] = Nil, momentCols: Seq[String] = Nil): Long = {
     require(keyCols.nonEmpty && valCols.nonEmpty,
       "join view needs group keys and at least one measure")
     require(avgCols.forall(valCols.contains),
       s"AVG columns must be declared measures: ${avgCols.diff(valCols)}")
+    require(momentCols.forall(valCols.contains),
+      s"STDDEV/VAR columns must be declared measures: ${momentCols.diff(valCols)}")
     val srcHead = CommitLog.latestVersion(srcRoot)
       .getOrElse(sys.error(s"cannot build a view over an empty table at $srcRoot"))
     val dimHead = CommitLog.latestVersion(dimRoot)
@@ -188,13 +225,16 @@ object IncrementalViewMulti {
     val dim = CommitLog.read(s, dimRoot, dimHead)
     val v = CommitLog.appendEvolved(s, viewRoot,
       state(keyCols, valCols,
-        CommitLog.read(s, srcRoot, srcHead).join(dim, Seq(dimKey)), avgCols),
+        CommitLog.read(s, srcRoot, srcHead).join(dim, Seq(dimKey)), avgCols,
+        momentCols),
       nFiles)
     CommitLog.setTableProperty(viewRoot, SrcProp, srcRoot)
     CommitLog.setTableProperty(viewRoot, KeyProp, keyCols.mkString(","))
     CommitLog.setTableProperty(viewRoot, ValsProp, valCols.mkString(","))
     if (avgCols.nonEmpty)
       CommitLog.setTableProperty(viewRoot, AvgProp, avgCols.mkString(","))
+    if (momentCols.nonEmpty)
+      CommitLog.setTableProperty(viewRoot, MomentProp, momentCols.mkString(","))
     CommitLog.setTableProperty(viewRoot, VerProp, srcHead.toString)
     CommitLog.setTableProperty(viewRoot, DimProp, dimRoot)
     CommitLog.setTableProperty(viewRoot, DimVerProp, dimHead.toString)
@@ -320,9 +360,11 @@ object IncrementalViewMulti {
     // full-source-scan-semi-filtered shape as the MIN/MAX recompute
     val avgCols = CommitLog.tableProperty(viewRoot, AvgProp)
       .map(_.split(',').toSeq).getOrElse(Nil)
+    val momentCols = CommitLog.tableProperty(viewRoot, MomentProp)
+      .map(_.split(',').toSeq).getOrElse(Nil)
     val newStates = state(keyCols, valCols,
       fact.join(newDim, Seq(dimKey)).join(affKeys, keyCols, "left_semi"),
-      avgCols)
+      avgCols, momentCols)
       .localCheckpoint() // feeds both the merge and the gone-key anti
     // affected keys with no rows under the new mapping (their users
     // left the dim, or re-mapped away) delete distributively
@@ -343,22 +385,51 @@ object IncrementalViewMulti {
     * unfolded rows into this fold's state. */
   def foldDeltas(s: SparkSession, viewRoot: String, srcRoot: String,
       changeRows: DataFrame): (Long, Long, Long) = {
-    val from = lastFolded(viewRoot)
-    val viewHead = CommitLog.latestVersion(viewRoot)
-      .getOrElse(sys.error(s"view table vanished from $viewRoot"))
     // JOIN views enrich the raw change rows (and the bounded-recompute
-    // source reads) against the CURRENTLY PINNED dim — the continuous
-    // path maintains fact deltas only; a dim advance is [[refresh]]'s
-    // business (r12, the s_table_view_stream_multi key drives this)
+    // source reads) against the PINNED dim — and since r13 (VERDICT
+    // item 2) the continuous path survives a dim advance WITHOUT a
+    // manual refresh: one metadata read per trigger compares the
+    // dim's head to the pin; if it moved, the Δdim fold propagates
+    // the changed mapping exactly (bounded to the dim-changed group
+    // keys, requires the dim's CDF — the refresh contract verbatim)
+    // BEFORE the fact fold, so this batch's deltas enrich against the
+    // NEW pin. Ordering matters: Δdim re-attributes the already-
+    // folded population at the fact watermark, then the fact deltas
+    // fold under the advanced mapping — state after both steps is
+    // agg(fact@batchVer ⋈ dim@dimHead), the recompute's answer.
     CommitLog.tableProperty(viewRoot, DimProp) match {
       case None =>
+        val from = lastFolded(viewRoot)
+        val viewHead = CommitLog.latestVersion(viewRoot)
+          .getOrElse(sys.error(s"view table vanished from $viewRoot"))
         foldCore(s, viewRoot, changeRows, from, viewHead,
           ver => CommitLog.read(s, srcRoot, ver))
       case Some(dimRoot) =>
         val dimKey = CommitLog.tableProperty(viewRoot, DimKeyProp).get
+        val pinned = pinnedDim(viewRoot)
+        val dimHead = CommitLog.latestVersion(dimRoot)
+          .getOrElse(sys.error(s"dimension table vanished from $dimRoot"))
+        val nDimKeys =
+          if (dimHead == pinned) 0L
+          else {
+            require(CommitLog.cdfEnabled(dimRoot),
+              s"dimension $dimRoot advanced to v$dimHead past the view's " +
+                s"pinned v$pinned mid-stream — without a dim CDF " +
+                "(enableChangeDataFeed) the affected keys are unknowable " +
+                "incrementally; enable the dim's CDF or rebuild")
+            foldDimAdvance(s, viewRoot, srcRoot, dimRoot, dimKey,
+              pinned, dimHead)
+          }
+        // (re)read AFTER the Δdim fold — it may have committed a new
+        // view version; the fact watermark is untouched by it
+        val from = lastFolded(viewRoot)
+        val viewHead = CommitLog.latestVersion(viewRoot)
+          .getOrElse(sys.error(s"view table vanished from $viewRoot"))
         val dim = CommitLog.read(s, dimRoot, pinnedDim(viewRoot))
-        foldCore(s, viewRoot, changeRows.join(dim, Seq(dimKey)), from, viewHead,
+        val (v, n, nRec) = foldCore(s, viewRoot,
+          changeRows.join(dim, Seq(dimKey)), from, viewHead,
           ver => CommitLog.read(s, srcRoot, ver).join(dim, Seq(dimKey)))
+        (v, n, nRec + nDimKeys)
     }
   }
 
@@ -371,6 +442,8 @@ object IncrementalViewMulti {
       sourceAt: Long => DataFrame): (Long, Long, Long) = {
     val keyCols = CommitLog.tableProperty(viewRoot, KeyProp).get.split(',').toSeq
     val valCols = CommitLog.tableProperty(viewRoot, ValsProp).get.split(',').toSeq
+    val momentCols = CommitLog.tableProperty(viewRoot, MomentProp)
+      .map(_.split(',').toSeq).getOrElse(Nil)
     val kc = keyCols.map(col)
     val changes = changeRows
       .filter(col("_commit_version") > from &&
@@ -389,7 +462,14 @@ object IncrementalViewMulti {
         min(when(col("_sgn") === 1L, col(m))).as(s"insmn_$m"),
         max(when(col("_sgn") === 1L, col(m))).as(s"insmx_$m"),
         min(when(col("_sgn") === -1L, col(m))).as(s"delmn_$m"),
-        max(when(col("_sgn") === -1L, col(m))).as(s"delmx_$m")) }
+        max(when(col("_sgn") === -1L, col(m))).as(s"delmx_$m")) ++
+        // signed sum-of-squares delta (r13): x² is sign-invariant, so
+        // the second moment folds exactly like total — fully
+        // distributive, never a recompute trigger
+        (if (momentCols.contains(m))
+          Seq(sum(col(m).cast("decimal(18,4)") *
+            col(m).cast("decimal(18,4)") * col("_sgn")).as(s"dss_$m"))
+        else Nil) }
     val deltas = changes
       .select((kc ++ (col("_commit_version") +: sign.as("_sgn") +:
         valCols.map(col))): _*)
@@ -410,6 +490,7 @@ object IncrementalViewMulti {
         (col(s"d.delmx_$m").isNotNull &&
           (col(s"c.mx_$m").isNull || col(s"d.delmx_$m") >= col(s"c.mx_$m")))
     val zero = lit(java.math.BigDecimal.ZERO).cast("decimal(18,4)")
+    val zero38 = lit(java.math.BigDecimal.ZERO).cast("decimal(38,8)")
     val current = CommitLog.read(s, viewRoot, viewHead)
     val perMeasure = valCols.flatMap { m =>
       val nv = coalesce(col(s"c.nv_$m"), lit(0L)) + coalesce(col(s"d.dnv_$m"), lit(0L))
@@ -423,7 +504,14 @@ object IncrementalViewMulti {
         // monotone insert fold (least/greatest skip nulls) — only
         // sound for keys the recompute trigger did NOT fire on
         least(col(s"c.mn_$m"), col(s"d.insmn_$m")).as(s"mn_$m"),
-        greatest(col(s"c.mx_$m"), col(s"d.insmx_$m")).as(s"mx_$m"))
+        greatest(col(s"c.mx_$m"), col(s"d.insmx_$m")).as(s"mx_$m")) ++
+        (if (momentCols.contains(m)) Seq(
+          when(nv === 0L, lit(null).cast("decimal(38,8)"))
+            .otherwise((coalesce(col(s"c.ss_$m"), zero38) +
+              coalesce(col(s"d.dss_$m").cast("decimal(38,8)"), zero38))
+              .cast("decimal(38,8)"))
+            .as(s"ss_$m"))
+        else Nil)
     }
     val avgCols = CommitLog.tableProperty(viewRoot, AvgProp)
       .map(_.split(',').toSeq).getOrElse(Nil)
@@ -433,13 +521,18 @@ object IncrementalViewMulti {
         ((coalesce(col("c.n"), lit(0L)) + col("d.dn")).as("n") +:
           valCols.map(hit).reduce(_ || _).as("_rec") +:
           perMeasure)): _*)
-    // derived AVG columns re-derive from the FOLDED total/nv in one
-    // extra projection — same total-through-double derivation as
-    // state(), so the arithmetic and recompute paths agree (r12)
-    val arith = (if (avgCols.isEmpty) arithBase
-      else arithBase.select(col("*") +: avgCols.map(m =>
-        when(col(s"nv_$m") > 0,
-          col(s"total_$m").cast("double") / col(s"nv_$m")).as(s"avg_$m")): _*))
+    // derived AVG/VAR/STDDEV columns re-derive from the FOLDED
+    // total/ss/nv in one extra projection — same through-double
+    // derivation as state() (shared varExpr/stdExpr), so the
+    // arithmetic and recompute paths agree (r12; moments r13)
+    val derived = avgCols.map(m =>
+      when(col(s"nv_$m") > 0,
+        col(s"total_$m").cast("double") / col(s"nv_$m")).as(s"avg_$m")) ++
+      momentCols.flatMap(m => Seq(
+        varExpr(col(s"total_$m"), col(s"ss_$m"), col(s"nv_$m")).as(s"var_$m"),
+        stdExpr(col(s"total_$m"), col(s"ss_$m"), col(s"nv_$m")).as(s"std_$m")))
+    val arith = (if (derived.isEmpty) arithBase
+      else arithBase.select(col("*") +: derived: _*))
       .localCheckpoint() // one evaluation feeds guard + all three sides
     // guard + recompute-trigger count in ONE scalar action over the
     // checkpoint (r12, the r11 "counter consolidation" nit)
@@ -455,7 +548,9 @@ object IncrementalViewMulti {
     val nRec = chk.getLong(1) // scalar: the affected-KEY count
     val stateCols = kc ++ (col("n") +: valCols.flatMap(m =>
       Seq(col(s"nv_$m"), col(s"total_$m"), col(s"mn_$m"), col(s"mx_$m")) ++
-        (if (avgCols.contains(m)) Seq(col(s"avg_$m")) else Nil)))
+        (if (avgCols.contains(m)) Seq(col(s"avg_$m")) else Nil) ++
+        (if (momentCols.contains(m))
+          Seq(col(s"ss_$m"), col(s"var_$m"), col(s"std_$m")) else Nil)))
     val folded = arith.filter(!col("_rec") && col("n") > 0).select(stateCols: _*)
     val survivors =
       if (nRec == 0) folded
@@ -463,7 +558,8 @@ object IncrementalViewMulti {
       // version this fold lands on — a distributed semi join, never a
       // collected key list
       else folded.unionByName(state(keyCols, valCols,
-        sourceAt(maxVer).join(recKeys, keyCols, "left_semi"), avgCols))
+        sourceAt(maxVer).join(recKeys, keyCols, "left_semi"), avgCols,
+        momentCols))
     val vanished = arith.filter(col("n") === 0).select(kc: _*)
     val wm = Seq(s""","$VerField":$maxVer""")
     val (v1, _, _) = CommitLog.mergeKeyed(s, viewRoot, survivors, keyCols,

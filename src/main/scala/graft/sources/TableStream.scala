@@ -199,6 +199,14 @@ class TableMicroBatchStream(root: String, schema: StructType,
       val added = op match {
         case "append" | "clone" => addedRel
         case "compact" | "optimize" => Nil // data-neutral rewrite: skip
+        // a type widen changes the LOG schema this stream pinned at
+        // start: later appends may stage physically-wider files the
+        // pinned narrow schema cannot decode — stop with a restart
+        // instruction (the public sources' schema-change contract)
+        case "widen" => throw new IllegalStateException(
+          s"graft-table: version $v widens a column type — this " +
+            "stream's pinned schema no longer matches; start a fresh " +
+            s"checkpoint with startingVersion=$v")
         // a rename is metadata-only AND physically invisible (column
         // mapping keeps parquet names immutable) — this stream's
         // pinned schema stays valid, skip. A DROP falls to `changing`:
@@ -296,7 +304,10 @@ class GroupParquetReader(path: String, schema: StructType)
     require(f.dataType match {
       case LongType | IntegerType | DoubleType | FloatType | StringType |
            BooleanType | TimestampType | TimestampNTZType => true
-      case d: org.apache.spark.sql.types.DecimalType => d.precision <= 18
+      // wide decimals (precision > 18, e.g. the IVM sum-of-squares at
+      // DECIMAL(38,8)) decode through the byte-array branch below —
+      // big-endian two's-complement, the parquet spec's encoding
+      case d: org.apache.spark.sql.types.DecimalType => d.precision <= 38
       case _ => false
     }, s"graft-table reader supports flat primitive columns; '${f.name}' is ${f.dataType}")
   }
@@ -446,6 +457,10 @@ class TableCdfMicroBatchStream(root: String, schema: StructType,
             new java.io.File(root, f).toString, v, inject = "insert"): InputPartition)
         case "compact" | "optimize" => Nil
         case "rename_column" => Nil // metadata-only; physical layout unchanged
+        case "widen" => throw new IllegalStateException(
+          s"graft-table CDF: version $v widens a column type — this " +
+            "stream's pinned schema no longer matches; start a fresh " +
+            s"checkpoint with startingVersion=$v")
         case "drop_column" => throw new IllegalStateException(
           s"graft-table CDF: version $v drops a column — this stream's " +
             "pinned schema no longer matches; start a fresh checkpoint " +

@@ -774,4 +774,203 @@ class CatalogSpec extends SparkSpec {
         s"'$stmt' failed inside the graft command instead of delegating: ${ex.getMessage}")
     }
   }
+
+  test("MV statement: STDDEV_POP/VAR_POP maintain; sample forms, FILTER and DISTINCT refuse by name (r13)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "t").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    CommitLog.append(spark, root, ev, nFiles = 2)
+    spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES ('enableChangeDataFeed' = 'true')")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.v AS
+        |SELECT event_type, COUNT(*) AS n,
+        |  STDDEV_POP(value) AS std_value, SUM(value) AS total_value
+        |FROM $cat.t GROUP BY event_type""".stripMargin)
+    // the full DML mix, then ONE refresh — the folded std/var equal a
+    // recompute through the shared derivation
+    spark.sql(s"DELETE FROM $cat.t WHERE user_id % 7 = 3")
+    spark.sql(s"UPDATE $cat.t SET value = value + 1000.0 WHERE user_id % 4 = 2")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.v")
+    val view = spark.sql(s"SELECT event_type, std_value, var_value FROM $cat.v")
+    val want = spark.sql(
+      s"""SELECT event_type,
+        |  CASE WHEN nv > 0 THEN SQRT(GREATEST(
+        |    CAST(ss AS DOUBLE) / nv -
+        |    (CAST(total AS DOUBLE) / nv) * (CAST(total AS DOUBLE) / nv),
+        |    0.0D)) END AS std_value,
+        |  CASE WHEN nv > 0 THEN GREATEST(
+        |    CAST(ss AS DOUBLE) / nv -
+        |    (CAST(total AS DOUBLE) / nv) * (CAST(total AS DOUBLE) / nv),
+        |    0.0D) END AS var_value
+        |FROM (SELECT event_type, COUNT(value) AS nv,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+        |      AS DECIMAL(38,8)) AS ss
+        |  FROM $cat.t GROUP BY event_type)""".stripMargin)
+    assert(view.exceptAll(want).count() === 0 && want.exceptAll(view).count() === 0,
+      "maintained STDDEV_POP/VAR_POP diverge from the recompute derivation")
+    // sanity: the derived std is the plain STDDEV_POP up to double noise
+    val approx = spark.sql(
+      s"SELECT event_type, STDDEV_POP(value) AS sp FROM $cat.t GROUP BY event_type")
+    val joined = view.join(approx, Seq("event_type"))
+      .filter(abs(col("std_value") - col("sp")) > lit(1e-6) * abs(col("sp")))
+    assert(joined.count() === 0, "derived std is not the population stddev")
+    // negative surface: each refusal names the offending construct
+    def refuse(aggs: String, needle: String): Unit = {
+      val ex = intercept[Exception] {
+        spark.sql(s"""CREATE MATERIALIZED VIEW $cat.vneg AS
+          |SELECT event_type, COUNT(*) AS n, $aggs
+          |FROM $cat.t GROUP BY event_type""".stripMargin).collect()
+      }
+      assert(ex.getMessage.contains("unsupported aggregates remain") &&
+        ex.getMessage.contains(needle),
+        s"expected a named refusal carrying '$needle': ${ex.getMessage}")
+    }
+    refuse("STDDEV(value) AS std_value, SUM(value) AS total_value", "STDDEV(value)")
+    refuse("VAR_SAMP(value) AS var_value, SUM(value) AS total_value", "VAR_SAMP(value)")
+    refuse("SUM(DISTINCT value) AS total_value, MIN(value) AS mn_value", "DISTINCT")
+    refuse("SUM(value) FILTER (WHERE value > 0) AS total_value, MIN(value) AS mn_value", "FILTER")
+  }
+
+  test("generated columns enforce on EVERY write path — evolved append, overwrite, merge, update (r13, ADVICE)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_gcol_all").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value")).limit(300)
+    CommitLog.setTableProperty(root, "generated.day", "event_id % 7")
+    // appendEvolved omitting the column → computed
+    CommitLog.appendEvolved(spark, root, ev.filter(col("event_id") % 2 === 0), nFiles = 1)
+    val v0 = CommitLog.read(spark, root, 0L)
+    assert(v0.columns.contains("day"), "appendEvolved must fill the generated column")
+    assert(v0.filter(!(col("day") <=> expr("event_id % 7"))).count() === 0)
+    // overwrite omitting → computed; divergent supplied → fails by name
+    CommitLog.overwrite(spark, root, ev.filter(col("event_id") % 2 =!= 0), nFiles = 1)
+    val v1 = CommitLog.read(spark, root, 1L)
+    assert(v1.filter(!(col("day") <=> expr("event_id % 7"))).count() === 0,
+      "overwrite must fill the generated column")
+    val exOw = intercept[IllegalArgumentException] {
+      CommitLog.overwrite(spark, root, ev.limit(5).withColumn("day", lit(99L)), nFiles = 1)
+    }
+    assert(exOw.getMessage.contains("generated column 'day'"), exOw.getMessage)
+    // mergeKeyed: omitted on the update/insert images → computed on
+    // every landed row (survivors keep their already-valid values)
+    val ups = ev.filter(col("event_id") % 10 === 1)
+      .withColumn("value", col("value") + lit(500.0))
+    CommitLog.mergeKeyed(spark, root, ups, Seq("event_id"), nInsertFiles = 1)
+    val vm = CommitLog.read(spark, root, CommitLog.latestVersion(root).get)
+    assert(vm.filter(!(col("day") <=> expr("event_id % 7"))).count() === 0,
+      "merge must fill the generated column on update/insert rows")
+    // update: SET on the generated column refuses by name; SET on a
+    // SOURCE column recomputes the derived value — never a stale one
+    val exUp = intercept[IllegalArgumentException] {
+      CommitLog.update(spark, root, col("value") > 0, Seq("day" -> lit(3L)))
+    }
+    assert(exUp.getMessage.contains("GENERATED"), exUp.getMessage)
+    // +71 is NOT a multiple of 7: a stale (un-recomputed) day value
+    // cannot accidentally satisfy the invariant below
+    val someId = vm.select(col("event_id")).limit(1).collect()(0).getLong(0)
+    CommitLog.update(spark, root, col("event_id") === someId,
+      Seq("event_id" -> (col("event_id") + lit(71L))))
+    val vu = CommitLog.read(spark, root, CommitLog.latestVersion(root).get)
+    assert(vu.filter(!(col("day") <=> expr("event_id % 7"))).count() === 0,
+      "update must recompute the generated column from the post-image")
+    assert(vu.filter(col("event_id") === someId).count() === 0L,
+      "the updated row must carry its new event_id")
+    assert(vu.filter(col("event_id") === someId + 71L).count() >= 1L)
+    // merge-on-read update: same refusal contract
+    val exMor = intercept[IllegalArgumentException] {
+      CommitLog.updateMergeOnRead(spark, root, col("value") > 0, Seq("day" -> lit(3L)))
+    }
+    assert(exMor.getMessage.contains("GENERATED"), exMor.getMessage)
+  }
+
+  test("INSERT INTO with a column list: omitted generated column COMPUTES; explicit NULL fails by name (r13)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "t").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value")).limit(200)
+    CommitLog.setTableProperty(root, "generated.day", "event_id % 7")
+    CommitLog.append(spark, root, ev, nFiles = 1) // fills day
+    val n0 = spark.sql(s"SELECT * FROM $cat.t").count()
+    // the statement's column list omits `day` → it computes (Spark's
+    // own analysis would have null-filled it before the V1 writer)
+    spark.sql(s"INSERT INTO $cat.t (event_id, value) VALUES (7000001, 1.5), (7000002, 2.5)")
+    val got = spark.sql(s"SELECT event_id, day FROM $cat.t WHERE event_id >= 7000000")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(7000001L -> (7000001L % 7), 7000002L -> (7000002L % 7)),
+      s"omitted generated column must compute, got $got")
+    assert(spark.sql(s"SELECT * FROM $cat.t").count() === n0 + 2)
+    // a SELECT-form insert computes too
+    spark.sql(s"INSERT INTO $cat.t (event_id, value) " +
+      s"SELECT event_id + 8000000, value FROM $cat.t WHERE event_id < 7000000 LIMIT 5")
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.t WHERE event_id >= 8000000 AND day <> event_id % 7")
+      .collect()(0).getLong(0) === 0L)
+    // supplying the column delegates to the normal path: an explicit
+    // NULL (or wrong value) fails VALIDATION by name, nothing lands
+    val headBefore = CommitLog.latestVersion(root).get
+    val ex = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.t (event_id, value, day) VALUES (7000003, 3.5, NULL)")
+    }
+    assert(ex.getMessage.contains("generated column 'day'"), ex.getMessage)
+    assert(CommitLog.latestVersion(root).get === headBefore,
+      "a rejected generated-column INSERT must not publish")
+  }
+
+  test("MERGE refuses multiple source rows matching one target row; unmatched duplicates insert (r13, ADVICE)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "t").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value")).limit(400)
+    CommitLog.append(spark, root, ev, nFiles = 2)
+    val n0 = spark.sql(s"SELECT * FROM $cat.t").count()
+    // two update images for one MATCHED key → the statement fails,
+    // nothing publishes (a pinned key, not limit(1) — the duplicate
+    // must be the SAME key deterministically)
+    val k = ev.agg(min(col("event_id"))).collect()(0).getLong(0)
+    val one = ev.filter(col("event_id") === k)
+    val dupMatched = one.withColumn("value", lit(1.0))
+      .unionByName(one.withColumn("value", lit(2.0)))
+      .unionByName(ev.filter(col("event_id") % 10 === 3).withColumn("value", lit(9.0)))
+    dupMatched.createOrReplaceTempView("dup_matched_src")
+    val headBefore = CommitLog.latestVersion(root).get
+    val ex = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $cat.t t USING dup_matched_src s
+        |ON t.event_id = s.event_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    }
+    assert(ex.getMessage.contains("multiple source rows match"), ex.getMessage)
+    assert(CommitLog.latestVersion(root).get === headBefore,
+      "a refused MERGE must not publish")
+    // duplicate UNMATCHED keys stay legal: each image inserts
+    val dupUnmatched = one
+      .withColumn("event_id", col("event_id") + 900000000L)
+      .withColumn("value", lit(1.0))
+      .unionByName(one
+        .withColumn("event_id", col("event_id") + 900000000L)
+        .withColumn("value", lit(2.0)))
+    dupUnmatched.createOrReplaceTempView("dup_unmatched_src")
+    spark.sql(s"""MERGE INTO $cat.t t USING dup_unmatched_src s
+      |ON t.event_id = s.event_id
+      |WHEN MATCHED THEN UPDATE SET *
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    assert(spark.sql(s"SELECT * FROM $cat.t").count() === n0 + 2,
+      "unmatched duplicate source keys must both insert")
+    // mixed-clause CDC batch carrying op='D' AND op='U' for ONE
+    // matched key → fails (no deterministic sequential meaning)
+    val cdc = one.withColumn("op", lit("D"))
+      .unionByName(one.withColumn("value", lit(5.0))
+        .withColumn("op", lit("U")))
+    cdc.createOrReplaceTempView("dup_cdc_src")
+    val ex2 = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $cat.t t USING dup_cdc_src s
+        |ON t.event_id = s.event_id
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED AND s.op <> 'D' THEN INSERT *""".stripMargin).collect()
+    }
+    assert(ex2.getMessage.contains("multiple source rows match"), ex2.getMessage)
+  }
 }

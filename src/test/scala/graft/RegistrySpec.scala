@@ -149,7 +149,11 @@ class RegistrySpec extends SparkSpec {
       "q_table_incr_view_join_dimupd", "s_table_view_stream_multi",
       "q_table_view_chain3", "q_sql_table_incr_view_avg",
       "q_table_auto_compact", "q_table_generated_cols",
-      "q_sql_table_merge_delete", "q_table_type_widening")
+      "q_sql_table_merge_delete", "q_table_type_widening",
+      // r13: continuous dim-advance, STDDEV/VAR statement surface,
+      // partition spec evolution
+      "s_table_view_stream_dimupd", "q_sql_table_incr_view_stddev",
+      "q_table_partition_evolve")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }

@@ -352,4 +352,75 @@ class SimilaritySpec extends SparkSpec {
     VectorIndex.refresh(spark, idx) // must not throw
     assert(tombCount() > 0L, "malformed threshold must mean NO auto-purge")
   }
+
+  test("codebook-drift auto-rebuild: skewed churn crosses rebuildThreshold, retrain restores balance, contents exact (r13)") {
+    import graft.sources.{CommitLog, VectorIndex}
+    val e = vecs.join(
+      Tables(spark, sf, "embeddings").select(col("vec_id"), col("label")), "vec_id")
+      .select(col("vec_id"), col("label"), col("v"))
+    val corpus = java.nio.file.Files.createTempDirectory("graft_vrb_c").toString
+    val idx = java.nio.file.Files.createTempDirectory("graft_vrb_i").toString
+    CommitLog.setTableProperty(corpus, "enableChangeDataFeed", "true")
+    CommitLog.append(spark, corpus, e, nFiles = 1)
+    val (assigned, cents) = Similarity.ivfTrain(CommitLog.read(spark, corpus, 0L))
+    VectorIndex.create(spark, idx, corpus, 0L, assigned, cents)
+    val aRoot = VectorIndex.assignedRoot(idx)
+    val cRoot = VectorIndex.centroidsRoot(idx)
+    // a SKEWED append run: 200 near-identical vectors pile into one
+    // frozen cell — the drift the telemetry was built to expose
+    val base = e.filter(col("vec_id") === 1L).select(col("v").as("bv")).limit(1)
+    // label matches the corpus column TYPE (embeddings' label is
+    // integral — a string here would stage a mixed-type generation)
+    val labelType = e.schema("label").dataType
+    val skew = spark.range(100000L, 100200L).select(col("id").as("vec_id"))
+      .crossJoin(broadcast(base))
+      .select(col("vec_id"), lit(-1).cast(labelType).as("label"),
+        expr("transform(bv, x -> CAST(x * 0.999 + vec_id * 1e-7 AS DOUBLE))").as("v"))
+    CommitLog.append(spark, corpus, skew, nFiles = 1)
+    VectorIndex.refresh(spark, idx) // no threshold yet: measure only
+    val balSkew = VectorIndex.detail(spark, idx)
+      .collect()(0).getAs[Double]("cell_balance")
+    assert(balSkew > 1.5, s"skew fixture failed to drift the balance ($balSkew)")
+    val liveBefore = VectorIndex.postings(spark, idx)
+      .select(col("vec_id"), col("label"), col("v")).localCheckpoint()
+    // threshold below the drifted balance → the NEXT refresh retrains
+    CommitLog.setTableProperty(aRoot, "rebuildThreshold",
+      (balSkew * 0.75).toString)
+    val centsV0 = CommitLog.latestVersion(cRoot).get
+    CommitLog.append(spark, corpus,
+      skew.filter(col("vec_id") < 100010L)
+        .withColumn("vec_id", col("vec_id") + 1000L), nFiles = 1)
+    VectorIndex.refresh(spark, idx)
+    assert(CommitLog.latestVersion(cRoot).get > centsV0,
+      "threshold-crossing refresh must publish a NEW codebook")
+    // contents preserved exactly: rebuild re-partitions, never edits —
+    // the live set equals pre-rebuild live + the last batch
+    val wantLive = liveBefore.unionByName(
+      skew.filter(col("vec_id") < 100010L)
+        .withColumn("vec_id", col("vec_id") + 1000L))
+    val gotLive = VectorIndex.postings(spark, idx)
+      .select(col("vec_id"), col("label"), col("v"))
+    assert(gotLive.exceptAll(wantLive).count() === 0 &&
+      wantLive.exceptAll(gotLive).count() === 0,
+      "rebuild changed the index CONTENTS")
+    // probe-over-rebuilt ≡ brute force: with every cell probed, the
+    // rebuilt index's top-k is the exact top-k (completeness — no
+    // vector lost or duplicated by the re-partitioning)
+    graft.functions.VectorExprs.register(spark)
+    val q = e.filter(col("vec_id") === 2L).select(col("v").as("qv")).limit(1)
+    def topk(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          org.apache.spark.sql.functions.call_function(
+            "cosine_sim", col("v"), col("qv")).as("c"))
+        .orderBy(col("c").desc, col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSeq
+    assert(topk(gotLive) === topk(wantLive),
+      "probe over the rebuilt index diverges from brute force")
+    // the retrain restored the balance and retired the mask
+    val dAfter = VectorIndex.detail(spark, idx).collect()(0)
+    assert(dAfter.getAs[Double]("cell_balance") < balSkew,
+      s"rebuild did not restore balance: ${dAfter.getAs[Double]("cell_balance")} vs $balSkew")
+    assert(dAfter.getAs[Long]("n_tombstones") === 0L)
+  }
 }

@@ -2605,4 +2605,187 @@ class StreamingSpec extends SparkSpec {
     assert(readded.filter(col("user_id").isNotNull).count() === 0,
       "re-added column resurrected the dropped column's lingering bytes")
   }
+
+  test("commit log: widen commits op='widen' — honest history, rebaseable winner, CDF-neutral (r13, ADVICE)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_widen_op").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id").cast("int").as("event_id"),
+        col("user_id"), col("value").cast("float").as("value")).limit(600)
+    CommitLog.appendEvolved(spark, root, ev.filter(col("event_id") % 2 === 0), nFiles = 2)
+    val vw = CommitLog.widenColumnType(spark, root, "event_id",
+      org.apache.spark.sql.types.LongType)
+    // DESCRIBE HISTORY records the schema change as what it is
+    assert(CommitLog.snapshotOp(root, vw) === "widen",
+      "a type widen must not masquerade as an append in the history")
+    // file-level changes() stays exact across the metadata-only
+    // commit, and row-level CDF emits nothing for it
+    CommitLog.append(spark, root,
+      ev.filter(col("event_id") % 2 =!= 0)
+        .withColumn("event_id", col("event_id").cast("long")), nFiles = 1)
+    val cr = CommitLog.changesRows(spark, root, vw - 1,
+      CommitLog.latestVersion(root).get)
+    assert(cr.filter(col("_commit_version") === vw).count() === 0,
+      "a widen changes no rows — its CDF contribution must be empty")
+    assert(CommitLog.changes(spark, root, vw - 1, vw).count() === 0)
+    // a CoW rewrite losing the race to a widen REBASES — and the
+    // rebased commit re-records the widened head schema
+    var injected = false
+    val (vd, _, _) = CommitLog.delete(spark, root,
+      col("user_id") % 3 === 1,
+      beforeCommit = () => if (!injected) {
+        injected = true
+        CommitLog.widenColumnType(spark, root, "value",
+          org.apache.spark.sql.types.DoubleType); ()
+      })
+    val headSchema = CommitLog.read(spark, root, vd).schema
+    assert(headSchema("value").dataType ===
+      org.apache.spark.sql.types.DoubleType,
+      "the rebased delete must carry the widen winner's schema, not undo it")
+    assert(headSchema("event_id").dataType ===
+      org.apache.spark.sql.types.LongType)
+  }
+
+  test("commit log: file-disjoint compaction rebases past an UPDATE winner; value-changing pairs still refuse (r13)") {
+    import graft.sources.{CommitLog, Tables}
+    def fresh(): String = {
+      val root = java.nio.file.Files.createTempDirectory("graft_cu_reb").toString
+      val ev = Tables(spark, sf, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .limit(1000)
+      CommitLog.appendPartitioned(spark, root,
+        ev.filter(col("event_id") % 2 === 0), "event_type", filesPerPartition = 2)
+      CommitLog.appendPartitioned(spark, root,
+        ev.filter(col("event_id") % 2 === 1), "event_type", filesPerPartition = 2)
+      root
+    }
+    // a partition-scoped compaction of 'click' races an UPDATE whose
+    // predicate touches ONLY 'purchase' rows — file-disjoint: both
+    // commit, and the state equals serial execution in either order
+    val root = fresh()
+    val before = CommitLog.read(spark, root,
+      CommitLog.latestVersion(root).get).localCheckpoint()
+    var injected = false
+    val (v, nSel, _) = CommitLog.compactPartitions(spark, root, "event_type",
+      Seq("click"), filesPerPartition = 1,
+      beforeCommit = () => if (!injected) {
+        injected = true
+        CommitLog.update(spark, root,
+          col("event_type") === "purchase",
+          Seq("value" -> (col("value") + lit(5000.0)))); ()
+      })
+    assert(nSel === 4L, s"expected the 4 click files selected, got $nSel")
+    val got = CommitLog.read(spark, root, v)
+    val want = before.withColumn("value",
+      when(col("event_type") === "purchase", col("value") + lit(5000.0))
+        .otherwise(col("value")))
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+      "rebased compaction diverges from serial execution")
+    // the updated partition's files are the WINNER's — untouched by
+    // the compaction; the compacted partition is one file
+    val aux = CommitLog.auxOf(root, v)
+    val clickFiles = aux.parts.filter(_._2 == "click").keys
+    assert(clickFiles.size === 1, s"click not compacted: $clickFiles")
+    // an UPDATE whose predicate hits rows in a file the compaction is
+    // rewriting makes the winner REMOVE that file — condition (2)
+    // refuses, the value-changing pair cannot both commit
+    val root2 = fresh()
+    var injected2 = false
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      CommitLog.compactPartitions(spark, root2, "event_type",
+        Seq("click"), filesPerPartition = 1,
+        beforeCommit = () => if (!injected2) {
+          injected2 = true
+          CommitLog.update(spark, root2, col("event_type") === "click",
+            Seq("value" -> (col("value") + lit(1.0)))); ()
+        })
+    }
+    assert(ex.getMessage.contains("removed") ||
+      ex.getMessage.contains("rewrite-vs-rewrite"), ex.getMessage)
+    // and a compaction losing to a MERGE on a different partition's
+    // keys rebases the same way (the merge's inserts carry forward)
+    val root3 = fresh()
+    val evAll = CommitLog.read(spark, root3, CommitLog.latestVersion(root3).get)
+    val ups = evAll.filter(col("event_type") === "purchase").limit(20)
+      .withColumn("value", lit(-42.0))
+    var injected3 = false
+    val (v3, _, _) = CommitLog.compactPartitions(spark, root3, "event_type",
+      Seq("error"), filesPerPartition = 1,
+      beforeCommit = () => if (!injected3) {
+        injected3 = true
+        CommitLog.mergeKeyed(spark, root3, ups.localCheckpoint(),
+          Seq("event_id"), nInsertFiles = 1); ()
+      })
+    val got3 = CommitLog.read(spark, root3, v3)
+    assert(got3.filter(col("value") === -42.0).count() === 20,
+      "merge winner's rows lost through the compaction rebase")
+    assert(got3.count() === evAll.count())
+  }
+
+  test("commit log: partition spec evolution — gated by repartitionLayout, per-generation pruning (r13)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_pe_spec").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("day", (col("event_id") % 7).cast("string"))
+    CommitLog.appendPartitioned(spark, root,
+      ev.filter(col("event_id") % 2 === 0), "event_type", filesPerPartition = 1)
+    // a different partition column WITHOUT the property refuses —
+    // one active spec per table, evolution is explicit
+    val ex = intercept[IllegalArgumentException] {
+      CommitLog.appendPartitioned(spark, root,
+        ev.filter(col("event_id") % 2 === 1), "day", filesPerPartition = 1)
+    }
+    assert(ex.getMessage.contains("repartitionLayout"), ex.getMessage)
+    CommitLog.setTableProperty(root, "repartitionLayout", "day")
+    val head = CommitLog.appendPartitioned(spark, root,
+      ev.filter(col("event_id") % 2 === 1), "day", filesPerPartition = 1)
+    // every row survives the evolution, once
+    val got = CommitLog.read(spark, root, head)
+    assert(got.count() === ev.count())
+    // old generation prunes under ITS column; the new generation is
+    // unprunable for that query (read in full) — and vice versa
+    val (dfT, total, readT) = CommitLog.partitionPrunedRead(spark, root,
+      head, "event_type", Seq("click"))
+    assert(total === 12 && readT === 8, s"type probe read $readT of $total")
+    assert(dfT.filter(col("event_type") === "click").count() ===
+      ev.filter(col("event_type") === "click").count())
+    val (dfD, _, readD) = CommitLog.partitionPrunedRead(spark, root,
+      head, "day", Seq("3"))
+    assert(readD === 6, s"day probe read $readD files")
+    assert(dfD.filter(col("day") === "3").count() ===
+      ev.filter(col("day") === "3").count())
+    // a column NO generation partitions by still refuses (typo guard)
+    val ex2 = intercept[IllegalArgumentException] {
+      CommitLog.partitionPrunedRead(spark, root, head, "value", Seq("1"))
+    }
+    assert(ex2.getMessage.contains("no generation"), ex2.getMessage)
+    // dropping a column that partitions an OLD generation refuses
+    val ex3 = intercept[IllegalArgumentException] {
+      CommitLog.dropColumn(spark, root, "event_type")
+    }
+    assert(ex3.getMessage.contains("generation"), ex3.getMessage)
+  }
+
+  test("commit log: autoCompact fires on the appendWithRetry ingest path too (r13, ADVICE)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_ac_retry").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value")).limit(300)
+    CommitLog.setTableProperty(root, "autoCompact", "4")
+    CommitLog.setTableProperty(root, "autoCompact.target", "2")
+    // three retry-path appends of 2 files each: the third crosses the
+    // 4-file threshold, so the policy compaction publishes right
+    // after it — the streaming-ingest path is exactly where the small
+    // files accumulate
+    CommitLog.appendWithRetry(spark, root, ev.filter(col("event_id") % 3 === 0), nFiles = 2)
+    CommitLog.appendWithRetry(spark, root, ev.filter(col("event_id") % 3 === 1), nFiles = 2)
+    CommitLog.appendWithRetry(spark, root, ev.filter(col("event_id") % 3 === 2), nFiles = 2)
+    val head = CommitLog.latestVersion(root).get
+    assert(CommitLog.snapshotOp(root, head) === "compact",
+      s"autoCompact must fire after the threshold-crossing retry append; head op = ${CommitLog.snapshotOp(root, head)}")
+    assert(CommitLog.snapshotFiles(root, head).size === 2)
+    val got = CommitLog.read(spark, root, head)
+    assert(got.count() === ev.count(), "the policy compaction must be data-neutral")
+  }
 }
