@@ -61,6 +61,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*OPTIMIZE\s+([\w.]+)\s+ZORDER\s+BY\s*\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s*;?\s*""".r
   private val optimizeWhereRe =
     """(?is)\s*OPTIMIZE\s+([\w.]+)\s+WHERE\s+(\w+)\s*=\s*'([^']*)'\s*;?\s*""".r
+  // OPTIMIZE t MIGRATE LAYOUT [LIMIT n] — bounded partition-spec
+  // convergence (r13): rewrite up to n old-generation files under the
+  // current spec (CommitLog.migrateLayout)
+  private val optimizeMigrateRe =
+    """(?is)\s*OPTIMIZE\s+([\w.]+)\s+MIGRATE\s+LAYOUT(?:\s+LIMIT\s+(\d+))?\s*;?\s*""".r
   // DELETE / MERGE are statements Spark PARSES natively but cannot
   // EXECUTE against a plain V2 catalog table (they need the row-level
   // operation API) — so the graft forms intercept here and route to
@@ -221,6 +226,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case optimizeRe(ident, cols) if isGraftCatalog(ident) =>
       OptimizeZorderCommand(ident.split('.').toSeq,
         cols.split(',').map(_.trim).toSeq)
+    case optimizeMigrateRe(ident, limit) if isGraftCatalog(ident) =>
+      OptimizeMigrateLayoutCommand(ident.split('.').toSeq,
+        Option(limit).map(_.toInt).getOrElse(8))
     case optimizeWhereRe(ident, partCol, value) if isGraftCatalog(ident) =>
       OptimizeWhereCommand(ident.split('.').toSeq, partCol, value)
     case historyRe(ident) if isGraftCatalog(ident) =>
@@ -391,7 +399,8 @@ case class DescribeDetailCommand(parts: Seq[String])
       nullable = false)(),
     GraftSqlCommands.attr("n_files_with_vectors"),
     GraftSqlCommands.attr("n_versions_retained"),
-    GraftSqlCommands.attr("n_properties"))
+    GraftSqlCommands.attr("n_properties"),
+    GraftSqlCommands.attr("n_foreign_layout_files"))
   override def run(s: SparkSession): Seq[Row] = {
     val root = GraftSqlCommands.rootOf(s, parts)
     val head = CommitLog.latestVersion(root).getOrElse(
@@ -402,12 +411,27 @@ case class DescribeDetailCommand(parts: Seq[String])
     // promises versions a read can still pin (r11 review)
     val retained = CommitLog.history(root)
       .count { case (v, _, _) => CommitLog.manifestExists(root, v) }.toLong
+    // spec-evolution backlog (r13): files NOT laid out under the
+    // current spec — an older generation's column, or no layout entry
+    // at all (e.g. a CoW rewrite that dropped its entries) — exactly
+    // the set OPTIMIZE ... MIGRATE LAYOUT works off; 0 on a converged
+    // (or never-partitioned) table
+    val foreign = aux.partCol.map { cur =>
+      CommitLog.snapshotFiles(root, head).count { f =>
+        val jf = new java.io.File(f)
+        aux.layoutOf(jf.getParentFile.getName + "/" + jf.getName) match {
+          case Some((c, _)) => c != cur
+          case None => true
+        }
+      }.toLong
+    }.getOrElse(0L)
     Seq(Row(head,
       CommitLog.snapshotFiles(root, head).size.toLong,
       aux.partCol.getOrElse(""),
       aux.dvs.count(_._2.nonEmpty).toLong,
       retained,
-      CommitLog.tableProperties(root).size.toLong))
+      CommitLog.tableProperties(root).size.toLong,
+      foreign))
   }
 }
 
@@ -472,6 +496,25 @@ case class OptimizeWhereCommand(parts: Seq[String], partCol: String,
       GraftSqlCommands.rootOf(s, parts), partCol, Seq(value),
       filesPerPartition = 1)
     Seq(Row(v, sel, staged))
+  }
+}
+
+/** OPTIMIZE cat.t MIGRATE LAYOUT [LIMIT n] — bounded partition-spec
+  * convergence (r13): rewrite up to n files whose recorded layout
+  * differs from the current spec under the current partition column
+  * (CommitLog.migrateLayout — data-neutral, rebase-looped). Run it
+  * repeatedly until files_remaining hits 0; each run is bounded
+  * maintenance, never a table-sized rewrite. */
+case class OptimizeMigrateLayoutCommand(parts: Seq[String], limit: Int)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    GraftSqlCommands.attr("head_version"),
+    GraftSqlCommands.attr("files_migrated"),
+    GraftSqlCommands.attr("files_remaining"))
+  override def run(s: SparkSession): Seq[Row] = {
+    val (v, m, rem) = CommitLog.migrateLayout(s,
+      GraftSqlCommands.rootOf(s, parts), maxFiles = limit)
+    Seq(Row(v, m, rem))
   }
 }
 

@@ -3026,6 +3026,44 @@ object CommitLog {
     (v, selected.size.toLong, staged.size.toLong)
   }
 
+  /** Incremental LAYOUT MIGRATION (r13, completing partition spec
+    * evolution): rewrite up to `maxFiles` files whose recorded layout
+    * differs from the CURRENT partition spec (an older generation's
+    * column, or no layout entry at all) under the current column —
+    * the Iceberg rewrite-data-files posture: an evolved table
+    * converges to one spec across bounded maintenance runs instead of
+    * one table-sized rewrite. Data-neutral (op="optimize" — rows are
+    * only re-binned), rides the semantic rebase loop like every other
+    * re-layout, picks oldest-staged files first (name order —
+    * deterministic), and a fully-converged table is a no-op. Returns
+    * (headVersion, filesMigrated, filesStillForeign). */
+  def migrateLayout(s: SparkSession, root: String, maxFiles: Int = 8,
+      maxAttempts: Int = 10,
+      beforeCommit: () => Unit = () => ()): (Long, Long, Long) = {
+    require(maxFiles > 0, "migrateLayout: maxFiles must be positive")
+    val prev = latestVersion(root)
+      .getOrElse(sys.error(s"cannot migrate an empty table at $root"))
+    val files = readManifest(root, prev)._2
+    val aux = auxOf(root, prev)
+    val current = aux.partCol.getOrElse(sys.error(
+      s"migrateLayout: table at $root records no partition spec"))
+    val foreign = files.filter(f => aux.layoutOf(f) match {
+      case Some((c, _)) => c != current
+      case None => true
+    }).sorted
+    if (foreign.isEmpty) return (prev, 0L, 0L)
+    val pick = foreign.take(maxFiles)
+    val carried = files.filterNot(pick.toSet)
+    val sub = readSubset(s, root, prev,
+      pick.map(f => new java.io.File(root, f).toString))
+    val (staged, newAux) = stagePartitioned(s, root, sub, current,
+      filesPerPartition = 1)
+    val (v, _) = commitRewriteRebasing(s, root, prev, files.toSet,
+      "optimize", carried, staged, newAux, staged, Nil,
+      maxAttempts, beforeCommit)
+    (v, pick.size.toLong, (foreign.size - pick.size).toLong)
+  }
+
   /** SHALLOW CLONE — the zero-copy table fork of the public formats
     * (Delta's CREATE TABLE ... SHALLOW CLONE): the clone's v0 manifest
     * lists the SOURCE snapshot's data files by `../`-relative

@@ -833,6 +833,33 @@ class CatalogSpec extends SparkSpec {
     refuse("SUM(value) FILTER (WHERE value > 0) AS total_value, MIN(value) AS mn_value", "FILTER")
   }
 
+  test("OPTIMIZE MIGRATE LAYOUT converges an evolved table through SQL (r13)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "t").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("day", (col("event_id") % 7).cast("string"))
+    CommitLog.appendPartitioned(spark, root,
+      ev.filter(col("event_id") % 2 === 0), "event_type", filesPerPartition = 1)
+    // evolve the spec for future statements: repartitionLayout gates
+    // the CommitLog evolution, partitionColumn routes the DSv2 INSERT
+    spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES " +
+      "('repartitionLayout' = 'day', 'partitionColumn' = 'day')")
+    ev.filter(col("event_id") % 2 === 1).createOrReplaceTempView("pe_odd_src")
+    spark.sql(s"INSERT INTO $cat.t SELECT * FROM pe_odd_src")
+    // bounded statement runs converge the old generation
+    val r1 = spark.sql(s"OPTIMIZE $cat.t MIGRATE LAYOUT LIMIT 3").collect()(0)
+    assert(r1.getLong(1) === 3L && r1.getLong(2) === 2L,
+      s"first run: migrated ${r1.getLong(1)}, left ${r1.getLong(2)}")
+    val r2 = spark.sql(s"OPTIMIZE $cat.t MIGRATE LAYOUT").collect()(0)
+    assert(r2.getLong(1) === 2L && r2.getLong(2) === 0L)
+    assert(spark.sql(s"SELECT * FROM $cat.t").count() === ev.count(),
+      "migration must be data-neutral through the statement too")
+    // a converged table: the statement is a no-op
+    val r3 = spark.sql(s"OPTIMIZE $cat.t MIGRATE LAYOUT").collect()(0)
+    assert(r3.getLong(1) === 0L && r3.getLong(2) === 0L)
+  }
+
   test("generated columns enforce on EVERY write path — evolved append, overwrite, merge, update (r13, ADVICE)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_gcol_all").toString

@@ -978,4 +978,37 @@ class PlanSpec extends SparkSpec {
       s"driver action count scales with dim churn: " +
         s"tiny=${tiny.map(_._1)} mass=${mass.map(_._1)}")
   }
+
+  test("partition evolution: pruning stays pure log metadata — inputFiles == per-generation survivors (r13)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_pe_plan").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("day", (col("event_id") % 7).cast("string"))
+    CommitLog.appendPartitioned(spark, root,
+      ev.filter(col("event_id") % 2 === 0), "event_type", filesPerPartition = 1)
+    CommitLog.setTableProperty(root, "repartitionLayout", "day")
+    val head = CommitLog.appendPartitioned(spark, root,
+      ev.filter(col("event_id") % 2 === 1), "day", filesPerPartition = 1)
+    val aux = CommitLog.auxOf(root, head)
+    // the probe's scan lists EXACTLY the manifest survivors: the
+    // queried generation's matching files + every other-generation
+    // file (unprunable for this query) — no directory listing, no
+    // footer reads, and never a dropped matching file
+    val (df, _, _) = CommitLog.partitionPrunedRead(spark, root, head,
+      "event_type", Seq("click"))
+    val wantFiles = CommitLog.snapshotFiles(root, head).filter { f =>
+      // manifest-relative form: data/<uuid>.parquet
+      val jf = new java.io.File(f)
+      aux.layoutOf(jf.getParentFile.getName + "/" + jf.getName) match {
+        case Some(("event_type", v)) => v == "click"
+        case _ => true
+      }
+    }.map(f => "file://" + new java.io.File(f).getAbsolutePath).toSet
+    assert(df.inputFiles.toSet === wantFiles,
+      s"pruned scan reads ${df.inputFiles.size} files, expected ${wantFiles.size}")
+    // and the kept set is strictly smaller than the snapshot — the
+    // old generation still prunes after the spec change
+    assert(wantFiles.size < CommitLog.snapshotFiles(root, head).size)
+  }
 }

@@ -2765,6 +2765,30 @@ class StreamingSpec extends SparkSpec {
       CommitLog.dropColumn(spark, root, "event_type")
     }
     assert(ex3.getMessage.contains("generation"), ex3.getMessage)
+    // INCREMENTAL MIGRATION: bounded runs rewrite the old generation
+    // under the current spec until the table converges — then the
+    // day probe prunes fully and the old column's layouts are gone
+    val (_, m1, rem1) = CommitLog.migrateLayout(spark, root, maxFiles = 3)
+    assert(m1 === 3L && rem1 === 2L, s"first run migrated $m1, left $rem1")
+    val (_, m2, rem2) = CommitLog.migrateLayout(spark, root, maxFiles = 8)
+    assert(m2 === 2L && rem2 === 0L, s"second run migrated $m2, left $rem2")
+    val headM = CommitLog.latestVersion(root).get
+    assert(CommitLog.read(spark, root, headM).count() === ev.count(),
+      "migration must be data-neutral")
+    // converged: every file now carries a day layout — the probe
+    // reads ONLY day=3 files (one per generation of migration runs,
+    // ≤3 here) instead of dragging the whole old generation
+    val (dfD2, totalM, readD2) = CommitLog.partitionPrunedRead(spark, root,
+      headM, "day", Seq("3"))
+    assert(readD2 <= 3 && totalM >= 14,
+      s"converged table must prune the day probe fully ($readD2 of $totalM)")
+    assert(dfD2.filter(col("day") === "3").count() ===
+      ev.filter(col("day") === "3").count())
+    assert(!CommitLog.auxOf(root, headM).layouts.values.exists(_._1 == "event_type"),
+      "migrated files must shed the old generation's layout entries")
+    // converged: another run is a no-op
+    val (_, m3, rem3) = CommitLog.migrateLayout(spark, root)
+    assert(m3 === 0L && rem3 === 0L)
   }
 
   test("commit log: autoCompact fires on the appendWithRetry ingest path too (r13, ADVICE)") {
