@@ -185,6 +185,9 @@ object ScaleSoak {
     // other generation in full)
     "s_table_view_stream_dimupd", "q_sql_table_incr_view_stddev",
     "q_table_partition_evolve",
+    // DEFAULT fill is one projection; IDENTITY allocation is one
+    // count + one narrow zipWithIndex map per commit (no shuffle)
+    "q_table_default_cols", "q_table_identity_cols",
     // the r10 verdict's mass-delete scenario, soaked as its own
     // fixture (below — not a registry key): EVERY view key vanishes
     // in one fold; the driver-OOM shape the r11 distributed

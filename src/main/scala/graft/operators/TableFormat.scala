@@ -1267,6 +1267,91 @@ object TableFormat {
           lit(mism).as("n_mismatch"),
           col("n_rows_day3"), col("sum_value_day3")))
     },
+    "q_table_default_cols" -> { (s, dir) =>
+      // DEFAULT columns (r13 — the SQL/Delta column DEFAULT,
+      // completing the column-feature trio with GENERATED and
+      // IDENTITY): table property `default.<col>` = a CONSTANT
+      // expression. Fill-on-OMISSION only: a write without the
+      // column gets the default, a write that supplies it — even an
+      // explicit NULL — is taken as written (validation is
+      // GENERATED's contract, not DEFAULT's); a default referencing
+      // other columns refuses by name. Composes with GENERATED: the
+      // derived `day` fills on every one of the three writes.
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("value"))
+      val root = java.nio.file.Files.createTempDirectory("graft_defc")
+      root.toFile.deleteOnExit()
+      CommitLog.setTableProperty(root.toString, "default.source", "'backfill'")
+      CommitLog.setTableProperty(root.toString, "generated.day", "event_id % 7")
+      // omitted → default fills
+      CommitLog.append(s, root.toString,
+        ev.filter(col("event_id") % 3 === 0), nFiles = 1)
+      // supplied → kept verbatim
+      CommitLog.append(s, root.toString,
+        ev.filter(col("event_id") % 3 === 1)
+          .withColumn("source", lit("live")), nFiles = 1)
+      // explicit NULL → stays NULL (fill means omission, not null)
+      CommitLog.append(s, root.toString,
+        ev.filter(col("event_id") % 3 === 2)
+          .withColumn("source", lit(null).cast("string")), nFiles = 1)
+      val head = CommitLog.latestVersion(root.toString).get
+      val full = CommitLog.read(s, root.toString, head)
+      val dayMism = full.filter(!(col("day") <=> expr("event_id % 7"))).count()
+      ordered(full.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("source") === "backfill", 1L).otherwise(0L)).as("n_backfill"),
+        sum(when(col("source") === "live", 1L).otherwise(0L)).as("n_live"),
+        sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_null"),
+        dsum(col("value")).as("sum_value"))
+        .select(lit(dayMism).as("n_day_mismatch"), col("n_rows"),
+          col("n_backfill"), col("n_live"), col("n_null"), col("sum_value")))
+    },
+    "q_table_identity_cols" -> { (s, dir) =>
+      // IDENTITY column (r13 — Delta's GENERATED ALWAYS AS IDENTITY):
+      // table property `identity.<col>` = "start,step"; the column is
+      // ALWAYS system-assigned — omitted on write, allocated
+      // hwm + step·(1..n) per commit (unique, monotone across
+      // commits, the high-water mark riding the manifest so a
+      // compaction can never cause id reuse), supplied values refuse
+      // by name. WHICH row gets WHICH id follows partition order and
+      // is not part of the contract — so the key pins the ID SET
+      // algebra (count, distinct, min, max, arithmetic-series sum),
+      // which is exact regardless of assignment order.
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("value"))
+      val root = java.nio.file.Files.createTempDirectory("graft_idc")
+      root.toFile.deleteOnExit()
+      CommitLog.setTableProperty(root.toString, "identity.row_id", "1000,2")
+      CommitLog.append(s, root.toString,
+        ev.filter(col("event_id") % 2 === 0), nFiles = 2)
+      CommitLog.append(s, root.toString,
+        ev.filter(col("event_id") % 2 =!= 0), nFiles = 2)
+      // supplying the identity column refuses by name, nothing lands
+      val headBefore = CommitLog.latestVersion(root.toString).get
+      val refused =
+        try {
+          CommitLog.append(s, root.toString,
+            ev.limit(3).withColumn("row_id", lit(1L)), nFiles = 1)
+          0L
+        } catch {
+          case e: IllegalArgumentException if e.getMessage.contains("IDENTITY") => 1L
+        }
+      val unchanged =
+        if (CommitLog.latestVersion(root.toString).get == headBefore) 1L else 0L
+      val full = CommitLog.read(s, root.toString,
+        CommitLog.latestVersion(root.toString).get)
+      ordered(full.agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("row_id")).as("n_distinct_ids"),
+        min(col("row_id")).as("min_id"),
+        max(col("row_id")).as("max_id"),
+        sum(col("row_id")).as("sum_ids"),
+        dsum(col("value")).as("sum_value"))
+        .select(lit(refused).as("supplied_refused"),
+          lit(unchanged).as("head_unchanged"),
+          col("n_rows"), col("n_distinct_ids"), col("min_id"),
+          col("max_id"), col("sum_ids"), col("sum_value")))
+    },
     "q_table_auto_compact" -> { (s, dir) =>
       // AUTO-COMPACT policy (r12) — the small-file problem closed by
       // policy instead of a cron job: table property `autoCompact`
@@ -2970,6 +3055,29 @@ object TableFormat {
         |FROM events WHERE event_id % 7 = 3""".stripMargin +
         orderByAll("files_total", "files_read", "n_mismatch",
           "n_rows_day3", "sum_value_day3")),
+    "q_table_default_cols" ->
+      ("""SELECT CAST(0 AS BIGINT) AS n_day_mismatch,
+        |  (SELECT COUNT(*) FROM events) AS n_rows,
+        |  (SELECT COUNT(*) FROM events WHERE event_id % 3 = 0) AS n_backfill,
+        |  (SELECT COUNT(*) FROM events WHERE event_id % 3 = 1) AS n_live,
+        |  (SELECT COUNT(*) FROM events WHERE event_id % 3 = 2) AS n_null,
+        |  (SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+        |    FROM events) AS sum_value""".stripMargin +
+        orderByAll("n_day_mismatch", "n_rows", "n_backfill", "n_live",
+          "n_null", "sum_value")),
+    "q_table_identity_cols" ->
+      ("""WITH c AS (SELECT COUNT(*) AS n FROM events)
+        |SELECT CAST(1 AS BIGINT) AS supplied_refused,
+        |  CAST(1 AS BIGINT) AS head_unchanged,
+        |  (SELECT n FROM c) AS n_rows,
+        |  (SELECT n FROM c) AS n_distinct_ids,
+        |  CAST(1000 AS BIGINT) AS min_id,
+        |  CAST(998 + 2 * (SELECT n FROM c) AS BIGINT) AS max_id,
+        |  CAST((SELECT n * (999 + n) FROM c) AS BIGINT) AS sum_ids,
+        |  (SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+        |    FROM events) AS sum_value""".stripMargin +
+        orderByAll("supplied_refused", "head_unchanged", "n_rows",
+          "n_distinct_ids", "min_id", "max_id", "sum_ids", "sum_value")),
     "q_table_auto_compact" ->
       ("""SELECT CAST(3 AS BIGINT) AS head_version,
         |  CAST(3 AS BIGINT) AS n_appends,

@@ -35,6 +35,17 @@ object GraftSqlParser {
     * target, one to the source, and names the SAME column (the log's
     * merge keys on shared column names); multiple AND-joined
     * equalities form a composite key (r11). Returns the key columns. */
+  /** The table's system-computed columns: GENERATED (derived),
+    * IDENTITY (allocated) and DEFAULT (constant-filled). An INSERT
+    * column list omitting any of them routes through the graft
+    * command so the write path computes them (r13). */
+  private[plans] def computedColsOf(props: Map[String, String]): Set[String] =
+    props.keys.collect {
+      case k if k.startsWith("generated.") => k.stripPrefix("generated.")
+      case k if k.startsWith("identity.") => k.stripPrefix("identity.")
+      case k if k.startsWith("default.") => k.stripPrefix("default.")
+    }.toSet
+
   private[plans] def mergeKeyColsOf(onClause: String, tAlias: String,
       sAlias: String): Seq[String] =
     onEqRe.findAllMatchIn(onClause).map { m =>
@@ -199,9 +210,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       try {
         val root = GraftSqlCommands.rootOf(s, ident.split('.').toSeq)
         val cols = colsBlob.split(',').map(_.trim.toLowerCase(java.util.Locale.ROOT)).toSet
-        graft.sources.CommitLog.tableProperties(root).keys.exists(k =>
-          k.startsWith("generated.") && !cols.contains(
-            k.stripPrefix("generated.").toLowerCase(java.util.Locale.ROOT)))
+        GraftSqlParser.computedColsOf(
+          graft.sources.CommitLog.tableProperties(root))
+          .exists(c => !cols.contains(c.toLowerCase(java.util.Locale.ROOT)))
       } catch { case scala.util.control.NonFatal(_) => false }
     }
 
@@ -702,16 +713,15 @@ case class InsertIntoGraftGeneratedCommand(parts: Seq[String],
     require(df0.columns.length == cols.length,
       s"INSERT INTO ${parts.mkString(".")}: column list has " +
         s"${cols.length} columns but the query produces ${df0.columns.length}")
-    val gens = CommitLog.tableProperties(root).keys
-      .filter(_.startsWith("generated."))
-      .map(_.stripPrefix("generated.")).toSet
+    val computed = GraftSqlParser.computedColsOf(CommitLog.tableProperties(root))
     // listed columns cast to the table's types (INSERT coercion);
-    // omitted plain columns null-fill; omitted GENERATED columns stay
-    // absent so the append's fill-or-validate kernel computes them
+    // omitted plain columns null-fill; omitted GENERATED/IDENTITY/
+    // DEFAULT columns stay absent so the append's compute kernels
+    // fill them (derive / allocate / default respectively)
     val named = df0.toDF(cols: _*)
       .select(cols.map(c => col(c).cast(byName(c).dataType).as(c)): _*)
     val filled = tblSchema.fields
-      .filterNot(f => cols.contains(f.name) || gens.contains(f.name))
+      .filterNot(f => cols.contains(f.name) || computed.contains(f.name))
       .foldLeft(named)((d, f) =>
         d.withColumn(f.name, lit(null).cast(f.dataType)))
     val n = s.conf.getOption("spark.graft.insert.files").map(_.toInt).getOrElse(2)

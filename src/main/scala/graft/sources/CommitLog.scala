@@ -243,7 +243,8 @@ object CommitLog {
       stats: Map[String, (Long, Long)] = Map.empty,
       schemaJson: Option[String] = None,
       extra: Seq[String] = Nil,
-      newTombstones: Seq[String] = Nil): Long = {
+      newTombstones: Seq[String] = Nil,
+      newIdHwm: Option[Long] = None): Long = {
     val next = expected.map(_ + 1).getOrElse(0L)
     // dropped-physical-name tombstones ride IN the manifest and carry
     // forward on every commit, like the schema — atomic with the
@@ -255,12 +256,21 @@ object CommitLog {
     val tsJson =
       if (ts.isEmpty) Nil
       else Seq(s""","tombstones":[${ts.map(jstr).mkString(",")}]""")
+    // the IDENTITY high-water mark rides the manifest and carries
+    // forward like tombstones (r13): a compaction that dropped it
+    // would let the next allocation REUSE ids. Allocating writers
+    // pass the advanced mark; everyone else carries verbatim.
+    val hwm = newIdHwm.orElse(
+      expected.flatMap(v => longMetaOf(root, v, IdHwmField)))
+    val hwmJson = hwm.map(h => s""","$IdHwmField":$h""").toSeq
     publish(root, next,
       renderManifest(next, files, op, statsCol, stats, schemaJson,
-        extra ++ tsJson))
+        extra ++ tsJson ++ hwmJson))
     maybeCheckpoint(root, next)
     next
   }
+
+  private val IdHwmField = "idHwm"
 
   /** Opt-in auto-checkpoint (table property `checkpointInterval`,
     * Delta's name): every k-th commit snapshots the history — AFTER
@@ -798,9 +808,84 @@ object CommitLog {
       case (k, v) if k.startsWith("generated.") => k.stripPrefix("generated.") -> v
     }.toSeq.sortBy(_._1)
 
+  /** DEFAULT columns (r13 — the SQL/Delta column DEFAULT): table
+    * property `default.<col>` = a CONSTANT SQL expression. A write
+    * that OMITS the column gets the default; a write that SUPPLIES
+    * it (including an explicit NULL) is taken as written — defaults
+    * fill omission only, they never validate (that is GENERATED's
+    * contract). The expression must be row-independent: a default
+    * referencing other columns is a generated column wearing the
+    * wrong property, refused by name. Applied before generated
+    * columns, so a generated expression may derive from a defaulted
+    * column. */
+  private def applyColumnDefaults(s: SparkSession, root: String,
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    val defs = tableProperties(root).collect {
+      case (k, v) if k.startsWith("default.") => k.stripPrefix("default.") -> v
+    }.toSeq.sortBy(_._1)
+    defs.foldLeft(df) { case (d, (name, sql)) =>
+      require(s.sessionState.sqlParser.parseExpression(sql).references.isEmpty,
+        s"default column '$name': expression ($sql) references other " +
+          "columns — a derived column is `generated.<col>`, not a DEFAULT")
+      if (d.columns.contains(name)) d else d.withColumn(name, expr(sql))
+    }
+  }
+
+  /** IDENTITY column (r13 — Delta's GENERATED ALWAYS AS IDENTITY):
+    * table property `identity.<col>` = "start,step". The column is
+    * ALWAYS system-assigned: a write that supplies it refuses by
+    * name; a write that omits it allocates ids `hwm + step*(1..n)` —
+    * unique and monotone across commits (the high-water mark rides
+    * the manifest, [[commit]] carries it), contiguous WITHIN a
+    * commit by construction (zipWithIndex — one count pass + one
+    * narrow map, no shuffle, the distributed dense-allocation shape;
+    * WHICH row gets WHICH id follows partition order and is not part
+    * of the contract, exactly the public engines' posture). Identity
+    * allocation is single-writer by design: the optimistic-retry
+    * path refuses an omitted identity column rather than risk two
+    * writers allocating from one mark (Delta surfaces the same race
+    * as a metadata conflict). Returns (completed frame, the advanced
+    * mark to commit) — (df, None) on tables without the property. */
+  private def identityOf(root: String): Option[(String, Long, Long)] =
+    tableProperties(root).collectFirst {
+      case (k, v) if k.startsWith("identity.") =>
+        val parts = v.split(',').map(_.trim)
+        require(parts.length == 2 &&
+          scala.util.Try(parts(0).toLong).isSuccess &&
+          scala.util.Try(parts(1).toLong).isSuccess && parts(1).toLong != 0L,
+          s"identity property '$k' must be 'start,step' with step != 0, got '$v'")
+        (k.stripPrefix("identity."), parts(0).toLong, parts(1).toLong)
+    }
+
+  private def fillIdentity(s: SparkSession, root: String,
+      df: DataFrame, opName: String): (DataFrame, Option[Long]) =
+    identityOf(root) match {
+      case None => (df, None)
+      case Some((name, start, step)) =>
+        require(!df.columns.contains(name),
+          s"$opName: column '$name' is IDENTITY (always system-" +
+            "assigned) — omit it; supplied values are never accepted")
+        val hwm0 = latestVersion(root)
+          .flatMap(v => longMetaOf(root, v, IdHwmField))
+          .getOrElse(start - step)
+        // n from one count action (the mark must advance by exactly
+        // the allocated rows); zipWithIndex's own per-partition count
+        // pass then assigns without any shuffle
+        val n = df.count()
+        val out = s.createDataFrame(
+          df.rdd.zipWithIndex().map { case (r, i) =>
+            org.apache.spark.sql.Row.fromSeq(
+              r.toSeq :+ (hwm0 + step * (i + 1L))) },
+          df.schema.add(name, org.apache.spark.sql.types.LongType,
+            nullable = false))
+        (out, Some(hwm0 + step * n))
+    }
+
   private def applyGeneratedColumns(s: SparkSession, root: String,
-      df: DataFrame, opName: String): DataFrame = {
+      df0: DataFrame, opName: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, not}
+    val df = applyColumnDefaults(s, root, df0)
     val gens = generatedColsOf(root)
     gens.foldLeft(df) { case (d, (name, sql)) =>
       if (!d.columns.contains(name)) d.withColumn(name, expr(sql))
@@ -816,7 +901,10 @@ object CommitLog {
   }
 
   def append(s: SparkSession, root: String, df0: DataFrame, nFiles: Int): Long = {
-    val df = applyGeneratedColumns(s, root, df0, "append")
+    // identity first (generated/default expressions may derive from
+    // the assigned id), then fill-or-validate
+    val (dfId, idHwm) = fillIdentity(s, root, df0, "append")
+    val df = applyGeneratedColumns(s, root, dfId, "append")
     val prev = latestVersion(root)
     requireSchemaCompatible(root, prev, df, "append")
     enforceConstraints(s, root, df, "append")
@@ -831,7 +919,8 @@ object CommitLog {
     val v = commit(root, prevFiles ++ stageDataFiles(s, root, df, nFiles), prev,
       statsCol = prevCol, stats = prevStats,
       schemaJson = carriedSchemaJson(root, prev),
-      extra = auxExtra(carriedAux(root, prev)))
+      extra = auxExtra(carriedAux(root, prev)),
+      newIdHwm = idHwm)
     maybeAutoCompact(s, root, v)
     v
   }
@@ -1392,8 +1481,11 @@ object CommitLog {
   def overwrite(s: SparkSession, root: String, df0: DataFrame,
       nFiles: Int, partCol: Option[String] = None): Long = {
     import org.apache.spark.sql.functions.lit
-    // fill-or-validate generated columns (r13, ADVICE — see append)
-    val df = applyGeneratedColumns(s, root, df0, "overwrite")
+    // identity allocation CONTINUES across an overwrite (replaced
+    // rows' ids are never reused — the public engines' contract),
+    // then fill-or-validate generated columns (r13, ADVICE)
+    val (dfId, idHwm) = fillIdentity(s, root, df0, "overwrite")
+    val df = applyGeneratedColumns(s, root, dfId, "overwrite")
     val prev = latestVersion(root)
       .getOrElse(sys.error(s"cannot overwrite an empty table at $root — append first"))
     requireSchemaCompatible(root, Some(prev), df, "overwrite")
@@ -1415,7 +1507,8 @@ object CommitLog {
       staged)
     commit(root, staged, Some(prev), op = "overwrite",
       schemaJson = carriedSchemaJson(root, Some(prev)),
-      extra = auxExtra(fullAux) ++ cdf.map(renderCdf).toSeq)
+      extra = auxExtra(fullAux) ++ cdf.map(renderCdf).toSeq,
+      newIdHwm = idHwm)
   }
 
   /** Per-file column statistics of `version`'s manifest: the stats
@@ -1648,10 +1741,11 @@ object CommitLog {
   def appendPartitioned(s: SparkSession, root: String, df0: DataFrame,
       partCol: String, filesPerPartition: Int,
       extraMeta: Seq[String] = Nil): Long = {
-    // generated columns fill/validate FIRST — partitioning by a
-    // generated column (the derived-date layout) is the feature's
-    // headline use
-    val df = applyGeneratedColumns(s, root, df0, "appendPartitioned")
+    // identity, then generated columns, fill/validate FIRST —
+    // partitioning by a generated column (the derived-date layout)
+    // is the feature's headline use
+    val (dfId, idHwm) = fillIdentity(s, root, df0, "appendPartitioned")
+    val df = applyGeneratedColumns(s, root, dfId, "appendPartitioned")
     val prev = latestVersion(root)
     requireSchemaCompatible(root, prev, df, "appendPartitioned")
     enforceConstraints(s, root, df, "appendPartitioned")
@@ -1685,7 +1779,8 @@ object CommitLog {
     commit(root, prevFiles ++ staged, prev,
       statsCol = prevCol, stats = prevStats,
       schemaJson = carriedSchemaJson(root, prev),
-      extra = auxExtra(fullAux) ++ extraMeta)
+      extra = auxExtra(fullAux) ++ extraMeta,
+      newIdHwm = idHwm)
   }
 
   /** Partition-pruned scan: the files of `version` whose recorded
@@ -3234,6 +3329,15 @@ object CommitLog {
   def appendWithRetry(s: SparkSession, root: String, df0: DataFrame,
       nFiles: Int, maxAttempts: Int = 10,
       beforeCommit: () => Unit = () => ()): Long = {
+    // identity allocation is single-writer by design: two retry-path
+    // writers reading one high-water mark would allocate OVERLAPPING
+    // ids, and a rebase cannot fix already-staged values without a
+    // data rewrite — refuse by name (Delta surfaces the same race as
+    // a metadata conflict); route identity ingest through append
+    require(identityOf(root).isEmpty,
+      s"appendWithRetry: table at $root has an IDENTITY column — " +
+        "allocation is single-writer; ingest through append/" +
+        "appendPartitioned")
     val df = applyGeneratedColumns(s, root, df0, "appendWithRetry")
     val staged = stageDataFiles(s, root, df, nFiles)
     var attempt = 0

@@ -945,6 +945,46 @@ class CatalogSpec extends SparkSpec {
       "a rejected generated-column INSERT must not publish")
   }
 
+  test("DEFAULT fills omission through SQL; IDENTITY allocates through SQL and refuses the retry path (r13)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "t").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value")).limit(100)
+    CommitLog.setTableProperty(root, "default.source", "'backfill'")
+    CommitLog.setTableProperty(root, "identity.row_id", "1,1")
+    CommitLog.append(spark, root, ev, nFiles = 1)
+    val n0 = ev.count()
+    // the INSERT column list omits source AND row_id: the default
+    // fills, the identity allocates continuing from the mark
+    spark.sql(s"INSERT INTO $cat.t (event_id, value) VALUES (9000001, 1.5)")
+    val r = spark.sql(
+      s"SELECT source, row_id FROM $cat.t WHERE event_id = 9000001").collect()(0)
+    assert(r.getString(0) === "backfill")
+    assert(r.getLong(1) === n0 + 1,
+      s"identity must continue from the mark: ${r.getLong(1)} vs ${n0 + 1}")
+    // a DEFAULT referencing other columns refuses by name
+    CommitLog.setTableProperty(root, "default.bad", "event_id + 1")
+    val exBad = intercept[IllegalArgumentException] {
+      CommitLog.append(spark, root, ev.limit(1), nFiles = 1)
+    }
+    assert(exBad.getMessage.contains("generated.<col>"), exBad.getMessage)
+    CommitLog.removeTableProperty(root, "default.bad")
+    // identity tables refuse the optimistic-retry ingest path by name
+    val exRetry = intercept[IllegalArgumentException] {
+      CommitLog.appendWithRetry(spark, root, ev.limit(5), nFiles = 1)
+    }
+    assert(exRetry.getMessage.contains("single-writer"), exRetry.getMessage)
+    // the mark survives a compaction: ids after it continue, no reuse
+    CommitLog.compact(spark, root, nFiles = 1)
+    CommitLog.append(spark, root, ev.limit(4)
+      .withColumn("event_id", col("event_id") + 9100000L), nFiles = 1)
+    val ids = spark.sql(s"SELECT row_id FROM $cat.t")
+      .collect().map(_.getLong(0))
+    assert(ids.length === ids.distinct.length,
+      "id reuse after compaction — the mark was not carried")
+    assert(ids.max === n0 + 1 + 4)
+  }
+
   test("MERGE refuses multiple source rows matching one target row; unmatched duplicates insert (r13, ADVICE)") {
     val (cat, base) = freshCatalog()
     val root = new java.io.File(base, "t").toString

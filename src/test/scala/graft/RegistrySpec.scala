@@ -151,9 +151,10 @@ class RegistrySpec extends SparkSpec {
       "q_table_auto_compact", "q_table_generated_cols",
       "q_sql_table_merge_delete", "q_table_type_widening",
       // r13: continuous dim-advance, STDDEV/VAR statement surface,
-      // partition spec evolution
+      // partition spec evolution, DEFAULT + IDENTITY columns
       "s_table_view_stream_dimupd", "q_sql_table_incr_view_stddev",
-      "q_table_partition_evolve")
+      "q_table_partition_evolve", "q_table_default_cols",
+      "q_table_identity_cols")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }
