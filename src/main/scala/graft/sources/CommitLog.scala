@@ -860,13 +860,22 @@ object CommitLog {
 
   private def fillIdentity(s: SparkSession, root: String,
       df: DataFrame, opName: String): (DataFrame, Option[Long]) =
+    fillIdentityAt(s, root, df, opName, latestVersion(root))
+
+  /** [[fillIdentity]] against an EXPLICIT base version — the
+    * streaming sink allocates against batchId−1, so a replayed batch
+    * re-derives the SAME id block from the same mark and the
+    * version-≡-batchId skip keeps allocation exactly-once. */
+  private def fillIdentityAt(s: SparkSession, root: String,
+      df: DataFrame, opName: String,
+      base: Option[Long]): (DataFrame, Option[Long]) =
     identityOf(root) match {
       case None => (df, None)
       case Some((name, start, step)) =>
         require(!df.columns.contains(name),
           s"$opName: column '$name' is IDENTITY (always system-" +
             "assigned) — omit it; supplied values are never accepted")
-        val hwm0 = latestVersion(root)
+        val hwm0 = base
           .flatMap(v => longMetaOf(root, v, IdHwmField))
           .getOrElse(start - step)
         // n from one count action (the mark must advance by exactly
@@ -2186,11 +2195,18 @@ object CommitLog {
     * create-if-absent (the loser's staged files are orphans for
     * vacuum, as in the public formats). Returns true iff THIS call
     * published the version. */
-  def appendBatch(s: SparkSession, root: String, df: DataFrame,
+  def appendBatch(s: SparkSession, root: String, df0: DataFrame,
       nFiles: Int, batchId: Long): Boolean = {
     if (manifest(root, batchId).exists()) return false
-    requireSchemaCompatible(root,
-      if (batchId == 0) None else Some(batchId - 1), df, "appendBatch")
+    val prev = if (batchId == 0) None else Some(batchId - 1)
+    // identity + generated/default columns enforce on the STREAMING
+    // sink path too (r13 — the appendEvolved/overwrite lesson):
+    // identity allocates against batchId−1's mark, so a replayed
+    // batch re-derives the SAME id block and the version-≡-batchId
+    // skip keeps allocation exactly-once without a side channel
+    val (dfId, idHwm) = fillIdentityAt(s, root, df0, "appendBatch", prev)
+    val df = applyGeneratedColumns(s, root, dfId, "appendBatch")
+    requireSchemaCompatible(root, prev, df, "appendBatch")
     enforceConstraints(s, root, df, "appendBatch")
     val prevFiles =
       if (batchId == 0) Nil
@@ -2200,13 +2216,11 @@ object CommitLog {
       else snapshotStatsOf(root, batchId - 1)
     val staged = stageDataFiles(s, root, df, nFiles)
     try {
-      commit(root, prevFiles ++ staged,
-        if (batchId == 0) None else Some(batchId - 1),
+      commit(root, prevFiles ++ staged, prev,
         statsCol = prevCol, stats = prevStats,
-        schemaJson = carriedSchemaJson(root,
-          if (batchId == 0) None else Some(batchId - 1)),
-        extra = auxExtra(carriedAux(root,
-          if (batchId == 0) None else Some(batchId - 1))))
+        schemaJson = carriedSchemaJson(root, prev),
+        extra = auxExtra(carriedAux(root, prev)),
+        newIdHwm = idHwm)
       true
     } catch {
       case _: java.util.ConcurrentModificationException => false
@@ -2220,10 +2234,14 @@ object CommitLog {
     * ingest table (the first thing a real user builds) is streamable
     * with table-level exactly-once AND log-metadata partition pruning
     * at once. Returns true iff THIS call published the version. */
-  def appendBatchPartitioned(s: SparkSession, root: String, df: DataFrame,
+  def appendBatchPartitioned(s: SparkSession, root: String, df0: DataFrame,
       partCol: String, filesPerPartition: Int, batchId: Long): Boolean = {
     if (manifest(root, batchId).exists()) return false
     val prev = if (batchId == 0) None else Some(batchId - 1)
+    // identity/generated/default enforcement — see appendBatch (r13)
+    val (dfId, idHwm) =
+      fillIdentityAt(s, root, df0, "appendBatchPartitioned", prev)
+    val df = applyGeneratedColumns(s, root, dfId, "appendBatchPartitioned")
     requireSchemaCompatible(root, prev, df, "appendBatchPartitioned")
     enforceConstraints(s, root, df, "appendBatchPartitioned")
     val prevFiles = prev.map(v => snapshotFiles(root, v)
@@ -2236,7 +2254,8 @@ object CommitLog {
       commit(root, prevFiles ++ staged, prev,
         statsCol = prevCol, stats = prevStats,
         schemaJson = carriedSchemaJson(root, prev),
-        extra = auxExtra(carriedAux(root, prev).merged(aux)))
+        extra = auxExtra(carriedAux(root, prev).merged(aux)),
+        newIdHwm = idHwm)
       true
     } catch {
       case _: java.util.ConcurrentModificationException => false
@@ -2379,7 +2398,13 @@ object CommitLog {
       // override drops them and records only the staged files' stats
       // under the new column (carried files read as unprunable — the
       // pre-r12 optimize contract)
-      newStats: Option[(String, Map[String, (Long, Long)])] = None): (Long, Long) = {
+      newStats: Option[(String, Map[String, (Long, Long)])] = None,
+      // identity allocation riding this rewrite (r13 — MERGE inserts):
+      // newIdHwm is the advanced mark, idHwmBase the mark it was
+      // derived FROM; a winner that moved the mark makes the staged
+      // block stale (possible overlap), so the rebase refuses there
+      newIdHwm: Option[Long] = None,
+      idHwmBase: Option[Long] = None): (Long, Long) = {
     val myRemoved = baseFiles -- carried.toSet
     val dvPrev = carriedAux(root, Some(prev)).dvs
     // NARROW value-changing-winner case (r13, VERDICT item 7): when
@@ -2430,6 +2455,12 @@ object CommitLog {
           s"$op under $root rewrote a file whose deletion vectors a " +
             "concurrent commit changed — the staged rewrite would " +
             "resurrect its dead rows; retry against the new head")
+      if (newIdHwm.isDefined && head != prev &&
+        longMetaOf(root, head, IdHwmField) != idHwmBase)
+        throw new java.util.ConcurrentModificationException(
+          s"$op under $root allocated identity ids from a mark a " +
+            "concurrent commit advanced — the staged block may " +
+            "overlap; retry against the new head")
       val finalCarried = (headFiles -- myRemoved).toSeq.sorted
       val keep = finalCarried.toSet
       val (prevCol, prevStats) = snapshotStatsOf(root, head)
@@ -2446,7 +2477,8 @@ object CommitLog {
           schemaJson = carriedSchemaJson(root, Some(head)),
           extra = auxExtra(restageColStats(s, root,
             auxHead.filterFiles(keep).merged(newAux), restageFiles)) ++
-            extraFragments)
+            extraFragments,
+          newIdHwm = newIdHwm)
         return (v, (finalCarried.size - carried.size).toLong)
       } catch {
         case _: java.util.ConcurrentModificationException
@@ -2637,19 +2669,50 @@ object CommitLog {
       beforeCommit: () => Unit = () => ()): (Long, Long, Long) = {
     import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "merge needs at least one key column")
+    val prev = latestVersion(root)
+      .getOrElse(sys.error(s"cannot merge into an empty table at $root"))
+    val kc = keyCols.map(col)
+    // IDENTITY × MERGE (r13): the column stays system-owned — omitted
+    // in the source, MATCHED rows RECOVER their existing ids from the
+    // target (identity is stable under update — one inner join on the
+    // merge keys), UNMATCHED rows allocate fresh ids from the mark.
+    // The allocation races like any allocation: the rebase loop
+    // refuses if a winner advanced the mark (idHwmBase check).
+    val (updatesId, idHwm, idBase) = identityOf(root) match {
+      case None => (updates0, None, None)
+      case Some((name, start, step)) =>
+        require(!updates0.columns.contains(name),
+          s"merge: column '$name' is IDENTITY (always system-" +
+            "assigned) — omit it; matched rows keep their ids, " +
+            "inserted rows allocate")
+        val tgtIds = read(s, root, prev)
+          .select((kc :+ col(name)): _*)
+        val matched = updates0.join(tgtIds, keyCols, "inner")
+        val unmatched = updates0.join(tgtIds.select(kc: _*), keyCols, "left_anti")
+        val base = longMetaOf(root, prev, IdHwmField)
+        val hwm0 = base.getOrElse(start - step)
+        val n = unmatched.count()
+        val alloc = s.createDataFrame(
+          unmatched.rdd.zipWithIndex().map { case (r, i) =>
+            org.apache.spark.sql.Row.fromSeq(
+              r.toSeq :+ (hwm0 + step * (i + 1L))) },
+          unmatched.schema.add(name, org.apache.spark.sql.types.LongType,
+            nullable = false))
+        // a no-insert merge allocates nothing: no mark to write, no
+        // race to guard — the commit carries the head's mark as usual
+        if (n == 0L) (matched.unionByName(alloc), None, None)
+        else (matched.unionByName(alloc), Some(hwm0 + step * n), base)
+    }
     // the update/insert rows are full row images — fill-or-validate
     // generated columns exactly like an append (r13, ADVICE); the
     // rewritten survivors are untouched rows and carry their values
-    val updates = applyGeneratedColumns(s, root, updates0, "merge")
+    val updates = applyGeneratedColumns(s, root, updatesId, "merge")
     enforceConstraints(s, root, updates, "merge")
-    val prev = latestVersion(root)
-      .getOrElse(sys.error(s"cannot merge into an empty table at $root"))
     // schema-recording tables enforce the append contract here too: an
     // unknown or retyped update column fails the COMMIT, never a later
     // read (use mergeEvolved to add columns) (r11)
     requireSchemaCompatible(root, Some(prev), updates, "merge")
     val files = snapshotFiles(root, prev)
-    val kc = keyCols.map(col)
     val updKeys = updates.select(kc: _*).distinct()
     val delKeys = deleteKeys.map(_.select(kc: _*).distinct())
     val keys = delKeys.map(updKeys.unionByName(_).distinct()).getOrElse(updKeys)
@@ -2719,7 +2782,8 @@ object CommitLog {
     val (v, addedN) = commitRewriteRebasing(s, root, prev, baseFiles,
       "merge", carried, rewritten ++ inserted,
       rewriteAux.merged(insertAux), rewritten ++ inserted,
-      cdf.map(renderCdf).toSeq ++ extraMeta, maxAttempts, beforeCommit)
+      cdf.map(renderCdf).toSeq ++ extraMeta, maxAttempts, beforeCommit,
+      newIdHwm = idHwm, idHwmBase = idBase)
     (v, clean.size.toLong + addedN, rewritten.size.toLong)
   }
 
@@ -2827,6 +2891,8 @@ object CommitLog {
       require(!gens.exists(_._1 == c),
         s"update: column '$c' is GENERATED — omit it from SET; it " +
           "recomputes from its expression")
+      require(!identityOf(root).exists(_._1 == c),
+        s"update: column '$c' is IDENTITY — ids are immutable")
     }
     // ONE select: the predicate AND every RHS evaluate against the
     // PRE-image row — SQL UPDATE semantics. A withColumn chain would
@@ -2948,6 +3014,8 @@ object CommitLog {
       require(!gens.exists(_._1 == c),
         s"updateMergeOnRead: column '$c' is GENERATED — omit it from " +
           "SET; it recomputes from its expression")
+      require(!identityOf(root).exists(_._1 == c),
+        s"updateMergeOnRead: column '$c' is IDENTITY — ids are immutable")
     }
     val postBase = matched.drop("_graft_file", "_graft_pos")
     val asg = assignments.toMap
@@ -3213,13 +3281,20 @@ object CommitLog {
       // SOURCE's sidecars until its own rewrites retire them
       a0.dvs.map { case (f, refs) => relMap.getOrElse(f, f) ->
         refs.map(r => relativize(dstRoot,
-          new java.io.File(srcRoot, r).toString)) })
+          new java.io.File(srcRoot, r).toString)) },
+      // per-generation layouts remap with their files (r13): a clone
+      // of an evolved table keeps every generation's pruning
+      a0.layouts.map { case (f, cv) => relMap.getOrElse(f, f) -> cv })
     val (statsCol, stats) = snapshotStatsOf(srcRoot, v)
     val v0 = commit(dstRoot, srcRel.map(relMap), expected = None, op = "clone",
       statsCol = statsCol,
       stats = stats.map { case (f, b) => relMap.getOrElse(f, f) -> b },
       schemaJson = snapshotSchemaOf(srcRoot, v).map(_.json),
-      extra = auxExtra(aux))
+      extra = auxExtra(aux),
+      // the identity mark carries into the clone's v0 (r13): the
+      // clone's first allocation must continue PAST the cloned rows'
+      // ids, never restart from `start` and collide with them
+      newIdHwm = longMetaOf(srcRoot, v, IdHwmField))
     tableProperties(srcRoot).foreach { case (k, value) =>
       setTableProperty(dstRoot, k, value) }
     v0

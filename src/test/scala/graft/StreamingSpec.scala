@@ -2791,6 +2791,54 @@ class StreamingSpec extends SparkSpec {
     assert(m3 === 0L && rem3 === 0L)
   }
 
+  test("commit log: IDENTITY through merge (matched keep ids, inserts allocate) and the streaming sink (replay-idempotent) (r13)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_id_mrg").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value")).limit(100)
+    CommitLog.setTableProperty(root, "identity.row_id", "1,1")
+    CommitLog.append(spark, root, ev, nFiles = 2)
+    val n0 = ev.count()
+    val before = CommitLog.read(spark, root, CommitLog.latestVersion(root).get)
+      .select(col("event_id"), col("row_id").as("id_before")).localCheckpoint()
+    // source OMITS row_id: 10 matched updates + 5 inserts
+    val upd = ev.limit(10).withColumn("value", col("value") + lit(500.0))
+    val ins = ev.limit(5).withColumn("event_id", col("event_id") + 9000000L)
+    CommitLog.mergeKeyed(spark, root, upd.unionByName(ins).localCheckpoint(),
+      Seq("event_id"), nInsertFiles = 1)
+    val after = CommitLog.read(spark, root, CommitLog.latestVersion(root).get)
+    // identity is STABLE under update: every matched row kept its id
+    val moved = after.join(before, Seq("event_id"))
+      .filter(col("row_id") =!= col("id_before")).count()
+    assert(moved === 0L, s"$moved matched rows changed identity through the merge")
+    // inserts allocated the next block: ids are exactly 1..n0+5
+    val ids = after.select(col("row_id")).collect().map(_.getLong(0)).sorted
+    assert(ids.length === n0 + 5 && ids.distinct.length === ids.length)
+    assert(ids.head === 1L && ids.last === n0 + 5)
+    // a source SUPPLYING row_id refuses by name
+    val ex = intercept[IllegalArgumentException] {
+      CommitLog.mergeKeyed(spark, root,
+        ev.limit(2).withColumn("row_id", lit(1L)), Seq("event_id"), 1)
+    }
+    assert(ex.getMessage.contains("IDENTITY"), ex.getMessage)
+    // streaming sink: allocation against batchId−1 makes a REPLAYED
+    // batch derive the same block; the version-≡-batchId skip keeps
+    // it exactly-once
+    val root2 = java.nio.file.Files.createTempDirectory("graft_id_str").toString
+    CommitLog.setTableProperty(root2, "identity.row_id", "1,1")
+    val b0 = ev.filter(col("event_id") % 2 === 0)
+    val b1 = ev.filter(col("event_id") % 2 =!= 0)
+    assert(CommitLog.appendBatch(spark, root2, b0, nFiles = 1, batchId = 0L))
+    assert(!CommitLog.appendBatch(spark, root2, b0, nFiles = 1, batchId = 0L),
+      "replayed batch must skip")
+    assert(CommitLog.appendBatch(spark, root2, b1, nFiles = 1, batchId = 1L))
+    val sIds = CommitLog.read(spark, root2, 1L)
+      .select(col("row_id")).collect().map(_.getLong(0)).sorted
+    assert(sIds.length === n0 && sIds.distinct.length === sIds.length)
+    assert(sIds.head === 1L && sIds.last === n0,
+      s"streamed identity block broken: ${sIds.head}..${sIds.last} over ${sIds.length}")
+  }
+
   test("commit log: autoCompact fires on the appendWithRetry ingest path too (r13, ADVICE)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_ac_retry").toString
