@@ -117,6 +117,19 @@ class GraftCatalog extends TableCatalog {
     }
     CommitLog.commit(root, Nil, expected = None, schemaJson = Some(schema.json))
     partCol.foreach(c => CommitLog.setTableProperty(root, "partitionColumn", c))
+    // TBLPROPERTIES persist at create (r13 — they were silently
+    // dropped): `CREATE TABLE ... TBLPROPERTIES('generated.day'=...,
+    // 'identity.id'='1,1', 'default.src'=..., 'constraint.x'=...,
+    // 'enableChangeDataFeed'='true')` declares the whole column/CDF
+    // contract in one statement, the Delta shape. Spark-managed
+    // entries (provider/location/owner/comment, reader options) are
+    // catalog plumbing, not table contract — skipped.
+    val reserved = Set("provider", "location", "owner", "comment",
+      "external", "is_managed_location")
+    properties.forEach { (k, v) =>
+      if (!reserved(k) && !k.startsWith("option."))
+        CommitLog.setTableProperty(root, k, v)
+    }
     new GraftCatalogTable(root, 0L, ident.name, writable = true)
   }
 

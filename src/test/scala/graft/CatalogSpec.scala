@@ -945,6 +945,36 @@ class CatalogSpec extends SparkSpec {
       "a rejected generated-column INSERT must not publish")
   }
 
+  test("CREATE TABLE ... TBLPROPERTIES declares the whole column contract in one statement (r13)") {
+    val (cat, base) = freshCatalog()
+    // '''ingest''' is SQL quote-doubling: the property VALUE is the
+    // expression 'ingest' (a string literal for the default kernel)
+    spark.sql(
+      s"""CREATE TABLE $cat.t (
+        |  event_id BIGINT, value DOUBLE, src STRING,
+        |  day BIGINT, row_id BIGINT)
+        |TBLPROPERTIES (
+        |  'generated.day' = 'event_id % 7',
+        |  'identity.row_id' = '100,1',
+        |  'default.src' = '''ingest''',
+        |  'constraint.pos_id' = 'event_id > 0')""".stripMargin)
+    // one INSERT omitting every computed column: identity allocates,
+    // generated derives, default fills
+    spark.sql(s"INSERT INTO $cat.t (event_id, value) VALUES (15, 1.5), (22, 2.5)")
+    val rows = spark.sql(
+      s"SELECT event_id, day, row_id, src FROM $cat.t ORDER BY event_id")
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSeq ===
+      Seq((15L, 1L, "ingest"), (22L, 1L, "ingest")))
+    assert(rows.map(_.getLong(2)).sorted.toSeq === Seq(100L, 101L))
+    // the CHECK constraint persisted too: a violating insert refuses
+    val ex = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.t (event_id, value) VALUES (-3, 1.0)")
+    }
+    assert(ex.getMessage.contains("pos_id") ||
+      ex.getMessage.contains("constraint"), ex.getMessage)
+  }
+
   test("DEFAULT fills omission through SQL; IDENTITY allocates through SQL and refuses the retry path (r13)") {
     val (cat, base) = freshCatalog()
     val root = new java.io.File(base, "t").toString
