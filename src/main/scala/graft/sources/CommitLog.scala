@@ -1213,13 +1213,15 @@ object CommitLog {
     * refuses as a retype. */
   def appendEvolved(s: SparkSession, root: String, df0: DataFrame,
       nFiles: Int): Long = {
-    // generated columns enforce on EVERY supported write path, not
-    // just plain append — an evolving writer omitting the column gets
-    // it computed, a divergent supplied value fails by name (r13,
-    // ADVICE: appendEvolved/update/merge/overwrite bypassed the
+    // identity, then generated/default columns, enforce on EVERY
+    // supported write path, not just plain append — an evolving
+    // writer omitting the column gets it allocated/computed, a
+    // divergent supplied value fails by name (r13, ADVICE:
+    // appendEvolved/update/merge/overwrite bypassed the
     // fill-or-validate contract, so one write could silently land a
-    // wrong partition or stat)
-    val df = applyGeneratedColumns(s, root, df0, "appendEvolved")
+    // wrong partition, stat, or a NULL id)
+    val (dfId, idHwm) = fillIdentity(s, root, df0, "appendEvolved")
+    val df = applyGeneratedColumns(s, root, dfId, "appendEvolved")
     val prev = latestVersion(root)
     enforceConstraints(s, root, df, "appendEvolved")
     val prevFiles = prev.map(v => snapshotFiles(root, v)
@@ -1266,7 +1268,8 @@ object CommitLog {
       }
     commit(root, prevFiles ++ stageDataFiles(s, root, physDf, nFiles), prev,
       statsCol = prevCol, stats = prevStats, schemaJson = Some(merged.json),
-      extra = auxExtra(carriedAux(root, prev)))
+      extra = auxExtra(carriedAux(root, prev)),
+      newIdHwm = idHwm)
   }
 
   /** Metadata-only schema evolution — ALTER TABLE ADD COLUMNS: a new
@@ -2685,8 +2688,14 @@ object CommitLog {
           s"merge: column '$name' is IDENTITY (always system-" +
             "assigned) — omit it; matched rows keep their ids, " +
             "inserted rows allocate")
+        // ONE id per key even if the target holds duplicate keys (a
+        // merge collapses them to one replacement row — joining raw
+        // target rows would MULTIPLY the update images): keep the
+        // smallest, deterministically
         val tgtIds = read(s, root, prev)
           .select((kc :+ col(name)): _*)
+          .groupBy(kc: _*)
+          .agg(org.apache.spark.sql.functions.min(col(name)).as(name))
         val matched = updates0.join(tgtIds, keyCols, "inner")
         val unmatched = updates0.join(tgtIds.select(kc: _*), keyCols, "left_anti")
         val base = longMetaOf(root, prev, IdHwmField)
