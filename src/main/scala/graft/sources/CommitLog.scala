@@ -847,8 +847,8 @@ object CommitLog {
     * writers allocating from one mark (Delta surfaces the same race
     * as a metadata conflict). Returns (completed frame, the advanced
     * mark to commit) — (df, None) on tables without the property. */
-  private def identityOf(root: String): Option[(String, Long, Long)] =
-    tableProperties(root).collectFirst {
+  private def identityOf(root: String): Option[(String, Long, Long)] = {
+    val all = tableProperties(root).collect {
       case (k, v) if k.startsWith("identity.") =>
         val parts = v.split(',').map(_.trim)
         require(parts.length == 2 &&
@@ -856,7 +856,12 @@ object CommitLog {
           scala.util.Try(parts(1).toLong).isSuccess && parts(1).toLong != 0L,
           s"identity property '$k' must be 'start,step' with step != 0, got '$v'")
         (k.stripPrefix("identity."), parts(0).toLong, parts(1).toLong)
-    }
+    }.toSeq
+    require(all.size <= 1,
+      s"one IDENTITY column per table (one high-water mark in the " +
+        s"manifest), got ${all.map(_._1).sorted.mkString(", ")}")
+    all.headOption
+  }
 
   private def fillIdentity(s: SparkSession, root: String,
       df: DataFrame, opName: String): (DataFrame, Option[Long]) =
