@@ -2791,6 +2791,39 @@ class StreamingSpec extends SparkSpec {
     assert(m3 === 0L && rem3 === 0L)
   }
 
+  test("commit log: an incremental view folds exactly across a mid-history type widen (r13)") {
+    import graft.sources.{CommitLog, Tables}
+    val src = java.nio.file.Files.createTempDirectory("graft_wv_src").toString
+    val vw = java.nio.file.Files.createTempDirectory("graft_wv_vw").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id").cast("int").as("event_id"),
+        col("event_type"), col("value"))
+    CommitLog.setTableProperty(src, "enableChangeDataFeed", "true")
+    CommitLog.appendEvolved(spark, src, ev.filter(col("event_id") % 2 === 0), nFiles = 2)
+    graft.sources.IncrementalViewMulti.create(spark, vw, src,
+      "event_type", Seq("value"))
+    // a widen lands BETWEEN folds: metadata-only, zero change rows —
+    // the fold must cross it without refusing and without phantom rows
+    CommitLog.widenColumnType(spark, src, "event_id",
+      org.apache.spark.sql.types.LongType)
+    CommitLog.append(spark, src,
+      ev.filter(col("event_id") % 2 =!= 0)
+        .withColumn("event_id", col("event_id").cast("long")), nFiles = 2)
+    val (v, n, _) = graft.sources.IncrementalViewMulti.refresh(spark, vw)
+    assert(n === ev.filter(col("event_id") % 2 =!= 0).count(),
+      s"fold consumed $n rows — the widen version must contribute zero")
+    val got = CommitLog.read(spark, vw, v)
+    val want = CommitLog.read(spark, src, CommitLog.latestVersion(src).get)
+      .filter(col("event_type").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), count(col("value")).as("nv_value"),
+        sum(col("value").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("total_value"),
+        min(col("value")).as("mn_value"), max(col("value")).as("mx_value"))
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+      "view state diverges from recompute after folding across a widen")
+  }
+
   test("commit log: IDENTITY through merge (matched keep ids, inserts allocate) and the streaming sink (replay-idempotent) (r13)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_id_mrg").toString
