@@ -883,15 +883,23 @@ object CommitLog {
         val hwm0 = base
           .flatMap(v => longMetaOf(root, v, IdHwmField))
           .getOrElse(start - step)
+        // pin ONE materialization before anything counts: the count
+        // action, zipWithIndex's internal count pass and the staging
+        // write must all see the SAME rows — a non-deterministic
+        // frame (rand(), shuffle+limit, a re-read of mutating input)
+        // re-evaluated per action could stage more rows than the
+        // committed mark advance covers, and the next commit would
+        // allocate an overlapping block (r14, ADVICE)
+        val pinned = df.localCheckpoint(true)
         // n from one count action (the mark must advance by exactly
         // the allocated rows); zipWithIndex's own per-partition count
         // pass then assigns without any shuffle
-        val n = df.count()
+        val n = pinned.count()
         val out = s.createDataFrame(
-          df.rdd.zipWithIndex().map { case (r, i) =>
+          pinned.rdd.zipWithIndex().map { case (r, i) =>
             org.apache.spark.sql.Row.fromSeq(
               r.toSeq :+ (hwm0 + step * (i + 1L))) },
-          df.schema.add(name, org.apache.spark.sql.types.LongType,
+          pinned.schema.add(name, org.apache.spark.sql.types.LongType,
             nullable = false))
         (out, Some(hwm0 + step * n))
     }
@@ -2701,8 +2709,30 @@ object CommitLog {
           .select((kc :+ col(name)): _*)
           .groupBy(kc: _*)
           .agg(org.apache.spark.sql.functions.min(col(name)).as(name))
+        // DUPLICATE MATCHED KEYS would each recover the SAME id and
+        // land as multiple rows sharing one identity value — the SQL
+        // front-end's cardinality error must hold for direct API
+        // callers too when the id-uniqueness invariant is at stake
+        // (r14, ADVICE). One groupBy-count semi-restricted to keys
+        // present in the target, limit(1): metadata-sized.
+        val dup = updates0.select(kc: _*)
+          .groupBy(kc: _*).agg(org.apache.spark.sql.functions
+            .count(org.apache.spark.sql.functions.lit(1)).as("_graft_n"))
+          .filter(col("_graft_n") > 1)
+          .join(tgtIds.select(kc: _*), keyCols, "left_semi")
+          .limit(1).collect()
+        if (dup.nonEmpty) throw new IllegalArgumentException(
+          s"merge: multiple source rows match the target row with " +
+            keyCols.mkString("(", ", ", ")") + " = " +
+            dup(0).toSeq.dropRight(1).mkString("(", ", ", ")") +
+            s" — each duplicate would recover the SAME identity id " +
+            s"for '$name', breaking id uniqueness; de-duplicate the " +
+            "source (e.g. keep the last image per key) before merging")
         val matched = updates0.join(tgtIds, keyCols, "inner")
+        // pin ONE materialization: count, id assignment and staging
+        // must see the same rows (r14, ADVICE — see fillIdentityAt)
         val unmatched = updates0.join(tgtIds.select(kc: _*), keyCols, "left_anti")
+          .localCheckpoint(true)
         val base = longMetaOf(root, prev, IdHwmField)
         val hwm0 = base.getOrElse(start - step)
         val n = unmatched.count()

@@ -147,6 +147,26 @@ class TableMicroBatchStream(root: String, schema: StructType,
     availableNowEnd = Some(head)
 
   override def initialOffset(): Offset = TableVersionOffset(startingVersion - 1)
+
+  /** A widen commit is metadata-only for a reader whose pinned
+    * projection ALREADY carries the post-widen types — a stream
+    * started after the widen, or a RESTART of a stopped query (each
+    * run re-infers the schema, so the restarted run pins the widened
+    * one and resumes from its checkpoint): narrow files decode
+    * exactly through the reader's upcast/rescale path, so the commit
+    * is skipped like rename_column. Only a genuinely-narrow pin must
+    * stop (r14, ADVICE — the unconditional throw made a widened
+    * table permanently unstreamable from any startingVersion at or
+    * below the widen). Metadata columns (_change_type,
+    * _commit_version on the CDF stream) are the reader's own, never
+    * the table's — excluded from the comparison. */
+  protected def pinMatchesPostWiden(schema: StructType, v: Long): Boolean =
+    CommitLog.snapshotSchemaOf(root, v).exists { post =>
+      val byName = post.fields.map(f => f.name -> f.dataType).toMap
+      schema.fields
+        .filterNot(f => f.name == "_change_type" || f.name == "_commit_version")
+        .forall(f => byName.get(f.name).contains(f.dataType))
+    }
   override def latestOffset(): Offset =
     TableVersionOffset(availableNowEnd.getOrElse(head))
   // SupportsAdmissionControl (via SupportsTriggerAvailableNow): admit
@@ -199,14 +219,19 @@ class TableMicroBatchStream(root: String, schema: StructType,
       val added = op match {
         case "append" | "clone" => addedRel
         case "compact" | "optimize" => Nil // data-neutral rewrite: skip
-        // a type widen changes the LOG schema this stream pinned at
-        // start: later appends may stage physically-wider files the
-        // pinned narrow schema cannot decode — stop with a restart
-        // instruction (the public sources' schema-change contract)
-        case "widen" => throw new IllegalStateException(
-          s"graft-table: version $v widens a column type — this " +
-            "stream's pinned schema no longer matches; start a fresh " +
-            s"checkpoint with startingVersion=$v")
+        // a type widen changes the LOG schema: a NARROW pin must stop
+        // (later appends may stage physically-wider files it cannot
+        // decode — the public sources' schema-change contract), but a
+        // pin already at the post-widen types passes through
+        // unaffected (see pinMatchesPostWiden)
+        case "widen" =>
+          if (pinMatchesPostWiden(schema, v)) Nil
+          else throw new IllegalStateException(
+            s"graft-table: version $v widens a column type — this " +
+              "stream's pinned schema no longer matches; restart the " +
+              "query (the restarted run pins the widened schema and " +
+              "resumes from its checkpoint), or start a fresh " +
+              s"checkpoint with startingVersion=${v + 1}")
         // a rename is metadata-only AND physically invisible (column
         // mapping keeps parquet names immutable) — this stream's
         // pinned schema stays valid, skip. A DROP falls to `changing`:
@@ -457,10 +482,14 @@ class TableCdfMicroBatchStream(root: String, schema: StructType,
             new java.io.File(root, f).toString, v, inject = "insert"): InputPartition)
         case "compact" | "optimize" => Nil
         case "rename_column" => Nil // metadata-only; physical layout unchanged
-        case "widen" => throw new IllegalStateException(
-          s"graft-table CDF: version $v widens a column type — this " +
-            "stream's pinned schema no longer matches; start a fresh " +
-            s"checkpoint with startingVersion=$v")
+        case "widen" =>
+          if (pinMatchesPostWiden(schema, v)) Nil
+          else throw new IllegalStateException(
+            s"graft-table CDF: version $v widens a column type — this " +
+              "stream's pinned schema no longer matches; restart the " +
+              "query (the restarted run pins the widened schema and " +
+              "resumes from its checkpoint), or start a fresh " +
+              s"checkpoint with startingVersion=${v + 1}")
         case "drop_column" => throw new IllegalStateException(
           s"graft-table CDF: version $v drops a column — this stream's " +
             "pinned schema no longer matches; start a fresh checkpoint " +

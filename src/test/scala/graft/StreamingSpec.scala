@@ -2893,4 +2893,106 @@ class StreamingSpec extends SparkSpec {
     val got = CommitLog.read(spark, root, head)
     assert(got.count() === ev.count(), "the policy compaction must be data-neutral")
   }
+
+  test("graft-table source: a widened table stays streamable — narrow pin stops once, restart resumes from its checkpoint (r14, ADVICE)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_tsw").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value").cast("float").as("value")).limit(400)
+    val out = java.nio.file.Files.createTempDirectory("graft_tsw_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_tsw_ck").toString
+    // the sink casts to double so pre- and post-widen drains write one
+    // uniform output schema; the SCAN still projects the table types
+    def sink(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("event_id"), col("value").cast("double").as("value"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+    CommitLog.appendEvolved(spark, root,
+      ev.filter(col("event_id") % 2 === 0), nFiles = 1)
+    val q0 = sink(spark.readStream.format("graft.sources.TableStreamProvider")
+      .option("path", root).load())
+    q0.awaitTermination()
+    val nEven = ev.filter(col("event_id") % 2 === 0).count()
+    assert(spark.read.parquet(out).count() === nEven)
+    // this relation pins the NARROW (float) schema BEFORE the widen —
+    // the in-flight-stream shape
+    val narrow = spark.readStream.format("graft.sources.TableStreamProvider")
+      .option("path", root).load()
+    CommitLog.widenColumnType(spark, root, "value",
+      org.apache.spark.sql.types.DoubleType)
+    CommitLog.append(spark, root,
+      ev.filter(col("event_id") % 2 =!= 0)
+        .withColumn("value", col("value").cast("double")), nFiles = 1)
+    // the genuinely-narrow pin stops ONCE, with a restart instruction
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = sink(narrow); q.awaitTermination()
+    }
+    val msg = err.getMessage +
+      Option(err.getCause).map(_.getMessage).getOrElse("")
+    assert(msg.contains("widens a column type"), msg)
+    assert(msg.contains("restart the query"), msg)
+    // the RESTART (same checkpoint, fresh load) re-infers the WIDENED
+    // schema: the widen version is now metadata-only for this pin and
+    // is skipped; the post-widen append delivers exactly once. Before
+    // the r14 fix this restart re-admitted the widen and threw
+    // forever — a widened table was permanently unstreamable.
+    val q2 = sink(spark.readStream.format("graft.sources.TableStreamProvider")
+      .option("path", root).load())
+    q2.awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.count() === ev.count(),
+      s"restart must deliver exactly the post-widen delta: ${got.count()} vs ${ev.count()}")
+    assert(got.select(col("event_id")).distinct().count() === ev.count(),
+      "duplicate rows across the widen restart")
+  }
+
+  test("commit log: identity merge refuses duplicate MATCHED source keys at the API level; a non-deterministic frame allocates exactly once (r14, ADVICE)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_id_dup").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value")).limit(100)
+    CommitLog.setTableProperty(root, "identity.row_id", "1,1")
+    CommitLog.append(spark, root, ev, nFiles = 2)
+    val n0 = ev.count()
+    val k = ev.agg(min(col("event_id"))).collect()(0).getLong(0)
+    val one = ev.filter(col("event_id") === k)
+    // two images for one MATCHED key would each recover the SAME id —
+    // the refusal must hold for direct mergeKeyed callers, not only
+    // the SQL front-end's cardinality check
+    val headBefore = CommitLog.latestVersion(root).get
+    val ex = intercept[IllegalArgumentException] {
+      CommitLog.mergeKeyed(spark, root,
+        one.withColumn("value", lit(1.0))
+          .unionByName(one.withColumn("value", lit(2.0))),
+        Seq("event_id"), nInsertFiles = 1)
+    }
+    assert(ex.getMessage.contains("multiple source rows match"), ex.getMessage)
+    assert(CommitLog.latestVersion(root).get === headBefore,
+      "a refused merge must not publish")
+    // duplicate UNMATCHED keys stay legal: each image inserts and
+    // allocates its OWN id — uniqueness holds
+    val insDup = one.withColumn("event_id", col("event_id") + 9000000L)
+      .withColumn("value", lit(1.0))
+      .unionByName(one.withColumn("event_id", col("event_id") + 9000000L)
+        .withColumn("value", lit(2.0)))
+    CommitLog.mergeKeyed(spark, root, insDup, Seq("event_id"), nInsertFiles = 1)
+    val ids = CommitLog.read(spark, root, CommitLog.latestVersion(root).get)
+      .select(col("row_id")).collect().map(_.getLong(0))
+    assert(ids.length === n0 + 2 && ids.distinct.length === ids.length,
+      "duplicate unmatched inserts must allocate distinct ids")
+    // a NON-DETERMINISTIC frame (shuffle + limit over rand order): the
+    // localCheckpoint pin makes count, id assignment and staging see
+    // ONE materialization — rows staged == mark advance, exactly
+    val nd = ev.withColumn("event_id", col("event_id") + 8000000L)
+      .orderBy(rand(7)).limit(40)
+    CommitLog.append(spark, root, nd, nFiles = 2)
+    val after = CommitLog.read(spark, root, CommitLog.latestVersion(root).get)
+      .select(col("row_id")).collect().map(_.getLong(0))
+    assert(after.length === n0 + 2 + 40)
+    assert(after.distinct.length === after.length,
+      "overlapping identity blocks — the allocation frame was re-evaluated")
+    assert(after.max === n0 + 2 + 40,
+      s"mark advance diverged from staged rows: max=${after.max} want=${n0 + 2 + 40}")
+  }
 }
