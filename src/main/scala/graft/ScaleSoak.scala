@@ -188,6 +188,9 @@ object ScaleSoak {
     // DEFAULT fill is one projection; IDENTITY allocation is one
     // count + one narrow zipWithIndex map per commit (no shuffle)
     "q_table_default_cols", "q_table_identity_cols",
+    // r14: sample variance derives at read from the SAME (total, ss,
+    // nv) triple — zero new folded state, one more projection
+    "q_sql_table_incr_view_stddev_samp",
     // the r10 verdict's mass-delete scenario, soaked as its own
     // fixture (below — not a registry key): EVERY view key vanishes
     // in one fold; the driver-OOM shape the r11 distributed

@@ -924,6 +924,75 @@ object TableFormat {
           col("n_keys"), col("n_rows"), col("sum_value"),
           col("min_std"), col("max_std"), col("max_var")))
     },
+    "q_sql_table_incr_view_stddev_samp" -> { (s, dir) =>
+      // SAMPLE variance in the IVM family (r14, VERDICT item 3): the
+      // MV statement accepts STDDEV/STDDEV_SAMP/VARIANCE/VAR_SAMP;
+      // NO new folded state — the sample forms derive AT READ from
+      // the SAME maintained (total, ss, nv) triple with the n/(n−1)
+      // Bessel factor, in ONE shared derivation (varSampExpr): the
+      // population derivation's double result, one multiply by n,
+      // one divide by (n−1), NULL at n ≤ 1 — so the statement's
+      // STDDEV stays bit-for-bit equal to a full recompute through
+      // the full DML mix, and the r13 sample-form refusals flip to
+      // positives.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_mvss")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "t").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      CommitLog.append(s, root, ev, nFiles = 2)
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      s.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES ('enableChangeDataFeed' = 'true')")
+      s.sql(
+        s"""CREATE MATERIALIZED VIEW $cat.v AS
+          |SELECT event_type, COUNT(*) AS n,
+          |  STDDEV_SAMP(value) AS stds_value, VARIANCE(value) AS vars_value,
+          |  SUM(value) AS total_value
+          |FROM $cat.t GROUP BY event_type""".stripMargin)
+      s.sql(s"DELETE FROM $cat.t WHERE user_id % 7 = 3")
+      s.sql(s"UPDATE $cat.t SET value = value + 1000.0 WHERE user_id % 4 = 2")
+      val r = s.sql(s"REFRESH MATERIALIZED VIEW $cat.v").collect()(0)
+      val view = s.sql(s"SELECT * FROM $cat.v")
+      // the recompute replays the EXACT derivation: the population
+      // variance's op sequence, then × n / (n−1) — identical IEEE
+      // order to varSampExpr
+      val full = s.sql(
+        s"""SELECT event_type, n, nv_value, total_value, mn_value,
+          |  mx_value, ss_value,
+          |  CASE WHEN nv_value > 1 THEN GREATEST(
+          |    CAST(ss_value AS DOUBLE) / nv_value -
+          |    (CAST(total_value AS DOUBLE) / nv_value) *
+          |    (CAST(total_value AS DOUBLE) / nv_value), 0.0D)
+          |    * CAST(nv_value AS DOUBLE) / CAST(nv_value - 1 AS DOUBLE)
+          |    END AS vars_value,
+          |  CASE WHEN nv_value > 1 THEN SQRT(GREATEST(
+          |    CAST(ss_value AS DOUBLE) / nv_value -
+          |    (CAST(total_value AS DOUBLE) / nv_value) *
+          |    (CAST(total_value AS DOUBLE) / nv_value), 0.0D)
+          |    * CAST(nv_value AS DOUBLE) / CAST(nv_value - 1 AS DOUBLE))
+          |    END AS stds_value
+          |FROM (
+          |  SELECT event_type, COUNT(*) AS n, COUNT(value) AS nv_value,
+          |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_value,
+          |    MIN(value) AS mn_value, MAX(value) AS mx_value,
+          |    CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+          |      AS DECIMAL(38,8)) AS ss_value
+          |  FROM $cat.t GROUP BY event_type)""".stripMargin)
+      val exact = if (view.selectExpr(full.columns: _*).exceptAll(full).count() == 0 &&
+        full.exceptAll(view.selectExpr(full.columns: _*)).count() == 0) 1L else 0L
+      ordered(view
+        .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
+          sum(col("total_value")).cast("double").as("sum_value"),
+          min(col("stds_value")).as("min_stds"),
+          max(col("stds_value")).as("max_stds"),
+          max(col("vars_value")).as("max_vars"))
+        .select(lit(r.getLong(1)).as("rows_folded"),
+          lit(exact).as("equals_full_recompute"),
+          col("n_keys"), col("n_rows"), col("sum_value"),
+          col("min_stds"), col("max_stds"), col("max_vars")))
+    },
     "q_sql_table_incr_view_join" -> { (s, dir) =>
       // SQL front-end for the JOIN view (r11): `CREATE MATERIALIZED
       // VIEW v AS SELECT seg, COUNT(*) ... FROM cat.f JOIN cat.d ON
@@ -2896,6 +2965,37 @@ object TableFormat {
         |  (SELECT MAX(varv) FROM a) AS max_var""".stripMargin +
         orderByAll("rows_folded", "equals_full_recompute", "n_keys",
           "n_rows", "sum_value", "min_std", "max_std", "max_var")),
+    "q_sql_table_incr_view_stddev_samp" ->
+      ("""WITH f AS (
+        |  SELECT event_type,
+        |    CASE WHEN user_id % 4 = 2 THEN value + 1000.0 ELSE value END AS value
+        |  FROM events WHERE user_id % 7 <> 3),
+        |g AS (SELECT event_type, COUNT(*) AS n, COUNT(value) AS nv,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+        |      AS DECIMAL(38,8)) AS ss
+        |  FROM f GROUP BY 1),
+        |a AS (SELECT event_type, n, nv, total,
+        |    CASE WHEN nv > 1 THEN GREATEST(
+        |      CAST(CAST(ss AS STRING) AS DOUBLE) / nv -
+        |      (CAST(CAST(total AS STRING) AS DOUBLE) / nv) *
+        |      (CAST(CAST(total AS STRING) AS DOUBLE) / nv), 0.0)
+        |      * CAST(nv AS DOUBLE) / CAST(nv - 1 AS DOUBLE) END AS varsv
+        |  FROM g)
+        |SELECT CAST(
+        |    (SELECT COUNT(*) FROM events WHERE user_id % 7 = 3) +
+        |    2 * (SELECT COUNT(*) FROM events
+        |         WHERE user_id % 4 = 2 AND user_id % 7 <> 3)
+        |  AS BIGINT) AS rows_folded,
+        |  CAST(1 AS BIGINT) AS equals_full_recompute,
+        |  (SELECT COUNT(*) FROM a) AS n_keys,
+        |  CAST((SELECT SUM(n) FROM a) AS BIGINT) AS n_rows,
+        |  CAST(CAST((SELECT SUM(total) FROM a) AS STRING) AS DOUBLE) AS sum_value,
+        |  (SELECT MIN(SQRT(varsv)) FROM a) AS min_stds,
+        |  (SELECT MAX(SQRT(varsv)) FROM a) AS max_stds,
+        |  (SELECT MAX(varsv) FROM a) AS max_vars""".stripMargin +
+        orderByAll("rows_folded", "equals_full_recompute", "n_keys",
+          "n_rows", "sum_value", "min_stds", "max_stds", "max_vars")),
     "q_sql_table_incr_view_multi" ->
       ("""WITH f AS (
         |  SELECT event_type, user_id,

@@ -113,27 +113,34 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       """((?:\w+\s*,\s*)+)COUNT\s*\(\s*\*\s*\)\s+AS\s+n\s*,\s*(.+?)\s+""" +
       """FROM\s+([\w.]+)\s+GROUP\s+BY\s+([\w\s,]+?)\s*;?\s*""").r
   // one canonical measure aggregate: COUNT/SUM/MIN/MAX/AVG — and,
-  // since r13 (VERDICT item 4), STDDEV_POP/VAR_POP — over a single
-  // column, aliased nv_/total_/mn_/mx_/avg_/std_/var_<column>. The
-  // family may appear in ANY order and as ANY subset per measure
-  // (r12, VERDICT item 2 — exact tiling was the r11 rule; the first
-  // statement a real analyst writes has an AVG and skips MIN/MAX);
-  // AVG derives as total/nv, STDDEV_POP/VAR_POP from the maintained
-  // exact sum-of-squares — the SAMPLE forms (STDDEV, STDDEV_SAMP,
-  // VARIANCE, VAR_SAMP) still refuse by name below.
+  // since r13 (VERDICT item 4), STDDEV_POP/VAR_POP, and since r14
+  // (VERDICT item 3) the SAMPLE forms STDDEV/STDDEV_SAMP/VARIANCE/
+  // VAR_SAMP — over a single column, aliased nv_/total_/mn_/mx_/
+  // avg_/std_/var_/stds_/vars_<column>. The family may appear in ANY
+  // order and as ANY subset per measure (r12, VERDICT item 2 — exact
+  // tiling was the r11 rule; the first statement a real analyst
+  // writes has an AVG and skips MIN/MAX); AVG derives as total/nv,
+  // the variance families from ONE maintained exact sum-of-squares —
+  // population at n, sample with the n/(n−1) Bessel factor, both at
+  // read, no extra folded state. What remains refused is what is
+  // genuinely unmaintainable here: FILTER clauses, DISTINCT
+  // aggregates, expressions.
   private val mvItemRe =
-    """(?is)\s*(COUNT|SUM|MIN|MAX|AVG|STDDEV_POP|VAR_POP)\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
+    ("""(?is)\s*(COUNT|SUM|MIN|MAX|AVG|STDDEV_POP|STDDEV_SAMP|STDDEV|""" +
+      """VAR_POP|VAR_SAMP|VARIANCE)\s*\(\s*(\w+)\s*\)\s+AS\s+(\w+)\s*""").r
   // the arm guard: at least one CANONICAL alias present — this is
   // what lets `SUM(v) AS total` (the 2-column form) fall through
   private val mvCanonAliasRe =
-    """(?is)\bAS\s+(?:nv_|total_|mn_|mx_|avg_|std_|var_)\w+""".r
+    """(?is)\bAS\s+(?:nv_|total_|mn_|mx_|avg_|stds_|std_|vars_|var_)\w+""".r
 
   /** Parse a multi-view measure list into (measure columns in
-    * first-mention order, AVG-declared measures, second-moment
-    * measures). Throws with the statement-contract message on
-    * anything outside the canonical families (a SAMPLE
-    * stddev/variance, a mis-aliased aggregate, an expression). */
-  private def parseMvMeasures(aggBlob: String): (Seq[String], Seq[String], Seq[String]) = {
+    * first-mention order, AVG-declared measures, population
+    * second-moment measures, sample second-moment measures). Throws
+    * with the statement-contract message on anything outside the
+    * canonical families (a FILTER clause, a DISTINCT aggregate, a
+    * mis-aliased aggregate, an expression). */
+  private def parseMvMeasures(aggBlob: String)
+      : (Seq[String], Seq[String], Seq[String], Seq[String]) = {
     val items = aggBlob.split(',').map(_.trim).filter(_.nonEmpty).toSeq
     val parsed = items.map {
       case mvItemRe(func, colName, alias) =>
@@ -145,22 +152,26 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           case "AVG" => "avg_"
           case "STDDEV_POP" => "std_"
           case "VAR_POP" => "var_"
+          case "STDDEV" | "STDDEV_SAMP" => "stds_"
+          case "VARIANCE" | "VAR_SAMP" => "vars_"
         }
         require(alias == prefix + colName,
           s"materialized-view aggregates use canonical aliases " +
             s"($prefix$colName), got '$alias' for $func($colName)")
-        (func.toUpperCase, colName)
+        (prefix, colName)
       case other => throw new IllegalArgumentException(
         s"materialized view supports COUNT(*) AS n plus per-measure " +
-          s"COUNT/SUM/MIN/MAX/AVG/STDDEV_POP/VAR_POP (canonical " +
-          s"aliases, any order or subset; sample-variance forms " +
-          s"(STDDEV/STDDEV_SAMP/VARIANCE/VAR_SAMP) refuse by name — " +
-          s"derive them from the population family at read); " +
+          s"COUNT/SUM/MIN/MAX/AVG/STDDEV_POP/VAR_POP/STDDEV/" +
+          s"STDDEV_SAMP/VARIANCE/VAR_SAMP (canonical aliases, any " +
+          s"order or subset; FILTER clauses, DISTINCT aggregates and " +
+          s"expressions are not incrementally maintainable here); " +
           s"unsupported aggregates remain: '$other'")
     }
     (parsed.map(_._2).distinct,
-      parsed.filter(_._1 == "AVG").map(_._2).distinct,
-      parsed.filter(p => p._1 == "STDDEV_POP" || p._1 == "VAR_POP")
+      parsed.filter(_._1 == "avg_").map(_._2).distinct,
+      parsed.filter(p => p._1 == "std_" || p._1 == "var_")
+        .map(_._2).distinct,
+      parsed.filter(p => p._1 == "stds_" || p._1 == "vars_")
         .map(_._2).distinct)
   }
   // the JOIN form (r11): FROM fact JOIN dim ON f.k = d.k — routes to
@@ -271,7 +282,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       require(fCol == dCol,
         s"graft join views key on one shared column name, got $fCol vs $dCol")
       val keyCols = keysBlob.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-      val (units, avgs, moments) = parseMvMeasures(aggBlob)
+      val (units, avgs, moments, samples) = parseMvMeasures(aggBlob)
       val grouped = groupBlob.split(',').map(_.trim).toSeq
       require(grouped == keyCols ||
         grouped == keyCols.indices.map(i => (i + 1).toString),
@@ -279,7 +290,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           s"got $grouped vs $keyCols")
       CreateMaterializedViewJoinCommand(view.split('.').toSeq,
         factT.split('.').toSeq, dimT.split('.').toSeq, fCol, keyCols,
-        units, avgs, moments)
+        units, avgs, moments, samples)
     // guard on a canonical alias so the canonical COUNT+SUM pair
     // falls through to the 2-column form below; every item must then
     // parse — an unsupported aggregate (STDDEV, a stray alias) fails
@@ -289,14 +300,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         if isGraftCatalog(view) && isGraftCatalog(srcT) &&
           mvCanonAliasRe.findFirstIn(aggBlob).isDefined =>
       val keyCols = keysBlob.split(',').map(_.trim).filter(_.nonEmpty).toSeq
-      val (units, avgs, moments) = parseMvMeasures(aggBlob)
+      val (units, avgs, moments, samples) = parseMvMeasures(aggBlob)
       val grouped = groupBlob.split(',').map(_.trim).toSeq
       require(grouped == keyCols ||
         grouped == keyCols.indices.map(i => (i + 1).toString),
         s"GROUP BY must list the selected keys (or their positions), " +
           s"got $grouped vs $keyCols")
       CreateMaterializedViewMultiCommand(view.split('.').toSeq,
-        srcT.split('.').toSeq, keyCols, units, avgs, moments)
+        srcT.split('.').toSeq, keyCols, units, avgs, moments, samples)
     case createMvRe(view, key, value, srcT)
         if isGraftCatalog(view) && isGraftCatalog(srcT) =>
       CreateMaterializedViewCommand(view.split('.').toSeq,
@@ -657,13 +668,15 @@ case class CreateMaterializedViewCommand(view: Seq[String],
   * folds, MIN/MAX bounded recompute under deletes). */
 case class CreateMaterializedViewMultiCommand(view: Seq[String],
     source: Seq[String], keyCols: Seq[String], valCols: Seq[String],
-    avgCols: Seq[String] = Nil, momentCols: Seq[String] = Nil)
+    avgCols: Seq[String] = Nil, momentCols: Seq[String] = Nil,
+    sampleCols: Seq[String] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(GraftSqlCommands.attr("view_version"))
   override def run(s: SparkSession): Seq[Row] =
     Seq(Row(graft.sources.IncrementalViewMulti.createKeyed(s,
       GraftSqlCommands.rootOf(s, view), GraftSqlCommands.rootOf(s, source),
-      keyCols, valCols, avgCols = avgCols, momentCols = momentCols)))
+      keyCols, valCols, avgCols = avgCols, momentCols = momentCols,
+      sampleCols = sampleCols)))
 }
 
 /** CREATE MATERIALIZED VIEW (JOIN form, r11): an aggregate over
@@ -673,14 +686,16 @@ case class CreateMaterializedViewMultiCommand(view: Seq[String],
 case class CreateMaterializedViewJoinCommand(view: Seq[String],
     fact: Seq[String], dim: Seq[String], dimKey: String,
     keyCols: Seq[String], valCols: Seq[String],
-    avgCols: Seq[String] = Nil, momentCols: Seq[String] = Nil)
+    avgCols: Seq[String] = Nil, momentCols: Seq[String] = Nil,
+    sampleCols: Seq[String] = Nil)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(GraftSqlCommands.attr("view_version"))
   override def run(s: SparkSession): Seq[Row] =
     Seq(Row(graft.sources.IncrementalViewMulti.createJoined(s,
       GraftSqlCommands.rootOf(s, view), GraftSqlCommands.rootOf(s, fact),
       GraftSqlCommands.rootOf(s, dim), dimKey, keyCols, valCols,
-      avgCols = avgCols, momentCols = momentCols)))
+      avgCols = avgCols, momentCols = momentCols,
+      sampleCols = sampleCols)))
 }
 
 /** INSERT INTO cat.t (a, b) SELECT/VALUES ... where the column list
@@ -706,22 +721,31 @@ case class InsertIntoGraftGeneratedCommand(parts: Seq[String],
     val head = CommitLog.latestVersion(root)
       .getOrElse(sys.error(s"cannot insert into an empty table at $root"))
     val tblSchema = CommitLog.read(s, root, head).schema
+    // Spark SQL resolution is case-insensitive by default — the column
+    // list resolves against the table schema the same way, then the
+    // SCHEMA's canonical casing is used everywhere downstream (r14,
+    // ADVICE: a mixed-case list must not fail with 'unknown column')
+    val byLower = tblSchema.fields
+      .map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
+    val resolved = cols.map { c =>
+      byLower.getOrElse(c.toLowerCase(java.util.Locale.ROOT),
+        throw new IllegalArgumentException(
+          s"INSERT INTO ${parts.mkString(".")}: unknown column '$c'")).name
+    }
     val byName = tblSchema.fields.map(f => f.name -> f).toMap
-    cols.foreach(c => require(byName.contains(c),
-      s"INSERT INTO ${parts.mkString(".")}: unknown column '$c'"))
     val df0 = s.sql(query)
-    require(df0.columns.length == cols.length,
+    require(df0.columns.length == resolved.length,
       s"INSERT INTO ${parts.mkString(".")}: column list has " +
-        s"${cols.length} columns but the query produces ${df0.columns.length}")
+        s"${resolved.length} columns but the query produces ${df0.columns.length}")
     val computed = GraftSqlParser.computedColsOf(CommitLog.tableProperties(root))
     // listed columns cast to the table's types (INSERT coercion);
     // omitted plain columns null-fill; omitted GENERATED/IDENTITY/
     // DEFAULT columns stay absent so the append's compute kernels
     // fill them (derive / allocate / default respectively)
-    val named = df0.toDF(cols: _*)
-      .select(cols.map(c => col(c).cast(byName(c).dataType).as(c)): _*)
+    val named = df0.toDF(resolved: _*)
+      .select(resolved.map(c => col(c).cast(byName(c).dataType).as(c)): _*)
     val filled = tblSchema.fields
-      .filterNot(f => cols.contains(f.name) || computed.contains(f.name))
+      .filterNot(f => resolved.contains(f.name) || computed.contains(f.name))
       .foldLeft(named)((d, f) =>
         d.withColumn(f.name, lit(null).cast(f.dataType)))
     val n = s.conf.getOption("spark.graft.insert.files").map(_.toInt).getOrElse(2)

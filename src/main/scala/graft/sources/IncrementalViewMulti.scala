@@ -54,6 +54,7 @@ object IncrementalViewMulti {
   private val DimVerField = "viewDim"
   private val AvgProp = "graft.view.avgCols"
   private val MomentProp = "graft.view.momentCols"
+  private val SampleProp = "graft.view.sampleCols"
 
   /** The second-moment derivations (r13, VERDICT item 4) — VAR_POP /
     * STDDEV_POP from the maintained (total, ss, nv) triple, in ONE
@@ -71,6 +72,19 @@ object IncrementalViewMulti {
   private def stdExpr(total: Column, ss: Column, nv: Column): Column =
     sqrt(varExpr(total, ss, nv))
 
+  /** SAMPLE variance/stddev (r14, VERDICT item 3) — derived AT READ
+    * from the SAME maintained (total, ss, nv) triple with the
+    * n/(n−1) Bessel factor; no new folded state. NULL at n ≤ 1 (the
+    * SQL contract for a single-sample variance). The IEEE op
+    * sequence is pinned like the population family's: the population
+    * derivation's double result, ONE multiply by n, ONE divide by
+    * (n−1) — the oracle replays it verbatim. */
+  private def varSampExpr(total: Column, ss: Column, nv: Column): Column =
+    when(nv > 1, varExpr(total, ss, nv) * nv.cast("double") /
+      (nv - 1).cast("double"))
+  private def stdSampExpr(total: Column, ss: Column, nv: Column): Column =
+    sqrt(varSampExpr(total, ss, nv))
+
   /** Full per-key state at `rows` — also the bounded re-aggregation
     * kernel (recomputed keys get ALL their aggregates from here, so
     * the two paths can never disagree on shape). NULL in ANY group-key
@@ -79,7 +93,8 @@ object IncrementalViewMulti {
     * per column). */
   private def state(keyCols: Seq[String], valCols: Seq[String],
       rows: DataFrame, avgCols: Seq[String] = Nil,
-      momentCols: Seq[String] = Nil): DataFrame = {
+      momentCols: Seq[String] = Nil,
+      sampleCols: Seq[String] = Nil): DataFrame = {
     val aggs = count(lit(1)).as("n") +: valCols.flatMap { m =>
       val total =
         sum(col(m).cast("decimal(18,4)")).cast("decimal(18,4)")
@@ -100,13 +115,21 @@ object IncrementalViewMulti {
         // MAINTAINED (folds signed like total); VAR_POP/STDDEV_POP
         // derive from it via the shared varExpr/stdExpr — declared
         // per measure, the full std+var family materializes together
-        // (the AVG family-materialization precedent)
-        (if (momentCols.contains(m)) {
+        // (the AVG family-materialization precedent). Sample forms
+        // (r14) derive from the SAME ss with the n/(n−1) factor —
+        // one maintained triple serves both families.
+        (if (momentCols.contains(m) || sampleCols.contains(m)) {
           val ss = sum(col(m).cast("decimal(18,4)") *
             col(m).cast("decimal(18,4)")).cast("decimal(38,8)")
-          Seq(ss.as(s"ss_$m"),
-            varExpr(total, ss, nv).as(s"var_$m"),
-            stdExpr(total, ss, nv).as(s"std_$m"))
+          Seq(ss.as(s"ss_$m")) ++
+            (if (momentCols.contains(m))
+              Seq(varExpr(total, ss, nv).as(s"var_$m"),
+                stdExpr(total, ss, nv).as(s"std_$m"))
+            else Nil) ++
+            (if (sampleCols.contains(m))
+              Seq(varSampExpr(total, ss, nv).as(s"vars_$m"),
+                stdSampExpr(total, ss, nv).as(s"stds_$m"))
+            else Nil)
         } else Nil)
     }
     rows.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
@@ -154,11 +177,14 @@ object IncrementalViewMulti {
     * key path (CommitLog.mergeKeyed). */
   def createKeyed(s: SparkSession, viewRoot: String, srcRoot: String,
       keyCols: Seq[String], valCols: Seq[String], nFiles: Int = 2,
-      avgCols: Seq[String] = Nil, momentCols: Seq[String] = Nil): Long = {
+      avgCols: Seq[String] = Nil, momentCols: Seq[String] = Nil,
+      sampleCols: Seq[String] = Nil): Long = {
     require(avgCols.forall(valCols.contains),
       s"AVG columns must be declared measures: ${avgCols.diff(valCols)}")
     require(momentCols.forall(valCols.contains),
       s"STDDEV/VAR columns must be declared measures: ${momentCols.diff(valCols)}")
+    require(sampleCols.forall(valCols.contains),
+      s"sample STDDEV/VAR columns must be declared measures: ${sampleCols.diff(valCols)}")
     require(keyCols.nonEmpty, "multi-aggregate view needs a group key")
     require(valCols.nonEmpty, "multi-aggregate view needs at least one measure")
     keyCols.foreach(k => require(!valCols.contains(k),
@@ -175,7 +201,7 @@ object IncrementalViewMulti {
       .getOrElse(sys.error(s"cannot build a view over an empty table at $srcRoot"))
     val v = CommitLog.appendEvolved(s, viewRoot,
       state(keyCols, valCols, CommitLog.read(s, srcRoot, srcHead), avgCols,
-        momentCols),
+        momentCols, sampleCols),
       nFiles)
     CommitLog.setTableProperty(viewRoot, SrcProp, srcRoot)
     CommitLog.setTableProperty(viewRoot, KeyProp, keyCols.mkString(","))
@@ -184,6 +210,8 @@ object IncrementalViewMulti {
       CommitLog.setTableProperty(viewRoot, AvgProp, avgCols.mkString(","))
     if (momentCols.nonEmpty)
       CommitLog.setTableProperty(viewRoot, MomentProp, momentCols.mkString(","))
+    if (sampleCols.nonEmpty)
+      CommitLog.setTableProperty(viewRoot, SampleProp, sampleCols.mkString(","))
     CommitLog.setTableProperty(viewRoot, VerProp, srcHead.toString)
     // a view accumulates one commit per fold — exactly the
     // long-history table the log checkpoint exists for (r11): every
@@ -211,13 +239,16 @@ object IncrementalViewMulti {
   def createJoined(s: SparkSession, viewRoot: String, srcRoot: String,
       dimRoot: String, dimKey: String, keyCols: Seq[String],
       valCols: Seq[String], nFiles: Int = 2,
-      avgCols: Seq[String] = Nil, momentCols: Seq[String] = Nil): Long = {
+      avgCols: Seq[String] = Nil, momentCols: Seq[String] = Nil,
+      sampleCols: Seq[String] = Nil): Long = {
     require(keyCols.nonEmpty && valCols.nonEmpty,
       "join view needs group keys and at least one measure")
     require(avgCols.forall(valCols.contains),
       s"AVG columns must be declared measures: ${avgCols.diff(valCols)}")
     require(momentCols.forall(valCols.contains),
       s"STDDEV/VAR columns must be declared measures: ${momentCols.diff(valCols)}")
+    require(sampleCols.forall(valCols.contains),
+      s"sample STDDEV/VAR columns must be declared measures: ${sampleCols.diff(valCols)}")
     val srcHead = CommitLog.latestVersion(srcRoot)
       .getOrElse(sys.error(s"cannot build a view over an empty table at $srcRoot"))
     val dimHead = CommitLog.latestVersion(dimRoot)
@@ -226,7 +257,7 @@ object IncrementalViewMulti {
     val v = CommitLog.appendEvolved(s, viewRoot,
       state(keyCols, valCols,
         CommitLog.read(s, srcRoot, srcHead).join(dim, Seq(dimKey)), avgCols,
-        momentCols),
+        momentCols, sampleCols),
       nFiles)
     CommitLog.setTableProperty(viewRoot, SrcProp, srcRoot)
     CommitLog.setTableProperty(viewRoot, KeyProp, keyCols.mkString(","))
@@ -235,6 +266,8 @@ object IncrementalViewMulti {
       CommitLog.setTableProperty(viewRoot, AvgProp, avgCols.mkString(","))
     if (momentCols.nonEmpty)
       CommitLog.setTableProperty(viewRoot, MomentProp, momentCols.mkString(","))
+    if (sampleCols.nonEmpty)
+      CommitLog.setTableProperty(viewRoot, SampleProp, sampleCols.mkString(","))
     CommitLog.setTableProperty(viewRoot, VerProp, srcHead.toString)
     CommitLog.setTableProperty(viewRoot, DimProp, dimRoot)
     CommitLog.setTableProperty(viewRoot, DimVerProp, dimHead.toString)
@@ -362,9 +395,11 @@ object IncrementalViewMulti {
       .map(_.split(',').toSeq).getOrElse(Nil)
     val momentCols = CommitLog.tableProperty(viewRoot, MomentProp)
       .map(_.split(',').toSeq).getOrElse(Nil)
+    val sampleCols = CommitLog.tableProperty(viewRoot, SampleProp)
+      .map(_.split(',').toSeq).getOrElse(Nil)
     val newStates = state(keyCols, valCols,
       fact.join(newDim, Seq(dimKey)).join(affKeys, keyCols, "left_semi"),
-      avgCols, momentCols)
+      avgCols, momentCols, sampleCols)
       .localCheckpoint() // feeds both the merge and the gone-key anti
     // affected keys with no rows under the new mapping (their users
     // left the dim, or re-mapped away) delete distributively
@@ -444,6 +479,10 @@ object IncrementalViewMulti {
     val valCols = CommitLog.tableProperty(viewRoot, ValsProp).get.split(',').toSeq
     val momentCols = CommitLog.tableProperty(viewRoot, MomentProp)
       .map(_.split(',').toSeq).getOrElse(Nil)
+    val sampleCols = CommitLog.tableProperty(viewRoot, SampleProp)
+      .map(_.split(',').toSeq).getOrElse(Nil)
+    // ONE maintained sum-of-squares serves both derived families
+    val momentAll = (momentCols ++ sampleCols).distinct
     val kc = keyCols.map(col)
     val changes = changeRows
       .filter(col("_commit_version") > from &&
@@ -466,7 +505,7 @@ object IncrementalViewMulti {
         // signed sum-of-squares delta (r13): x² is sign-invariant, so
         // the second moment folds exactly like total — fully
         // distributive, never a recompute trigger
-        (if (momentCols.contains(m))
+        (if (momentAll.contains(m))
           Seq(sum(col(m).cast("decimal(18,4)") *
             col(m).cast("decimal(18,4)") * col("_sgn")).as(s"dss_$m"))
         else Nil) }
@@ -505,7 +544,7 @@ object IncrementalViewMulti {
         // sound for keys the recompute trigger did NOT fire on
         least(col(s"c.mn_$m"), col(s"d.insmn_$m")).as(s"mn_$m"),
         greatest(col(s"c.mx_$m"), col(s"d.insmx_$m")).as(s"mx_$m")) ++
-        (if (momentCols.contains(m)) Seq(
+        (if (momentAll.contains(m)) Seq(
           when(nv === 0L, lit(null).cast("decimal(38,8)"))
             .otherwise((coalesce(col(s"c.ss_$m"), zero38) +
               coalesce(col(s"d.dss_$m").cast("decimal(38,8)"), zero38))
@@ -530,7 +569,10 @@ object IncrementalViewMulti {
         col(s"total_$m").cast("double") / col(s"nv_$m")).as(s"avg_$m")) ++
       momentCols.flatMap(m => Seq(
         varExpr(col(s"total_$m"), col(s"ss_$m"), col(s"nv_$m")).as(s"var_$m"),
-        stdExpr(col(s"total_$m"), col(s"ss_$m"), col(s"nv_$m")).as(s"std_$m")))
+        stdExpr(col(s"total_$m"), col(s"ss_$m"), col(s"nv_$m")).as(s"std_$m"))) ++
+      sampleCols.flatMap(m => Seq(
+        varSampExpr(col(s"total_$m"), col(s"ss_$m"), col(s"nv_$m")).as(s"vars_$m"),
+        stdSampExpr(col(s"total_$m"), col(s"ss_$m"), col(s"nv_$m")).as(s"stds_$m")))
     val arith = (if (derived.isEmpty) arithBase
       else arithBase.select(col("*") +: derived: _*))
       .localCheckpoint() // one evaluation feeds guard + all three sides
@@ -549,8 +591,11 @@ object IncrementalViewMulti {
     val stateCols = kc ++ (col("n") +: valCols.flatMap(m =>
       Seq(col(s"nv_$m"), col(s"total_$m"), col(s"mn_$m"), col(s"mx_$m")) ++
         (if (avgCols.contains(m)) Seq(col(s"avg_$m")) else Nil) ++
+        (if (momentAll.contains(m)) Seq(col(s"ss_$m")) else Nil) ++
         (if (momentCols.contains(m))
-          Seq(col(s"ss_$m"), col(s"var_$m"), col(s"std_$m")) else Nil)))
+          Seq(col(s"var_$m"), col(s"std_$m")) else Nil) ++
+        (if (sampleCols.contains(m))
+          Seq(col(s"vars_$m"), col(s"stds_$m")) else Nil)))
     val folded = arith.filter(!col("_rec") && col("n") > 0).select(stateCols: _*)
     val survivors =
       if (nRec == 0) folded
@@ -559,7 +604,7 @@ object IncrementalViewMulti {
       // collected key list
       else folded.unionByName(state(keyCols, valCols,
         sourceAt(maxVer).join(recKeys, keyCols, "left_semi"), avgCols,
-        momentCols))
+        momentCols, sampleCols))
     val vanished = arith.filter(col("n") === 0).select(kc: _*)
     val wm = Seq(s""","$VerField":$maxVer""")
     val (v1, _, _) = CommitLog.mergeKeyed(s, viewRoot, survivors, keyCols,

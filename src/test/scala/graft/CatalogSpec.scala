@@ -775,7 +775,7 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
-  test("MV statement: STDDEV_POP/VAR_POP maintain; sample forms, FILTER and DISTINCT refuse by name (r13)") {
+  test("MV statement: STDDEV_POP/VAR_POP maintain; sample forms derive at read (r14); FILTER and DISTINCT refuse by name") {
     val (cat, base) = freshCatalog()
     val root = new java.io.File(base, "t").toString
     val ev = Tables(spark, sf, "events")
@@ -827,10 +827,47 @@ class CatalogSpec extends SparkSpec {
         ex.getMessage.contains(needle),
         s"expected a named refusal carrying '$needle': ${ex.getMessage}")
     }
-    refuse("STDDEV(value) AS std_value, SUM(value) AS total_value", "STDDEV(value)")
-    refuse("VAR_SAMP(value) AS var_value, SUM(value) AS total_value", "VAR_SAMP(value)")
     refuse("SUM(DISTINCT value) AS total_value, MIN(value) AS mn_value", "DISTINCT")
     refuse("SUM(value) FILTER (WHERE value > 0) AS total_value, MIN(value) AS mn_value", "FILTER")
+    // SAMPLE forms maintain since r14 (VERDICT item 3): STDDEV /
+    // STDDEV_SAMP / VARIANCE / VAR_SAMP derive AT READ from the SAME
+    // (total, ss, nv) triple with the n/(n−1) Bessel factor — no new
+    // folded state; the r13 refusals flip to positives with the
+    // exact-derivation pin
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.vs AS
+        |SELECT event_type, COUNT(*) AS n,
+        |  STDDEV(value) AS stds_value, VAR_SAMP(value) AS vars_value,
+        |  SUM(value) AS total_value
+        |FROM $cat.t GROUP BY event_type""".stripMargin)
+    spark.sql(s"DELETE FROM $cat.t WHERE user_id % 5 = 1")
+    spark.sql(s"UPDATE $cat.t SET value = value + 250.0 WHERE user_id % 6 = 4")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.vs")
+    val viewS = spark.sql(s"SELECT event_type, stds_value, vars_value FROM $cat.vs")
+    val wantS = spark.sql(
+      s"""SELECT event_type,
+        |  CASE WHEN nv > 1 THEN SQRT(GREATEST(
+        |    CAST(ss AS DOUBLE) / nv -
+        |    (CAST(total AS DOUBLE) / nv) * (CAST(total AS DOUBLE) / nv),
+        |    0.0D) * CAST(nv AS DOUBLE) / CAST(nv - 1 AS DOUBLE)) END AS stds_value,
+        |  CASE WHEN nv > 1 THEN GREATEST(
+        |    CAST(ss AS DOUBLE) / nv -
+        |    (CAST(total AS DOUBLE) / nv) * (CAST(total AS DOUBLE) / nv),
+        |    0.0D) * CAST(nv AS DOUBLE) / CAST(nv - 1 AS DOUBLE) END AS vars_value
+        |FROM (SELECT event_type, COUNT(value) AS nv,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+        |      AS DECIMAL(38,8)) AS ss
+        |  FROM $cat.t GROUP BY event_type)""".stripMargin)
+    assert(viewS.exceptAll(wantS).count() === 0 &&
+      wantS.exceptAll(viewS).count() === 0,
+      "maintained sample STDDEV/VAR diverge from the n/(n−1) recompute derivation")
+    // sanity: the derived sample std is Spark's STDDEV up to noise
+    val approxS = spark.sql(
+      s"SELECT event_type, STDDEV(value) AS sp FROM $cat.t GROUP BY event_type")
+    val joinedS = viewS.join(approxS, Seq("event_type"))
+      .filter(abs(col("stds_value") - col("sp")) > lit(1e-6) * abs(col("sp")))
+    assert(joinedS.count() === 0, "derived stds is not the sample stddev")
   }
 
   test("OPTIMIZE MIGRATE LAYOUT converges an evolved table through SQL (r13)") {
@@ -1013,6 +1050,27 @@ class CatalogSpec extends SparkSpec {
     assert(ids.length === ids.distinct.length,
       "id reuse after compaction — the mark was not carried")
     assert(ids.max === n0 + 1 + 4)
+  }
+
+  test("INSERT column list resolves case-insensitively on computed-column tables (r14, ADVICE)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "t").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value")).limit(50)
+    CommitLog.setTableProperty(root, "default.src", "'ingest'")
+    CommitLog.setTableProperty(root, "identity.row_id", "5,1")
+    CommitLog.append(spark, root, ev, nFiles = 1)
+    val n0 = ev.count()
+    // Spark SQL resolution is case-insensitive by default — a
+    // mixed-case column list must resolve, the omitted computed
+    // columns must still compute (before the r14 fix this failed
+    // with 'unknown column' once the table gained a computed column)
+    spark.sql(s"INSERT INTO $cat.t (EVENT_ID, Value) VALUES (7654321, 2.5)")
+    val r = spark.sql(
+      s"SELECT src, row_id FROM $cat.t WHERE event_id = 7654321").collect()(0)
+    assert(r.getString(0) === "ingest", "default must fill the omission")
+    assert(r.getLong(1) === 4L + n0 + 1,
+      s"identity must continue from the mark: ${r.getLong(1)}")
   }
 
   test("MERGE refuses multiple source rows matching one target row; unmatched duplicates insert (r13, ADVICE)") {

@@ -154,7 +154,9 @@ class RegistrySpec extends SparkSpec {
       // partition spec evolution, DEFAULT + IDENTITY columns
       "s_table_view_stream_dimupd", "q_sql_table_incr_view_stddev",
       "q_table_partition_evolve", "q_table_default_cols",
-      "q_table_identity_cols")
+      "q_table_identity_cols",
+      // r14: sample-variance statement surface
+      "q_sql_table_incr_view_stddev_samp")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }
