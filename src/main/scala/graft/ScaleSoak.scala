@@ -191,6 +191,10 @@ object ScaleSoak {
     // r14: sample variance derives at read from the SAME (total, ss,
     // nv) triple — zero new folded state, one more projection
     "q_sql_table_incr_view_stddev_samp",
+    // r14: identity × retry-path streaming ingest — a forced lost
+    // race per micro-batch; contention restages data only when the
+    // winner allocated, else manifest-metadata cost
+    "s_table_stream_identity",
     // the r10 verdict's mass-delete scenario, soaked as its own
     // fixture (below — not a registry key): EVERY view key vanishes
     // in one fold; the driver-OOM shape the r11 distributed

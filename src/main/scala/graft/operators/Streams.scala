@@ -652,6 +652,60 @@ object Streams {
         .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value")))
     }},
 
+    "s_table_stream_identity" -> { (s, dir) => withStreamShuffle(s, dir) {
+      // IDENTITY × multi-writer streaming ingest (r14, VERDICT item
+      // 1) — the composition the r13 single-writer refusal blocked:
+      // a streaming CDC-style feed ingests through the optimistic-
+      // retry path into an IDENTITY table while a competing writer
+      // races EVERY micro-batch. appendWithRetry reserves the id
+      // block INSIDE its rebase loop: the beforeCommit seam injects
+      // an allocating append between head-read and publish, so each
+      // batch deterministically LOSES one race, re-reads the
+      // winner's advanced mark, restages with fresh ids, and lands.
+      // The final ID SET must be airtight — ids exactly 1..n with n
+      // = every row both writers ever staged — which is true iff no
+      // block ever overlapped and no allocation was lost (the
+      // order-free ID-SET algebra: count, distinct, min, max,
+      // series sum). 100 TB posture: contention costs a data
+      // restage only when the WINNER also allocated; non-allocating
+      // winners rebase at manifest-metadata cost.
+      import graft.sources.CommitLog
+      val root = tmp("tbl_sid")
+      val ck = tmp("tbl_sid_ck")
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      CommitLog.setTableProperty(root, "identity.row_id", "1,1")
+      val chunks = Seq(0L, 1L, 2L).map(r =>
+        ev.filter(col("event_id") % 3 === r))
+      val q = stagedChunks(s, chunks).writeStream
+        .foreachBatch { (batch: DataFrame, id: Long) =>
+          val injected = new java.util.concurrent.atomic.AtomicBoolean(false)
+          CommitLog.appendWithRetry(s, root, batch, nFiles = 2,
+            beforeCommit = () => if (injected.compareAndSet(false, true)) {
+              // the competing writer: 50 shifted rows, allocating —
+              // moves the mark, forcing the streaming writer's
+              // restage path on its retry
+              CommitLog.append(s, root,
+                ev.filter(col("event_id") % 3 === (id + 1) % 3).limit(50)
+                  .withColumn("event_id",
+                    col("event_id") + lit(50000000L) * (id + 1)),
+                nFiles = 1); ()
+            })
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val head = CommitLog.latestVersion(root).getOrElse(
+        sys.error("s_table_stream_identity: no batches committed"))
+      ordered(CommitLog.read(s, root, head)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("row_id")).as("n_ids"),
+          min(col("row_id")).as("min_id"),
+          max(col("row_id")).as("max_id"),
+          sum(col("row_id")).as("id_sum")))
+    }},
+
     "s_foreachbatch_upsert" -> { (s, dir) => withStreamShuffle(s, dir) {
       val out = tmp("feb_out"); val ck = tmp("feb_ck")
       val q = EventSource.FileStream.load(s, dir)
@@ -917,6 +971,19 @@ object Streams {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value
         |FROM events
         |GROUP BY event_type""".stripMargin +
-        graft.functions.Det.orderByAll("event_type", "n", "sum_value"))
+        graft.functions.Det.orderByAll("event_type", "n", "sum_value")),
+    // delivery-invariant ID-SET algebra: three streamed chunks (the
+    // whole events table) + 3 × 50 injected competitor rows, ids
+    // exactly 1..n — count, distinct count, min, max and the series
+    // sum pin the airtight allocation chain without depending on
+    // WHICH row got WHICH id
+    "s_table_stream_identity" ->
+      ("""WITH c AS (SELECT COUNT(*) + 150 AS t FROM events)
+        |SELECT CAST(t AS BIGINT) AS n_rows, CAST(t AS BIGINT) AS n_ids,
+        |  CAST(1 AS BIGINT) AS min_id, CAST(t AS BIGINT) AS max_id,
+        |  CAST((t * (t + 1)) // 2 AS BIGINT) AS id_sum
+        |FROM c""".stripMargin +
+        graft.functions.Det.orderByAll("n_rows", "n_ids", "min_id",
+          "max_id", "id_sum"))
   )
 }

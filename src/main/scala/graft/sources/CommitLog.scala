@@ -841,12 +841,14 @@ object CommitLog {
     * commit by construction (zipWithIndex — one count pass + one
     * narrow map, no shuffle, the distributed dense-allocation shape;
     * WHICH row gets WHICH id follows partition order and is not part
-    * of the contract, exactly the public engines' posture). Identity
-    * allocation is single-writer by design: the optimistic-retry
-    * path refuses an omitted identity column rather than risk two
-    * writers allocating from one mark (Delta surfaces the same race
-    * as a metadata conflict). Returns (completed frame, the advanced
-    * mark to commit) — (df, None) on tables without the property. */
+    * of the contract, exactly the public engines' posture).
+    * Multi-writer ingest goes through [[appendWithRetry]], which
+    * reserves the id block INSIDE its rebase loop (r14): a lost race
+    * re-allocates against the winner's advanced mark, so concurrent
+    * allocating writers serialize at log-commit rate with ids unique
+    * and monotone across the hwm chain. Returns (completed frame,
+    * the advanced mark to commit) — (df, None) on tables without the
+    * property. */
   private def identityOf(root: String): Option[(String, Long, Long)] = {
     val all = tableProperties(root).collect {
       case (k, v) if k.startsWith("identity.") =>
@@ -3448,25 +3450,53 @@ object CommitLog {
   def appendWithRetry(s: SparkSession, root: String, df0: DataFrame,
       nFiles: Int, maxAttempts: Int = 10,
       beforeCommit: () => Unit = () => ()): Long = {
-    // identity allocation is single-writer by design: two retry-path
-    // writers reading one high-water mark would allocate OVERLAPPING
-    // ids, and a rebase cannot fix already-staged values without a
-    // data rewrite — refuse by name (Delta surfaces the same race as
-    // a metadata conflict); route identity ingest through append
-    require(identityOf(root).isEmpty,
-      s"appendWithRetry: table at $root has an IDENTITY column — " +
-        "allocation is single-writer; ingest through append/" +
-        "appendPartitioned")
-    val df = applyGeneratedColumns(s, root, df0, "appendWithRetry")
-    val staged = stageDataFiles(s, root, df, nFiles)
+    // IDENTITY × optimistic concurrency (r14, VERDICT item 1): the id
+    // block is reserved INSIDE the rebase loop — each attempt
+    // allocates against the head it actually tries to land on, so a
+    // lost race re-allocates from the WINNER's advanced mark exactly
+    // the way tombstones and the schema rebase. Unlike those, the ids
+    // live in the DATA, so a mark that moved invalidates the staged
+    // files: the retry restages the batch (deleting the stale
+    // orphans). Contention therefore costs a data re-write ONLY when
+    // the winner also allocated (mark moved); a non-allocating winner
+    // (compact, delete, a plain append on the same table) rebases at
+    // manifest-metadata cost like any other append. This composes the
+    // r13 identity column with multi-writer/streaming ingest — the
+    // single-writer refusal is gone.
+    val hasIdentity = identityOf(root).isDefined
+    val dfPlain =
+      if (hasIdentity) null
+      else applyGeneratedColumns(s, root, df0, "appendWithRetry")
+    var staged: Seq[String] = if (hasIdentity) null else
+      stageDataFiles(s, root, dfPlain, nFiles)
+    var stagedMark: Option[Long] = None // mark the staged ids came from
+    var stagedHwm: Option[Long] = None  // advanced mark to commit
+    var dfStaged: DataFrame = dfPlain
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
       val prev = latestVersion(root)
+      if (hasIdentity) {
+        val headMark = prev.flatMap(v => longMetaOf(root, v, IdHwmField))
+        if (staged == null || headMark != stagedMark) {
+          // the mark moved (or first attempt): the staged ids are
+          // stale — drop the orphaned files and restage against the
+          // head's mark. Identity fills FIRST (generated/default
+          // expressions may derive from the id), like append().
+          if (staged != null)
+            staged.foreach(f => new java.io.File(root, f).delete())
+          val (dfId, hwm) = fillIdentityAt(s, root, df0,
+            "appendWithRetry", prev)
+          dfStaged = applyGeneratedColumns(s, root, dfId, "appendWithRetry")
+          staged = stageDataFiles(s, root, dfStaged, nFiles)
+          stagedMark = headMark
+          stagedHwm = hwm
+        }
+      }
       // validated per attempt: a competitor may have EVOLVED the
       // schema since the last read — the rebase must respect the head
       // it actually lands on
-      requireSchemaCompatible(root, prev, df, "appendWithRetry")
+      requireSchemaCompatible(root, prev, dfStaged, "appendWithRetry")
       val prevFiles = prev.map(v => snapshotFiles(root, v)
         .map(p => relativize(root, p))).getOrElse(Nil)
       val (prevCol, prevStats) =
@@ -3475,7 +3505,8 @@ object CommitLog {
       try {
         val v = commit(root, prevFiles ++ staged, prev,
           statsCol = prevCol, stats = prevStats,
-          schemaJson = carriedSchemaJson(root, prev))
+          schemaJson = carriedSchemaJson(root, prev),
+          newIdHwm = stagedHwm)
         // the multi-writer/streaming-ingest path is exactly where the
         // small files accumulate — the autoCompact policy must fire
         // here too, after the append published (r13, ADVICE; the

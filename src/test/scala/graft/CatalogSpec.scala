@@ -1036,11 +1036,17 @@ class CatalogSpec extends SparkSpec {
     }
     assert(exBad.getMessage.contains("generated.<col>"), exBad.getMessage)
     CommitLog.removeTableProperty(root, "default.bad")
-    // identity tables refuse the optimistic-retry ingest path by name
-    val exRetry = intercept[IllegalArgumentException] {
-      CommitLog.appendWithRetry(spark, root, ev.limit(5), nFiles = 1)
-    }
-    assert(exRetry.getMessage.contains("single-writer"), exRetry.getMessage)
+    // the optimistic-retry ingest path allocates too (r14 — the
+    // single-writer refusal is gone): ids continue from the mark
+    CommitLog.appendWithRetry(spark, root,
+      ev.limit(5).withColumn("event_id", col("event_id") + 9200000L),
+      nFiles = 1)
+    val idsRetry = spark.sql(s"SELECT row_id FROM $cat.t")
+      .collect().map(_.getLong(0))
+    assert(idsRetry.length === idsRetry.distinct.length,
+      "retry-path append overlapped an identity block")
+    assert(idsRetry.max === n0 + 1 + 5,
+      s"retry-path allocation must continue from the mark: ${idsRetry.max}")
     // the mark survives a compaction: ids after it continue, no reuse
     CommitLog.compact(spark, root, nFiles = 1)
     CommitLog.append(spark, root, ev.limit(4)
@@ -1049,7 +1055,7 @@ class CatalogSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(ids.length === ids.distinct.length,
       "id reuse after compaction — the mark was not carried")
-    assert(ids.max === n0 + 1 + 4)
+    assert(ids.max === n0 + 1 + 5 + 4)
   }
 
   test("INSERT column list resolves case-insensitively on computed-column tables (r14, ADVICE)") {

@@ -155,8 +155,9 @@ class RegistrySpec extends SparkSpec {
       "s_table_view_stream_dimupd", "q_sql_table_incr_view_stddev",
       "q_table_partition_evolve", "q_table_default_cols",
       "q_table_identity_cols",
-      // r14: sample-variance statement surface
-      "q_sql_table_incr_view_stddev_samp")
+      // r14: sample-variance statement surface, identity × retry-path
+      // streaming ingest
+      "q_sql_table_incr_view_stddev_samp", "s_table_stream_identity")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }

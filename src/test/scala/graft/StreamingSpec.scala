@@ -2894,6 +2894,48 @@ class StreamingSpec extends SparkSpec {
     assert(got.count() === ev.count(), "the policy compaction must be data-neutral")
   }
 
+  test("commit log: racing identity appends through appendWithRetry both commit — ids unique, monotone per the hwm chain, no orphaned restage files (r14)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_id_race").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value")).limit(200)
+    CommitLog.setTableProperty(root, "identity.row_id", "1,1")
+    val odd = ev.filter(col("event_id") % 2 =!= 0)
+    val even = ev.filter(col("event_id") % 2 === 0)
+    val (nOdd, nEven) = (odd.count(), even.count())
+    // the beforeCommit seam injects a COMPETING allocating append
+    // between the outer writer's head-read and publish: the inner
+    // writer wins version 0 with ids from the virgin mark; the outer
+    // writer's commit collides, re-reads the winner's advanced mark,
+    // RESTAGES with fresh ids, and lands as version 1
+    var injected = false
+    CommitLog.appendWithRetry(spark, root, even, nFiles = 2,
+      beforeCommit = () => if (!injected) {
+        injected = true
+        CommitLog.appendWithRetry(spark, root, odd, nFiles = 2); ()
+      })
+    assert(CommitLog.latestVersion(root) === Some(1L),
+      "both racing identity appends must commit, as two versions")
+    // the winner's block is 1..nOdd; the loser re-allocated past it —
+    // ids are monotone per the hwm chain, never interleaved
+    val v0Ids = CommitLog.read(spark, root, 0L)
+      .select(col("row_id")).collect().map(_.getLong(0))
+    assert(v0Ids.length === nOdd && v0Ids.min === 1L && v0Ids.max === nOdd)
+    val allIds = CommitLog.read(spark, root, 1L)
+      .select(col("row_id")).collect().map(_.getLong(0)).sorted
+    assert(allIds.length === nOdd + nEven)
+    assert(allIds.distinct.length === allIds.length,
+      "overlapping identity blocks across the race")
+    assert(allIds.head === 1L && allIds.last === nOdd + nEven,
+      s"ids must be exactly 1..${nOdd + nEven}: ${allIds.head}..${allIds.last}")
+    // the loser's FIRST staging (stale ids) was deleted on restage —
+    // no orphaned data files beyond the committed snapshot
+    val onDisk = new java.io.File(root, "data").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(onDisk === CommitLog.snapshotFiles(root, 1L).size,
+      s"orphaned restage files left on disk: $onDisk vs manifest")
+  }
+
   test("graft-table source: a widened table stays streamable — narrow pin stops once, restart resumes from its checkpoint (r14, ADVICE)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_tsw").toString
