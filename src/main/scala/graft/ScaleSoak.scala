@@ -195,6 +195,9 @@ object ScaleSoak {
     // race per micro-batch; contention restages data only when the
     // winner allocated, else manifest-metadata cost
     "s_table_stream_identity",
+    // r14: composite partition specs — planning stays O(manifest);
+    // the composite probe reads 1 tuple file + the foreign generation
+    "q_table_partition_evolve_multi",
     // the r10 verdict's mass-delete scenario, soaked as its own
     // fixture (below — not a registry key): EVERY view key vanishes
     // in one fold; the driver-OOM shape the r11 distributed

@@ -2055,6 +2055,54 @@ object TableFormat {
           lit(readD.toLong).as("files_read_day"),
           col("n_click"), col("sum_click"), col("n_day3"), col("sum_day3")))
     },
+    "q_table_partition_evolve_multi" -> { (s, dir) =>
+      // MULTI-COLUMN partition specs (r14, VERDICT item 2 — Iceberg
+      // specs are multi-field): per-file layouts carry an ORDERED
+      // (column, value) pair list, and a probe INTERSECTS each
+      // file's own columns — a composite-spec file prunes on every
+      // probed column it carries, a single-column file prunes on its
+      // one, and an unrecorded column can never prune (widen-only).
+      // Gen-1: even event_ids under (event_type) — 5 values × 1 file;
+      // the evolution to "day,bucket" gates on repartitionLayout
+      // naming the comma-joined NEW spec; gen-2: odd event_ids under
+      // (day = id%7, bucket = user%2) — 14 tuples × 1 file. The
+      // composite probe (day=3, bucket=0) reads 1 gen-2 file + the 5
+      // unprunable gen-1 files; the day-only probe reads day-3's TWO
+      // gen-2 files (bucket unprobed — intersection, not equality) +
+      // 5; the event_type probe reads 1 gen-1 + all 14 gen-2. All
+      // three counters pinned by construction; every read exact
+      // after the precise predicate.
+      val root = java.nio.file.Files.createTempDirectory("graft_table_pem")
+      root.toFile.deleteOnExit()
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .withColumn("day", (col("event_id") % 7).cast("string"))
+        .withColumn("bucket", (col("user_id") % 2).cast("string"))
+      CommitLog.appendPartitioned(s, root.toString,
+        ev.filter(col("event_id") % 2 === 0), "event_type", filesPerPartition = 1)
+      CommitLog.setTableProperty(root.toString, "repartitionLayout", "day,bucket")
+      val head = CommitLog.appendPartitionedCols(s, root.toString,
+        ev.filter(col("event_id") % 2 === 1), Seq("day", "bucket"),
+        filesPerPartition = 1)
+      val (dfM, total, readM) = CommitLog.partitionPrunedReadMulti(s,
+        root.toString, head, Seq("day" -> Seq("3"), "bucket" -> Seq("0")))
+      val (dfD, _, readD) = CommitLog.partitionPrunedRead(s, root.toString,
+        head, "day", Seq("3"))
+      val (dfT, _, readT) = CommitLog.partitionPrunedRead(s, root.toString,
+        head, "event_type", Seq("click"))
+      ordered(dfM.filter(col("day") === "3" && col("bucket") === "0")
+        .agg(count(lit(1)).as("n_d3b0"), dsum(col("value")).as("sum_d3b0"))
+        // 1-row × 1-row: broadcast scalar pairings, not data joins
+        .crossJoin(dfD.filter(col("day") === "3")
+          .agg(count(lit(1)).as("n_day3")))
+        .crossJoin(dfT.filter(col("event_type") === "click")
+          .agg(count(lit(1)).as("n_click")))
+        .select(lit(total.toLong).as("n_files_total"),
+          lit(readM.toLong).as("files_read_multi"),
+          lit(readD.toLong).as("files_read_day"),
+          lit(readT.toLong).as("files_read_type"),
+          col("n_d3b0"), col("sum_d3b0"), col("n_day3"), col("n_click")))
+    },
     "q_table_stats_prune_ts" -> { (s, dir) =>
       // Typed multi-column manifest statistics (added r10, VERDICT r9
       // item 5 — "most real predicates are on TIME"): per-file
@@ -3524,6 +3572,19 @@ object TableFormat {
         |    FROM events WHERE event_id % 7 = 3) AS sum_day3""".stripMargin +
         orderByAll("n_files_total", "files_read_type", "files_read_day",
           "n_click", "sum_click", "n_day3", "sum_day3")),
+    "q_table_partition_evolve_multi" ->
+      ("""SELECT CAST(19 AS BIGINT) AS n_files_total,
+        |  CAST(6 AS BIGINT) AS files_read_multi,
+        |  CAST(7 AS BIGINT) AS files_read_day,
+        |  CAST(15 AS BIGINT) AS files_read_type,
+        |  (SELECT COUNT(*) FROM events
+        |    WHERE event_id % 7 = 3 AND user_id % 2 = 0) AS n_d3b0,
+        |  (SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+        |    FROM events WHERE event_id % 7 = 3 AND user_id % 2 = 0) AS sum_d3b0,
+        |  (SELECT COUNT(*) FROM events WHERE event_id % 7 = 3) AS n_day3,
+        |  (SELECT COUNT(*) FROM events WHERE event_type = 'click') AS n_click""".stripMargin +
+        orderByAll("n_files_total", "files_read_multi", "files_read_day",
+          "files_read_type", "n_d3b0", "sum_d3b0", "n_day3", "n_click")),
     "q_table_stats_prune_ts" ->
       ("""SELECT CAST(8 AS BIGINT) AS n_files_total,
         |  CAST(2 AS BIGINT) AS n_files_read,

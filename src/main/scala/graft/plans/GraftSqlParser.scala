@@ -439,10 +439,11 @@ case class DescribeDetailCommand(parts: Seq[String])
     // the set OPTIMIZE ... MIGRATE LAYOUT works off; 0 on a converged
     // (or never-partitioned) table
     val foreign = aux.partCol.map { cur =>
+      val curCols = cur.split(',').toSeq
       CommitLog.snapshotFiles(root, head).count { f =>
         val jf = new java.io.File(f)
         aux.layoutOf(jf.getParentFile.getName + "/" + jf.getName) match {
-          case Some((c, _)) => c != cur
+          case Some(pairs) => pairs.map(_._1) != curCols
           case None => true
         }
       }.toLong

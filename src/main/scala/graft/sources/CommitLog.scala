@@ -69,20 +69,26 @@ object CommitLog {
       stats2: Map[String, Map[String, ColStat]] = Map.empty,
       dvs: Map[String, Seq[String]] = Map.empty,
       // PARTITION SPEC EVOLUTION (r13, VERDICT item 6 — Iceberg's
-      // design): per-file (column, value) layout entries. A file is
-      // pruned under ITS OWN recorded layout, so generations written
-      // under different partition columns coexist in one snapshot;
-      // partCol/parts stay the CURRENT spec (and the legacy encoding
-      // pre-evolution manifests carry).
-      layouts: Map[String, (String, String)] = Map.empty) {
+      // design; widened to MULTI-COLUMN ordered specs in r14, item
+      // 2): per-file ORDERED (column, value) layout entries. A file
+      // is pruned under ITS OWN recorded layout — a probe intersects
+      // the file's own columns, columns the file never recorded are
+      // simply unprunable for it — so generations written under
+      // different (and differently-arity) partition specs coexist in
+      // one snapshot; partCol/parts stay the CURRENT spec (partCol
+      // comma-joins a composite spec; the legacy single-column
+      // encoding pre-evolution manifests carry is parsed unchanged).
+      layouts: Map[String, Seq[(String, String)]] = Map.empty) {
     def isEmpty: Boolean =
       parts.isEmpty && stats2.isEmpty && dvs.isEmpty && layouts.isEmpty
-    /** The layout a file was WRITTEN under: its per-generation entry,
-      * falling back to the manifest-level current spec (legacy
-      * single-spec manifests record only partCol/parts). */
-    def layoutOf(f: String): Option[(String, String)] =
+    /** The ordered layout a file was WRITTEN under: its
+      * per-generation entry, falling back to the manifest-level
+      * current spec (legacy single-spec manifests record only
+      * partCol/parts; a composite current spec always writes
+      * per-file layouts, so the fallback stays single-column). */
+    def layoutOf(f: String): Option[Seq[(String, String)]] =
       layouts.get(f).orElse(
-        for { c <- partCol; v <- parts.get(f) } yield (c, v))
+        for { c <- partCol; v <- parts.get(f) } yield Seq((c, v)))
     /** Keep only entries for `keep` (relative paths) — the CoW carry
       * rule: a commit that carries a file carries its metadata (a
       * REWRITTEN file's deletion vectors die with it — the rewrite
@@ -152,13 +158,18 @@ object CommitLog {
           s"""${jstr(f)}:[${refs.map(jstr).mkString(",")}]"""
         }.mkString(",") + "}"
     }
-    // per-file (column, value) layout entries — only rendered once a
-    // spec evolution happened (single-spec tables keep the legacy
-    // partCol/parts encoding, byte-compatible with old readers)
+    // per-file ordered layout entries, rendered as a FLAT pair array
+    // [c1,v1,c2,v2,...] — a single-column entry is the byte-identical
+    // [c,v] the r13 encoding wrote, so old manifests parse unchanged.
+    // Only rendered once a spec evolution (or composite spec)
+    // happened; single-spec tables keep the legacy partCol/parts
+    // encoding, byte-compatible with old readers.
     val ly = if (aux.layouts.isEmpty) "" else {
       s""","layouts":{""" +
-        aux.layouts.toSeq.sortBy(_._1).map { case (f, (c, v)) =>
-          s"""${jstr(f)}:[${jstr(c)},${jstr(v)}]"""
+        aux.layouts.toSeq.sortBy(_._1).map { case (f, pairs) =>
+          s"""${jstr(f)}:[""" +
+            pairs.flatMap { case (c, v) => Seq(jstr(c), jstr(v)) }
+              .mkString(",") + "]"
         }.mkString(",") + "}"
     }
     p + s2 + dv + ly
@@ -351,13 +362,16 @@ object CommitLog {
     }.getOrElse(Map.empty[String, Seq[String]])
     val layouts = Option(node.get("layouts")).map { p =>
       val it = p.fields()
-      val b = Map.newBuilder[String, (String, String)]
+      val b = Map.newBuilder[String, Seq[(String, String)]]
       while (it.hasNext) {
         val e = it.next(); val arr = e.getValue
-        b += e.getKey -> (arr.get(0).asText(), arr.get(1).asText())
+        // flat [c1,v1,c2,v2,...] pair array; the r13 single-column
+        // [c,v] encoding is its 1-pair case
+        b += e.getKey -> (0 until arr.size() by 2).map(i =>
+          (arr.get(i).asText(), arr.get(i + 1).asText()))
       }
       b.result()
-    }.getOrElse(Map.empty[String, (String, String)])
+    }.getOrElse(Map.empty[String, Seq[(String, String)]])
     Aux(partCol, parts, tags, stats2, dvs, layouts)
   }
 
@@ -1434,7 +1448,8 @@ object CommitLog {
       // through untouched (dropping them would RESURRECT deleted rows)
       aux.dvs,
       // per-generation layouts follow the rename like the active spec
-      aux.layouts.map { case (f2, (c, v)) => f2 -> (ren(c), v) })
+      aux.layouts.map { case (f2, pairs) =>
+        f2 -> pairs.map { case (c, v) => (ren(c), v) } })
     val (prevCol, prevStats) = snapshotStatsOf(root, prev)
     commit(root, snapshotFiles(root, prev).map(p => relativize(root, p)),
       Some(prev), op = "rename_column",
@@ -1462,10 +1477,10 @@ object CommitLog {
     require(st.fields.length > 1, "dropColumn: cannot drop the last column")
     requireUnconstrained(root, name, "dropColumn")
     val aux = carriedAux(root, Some(prev))
-    require(!aux.partCol.contains(name),
-      s"dropColumn: '$name' is the partition column — repartition " +
+    require(!aux.partCol.exists(_.split(',').contains(name)),
+      s"dropColumn: '$name' is a partition column — repartition " +
         "(overwrite with a new partCol) before dropping it")
-    require(!aux.layouts.values.exists(_._1 == name),
+    require(!aux.layouts.values.exists(_.exists(_._1 == name)),
       s"dropColumn: '$name' partitions an existing file generation " +
         "(spec evolution keeps old layouts live) — rewrite those files " +
         "before dropping it")
@@ -1740,17 +1755,39 @@ object CommitLog {
   }
 
   private def stagePartitioned(s: SparkSession, root: String, df: DataFrame,
-      partCol: String, filesPerPartition: Int): (Seq[String], Aux) = {
-    import org.apache.spark.sql.functions.{coalesce, col, lit}
+      partCol: String, filesPerPartition: Int): (Seq[String], Aux) =
+    stagePartitionedCols(s, root, df, Seq(partCol), filesPerPartition)
+
+  /** Separator inside a composite spec's joined routing/parts value —
+    * a control character Jackson escapes losslessly, so partition
+    * values containing commas or slashes stay unambiguous. */
+  private val specSep = "\u0001"
+
+  /** [[stagePartitioned]] under an ORDERED multi-column spec (r14,
+    * VERDICT item 2): one routing group per distinct value TUPLE
+    * (the Hive/Iceberg directory-tree granularity, flattened to the
+    * manifest), per-file layouts recording the ordered (col, value)
+    * pairs each file was written under. partCol comma-joins the spec
+    * and parts records the joined tuple — the legacy single-column
+    * encoding is the 1-column case, byte-identical to r13's. */
+  private def stagePartitionedCols(s: SparkSession, root: String,
+      df: DataFrame, partCols: Seq[String],
+      filesPerPartition: Int): (Seq[String], Aux) = {
+    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, lit}
+    require(partCols.nonEmpty, "partitioned staging needs a column")
     require(!df.columns.contains("_gp") && !df.columns.contains("_gs"),
       "partitioned staging reserves column names _gp and _gs")
     val tagged = df.withColumn("_gp",
-      coalesce(col(partCol).cast("string"), lit(nullPartSentinel)))
+      concat_ws(specSep, partCols.map(c =>
+        coalesce(col(c).cast("string"), lit(nullPartSentinel))): _*))
     val groups = stageRouted(s, root, tagged, filesPerPartition)
     val parts = groups.flatMap { case (v, fs) => fs.map(_ -> v) }.toMap
     (groups.flatMap(_._2),
-      Aux(partCol = Some(partCol), parts = parts,
-        layouts = parts.map { case (f, v) => f -> (partCol, v) }))
+      Aux(partCol = Some(partCols.mkString(",")), parts = parts,
+        layouts = parts.map { case (f, v) =>
+          // split preserves empty trailing values (a NULL routed as
+          // the sentinel is never empty, but real values can be)
+          f -> partCols.zip(v.split(specSep, -1)) }))
   }
 
   /** APPEND with per-file partition values recorded in the manifest.
@@ -1767,7 +1804,23 @@ object CommitLog {
     * generation's column. */
   def appendPartitioned(s: SparkSession, root: String, df0: DataFrame,
       partCol: String, filesPerPartition: Int,
+      extraMeta: Seq[String] = Nil): Long =
+    appendPartitionedCols(s, root, df0,
+      partCol.split(',').map(_.trim).toSeq, filesPerPartition, extraMeta)
+
+  /** [[appendPartitioned]] under an ORDERED multi-column spec (r14,
+    * VERDICT item 2 — Iceberg specs are multi-field): `partCols` =
+    * e.g. Seq("day", "region"); one routing group per value tuple,
+    * per-file layouts carry the ordered pairs, and
+    * [[partitionPrunedReadMulti]] prunes each file by intersecting
+    * the probe with the file's OWN columns. Spec evolution (to a
+    * different column LIST, wider or narrower) gates on the
+    * `repartitionLayout` property naming the comma-joined new spec,
+    * exactly the single-column contract. */
+  def appendPartitionedCols(s: SparkSession, root: String, df0: DataFrame,
+      partCols: Seq[String], filesPerPartition: Int,
       extraMeta: Seq[String] = Nil): Long = {
+    val specStr = partCols.mkString(",")
     // identity, then generated columns, fill/validate FIRST —
     // partitioning by a generated column (the derived-date layout)
     // is the feature's headline use
@@ -1781,24 +1834,26 @@ object CommitLog {
     val (prevCol, prevStats) =
       prev.map(v => snapshotStatsOf(root, v))
         .getOrElse((None, Map.empty[String, (Long, Long)]))
-    val (staged, aux) = stagePartitioned(s, root, df, partCol, filesPerPartition)
+    val (staged, aux) = stagePartitionedCols(s, root, df, partCols,
+      filesPerPartition)
     val aux0 = carriedAux(root, prev)
     val fullAux =
-      if (aux0.partCol.forall(_ == partCol)) aux0.merged(aux)
+      if (aux0.partCol.forall(_ == specStr)) aux0.merged(aux)
       else {
-        require(tableProperty(root, "repartitionLayout").contains(partCol),
+        require(tableProperty(root, "repartitionLayout").contains(specStr),
           s"appendPartitioned: table is partitioned by " +
-            s"'${aux0.partCol.get}', not '$partCol' — one active " +
+            s"'${aux0.partCol.get}', not '$specStr' — one active " +
             "partition spec per table; to EVOLVE the layout for future " +
-            s"appends set TBLPROPERTIES ('repartitionLayout' = '$partCol')")
+            s"appends set TBLPROPERTIES ('repartitionLayout' = '$specStr')")
         // spec evolution: prior generations' entries move to (or stay
         // in) per-file layouts — legacy parts convert here so a
         // pre-evolution manifest's files keep pruning — and the
-        // CURRENT spec becomes the new column
+        // CURRENT spec becomes the new column list
         val oldLayouts = aux0.layouts ++ (for {
-          c <- aux0.partCol.toSeq; (f, v) <- aux0.parts
+          c <- aux0.partCol.toSeq if !c.contains(',')
+          (f, v) <- aux0.parts
           if !aux0.layouts.contains(f)
-        } yield f -> (c, v))
+        } yield f -> Seq((c, v)))
         Aux(aux.partCol, aux.parts,
           aux0.statsTags ++ aux.statsTags, aux0.stats2 ++ aux.stats2,
           aux0.dvs, oldLayouts ++ aux.layouts)
@@ -1821,17 +1876,35 @@ object CommitLog {
     * listing, no footer reads; the caller still applies its precise
     * predicate. Returns (df, filesTotal, filesRead). */
   def partitionPrunedRead(s: SparkSession, root: String, version: Long,
-      partCol: String, values: Seq[String]): (DataFrame, Int, Int) = {
+      partCol: String, values: Seq[String]): (DataFrame, Int, Int) =
+    partitionPrunedReadMulti(s, root, version, Seq(partCol -> values))
+
+  /** [[partitionPrunedRead]] with a MULTI-COLUMN probe (r14): one
+    * (column, accepted values) entry per probed column. A file reads
+    * unless its OWN recorded layout excludes it on some probed
+    * column — the probe INTERSECTS the file's columns, so a column a
+    * generation never recorded simply cannot prune that generation
+    * (pruning may only ever widen the result, never drop a matching
+    * row), and a composite-spec file prunes on every probed column
+    * it carries. Pure log metadata, no directory listing, no footer
+    * reads; the caller still applies its precise predicate. */
+  def partitionPrunedReadMulti(s: SparkSession, root: String, version: Long,
+      probes: Seq[(String, Seq[String])]): (DataFrame, Int, Int) = {
     val files = readManifest(root, version)._2
     val aux = auxOf(root, version)
-    require(aux.partCol.contains(partCol) ||
-      aux.layouts.values.exists(_._1 == partCol),
-      s"no generation of this table records partition column " +
-        s"'$partCol' (current spec: ${aux.partCol.getOrElse("<none>")})")
-    val want = values.toSet
+    val specCols = aux.partCol.toSeq.flatMap(_.split(',')).toSet
+    probes.foreach { case (c, _) =>
+      require(specCols.contains(c) ||
+        aux.layouts.values.exists(_.exists(_._1 == c)),
+        s"no generation of this table records partition column " +
+          s"'$c' (current spec: ${aux.partCol.getOrElse("<none>")})")
+    }
+    val want = probes.map { case (c, vs) => c -> vs.toSet }.toMap
     val keep = files.filter(f => aux.layoutOf(f) match {
-      case Some((c, v)) if c == partCol => want(v)
-      case _ => true // other-generation layout or no entry: must read
+      case Some(pairs) => pairs.forall { case (c, v) =>
+        want.get(c).forall(_.contains(v)) // unprobed columns pass
+      }
+      case None => true // no entry: must read
     })
     val df =
       if (keep.isEmpty) read(s, root, version).limit(0)
@@ -3256,8 +3329,11 @@ object CommitLog {
     val aux = auxOf(root, prev)
     val current = aux.partCol.getOrElse(sys.error(
       s"migrateLayout: table at $root records no partition spec"))
+    // the current spec may be composite (r14) — a file is foreign
+    // unless its recorded layout's ORDERED column list matches
+    val curCols = current.split(',').toSeq
     val foreign = files.filter(f => aux.layoutOf(f) match {
-      case Some((c, _)) => c != current
+      case Some(pairs) => pairs.map(_._1) != curCols
       case None => true
     }).sorted
     if (foreign.isEmpty) return (prev, 0L, 0L)
@@ -3265,7 +3341,7 @@ object CommitLog {
     val carried = files.filterNot(pick.toSet)
     val sub = readSubset(s, root, prev,
       pick.map(f => new java.io.File(root, f).toString))
-    val (staged, newAux) = stagePartitioned(s, root, sub, current,
+    val (staged, newAux) = stagePartitionedCols(s, root, sub, curCols,
       filesPerPartition = 1)
     val (v, _) = commitRewriteRebasing(s, root, prev, files.toSet,
       "optimize", carried, staged, newAux, staged, Nil,

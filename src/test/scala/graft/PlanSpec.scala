@@ -1001,7 +1001,7 @@ class PlanSpec extends SparkSpec {
       // manifest-relative form: data/<uuid>.parquet
       val jf = new java.io.File(f)
       aux.layoutOf(jf.getParentFile.getName + "/" + jf.getName) match {
-        case Some(("event_type", v)) => v == "click"
+        case Some(Seq(("event_type", v))) => v == "click"
         case _ => true
       }
     }.map(f => "file://" + new java.io.File(f).getAbsolutePath).toSet

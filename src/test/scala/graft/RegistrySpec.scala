@@ -156,8 +156,9 @@ class RegistrySpec extends SparkSpec {
       "q_table_partition_evolve", "q_table_default_cols",
       "q_table_identity_cols",
       // r14: sample-variance statement surface, identity × retry-path
-      // streaming ingest
-      "q_sql_table_incr_view_stddev_samp", "s_table_stream_identity")
+      // streaming ingest, multi-column partition specs
+      "q_sql_table_incr_view_stddev_samp", "s_table_stream_identity",
+      "q_table_partition_evolve_multi")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }

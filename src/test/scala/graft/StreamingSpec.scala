@@ -2784,11 +2784,75 @@ class StreamingSpec extends SparkSpec {
       s"converged table must prune the day probe fully ($readD2 of $totalM)")
     assert(dfD2.filter(col("day") === "3").count() ===
       ev.filter(col("day") === "3").count())
-    assert(!CommitLog.auxOf(root, headM).layouts.values.exists(_._1 == "event_type"),
+    assert(!CommitLog.auxOf(root, headM).layouts.values
+      .exists(_.exists(_._1 == "event_type")),
       "migrated files must shed the old generation's layout entries")
     // converged: another run is a no-op
     val (_, m3, rem3) = CommitLog.migrateLayout(spark, root)
     assert(m3 === 0L && rem3 === 0L)
+  }
+
+  test("commit log: COMPOSITE partition specs — intersection pruning, bounded migration converges to (day, bucket) (r14)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_pem_spec").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .withColumn("day", (col("event_id") % 7).cast("string"))
+      .withColumn("bucket", (col("user_id") % 2).cast("string"))
+    CommitLog.appendPartitioned(spark, root,
+      ev.filter(col("event_id") % 2 === 0), "event_type", filesPerPartition = 1)
+    // evolving to a composite spec gates on the property naming the
+    // comma-joined column LIST, exactly the single-column contract
+    val ex = intercept[IllegalArgumentException] {
+      CommitLog.appendPartitionedCols(spark, root,
+        ev.filter(col("event_id") % 2 === 1), Seq("day", "bucket"),
+        filesPerPartition = 1)
+    }
+    assert(ex.getMessage.contains("repartitionLayout") &&
+      ex.getMessage.contains("day,bucket"), ex.getMessage)
+    CommitLog.setTableProperty(root, "repartitionLayout", "day,bucket")
+    val head = CommitLog.appendPartitionedCols(spark, root,
+      ev.filter(col("event_id") % 2 === 1), Seq("day", "bucket"),
+      filesPerPartition = 1)
+    assert(CommitLog.read(spark, root, head).count() === ev.count())
+    // 5 gen-1 files + 7×2 gen-2 tuple files
+    val (dfM, total, readM) = CommitLog.partitionPrunedReadMulti(spark, root,
+      head, Seq("day" -> Seq("3"), "bucket" -> Seq("0")))
+    assert(total === 19 && readM === 6,
+      s"composite probe read $readM of $total (want 1 tuple file + 5 unprunable)")
+    assert(dfM.filter(col("day") === "3" && col("bucket") === "0").count() ===
+      ev.filter(col("day") === "3" && col("bucket") === "0").count())
+    // the probe INTERSECTS a file's own columns: a day-only probe
+    // keeps BOTH buckets of day 3 (bucket unprobed ≠ bucket pruned)
+    val (dfD, _, readD) = CommitLog.partitionPrunedRead(spark, root,
+      head, "day", Seq("3"))
+    assert(readD === 7, s"day-only probe read $readD (want 2 tuple files + 5)")
+    assert(dfD.filter(col("day") === "3").count() ===
+      ev.filter(col("day") === "3").count())
+    // bounded migration converges gen-1 under the COMPOSITE spec
+    val (_, m1, rem1) = CommitLog.migrateLayout(spark, root, maxFiles = 3)
+    assert(m1 === 3L && rem1 === 2L)
+    val (_, m2, rem2) = CommitLog.migrateLayout(spark, root, maxFiles = 8)
+    assert(m2 === 2L && rem2 === 0L)
+    val headM = CommitLog.latestVersion(root).get
+    assert(CommitLog.read(spark, root, headM).count() === ev.count(),
+      "composite migration must be data-neutral")
+    // converged: every file's layout is the ORDERED (day, bucket)
+    // list, and the composite probe now prunes the whole table
+    val auxM = CommitLog.auxOf(root, headM)
+    assert(CommitLog.snapshotFiles(root, headM).forall { f =>
+      val jf = new java.io.File(f)
+      auxM.layoutOf(jf.getParentFile.getName + "/" + jf.getName)
+        .exists(_.map(_._1) == Seq("day", "bucket"))
+    }, "a migrated file must carry the ordered composite layout")
+    val (dfM2, totalM, readM2) = CommitLog.partitionPrunedReadMulti(spark,
+      root, headM, Seq("day" -> Seq("3"), "bucket" -> Seq("0")))
+    assert(readM2 <= 3 && totalM >= 14,
+      s"converged composite probe must prune fully ($readM2 of $totalM)")
+    assert(dfM2.filter(col("day") === "3" && col("bucket") === "0").count() ===
+      ev.filter(col("day") === "3" && col("bucket") === "0").count())
+    val (_, m3, rem3) = CommitLog.migrateLayout(spark, root)
+    assert(m3 === 0L && rem3 === 0L, "converged table must be a no-op")
   }
 
   test("commit log: an incremental view folds exactly across a mid-history type widen (r13)") {
