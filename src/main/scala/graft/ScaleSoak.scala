@@ -198,6 +198,10 @@ object ScaleSoak {
     // r14: composite partition specs — planning stays O(manifest);
     // the composite probe reads 1 tuple file + the foreign generation
     "q_table_partition_evolve_multi",
+    // r14: continuous depth-2 chain — level 2 folds level 1's OWN
+    // changelog per trigger (cost ∝ level-1 deltas); the per-batch
+    // full-recompute witness is the deliberate test-harness cost
+    "s_table_view_chain_stream",
     // the r10 verdict's mass-delete scenario, soaked as its own
     // fixture (below — not a registry key): EVERY view key vanishes
     // in one fold; the driver-OOM shape the r11 distributed

@@ -461,6 +461,86 @@ object TableFormat {
           lit(if (allExact.get()) 1L else 0L).as("all_batches_exact"),
           col("n_keys"), col("n_rows"), col("sum_value")))
     },
+    "s_table_view_chain_stream" -> { (s, dir) =>
+      // CONTINUOUS maintenance for a DEPTH-2 view CHAIN (r14, VERDICT
+      // item 5): the foreachBatch loop folds the fact's CDF batch
+      // into LEVEL 1 (IncrementalViewMulti.foldDeltas), then folds
+      // LEVEL 1's OWN resulting changelog into LEVEL 2
+      // (IncrementalView.refresh reads exactly v1's new change rows —
+      // cost ∝ level-1's delta, never level-1's size), so a live
+      // chain's level 2 trails the fact by ONE trigger where before
+      // r14 it waited for a scheduled batch refresh. Exactly-once at
+      // BOTH levels by fold idempotency (the replayed v0 create
+      // snapshot folds zero rows and commits nothing, so level 2
+      // sees no spurious changelog). Witness per micro-batch: both
+      // levels compared bit-for-bit against recomputes at the
+      // batch's source version, ANDed across batches.
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      val src = java.nio.file.Files.createTempDirectory("graft_vcs_src")
+      val v1 = java.nio.file.Files.createTempDirectory("graft_vcs_v1")
+      val v2 = java.nio.file.Files.createTempDirectory("graft_vcs_v2")
+      Seq(src, v1, v2).foreach(_.toFile.deleteOnExit())
+      CommitLog.setTableProperty(src.toString, "enableChangeDataFeed", "true")
+      CommitLog.append(s, src.toString, ev.filter(col("event_id") % 2 === 0), nFiles = 2)
+      graft.sources.IncrementalViewMulti.create(s, v1.toString, src.toString,
+        "user_id", Seq("value"))
+      CommitLog.setTableProperty(v1.toString, "enableChangeDataFeed", "true")
+      IncrementalView.create(s, v2.toString, v1.toString, "nv_value", "total_value")
+      CommitLog.append(s, src.toString, ev.filter(col("event_id") % 2 =!= 0), nFiles = 2)
+      CommitLog.delete(s, src.toString, col("user_id") % 5 === 0)
+      val ck = java.nio.file.Files.createTempDirectory("graft_vcs_ck").toString
+      val c1 = new java.util.concurrent.atomic.AtomicLong(0L)
+      val c2 = new java.util.concurrent.atomic.AtomicLong(0L)
+      val allExact = new java.util.concurrent.atomic.AtomicBoolean(true)
+      val q = s.readStream.format("graft.sources.TableStreamProvider")
+        .option("path", src.toString)
+        .option("readChangeFeed", "true")
+        .load()
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch.localCheckpoint()
+          c1.addAndGet(graft.sources.IncrementalViewMulti
+            .foldDeltas(s, v1.toString, src.toString, b)._2)
+          // level 2 folds level 1's own new changelog — per trigger
+          c2.addAndGet(IncrementalView.refresh(s, v2.toString)._2)
+          val verRow = b.agg(max(col("_commit_version"))).collect()(0)
+          if (!verRow.isNullAt(0)) {
+            val at = CommitLog.read(s, src.toString, verRow.getLong(0))
+            val want1 = at.filter(col("user_id").isNotNull)
+              .groupBy(col("user_id"))
+              .agg(count(lit(1)).as("n"), count(col("value")).as("nv_value"),
+                sum(col("value").cast("decimal(18,4)"))
+                  .cast("decimal(18,4)").as("total_value"),
+                min(col("value")).as("mn_value"), max(col("value")).as("mx_value"))
+            val got1 = CommitLog.read(s, v1.toString,
+              CommitLog.latestVersion(v1.toString).get)
+            val want2 = got1.groupBy(col("nv_value"))
+              .agg(count(lit(1)).as("n"),
+                sum(col("total_value").cast("decimal(18,4)"))
+                  .cast("decimal(18,4)").as("total"))
+            val got2 = CommitLog.read(s, v2.toString,
+              CommitLog.latestVersion(v2.toString).get)
+            if (got1.exceptAll(want1).count() != 0 ||
+              want1.exceptAll(got1).count() != 0 ||
+              got2.exceptAll(want2).count() != 0 ||
+              want2.exceptAll(got2).count() != 0) allExact.set(false)
+          }
+          ()
+        }
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val view2 = CommitLog.read(s, v2.toString,
+        CommitLog.latestVersion(v2.toString).get)
+      ordered(view2
+        .agg(count(lit(1)).as("n_buckets"), sum(col("n")).as("n_users"),
+          sum(col("total")).cast("double").as("sum_total"))
+        .select(lit(c1.get()).as("rows_folded_v1"),
+          lit(c2.get()).as("rows_folded_v2"),
+          lit(if (allExact.get()) 1L else 0L).as("all_batches_exact"),
+          col("n_buckets"), col("n_users"), col("sum_total")))
+    },
     "s_table_view_stream_dimupd" -> { (s, dir) =>
       // CONTINUOUS maintenance SURVIVING A DIM ADVANCE (r13, VERDICT
       // item 2): the JOIN view's foreachBatch loop no longer needs a
@@ -3342,6 +3422,35 @@ object TableFormat {
         |  CAST(CAST((SELECT SUM(total) FROM g) AS STRING) AS DOUBLE) AS sum_value""".stripMargin +
         orderByAll("rows_folded", "dim_propagated",
           "all_batches_exact", "n_keys", "n_rows", "sum_value")),
+    // depth-2 chain, continuous: v1 folds the fact CDF (odd appends +
+    // the %5 delete; the replayed v0 create snapshot folds nothing),
+    // v2 folds v1's OWN merge changelog — per trigger that is
+    // pre+post per updated user, insert per new user, delete per
+    // vanished user, all derivable from pure predicates
+    "s_table_view_chain_stream" ->
+      ("""WITH f AS (SELECT user_id, value FROM events WHERE user_id % 5 <> 0),
+        |g AS (SELECT user_id, COUNT(value) AS nv,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total
+        |  FROM f GROUP BY 1),
+        |h AS (SELECT nv, COUNT(*) AS n,
+        |    SUM(CAST(total AS DECIMAL(18,4))) AS total2 FROM g GROUP BY 1),
+        |eu AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 0),
+        |ou AS (SELECT DISTINCT user_id FROM events WHERE event_id % 2 = 1)
+        |SELECT CAST(
+        |    (SELECT COUNT(*) FROM events WHERE event_id % 2 = 1) +
+        |    (SELECT COUNT(*) FROM events WHERE user_id % 5 = 0)
+        |  AS BIGINT) AS rows_folded_v1,
+        |  CAST(
+        |    2 * (SELECT COUNT(*) FROM ou WHERE user_id IN (SELECT user_id FROM eu)) +
+        |    (SELECT COUNT(*) FROM ou WHERE user_id NOT IN (SELECT user_id FROM eu)) +
+        |    (SELECT COUNT(DISTINCT user_id) FROM events WHERE user_id % 5 = 0)
+        |  AS BIGINT) AS rows_folded_v2,
+        |  CAST(1 AS BIGINT) AS all_batches_exact,
+        |  (SELECT COUNT(*) FROM h) AS n_buckets,
+        |  CAST((SELECT SUM(n) FROM h) AS BIGINT) AS n_users,
+        |  CAST(CAST((SELECT SUM(total2) FROM h) AS STRING) AS DOUBLE) AS sum_total""".stripMargin +
+        orderByAll("rows_folded_v1", "rows_folded_v2",
+          "all_batches_exact", "n_buckets", "n_users", "sum_total")),
     "q_table_incr_view" ->
       ("""WITH f AS (
         |  SELECT event_type,
