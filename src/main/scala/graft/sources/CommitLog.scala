@@ -2438,7 +2438,13 @@ object CommitLog {
     val baseFiles = files.map(p => relativize(root, p)).toSet
     val (v, addedN) = commitRewriteRebasing(s, root, prev, baseFiles,
       "delete", carried, rewritten, rewriteAux, rewritten,
-      cdf.map(renderCdf).toSeq ++ extraMeta, maxAttempts, beforeCommit)
+      cdf.map(renderCdf).toSeq ++ extraMeta, maxAttempts, beforeCommit,
+      // value×value narrow rebase (r14): a delete is safe past an
+      // update/merge winner iff none of the winner's new rows match
+      // the delete predicate (a serial winner-then-delete would have
+      // dropped them)
+      loserTouches = Some((hv, fs) =>
+        readSubset(s, root, hv, fs).filter(cond).limit(1).count()))
     (v, clean.size.toLong + addedN, rewritten.size.toLong)
   }
 
@@ -2495,7 +2501,13 @@ object CommitLog {
       // derived FROM; a winner that moved the mark makes the staged
       // block stale (possible overlap), so the rebase refuses there
       newIdHwm: Option[Long] = None,
-      idHwmBase: Option[Long] = None): (Long, Long) = {
+      idHwmBase: Option[Long] = None,
+      // VALUE-CHANGING × VALUE-CHANGING narrow rebase (r14, VERDICT
+      // item 4): counts the rows THIS op would touch among the given
+      // ABSOLUTE file paths (read under the given head version's
+      // schema — a widen winner may sit between) — the winner's
+      // newly-added files. None keeps the r13 refusal for this op.
+      loserTouches: Option[(Long, Seq[String]) => Long] = None): (Long, Long) = {
     val myRemoved = baseFiles -- carried.toSet
     val dvPrev = carriedAux(root, Some(prev)).dvs
     // NARROW value-changing-winner case (r13, VERDICT item 7): when
@@ -2508,12 +2520,26 @@ object CommitLog {
     // byte-preserving restaging of those rows is still the winner's
     // row state; (3) DV stability rules out the winner having masked
     // rows in my dirty set instead. Both serial orders agree: the
-    // winner never touched my rows, I never changed any values. Two
-    // VALUE-CHANGING rewrites still refuse — there condition (2)
-    // cannot distinguish "didn't match" from "matched rows I am about
-    // to re-stage from a stale read".
+    // winner never touched my rows, I never changed any values.
+    //
+    // Two VALUE-CHANGING rewrites (r14, VERDICT item 4, narrowing
+    // the refusal a third time): with `loserTouches` in hand the
+    // same conditions extend. (2)+(3) still prove the winner touched
+    // nothing in MY dirty files, and my base-read restaging of those
+    // rows is the head's row state. The one REMAINING hazard is the
+    // winner's NEW row states matching my predicate/keys — rows a
+    // serial winner-then-me execution would have touched but my
+    // stale base read never saw. The winner's touched rows live
+    // exactly in its ADDED files (its removed files were base files
+    // DISJOINT from my dirty set, hence contained no row my op
+    // touches — that is what dirty MEANS), so ONE bounded probe over
+    // the update/merge winners' added files decides: zero touched
+    // rows ⇒ my staged result + the head's files equals the serial
+    // winner-then-loser execution, commit; any hit ⇒ refuse as
+    // before. The probe is limit(1)-bounded and scans only the
+    // winners' added files, never the table.
     val winnerOps =
-      if (op == "compact" || op == "optimize")
+      if (op == "compact" || op == "optimize" || loserTouches.isDefined)
         rebaseableWinnerOps ++ Set("update", "merge")
       else rebaseableWinnerOps
     var attempt = 0
@@ -2546,6 +2572,29 @@ object CommitLog {
           s"$op under $root rewrote a file whose deletion vectors a " +
             "concurrent commit changed — the staged rewrite would " +
             "resurrect its dead rows; retry against the new head")
+      // value×value probe (r14): the rows any update/merge WINNER
+      // introduced must be invisible to MY op — walk the winner
+      // versions' manifest diffs (metadata only) and probe their
+      // added files with the loser's own touch predicate
+      if (head != prev && loserTouches.isDefined) {
+        var before = baseFiles
+        val valueWinnerAdded = ((prev + 1) to head).flatMap { v =>
+          val (vOp, listing) = readManifest(root, v)
+          val added =
+            if (vOp == "update" || vOp == "merge")
+              listing.filterNot(before)
+            else Nil
+          before = listing.toSet
+          added
+        }.distinct
+        if (valueWinnerAdded.nonEmpty && loserTouches.get(head,
+          valueWinnerAdded.map(f => new java.io.File(root, f).toString)) > 0L)
+          throw new java.util.ConcurrentModificationException(
+            s"$op under $root raced a concurrent update/merge whose " +
+              "rewritten rows this op's predicate/keys match — the " +
+              "serial orders diverge and the staged result is stale; " +
+              s"retry the $op against the new head")
+      }
       if (newIdHwm.isDefined && head != prev &&
         longMetaOf(root, head, IdHwmField) != idHwmBase)
         throw new java.util.ConcurrentModificationException(
@@ -2902,7 +2951,14 @@ object CommitLog {
       "merge", carried, rewritten ++ inserted,
       rewriteAux.merged(insertAux), rewritten ++ inserted,
       cdf.map(renderCdf).toSeq ++ extraMeta, maxAttempts, beforeCommit,
-      newIdHwm = idHwm, idHwmBase = idBase)
+      newIdHwm = idHwm, idHwmBase = idBase,
+      // value×value narrow rebase (r14): a merge is safe past an
+      // update/merge winner iff none of the winner's new rows carry
+      // MY merge keys (a serial winner-then-merge would have matched
+      // and rewritten them)
+      loserTouches = Some((hv, fs) =>
+        readSubset(s, root, hv, fs).select(kc: _*)
+          .join(keys, keyCols, "left_semi").limit(1).count()))
     (v, clean.size.toLong + addedN, rewritten.size.toLong)
   }
 
@@ -3067,7 +3123,12 @@ object CommitLog {
     val baseFiles = files.map(p => relativize(root, p)).toSet
     val (v, addedN) = commitRewriteRebasing(s, root, prev, baseFiles,
       "update", carried, rewritten, rewriteAux, rewritten,
-      cdf.map(renderCdf).toSeq, maxAttempts, beforeCommit)
+      cdf.map(renderCdf).toSeq, maxAttempts, beforeCommit,
+      // value×value narrow rebase (r14): an update/merge winner is
+      // safe iff none of ITS new rows match MY predicate — one
+      // limit(1)-bounded probe over the winner's added files
+      loserTouches = Some((hv, fs) =>
+        readSubset(s, root, hv, fs).filter(cond).limit(1).count()))
     (v, clean.size.toLong + addedN, rewritten.size.toLong)
   }
 

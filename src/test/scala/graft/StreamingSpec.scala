@@ -1982,22 +1982,32 @@ class StreamingSpec extends SparkSpec {
       .filter(!(col("event_type").isin("click", "view") && col("user_id") % 2 === 0))
     assert(got3.exceptAll(want3).count() === 0 && want3.exceptAll(got3).count() === 0,
       "disjoint delete-vs-delete rebase diverged")
-    // (4) value-changing winners still refuse by name: an UPDATE
-    // cannot be rebased past even when file-disjoint — its rewritten
-    // rows may newly match the loser's predicate
+    // (4) value-changing winners: since r14 the loser PROBES the
+    // winner's added files — here the update's rewritten 'view' rows
+    // never match the delete's 'click' predicate, so the pair
+    // commits and equals serial execution (the r12 blanket refusal
+    // was an over-refusal; a winner whose new rows DO match still
+    // refuses — pinned by the r14 value×value test)
     val r4 = freshTable()
     var inj4 = false
-    val ex4 = intercept[java.util.ConcurrentModificationException] {
-      CommitLog.delete(spark, r4,
-        col("event_type") === "click" && col("user_id") % 2 === 0,
-        beforeCommit = () => if (!inj4) {
-          inj4 = true
-          CommitLog.update(spark, r4,
-            col("event_type") === "view" && col("user_id") % 5 === 0,
-            Seq("value" -> lit(-1.0))); ()
-        })
-    }
-    assert(ex4.getMessage.contains("cannot be rebased"), ex4.getMessage)
+    val want4 = CommitLog.read(spark, r4, 0L)
+      .withColumn("value",
+        when(col("event_type") === "view" && col("user_id") % 5 === 0,
+          lit(-1.0)).otherwise(col("value")))
+      .filter(!(col("event_type") === "click" && col("user_id") % 2 === 0))
+      .localCheckpoint()
+    val (v4, _, _) = CommitLog.delete(spark, r4,
+      col("event_type") === "click" && col("user_id") % 2 === 0,
+      beforeCommit = () => if (!inj4) {
+        inj4 = true
+        CommitLog.update(spark, r4,
+          col("event_type") === "view" && col("user_id") % 5 === 0,
+          Seq("value" -> lit(-1.0))); ()
+      })
+    val got4 = CommitLog.read(spark, r4, v4)
+    assert(got4.exceptAll(want4).count() === 0 &&
+      want4.exceptAll(got4).count() === 0,
+      "delete rebased past a non-touching update diverged from serial execution")
     // (5) a winner that attached a DELETION VECTOR to a file the loser
     // is rewriting refuses (the staged rewrite would resurrect the
     // winner's dead rows)
@@ -2720,6 +2730,91 @@ class StreamingSpec extends SparkSpec {
     assert(got3.filter(col("value") === -42.0).count() === 20,
       "merge winner's rows lost through the compaction rebase")
     assert(got3.count() === evAll.count())
+  }
+
+  test("commit log: value-changing × value-changing rebase — disjoint keys/files both commit, a touching pair refuses (r14)") {
+    import graft.sources.{CommitLog, Tables}
+    def fresh(): String = {
+      val root = java.nio.file.Files.createTempDirectory("graft_vv_reb").toString
+      val ev = Tables(spark, sf, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .limit(1000)
+      CommitLog.appendPartitioned(spark, root,
+        ev.filter(col("event_id") % 2 === 0), "event_type", filesPerPartition = 2)
+      CommitLog.appendPartitioned(spark, root,
+        ev.filter(col("event_id") % 2 === 1), "event_type", filesPerPartition = 2)
+      root
+    }
+    // an UPDATE on 'purchase' rows loses the race to a MERGE on
+    // 'click' keys — file-disjoint (partition-aligned staging) AND
+    // key-disjoint: the winner's new rows never match the update's
+    // predicate, so the r14 probe proves non-interference and BOTH
+    // commit; the state equals serial execution in either order
+    val root = fresh()
+    val base = CommitLog.read(spark, root,
+      CommitLog.latestVersion(root).get).localCheckpoint()
+    val clickUps = base.filter(col("event_type") === "click").limit(20)
+      .withColumn("value", lit(-42.0)).localCheckpoint()
+    var injected = false
+    val (vu, _, _) = CommitLog.update(spark, root,
+      col("event_type") === "purchase",
+      Seq("value" -> (col("value") + lit(5000.0))),
+      beforeCommit = () => if (!injected) {
+        injected = true
+        CommitLog.mergeKeyed(spark, root, clickUps, Seq("event_id"),
+          nInsertFiles = 1); ()
+      })
+    val got = CommitLog.read(spark, root, vu)
+    val clickKeys = clickUps.select(col("event_id"))
+    val want = base.join(clickKeys, Seq("event_id"), "left_anti")
+      .withColumn("value",
+        when(col("event_type") === "purchase", col("value") + lit(5000.0))
+          .otherwise(col("value")))
+      .unionByName(clickUps)
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+      "rebased update diverges from serial execution")
+    // the MERGE loser direction: merge on 'error' keys loses to an
+    // UPDATE winner on 'purchase' rows — disjoint, both commit
+    val root2 = fresh()
+    val base2 = CommitLog.read(spark, root2,
+      CommitLog.latestVersion(root2).get).localCheckpoint()
+    val errUps = base2.filter(col("event_type") === "error").limit(15)
+      .withColumn("value", lit(-77.0)).localCheckpoint()
+    var injected2 = false
+    val (vm, _, _) = CommitLog.mergeKeyed(spark, root2, errUps,
+      Seq("event_id"), nInsertFiles = 1,
+      beforeCommit = () => if (!injected2) {
+        injected2 = true
+        CommitLog.update(spark, root2, col("event_type") === "purchase",
+          Seq("value" -> (col("value") + lit(9000.0)))); ()
+      })
+    val got2 = CommitLog.read(spark, root2, vm)
+    assert(got2.filter(col("value") === -77.0).count() === 15,
+      "merge loser's rows lost through the value×value rebase")
+    assert(got2.filter(col("event_type") === "purchase" &&
+      col("value") >= 9000.0).count() ===
+      base2.filter(col("event_type") === "purchase").count(),
+      "update winner's rows lost through the merge rebase")
+    // a TOUCHING pair still refuses: the loser's predicate matches
+    // rows the winner just wrote (zero base rows match, so the file
+    // conditions alone would wave it through — only the r14 probe
+    // over the winner's added files catches it)
+    val root3 = fresh()
+    val upd3 = CommitLog.read(spark, root3,
+      CommitLog.latestVersion(root3).get)
+      .filter(col("event_type") === "click").limit(10)
+      .withColumn("value", lit(-42.0)).localCheckpoint()
+    var injected3 = false
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      CommitLog.update(spark, root3, col("value") === -42.0,
+        Seq("value" -> lit(0.0)),
+        beforeCommit = () => if (!injected3) {
+          injected3 = true
+          CommitLog.mergeKeyed(spark, root3, upd3, Seq("event_id"),
+            nInsertFiles = 1); ()
+        })
+    }
+    assert(ex.getMessage.contains("rewritten rows"), ex.getMessage)
   }
 
   test("commit log: partition spec evolution — gated by repartitionLayout, per-generation pruning (r13)") {
