@@ -386,6 +386,21 @@ object CommitLog {
     Option(node.get(field)).map(_.asLong())
   }
 
+  /** A writer-defined JSON-object manifest field of string → long
+    * (r14 — e.g. the vector index's per-cell live-posting counts,
+    * which ride the index's commits so health checks read the
+    * manifest instead of scanning postings). None when the version's
+    * writer never recorded it. */
+  def mapMetaOf(root: String, version: Long, field: String): Option[Map[String, Long]] = {
+    val node = mapper.readTree(
+      java.nio.file.Files.readString(manifest(root, version).toPath))
+    Option(node.get(field)).map { p =>
+      val it = p.fields(); val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
+      b.result()
+    }
+  }
+
   /** The CDF (change-data-feed) file list `version`'s manifest records
     * — relative paths under cdf/, present only on delete/merge
     * commits made by CDF-aware writers. */
@@ -1521,7 +1536,8 @@ object CommitLog {
     * delete-tagged, new rows insert-tagged — cost ∝ table, the
     * public CDF-on-overwrite trade). */
   def overwrite(s: SparkSession, root: String, df0: DataFrame,
-      nFiles: Int, partCol: Option[String] = None): Long = {
+      nFiles: Int, partCol: Option[String] = None,
+      extraMeta: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.lit
     // identity allocation CONTINUES across an overwrite (replaced
     // rows' ids are never reused — the public engines' contract),
@@ -1549,7 +1565,7 @@ object CommitLog {
       staged)
     commit(root, staged, Some(prev), op = "overwrite",
       schemaJson = carriedSchemaJson(root, Some(prev)),
-      extra = auxExtra(fullAux) ++ cdf.map(renderCdf).toSeq,
+      extra = auxExtra(fullAux) ++ cdf.map(renderCdf).toSeq ++ extraMeta,
       newIdHwm = idHwm)
   }
 

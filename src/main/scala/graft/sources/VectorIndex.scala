@@ -52,6 +52,52 @@ object VectorIndex {
   private val SrcProp = "graft.index.sourceRoot"
   private val VerProp = "graft.index.sourceVersion"
   private val VerField = "indexSrc"
+  private val CellsField = "cellCounts"
+
+  /** Per-cell LIVE posting counts rendered as a manifest fragment
+    * (r14, VERDICT item 7): every index write path records them —
+    * create/rebuild from the frame being staged, refresh by FOLDING
+    * the batch's deltas (+1 per inserted vector's cell, −1 per
+    * delete pre-image's cell, both from assignFrozen of the batch —
+    * the CDF's insert/delete alternation per vec_id makes the fold
+    * exact), purge carries the live counts it already computed — so
+    * the armed rebuildThreshold check reads the MANIFEST instead of
+    * scanning postings (the r13 gate ran a corpus-wide detail() per
+    * armed refresh). */
+  private def renderCells(m: Map[Long, Long]): String =
+    s""","$CellsField":{""" +
+      m.toSeq.sortBy(_._1).map { case (c, n) => s""""$c":$n""" }
+        .mkString(",") + "}"
+
+  /** The manifest-carried live cell counts at the assigned head —
+    * walks past any counts-less commit (every index write path
+    * records them; only a pre-r14 index or a foreign writer skips).
+    * None = fall back to one self-healing postings scan. */
+  private def cellCountsOf(aRoot: String): Option[Map[Long, Long]] = {
+    val head = CommitLog.latestVersion(aRoot).getOrElse(return None)
+    (head to 0L by -1).iterator
+      .takeWhile(v => CommitLog.manifestExists(aRoot, v))
+      .flatMap(v => CommitLog.mapMetaOf(aRoot, v, CellsField).iterator)
+      .nextOption()
+      .map(_.map { case (k, v) => k.toLong -> v })
+  }
+
+  /** cell → row count of `df` — a k-sized collect (k cells ≈ √n at
+    * the training recipe's sizing), bounded metadata, never rows. */
+  private def countsOf(df: DataFrame): Map[Long, Long] =
+    df.groupBy(col("cell")).agg(count(lit(1)).as("_n"))
+      .collect().map(r =>
+        r.getAs[Number]("cell").longValue() -> r.getLong(1)).toMap
+
+  /** Cell balance (max/mean over live cells) straight from the
+    * manifest counts — the rebuild gate's read path; None on a
+    * pre-r14 index without recorded counts. */
+  private[graft] def manifestCellBalance(aRoot: String): Option[Double] =
+    cellCountsOf(aRoot).map { m =>
+      val live = m.values.filter(_ > 0L)
+      if (live.isEmpty) 0.0
+      else live.max.toDouble / (live.sum.toDouble / live.size)
+    }
 
   def assignedRoot(indexRoot: String): String =
     new java.io.File(indexRoot, "assigned").toString
@@ -96,10 +142,11 @@ object VectorIndex {
       srcVersion: Long, assigned: DataFrame, cents: DataFrame): Long = {
     CommitLog.append(s, centroidsRoot(indexRoot), cents, nFiles = 1)
     val aRoot = assignedRoot(indexRoot)
-    val v = CommitLog.appendPartitioned(s, aRoot,
-      assigned.withColumn("gen", lit(srcVersion)), "cell",
+    val staged = assigned.withColumn("gen", lit(srcVersion)).localCheckpoint()
+    val v = CommitLog.appendPartitioned(s, aRoot, staged, "cell",
       filesPerPartition = 1,
-      extraMeta = Seq(s""","$VerField":$srcVersion"""))
+      extraMeta = Seq(s""","$VerField":$srcVersion""",
+        renderCells(countsOf(staged))))
     CommitLog.setTableProperty(aRoot, SrcProp, srcRoot)
     CommitLog.setTableProperty(aRoot, VerProp, srcVersion.toString)
     // one commit per refresh — checkpoint the history every 10th so
@@ -183,12 +230,30 @@ object VectorIndex {
     val fresh = assignFrozen(
       changes.filter(pos).select(col("vec_id"), col("label"), col("v"),
         col("_commit_version").as("gen")),
-      cents, carry = Seq("gen"))
+      cents, carry = Seq("gen")).localCheckpoint()
+    // fold the per-cell live counts (r14): a delete pre-image's cell
+    // comes from assignFrozen of ITS vector against the SAME codebook
+    // that placed the posting (rebuilds reassign everything, so the
+    // current codebook is always the placing one) — no postings
+    // scan; a pre-r14 index self-heals with one scan here and reads
+    // the manifest from the next commit on
+    val prevCounts = cellCountsOf(aRoot)
+      .getOrElse(countsOf(postings(s, indexRoot)))
+    val insCells = countsOf(fresh)
+    val delCells =
+      if (nDel == 0L) Map.empty[Long, Long]
+      else countsOf(assignFrozen(
+        changes.filter(!pos).select(col("vec_id"), col("label"), col("v")),
+        cents))
+    val newCounts = (prevCounts.keySet ++ insCells.keySet ++ delCells.keySet)
+      .map(c => c -> (prevCounts.getOrElse(c, 0L) +
+        insCells.getOrElse(c, 0L) - delCells.getOrElse(c, 0L)))
+      .filter(_._2 != 0L).toMap
     // an all-delete batch appends zero posting files — the commit
     // still publishes, carrying the watermark atomically
     val v = CommitLog.appendPartitioned(s, aRoot, fresh, "cell",
       filesPerPartition = 1,
-      extraMeta = Seq(s""","$VerField":$maxVer"""))
+      extraMeta = Seq(s""","$VerField":$maxVer""", renderCells(newCounts)))
     // best-effort backstop for vacuumed fold manifests, like the views
     CommitLog.setTableProperty(aRoot, VerProp, maxVer.toString)
     // AUTO-PURGE policy (r12, VERDICT item 3): without it, standing
@@ -228,8 +293,14 @@ object VectorIndex {
     CommitLog.tableProperty(aRoot, "rebuildThreshold")
       .flatMap(p => scala.util.Try(p.trim.toDouble).toOption)
       .filter(_ > 0.0).foreach { thr =>
-        val bal = detail(s, indexRoot)
-          .select(col("cell_balance")).collect()(0).getDouble(0)
+        // the balance reads the MANIFEST-carried cell counts (r14,
+        // VERDICT item 7) — this fold just recorded them (and any
+        // inline purge re-recorded the live set), so the armed gate
+        // costs one manifest parse, not a corpus-wide aggregation;
+        // the detail() scan remains only as the pre-r14 fallback
+        val bal = manifestCellBalance(aRoot).getOrElse(
+          detail(s, indexRoot)
+            .select(col("cell_balance")).collect()(0).getDouble(0))
         if (bal > thr) { rebuild(s, indexRoot); () }
       }
     (v, nIns, nDel)
@@ -254,8 +325,9 @@ object VectorIndex {
     val (asg, cents) = graft.operators.Similarity.ivfTrain(live)
     val wm = lastIndexed(aRoot)
     CommitLog.overwrite(s, centroidsRoot(indexRoot), cents, nFiles = 1)
-    CommitLog.overwrite(s, aRoot,
-      asg.withColumn("gen", lit(wm)), nFiles = 1, partCol = Some("cell"))
+    val staged = asg.withColumn("gen", lit(wm)).localCheckpoint()
+    CommitLog.overwrite(s, aRoot, staged, nFiles = 1, partCol = Some("cell"),
+      extraMeta = Seq(renderCells(countsOf(staged))))
     val tRoot = tombstonesRoot(indexRoot)
     CommitLog.latestVersion(tRoot)
       .filter(tv => CommitLog.snapshotFiles(tRoot, tv).nonEmpty)
@@ -300,8 +372,12 @@ object VectorIndex {
       .crossJoin(t.agg(count(lit(1)).as("nt")))
       .collect()(0)
     val (purged, nTomb) = (cnt.getLong(0), cnt.getLong(1))
-    CommitLog.overwrite(s, aRoot, flagged.filter(!col("_dead")).drop("_dead"),
-      nFiles = 1, partCol = Some("cell"))
+    val live = flagged.filter(!col("_dead")).drop("_dead")
+    // purge never changes LIVE counts — re-record them from the live
+    // frame in hand (exact even for a pre-r14 index joining mid-life)
+    CommitLog.overwrite(s, aRoot, live,
+      nFiles = 1, partCol = Some("cell"),
+      extraMeta = Seq(renderCells(countsOf(live))))
     CommitLog.delete(s, tRoot, lit(true))
     (purged, nTomb)
   }

@@ -254,7 +254,17 @@ class SimilaritySpec extends SparkSpec {
       assert(live.exceptAll(full).count() === 0 &&
         full.exceptAll(live).count() === 0,
         s"$tag: maintained index diverges from full reassignment")
+      // manifest-carried cell counts (r14, VERDICT item 7): the
+      // rebuild gate's balance comes from the MANIFEST and must
+      // equal the postings-scan truth through the whole lifecycle
+      val m = VectorIndex.manifestCellBalance(aRoot)
+      val d = VectorIndex.detail(spark, idx)
+        .select(col("cell_balance")).collect()(0).getDouble(0)
+      assert(m.isDefined, s"$tag: no manifest cell counts recorded")
+      assert(math.abs(m.get - d) < 1e-9,
+        s"$tag: manifest balance ${m.get} != scan balance $d")
     }
+    liveEqualsRebuild("after create")
     // no new source commits → publishes nothing, folds nothing
     val head0 = CommitLog.latestVersion(aRoot).get
     val (v0, n0, _) = VectorIndex.refresh(spark, idx)
