@@ -234,6 +234,72 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         .contains("graft.sources.GraftCatalog"))
   }
 
+  // CREATE TABLE with ANSI/Delta COLUMN-DEFINITION clauses for the
+  // computed-column trio (r14, VERDICT item 8):
+  //   id  BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1000 INCREMENT BY 2)
+  //   day BIGINT GENERATED ALWAYS AS (event_id % 7)
+  //   src STRING DEFAULT 'x'
+  // — one statement, parsed down to the EXISTING TBLPROPERTIES
+  // encoding (identity.<col>/generated.<col>/default.<col>); no
+  // behavior change underneath, the write-path kernels are the
+  // authority. Intercepted ONLY when a graft-catalog target carries
+  // at least one trio clause; every other CREATE TABLE delegates to
+  // Spark's parser and the V2 catalog verbatim.
+  private val createColsRe =
+    ("""(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s*\((.+?)\)""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(\s*(\w+)\s*\))?""" +
+      """(?:\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\))?\s*;?\s*""").r
+  private val typeRe = """\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?"""
+  private val colIdentityRe =
+    ("""(?is)\s*(\w+)\s+(""" + typeRe + """)\s+GENERATED\s+ALWAYS\s+AS\s+""" +
+      """IDENTITY(?:\s*\(\s*START\s+WITH\s+(-?\d+)\s+INCREMENT\s+BY\s+(-?\d+)\s*\))?\s*""").r
+  private val colGeneratedRe =
+    ("""(?is)\s*(\w+)\s+(""" + typeRe + """)\s+GENERATED\s+ALWAYS\s+AS\s*\((.+)\)\s*""").r
+  private val colDefaultRe =
+    ("""(?is)\s*(\w+)\s+(""" + typeRe + """)\s+DEFAULT\s+(.+?)\s*""").r
+  private val tblPropRe = """'([^']+)'\s*=\s*'([^']*)'""".r
+
+  /** Split a column-definition (or property) blob on TOP-LEVEL commas
+    * — commas inside parens (DECIMAL(18,4), generation expressions)
+    * and single-quoted strings never split. */
+  private def splitTopLevel(blob: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val sb = new StringBuilder
+    var depth = 0; var quoted = false
+    blob.foreach {
+      case '\'' => quoted = !quoted; sb += '\''
+      case '(' if !quoted => depth += 1; sb += '('
+      case ')' if !quoted => depth -= 1; sb += ')'
+      case ',' if !quoted && depth == 0 => out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    if (sb.nonEmpty) out += sb.toString
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** (cleaned "name type" DDL fragments, derived trio properties) —
+    * or None when no definition carries a trio clause (the statement
+    * then delegates untouched). */
+  private def parseTrioColumns(colsBlob: String)
+      : Option[(Seq[String], Seq[(String, String)])] = {
+    val defs = splitTopLevel(colsBlob)
+    var any = false
+    val parsed = defs.map {
+      case colIdentityRe(name, tpe, start, step) =>
+        any = true
+        (s"$name $tpe", Seq(s"identity.$name" ->
+          s"${Option(start).getOrElse("1")},${Option(step).getOrElse("1")}"))
+      case colGeneratedRe(name, tpe, exprSql) =>
+        any = true
+        (s"$name $tpe", Seq(s"generated.$name" -> exprSql.trim))
+      case colDefaultRe(name, tpe, dflt) =>
+        any = true
+        (s"$name $tpe", Seq(s"default.$name" -> dflt.trim))
+      case plain => (plain, Nil)
+    }
+    if (any) Some((parsed.map(_._1), parsed.flatMap(_._2))) else None
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     // every graft statement gates on the identifier actually naming a
     // registered graft catalog — an unmatched RESTORE/VACUUM/OPTIMIZE
@@ -314,6 +380,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         srcT.split('.').toSeq, key, value)
     case refreshMvRe(view) if isGraftCatalog(view) =>
       RefreshMaterializedViewCommand(view.split('.').toSeq)
+    case createColsRe(ident, colsBlob, partCol, propsBlob)
+        if isGraftCatalog(ident) && parseTrioColumns(colsBlob).isDefined =>
+      val (cleaned, trio) = parseTrioColumns(colsBlob).get
+      val extra = Option(propsBlob).toSeq.flatMap(splitTopLevel).map {
+        case tblPropRe(k, v) => k -> v
+        case other => throw new IllegalArgumentException(
+          s"TBLPROPERTIES entries are 'k' = 'v' pairs, got '$other'")
+      }
+      CreateGraftTableCommand(ident.split('.').toSeq,
+        cleaned.mkString(", "), Option(partCol), trio ++ extra)
     case insertColsRe(ident, colsBlob, query)
         if isGraftCatalog(ident) && insertOmitsGenerated(ident, colsBlob) =>
       InsertIntoGraftGeneratedCommand(ident.split('.').toSeq,
@@ -713,6 +789,35 @@ case class CreateMaterializedViewJoinCommand(view: Seq[String],
   * SUPPLIES the generated column delegates to the normal DSv2 path,
   * where an explicit NULL or divergent value fails validation by
   * name. Returns the committed head version. */
+/** CREATE TABLE with ANSI/Delta column-definition clauses for the
+  * computed-column trio (r14, VERDICT item 8) — `id BIGINT GENERATED
+  * ALWAYS AS IDENTITY (START WITH s INCREMENT BY k)`, `day T
+  * GENERATED ALWAYS AS (expr)`, `src T DEFAULT lit` — parsed down to
+  * the EXISTING TBLPROPERTIES encoding (identity./generated./
+  * default.<col>) plus the statement's own TBLPROPERTIES; the
+  * write-path fill/validate/allocate kernels are untouched. The
+  * declared columns stay IN the schema (writes compute them). One
+  * empty v0 manifest publishes the schema, exactly the V2 catalog's
+  * createTable contract. */
+case class CreateGraftTableCommand(parts: Seq[String], schemaDdl: String,
+    partCol: Option[String], props: Seq[(String, String)])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(GraftSqlCommands.attr("head_version"))
+  override def run(s: SparkSession): Seq[Row] = {
+    val root = GraftSqlCommands.rootOf(s, parts)
+    require(CommitLog.latestVersion(root).isEmpty,
+      s"table ${parts.mkString(".")} already exists")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
+    partCol.foreach(c => require(schema.fieldNames.contains(c),
+      s"partition column '$c' is not in the table schema"))
+    val v = CommitLog.commit(root, Nil, expected = None,
+      schemaJson = Some(schema.json))
+    partCol.foreach(c => CommitLog.setTableProperty(root, "partitionColumn", c))
+    props.foreach { case (k, pv) => CommitLog.setTableProperty(root, k, pv) }
+    Seq(Row(v))
+  }
+}
+
 case class InsertIntoGraftGeneratedCommand(parts: Seq[String],
     cols: Seq[String], query: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(GraftSqlCommands.attr("head_version"))

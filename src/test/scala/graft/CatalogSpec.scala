@@ -594,14 +594,16 @@ class CatalogSpec extends SparkSpec {
       col("avg_value") =!=
         col("total_value").cast("double") / col("nv_value"))
     assert(bad.isEmpty, "avg_value diverges from total/nv")
-    // a genuinely unsupported aggregate (STDDEV) still FAILS the
-    // statement — silently creating the view without the requested
-    // column would be worse than refusing
+    // a genuinely unsupported aggregate (MEDIAN — not distributive,
+    // not derivable from maintained state) still FAILS the statement
+    // — silently creating the view without the requested column
+    // would be worse than refusing. (STDDEV maintains since r14 —
+    // see the sample-forms test.)
     val ex = intercept[Exception] {
       spark.sql(
         s"""CREATE MATERIALIZED VIEW $cat.v2 AS
           |SELECT user_id, COUNT(*) AS n,
-          |  SUM(value) AS total_value, STDDEV(value) AS sd_value
+          |  SUM(value) AS total_value, MEDIAN(value) AS med_value
           |FROM $cat.t GROUP BY user_id""".stripMargin)
     }
     assert(ex.getMessage.contains("unsupported aggregates"), ex.getMessage)
@@ -1056,6 +1058,51 @@ class CatalogSpec extends SparkSpec {
     assert(ids.length === ids.distinct.length,
       "id reuse after compaction — the mark was not carried")
     assert(ids.max === n0 + 1 + 5 + 4)
+  }
+
+  test("CREATE TABLE column-definition clauses: IDENTITY / GENERATED AS / DEFAULT round-trip to the property encoding (r14)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "t").toString
+    // the ANSI/Delta one-statement shape — parsed down to the
+    // existing TBLPROPERTIES encoding, kernels untouched
+    spark.sql(
+      s"""CREATE TABLE $cat.t (
+        |  event_id BIGINT,
+        |  value DOUBLE,
+        |  row_id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1000 INCREMENT BY 2),
+        |  day BIGINT GENERATED ALWAYS AS (event_id % 7),
+        |  src STRING DEFAULT 'x')
+        |TBLPROPERTIES ('constraint.pos_id' = 'event_id > 0')""".stripMargin)
+    assert(CommitLog.tableProperty(root, "identity.row_id") === Some("1000,2"))
+    assert(CommitLog.tableProperty(root, "generated.day") === Some("event_id % 7"))
+    assert(CommitLog.tableProperty(root, "default.src") === Some("'x'"))
+    assert(CommitLog.tableProperty(root, "constraint.pos_id") === Some("event_id > 0"))
+    // the declared columns stay IN the schema
+    assert(spark.sql(s"SELECT * FROM $cat.t").schema.fieldNames.toSeq ===
+      Seq("event_id", "value", "row_id", "day", "src"))
+    // one INSERT omitting every computed column: identity allocates
+    // from the declared start/step, generated derives, default fills
+    spark.sql(s"INSERT INTO $cat.t (event_id, value) VALUES (15, 1.5), (22, 2.5)")
+    val rows = spark.sql(
+      s"SELECT event_id, row_id, day, src FROM $cat.t ORDER BY event_id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq ===
+      Seq((15L, 1L, "x"), (22L, 1L, "x")))
+    assert(rows.map(_.getLong(1)).sorted.toSeq === Seq(1000L, 1002L),
+      "identity must allocate from the declared START WITH / INCREMENT BY")
+    // bare IDENTITY takes the 1,1 defaults
+    spark.sql(s"CREATE TABLE $cat.t2 (k BIGINT, id BIGINT GENERATED ALWAYS AS IDENTITY)")
+    assert(CommitLog.tableProperty(
+      new java.io.File(base, "t2").toString, "identity.id") === Some("1,1"))
+    // the statement-declared CHECK constraint enforces
+    val ex = intercept[Exception] {
+      spark.sql(s"INSERT INTO $cat.t (event_id, value) VALUES (-3, 1.0)")
+    }
+    assert(ex.getMessage.contains("pos_id") ||
+      ex.getMessage.contains("constraint"), ex.getMessage)
+    // a plain CREATE TABLE (no trio clause) still delegates to the
+    // V2 catalog path untouched
+    spark.sql(s"CREATE TABLE $cat.t3 (k BIGINT, v STRING)")
+    assert(spark.sql(s"SELECT * FROM $cat.t3").count() === 0L)
   }
 
   test("INSERT column list resolves case-insensitively on computed-column tables (r14, ADVICE)") {
