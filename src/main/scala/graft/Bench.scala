@@ -228,9 +228,17 @@ object Bench {
     val floors = rawFloors.collect {
       case (k, v) if k.startsWith(s"$sfDir|") => k.drop(sfDir.length + 1) -> v
     }
+    // opt-in key filter (r14 — the quiet-window per-key A/B lever):
+    // SPARK_GRAFT_BENCH_KEYS="k1,k2" restricts the sweep to those
+    // keys for solo re-measurement; unset = the full run the driver
+    // executes. Floors stay monotone mins either way.
+    val keyFilter = sys.env.get("SPARK_GRAFT_BENCH_KEYS")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => keyFilter.forall(_.contains(kv._1)))
     val wall0 = System.nanoTime()
     val steal0 = readSteal()
-    val measured = measure(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1), floors)
+    val measured = measure(spark, sfDir, selected, floors)
     // late flag adjudication runs inside the walled window — a cleared
     // key's late measurement IS its record, so wall must cover it
     val results = adjudicate(spark, sfDir, SparkEntry.queries, floors, measured)

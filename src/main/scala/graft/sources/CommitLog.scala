@@ -1835,7 +1835,13 @@ object CommitLog {
     * exactly the single-column contract. */
   def appendPartitionedCols(s: SparkSession, root: String, df0: DataFrame,
       partCols: Seq[String], filesPerPartition: Int,
-      extraMeta: Seq[String] = Nil): Long = {
+      extraMeta: Seq[String] = Nil,
+      // extra manifest fragments computed FROM the staged files +
+      // their aux (r14 — e.g. the vector index derives per-cell row
+      // counts from the staged footers, zero extra Spark passes) and
+      // committed atomically with them
+      extraFromStaged: (Seq[String], Aux) => Seq[String] =
+        (_, _) => Nil): Long = {
     val specStr = partCols.mkString(",")
     // identity, then generated columns, fill/validate FIRST —
     // partitioning by a generated column (the derived-date layout)
@@ -1877,7 +1883,7 @@ object CommitLog {
     commit(root, prevFiles ++ staged, prev,
       statsCol = prevCol, stats = prevStats,
       schemaJson = carriedSchemaJson(root, prev),
-      extra = auxExtra(fullAux) ++ extraMeta,
+      extra = auxExtra(fullAux) ++ extraMeta ++ extraFromStaged(staged, aux),
       newIdHwm = idHwm)
   }
 

@@ -89,6 +89,26 @@ object VectorIndex {
       .collect().map(r =>
         r.getAs[Number]("cell").longValue() -> r.getLong(1)).toMap
 
+  /** cell → row count of freshly-STAGED posting files — from their
+    * parquet FOOTERS (one metadata open per file, no Spark job, no
+    * extra evaluation of the staged frame) keyed by the cell value
+    * the routed staging recorded per file. The hot-path (create/
+    * refresh) counting lever: the staged rows ARE the insert-side
+    * cell delta. */
+  private def stagedCellCounts(root: String, staged: Seq[String],
+      aux: CommitLog.Aux): Map[Long, Long] = {
+    def footerRows(p: java.io.File): Long = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.getAbsolutePath),
+          new org.apache.hadoop.conf.Configuration()))
+      try r.getRecordCount finally r.close()
+    }
+    staged.groupBy(f => aux.parts(f).toLong).map { case (cell, fs) =>
+      cell -> fs.map(f => footerRows(new java.io.File(root, f))).sum
+    }
+  }
+
   /** Cell balance (max/mean over live cells) straight from the
     * manifest counts — the rebuild gate's read path; None on a
     * pre-r14 index without recorded counts. */
@@ -142,11 +162,12 @@ object VectorIndex {
       srcVersion: Long, assigned: DataFrame, cents: DataFrame): Long = {
     CommitLog.append(s, centroidsRoot(indexRoot), cents, nFiles = 1)
     val aRoot = assignedRoot(indexRoot)
-    val staged = assigned.withColumn("gen", lit(srcVersion)).localCheckpoint()
-    val v = CommitLog.appendPartitioned(s, aRoot, staged, "cell",
+    val v = CommitLog.appendPartitionedCols(s, aRoot,
+      assigned.withColumn("gen", lit(srcVersion)), Seq("cell"),
       filesPerPartition = 1,
-      extraMeta = Seq(s""","$VerField":$srcVersion""",
-        renderCells(countsOf(staged))))
+      extraMeta = Seq(s""","$VerField":$srcVersion"""),
+      extraFromStaged = (staged, aux) =>
+        Seq(renderCells(stagedCellCounts(aRoot, staged, aux))))
     CommitLog.setTableProperty(aRoot, SrcProp, srcRoot)
     CommitLog.setTableProperty(aRoot, VerProp, srcVersion.toString)
     // one commit per refresh — checkpoint the history every 10th so
@@ -230,30 +251,35 @@ object VectorIndex {
     val fresh = assignFrozen(
       changes.filter(pos).select(col("vec_id"), col("label"), col("v"),
         col("_commit_version").as("gen")),
-      cents, carry = Seq("gen")).localCheckpoint()
-    // fold the per-cell live counts (r14): a delete pre-image's cell
-    // comes from assignFrozen of ITS vector against the SAME codebook
-    // that placed the posting (rebuilds reassign everything, so the
-    // current codebook is always the placing one) — no postings
-    // scan; a pre-r14 index self-heals with one scan here and reads
-    // the manifest from the next commit on
+      cents, carry = Seq("gen"))
+    // fold the per-cell live counts (r14): the INSERT side comes free
+    // from the staged posting files' footers (extraFromStaged — the
+    // staged rows ARE the insert delta; no second evaluation of the
+    // assignment); the DELETE side assigns the pre-image vectors
+    // against the SAME codebook that placed their postings (rebuilds
+    // reassign everything, so the current codebook is always the
+    // placing one) — one narrow broadcast-map job ∝ deleted rows,
+    // never a postings scan. A pre-r14 index self-heals with one
+    // scan here and reads the manifest from the next commit on.
     val prevCounts = cellCountsOf(aRoot)
       .getOrElse(countsOf(postings(s, indexRoot)))
-    val insCells = countsOf(fresh)
     val delCells =
       if (nDel == 0L) Map.empty[Long, Long]
       else countsOf(assignFrozen(
         changes.filter(!pos).select(col("vec_id"), col("label"), col("v")),
         cents))
-    val newCounts = (prevCounts.keySet ++ insCells.keySet ++ delCells.keySet)
-      .map(c => c -> (prevCounts.getOrElse(c, 0L) +
-        insCells.getOrElse(c, 0L) - delCells.getOrElse(c, 0L)))
-      .filter(_._2 != 0L).toMap
+    def foldCounts(insCells: Map[Long, Long]): Map[Long, Long] =
+      (prevCounts.keySet ++ insCells.keySet ++ delCells.keySet)
+        .map(c => c -> (prevCounts.getOrElse(c, 0L) +
+          insCells.getOrElse(c, 0L) - delCells.getOrElse(c, 0L)))
+        .filter(_._2 != 0L).toMap
     // an all-delete batch appends zero posting files — the commit
     // still publishes, carrying the watermark atomically
-    val v = CommitLog.appendPartitioned(s, aRoot, fresh, "cell",
+    val v = CommitLog.appendPartitionedCols(s, aRoot, fresh, Seq("cell"),
       filesPerPartition = 1,
-      extraMeta = Seq(s""","$VerField":$maxVer""", renderCells(newCounts)))
+      extraMeta = Seq(s""","$VerField":$maxVer"""),
+      extraFromStaged = (staged, aux) => Seq(renderCells(
+        foldCounts(stagedCellCounts(aRoot, staged, aux)))))
     // best-effort backstop for vacuumed fold manifests, like the views
     CommitLog.setTableProperty(aRoot, VerProp, maxVer.toString)
     // AUTO-PURGE policy (r12, VERDICT item 3): without it, standing
