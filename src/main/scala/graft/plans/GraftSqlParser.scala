@@ -247,7 +247,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // Spark's parser and the V2 catalog verbatim.
   private val createColsRe =
     ("""(?is)\s*CREATE\s+TABLE\s+([\w.]+)\s*\((.+?)\)""" +
-      """(?:\s+PARTITIONED\s+BY\s*\(\s*(\w+)\s*\))?""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(\s*([\w\s,]+?)\s*\))?""" +
       """(?:\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\))?\s*;?\s*""").r
   private val typeRe = """\w+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?"""
   private val colIdentityRe =
@@ -389,7 +389,10 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
           s"TBLPROPERTIES entries are 'k' = 'v' pairs, got '$other'")
       }
       CreateGraftTableCommand(ident.split('.').toSeq,
-        cleaned.mkString(", "), Option(partCol), trio ++ extra)
+        cleaned.mkString(", "),
+        Option(partCol).map(_.split(',').map(_.trim)
+          .filter(_.nonEmpty).mkString(",")),
+        trio ++ extra)
     case insertColsRe(ident, colsBlob, query)
         if isGraftCatalog(ident) && insertOmitsGenerated(ident, colsBlob) =>
       InsertIntoGraftGeneratedCommand(ident.split('.').toSeq,
@@ -808,8 +811,9 @@ case class CreateGraftTableCommand(parts: Seq[String], schemaDdl: String,
     require(CommitLog.latestVersion(root).isEmpty,
       s"table ${parts.mkString(".")} already exists")
     val schema = org.apache.spark.sql.types.StructType.fromDDL(schemaDdl)
-    partCol.foreach(c => require(schema.fieldNames.contains(c),
-      s"partition column '$c' is not in the table schema"))
+    partCol.toSeq.flatMap(_.split(',')).foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"partition column '$c' is not in the table schema"))
     val v = CommitLog.commit(root, Nil, expected = None,
       schemaJson = Some(schema.json))
     partCol.foreach(c => CommitLog.setTableProperty(root, "partitionColumn", c))

@@ -1555,7 +1555,10 @@ object CommitLog {
           .unionByName(df.withColumn("_change_type", lit("insert")),
             allowMissingColumns = true)))
     val (staged, stagedAux) = partCol match {
-      case Some(c) => stagePartitioned(s, root, df, c, nFiles)
+      // a comma-joined value is a COMPOSITE spec (r14) — route
+      // through the multi-column staging like appendPartitioned
+      case Some(c) => stagePartitionedCols(s, root, df,
+        c.split(',').map(_.trim).toSeq, nFiles)
       case None => (stageDataFiles(s, root, df, nFiles), Aux())
     }
     // the prior snapshot's statsTags seed a recompute over the
@@ -3071,7 +3074,7 @@ object CommitLog {
           "columns (evolve the schema first)")
     }
     val aux0 = carriedAux(root, Some(prev))
-    aux0.partCol.foreach { pc =>
+    aux0.partCol.toSeq.flatMap(_.split(',')).foreach { pc =>
       require(!assignments.exists(_._1 == pc),
         s"update: assigning partition column '$pc' would move rows " +
           "across partitions — use merge or overwrite instead")

@@ -103,17 +103,22 @@ class GraftCatalog extends TableCatalog {
     val root = rootOf(ident)
     require(CommitLog.latestVersion(root).isEmpty,
       s"table ${ident.name} already exists under $base")
+    // PARTITIONED BY (a[, b, ...]) — one or more identity columns
+    // (r14 widened from one: composite specs store comma-joined and
+    // stage one routing group per value TUPLE; each file's ordered
+    // layout rides the manifest — see CommitLog.appendPartitionedCols)
     val partCol = partitions.toSeq match {
       case Seq() => None
-      case Seq(t) =>
-        require(t.name == "identity",
-          s"only PARTITIONED BY (column) is supported, got ${t.describe}")
-        val c = t.references()(0).fieldNames().mkString(".")
-        require(schema.fieldNames.contains(c),
-          s"partition column '$c' is not in the table schema")
-        Some(c)
-      case many => throw new IllegalArgumentException(
-        s"one partition column per table (the manifest partCol spec), got ${many.size}")
+      case ts =>
+        val cols = ts.map { t =>
+          require(t.name == "identity",
+            s"only PARTITIONED BY (column, ...) is supported, got ${t.describe}")
+          val c = t.references()(0).fieldNames().mkString(".")
+          require(schema.fieldNames.contains(c),
+            s"partition column '$c' is not in the table schema")
+          c
+        }
+        Some(cols.mkString(","))
     }
     CommitLog.commit(root, Nil, expected = None, schemaJson = Some(schema.json))
     partCol.foreach(c => CommitLog.setTableProperty(root, "partitionColumn", c))
@@ -206,6 +211,7 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
 
   override def partitioning(): Array[Transform] =
     CommitLog.tableProperty(root, "partitionColumn")
+      .toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
       .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c): Transform)
       .toArray
 

@@ -185,11 +185,23 @@ class CatalogSpec extends SparkSpec {
     // SQL DELETE + streaming read still work on the partitioned table
     spark.sql(s"DELETE FROM $cat.pt WHERE cat_col = 'b'")
     assert(spark.sql(s"SELECT * FROM $cat.pt").count() === 4)
-    // two partition columns refuse
-    val ex = intercept[Exception] {
-      spark.sql(s"CREATE TABLE $cat.pt2 (k BIGINT, a STRING, b STRING) PARTITIONED BY (a, b)")
-    }
-    assert(ex.getMessage.contains("one partition column"), ex.getMessage)
+    // a COMPOSITE spec (r14): PARTITIONED BY (a, b) stages one
+    // routing group per value tuple and prunes by intersection
+    spark.sql(s"CREATE TABLE $cat.pt2 (k BIGINT, a STRING, b STRING) PARTITIONED BY (a, b)")
+    spark.sql(s"INSERT INTO $cat.pt2 VALUES " +
+      "(1, 'x', 'p'), (2, 'x', 'q'), (3, 'y', 'p'), (4, 'y', 'q'), (5, 'x', 'p')")
+    val root2 = new java.io.File(base, "pt2").toString
+    assert(CommitLog.tableProperty(root2, "partitionColumn") === Some("a,b"))
+    val head2 = CommitLog.latestVersion(root2).get
+    val (dfM, total2, read2) = CommitLog.partitionPrunedReadMulti(spark, root2,
+      head2, Seq("a" -> Seq("x"), "b" -> Seq("p")))
+    assert(total2 === 4 && read2 === 1,
+      s"composite catalog table must prune to the tuple file ($read2 of $total2)")
+    assert(dfM.filter(col("a") === "x" && col("b") === "p").count() === 2)
+    // a single-column probe intersects: both b-values of a='x' read
+    val (_, _, readA) = CommitLog.partitionPrunedRead(spark, root2,
+      head2, "a", Seq("x"))
+    assert(readA === 2, s"a-only probe read $readA (want x's two tuple files)")
   }
 
   test("catalog: INSERT OVERWRITE and ALTER TABLE ADD COLUMNS evolve the table through the log") {
