@@ -1072,6 +1072,76 @@ class CatalogSpec extends SparkSpec {
     assert(ids.max === n0 + 1 + 5 + 4)
   }
 
+  test("SQL MERGE INTO an identity table: matched rows keep ids, inserts allocate, the CDC statement path composes (r14)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "t").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value")).limit(100)
+    CommitLog.setTableProperty(root, "identity.row_id", "1,1")
+    CommitLog.append(spark, root, ev, nFiles = 2)
+    val n0 = ev.count()
+    val before = spark.sql(s"SELECT event_id, row_id FROM $cat.t")
+      .withColumnRenamed("row_id", "id_before").localCheckpoint()
+    // the statement's source OMITS row_id: 10 matched updates keep
+    // their recovered ids, 5 inserts allocate the next block — the
+    // identity contract holds through the SQL front-end verbatim
+    ev.limit(10).withColumn("value", col("value") + lit(500.0))
+      .unionByName(ev.limit(5)
+        .withColumn("event_id", col("event_id") + 9000000L))
+      .localCheckpoint()
+      .createOrReplaceTempView("id_merge_src")
+    spark.sql(s"""MERGE INTO $cat.t t USING id_merge_src s
+      |ON t.event_id = s.event_id
+      |WHEN MATCHED THEN UPDATE SET *
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val after = spark.sql(s"SELECT event_id, row_id FROM $cat.t")
+    assert(after.join(before, Seq("event_id"))
+      .filter(col("row_id") =!= col("id_before")).count() === 0,
+      "matched rows must keep their identity through SQL MERGE")
+    val ids = after.select(col("row_id")).collect().map(_.getLong(0)).sorted
+    assert(ids.length === n0 + 5 && ids.distinct.length === ids.length)
+    assert(ids.head === 1L && ids.last === n0 + 5)
+  }
+
+  test("SQL JOIN view accepts sample-variance forms; derivation exact through REFRESH (r14)") {
+    val (cat, base) = freshCatalog()
+    val fRoot = new java.io.File(base, "f").toString
+    val dRoot = new java.io.File(base, "d").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    CommitLog.append(spark, fRoot, ev, nFiles = 2)
+    val dim = ev.select(col("user_id")).distinct()
+      .withColumn("segment",
+        concat(lit("seg_"), (col("user_id") % 4).cast("string")))
+    CommitLog.append(spark, dRoot, dim, nFiles = 1)
+    spark.sql(s"ALTER TABLE $cat.f SET TBLPROPERTIES ('enableChangeDataFeed' = 'true')")
+    spark.sql(
+      s"""CREATE MATERIALIZED VIEW $cat.v AS
+        |SELECT segment, COUNT(*) AS n,
+        |  STDDEV_SAMP(value) AS stds_value, SUM(value) AS total_value
+        |FROM $cat.f JOIN $cat.d ON f.user_id = d.user_id
+        |GROUP BY segment""".stripMargin)
+    spark.sql(s"DELETE FROM $cat.f WHERE user_id % 6 = 2")
+    spark.sql(s"UPDATE $cat.f SET value = value + 300.0 WHERE user_id % 5 = 3")
+    spark.sql(s"REFRESH MATERIALIZED VIEW $cat.v")
+    val view = spark.sql(s"SELECT segment, stds_value FROM $cat.v")
+    val want = spark.sql(
+      s"""SELECT segment,
+        |  CASE WHEN nv > 1 THEN SQRT(GREATEST(
+        |    CAST(ss AS DOUBLE) / nv -
+        |    (CAST(total AS DOUBLE) / nv) * (CAST(total AS DOUBLE) / nv),
+        |    0.0D) * CAST(nv AS DOUBLE) / CAST(nv - 1 AS DOUBLE)) END AS stds_value
+        |FROM (SELECT segment, COUNT(value) AS nv,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
+        |      AS DECIMAL(38,8)) AS ss
+        |  FROM $cat.f JOIN $cat.d ON f.user_id = d.user_id
+        |  GROUP BY segment)""".stripMargin)
+    assert(view.exceptAll(want).count() === 0 &&
+      want.exceptAll(view).count() === 0,
+      "JOIN-view sample stddev diverges from the Bessel recompute derivation")
+  }
+
   test("CREATE TABLE column-definition clauses: IDENTITY / GENERATED AS / DEFAULT round-trip to the property encoding (r14)") {
     val (cat, base) = freshCatalog()
     val root = new java.io.File(base, "t").toString

@@ -2950,6 +2950,75 @@ class StreamingSpec extends SparkSpec {
     assert(m3 === 0L && rem3 === 0L, "converged table must be a no-op")
   }
 
+  test("continuous DEPTH-3 chain: every level folds its upstream's own changelog per trigger (r14)") {
+    import graft.sources.{CommitLog, IncrementalViewMulti}
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+      .limit(2000)
+    val src = java.nio.file.Files.createTempDirectory("graft_vc3s_src").toString
+    val v1 = java.nio.file.Files.createTempDirectory("graft_vc3s_v1").toString
+    val v2 = java.nio.file.Files.createTempDirectory("graft_vc3s_v2").toString
+    val v3 = java.nio.file.Files.createTempDirectory("graft_vc3s_v3").toString
+    CommitLog.setTableProperty(src, "enableChangeDataFeed", "true")
+    CommitLog.append(spark, src, ev.filter(col("event_id") % 2 === 0), nFiles = 2)
+    IncrementalViewMulti.create(spark, v1, src, "user_id", Seq("value"))
+    CommitLog.setTableProperty(v1, "enableChangeDataFeed", "true")
+    IncrementalViewMulti.createKeyed(spark, v2, v1,
+      Seq("nv_value"), Seq("total_value"))
+    CommitLog.setTableProperty(v2, "enableChangeDataFeed", "true")
+    IncrementalViewMulti.createKeyed(spark, v3, v2,
+      Seq("nv_total_value"), Seq("total_total_value"))
+    CommitLog.append(spark, src, ev.filter(col("event_id") % 2 =!= 0), nFiles = 2)
+    CommitLog.delete(spark, src, col("user_id") % 5 === 0)
+    val ck = java.nio.file.Files.createTempDirectory("graft_vc3s_ck").toString
+    // the live loop: level 1 folds the fact batch, levels 2 and 3
+    // each fold THEIR upstream's new changelog — the s_table_view_
+    // chain_stream mechanism at one more depth; every level's fold
+    // cost ∝ its upstream's per-trigger delta
+    val q = spark.readStream.format("graft.sources.TableStreamProvider")
+      .option("path", src).option("readChangeFeed", "true").load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IncrementalViewMulti.foldDeltas(spark, v1, src, batch.localCheckpoint())
+        IncrementalViewMulti.refresh(spark, v2)
+        IncrementalViewMulti.refresh(spark, v3)
+        ()
+      }
+      .option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // all three levels equal their recomputes at the final heads
+    val v1head = CommitLog.read(spark, v1, CommitLog.latestVersion(v1).get)
+    val full1 = CommitLog.read(spark, src, CommitLog.latestVersion(src).get)
+      .filter(col("user_id").isNotNull).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), count(col("value")).as("nv_value"),
+        sum(col("value").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("total_value"),
+        min(col("value")).as("mn_value"), max(col("value")).as("mx_value"))
+    assert(v1head.exceptAll(full1).count() === 0 &&
+      full1.exceptAll(v1head).count() === 0, "live level 1 diverged")
+    val v2head = CommitLog.read(spark, v2, CommitLog.latestVersion(v2).get)
+    val full2 = v1head.groupBy(col("nv_value"))
+      .agg(count(lit(1)).as("n"),
+        count(col("total_value")).as("nv_total_value"),
+        sum(col("total_value").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("total_total_value"),
+        min(col("total_value")).as("mn_total_value"),
+        max(col("total_value")).as("mx_total_value"))
+    assert(v2head.exceptAll(full2).count() === 0 &&
+      full2.exceptAll(v2head).count() === 0, "live level 2 diverged")
+    val v3head = CommitLog.read(spark, v3, CommitLog.latestVersion(v3).get)
+    val full3 = v2head.groupBy(col("nv_total_value"))
+      .agg(count(lit(1)).as("n"),
+        count(col("total_total_value")).as("nv_total_total_value"),
+        sum(col("total_total_value").cast("decimal(18,4)"))
+          .cast("decimal(18,4)").as("total_total_total_value"),
+        min(col("total_total_value")).as("mn_total_total_value"),
+        max(col("total_total_value")).as("mx_total_total_value"))
+    assert(v3head.exceptAll(full3).count() === 0 &&
+      full3.exceptAll(v3head).count() === 0, "live level 3 diverged")
+  }
+
   test("commit log: an incremental view folds exactly across a mid-history type widen (r13)") {
     import graft.sources.{CommitLog, Tables}
     val src = java.nio.file.Files.createTempDirectory("graft_wv_src").toString
