@@ -1775,7 +1775,10 @@ object CommitLog {
 
   private def stagePartitioned(s: SparkSession, root: String, df: DataFrame,
       partCol: String, filesPerPartition: Int): (Seq[String], Aux) =
-    stagePartitionedCols(s, root, df, Seq(partCol), filesPerPartition)
+    // a comma-joined name is a composite spec (r14) — every staging
+    // entry point splits it the same way
+    stagePartitionedCols(s, root, df,
+      partCol.split(',').map(_.trim).toSeq, filesPerPartition)
 
   /** Separator inside a composite spec's joined routing/parts value —
     * a control character Jackson escapes losslessly, so partition
@@ -2678,7 +2681,9 @@ object CommitLog {
     * just possibly loose — the public formats keep the same slack).
     * Returns (newVersion, filesWithNewVectors, rowsDeleted). */
   def deleteMergeOnRead(s: SparkSession, root: String,
-      cond: org.apache.spark.sql.Column): (Long, Long, Long) = {
+      cond: org.apache.spark.sql.Column,
+      maxAttempts: Int = 10,
+      beforeCommit: () => Unit = () => ()): (Long, Long, Long) = {
     import org.apache.spark.sql.functions.{col, lit, substring_index}
     val prev = latestVersion(root)
       .getOrElse(sys.error(s"cannot delete from an empty table at $root"))
@@ -2709,14 +2714,67 @@ object CommitLog {
       else Some(stageCdfFiles(s, root,
         readSubset(s, root, prev, files).filter(cond)
           .withColumn("_change_type", lit("delete"))))
-    val (prevCol, prevStats) = snapshotStatsOf(root, prev)
-    val v = commit(root, files.map(p => relativize(root, p)), Some(prev),
-      op = "delete",
-      statsCol = prevCol, stats = prevStats,
-      schemaJson = carriedSchemaJson(root, Some(prev)),
-      extra = auxExtra(carriedAux(root, Some(prev)).merged(newDvs)) ++
-        cdf.map(renderCdf).toSeq)
+    // DV-commit rebase (r14): the merge-on-read paths were the last
+    // single-attempt writers — a lost race to a PURE APPEND failed a
+    // delete whose vectors attach to files the append never touched.
+    // Rebase past append/clone/widen/rename winners: the winning
+    // head's listing carries forward verbatim and my sidecars attach
+    // to my (still-listed, byte-identical) affected files. Any op
+    // that can MOVE or REWRITE rows still refuses — my vectors are
+    // POSITIONAL (file name + row index); a rewrite restages the
+    // doomed rows into files they don't cover, silently losing the
+    // delete (this includes another "delete", indistinguishable from
+    // a CoW rewrite by op name).
+    val v = commitDvRebasing(s, root, prev, "delete", newDvs,
+      cdf.map(renderCdf).toSeq, Nil, maxAttempts, beforeCommit)
     (v, affected.size.toLong, nRows)
+  }
+
+  /** Winner ops a merge-on-read (sidecar-only) commit can rebase
+    * past: none of them removes, rewrites, or re-positions a listed
+    * file's rows, so positional vectors stay valid. */
+  private val dvRebaseableWinnerOps =
+    Set("append", "clone", "widen", "rename_column")
+
+  /** The optimistic loop shared by the two DV writers: relist the
+    * winning head's files + my new sidecars (+ `inserted` files for
+    * the update path), carrying the HEAD's stats/schema/aux forward.
+    * The sidecars and any inserted data files are staged ONCE;
+    * retries cost manifest metadata only. */
+  private def commitDvRebasing(s: SparkSession, root: String,
+      prev: Long, op: String, newAux: Aux, extraFragments: Seq[String],
+      inserted: Seq[String], maxAttempts: Int,
+      beforeCommit: () => Unit): Long = {
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val head = latestVersion(root).get
+      if (head != prev) {
+        val ops = ((prev + 1) to head).map(v => readManifest(root, v)._1)
+        val blocked = ops.filterNot(dvRebaseableWinnerOps)
+        if (blocked.nonEmpty) throw new java.util.ConcurrentModificationException(
+          s"merge-on-read $op under $root lost to a concurrent " +
+            s"'${blocked.head}' commit — positional vectors cannot " +
+            "survive a rewrite of the files they mask; retry the " +
+            s"$op against the new head")
+      }
+      val headFiles = readManifest(root, head)._2
+      val auxHead = carriedAux(root, Some(head))
+      val (statsCol, stats) = snapshotStatsOf(root, head)
+      beforeCommit()
+      try {
+        return commit(root, headFiles ++ inserted, Some(head), op = op,
+          statsCol = statsCol, stats = stats,
+          schemaJson = carriedSchemaJson(root, Some(head)),
+          extra = auxExtra(restageColStats(s, root,
+            auxHead.merged(newAux), inserted)) ++ extraFragments)
+      } catch {
+        case _: java.util.ConcurrentModificationException
+          if attempt < maxAttempts => // rebase and retry
+      }
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"merge-on-read $op: gave up after $maxAttempts attempts under $root")
   }
 
   /** Stage a deletion-vector row set (columns f: file name, i: row
@@ -3172,7 +3230,9 @@ object CommitLog {
   def updateMergeOnRead(s: SparkSession, root: String,
       cond: org.apache.spark.sql.Column,
       assignments: Seq[(String, org.apache.spark.sql.Column)],
-      nFiles: Int = 1): (Long, Long, Long) = {
+      nFiles: Int = 1,
+      maxAttempts: Int = 10,
+      beforeCommit: () => Unit = () => ()): (Long, Long, Long) = {
     import org.apache.spark.sql.functions.{col, lit, substring_index}
     require(assignments.nonEmpty, "updateMergeOnRead: no SET assignments")
     val prev = latestVersion(root)
@@ -3245,14 +3305,13 @@ object CommitLog {
     val byName = files.map(f =>
       new java.io.File(f).getName -> relativize(root, f)).toMap
     val newDvs = Aux(dvs = affected.flatMap(byName.get).map(_ -> staged).toMap)
-    val (prevCol, prevStats) = snapshotStatsOf(root, prev)
-    val v = commit(root, files.map(p => relativize(root, p)) ++ inserted,
-      Some(prev), op = "update",
-      statsCol = prevCol, stats = prevStats,
-      schemaJson = carriedSchemaJson(root, Some(prev)),
-      extra = auxExtra(restageColStats(s, root,
-        aux0.merged(newDvs).merged(insertAux), inserted)) ++
-        cdf.map(renderCdf).toSeq)
+    // sidecar-only rebase past append-ish winners (r14 — the shared
+    // commitDvRebasing loop; see deleteMergeOnRead): the vectors and
+    // the inserted post-image files are staged once, retries cost
+    // manifest metadata only
+    val v = commitDvRebasing(s, root, prev, "update",
+      newDvs.merged(insertAux), cdf.map(renderCdf).toSeq,
+      inserted, maxAttempts, beforeCommit)
     (v, affected.size.toLong, nRows)
   }
 
@@ -3304,8 +3363,14 @@ object CommitLog {
   private def stageRewrite(s: SparkSession, root: String, aux: Aux,
       df: DataFrame, nFiles: Int): (Seq[String], Aux) =
     aux.partCol match {
-      case Some(pc) if df.columns.contains(pc) =>
-        stagePartitioned(s, root, df, pc, filesPerPartition = 1)
+      // a comma-joined partCol is a COMPOSITE spec (r14): a rewrite
+      // keeps the tuple layout when the frame carries EVERY spec
+      // column (else it stages plain, as before — pruning only ever
+      // widens for layout-less files)
+      case Some(pc) if pc.split(',').map(_.trim)
+          .forall(df.columns.contains) =>
+        stagePartitionedCols(s, root, df,
+          pc.split(',').map(_.trim).toSeq, filesPerPartition = 1)
       case _ => (stageDataFiles(s, root, df, nFiles), Aux())
     }
 

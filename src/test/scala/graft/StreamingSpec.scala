@@ -2950,6 +2950,64 @@ class StreamingSpec extends SparkSpec {
     assert(m3 === 0L && rem3 === 0L, "converged table must be a no-op")
   }
 
+  test("merge-on-read writers rebase past append winners; rewrites still refuse (r14)") {
+    import graft.sources.{CommitLog, Tables}
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value")).limit(600)
+    // DV DELETE losing to a blind APPEND: both commit — the sidecars
+    // attach to my still-listed files, the winner's rows carry
+    // forward UNMASKED even where they match the predicate (the
+    // WriteSerializable blind-append allowance, the CoW contract)
+    val root = java.nio.file.Files.createTempDirectory("graft_mor_reb").toString
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 5 =!= 0), nFiles = 2)
+    val late = ev.filter(col("event_id") % 5 === 0)
+    var injected = false
+    val (v, _, nDel) = CommitLog.deleteMergeOnRead(spark, root,
+      col("user_id") % 2 === 1,
+      beforeCommit = () => if (!injected) {
+        injected = true
+        CommitLog.append(spark, root, late, nFiles = 1); ()
+      })
+    assert(v === 2L, s"expected v1 competitor + v2 DV delete, got v$v")
+    assert(nDel > 0L)
+    val got = CommitLog.read(spark, root, v)
+    val want = ev.filter(col("event_id") % 5 =!= 0)
+      .filter(!(col("user_id") % 2 === 1))
+      .unionByName(late)
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0,
+      "rebased DV delete lost rows or masked the competitor's late rows")
+    // DV UPDATE losing to a blind APPEND: both commit, post-images
+    // land, the late twin stays untouched
+    var injected2 = false
+    val (v2u, _, nUpd) = CommitLog.updateMergeOnRead(spark, root,
+      col("user_id") % 2 === 0 && col("event_id") % 5 =!= 0,
+      Seq("value" -> lit(-8.0)),
+      beforeCommit = () => if (!injected2) {
+        injected2 = true
+        CommitLog.append(spark, root,
+          ev.limit(1).withColumn("event_id", col("event_id") + 777000000L),
+          nFiles = 1); ()
+      })
+    assert(nUpd > 0L)
+    val got2 = CommitLog.read(spark, root, v2u)
+    assert(got2.filter(col("value") === -8.0).count() === nUpd)
+    assert(got2.filter(col("event_id") > 777000000L).count() === 1L,
+      "DV update rebase dropped the competitor's late append")
+    // a REWRITE winner still refuses by name: positional vectors
+    // cannot survive a compaction of the files they mask
+    val root2 = java.nio.file.Files.createTempDirectory("graft_mor_reb2").toString
+    CommitLog.append(spark, root2, ev, nFiles = 2)
+    var injected3 = false
+    val ex = intercept[java.util.ConcurrentModificationException] {
+      CommitLog.deleteMergeOnRead(spark, root2, col("user_id") % 3 === 1,
+        beforeCommit = () => if (!injected3) {
+          injected3 = true
+          CommitLog.compact(spark, root2, nFiles = 1); ()
+        })
+    }
+    assert(ex.getMessage.contains("positional vectors"), ex.getMessage)
+  }
+
   test("continuous DEPTH-3 chain: every level folds its upstream's own changelog per trigger (r14)") {
     import graft.sources.{CommitLog, IncrementalViewMulti}
     val ev = Tables(spark, sf, "events")
