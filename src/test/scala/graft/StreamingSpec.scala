@@ -2985,7 +2985,10 @@ class StreamingSpec extends SparkSpec {
       beforeCommit = () => if (!injected2) {
         injected2 = true
         CommitLog.append(spark, root,
-          ev.limit(1).withColumn("event_id", col("event_id") + 777000000L),
+          // +777000001 (not +777000000): unordered limit(1) picks the
+          // fixture's min event_id = 0, and the assert below is a
+          // STRICT > 777000000 — an exact-threshold id would count 0.
+          ev.limit(1).withColumn("event_id", col("event_id") + 777000001L),
           nFiles = 1); ()
       })
     assert(nUpd > 0L)
