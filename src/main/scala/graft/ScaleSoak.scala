@@ -202,6 +202,12 @@ object ScaleSoak {
     // changelog per trigger (cost ∝ level-1 deltas); the per-batch
     // full-recompute witness is the deliberate test-harness cost
     "s_table_view_chain_stream",
+    // r15: SQL pushdown scans — planning is ONE manifest parse; the
+    // probe cost must stay flat while the pruned read scales with the
+    // SURVIVING files only; the DV rebase is one bounded head-listing
+    // carry + a masks-∝-churn MoR update under a forced race
+    "q_sql_table_pruned_scan", "q_sql_table_pruned_scan_multi",
+    "q_table_prune_combined", "s_table_dv_rebase",
     // the r10 verdict's mass-delete scenario, soaked as its own
     // fixture (below — not a registry key): EVERY view key vanishes
     // in one fold; the driver-OOM shape the r11 distributed

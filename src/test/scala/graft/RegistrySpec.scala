@@ -158,7 +158,10 @@ class RegistrySpec extends SparkSpec {
       // r14: sample-variance statement surface, identity × retry-path
       // streaming ingest, multi-column partition specs
       "q_sql_table_incr_view_stddev_samp", "s_table_stream_identity",
-      "q_table_partition_evolve_multi", "s_table_view_chain_stream")
+      "q_table_partition_evolve_multi", "s_table_view_chain_stream",
+      // r15
+      "q_sql_table_pruned_scan", "q_sql_table_pruned_scan_multi",
+      "q_table_prune_combined", "s_table_dv_rebase")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }
