@@ -208,6 +208,9 @@ object ScaleSoak {
     // carry + a masks-∝-churn MoR update under a forced race
     "q_sql_table_pruned_scan", "q_sql_table_pruned_scan_multi",
     "q_table_prune_combined", "s_table_dv_rebase",
+    // r15: SQL merge evolution — one metadata-only widening commit
+    // ahead of the ordinary shared merge path
+    "q_sql_table_merge_evolve",
     // the r10 verdict's mass-delete scenario, soaked as its own
     // fixture (below — not a registry key): EVERY view key vanishes
     // in one fold; the driver-OOM shape the r11 distributed

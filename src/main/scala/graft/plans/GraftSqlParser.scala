@@ -187,7 +187,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // the ON clause is one or more AND-joined qualified equalities —
   // composite keys route to CommitLog.mergeKeyed (r11)
   private val mergeRe =
-    ("""(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?""" +
+    ("""(?is)\s*MERGE\s+(?:(WITH)\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?""" +
       """\s+ON\s+((?:\w+\s*\.\s*\w+\s*=\s*\w+\s*\.\s*\w+)(?:\s+AND\s+\w+\s*\.\s*\w+\s*=\s*\w+\s*\.\s*\w+)*)""" +
       """\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
       """\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*""").r
@@ -196,8 +196,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   // CDC-apply statement (source rows carry an op marker; matched
   // deletes drop, the guard keeps unmatched delete-markers from
   // inserting — the documented Delta CDC MERGE pattern)
+  // WITH SCHEMA EVOLUTION (r15, VERDICT item 5 — Delta's clause and
+  // placement): legal on the canonical upsert form, where `UPDATE SET
+  // * / INSERT *` makes the source schema the intended new shape; the
+  // mixed CDC form REFUSES it (its source carries routing markers —
+  // e.g. `op` — that must never evolve into the table, and the
+  // statement has no way to say which columns are markers).
   private val mergeDeleteRe =
-    ("""(?is)\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?""" +
+    ("""(?is)\s*MERGE\s+(?:(WITH)\s+SCHEMA\s+EVOLUTION\s+)?INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?\s+USING\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?""" +
       """\s+ON\s+((?:\w+\s*\.\s*\w+\s*=\s*\w+\s*\.\s*\w+)(?:\s+AND\s+\w+\s*\.\s*\w+\s*=\s*\w+\s*\.\s*\w+)*)""" +
       """\s+WHEN\s+MATCHED\s+AND\s+(.+?)\s+THEN\s+DELETE""" +
       """\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*""" +
@@ -399,19 +405,25 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
         colsBlob.split(',').map(_.trim).filter(_.nonEmpty).toSeq, query)
     // the MIXED-clause form first (more specific): conditional DELETE
     // + upsert + optional insert guard (r12, the CDC-apply statement)
-    case mergeDeleteRe(ident, tAls, src, sAls, onClause, delCond, insCond)
+    case mergeDeleteRe(evo, ident, tAls, src, sAls, onClause, delCond, insCond)
         if isGraftCatalog(ident) =>
+      require(evo == null,
+        "MERGE WITH SCHEMA EVOLUTION supports the canonical upsert form " +
+          "only — a mixed-clause CDC source carries routing markers the " +
+          "table must not absorb; widen the schema explicitly " +
+          "(ALTER TABLE ADD COLUMNS) before a CDC merge")
       val tAlias = Option(tAls).getOrElse(ident.split('.').last)
       val sAlias = Option(sAls).getOrElse(src.split('.').last)
       MergeIntoGraftCommand(ident.split('.').toSeq, src,
         GraftSqlParser.mergeKeyColsOf(onClause, tAlias, sAlias),
         sourceAlias = sAlias, deleteCond = Option(delCond),
         insertCond = Option(insCond))
-    case mergeRe(ident, tAls, src, sAls, onClause) if isGraftCatalog(ident) =>
+    case mergeRe(evo, ident, tAls, src, sAls, onClause) if isGraftCatalog(ident) =>
       val tAlias = Option(tAls).getOrElse(ident.split('.').last)
       val sAlias = Option(sAls).getOrElse(src.split('.').last)
       MergeIntoGraftCommand(ident.split('.').toSeq, src,
-        GraftSqlParser.mergeKeyColsOf(onClause, tAlias, sAlias))
+        GraftSqlParser.mergeKeyColsOf(onClause, tAlias, sAlias),
+        schemaEvolution = evo != null)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -916,7 +928,8 @@ case class ReorgTableCommand(parts: Seq[String]) extends LeafRunnableCommand {
 case class MergeIntoGraftCommand(parts: Seq[String], source: String,
     keyCols: Seq[String], sourceAlias: String = "",
     deleteCond: Option[String] = None,
-    insertCond: Option[String] = None) extends LeafRunnableCommand {
+    insertCond: Option[String] = None,
+    schemaEvolution: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     GraftSqlCommands.attr("head_version"),
     GraftSqlCommands.attr("files_carried"),
@@ -954,6 +967,13 @@ case class MergeIntoGraftCommand(parts: Seq[String], source: String,
     }
     val (v, carried, rewritten) = deleteCond match {
       case None =>
+        // WITH SCHEMA EVOLUTION (r15): one metadata-only widening
+        // commit for the source's NEW columns (retypes refuse by
+        // name inside), then the ordinary shared merge path —
+        // identity/generated columns ride it unchanged
+        if (schemaEvolution)
+          CommitLog.evolveToInclude(s, root, srcRaw.schema,
+            "MERGE INTO ... WITH SCHEMA EVOLUTION")
         requireNoDupMatches(srcRaw)
         CommitLog.mergeKeyed(s, root, srcRaw, keyCols, nInsertFiles = n)
       case Some(dc) =>

@@ -1407,4 +1407,63 @@ class CatalogSpec extends SparkSpec {
     assert(qNotNull.rdd.getNumPartitions === 1 &&
       qNotNull.collect().map(_.getString(0)).toSeq === Seq("a"))
   }
+
+  test("MERGE WITH SCHEMA EVOLUTION: adds columns, never retypes; CDC form refuses the clause (r15)") {
+    val (cat, base) = freshCatalog()
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    // CREATE records the schema at v0 — the authority the no-clause
+    // negative depends on (a raw append to a schema-less dir would
+    // have nothing to refuse against)
+    spark.sql(s"CREATE TABLE $cat.me (event_id BIGINT, event_type STRING, value DOUBLE)")
+    ev.createOrReplaceTempView("me_src_base")
+    spark.sql(s"INSERT INTO $cat.me SELECT * FROM me_src_base")
+    import spark.implicits._
+    // 1. WITHOUT the clause, a new-column source refuses (the log is
+    // the schema authority)
+    val plus = ev.limit(1).withColumn("event_id", col("event_id") + 900000001L)
+      .withColumn("score", lit(1.5))
+    plus.createOrReplaceTempView("me_src_plus")
+    val ex0 = intercept[Exception] {
+      spark.sql(s"""MERGE INTO $cat.me t USING me_src_plus s
+        |ON t.event_id = s.event_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    }
+    assert(ex0.getMessage != null)
+    // 2. WITH the clause, the same merge widens then lands; the
+    // pre-merge rows null-fill the new column
+    spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.me t
+      |USING me_src_plus s ON t.event_id = s.event_id
+      |WHEN MATCHED THEN UPDATE SET *
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val after = spark.sql(s"SELECT * FROM $cat.me")
+    assert(after.columns.contains("score"))
+    assert(after.filter(col("score").isNotNull).count() === 1)
+    assert(after.count() === ev.count() + 1)
+    // 3. a RETYPED existing column still refuses BY NAME
+    val retyped = ev.limit(1).withColumn("value", lit("not-a-double"))
+      .withColumn("score", lit(2.0))
+    retyped.createOrReplaceTempView("me_src_retyped")
+    val ex = intercept[Exception] {
+      spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.me t
+        |USING me_src_retyped s ON t.event_id = s.event_id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    }
+    assert(ex.getMessage.contains("value") &&
+      ex.getMessage.contains("never retypes"), ex.getMessage)
+    // 4. the mixed CDC form refuses the clause outright: its source
+    // carries routing markers the table must not absorb
+    val cdc = plus.withColumn("op", lit("U"))
+    cdc.createOrReplaceTempView("me_src_cdc")
+    val ex2 = intercept[Exception] {
+      spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.me t
+        |USING me_src_cdc s ON t.event_id = s.event_id
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    }
+    assert(ex2.getMessage.contains("canonical upsert form"), ex2.getMessage)
+  }
 }

@@ -161,7 +161,8 @@ class RegistrySpec extends SparkSpec {
       "q_table_partition_evolve_multi", "s_table_view_chain_stream",
       // r15
       "q_sql_table_pruned_scan", "q_sql_table_pruned_scan_multi",
-      "q_table_prune_combined", "s_table_dv_rebase")
+      "q_table_prune_combined", "s_table_dv_rebase",
+      "q_sql_table_merge_evolve")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }
