@@ -211,6 +211,9 @@ object ScaleSoak {
     // r15: SQL merge evolution — one metadata-only widening commit
     // ahead of the ordinary shared merge path
     "q_sql_table_merge_evolve",
+    // r15: PRUNE ESTIMATE is one optimizer pass + one manifest parse —
+    // cost must stay flat in data volume
+    "q_sql_table_prune_estimate",
     // the r10 verdict's mass-delete scenario, soaked as its own
     // fixture (below — not a registry key): EVERY view key vanishes
     // in one fold; the driver-OOM shape the r11 distributed

@@ -2970,6 +2970,43 @@ object TableFormat {
           lit(readS.toLong).as("files_read_stats"),
           col("n_rows"), col("sum_value")))
     },
+    "q_sql_table_prune_estimate" -> { (s, dir) =>
+      // PRUNE ESTIMATE (r15, VERDICT item 7 — "a SQL surface for
+      // layout probes"): the scan's file-skipping decision as ONE
+      // inspectable statement row, zero data I/O — the statement
+      // plans the equivalent filtered SELECT through the ordinary
+      // optimizer and reads the catalog scan's metadata-only
+      // accounting, so estimate and execution share ONE pruning
+      // engine by construction. The key pins exactly that: the
+      // estimate's n_files_read equals the real SELECT's planned
+      // partition count, on a composite layout × stats probe.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_pe")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "tbl").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .withColumn("day", (col("event_id") % 7).cast("string"))
+      val m = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+      CommitLog.setTableProperty(root, "statsColumns", "event_id")
+      CommitLog.appendPartitioned(s, root,
+        ev.filter(col("event_id") <= m / 2), "day", filesPerPartition = 1)
+      CommitLog.appendPartitioned(s, root,
+        ev.filter(col("event_id") > m / 2), "day", filesPerPartition = 1)
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      val est = s.sql(s"PRUNE ESTIMATE $cat.tbl " +
+        s"WHERE day = '3' AND event_id <= ${m / 2}").collect()(0)
+      val q = s.sql(s"SELECT event_id, value FROM $cat.tbl " +
+        s"WHERE day = '3' AND event_id <= ${m / 2}")
+      val planned = q.rdd.getNumPartitions.toLong
+      ordered(q.agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("sum_value"))
+        .select(lit(est.getLong(0)).as("head_version"),
+          lit(est.getLong(1)).as("n_files_total"),
+          lit(est.getLong(2)).as("n_files_read"),
+          lit(planned).as("n_files_planned"),
+          col("n_rows"), col("sum_value")))
+    },
     "q_sql_table_merge_evolve" -> { (s, dir) =>
       // MERGE INTO ... WITH SCHEMA EVOLUTION (r15, VERDICT item 5 —
       // Delta's clause, Delta's placement): the source carries a NEW
@@ -3098,6 +3135,21 @@ object TableFormat {
         |    WHERE event_id % 7 = 3 AND event_id <= m // 2) AS sum_value""".stripMargin +
         orderByAll("n_files_total", "files_read_combined", "files_read_layout",
           "files_read_stats", "n_rows", "sum_value")),
+    "q_sql_table_prune_estimate" ->
+      ("""WITH b AS (SELECT MAX(event_id) AS m FROM events),
+        |f AS (SELECT DISTINCT event_id % 7 AS d,
+        |        event_id <= (SELECT m // 2 FROM b) AS h1 FROM events)
+        |SELECT CAST(1 AS BIGINT) AS head_version,
+        |  (SELECT COUNT(*) FROM f) AS n_files_total,
+        |  (SELECT COUNT(*) FROM f WHERE d = 3 AND h1) AS n_files_read,
+        |  (SELECT COUNT(*) FROM f WHERE d = 3 AND h1) AS n_files_planned,
+        |  (SELECT COUNT(*) FROM events, b
+        |    WHERE event_id % 7 = 3 AND event_id <= m // 2) AS n_rows,
+        |  (SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+        |    FROM events, b
+        |    WHERE event_id % 7 = 3 AND event_id <= m // 2) AS sum_value""".stripMargin +
+        orderByAll("head_version", "n_files_total", "n_files_read",
+          "n_files_planned", "n_rows", "sum_value")),
     "q_sql_table_merge_evolve" ->
       ("""WITH fin AS (
         |  SELECT event_id,

@@ -353,6 +353,18 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
       .toArray.map(Expressions.column)
   override def filter(filters: Array[Filter]): Unit = { runtime = filters }
 
+  /** Metadata-only prune accounting — the SAME decision
+    * planInputPartitions makes, with zero partition objects and zero
+    * data I/O: (version, filesTotal, filesRead, pushedFilterCount).
+    * The PRUNE ESTIMATE statement reads this off the optimized plan's
+    * scan, so estimate and execution share one pruning engine. */
+  def pruneAccounting: (Long, Int, Int, Int) = {
+    val probes = GraftFilterPushdown.translate((pushed ++ runtime).toSeq, meta)
+    val (keep, total) = CommitLog.prunedFilesCombined(root, version,
+      probes.parts.toSeq, probes.ranges)
+    (version, total, keep.size, pushed.length)
+  }
+
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
       val probes = GraftFilterPushdown.translate(

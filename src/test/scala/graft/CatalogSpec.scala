@@ -1466,4 +1466,34 @@ class CatalogSpec extends SparkSpec {
     }
     assert(ex2.getMessage.contains("canonical upsert form"), ex2.getMessage)
   }
+
+  test("PRUNE ESTIMATE: zero-I/O skipping report, consistent with execution; DETAIL lists stats columns (r15)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "pe").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("day", (col("event_id") % 7).cast("string"))
+    val m = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+    CommitLog.setTableProperty(root, "statsColumns", "event_id")
+    CommitLog.appendPartitioned(spark, root,
+      ev.filter(col("event_id") <= m / 2), "day", filesPerPartition = 1)
+    CommitLog.appendPartitioned(spark, root,
+      ev.filter(col("event_id") > m / 2), "day", filesPerPartition = 1)
+    val est = spark.sql(s"PRUNE ESTIMATE $cat.pe " +
+      s"WHERE day = '3' AND event_id <= ${m / 2}").collect()(0)
+    assert(est.getLong(1) === 14 && est.getLong(2) === 1, est.toString)
+    assert(est.getLong(3) >= 2, "both translatable predicates must report as pushed")
+    // the estimate matches what execution actually plans
+    val q = spark.sql(s"SELECT event_id FROM $cat.pe " +
+      s"WHERE day = '3' AND event_id <= ${m / 2}")
+    assert(q.rdd.getNumPartitions.toLong === est.getLong(2))
+    // an untranslatable predicate estimates the full file list (and
+    // still answers correctly at execution)
+    val est2 = spark.sql(s"PRUNE ESTIMATE $cat.pe WHERE day LIKE '3%'").collect()(0)
+    assert(est2.getLong(2) === 14, est2.toString)
+    // DESCRIBE DETAIL now reports the recorded stats columns (last
+    // column — positional readers of the r10 columns are unaffected)
+    val d = spark.sql(s"DESCRIBE DETAIL $cat.pe").collect()(0)
+    assert(d.getString(d.length - 1) === "event_id")
+  }
 }
