@@ -78,9 +78,16 @@ object CommitLog {
       // one snapshot; partCol/parts stay the CURRENT spec (partCol
       // comma-joins a composite spec; the legacy single-column
       // encoding pre-evolution manifests carry is parsed unchanged).
-      layouts: Map[String, Seq[(String, String)]] = Map.empty) {
+      layouts: Map[String, Seq[(String, String)]] = Map.empty,
+      // per-file byte sizes (r15): recorded at append time so size
+      // estimation (join planning over pruned scans) is pure log
+      // metadata — no stat call per file per query at 100 TB; files
+      // without an entry fall back to one stat call (mixed manifests
+      // estimate correctly, just less cheaply)
+      sizes: Map[String, Long] = Map.empty) {
     def isEmpty: Boolean =
-      parts.isEmpty && stats2.isEmpty && dvs.isEmpty && layouts.isEmpty
+      parts.isEmpty && stats2.isEmpty && dvs.isEmpty && layouts.isEmpty &&
+        sizes.isEmpty
     /** The ordered layout a file was WRITTEN under: its
       * per-generation entry, falling back to the manifest-level
       * current spec (legacy single-spec manifests record only
@@ -98,7 +105,8 @@ object CommitLog {
       parts.filter(kv => keep(kv._1)),
       statsTags, stats2.filter(kv => keep(kv._1)),
       dvs.filter(kv => keep(kv._1)),
-      layouts.filter(kv => keep(kv._1)))
+      layouts.filter(kv => keep(kv._1)),
+      sizes.filter(kv => keep(kv._1)))
     /** Prior metadata + a newer writer's entries (newer wins on a
       * shared file — except deletion vectors, which ACCUMULATE: each
       * merge-on-read delete adds a sidecar; tag conflicts on a shared
@@ -120,7 +128,8 @@ object CommitLog {
         (dvs.keySet ++ newer.dvs.keySet).map(f =>
           f -> (dvs.getOrElse(f, Nil) ++ newer.dvs.getOrElse(f, Nil)).distinct)
           .filter(_._2.nonEmpty).toMap,
-        layouts ++ newer.layouts)
+        layouts ++ newer.layouts,
+        sizes ++ newer.sizes)
     }
   }
 
@@ -172,7 +181,12 @@ object CommitLog {
               .mkString(",") + "]"
         }.mkString(",") + "}"
     }
-    p + s2 + dv + ly
+    val sz = if (aux.sizes.isEmpty) "" else {
+      s""","sizes":{""" +
+        aux.sizes.toSeq.sortBy(_._1).map { case (f, n) =>
+          s"""${jstr(f)}:$n""" }.mkString(",") + "}"
+    }
+    p + s2 + dv + ly + sz
   }
 
   /** Hand-built JSON (strings are path-safe by construction: UUID file
@@ -372,7 +386,12 @@ object CommitLog {
       }
       b.result()
     }.getOrElse(Map.empty[String, Seq[(String, String)]])
-    Aux(partCol, parts, tags, stats2, dvs, layouts)
+    val sizes = Option(node.get("sizes")).map { p =>
+      val it = p.fields(); val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
+      b.result()
+    }.getOrElse(Map.empty[String, Long])
+    Aux(partCol, parts, tags, stats2, dvs, layouts, sizes)
   }
 
   /** A writer-defined numeric manifest field (threaded through
@@ -776,6 +795,21 @@ object CommitLog {
   private def carriedSchemaJson(root: String, prev: Option[Long]): Option[String] =
     prev.flatMap(v => snapshotSchemaOf(root, v)).map(_.json)
 
+  /** The carried log schema, RECORDED from this write's frame when the
+    * table has none yet (r15): Delta's contract — the log is the
+    * schema authority from the FIRST commit, not only from CREATE
+    * TABLE / the first evolution. Before this, an API-built table had
+    * no recorded schema, so every catalog load paid a parquet
+    * footer-infer job over the full file list (a listing the log
+    * exists to avoid — at 100 TB that is thousands of footer reads at
+    * PLAN time), and commit-time type checking silently never fired.
+    * Legacy schema-less tables backfill on their next append; the
+    * subset-and-narrower write contract (requireSchemaCompatible) is
+    * unchanged. */
+  private def schemaOrRecord(root: String, prev: Option[Long],
+      df: DataFrame): Option[String] =
+    carriedSchemaJson(root, prev).orElse(Some(df.schema.json))
+
   /** Aux metadata carry (the stats-carry rule generalized): partition
     * values and typed column stats are per-FILE facts, so any commit
     * that lists a file forward lists its entries forward too. */
@@ -972,9 +1006,10 @@ object CommitLog {
     val staged = stageDataFiles(s, root, df, nFiles)
     val v = commit(root, prevFiles ++ staged, prev,
       statsCol = prevCol, stats = prevStats,
-      schemaJson = carriedSchemaJson(root, prev),
+      schemaJson = schemaOrRecord(root, prev, df),
       extra = auxExtra(carriedAux(root, prev)
-        .merged(declaredColStats(s, root, staged, df))),
+        .merged(declaredColStats(s, root, staged, df))
+        .merged(stagedSizes(root, staged))),
       newIdHwm = idHwm)
     maybeAutoCompact(s, root, v)
     v
@@ -993,6 +1028,13 @@ object CommitLog {
     * Cost: one groupBy(input_file_name) aggregate over the staged
     * files per commit, the same staging-time shape appendWithStats
     * has always paid. */
+  /** Per-file byte sizes of the staged files (r15) — one local stat
+    * call each at WRITE time (the files were just written here), so
+    * size estimation never stats at plan time. */
+  private def stagedSizes(root: String, staged: Seq[String]): Aux =
+    Aux(sizes = staged.map(f =>
+      f -> new java.io.File(root, f).length()).toMap)
+
   private def declaredColStats(s: SparkSession, root: String,
       staged: Seq[String], df: DataFrame): Aux =
     tableProperty(root, "statsColumns") match {
@@ -1675,8 +1717,9 @@ object CommitLog {
     commit(root, prevFiles ++ staged, prev,
       statsCol = Some(statsCol),
       stats = prevStats ++ perFileStats(s, root, staged, statsCol),
-      schemaJson = carriedSchemaJson(root, prev),
-      extra = auxExtra(carriedAux(root, prev)))
+      schemaJson = schemaOrRecord(root, prev, df),
+      extra = auxExtra(carriedAux(root, prev)
+        .merged(stagedSizes(root, staged))))
   }
 
   /** Stats-pruned scan: the files of `version` whose [min, max] range
@@ -1918,8 +1961,9 @@ object CommitLog {
       }
     commit(root, prevFiles ++ staged, prev,
       statsCol = prevCol, stats = prevStats,
-      schemaJson = carriedSchemaJson(root, prev),
-      extra = auxExtra(fullAux.merged(declaredColStats(s, root, staged, df)))
+      schemaJson = schemaOrRecord(root, prev, df),
+      extra = auxExtra(fullAux.merged(declaredColStats(s, root, staged, df))
+        .merged(stagedSizes(root, staged)))
         ++ extraMeta ++ extraFromStaged(staged, aux),
       newIdHwm = idHwm)
   }
@@ -2064,9 +2108,10 @@ object CommitLog {
     val staged = stageDataFiles(s, root, df, nFiles)
     commit(root, prevFiles ++ staged, prev,
       statsCol = prevCol, stats = prevStats,
-      schemaJson = carriedSchemaJson(root, prev),
+      schemaJson = schemaOrRecord(root, prev, df),
       extra = auxExtra(carriedAux(root, prev)
-        .merged(perFileColStats(s, root, staged, cols))))
+        .merged(perFileColStats(s, root, staged, cols))
+        .merged(stagedSizes(root, staged))))
   }
 
   /** One range probe against the typed stats: column, inclusive lo,
@@ -2467,8 +2512,9 @@ object CommitLog {
     try {
       commit(root, prevFiles ++ staged, prev,
         statsCol = prevCol, stats = prevStats,
-        schemaJson = carriedSchemaJson(root, prev),
-        extra = auxExtra(carriedAux(root, prev)),
+        schemaJson = schemaOrRecord(root, prev, df),
+        extra = auxExtra(carriedAux(root, prev)
+          .merged(stagedSizes(root, staged))),
         newIdHwm = idHwm)
       true
     } catch {
@@ -2502,8 +2548,9 @@ object CommitLog {
     try {
       commit(root, prevFiles ++ staged, prev,
         statsCol = prevCol, stats = prevStats,
-        schemaJson = carriedSchemaJson(root, prev),
-        extra = auxExtra(carriedAux(root, prev).merged(aux)),
+        schemaJson = schemaOrRecord(root, prev, df),
+        extra = auxExtra(carriedAux(root, prev).merged(aux)
+          .merged(stagedSizes(root, staged))),
         newIdHwm = idHwm)
       true
     } catch {
@@ -3505,8 +3552,8 @@ object CommitLog {
     * tables (or frames that dropped the partition column) stage
     * plain, as before. */
   private def stageRewrite(s: SparkSession, root: String, aux: Aux,
-      df: DataFrame, nFiles: Int): (Seq[String], Aux) =
-    aux.partCol match {
+      df: DataFrame, nFiles: Int): (Seq[String], Aux) = {
+    val (staged, a) = aux.partCol match {
       // a comma-joined partCol is a COMPOSITE spec (r14): a rewrite
       // keeps the tuple layout when the frame carries EVERY spec
       // column (else it stages plain, as before — pruning only ever
@@ -3517,6 +3564,10 @@ object CommitLog {
           pc.split(',').map(_.trim).toSeq, filesPerPartition = 1)
       case _ => (stageDataFiles(s, root, df, nFiles), Aux())
     }
+    // freshly rewritten files record their sizes like any append
+    // (r15) — size estimation stays pure metadata across CoW
+    (staged, a.merged(stagedSizes(root, staged)))
+  }
 
   /** Typed-stats maintenance across CoW rewrites (r10): when the
     * table records statsTags, recompute per-file bounds for freshly
@@ -3874,9 +3925,17 @@ object CommitLog {
         prev.map(v => snapshotStatsOf(root, v)).getOrElse((None, Map.empty[String, (Long, Long)]))
       beforeCommit()
       try {
+        // carry the head's per-file aux metadata (r15 FIX: this
+        // commit previously rendered NO aux extra, so a retry append
+        // racing a merge-on-read delete dropped the table's deletion
+        // vectors from the new manifest — masked rows resurrected;
+        // same silent loss for partition entries and typed stats).
+        // StreamingSpec pins the carry under a forced race.
         val v = commit(root, prevFiles ++ staged, prev,
           statsCol = prevCol, stats = prevStats,
-          schemaJson = carriedSchemaJson(root, prev),
+          schemaJson = schemaOrRecord(root, prev, dfStaged),
+          extra = auxExtra(carriedAux(root, prev)
+            .merged(stagedSizes(root, staged))),
           newIdHwm = stagedHwm)
         // the multi-writer/streaming-ingest path is exactly where the
         // small files accumulate — the autoCompact policy must fire

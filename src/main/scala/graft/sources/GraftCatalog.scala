@@ -335,7 +335,8 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
   * maintenance all address one table name. */
 class GraftBatchScan(root: String, version: Long, projected: StructType,
     pushed: Array[Filter], ignoreChanges: Boolean, startingVersion: Long)
-    extends Scan with SupportsRuntimeFiltering {
+    extends Scan with SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   private lazy val meta = GraftFilterPushdown.pruneMetaOf(root, version)
   @volatile private var runtime: Array[Filter] = Array.empty
@@ -343,6 +344,32 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
   override def readSchema(): StructType = projected
   override def description(): String =
     s"graft@v$version PushedPruneFilters: ${pushed.mkString("[", ", ", "]")}"
+
+  /** PRUNED size statistics (r15): Spark asks the scan for its size
+    * right after pushdown, and the answer drives join planning — a
+    * catalog table filtered down to one partition should BROADCAST,
+    * and without this method a V2 scan reports defaultSizeInBytes
+    * (effectively infinite), forcing a shuffle join however small the
+    * surviving read is. The estimate sums the SURVIVING files'
+    * MANIFEST-RECORDED sizes (every append/rewrite records them since
+    * r15 — pure log metadata, zero I/O); files a pre-r15 writer
+    * staged fall back to one stat call each (bounded by the prune
+    * result, never a directory listing). Row count stays unreported —
+    * the manifest does not record per-file row counts. */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val probes = GraftFilterPushdown.translate((pushed ++ runtime).toSeq, meta)
+    val (keep, _) = CommitLog.prunedFilesCombined(root, version,
+      probes.parts.toSeq, probes.ranges)
+    val sizes = CommitLog.auxOf(root, version).sizes
+    val bytes = keep.map(rel =>
+      sizes.getOrElse(rel, new java.io.File(root, rel).length())).sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   /** Columns a runtime filter can skip files on: every layout column
     * any generation recorded, plus every column with typed (or

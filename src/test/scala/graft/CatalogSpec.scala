@@ -1496,4 +1496,61 @@ class CatalogSpec extends SparkSpec {
     val d = spark.sql(s"DESCRIBE DETAIL $cat.pe").collect()(0)
     assert(d.getString(d.length - 1) === "event_id")
   }
+
+  test("first commit records the schema: no infer fallback, commit-time typing from write one (r15)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "sr").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    CommitLog.append(spark, root, ev, nFiles = 1)
+    // the log carries the schema from the FIRST append — the catalog
+    // load never touches a parquet footer
+    assert(CommitLog.snapshotSchemaOf(root, 0L).isDefined,
+      "a plain first append must record the frame's schema")
+    assert(spark.sql(s"SELECT * FROM $cat.sr").schema.fieldNames.toSeq ===
+      Seq("event_id", "event_type", "value"))
+    // and commit-time type checking is live on an API-built table:
+    // an extra column refuses (use appendEvolved), a retype refuses
+    val extra = ev.limit(1).withColumn("bonus", lit(1))
+    val ex = intercept[Exception] {
+      CommitLog.append(spark, root, extra, nFiles = 1)
+    }
+    assert(ex.getMessage.contains("bonus"), ex.getMessage)
+    val retyped = ev.limit(1).withColumn("value", lit("oops"))
+    val ex2 = intercept[Exception] {
+      CommitLog.append(spark, root, retyped, nFiles = 1)
+    }
+    assert(ex2.getMessage.contains("value"), ex2.getMessage)
+  }
+
+  test("pruned-size statistics drive join planning: a filtered catalog side broadcasts (r15)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "bc").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    CommitLog.appendPartitioned(spark, root, ev, "event_type", filesPerPartition = 2)
+    val files = CommitLog.snapshotFiles(root, CommitLog.latestVersion(root).get)
+    val totalBytes = files.map(f => new java.io.File(f).length()).sum
+    // threshold sits between the pruned size (~1/5 of total) and the
+    // full size: only the PRUNED estimate can clear it
+    val threshold = totalBytes / 2
+    val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold.toString)
+    try {
+      val other = Tables(spark, sf, "events")
+        .select(col("event_id"), col("user_id"))
+      other.createOrReplaceTempView("bc_other")
+      val q = spark.sql(s"""SELECT o.user_id, f.value FROM bc_other o
+        |JOIN $cat.bc f ON o.event_id = f.event_id
+        |WHERE f.event_type = 'click'""".stripMargin)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"the pruned catalog side (1/5 of $totalBytes bytes < $threshold) " +
+          s"must broadcast:\n${plan.take(2000)}")
+      // and the result is exact
+      assert(q.count() === ev.filter(col("event_type") === "click").count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+    }
+  }
 }

@@ -1464,6 +1464,45 @@ class StreamingSpec extends SparkSpec {
     assert(nData === 5, s"retry re-staged data files: $nData on disk")
   }
 
+  test("commit log: appendWithRetry carries the head's per-file metadata — DVs survive a racing append (r15 FIX)") {
+    import graft.sources.{CommitLog, Tables}
+    // before r15 the retry commit rendered NO aux extra: an append
+    // racing a merge-on-read delete published a manifest WITHOUT the
+    // head's deletion vectors — every masked row silently resurrected
+    // (and partition entries / typed stats vanished the same way).
+    val root = java.nio.file.Files.createTempDirectory("graft_cl_retry_aux").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 2 === 0), nFiles = 2)
+    val (vDel, _, nMasked) = CommitLog.deleteMergeOnRead(spark, root,
+      col("user_id") % 4 === 1)
+    assert(nMasked > 0)
+    val masked = CommitLog.read(spark, root, vDel)
+      .filter(col("user_id") % 4 === 1).count()
+    assert(masked === 0L, "the MoR delete must mask its rows")
+    // the racing retry append must CARRY the vectors into its manifest
+    val v = CommitLog.appendWithRetry(spark, root,
+      ev.filter(col("event_id") % 2 === 1), nFiles = 1)
+    val aux = CommitLog.auxOf(root, v)
+    assert(aux.dvs.nonEmpty,
+      "appendWithRetry dropped the head's deletion vectors from its manifest")
+    val after = CommitLog.read(spark, root, v)
+    assert(after.filter(col("event_id") % 2 === 0 && col("user_id") % 4 === 1)
+      .count() === 0L,
+      "masked rows resurrected after a retry append")
+    assert(after.count() ===
+      ev.filter(col("event_id") % 2 === 0 && col("user_id") % 4 =!= 1).count() +
+      ev.filter(col("event_id") % 2 === 1).count())
+    // and the size metadata is carried + extended (r15): every live
+    // file of the new head has a recorded byte size
+    val files = CommitLog.snapshotFiles(root, v).map { f =>
+      val jf = new java.io.File(f)
+      jf.getParentFile.getName + "/" + jf.getName
+    }
+    assert(files.forall(aux.sizes.contains),
+      s"missing size entries: ${files.filterNot(aux.sizes.contains)}")
+  }
+
   test("commit log: optimize is data-neutral, pinned readers untouched, changes() refuses across it (r9)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_cl_opt").toString
