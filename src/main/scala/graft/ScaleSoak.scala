@@ -214,6 +214,9 @@ object ScaleSoak {
     // r15: PRUNE ESTIMATE is one optimizer pass + one manifest parse —
     // cost must stay flat in data volume
     "q_sql_table_prune_estimate",
+    // r15: the metadata COUNT/MIN/MAX — cost must be flat (one
+    // manifest parse) however large the data grows
+    "q_sql_table_agg_pushdown",
     // the r10 verdict's mass-delete scenario, soaked as its own
     // fixture (below — not a registry key): EVERY view key vanishes
     // in one fold; the driver-OOM shape the r11 distributed

@@ -2970,6 +2970,37 @@ object TableFormat {
           lit(readS.toLong).as("files_read_stats"),
           col("n_rows"), col("sum_value")))
     },
+    "q_sql_table_agg_pushdown" -> { (s, dir) =>
+      // METADATA AGGREGATES (r15): the unfiltered COUNT(*)/MIN/MAX —
+      // the first query anyone runs on a new table — answers from
+      // the MANIFEST alone (footer-derived per-file row counts,
+      // exact per-column bounds), zero data I/O: on 100 TB that is
+      // one manifest parse instead of a full scan. Complete pushdown
+      // only where exact — deletion vectors, missing stats, GROUP
+      // BY, DISTINCT or any residual filter refuse and scan
+      // (CatalogSpec pins each refusal). The key emits a plan-proof
+      // flag: answered_from_manifest = 1 certifies the executed plan
+      // carried the metadata-aggregate scan, not a data read.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_agp")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "tbl").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("event_type"), col("value"))
+      CommitLog.setTableProperty(root, "statsColumns", "event_id")
+      CommitLog.append(s, root, ev.filter(col("event_id") % 2 === 0), nFiles = 2)
+      CommitLog.append(s, root, ev.filter(col("event_id") % 2 === 1), nFiles = 2)
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      val q = s.sql(s"""SELECT COUNT(*) AS n_rows,
+        |COUNT(event_id) AS n_ids, MIN(event_id) AS min_id,
+        |MAX(event_id) AS max_id FROM $cat.tbl""".stripMargin)
+      val fromManifest =
+        if (q.queryExecution.executedPlan.toString.contains("metadata-aggregate")) 1L
+        else 0L
+      ordered(q.select(lit(fromManifest).as("answered_from_manifest"),
+        col("n_rows"), col("n_ids"), col("min_id"), col("max_id")))
+    },
     "q_sql_table_prune_estimate" -> { (s, dir) =>
       // PRUNE ESTIMATE (r15, VERDICT item 7 — "a SQL surface for
       // layout probes"): the scan's file-skipping decision as ONE
@@ -3135,6 +3166,14 @@ object TableFormat {
         |    WHERE event_id % 7 = 3 AND event_id <= m // 2) AS sum_value""".stripMargin +
         orderByAll("n_files_total", "files_read_combined", "files_read_layout",
           "files_read_stats", "n_rows", "sum_value")),
+    "q_sql_table_agg_pushdown" ->
+      ("""SELECT CAST(1 AS BIGINT) AS answered_from_manifest,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(event_id) AS n_ids,
+        |  MIN(event_id) AS min_id,
+        |  MAX(event_id) AS max_id
+        |FROM events""".stripMargin +
+        orderByAll("answered_from_manifest", "n_rows", "n_ids", "min_id", "max_id")),
     "q_sql_table_prune_estimate" ->
       ("""WITH b AS (SELECT MAX(event_id) AS m FROM events),
         |f AS (SELECT DISTINCT event_id % 7 AS d,

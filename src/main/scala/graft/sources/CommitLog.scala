@@ -84,10 +84,15 @@ object CommitLog {
       // metadata — no stat call per file per query at 100 TB; files
       // without an entry fall back to one stat call (mixed manifests
       // estimate correctly, just less cheaply)
-      sizes: Map[String, Long] = Map.empty) {
+      sizes: Map[String, Long] = Map.empty,
+      // per-file ROW counts (r15): one parquet footer read per staged
+      // file at WRITE time (the VectorIndex cellCounts lever, now for
+      // every table) — powers numRows statistics and the metadata
+      // COUNT(*) answer; files without an entry simply disable both
+      rows: Map[String, Long] = Map.empty) {
     def isEmpty: Boolean =
       parts.isEmpty && stats2.isEmpty && dvs.isEmpty && layouts.isEmpty &&
-        sizes.isEmpty
+        sizes.isEmpty && rows.isEmpty
     /** The ordered layout a file was WRITTEN under: its
       * per-generation entry, falling back to the manifest-level
       * current spec (legacy single-spec manifests record only
@@ -106,7 +111,8 @@ object CommitLog {
       statsTags, stats2.filter(kv => keep(kv._1)),
       dvs.filter(kv => keep(kv._1)),
       layouts.filter(kv => keep(kv._1)),
-      sizes.filter(kv => keep(kv._1)))
+      sizes.filter(kv => keep(kv._1)),
+      rows.filter(kv => keep(kv._1)))
     /** Prior metadata + a newer writer's entries (newer wins on a
       * shared file — except deletion vectors, which ACCUMULATE: each
       * merge-on-read delete adds a sidecar; tag conflicts on a shared
@@ -129,7 +135,8 @@ object CommitLog {
           f -> (dvs.getOrElse(f, Nil) ++ newer.dvs.getOrElse(f, Nil)).distinct)
           .filter(_._2.nonEmpty).toMap,
         layouts ++ newer.layouts,
-        sizes ++ newer.sizes)
+        sizes ++ newer.sizes,
+        rows ++ newer.rows)
     }
   }
 
@@ -186,7 +193,12 @@ object CommitLog {
         aux.sizes.toSeq.sortBy(_._1).map { case (f, n) =>
           s"""${jstr(f)}:$n""" }.mkString(",") + "}"
     }
-    p + s2 + dv + ly + sz
+    val rw = if (aux.rows.isEmpty) "" else {
+      s""","rows":{""" +
+        aux.rows.toSeq.sortBy(_._1).map { case (f, n) =>
+          s"""${jstr(f)}:$n""" }.mkString(",") + "}"
+    }
+    p + s2 + dv + ly + sz + rw
   }
 
   /** Hand-built JSON (strings are path-safe by construction: UUID file
@@ -391,7 +403,12 @@ object CommitLog {
       while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
       b.result()
     }.getOrElse(Map.empty[String, Long])
-    Aux(partCol, parts, tags, stats2, dvs, layouts, sizes)
+    val rows = Option(node.get("rows")).map { p =>
+      val it = p.fields(); val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
+      b.result()
+    }.getOrElse(Map.empty[String, Long])
+    Aux(partCol, parts, tags, stats2, dvs, layouts, sizes, rows)
   }
 
   /** A writer-defined numeric manifest field (threaded through
@@ -1028,12 +1045,25 @@ object CommitLog {
     * Cost: one groupBy(input_file_name) aggregate over the staged
     * files per commit, the same staging-time shape appendWithStats
     * has always paid. */
-  /** Per-file byte sizes of the staged files (r15) — one local stat
-    * call each at WRITE time (the files were just written here), so
-    * size estimation never stats at plan time. */
-  private def stagedSizes(root: String, staged: Seq[String]): Aux =
-    Aux(sizes = staged.map(f =>
-      f -> new java.io.File(root, f).length()).toMap)
+  /** Per-file byte sizes AND row counts of the staged files (r15) —
+    * one local stat call + one parquet footer read each at WRITE time
+    * (the files were just written here, still page-cache-hot), so
+    * size estimation and the metadata COUNT(*) answer never touch a
+    * data file at plan time. */
+  private def stagedSizes(root: String, staged: Seq[String]): Aux = {
+    def footerRows(p: java.io.File): Long = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.getAbsolutePath),
+          new org.apache.hadoop.conf.Configuration()))
+      try r.getRecordCount finally r.close()
+    }
+    Aux(
+      sizes = staged.map(f =>
+        f -> new java.io.File(root, f).length()).toMap,
+      rows = staged.map(f =>
+        f -> footerRows(new java.io.File(root, f))).toMap)
+  }
 
   private def declaredColStats(s: SparkSession, root: String,
       staged: Seq[String], df: DataFrame): Aux =

@@ -245,9 +245,11 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
     val startingVersion =
       Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
     new ScanBuilder with SupportsPushDownRequiredColumns
-        with SupportsPushDownFilters {
+        with SupportsPushDownFilters
+        with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
       private var projected: StructType = tableSchema
       private var accepted: Array[Filter] = Array.empty
+      private var aggAnswer: Option[(StructType, Array[Any])] = None
       override def pruneColumns(requiredSchema: StructType): Unit =
         projected =
           if (requiredSchema.fields.isEmpty)
@@ -266,8 +268,28 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
         filters
       }
       override def pushedFilters(): Array[Filter] = accepted
-      override def build(): Scan = new GraftBatchScan(root, version,
-        projected, accepted, ignoreChanges, startingVersion)
+      /** METADATA aggregates (r15): COUNT(*)/COUNT(c)/MIN(c)/MAX(c)
+        * with no GROUP BY answer from the manifest alone when the
+        * answer is exact (footer-derived row counts, per-column
+        * nullCounts, exact bounds; refused under deletion vectors).
+        * Spark only attempts this when NO residual filter remains
+        * above the scan — and this source keeps every filter as a
+        * residual, so a filtered aggregate always scans. */
+      override def supportCompletePushDown(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+        // recomputed per call — Spark may probe more than once, and a
+        // stale answer for a different aggregation must never leak
+        aggAnswer = GraftAggPushdown.answer(root, version, tableSchema, agg)
+        aggAnswer.isDefined
+      }
+      override def pushAggregation(
+          agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+        supportCompletePushDown(agg)
+      override def build(): Scan = aggAnswer match {
+        case Some((schema, row)) => new GraftAggResultScan(schema, row)
+        case None => new GraftBatchScan(root, version,
+          projected, accepted, ignoreChanges, startingVersion)
+      }
     }
   }
 

@@ -196,3 +196,161 @@ object GraftScanStats {
   def lastFor(root: String): Option[Prune] =
     Option(last.get(new java.io.File(root).getCanonicalPath))
 }
+
+/** METADATA aggregate answers (r15): `SELECT COUNT(*) / COUNT(c) /
+  * MIN(c) / MAX(c) FROM cat.tbl` answered from the manifest alone —
+  * per-file row counts (footer-derived at write), per-column
+  * nullCounts and exact min/max bounds — so the canonical "how big is
+  * this table" query on 100 TB is one manifest parse, zero data I/O.
+  *
+  * Complete pushdown ONLY when the metadata answer is EXACT:
+  *   - no GROUP BY, no DISTINCT;
+  *   - no deletion vectors anywhere in the snapshot (a masked row
+  *     invalidates counts AND could be the min/max);
+  *   - COUNT(*): every live file has a recorded row count;
+  *   - COUNT(c): row counts + a stats entry (nullCount) for c on
+  *     every file;
+  *   - MIN/MAX(c): a stats entry for c on every file (bounds are
+  *     exact per-file min/max, so their fold is the exact answer; an
+  *     all-NULL file contributes nothing, exactly like the aggregate).
+  * Anything else refuses and the ordinary scan runs. Spark only
+  * attempts aggregate pushdown when no residual filter remains above
+  * the scan, and this source keeps EVERY filter as a residual — so a
+  * filtered aggregate always takes the ordinary path, never a
+  * metadata shortcut that ignores the predicate. */
+object GraftAggPushdown {
+  import org.apache.spark.sql.connector.expressions.aggregate._
+  import org.apache.spark.sql.types._
+
+  /** (output schema, one internal-format result row) when the whole
+    * aggregation is answerable from the manifest; None refuses. */
+  def answer(root: String, version: Long, tableSchema: StructType,
+      agg: Aggregation): Option[(StructType, Array[Any])] = {
+    if (agg.groupByExpressions.nonEmpty) return None
+    val files = CommitLog.snapshotFiles(root, version).map { f =>
+      val jf = new java.io.File(f)
+      jf.getParentFile.getName + "/" + jf.getName
+    }
+    val aux = CommitLog.auxOf(root, version)
+    if (aux.dvs.exists(_._2.nonEmpty)) return None
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case ref: org.apache.spark.sql.connector.expressions.NamedReference
+            if ref.fieldNames.length == 1 => Some(ref.fieldNames()(0))
+        case _ => None
+      }
+    def rowsExact: Option[Long] =
+      if (files.forall(aux.rows.contains)) Some(files.map(aux.rows).sum)
+      else None
+    def statsFor(c: String): Option[Seq[CommitLog.ColStat]] =
+      if (files.forall(f => aux.stats2.get(f).exists(_.contains(c))))
+        Some(files.map(f => aux.stats2(f)(c)))
+      else None
+    // manifest values → Spark INTERNAL representation under the
+    // column's type (stats store long/ts-micros/epoch-days/double/
+    // string — the internal forms of timestamp and date already)
+    def internal(dt: DataType, v: Any): Any = (dt, v) match {
+      case (LongType, l: Long) => l
+      case (IntegerType, l: Long) => l.toInt
+      case (ShortType, l: Long) => l.toShort
+      case (ByteType, l: Long) => l.toByte
+      case (DateType, l: Long) => l.toInt
+      case (TimestampType | TimestampNTZType, l: Long) => l
+      case (DoubleType, d: Double) => d
+      case (FloatType, d: Double) => d.toFloat
+      case (StringType, s: String) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(s)
+      case _ => return null // unreachable under statTagOf's domain
+    }
+    val out = Seq.newBuilder[(StructField, Any)]
+    agg.aggregateExpressions.foreach {
+      case _: CountStar =>
+        rowsExact match {
+          case Some(n) => out += StructField("count(*)", LongType, nullable = false) -> n
+          case None => return None
+        }
+      case c: Count if !c.isDistinct =>
+        (for {
+          col <- colOf(c.column)
+          total <- rowsExact
+          sts <- statsFor(col)
+        } yield total - sts.map(_.nulls).sum) match {
+          case Some(n) =>
+            out += StructField(s"count", LongType, nullable = false) -> n
+          case None => return None
+        }
+      case m: Min =>
+        (for {
+          col <- colOf(m.column)
+          sts <- statsFor(col)
+          dt = tableSchema(col).dataType
+        } yield {
+          val los = sts.flatMap(_.lo)
+          val v = if (los.isEmpty) null else internal(dt, minOf(los))
+          StructField("min", dt, nullable = true) -> v
+        }) match {
+          case Some(fv) => out += fv
+          case None => return None
+        }
+      case m: Max =>
+        (for {
+          col <- colOf(m.column)
+          sts <- statsFor(col)
+          dt = tableSchema(col).dataType
+        } yield {
+          val his = sts.flatMap(_.hi)
+          val v = if (his.isEmpty) null else internal(dt, maxOf(his))
+          StructField("max", dt, nullable = true) -> v
+        }) match {
+          case Some(fv) => out += fv
+          case None => return None
+        }
+      case _ => return None
+    }
+    val fields = out.result()
+    Some((StructType(fields.map(_._1)), fields.map(_._2).toArray))
+  }
+
+  private def cmpAny(a: Any, b: Any): Int = (a, b) match {
+    case (x: Long, y: Long) => java.lang.Long.compare(x, y)
+    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
+    case (x: String, y: String) => x.compareTo(y)
+    case _ => 0
+  }
+  private def minOf(vs: Seq[Any]): Any = vs.reduce((a, b) => if (cmpAny(a, b) <= 0) a else b)
+  private def maxOf(vs: Seq[Any]): Any = vs.reduce((a, b) => if (cmpAny(a, b) >= 0) a else b)
+}
+
+/** The one-row scan a completely-pushed aggregation returns. */
+class GraftAggResultScan(schema: org.apache.spark.sql.types.StructType,
+    values: Array[Any])
+    extends org.apache.spark.sql.connector.read.Scan {
+  import org.apache.spark.sql.connector.read._
+  override def readSchema(): org.apache.spark.sql.types.StructType = schema
+  override def description(): String =
+    s"graft metadata-aggregate ${schema.fieldNames.mkString("[", ", ", "]")}"
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(GraftAggResultPartition(values))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new GraftAggResultReaderFactory
+  }
+}
+
+case class GraftAggResultPartition(values: Array[Any])
+    extends org.apache.spark.sql.connector.read.InputPartition
+
+class GraftAggResultReaderFactory
+    extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
+  override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
+      : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
+    val vs = p.asInstanceOf[GraftAggResultPartition].values
+    new org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): org.apache.spark.sql.catalyst.InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vs)
+      override def close(): Unit = ()
+    }
+  }
+}

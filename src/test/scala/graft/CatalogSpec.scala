@@ -1553,4 +1553,46 @@ class CatalogSpec extends SparkSpec {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
     }
   }
+
+  test("metadata aggregates: COUNT/MIN/MAX answer from the manifest; deletion vectors refuse (r15)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "ag").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    CommitLog.setTableProperty(root, "statsColumns", "event_id,event_type")
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 2 === 0), nFiles = 2)
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 2 === 1), nFiles = 2)
+    val q = spark.sql(
+      s"SELECT COUNT(*), COUNT(event_type), MIN(event_id), MAX(event_id) FROM $cat.ag")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("metadata-aggregate"),
+      s"the unfiltered aggregate must answer from the manifest:\n${plan.take(1500)}")
+    val r = q.collect()(0)
+    val w = ev.agg(count(lit(1)), count(col("event_type")),
+      min(col("event_id")), max(col("event_id"))).collect()(0)
+    assert(r === w, s"metadata answer $r != computed $w")
+    // value has NO stats entry -> MIN(value) refuses, ordinary scan,
+    // same answer
+    val q2 = spark.sql(s"SELECT MIN(value) FROM $cat.ag")
+    assert(!q2.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
+    assert(q2.collect()(0).getDouble(0) ===
+      ev.agg(min(col("value"))).collect()(0).getDouble(0))
+    // a filtered aggregate always scans (every filter is a residual)
+    val q3 = spark.sql(
+      s"SELECT COUNT(*) FROM $cat.ag WHERE event_type = 'click'")
+    assert(!q3.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
+    assert(q3.collect()(0).getLong(0) ===
+      ev.filter(col("event_type") === "click").count())
+    // deletion vectors invalidate counts AND bounds -> refuse, exact
+    // answer through the masked scan
+    spark.sql(s"ALTER TABLE $cat.ag SET TBLPROPERTIES ('enableDeletionVectors' = 'true')")
+    spark.sql(s"DELETE FROM $cat.ag WHERE event_id % 10 = 0")
+    val q4 = spark.sql(s"SELECT COUNT(*), MAX(event_id) FROM $cat.ag")
+    assert(!q4.queryExecution.executedPlan.toString.contains("metadata-aggregate"),
+      "a DV'd snapshot must not answer aggregates from metadata")
+    val r4 = q4.collect()(0)
+    val w4 = ev.filter(col("event_id") % 10 =!= 0)
+      .agg(count(lit(1)), max(col("event_id"))).collect()(0)
+    assert(r4 === w4)
+  }
 }
