@@ -521,9 +521,14 @@ case class DescribeDetailCommand(parts: Seq[String])
     GraftSqlCommands.attr("n_versions_retained"),
     GraftSqlCommands.attr("n_properties"),
     GraftSqlCommands.attr("n_foreign_layout_files"),
-    // r15: the skipping-metadata contract is inspectable too — the
-    // columns the head snapshot actually carries typed stats for
-    // (appended LAST: existing readers index columns positionally)
+    // r15 additions (appended AFTER the r10 columns: existing readers
+    // index positionally): physical size from manifest-recorded file
+    // sizes (stat-call fallback for pre-r15 files), metadata row
+    // count (−1 when any live file lacks a recorded count — an
+    // honest "unknown", never a partial sum), and the columns the
+    // head snapshot carries typed stats for
+    GraftSqlCommands.attr("n_bytes"),
+    AttributeReference("n_rows_metadata", LongType, nullable = false)(),
     AttributeReference("stats_columns", org.apache.spark.sql.types.StringType,
       nullable = false)())
   override def run(s: SparkSession): Seq[Row] = {
@@ -557,7 +562,20 @@ case class DescribeDetailCommand(parts: Seq[String])
       aux.dvs.count(_._2.nonEmpty).toLong,
       retained,
       CommitLog.tableProperties(root).size.toLong,
-      foreign,
+      foreign, {
+        val rel = CommitLog.snapshotFiles(root, head).map { f =>
+          val jf = new java.io.File(f)
+          jf.getParentFile.getName + "/" + jf.getName
+        }
+        rel.map(r => aux.sizes.getOrElse(r,
+          new java.io.File(root, r).length())).sum
+      }, {
+        val rel = CommitLog.snapshotFiles(root, head).map { f =>
+          val jf = new java.io.File(f)
+          jf.getParentFile.getName + "/" + jf.getName
+        }
+        if (rel.forall(aux.rows.contains)) rel.map(aux.rows).sum else -1L
+      },
       aux.statsTags.keys.toSeq.sorted.mkString(",")))
   }
 }

@@ -1491,10 +1491,38 @@ class CatalogSpec extends SparkSpec {
     // still answers correctly at execution)
     val est2 = spark.sql(s"PRUNE ESTIMATE $cat.pe WHERE day LIKE '3%'").collect()(0)
     assert(est2.getLong(2) === 14, est2.toString)
-    // DESCRIBE DETAIL now reports the recorded stats columns (last
-    // column — positional readers of the r10 columns are unaffected)
+    // DESCRIBE DETAIL now reports physical size, metadata row count
+    // and the recorded stats columns (appended after the r10 columns
+    // — positional readers are unaffected)
     val d = spark.sql(s"DESCRIBE DETAIL $cat.pe").collect()(0)
     assert(d.getString(d.length - 1) === "event_id")
+    val nBytes = d.getLong(d.length - 3)
+    val files = CommitLog.snapshotFiles(root, CommitLog.latestVersion(root).get)
+    assert(nBytes === files.map(f => new java.io.File(f).length()).sum)
+    assert(d.getLong(d.length - 2) === ev.count(),
+      "metadata row count must equal the table's rows")
+  }
+
+  test("z-order clustering feeds the SQL pushdown: a two-dim range SELECT prunes to its cells (r15)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "zp").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    CommitLog.append(spark, root, ev, nFiles = 4)
+    // 4x4 grid on (event_id, user_id): OPTIMIZE records typed stats
+    // on BOTH dims, so the r15 pushdown prunes two-dimensionally
+    val mE = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+    val mU = ev.agg(max(col("user_id"))).collect()(0).getLong(0)
+    CommitLog.optimizeClustered(spark, root,
+      Seq("event_id" -> Seq(mE / 4, mE / 2, 3 * mE / 4),
+          "user_id" -> Seq(mU / 4, mU / 2, 3 * mU / 4)), filesPerCell = 1)
+    val q = spark.sql(s"SELECT value FROM $cat.zp " +
+      s"WHERE event_id <= ${mE / 4} AND user_id <= ${mU / 4}")
+    // one cell of 16 (both predicates land in the first bucket)
+    assert(q.rdd.getNumPartitions === 1,
+      s"two-dim range must prune to its single cell, planned ${q.rdd.getNumPartitions}")
+    assert(q.count() ===
+      ev.filter(col("event_id") <= mE / 4 && col("user_id") <= mU / 4).count())
   }
 
   test("first commit records the schema: no infer fallback, commit-time typing from write one (r15)") {
