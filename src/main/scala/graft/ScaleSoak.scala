@@ -217,6 +217,8 @@ object ScaleSoak {
     // r15: the metadata COUNT/MIN/MAX — cost must be flat (one
     // manifest parse) however large the data grows
     "q_sql_table_agg_pushdown",
+    // r15: partition inventory — one manifest parse, no listing
+    "q_sql_table_show_partitions",
     // the r10 verdict's mass-delete scenario, soaked as its own
     // fixture (below — not a registry key): EVERY view key vanishes
     // in one fold; the driver-OOM shape the r11 distributed

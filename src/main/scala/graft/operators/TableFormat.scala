@@ -2970,6 +2970,33 @@ object TableFormat {
           lit(readS.toLong).as("files_read_stats"),
           col("n_rows"), col("sum_value")))
     },
+    "q_sql_table_show_partitions" -> { (s, dir) =>
+      // SHOW PARTITIONS from the manifest (r15): the live partition
+      // inventory — one row per recorded layout tuple with its file
+      // count and metadata row count — zero data I/O, no directory
+      // listing (on object storage at 100 TB, LIST is the enemy).
+      // A composite (day, bucket) table; the oracle derives the full
+      // inventory from pure predicates (one file per non-empty value
+      // tuple, rows = the tuple's row count), so the statement's
+      // output replays exactly. n_bytes is inherently
+      // non-replayable (physical encoding) — projected away here,
+      // spec-checked instead.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_shp")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "tbl").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .withColumn("day", (col("event_id") % 7).cast("string"))
+        .withColumn("bucket", (col("user_id") % 2).cast("string"))
+      CommitLog.appendPartitionedCols(s, root, ev,
+        Seq("day", "bucket"), filesPerPartition = 1)
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      ordered(s.sql(s"SHOW PARTITIONS $cat.tbl")
+        .select(col("partition"), col("n_files"),
+          col("n_rows_metadata").as("n_rows")))
+    },
     "q_sql_table_agg_pushdown" -> { (s, dir) =>
       // METADATA AGGREGATES (r15): the unfiltered COUNT(*)/MIN/MAX —
       // the first query anyone runs on a new table — answers from
@@ -3166,6 +3193,14 @@ object TableFormat {
         |    WHERE event_id % 7 = 3 AND event_id <= m // 2) AS sum_value""".stripMargin +
         orderByAll("n_files_total", "files_read_combined", "files_read_layout",
           "files_read_stats", "n_rows", "sum_value")),
+    "q_sql_table_show_partitions" ->
+      ("""SELECT 'day=' || CAST(event_id % 7 AS VARCHAR) ||
+        |    '/bucket=' || CAST(user_id % 2 AS VARCHAR) AS partition,
+        |  CAST(1 AS BIGINT) AS n_files,
+        |  COUNT(*) AS n_rows
+        |FROM events
+        |GROUP BY event_id % 7, user_id % 2""".stripMargin +
+        orderByAll("partition", "n_files", "n_rows")),
     "q_sql_table_agg_pushdown" ->
       ("""SELECT CAST(1 AS BIGINT) AS answered_from_manifest,
         |  COUNT(*) AS n_rows,

@@ -89,6 +89,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)\s*DESCRIBE\s+HISTORY\s+([\w.]+)\s*;?\s*""".r
   private val detailRe =
     """(?is)\s*DESCRIBE\s+DETAIL\s+([\w.]+)\s*;?\s*""".r
+  private val showPartitionsRe =
+    """(?is)\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*""".r
   // PRUNE ESTIMATE t WHERE <predicates> (r15, VERDICT item 7): the
   // scan's file-skipping decision as an inspectable statement —
   // zero data I/O, zero partition planning
@@ -334,6 +336,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       DescribeHistoryCommand(ident.split('.').toSeq)
     case pruneEstimateRe(ident, cond) if isGraftCatalog(ident) =>
       PruneEstimateCommand(ident.split('.').toSeq, cond)
+    case showPartitionsRe(ident) if isGraftCatalog(ident) =>
+      ShowGraftPartitionsCommand(ident.split('.').toSeq)
     case detailRe(ident) if isGraftCatalog(ident) =>
       DescribeDetailCommand(ident.split('.').toSeq)
     case cloneRe(target, source, v) if isGraftCatalog(target) && isGraftCatalog(source) =>
@@ -609,6 +613,46 @@ case class PruneEstimateCommand(parts: Seq[String], whereText: String)
       s"PRUNE ESTIMATE expects one graft scan, found ${scans.size}")
     val (v, total, read, nPushed) = scans.head.pruneAccounting
     Seq(Row(v, total.toLong, read.toLong, nPushed.toLong))
+  }
+}
+
+/** SHOW PARTITIONS cat.tbl (r15) — the live partition inventory from
+  * the MANIFEST alone (zero data I/O, no directory listing): one row
+  * per distinct recorded layout tuple among the head's files, Hive
+  * spelling (`day=3/bucket=0`), with its file count, byte size
+  * (manifest-recorded, stat fallback) and metadata row count (−1
+  * when any of the tuple's files lacks a recorded count). Files
+  * without a layout entry (pre-partitioning generations, CoW
+  * rewrites that dropped theirs) group under the explicit
+  * `<unpartitioned>` row rather than disappearing — the inventory
+  * always accounts for every live file. */
+case class ShowGraftPartitionsCommand(parts: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", org.apache.spark.sql.types.StringType,
+      nullable = false)(),
+    GraftSqlCommands.attr("n_files"),
+    GraftSqlCommands.attr("n_bytes"),
+    AttributeReference("n_rows_metadata", LongType, nullable = false)())
+  override def run(s: SparkSession): Seq[Row] = {
+    val root = GraftSqlCommands.rootOf(s, parts)
+    val head = CommitLog.latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no table at $root"))
+    val aux = CommitLog.auxOf(root, head)
+    val rel = CommitLog.snapshotFiles(root, head).map { f =>
+      val jf = new java.io.File(f)
+      jf.getParentFile.getName + "/" + jf.getName
+    }
+    rel.groupBy(f => aux.layoutOf(f) match {
+      case Some(pairs) => pairs.map { case (c, v) => s"$c=$v" }.mkString("/")
+      case None => "<unpartitioned>"
+    }).toSeq.sortBy(_._1).map { case (part, fs) =>
+      Row(part,
+        fs.size.toLong,
+        fs.map(f => aux.sizes.getOrElse(f,
+          new java.io.File(root, f).length())).sum,
+        if (fs.forall(aux.rows.contains)) fs.map(aux.rows).sum else -1L)
+    }
   }
 }
 

@@ -1623,4 +1623,31 @@ class CatalogSpec extends SparkSpec {
       .agg(count(lit(1)), max(col("event_id"))).collect()(0)
     assert(r4 === w4)
   }
+
+  test("SHOW PARTITIONS: manifest inventory, unpartitioned generations accounted (r15)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "sp").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    // gen-1: plain (no layout entries); gen-2: partitioned
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 2 === 0), nFiles = 2)
+    CommitLog.setTableProperty(root, "repartitionLayout", "event_type")
+    CommitLog.appendPartitioned(spark, root,
+      ev.filter(col("event_id") % 2 === 1), "event_type", filesPerPartition = 1)
+    val rows = spark.sql(s"SHOW PARTITIONS $cat.sp").collect()
+    val byPart = rows.map(r => r.getString(0) -> r).toMap
+    // every live file is accounted: 5 partition rows + the
+    // unpartitioned gen-1 row
+    assert(rows.length === 6, rows.map(_.getString(0)).mkString(","))
+    assert(byPart.contains("<unpartitioned>"))
+    assert(byPart("<unpartitioned>").getLong(1) === 2L)
+    assert(byPart("event_type=click").getLong(3) ===
+      ev.filter(col("event_id") % 2 === 1 && col("event_type") === "click").count(),
+      "metadata row count must be exact per partition")
+    // byte sizes come from the manifest and match the filesystem
+    val total = rows.map(_.getLong(2)).sum
+    val fsTotal = CommitLog.snapshotFiles(root, CommitLog.latestVersion(root).get)
+      .map(f => new java.io.File(f).length()).sum
+    assert(total === fsTotal)
+  }
 }
