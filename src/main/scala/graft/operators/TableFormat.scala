@@ -3028,6 +3028,106 @@ object TableFormat {
       ordered(q.select(lit(fromManifest).as("answered_from_manifest"),
         col("n_rows"), col("n_ids"), col("min_id"), col("max_id")))
     },
+    "q_sql_table_join_spj" -> { (s, dir) =>
+      // STORAGE-PARTITIONED JOIN (r15): two catalog tables
+      // co-partitioned on day join on (day, user_id) and aggregate BY
+      // day with ZERO exchanges end-to-end — the scan reports
+      // KeyGroupedPartitioning over the manifest's layouts
+      // (SupportsReportPartitioning; each planned partition announces
+      // its tuple via HasPartitionKey), so the planner PROVES both
+      // sides arrive join-ready off storage and the downstream GROUP
+      // BY reuses the same clustering. At 100 TB this is the
+      // difference between re-shuffling two fact tables and reading
+      // them in place. The proof run disables broadcast (so the
+      // zero-exchange plan is the partitioning reasoning, not table
+      // size) and restores every session conf after; zero_shuffle = 1
+      // certifies the FINAL adaptive plan carried no Exchange.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_spj")
+      base.toFile.deleteOnExit()
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      s.sql(s"CREATE TABLE $cat.f1 (event_id BIGINT, user_id BIGINT, " +
+        "value DOUBLE, day BIGINT) PARTITIONED BY (day)")
+      s.sql(s"CREATE TABLE $cat.f2 (day BIGINT, user_id BIGINT, " +
+        "weight BIGINT) PARTITIONED BY (day)")
+      ev.createOrReplaceTempView("graft_spj_src")
+      s.sql(s"INSERT INTO $cat.f1 SELECT event_id, user_id, value, " +
+        "event_id % 7 AS day FROM graft_spj_src")
+      s.sql(s"INSERT INTO $cat.f2 SELECT event_id % 7 AS day, user_id, " +
+        "COUNT(*) AS weight FROM graft_spj_src GROUP BY 1, 2")
+      val q = s.sql(
+        s"""SELECT t1.day AS day, COUNT(*) AS n_pairs,
+           |  CAST(CAST(SUM(CAST(t1.value AS DECIMAL(18,4)) * t2.weight)
+           |    AS STRING) AS DOUBLE) AS weighted
+           |FROM $cat.f1 t1 JOIN $cat.f2 t2
+           |  ON t1.day = t2.day AND t1.user_id = t2.user_id
+           |GROUP BY t1.day""".stripMargin)
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.graft.preserveDataGrouping" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val zeroShuffle =
+        try {
+          q.collect() // pins q's physical plan under the opt-in confs
+          if (q.queryExecution.executedPlan.toString.contains("Exchange")) 0L
+          else 1L
+        } finally saved.foreach { case (k, ov) =>
+          ov match {
+            case Some(v) => s.conf.set(k, v)
+            case None => s.conf.unset(k)
+          }
+        }
+      ordered(q.select(lit(zeroShuffle).as("zero_shuffle_proof"),
+        col("day"), col("n_pairs"), col("weighted")))
+    },
+    "q_sql_table_limit_pushdown" -> { (s, dir) =>
+      // LIMIT PUSHDOWN (r15): the manifest's footer-derived per-file
+      // row counts turn an unfiltered `LIMIT n` into a FILE-COUNT
+      // decision — the scan plans only the file-list prefix covering
+      // n rows. On a 100 TB table the canonical `SELECT ... LIMIT 20`
+      // peek reads one file instead of every file. Staging: five
+      // INSERTs (one file each — spark.graft.insert.files=1), one per
+      // event_id % 5 slice, so the manifest order and per-file counts
+      // are pure predicates; LIMIT = slices 0+1 plus one row → the
+      // scan must plan exactly 3 of 5 files. Pushdown is PARTIAL
+      // (Spark's own limit still truncates) and refuses under
+      // deletion vectors or missing counts, so it can never change
+      // results — only file counts.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_lim")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "tbl").toString
+      val ev = Tables(s, dir, "events").select(col("event_id"), col("value"))
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      s.sql(s"CREATE TABLE $cat.tbl (event_id BIGINT, value DOUBLE)")
+      ev.createOrReplaceTempView("graft_lim_src")
+      val savedN = s.conf.getOption("spark.graft.insert.files")
+      s.conf.set("spark.graft.insert.files", "1")
+      try (0 until 5).foreach { i =>
+        s.sql(s"INSERT INTO $cat.tbl SELECT event_id, value " +
+          s"FROM graft_lim_src WHERE event_id % 5 = $i")
+      } finally savedN match {
+        case Some(v) => s.conf.set("spark.graft.insert.files", v)
+        case None => s.conf.unset("spark.graft.insert.files")
+      }
+      val lim = ev.filter(col("event_id") % 5 <= 1).count() + 1
+      val q = s.sql(s"SELECT event_id FROM $cat.tbl LIMIT $lim")
+      val nReturned = q.collect().length.toLong
+      val st = graft.sources.GraftScanStats.lastFor(root).get
+      ordered(s.range(1).select(
+        lit(st.filesTotal.toLong).as("n_files_total"),
+        lit(st.filesRead.toLong).as("n_files_planned"),
+        lit(nReturned).as("n_rows_returned")))
+    },
     "q_sql_table_prune_estimate" -> { (s, dir) =>
       // PRUNE ESTIMATE (r15, VERDICT item 7 — "a SQL surface for
       // layout probes"): the scan's file-skipping decision as ONE
@@ -3209,6 +3309,27 @@ object TableFormat {
         |  MAX(event_id) AS max_id
         |FROM events""".stripMargin +
         orderByAll("answered_from_manifest", "n_rows", "n_ids", "min_id", "max_id")),
+    "q_sql_table_join_spj" ->
+      ("""WITH t2 AS (SELECT event_id % 7 AS day, user_id, COUNT(*) AS weight
+        |  FROM events GROUP BY 1, 2)
+        |SELECT CAST(1 AS BIGINT) AS zero_shuffle_proof,
+        |  e.event_id % 7 AS day,
+        |  COUNT(*) AS n_pairs,
+        |  CAST(CAST(SUM(CAST(e.value AS DECIMAL(18,4)) * t2.weight)
+        |    AS VARCHAR) AS DOUBLE) AS weighted
+        |FROM events e JOIN t2
+        |  ON e.event_id % 7 = t2.day AND e.user_id = t2.user_id
+        |GROUP BY e.event_id % 7""".stripMargin +
+        orderByAll("zero_shuffle_proof", "day", "n_pairs", "weighted")),
+    "q_sql_table_limit_pushdown" ->
+      ("""WITH s AS (SELECT event_id % 5 AS b, COUNT(*) AS n
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT b, n, SUM(n) OVER (ORDER BY b) AS cum FROM s),
+        |l AS (SELECT (SELECT cum FROM c WHERE b = 1) + 1 AS lim)
+        |SELECT (SELECT COUNT(*) FROM s) AS n_files_total,
+        |  (SELECT COUNT(*) FROM c, l WHERE cum - n < lim) AS n_files_planned,
+        |  (SELECT lim FROM l) AS n_rows_returned""".stripMargin +
+        orderByAll("n_files_total", "n_files_planned", "n_rows_returned")),
     "q_sql_table_prune_estimate" ->
       ("""WITH b AS (SELECT MAX(event_id) AS m FROM events),
         |f AS (SELECT DISTINCT event_id % 7 AS d,

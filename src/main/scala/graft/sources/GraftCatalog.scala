@@ -246,10 +246,23 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
       Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)
     new ScanBuilder with SupportsPushDownRequiredColumns
         with SupportsPushDownFilters
-        with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+        with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+        with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
       private var projected: StructType = tableSchema
       private var accepted: Array[Filter] = Array.empty
       private var aggAnswer: Option[(StructType, Array[Any])] = None
+      private var pushedLimit: Option[Int] = None
+      /** LIMIT pushdown (r15): with footer-derived per-file row
+        * counts in the manifest, an unfiltered `LIMIT n` plans only a
+        * PREFIX of the file list covering n rows — on a 100 TB table
+        * the canonical `SELECT * ... LIMIT 20` peek reads one file
+        * instead of all of them. Always PARTIAL (Spark keeps its own
+        * limit above the scan), so a file-count decision can never
+        * change results; Spark only offers the limit when no residual
+        * filter sits between it and the scan, and this source keeps
+        * every filter residual — a filtered limit never prunes. */
+      override def pushLimit(l: Int): Boolean = { pushedLimit = Some(l); true }
+      override def isPartiallyPushed(): Boolean = true
       override def pruneColumns(requiredSchema: StructType): Unit =
         projected =
           if (requiredSchema.fields.isEmpty)
@@ -288,7 +301,7 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
       override def build(): Scan = aggAnswer match {
         case Some((schema, row)) => new GraftAggResultScan(schema, row)
         case None => new GraftBatchScan(root, version,
-          projected, accepted, ignoreChanges, startingVersion)
+          projected, accepted, ignoreChanges, startingVersion, pushedLimit)
       }
     }
   }
@@ -356,16 +369,19 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
   * ([[TableMicroBatchStream]]), so batch SQL, streaming and
   * maintenance all address one table name. */
 class GraftBatchScan(root: String, version: Long, projected: StructType,
-    pushed: Array[Filter], ignoreChanges: Boolean, startingVersion: Long)
+    pushed: Array[Filter], ignoreChanges: Boolean, startingVersion: Long,
+    pushedLimit: Option[Int] = None)
     extends Scan with SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private lazy val meta = GraftFilterPushdown.pruneMetaOf(root, version)
   @volatile private var runtime: Array[Filter] = Array.empty
 
   override def readSchema(): StructType = projected
   override def description(): String =
-    s"graft@v$version PushedPruneFilters: ${pushed.mkString("[", ", ", "]")}"
+    s"graft@v$version PushedPruneFilters: ${pushed.mkString("[", ", ", "]")}" +
+      pushedLimit.map(n => s" PushedLimit: $n").getOrElse("")
 
   /** PRUNED size statistics (r15): Spark asks the scan for its size
     * right after pushdown, and the answer drives join planning — a
@@ -376,22 +392,121 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     * MANIFEST-RECORDED sizes (every append/rewrite records them since
     * r15 — pure log metadata, zero I/O); files a pre-r15 writer
     * staged fall back to one stat call each (bounded by the prune
-    * result, never a directory listing). Row count stays unreported —
-    * the manifest does not record per-file row counts. */
+    * result, never a directory listing). numRows reports the sum of
+    * the survivors' footer-derived row counts when every survivor
+    * carries one and none carries deletion vectors (a masked row
+    * would make the footer count an overcount) — same exactness rule
+    * as the metadata aggregates. */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val probes = GraftFilterPushdown.translate((pushed ++ runtime).toSeq, meta)
     val (keep, _) = CommitLog.prunedFilesCombined(root, version,
       probes.parts.toSeq, probes.ranges)
-    val sizes = CommitLog.auxOf(root, version).sizes
+    val aux = CommitLog.auxOf(root, version)
     val bytes = keep.map(rel =>
-      sizes.getOrElse(rel, new java.io.File(root, rel).length())).sum
+      aux.sizes.getOrElse(rel, new java.io.File(root, rel).length())).sum
+    val rows =
+      if (keep.forall(f => aux.rows.contains(f) && !aux.dvs.contains(f)))
+        java.util.OptionalLong.of(keep.map(aux.rows).sum)
+      else java.util.OptionalLong.empty()
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = rows
     }
   }
+
+  /* ------------- storage-partitioned joins (r15) ------------- */
+
+  /** The CURRENT partition spec, in order — the MANIFEST's (not the
+    * table property's): every partitioned writer records it, so SQL
+    * and API tables both report, and a pinned VERSION AS OF reports
+    * the spec as of ITS snapshot. */
+  private def specCols: Seq[String] =
+    CommitLog.auxOf(root, version).partCol
+      .toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
+
+  /** Staged-string → Catalyst-internal conversion for a partition key
+    * column — defined ONLY where the round trip through the staged
+    * CAST-to-STRING text is exact (the same conservatism as the
+    * pushdown's partValue, in the opposite direction). */
+  private def keyConv(dt: org.apache.spark.sql.types.DataType): Option[String => Any] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => Some(v => org.apache.spark.unsafe.types.UTF8String.fromString(v))
+      case LongType => Some(v => v.toLong)
+      case IntegerType => Some(v => v.toInt)
+      case ShortType => Some(v => v.toShort)
+      case ByteType => Some(v => v.toByte)
+      case BooleanType => Some(v => v.toBoolean)
+      case DateType => Some(v => java.time.LocalDate.parse(v).toEpochDay.toInt)
+      case _ => None
+    }
+  }
+
+  /** STORAGE-PARTITIONED JOIN grouping (r15): when the session opts
+    * into DSv2 bucketing (`spark.sql.sources.v2.bucketing.enabled`),
+    * the scan groups its surviving files by partition-value tuple —
+    * one [[TableFilesPartition]] per tuple, each announcing its key —
+    * and reports [[KeyGroupedPartitioning]] over the spec columns, so
+    * two graft tables co-partitioned on the join keys sort-merge join
+    * with ZERO exchange on either side (and a downstream GROUP BY on
+    * the partition key reuses the same clustering). At 100 TB this is
+    * the difference between re-shuffling both fact tables and reading
+    * them join-ready off storage. Grouping is refused — scan falls
+    * back to per-file partitions, plans stay correct, just shuffled —
+    * unless EVERY surviving file carries a layout for exactly the
+    * current spec (mixed-generation manifests keep their files), the
+    * spec columns survive column pruning (Spark resolves the reported
+    * keys against the scan output), and every column type converts
+    * exactly from the staged string form. */
+  private def spjGroups(filters: Seq[Filter]): Option[Seq[(Array[Any], Seq[String])]] = {
+    val cols = specCols
+    if (cols.isEmpty) return None
+    val sc = org.apache.spark.sql.internal.SQLConf.get
+    if (!sc.v2BucketingEnabled) return None
+    // grouping trades read parallelism (one partition per TUPLE, not
+    // per file) for join planning — worth it only when a join will
+    // exploit it, which the scan cannot see. So it is an explicit
+    // opt-in, the public Iceberg preserve-data-grouping design
+    // (v2.bucketing.enabled alone defaults TRUE on Spark 4 — gating
+    // on it alone would quietly halve every plain scan's parallelism).
+    if (!sc.getConfString("spark.graft.preserveDataGrouping", "false").toBoolean)
+      return None
+    val fields = cols.map(c => projected.fields.find(_.name == c))
+    if (fields.exists(_.isEmpty)) return None
+    val convs = fields.flatten.map(f => keyConv(f.dataType))
+    if (convs.exists(_.isEmpty)) return None
+    val conv = convs.flatten
+    val probes = GraftFilterPushdown.translate(filters, meta)
+    val (keep, _) = CommitLog.prunedFilesCombined(root, version,
+      probes.parts.toSeq, probes.ranges)
+    val aux = CommitLog.auxOf(root, version)
+    val entries = keep.map { f =>
+      aux.layoutOf(f) match {
+        case Some(pairs) if pairs.map(_._1) == cols => Some(f -> pairs.map(_._2))
+        case _ => None
+      }
+    }
+    if (entries.exists(_.isEmpty)) return None
+    Some(entries.flatten.groupBy(_._2).toSeq
+      .sortBy(_._1.mkString(" "))
+      .map { case (vals, fs) =>
+        val key = vals.zip(conv).map { case (v, c) =>
+          if (v == CommitLog.nullSentinel) null else c(v) }.toArray
+        (key, fs.map(_._1))
+      })
+  }
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjGroups(pushed.toSeq) match {
+      case Some(groups) if groups.nonEmpty =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          specCols.map(c => Expressions.identity(c):
+            org.apache.spark.sql.connector.expressions.Expression).toArray,
+          groups.size)
+      case _ =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
 
   /** Columns a runtime filter can skip files on: every layout column
     * any generation recorded, plus every column with typed (or
@@ -418,19 +533,52 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     override def planInputPartitions(): Array[InputPartition] = {
       val probes = GraftFilterPushdown.translate(
         (pushed ++ runtime).toSeq, meta)
-      val (keep, total) = CommitLog.prunedFilesCombined(root, version,
+      val (keep0, total) = CommitLog.prunedFilesCombined(root, version,
         probes.parts.toSeq, probes.ranges)
+      val aux = CommitLog.auxOf(root, version)
+      // pushed LIMIT (r15): plan only a file-list PREFIX covering n
+      // rows — exact ONLY when every survivor carries a footer row
+      // count and no deletion vector (a masked row would make the
+      // footer count an overcount and the prefix could under-deliver;
+      // refuse and read everything). Partial pushdown means Spark's
+      // own limit still truncates, so this is purely a file-count
+      // decision. Runtime filters never co-occur with a pushed limit
+      // (a limit only pushes through a bare project), but guard
+      // anyway — advisory pruning must stay advisory.
+      val keep = pushedLimit match {
+        case Some(n) if runtime.isEmpty &&
+            keep0.forall(f => aux.rows.contains(f) && !aux.dvs.contains(f)) =>
+          val cumBefore = keep0.scanLeft(0L)((a, f) => a + aux.rows(f))
+          keep0.zip(cumBefore).takeWhile(_._2 < n).map(_._1)
+        case _ => keep0
+      }
       GraftScanStats.record(root,
         GraftScanStats.Prune(version, total, keep.size))
       // deletion vectors: each partition carries its file's sidecar
       // refs so the reader can mask dead rows
-      val dvs = CommitLog.auxOf(root, version).dvs
-      keep.map { rel =>
-        val refs = dvs.getOrElse(rel, Nil)
-          .map(r => new java.io.File(root, r).toString)
-        TableFilePartition(new java.io.File(root, rel).toString,
-          version, refs): InputPartition
-      }.toArray
+      val dvs = aux.dvs
+      def refsOf(rel: String): Seq[String] = dvs.getOrElse(rel, Nil)
+        .map(r => new java.io.File(root, r).toString)
+      // key-grouped planning (storage-partitioned joins) — must agree
+      // with what outputPartitioning reported: one partition per
+      // partition-value tuple, announcing its key
+      spjGroups(pushed.toSeq) match {
+        case Some(groups) if groups.nonEmpty =>
+          // runtime filters (DPP) drop whole groups, never split them
+          val liveKeep = keep.toSet
+          groups.map { case (key, fs) =>
+            (key, fs.filter(liveKeep))
+          }.filter(_._2.nonEmpty).map { case (key, fs) =>
+            TableFilesPartition(fs.map(rel =>
+              (new java.io.File(root, rel).toString, refsOf(rel))),
+              version, key): InputPartition
+          }.toArray
+        case _ =>
+          keep.map { rel =>
+            TableFilePartition(new java.io.File(root, rel).toString,
+              version, refsOf(rel)): InputPartition
+          }.toArray
+      }
     }
     override def createReaderFactory(): PartitionReaderFactory =
       new TableFileReaderFactory(projected)

@@ -259,18 +259,33 @@ class TableMicroBatchStream(root: String, schema: StructType,
 case class TableFilePartition(path: String, version: Long,
     dvPaths: Seq[String] = Nil) extends InputPartition
 
+/** One KEY-GROUPED input partition (r15 storage-partitioned joins):
+  * ALL surviving files of one partition-value tuple, each with its
+  * deletion-vector sidecars. [[org.apache.spark.sql.connector.read.HasPartitionKey]]
+  * is what lets Spark's planner prove two graft tables co-partitioned
+  * on the join keys need NO exchange — `key` holds the tuple's
+  * Catalyst-internal values (UTF8String / Int / Long / Boolean /
+  * date-days), typed by the table schema's partition columns, so
+  * Spark's partition-value grouping compares them natively. */
+case class TableFilesPartition(files: Seq[(String, Seq[String])],
+    version: Long, key: Array[Any]) extends InputPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(key)
+}
+
 class TableFileReaderFactory(schema: StructType) extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[TableFilePartition]
-    // column mapping: project the files' PHYSICAL names; InternalRow
-    // is positional, so rows surface under the logical schema as-is
-    val base = new GroupParquetReader(p.path, CommitLog.physicalSchema(schema))
-    if (p.dvPaths.isEmpty) base
+  /** One file, deletion vectors applied. Column mapping: project the
+    * file's PHYSICAL names; InternalRow is positional, so rows
+    * surface under the logical schema as-is. */
+  private def fileReader(path: String, dvPaths: Seq[String]): PartitionReader[InternalRow] = {
+    val base = new GroupParquetReader(path, CommitLog.physicalSchema(schema))
+    if (dvPaths.isEmpty) base
     else {
       // deletion vectors: skip this file's masked row indexes while
       // counting physical rows — the sequential read order IS the
       // row_index coordinate the vectors record
-      val skip = DvSidecar.skipSet(p.dvPaths, new java.io.File(p.path).getName)
+      val skip = DvSidecar.skipSet(dvPaths, new java.io.File(path).getName)
       new PartitionReader[InternalRow] {
         private var idx = -1L
         override def next(): Boolean = {
@@ -285,6 +300,35 @@ class TableFileReaderFactory(schema: StructType) extends PartitionReaderFactory 
       }
     }
   }
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case p: TableFilePartition => fileReader(p.path, p.dvPaths)
+      case g: TableFilesPartition =>
+        // a key-grouped partition chains its files' readers lazily —
+        // one open file at a time, same per-file masking
+        new PartitionReader[InternalRow] {
+          private val it = g.files.iterator
+          private var cur: PartitionReader[InternalRow] = _
+          override def next(): Boolean = {
+            var res = false
+            var done = false
+            while (!done) {
+              if (cur == null) {
+                if (!it.hasNext) done = true
+                else { val (p, dvs) = it.next(); cur = fileReader(p, dvs) }
+              }
+              if (!done) {
+                if (cur.next()) { res = true; done = true }
+                else { cur.close(); cur = null }
+              }
+            }
+            res
+          }
+          override def get(): InternalRow = cur.get()
+          override def close(): Unit = if (cur != null) cur.close()
+        }
+    }
 }
 
 /** Loads a file's deletion-vector entries from dv/ sidecars (columns

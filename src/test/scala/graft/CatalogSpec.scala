@@ -1650,4 +1650,120 @@ class CatalogSpec extends SparkSpec {
       .map(f => new java.io.File(f).length()).sum
     assert(total === fsTotal)
   }
+
+  test("storage-partitioned join: co-partitioned tables join + aggregate with ZERO exchanges; values exact (r15)") {
+    val (cat, base) = freshCatalog()
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    spark.sql(s"CREATE TABLE $cat.f1 (event_id BIGINT, user_id BIGINT, " +
+      s"value DOUBLE, day BIGINT) PARTITIONED BY (day)")
+    spark.sql(s"CREATE TABLE $cat.f2 (day BIGINT, user_id BIGINT, " +
+      s"weight BIGINT) PARTITIONED BY (day)")
+    ev.createOrReplaceTempView("spj_spec_src")
+    spark.sql(s"INSERT INTO $cat.f1 SELECT event_id, user_id, value, " +
+      "event_id % 7 AS day FROM spj_spec_src")
+    spark.sql(s"INSERT INTO $cat.f2 SELECT event_id % 7 AS day, user_id, " +
+      "COUNT(*) AS weight FROM spj_spec_src GROUP BY 1, 2")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.graft.preserveDataGrouping" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = spark.sql(
+        s"""SELECT t1.day AS day, COUNT(*) AS n,
+           |  SUM(CAST(t1.value AS DECIMAL(18,4)) * t2.weight) AS w
+           |FROM $cat.f1 t1 JOIN $cat.f2 t2
+           |  ON t1.day = t2.day AND t1.user_id = t2.user_id
+           |GROUP BY t1.day""".stripMargin)
+      val got = q.collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDecimal(2))).toMap
+      val planStr = q.queryExecution.executedPlan.toString
+      assert(!planStr.contains("Exchange"),
+        s"storage-partitioned join must plan zero exchanges:\n$planStr")
+      assert(planStr.contains("SortMergeJoin"), planStr)
+      // values match a plain (shuffled) computation of the same query
+      val w = ev.withColumn("day", col("event_id") % 7)
+        .groupBy("day", "user_id").agg(count(lit(1)).as("weight"))
+      val exp = ev.withColumn("day", col("event_id") % 7)
+        .join(w, Seq("day", "user_id"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)") * col("weight")).as("w"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getDecimal(2))).toMap
+      assert(got === exp)
+      // without the opt-in conf the same scan plans per-file
+      // partitions and the join shuffles — the fallback is live
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val q2 = spark.sql(s"SELECT COUNT(*) FROM $cat.f1 t1 JOIN $cat.f2 t2 " +
+        "ON t1.day = t2.day AND t1.user_id = t2.user_id")
+      q2.collect()
+      assert(q2.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally saved.foreach { case (k, ov) =>
+      ov match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
+    }
+  }
+
+  test("LIMIT pushdown: plans a file-list prefix from footer row counts; deletion vectors refuse (r15)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "lim").toString
+    val ev = Tables(spark, sf, "events").select(col("event_id"), col("value"))
+    (0 until 4).foreach(i => CommitLog.append(spark, root,
+      ev.filter(col("event_id") % 4 === i), nFiles = 1))
+    val c0 = ev.filter(col("event_id") % 4 === 0).count()
+    val q = spark.sql(s"SELECT event_id FROM $cat.lim LIMIT ${c0 + 1}")
+    assert(q.collect().length === c0 + 1)
+    val st = graft.sources.GraftScanStats.lastFor(root).get
+    assert(st.filesTotal === 4 && st.filesRead === 2,
+      s"LIMIT c0+1 over 4 equal-ish files must plan 2, got $st")
+    assert(q.queryExecution.executedPlan.toString.contains("PushedLimit"),
+      "the pushed limit must surface in the plan description")
+    // a deletion vector makes the footer count an overcount — the
+    // prefix could under-deliver live rows, so the scan refuses and
+    // plans everything; Spark's own limit still truncates exactly
+    CommitLog.deleteMergeOnRead(spark, root, col("event_id") % 8 === 0)
+    val q2 = spark.sql(s"SELECT event_id FROM $cat.lim LIMIT ${c0 + 1}")
+    assert(q2.collect().length === c0 + 1)
+    val st2 = graft.sources.GraftScanStats.lastFor(root).get
+    assert(st2.filesRead === st2.filesTotal,
+      s"deletion vectors must refuse the limit prefix, got $st2")
+  }
+
+  test("storage-partitioned join: mixed-generation manifest (a file without the spec's layout) falls back to per-file planning (r15)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "mix").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("day", col("event_id") % 7)
+    // gen-1: UNpartitioned append (no layout entry) — then evolve the
+    // spec so the CURRENT property names day
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 2 === 0), nFiles = 1)
+    CommitLog.setTableProperty(root, "repartitionLayout", "day")
+    CommitLog.appendPartitioned(spark, root,
+      ev.filter(col("event_id") % 2 === 1), "day", filesPerPartition = 1)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.graft.preserveDataGrouping", "true")
+    try {
+      val q = spark.sql(s"SELECT day, COUNT(*) AS n FROM $cat.mix GROUP BY day")
+      // per-file planning: the gen-1 file cannot announce a key, so
+      // the scan must NOT report key-grouped partitioning — the
+      // aggregate shuffles and every row is still counted exactly once
+      assert(q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+        ev.groupBy("day").count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      assert(q.queryExecution.executedPlan.toString.contains("Exchange"),
+        "mixed-generation scan must fall back to shuffled planning")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.graft.preserveDataGrouping")
+    }
+  }
 }

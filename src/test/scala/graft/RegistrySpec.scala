@@ -163,7 +163,8 @@ class RegistrySpec extends SparkSpec {
       "q_sql_table_pruned_scan", "q_sql_table_pruned_scan_multi",
       "q_table_prune_combined", "s_table_dv_rebase",
       "q_sql_table_merge_evolve", "q_sql_table_prune_estimate",
-      "q_sql_table_agg_pushdown", "q_sql_table_show_partitions")
+      "q_sql_table_agg_pushdown", "q_sql_table_show_partitions",
+      "q_sql_table_join_spj", "q_sql_table_limit_pushdown")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }
