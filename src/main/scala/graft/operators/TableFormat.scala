@@ -1964,6 +1964,47 @@ object TableFormat {
           countDistinct(col("user_id")).as("n_users"),
           dsum(col("value")).as("sum_value")))
     },
+    "s_table_stream_pruned" -> { (s, dir) =>
+      // STREAMING PARTITION SUBSCRIPTION (r15): reader option
+      // `partitionFilter.day=3` restricts EVERY admitted version to
+      // the files whose recorded layout matches — a CDC consumer
+      // subscribed to one partition of a 100 TB fact table reads that
+      // partition's delta per trigger, not the version's. Pruning is
+      // plan-time log metadata (same intersection semantics as the
+      // batch pushdown; unrecorded files stay — must-read), and the
+      // cumulative (candidate, planned) accounting is the witness:
+      // 2 appends x 7 day-partitions = 14 candidates, 2 planned.
+      // StreamingSpec pins the checkpointed-restart delta and the
+      // mixed-generation must-read.
+      val root = java.nio.file.Files.createTempDirectory("graft_tsp")
+      root.toFile.deleteOnExit()
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .withColumn("day", (col("event_id") % 7).cast("string"))
+      CommitLog.appendPartitioned(s, root.toString,
+        ev.filter(col("event_id") % 2 === 0), "day", filesPerPartition = 1)
+      CommitLog.appendPartitioned(s, root.toString,
+        ev.filter(col("event_id") % 2 === 1), "day", filesPerPartition = 1)
+      graft.sources.GraftStreamPrune.reset(root.toString)
+      val out = java.nio.file.Files.createTempDirectory("graft_tsp_out").toString
+      val ck = java.nio.file.Files.createTempDirectory("graft_tsp_ck").toString
+      val q = s.readStream.format("graft.sources.TableStreamProvider")
+        .option("path", root.toString)
+        .option("partitionFilter.day", "3")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val (cand, planned) = graft.sources.GraftStreamPrune.totals(root.toString)
+      ordered(s.read.parquet(out)
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("sum_value"))
+        .select(lit(cand).as("n_files_candidate"),
+          lit(planned).as("n_files_planned"),
+          col("n_rows"), col("n_users"), col("sum_value")))
+    },
     "s_table_stream_cdf" -> { (s, dir) =>
       // Streaming CHANGE-DATA-FEED (added r10) — readChangeFeed=true
       // on the DSv2 source: the stream IS the changelog, each
@@ -4112,6 +4153,18 @@ object TableFormat {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin +
         orderByAll("event_type", "n", "n_users", "sum_value")),
+    "s_table_stream_pruned" ->
+      ("""WITH f AS (SELECT DISTINCT event_id % 7 AS d, event_id % 2 AS h
+        |  FROM events)
+        |SELECT (SELECT COUNT(*) FROM f) AS n_files_candidate,
+        |  (SELECT COUNT(*) FROM f WHERE d = 3) AS n_files_planned,
+        |  (SELECT COUNT(*) FROM events WHERE event_id % 7 = 3) AS n_rows,
+        |  (SELECT COUNT(DISTINCT user_id) FROM events
+        |    WHERE event_id % 7 = 3) AS n_users,
+        |  (SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR)
+        |    AS DOUBLE) FROM events WHERE event_id % 7 = 3) AS sum_value""".stripMargin +
+        orderByAll("n_files_candidate", "n_files_planned", "n_rows",
+          "n_users", "sum_value")),
     "s_table_stream_cdf" ->
       ("""WITH ch AS (
         |  SELECT 0 AS commit_version, 'insert' AS change_type, value

@@ -301,7 +301,8 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
       override def build(): Scan = aggAnswer match {
         case Some((schema, row)) => new GraftAggResultScan(schema, row)
         case None => new GraftBatchScan(root, version,
-          projected, accepted, ignoreChanges, startingVersion, pushedLimit)
+          projected, accepted, ignoreChanges, startingVersion, pushedLimit,
+          GraftStreamPrune.parse(options))
       }
     }
   }
@@ -370,7 +371,8 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
   * maintenance all address one table name. */
 class GraftBatchScan(root: String, version: Long, projected: StructType,
     pushed: Array[Filter], ignoreChanges: Boolean, startingVersion: Long,
-    pushedLimit: Option[Int] = None)
+    pushedLimit: Option[Int] = None,
+    partFilters: Map[String, Set[String]] = Map.empty)
     extends Scan with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -585,5 +587,6 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new TableMicroBatchStream(root, projected, ignoreChanges, startingVersion)
+    new TableMicroBatchStream(root, projected, ignoreChanges, startingVersion,
+      partFilters)
 }

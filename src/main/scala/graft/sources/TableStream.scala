@@ -122,7 +122,8 @@ class GraftStreamTable(tableSchema: StructType, root: String)
           if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
             new TableCdfMicroBatchStream(root, projected, startingVersion)
           else
-            new TableMicroBatchStream(root, projected, ignoreChanges, startingVersion)
+            new TableMicroBatchStream(root, projected, ignoreChanges,
+              startingVersion, GraftStreamPrune.parse(options))
       }
     }
   }
@@ -134,8 +135,49 @@ case class TableVersionOffset(v: Long) extends Offset {
   override def json(): String = v.toString
 }
 
+/** Streaming PARTITION SUBSCRIPTION (r15): reader options
+  * `partitionFilter.<col>` = comma-separated layout values (the
+  * staged CAST-to-STRING text) restrict every admitted version to the
+  * files whose RECORDED layout matches — a CDC consumer subscribed to
+  * one partition of a 100 TB fact table reads that partition's delta
+  * per trigger, not the version's. Same intersection semantics as the
+  * batch prune: a file without a layout entry for a probed column is
+  * UNPRUNABLE (always emitted — mixed-generation manifests stay
+  * correct), so the option is file-level and advisory; pair it with
+  * the equivalent row-level filter for exactness, exactly like batch
+  * pushdown residuals. */
+object GraftStreamPrune {
+  def parse(options: CaseInsensitiveStringMap): Map[String, Set[String]] = {
+    import scala.jdk.CollectionConverters._
+    options.asCaseSensitiveMap().asScala.toMap.collect {
+      case (k, v) if k.toLowerCase(java.util.Locale.ROOT)
+          .startsWith("partitionfilter.") =>
+        k.substring("partitionFilter.".length) ->
+          v.split(',').map(_.trim).filter(_.nonEmpty).toSet
+    }
+  }
+  /** Per-(root, version) planning accounting across a stream's
+    * triggers: (candidate files, planned files) — the key's
+    * observable witness that pruning happened at PLAN time. Keyed by
+    * VERSION and overwritten on re-plan (Spark plans a micro-batch's
+    * partitions more than once), so totals stay the deterministic
+    * per-version sums. */
+  private val stats =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[Long, (Long, Long)]]()
+  def reset(root: String): Unit = { stats.remove(root); () }
+  def record(root: String, version: Long, candidates: Int, planned: Int): Unit = {
+    stats.merge(root, Map(version -> ((candidates.toLong, planned.toLong))),
+      (a, b) => a ++ b)
+    ()
+  }
+  def totals(root: String): (Long, Long) =
+    stats.getOrDefault(root, Map.empty).values
+      .foldLeft((0L, 0L))((a, b) => (a._1 + b._1, a._2 + b._2))
+}
+
 class TableMicroBatchStream(root: String, schema: StructType,
-    ignoreChanges: Boolean, startingVersion: Long)
+    ignoreChanges: Boolean, startingVersion: Long,
+    partFilters: Map[String, Set[String]] = Map.empty)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   private def head: Long = CommitLog.latestVersion(root).getOrElse(-1L)
@@ -247,7 +289,24 @@ class TableMicroBatchStream(root: String, schema: StructType,
               s"sources' contract) or start a fresh checkpoint with " +
               s"startingVersion=${v + 1}")
       }
-      added.map(f =>
+      // partition subscription (r15): prune the admitted delta by
+      // each file's OWN recorded layout — unrecorded files stay
+      // (must-read), so a translation gap only widens, never drops
+      val planned =
+        if (partFilters.isEmpty || added.isEmpty) added
+        else {
+          val aux = CommitLog.auxOf(root, v)
+          val keep = added.filter { f =>
+            aux.layoutOf(f) match {
+              case Some(pairs) => pairs.forall { case (c, vv) =>
+                partFilters.get(c).forall(_.contains(vv)) }
+              case None => true
+            }
+          }
+          GraftStreamPrune.record(root, v, added.size, keep.size)
+          keep
+        }
+      planned.map(f =>
         TableFilePartition(new java.io.File(root, f).toString, v))
     }.toArray
   }

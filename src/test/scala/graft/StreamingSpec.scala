@@ -3365,4 +3365,51 @@ class StreamingSpec extends SparkSpec {
     assert(after.max === n0 + 2 + 40,
       s"mark advance diverged from staged rows: max=${after.max} want=${n0 + 2 + 40}")
   }
+
+  test("partition subscription: checkpointed restarts deliver only the subscribed partition's delta; unrecorded files must-read (r15)") {
+    import graft.sources.CommitLog
+    val root = java.nio.file.Files.createTempDirectory("graft_tsp_spec").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("day", (col("event_id") % 7).cast("string"))
+    val out = java.nio.file.Files.createTempDirectory("graft_tsp_spec_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_tsp_spec_ck").toString
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.sources.TableStreamProvider")
+        .option("path", root).option("partitionFilter.day", "3")
+        .load().writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def emitted() = spark.read.parquet(out)
+    CommitLog.appendPartitioned(spark, root,
+      ev.filter(col("event_id") % 2 === 0), "day", filesPerPartition = 1)
+    graft.sources.GraftStreamPrune.reset(root)
+    drain()
+    val day3even = ev.filter(col("event_id") % 2 === 0 && col("day") === "3")
+    assert(emitted().count() === day3even.count(),
+      "first drain must deliver exactly the subscribed partition")
+    val (c1, p1) = graft.sources.GraftStreamPrune.totals(root)
+    assert(p1 < c1 && p1 === 1L, s"expected 1 planned of $c1 candidates, got $p1")
+    // a checkpointed restart after a second append delivers ONLY the
+    // subscribed partition's delta
+    CommitLog.appendPartitioned(spark, root,
+      ev.filter(col("event_id") % 2 === 1), "day", filesPerPartition = 1)
+    drain()
+    val day3 = ev.filter(col("day") === "3")
+    assert(emitted().count() === day3.count(),
+      "restart must deliver exactly the subscribed partition's delta")
+    assert(emitted().select("event_id").distinct().count() === day3.count(),
+      "duplicate rows across restarts")
+    assert(emitted().filter(col("day") =!= "3").count() === 0,
+      "a row outside the subscription leaked")
+    // an UNRECORDED file (plain append, no layout) is unprunable —
+    // it must be emitted in full (advisory pruning never drops)
+    CommitLog.append(spark, root,
+      ev.filter(col("event_id") % 2 === 0).limit(50), nFiles = 1)
+    drain()
+    assert(emitted().count() === day3.count() + 50,
+      "the unrecorded file must be read in full (must-read)")
+  }
 }
