@@ -219,6 +219,12 @@ object ScaleSoak {
     "q_sql_table_agg_pushdown",
     // r15: partition inventory — one manifest parse, no listing
     "q_sql_table_show_partitions",
+    // r15: storage-partitioned join — zero-exchange SMJ whose cost is
+    // the scans'; LIMIT pushdown — the file prefix grows with the
+    // limit, never the table; streaming partition subscription — the
+    // subscribed delta, never the version's
+    "q_sql_table_join_spj", "q_sql_table_limit_pushdown",
+    "s_table_stream_pruned",
     // the r10 verdict's mass-delete scenario, soaked as its own
     // fixture (below — not a registry key): EVERY view key vanishes
     // in one fold; the driver-OOM shape the r11 distributed

@@ -1712,6 +1712,29 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("preserved grouping: a single-table GROUP BY on the partition key aggregates with zero exchanges (r15)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "agg").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("day", col("event_id") % 7)
+    CommitLog.appendPartitioned(spark, root, ev, "day", filesPerPartition = 2)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.graft.preserveDataGrouping", "true")
+    try {
+      val q = spark.sql(
+        s"SELECT day, COUNT(*) AS n FROM $cat.agg GROUP BY day")
+      val got = q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === ev.groupBy("day").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+      assert(!q.queryExecution.executedPlan.toString.contains("Exchange"),
+        "a partition-key aggregate over a key-grouped scan must not shuffle")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.graft.preserveDataGrouping")
+    }
+  }
+
   test("LIMIT pushdown: plans a file-list prefix from footer row counts; deletion vectors refuse (r15)") {
     val (cat, base) = freshCatalog()
     val root = new java.io.File(base, "lim").toString
