@@ -225,6 +225,9 @@ object ScaleSoak {
     // subscribed delta, never the version's
     "q_sql_table_join_spj", "q_sql_table_limit_pushdown",
     "s_table_stream_pruned",
+    // r15: TopN pushdown — the planned prefix is bound-overlap-sized,
+    // never the table; the slope is the five range-sliced INSERTs
+    "q_sql_table_topn_pushdown",
     // the r10 verdict's mass-delete scenario, soaked as its own
     // fixture (below — not a registry key): EVERY view key vanishes
     // in one fold; the driver-OOM shape the r11 distributed

@@ -247,7 +247,8 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
     new ScanBuilder with SupportsPushDownRequiredColumns
         with SupportsPushDownFilters
         with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
-        with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+        with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+        with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
       private var projected: StructType = tableSchema
       private var accepted: Array[Filter] = Array.empty
       private var aggAnswer: Option[(StructType, Array[Any])] = None
@@ -263,6 +264,34 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
         * every filter residual — a filtered limit never prunes. */
       override def pushLimit(l: Int): Boolean = { pushedLimit = Some(l); true }
       override def isPartiallyPushed(): Boolean = true
+      private var pushedTopN: Option[(String, Boolean, Int)] = None
+      /** TopN pushdown (r15): `ORDER BY c LIMIT n` over a stats
+        * column plans only the files whose recorded range CAN contain
+        * the global top n — sort files by their relevant bound,
+        * prefix-cover n rows, keep every file overlapping the
+        * cutoff. `SELECT ... ORDER BY ts DESC LIMIT 100` on a 100 TB
+        * time-ordered table reads the tail files, not the table.
+        * Partial like the limit (Spark's TakeOrderedAndProject still
+        * runs), so a planning decision can never change results; the
+        * scan refuses at plan time — reads everything — unless every
+        * survivor carries typed stats with ZERO nulls (a null sorts
+        * first/last without entering the bounds), a footer row count,
+        * and no deletion vector. */
+      override def pushTopN(
+          orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+          limit: Int): Boolean = {
+        if (orders.length != 1) return false
+        val o = orders(0)
+        val colName = o.expression() match {
+          case nr: org.apache.spark.sql.connector.expressions.NamedReference
+              if nr.fieldNames.length == 1 => nr.fieldNames()(0)
+          case _ => return false
+        }
+        val asc = o.direction() ==
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING
+        pushedTopN = Some((colName, asc, limit))
+        true
+      }
       override def pruneColumns(requiredSchema: StructType): Unit =
         projected =
           if (requiredSchema.fields.isEmpty)
@@ -302,7 +331,7 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
         case Some((schema, row)) => new GraftAggResultScan(schema, row)
         case None => new GraftBatchScan(root, version,
           projected, accepted, ignoreChanges, startingVersion, pushedLimit,
-          GraftStreamPrune.parse(options))
+          GraftStreamPrune.parse(options), pushedTopN)
       }
     }
   }
@@ -372,7 +401,8 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
 class GraftBatchScan(root: String, version: Long, projected: StructType,
     pushed: Array[Filter], ignoreChanges: Boolean, startingVersion: Long,
     pushedLimit: Option[Int] = None,
-    partFilters: Map[String, Set[String]] = Map.empty)
+    partFilters: Map[String, Set[String]] = Map.empty,
+    pushedTopN: Option[(String, Boolean, Int)] = None)
     extends Scan with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -383,7 +413,9 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
   override def readSchema(): StructType = projected
   override def description(): String =
     s"graft@v$version PushedPruneFilters: ${pushed.mkString("[", ", ", "]")}" +
-      pushedLimit.map(n => s" PushedLimit: $n").getOrElse("")
+      pushedLimit.map(n => s" PushedLimit: $n").getOrElse("") +
+      pushedTopN.map { case (c, asc, n) =>
+        s" PushedTopN: $c ${if (asc) "ASC" else "DESC"} LIMIT $n" }.getOrElse("")
 
   /** PRUNED size statistics (r15): Spark asks the scan for its size
     * right after pushdown, and the answer drives join planning — a
@@ -547,12 +579,48 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
       // decision. Runtime filters never co-occur with a pushed limit
       // (a limit only pushes through a bare project), but guard
       // anyway — advisory pruning must stay advisory.
-      val keep = pushedLimit match {
+      val keep1 = pushedLimit match {
         case Some(n) if runtime.isEmpty &&
             keep0.forall(f => aux.rows.contains(f) && !aux.dvs.contains(f)) =>
           val cumBefore = keep0.scanLeft(0L)((a, f) => a + aux.rows(f))
           keep0.zip(cumBefore).takeWhile(_._2 < n).map(_._1)
         case _ => keep0
+      }
+      // pushed TopN (r15): sort survivors by the order column's
+      // relevant bound, prefix-cover n rows, keep every file whose
+      // range overlaps the prefix's cutoff — a file strictly past the
+      // cutoff cannot contain any of the global top n. Exact only
+      // under zero nulls (a null sorts outside the bounds), full row
+      // counts, and no deletion vectors — refuse otherwise.
+      val keep = pushedTopN match {
+        case Some((c, asc, n)) if runtime.isEmpty && keep1.nonEmpty &&
+            aux.statsTags.contains(c) &&
+            keep1.forall { f =>
+              aux.rows.contains(f) && !aux.dvs.contains(f) &&
+                aux.stats2.get(f).flatMap(_.get(c)).exists(st =>
+                  st.nulls == 0 && st.lo.isDefined && st.hi.isDefined)
+            } =>
+          val ord = GraftFilterPushdown.ordOf(aux.statsTags(c))
+          val st = keep1.map(f => f -> aux.stats2(f)(c))
+          val sorted =
+            if (asc) st.sortBy(_._2.hi.get)(ord)
+            else st.sortBy(_._2.lo.get)(ord.reverse)
+          val cum = sorted.scanLeft(0L)((a, p) => a + aux.rows(p._1)).tail
+          val k = cum.indexWhere(_ >= n) match {
+            case -1 => sorted.size
+            case i => i + 1
+          }
+          if (k >= sorted.size) keep1
+          else {
+            val cutoff =
+              if (asc) sorted(k - 1)._2.hi.get else sorted(k - 1)._2.lo.get
+            val keepSet = st.collect {
+              case (f, s) if (asc && ord.lteq(s.lo.get, cutoff)) ||
+                (!asc && ord.gteq(s.hi.get, cutoff)) => f
+            }.toSet
+            keep1.filter(keepSet)
+          }
+        case _ => keep1
       }
       GraftScanStats.record(root,
         GraftScanStats.Prune(version, total, keep.size))

@@ -92,7 +92,7 @@ object GraftFilterPushdown {
     case _ => None
   }
 
-  private def ordOf(tag: String): Ordering[Any] = (tag match {
+  private[sources] def ordOf(tag: String): Ordering[Any] = (tag match {
     case "str" => Ordering.String
     case "double" => Ordering.Double.TotalOrdering
     case _ => Ordering.Long

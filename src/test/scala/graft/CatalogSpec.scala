@@ -1760,6 +1760,46 @@ class CatalogSpec extends SparkSpec {
       s"deletion vectors must refuse the limit prefix, got $st2")
   }
 
+  test("TopN pushdown: ORDER BY plans only range-overlapping files; missing stats and DVs refuse (r15)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "tn").toString
+    val ev = Tables(spark, sf, "events").select(col("event_id"), col("value"))
+    val m = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+    val w = m / 4 + 1
+    CommitLog.setTableProperty(root, "statsColumns", "event_id")
+    (0 until 4).foreach(i => CommitLog.append(spark, root,
+      ev.filter(expr(s"event_id DIV $w = $i")), nFiles = 1))
+    // ASC head: one file; the returned row is the global minimum
+    val qa = spark.sql(s"SELECT event_id FROM $cat.tn ORDER BY event_id LIMIT 1")
+    assert(qa.collect()(0).getLong(0) ===
+      ev.agg(min(col("event_id"))).collect()(0).getLong(0))
+    val stA = graft.sources.GraftScanStats.lastFor(root).get
+    assert(stA.filesTotal === 4 && stA.filesRead === 1, stA.toString)
+    // DESC tail: one file; the returned row is the global maximum
+    val qd = spark.sql(s"SELECT event_id FROM $cat.tn ORDER BY event_id DESC LIMIT 1")
+    assert(qd.collect()(0).getLong(0) === m)
+    assert(graft.sources.GraftScanStats.lastFor(root).get.filesRead === 1)
+    assert(qd.queryExecution.executedPlan.toString.contains("PushedTopN"),
+      "the pushed top-n must surface in the plan description")
+    // a deletion vector invalidates the row counts — refuse, read all
+    CommitLog.deleteMergeOnRead(spark, root, col("event_id") % 16 === 0)
+    spark.sql(s"SELECT event_id FROM $cat.tn ORDER BY event_id LIMIT 1").collect()
+    val stDv = graft.sources.GraftScanStats.lastFor(root).get
+    assert(stDv.filesRead === stDv.filesTotal,
+      s"deletion vectors must refuse the top-n prune, got $stDv")
+    // a survivor without recorded stats on the order column refuses
+    val root2 = new java.io.File(base, "tn2").toString
+    CommitLog.append(spark, root2,
+      ev.filter(expr(s"event_id DIV $w = 0")), nFiles = 1) // no stats contract
+    CommitLog.setTableProperty(root2, "statsColumns", "event_id")
+    (1 until 4).foreach(i => CommitLog.append(spark, root2,
+      ev.filter(expr(s"event_id DIV $w = $i")), nFiles = 1))
+    spark.sql(s"SELECT event_id FROM $cat.tn2 ORDER BY event_id LIMIT 1").collect()
+    val st2 = graft.sources.GraftScanStats.lastFor(root2).get
+    assert(st2.filesRead === st2.filesTotal,
+      s"a stats-less survivor must refuse the top-n prune, got $st2")
+  }
+
   test("storage-partitioned join: mixed-generation manifest (a file without the spec's layout) falls back to per-file planning (r15)") {
     val (cat, base) = freshCatalog()
     val root = new java.io.File(base, "mix").toString
