@@ -228,6 +228,9 @@ object ScaleSoak {
     // r15: TopN pushdown — the planned prefix is bound-overlap-sized,
     // never the table; the slope is the five range-sliced INSERTs
     "q_sql_table_topn_pushdown",
+    // r15: grouped metadata aggregates — the partition profile is one
+    // manifest parse at any data size; the slope is staging
+    "q_sql_table_agg_pushdown_grouped",
     // the r10 verdict's mass-delete scenario, soaked as its own
     // fixture (below — not a registry key): EVERY view key vanishes
     // in one fold; the driver-OOM shape the r11 distributed

@@ -3069,6 +3069,42 @@ object TableFormat {
       ordered(q.select(lit(fromManifest).as("answered_from_manifest"),
         col("n_rows"), col("n_ids"), col("min_id"), col("max_id")))
     },
+    "q_sql_table_agg_pushdown_grouped" -> { (s, dir) =>
+      // GROUPED METADATA AGGREGATES (r15): the canonical PARTITION
+      // PROFILE — `SELECT day, COUNT(*), COUNT(c), MIN(c), MAX(c)
+      // GROUP BY day` — answers from the manifest alone when the
+      // grouping columns are layout columns every live file records:
+      // the groups ARE the layout tuples, per-group counts sum the
+      // group's footer rows minus its nullCounts, bounds fold its
+      // per-file stats. On a 100 TB table the first exploration query
+      // after "how big is it" becomes one manifest parse, zero data
+      // I/O. Refusals (CatalogSpec): non-layout grouping expressions,
+      // deletion vectors, missing stats — each falls back to the
+      // exact ordinary scan. answered_from_manifest certifies the
+      // executed plan carried the metadata-aggregate scan.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_agg")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "tbl").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("day", col("event_id") % 7)
+      CommitLog.setTableProperty(root, "statsColumns", "event_id")
+      CommitLog.appendPartitioned(s, root,
+        ev.filter(col("event_id") % 2 === 0), "day", filesPerPartition = 1)
+      CommitLog.appendPartitioned(s, root,
+        ev.filter(col("event_id") % 2 === 1), "day", filesPerPartition = 1)
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      val q = s.sql(s"""SELECT day, COUNT(*) AS n_rows,
+        |COUNT(event_id) AS n_ids, MIN(event_id) AS min_id,
+        |MAX(event_id) AS max_id FROM $cat.tbl GROUP BY day""".stripMargin)
+      val fromManifest =
+        if (q.queryExecution.executedPlan.toString.contains("metadata-aggregate")) 1L
+        else 0L
+      ordered(q.select(lit(fromManifest).as("answered_from_manifest"),
+        col("day"), col("n_rows"), col("n_ids"), col("min_id"), col("max_id")))
+    },
     "q_sql_table_join_spj" -> { (s, dir) =>
       // STORAGE-PARTITIONED JOIN (r15): two catalog tables
       // co-partitioned on day join on (day, user_id) and aggregate BY
@@ -3400,6 +3436,16 @@ object TableFormat {
         |  MAX(event_id) AS max_id
         |FROM events""".stripMargin +
         orderByAll("answered_from_manifest", "n_rows", "n_ids", "min_id", "max_id")),
+    "q_sql_table_agg_pushdown_grouped" ->
+      ("""SELECT CAST(1 AS BIGINT) AS answered_from_manifest,
+        |  event_id % 7 AS day,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(event_id) AS n_ids,
+        |  MIN(event_id) AS min_id,
+        |  MAX(event_id) AS max_id
+        |FROM events GROUP BY event_id % 7""".stripMargin +
+        orderByAll("answered_from_manifest", "day", "n_rows", "n_ids",
+          "min_id", "max_id")),
     "q_sql_table_join_spj" ->
       ("""WITH t2 AS (SELECT event_id % 7 AS day, user_id, COUNT(*) AS weight
         |  FROM events GROUP BY 1, 2)

@@ -251,7 +251,7 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
         with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
       private var projected: StructType = tableSchema
       private var accepted: Array[Filter] = Array.empty
-      private var aggAnswer: Option[(StructType, Array[Any])] = None
+      private var aggAnswer: Option[(StructType, Seq[Array[Any]])] = None
       private var pushedLimit: Option[Int] = None
       /** LIMIT pushdown (r15): with footer-derived per-file row
         * counts in the manifest, an unfiltered `LIMIT n` plans only a
@@ -311,7 +311,8 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
       }
       override def pushedFilters(): Array[Filter] = accepted
       /** METADATA aggregates (r15): COUNT(*)/COUNT(c)/MIN(c)/MAX(c)
-        * with no GROUP BY answer from the manifest alone when the
+        * (globally, or GROUP BY layout columns — the partition
+        * profile) answer from the manifest alone when the
         * answer is exact (footer-derived row counts, per-column
         * nullCounts, exact bounds; refused under deletion vectors).
         * Spark only attempts this when NO residual filter remains

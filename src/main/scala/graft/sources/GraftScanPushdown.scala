@@ -204,7 +204,8 @@ object GraftScanStats {
   * this table" query on 100 TB is one manifest parse, zero data I/O.
   *
   * Complete pushdown ONLY when the metadata answer is EXACT:
-  *   - no GROUP BY, no DISTINCT;
+  *   - no DISTINCT; GROUP BY only over LAYOUT columns every live file
+  *     records (the groups are then the layout tuples — r15);
   *   - no deletion vectors anywhere in the snapshot (a masked row
   *     invalidates counts AND could be the min/max);
   *   - COUNT(*): every live file has a recorded row count;
@@ -222,11 +223,21 @@ object GraftAggPushdown {
   import org.apache.spark.sql.connector.expressions.aggregate._
   import org.apache.spark.sql.types._
 
-  /** (output schema, one internal-format result row) when the whole
-    * aggregation is answerable from the manifest; None refuses. */
+  /** (output schema, internal-format result rows) when the whole
+    * aggregation is answerable from the manifest; None refuses.
+    *
+    * GROUP BY layout columns (r15): when every grouping expression is
+    * a plain column EVERY live file records a layout value for, the
+    * groups ARE the layout tuples — per-group COUNT(*) sums the
+    * group's footer counts, COUNT(c) subtracts its per-file
+    * nullCounts, MIN/MAX fold its per-file bounds — so the canonical
+    * partition-profile query (`SELECT day, COUNT(*) ... GROUP BY
+    * day`) on a 100 TB table is one manifest parse. Output rows carry
+    * the group key FIRST (Spark's complete-pushdown scan contract:
+    * groupBy columns, then aggregate columns); a key value that does
+    * not round-trip exactly from the staged string form refuses. */
   def answer(root: String, version: Long, tableSchema: StructType,
-      agg: Aggregation): Option[(StructType, Array[Any])] = {
-    if (agg.groupByExpressions.nonEmpty) return None
+      agg: Aggregation): Option[(StructType, Seq[Array[Any]])] = {
     val files = CommitLog.snapshotFiles(root, version).map { f =>
       val jf = new java.io.File(f)
       jf.getParentFile.getName + "/" + jf.getName
@@ -239,13 +250,6 @@ object GraftAggPushdown {
             if ref.fieldNames.length == 1 => Some(ref.fieldNames()(0))
         case _ => None
       }
-    def rowsExact: Option[Long] =
-      if (files.forall(aux.rows.contains)) Some(files.map(aux.rows).sum)
-      else None
-    def statsFor(c: String): Option[Seq[CommitLog.ColStat]] =
-      if (files.forall(f => aux.stats2.get(f).exists(_.contains(c))))
-        Some(files.map(f => aux.stats2(f)(c)))
-      else None
     // manifest values → Spark INTERNAL representation under the
     // column's type (stats store long/ts-micros/epoch-days/double/
     // string — the internal forms of timestamp and date already)
@@ -262,53 +266,95 @@ object GraftAggPushdown {
         org.apache.spark.unsafe.types.UTF8String.fromString(s)
       case _ => return null // unreachable under statTagOf's domain
     }
-    val out = Seq.newBuilder[(StructField, Any)]
-    agg.aggregateExpressions.foreach {
+    // a LAYOUT value (staged CAST-to-STRING text) → internal, defined
+    // only where the round trip is exact
+    def layoutInternal(dt: DataType, s0: String): Option[Any] = dt match {
+      case StringType =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(s0))
+      case LongType => s0.toLongOption
+      case IntegerType => s0.toIntOption
+      case ShortType => s0.toShortOption
+      case ByteType => s0.toByteOption
+      case BooleanType => s0.toBooleanOption
+      case DateType =>
+        try Some(java.time.LocalDate.parse(s0).toEpochDay.toInt)
+        catch { case _: java.time.format.DateTimeParseException => None }
+      case _ => None
+    }
+    // resolve the grouping: (internal key values, the group's files)
+    val gcolsOpt = agg.groupByExpressions.toSeq.map(colOf)
+    if (gcolsOpt.exists(_.isEmpty)) return None
+    val gcols = gcolsOpt.flatten
+    val groups: Seq[(Seq[Any], Seq[String])] =
+      if (gcols.isEmpty) Seq((Nil, files))
+      else {
+        val gFieldsOpt = gcols.map(c => tableSchema.fields.find(_.name == c))
+        if (gFieldsOpt.exists(_.isEmpty)) return None
+        val dts = gFieldsOpt.flatten.map(_.dataType)
+        val entries = files.map { f =>
+          aux.layoutOf(f).map(_.toMap) match {
+            case Some(mp) if gcols.forall(mp.contains) =>
+              Some(f -> gcols.map(mp))
+            case _ => None
+          }
+        }
+        if (entries.exists(_.isEmpty)) return None
+        entries.flatten.groupBy(_._2).toSeq
+          .sortBy(_._1.mkString(" "))
+          .map { case (vals, fs) =>
+            val keys = vals.zip(dts).map { case (v, dt) =>
+              if (v == CommitLog.nullSentinel) Some(null)
+              else layoutInternal(dt, v)
+            }
+            if (keys.exists(_.isEmpty)) return None
+            (keys.map(_.get), fs.map(_._1))
+          }
+      }
+    def rowsExact(fs: Seq[String]): Option[Long] =
+      if (fs.forall(aux.rows.contains)) Some(fs.map(aux.rows).sum)
+      else None
+    def statsFor(c: String, fs: Seq[String]): Option[Seq[CommitLog.ColStat]] =
+      if (fs.forall(f => aux.stats2.get(f).exists(_.contains(c))))
+        Some(fs.map(f => aux.stats2(f)(c)))
+      else None
+    // one (field, per-group evaluator) per aggregate expression —
+    // the schema stands even for a zero-group (empty) table
+    final case class AggSpec(field: StructField, eval: Seq[String] => Option[Any])
+    val specs: Seq[AggSpec] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar =>
-        rowsExact match {
-          case Some(n) => out += StructField("count(*)", LongType, nullable = false) -> n
-          case None => return None
-        }
+        AggSpec(StructField("count(*)", LongType, nullable = false),
+          fs => rowsExact(fs))
       case c: Count if !c.isDistinct =>
-        (for {
-          col <- colOf(c.column)
-          total <- rowsExact
-          sts <- statsFor(col)
-        } yield total - sts.map(_.nulls).sum) match {
-          case Some(n) =>
-            out += StructField(s"count", LongType, nullable = false) -> n
-          case None => return None
-        }
+        val col = colOf(c.column).getOrElse(return None)
+        AggSpec(StructField("count", LongType, nullable = false),
+          fs => for { t <- rowsExact(fs); sts <- statsFor(col, fs) }
+            yield t - sts.map(_.nulls).sum)
       case m: Min =>
-        (for {
-          col <- colOf(m.column)
-          sts <- statsFor(col)
-          dt = tableSchema(col).dataType
-        } yield {
-          val los = sts.flatMap(_.lo)
-          val v = if (los.isEmpty) null else internal(dt, minOf(los))
-          StructField("min", dt, nullable = true) -> v
-        }) match {
-          case Some(fv) => out += fv
-          case None => return None
-        }
+        val col = colOf(m.column).getOrElse(return None)
+        val dt = tableSchema(col).dataType
+        AggSpec(StructField("min", dt, nullable = true),
+          fs => statsFor(col, fs).map { sts =>
+            val los = sts.flatMap(_.lo)
+            if (los.isEmpty) null else internal(dt, minOf(los))
+          })
       case m: Max =>
-        (for {
-          col <- colOf(m.column)
-          sts <- statsFor(col)
-          dt = tableSchema(col).dataType
-        } yield {
-          val his = sts.flatMap(_.hi)
-          val v = if (his.isEmpty) null else internal(dt, maxOf(his))
-          StructField("max", dt, nullable = true) -> v
-        }) match {
-          case Some(fv) => out += fv
-          case None => return None
-        }
+        val col = colOf(m.column).getOrElse(return None)
+        val dt = tableSchema(col).dataType
+        AggSpec(StructField("max", dt, nullable = true),
+          fs => statsFor(col, fs).map { sts =>
+            val his = sts.flatMap(_.hi)
+            if (his.isEmpty) null else internal(dt, maxOf(his))
+          })
       case _ => return None
     }
-    val fields = out.result()
-    Some((StructType(fields.map(_._1)), fields.map(_._2).toArray))
+    val gFields = gcols.map(c => tableSchema(tableSchema.fieldIndex(c))
+      .copy(nullable = true))
+    val rows = groups.map { case (keys, fs) =>
+      val vals = specs.map(_.eval(fs))
+      if (vals.exists(_.isEmpty)) return None
+      (keys ++ vals.map(_.get)).toArray
+    }
+    Some((StructType(gFields ++ specs.map(_.field)), rows))
   }
 
   private def cmpAny(a: Any, b: Any): Int = (a, b) match {
@@ -321,9 +367,12 @@ object GraftAggPushdown {
   private def maxOf(vs: Seq[Any]): Any = vs.reduce((a, b) => if (cmpAny(a, b) >= 0) a else b)
 }
 
-/** The one-row scan a completely-pushed aggregation returns. */
+/** The metadata-sized scan a completely-pushed aggregation returns —
+  * one row for the global form, one row per layout tuple for the
+  * grouped form (rows ride ONE input partition; they are manifest
+  * metadata, never data-sized). */
 class GraftAggResultScan(schema: org.apache.spark.sql.types.StructType,
-    values: Array[Any])
+    rows: Seq[Array[Any]])
     extends org.apache.spark.sql.connector.read.Scan {
   import org.apache.spark.sql.connector.read._
   override def readSchema(): org.apache.spark.sql.types.StructType = schema
@@ -331,25 +380,25 @@ class GraftAggResultScan(schema: org.apache.spark.sql.types.StructType,
     s"graft metadata-aggregate ${schema.fieldNames.mkString("[", ", ", "]")}"
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      Array(GraftAggResultPartition(values))
+      Array(GraftAggResultPartition(rows.toArray))
     override def createReaderFactory(): PartitionReaderFactory =
       new GraftAggResultReaderFactory
   }
 }
 
-case class GraftAggResultPartition(values: Array[Any])
+case class GraftAggResultPartition(rows: Array[Array[Any]])
     extends org.apache.spark.sql.connector.read.InputPartition
 
 class GraftAggResultReaderFactory
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
   override def createReader(p: org.apache.spark.sql.connector.read.InputPartition)
       : org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow] = {
-    val vs = p.asInstanceOf[GraftAggResultPartition].values
+    val rs = p.asInstanceOf[GraftAggResultPartition].rows
     new org.apache.spark.sql.connector.read.PartitionReader[org.apache.spark.sql.catalyst.InternalRow] {
-      private var emitted = false
-      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      private var idx = -1
+      override def next(): Boolean = { idx += 1; idx < rs.length }
       override def get(): org.apache.spark.sql.catalyst.InternalRow =
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vs)
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rs(idx))
       override def close(): Unit = ()
     }
   }

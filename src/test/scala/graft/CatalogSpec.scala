@@ -1760,6 +1760,45 @@ class CatalogSpec extends SparkSpec {
       s"deletion vectors must refuse the limit prefix, got $st2")
   }
 
+  test("metadata aggregates GROUP BY layout columns: the partition profile is one manifest parse; non-layout grouping refuses (r15)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "gag").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("day", col("event_id") % 7)
+    CommitLog.setTableProperty(root, "statsColumns", "event_id")
+    CommitLog.appendPartitioned(spark, root,
+      ev.filter(col("event_id") % 2 === 0), "day", filesPerPartition = 1)
+    CommitLog.appendPartitioned(spark, root,
+      ev.filter(col("event_id") % 2 === 1), "day", filesPerPartition = 1)
+    val q = spark.sql(s"SELECT day, COUNT(*) AS n, COUNT(event_id) AS ni, " +
+      s"MIN(event_id) AS mn, MAX(event_id) AS mx FROM $cat.gag GROUP BY day")
+    val got = q.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val want = ev.groupBy("day").agg(count(lit(1)), count(col("event_id")),
+      min(col("event_id")), max(col("event_id"))).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got === want)
+    assert(q.queryExecution.executedPlan.toString.contains("metadata-aggregate"),
+      "the grouped profile must answer from the manifest")
+    // grouping by a non-layout expression refuses — ordinary scan,
+    // identical values
+    val q2 = spark.sql(s"SELECT user_id % 2 AS b, COUNT(*) AS n " +
+      s"FROM $cat.gag GROUP BY user_id % 2")
+    assert(!q2.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
+    assert(q2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      ev.groupBy(col("user_id") % 2).count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    // a deletion vector refuses the grouped form like the global one
+    CommitLog.deleteMergeOnRead(spark, root, col("event_id") % 32 === 0)
+    val q3 = spark.sql(s"SELECT day, COUNT(*) AS n FROM $cat.gag GROUP BY day")
+    assert(!q3.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
+    assert(q3.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      ev.filter(col("event_id") % 32 =!= 0).groupBy("day").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("TopN pushdown: ORDER BY plans only range-overlapping files; missing stats and DVs refuse (r15)") {
     val (cat, base) = freshCatalog()
     val root = new java.io.File(base, "tn").toString

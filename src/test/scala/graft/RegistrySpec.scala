@@ -165,7 +165,8 @@ class RegistrySpec extends SparkSpec {
       "q_sql_table_merge_evolve", "q_sql_table_prune_estimate",
       "q_sql_table_agg_pushdown", "q_sql_table_show_partitions",
       "q_sql_table_join_spj", "q_sql_table_limit_pushdown",
-      "s_table_stream_pruned", "q_sql_table_topn_pushdown")
+      "s_table_stream_pruned", "q_sql_table_topn_pushdown",
+      "q_sql_table_agg_pushdown_grouped")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }
