@@ -409,6 +409,10 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   private lazy val meta = GraftFilterPushdown.pruneMetaOf(root, version)
+  // the snapshot's aux metadata, parsed ONCE per scan: statistics,
+  // SPJ grouping and partition planning all read it, and a pinned
+  // version's manifest is immutable
+  private lazy val auxCached = CommitLog.auxOf(root, version)
   @volatile private var runtime: Array[Filter] = Array.empty
 
   override def readSchema(): StructType = projected
@@ -436,7 +440,7 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     val probes = GraftFilterPushdown.translate((pushed ++ runtime).toSeq, meta)
     val (keep, _) = CommitLog.prunedFilesCombined(root, version,
       probes.parts.toSeq, probes.ranges)
-    val aux = CommitLog.auxOf(root, version)
+    val aux = auxCached
     val bytes = keep.map(rel =>
       aux.sizes.getOrElse(rel, new java.io.File(root, rel).length())).sum
     val rows =
@@ -457,7 +461,7 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     * and API tables both report, and a pinned VERSION AS OF reports
     * the spec as of ITS snapshot. */
   private def specCols: Seq[String] =
-    CommitLog.auxOf(root, version).partCol
+    auxCached.partCol
       .toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
 
   /** Staged-string → Catalyst-internal conversion for a partition key
@@ -515,7 +519,7 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     val probes = GraftFilterPushdown.translate(filters, meta)
     val (keep, _) = CommitLog.prunedFilesCombined(root, version,
       probes.parts.toSeq, probes.ranges)
-    val aux = CommitLog.auxOf(root, version)
+    val aux = auxCached
     val entries = keep.map { f =>
       aux.layoutOf(f) match {
         case Some(pairs) if pairs.map(_._1) == cols => Some(f -> pairs.map(_._2))
@@ -570,7 +574,7 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
         (pushed ++ runtime).toSeq, meta)
       val (keep0, total) = CommitLog.prunedFilesCombined(root, version,
         probes.parts.toSeq, probes.ranges)
-      val aux = CommitLog.auxOf(root, version)
+      val aux = auxCached
       // pushed LIMIT (r15): plan only a file-list PREFIX covering n
       // rows — exact ONLY when every survivor carries a footer row
       // count and no deletion vector (a masked row would make the
