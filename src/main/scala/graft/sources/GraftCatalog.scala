@@ -464,24 +464,6 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     auxCached.partCol
       .toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
 
-  /** Staged-string → Catalyst-internal conversion for a partition key
-    * column — defined ONLY where the round trip through the staged
-    * CAST-to-STRING text is exact (the same conservatism as the
-    * pushdown's partValue, in the opposite direction). */
-  private def keyConv(dt: org.apache.spark.sql.types.DataType): Option[String => Any] = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case StringType => Some(v => org.apache.spark.unsafe.types.UTF8String.fromString(v))
-      case LongType => Some(v => v.toLong)
-      case IntegerType => Some(v => v.toInt)
-      case ShortType => Some(v => v.toShort)
-      case ByteType => Some(v => v.toByte)
-      case BooleanType => Some(v => v.toBoolean)
-      case DateType => Some(v => java.time.LocalDate.parse(v).toEpochDay.toInt)
-      case _ => None
-    }
-  }
-
   /** STORAGE-PARTITIONED JOIN grouping (r15): when the session opts
     * into DSv2 bucketing (`spark.sql.sources.v2.bucketing.enabled`),
     * the scan groups its surviving files by partition-value tuple —
@@ -513,9 +495,8 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
       return None
     val fields = cols.map(c => projected.fields.find(_.name == c))
     if (fields.exists(_.isEmpty)) return None
-    val convs = fields.flatten.map(f => keyConv(f.dataType))
-    if (convs.exists(_.isEmpty)) return None
-    val conv = convs.flatten
+    val dts = fields.flatten.map(_.dataType)
+    if (!dts.forall(GraftFilterPushdown.layoutKeyType)) return None
     val probes = GraftFilterPushdown.translate(filters, meta)
     val (keep, _) = CommitLog.prunedFilesCombined(root, version,
       probes.parts.toSeq, probes.ranges)
@@ -527,17 +508,33 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
       }
     }
     if (entries.exists(_.isEmpty)) return None
-    Some(entries.flatten.groupBy(_._2).toSeq
-      .sortBy(_._1.mkString(" "))
+    // one shared canonical converter with the grouped aggregates — a
+    // recorded value that does not round-trip exactly (a foreign
+    // writer's "03") refuses the WHOLE grouping rather than aliasing
+    // two spellings into separate keys or throwing at plan time
+    val groups = entries.flatten.groupBy(_._2).toSeq
+      .sortBy(_._1.mkString(" "))
       .map { case (vals, fs) =>
-        val key = vals.zip(conv).map { case (v, c) =>
-          if (v == CommitLog.nullSentinel) null else c(v) }.toArray
-        (key, fs.map(_._1))
-      })
+        val keys = vals.zip(dts).map { case (v, dt) =>
+          if (v == CommitLog.nullSentinel) Some(null)
+          else GraftFilterPushdown.layoutInternal(dt, v)
+        }
+        if (keys.exists(_.isEmpty)) return None
+        (keys.map(_.get).toArray[Any], fs.map(_._1))
+      }
+    Some(groups)
   }
 
+  /** [[spjGroups]] under the PUSHED filters, memoized: planning asks
+    * for the partitioning and the partitions separately, and both
+    * depend only on the immutable pushed set and the pinned version
+    * (the conf gates read once at first use — consistent within one
+    * query's planning). */
+  private lazy val spjGroupsPushed: Option[Seq[(Array[Any], Seq[String])]] =
+    spjGroups(pushed.toSeq)
+
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    spjGroups(pushed.toSeq) match {
+    spjGroupsPushed match {
       case Some(groups) if groups.nonEmpty =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
           specCols.map(c => Expressions.identity(c):
@@ -637,7 +634,7 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
       // key-grouped planning (storage-partitioned joins) — must agree
       // with what outputPartitioning reported: one partition per
       // partition-value tuple, announcing its key
-      spjGroups(pushed.toSeq) match {
+      spjGroupsPushed match {
         case Some(groups) if groups.nonEmpty =>
           // runtime filters (DPP) drop whole groups, never split them
           val liveKeep = keep.toSet

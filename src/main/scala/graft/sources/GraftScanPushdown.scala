@@ -92,11 +92,65 @@ object GraftFilterPushdown {
     case _ => None
   }
 
-  private[sources] def ordOf(tag: String): Ordering[Any] = (tag match {
-    case "str" => Ordering.String
-    case "double" => Ordering.Double.TotalOrdering
-    case _ => Ordering.Long
-  }).asInstanceOf[Ordering[Any]]
+  /** Bound comparisons must use SPARK's sort semantics, not the JVM's
+    * (r15 review find): strings sort in UTF-8 BINARY order — Java's
+    * UTF-16 code-unit compare disagrees exactly on supplementary
+    * characters vs U+E000..U+FFFF, so a Java-ordered cutoff could
+    * prune a file holding the true extremum — and doubles treat
+    * -0.0 == 0.0 with NaN greatest (Spark's nan-safe compare). */
+  private[sources] val utf8Ord: Ordering[Any] = new Ordering[Any] {
+    def compare(a: Any, b: Any): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
+        .compareTo(
+          org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String]))
+  }
+  private[sources] val sparkDoubleOrd: Ordering[Any] = new Ordering[Any] {
+    def compare(a: Any, b: Any): Int = {
+      val x = a.asInstanceOf[Double]; val y = b.asInstanceOf[Double]
+      if (x == y) 0 else java.lang.Double.compare(x, y)
+    }
+  }
+  private[sources] def ordOf(tag: String): Ordering[Any] = tag match {
+    case "str" => utf8Ord
+    case "double" => sparkDoubleOrd
+    case _ => Ordering.Long.asInstanceOf[Ordering[Any]]
+  }
+
+  /** A LAYOUT value (the staged CAST-to-STRING text) → Catalyst
+    * internal, defined ONLY where the round trip is exact AND the
+    * spelling is canonical — "03" or "True" refuse rather than alias
+    * "3"/"true" into a duplicate group key (r15 review find: grouping
+    * happens on the raw strings, so two spellings of one value must
+    * refuse the pushdown, never produce two groups). Shared by the
+    * SPJ partition keys and the grouped metadata aggregates. */
+  private[sources] def layoutInternal(
+      dt: org.apache.spark.sql.types.DataType, s0: String): Option[Any] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(s0))
+      case LongType => s0.toLongOption.filter(_.toString == s0)
+      case IntegerType => s0.toIntOption.filter(_.toString == s0)
+      case ShortType => s0.toShortOption.filter(_.toString == s0)
+      case ByteType => s0.toByteOption.filter(_.toString == s0)
+      case BooleanType => s0.toBooleanOption.filter(_.toString == s0)
+      case DateType =>
+        (try Some(java.time.LocalDate.parse(s0))
+        catch { case _: java.time.format.DateTimeParseException => None })
+          .filter(_.toString == s0).map(_.toEpochDay.toInt)
+      case _ => None
+    }
+  }
+  /** Whether [[layoutInternal]] is defined for a type at all. */
+  private[sources] def layoutKeyType(
+      dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType | LongType | IntegerType | ShortType | ByteType |
+           BooleanType | DateType => true
+      case _ => false
+    }
+  }
 
   /** Translate a pushed conjunction into probes. Filters the
     * translation cannot express exactly contribute nothing (never a
@@ -266,21 +320,6 @@ object GraftAggPushdown {
         org.apache.spark.unsafe.types.UTF8String.fromString(s)
       case _ => return null // unreachable under statTagOf's domain
     }
-    // a LAYOUT value (staged CAST-to-STRING text) → internal, defined
-    // only where the round trip is exact
-    def layoutInternal(dt: DataType, s0: String): Option[Any] = dt match {
-      case StringType =>
-        Some(org.apache.spark.unsafe.types.UTF8String.fromString(s0))
-      case LongType => s0.toLongOption
-      case IntegerType => s0.toIntOption
-      case ShortType => s0.toShortOption
-      case ByteType => s0.toByteOption
-      case BooleanType => s0.toBooleanOption
-      case DateType =>
-        try Some(java.time.LocalDate.parse(s0).toEpochDay.toInt)
-        catch { case _: java.time.format.DateTimeParseException => None }
-      case _ => None
-    }
     // resolve the grouping: (internal key values, the group's files)
     val gcolsOpt = agg.groupByExpressions.toSeq.map(colOf)
     if (gcolsOpt.exists(_.isEmpty)) return None
@@ -304,7 +343,7 @@ object GraftAggPushdown {
           .map { case (vals, fs) =>
             val keys = vals.zip(dts).map { case (v, dt) =>
               if (v == CommitLog.nullSentinel) Some(null)
-              else layoutInternal(dt, v)
+              else GraftFilterPushdown.layoutInternal(dt, v)
             }
             if (keys.exists(_.isEmpty)) return None
             (keys.map(_.get), fs.map(_._1))
@@ -359,8 +398,11 @@ object GraftAggPushdown {
 
   private def cmpAny(a: Any, b: Any): Int = (a, b) match {
     case (x: Long, y: Long) => java.lang.Long.compare(x, y)
-    case (x: Double, y: Double) => java.lang.Double.compare(x, y)
-    case (x: String, y: String) => x.compareTo(y)
+    // Spark's sort semantics, not the JVM's (see ordOf): nan-safe
+    // doubles, UTF-8 binary strings — the folded MIN/MAX must pick
+    // the same extremum the row-level aggregate would
+    case (x: Double, y: Double) => GraftFilterPushdown.sparkDoubleOrd.compare(x, y)
+    case (x: String, y: String) => GraftFilterPushdown.utf8Ord.compare(x, y)
     case _ => 0
   }
   private def minOf(vs: Seq[Any]): Any = vs.reduce((a, b) => if (cmpAny(a, b) <= 0) a else b)

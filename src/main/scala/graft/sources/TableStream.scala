@@ -161,13 +161,22 @@ object GraftStreamPrune {
     * observable witness that pruning happened at PLAN time. Keyed by
     * VERSION and overwritten on re-plan (Spark plans a micro-batch's
     * partitions more than once), so totals stay the deterministic
-    * per-version sums. */
+    * per-version sums. A diagnostic surface, not an engine input:
+    * bounded to the most recent versions per root (a long-running
+    * continuous stream must not grow driver memory without bound),
+    * and concurrent streams with DIFFERENT subscriptions over one
+    * root interleave last-writer-wins per version. */
+  private val MaxVersions = 4096
   private val stats =
     new java.util.concurrent.ConcurrentHashMap[String, Map[Long, (Long, Long)]]()
   def reset(root: String): Unit = { stats.remove(root); () }
   def record(root: String, version: Long, candidates: Int, planned: Int): Unit = {
     stats.merge(root, Map(version -> ((candidates.toLong, planned.toLong))),
-      (a, b) => a ++ b)
+      (a, b) => {
+        val m = a ++ b
+        if (m.size <= MaxVersions) m
+        else m.toSeq.sortBy(_._1).takeRight(MaxVersions).toMap
+      })
     ()
   }
   def totals(root: String): (Long, Long) =

@@ -1722,12 +1722,19 @@ class CatalogSpec extends SparkSpec {
     spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
     spark.conf.set("spark.graft.preserveDataGrouping", "true")
     try {
-      val q = spark.sql(
-        s"SELECT day, COUNT(*) AS n FROM $cat.agg GROUP BY day")
-      val got = q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      assert(got === ev.groupBy("day").count().collect()
-        .map(r => r.getLong(0) -> r.getLong(1)).toMap)
-      assert(!q.queryExecution.executedPlan.toString.contains("Exchange"),
+      // SUM is NOT metadata-pushable, so this pins the KEY-GROUPED
+      // SCAN path (a plain COUNT(*) profile would be answered by the
+      // grouped metadata aggregate and never touch it)
+      val q = spark.sql(s"SELECT day, SUM(CAST(value AS DECIMAL(18,4))) AS sv " +
+        s"FROM $cat.agg GROUP BY day")
+      val got = q.collect().map(r => r.getLong(0) -> r.getDecimal(1)).toMap
+      assert(got === ev.groupBy("day")
+        .agg(sum(col("value").cast("decimal(18,4)")).as("sv")).collect()
+        .map(r => r.getLong(0) -> r.getDecimal(1)).toMap)
+      val planStr = q.queryExecution.executedPlan.toString
+      assert(!planStr.contains("metadata-aggregate"),
+        "the probe aggregate must not be metadata-answered")
+      assert(!planStr.contains("Exchange"),
         "a partition-key aggregate over a key-grouped scan must not shuffle")
     } finally {
       spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
