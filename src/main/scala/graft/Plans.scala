@@ -56,11 +56,46 @@ object Plans {
     "q_sim_hard_negatives",   // blocked scoring + WindowGroupLimit per-anchor top-3 (r9)
     "q_text_normalize",       // NFC codegen narrow map, zero exchange before the sort (r9)
     "q_sim_ivfpq",            // IVFPQ: pruned cell scan + broadcast LUT + ADC agg + 20-row rerank (late r9)
-    "q_pipeline_curation")    // five-stage funnel in one DAG: memoized shingle checkpoints + unioned partial aggs (late r9)
+    "q_pipeline_curation",    // five-stage funnel in one DAG: memoized shingle checkpoints + unioned partial aggs (late r9)
+    "q_sql_table_join_spj",   // storage-partitioned join: key-grouped scans, ZERO exchanges (r15)
+    "q_sql_table_topn_pushdown", // ORDER BY + LIMIT planning only bound-overlapping files (r15)
+    "q_sql_table_agg_pushdown_grouped") // partition profile answered by the metadata-aggregate scan (r15)
 
   /** Hand-written analysis emitted after a key's plan — kept here so
     * regeneration never loses it. */
   val notes: Map[String, String] = Map(
+    "q_sql_table_join_spj" ->
+      """NOTE: the plan above is the key's RETURNED frame re-planned under
+        |DEFAULT confs (the key restores every conf after its proof run), so
+        |it shows the ordinary broadcast join. The run the key actually
+        |grades happens in-key under the opt-in confs
+        |(`spark.sql.sources.v2.bucketing.enabled` +
+        |`spark.graft.preserveDataGrouping`, broadcast disabled) where the
+        |executed plan is
+        |
+        |```
+        |SortMergeJoin [day, user_id], [day, user_id], Inner
+        |   :- Sort ... +- BatchScan graft.f1 (KeyGroupedPartitioning: day)
+        |   +- Sort ... +- BatchScan graft.f2 (KeyGroupedPartitioning: day)
+        |```
+        |
+        |— ZERO Exchange nodes on either side, and the downstream GROUP BY
+        |day reuses the same clustering. The key's zero_shuffle_proof column
+        |certifies exactly that (1 = the final adaptive plan contained no
+        |Exchange anywhere); CatalogSpec additionally pins the values against
+        |a shuffled recompute, the no-conf fallback, and the
+        |mixed-generation fallback.""".stripMargin,
+    "q_sql_table_topn_pushdown" ->
+      """The scan line carries `PushedTopN: event_id ASC LIMIT n` and the
+        |file-level effect is pinned by the key's counters (2 of 5 files ASC,
+        |1 of 5 DESC — disjoint range slices); Spark's own
+        |TakeOrderedAndProject still runs above the scan (partial pushdown),
+        |so the sort visible here operates on the planned prefix only.""".stripMargin,
+    "q_sql_table_agg_pushdown_grouped" ->
+      """The leaf is the metadata-aggregate scan (`graft metadata-aggregate
+        |[day, count(*), count, min, max]`) — one row per layout tuple read
+        |from the manifest, zero data I/O; the HashAggregate above it is
+        |Spark's final no-op fold over 7 metadata rows.""".stripMargin,
     "q_join_skew_salted" ->
       """### Salting vs AQE skew-split on the same hot key (r5 measurement)
         |
