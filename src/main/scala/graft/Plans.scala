@@ -59,7 +59,8 @@ object Plans {
     "q_pipeline_curation",    // five-stage funnel in one DAG: memoized shingle checkpoints + unioned partial aggs (late r9)
     "q_sql_table_join_spj",   // storage-partitioned join: key-grouped scans, ZERO exchanges (r15)
     "q_sql_table_topn_pushdown", // ORDER BY + LIMIT planning only bound-overlapping files (r15)
-    "q_sql_table_agg_pushdown_grouped") // partition profile answered by the metadata-aggregate scan (r15)
+    "q_sql_table_agg_pushdown_grouped", // partition profile answered by the metadata-aggregate scan (r15)
+    "q_sql_table_join_spj_bucket") // hash-bucket co-partitioned join, zero exchanges (r15)
 
   /** Hand-written analysis emitted after a key's plan — kept here so
     * regeneration never loses it. */
@@ -85,6 +86,17 @@ object Plans {
         |Exchange anywhere); CatalogSpec additionally pins the values against
         |a shuffled recompute, the no-conf fallback, and the
         |mixed-generation fallback.""".stripMargin,
+    "q_sql_table_join_spj_bucket" ->
+      """Same dump caveat as q_sql_table_join_spj (the returned frame
+        |re-plans under restored confs). In-key, under the opt-in confs,
+        |the executed join+agg plan is key-grouped on `bucket(8, user_id)`
+        |— the catalog's V2 bucket function (FunctionCatalog) resolves the
+        |reported transform, both sides load the SAME function so Spark's
+        |co-partition check holds by canonical name, and the plan carries
+        |ZERO Exchange nodes on a HIGH-CARDINALITY join key (user_id) where
+        |an identity spec could never co-partition. The same spec turns
+        |`user_id = v` into a plan-time point lookup: one bucket's file of
+        |eight (the key's files_read_point column pins it).""".stripMargin,
     "q_sql_table_topn_pushdown" ->
       """The scan line carries `PushedTopN: event_id ASC LIMIT n` and the
         |file-level effect is pinned by the key's counters (2 of 5 files ASC,

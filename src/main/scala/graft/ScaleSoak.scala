@@ -231,6 +231,9 @@ object ScaleSoak {
     // r15: grouped metadata aggregates — the partition profile is one
     // manifest parse at any data size; the slope is staging
     "q_sql_table_agg_pushdown_grouped",
+    // r15: hash-bucket co-partitioning — the zero-exchange join's cost
+    // is the scans'; the point lookup stays one bucket at any size
+    "q_sql_table_join_spj_bucket",
     // the r10 verdict's mass-delete scenario, soaked as its own
     // fixture (below — not a registry key): EVERY view key vanishes
     // in one fold; the driver-OOM shape the r11 distributed

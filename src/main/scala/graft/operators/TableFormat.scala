@@ -3165,6 +3165,72 @@ object TableFormat {
       ordered(q.select(lit(zeroShuffle).as("zero_shuffle_proof"),
         col("day"), col("n_pairs"), col("weighted")))
     },
+    "q_sql_table_join_spj_bucket" -> { (s, dir) =>
+      // HASH-BUCKET co-partitioning (r15 — Iceberg's bucket
+      // transform, the HIGH-CARDINALITY key workhorse): two catalog
+      // tables `PARTITIONED BY (bucket(8, user_id))` join on user_id
+      // and aggregate BY user_id with ZERO exchanges — the catalog's
+      // V2 bucket FUNCTION (FunctionCatalog) reproduces the writer's
+      // routing (pmod(murmur3, n), Spark's seed) so the planner
+      // proves co-partitioning where an identity spec never could
+      // (day has 7 values; user_id has millions). The same spec makes
+      // `user_id = v` a POINT LOOKUP: the probed value's bucket is
+      // computable at plan time, so the scan reads ONE bucket's file.
+      // zero_shuffle certifies the final adaptive plan of the
+      // join+agg carried no Exchange; the point-lookup counters ride
+      // the same output row.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_spjb")
+      base.toFile.deleteOnExit()
+      val ev = Tables(s, dir, "events").select(col("user_id"), col("value"))
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      s.sql(s"CREATE TABLE $cat.b1 (user_id BIGINT, value DOUBLE) " +
+        "PARTITIONED BY (bucket(8, user_id))")
+      s.sql(s"CREATE TABLE $cat.b2 (user_id BIGINT, weight BIGINT) " +
+        "PARTITIONED BY (bucket(8, user_id))")
+      ev.createOrReplaceTempView("graft_spjb_src")
+      s.sql(s"INSERT INTO $cat.b1 SELECT user_id, value FROM graft_spjb_src")
+      s.sql(s"INSERT INTO $cat.b2 SELECT user_id, COUNT(*) AS weight " +
+        "FROM graft_spjb_src GROUP BY user_id")
+      val q1 = s.sql(
+        s"""SELECT t1.user_id AS user_id, COUNT(*) AS n,
+           |  SUM(CAST(t1.value AS DECIMAL(18,4)) * t2.weight) AS w
+           |FROM $cat.b1 t1 JOIN $cat.b2 t2 ON t1.user_id = t2.user_id
+           |GROUP BY t1.user_id""".stripMargin)
+      val confs = Seq(
+        "spark.sql.sources.v2.bucketing.enabled" -> "true",
+        "spark.graft.preserveDataGrouping" -> "true",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+        "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+      val saved = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      val zeroShuffle =
+        try {
+          q1.collect()
+          if (q1.queryExecution.executedPlan.toString.contains("Exchange")) 0L
+          else 1L
+        } finally saved.foreach { case (k, ov) =>
+          ov match {
+            case Some(v) => s.conf.set(k, v)
+            case None => s.conf.unset(k)
+          }
+        }
+      // point lookup on the bucketed key: one bucket's one file
+      val minUser = ev.agg(min(col("user_id"))).collect()(0).getLong(0)
+      val qp = s.sql(s"SELECT value FROM $cat.b1 WHERE user_id = $minUser")
+      val nPoint = qp.collect().length.toLong
+      val stPoint = graft.sources.GraftScanStats
+        .lastFor(new java.io.File(base.toFile, "b1").toString).get
+      ordered(q1.agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_pairs"),
+          sum(col("w")).cast("string").cast("double").as("weighted"))
+        .select(lit(zeroShuffle).as("zero_shuffle_proof"),
+          col("n_users"), col("n_pairs"), col("weighted"),
+          lit(stPoint.filesRead.toLong).as("files_read_point"),
+          lit(nPoint).as("n_rows_point")))
+    },
     "q_sql_table_limit_pushdown" -> { (s, dir) =>
       // LIMIT PUSHDOWN (r15): the manifest's footer-derived per-file
       // row counts turn an unfiltered `LIMIT n` into a FILE-COUNT
@@ -3458,6 +3524,22 @@ object TableFormat {
         |  ON e.event_id % 7 = t2.day AND e.user_id = t2.user_id
         |GROUP BY e.event_id % 7""".stripMargin +
         orderByAll("zero_shuffle_proof", "day", "n_pairs", "weighted")),
+    "q_sql_table_join_spj_bucket" ->
+      ("""WITH t2 AS (SELECT user_id, COUNT(*) AS weight
+        |  FROM events GROUP BY user_id),
+        |j AS (SELECT e.user_id, COUNT(*) AS n,
+        |    SUM(CAST(e.value AS DECIMAL(18,4)) * t2.weight) AS w
+        |  FROM events e JOIN t2 ON e.user_id = t2.user_id
+        |  GROUP BY e.user_id)
+        |SELECT CAST(1 AS BIGINT) AS zero_shuffle_proof,
+        |  (SELECT COUNT(*) FROM j) AS n_users,
+        |  (SELECT CAST(SUM(n) AS BIGINT) FROM j) AS n_pairs,
+        |  (SELECT CAST(CAST(SUM(w) AS VARCHAR) AS DOUBLE) FROM j) AS weighted,
+        |  CAST(1 AS BIGINT) AS files_read_point,
+        |  (SELECT COUNT(*) FROM events
+        |    WHERE user_id = (SELECT MIN(user_id) FROM events)) AS n_rows_point""".stripMargin +
+        orderByAll("zero_shuffle_proof", "n_users", "n_pairs", "weighted",
+          "files_read_point", "n_rows_point")),
     "q_sql_table_limit_pushdown" ->
       ("""WITH s AS (SELECT event_id % 5 AS b, COUNT(*) AS n
         |  FROM events GROUP BY 1),

@@ -1895,16 +1895,44 @@ object CommitLog {
     * pairs each file was written under. partCol comma-joins the spec
     * and parts records the joined tuple — the legacy single-column
     * encoding is the 1-column case, byte-identical to r13's. */
+  /** A HASH-BUCKET partition-spec entry (r15 — Iceberg's bucket
+    * transform, the high-cardinality co-partitioning workhorse):
+    * `bucket(n;col)`. The semicolon keeps the encoding comma-free, so
+    * the comma-joined multi-column spec strings parse unchanged. The
+    * bucket id is `pmod(murmur3(col), n)` with Spark's seed (42) —
+    * EXACTLY Spark SQL's `pmod(hash(col), n)` for integral columns —
+    * so the V2 bucket FUNCTION the catalog exposes for
+    * storage-partitioned joins reproduces the writer's routing
+    * bit-for-bit. Integral (long/int) source columns only: hash
+    * semantics are per-type and these are the join-key types the
+    * feature exists for. */
+  private[sources] val BucketSpec = """bucket\((\d+);(.+)\)""".r
+  private[sources] def bucketOfLong(v: Long, n: Int): Int = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashLong(v, 42)
+    ((h % n) + n) % n
+  }
+  private[sources] def bucketOfInt(v: Int, n: Int): Int = {
+    val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42)
+    ((h % n) + n) % n
+  }
+
   private def stagePartitionedCols(s: SparkSession, root: String,
       df: DataFrame, partCols: Seq[String],
       filesPerPartition: Int): (Seq[String], Aux) = {
-    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, lit}
+    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, hash, lit, pmod}
     require(partCols.nonEmpty, "partitioned staging needs a column")
     require(!df.columns.contains("_gp") && !df.columns.contains("_gs"),
       "partitioned staging reserves column names _gp and _gs")
+    // a bucket entry routes by its derived id (hash never returns
+    // NULL — null keys land in pmod(seed, n) like Spark's own hash);
+    // a plain entry routes by the value's CAST-to-STRING text
+    def routing(entry: String) = entry match {
+      case BucketSpec(n, c) =>
+        pmod(hash(col(c)), lit(n.toInt)).cast("string")
+      case c => coalesce(col(c).cast("string"), lit(nullPartSentinel))
+    }
     val tagged = df.withColumn("_gp",
-      concat_ws(specSep, partCols.map(c =>
-        coalesce(col(c).cast("string"), lit(nullPartSentinel))): _*))
+      concat_ws(specSep, partCols.map(routing): _*))
     val groups = stageRouted(s, root, tagged, filesPerPartition)
     val parts = groups.flatMap { case (v, fs) => fs.map(_ -> v) }.toMap
     (groups.flatMap(_._2),

@@ -41,7 +41,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * each file is one input partition (full read parallelism); column
   * pruning pushes into the per-file reader so unselected columns are
   * never decoded. */
-class GraftCatalog extends TableCatalog {
+class GraftCatalog extends TableCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catName: String = _
   private var base: String = _
 
@@ -111,12 +112,33 @@ class GraftCatalog extends TableCatalog {
       case Seq() => None
       case ts =>
         val cols = ts.map { t =>
-          require(t.name == "identity",
-            s"only PARTITIONED BY (column, ...) is supported, got ${t.describe}")
           val c = t.references()(0).fieldNames().mkString(".")
           require(schema.fieldNames.contains(c),
             s"partition column '$c' is not in the table schema")
-          c
+          t.name match {
+            case "identity" => c
+            // bucket(n, col) — Iceberg's hash-bucket transform (r15):
+            // the spec string encodes `bucket(n;col)` (comma-free),
+            // routing is pmod(hash(col), n), and the catalog's V2
+            // bucket function lets storage-partitioned joins prove
+            // co-partitioning on the HIGH-CARDINALITY key
+            case "bucket" =>
+              val n = t.arguments().collectFirst {
+                case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+                  l.value().toString.toInt
+              }.getOrElse(throw new IllegalArgumentException(
+                s"bucket transform needs a bucket count: ${t.describe}"))
+              require(n > 0, s"bucket count must be positive, got $n")
+              val dt = schema(schema.fieldIndex(c)).dataType
+              require(dt == org.apache.spark.sql.types.LongType ||
+                dt == org.apache.spark.sql.types.IntegerType,
+                s"bucket($n, $c): only BIGINT/INT columns bucket " +
+                  s"(per-type hash semantics), got $dt")
+              s"bucket($n;$c)"
+            case other => throw new IllegalArgumentException(
+              s"only PARTITIONED BY (column | bucket(n, column), ...) " +
+                s"is supported, got ${t.describe}")
+          }
         }
         Some(cols.mkString(","))
     }
@@ -198,6 +220,66 @@ class GraftCatalog extends TableCatalog {
       "dropping a table is a storage-reclaim concern — use CommitLog.vacuum")
   override def renameTable(old: Identifier, next: Identifier): Unit =
     throw new UnsupportedOperationException("graft tables are addressed by root path")
+
+  /** The catalog's V2 FUNCTIONS (r15): exactly one — `bucket`. Spark's
+    * planner resolves a reported bucket TRANSFORM against the owning
+    * catalog's FunctionCatalog (V2ScanPartitioningAndOrdering), so
+    * without this the key-grouped partitioning of a bucketed table
+    * would be silently dropped and every join would shuffle. The bound
+    * function reproduces the WRITER's routing bit-for-bit
+    * (pmod(murmur3(v), n), Spark's seed), and both join sides load it
+    * from the same catalog, so the canonical name equality Spark's
+    * co-partition check needs holds by construction. */
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+  override def loadFunction(ident: Identifier): org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.name == "bucket") new GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+}
+
+/** `bucket(n, col)` as a DSv2 function: binds per source type to the
+  * same murmur3-with-Spark-seed routing the writer staged with. */
+class GraftBucketFunction
+    extends org.apache.spark.sql.connector.catalog.functions.UnboundFunction {
+  import org.apache.spark.sql.types._
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): pmod(murmur3(col), n) — the graft writer's routing"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.functions.BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket expects (n, col), got ${inputType.simpleString}")
+    inputType.fields(1).dataType match {
+      case LongType => new GraftBucketLong
+      case IntegerType => new GraftBucketInt
+      case other => throw new UnsupportedOperationException(
+        s"bucket: only BIGINT/INT columns bucket, got $other")
+    }
+  }
+}
+
+class GraftBucketLong
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+  import org.apache.spark.sql.types._
+  override def inputTypes(): Array[DataType] = Array(IntegerType, LongType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Integer =
+    CommitLog.bucketOfLong(input.getLong(1), input.getInt(0))
+}
+
+class GraftBucketInt
+    extends org.apache.spark.sql.connector.catalog.functions.ScalarFunction[Integer] {
+  import org.apache.spark.sql.types._
+  override def inputTypes(): Array[DataType] = Array(IntegerType, IntegerType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket"
+  override def isResultNullable: Boolean = false
+  override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Integer =
+    CommitLog.bucketOfInt(input.getInt(1), input.getInt(0))
 }
 
 /** One pinned snapshot as a V2 batch table: scan = the manifest's
@@ -212,7 +294,14 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
   override def partitioning(): Array[Transform] =
     CommitLog.tableProperty(root, "partitionColumn")
       .toSeq.flatMap(_.split(',').map(_.trim).filter(_.nonEmpty))
-      .map(c => org.apache.spark.sql.connector.expressions.Expressions.identity(c): Transform)
+      .map {
+        case CommitLog.BucketSpec(n, c) =>
+          org.apache.spark.sql.connector.expressions.Expressions
+            .bucket(n.toInt, c): Transform
+        case c =>
+          org.apache.spark.sql.connector.expressions.Expressions
+            .identity(c): Transform
+      }
       .toArray
 
   /** SHOW TBLPROPERTIES reads these — the log's properties file. */
@@ -493,10 +582,28 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     // on it alone would quietly halve every plain scan's parallelism).
     if (!sc.getConfString("spark.graft.preserveDataGrouping", "false").toBoolean)
       return None
-    val fields = cols.map(c => projected.fields.find(_.name == c))
-    if (fields.exists(_.isEmpty)) return None
-    val dts = fields.flatten.map(_.dataType)
-    if (!dts.forall(GraftFilterPushdown.layoutKeyType)) return None
+    // per-entry key converter: an identity entry needs its column in
+    // the scan output with an exactly-convertible type; a BUCKET
+    // entry (r15) needs the SOURCE column in the output (the reported
+    // transform references it) with the integral type the bucket
+    // function binds — its key is the canonical int bucket id
+    val convs: Seq[Option[String => Option[Any]]] = cols.map {
+      case CommitLog.BucketSpec(_, c) =>
+        projected.fields.find(_.name == c).collect {
+          case f if f.dataType == org.apache.spark.sql.types.LongType ||
+              f.dataType == org.apache.spark.sql.types.IntegerType =>
+            (v: String) =>
+              v.toIntOption.filter(_.toString == v).map(i => i: Any)
+        }
+      case c =>
+        projected.fields.find(_.name == c).flatMap { f =>
+          if (GraftFilterPushdown.layoutKeyType(f.dataType))
+            Some((v: String) => GraftFilterPushdown.layoutInternal(f.dataType, v))
+          else None
+        }
+    }
+    if (convs.exists(_.isEmpty)) return None
+    val keyConvs = convs.flatten
     val probes = GraftFilterPushdown.translate(filters, meta)
     val (keep, _) = CommitLog.prunedFilesCombined(root, version,
       probes.parts.toSeq, probes.ranges)
@@ -515,9 +622,8 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     val groups = entries.flatten.groupBy(_._2).toSeq
       .sortBy(_._1.mkString(" "))
       .map { case (vals, fs) =>
-        val keys = vals.zip(dts).map { case (v, dt) =>
-          if (v == CommitLog.nullSentinel) Some(null)
-          else GraftFilterPushdown.layoutInternal(dt, v)
+        val keys = vals.zip(keyConvs).map { case (v, kc) =>
+          if (v == CommitLog.nullSentinel) Some(null) else kc(v)
         }
         if (keys.exists(_.isEmpty)) return None
         (keys.map(_.get).toArray[Any], fs.map(_._1))
@@ -537,8 +643,12 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     spjGroupsPushed match {
       case Some(groups) if groups.nonEmpty =>
         new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
-          specCols.map(c => Expressions.identity(c):
-            org.apache.spark.sql.connector.expressions.Expression).toArray,
+          specCols.map {
+            case CommitLog.BucketSpec(n, c) => Expressions.bucket(n.toInt, c):
+              org.apache.spark.sql.connector.expressions.Expression
+            case c => Expressions.identity(c):
+              org.apache.spark.sql.connector.expressions.Expression
+          }.toArray,
           groups.size)
       case _ =>
         new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
@@ -549,7 +659,13 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     * legacy) stats. Spark's DPP planner only injects filters on
     * attributes named here. */
   override def filterAttributes(): Array[NamedReference] =
-    (meta.layoutCols ++ meta.tags.keySet ++ meta.legacyCol)
+    (meta.layoutCols.map {
+      // a bucket layout is addressed by its SOURCE column: runtime
+      // filters (DPP) arrive on the join key, and the translator maps
+      // a point probe to the hash bucket
+      case CommitLog.BucketSpec(_, c) => c
+      case c => c
+    } ++ meta.tags.keySet ++ meta.legacyCol)
       .toArray.map(Expressions.column)
   override def filter(filters: Array[Filter]): Unit = { runtime = filters }
 

@@ -46,14 +46,21 @@ object GraftFilterPushdown {
     * every column any generation's layout records, the typed stat
     * tags, and the legacy single-column stats column. */
   final case class PruneMeta(layoutCols: Set[String],
-      tags: Map[String, String], legacyCol: Option[String])
+      tags: Map[String, String], legacyCol: Option[String],
+      // bucket specs among the layout columns (r15): source column →
+      // (bucket count, the recorded layout-column name) — a point
+      // probe on the SOURCE column prunes to its hash bucket's files
+      bucketSpecs: Map[String, (Int, String)] = Map.empty)
 
   def pruneMetaOf(root: String, version: Long): PruneMeta = {
     val aux = CommitLog.auxOf(root, version)
     val layoutCols = aux.partCol.toSeq.flatMap(_.split(',')).toSet ++
       aux.layouts.values.flatMap(_.map(_._1))
+    val buckets = layoutCols.toSeq.collect {
+      case spec @ CommitLog.BucketSpec(n, c) => c -> ((n.toInt, spec))
+    }.toMap
     PruneMeta(layoutCols, aux.statsTags,
-      CommitLog.snapshotStatsOf(root, version)._1)
+      CommitLog.snapshotStatsOf(root, version)._1, buckets)
   }
 
   /** The staged string form of a filter value for layout probing —
@@ -172,14 +179,29 @@ object GraftFilterPushdown {
       case l: Long if l > Long.MinValue => l - 1L
       case other => other
     }
+    // a point probe on a BUCKETED source column (r15): the probed
+    // value's hash bucket is computable exactly (same murmur3 + seed
+    // as the writer's routing), so `user_id = v` prunes a bucketed
+    // table to ONE bucket's files. Equality/IN only — a range spans
+    // buckets arbitrarily.
+    def bucketPart(c: String, v: Any): Unit =
+      meta.bucketSpecs.get(c).foreach { case (n, layoutName) =>
+        v match {
+          case l: Long => addPart(layoutName, Set(CommitLog.bucketOfLong(l, n).toString))
+          case i: Int => addPart(layoutName, Set(CommitLog.bucketOfInt(i, n).toString))
+          case _ => ()
+        }
+      }
     def go(f: Filter): Unit = f match {
       case And(l, r) => go(l); go(r)
       case EqualTo(c, v) =>
         if (meta.layoutCols(c)) partValue(v).foreach(s => addPart(c, Set(s)))
+        if (v != null) bucketPart(c, v)
         tagOf(c).foreach(t => rangeValue(t, v).foreach(rv =>
           ranges += CommitLog.RangeProbe(c, Some(rv), Some(rv))))
       case EqualNullSafe(c, v) if v != null =>
         if (meta.layoutCols(c)) partValue(v).foreach(s => addPart(c, Set(s)))
+        bucketPart(c, v)
         tagOf(c).foreach(t => rangeValue(t, v).foreach(rv =>
           ranges += CommitLog.RangeProbe(c, Some(rv), Some(rv))))
       case In(c, vs) =>
@@ -188,6 +210,15 @@ object GraftFilterPushdown {
           val svs = nonNull.flatMap(partValue)
           if (svs.length == nonNull.length && nonNull.nonEmpty)
             addPart(c, svs.toSet)
+        }
+        meta.bucketSpecs.get(c).foreach { case (n, layoutName) =>
+          val ids = nonNull.flatMap {
+            case l: Long => Some(CommitLog.bucketOfLong(l, n).toString)
+            case i: Int => Some(CommitLog.bucketOfInt(i, n).toString)
+            case _ => None
+          }
+          if (ids.length == nonNull.length && nonNull.nonEmpty)
+            addPart(layoutName, ids.toSet)
         }
         tagOf(c).foreach { t =>
           val rvs = nonNull.flatMap(rangeValue(t, _))

@@ -1846,6 +1846,67 @@ class CatalogSpec extends SparkSpec {
       s"a stats-less survivor must refuse the top-n prune, got $st2")
   }
 
+  test("bucket transform: bucketed tables join on the HIGH-CARDINALITY key with zero hash exchanges; point lookups prune to one bucket (r15)") {
+    val (cat, base) = freshCatalog()
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    spark.sql(s"CREATE TABLE $cat.b1 (user_id BIGINT, value DOUBLE) " +
+      "PARTITIONED BY (bucket(8, user_id))")
+    spark.sql(s"CREATE TABLE $cat.b2 (user_id BIGINT, weight BIGINT) " +
+      "PARTITIONED BY (bucket(8, user_id))")
+    ev.createOrReplaceTempView("bspec_src")
+    spark.sql(s"INSERT INTO $cat.b1 SELECT user_id, value FROM bspec_src")
+    spark.sql(s"INSERT INTO $cat.b2 SELECT user_id, COUNT(*) AS weight " +
+      "FROM bspec_src GROUP BY user_id")
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.graft.preserveDataGrouping" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val q = spark.sql(
+        s"""SELECT t1.user_id AS user_id, COUNT(*) AS n,
+           |  SUM(CAST(t1.value AS DECIMAL(18,4)) * t2.weight) AS w
+           |FROM $cat.b1 t1 JOIN $cat.b2 t2 ON t1.user_id = t2.user_id
+           |GROUP BY t1.user_id""".stripMargin)
+      val got = q.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDecimal(2)))).toMap
+      val planStr = q.queryExecution.executedPlan.toString
+      assert(planStr.contains("SortMergeJoin"), planStr)
+      assert(!planStr.contains("Exchange"),
+        s"bucketed SPJ join + per-user agg must plan zero exchanges:\n$planStr")
+      val w = ev.groupBy("user_id").agg(count(lit(1)).as("weight"))
+      val exp = ev.join(w, Seq("user_id"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,4)") * col("weight")).as("w"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getDecimal(2)))).toMap
+      assert(got === exp)
+    } finally saved.foreach { case (k, ov) =>
+      ov match {
+        case Some(v) => spark.conf.set(k, v)
+        case None => spark.conf.unset(k)
+      }
+    }
+    // point lookup: `user_id = v` prunes to the probed value's hash
+    // bucket — one file of the eight
+    val root1 = new java.io.File(base, "b1").toString
+    val someUser = ev.select(col("user_id")).limit(1).collect()(0).getLong(0)
+    val q2 = spark.sql(s"SELECT value FROM $cat.b1 WHERE user_id = $someUser")
+    val nRows = q2.collect().length.toLong
+    assert(nRows === ev.filter(col("user_id") === someUser).count(),
+      "bucket pruning dropped matching rows")
+    val st = graft.sources.GraftScanStats.lastFor(root1).get
+    // one file per NON-EMPTY bucket (an empty bucket stages nothing)
+    assert(st.filesRead === 1 && st.filesTotal >= 4,
+      s"point lookup must read one bucket's file, got $st")
+  }
+
   test("storage-partitioned join: mixed-generation manifest (a file without the spec's layout) falls back to per-file planning (r15)") {
     val (cat, base) = freshCatalog()
     val root = new java.io.File(base, "mix").toString
