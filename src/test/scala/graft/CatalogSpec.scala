@@ -1907,6 +1907,46 @@ class CatalogSpec extends SparkSpec {
       s"point lookup must read one bucket's file, got $st")
   }
 
+  test("partition spec evolution TO a bucket spec: generations coexist, each file prunes under its OWN layout (r15)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "evb").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("day", (col("event_id") % 7).cast("string"))
+    // gen-1 under the identity day spec
+    CommitLog.appendPartitioned(spark, root,
+      ev.filter(col("event_id") % 2 === 0), "day", filesPerPartition = 1)
+    // evolve the spec to hash buckets for FUTURE appends — the same
+    // repartitionLayout contract identity-spec evolution uses
+    CommitLog.setTableProperty(root, "repartitionLayout", "bucket(4;user_id)")
+    CommitLog.appendPartitioned(spark, root,
+      ev.filter(col("event_id") % 2 === 1), "bucket(4;user_id)",
+      filesPerPartition = 1)
+    val head = CommitLog.latestVersion(root).get
+    val total = CommitLog.snapshotFiles(root, head).size
+    val gen1 = ev.filter(col("event_id") % 2 === 0)
+      .select(col("day")).distinct().count().toInt
+    val gen2 = total - gen1
+    assert(gen2 >= 2, s"want several bucket files, got $gen2")
+    // a day probe prunes gen-1 to day=3; gen-2 files never recorded
+    // day — unprunable, all kept
+    val (_, t1, read1) = CommitLog.partitionPrunedReadMulti(spark, root, head,
+      Seq("day" -> Seq("3")))
+    assert(t1 === total && read1 === 1 + gen2,
+      s"day probe: want ${1 + gen2} of $total, got $read1")
+    // a user point probe through SQL prunes gen-2 to ONE bucket;
+    // gen-1 files never recorded a bucket — unprunable, all kept
+    val someUser = ev.filter(col("event_id") % 2 === 1)
+      .select(col("user_id")).limit(1).collect()(0).getLong(0)
+    val q = spark.sql(s"SELECT value FROM $cat.evb WHERE user_id = $someUser")
+    assert(q.collect().length ===
+      ev.filter(col("user_id") === someUser).count(),
+      "bucket pruning across generations dropped matching rows")
+    val st = graft.sources.GraftScanStats.lastFor(root).get
+    assert(st.filesRead === gen1 + 1,
+      s"user probe: want ${gen1 + 1} of $total (gen-1 must-read + one bucket), got $st")
+  }
+
   test("storage-partitioned join: mixed-generation manifest (a file without the spec's layout) falls back to per-file planning (r15)") {
     val (cat, base) = freshCatalog()
     val root = new java.io.File(base, "mix").toString
