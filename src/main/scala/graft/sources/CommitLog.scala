@@ -2013,9 +2013,14 @@ object CommitLog {
           (f, v) <- aux0.parts
           if !aux0.layouts.contains(f)
         } yield f -> Seq((c, v)))
+        // sizes and rows carry like every other per-file entry (r15
+        // review find: the positional rebuild silently dropped them,
+        // so a post-evolution COUNT(*) could no longer answer from
+        // the manifest and size estimation fell back to stat calls)
         Aux(aux.partCol, aux.parts,
           aux0.statsTags ++ aux.statsTags, aux0.stats2 ++ aux.stats2,
-          aux0.dvs, oldLayouts ++ aux.layouts)
+          aux0.dvs, oldLayouts ++ aux.layouts,
+          aux0.sizes ++ aux.sizes, aux0.rows ++ aux.rows)
       }
     commit(root, prevFiles ++ staged, prev,
       statsCol = prevCol, stats = prevStats,

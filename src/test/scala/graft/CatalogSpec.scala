@@ -1945,6 +1945,15 @@ class CatalogSpec extends SparkSpec {
     val st = graft.sources.GraftScanStats.lastFor(root).get
     assert(st.filesRead === gen1 + 1,
       s"user probe: want ${gen1 + 1} of $total (gen-1 must-read + one bucket), got $st")
+    // spec evolution must CARRY the prior generation's per-file row
+    // counts and sizes (r15 review find: the evolution branch dropped
+    // them) — the post-evolution COUNT(*) still answers from the
+    // manifest alone
+    val qc = spark.sql(s"SELECT COUNT(*) AS n FROM $cat.evb")
+    assert(qc.collect()(0).getLong(0) === ev.count())
+    assert(qc.queryExecution.executedPlan.toString.contains("metadata-aggregate"),
+      "post-evolution COUNT(*) must still answer from the manifest " +
+        "(evolution dropped the carried row counts)")
   }
 
   test("storage-partitioned join: mixed-generation manifest (a file without the spec's layout) falls back to per-file planning (r15)") {
