@@ -2777,6 +2777,13 @@ object CommitLog {
       // newly-added files. None keeps the r13 refusal for this op.
       loserTouches: Option[(Long, Seq[String]) => Long] = None): (Long, Long) = {
     val myRemoved = baseFiles -- carried.toSet
+    // every rewrite records its staged files' byte sizes and footer
+    // row counts (r15 review find: compact and the legacy stats
+    // optimize passed a bare Aux(), so a compaction silently demoted
+    // COUNT(*) from one manifest parse to a full scan). Idempotent
+    // for callers whose aux already carries them — merged() is
+    // newer-wins over identical values.
+    val newAuxSized = newAux.merged(stagedSizes(root, staged))
     val dvPrev = carriedAux(root, Some(prev)).dvs
     // NARROW value-changing-winner case (r13, VERDICT item 7): when
     // THIS rewrite is a pure data-NEUTRAL re-layout (compact/optimize
@@ -2884,7 +2891,7 @@ object CommitLog {
           stats = stats,
           schemaJson = carriedSchemaJson(root, Some(head)),
           extra = auxExtra(restageColStats(s, root,
-            auxHead.filterFiles(keep).merged(newAux), restageFiles)) ++
+            auxHead.filterFiles(keep).merged(newAuxSized), restageFiles)) ++
             extraFragments,
           newIdHwm = newIdHwm)
         return (v, (finalCarried.size - carried.size).toLong)

@@ -1907,6 +1907,32 @@ class CatalogSpec extends SparkSpec {
       s"point lookup must read one bucket's file, got $st")
   }
 
+  test("metadata aggregates survive maintenance: COUNT(*) stays manifest-answered across compact and CoW delete (r15)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "mm").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value"))
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 2 === 0), nFiles = 2)
+    CommitLog.append(spark, root, ev.filter(col("event_id") % 2 === 1), nFiles = 2)
+    def profile(): (Long, Boolean) = {
+      val q = spark.sql(s"SELECT COUNT(*) AS n FROM $cat.mm")
+      (q.collect()(0).getLong(0),
+        q.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
+    }
+    assert(profile() === ((ev.count(), true)))
+    // a compaction's rewritten files must RE-RECORD their footer
+    // counts — the canonical table-size query stays one manifest parse
+    CommitLog.compact(spark, root, 2)
+    assert(profile() === ((ev.count(), true)),
+      "compaction dropped the carried row counts")
+    // a CoW delete rewrites dirty files and carries clean ones — both
+    // halves must keep their counts
+    CommitLog.delete(spark, root, col("event_id") % 8 === 3)
+    val want = ev.filter(col("event_id") % 8 =!= 3).count()
+    assert(profile() === ((want, true)),
+      "CoW delete dropped the carried row counts")
+  }
+
   test("partition spec evolution TO a bucket spec: generations coexist, each file prunes under its OWN layout (r15)") {
     val (cat, base) = freshCatalog()
     val root = new java.io.File(base, "evb").toString
