@@ -48,6 +48,25 @@ object TableFormat {
   private val tableMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
 
+  /** The query's OWN catalog scan, off its (lazily cached, immutable)
+    * optimized plan — the deterministic pushdown witness (r16, VERDICT
+    * item 1): `scanOf(df).plannedFiles` is a pure function of the scan
+    * instance's pinned version + pushed state, so a second planning
+    * pass (AQE re-plan, a re-submitted stage, harness interleaving)
+    * can never change the reading — unlike the global last-write-wins
+    * GraftScanStats the r15 keys read, which the driver's r15 gate
+    * caught flaking. */
+  private def scanOf(df: org.apache.spark.sql.DataFrame): graft.sources.GraftBatchScan = {
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+          if r.scan.isInstanceOf[graft.sources.GraftBatchScan] =>
+        r.scan.asInstanceOf[graft.sources.GraftBatchScan]
+    }
+    require(scans.size == 1,
+      s"pushdown witness expects exactly one graft scan, found ${scans.size}")
+    scans.head
+  }
+
   private[graft] def buildEventsTable(s: SparkSession, dir: String): String = {
     if (tableMemo.size > 8) tableMemo.clear()
     tableMemo.computeIfAbsent((s, dir), _ => {
@@ -2978,6 +2997,50 @@ object TableFormat {
           lit(readStats.toLong).as("files_read_stats"),
           col("n_rows"), col("sum_value")))
     },
+    "q_sql_table_prune_or" -> { (s, dir) =>
+      // OR-PREDICATE FILE PRUNING (r16, VERDICT item 2): a pushed
+      // disjunction whose EVERY branch translates prunes to the UNION
+      // of the branches' file sets — `WHERE day='1' OR (day='5' AND
+      // event_id<=k)` on a day×half staged table plans 3 of 14 files
+      // (day-1 both halves ∪ day-5 first half), where r15 planned all
+      // 14. Branch probes compose layout AND stats sources; a branch
+      // that translates to NOTHING (the `value` predicate — no layout,
+      // no declared stats) admits everything, so the disjunction
+      // contributes no probe at all and the scan reads every file —
+      // the same refusal discipline as a partially-translated IN.
+      // Pruning stays advisory (every filter re-runs row-level), and
+      // witnesses read each query's OWN scan (r16 item 1). Oracle
+      // counters are predicate-derived — scale-robust.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_por")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "tbl").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .withColumn("day", (col("event_id") % 7).cast("string"))
+      val m = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+      CommitLog.setTableProperty(root, "statsColumns", "event_id")
+      CommitLog.appendPartitioned(s, root,
+        ev.filter(col("event_id") <= m / 2), "day", filesPerPartition = 1)
+      CommitLog.appendPartitioned(s, root,
+        ev.filter(col("event_id") > m / 2), "day", filesPerPartition = 1)
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      val qOr = s.sql(s"SELECT event_id, value FROM $cat.tbl " +
+        s"WHERE day = '1' OR (day = '5' AND event_id <= ${m / 2})")
+      val (nTotal, plannedOr) = scanOf(qOr).plannedFiles
+      val qOpaque = s.sql(s"SELECT event_id, value FROM $cat.tbl " +
+        "WHERE day = '1' OR value > 0.5")
+      val (_, plannedOpaque) = scanOf(qOpaque).plannedFiles
+      val nOpaqueRows = qOpaque.count()
+      ordered(qOr.agg(count(lit(1)).as("n_rows_or"),
+          dsum(col("value")).as("sum_value_or"))
+        .select(lit(nTotal.toLong).as("n_files_total"),
+          lit(plannedOr.size.toLong).as("n_files_or"),
+          lit(plannedOpaque.size.toLong).as("n_files_opaque"),
+          col("n_rows_or"), lit(nOpaqueRows).as("n_rows_opaque"),
+          col("sum_value_or")))
+    },
     "q_table_prune_combined" -> { (s, dir) =>
       // API-LEVEL pruning unification (r15, VERDICT item 6): ONE
       // read whose keep decision intersects the file's own layout
@@ -3222,13 +3285,14 @@ object TableFormat {
       val minUser = ev.agg(min(col("user_id"))).collect()(0).getLong(0)
       val qp = s.sql(s"SELECT value FROM $cat.b1 WHERE user_id = $minUser")
       val nPoint = qp.collect().length.toLong
-      val stPoint = graft.sources.GraftScanStats
-        .lastFor(new java.io.File(base.toFile, "b1").toString).get
+      // witness from the point query's OWN scan (r16, VERDICT item 1
+      // hazard class) — not the global last-write-wins GraftScanStats
+      val (_, plannedPoint) = scanOf(qp).plannedFiles
       ordered(q1.agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_pairs"),
           sum(col("w")).cast("string").cast("double").as("weighted"))
         .select(lit(zeroShuffle).as("zero_shuffle_proof"),
           col("n_users"), col("n_pairs"), col("weighted"),
-          lit(stPoint.filesRead.toLong).as("files_read_point"),
+          lit(plannedPoint.size.toLong).as("files_read_point"),
           lit(nPoint).as("n_rows_point")))
     },
     "q_sql_table_limit_pushdown" -> { (s, dir) =>
@@ -3265,10 +3329,12 @@ object TableFormat {
       val lim = ev.filter(col("event_id") % 5 <= 1).count() + 1
       val q = s.sql(s"SELECT event_id FROM $cat.tbl LIMIT $lim")
       val nReturned = q.collect().length.toLong
-      val st = graft.sources.GraftScanStats.lastFor(root).get
+      // witness from the query's OWN scan instance (r16, VERDICT item
+      // 1) — deterministic under any number of planning passes
+      val (nTotal, planned) = scanOf(q).plannedFiles
       ordered(s.range(1).select(
-        lit(st.filesTotal.toLong).as("n_files_total"),
-        lit(st.filesRead.toLong).as("n_files_planned"),
+        lit(nTotal.toLong).as("n_files_total"),
+        lit(planned.size.toLong).as("n_files_planned"),
         lit(nReturned).as("n_rows_returned")))
     },
     "q_sql_table_topn_pushdown" -> { (s, dir) =>
@@ -3309,14 +3375,16 @@ object TableFormat {
       val lim = ev.filter(col("event_id") < w).count() + 1
       val q = s.sql(s"SELECT event_id FROM $cat.tbl ORDER BY event_id LIMIT $lim")
       val got = q.collect()
-      val st = graft.sources.GraftScanStats.lastFor(root).get
       val qd = s.sql(s"SELECT event_id FROM $cat.tbl ORDER BY event_id DESC LIMIT 1")
       val gotD = qd.collect()
-      val stD = graft.sources.GraftScanStats.lastFor(root).get
+      // witnesses from each query's OWN scan instance (r16, VERDICT
+      // item 1) — deterministic under any number of planning passes
+      val (nTotal, plannedAsc) = scanOf(q).plannedFiles
+      val (_, plannedDesc) = scanOf(qd).plannedFiles
       ordered(s.range(1).select(
-        lit(st.filesTotal.toLong).as("n_files_total"),
-        lit(st.filesRead.toLong).as("n_files_planned_asc"),
-        lit(stD.filesRead.toLong).as("n_files_planned_desc"),
+        lit(nTotal.toLong).as("n_files_total"),
+        lit(plannedAsc.size.toLong).as("n_files_planned_asc"),
+        lit(plannedDesc.size.toLong).as("n_files_planned_desc"),
         lit(got.length.toLong).as("n_rows_returned"),
         lit(got.map(_.getLong(0)).sum).as("sum_topn"),
         lit(gotD(0).getLong(0)).as("max_desc")))
@@ -3471,6 +3539,24 @@ object TableFormat {
         |    WHERE event_id % 7 = 3 AND user_id % 2 = 0 AND event_id <= m // 2) AS sum_value""".stripMargin +
         orderByAll("n_files_total", "files_read_combined", "files_read_layout",
           "files_read_stats", "n_rows", "sum_value")),
+    "q_sql_table_prune_or" ->
+      ("""WITH b AS (SELECT MAX(event_id) AS m FROM events),
+        |f AS (SELECT DISTINCT CAST(event_id % 7 AS VARCHAR) AS d,
+        |        event_id <= (SELECT m // 2 FROM b) AS h1 FROM events)
+        |SELECT (SELECT COUNT(*) FROM f) AS n_files_total,
+        |  (SELECT COUNT(*) FROM f WHERE d = '1' OR (d = '5' AND h1)) AS n_files_or,
+        |  (SELECT COUNT(*) FROM f) AS n_files_opaque,
+        |  (SELECT COUNT(*) FROM events, b
+        |    WHERE event_id % 7 = 1
+        |      OR (event_id % 7 = 5 AND event_id <= m // 2)) AS n_rows_or,
+        |  (SELECT COUNT(*) FROM events
+        |    WHERE event_id % 7 = 1 OR value > 0.5) AS n_rows_opaque,
+        |  (SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+        |    FROM events, b
+        |    WHERE event_id % 7 = 1
+        |      OR (event_id % 7 = 5 AND event_id <= m // 2)) AS sum_value_or""".stripMargin +
+        orderByAll("n_files_total", "n_files_or", "n_files_opaque",
+          "n_rows_or", "n_rows_opaque", "sum_value_or")),
     "q_table_prune_combined" ->
       ("""WITH b AS (SELECT MAX(event_id) AS m FROM events),
         |f AS (SELECT DISTINCT event_id % 7 AS d,

@@ -2274,19 +2274,40 @@ object CommitLog {
     * reads. Returns (surviving relative paths, filesTotal). */
   def prunedFilesCombined(root: String, version: Long,
       partProbes: Seq[(String, Set[String])],
-      rangeProbes: Seq[RangeProbe]): (Seq[String], Int) = {
+      rangeProbes: Seq[RangeProbe]): (Seq[String], Int) =
+    prunedFilesTree(root, version, ProbeTree(partProbes, rangeProbes))
+
+  /** A probe CONJUNCTION with nested DISJUNCTIONS (r16, VERDICT item
+    * 2): a file admits iff it passes every partition probe, every
+    * range probe, AND — for each entry in `ors` — at least ONE branch
+    * of that disjunction. Each branch is itself a full tree, so
+    * `(day='1' AND v>k) OR day='5'` evaluates exactly. Every branch
+    * probe set is a safe over-approximation of its branch's matching
+    * files, so the branch UNION over-approximates the disjunction —
+    * pruning may only ever widen the read, never drop a matching
+    * row. */
+  final case class ProbeTree(
+      parts: Seq[(String, Set[String])],
+      ranges: Seq[RangeProbe],
+      ors: Seq[Seq[ProbeTree]] = Nil)
+
+  /** [[prunedFilesCombined]] generalized to a [[ProbeTree]]: ONE
+    * file-level keep decision over every metadata source the manifest
+    * carries, with OR-of-probe-sets support. Pure log metadata. */
+  def prunedFilesTree(root: String, version: Long,
+      tree: ProbeTree): (Seq[String], Int) = {
     val files = readManifest(root, version)._2
     val aux = auxOf(root, version)
-    val want = partProbes.toMap
     val (legacyCol, legacyStats) = snapshotStatsOf(root, version)
-    val keep = files.filter { f =>
+    def admits(f: String, t: ProbeTree): Boolean = {
+      val want = t.parts.toMap
       val layoutOk = aux.layoutOf(f) match {
         case Some(pairs) => pairs.forall { case (c, v) =>
           want.get(c).forall(_.contains(v)) // unprobed columns pass
         }
         case None => true // no entry: must read
       }
-      val statsOk = rangeProbes.forall { p =>
+      val statsOk = t.ranges.forall { p =>
         val typedOk = aux.stats2.get(f).flatMap(_.get(p.col)) match {
           case None => true // no entry for this column: unprunable
           case Some(st) =>
@@ -2305,8 +2326,9 @@ object CommitLog {
           }
         typedOk && legacyOk
       }
-      layoutOk && statsOk
+      layoutOk && statsOk && t.ors.forall(_.exists(admits(f, _)))
     }
+    val keep = files.filter(admits(_, tree))
     (keep, files.size)
   }
 

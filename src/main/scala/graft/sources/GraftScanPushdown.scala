@@ -36,10 +36,16 @@ object GraftFilterPushdown {
 
   /** The combined probe set for one scan: partition value sets by
     * column (conjunctive across columns, intersected when two filters
-    * probe one column) and open-ended typed ranges (conjunctive). */
+    * probe one column), open-ended typed ranges (conjunctive), and
+    * DISJUNCTION groups (r16, VERDICT item 2) — each group a list of
+    * branch probe sets whose file-set UNION applies, intersected with
+    * everything else. */
   final case class Probes(parts: Map[String, Set[String]],
-      ranges: Seq[CommitLog.RangeProbe]) {
-    def isEmpty: Boolean = parts.isEmpty && ranges.isEmpty
+      ranges: Seq[CommitLog.RangeProbe],
+      ors: Seq[Seq[Probes]] = Nil) {
+    def isEmpty: Boolean = parts.isEmpty && ranges.isEmpty && ors.isEmpty
+    def tree: CommitLog.ProbeTree =
+      CommitLog.ProbeTree(parts.toSeq, ranges, ors.map(_.map(_.tree)))
   }
 
   /** Skipping metadata of one pinned snapshot, read once per scan:
@@ -165,6 +171,7 @@ object GraftFilterPushdown {
   def translate(filters: Seq[Filter], meta: PruneMeta): Probes = {
     var parts = Map.empty[String, Set[String]]
     val ranges = Seq.newBuilder[CommitLog.RangeProbe]
+    val ors = Seq.newBuilder[Seq[Probes]]
     def addPart(c: String, vs: Set[String]): Unit =
       parts = parts.updated(c, parts.get(c).map(_ intersect vs).getOrElse(vs))
     def tagOf(c: String): Option[String] =
@@ -255,10 +262,27 @@ object GraftFilterPushdown {
         // both bounds open = "has at least one non-NULL value":
         // prunes exactly the all-NULL files
         tagOf(c).foreach(_ => ranges += CommitLog.RangeProbe(c, None, None))
-      case _ => () // Or/Not/StringStartsWith/...: no file-level probe
+      case o: Or =>
+        // DISJUNCTION pruning (r16, VERDICT item 2): each flattened
+        // branch translates INDEPENDENTLY — a branch's probe set is a
+        // safe over-approximation of its matching files (partial
+        // translation within a branch only widens it), so the UNION of
+        // branch file sets over-approximates the whole disjunction.
+        // `WHERE day='1' OR day='5'` on a partitioned 100 TB table
+        // plans two partitions' files instead of all of them. A branch
+        // that translates to NOTHING admits every file, making the
+        // union the full set — contribute no probe at all (the same
+        // refusal discipline as a partially-translated IN).
+        def branches(f: Filter): Seq[Filter] = f match {
+          case Or(l, r) => branches(l) ++ branches(r)
+          case other => Seq(other)
+        }
+        val bps = branches(o).map(b => translate(Seq(b), meta))
+        if (bps.nonEmpty && bps.forall(!_.isEmpty)) ors += bps
+      case _ => () // Not/StringStartsWith/...: no file-level probe
     }
     filters.foreach(go)
-    Probes(parts, ranges.result())
+    Probes(parts, ranges.result(), ors.result())
   }
 
   /** Does this filter contribute ANY skipping on this snapshot?

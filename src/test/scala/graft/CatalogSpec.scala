@@ -1846,6 +1846,98 @@ class CatalogSpec extends SparkSpec {
       s"a stats-less survivor must refuse the top-n prune, got $st2")
   }
 
+  test("OR-predicate pruning: translatable disjunctions plan the UNION of branch file sets; any opaque branch refuses the probe (r16)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "por").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("day", (col("event_id") % 7).cast("string"))
+    val m = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+    CommitLog.setTableProperty(root, "statsColumns", "event_id")
+    CommitLog.appendPartitioned(spark, root,
+      ev.filter(col("event_id") <= m / 2), "day", filesPerPartition = 1)
+    CommitLog.appendPartitioned(spark, root,
+      ev.filter(col("event_id") > m / 2), "day", filesPerPartition = 1)
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+            if r.scan.isInstanceOf[graft.sources.GraftBatchScan] =>
+          r.scan.asInstanceOf[graft.sources.GraftBatchScan]
+      }.head
+    // simple layout disjunction: day-1 files ∪ day-5 files = 4 of 14
+    val q1 = spark.sql(s"SELECT event_id FROM $cat.por WHERE day='1' OR day='5'")
+    val (t1, k1) = scanOf(q1).plannedFiles
+    assert(t1 === 14 && k1.size === 4, s"($t1, ${k1.size})")
+    assert(q1.count() ===
+      ev.filter(col("day") === "1" || col("day") === "5").count())
+    // mixed layout × stats branches: day-1 (2 files) ∪ (day-5 ∧ first
+    // half: 1 file) = 3
+    val q2 = spark.sql(s"SELECT event_id FROM $cat.por " +
+      s"WHERE day='1' OR (day='5' AND event_id <= ${m / 2})")
+    assert(scanOf(q2).plannedFiles._2.size === 3)
+    // nested disjunction flattens: day IN any of three values = 6
+    val q3 = spark.sql(s"SELECT event_id FROM $cat.por " +
+      "WHERE day='1' OR (day='2' OR day='5')")
+    assert(scanOf(q3).plannedFiles._2.size === 6)
+    // an opaque branch (no layout, no declared stats on `value`)
+    // admits everything → the disjunction contributes no probe
+    val q4 = spark.sql(s"SELECT event_id FROM $cat.por " +
+      "WHERE day='1' OR value > 0.5")
+    assert(scanOf(q4).plannedFiles._2.size === 14,
+      "a disjunction with an untranslatable branch must prune nothing")
+    // results stay exact either way (pruning is advisory)
+    assert(q4.count() ===
+      ev.filter(col("day") === "1" || col("value") > 0.5).count())
+    // the accepted disjunction surfaces in the EXPLAIN filters
+    assert(scanOf(q1).description().contains("Or("),
+      s"pushed Or must surface in the plan: ${scanOf(q1).description()}")
+  }
+
+  test("pushdown witnesses are deterministic: plannedFiles reads the query's OWN scan — interleaved scans and repeated planning never change it (r16)") {
+    // the r15 driver gate flaked exactly here: the limit/topn keys read
+    // the global last-write-wins GraftScanStats, which any second
+    // planning pass of the same root could overwrite between collect
+    // and witness read. The r16 witness is the scan instance's own
+    // plannedFiles — a pure function of (pinned version, pushed state).
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "wit").toString
+    val ev = Tables(spark, sf, "events").select(col("event_id"), col("value"))
+    (0 until 4).foreach(i => CommitLog.append(spark, root,
+      ev.filter(col("event_id") % 4 === i), nFiles = 1))
+    val c0 = ev.filter(col("event_id") % 4 === 0).count()
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+            if r.scan.isInstanceOf[graft.sources.GraftBatchScan] =>
+          r.scan.asInstanceOf[graft.sources.GraftBatchScan]
+      }.head
+    val q = spark.sql(s"SELECT event_id FROM $cat.wit LIMIT ${c0 + 1}")
+    assert(q.collect().length === c0 + 1)
+    val first = scanOf(q).plannedFiles
+    assert(first._1 === 4 && first._2.size === 2,
+      s"LIMIT c0+1 over 4 equal-ish files must plan 2, got $first")
+    // interleave OTHER planning passes over the same root — exactly
+    // the overwrite that flipped the r15 global witness — and re-read:
+    // the instance reading must not move
+    (1 to 2).foreach(_ => spark.sql(s"SELECT event_id FROM $cat.wit").collect())
+    spark.sql(s"SELECT event_id FROM $cat.wit ORDER BY event_id DESC LIMIT 1").collect()
+    assert(scanOf(q).plannedFiles === first,
+      "an interleaved scan of the same root changed the witness")
+    assert(scanOf(q).plannedFiles === first, "plannedFiles is not idempotent")
+    // a genuinely separate planning pass of the identical query agrees
+    val q2 = spark.sql(s"SELECT event_id FROM $cat.wit LIMIT ${c0 + 1}")
+    q2.collect()
+    assert(scanOf(q2).plannedFiles === first)
+    // and the REGISTRY keys themselves return identical rows run twice
+    // inside this warm multi-query session (the driver's full-surface
+    // shape): value columns are plan decisions, now pure predicates
+    Seq("q_sql_table_limit_pushdown", "q_sql_table_topn_pushdown").foreach { k =>
+      val a = graft.operators.TableFormat.queries(k)(spark, sf).collect().map(_.toSeq).toSeq
+      val b = graft.operators.TableFormat.queries(k)(spark, sf).collect().map(_.toSeq).toSeq
+      assert(a === b, s"$k witness not stable across runs in one session")
+    }
+  }
+
   test("bucket transform: bucketed tables join on the HIGH-CARDINALITY key with zero hash exchanges; point lookups prune to one bucket (r15)") {
     val (cat, base) = freshCatalog()
     val ev = Tables(spark, sf, "events")

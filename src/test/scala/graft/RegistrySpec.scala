@@ -166,7 +166,9 @@ class RegistrySpec extends SparkSpec {
       "q_sql_table_agg_pushdown", "q_sql_table_show_partitions",
       "q_sql_table_join_spj", "q_sql_table_limit_pushdown",
       "s_table_stream_pruned", "q_sql_table_topn_pushdown",
-      "q_sql_table_agg_pushdown_grouped", "q_sql_table_join_spj_bucket")
+      "q_sql_table_agg_pushdown_grouped", "q_sql_table_join_spj_bucket",
+      // r16: OR-disjunction file pruning
+      "q_sql_table_prune_or")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }
