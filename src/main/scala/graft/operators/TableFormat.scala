@@ -3041,6 +3041,54 @@ object TableFormat {
           col("n_rows_or"), lit(nOpaqueRows).as("n_rows_opaque"),
           col("sum_value_or")))
     },
+    "q_sql_table_prune_ts" -> { (s, dir) =>
+      // TIMESTAMP PARTITION PROBES (r16, VERDICT item 3): layout
+      // values are Spark's own `CAST(col AS STRING)` text, so a
+      // timestamp probe renders through Catalyst's cast under the
+      // SESSION ZONE the table recorded at staging (the
+      // `layout.timeZone` property appendPartitioned now writes) and
+      // accepts only when the canonical round trip is exact — closing
+      // file pruning on THE 100 TB layout, the time-partitioned
+      // table. A probing session under any OTHER zone refuses (the
+      // staged text would differ) and reads everything — pruning may
+      // only ever widen. Staging: day_ts = date_trunc(ts) partitions
+      // × two event_id halves; probe = the MIN day. Oracle counters
+      // are predicate-derived; witnesses read each query's OWN scan.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_pts")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "tbl").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"), col("ts"))
+        .withColumn("day_ts", date_trunc("day", col("ts")))
+      val m = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+      CommitLog.appendPartitioned(s, root,
+        ev.filter(col("event_id") <= m / 2), "day_ts", filesPerPartition = 1)
+      CommitLog.appendPartitioned(s, root,
+        ev.filter(col("event_id") > m / 2), "day_ts", filesPerPartition = 1)
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      val d0 = ev.agg(min(col("day_ts"))).collect()(0).getTimestamp(0)
+      val q = s.sql(s"SELECT event_id, value FROM $cat.tbl " +
+        s"WHERE day_ts = TIMESTAMP '$d0'")
+      val (nTotal, planned) = scanOf(q).plannedFiles
+      // the SAME probe planned under a different session zone must
+      // refuse (the recorded staging zone no longer matches) — plan
+      // decision only, never collected
+      val tz0 = s.conf.get("spark.sql.session.timeZone")
+      val plannedOther =
+        try {
+          s.conf.set("spark.sql.session.timeZone", "America/New_York")
+          scanOf(s.sql(s"SELECT event_id FROM $cat.tbl " +
+            s"WHERE day_ts = TIMESTAMP '$d0'")).plannedFiles._2.size
+        } finally s.conf.set("spark.sql.session.timeZone", tz0)
+      ordered(q.agg(count(lit(1)).as("n_rows_day"),
+          dsum(col("value")).as("sum_value_day"))
+        .select(lit(nTotal.toLong).as("n_files_total"),
+          lit(planned.size.toLong).as("n_files_day"),
+          lit(plannedOther.toLong).as("n_files_othertz"),
+          col("n_rows_day"), col("sum_value_day")))
+    },
     "q_table_prune_combined" -> { (s, dir) =>
       // API-LEVEL pruning unification (r15, VERDICT item 6): ONE
       // read whose keep decision intersects the file's own layout
@@ -3557,6 +3605,21 @@ object TableFormat {
         |      OR (event_id % 7 = 5 AND event_id <= m // 2)) AS sum_value_or""".stripMargin +
         orderByAll("n_files_total", "n_files_or", "n_files_opaque",
           "n_rows_or", "n_rows_opaque", "sum_value_or")),
+    "q_sql_table_prune_ts" ->
+      ("""WITH b AS (SELECT MAX(event_id) AS m FROM events),
+        |d0 AS (SELECT MIN(date_trunc('day', ts)) AS d FROM events),
+        |f AS (SELECT DISTINCT date_trunc('day', ts) AS d,
+        |        event_id <= (SELECT m // 2 FROM b) AS h1 FROM events)
+        |SELECT (SELECT COUNT(*) FROM f) AS n_files_total,
+        |  (SELECT COUNT(*) FROM f WHERE d = (SELECT d FROM d0)) AS n_files_day,
+        |  (SELECT COUNT(*) FROM f) AS n_files_othertz,
+        |  (SELECT COUNT(*) FROM events
+        |    WHERE date_trunc('day', ts) = (SELECT d FROM d0)) AS n_rows_day,
+        |  (SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+        |    FROM events
+        |    WHERE date_trunc('day', ts) = (SELECT d FROM d0)) AS sum_value_day""".stripMargin +
+        orderByAll("n_files_total", "n_files_day", "n_files_othertz",
+          "n_rows_day", "sum_value_day")),
     "q_table_prune_combined" ->
       ("""WITH b AS (SELECT MAX(event_id) AS m FROM events),
         |f AS (SELECT DISTINCT event_id % 7 AS d,

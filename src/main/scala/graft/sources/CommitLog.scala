@@ -1985,6 +1985,31 @@ object CommitLog {
     // is the feature's headline use
     val (dfId, idHwm) = fillIdentity(s, root, df0, "appendPartitioned")
     val df = applyGeneratedColumns(s, root, dfId, "appendPartitioned")
+    // TIMESTAMP-typed identity partition columns (r16, VERDICT item
+    // 3): the staged layout text is `CAST(col AS STRING)` — for a
+    // TIMESTAMP (LTZ) column that rendering depends on the SESSION
+    // TIMEZONE, so the table records the staging zone once
+    // (`layout.timeZone`) and every later timestamp-partitioned
+    // append must run under it: mixed-zone layout text in one table
+    // would make any probe prune wrongly in one zone or the other.
+    // TIMESTAMP_NTZ renders zone-independently and needs no record.
+    val ltzPartCols = partCols.filter {
+      case BucketSpec(_, _) => false
+      case c => df.schema.fields.exists(f => f.name == c &&
+        f.dataType == org.apache.spark.sql.types.TimestampType)
+    }
+    if (ltzPartCols.nonEmpty) {
+      val tz = s.sessionState.conf.sessionLocalTimeZone
+      tableProperty(root, "layout.timeZone") match {
+        case None => setTableProperty(root, "layout.timeZone", tz)
+        case Some(t0) => require(t0 == tz,
+          s"appendPartitioned: table layout on timestamp column(s) " +
+            s"${ltzPartCols.mkString(", ")} was staged under session " +
+            s"timezone '$t0' but this session runs '$tz' — mixed-zone " +
+            "layout text cannot prune safely; set " +
+            s"spark.sql.session.timeZone=$t0 (or restage the table)")
+      }
+    }
     val prev = latestVersion(root)
     requireSchemaCompatible(root, prev, df, "appendPartitioned")
     enforceConstraints(s, root, df, "appendPartitioned")

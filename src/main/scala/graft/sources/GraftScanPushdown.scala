@@ -56,7 +56,13 @@ object GraftFilterPushdown {
       // bucket specs among the layout columns (r15): source column →
       // (bucket count, the recorded layout-column name) — a point
       // probe on the SOURCE column prunes to its hash bucket's files
-      bucketSpecs: Map[String, (Int, String)] = Map.empty)
+      bucketSpecs: Map[String, (Int, String)] = Map.empty,
+      // the session timezone every TIMESTAMP (LTZ) layout value was
+      // staged under (r16, VERDICT item 3 — the `layout.timeZone`
+      // table property appendPartitioned records): timestamp probes
+      // accept ONLY when the probing session runs the same zone,
+      // because the staged text is `CAST(col AS STRING)` under it
+      layoutTz: Option[String] = None)
 
   def pruneMetaOf(root: String, version: Long): PruneMeta = {
     val aux = CommitLog.auxOf(root, version)
@@ -66,12 +72,40 @@ object GraftFilterPushdown {
       case spec @ CommitLog.BucketSpec(n, c) => c -> ((n.toInt, spec))
     }.toMap
     PruneMeta(layoutCols, aux.statsTags,
-      CommitLog.snapshotStatsOf(root, version)._1, buckets)
+      CommitLog.snapshotStatsOf(root, version)._1, buckets,
+      CommitLog.tableProperty(root, "layout.timeZone"))
+  }
+
+  /** Catalyst's OWN string rendering of a timestamp, with an exact
+    * canonical round trip (r16, VERDICT item 3): render micros →
+    * text through `Cast(TimestampType→StringType)` under `tz` (for
+    * NTZ: zone-irrelevant), parse the text back, and accept only
+    * when the round trip reproduces the micros — the staged layout
+    * text is itself Spark's cast output, so a value that renders and
+    * re-parses exactly equals the staged spelling of every row
+    * holding it. */
+  private def canonicalTs(micros: Long, ntz: Boolean, tz: String): Option[String] = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.{StringType, TimestampNTZType, TimestampType}
+    val dt = if (ntz) TimestampNTZType else TimestampType
+    val rendered = Cast(Literal(micros, dt), StringType, Some(tz))
+      .eval(null)
+    if (rendered == null) return None
+    val s = rendered.toString
+    val back = Cast(Literal(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), StringType),
+      dt, Some(tz)).eval(null)
+    if (back == micros) Some(s) else None
   }
 
   /** The staged string form of a filter value for layout probing —
-    * defined only where it provably matches `CAST(col AS STRING)`. */
-  private def partValue(v: Any): Option[String] = v match {
+    * defined only where it provably matches `CAST(col AS STRING)`.
+    * TIMESTAMP (LTZ) values render through Catalyst's cast under the
+    * CURRENT session zone, and only when the table's recorded staging
+    * zone ([[PruneMeta.layoutTz]]) matches it; TIMESTAMP_NTZ values
+    * render zone-independently. Both require the canonical round trip
+    * ([[canonicalTs]]). */
+  private def partValue(v: Any, meta: PruneMeta): Option[String] = v match {
     case null => None
     case s: String => Some(s)
     case b: Boolean => Some(b.toString)
@@ -81,6 +115,23 @@ object GraftFilterPushdown {
     case l: Long => Some(l.toString)
     case d: java.sql.Date => Some(d.toString)
     case d: java.time.LocalDate => Some(d.toString)
+    case t: java.sql.Timestamp =>
+      val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+      if (!meta.layoutTz.contains(tz)) None
+      else canonicalTs(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.fromJavaTimestamp(t),
+        ntz = false, tz)
+    case i: java.time.Instant =>
+      val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+      if (!meta.layoutTz.contains(tz)) None
+      else canonicalTs(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.instantToMicros(i),
+        ntz = false, tz)
+    case ldt: java.time.LocalDateTime =>
+      canonicalTs(
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.localDateTimeToMicros(ldt),
+        ntz = true,
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
     case _ => None
   }
 
@@ -202,19 +253,19 @@ object GraftFilterPushdown {
     def go(f: Filter): Unit = f match {
       case And(l, r) => go(l); go(r)
       case EqualTo(c, v) =>
-        if (meta.layoutCols(c)) partValue(v).foreach(s => addPart(c, Set(s)))
+        if (meta.layoutCols(c)) partValue(v, meta).foreach(s => addPart(c, Set(s)))
         if (v != null) bucketPart(c, v)
         tagOf(c).foreach(t => rangeValue(t, v).foreach(rv =>
           ranges += CommitLog.RangeProbe(c, Some(rv), Some(rv))))
       case EqualNullSafe(c, v) if v != null =>
-        if (meta.layoutCols(c)) partValue(v).foreach(s => addPart(c, Set(s)))
+        if (meta.layoutCols(c)) partValue(v, meta).foreach(s => addPart(c, Set(s)))
         bucketPart(c, v)
         tagOf(c).foreach(t => rangeValue(t, v).foreach(rv =>
           ranges += CommitLog.RangeProbe(c, Some(rv), Some(rv))))
       case In(c, vs) =>
         val nonNull = vs.filter(_ != null)
         if (meta.layoutCols(c)) {
-          val svs = nonNull.flatMap(partValue)
+          val svs = nonNull.flatMap(partValue(_, meta))
           if (svs.length == nonNull.length && nonNull.nonEmpty)
             addPart(c, svs.toSet)
         }

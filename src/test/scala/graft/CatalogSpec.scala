@@ -1893,6 +1893,57 @@ class CatalogSpec extends SparkSpec {
       s"pushed Or must surface in the plan: ${scanOf(q1).description()}")
   }
 
+  test("timestamp partition probes: canonical Catalyst rendering prunes the time-partitioned layout; zone drift refuses probe AND append (r16)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "pts").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value"), col("ts"))
+      .withColumn("day_ts", date_trunc("day", col("ts")))
+    CommitLog.appendPartitioned(spark, root, ev, "day_ts", filesPerPartition = 1)
+    // staging recorded the session zone as the table's layout contract
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    assert(CommitLog.tableProperty(root, "layout.timeZone").contains(tz0))
+    val nDays = ev.select(col("day_ts")).distinct().count()
+    val d0 = ev.agg(min(col("day_ts"))).collect()(0).getTimestamp(0)
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+            if r.scan.isInstanceOf[graft.sources.GraftBatchScan] =>
+          r.scan.asInstanceOf[graft.sources.GraftBatchScan]
+      }.head
+    val q = spark.sql(s"SELECT event_id FROM $cat.pts WHERE day_ts = TIMESTAMP '$d0'")
+    val (t1, k1) = scanOf(q).plannedFiles
+    assert(t1 === nDays && k1.size === 1,
+      s"a one-day probe over $nDays day files must plan 1, got ($t1, ${k1.size})")
+    assert(q.count() === ev.filter(col("day_ts") === d0).count())
+    // IN over two days plans two files
+    val d1 = ev.filter(col("day_ts") > d0).agg(min(col("day_ts")))
+      .collect()(0).getTimestamp(0)
+    val qIn = spark.sql(s"SELECT event_id FROM $cat.pts " +
+      s"WHERE day_ts IN (TIMESTAMP '$d0', TIMESTAMP '$d1')")
+    assert(scanOf(qIn).plannedFiles._2.size === 2)
+    // a probing session under another zone refuses — plans everything
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val qO = spark.sql(s"SELECT event_id FROM $cat.pts WHERE day_ts = TIMESTAMP '$d0'")
+      assert(scanOf(qO).plannedFiles._2.size === nDays,
+        "zone drift must refuse the probe, not mis-prune")
+      // and a timestamp-partitioned APPEND under the drifted zone
+      // refuses loudly — mixed-zone layout text cannot prune safely
+      val err = intercept[IllegalArgumentException] {
+        CommitLog.appendPartitioned(spark, root, ev.limit(10), "day_ts",
+          filesPerPartition = 1)
+      }
+      assert(err.getMessage.contains("layout"), err.getMessage)
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+    // back under the recorded zone both append and probe work again
+    CommitLog.appendPartitioned(spark, root,
+      ev.filter(col("day_ts") === d0), "day_ts", filesPerPartition = 1)
+    val q2 = spark.sql(s"SELECT event_id FROM $cat.pts WHERE day_ts = TIMESTAMP '$d0'")
+    assert(scanOf(q2).plannedFiles._2.size === 2,
+      "post-append the probed day holds two files")
+  }
+
   test("pushdown witnesses are deterministic: plannedFiles reads the query's OWN scan — interleaved scans and repeated planning never change it (r16)") {
     // the r15 driver gate flaked exactly here: the limit/topn keys read
     // the global last-write-wins GraftScanStats, which any second
