@@ -3180,6 +3180,51 @@ object TableFormat {
       ordered(q.select(lit(fromManifest).as("answered_from_manifest"),
         col("n_rows"), col("n_ids"), col("min_id"), col("max_id")))
     },
+    "q_sql_table_agg_pushdown_filtered" -> { (s, dir) =>
+      // FILTERED METADATA AGGREGATES (r16, VERDICT item 4):
+      // `SELECT COUNT(*)/COUNT(c)/MIN(c)/MAX(c) ... WHERE day='3'` is
+      // ONE manifest parse when the filter is exactly layout-
+      // answerable — the ScanBuilder CONSUMES it (file membership on
+      // an identity layout column every live file records IS row
+      // membership), no residual remains, so Spark offers the
+      // aggregation and the answer folds only the surviving files'
+      // footer counts and bounds. A filter that is NOT layout-exact
+      // (the event_id range here) stays residual and the same
+      // aggregate takes the ordinary scan — both paths pinned by
+      // plan-proof flags, both value sets oracle-checked.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_agf")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "tbl").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("day", (col("event_id") % 7).cast("string"))
+      val m = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+      CommitLog.setTableProperty(root, "statsColumns", "event_id")
+      CommitLog.appendPartitioned(s, root,
+        ev.filter(col("event_id") <= m / 2), "day", filesPerPartition = 1)
+      CommitLog.appendPartitioned(s, root,
+        ev.filter(col("event_id") > m / 2), "day", filesPerPartition = 1)
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      val q = s.sql(s"""SELECT COUNT(*) AS n_rows, COUNT(event_id) AS n_ids,
+        |MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM $cat.tbl WHERE day = '3'""".stripMargin)
+      val fromManifest =
+        if (q.queryExecution.executedPlan.toString.contains("metadata-aggregate")) 1L
+        else 0L
+      // a non-layout filter keeps a residual → the ordinary exact scan
+      val qScan = s.sql(s"SELECT COUNT(*) AS n FROM $cat.tbl " +
+        s"WHERE event_id <= ${m / 2}")
+      val scanRefused =
+        if (qScan.queryExecution.executedPlan.toString.contains("metadata-aggregate")) 0L
+        else 1L
+      val nHalf = qScan.collect()(0).getLong(0)
+      ordered(q.select(lit(fromManifest).as("answered_from_manifest"),
+        lit(scanRefused).as("range_filter_scans"),
+        col("n_rows"), col("n_ids"), col("min_id"), col("max_id"),
+        lit(nHalf).as("n_rows_half")))
+    },
     "q_sql_table_agg_pushdown_grouped" -> { (s, dir) =>
       // GROUPED METADATA AGGREGATES (r15): the canonical PARTITION
       // PROFILE — `SELECT day, COUNT(*), COUNT(c), MIN(c), MAX(c)
@@ -3651,6 +3696,18 @@ object TableFormat {
         |  MAX(event_id) AS max_id
         |FROM events""".stripMargin +
         orderByAll("answered_from_manifest", "n_rows", "n_ids", "min_id", "max_id")),
+    "q_sql_table_agg_pushdown_filtered" ->
+      ("""WITH b AS (SELECT MAX(event_id) AS m FROM events)
+        |SELECT CAST(1 AS BIGINT) AS answered_from_manifest,
+        |  CAST(1 AS BIGINT) AS range_filter_scans,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(event_id) AS n_ids,
+        |  MIN(event_id) AS min_id,
+        |  MAX(event_id) AS max_id,
+        |  (SELECT COUNT(*) FROM events, b WHERE event_id <= m // 2) AS n_rows_half
+        |FROM events WHERE CAST(event_id % 7 AS VARCHAR) = '3'""".stripMargin +
+        orderByAll("answered_from_manifest", "range_filter_scans", "n_rows",
+          "n_ids", "min_id", "max_id", "n_rows_half")),
     "q_sql_table_agg_pushdown_grouped" ->
       ("""SELECT CAST(1 AS BIGINT) AS answered_from_manifest,
         |  event_id % 7 AS day,

@@ -1803,6 +1803,11 @@ object CommitLog {
     * NULL partition values route under an explicit sentinel before
     * the write (never Hive's default-partition encoding). */
   private val nullPartSentinel = "__GRAFT_NULL_PARTITION__"
+  /** Routed in place of a partition value whose TEXT cannot be
+    * recorded in a layout (contains the spec separator, or spells the
+    * null sentinel) — the post-staging guard fails the append on
+    * sight of it, so it never reaches a manifest (r16). */
+  private val badPartMarker = "__GRAFT_BAD_PARTITION__"
 
   /** The NULL routing sentinel, for the SQL pushdown's IS NULL
     * translation (layout probes compare staged strings). */
@@ -1886,7 +1891,7 @@ object CommitLog {
   /** Separator inside a composite spec's joined routing/parts value —
     * a control character Jackson escapes losslessly, so partition
     * values containing commas or slashes stay unambiguous. */
-  private val specSep = "\u0001"
+  private[sources] val specSep = "\u0001"
 
   /** [[stagePartitioned]] under an ORDERED multi-column spec (r14,
     * VERDICT item 2): one routing group per distinct value TUPLE
@@ -1929,11 +1934,36 @@ object CommitLog {
     def routing(entry: String) = entry match {
       case BucketSpec(n, c) =>
         pmod(hash(col(c)), lit(n.toInt)).cast("string")
-      case c => coalesce(col(c).cast("string"), lit(nullPartSentinel))
+      case c =>
+        // null → sentinel; a value whose text would corrupt the layout
+        // encoding (contains the separator, or spells the sentinel) →
+        // the bad-value marker the post-staging guard refuses on
+        val t = col(c).cast("string")
+        org.apache.spark.sql.functions.when(t.isNull, lit(nullPartSentinel))
+          .when(t.contains(specSep) || t === nullPartSentinel,
+            lit(badPartMarker))
+          .otherwise(t)
     }
     val tagged = df.withColumn("_gp",
       concat_ws(specSep, partCols.map(routing): _*))
     val groups = stageRouted(s, root, tagged, filesPerPartition)
+    // LAYOUT-TEXT POISONING GUARD (r16 review find): a partition VALUE
+    // containing the reserved spec separator would make the routed
+    // tuple split into the wrong arity — the recorded layout would
+    // silently drop/shift columns and any later probe could prune a
+    // file that DOES hold matching rows; a value spelled exactly like
+    // the null sentinel would alias real rows into the null group.
+    // The routing expression marks both cases in the same staging pass
+    // (zero extra scans) and the commit refuses loudly before anything
+    // publishes (the staged files are uncommitted garbage a vacuum
+    // sweeps).
+    groups.foreach { case (v, _) =>
+      require(!v.split(specSep, -1).contains(badPartMarker),
+        s"a partition value contains the reserved separator U+0001 or " +
+          s"spells the null sentinel '$nullPartSentinel' — such values " +
+          "cannot be recorded in a layout without corrupting pruning; " +
+          "filter or escape them before partitioned staging")
+    }
     val parts = groups.flatMap { case (v, fs) => fs.map(_ -> v) }.toMap
     (groups.flatMap(_._2),
       Aux(partCol = Some(partCols.mkString(",")), parts = parts,
@@ -2211,17 +2241,11 @@ object CommitLog {
     (st.lo, st.hi) match {
       // all-NULL file: a range predicate never matches NULL ⇒ prunable
       case (None, _) | (_, None) => false
-      case (Some(mn), Some(mx)) => tag match {
-        case "str" =>
-          mx.asInstanceOf[String] >= p.lo.asInstanceOf[String] &&
-            mn.asInstanceOf[String] <= p.hi.asInstanceOf[String]
-        case "double" =>
-          mx.asInstanceOf[Double] >= p.lo.asInstanceOf[Double] &&
-            mn.asInstanceOf[Double] <= p.hi.asInstanceOf[Double]
-        case _ =>
-          mx.asInstanceOf[Long] >= p.lo.asInstanceOf[Long] &&
-            mn.asInstanceOf[Long] <= p.hi.asInstanceOf[Long]
-      }
+      case (Some(mn), Some(mx)) =>
+        // Spark's orderings, not the JVM's (r16 review find — same fix
+        // as rangeOverlaps): UTF-8 binary strings, nan-safe doubles
+        val cmp = GraftFilterPushdown.ordOf(tag)
+        cmp.compare(mx, p.lo) >= 0 && cmp.compare(mn, p.hi) <= 0
     }
 
   /** Typed stats-pruned scan: keep the files whose recorded bounds
@@ -2276,14 +2300,16 @@ object CommitLog {
       // match a NULL ⇒ prunable
       case (None, _) | (_, None) => false
       case (Some(mn), Some(mx)) =>
-        def cmp(a: Any, b: Any): Int = tag match {
-          case "str" => a.asInstanceOf[String].compareTo(b.asInstanceOf[String])
-          case "double" => java.lang.Double.compare(
-            a.asInstanceOf[Double], b.asInstanceOf[Double])
-          case _ => java.lang.Long.compare(
-            a.asInstanceOf[Long], b.asInstanceOf[Long])
-        }
-        p.lo.forall(lo => cmp(mx, lo) >= 0) && p.hi.forall(hi => cmp(mn, hi) <= 0)
+        // SPARK's orderings, not the JVM's (r16 review find, the same
+        // hazard class the r15 pass fixed in the TopN sort): recorded
+        // string bounds are Spark min/max — UTF-8 BINARY order, which
+        // Java's UTF-16 compareTo disagrees with on supplementary vs
+        // U+E000..U+FFFF characters; Spark doubles treat -0.0 == 0.0
+        // where Double.compare splits them. Either divergence could
+        // prune a file that DOES hold a matching row.
+        val cmp = GraftFilterPushdown.ordOf(tag)
+        p.lo.forall(lo => cmp.compare(mx, lo) >= 0) &&
+          p.hi.forall(hi => cmp.compare(mn, hi) <= 0)
     }
 
   /** The surviving (relative) file paths of `version` under a
@@ -2314,7 +2340,12 @@ object CommitLog {
   final case class ProbeTree(
       parts: Seq[(String, Set[String])],
       ranges: Seq[RangeProbe],
-      ors: Seq[Seq[ProbeTree]] = Nil)
+      ors: Seq[Seq[ProbeTree]] = Nil,
+      // EXCLUSION probes (r16): a file whose recorded layout value for
+      // the column is IN the set is pruned — `NOT`/`IS NOT NULL`
+      // translate here (e.g. exclude the null-sentinel group). Files
+      // without an entry for the column stay unprunable, as always.
+      notParts: Seq[(String, Set[String])] = Nil)
 
   /** [[prunedFilesCombined]] generalized to a [[ProbeTree]]: ONE
     * file-level keep decision over every metadata source the manifest
@@ -2326,9 +2357,11 @@ object CommitLog {
     val (legacyCol, legacyStats) = snapshotStatsOf(root, version)
     def admits(f: String, t: ProbeTree): Boolean = {
       val want = t.parts.toMap
+      val veto = t.notParts.groupMapReduce(_._1)(_._2)(_ ++ _)
       val layoutOk = aux.layoutOf(f) match {
         case Some(pairs) => pairs.forall { case (c, v) =>
-          want.get(c).forall(_.contains(v)) // unprobed columns pass
+          want.get(c).forall(_.contains(v)) && // unprobed columns pass
+            !veto.get(c).exists(_.contains(v))
         }
         case None => true // no entry: must read
       }

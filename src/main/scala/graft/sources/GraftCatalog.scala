@@ -340,6 +340,7 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
         with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
       private var projected: StructType = tableSchema
       private var accepted: Array[Filter] = Array.empty
+      private var consumed: Array[Filter] = Array.empty
       private var aggAnswer: Option[(StructType, Seq[Array[Any]])] = None
       private var pushedLimit: Option[Int] = None
       /** LIMIT pushdown (r15): with footer-derived per-file row
@@ -386,17 +387,22 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
           if (requiredSchema.fields.isEmpty)
             StructType(tableSchema.fields.take(1))
           else requiredSchema
-      /** File-level skipping only (r15, VERDICT item 2): accept the
-        * filters the manifest's metadata can act on — layout value
-        * probes, typed range probes — and return EVERY filter as a
-        * residual, so Spark still evaluates the exact predicates
-        * row-level. Correctness never depends on the translation;
-        * accepted filters are the EXPLAIN surface (`PushedFilters`)
-        * and the plan-time prune inputs. */
+      /** File-level skipping (r15, VERDICT item 2): accept the filters
+        * the manifest's metadata can act on — layout value probes,
+        * typed range probes — as plan-time prune inputs and the
+        * EXPLAIN surface (`PushedFilters`). Filters whose file
+        * selection EXACTLY answers them (identity layout columns every
+        * live file records, injective renderings —
+        * [[GraftFilterPushdown.exactlyAnswered]]) are CONSUMED (r16,
+        * VERDICT item 4): not returned as residuals, which is what
+        * lets Spark push a FILTERED aggregate down to the manifest.
+        * Everything else stays residual and re-evaluates row-level. */
       override def pushFilters(filters: Array[Filter]): Array[Filter] = {
         val meta = GraftFilterPushdown.pruneMetaOf(root, version)
         accepted = filters.filter(f => GraftFilterPushdown.accepts(f, meta))
-        filters
+        consumed = filters.filter(f =>
+          GraftFilterPushdown.exactlyAnswered(f, meta))
+        filters.filterNot(consumed.contains)
       }
       override def pushedFilters(): Array[Filter] = accepted
       /** METADATA aggregates (r15): COUNT(*)/COUNT(c)/MIN(c)/MAX(c)
@@ -410,8 +416,12 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
         // recomputed per call — Spark may probe more than once, and a
-        // stale answer for a different aggregation must never leak
-        aggAnswer = GraftAggPushdown.answer(root, version, tableSchema, agg)
+        // stale answer for a different aggregation must never leak.
+        // Consumed filters restrict the answering file set (r16):
+        // Spark only offers the aggregation when no residual remains,
+        // so `consumed` IS the whole predicate here.
+        aggAnswer = GraftAggPushdown.answer(root, version, tableSchema, agg,
+          consumed.toSeq)
         aggAnswer.isDefined
       }
       override def pushAggregation(
@@ -421,7 +431,7 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
         case Some((schema, row)) => new GraftAggResultScan(schema, row)
         case None => new GraftBatchScan(root, version,
           projected, accepted, ignoreChanges, startingVersion, pushedLimit,
-          GraftStreamPrune.parse(options), pushedTopN)
+          GraftStreamPrune.parse(options), pushedTopN, consumed.length)
       }
     }
   }
@@ -492,7 +502,13 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     pushed: Array[Filter], ignoreChanges: Boolean, startingVersion: Long,
     pushedLimit: Option[Int] = None,
     partFilters: Map[String, Set[String]] = Map.empty,
-    pushedTopN: Option[(String, Boolean, Int)] = None)
+    pushedTopN: Option[(String, Boolean, Int)] = None,
+    // how many pushed filters were CONSUMED (r16): enforced by file
+    // selection alone, no residual — the batch prune applies them
+    // (`pushed` includes them as probes); the STREAMING path does not,
+    // so toMicroBatchStream refuses if any exist (it never should:
+    // Spark's streaming plans do not run relation pushdown)
+    consumedCount: Int = 0)
     extends Scan with SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
@@ -654,8 +670,11 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
 
   /** Columns a runtime filter can skip files on: every layout column
     * any generation recorded, plus every column with typed (or
-    * legacy) stats. Spark's DPP planner only injects filters on
-    * attributes named here. */
+    * legacy) stats — RESTRICTED to the scan's projected output (r16:
+    * a consumed filter lets column pruning drop its column from the
+    * output, and Spark's DPP resolver throws on a reported attribute
+    * it cannot resolve there; a column outside the output can never
+    * carry a runtime filter anyway). */
   override def filterAttributes(): Array[NamedReference] =
     (meta.layoutCols.map {
       // a bucket layout is addressed by its SOURCE column: runtime
@@ -664,6 +683,7 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
       case CommitLog.BucketSpec(_, c) => c
       case c => c
     } ++ meta.tags.keySet ++ meta.legacyCol)
+      .filter(projected.fieldNames.contains)
       .toArray.map(Expressions.column)
   override def filter(filters: Array[Filter]): Unit = { runtime = filters }
 
@@ -784,7 +804,12 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
       new TableFileReaderFactory(projected)
   }
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(consumedCount == 0,
+      "a consumed (non-residual) filter reached a streaming scan — " +
+        "the micro-batch path does not enforce file-level filters; " +
+        "this indicates Spark ran relation pushdown on a streaming plan")
     new TableMicroBatchStream(root, projected, ignoreChanges, startingVersion,
       partFilters)
+  }
 }

@@ -42,10 +42,15 @@ object GraftFilterPushdown {
     * everything else. */
   final case class Probes(parts: Map[String, Set[String]],
       ranges: Seq[CommitLog.RangeProbe],
-      ors: Seq[Seq[Probes]] = Nil) {
-    def isEmpty: Boolean = parts.isEmpty && ranges.isEmpty && ors.isEmpty
+      ors: Seq[Seq[Probes]] = Nil,
+      // EXCLUSION probes (r16): layout values to prune, from
+      // `NOT (=/IN)` and `IS NOT NULL` (the null-sentinel group)
+      notParts: Map[String, Set[String]] = Map.empty) {
+    def isEmpty: Boolean =
+      parts.isEmpty && ranges.isEmpty && ors.isEmpty && notParts.isEmpty
     def tree: CommitLog.ProbeTree =
-      CommitLog.ProbeTree(parts.toSeq, ranges, ors.map(_.map(_.tree)))
+      CommitLog.ProbeTree(parts.toSeq, ranges, ors.map(_.map(_.tree)),
+        notParts.toSeq)
   }
 
   /** Skipping metadata of one pinned snapshot, read once per scan:
@@ -62,7 +67,13 @@ object GraftFilterPushdown {
       // table property appendPartitioned records): timestamp probes
       // accept ONLY when the probing session runs the same zone,
       // because the staged text is `CAST(col AS STRING)` under it
-      layoutTz: Option[String] = None)
+      layoutTz: Option[String] = None,
+      // identity layout columns EVERY live file records (r16, VERDICT
+      // item 4): on these, file membership fully determines row
+      // membership (the writer routes by the staged CAST text), so an
+      // exactly-translatable filter on them can be CONSUMED — answered
+      // by file selection alone, enabling filtered metadata aggregates
+      fullLayoutCols: Set[String] = Set.empty)
 
   def pruneMetaOf(root: String, version: Long): PruneMeta = {
     val aux = CommitLog.auxOf(root, version)
@@ -71,9 +82,15 @@ object GraftFilterPushdown {
     val buckets = layoutCols.toSeq.collect {
       case spec @ CommitLog.BucketSpec(n, c) => c -> ((n.toInt, spec))
     }.toMap
+    val files = CommitLog.snapshotFiles(root, version).map { f =>
+      val jf = new java.io.File(f)
+      jf.getParentFile.getName + "/" + jf.getName
+    }
+    val fullCols = (layoutCols -- buckets.values.map(_._2)).filter(c =>
+      files.forall(f => aux.layoutOf(f).exists(_.exists(_._1 == c))))
     PruneMeta(layoutCols, aux.statsTags,
       CommitLog.snapshotStatsOf(root, version)._1, buckets,
-      CommitLog.tableProperty(root, "layout.timeZone"))
+      CommitLog.tableProperty(root, "layout.timeZone"), fullCols)
   }
 
   /** Catalyst's OWN string rendering of a timestamp, with an exact
@@ -107,7 +124,10 @@ object GraftFilterPushdown {
     * ([[canonicalTs]]). */
   private def partValue(v: Any, meta: PruneMeta): Option[String] = v match {
     case null => None
-    case s: String => Some(s)
+    // a string containing the reserved spec separator can never have
+    // been recorded faithfully (r16 review find — the staged tuple
+    // would have split at it): no probe, the file set stays whole
+    case s: String => Some(s).filterNot(_.contains(CommitLog.specSep))
     case b: Boolean => Some(b.toString)
     case b: Byte => Some(b.toString)
     case sh: Short => Some(sh.toString)
@@ -221,10 +241,14 @@ object GraftFilterPushdown {
     * partial probe). */
   def translate(filters: Seq[Filter], meta: PruneMeta): Probes = {
     var parts = Map.empty[String, Set[String]]
+    var notParts = Map.empty[String, Set[String]]
     val ranges = Seq.newBuilder[CommitLog.RangeProbe]
     val ors = Seq.newBuilder[Seq[Probes]]
     def addPart(c: String, vs: Set[String]): Unit =
       parts = parts.updated(c, parts.get(c).map(_ intersect vs).getOrElse(vs))
+    // exclusions UNION across filters (each vetoes independently)
+    def addNotPart(c: String, vs: Set[String]): Unit =
+      notParts = notParts.updated(c, notParts.getOrElse(c, Set.empty) ++ vs)
     def tagOf(c: String): Option[String] =
       meta.tags.get(c).orElse(if (meta.legacyCol.contains(c)) Some("long") else None)
     // strict long bounds tighten by one; the MaxValue/MinValue edges
@@ -262,6 +286,9 @@ object GraftFilterPushdown {
         bucketPart(c, v)
         tagOf(c).foreach(t => rangeValue(t, v).foreach(rv =>
           ranges += CommitLog.RangeProbe(c, Some(rv), Some(rv))))
+      case EqualNullSafe(c, null) =>
+        // `c <=> NULL` is exactly IS NULL — the sentinel group's files
+        if (meta.layoutCols(c)) addPart(c, Set(CommitLog.nullSentinel))
       case In(c, vs) =>
         val nonNull = vs.filter(_ != null)
         if (meta.layoutCols(c)) {
@@ -313,6 +340,40 @@ object GraftFilterPushdown {
         // both bounds open = "has at least one non-NULL value":
         // prunes exactly the all-NULL files
         tagOf(c).foreach(_ => ranges += CommitLog.RangeProbe(c, None, None))
+        // on a layout column: the sentinel group holds exactly the
+        // NULL rows — exclude it (r16)
+        if (meta.layoutCols(c)) addNotPart(c, Set(CommitLog.nullSentinel))
+      case Not(EqualTo(c, v)) if v != null =>
+        // `c <> v` rejects NULLs too: exclude the value's group AND
+        // the sentinel group (r16 — NOT prunes at file level)
+        if (meta.layoutCols(c)) partValue(v, meta).foreach(s =>
+          addNotPart(c, Set(s, CommitLog.nullSentinel)))
+      case Not(EqualNullSafe(c, v)) if v != null =>
+        // `NOT (c <=> v)` keeps NULLs: exclude only the value's group
+        if (meta.layoutCols(c)) partValue(v, meta).foreach(s =>
+          addNotPart(c, Set(s)))
+      case Not(In(c, vs)) =>
+        // `c NOT IN (...)` matches nothing if any listed value is NULL
+        // (three-valued logic) — still safe to exclude the listed
+        // groups and the sentinel (the kept files only ever widen);
+        // every non-null value must translate or nothing probes
+        val nonNull = vs.filter(_ != null)
+        if (meta.layoutCols(c) && nonNull.nonEmpty) {
+          val svs = nonNull.flatMap(v => partValue(v, meta))
+          if (svs.length == nonNull.length)
+            addNotPart(c, svs.toSet + CommitLog.nullSentinel)
+        }
+      case StringStartsWith(c, p) if p.nonEmpty && p.forall(_ < 0x7f) =>
+        // prefix as a stats envelope (r16): every match sorts in
+        // [p, p∆) where p∆ bumps the last char — exact in UTF-8 binary
+        // order for pure-ASCII prefixes (one byte per char), refused
+        // otherwise (multi-byte successor arithmetic is not worth the
+        // risk). Advisory range only; never a layout probe (the
+        // matching value universe is unknowable).
+        if (meta.tags.get(c).contains("str")) {
+          val hi = p.init + (p.last + 1).toChar
+          ranges += CommitLog.RangeProbe(c, Some(p), Some(hi))
+        }
       case o: Or =>
         // DISJUNCTION pruning (r16, VERDICT item 2): each flattened
         // branch translates INDEPENDENTLY — a branch's probe set is a
@@ -333,13 +394,56 @@ object GraftFilterPushdown {
       case _ => () // Not/StringStartsWith/...: no file-level probe
     }
     filters.foreach(go)
-    Probes(parts, ranges.result(), ors.result())
+    Probes(parts, ranges.result(), ors.result(), notParts)
   }
 
   /** Does this filter contribute ANY skipping on this snapshot?
     * `pushedFilters` reports exactly these — the EXPLAIN surface. */
   def accepts(f: Filter, meta: PruneMeta): Boolean =
     !translate(Seq(f), meta).isEmpty
+
+  /** Can this filter be CONSUMED — answered COMPLETELY by file
+    * selection, no row-level residual (r16, VERDICT item 4)? True only
+    * when file membership implies row membership:
+    *   - the column is an IDENTITY layout entry EVERY live file
+    *     records ([[PruneMeta.fullLayoutCols]]) — the writer routed
+    *     each row by its staged CAST text, and the r16 staging guard
+    *     refuses values whose text cannot be recorded faithfully;
+    *   - the value's rendering is INJECTIVE (strings, integrals,
+    *     booleans, dates, TIMESTAMP_NTZ) — LTZ timestamps refuse: a
+    *     DST overlap renders two instants to one text, so file
+    *     membership would over-match (they stay advisory probes);
+    *   - `=`, `<=>`, `IN`, `IS [NOT] NULL`, `NOT` of those, and
+    *     AND/OR compositions.
+    * A consumed filter is enforced by [[translate]]'s probes (exact
+    * under these conditions, not merely advisory); everything else
+    * stays a residual Spark re-evaluates row-level. Consuming the
+    * whole predicate is what lets Spark offer aggregate pushdown on a
+    * FILTERED query — `SELECT COUNT(*) ... WHERE day='3'` becomes one
+    * manifest parse. */
+  def exactlyAnswered(f: Filter, meta: PruneMeta): Boolean = {
+    def ok(c: String) = meta.fullLayoutCols(c)
+    def injective(v: Any): Boolean = v match {
+      case _: java.sql.Timestamp | _: java.time.Instant => false
+      case _ => true
+    }
+    def v0(v: Any): Boolean = v != null && injective(v) &&
+      partValue(v, meta).exists(_ != CommitLog.nullSentinel)
+    f match {
+      case EqualTo(c, v) => ok(c) && v0(v)
+      case EqualNullSafe(c, null) => ok(c)
+      case EqualNullSafe(c, v) => ok(c) && v0(v)
+      case In(c, vs) => ok(c) && vs.nonEmpty && vs.forall(v0)
+      case IsNull(c) => ok(c)
+      case IsNotNull(c) => ok(c)
+      case Not(EqualTo(c, v)) => ok(c) && v0(v)
+      case Not(EqualNullSafe(c, v)) => ok(c) && v0(v)
+      case Not(In(c, vs)) => ok(c) && vs.nonEmpty && vs.forall(v0)
+      case And(l, r) => exactlyAnswered(l, meta) && exactlyAnswered(r, meta)
+      case Or(l, r) => exactlyAnswered(l, meta) && exactlyAnswered(r, meta)
+      case _ => false
+    }
+  }
 }
 
 /** Driver-side observability for catalog scan pruning (r15, VERDICT
@@ -397,13 +501,28 @@ object GraftAggPushdown {
     * groupBy columns, then aggregate columns); a key value that does
     * not round-trip exactly from the staged string form refuses. */
   def answer(root: String, version: Long, tableSchema: StructType,
-      agg: Aggregation): Option[(StructType, Seq[Array[Any]])] = {
-    val files = CommitLog.snapshotFiles(root, version).map { f =>
+      agg: Aggregation,
+      // filters the ScanBuilder CONSUMED (r16, VERDICT item 4 — each
+      // passed GraftFilterPushdown.exactlyAnswered): the aggregate
+      // answers over exactly the files their probes keep, so
+      // `SELECT COUNT(*) ... WHERE day='3'` is one manifest parse
+      consumed: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+      : Option[(StructType, Seq[Array[Any]])] = {
+    val files0 = CommitLog.snapshotFiles(root, version).map { f =>
       val jf = new java.io.File(f)
       jf.getParentFile.getName + "/" + jf.getName
     }
+    val files =
+      if (consumed.isEmpty) files0
+      else {
+        val meta = GraftFilterPushdown.pruneMetaOf(root, version)
+        val probes = GraftFilterPushdown.translate(consumed, meta)
+        CommitLog.prunedFilesTree(root, version, probes.tree)._1
+      }
     val aux = CommitLog.auxOf(root, version)
-    if (aux.dvs.exists(_._2.nonEmpty)) return None
+    // deletion vectors on any SURVIVING file: a masked row invalidates
+    // counts and could be the min/max — refuse
+    if (files.exists(f => aux.dvs.get(f).exists(_.nonEmpty))) return None
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case ref: org.apache.spark.sql.connector.expressions.NamedReference

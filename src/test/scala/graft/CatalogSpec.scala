@@ -1944,6 +1944,114 @@ class CatalogSpec extends SparkSpec {
       "post-append the probed day holds two files")
   }
 
+  test("exact filter consumption: layout-exact predicates answer by file selection — filtered metadata aggregates, NOT/IS NULL semantics, refusals (r16)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "exf").toString
+    // day has REAL NULLs: the sentinel group's semantics are load-
+    // bearing for IS [NOT] NULL and <> consumption
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("day", when(col("event_id") % 11 === 0, lit(null))
+        .otherwise((col("event_id") % 7).cast("string")))
+    val m = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+    CommitLog.setTableProperty(root, "statsColumns", "event_id")
+    CommitLog.appendPartitioned(spark, root,
+      ev.filter(col("event_id") <= m / 2), "day", filesPerPartition = 1)
+    CommitLog.appendPartitioned(spark, root,
+      ev.filter(col("event_id") > m / 2), "day", filesPerPartition = 1)
+    def planOf(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.executedPlan.toString
+    // layout-exact equality CONSUMES: no row-level Filter remains, the
+    // result is still exact (file membership IS row membership)
+    def residualFilters(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+      }
+    val q = spark.sql(s"SELECT event_id FROM $cat.exf WHERE day = '3'")
+    assert(residualFilters(q).isEmpty,
+      s"an exact layout filter must be consumed, got: ${residualFilters(q)}")
+    assert(q.count() === ev.filter(col("day") === "3").count())
+    // ...which is what lets a FILTERED aggregate answer from the
+    // manifest: one parse, zero data I/O
+    val qa = spark.sql(s"SELECT COUNT(*) AS n, MIN(event_id) AS mn, " +
+      s"MAX(event_id) AS mx FROM $cat.exf WHERE day = '3'")
+    assert(planOf(qa).contains("metadata-aggregate"), planOf(qa))
+    val want = ev.filter(col("day") === "3")
+      .agg(count(lit(1)), min(col("event_id")), max(col("event_id"))).collect()(0)
+    val got = qa.collect()(0)
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) ===
+      ((want.getLong(0), want.getLong(1), want.getLong(2))))
+    // NOT and null semantics through consumption: `<>` drops NULL days
+    // (value group + sentinel group both pruned), IS NULL keeps
+    // exactly the sentinel group, IS NOT NULL excludes it
+    val qne = spark.sql(s"SELECT event_id FROM $cat.exf WHERE day <> '3'")
+    assert(qne.count() === ev.filter(col("day") =!= "3").count())
+    val qn = spark.sql(s"SELECT event_id FROM $cat.exf WHERE day IS NULL")
+    assert(qn.count() === ev.filter(col("day").isNull).count())
+    assert(qn.count() > 0, "the staged data must actually hold null days")
+    val qnn = spark.sql(s"SELECT event_id FROM $cat.exf WHERE day IS NOT NULL")
+    assert(qnn.count() === ev.filter(col("day").isNotNull).count())
+    // IS NULL consumes + the filtered aggregate answers over the
+    // sentinel group alone
+    val qan = spark.sql(s"SELECT COUNT(*) AS n FROM $cat.exf WHERE day IS NULL")
+    assert(planOf(qan).contains("metadata-aggregate"), planOf(qan))
+    assert(qan.collect()(0).getLong(0) === ev.filter(col("day").isNull).count())
+    // a range predicate is NOT layout-exact: residual stays, aggregate
+    // refuses to the ordinary (exact) scan
+    val qr = spark.sql(s"SELECT COUNT(*) AS n FROM $cat.exf " +
+      s"WHERE event_id <= ${m / 2}")
+    assert(!planOf(qr).contains("metadata-aggregate"))
+    assert(qr.collect()(0).getLong(0) ===
+      ev.filter(col("event_id") <= m / 2).count())
+    // a column only SOME generations record is not consumable: stage a
+    // second table with one pre-partitioning append
+    val root2 = new java.io.File(base, "exf2").toString
+    CommitLog.append(spark, root2, ev.filter(col("event_id") <= m / 2), nFiles = 1)
+    CommitLog.setTableProperty(root2, "repartitionLayout", "day")
+    CommitLog.appendPartitioned(spark, root2,
+      ev.filter(col("event_id") > m / 2), "day", filesPerPartition = 1)
+    val q2 = spark.sql(s"SELECT event_id FROM $cat.exf2 WHERE day = '3'")
+    assert(residualFilters(q2).nonEmpty,
+      "a partially-covered layout column must stay residual")
+    assert(q2.count() === ev.filter(col("day") === "3").count())
+  }
+
+  test("partitioned staging refuses layout-poisoning values; string stats prune in UTF-8 binary order (r16 review finds)") {
+    val (cat, base) = freshCatalog()
+    import spark.implicits._
+    // a value containing the reserved separator would corrupt the
+    // recorded tuple arity — refuse before commit
+    val root = new java.io.File(base, "poison").toString
+    val bad = Seq((1L, "a\u0001b"), (2L, "ok")).toDF("id", "k")
+    val e1 = intercept[IllegalArgumentException] {
+      CommitLog.appendPartitioned(spark, root, bad, "k", filesPerPartition = 1)
+    }
+    assert(e1.getMessage.contains("U+0001") ||
+      e1.getMessage.contains("separator"), e1.getMessage)
+    // a value spelling the null sentinel would alias into the NULL
+    // group — refuse
+    val bad2 = Seq((1L, "__GRAFT_NULL_PARTITION__")).toDF("id", "k")
+    val e2 = intercept[IllegalArgumentException] {
+      CommitLog.appendPartitioned(spark, root, bad2, "k", filesPerPartition = 1)
+    }
+    assert(e2.getMessage.contains("sentinel") ||
+      e2.getMessage.contains("separator"), e2.getMessage)
+    assert(CommitLog.latestVersion(root).isEmpty,
+      "nothing may commit past the poisoning guard")
+    // string stats bounds are Spark min/max — UTF-8 BINARY order. A
+    // file holding {U+E000, U+10000} has min=U+E000, max=U+10000; the
+    // old UTF-16 compareTo saw max < probe and pruned the file though
+    // it HOLDS the probed row.
+    val root3 = new java.io.File(base, "utf8").toString
+    val s1 = "\uE000"; val s2 = new String(Character.toChars(0x10000))
+    CommitLog.setTableProperty(root3, "statsColumns", "k")
+    CommitLog.append(spark, root3,
+      Seq((1L, s1), (2L, s2)).toDF("id", "k"), nFiles = 1)
+    val got = spark.sql(s"SELECT id FROM $cat.utf8 WHERE k = '$s1'").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L),
+      "UTF-16 bound compare pruned a file holding the probed row")
+  }
+
   test("pushdown witnesses are deterministic: plannedFiles reads the query's OWN scan — interleaved scans and repeated planning never change it (r16)") {
     // the r15 driver gate flaked exactly here: the limit/topn keys read
     // the global last-write-wins GraftScanStats, which any second

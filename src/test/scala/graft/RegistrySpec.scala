@@ -167,8 +167,10 @@ class RegistrySpec extends SparkSpec {
       "q_sql_table_join_spj", "q_sql_table_limit_pushdown",
       "s_table_stream_pruned", "q_sql_table_topn_pushdown",
       "q_sql_table_agg_pushdown_grouped", "q_sql_table_join_spj_bucket",
-      // r16: OR-disjunction file pruning, timestamp partition probes
-      "q_sql_table_prune_or", "q_sql_table_prune_ts")
+      // r16: OR-disjunction file pruning, timestamp partition probes,
+      // filtered metadata aggregates via exact filter consumption
+      "q_sql_table_prune_or", "q_sql_table_prune_ts",
+      "q_sql_table_agg_pushdown_filtered")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }
