@@ -81,8 +81,14 @@ object Joins {
         .select(col("c_custkey"), col("c_name")))
     },
     "q_join_anti" -> { (s, dir) =>
+      // the orders side is RESTRICTED to o_custkey % 3 <> 0 (r16,
+      // VERDICT item 5): the fixture gives every customer at least
+      // one order, so the unrestricted anti join was vacuously empty.
+      // With the restriction, every custkey % 3 == 0 customer loses
+      // all their orders and lands in the result — non-empty at any
+      // scale, and still the anti-join plan shape.
       val c = Tables(s, dir, "customer")
-      val o = Tables(s, dir, "orders")
+      val o = Tables(s, dir, "orders").filter(col("o_custkey") % 3 =!= 0)
       ordered(c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"), col("c_mktsegment")))
     },
@@ -619,7 +625,8 @@ object Joins {
         orderByAll("c_custkey", "c_name")),
     "q_join_anti" ->
       ("""SELECT c_custkey, c_name, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin +
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_custkey % 3 <> 0)""".stripMargin +
         orderByAll("c_custkey", "c_name", "c_mktsegment")),
     "q_join_cross" ->
       ("SELECT r_name, n_name FROM region CROSS JOIN nation" +
