@@ -3482,6 +3482,57 @@ object TableFormat {
         lit(got.map(_.getLong(0)).sum).as("sum_topn"),
         lit(gotD(0).getLong(0)).as("max_desc")))
     },
+    "q_sql_table_topn_multi" -> { (s, dir) =>
+      // MULTI-COLUMN TopN PUSHDOWN (r16, VERDICT item 6): `ORDER BY
+      // event_id, user_id LIMIT n` pushes the FIRST column's envelope
+      // — every top-n row has event_id within the first-column
+      // cutoff, and the envelope keeps every file overlapping it, so
+      // tie-break columns can never pull a row from a pruned file.
+      // r15 refused any multi-column sort and read everything.
+      // Staging mirrors q_sql_table_topn_pushdown (five range-sliced
+      // one-file INSERTs → disjoint per-file event_id bounds):
+      // ASC LIMIT |slice0|+1 plans exactly 2 of 5 files, the
+      // two-column DESC LIMIT 1 exactly 1. Witnesses read each
+      // query's OWN scan; Spark's TakeOrderedAndProject still does
+      // the real multi-column sort (partial pushdown).
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_tnm")
+      base.toFile.deleteOnExit()
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val m = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+      val w = m / 5 + 1
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      s.sql(s"CREATE TABLE $cat.tbl (event_id BIGINT, user_id BIGINT, value DOUBLE) " +
+        "TBLPROPERTIES ('statsColumns' = 'event_id')")
+      ev.createOrReplaceTempView("graft_topnm_src")
+      val savedN = s.conf.getOption("spark.graft.insert.files")
+      s.conf.set("spark.graft.insert.files", "1")
+      try (0 until 5).foreach { i =>
+        s.sql(s"INSERT INTO $cat.tbl SELECT event_id, user_id, value " +
+          s"FROM graft_topnm_src WHERE event_id DIV $w = $i")
+      } finally savedN match {
+        case Some(v) => s.conf.set("spark.graft.insert.files", v)
+        case None => s.conf.unset("spark.graft.insert.files")
+      }
+      val lim = ev.filter(col("event_id") < w).count() + 1
+      val q = s.sql(s"SELECT event_id, user_id FROM $cat.tbl " +
+        s"ORDER BY event_id, user_id LIMIT $lim")
+      val got = q.collect()
+      val qd = s.sql(s"SELECT event_id, user_id FROM $cat.tbl " +
+        "ORDER BY event_id DESC, user_id DESC LIMIT 1")
+      val gotD = qd.collect()
+      val (nTotal, plannedAsc) = scanOf(q).plannedFiles
+      val (_, plannedDesc) = scanOf(qd).plannedFiles
+      ordered(s.range(1).select(
+        lit(nTotal.toLong).as("n_files_total"),
+        lit(plannedAsc.size.toLong).as("n_files_planned_asc"),
+        lit(plannedDesc.size.toLong).as("n_files_planned_desc"),
+        lit(got.length.toLong).as("n_rows_returned"),
+        lit(got.map(_.getLong(0)).sum).as("sum_topn"),
+        lit(gotD(0).getLong(0)).as("max_desc")))
+    },
     "q_sql_table_prune_estimate" -> { (s, dir) =>
       // PRUNE ESTIMATE (r15, VERDICT item 7 — "a SQL surface for
       // layout probes"): the scan's file-skipping decision as ONE
@@ -3756,6 +3807,27 @@ object TableFormat {
         |  (SELECT lim FROM l) AS n_rows_returned""".stripMargin +
         orderByAll("n_files_total", "n_files_planned", "n_rows_returned")),
     "q_sql_table_topn_pushdown" ->
+      ("""WITH b AS (SELECT MAX(event_id) AS m FROM events),
+        |s AS (SELECT event_id // ((SELECT m FROM b) // 5 + 1) AS sl, event_id
+        |  FROM events),
+        |l AS (SELECT COUNT(*) + 1 AS lim FROM s WHERE sl = 0),
+        |c AS (SELECT sl, COUNT(*) AS n, MIN(event_id) AS mn,
+        |    MAX(event_id) AS mx FROM s GROUP BY sl),
+        |cc AS (SELECT sl, n, mn, mx, SUM(n) OVER (ORDER BY mx) AS cum FROM c),
+        |k AS (SELECT MIN(mx) AS cutoff FROM cc WHERE cum >= (SELECT lim FROM l)),
+        |r AS (SELECT event_id, ROW_NUMBER() OVER (ORDER BY event_id) AS rn FROM s)
+        |SELECT (SELECT COUNT(*) FROM c) AS n_files_total,
+        |  (SELECT COUNT(*) FROM cc WHERE mn <= (SELECT cutoff FROM k))
+        |    AS n_files_planned_asc,
+        |  (SELECT COUNT(*) FROM c WHERE mx >= (SELECT MAX(mn) FROM c))
+        |    AS n_files_planned_desc,
+        |  (SELECT lim FROM l) AS n_rows_returned,
+        |  (SELECT SUM(event_id) FROM r WHERE rn <= (SELECT lim FROM l))
+        |    AS sum_topn,
+        |  (SELECT m FROM b) AS max_desc""".stripMargin +
+        orderByAll("n_files_total", "n_files_planned_asc",
+          "n_files_planned_desc", "n_rows_returned", "sum_topn", "max_desc")),
+    "q_sql_table_topn_multi" ->
       ("""WITH b AS (SELECT MAX(event_id) AS m FROM events),
         |s AS (SELECT event_id // ((SELECT m FROM b) // 5 + 1) AS sl, event_id
         |  FROM events),

@@ -370,7 +370,14 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
       override def pushTopN(
           orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
           limit: Int): Boolean = {
-        if (orders.length != 1) return false
+        // multi-column ORDER BY (r16, VERDICT item 6): the FIRST sort
+        // column's bound-overlap decision is a valid file envelope
+        // regardless of tie-break columns — every top-n row under
+        // (c1, c2, ...) has c1 within the first-column cutoff, and the
+        // envelope keeps EVERY file overlapping it, so ties at the
+        // cutoff stay in. Still partial (Spark's TakeOrderedAndProject
+        // does the real multi-column sort), still exact-or-refuse.
+        if (orders.isEmpty) return false
         val o = orders(0)
         val colName = o.expression() match {
           case nr: org.apache.spark.sql.connector.expressions.NamedReference

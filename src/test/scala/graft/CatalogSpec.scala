@@ -2097,6 +2097,44 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("multi-column TopN pushdown: the first sort column's envelope prunes; tie-break columns stay correct (r16)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "tnm").toString
+    // day is COARSE (event_id % 4 over range slices) so the first sort
+    // column genuinely ties and the second column must break them
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("day", col("event_id") % 4)
+    val m = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+    val w = m / 4 + 1
+    CommitLog.setTableProperty(root, "statsColumns", "event_id")
+    (0 until 4).foreach(i => CommitLog.append(spark, root,
+      ev.filter(expr(s"event_id DIV $w = $i")), nFiles = 1))
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+            if r.scan.isInstanceOf[graft.sources.GraftBatchScan] =>
+          r.scan.asInstanceOf[graft.sources.GraftBatchScan]
+      }.head
+    // two-column ORDER BY on the STATS column first: envelope prunes
+    // to one file, rows match the full sort
+    val q = spark.sql(s"SELECT event_id, user_id FROM $cat.tnm " +
+      "ORDER BY event_id, user_id LIMIT 5")
+    val want = ev.orderBy(col("event_id"), col("user_id"))
+      .select(col("event_id"), col("user_id")).limit(5).collect().map(_.toSeq)
+    assert(q.collect().map(_.toSeq).toSeq === want.toSeq)
+    assert(scanOf(q).plannedFiles._2.size === 1,
+      "the first-column envelope must prune a 5-row head to one file")
+    // first sort column WITHOUT stats refuses — reads everything, but
+    // the multi-column sort is still exact
+    val q2 = spark.sql(s"SELECT event_id, user_id FROM $cat.tnm " +
+      "ORDER BY user_id, event_id LIMIT 5")
+    assert(scanOf(q2).plannedFiles._2.size === 4)
+    val want2 = ev.orderBy(col("user_id"), col("event_id"))
+      .select(col("event_id"), col("user_id")).limit(5).collect().map(_.toSeq)
+    assert(q2.collect().map(_.toSeq).toSeq === want2.toSeq)
+  }
+
   test("bucket transform: bucketed tables join on the HIGH-CARDINALITY key with zero hash exchanges; point lookups prune to one bucket (r15)") {
     val (cat, base) = freshCatalog()
     val ev = Tables(spark, sf, "events")
