@@ -3396,11 +3396,14 @@ object TableFormat {
       // peek reads one file instead of every file. Staging: five
       // INSERTs (one file each — spark.graft.insert.files=1), one per
       // event_id % 5 slice, so the manifest order and per-file counts
-      // are pure predicates; LIMIT = slices 0+1 plus one row → the
-      // scan must plan exactly 3 of 5 files. Pushdown is PARTIAL
-      // (Spark's own limit still truncates) and refuses under
-      // deletion vectors or missing counts, so it can never change
-      // results — only file counts.
+      // are pure predicates; LIMIT = LIVE slices 0+1 plus one row →
+      // the scan must plan exactly 3 of 5 files. A merge-on-read
+      // DELETE masks the even half of slice 0 first (r16, VERDICT
+      // item 7): the prefix decision uses LIVE counts — footer
+      // counts minus the manifest-carried masked counts — so the
+      // pushdown keeps working on a DV'd table instead of refusing.
+      // Pushdown stays PARTIAL (Spark's own limit truncates), so it
+      // can never change results — only file counts.
       val base = java.nio.file.Files.createTempDirectory("graft_cat_lim")
       base.toFile.deleteOnExit()
       val root = new java.io.File(base.toFile, "tbl").toString
@@ -3419,7 +3422,11 @@ object TableFormat {
         case Some(v) => s.conf.set("spark.graft.insert.files", v)
         case None => s.conf.unset("spark.graft.insert.files")
       }
-      val lim = ev.filter(col("event_id") % 5 <= 1).count() + 1
+      // mask the even half of slice 0 — the prefix decision must use
+      // live counts (the DV'd file sits exactly at the prefix head)
+      CommitLog.deleteMergeOnRead(s, root, col("event_id") % 10 === 0)
+      val lim = ev.filter(col("event_id") % 5 <= 1 &&
+        col("event_id") % 10 =!= 0).count() + 1
       val q = s.sql(s"SELECT event_id FROM $cat.tbl LIMIT $lim")
       val nReturned = q.collect().length.toLong
       // witness from the query's OWN scan instance (r16, VERDICT item
@@ -3798,8 +3805,9 @@ object TableFormat {
         orderByAll("zero_shuffle_proof", "n_users", "n_pairs", "weighted",
           "files_read_point", "n_rows_point")),
     "q_sql_table_limit_pushdown" ->
-      ("""WITH s AS (SELECT event_id % 5 AS b, COUNT(*) AS n
-        |  FROM events GROUP BY 1),
+      ("""WITH live AS (SELECT event_id FROM events WHERE event_id % 10 <> 0),
+        |s AS (SELECT event_id % 5 AS b, COUNT(*) AS n
+        |  FROM live GROUP BY 1),
         |c AS (SELECT b, n, SUM(n) OVER (ORDER BY b) AS cum FROM s),
         |l AS (SELECT (SELECT cum FROM c WHERE b = 1) + 1 AS lim)
         |SELECT (SELECT COUNT(*) FROM s) AS n_files_total,

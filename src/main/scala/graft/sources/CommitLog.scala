@@ -89,10 +89,17 @@ object CommitLog {
       // file at WRITE time (the VectorIndex cellCounts lever, now for
       // every table) — powers numRows statistics and the metadata
       // COUNT(*) answer; files without an entry simply disable both
-      rows: Map[String, Long] = Map.empty) {
+      rows: Map[String, Long] = Map.empty,
+      // per-file MASKED row counts (r16, VERDICT item 7): how many of
+      // a file's rows its deletion vectors hide, accumulated across
+      // MoR deletes/updates — live rows = rows(f) - dvRows(f), which
+      // keeps LIMIT/TopN pushdown and COUNT(*) exact on merge-on-read
+      // tables instead of refusing. A file with vectors but no count
+      // entry (pre-r16 manifests) still refuses.
+      dvRows: Map[String, Long] = Map.empty) {
     def isEmpty: Boolean =
       parts.isEmpty && stats2.isEmpty && dvs.isEmpty && layouts.isEmpty &&
-        sizes.isEmpty && rows.isEmpty
+        sizes.isEmpty && rows.isEmpty && dvRows.isEmpty
     /** The ordered layout a file was WRITTEN under: its
       * per-generation entry, falling back to the manifest-level
       * current spec (legacy single-spec manifests record only
@@ -112,7 +119,8 @@ object CommitLog {
       dvs.filter(kv => keep(kv._1)),
       layouts.filter(kv => keep(kv._1)),
       sizes.filter(kv => keep(kv._1)),
-      rows.filter(kv => keep(kv._1)))
+      rows.filter(kv => keep(kv._1)),
+      dvRows.filter(kv => keep(kv._1)))
     /** Prior metadata + a newer writer's entries (newer wins on a
       * shared file — except deletion vectors, which ACCUMULATE: each
       * merge-on-read delete adds a sidecar; tag conflicts on a shared
@@ -136,7 +144,14 @@ object CommitLog {
           .filter(_._2.nonEmpty).toMap,
         layouts ++ newer.layouts,
         sizes ++ newer.sizes,
-        rows ++ newer.rows)
+        rows ++ newer.rows,
+        // masked-row counts ACCUMULATE like the vectors they count: a
+        // newer writer's entries are counts of its freshly-staged
+        // sidecars (never a re-merge of already-carried ones), so the
+        // per-file sum stays exact
+        (dvRows.keySet ++ newer.dvRows.keySet).map(f =>
+          f -> (dvRows.getOrElse(f, 0L) + newer.dvRows.getOrElse(f, 0L)))
+          .toMap)
     }
   }
 
@@ -198,7 +213,12 @@ object CommitLog {
         aux.rows.toSeq.sortBy(_._1).map { case (f, n) =>
           s"""${jstr(f)}:$n""" }.mkString(",") + "}"
     }
-    p + s2 + dv + ly + sz + rw
+    val dvr = if (aux.dvRows.isEmpty) "" else {
+      s""","dvRows":{""" +
+        aux.dvRows.toSeq.sortBy(_._1).map { case (f, n) =>
+          s"""${jstr(f)}:$n""" }.mkString(",") + "}"
+    }
+    p + s2 + dv + ly + sz + rw + dvr
   }
 
   /** Hand-built JSON (strings are path-safe by construction: UUID file
@@ -408,7 +428,12 @@ object CommitLog {
       while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
       b.result()
     }.getOrElse(Map.empty[String, Long])
-    Aux(partCol, parts, tags, stats2, dvs, layouts, sizes, rows)
+    val dvRows = Option(node.get("dvRows")).map { p =>
+      val it = p.fields(); val b = Map.newBuilder[String, Long]
+      while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue.asLong() }
+      b.result()
+    }.getOrElse(Map.empty[String, Long])
+    Aux(partCol, parts, tags, stats2, dvs, layouts, sizes, rows, dvRows)
   }
 
   /** A writer-defined numeric manifest field (threaded through
@@ -1553,15 +1578,19 @@ object CommitLog {
     }
     val aux = carriedAux(root, Some(prev))
     val ren = (k: String) => if (k == from) to else k
-    val newAux = Aux(aux.partCol.map(ren), aux.parts,
-      aux.statsTags.map { case (k, v) => ren(k) -> v },
-      aux.stats2.map { case (f2, m) =>
+    // copy-based rebuild (r16 review find — the positional Aux() here
+    // silently dropped the r15 sizes/rows entries, so a RENAME COLUMN
+    // killed metadata COUNT(*) and size estimation): only the
+    // column-keyed entries change; file-keyed metadata (deletion
+    // vectors + their counts, sizes, rows) rides through untouched —
+    // dropping vectors would RESURRECT deleted rows
+    val newAux = aux.copy(
+      partCol = aux.partCol.map(ren),
+      statsTags = aux.statsTags.map { case (k, v) => ren(k) -> v },
+      stats2 = aux.stats2.map { case (f2, m) =>
         f2 -> m.map { case (k, v) => ren(k) -> v } },
-      // deletion vectors are file-keyed, not column-keyed — they ride
-      // through untouched (dropping them would RESURRECT deleted rows)
-      aux.dvs,
       // per-generation layouts follow the rename like the active spec
-      aux.layouts.map { case (f2, pairs) =>
+      layouts = aux.layouts.map { case (f2, pairs) =>
         f2 -> pairs.map { case (c, v) => (ren(c), v) } })
     val (prevCol, prevStats) = snapshotStatsOf(root, prev)
     commit(root, snapshotFiles(root, prev).map(p => relativize(root, p)),
@@ -1598,12 +1627,12 @@ object CommitLog {
         "(spec evolution keeps old layouts live) — rewrite those files " +
         "before dropping it")
     val fields = st.fields.filterNot(_.name == name)
-    val newAux = Aux(aux.partCol, aux.parts,
-      aux.statsTags - name,
-      aux.stats2.map { case (f2, m) => f2 -> (m - name) },
-      // file-keyed deletion vectors ride through (see renameColumn)
-      aux.dvs,
-      aux.layouts)
+    // copy-based rebuild (r16 review find, same as renameColumn: the
+    // positional Aux() dropped sizes/rows) — only the dropped column's
+    // stats leave; file-keyed metadata rides through
+    val newAux = aux.copy(
+      statsTags = aux.statsTags - name,
+      stats2 = aux.stats2.map { case (f2, m) => f2 -> (m - name) })
     // tombstone the dropped PHYSICAL name: the bytes linger in files,
     // so a later re-add under the same name must NOT reuse it — it
     // would resurrect the old values under the "new" column. The
@@ -2075,7 +2104,8 @@ object CommitLog {
         Aux(aux.partCol, aux.parts,
           aux0.statsTags ++ aux.statsTags, aux0.stats2 ++ aux.stats2,
           aux0.dvs, oldLayouts ++ aux.layouts,
-          aux0.sizes ++ aux.sizes, aux0.rows ++ aux.rows)
+          aux0.sizes ++ aux.sizes, aux0.rows ++ aux.rows,
+          aux0.dvRows ++ aux.dvRows)
       }
     commit(root, prevFiles ++ staged, prev,
       statsCol = prevCol, stats = prevStats,
@@ -3022,19 +3052,22 @@ object CommitLog {
       .select(substring_index(col("_graft_file"), "/", -1).as("f"),
         col("_graft_pos").as("i"))
     val staged = stageDvFiles(s, root, doomed)
-    // rows + affected files from the sidecar just written (footer +
-    // one tiny read — never a second scan of the table)
-    val (nRows, affected) =
-      if (staged.isEmpty) (0L, Set.empty[String])
-      else {
-        val dv = s.read.parquet(
+    // per-file masked counts + affected files from the sidecar just
+    // written (one tiny grouped read — never a second table scan);
+    // the counts ride the manifest (r16) so LIMIT/COUNT(*) stay exact
+    // on merge-on-read tables
+    val perFile =
+      if (staged.isEmpty) Map.empty[String, Long]
+      else s.read.parquet(
           staged.map(f => new java.io.File(root, f).toString): _*)
-        (dv.count(),
-          dv.select(col("f")).distinct().collect().map(_.getString(0)).toSet)
-      }
+        .groupBy(col("f")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (nRows, affected) = (perFile.values.sum, perFile.keySet)
     val byName = files.map(f =>
       new java.io.File(f).getName -> relativize(root, f)).toMap
-    val newDvs = Aux(dvs = affected.flatMap(byName.get).map(_ -> staged).toMap)
+    val newDvs = Aux(
+      dvs = affected.flatMap(byName.get).map(_ -> staged).toMap,
+      dvRows = perFile.flatMap { case (n, c) => byName.get(n).map(_ -> c) })
     val cdf: Option[Seq[String]] =
       if (!cdfEnabled(root)) None
       else if (nRows == 0) Some(Nil)
@@ -3602,14 +3635,14 @@ object CommitLog {
     val staged = stageDvFiles(s, root, matched
       .select(substring_index(col("_graft_file"), "/", -1).as("f"),
         col("_graft_pos").as("i")))
-    val (nRows, affected) =
-      if (staged.isEmpty) (0L, Set.empty[String])
-      else {
-        val dv = s.read.parquet(
+    // per-file masked counts, like deleteMergeOnRead (r16)
+    val perFile =
+      if (staged.isEmpty) Map.empty[String, Long]
+      else s.read.parquet(
           staged.map(f => new java.io.File(root, f).toString): _*)
-        (dv.count(),
-          dv.select(col("f")).distinct().collect().map(_.getString(0)).toSet)
-      }
+        .groupBy(col("f")).count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (nRows, affected) = (perFile.values.sum, perFile.keySet)
     // ... new versions append; they are the only NEW row states, so
     // they alone re-validate CHECK constraints. ONE select: every RHS
     // evaluates against the PRE-image row (see update()'s applied).
@@ -3645,7 +3678,9 @@ object CommitLog {
           .unionByName(post.withColumn("_change_type", lit("update_postimage")))))
     val byName = files.map(f =>
       new java.io.File(f).getName -> relativize(root, f)).toMap
-    val newDvs = Aux(dvs = affected.flatMap(byName.get).map(_ -> staged).toMap)
+    val newDvs = Aux(
+      dvs = affected.flatMap(byName.get).map(_ -> staged).toMap,
+      dvRows = perFile.flatMap { case (n, c) => byName.get(n).map(_ -> c) })
     // sidecar-only rebase past append-ish winners (r14 — the shared
     // commitDvRebasing loop; see deleteMergeOnRead): the vectors and
     // the inserted post-image files are staged once, retries cost

@@ -527,6 +527,18 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
   private lazy val auxCached = CommitLog.auxOf(root, version)
   @volatile private var runtime: Array[Filter] = Array.empty
 
+  /** A file's LIVE row count (r16, VERDICT item 7): the footer count
+    * minus the manifest-carried masked-row count of its deletion
+    * vectors — None when unknown (no footer count, or vectors a
+    * pre-r16 writer staged without counts). This is what keeps LIMIT/
+    * TopN pushdown and numRows exact on merge-on-read tables instead
+    * of refusing exactly where tables get big. */
+  private def liveRows(aux: CommitLog.Aux, f: String): Option[Long] =
+    aux.rows.get(f).flatMap { n =>
+      if (!aux.dvs.get(f).exists(_.nonEmpty)) Some(n)
+      else aux.dvRows.get(f).map(n - _)
+    }
+
   override def readSchema(): StructType = projected
   override def description(): String =
     s"graft@v$version PushedPruneFilters: ${pushed.mkString("[", ", ", "]")}" +
@@ -555,8 +567,8 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     val bytes = keep.map(rel =>
       aux.sizes.getOrElse(rel, new java.io.File(root, rel).length())).sum
     val rows =
-      if (keep.forall(f => aux.rows.contains(f) && !aux.dvs.contains(f)))
-        java.util.OptionalLong.of(keep.map(aux.rows).sum)
+      if (keep.forall(f => liveRows(aux, f).isDefined))
+        java.util.OptionalLong.of(keep.map(f => liveRows(aux, f).get).sum)
       else java.util.OptionalLong.empty()
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
@@ -720,33 +732,34 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
       (pushed ++ runtime).toSeq, meta)
     val (keep0, total) = CommitLog.prunedFilesTree(root, version, probes.tree)
     val aux = auxCached
-    // pushed LIMIT (r15): plan only a file-list PREFIX covering n
-    // rows — exact ONLY when every survivor carries a footer row
-    // count and no deletion vector (a masked row would make the
-    // footer count an overcount and the prefix could under-deliver;
-    // refuse and read everything). Partial pushdown means Spark's
-    // own limit still truncates, so this is purely a file-count
-    // decision. Runtime filters never co-occur with a pushed limit
-    // (a limit only pushes through a bare project), but guard
-    // anyway — advisory pruning must stay advisory.
+    // pushed LIMIT (r15; r16 DV-aware): plan only a file-list PREFIX
+    // covering n LIVE rows — exact when every survivor's live count
+    // is known (footer count, minus manifest-carried masked counts
+    // under deletion vectors; unknown → refuse and read everything).
+    // Partial pushdown means Spark's own limit still truncates, so
+    // this is purely a file-count decision. Runtime filters never
+    // co-occur with a pushed limit (a limit only pushes through a
+    // bare project), but guard anyway — advisory pruning must stay
+    // advisory.
     val keep1 = pushedLimit match {
       case Some(n) if runtime.isEmpty &&
-          keep0.forall(f => aux.rows.contains(f) && !aux.dvs.contains(f)) =>
-        val cumBefore = keep0.scanLeft(0L)((a, f) => a + aux.rows(f))
+          keep0.forall(f => liveRows(aux, f).isDefined) =>
+        val cumBefore = keep0.scanLeft(0L)((a, f) => a + liveRows(aux, f).get)
         keep0.zip(cumBefore).takeWhile(_._2 < n).map(_._1)
       case _ => keep0
     }
-    // pushed TopN (r15): sort survivors by the order column's
-    // relevant bound, prefix-cover n rows, keep every file whose
-    // range overlaps the prefix's cutoff — a file strictly past the
-    // cutoff cannot contain any of the global top n. Exact only
-    // under zero nulls (a null sorts outside the bounds), full row
-    // counts, and no deletion vectors — refuse otherwise.
+    // pushed TopN (r15; r16 DV-aware): sort survivors by the order
+    // column's relevant bound, prefix-cover n LIVE rows, keep every
+    // file whose range overlaps the prefix's cutoff — a file strictly
+    // past the cutoff cannot contain any of the global top n. Exact
+    // only under zero recorded nulls (live nulls can only be fewer)
+    // and known live counts; recorded bounds stay valid under masking
+    // (possibly loose — a wider envelope only widens the read).
     val keep = pushedTopN match {
       case Some((c, asc, n)) if runtime.isEmpty && keep1.nonEmpty &&
           aux.statsTags.contains(c) &&
           keep1.forall { f =>
-            aux.rows.contains(f) && !aux.dvs.contains(f) &&
+            liveRows(aux, f).isDefined &&
               aux.stats2.get(f).flatMap(_.get(c)).exists(st =>
                 st.nulls == 0 && st.lo.isDefined && st.hi.isDefined)
           } =>
@@ -755,7 +768,7 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
         val sorted =
           if (asc) st.sortBy(_._2.hi.get)(ord)
           else st.sortBy(_._2.lo.get)(ord.reverse)
-        val cum = sorted.scanLeft(0L)((a, p) => a + aux.rows(p._1)).tail
+        val cum = sorted.scanLeft(0L)((a, p) => a + liveRows(aux, p._1).get).tail
         val k = cum.indexWhere(_ >= n) match {
           case -1 => sorted.size
           case i => i + 1

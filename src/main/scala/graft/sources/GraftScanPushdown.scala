@@ -520,9 +520,16 @@ object GraftAggPushdown {
         CommitLog.prunedFilesTree(root, version, probes.tree)._1
       }
     val aux = CommitLog.auxOf(root, version)
-    // deletion vectors on any SURVIVING file: a masked row invalidates
-    // counts and could be the min/max — refuse
-    if (files.exists(f => aux.dvs.get(f).exists(_.nonEmpty))) return None
+    // deletion-vector posture (r16, VERDICT item 7): COUNT(*) stays
+    // answerable under vectors — live rows = footer count minus the
+    // manifest-carried masked count. COUNT(c)/MIN/MAX still refuse on
+    // a DV'd survivor: a masked row may have been a null (COUNT(c)
+    // would overcount the subtraction) or THE extremum.
+    def dvd(f: String): Boolean = aux.dvs.get(f).exists(_.nonEmpty)
+    def liveRowsOf(f: String): Option[Long] =
+      aux.rows.get(f).flatMap { n =>
+        if (!dvd(f)) Some(n) else aux.dvRows.get(f).map(n - _)
+      }
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case ref: org.apache.spark.sql.connector.expressions.NamedReference
@@ -575,10 +582,11 @@ object GraftAggPushdown {
           }
       }
     def rowsExact(fs: Seq[String]): Option[Long] =
-      if (fs.forall(aux.rows.contains)) Some(fs.map(aux.rows).sum)
+      if (fs.forall(f => liveRowsOf(f).isDefined))
+        Some(fs.map(f => liveRowsOf(f).get).sum)
       else None
     def statsFor(c: String, fs: Seq[String]): Option[Seq[CommitLog.ColStat]] =
-      if (fs.forall(f => aux.stats2.get(f).exists(_.contains(c))))
+      if (fs.forall(f => !dvd(f) && aux.stats2.get(f).exists(_.contains(c))))
         Some(fs.map(f => aux.stats2(f)(c)))
       else None
     // one (field, per-group evaluator) per aggregate expression —
