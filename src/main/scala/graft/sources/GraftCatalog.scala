@@ -266,8 +266,16 @@ class GraftBucketLong
   override def name(): String = "bucket"
   override def canonicalName(): String = "graft.bucket"
   override def isResultNullable: Boolean = false
-  override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Integer =
-    CommitLog.bucketOfLong(input.getLong(1), input.getInt(0))
+  override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+    val n = input.getInt(0)
+    // NULL keys route like the writer: murmur3 of nothing = the seed
+    // (42), bucket = pmod(42, n) — without this, a row-level
+    // evaluation (e.g. v2 bucketing shuffling a non-graft join side)
+    // would cluster null rows differently than the staged files (r16,
+    // ADVICE)
+    if (input.isNullAt(1)) ((42 % n) + n) % n
+    else CommitLog.bucketOfLong(input.getLong(1), n)
+  }
 }
 
 class GraftBucketInt
@@ -278,8 +286,12 @@ class GraftBucketInt
   override def name(): String = "bucket"
   override def canonicalName(): String = "graft.bucket"
   override def isResultNullable: Boolean = false
-  override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Integer =
-    CommitLog.bucketOfInt(input.getInt(1), input.getInt(0))
+  override def produceResult(input: org.apache.spark.sql.catalyst.InternalRow): Integer = {
+    val n = input.getInt(0)
+    // NULL keys route to the writer's null bucket (see GraftBucketLong)
+    if (input.isNullAt(1)) ((42 % n) + n) % n
+    else CommitLog.bucketOfInt(input.getInt(1), n)
+  }
 }
 
 /** One pinned snapshot as a V2 batch table: scan = the manifest's
@@ -539,12 +551,42 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
       else aux.dvRows.get(f).map(n - _)
     }
 
+  /** Eligibility of the LIMIT prefix for a survivor set: every file's
+    * LIVE row count is known and no runtime filter is in play. */
+  private def limitEligible(keep: Seq[String], aux: CommitLog.Aux): Boolean =
+    runtime.isEmpty && keep.forall(f => liveRows(aux, f).isDefined)
+  /** Eligibility of the TopN envelope: live counts plus zero-null
+    * bounded stats on the order column for every survivor. */
+  private def topnEligible(c: String, keep: Seq[String],
+      aux: CommitLog.Aux): Boolean =
+    runtime.isEmpty && keep.nonEmpty && aux.statsTags.contains(c) &&
+      keep.forall { f =>
+        liveRows(aux, f).isDefined &&
+          aux.stats2.get(f).flatMap(_.get(c)).exists(st =>
+            st.nulls == 0 && st.lo.isDefined && st.hi.isDefined)
+      }
+
   override def readSchema(): StructType = projected
-  override def description(): String =
+  override def description(): String = {
+    // the EXPLAIN surface tells the truth (r16, ADVICE): a pushed
+    // limit/top-n whose plan-time exactness check refuses renders
+    // "(refused)" — every file still plans — instead of implying an
+    // effected prune
+    def refusedSuffix(ok: => Boolean): String =
+      try { if (ok) "" else " (refused)" }
+      catch { case _: Exception => " (unknown)" }
+    lazy val keep0 = {
+      val probes = GraftFilterPushdown.translate((pushed ++ runtime).toSeq, meta)
+      CommitLog.prunedFilesTree(root, version, probes.tree)._1
+    }
     s"graft@v$version PushedPruneFilters: ${pushed.mkString("[", ", ", "]")}" +
-      pushedLimit.map(n => s" PushedLimit: $n").getOrElse("") +
+      pushedLimit.map(n =>
+        s" PushedLimit: $n${refusedSuffix(limitEligible(keep0, auxCached))}")
+        .getOrElse("") +
       pushedTopN.map { case (c, asc, n) =>
-        s" PushedTopN: $c ${if (asc) "ASC" else "DESC"} LIMIT $n" }.getOrElse("")
+        s" PushedTopN: $c ${if (asc) "ASC" else "DESC"} LIMIT $n" +
+          refusedSuffix(topnEligible(c, keep0, auxCached)) }.getOrElse("")
+  }
 
   /** PRUNED size statistics (r15): Spark asks the scan for its size
     * right after pushdown, and the answer drives join planning — a
@@ -742,8 +784,7 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     // bare project), but guard anyway — advisory pruning must stay
     // advisory.
     val keep1 = pushedLimit match {
-      case Some(n) if runtime.isEmpty &&
-          keep0.forall(f => liveRows(aux, f).isDefined) =>
+      case Some(n) if limitEligible(keep0, aux) =>
         val cumBefore = keep0.scanLeft(0L)((a, f) => a + liveRows(aux, f).get)
         keep0.zip(cumBefore).takeWhile(_._2 < n).map(_._1)
       case _ => keep0
@@ -756,13 +797,7 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     // and known live counts; recorded bounds stay valid under masking
     // (possibly loose — a wider envelope only widens the read).
     val keep = pushedTopN match {
-      case Some((c, asc, n)) if runtime.isEmpty && keep1.nonEmpty &&
-          aux.statsTags.contains(c) &&
-          keep1.forall { f =>
-            liveRows(aux, f).isDefined &&
-              aux.stats2.get(f).flatMap(_.get(c)).exists(st =>
-                st.nulls == 0 && st.lo.isDefined && st.hi.isDefined)
-          } =>
+      case Some((c, asc, n)) if topnEligible(c, keep1, aux) =>
         val ord = GraftFilterPushdown.ordOf(aux.statsTags(c))
         val st = keep1.map(f => f -> aux.stats2(f)(c))
         val sorted =

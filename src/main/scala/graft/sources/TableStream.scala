@@ -169,6 +169,16 @@ object GraftStreamPrune {
   private val MaxVersions = 4096
   private val stats =
     new java.util.concurrent.ConcurrentHashMap[String, Map[Long, (Long, Long)]]()
+  /** One warning per (root, column): a partitionFilter suffix that no
+    * generation's layout records prunes NOTHING (safe — pruning is
+    * advisory — but the user asked for a subset and gets the full
+    * firehose, so say so once instead of silently). */
+  private val warned = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private[sources] def warnUnmatched(root: String, col: String): Unit =
+    if (warned.add(s"$root#$col"))
+      System.err.println(s"[graft-table] partitionFilter.$col matches no " +
+        s"recorded layout column under $root — the subscription prunes " +
+        "nothing (check the column name/casing)")
   def reset(root: String): Unit = { stats.remove(root); () }
   def record(root: String, version: Long, candidates: Int, planned: Int): Unit = {
     stats.merge(root, Map(version -> ((candidates.toLong, planned.toLong))),
@@ -305,10 +315,26 @@ class TableMicroBatchStream(root: String, schema: StructType,
         if (partFilters.isEmpty || added.isEmpty) added
         else {
           val aux = CommitLog.auxOf(root, v)
+          // resolve subscription columns against the RECORDED layout
+          // columns case-insensitively (r16, ADVICE — the option key
+          // arrives through a case-preserving map, so
+          // `partitionFilter.DAY` silently pruned nothing against a
+          // `day` layout); a suffix matching NO recorded column warns
+          // once instead of silently emitting the full firehose
+          val recorded = (aux.partCol.toSeq.flatMap(_.split(',')) ++
+            aux.layouts.values.flatMap(_.map(_._1))).toSet
+          val byLower = recorded.groupBy(_.toLowerCase(java.util.Locale.ROOT))
+          val resolved = partFilters.map { case (c, vs) =>
+            byLower.get(c.toLowerCase(java.util.Locale.ROOT)) match {
+              case Some(cols) if cols.size == 1 => cols.head -> vs
+              case Some(_) => c -> vs // ambiguous casing: keep verbatim
+              case None => GraftStreamPrune.warnUnmatched(root, c); c -> vs
+            }
+          }
           val keep = added.filter { f =>
             aux.layoutOf(f) match {
               case Some(pairs) => pairs.forall { case (c, vv) =>
-                partFilters.get(c).forall(_.contains(vv)) }
+                resolved.get(c).forall(_.contains(vv)) }
               case None => true
             }
           }

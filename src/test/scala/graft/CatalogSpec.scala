@@ -1879,10 +1879,21 @@ class CatalogSpec extends SparkSpec {
     CommitLog.setTableProperty(root2, "statsColumns", "event_id")
     (1 until 4).foreach(i => CommitLog.append(spark, root2,
       ev.filter(expr(s"event_id DIV $w = $i")), nFiles = 1))
-    spark.sql(s"SELECT event_id FROM $cat.tn2 ORDER BY event_id LIMIT 1").collect()
+    val q2r = spark.sql(s"SELECT event_id FROM $cat.tn2 ORDER BY event_id LIMIT 1")
+    q2r.collect()
     val st2 = graft.sources.GraftScanStats.lastFor(root2).get
     assert(st2.filesRead === st2.filesTotal,
       s"a stats-less survivor must refuse the top-n prune, got $st2")
+    // ...and EXPLAIN says so instead of implying an effected prune
+    // (r16, ADVICE)
+    assert(q2r.queryExecution.executedPlan.toString.contains("(refused)"),
+      "a refused top-n must render '(refused)' in the plan description")
+    // the writer's NULL routing is reproduced by the V2 bucket
+    // function too (r16, ADVICE): pmod(hash(null)=seed 42, n)
+    val bf = new graft.sources.GraftBucketLong
+    val nullRow = new org.apache.spark.sql.catalyst.expressions
+      .GenericInternalRow(Array[Any](8, null))
+    assert(bf.produceResult(nullRow) === ((42 % 8) + 8) % 8)
   }
 
   test("OR-predicate pruning: translatable disjunctions plan the UNION of branch file sets; any opaque branch refuses the probe (r16)") {

@@ -3412,4 +3412,27 @@ class StreamingSpec extends SparkSpec {
     assert(emitted().count() === day3.count() + 50,
       "the unrecorded file must be read in full (must-read)")
   }
+
+  test("partition subscription resolves column casing against the recorded layout (r16, ADVICE)") {
+    import graft.sources.CommitLog
+    val root = java.nio.file.Files.createTempDirectory("graft_tspc_spec").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value"))
+      .withColumn("day", (col("event_id") % 7).cast("string"))
+    CommitLog.appendPartitioned(spark, root, ev, "day", filesPerPartition = 1)
+    val out = java.nio.file.Files.createTempDirectory("graft_tspc_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_tspc_ck").toString
+    // subscription spelled DAY — r15 matched the suffix verbatim and
+    // silently emitted the full firehose; r16 resolves it against the
+    // manifest's layout columns case-insensitively
+    val q = spark.readStream.format("graft.sources.TableStreamProvider")
+      .option("path", root).option("partitionFilter.DAY", "3")
+      .load().writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val want = ev.filter(col("day") === "3").count()
+    assert(spark.read.parquet(out).count() === want,
+      "a case-drifted subscription column must still prune to the partition")
+  }
 }
