@@ -2046,6 +2046,19 @@ class CatalogSpec extends SparkSpec {
     val qan = spark.sql(s"SELECT COUNT(*) AS n FROM $cat.exf WHERE day IS NULL")
     assert(planOf(qan).contains("metadata-aggregate"), planOf(qan))
     assert(qan.collect()(0).getLong(0) === ev.filter(col("day").isNull).count())
+    // consumption composes: a filtered GROUPED profile and an
+    // OR-filtered count both stay one manifest parse
+    val qg = spark.sql(s"SELECT day, COUNT(*) AS n FROM $cat.exf " +
+      "WHERE day IN ('2','3') GROUP BY day")
+    assert(planOf(qg).contains("metadata-aggregate"), planOf(qg))
+    assert(qg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ===
+      ev.filter(col("day").isin("2", "3")).groupBy("day").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val qo = spark.sql(s"SELECT COUNT(*) AS n FROM $cat.exf " +
+      "WHERE day = '1' OR day = '5'")
+    assert(planOf(qo).contains("metadata-aggregate"), planOf(qo))
+    assert(qo.collect()(0).getLong(0) ===
+      ev.filter(col("day") === "1" || col("day") === "5").count())
     // a range predicate is NOT layout-exact: residual stays, aggregate
     // refuses to the ordinary (exact) scan
     val qr = spark.sql(s"SELECT COUNT(*) AS n FROM $cat.exf " +
