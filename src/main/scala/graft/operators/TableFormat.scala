@@ -3068,17 +3068,25 @@ object TableFormat {
       val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
       s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
       s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
-      val d0 = ev.agg(min(col("day_ts"))).collect()(0).getTimestamp(0)
+      // the probe literal renders through SPARK under the SESSION zone
+      // (r16 review find: java.sql.Timestamp.toString renders in the
+      // JVM default zone, which the harness need not pin) — parsed
+      // back under the same session zone it denotes the minimum day
+      val d0 = ev.agg(date_format(min(col("day_ts")),
+        "yyyy-MM-dd HH:mm:ss").as("d0")).collect()(0).getString(0)
       val q = s.sql(s"SELECT event_id, value FROM $cat.tbl " +
         s"WHERE day_ts = TIMESTAMP '$d0'")
       val (nTotal, planned) = scanOf(q).plannedFiles
       // the SAME probe planned under a different session zone must
       // refuse (the recorded staging zone no longer matches) — plan
-      // decision only, never collected
+      // decision only, never collected; the drift zone is chosen to
+      // DIFFER from whatever zone the harness runs (r16 review find)
       val tz0 = s.conf.get("spark.sql.session.timeZone")
+      val tzOther =
+        if (tz0 == "America/New_York") "Asia/Tokyo" else "America/New_York"
       val plannedOther =
         try {
-          s.conf.set("spark.sql.session.timeZone", "America/New_York")
+          s.conf.set("spark.sql.session.timeZone", tzOther)
           scanOf(s.sql(s"SELECT event_id FROM $cat.tbl " +
             s"WHERE day_ts = TIMESTAMP '$d0'")).plannedFiles._2.size
         } finally s.conf.set("spark.sql.session.timeZone", tz0)

@@ -1955,6 +1955,34 @@ object CommitLog {
       filesPerPartition: Int): (Seq[String], Aux) = {
     import org.apache.spark.sql.functions.{coalesce, col, concat_ws, hash, lit, pmod}
     require(partCols.nonEmpty, "partitioned staging needs a column")
+    // TIMESTAMP-typed identity partition columns (r16, VERDICT item
+    // 3): the staged layout text is `CAST(col AS STRING)` — for a
+    // TIMESTAMP (LTZ) column that rendering depends on the SESSION
+    // TIMEZONE, so the table records the staging zone once
+    // (`layout.timeZone`) and EVERY later layout-text producer must
+    // run under it — this guard sits in the ONE staging chokepoint
+    // (r16 review find: the initial append-only placement let
+    // overwrite / CoW rewrites / OPTIMIZE / MIGRATE LAYOUT re-stage
+    // text under a drifted zone, silently mixing renderings one probe
+    // zone or the other would mis-prune). TIMESTAMP_NTZ renders
+    // zone-independently and needs no record.
+    val ltzPartCols = partCols.filter {
+      case BucketSpec(_, _) => false
+      case c => df.schema.fields.exists(f => f.name == c &&
+        f.dataType == org.apache.spark.sql.types.TimestampType)
+    }
+    if (ltzPartCols.nonEmpty) {
+      val tz = s.sessionState.conf.sessionLocalTimeZone
+      tableProperty(root, "layout.timeZone") match {
+        case None => setTableProperty(root, "layout.timeZone", tz)
+        case Some(t0) => require(t0 == tz,
+          s"partitioned staging: table layout on timestamp column(s) " +
+            s"${ltzPartCols.mkString(", ")} was staged under session " +
+            s"timezone '$t0' but this session runs '$tz' — mixed-zone " +
+            "layout text cannot prune safely; set " +
+            s"spark.sql.session.timeZone=$t0 (or restage the table)")
+      }
+    }
     require(!df.columns.contains("_gp") && !df.columns.contains("_gs"),
       "partitioned staging reserves column names _gp and _gs")
     // a bucket entry routes by its derived id (hash never returns
@@ -1965,11 +1993,18 @@ object CommitLog {
         pmod(hash(col(c)), lit(n.toInt)).cast("string")
       case c =>
         // null → sentinel; a value whose text would corrupt the layout
-        // encoding (contains the separator, or spells the sentinel) →
-        // the bad-value marker the post-staging guard refuses on
+        // encoding (contains the separator, spells the sentinel, or
+        // spells this marker itself — self-collision would otherwise
+        // produce a misleading refusal) → the bad-value marker the
+        // post-staging guard refuses on. The sentinel layout value is
+        // BY CONTRACT the null group (the Hive
+        // __HIVE_DEFAULT_PARTITION__ convention) — this guard is what
+        // makes the IS [NOT] NULL / NOT probes' reliance on it sound
+        // for every post-r16 write.
         val t = col(c).cast("string")
         org.apache.spark.sql.functions.when(t.isNull, lit(nullPartSentinel))
-          .when(t.contains(specSep) || t === nullPartSentinel,
+          .when(t.contains(specSep) || t === nullPartSentinel ||
+              t === badPartMarker,
             lit(badPartMarker))
           .otherwise(t)
     }
@@ -1989,9 +2024,10 @@ object CommitLog {
     groups.foreach { case (v, _) =>
       require(!v.split(specSep, -1).contains(badPartMarker),
         s"a partition value contains the reserved separator U+0001 or " +
-          s"spells the null sentinel '$nullPartSentinel' — such values " +
-          "cannot be recorded in a layout without corrupting pruning; " +
-          "filter or escape them before partitioned staging")
+          s"spells a reserved layout token ('$nullPartSentinel' / " +
+          s"'$badPartMarker') — such values cannot be recorded in a " +
+          "layout without corrupting pruning; filter or escape them " +
+          "before partitioned staging")
     }
     val parts = groups.flatMap { case (v, fs) => fs.map(_ -> v) }.toMap
     (groups.flatMap(_._2),
@@ -2044,31 +2080,6 @@ object CommitLog {
     // is the feature's headline use
     val (dfId, idHwm) = fillIdentity(s, root, df0, "appendPartitioned")
     val df = applyGeneratedColumns(s, root, dfId, "appendPartitioned")
-    // TIMESTAMP-typed identity partition columns (r16, VERDICT item
-    // 3): the staged layout text is `CAST(col AS STRING)` — for a
-    // TIMESTAMP (LTZ) column that rendering depends on the SESSION
-    // TIMEZONE, so the table records the staging zone once
-    // (`layout.timeZone`) and every later timestamp-partitioned
-    // append must run under it: mixed-zone layout text in one table
-    // would make any probe prune wrongly in one zone or the other.
-    // TIMESTAMP_NTZ renders zone-independently and needs no record.
-    val ltzPartCols = partCols.filter {
-      case BucketSpec(_, _) => false
-      case c => df.schema.fields.exists(f => f.name == c &&
-        f.dataType == org.apache.spark.sql.types.TimestampType)
-    }
-    if (ltzPartCols.nonEmpty) {
-      val tz = s.sessionState.conf.sessionLocalTimeZone
-      tableProperty(root, "layout.timeZone") match {
-        case None => setTableProperty(root, "layout.timeZone", tz)
-        case Some(t0) => require(t0 == tz,
-          s"appendPartitioned: table layout on timestamp column(s) " +
-            s"${ltzPartCols.mkString(", ")} was staged under session " +
-            s"timezone '$t0' but this session runs '$tz' — mixed-zone " +
-            "layout text cannot prune safely; set " +
-            s"spark.sql.session.timeZone=$t0 (or restage the table)")
-      }
-    }
     val prev = latestVersion(root)
     requireSchemaCompatible(root, prev, df, "appendPartitioned")
     enforceConstraints(s, root, df, "appendPartitioned")
@@ -2385,9 +2396,17 @@ object CommitLog {
     val files = readManifest(root, version)._2
     val aux = auxOf(root, version)
     val (legacyCol, legacyStats) = snapshotStatsOf(root, version)
-    def admits(f: String, t: ProbeTree): Boolean = {
-      val want = t.parts.toMap
-      val veto = t.notParts.groupMapReduce(_._1)(_._2)(_ ++ _)
+    // normalize each node ONCE — the per-file loop must not rebuild
+    // file-independent maps per file per OR branch (r16 review find)
+    final case class Node(want: Map[String, Set[String]],
+        veto: Map[String, Set[String]],
+        ranges: Seq[RangeProbe], ors: Seq[Seq[Node]])
+    def norm(t: ProbeTree): Node = Node(t.parts.toMap,
+      t.notParts.groupMapReduce(_._1)(_._2)(_ ++ _),
+      t.ranges, t.ors.map(_.map(norm)))
+    def admits(f: String, t: Node): Boolean = {
+      val want = t.want
+      val veto = t.veto
       val layoutOk = aux.layoutOf(f) match {
         case Some(pairs) => pairs.forall { case (c, v) =>
           want.get(c).forall(_.contains(v)) && // unprobed columns pass
@@ -2416,7 +2435,8 @@ object CommitLog {
       }
       layoutOk && statsOk && t.ors.forall(_.exists(admits(f, _)))
     }
-    val keep = files.filter(admits(_, tree))
+    val normed = norm(tree)
+    val keep = files.filter(admits(_, normed))
     (keep, files.size)
   }
 

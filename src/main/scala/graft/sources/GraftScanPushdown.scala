@@ -75,22 +75,38 @@ object GraftFilterPushdown {
       // by file selection alone, enabling filtered metadata aggregates
       fullLayoutCols: Set[String] = Set.empty)
 
+  /** PruneMeta cache keyed by (canonical root, version): a pinned
+    * version's manifest is immutable, and pruneMetaOf is on the
+    * planning hot path several times per query (pushFilters, the
+    * scan's meta, every aggregate-pushdown probe) — without this the
+    * O(files × layout columns) fullLayoutCols walk repeats per call
+    * (r16 review find). The `layout.timeZone` property a first
+    * timestamp-partitioned append writes lands BEFORE that append's
+    * version commits, so any cacheable version already sees it.
+    * Bounded: cleared wholesale past 4096 entries (re-computable). */
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), PruneMeta]()
+
   def pruneMetaOf(root: String, version: Long): PruneMeta = {
-    val aux = CommitLog.auxOf(root, version)
-    val layoutCols = aux.partCol.toSeq.flatMap(_.split(',')).toSet ++
-      aux.layouts.values.flatMap(_.map(_._1))
-    val buckets = layoutCols.toSeq.collect {
-      case spec @ CommitLog.BucketSpec(n, c) => c -> ((n.toInt, spec))
-    }.toMap
-    val files = CommitLog.snapshotFiles(root, version).map { f =>
-      val jf = new java.io.File(f)
-      jf.getParentFile.getName + "/" + jf.getName
-    }
-    val fullCols = (layoutCols -- buckets.values.map(_._2)).filter(c =>
-      files.forall(f => aux.layoutOf(f).exists(_.exists(_._1 == c))))
-    PruneMeta(layoutCols, aux.statsTags,
-      CommitLog.snapshotStatsOf(root, version)._1, buckets,
-      CommitLog.tableProperty(root, "layout.timeZone"), fullCols)
+    val key = (new java.io.File(root).getCanonicalPath, version)
+    if (metaCache.size > 4096) metaCache.clear()
+    metaCache.computeIfAbsent(key, _ => {
+      val aux = CommitLog.auxOf(root, version)
+      val layoutCols = aux.partCol.toSeq.flatMap(_.split(',')).toSet ++
+        aux.layouts.values.flatMap(_.map(_._1))
+      val buckets = layoutCols.toSeq.collect {
+        case spec @ CommitLog.BucketSpec(n, c) => c -> ((n.toInt, spec))
+      }.toMap
+      val files = CommitLog.snapshotFiles(root, version).map { f =>
+        val jf = new java.io.File(f)
+        jf.getParentFile.getName + "/" + jf.getName
+      }
+      val fullCols = (layoutCols -- buckets.values.map(_._2)).filter(c =>
+        files.forall(f => aux.layoutOf(f).exists(_.exists(_._1 == c))))
+      PruneMeta(layoutCols, aux.statsTags,
+        CommitLog.snapshotStatsOf(root, version)._1, buckets,
+        CommitLog.tableProperty(root, "layout.timeZone"), fullCols)
+    })
   }
 
   /** Catalyst's OWN string rendering of a timestamp, with an exact

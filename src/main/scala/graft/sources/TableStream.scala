@@ -324,13 +324,16 @@ class TableMicroBatchStream(root: String, schema: StructType,
           val recorded = (aux.partCol.toSeq.flatMap(_.split(',')) ++
             aux.layouts.values.flatMap(_.map(_._1))).toSet
           val byLower = recorded.groupBy(_.toLowerCase(java.util.Locale.ROOT))
-          val resolved = partFilters.map { case (c, vs) =>
+          // two subscription keys resolving to ONE column (DAY + day)
+          // INTERSECT — conjunction semantics; a last-write-wins map
+          // would silently drop a filter (r16 review find)
+          val resolved = partFilters.toSeq.map { case (c, vs) =>
             byLower.get(c.toLowerCase(java.util.Locale.ROOT)) match {
               case Some(cols) if cols.size == 1 => cols.head -> vs
               case Some(_) => c -> vs // ambiguous casing: keep verbatim
               case None => GraftStreamPrune.warnUnmatched(root, c); c -> vs
             }
-          }
+          }.groupMapReduce(_._1)(_._2)(_ intersect _)
           val keep = added.filter { f =>
             aux.layoutOf(f) match {
               case Some(pairs) => pairs.forall { case (c, vv) =>

@@ -1954,7 +1954,10 @@ class CatalogSpec extends SparkSpec {
     val tz0 = spark.conf.get("spark.sql.session.timeZone")
     assert(CommitLog.tableProperty(root, "layout.timeZone").contains(tz0))
     val nDays = ev.select(col("day_ts")).distinct().count()
-    val d0 = ev.agg(min(col("day_ts"))).collect()(0).getTimestamp(0)
+    // render probe literals through SPARK under the session zone, not
+    // java.sql.Timestamp.toString (JVM-default-zone rendering)
+    val d0 = ev.agg(date_format(min(col("day_ts")),
+      "yyyy-MM-dd HH:mm:ss")).collect()(0).getString(0)
     def scanOf(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.optimizedPlan.collect {
         case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
@@ -1967,14 +1970,16 @@ class CatalogSpec extends SparkSpec {
       s"a one-day probe over $nDays day files must plan 1, got ($t1, ${k1.size})")
     assert(q.count() === ev.filter(col("day_ts") === d0).count())
     // IN over two days plans two files
-    val d1 = ev.filter(col("day_ts") > d0).agg(min(col("day_ts")))
-      .collect()(0).getTimestamp(0)
+    val d1 = ev.filter(col("day_ts") > to_timestamp(lit(d0)))
+      .agg(date_format(min(col("day_ts")), "yyyy-MM-dd HH:mm:ss"))
+      .collect()(0).getString(0)
     val qIn = spark.sql(s"SELECT event_id FROM $cat.pts " +
       s"WHERE day_ts IN (TIMESTAMP '$d0', TIMESTAMP '$d1')")
     assert(scanOf(qIn).plannedFiles._2.size === 2)
     // a probing session under another zone refuses — plans everything
     try {
-      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      spark.conf.set("spark.sql.session.timeZone",
+        if (tz0 == "America/New_York") "Asia/Tokyo" else "America/New_York")
       val qO = spark.sql(s"SELECT event_id FROM $cat.pts WHERE day_ts = TIMESTAMP '$d0'")
       assert(scanOf(qO).plannedFiles._2.size === nDays,
         "zone drift must refuse the probe, not mis-prune")
