@@ -578,7 +578,12 @@ case class DescribeDetailCommand(parts: Seq[String])
           val jf = new java.io.File(f)
           jf.getParentFile.getName + "/" + jf.getName
         }
-        if (rel.forall(aux.rows.contains)) rel.map(aux.rows).sum else -1L
+        // LIVE counts (r16): footer minus manifest-carried masked
+        // counts — a merge-on-read table must not present a footer
+        // overcount as its row total
+        if (rel.forall(f => CommitLog.liveRowsOf(aux, f).isDefined))
+          rel.map(f => CommitLog.liveRowsOf(aux, f).get).sum
+        else -1L
       },
       aux.statsTags.keys.toSeq.sorted.mkString(",")))
   }
@@ -651,7 +656,9 @@ case class ShowGraftPartitionsCommand(parts: Seq[String])
         fs.size.toLong,
         fs.map(f => aux.sizes.getOrElse(f,
           new java.io.File(root, f).length())).sum,
-        if (fs.forall(aux.rows.contains)) fs.map(aux.rows).sum else -1L)
+        if (fs.forall(f => CommitLog.liveRowsOf(aux, f).isDefined))
+          fs.map(f => CommitLog.liveRowsOf(aux, f).get).sum
+        else -1L)
     }
   }
 }

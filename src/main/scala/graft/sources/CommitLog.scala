@@ -155,6 +155,20 @@ object CommitLog {
     }
   }
 
+  /** A file's LIVE row count from manifest metadata alone (r16): the
+    * footer-derived count minus the masked-row count of its deletion
+    * vectors; None when unknown (no footer count, or vectors a
+    * pre-r16 writer staged without counts). THE count every metadata
+    * surface reports — LIMIT/TopN planning, numRows statistics, the
+    * COUNT(*) aggregate answer, SHOW PARTITIONS and DESCRIBE DETAIL —
+    * so a merge-on-read table never presents a footer overcount as
+    * truth. */
+  def liveRowsOf(aux: Aux, f: String): Option[Long] =
+    aux.rows.get(f).flatMap { n =>
+      if (!aux.dvs.get(f).exists(_.nonEmpty)) Some(n)
+      else aux.dvRows.get(f).map(n - _)
+    }
+
   private def renderColStat(tag: String, st: ColStat): String = {
     def one(v: Option[Any]): String = v match {
       case None => "null"

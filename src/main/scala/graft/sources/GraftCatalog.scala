@@ -546,10 +546,7 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     * TopN pushdown and numRows exact on merge-on-read tables instead
     * of refusing exactly where tables get big. */
   private def liveRows(aux: CommitLog.Aux, f: String): Option[Long] =
-    aux.rows.get(f).flatMap { n =>
-      if (!aux.dvs.get(f).exists(_.nonEmpty)) Some(n)
-      else aux.dvRows.get(f).map(n - _)
-    }
+    CommitLog.liveRowsOf(aux, f)
 
   /** Eligibility of the LIMIT prefix for a survivor set: every file's
     * LIVE row count is known and no runtime filter is in play. */

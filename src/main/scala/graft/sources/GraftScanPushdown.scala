@@ -542,10 +542,7 @@ object GraftAggPushdown {
     // a DV'd survivor: a masked row may have been a null (COUNT(c)
     // would overcount the subtraction) or THE extremum.
     def dvd(f: String): Boolean = aux.dvs.get(f).exists(_.nonEmpty)
-    def liveRowsOf(f: String): Option[Long] =
-      aux.rows.get(f).flatMap { n =>
-        if (!dvd(f)) Some(n) else aux.dvRows.get(f).map(n - _)
-      }
+    def liveRowsOf(f: String): Option[Long] = CommitLog.liveRowsOf(aux, f)
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case ref: org.apache.spark.sql.connector.expressions.NamedReference

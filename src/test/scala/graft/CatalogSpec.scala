@@ -1649,6 +1649,22 @@ class CatalogSpec extends SparkSpec {
     val fsTotal = CommitLog.snapshotFiles(root, CommitLog.latestVersion(root).get)
       .map(f => new java.io.File(f).length()).sum
     assert(total === fsTotal)
+    // row counts are LIVE (r16): a merge-on-read delete must not leave
+    // the inventory (or DESCRIBE DETAIL) presenting footer overcounts
+    CommitLog.deleteMergeOnRead(spark, root,
+      col("event_type") === "click" && col("event_id") % 4 === 1)
+    val rows2 = spark.sql(s"SHOW PARTITIONS $cat.sp").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows2("event_type=click").getLong(3) ===
+      ev.filter(col("event_id") % 2 === 1 && col("event_type") === "click" &&
+        !(col("event_id") % 4 === 1)).count(),
+      "SHOW PARTITIONS must report live counts under deletion vectors")
+    val detailRows = spark.sql(s"DESCRIBE DETAIL $cat.sp").collect()(0)
+    val liveTotal = ev.count() -
+      ev.filter(col("event_type") === "click" && col("event_id") % 4 === 1 &&
+        col("event_id") % 2 === 1).count()
+    assert(detailRows.getLong(detailRows.fieldIndex("n_rows_metadata")) === liveTotal,
+      "DESCRIBE DETAIL must report the live metadata row total")
   }
 
   test("storage-partitioned join: co-partitioned tables join + aggregate with ZERO exchanges; values exact (r15)") {
