@@ -60,7 +60,10 @@ object Plans {
     "q_sql_table_join_spj",   // storage-partitioned join: key-grouped scans, ZERO exchanges (r15)
     "q_sql_table_topn_pushdown", // ORDER BY + LIMIT planning only bound-overlapping files (r15)
     "q_sql_table_agg_pushdown_grouped", // partition profile answered by the metadata-aggregate scan (r15)
-    "q_sql_table_join_spj_bucket") // hash-bucket co-partitioned join, zero exchanges (r15)
+    "q_sql_table_join_spj_bucket", // hash-bucket co-partitioned join, zero exchanges (r15)
+    "q_sql_table_prune_or",   // OR-disjunction file pruning: branch unions (r16)
+    "q_sql_table_agg_pushdown_filtered", // filtered COUNT/MIN/MAX answered by the metadata-aggregate scan (r16)
+    "q_sql_table_topn_multi") // multi-column ORDER BY pushing the first column's envelope (r16)
 
   /** Hand-written analysis emitted after a key's plan — kept here so
     * regeneration never loses it. */
@@ -156,7 +159,30 @@ object Plans {
         |join side exists at any scale. This is the implemented 100 TB
         |ship path of q_text_decontaminate (whose exact twin materializes
         |the distinct train-shingle table instead); TextSpec asserts
-        |bloom ⊇ exact per doc.""".stripMargin)
+        |bloom ⊇ exact per doc.""".stripMargin,
+    "q_sql_table_prune_or" ->
+      """Both probe queries surface their disjunctions in
+        |`PushedPruneFilters` (`Or(EqualTo(day,1), And(...))`): every
+        |branch translated, so planInputPartitions keeps the UNION of the
+        |branches' file sets (3 of 14 on the day×half staging) — while
+        |the `value`-branch query shows NO pushed Or (an opaque branch
+        |refuses the whole probe) and plans every file. Row-level filters
+        |still run above the scan unless separately consumed, so the
+        |translation is never load-bearing for correctness.""".stripMargin,
+    "q_sql_table_agg_pushdown_filtered" ->
+      """The filtered aggregate's scan is `graft metadata-aggregate
+        |[count(*), count, min, max]` — the CONSUMED `day='3'` left no
+        |residual, so Spark pushed the whole aggregation and the answer
+        |folds only the surviving files' manifest entries; no parquet
+        |scan node exists in the plan. The contrast query (`WHERE
+        |event_id <= k`) keeps a residual Filter and runs the ordinary
+        |HashAggregate over the (stats-pruned) file scan.""".stripMargin,
+    "q_sql_table_topn_multi" ->
+      """`PushedTopN: event_id ASC LIMIT n` rides the scan even though the
+        |ORDER BY carries a tie-break column — the first column's envelope
+        |is the file decision, and TakeOrderedAndProject above the scan
+        |does the real two-column sort over the planned prefix only
+        |(2 of 5 files ASC, 1 DESC on the range-sliced staging).""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
