@@ -203,6 +203,50 @@ object TableFormat {
           lit(fRead.toLong).as("n_files_read"),
           col("n_rows"), col("sum_value")))
     },
+    "q_sql_table_seg_scan" -> { (s, dir) =>
+      // SEGMENTED MANIFESTS THROUGH SQL (r16): the million-file-table
+      // metadata layout (q_table_manifest_segments, r9) now serves the
+      // DSv2 catalog — a `SELECT ... WHERE` on a segmented table plans
+      // through the TWO-LEVEL prune (segment bounds first, per-file
+      // stats inside the survivors), so plan-time metadata I/O scales
+      // with the SURVIVING segment count, never the full listing.
+      // Schema infers through the segments (segmented manifests record
+      // none); aggregates/limit/topn/consumption refuse (no footer
+      // counts, no layouts) and the ordinary exact scan runs. Staging
+      // mirrors the API key: 4 quartile segments × 2 files; the
+      // second-quartile probe survives 1 segment / 2 files — all
+      // counters predicate-pinned, witnesses from the query's OWN
+      // scan.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_seg")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "tbl").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val m = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+      val (s1, s2, s3) = (m / 4, m / 2, 3 * m / 4)
+      CommitLog.appendSegment(s, root,
+        ev.filter(col("event_id") <= s1), nFiles = 2, statsCol = "event_id")
+      CommitLog.appendSegment(s, root,
+        ev.filter(col("event_id") > s1 && col("event_id") <= s2), 2, "event_id")
+      CommitLog.appendSegment(s, root,
+        ev.filter(col("event_id") > s2 && col("event_id") <= s3), 2, "event_id")
+      val head = CommitLog.appendSegment(s, root,
+        ev.filter(col("event_id") > s3), 2, "event_id")
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      val q = s.sql(s"SELECT event_id, value FROM $cat.tbl " +
+        s"WHERE event_id > $s1 AND event_id <= $s2")
+      val (nTotal, planned) = scanOf(q).plannedFiles
+      val (_, _, segsTotal, segsRead) = CommitLog.segmentedPrunedFiles(root,
+        head, Seq(CommitLog.RangeProbe("event_id", Some(s1 + 1), Some(s2))))
+      ordered(q.agg(count(lit(1)).as("n_rows"), dsum(col("value")).as("sum_value"))
+        .select(lit(segsTotal.toLong).as("n_segments_total"),
+          lit(segsRead.toLong).as("n_segments_read"),
+          lit(nTotal.toLong).as("n_files_total"),
+          lit(planned.size.toLong).as("n_files_planned"),
+          col("n_rows"), col("sum_value")))
+    },
     "q_table_delete" -> { (s, dir) =>
       // Copy-on-write row-level DELETE (added r9) — the GDPR/retention
       // write path the merge family lacks: only files HOLDING matching
@@ -3959,6 +4003,18 @@ object TableFormat {
         |WHERE event_id > m // 4 AND event_id <= m // 2""".stripMargin +
         orderByAll("n_segments_total", "n_segments_read", "n_files_total",
           "n_files_read", "n_rows", "sum_value")),
+    "q_sql_table_seg_scan" ->
+      ("""WITH b AS (SELECT MAX(event_id) AS m FROM events)
+        |SELECT CAST(4 AS BIGINT) AS n_segments_total,
+        |  CAST(1 AS BIGINT) AS n_segments_read,
+        |  CAST(8 AS BIGINT) AS n_files_total,
+        |  CAST(2 AS BIGINT) AS n_files_planned,
+        |  COUNT(*) AS n_rows,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
+        |FROM events, b
+        |WHERE event_id > m // 4 AND event_id <= m // 2""".stripMargin +
+        orderByAll("n_segments_total", "n_segments_read", "n_files_total",
+          "n_files_planned", "n_rows", "sum_value")),
     "q_table_delete" ->
       ("""SELECT CAST(2 AS BIGINT) AS n_files_carried,
         |  CAST(2 AS BIGINT) AS n_files_rewritten,

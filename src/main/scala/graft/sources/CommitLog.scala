@@ -4331,6 +4331,54 @@ object CommitLog {
     next
   }
 
+  /** Does `version`'s manifest list SEGMENT references instead of a
+    * flat file array? (The two manifest shapes are mutually
+    * exclusive; flat-manifest APIs refuse segmented versions and vice
+    * versa.) */
+  def isSegmented(root: String, version: Long): Boolean = {
+    val node = mapper.readTree(
+      java.nio.file.Files.readString(manifest(root, version).toPath))
+    node.get("segments") != null
+  }
+
+  /** The stats column a segmented version's segment files record —
+    * read from the FIRST segment (appendSegment stamps every segment
+    * with its statsCol; one table uses one column). */
+  def segmentStatsCol(root: String, version: Long): Option[String] =
+    segmentsOf(root, version).headOption.flatMap { sr =>
+      val node = mapper.readTree(java.nio.file.Files.readString(
+        new java.io.File(logDir(root), sr.path).toPath))
+      Option(node.get("statsCol")).map(_.asText())
+    }
+
+  /** Two-level pruned FILE LISTING of a segmented version under
+    * Long range probes on the segment stats column (r16 — the SQL
+    * catalog's planning path over segmented manifests): segments
+    * whose aggregated bounds miss every probe are skipped WITHOUT
+    * reading their per-file entries, surviving segments prune again
+    * per file. Probes on other columns (or non-Long bounds)
+    * contribute nothing — pruning only ever widens. Returns
+    * (surviving relative paths, filesTotal, segsTotal, segsRead);
+    * filesTotal comes from the manifest's per-segment counts, so a
+    * no-probe listing still reads only the surviving segments'
+    * entries. */
+  def segmentedPrunedFiles(root: String, version: Long,
+      probes: Seq[RangeProbe]): (Seq[String], Int, Int, Int) = {
+    val segs = segmentsOf(root, version)
+    val statsCol = segmentStatsCol(root, version)
+    val ps = probes.filter(p => statsCol.contains(p.col) &&
+      p.lo.forall(_.isInstanceOf[Long]) && p.hi.forall(_.isInstanceOf[Long]))
+    def overlap(mn: Long, mx: Long): Boolean =
+      ps.forall(p => p.lo.forall(lo => mx >= lo.asInstanceOf[Long]) &&
+        p.hi.forall(hi => mn <= hi.asInstanceOf[Long]))
+    val live = segs.filter(_.bounds.forall { case (mn, mx) => overlap(mn, mx) })
+    val keep = live.flatMap { sr =>
+      val (fs, st) = segmentEntries(root, sr.path)
+      fs.filter(f => st.get(f).forall { case (mn, mx) => overlap(mn, mx) })
+    }
+    (keep, segs.map(_.nFiles).sum, segs.size, live.size)
+  }
+
   /** Two-level pruned scan of a segmented version: segments whose
     * aggregated bounds miss [lo, hi] are skipped WITHOUT reading their
     * per-file entries (plan-time metadata I/O ∝ surviving segments);

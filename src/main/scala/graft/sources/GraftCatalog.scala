@@ -325,7 +325,13 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
 
   override def schema(): StructType =
     CommitLog.snapshotSchemaOf(root, version).getOrElse {
-      val files = CommitLog.snapshotFiles(root, version)
+      // segmented manifests record no schema — infer from the listed
+      // files (resolved through the segments)
+      val files =
+        if (CommitLog.isSegmented(root, version))
+          CommitLog.segmentedPrunedFiles(root, version, Nil)._1
+            .map(f => new java.io.File(root, f).toString)
+        else CommitLog.snapshotFiles(root, version)
       require(files.nonEmpty,
         s"$name: empty snapshot with no recorded schema — nothing to infer from")
       SparkSession.active.read.parquet(files: _*).schema
@@ -537,7 +543,27 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
   // SPJ grouping and partition planning all read it, and a pinned
   // version's manifest is immutable
   private lazy val auxCached = CommitLog.auxOf(root, version)
+  // SEGMENTED manifest (r16): batch SQL reads plan through the
+  // TWO-LEVEL metadata prune — segment bounds first, per-file stats
+  // inside the survivors — so a 10^6-file table's catalog SELECT
+  // reads metadata ∝ surviving segments, never the full listing
+  private lazy val segmented = CommitLog.isSegmented(root, version)
   @volatile private var runtime: Array[Filter] = Array.empty
+
+  /** The probe-pruned survivor listing for `filters` — flat manifests
+    * evaluate the full ProbeTree per file; segmented manifests run the
+    * two-level bounds prune on the range probes (layout/exclusion
+    * probes cannot apply — segments record no layouts). Every caller
+    * (planning, statistics, accounting, EXPLAIN) shares this one
+    * decision. */
+  private def prunedKeep(filters: Seq[Filter]): (Seq[String], Int) = {
+    val probes = GraftFilterPushdown.translate(filters, meta)
+    if (segmented) {
+      val (keep, total, _, _) =
+        CommitLog.segmentedPrunedFiles(root, version, probes.ranges)
+      (keep, total)
+    } else CommitLog.prunedFilesTree(root, version, probes.tree)
+  }
 
   /** A file's LIVE row count (r16, VERDICT item 7): the footer count
     * minus the manifest-carried masked-row count of its deletion
@@ -572,10 +598,7 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     def refusedSuffix(ok: => Boolean): String =
       try { if (ok) "" else " (refused)" }
       catch { case _: Exception => " (unknown)" }
-    lazy val keep0 = {
-      val probes = GraftFilterPushdown.translate((pushed ++ runtime).toSeq, meta)
-      CommitLog.prunedFilesTree(root, version, probes.tree)._1
-    }
+    lazy val keep0 = prunedKeep((pushed ++ runtime).toSeq)._1
     s"graft@v$version PushedPruneFilters: ${pushed.mkString("[", ", ", "]")}" +
       pushedLimit.map(n =>
         s" PushedLimit: $n${refusedSuffix(limitEligible(keep0, auxCached))}")
@@ -600,8 +623,7 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     * would make the footer count an overcount) — same exactness rule
     * as the metadata aggregates. */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
-    val probes = GraftFilterPushdown.translate((pushed ++ runtime).toSeq, meta)
-    val (keep, _) = CommitLog.prunedFilesTree(root, version, probes.tree)
+    val (keep, _) = prunedKeep((pushed ++ runtime).toSeq)
     val aux = auxCached
     val bytes = keep.map(rel =>
       aux.sizes.getOrElse(rel, new java.io.File(root, rel).length())).sum
@@ -751,8 +773,7 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     * The PRUNE ESTIMATE statement reads this off the optimized plan's
     * scan, so estimate and execution share one pruning engine. */
   def pruneAccounting: (Long, Int, Int, Int) = {
-    val probes = GraftFilterPushdown.translate((pushed ++ runtime).toSeq, meta)
-    val (keep, total) = CommitLog.prunedFilesTree(root, version, probes.tree)
+    val (keep, total) = prunedKeep((pushed ++ runtime).toSeq)
     (version, total, keep.size, pushed.length)
   }
 
@@ -767,9 +788,7 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     * introduced; this reading cannot change however many times
     * planning runs). */
   def plannedFiles: (Int, Seq[String]) = {
-    val probes = GraftFilterPushdown.translate(
-      (pushed ++ runtime).toSeq, meta)
-    val (keep0, total) = CommitLog.prunedFilesTree(root, version, probes.tree)
+    val (keep0, total) = prunedKeep((pushed ++ runtime).toSeq)
     val aux = auxCached
     // pushed LIMIT (r15; r16 DV-aware): plan only a file-list PREFIX
     // covering n LIVE rows — exact when every survivor's live count
@@ -857,6 +876,10 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    require(!segmented,
+      "streaming a SEGMENTED table is not supported — the incremental " +
+        "version-diff reader walks flat manifests; read it as a batch " +
+        "source or stage through a flat-manifest table")
     require(consumedCount == 0,
       "a consumed (non-residual) filter reached a streaming scan — " +
         "the micro-batch path does not enforce file-level filters; " +

@@ -90,23 +90,31 @@ object GraftFilterPushdown {
   def pruneMetaOf(root: String, version: Long): PruneMeta = {
     val key = (new java.io.File(root).getCanonicalPath, version)
     if (metaCache.size > 4096) metaCache.clear()
-    metaCache.computeIfAbsent(key, _ => {
-      val aux = CommitLog.auxOf(root, version)
-      val layoutCols = aux.partCol.toSeq.flatMap(_.split(',')).toSet ++
-        aux.layouts.values.flatMap(_.map(_._1))
-      val buckets = layoutCols.toSeq.collect {
-        case spec @ CommitLog.BucketSpec(n, c) => c -> ((n.toInt, spec))
-      }.toMap
-      val files = CommitLog.snapshotFiles(root, version).map { f =>
-        val jf = new java.io.File(f)
-        jf.getParentFile.getName + "/" + jf.getName
-      }
-      val fullCols = (layoutCols -- buckets.values.map(_._2)).filter(c =>
-        files.forall(f => aux.layoutOf(f).exists(_.exists(_._1 == c))))
-      PruneMeta(layoutCols, aux.statsTags,
-        CommitLog.snapshotStatsOf(root, version)._1, buckets,
-        CommitLog.tableProperty(root, "layout.timeZone"), fullCols)
-    })
+    metaCache.computeIfAbsent(key, _ =>
+      // SEGMENTED manifests (r16): the only skipping metadata is the
+      // per-segment/per-file Long bounds on ONE stats column — expose
+      // it as a "long" range-probe target; no layouts, no consumption
+      if (CommitLog.isSegmented(root, version))
+        PruneMeta(Set.empty,
+          CommitLog.segmentStatsCol(root, version).map(_ -> "long").toMap,
+          None)
+      else {
+        val aux = CommitLog.auxOf(root, version)
+        val layoutCols = aux.partCol.toSeq.flatMap(_.split(',')).toSet ++
+          aux.layouts.values.flatMap(_.map(_._1))
+        val buckets = layoutCols.toSeq.collect {
+          case spec @ CommitLog.BucketSpec(n, c) => c -> ((n.toInt, spec))
+        }.toMap
+        val files = CommitLog.snapshotFiles(root, version).map { f =>
+          val jf = new java.io.File(f)
+          jf.getParentFile.getName + "/" + jf.getName
+        }
+        val fullCols = (layoutCols -- buckets.values.map(_._2)).filter(c =>
+          files.forall(f => aux.layoutOf(f).exists(_.exists(_._1 == c))))
+        PruneMeta(layoutCols, aux.statsTags,
+          CommitLog.snapshotStatsOf(root, version)._1, buckets,
+          CommitLog.tableProperty(root, "layout.timeZone"), fullCols)
+      })
   }
 
   /** Catalyst's OWN string rendering of a timestamp, with an exact
@@ -524,6 +532,9 @@ object GraftAggPushdown {
       // `SELECT COUNT(*) ... WHERE day='3'` is one manifest parse
       consumed: Seq[org.apache.spark.sql.sources.Filter] = Nil)
       : Option[(StructType, Seq[Array[Any]])] = {
+    // segmented manifests carry no footer counts/column stats/layouts
+    // — nothing here is answerable
+    if (CommitLog.isSegmented(root, version)) return None
     val files0 = CommitLog.snapshotFiles(root, version).map { f =>
       val jf = new java.io.File(f)
       jf.getParentFile.getName + "/" + jf.getName

@@ -170,7 +170,8 @@ class RegistrySpec extends SparkSpec {
       // r16: OR-disjunction file pruning, timestamp partition probes,
       // filtered metadata aggregates via exact filter consumption
       "q_sql_table_prune_or", "q_sql_table_prune_ts",
-      "q_sql_table_agg_pushdown_filtered", "q_sql_table_topn_multi")
+      "q_sql_table_agg_pushdown_filtered", "q_sql_table_topn_multi",
+      "q_sql_table_seg_scan")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }
