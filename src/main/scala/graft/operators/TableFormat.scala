@@ -3861,7 +3861,7 @@ object TableFormat {
         |s AS (SELECT event_id % 5 AS b, COUNT(*) AS n
         |  FROM live GROUP BY 1),
         |c AS (SELECT b, n, SUM(n) OVER (ORDER BY b) AS cum FROM s),
-        |l AS (SELECT (SELECT cum FROM c WHERE b = 1) + 1 AS lim)
+        |l AS (SELECT CAST((SELECT cum FROM c WHERE b = 1) + 1 AS BIGINT) AS lim)
         |SELECT (SELECT COUNT(*) FROM s) AS n_files_total,
         |  (SELECT COUNT(*) FROM c, l WHERE cum - n < lim) AS n_files_planned,
         |  (SELECT lim FROM l) AS n_rows_returned""".stripMargin +
@@ -3882,7 +3882,7 @@ object TableFormat {
         |  (SELECT COUNT(*) FROM c WHERE mx >= (SELECT MAX(mn) FROM c))
         |    AS n_files_planned_desc,
         |  (SELECT lim FROM l) AS n_rows_returned,
-        |  (SELECT SUM(event_id) FROM r WHERE rn <= (SELECT lim FROM l))
+        |  (SELECT CAST(SUM(event_id) AS BIGINT) FROM r WHERE rn <= (SELECT lim FROM l))
         |    AS sum_topn,
         |  (SELECT m FROM b) AS max_desc""".stripMargin +
         orderByAll("n_files_total", "n_files_planned_asc",
@@ -3903,7 +3903,7 @@ object TableFormat {
         |  (SELECT COUNT(*) FROM c WHERE mx >= (SELECT MAX(mn) FROM c))
         |    AS n_files_planned_desc,
         |  (SELECT lim FROM l) AS n_rows_returned,
-        |  (SELECT SUM(event_id) FROM r WHERE rn <= (SELECT lim FROM l))
+        |  (SELECT CAST(SUM(event_id) AS BIGINT) FROM r WHERE rn <= (SELECT lim FROM l))
         |    AS sum_topn,
         |  (SELECT m FROM b) AS max_desc""".stripMargin +
         orderByAll("n_files_total", "n_files_planned_asc",
