@@ -210,9 +210,11 @@ object TableFormat {
       // through the TWO-LEVEL prune (segment bounds first, per-file
       // stats inside the survivors), so plan-time metadata I/O scales
       // with the SURVIVING segment count, never the full listing.
-      // Schema infers through the segments (segmented manifests record
-      // none); aggregates/limit/topn/consumption refuse (no footer
-      // counts, no layouts) and the ordinary exact scan runs. Staging
+      // Schema reads off the manifest (r17 — appendSegment records
+      // it); COUNT(*)/MIN/MAX-of-stats-column and the LIMIT prefix
+      // answer from per-segment metadata (r17, q_sql_table_seg_agg);
+      // topn/COUNT(c)/grouping/consumption refuse (no null counts, no
+      // layouts) and the ordinary exact scan runs. Staging
       // mirrors the API key: 4 quartile segments × 2 files; the
       // second-quartile probe survives 1 segment / 2 files — all
       // counters predicate-pinned, witnesses from the query's OWN
@@ -246,6 +248,83 @@ object TableFormat {
           lit(nTotal.toLong).as("n_files_total"),
           lit(planned.size.toLong).as("n_files_planned"),
           col("n_rows"), col("sum_value")))
+    },
+    "q_sql_table_seg_agg" -> { (s, dir) =>
+      // SEGMENTED METADATA ANSWERS (r17, VERDICT item 2): on exactly
+      // the table size segmentation targets, the first queries every
+      // user runs must be metadata decisions, not 10^6-file scans.
+      // The version manifest now carries per-segment LIVE row and
+      // byte totals (exact forever — segments are immutable, no
+      // row-level deletes), so:
+      //   - COUNT(*) + MIN/MAX of the stats column answer from ONE
+      //     manifest parse, zero segment reads (plan-proof flag:
+      //     the executed plan carries the metadata-aggregate scan);
+      //   - a bare LIMIT n sizes its file prefix SEGMENT-FIRST —
+      //     whole segments off their manifest row totals, only the
+      //     boundary segment opens per-file counts (witness: planned
+      //     files AND segments opened, both pinned by construction);
+      //   - MIN/MAX of a NON-stats column refuses (no per-file stats
+      //     for it by design) and the ordinary exact scan runs —
+      //     the refusal is pinned by its own plan flag;
+      //   - a bounds filter still scans (file survival ≠ row match)
+      //     but plans only the surviving segment's files.
+      // Staging: 4 quartile-aligned segments × ONE file each, so
+      // per-file counts equal quartile counts and every witness is
+      // derivable in the oracle from the events table alone.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_sega")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "tbl").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val m = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+      val (s1, s2, s3) = (m / 4, m / 2, 3 * m / 4)
+      CommitLog.appendSegment(s, root,
+        ev.filter(col("event_id") <= s1), nFiles = 1, statsCol = "event_id")
+      CommitLog.appendSegment(s, root,
+        ev.filter(col("event_id") > s1 && col("event_id") <= s2), 1, "event_id")
+      CommitLog.appendSegment(s, root,
+        ev.filter(col("event_id") > s2 && col("event_id") <= s3), 1, "event_id")
+      val head = CommitLog.appendSegment(s, root,
+        ev.filter(col("event_id") > s3), 1, "event_id")
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      val qMeta = s.sql(s"SELECT COUNT(*) AS n_total, MIN(event_id) AS min_id, " +
+        s"MAX(event_id) AS max_id FROM $cat.tbl")
+      val metaFlag =
+        if (qMeta.queryExecution.executedPlan.toString.contains("metadata-aggregate")) 1L
+        else 0L
+      // MIN/MAX of a non-stats column: no per-file stats by design →
+      // refuse the manifest answer, run the ordinary exact scan
+      val qScan = s.sql(s"SELECT MIN(value) AS min_value FROM $cat.tbl")
+      val scanFlag =
+        if (qScan.queryExecution.executedPlan.toString.contains("metadata-aggregate")) 0L
+        else 1L
+      val minValue = qScan.collect()(0).getDouble(0)
+      // bare LIMIT: prefix = segment 1 whole + 1 file of segment 2
+      val c1 = ev.filter(col("event_id") <= s1).count()
+      val lim = c1 + 1
+      val qLim = s.sql(s"SELECT event_id FROM $cat.tbl LIMIT $lim")
+      val (nTotal, plannedLim) = scanOf(qLim).plannedFiles
+      val (_, _, segsOpened) =
+        CommitLog.segmentedLimitFiles(root, head, lim.toInt).get
+      val nRowsLim = qLim.count()
+      // bounds-filtered COUNT: scans, but only the surviving segment
+      val qF = s.sql(s"SELECT COUNT(*) AS n FROM $cat.tbl " +
+        s"WHERE event_id > $s1 AND event_id <= $s2")
+      val (_, plannedF) = scanOf(qF).plannedFiles
+      val filteredCount = qF.collect()(0).getLong(0)
+      ordered(qMeta.select(
+        lit(metaFlag).as("answered_from_manifest"),
+        col("n_total"), col("min_id"), col("max_id"),
+        lit(scanFlag).as("nonstats_minmax_scans"),
+        lit(minValue).as("min_value"),
+        lit(nTotal.toLong).as("n_files_total"),
+        lit(plannedLim.size.toLong).as("n_limit_planned"),
+        lit(segsOpened.toLong).as("n_segs_opened"),
+        lit(nRowsLim).as("n_rows_limit"),
+        lit(filteredCount).as("filtered_count"),
+        lit(plannedF.size.toLong).as("filtered_planned")))
     },
     "q_table_delete" -> { (s, dir) =>
       // Copy-on-write row-level DELETE (added r9) — the GDPR/retention
@@ -3086,18 +3165,26 @@ object TableFormat {
           col("sum_value_or")))
     },
     "q_sql_table_prune_ts" -> { (s, dir) =>
-      // TIMESTAMP PARTITION PROBES (r16, VERDICT item 3): layout
-      // values are Spark's own `CAST(col AS STRING)` text, so a
-      // timestamp probe renders through Catalyst's cast under the
-      // SESSION ZONE the table recorded at staging (the
-      // `layout.timeZone` property appendPartitioned now writes) and
-      // accepts only when the canonical round trip is exact — closing
-      // file pruning on THE 100 TB layout, the time-partitioned
-      // table. A probing session under any OTHER zone refuses (the
-      // staged text would differ) and reads everything — pruning may
-      // only ever widen. Staging: day_ts = date_trunc(ts) partitions
-      // × two event_id halves; probe = the MIN day. Oracle counters
-      // are predicate-derived; witnesses read each query's OWN scan.
+      // TIMESTAMP PARTITION PROBES (r16, VERDICT item 3; r17: probes
+      // render under the RECORDED zone): layout values are Spark's own
+      // `CAST(col AS STRING)` text produced under the one session zone
+      // the table recorded at staging (`layout.timeZone` — the staging
+      // chokepoint refuses cross-zone appends), and a probe's filter
+      // value is absolute micros — so rendering the probe under the
+      // RECORDED zone reproduces the staged spelling for a reader in
+      // ANY session zone. On THE 100 TB layout (the time-partitioned
+      // table) cross-zone readers now prune instead of reading
+      // everything. Witnessed three ways, each from the query's OWN
+      // scan: (a) the session-zone probe plans one day; (b) a CLONED
+      // session under a DIFFERENT zone probing the SAME instant (an
+      // explicit-offset literal) plans the same one day and returns
+      // the same rows; (c) the drifted session re-parsing the NAIVE
+      // text denotes a different instant — no recorded day spells it,
+      // zero files plan, zero rows return (exact, not a refusal).
+      // Staging: day_ts = date_trunc(ts) partitions × two event_id
+      // halves; probe = the MIN day. Oracle counters are
+      // predicate-derived. The drift probes run on s.newSession()
+      // (r17, ADVICE: never mutate the shared session's zone mid-key).
       val base = java.nio.file.Files.createTempDirectory("graft_cat_pts")
       base.toFile.deleteOnExit()
       val root = new java.io.File(base.toFile, "tbl").toString
@@ -3118,27 +3205,35 @@ object TableFormat {
       // back under the same session zone it denotes the minimum day
       val d0 = ev.agg(date_format(min(col("day_ts")),
         "yyyy-MM-dd HH:mm:ss").as("d0")).collect()(0).getString(0)
+      // the SAME instant with an explicit UTC offset — denotes the
+      // minimum day regardless of the parsing session's zone
+      val d0off = ev.agg(date_format(min(col("day_ts")),
+        "yyyy-MM-dd HH:mm:ssxxx").as("d")).collect()(0).getString(0)
       val q = s.sql(s"SELECT event_id, value FROM $cat.tbl " +
         s"WHERE day_ts = TIMESTAMP '$d0'")
       val (nTotal, planned) = scanOf(q).plannedFiles
-      // the SAME probe planned under a different session zone must
-      // refuse (the recorded staging zone no longer matches) — plan
-      // decision only, never collected; the drift zone is chosen to
-      // DIFFER from whatever zone the harness runs (r16 review find)
       val tz0 = s.conf.get("spark.sql.session.timeZone")
       val tzOther =
         if (tz0 == "America/New_York") "Asia/Tokyo" else "America/New_York"
-      val plannedOther =
-        try {
-          s.conf.set("spark.sql.session.timeZone", tzOther)
-          scanOf(s.sql(s"SELECT event_id FROM $cat.tbl " +
-            s"WHERE day_ts = TIMESTAMP '$d0'")).plannedFiles._2.size
-        } finally s.conf.set("spark.sql.session.timeZone", tz0)
+      // a CLONED session under the drifted zone — the shared session's
+      // conf is never touched, so concurrent planning stays safe
+      val s2 = s.newSession()
+      s2.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s2.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      s2.conf.set("spark.sql.session.timeZone", tzOther)
+      val qSame = s2.sql(s"SELECT event_id FROM $cat.tbl " +
+        s"WHERE day_ts = TIMESTAMP '$d0off'")
+      val plannedSame = scanOf(qSame).plannedFiles._2.size
+      val nRowsSame = qSame.count()
+      val plannedForeign = scanOf(s2.sql(s"SELECT event_id FROM $cat.tbl " +
+        s"WHERE day_ts = TIMESTAMP '$d0'")).plannedFiles._2.size
       ordered(q.agg(count(lit(1)).as("n_rows_day"),
           dsum(col("value")).as("sum_value_day"))
         .select(lit(nTotal.toLong).as("n_files_total"),
           lit(planned.size.toLong).as("n_files_day"),
-          lit(plannedOther.toLong).as("n_files_othertz"),
+          lit(plannedSame.toLong).as("n_files_othertz"),
+          lit(nRowsSame).as("n_rows_othertz"),
+          lit(plannedForeign.toLong).as("n_files_foreign_instant"),
           col("n_rows_day"), col("sum_value_day")))
     },
     "q_table_prune_combined" -> { (s, dir) =>
@@ -3767,13 +3862,17 @@ object TableFormat {
         |        event_id <= (SELECT m // 2 FROM b) AS h1 FROM events)
         |SELECT (SELECT COUNT(*) FROM f) AS n_files_total,
         |  (SELECT COUNT(*) FROM f WHERE d = (SELECT d FROM d0)) AS n_files_day,
-        |  (SELECT COUNT(*) FROM f) AS n_files_othertz,
+        |  (SELECT COUNT(*) FROM f WHERE d = (SELECT d FROM d0)) AS n_files_othertz,
+        |  (SELECT COUNT(*) FROM events
+        |    WHERE date_trunc('day', ts) = (SELECT d FROM d0)) AS n_rows_othertz,
+        |  CAST(0 AS BIGINT) AS n_files_foreign_instant,
         |  (SELECT COUNT(*) FROM events
         |    WHERE date_trunc('day', ts) = (SELECT d FROM d0)) AS n_rows_day,
         |  (SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
         |    FROM events
         |    WHERE date_trunc('day', ts) = (SELECT d FROM d0)) AS sum_value_day""".stripMargin +
         orderByAll("n_files_total", "n_files_day", "n_files_othertz",
+          "n_rows_othertz", "n_files_foreign_instant",
           "n_rows_day", "sum_value_day")),
     "q_table_prune_combined" ->
       ("""WITH b AS (SELECT MAX(event_id) AS m FROM events),
@@ -4015,6 +4114,27 @@ object TableFormat {
         |WHERE event_id > m // 4 AND event_id <= m // 2""".stripMargin +
         orderByAll("n_segments_total", "n_segments_read", "n_files_total",
           "n_files_planned", "n_rows", "sum_value")),
+    "q_sql_table_seg_agg" ->
+      ("""WITH b AS (SELECT MAX(event_id) AS m FROM events),
+        |c1 AS (SELECT COUNT(*) AS n FROM events, b WHERE event_id <= m // 4),
+        |c2 AS (SELECT COUNT(*) AS n FROM events, b
+        |  WHERE event_id > m // 4 AND event_id <= m // 2)
+        |SELECT CAST(1 AS BIGINT) AS answered_from_manifest,
+        |  (SELECT COUNT(*) FROM events) AS n_total,
+        |  (SELECT MIN(event_id) FROM events) AS min_id,
+        |  (SELECT MAX(event_id) FROM events) AS max_id,
+        |  CAST(1 AS BIGINT) AS nonstats_minmax_scans,
+        |  (SELECT MIN(value) FROM events) AS min_value,
+        |  CAST(4 AS BIGINT) AS n_files_total,
+        |  CAST(2 AS BIGINT) AS n_limit_planned,
+        |  CAST(2 AS BIGINT) AS n_segs_opened,
+        |  (SELECT CAST(n + 1 AS BIGINT) FROM c1) AS n_rows_limit,
+        |  (SELECT n FROM c2) AS filtered_count,
+        |  CAST(1 AS BIGINT) AS filtered_planned""".stripMargin +
+        orderByAll("answered_from_manifest", "n_total", "min_id", "max_id",
+          "nonstats_minmax_scans", "min_value", "n_files_total",
+          "n_limit_planned", "n_segs_opened", "n_rows_limit",
+          "filtered_count", "filtered_planned")),
     "q_table_delete" ->
       ("""SELECT CAST(2 AS BIGINT) AS n_files_carried,
         |  CAST(2 AS BIGINT) AS n_files_rewritten,

@@ -845,9 +845,10 @@ object CommitLog {
   /** The schema JSON the previous version's manifest carries, if any —
     * every commit kind passes it forward so one schema-unaware writer
     * never strips an evolved table's log schema (the stats-carry
-    * rule, applied to the schema). Segment manifests are a separate
-    * format without a schema field — the segmented keys build fresh,
-    * never-evolved tables. */
+    * rule, applied to the schema). Segment manifests carry a schema
+    * field of their own since r17 (appendSegment records the first
+    * write's schema so catalog loads never footer-infer); the two
+    * manifest formats never mix within one table. */
   private def carriedSchemaJson(root: String, prev: Option[Long]): Option[String] =
     prev.flatMap(v => snapshotSchemaOf(root, v)).map(_.json)
 
@@ -4255,17 +4256,26 @@ object CommitLog {
 
   /** One segment reference as listed in a version manifest: the
     * segment file's name under _graft_log/, how many data files it
-    * holds, and the aggregated [lo, hi] bounds of its stats column
-    * (None = segment has stat-less files ⇒ unprunable). */
+    * holds, the aggregated [lo, hi] bounds of its stats column
+    * (None = segment has stat-less files ⇒ unprunable), and — r17 —
+    * the segment's total LIVE row count and byte size (segments are
+    * immutable and support no row-level deletes, so one number each
+    * at append time stays exact forever; None = pre-r17 writer ⇒
+    * every metadata answer that needs it refuses). */
   final case class SegmentRef(path: String, nFiles: Int,
-      bounds: Option[(Long, Long)])
+      bounds: Option[(Long, Long)],
+      nRows: Option[Long] = None, nBytes: Option[Long] = None)
 
   private def renderSegmentManifest(version: Long, op: String,
-      segs: Seq[SegmentRef]): String =
-    s"""{"version":$version,"op":"$op","segments":[""" +
+      segs: Seq[SegmentRef], schemaJson: Option[String] = None): String =
+    s"""{"version":$version,"op":"$op",""" +
+      schemaJson.map(j => s""""schema":$j,""").getOrElse("") +
+      s""""segments":[""" +
       segs.map { sr =>
         val b = sr.bounds.map { case (lo, hi) => s""","lo":$lo,"hi":$hi""" }.getOrElse("")
-        s"""{"path":"${sr.path}","nFiles":${sr.nFiles}$b}"""
+        val r = sr.nRows.map(n => s""","nRows":$n""").getOrElse("")
+        val by = sr.nBytes.map(n => s""","nBytes":$n""").getOrElse("")
+        s"""{"path":"${sr.path}","nFiles":${sr.nFiles}$b$r$by}"""
       }.mkString(",") + "]}"
 
   /** The segment references of a segmented version's manifest. */
@@ -4277,7 +4287,9 @@ object CommitLog {
     (0 until segs.size()).map { i =>
       val sn = segs.get(i)
       SegmentRef(sn.get("path").asText(), sn.get("nFiles").asInt(),
-        if (sn.has("lo")) Some((sn.get("lo").asLong(), sn.get("hi").asLong())) else None)
+        if (sn.has("lo")) Some((sn.get("lo").asLong(), sn.get("hi").asLong())) else None,
+        if (sn.has("nRows")) Some(sn.get("nRows").asLong()) else None,
+        if (sn.has("nBytes")) Some(sn.get("nBytes").asLong()) else None)
     }
   }
 
@@ -4301,24 +4313,121 @@ object CommitLog {
     (fs, stats)
   }
 
+  /** Per-file footer row counts of one segment file (r17 — written by
+    * appendSegment alongside the stats); empty for pre-r17 segments,
+    * and every consumer treats a missing count as a refusal. */
+  def segmentEntryRows(root: String, segPath: String): Map[String, Long] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(
+        new java.io.File(logDir(root), segPath).toPath))
+    Option(node.get("rows")).map { st =>
+      val it = st.fields()
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> e.getValue.asLong()
+      }
+      b.result()
+    }.getOrElse(Map.empty)
+  }
+
+  /** Segment refs of `version` surviving a BOUNDS-level prune under
+    * Long range probes on the segment stats column — the first level
+    * of the two-level skip, zero segment-file reads. Probes on other
+    * columns (or non-Long bounds) contribute nothing. */
+  def segmentsSurviving(root: String, version: Long,
+      probes: Seq[RangeProbe]): Seq[SegmentRef] = {
+    val segs = segmentsOf(root, version)
+    val statsCol = segmentStatsCol(root, version)
+    val ps = probes.filter(p => statsCol.contains(p.col) &&
+      p.lo.forall(_.isInstanceOf[Long]) && p.hi.forall(_.isInstanceOf[Long]))
+    segs.filter(_.bounds.forall { case (mn, mx) =>
+      ps.forall(p => p.lo.forall(lo => mx >= lo.asInstanceOf[Long]) &&
+        p.hi.forall(hi => mn <= hi.asInstanceOf[Long]))
+    })
+  }
+
+  /** `COUNT(*)` of a segmented version from the VERSION MANIFEST alone
+    * (r17, VERDICT item 2): the sum of the per-segment row counts —
+    * exact because segments are immutable and support no row-level
+    * deletes, so the counts recorded at append time never drift. None
+    * (refuse → ordinary scan) when any segment predates the counts.
+    * On the 10^6-file table segmentation targets, the first query
+    * every user runs costs one manifest parse, zero segment reads. */
+  def segmentedCountStar(root: String, version: Long): Option[Long] = {
+    val segs = segmentsOf(root, version)
+    if (segs.forall(_.nRows.isDefined)) Some(segs.flatMap(_.nRows).sum)
+    else None
+  }
+
+  /** The LIMIT-n file prefix of a segmented version as a TWO-LEVEL
+    * metadata decision (r17, VERDICT item 2): whole segments are
+    * taken off their manifest-carried row totals WITHOUT opening
+    * them; only the BOUNDARY segment (the first to cross n) opens its
+    * per-file counts to size the prefix inside it. Returns (prefix
+    * relative paths, filesTotal, segment files opened); None refuses
+    * — some segment predates the counts — and the scan plans
+    * everything, exactly as before. Callers guarantee no filters are
+    * in play (Spark only pushes a limit with no residual, and every
+    * segmented filter is residual). */
+  def segmentedLimitFiles(root: String, version: Long,
+      n: Int): Option[(Seq[String], Int, Int)] = {
+    val segs = segmentsOf(root, version)
+    if (!segs.forall(_.nRows.isDefined)) return None
+    val keep = Seq.newBuilder[String]
+    var cum = 0L
+    var opened = 0
+    for (sr <- segs if cum < n) {
+      val rows = sr.nRows.get
+      if (cum + rows < n) {
+        // interior segment: fully inside the prefix — list its files
+        // (one segment read), no per-file decision needed
+        opened += 1
+        keep ++= segmentEntries(root, sr.path)._1
+      } else {
+        // boundary segment: prefix inside it by per-file counts
+        opened += 1
+        val fs = segmentEntries(root, sr.path)._1
+        val fileRows = segmentEntryRows(root, sr.path)
+        if (!fs.forall(fileRows.contains)) return None
+        var inner = cum
+        for (f <- fs if inner < n) { keep += f; inner += fileRows(f) }
+      }
+      cum += rows
+    }
+    Some((keep.result(), segs.map(_.nFiles).sum, opened))
+  }
+
   /** Stage `df` as `nFiles` data files, write them (with per-file
-    * min/max stats on `statsCol`) as ONE new immutable segment file,
-    * and commit a manifest listing the prior version's segment
-    * references (copied verbatim — the segment files themselves are
-    * never reopened or rewritten) plus the new one. */
+    * min/max stats AND footer row counts on `statsCol`) as ONE new
+    * immutable segment file, and commit a manifest listing the prior
+    * version's segment references (copied verbatim — the segment
+    * files themselves are never reopened or rewritten) plus the new
+    * one. r17: the manifest's segment refs carry per-segment row and
+    * byte totals (one number each, fixed at append — segments never
+    * see row-level deletes), so `COUNT(*)` and size estimation on a
+    * 10^6-file segmented table are ONE manifest parse, and the LIMIT
+    * prefix is a two-level metadata decision (segments first, then
+    * the boundary segment's per-file counts). The manifest also
+    * records the table schema (first writer's frame, carried
+    * verbatim after), so catalog loads never footer-infer. */
   def appendSegment(s: SparkSession, root: String, df: DataFrame,
       nFiles: Int, statsCol: String): Long = {
     val prev = latestVersion(root)
+    requireSchemaCompatible(root, prev, df, "appendSegment")
     enforceConstraints(s, root, df, "appendSegment")
     val prevSegs = prev.map(v => segmentsOf(root, v)).getOrElse(Nil)
     val staged = stageDataFiles(s, root, df, nFiles)
     val stats = perFileStats(s, root, staged, statsCol)
+    val sized = stagedSizes(root, staged) // footer rows + byte sizes
     logDir(root).mkdirs()
     val segName = "seg-" + java.util.UUID.randomUUID().toString + ".json"
     val segJson = s"""{"files":[${staged.map(f => "\"" + f + "\"").mkString(",")}],""" +
       s""""statsCol":"$statsCol","stats":{""" +
       stats.toSeq.sortBy(_._1).map { case (f, (lo, hi)) =>
-        s""""$f":[$lo,$hi]""" }.mkString(",") + "}}"
+        s""""$f":[$lo,$hi]""" }.mkString(",") +
+      s"""},"rows":{""" +
+      staged.sorted.map(f => s""""$f":${sized.rows(f)}""").mkString(",") + "}}"
     java.nio.file.Files.writeString(
       new java.io.File(logDir(root), segName).toPath, segJson)
     val bounds =
@@ -4326,7 +4435,9 @@ object CommitLog {
       else Some((stats.values.map(_._1).min, stats.values.map(_._2).max))
     val next = prev.map(_ + 1).getOrElse(0L)
     publish(root, next, renderSegmentManifest(next, "append",
-      prevSegs :+ SegmentRef(segName, staged.size, bounds)))
+      prevSegs :+ SegmentRef(segName, staged.size, bounds,
+        Some(staged.map(sized.rows).sum), Some(staged.map(sized.sizes).sum)),
+      schemaJson = schemaOrRecord(root, prev, df)))
     maybeCheckpoint(root, next) // summarize() reads segment manifests too
     next
   }

@@ -325,12 +325,21 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
 
   override def schema(): StructType =
     CommitLog.snapshotSchemaOf(root, version).getOrElse {
-      // segmented manifests record no schema — infer from the listed
-      // files (resolved through the segments)
+      // No recorded schema (pre-r17 segmented writer, or a legacy
+      // flat table) — footer-infer. Segmented tables infer from the
+      // FIRST non-empty segment's FIRST file only (r17, ADVICE:
+      // schemas are uniform per table — appendSegment enforces
+      // compatibility at commit — so opening the full 10^6-file
+      // listing at ANALYSIS time was O(files) I/O for one footer's
+      // worth of information). Flat tables keep the all-files infer:
+      // their schema may be a widened union across generations.
       val files =
         if (CommitLog.isSegmented(root, version))
-          CommitLog.segmentedPrunedFiles(root, version, Nil)._1
-            .map(f => new java.io.File(root, f).toString)
+          CommitLog.segmentsOf(root, version).iterator
+            .map(sr => CommitLog.segmentEntries(root, sr.path)._1)
+            .collectFirst { case fs if fs.nonEmpty =>
+              new java.io.File(root, fs.head).toString }
+            .toSeq
         else CommitLog.snapshotFiles(root, version)
       require(files.nonEmpty,
         s"$name: empty snapshot with no recorded schema — nothing to infer from")
@@ -578,6 +587,21 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     * LIVE row count is known and no runtime filter is in play. */
   private def limitEligible(keep: Seq[String], aux: CommitLog.Aux): Boolean =
     runtime.isEmpty && keep.forall(f => liveRows(aux, f).isDefined)
+
+  /** The SEGMENTED LIMIT prefix (r17, VERDICT item 2): a pushed LIMIT
+    * on a segmented table sizes its file prefix SEGMENT-FIRST off the
+    * manifest's per-segment row totals — only the boundary segment
+    * opens its per-file counts — so the canonical `SELECT * LIMIT 20`
+    * peek on a 10^6-file table reads metadata ∝ prefix segments, not
+    * the listing. Only with no filters anywhere (Spark never pushes a
+    * limit past a residual, and every segmented filter is residual —
+    * guarded anyway); None = refuse, plan everything as before. */
+  private def segLimitPlan: Option[(Seq[String], Int, Int)] =
+    pushedLimit.flatMap { n =>
+      if (segmented && pushed.isEmpty && runtime.isEmpty)
+        CommitLog.segmentedLimitFiles(root, version, n)
+      else None
+    }
   /** Eligibility of the TopN envelope: live counts plus zero-null
     * bounded stats on the order column for every survivor. */
   private def topnEligible(c: String, keep: Seq[String],
@@ -601,7 +625,9 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     lazy val keep0 = prunedKeep((pushed ++ runtime).toSeq)._1
     s"graft@v$version PushedPruneFilters: ${pushed.mkString("[", ", ", "]")}" +
       pushedLimit.map(n =>
-        s" PushedLimit: $n${refusedSuffix(limitEligible(keep0, auxCached))}")
+        s" PushedLimit: $n${refusedSuffix(
+          if (segmented) segLimitPlan.isDefined
+          else limitEligible(keep0, auxCached))}")
         .getOrElse("") +
       pushedTopN.map { case (c, asc, n) =>
         s" PushedTopN: $c ${if (asc) "ASC" else "DESC"} LIMIT $n" +
@@ -623,6 +649,32 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     * would make the footer count an overcount) — same exactness rule
     * as the metadata aggregates. */
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    // SEGMENTED (r17): answer from the manifest's per-segment byte/row
+    // totals over the BOUNDS-surviving segments — zero segment-file
+    // reads, where the old path listed every file and stat(2)'d each
+    // (O(files) at plan time on exactly the table size segmentation
+    // targets). Bytes over-approximate when per-file stats would prune
+    // inside a survivor — same direction as every estimate here. Rows
+    // are exact only with no probes in play (file survival ≠ row
+    // match); refs a pre-r17 writer committed fall through to the
+    // per-file path below.
+    if (segmented) {
+      val probes = GraftFilterPushdown
+        .translate((pushed ++ runtime).toSeq, meta).ranges
+      val live = CommitLog.segmentsSurviving(root, version, probes)
+      if (live.forall(_.nBytes.isDefined)) {
+        val bytes = live.flatMap(_.nBytes).sum
+        val rows =
+          if (probes.isEmpty && live.forall(_.nRows.isDefined))
+            java.util.OptionalLong.of(live.flatMap(_.nRows).sum)
+          else java.util.OptionalLong.empty()
+        return new org.apache.spark.sql.connector.read.Statistics {
+          override def sizeInBytes(): java.util.OptionalLong =
+            java.util.OptionalLong.of(bytes)
+          override def numRows(): java.util.OptionalLong = rows
+        }
+      }
+    }
     val (keep, _) = prunedKeep((pushed ++ runtime).toSeq)
     val aux = auxCached
     val bytes = keep.map(rel =>
@@ -788,6 +840,10 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     * introduced; this reading cannot change however many times
     * planning runs). */
   def plannedFiles: (Int, Seq[String]) = {
+    // segmented LIMIT prefix: decided from the manifest's per-segment
+    // counts BEFORE any full listing — returning here is what keeps
+    // the peek's metadata I/O off the 10^6-file file list entirely
+    segLimitPlan.foreach { case (keep, total, _) => return (total, keep) }
     val (keep0, total) = prunedKeep((pushed ++ runtime).toSeq)
     val aux = auxCached
     // pushed LIMIT (r15; r16 DV-aware): plan only a file-list PREFIX

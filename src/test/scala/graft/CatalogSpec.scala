@@ -1959,7 +1959,7 @@ class CatalogSpec extends SparkSpec {
       s"pushed Or must surface in the plan: ${scanOf(q1).description()}")
   }
 
-  test("timestamp partition probes: canonical Catalyst rendering prunes the time-partitioned layout; zone drift refuses probe AND append (r16)") {
+  test("timestamp partition probes: canonical rendering under the RECORDED zone prunes for cross-zone readers; zone-less tables and drifted appends refuse (r16, r17)") {
     val (cat, base) = freshCatalog()
     val root = new java.io.File(base, "pts").toString
     val ev = Tables(spark, sf, "events")
@@ -1992,15 +1992,41 @@ class CatalogSpec extends SparkSpec {
     val qIn = spark.sql(s"SELECT event_id FROM $cat.pts " +
       s"WHERE day_ts IN (TIMESTAMP '$d0', TIMESTAMP '$d1')")
     assert(scanOf(qIn).plannedFiles._2.size === 2)
-    // a probing session under another zone refuses — plans everything
+    // a probing session under another zone (CLONED — the shared
+    // session's zone is never mutated) PRUNES since r17: the filter
+    // value is absolute micros, rendered under the RECORDED zone.
+    // The same-instant probe (explicit offset) plans the same one
+    // day; the naive text re-parsed in the drifted zone denotes a
+    // DIFFERENT instant no recorded day spells — zero files, zero
+    // rows, exactly what the row-level filter would produce.
+    val d0off = ev.agg(date_format(min(col("day_ts")),
+      "yyyy-MM-dd HH:mm:ssxxx")).collect()(0).getString(0)
+    val s2 = spark.newSession()
+    spark.conf.getAll.filter(_._1.startsWith(s"spark.sql.catalog.$cat"))
+      .foreach { case (k, v) => s2.conf.set(k, v) }
+    s2.conf.set("spark.sql.session.timeZone",
+      if (tz0 == "America/New_York") "Asia/Tokyo" else "America/New_York")
+    val qSame = s2.sql(s"SELECT event_id FROM $cat.pts WHERE day_ts = TIMESTAMP '$d0off'")
+    assert(scanOf(qSame).plannedFiles._2.size === 1,
+      "a same-instant probe from a drifted session must prune to the day")
+    assert(qSame.count() === ev.filter(col("day_ts") === d0).count())
+    val qO = s2.sql(s"SELECT event_id FROM $cat.pts WHERE day_ts = TIMESTAMP '$d0'")
+    assert(scanOf(qO).plannedFiles._2.isEmpty,
+      "the naive text in a drifted zone denotes an unrecorded instant — zero files")
+    assert(qO.count() === 0)
+    // a TABLE WITH NO RECORDED ZONE (pre-r16 writer) still refuses:
+    // the staged spelling is unknowable, pruning may only ever widen
+    val noTz = graft.sources.GraftFilterPushdown.translate(
+      Seq(org.apache.spark.sql.sources.EqualTo("day_ts",
+        java.sql.Timestamp.valueOf("2021-03-01 00:00:00"))),
+      graft.sources.GraftFilterPushdown.PruneMeta(
+        layoutCols = Set("day_ts"), tags = Map.empty, legacyCol = None))
+    assert(noTz.isEmpty, "no recorded staging zone must contribute no probe")
+    // and a timestamp-partitioned APPEND under the drifted zone
+    // refuses loudly — mixed-zone layout text cannot prune safely
     try {
       spark.conf.set("spark.sql.session.timeZone",
         if (tz0 == "America/New_York") "Asia/Tokyo" else "America/New_York")
-      val qO = spark.sql(s"SELECT event_id FROM $cat.pts WHERE day_ts = TIMESTAMP '$d0'")
-      assert(scanOf(qO).plannedFiles._2.size === nDays,
-        "zone drift must refuse the probe, not mis-prune")
-      // and a timestamp-partitioned APPEND under the drifted zone
-      // refuses loudly — mixed-zone layout text cannot prune safely
       val err = intercept[IllegalArgumentException] {
         CommitLog.appendPartitioned(spark, root, ev.limit(10), "day_ts",
           filesPerPartition = 1)
@@ -2155,7 +2181,7 @@ class CatalogSpec extends SparkSpec {
             if r.scan.isInstanceOf[graft.sources.GraftBatchScan] =>
           r.scan.asInstanceOf[graft.sources.GraftBatchScan]
       }.head
-    // schema infers through the segments (no recorded schema)
+    // schema reads off the manifest (r17 — appendSegment records it)
     assert(spark.table(s"$cat.seg").schema.fieldNames.toSet ===
       Set("event_id", "value"))
     // full scan: every file, values exact
@@ -2171,9 +2197,9 @@ class CatalogSpec extends SparkSpec {
     val q0 = spark.sql(s"SELECT event_id FROM $cat.seg WHERE event_id > ${m + 10}")
     assert(scanOf(q0).plannedFiles._2.isEmpty)
     assert(q0.count() === 0)
-    // aggregate pushdown refuses (no footer counts) — ordinary exact scan
+    // COUNT(*) answers from the manifest's per-segment row totals (r17)
     val qa = spark.sql(s"SELECT COUNT(*) AS n FROM $cat.seg")
-    assert(!qa.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
+    assert(qa.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
     assert(qa.collect()(0).getLong(0) === ev.count())
     // streaming a segmented table refuses loudly
     val err = intercept[Exception] {
@@ -2182,6 +2208,74 @@ class CatalogSpec extends SparkSpec {
         .format("noop").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start().awaitTermination()
     }
     assert(err.getMessage != null)
+  }
+
+  test("segmented metadata answers: COUNT(*)/stats-MIN/MAX from the manifest, segment-first LIMIT prefix, pre-r17 manifests refuse (r17)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "sega").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+    val m = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+    val (s1, s2, s3) = (m / 4, m / 2, 3 * m / 4)
+    CommitLog.appendSegment(spark, root,
+      ev.filter(col("event_id") <= s1), nFiles = 1, statsCol = "event_id")
+    CommitLog.appendSegment(spark, root,
+      ev.filter(col("event_id") > s1 && col("event_id") <= s2), 1, "event_id")
+    CommitLog.appendSegment(spark, root,
+      ev.filter(col("event_id") > s2 && col("event_id") <= s3), 1, "event_id")
+    val head = CommitLog.appendSegment(spark, root,
+      ev.filter(col("event_id") > s3), 1, "event_id")
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+            if r.scan.isInstanceOf[graft.sources.GraftBatchScan] =>
+          r.scan.asInstanceOf[graft.sources.GraftBatchScan]
+      }.head
+    // COUNT(*) + MIN/MAX of the stats column: one manifest parse
+    val qm = spark.sql(s"SELECT COUNT(*) AS n, MIN(event_id) AS lo, " +
+      s"MAX(event_id) AS hi FROM $cat.sega")
+    assert(qm.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
+    val r0 = qm.collect()(0)
+    assert(r0.getLong(0) === ev.count())
+    assert(r0.getLong(1) === ev.agg(min(col("event_id"))).collect()(0).getLong(0))
+    assert(r0.getLong(2) === m)
+    // MIN/MAX of a NON-stats column refuses — ordinary exact scan
+    val qv = spark.sql(s"SELECT MIN(value) AS v FROM $cat.sega")
+    assert(!qv.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
+    assert(qv.collect()(0).getDouble(0) ===
+      ev.agg(min(col("value"))).collect()(0).getDouble(0))
+    // COUNT(c) refuses (segments record no null counts)
+    val qc = spark.sql(s"SELECT COUNT(event_id) AS n FROM $cat.sega")
+    assert(!qc.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
+    // LIMIT prefix is segment-first: whole segment 1 off the manifest
+    // row total, only segment 2 opens per-file counts
+    val c1 = ev.filter(col("event_id") <= s1).count()
+    val qLim = spark.sql(s"SELECT event_id FROM $cat.sega LIMIT ${c1 + 1}")
+    assert(qLim.collect().length === c1 + 1)
+    val (total, keep) = scanOf(qLim).plannedFiles
+    assert(total === 4 && keep.size === 2, s"($total, ${keep.size})")
+    val Some((keepDirect, _, opened)) =
+      CommitLog.segmentedLimitFiles(root, head, (c1 + 1).toInt)
+    assert(keepDirect === keep && opened === 2)
+    // the EXPLAIN surface reports the effected prefix, not "(refused)"
+    assert(!scanOf(qLim).description().contains("(refused)"))
+    // size/row statistics answer from the manifest's per-segment totals
+    val st = scanOf(spark.sql(s"SELECT event_id FROM $cat.sega")).estimateStatistics()
+    assert(st.numRows().getAsLong === ev.count())
+    assert(st.sizeInBytes().getAsLong > 0L)
+    // a manifest a PRE-r17 writer committed (no per-segment counts)
+    // refuses every metadata answer and plans everything, as before
+    val mf = new java.io.File(root, f"_graft_log/v$head%09d.json")
+    val stripped = java.nio.file.Files.readString(mf.toPath)
+      .replaceAll(""","nRows":\d+""", "").replaceAll(""","nBytes":\d+""", "")
+    java.nio.file.Files.writeString(mf.toPath, stripped)
+    val qa2 = spark.sql(s"SELECT COUNT(*) AS n FROM $cat.sega")
+    assert(!qa2.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
+    assert(qa2.collect()(0).getLong(0) === ev.count())
+    val qLim2 = spark.sql(s"SELECT event_id FROM $cat.sega LIMIT ${c1 + 1}")
+    assert(qLim2.collect().length === c1 + 1)
+    assert(scanOf(qLim2).plannedFiles._2.size === 4,
+      "a count-less manifest must refuse the prefix and plan everything")
   }
 
   test("pushdown witnesses are deterministic: plannedFiles reads the query's OWN scan — interleaved scans and repeated planning never change it (r16)") {

@@ -171,7 +171,10 @@ class RegistrySpec extends SparkSpec {
       // filtered metadata aggregates via exact filter consumption
       "q_sql_table_prune_or", "q_sql_table_prune_ts",
       "q_sql_table_agg_pushdown_filtered", "q_sql_table_topn_multi",
-      "q_sql_table_seg_scan")
+      "q_sql_table_seg_scan",
+      // r17: segmented metadata answers (per-segment row/byte totals →
+      // COUNT(*) + stats-column MIN/MAX + the segment-first LIMIT prefix)
+      "q_sql_table_seg_agg")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }
