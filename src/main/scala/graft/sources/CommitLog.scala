@@ -274,6 +274,21 @@ object CommitLog {
   /** Does `version`'s manifest still exist? False once vacuum dropped
     * it — the probe incremental readers use to seed a startingVersion
     * diff without tripping over the retention floor. */
+  /** A cheap, strong identity of `version`'s manifest FILE (r17,
+    * ADVICE): POSIX fileKey (device + inode) + mtime + length. A table
+    * root deleted and re-staged at the same path restarts its version
+    * numbers, so a (root, version) cache key alone would serve the OLD
+    * table's metadata for the new one — the re-staged manifest is a
+    * different inode, so this identity can never alias across a
+    * delete/re-create. */
+  def manifestIdentity(root: String, version: Long): String = {
+    val attrs = java.nio.file.Files.readAttributes(
+      manifest(root, version).toPath,
+      classOf[java.nio.file.attribute.BasicFileAttributes])
+    val key = Option(attrs.fileKey).map(_.toString).getOrElse("")
+    s"$key:${attrs.lastModifiedTime.toMillis}:${attrs.size}"
+  }
+
   private[graft] def manifestExists(root: String, version: Long): Boolean =
     manifest(root, version).exists()
 
@@ -2043,6 +2058,28 @@ object CommitLog {
           s"'$badPartMarker') — such values cannot be recorded in a " +
           "layout without corrupting pruning; filter or escape them " +
           "before partitioned staging")
+    }
+    // GUARD STAMP (r17, ADVICE): exact filter CONSUMPTION (answering
+    // =/<>/IS [NOT] NULL by file selection alone, no row-level
+    // residual) is sound only because the guard above ran for EVERY
+    // recorded layout value — a pre-guard writer could have staged a
+    // value spelling the sentinel or containing the separator, and a
+    // consumed probe on it would return wrong rows with nothing left
+    // to catch it. So the chokepoint stamps `layout.valueGuard` — but
+    // ONLY when this table has no earlier layout text the guard never
+    // saw; a pre-guard table keeps consuming REFUSED (its probes stay
+    // advisory, the residual re-runs row-level) forever, however many
+    // guarded appends follow. Stamped before the commit publishes, so
+    // every version with layouts already sees it (the layout.timeZone
+    // ordering argument).
+    if (tableProperty(root, "layout.valueGuard").isEmpty) {
+      val priorLayouts = latestVersion(root).exists { v =>
+        !isSegmented(root, v) && {
+          val a = auxOf(root, v)
+          a.partCol.isDefined || a.layouts.nonEmpty
+        }
+      }
+      if (!priorLayouts) setTableProperty(root, "layout.valueGuard", "true")
     }
     val parts = groups.flatMap { case (v, fs) => fs.map(_ -> v) }.toMap
     (groups.flatMap(_._2),

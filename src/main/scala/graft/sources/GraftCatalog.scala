@@ -444,9 +444,17 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
         * profile) answer from the manifest alone when the
         * answer is exact (footer-derived row counts, per-column
         * nullCounts, exact bounds; refused under deletion vectors).
-        * Spark only attempts this when NO residual filter remains
-        * above the scan — and this source keeps every filter as a
-        * residual, so a filtered aggregate always scans. */
+        * THE INVARIANT (r16/r17 — the safety argument for skipping
+        * row-level re-evaluation): Spark only attempts this when NO
+        * residual filter remains above the scan; the only filters
+        * this source removes from the residual set are the CONSUMED
+        * ones — each individually exactlyAnswered (consumed ⊆
+        * accepted: file membership IS row membership on identity
+        * layout columns every live file records, injective renderings
+        * only) — so `consumed` here is exactly the query's whole
+        * predicate, and the answer folds only the files its probes
+        * keep. Streaming scans never consume (the ScanBuilder's
+        * build-for-streaming path keeps every filter residual). */
       override def supportCompletePushDown(
           agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
         // recomputed per call — Spark may probe more than once, and a
@@ -936,6 +944,18 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
       "streaming a SEGMENTED table is not supported — the incremental " +
         "version-diff reader walks flat manifests; read it as a batch " +
         "source or stage through a flat-manifest table")
+    // A consumed filter reaching a streaming scan can only REFUSE
+    // loudly (r17, ADVICE re-examined): by the time this runs,
+    // pushFilters already returned the residual set to Spark — the
+    // row-level predicate is gone from the plan — and the stream's
+    // file admission (version diffs, future appends included) cannot
+    // re-enforce it: fullLayoutCols was proved on the PINNED version,
+    // while a later append may record no layout for the column, making
+    // its files unprunable and the emitted rows wrong. Wrong rows are
+    // worse than a loud error. The guard is unreachable under Spark's
+    // own planning (streaming scans are built without relation
+    // pushdown — CatalogSpec pins a filtered readStream.table working
+    // end-to-end); it exists for a future Spark that changes that.
     require(consumedCount == 0,
       "a consumed (non-residual) filter reached a streaming scan — " +
         "the micro-batch path does not enforce file-level filters; " +

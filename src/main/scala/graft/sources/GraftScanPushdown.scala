@@ -75,20 +75,27 @@ object GraftFilterPushdown {
       // by file selection alone, enabling filtered metadata aggregates
       fullLayoutCols: Set[String] = Set.empty)
 
-  /** PruneMeta cache keyed by (canonical root, version): a pinned
-    * version's manifest is immutable, and pruneMetaOf is on the
-    * planning hot path several times per query (pushFilters, the
-    * scan's meta, every aggregate-pushdown probe) — without this the
-    * O(files × layout columns) fullLayoutCols walk repeats per call
-    * (r16 review find). The `layout.timeZone` property a first
-    * timestamp-partitioned append writes lands BEFORE that append's
-    * version commits, so any cacheable version already sees it.
-    * Bounded: cleared wholesale past 4096 entries (re-computable). */
+  /** PruneMeta cache keyed by (canonical root, version, MANIFEST
+    * IDENTITY): a pinned version's manifest is immutable, and
+    * pruneMetaOf is on the planning hot path several times per query
+    * (pushFilters, the scan's meta, every aggregate-pushdown probe) —
+    * without this the O(files × layout columns) fullLayoutCols walk
+    * repeats per call (r16 review find). The identity component (r17,
+    * ADVICE — inode + mtime + length) is what keeps a table root
+    * deleted and RE-STAGED at the same path from being served the old
+    * table's metadata: version numbers restart, but the new manifest
+    * is a different inode, so the stale entry simply never hits (one
+    * cheap stat per call — no manifest parse, no file walk). The
+    * `layout.timeZone` / `layout.valueGuard` properties a first
+    * partitioned append writes land BEFORE that append's version
+    * commits, so any cacheable version already sees them. Bounded:
+    * cleared wholesale past 4096 entries (re-computable). */
   private val metaCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), PruneMeta]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, String), PruneMeta]()
 
   def pruneMetaOf(root: String, version: Long): PruneMeta = {
-    val key = (new java.io.File(root).getCanonicalPath, version)
+    val key = (new java.io.File(root).getCanonicalPath, version,
+      CommitLog.manifestIdentity(root, version))
     if (metaCache.size > 4096) metaCache.clear()
     metaCache.computeIfAbsent(key, _ =>
       // SEGMENTED manifests (r16): the only skipping metadata is the
@@ -109,8 +116,20 @@ object GraftFilterPushdown {
           val jf = new java.io.File(f)
           jf.getParentFile.getName + "/" + jf.getName
         }
-        val fullCols = (layoutCols -- buckets.values.map(_._2)).filter(c =>
-          files.forall(f => aux.layoutOf(f).exists(_.exists(_._1 == c))))
+        // CONSUMPTION GATE (r17, ADVICE): fullLayoutCols — the columns
+        // whose filters may be CONSUMED (no row-level residual) — is
+        // non-empty only for tables the guarded staging chokepoint
+        // stamped: a pre-guard writer could have recorded a value
+        // spelling the null sentinel or containing the separator, and
+        // a consumed probe on it would silently return wrong rows.
+        // Unstamped tables keep every probe advisory (the residual
+        // re-runs row-level), exactly the pre-r16 behavior.
+        val guarded = CommitLog.tableProperty(root, "layout.valueGuard")
+          .contains("true")
+        val fullCols =
+          if (!guarded) Set.empty[String]
+          else (layoutCols -- buckets.values.map(_._2)).filter(c =>
+            files.forall(f => aux.layoutOf(f).exists(_.exists(_._1 == c))))
         PruneMeta(layoutCols, aux.statsTags,
           CommitLog.snapshotStatsOf(root, version)._1, buckets,
           CommitLog.tableProperty(root, "layout.timeZone"), fullCols)

@@ -2526,4 +2526,116 @@ class CatalogSpec extends SparkSpec {
       spark.conf.unset("spark.graft.preserveDataGrouping")
     }
   }
+
+  test("consumption gates on the staging guard stamp: an unstamped (pre-guard) table keeps every filter residual and exact (r17)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "gv").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("day", (col("event_id") % 7).cast("string"))
+    CommitLog.appendPartitioned(spark, root, ev, "day", filesPerPartition = 1)
+    assert(CommitLog.tableProperty(root, "layout.valueGuard").contains("true"),
+      "the guarded chokepoint must stamp a freshly-staged table")
+    def residuals(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+      }
+    // stamped: the layout-exact filter is consumed (no residual)
+    val q1 = spark.sql(s"SELECT event_id FROM $cat.gv WHERE day = '3'")
+    assert(residuals(q1).isEmpty)
+    assert(q1.count() === ev.filter(col("day") === "3").count())
+    // simulate a PRE-GUARD writer: strip the stamp from the props file
+    val pf = new java.io.File(root, "_graft_log/_properties.json")
+    val props = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(pf.toPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    props.remove("layout.valueGuard")
+    java.nio.file.Files.writeString(pf.toPath, props.toString)
+    assert(CommitLog.tableProperty(root, "layout.valueGuard").isEmpty)
+    // complete the simulation: a pre-guard table's manifest is a
+    // different file too, so its PruneMeta was never cached as guarded
+    // (in production the stamp exists before any layout version
+    // commits, so a warm cache can never go stale)
+    val mf = new java.io.File(root, "_graft_log/v000000000.json")
+    assert(mf.setLastModified(mf.lastModified() + 2000))
+    // unstamped: the same filter stays RESIDUAL (probes advisory only),
+    // the result identical — and no metadata aggregate may claim it
+    val q2 = spark.sql(s"SELECT event_id FROM $cat.gv WHERE day = '3'")
+    assert(residuals(q2).nonEmpty,
+      "an unstamped table must never consume — the residual re-runs row-level")
+    assert(q2.count() === ev.filter(col("day") === "3").count())
+    val qa = spark.sql(s"SELECT COUNT(*) AS n FROM $cat.gv WHERE day = '3'")
+    assert(!qa.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
+    assert(qa.collect()(0).getLong(0) === ev.filter(col("day") === "3").count())
+    // a GUARDED append onto the unstamped table must NOT stamp it —
+    // the old layout text was never guarded
+    CommitLog.appendPartitioned(spark, root, ev.limit(5), "day",
+      filesPerPartition = 1)
+    assert(CommitLog.tableProperty(root, "layout.valueGuard").isEmpty,
+      "a table with pre-guard layout text must stay unstamped forever")
+  }
+
+  test("a filtered readStream.table on a consumable layout column streams exactly — streaming scans never see consumption (r17)") {
+    // THE INVARIANT the batch ScanBuilder's consumption rests on:
+    // Spark builds streaming scans without relation pushdown, so a
+    // filter that WOULD be consumed in batch (layout-exact `day = x`)
+    // reaches the stream as an ordinary row-level Filter above the
+    // scan. If a future Spark ever pushed it, toMicroBatchStream's
+    // guard throws rather than emit unfiltered rows — this spec is the
+    // canary that tells us which world we are in.
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "fs").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("day", (col("event_id") % 7).cast("string"))
+    CommitLog.appendPartitioned(spark, root, ev, "day", filesPerPartition = 1)
+    // batch consumes this exact predicate — proven here so the
+    // streaming run below exercises the same consumable filter
+    val qb = spark.sql(s"SELECT event_id FROM $cat.fs WHERE day = '3'")
+    assert(qb.queryExecution.optimizedPlan.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.isEmpty, "precondition: the predicate must be batch-consumable")
+    val out = java.nio.file.Files.createTempDirectory("graft_fs_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_fs_ck").toString
+    spark.readStream.table(s"$cat.fs")
+      .filter(col("day") === "3").select(col("event_id"), col("value"))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
+    val got = spark.read.parquet(out)
+    assert(got.count() === ev.filter(col("day") === "3").count())
+    assert(got.agg(sum(col("event_id"))).collect()(0).getLong(0) ===
+      ev.filter(col("day") === "3")
+        .agg(sum(col("event_id"))).collect()(0).getLong(0))
+  }
+
+  test("a table root deleted and re-staged at the same path never serves the old table's prune metadata (r17)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "rs").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("day", (col("event_id") % 7).cast("string"))
+    CommitLog.appendPartitioned(spark, root, ev, "day", filesPerPartition = 1)
+    // plan a consumed query — warms the PruneMeta cache for (root, v0)
+    val q1 = spark.sql(s"SELECT event_id FROM $cat.rs WHERE day = '3'")
+    assert(q1.count() === ev.filter(col("day") === "3").count())
+    // delete the table and re-stage DIFFERENT data, UNPARTITIONED, at
+    // the same path — version numbers restart at 0
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(root))
+    CommitLog.append(spark, root, ev.drop("day"), nFiles = 2)
+    // the stale (root, v0) PruneMeta carried day in fullLayoutCols; a
+    // cache hit would CONSUME day='3' against a table whose files
+    // record no layout at all → zero files → zero rows. The manifest
+    // identity in the cache key makes this a miss: day is not even a
+    // column now, and a query on the surviving columns is exact.
+    val q2 = spark.sql(s"SELECT COUNT(*) AS n FROM $cat.rs")
+    assert(q2.collect()(0).getLong(0) === ev.count())
+    val meta = graft.sources.GraftFilterPushdown.pruneMetaOf(root, 0L)
+    assert(meta.fullLayoutCols.isEmpty && meta.layoutCols.isEmpty,
+      s"re-staged table must not inherit the old layout metadata: $meta")
+  }
 }
