@@ -3236,6 +3236,47 @@ object TableFormat {
           lit(plannedForeign.toLong).as("n_files_foreign_instant"),
           col("n_rows_day"), col("sum_value_day")))
     },
+    "q_sql_table_prune_prefix" -> { (s, dir) =>
+      // PREFIX PROBES BY ENUMERATION (r17, VERDICT item 7): `WHERE col
+      // LIKE 'a%'` on an identity layout column keeps exactly the
+      // recorded groups whose staged text matches the prefix — the
+      // manifest's value universe is enumerable, so no successor
+      // arithmetic, no encoding assumptions, any charset. On a 100 TB
+      // table partitioned by tenant/source-prefix this turns the
+      // "one tenant family" query into a partition read. The same
+      // prefix on a NON-layout string column (no stats recorded here)
+      // skips nothing and scans — refusal retained. Staging: 4 groups
+      // a0/a1/b0/b1 × one file, single append; 'a%' keeps 2 of 4.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_pfx")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "tbl").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .withColumn("grp", concat(
+          when(col("event_id") % 4 < 2, lit("a")).otherwise(lit("b")),
+          (col("event_id") % 2).cast("string")))
+      CommitLog.appendPartitioned(s, root, ev, "grp", filesPerPartition = 1)
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      val q = s.sql(s"SELECT event_id, value FROM $cat.tbl WHERE grp LIKE 'a%'")
+      val (nTotal, planned) = scanOf(q).plannedFiles
+      // a prefix on a NON-layout column contributes no probe — scans
+      val qn = s.sql(s"SELECT event_id FROM $cat.tbl WHERE event_type LIKE 'z%'")
+      val (_, plannedN) = scanOf(qn).plannedFiles
+      // a prefix NO recorded group matches prunes to zero files
+      val qz = s.sql(s"SELECT event_id FROM $cat.tbl WHERE grp LIKE 'zz%'")
+      val (_, plannedZ) = scanOf(qz).plannedFiles
+      val nz = qz.count()
+      ordered(q.agg(count(lit(1)).as("n_rows_prefix"),
+          dsum(col("value")).as("sum_value_prefix"))
+        .select(lit(nTotal.toLong).as("n_files_total"),
+          lit(planned.size.toLong).as("n_files_prefix"),
+          lit(plannedN.size.toLong).as("n_files_nonlayout"),
+          lit(plannedZ.size.toLong).as("n_files_nomatch"),
+          lit(nz).as("n_rows_nomatch"),
+          col("n_rows_prefix"), col("sum_value_prefix")))
+    },
     "q_table_prune_combined" -> { (s, dir) =>
       // API-LEVEL pruning unification (r15, VERDICT item 6): ONE
       // read whose keep decision intersects the file's own layout
@@ -3367,10 +3408,26 @@ object TableFormat {
         if (qScan.queryExecution.executedPlan.toString.contains("metadata-aggregate")) 0L
         else 1L
       val nHalf = qScan.collect()(0).getLong(0)
+      // GROUPED metadata aggregate under a consumed OR (r17, VERDICT
+      // item 5): the partition profile WITH a where-clause — `GROUP BY
+      // day WHERE day='1' OR day='5'` — is one manifest parse too:
+      // both OR branches are layout-exact, the whole disjunction is
+      // consumed, and the per-group answer folds only the two
+      // surviving days' files
+      val qg = s.sql(s"""SELECT day, COUNT(*) AS n FROM $cat.tbl
+        |WHERE day = '1' OR day = '5' GROUP BY day""".stripMargin)
+      val groupedOrMeta =
+        if (qg.queryExecution.executedPlan.toString.contains("metadata-aggregate")) 1L
+        else 0L
+      val gRows = qg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       ordered(q.select(lit(fromManifest).as("answered_from_manifest"),
         lit(scanRefused).as("range_filter_scans"),
         col("n_rows"), col("n_ids"), col("min_id"), col("max_id"),
-        lit(nHalf).as("n_rows_half")))
+        lit(nHalf).as("n_rows_half"),
+        lit(groupedOrMeta).as("grouped_or_from_manifest"),
+        lit(gRows.size.toLong).as("n_groups_or"),
+        lit(gRows.getOrElse("1", 0L)).as("n_rows_day1"),
+        lit(gRows.getOrElse("5", 0L)).as("n_rows_day5")))
     },
     "q_sql_table_agg_pushdown_grouped" -> { (s, dir) =>
       // GROUPED METADATA AGGREGATES (r15): the canonical PARTITION
@@ -3874,6 +3931,19 @@ object TableFormat {
         orderByAll("n_files_total", "n_files_day", "n_files_othertz",
           "n_rows_othertz", "n_files_foreign_instant",
           "n_rows_day", "sum_value_day")),
+    "q_sql_table_prune_prefix" ->
+      ("""SELECT CAST(4 AS BIGINT) AS n_files_total,
+        |  CAST(2 AS BIGINT) AS n_files_prefix,
+        |  CAST(4 AS BIGINT) AS n_files_nonlayout,
+        |  CAST(0 AS BIGINT) AS n_files_nomatch,
+        |  CAST(0 AS BIGINT) AS n_rows_nomatch,
+        |  COUNT(*) AS n_rows_prefix,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+        |    AS sum_value_prefix
+        |FROM events WHERE event_id % 4 < 2""".stripMargin +
+        orderByAll("n_files_total", "n_files_prefix", "n_files_nonlayout",
+          "n_files_nomatch", "n_rows_nomatch",
+          "n_rows_prefix", "sum_value_prefix")),
     "q_table_prune_combined" ->
       ("""WITH b AS (SELECT MAX(event_id) AS m FROM events),
         |f AS (SELECT DISTINCT event_id % 7 AS d,
@@ -3913,10 +3983,16 @@ object TableFormat {
         |  COUNT(event_id) AS n_ids,
         |  MIN(event_id) AS min_id,
         |  MAX(event_id) AS max_id,
-        |  (SELECT COUNT(*) FROM events, b WHERE event_id <= m // 2) AS n_rows_half
+        |  (SELECT COUNT(*) FROM events, b WHERE event_id <= m // 2) AS n_rows_half,
+        |  CAST(1 AS BIGINT) AS grouped_or_from_manifest,
+        |  CAST(2 AS BIGINT) AS n_groups_or,
+        |  (SELECT COUNT(*) FROM events WHERE event_id % 7 = 1) AS n_rows_day1,
+        |  (SELECT COUNT(*) FROM events WHERE event_id % 7 = 5) AS n_rows_day5
         |FROM events WHERE CAST(event_id % 7 AS VARCHAR) = '3'""".stripMargin +
         orderByAll("answered_from_manifest", "range_filter_scans", "n_rows",
-          "n_ids", "min_id", "max_id", "n_rows_half")),
+          "n_ids", "min_id", "max_id", "n_rows_half",
+          "grouped_or_from_manifest", "n_groups_or",
+          "n_rows_day1", "n_rows_day5")),
     "q_sql_table_agg_pushdown_grouped" ->
       ("""SELECT CAST(1 AS BIGINT) AS answered_from_manifest,
         |  event_id % 7 AS day,

@@ -73,7 +73,15 @@ object GraftFilterPushdown {
       // membership (the writer routes by the staged CAST text), so an
       // exactly-translatable filter on them can be CONSUMED — answered
       // by file selection alone, enabling filtered metadata aggregates
-      fullLayoutCols: Set[String] = Set.empty)
+      fullLayoutCols: Set[String] = Set.empty,
+      // the RECORDED value universe per identity layout column (r17,
+      // VERDICT item 7): every distinct staged text any live file's
+      // layout carries (incl. the null sentinel). Lets a prefix filter
+      // probe by ENUMERATION — keep exactly the recorded groups whose
+      // text matches — no successor arithmetic, no encoding
+      // assumptions. Bounded by partition cardinality, cached with
+      // the rest of the meta.
+      layoutValues: Map[String, Set[String]] = Map.empty)
 
   /** PruneMeta cache keyed by (canonical root, version, MANIFEST
     * IDENTITY): a pinned version's manifest is immutable, and
@@ -130,9 +138,21 @@ object GraftFilterPushdown {
           if (!guarded) Set.empty[String]
           else (layoutCols -- buckets.values.map(_._2)).filter(c =>
             files.forall(f => aux.layoutOf(f).exists(_.exists(_._1 == c))))
+        // recorded value universe per identity column — one pass over
+        // the same per-file entries the fullLayoutCols walk reads;
+        // gated on the guard stamp like consumption (a pre-guard
+        // writer's recorded text may not equal the rows' true text,
+        // and an enumeration probe would then prune matching rows)
+        val identCols = layoutCols -- buckets.values.map(_._2)
+        val values: Map[String, Set[String]] =
+          if (!guarded || identCols.isEmpty) Map.empty
+          else files.flatMap(f => aux.layoutOf(f).getOrElse(Nil))
+            .filter(e => identCols(e._1))
+            .groupBy(_._1).map { case (c, es) => c -> es.map(_._2).toSet }
         PruneMeta(layoutCols, aux.statsTags,
           CommitLog.snapshotStatsOf(root, version)._1, buckets,
-          CommitLog.tableProperty(root, "layout.timeZone"), fullCols)
+          CommitLog.tableProperty(root, "layout.timeZone"), fullCols,
+          values)
       })
   }
 
@@ -410,16 +430,29 @@ object GraftFilterPushdown {
           if (svs.length == nonNull.length)
             addNotPart(c, svs.toSet + CommitLog.nullSentinel)
         }
-      case StringStartsWith(c, p) if p.nonEmpty && p.forall(_ < 0x7f) =>
+      case StringStartsWith(c, p) if p.nonEmpty =>
         // prefix as a stats envelope (r16): every match sorts in
         // [p, p∆) where p∆ bumps the last char — exact in UTF-8 binary
         // order for pure-ASCII prefixes (one byte per char), refused
         // otherwise (multi-byte successor arithmetic is not worth the
-        // risk). Advisory range only; never a layout probe (the
-        // matching value universe is unknowable).
-        if (meta.tags.get(c).contains("str")) {
+        // risk).
+        if (p.forall(_ < 0x7f) && meta.tags.get(c).contains("str")) {
           val hi = p.init + (p.last + 1).toChar
           ranges += CommitLog.RangeProbe(c, Some(p), Some(hi))
+        }
+        // prefix as a LAYOUT probe by ENUMERATION (r17, VERDICT item
+        // 7): on an identity layout column of a guard-stamped table,
+        // the recorded value universe IS knowable — keep exactly the
+        // recorded groups whose text matches the prefix (plain string
+        // compare on the staged text, any charset — no successor
+        // arithmetic). The null-sentinel group never matches (a NULL
+        // row fails `startswith`), so it prunes too. An empty match
+        // set is a real probe: every recorded group misses, only
+        // entry-less (unprunable) files stay. Non-layout columns keep
+        // the stats envelope above or skip nothing, as before.
+        meta.layoutValues.get(c).foreach { universe =>
+          addPart(c, universe.filter(v =>
+            v != CommitLog.nullSentinel && v.startsWith(p)))
         }
       case o: Or =>
         // DISJUNCTION pruning (r16, VERDICT item 2): each flattened

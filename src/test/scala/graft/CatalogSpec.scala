@@ -2610,6 +2610,46 @@ class CatalogSpec extends SparkSpec {
         .agg(sum(col("event_id"))).collect()(0).getLong(0))
   }
 
+  test("prefix probes enumerate the recorded groups: null sentinel pruned, unstamped tables contribute no probe (r17)") {
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "pfx").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("day", when(col("event_id") % 11 === 0, lit(null))
+        .otherwise((col("event_id") % 7).cast("string")))
+    CommitLog.appendPartitioned(spark, root, ev, "day", filesPerPartition = 1)
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+            if r.scan.isInstanceOf[graft.sources.GraftBatchScan] =>
+          r.scan.asInstanceOf[graft.sources.GraftBatchScan]
+      }.head
+    // 7 day groups + the null-sentinel group = 8 files; LIKE '3%'
+    // keeps ONLY the '3' group — the sentinel group holds NULL rows,
+    // and a NULL never matches a prefix, so it prunes too
+    val q = spark.sql(s"SELECT event_id FROM $cat.pfx WHERE day LIKE '3%'")
+    val (total, keep) = scanOf(q).plannedFiles
+    assert(total === 8 && keep.size === 1, s"($total, ${keep.size})")
+    assert(q.count() === ev.filter(col("day").startsWith("3")).count())
+    // remove the guard stamp (pre-guard writer): the enumeration is no
+    // longer trusted — the same prefix plans everything, still exact
+    val pf = new java.io.File(root, "_graft_log/_properties.json")
+    val props = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(pf.toPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    props.remove("layout.valueGuard")
+    java.nio.file.Files.writeString(pf.toPath, props.toString)
+    val mf = new java.io.File(root, "_graft_log/v000000000.json")
+    assert(mf.setLastModified(mf.lastModified() + 2000))
+    // (7, not 8: Spark pushes an implicit IsNotNull(day) alongside the
+    // LIKE, and the sentinel-group exclusion is guard-independent —
+    // NULL rows can never satisfy the predicate)
+    val q2 = spark.sql(s"SELECT event_id FROM $cat.pfx WHERE day LIKE '3%'")
+    assert(scanOf(q2).plannedFiles._2.size === 7,
+      "an unstamped table's prefix itself must skip nothing")
+    assert(q2.count() === ev.filter(col("day").startsWith("3")).count())
+  }
+
   test("a table root deleted and re-staged at the same path never serves the old table's prune metadata (r17)") {
     val (cat, base) = freshCatalog()
     val root = new java.io.File(base, "rs").toString

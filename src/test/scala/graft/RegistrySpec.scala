@@ -173,8 +173,9 @@ class RegistrySpec extends SparkSpec {
       "q_sql_table_agg_pushdown_filtered", "q_sql_table_topn_multi",
       "q_sql_table_seg_scan",
       // r17: segmented metadata answers (per-segment row/byte totals →
-      // COUNT(*) + stats-column MIN/MAX + the segment-first LIMIT prefix)
-      "q_sql_table_seg_agg")
+      // COUNT(*) + stats-column MIN/MAX + the segment-first LIMIT
+      // prefix), prefix probes by layout-value enumeration
+      "q_sql_table_seg_agg", "q_sql_table_prune_prefix")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }
