@@ -234,6 +234,11 @@ object ScaleSoak {
     // r15: hash-bucket co-partitioning — the zero-exchange join's cost
     // is the scans'; the point lookup stays one bucket at any size
     "q_sql_table_join_spj_bucket",
+    // r17: segmented metadata answers — COUNT(*)/MIN/MAX and the LIMIT
+    // prefix are manifest parses at any data size; the slope is the
+    // four appendSegment stagings. Prefix enumeration is one pass over
+    // the cached layout value universe, data-size-independent.
+    "q_sql_table_seg_agg", "q_sql_table_prune_prefix",
     // the r10 verdict's mass-delete scenario, soaked as its own
     // fixture (below — not a registry key): EVERY view key vanishes
     // in one fold; the driver-OOM shape the r11 distributed

@@ -4398,15 +4398,18 @@ object CommitLog {
   }
 
   /** The LIMIT-n file prefix of a segmented version as a TWO-LEVEL
-    * metadata decision (r17, VERDICT item 2): whole segments are
-    * taken off their manifest-carried row totals WITHOUT opening
-    * them; only the BOUNDARY segment (the first to cross n) opens its
-    * per-file counts to size the prefix inside it. Returns (prefix
-    * relative paths, filesTotal, segment files opened); None refuses
-    * — some segment predates the counts — and the scan plans
-    * everything, exactly as before. Callers guarantee no filters are
-    * in play (Spark only pushes a limit with no residual, and every
-    * segmented filter is residual). */
+    * metadata decision (r17, VERDICT item 2): the manifest's
+    * per-segment row totals DECIDE the prefix — segments past the
+    * boundary are never opened at all, interior prefix segments open
+    * only to LIST their file paths, and just the BOUNDARY segment
+    * (the first to cross n) consults per-file counts to size the
+    * prefix inside it. Metadata I/O ∝ prefix segments, never the
+    * table's segment count. Returns (prefix relative paths,
+    * filesTotal, segment files opened); None refuses — some segment
+    * predates the counts — and the scan plans everything, exactly as
+    * before. Callers guarantee no filters are in play (Spark only
+    * pushes a limit with no residual, and every segmented filter is
+    * residual). */
   def segmentedLimitFiles(root: String, version: Long,
       n: Int): Option[(Seq[String], Int, Int)] = {
     val segs = segmentsOf(root, version)
@@ -4453,6 +4456,20 @@ object CommitLog {
     val prev = latestVersion(root)
     requireSchemaCompatible(root, prev, df, "appendSegment")
     enforceConstraints(s, root, df, "appendSegment")
+    // ONE stats column per table (r17 review find — the flat path's
+    // stats-carry rule, applied to segments): every consumer
+    // (segmentStatsCol, the bounds prune, the segmented MIN/MAX
+    // answer) reads the FIRST segment's statsCol and treats every
+    // segment's bounds as THAT column's — a second column's bounds
+    // folded under the first's name would mis-prune files that DO
+    // hold matching rows and answer MIN/MAX with the wrong column's
+    // extrema. Refuse at commit, loudly.
+    prev.flatMap(v => segmentStatsCol(root, v)).foreach { c0 =>
+      require(c0 == statsCol,
+        s"appendSegment: this table's segments record stats on '$c0' " +
+          s"but this append stats '$statsCol' — one stats column per " +
+          "segmented table (mixed bounds cannot prune or answer safely)")
+    }
     val prevSegs = prev.map(v => segmentsOf(root, v)).getOrElse(Nil)
     val staged = stageDataFiles(s, root, df, nFiles)
     val stats = perFileStats(s, root, staged, statsCol)

@@ -81,7 +81,17 @@ object GraftFilterPushdown {
       // text matches — no successor arithmetic, no encoding
       // assumptions. Bounded by partition cardinality, cached with
       // the rest of the meta.
-      layoutValues: Map[String, Set[String]] = Map.empty)
+      layoutValues: Map[String, Set[String]] = Map.empty,
+      // whether the table carries the staging-guard stamp (r17 review
+      // find): EXCLUSION probes (IsNotNull's sentinel veto, the NOT
+      // family) narrow the kept set on the premise that the recorded
+      // text faithfully describes every row — a premise only the
+      // guarded chokepoint establishes (a pre-guard writer could have
+      // recorded a REAL value spelling the sentinel, and vetoing that
+      // group would drop its rows, with no residual able to resurrect
+      // a skipped file). Unstamped ⇒ exclusions contribute nothing;
+      // positive probes keep their long-standing widen-only semantics.
+      guarded: Boolean = false)
 
   /** PruneMeta cache keyed by (canonical root, version, MANIFEST
     * IDENTITY): a pinned version's manifest is immutable, and
@@ -152,7 +162,7 @@ object GraftFilterPushdown {
         PruneMeta(layoutCols, aux.statsTags,
           CommitLog.snapshotStatsOf(root, version)._1, buckets,
           CommitLog.tableProperty(root, "layout.timeZone"), fullCols,
-          values)
+          values, guarded)
       })
   }
 
@@ -318,6 +328,16 @@ object GraftFilterPushdown {
       notParts = notParts.updated(c, notParts.getOrElse(c, Set.empty) ++ vs)
     def tagOf(c: String): Option[String] =
       meta.tags.get(c).orElse(if (meta.legacyCol.contains(c)) Some("long") else None)
+    // values an EXCLUSION probe may veto on (r17 review find): an LTZ
+    // timestamp's rendering is not injective across a DST overlap —
+    // two instants share one staged text, so vetoing the text's group
+    // would drop the other instant's rows. Positive probes only widen
+    // under that ambiguity (the canonical round trip refuses the
+    // non-canonical twin); exclusions narrow, so they refuse outright.
+    def excludable(v: Any): Boolean = v match {
+      case _: java.sql.Timestamp | _: java.time.Instant => false
+      case _ => true
+    }
     // strict long bounds tighten by one; the MaxValue/MinValue edges
     // fall back to the inclusive (wider, always-safe) bound
     def succ(v: Any): Any = v match {
@@ -407,17 +427,23 @@ object GraftFilterPushdown {
         // both bounds open = "has at least one non-NULL value":
         // prunes exactly the all-NULL files
         tagOf(c).foreach(_ => ranges += CommitLog.RangeProbe(c, None, None))
-        // on a layout column: the sentinel group holds exactly the
-        // NULL rows — exclude it (r16)
-        if (meta.layoutCols(c)) addNotPart(c, Set(CommitLog.nullSentinel))
-      case Not(EqualTo(c, v)) if v != null =>
+        // on a layout column of a GUARD-STAMPED table: the sentinel
+        // group holds exactly the NULL rows — exclude it (r16; r17
+        // review find: unstamped tables may have recorded a REAL value
+        // as the sentinel text, so the veto must not run there)
+        if (meta.guarded && meta.layoutCols(c))
+          addNotPart(c, Set(CommitLog.nullSentinel))
+      case Not(EqualTo(c, v)) if v != null && excludable(v) =>
         // `c <> v` rejects NULLs too: exclude the value's group AND
-        // the sentinel group (r16 — NOT prunes at file level)
-        if (meta.layoutCols(c)) partValue(v, meta).foreach(s =>
+        // the sentinel group (r16 — NOT prunes at file level; guard-
+        // stamped tables only, and never for LTZ timestamps — a DST
+        // overlap renders two instants to one text, and vetoing that
+        // group would drop the OTHER instant's rows, which satisfy <>)
+        if (meta.guarded && meta.layoutCols(c)) partValue(v, meta).foreach(s =>
           addNotPart(c, Set(s, CommitLog.nullSentinel)))
-      case Not(EqualNullSafe(c, v)) if v != null =>
+      case Not(EqualNullSafe(c, v)) if v != null && excludable(v) =>
         // `NOT (c <=> v)` keeps NULLs: exclude only the value's group
-        if (meta.layoutCols(c)) partValue(v, meta).foreach(s =>
+        if (meta.guarded && meta.layoutCols(c)) partValue(v, meta).foreach(s =>
           addNotPart(c, Set(s)))
       case Not(In(c, vs)) =>
         // `c NOT IN (...)` matches nothing if any listed value is NULL
@@ -425,7 +451,8 @@ object GraftFilterPushdown {
         // groups and the sentinel (the kept files only ever widen);
         // every non-null value must translate or nothing probes
         val nonNull = vs.filter(_ != null)
-        if (meta.layoutCols(c) && nonNull.nonEmpty) {
+        if (meta.guarded && meta.layoutCols(c) && nonNull.nonEmpty &&
+            nonNull.forall(excludable)) {
           val svs = nonNull.flatMap(v => partValue(v, meta))
           if (svs.length == nonNull.length)
             addNotPart(c, svs.toSet + CommitLog.nullSentinel)
@@ -725,11 +752,14 @@ object GraftAggPushdown {
     * COUNT(*) from per-segment row totals, MIN/MAX of the stats column
     * from per-segment bounds — both pure manifest parses. Refuses on
     * any grouping, any consumed filter (impossible on segmented — no
-    * layouts — but guarded), any segment a pre-r17 writer committed
-    * without row counts, and every aggregate the manifest cannot
-    * answer exactly. The stats column must be LongType: the recorded
-    * bounds are Long, and [[CommitLog.perFileStats]] only ever stats
-    * Long columns. */
+    * layouts — but guarded), and every aggregate the manifest cannot
+    * answer exactly. COUNT(*) additionally refuses when any segment a
+    * pre-r17 writer committed lacks its row count; MIN/MAX need only
+    * the BOUNDS, which every segment writer has always recorded — a
+    * pre-r17 manifest still answers them (the bounds were exact then
+    * too). The stats column must be LongType: the recorded bounds are
+    * Long, and [[CommitLog.perFileStats]] only ever stats Long
+    * columns. */
   private def answerSegmented(root: String, version: Long,
       tableSchema: StructType, agg: Aggregation,
       consumed: Seq[org.apache.spark.sql.sources.Filter])
@@ -747,9 +777,7 @@ object GraftAggPushdown {
     def statsColLong(c: String): Boolean =
       statsCol.contains(c) &&
         tableSchema.fields.find(_.name == c).exists(_.dataType == LongType)
-    val rows: Option[Long] =
-      if (segs.forall(_.nRows.isDefined)) Some(segs.flatMap(_.nRows).sum)
-      else None
+    val rows: Option[Long] = CommitLog.segmentedCountStar(root, version)
     final case class AggSpec(field: StructField, value: Option[Any])
     val specs: Seq[AggSpec] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar =>

@@ -1294,10 +1294,11 @@ class CatalogSpec extends SparkSpec {
     // equality on the partition column prunes to its 2 files
     val q2 = spark.sql(s"SELECT value FROM $cat.pp WHERE event_type = 'error'")
     assert(q2.rdd.getNumPartitions === 2)
-    // a filter the translation cannot express (LIKE) skips nothing
+    // a prefix filter prunes by ENUMERATING the recorded groups (r17):
+    // 'cl%' matches only the 'click' group — its 2 files plan
     val q3 = spark.sql(s"SELECT value FROM $cat.pp WHERE event_type LIKE 'cl%'")
-    assert(q3.rdd.getNumPartitions === 10,
-      "an untranslatable filter must be advisory-only (no pruning, no loss)")
+    assert(q3.rdd.getNumPartitions === 2,
+      "a prefix on a layout column must plan only the matching groups")
     assert(q3.count() ===
       ev.filter(col("event_type") === "click").count())
   }
@@ -1487,10 +1488,10 @@ class CatalogSpec extends SparkSpec {
     val q = spark.sql(s"SELECT event_id FROM $cat.pe " +
       s"WHERE day = '3' AND event_id <= ${m / 2}")
     assert(q.rdd.getNumPartitions.toLong === est.getLong(2))
-    // an untranslatable predicate estimates the full file list (and
-    // still answers correctly at execution)
+    // a prefix predicate enumerates the recorded groups (r17): the
+    // '3' day's 2 files — the estimate agrees with execution
     val est2 = spark.sql(s"PRUNE ESTIMATE $cat.pe WHERE day LIKE '3%'").collect()(0)
-    assert(est2.getLong(2) === 14, est2.toString)
+    assert(est2.getLong(2) === 2, est2.toString)
     // DESCRIBE DETAIL now reports physical size, metadata row count
     // and the recorded stats columns (appended after the r10 columns
     // — positional readers are unaffected)
@@ -2276,6 +2277,18 @@ class CatalogSpec extends SparkSpec {
     assert(qLim2.collect().length === c1 + 1)
     assert(scanOf(qLim2).plannedFiles._2.size === 4,
       "a count-less manifest must refuse the prefix and plan everything")
+    // stats-column MIN/MAX still answers on the count-less manifest:
+    // bounds were exact in every segment generation
+    val qm2 = spark.sql(s"SELECT MIN(event_id) AS lo, MAX(event_id) AS hi " +
+      s"FROM $cat.sega")
+    assert(qm2.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
+    assert(qm2.collect()(0).getLong(1) === m)
+    // one stats column per segmented table — a second column refuses
+    // at commit (its bounds under the first's name would mis-prune)
+    val err = intercept[IllegalArgumentException] {
+      CommitLog.appendSegment(spark, root, ev.limit(5), 1, "user_id")
+    }
+    assert(err.getMessage.contains("one stats column"), err.getMessage)
   }
 
   test("pushdown witnesses are deterministic: plannedFiles reads the query's OWN scan — interleaved scans and repeated planning never change it (r16)") {
@@ -2641,12 +2654,13 @@ class CatalogSpec extends SparkSpec {
     java.nio.file.Files.writeString(pf.toPath, props.toString)
     val mf = new java.io.File(root, "_graft_log/v000000000.json")
     assert(mf.setLastModified(mf.lastModified() + 2000))
-    // (7, not 8: Spark pushes an implicit IsNotNull(day) alongside the
-    // LIKE, and the sentinel-group exclusion is guard-independent —
-    // NULL rows can never satisfy the predicate)
+    // all 8 plan: the prefix enumeration AND the implicit
+    // IsNotNull(day)'s sentinel veto both gate on the stamp (r17
+    // review find — an unguarded table may have recorded a REAL value
+    // as the sentinel text, so even the exclusion must not run)
     val q2 = spark.sql(s"SELECT event_id FROM $cat.pfx WHERE day LIKE '3%'")
-    assert(scanOf(q2).plannedFiles._2.size === 7,
-      "an unstamped table's prefix itself must skip nothing")
+    assert(scanOf(q2).plannedFiles._2.size === 8,
+      "an unstamped table's probes must skip nothing")
     assert(q2.count() === ev.filter(col("day").startsWith("3")).count())
   }
 

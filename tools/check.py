@@ -97,7 +97,7 @@ def main():
         oracle = json.load(f)
     con = connect(sf_dir)
     if lint_only:
-        sys.exit(1 if lint(con, oracle) else 0)
+        sys.exit(1 if lint(con, oracle, only) else 0)
     n_pass = n_fail = 0
     for key in sorted(oracle):
         if only and key not in only:
