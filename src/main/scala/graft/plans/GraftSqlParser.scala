@@ -545,6 +545,26 @@ case class DescribeDetailCommand(parts: Seq[String])
     // promises versions a read can still pin (r11 review)
     val retained = CommitLog.history(root)
       .count { case (v, _, _) => CommitLog.manifestExists(root, v) }.toLong
+    // SEGMENTED tables (r17): the summary answers from the manifest's
+    // per-segment totals — zero segment-file reads (the old path threw
+    // the flat-manifest refusal at the user). No layouts, no vectors,
+    // no foreign files by construction; byte/row totals report -1 when
+    // any segment predates the r17 counts (an honest unknown — opening
+    // 10^6 files to rescue a legacy table's DESCRIBE is the exact cost
+    // this layout exists to avoid).
+    if (CommitLog.isSegmented(root, head)) {
+      val segs = CommitLog.segmentsOf(root, head)
+      return Seq(Row(head,
+        segs.map(_.nFiles.toLong).sum,
+        "",
+        0L,
+        retained,
+        CommitLog.tableProperties(root).size.toLong,
+        0L,
+        if (segs.forall(_.nBytes.isDefined)) segs.flatMap(_.nBytes).sum else -1L,
+        CommitLog.segmentedCountStar(root, head).getOrElse(-1L),
+        CommitLog.segmentStatsCol(root, head).getOrElse("")))
+    }
     // spec-evolution backlog (r13): files NOT laid out under the
     // current spec — an older generation's column, or no layout entry
     // at all (e.g. a CoW rewrite that dropped its entries) — exactly
@@ -644,6 +664,16 @@ case class ShowGraftPartitionsCommand(parts: Seq[String])
     val head = CommitLog.latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no table at $root"))
     val aux = CommitLog.auxOf(root, head)
+    // SEGMENTED tables record no layouts — the inventory is one
+    // "<unpartitioned>" row from the manifest's per-segment totals
+    // (r17; the old path threw the flat-manifest refusal)
+    if (CommitLog.isSegmented(root, head)) {
+      val segs = CommitLog.segmentsOf(root, head)
+      return Seq(Row("<unpartitioned>",
+        segs.map(_.nFiles.toLong).sum,
+        if (segs.forall(_.nBytes.isDefined)) segs.flatMap(_.nBytes).sum else -1L,
+        CommitLog.segmentedCountStar(root, head).getOrElse(-1L)))
+    }
     val rel = CommitLog.snapshotFiles(root, head).map { f =>
       val jf = new java.io.File(f)
       jf.getParentFile.getName + "/" + jf.getName

@@ -2264,6 +2264,15 @@ class CatalogSpec extends SparkSpec {
     val st = scanOf(spark.sql(s"SELECT event_id FROM $cat.sega")).estimateStatistics()
     assert(st.numRows().getAsLong === ev.count())
     assert(st.sizeInBytes().getAsLong > 0L)
+    // DESCRIBE DETAIL / SHOW PARTITIONS answer from per-segment totals
+    // instead of throwing the flat-manifest refusal (r17)
+    val dd = spark.sql(s"DESCRIBE DETAIL $cat.sega").collect()(0)
+    assert(dd.getLong(1) === 4L) // n_files
+    assert(dd.getLong(dd.length - 2) === ev.count()) // n_rows_metadata
+    assert(dd.getString(dd.length - 1) === "event_id") // stats_columns
+    val sp = spark.sql(s"SHOW PARTITIONS $cat.sega").collect()
+    assert(sp.length === 1 && sp(0).getString(0) === "<unpartitioned>" &&
+      sp(0).getLong(3) === ev.count())
     // a manifest a PRE-r17 writer committed (no per-segment counts)
     // refuses every metadata answer and plans everything, as before
     val mf = new java.io.File(root, f"_graft_log/v$head%09d.json")
