@@ -4257,7 +4257,7 @@ object TableFormat {
         |  'event_type' AS partition_col,
         |  CAST(10 AS BIGINT) AS n_files_with_vectors,
         |  CAST(3 AS BIGINT) AS n_versions_retained,
-        |  CAST(1 AS BIGINT) AS n_properties,
+        |  CAST(2 AS BIGINT) AS n_properties,
         |  COUNT(*) AS n_rows,
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
         |FROM events WHERE user_id % 4 <> 1""".stripMargin +
