@@ -239,6 +239,14 @@ object ScaleSoak {
     // four appendSegment stagings. Prefix enumeration is one pass over
     // the cached layout value universe, data-size-independent.
     "q_sql_table_seg_agg", "q_sql_table_prune_prefix",
+    // r18: segmented × layouts (the two-level partition probe is one
+    // manifest parse + surviving-segment reads at any size), the
+    // generalized enumerations (one pass over the cached universe),
+    // the segment-first TopN envelope, and the per-segment streaming
+    // drain — each key's read side is metadata-sized; slopes are
+    // staging
+    "q_sql_table_seg_prune_part", "q_sql_table_prune_range",
+    "q_sql_table_seg_topn", "s_table_stream_segmented",
     // the r10 verdict's mass-delete scenario, soaked as its own
     // fixture (below — not a registry key): EVERY view key vanishes
     // in one fold; the driver-OOM shape the r11 distributed

@@ -326,6 +326,151 @@ object TableFormat {
         lit(filteredCount).as("filtered_count"),
         lit(plannedF.size.toLong).as("filtered_planned")))
     },
+    "q_sql_table_seg_prune_part" -> { (s, dir) =>
+      // SEGMENTATION × PARTITION LAYOUTS (r18, VERDICT item 1 — the
+      // round's top item): THE 100 TB table is BOTH partitioned
+      // (tenant/day) AND segment-manifested, and until r18 it had to
+      // choose — a segmented table recorded no layouts, losing every
+      // layout-driven capability on exactly the 10^6-file shape that
+      // needs them most. appendSegmentPartitioned routes rows
+      // file-per-partition-tuple through the guarded staging
+      // chokepoint, records per-file layouts IN the segment file and
+      // the per-column layout-value UNIVERSE in the segment REF, so a
+      // partition probe is a TWO-LEVEL decision like bounds already
+      // are: whole segments skip off ONE manifest parse, per-file
+      // layouts prune inside the survivors.
+      // Staging: seg1 = days 0..3 (4 files), seg2 = days 4..6 (3
+      // files), one file per day. Witnesses (all from the query's OWN
+      // scan):
+      //   - day='3': the universe prune opens ONLY seg1 → 1 file of 7;
+      //   - day IN ('3','5'): both segments, 2 files;
+      //   - day >= '5' (range ENUMERATION over the union universe):
+      //     only seg2, 2 files;
+      //   - a non-layout probe (user_id): nothing prunes — 7 files
+      //     (the refusal witness; pre-r18 refs are spec-pinned).
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_segp")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "tbl").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("day", (col("event_id") % 7).cast("string"))
+      CommitLog.appendSegmentPartitioned(s, root,
+        ev.filter(col("event_id") % 7 <= 3), Seq("day"),
+        filesPerPartition = 1, statsCol = "event_id")
+      CommitLog.appendSegmentPartitioned(s, root,
+        ev.filter(col("event_id") % 7 > 3), Seq("day"),
+        filesPerPartition = 1, statsCol = "event_id")
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      val q = s.sql(s"SELECT event_id, value FROM $cat.tbl WHERE day = '3'")
+      val (nTotal, planned) = scanOf(q).plannedFiles
+      // segment-level witness off the SAME decision the scan makes
+      val head = CommitLog.latestVersion(root).get
+      def segsRead(parts: Seq[(String, Set[String])]): Long =
+        CommitLog.segmentedPrunedFilesTree(root, head,
+          CommitLog.ProbeTree(parts, Nil))._4.toLong
+      val segsDay = segsRead(Seq("day" -> Set("3")))
+      val qIn = s.sql(s"SELECT event_id FROM $cat.tbl WHERE day IN ('3','5')")
+      val (_, plannedIn) = scanOf(qIn).plannedFiles
+      val qGe = s.sql(s"SELECT event_id FROM $cat.tbl WHERE day >= '5'")
+      val (_, plannedGe) = scanOf(qGe).plannedFiles
+      val segsGe = segsRead(Seq("day" -> Set("5", "6")))
+      val qN = s.sql(s"SELECT event_id FROM $cat.tbl WHERE user_id = 1")
+      val (_, plannedN) = scanOf(qN).plannedFiles
+      ordered(q.agg(count(lit(1)).as("n_rows_day"),
+          dsum(col("value")).as("sum_value_day"))
+        .select(lit(nTotal.toLong).as("n_files_total"),
+          lit(planned.size.toLong).as("n_files_day"),
+          lit(segsDay).as("n_segs_read_day"),
+          lit(plannedIn.size.toLong).as("n_files_in"),
+          lit(plannedGe.size.toLong).as("n_files_range"),
+          lit(segsGe).as("n_segs_read_range"),
+          lit(plannedN.size.toLong).as("n_files_nonlayout"),
+          col("n_rows_day"), col("sum_value_day")))
+    },
+    "q_sql_table_seg_topn" -> { (s, dir) =>
+      // SEGMENTED TopN + COUNT(col) (r18, VERDICT item 4): the two
+      // remaining refusals that mattered at 10^6 files.
+      //   - `ORDER BY statsCol DESC LIMIT n` plans SEGMENT-FIRST: the
+      //     manifest's per-segment bounds + row totals decide the
+      //     envelope, segments past the cutoff are never OPENED, the
+      //     boundary segments' per-file stats size the file plan.
+      //     Staging = 4 quartile-aligned segments × 1 file; n = (top
+      //     quartile) + 1 ⇒ exactly 2 segments open, 2 files plan —
+      //     both counters predicate-pinned.
+      //   - TopN on a NON-stats column refuses (no bounds for it) and
+      //     plans everything — the retained-refusal witness.
+      //   - `COUNT(statsCol)` = Σ(nRows − nNulls), ONE manifest parse
+      //     (plan-proof flag); on a second table whose stats column
+      //     holds REAL NULLs the subtraction is load-bearing, and
+      //     TopN there refuses (a NULL sorts outside the recorded
+      //     bounds — nNulls must be 0, the flat path's rule).
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_segt")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "tbl").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+      val m = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+      val (s1, s2, s3) = (m / 4, m / 2, 3 * m / 4)
+      CommitLog.appendSegment(s, root,
+        ev.filter(col("event_id") <= s1), nFiles = 1, statsCol = "event_id")
+      CommitLog.appendSegment(s, root,
+        ev.filter(col("event_id") > s1 && col("event_id") <= s2), 1, "event_id")
+      CommitLog.appendSegment(s, root,
+        ev.filter(col("event_id") > s2 && col("event_id") <= s3), 1, "event_id")
+      val head = CommitLog.appendSegment(s, root,
+        ev.filter(col("event_id") > s3), 1, "event_id")
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      val c4 = ev.filter(col("event_id") > s3).count()
+      val lim = c4 + 1
+      val qt = s.sql(s"SELECT event_id FROM $cat.tbl " +
+        s"ORDER BY event_id DESC LIMIT $lim")
+      val (nTotal, plannedT) = scanOf(qt).plannedFiles
+      val (_, _, segsOpened) = CommitLog.segmentedTopNFiles(
+        root, head, "event_id", asc = false, lim.toInt).get
+      val sumTop = qt.agg(sum(col("event_id"))).collect()(0).getLong(0)
+      // non-stats order column: refuse, plan everything
+      val qr = s.sql(s"SELECT user_id FROM $cat.tbl ORDER BY user_id LIMIT 5")
+      val (_, plannedR) = scanOf(qr).plannedFiles
+      // COUNT(statsCol) from the manifest (zero nulls here)
+      val qc = s.sql(s"SELECT COUNT(event_id) AS n FROM $cat.tbl")
+      val countFlag =
+        if (qc.queryExecution.executedPlan.toString.contains("metadata-aggregate")) 1L
+        else 0L
+      val nCountCol = qc.collect()(0).getLong(0)
+      // a stats column with REAL NULLs: the null subtraction is
+      // load-bearing for COUNT(col), and TopN refuses
+      val root2 = new java.io.File(base.toFile, "tbl2").toString
+      val ev2 = Tables(s, dir, "events").select(col("event_id"))
+        .withColumn("val2", when(col("event_id") % 11 === 0, lit(null))
+          .otherwise(col("event_id")))
+      CommitLog.appendSegment(s, root2,
+        ev2.filter(col("event_id") <= s2), nFiles = 1, statsCol = "val2")
+      CommitLog.appendSegment(s, root2,
+        ev2.filter(col("event_id") > s2), nFiles = 1, statsCol = "val2")
+      val qc2 = s.sql(s"SELECT COUNT(val2) AS n FROM $cat.tbl2")
+      val count2Flag =
+        if (qc2.queryExecution.executedPlan.toString.contains("metadata-aggregate")) 1L
+        else 0L
+      val nCountCol2 = qc2.collect()(0).getLong(0)
+      val qt2 = s.sql(s"SELECT val2 FROM $cat.tbl2 ORDER BY val2 LIMIT 3")
+      val (_, plannedT2) = scanOf(qt2).plannedFiles
+      ordered(qt.agg(count(lit(1)).as("n_rows_topn"))
+        .select(lit(nTotal.toLong).as("n_files_total"),
+          lit(plannedT.size.toLong).as("n_files_topn"),
+          lit(segsOpened.toLong).as("n_segs_opened"),
+          lit(sumTop).as("sum_top"),
+          lit(plannedR.size.toLong).as("n_files_topn_nonstats"),
+          lit(countFlag).as("count_col_from_manifest"),
+          lit(nCountCol).as("n_count_col"),
+          lit(count2Flag).as("count_nullable_from_manifest"),
+          lit(nCountCol2).as("n_count_nullable"),
+          lit(plannedT2.size.toLong).as("n_files_topn_nulls"),
+          col("n_rows_topn")))
+    },
     "q_table_delete" -> { (s, dir) =>
       // Copy-on-write row-level DELETE (added r9) — the GDPR/retention
       // write path the merge family lacks: only files HOLDING matching
@@ -2106,6 +2251,63 @@ object TableFormat {
           countDistinct(col("user_id")).as("n_users"),
           dsum(col("value")).as("sum_value")))
     },
+    "s_table_stream_segmented" -> { (s, dir) =>
+      // STREAMING A SEGMENTED TABLE (r18, VERDICT item 2 — the r17
+      // hard refusal lifted): large-scale ingest lands in segments,
+      // and the version-diff reader is structurally SIMPLER there —
+      // each version appends exactly ONE immutable segment, so the
+      // per-trigger admission unit IS the new segment (one manifest
+      // parse + one segment read per version, never a listing).
+      // Staging: 3 appendSegmentPartitioned versions (day layout, one
+      // file per day per segment). Two streams drain AvailableNow
+      // through the CATALOG name (readStream.table):
+      //   - the full stream's union equals the head snapshot exactly
+      //     (the oracle-checked equality);
+      //   - a `partitionFilter.day=3` subscription is HONORED (the
+      //     r18 pin): per-segment layout entries prune each admitted
+      //     version to the day's file — 21 candidates, 3 planned —
+      //     with the same advisory semantics as the flat source.
+      // StreamingSpec pins the incremental contracts: a checkpointed
+      // restart after a 4th segment emits ONLY that segment's rows,
+      // and readChangeFeed on a segmented table refuses loudly.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_segs")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "tbl").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+        .withColumn("day", (col("event_id") % 7).cast("string"))
+      (0 until 3).foreach(i => CommitLog.appendSegmentPartitioned(s, root,
+        ev.filter(col("event_id") % 3 === i), Seq("day"),
+        filesPerPartition = 1, statsCol = "event_id"))
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      val out = java.nio.file.Files.createTempDirectory("graft_segs_out").toString
+      val ck = java.nio.file.Files.createTempDirectory("graft_segs_ck").toString
+      s.readStream.table(s"$cat.tbl")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        .awaitTermination()
+      graft.sources.GraftStreamPrune.reset(root)
+      val out2 = java.nio.file.Files.createTempDirectory("graft_segs_out2").toString
+      val ck2 = java.nio.file.Files.createTempDirectory("graft_segs_ck2").toString
+      s.readStream.option("partitionFilter.day", "3").table(s"$cat.tbl")
+        .writeStream.format("parquet")
+        .option("path", out2).option("checkpointLocation", ck2)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        .awaitTermination()
+      val (cand, planned) = graft.sources.GraftStreamPrune.totals(root)
+      val day3 = s.read.parquet(out2)
+        .agg(count(lit(1)).as("n_rows_day3")).collect()(0).getLong(0)
+      ordered(s.read.parquet(out).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          dsum(col("value")).as("sum_value"))
+        .withColumn("n_candidates", lit(cand))
+        .withColumn("n_planned", lit(planned))
+        .withColumn("n_rows_day3", lit(day3)))
+    },
     "s_table_stream_pruned" -> { (s, dir) =>
       // STREAMING PARTITION SUBSCRIPTION (r15): reader option
       // `partitionFilter.day=3` restricts EVERY admitted version to
@@ -3213,8 +3415,20 @@ object TableFormat {
         s"WHERE day_ts = TIMESTAMP '$d0'")
       val (nTotal, planned) = scanOf(q).plannedFiles
       val tz0 = s.conf.get("spark.sql.session.timeZone")
-      val tzOther =
-        if (tz0 == "America/New_York") "Asia/Tokyo" else "America/New_York"
+      // the drift zone is chosen by UTC OFFSET at the probed local
+      // datetime, never by name equality (r18, ADVICE): a session
+      // zone offset-equal to a hardcoded candidate (America/Toronto
+      // vs America/New_York) would re-parse the naive text to the
+      // SAME instant, one file would plan, and the pinned
+      // n_files_foreign_instant=0 would false-fail. Offsets are
+      // compared AT the local datetime (DST rules apply there), and
+      // the candidate list always holds a differing offset: at most
+      // one candidate can share the session's offset at any instant.
+      val ldt0 = java.time.LocalDateTime.parse(d0,
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      val off0 = java.time.ZoneId.of(tz0).getRules.getOffset(ldt0)
+      val tzOther = Seq("Asia/Tokyo", "America/New_York", "Australia/Eucla")
+        .find(z => java.time.ZoneId.of(z).getRules.getOffset(ldt0) != off0).get
       // a CLONED session under the drifted zone — the shared session's
       // conf is never touched, so concurrent planning stays safe
       val s2 = s.newSession()
@@ -3276,6 +3490,93 @@ object TableFormat {
           lit(plannedZ.size.toLong).as("n_files_nomatch"),
           lit(nz).as("n_rows_nomatch"),
           col("n_rows_prefix"), col("sum_value_prefix")))
+    },
+    "q_sql_table_prune_range" -> { (s, dir) =>
+      // RANGE / SUFFIX / SUBSTRING PROBES BY ENUMERATION, AND THEIR
+      // CONSUMPTION (r18, VERDICT item 3 — the r17 prefix enumeration
+      // generalized): on an identity layout column of a guard-stamped
+      // table the recorded value universe is enumerable, so
+      //   - `grp >= 'b0'` keeps exactly the recorded groups at or
+      //     above the cutoff in SPARK's string order (UTF-8 binary);
+      //   - `LIKE '%1'` / `LIKE '%0%'` keep exactly the matching
+      //     groups (plain string match on the recorded text);
+      //   - on a LONG layout column the universe parses back and
+      //     `num <= 10` matches NUMERICALLY — "10" sorts before "5"
+      //     as text, so the 11-group answer is only right if the
+      //     enumeration compares under the column's semantics;
+      //   - file membership IS row membership on these columns, so
+      //     the filters are CONSUMED (no residual) and compose into
+      //     the metadata aggregates: `COUNT(*) WHERE grp >= 'b0'` is
+      //     ONE manifest parse (plan-proof flag);
+      //   - a cutoff past every recorded group is a real zero-file
+      //     probe; the null-sentinel group never matches a range.
+      // On THE 100 TB layout (tenant/day partitioning) this turns
+      // "tenants from b0 on" / "days up to 10" queries into
+      // partition-set reads with zero row-level re-evaluation.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_rng")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "t1").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("grp", concat(
+          when(col("event_id") % 4 < 2, lit("a")).otherwise(lit("b")),
+          (col("event_id") % 2).cast("string")))
+      CommitLog.appendPartitioned(s, root, ev, "grp", filesPerPartition = 1)
+      // t2: LONG layout num in 0..12 plus a NULL (sentinel) group
+      val root2 = new java.io.File(base.toFile, "t2").toString
+      val ev2 = Tables(s, dir, "events")
+        .select(col("event_id"), col("value"))
+        .withColumn("num", when(col("event_id") % 11 === 0, lit(null))
+          .otherwise((col("event_id") % 13).cast("long")))
+      CommitLog.appendPartitioned(s, root2, ev2, "num", filesPerPartition = 1)
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      def residuals(df: org.apache.spark.sql.DataFrame): Long =
+        df.queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+        }.size.toLong
+      // string range, consumed: UTF-8 order keeps b0, b1 (2 of 4)
+      val q = s.sql(s"SELECT event_id, value FROM $cat.t1 WHERE grp >= 'b0'")
+      val (nTotal, planned) = scanOf(q).plannedFiles
+      val residRange = residuals(q)
+      // suffix and substring enumerations
+      val qs = s.sql(s"SELECT event_id FROM $cat.t1 WHERE grp LIKE '%1'")
+      val (_, plannedS) = scanOf(qs).plannedFiles
+      val nRowsSuffix = qs.count()
+      val qc = s.sql(s"SELECT event_id FROM $cat.t1 WHERE grp LIKE '%0%'")
+      val (_, plannedC) = scanOf(qc).plannedFiles
+      // composed: the consumed range filter feeds the metadata
+      // aggregate — one manifest parse, zero data I/O
+      val qm = s.sql(s"SELECT COUNT(*) AS n FROM $cat.t1 WHERE grp >= 'b0'")
+      val metaFlag =
+        if (qm.queryExecution.executedPlan.toString.contains("metadata-aggregate")) 1L
+        else 0L
+      val nCountRange = qm.collect()(0).getLong(0)
+      // numeric range on the LONG layout: matches numerically
+      val qn = s.sql(s"SELECT event_id FROM $cat.t2 WHERE num <= 10")
+      val (nTotalNum, plannedN) = scanOf(qn).plannedFiles
+      val nRowsNum = qn.count()
+      // a cutoff past every recorded group: zero files, zero rows
+      val qz = s.sql(s"SELECT event_id FROM $cat.t1 WHERE grp >= 'zz'")
+      val (_, plannedZ) = scanOf(qz).plannedFiles
+      val nz = qz.count()
+      ordered(q.agg(count(lit(1)).as("n_rows_range"),
+          dsum(col("value")).as("sum_value_range"))
+        .select(lit(nTotal.toLong).as("n_files_total"),
+          lit(planned.size.toLong).as("n_files_range"),
+          lit(residRange).as("n_residual_range"),
+          lit(metaFlag).as("count_from_manifest"),
+          lit(nCountRange).as("n_count_range"),
+          lit(plannedS.size.toLong).as("n_files_suffix"),
+          lit(nRowsSuffix).as("n_rows_suffix"),
+          lit(plannedC.size.toLong).as("n_files_contains"),
+          lit(nTotalNum.toLong).as("n_files_total_num"),
+          lit(plannedN.size.toLong).as("n_files_numrange"),
+          lit(nRowsNum).as("n_rows_numrange"),
+          lit(plannedZ.size.toLong).as("n_files_nomatch"),
+          lit(nz).as("n_rows_nomatch"),
+          col("n_rows_range"), col("sum_value_range")))
     },
     "q_table_prune_combined" -> { (s, dir) =>
       // API-LEVEL pruning unification (r15, VERDICT item 6): ONE
@@ -3944,6 +4245,33 @@ object TableFormat {
         orderByAll("n_files_total", "n_files_prefix", "n_files_nonlayout",
           "n_files_nomatch", "n_rows_nomatch",
           "n_rows_prefix", "sum_value_prefix")),
+    "q_sql_table_prune_range" ->
+      ("""SELECT CAST(4 AS BIGINT) AS n_files_total,
+        |  CAST(2 AS BIGINT) AS n_files_range,
+        |  CAST(0 AS BIGINT) AS n_residual_range,
+        |  CAST(1 AS BIGINT) AS count_from_manifest,
+        |  (SELECT COUNT(*) FROM events WHERE event_id % 4 >= 2) AS n_count_range,
+        |  CAST(2 AS BIGINT) AS n_files_suffix,
+        |  (SELECT COUNT(*) FROM events WHERE event_id % 2 = 1) AS n_rows_suffix,
+        |  CAST(2 AS BIGINT) AS n_files_contains,
+        |  (SELECT COUNT(DISTINCT event_id % 13) FROM events
+        |     WHERE event_id % 11 <> 0) +
+        |    (SELECT CAST(COUNT(*) > 0 AS BIGINT) FROM events
+        |     WHERE event_id % 11 = 0) AS n_files_total_num,
+        |  (SELECT COUNT(DISTINCT event_id % 13) FROM events
+        |     WHERE event_id % 11 <> 0 AND event_id % 13 <= 10) AS n_files_numrange,
+        |  (SELECT COUNT(*) FROM events
+        |     WHERE event_id % 11 <> 0 AND event_id % 13 <= 10) AS n_rows_numrange,
+        |  CAST(0 AS BIGINT) AS n_files_nomatch,
+        |  CAST(0 AS BIGINT) AS n_rows_nomatch,
+        |  (SELECT COUNT(*) FROM events WHERE event_id % 4 >= 2) AS n_rows_range,
+        |  (SELECT CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+        |     FROM events WHERE event_id % 4 >= 2) AS sum_value_range""".stripMargin +
+        orderByAll("n_files_total", "n_files_range", "n_residual_range",
+          "count_from_manifest", "n_count_range", "n_files_suffix",
+          "n_rows_suffix", "n_files_contains", "n_files_total_num",
+          "n_files_numrange", "n_rows_numrange", "n_files_nomatch",
+          "n_rows_nomatch", "n_rows_range", "sum_value_range")),
     "q_table_prune_combined" ->
       ("""WITH b AS (SELECT MAX(event_id) AS m FROM events),
         |f AS (SELECT DISTINCT event_id % 7 AS d,
@@ -4211,6 +4539,44 @@ object TableFormat {
           "nonstats_minmax_scans", "min_value", "n_files_total",
           "n_limit_planned", "n_segs_opened", "n_rows_limit",
           "filtered_count", "filtered_planned")),
+    "q_sql_table_seg_prune_part" ->
+      ("""SELECT (SELECT COUNT(DISTINCT event_id % 7) FROM events) AS n_files_total,
+        |  CAST(1 AS BIGINT) AS n_files_day,
+        |  CAST(1 AS BIGINT) AS n_segs_read_day,
+        |  CAST(2 AS BIGINT) AS n_files_in,
+        |  CAST(2 AS BIGINT) AS n_files_range,
+        |  CAST(1 AS BIGINT) AS n_segs_read_range,
+        |  (SELECT COUNT(DISTINCT event_id % 7) FROM events) AS n_files_nonlayout,
+        |  COUNT(*) AS n_rows_day,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+        |    AS sum_value_day
+        |FROM events WHERE event_id % 7 = 3""".stripMargin +
+        orderByAll("n_files_total", "n_files_day", "n_segs_read_day",
+          "n_files_in", "n_files_range", "n_segs_read_range",
+          "n_files_nonlayout", "n_rows_day", "sum_value_day")),
+    "q_sql_table_seg_topn" ->
+      ("""WITH b AS (SELECT MAX(event_id) AS m FROM events),
+        |c4 AS (SELECT COUNT(*) AS n FROM events, b
+        |  WHERE event_id > 3 * m // 4),
+        |r AS (SELECT event_id,
+        |  ROW_NUMBER() OVER (ORDER BY event_id DESC) AS rn FROM events),
+        |top AS (SELECT event_id FROM r WHERE rn <= (SELECT n + 1 FROM c4))
+        |SELECT CAST(4 AS BIGINT) AS n_files_total,
+        |  CAST(2 AS BIGINT) AS n_files_topn,
+        |  CAST(2 AS BIGINT) AS n_segs_opened,
+        |  (SELECT CAST(SUM(event_id) AS BIGINT) FROM top) AS sum_top,
+        |  CAST(4 AS BIGINT) AS n_files_topn_nonstats,
+        |  CAST(1 AS BIGINT) AS count_col_from_manifest,
+        |  (SELECT COUNT(event_id) FROM events) AS n_count_col,
+        |  CAST(1 AS BIGINT) AS count_nullable_from_manifest,
+        |  (SELECT COUNT(*) FROM events WHERE event_id % 11 <> 0)
+        |    AS n_count_nullable,
+        |  CAST(2 AS BIGINT) AS n_files_topn_nulls,
+        |  (SELECT COUNT(*) FROM top) AS n_rows_topn""".stripMargin +
+        orderByAll("n_files_total", "n_files_topn", "n_segs_opened",
+          "sum_top", "n_files_topn_nonstats", "count_col_from_manifest",
+          "n_count_col", "count_nullable_from_manifest", "n_count_nullable",
+          "n_files_topn_nulls", "n_rows_topn")),
     "q_table_delete" ->
       ("""SELECT CAST(2 AS BIGINT) AS n_files_carried,
         |  CAST(2 AS BIGINT) AS n_files_rewritten,
@@ -4898,6 +5264,19 @@ object TableFormat {
         |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE) AS sum_value
         |FROM events GROUP BY event_type""".stripMargin +
         orderByAll("event_type", "n", "n_users", "sum_value")),
+    "s_table_stream_segmented" ->
+      ("""WITH f AS (SELECT DISTINCT event_id % 7 AS d, event_id % 3 AS t
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS STRING) AS DOUBLE)
+        |    AS sum_value,
+        |  (SELECT COUNT(*) FROM f) AS n_candidates,
+        |  (SELECT COUNT(*) FROM f WHERE d = 3) AS n_planned,
+        |  (SELECT COUNT(*) FROM events WHERE event_id % 7 = 3) AS n_rows_day3
+        |FROM events GROUP BY event_type""".stripMargin +
+        orderByAll("event_type", "n", "n_users", "sum_value",
+          "n_candidates", "n_planned", "n_rows_day3")),
     "s_table_stream_pruned" ->
       ("""WITH f AS (SELECT DISTINCT event_id % 7 AS d, event_id % 2 AS h
         |  FROM events)

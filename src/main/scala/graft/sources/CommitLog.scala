@@ -1787,6 +1787,41 @@ object CommitLog {
       }.toMap
   }
 
+  /** [[perFileStats]] plus per-file NULL counts on the stats column,
+    * in the SAME single Spark job (r18 — the segmented COUNT(col)/TopN
+    * answers need null counts, and a second pass over just-staged
+    * files would double the commit's stats cost): stats entries keep
+    * the all-NULL-file refusal (no entry ⇒ unprunable), null counts
+    * cover EVERY staged file (count(*) − count(col) is defined even
+    * where min/max are not). */
+  private def perFileStatsNulls(s: SparkSession, root: String,
+      staged: Seq[String], statsCol: String)
+      : (Map[String, (Long, Long)], Map[String, Long]) = {
+    import org.apache.spark.sql.functions.{col, count, input_file_name, lit, max, min}
+    require(!statsCol.exists(c => c == '"' || c == '\\' || c < ' '),
+      s"statsCol '$statsCol' would corrupt the manifest JSON")
+    if (staged.isEmpty) return (Map.empty, Map.empty)
+    val byCanon = staged.map(rel =>
+      new java.io.File(root, rel).getCanonicalPath -> rel).toMap
+    val rows = readStagedLogical(s, root, staged)
+      .groupBy(input_file_name().as("_graft_file"))
+      .agg(min(col(statsCol)).as("mn"), max(col(statsCol)).as("mx"),
+        count(lit(1)).as("n"), count(col(statsCol)).as("nn"))
+      .collect().toSeq
+      .flatMap { r =>
+        byCanon.get(new java.io.File(new java.net.URI(r.getString(0)))
+          .getCanonicalPath).map(_ -> r)
+      }
+    val stats = rows.collect {
+      case (f, r) if !r.isNullAt(1) && !r.isNullAt(2) =>
+        f -> (r.getLong(1), r.getLong(2))
+    }.toMap
+    val nulls = rows.map { case (f, r) =>
+      f -> (r.getLong(3) - r.getLong(4))
+    }.toMap
+    (stats, nulls)
+  }
+
   def appendWithStats(s: SparkSession, root: String, df: DataFrame,
       nFiles: Int, statsCol: String): Long = {
     val prev = latestVersion(root)
@@ -2072,6 +2107,14 @@ object CommitLog {
     // guarded appends follow. Stamped before the commit publishes, so
     // every version with layouts already sees it (the layout.timeZone
     // ordering argument).
+    //
+    // The stamp is VERSION-SCOPED (r18, VERDICT item 5): its value is
+    // the first guarded version — the one this staging is about to
+    // commit — and pruneMetaOf treats any PINNED version below it as
+    // unguarded. The table-scoped r17 stamp left a time-travel hole: a
+    // table whose pre-guard layout text at v1 was truncated away at v2
+    // would stamp at a v3 guarded append, and a `VERSION AS OF 1` read
+    // would then consume/exclude on text the guard never saw.
     if (tableProperty(root, "layout.valueGuard").isEmpty) {
       val priorLayouts = latestVersion(root).exists { v =>
         !isSegmented(root, v) && {
@@ -2079,7 +2122,8 @@ object CommitLog {
           a.partCol.isDefined || a.layouts.nonEmpty
         }
       }
-      if (!priorLayouts) setTableProperty(root, "layout.valueGuard", "true")
+      if (!priorLayouts) setTableProperty(root, "layout.valueGuard",
+        latestVersion(root).map(_ + 1).getOrElse(0L).toString)
     }
     val parts = groups.flatMap { case (v, fs) => fs.map(_ -> v) }.toMap
     (groups.flatMap(_._2),
@@ -4298,10 +4342,21 @@ object CommitLog {
     * the segment's total LIVE row count and byte size (segments are
     * immutable and support no row-level deletes, so one number each
     * at append time stays exact forever; None = pre-r17 writer ⇒
-    * every metadata answer that needs it refuses). */
+    * every metadata answer that needs it refuses). r18 adds:
+    *   - `layoutValues`: the segment's per-column LAYOUT VALUE
+    *     UNIVERSE (every distinct staged text its files' layouts
+    *     record, incl. the null sentinel) — what lets partition
+    *     probes prune WHOLE SEGMENTS before any per-file entry is
+    *     read, composing the 10^6-file layout with partition pruning
+    *     (empty = pre-r18 or unpartitioned segment ⇒ layout-unprunable,
+    *     always read);
+    *   - `nNulls`: the segment's total NULL count on the stats column
+    *     (None = pre-r18 ⇒ COUNT(col) and TopN refuse). */
   final case class SegmentRef(path: String, nFiles: Int,
       bounds: Option[(Long, Long)],
-      nRows: Option[Long] = None, nBytes: Option[Long] = None)
+      nRows: Option[Long] = None, nBytes: Option[Long] = None,
+      layoutValues: Map[String, Set[String]] = Map.empty,
+      nNulls: Option[Long] = None)
 
   private def renderSegmentManifest(version: Long, op: String,
       segs: Seq[SegmentRef], schemaJson: Option[String] = None): String =
@@ -4312,7 +4367,14 @@ object CommitLog {
         val b = sr.bounds.map { case (lo, hi) => s""","lo":$lo,"hi":$hi""" }.getOrElse("")
         val r = sr.nRows.map(n => s""","nRows":$n""").getOrElse("")
         val by = sr.nBytes.map(n => s""","nBytes":$n""").getOrElse("")
-        s"""{"path":"${sr.path}","nFiles":${sr.nFiles}$b$r$by}"""
+        val nn = sr.nNulls.map(n => s""","nNulls":$n""").getOrElse("")
+        val lv =
+          if (sr.layoutValues.isEmpty) ""
+          else s""","lv":{""" + sr.layoutValues.toSeq.sortBy(_._1)
+            .map { case (c, vs) =>
+              s"${jstr(c)}:[${vs.toSeq.sorted.map(jstr).mkString(",")}]"
+            }.mkString(",") + "}"
+        s"""{"path":"${sr.path}","nFiles":${sr.nFiles}$b$r$by$nn$lv}"""
       }.mkString(",") + "]}"
 
   /** The segment references of a segmented version's manifest. */
@@ -4323,10 +4385,21 @@ object CommitLog {
     require(segs != null, s"version $version under $root is not a segmented manifest")
     (0 until segs.size()).map { i =>
       val sn = segs.get(i)
+      val lv = Option(sn.get("lv")).map { p =>
+        val it = p.fields()
+        val b = Map.newBuilder[String, Set[String]]
+        while (it.hasNext) {
+          val e = it.next(); val arr = e.getValue
+          b += e.getKey -> (0 until arr.size()).map(j => arr.get(j).asText()).toSet
+        }
+        b.result()
+      }.getOrElse(Map.empty[String, Set[String]])
       SegmentRef(sn.get("path").asText(), sn.get("nFiles").asInt(),
         if (sn.has("lo")) Some((sn.get("lo").asLong(), sn.get("hi").asLong())) else None,
         if (sn.has("nRows")) Some(sn.get("nRows").asLong()) else None,
-        if (sn.has("nBytes")) Some(sn.get("nBytes").asLong()) else None)
+        if (sn.has("nBytes")) Some(sn.get("nBytes").asLong()) else None,
+        lv,
+        if (sn.has("nNulls")) Some(sn.get("nNulls").asLong()) else None)
     }
   }
 
@@ -4368,20 +4441,106 @@ object CommitLog {
     }.getOrElse(Map.empty)
   }
 
+  /** Per-file NULL counts on the stats column of one segment file
+    * (r18 — written alongside the stats); empty for pre-r18 segments,
+    * and every consumer treats a missing count as a refusal. */
+  def segmentEntryNulls(root: String, segPath: String): Map[String, Long] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(
+        new java.io.File(logDir(root), segPath).toPath))
+    Option(node.get("nulls")).map { st =>
+      val it = st.fields()
+      val b = Map.newBuilder[String, Long]
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> e.getValue.asLong()
+      }
+      b.result()
+    }.getOrElse(Map.empty)
+  }
+
+  /** Per-file LAYOUT entries of one segment file (r18 — written by
+    * appendSegmentPartitioned: each data file's ordered (column,
+    * staged value) pairs, the flat pair-array encoding the flat
+    * manifests' `layouts` field uses); empty for pre-r18 or
+    * unpartitioned segments — their files are layout-unprunable. */
+  def segmentLayouts(root: String, segPath: String): Map[String, Seq[(String, String)]] = {
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(
+        new java.io.File(logDir(root), segPath).toPath))
+    Option(node.get("layouts")).map { p =>
+      val it = p.fields()
+      val b = Map.newBuilder[String, Seq[(String, String)]]
+      while (it.hasNext) {
+        val e = it.next(); val arr = e.getValue
+        b += e.getKey -> (0 until arr.size() by 2).map(i =>
+          (arr.get(i).asText(), arr.get(i + 1).asText()))
+      }
+      b.result()
+    }.getOrElse(Map.empty)
+  }
+
+  /** The partition spec one segment file was staged under (r18);
+    * None = plain appendSegment. */
+  def segmentPartCols(root: String, segPath: String): Option[String] = {
+    val node = mapper.readTree(java.nio.file.Files.readString(
+      new java.io.File(logDir(root), segPath).toPath))
+    Option(node.get("partCols")).map(_.asText())
+  }
+
   /** Segment refs of `version` surviving a BOUNDS-level prune under
     * Long range probes on the segment stats column — the first level
     * of the two-level skip, zero segment-file reads. Probes on other
     * columns (or non-Long bounds) contribute nothing. */
   def segmentsSurviving(root: String, version: Long,
-      probes: Seq[RangeProbe]): Seq[SegmentRef] = {
+      probes: Seq[RangeProbe]): Seq[SegmentRef] =
+    segPrune(root, version, ProbeTree(Nil, probes))._2
+
+  /** [[segmentsSurviving]] under a full [[ProbeTree]] — the statistics
+    * estimate's segment-level decision (r18: layout probes prune
+    * segments there too, so a partition-filtered scan of a segmented
+    * table reports the surviving partitions' bytes and broadcasts when
+    * small). */
+  def segmentsSurvivingTree(root: String, version: Long,
+      tree: ProbeTree): Seq[SegmentRef] =
+    segPrune(root, version, tree)._2
+
+  /** The shared SEGMENT-LEVEL prune decision (r18 — partition probes
+    * composed with the bounds prune, VERDICT item 1): a segment
+    * survives iff
+    *   - its aggregated stats bounds overlap every applicable range
+    *     probe (probes on the stats column with Long bounds; a
+    *     MIXED-stats legacy manifest's bounds belong to different
+    *     columns, so range probes contribute NOTHING there — r18
+    *     ADVICE, [[segmentStatsTrusted]]);
+    *   - for every partition probe (column → accepted value set): its
+    *     recorded layout-value universe intersects the set — a
+    *     segment that records the column but shares no accepted value
+    *     holds NO matching file; a segment without a universe for the
+    *     column (pre-r18 / unpartitioned) is unprunable and stays.
+    * Exclusion probes and OR groups contribute nothing here (pruning
+    * only ever widens). Returns (all refs, surviving refs, applicable
+    * range probes, normalized partition probes) so the file-level
+    * pass shares one decision. */
+  private def segPrune(root: String, version: Long, tree: ProbeTree)
+      : (Seq[SegmentRef], Seq[SegmentRef], Seq[RangeProbe], Map[String, Set[String]]) = {
     val segs = segmentsOf(root, version)
     val statsCol = segmentStatsCol(root, version)
-    val ps = probes.filter(p => statsCol.contains(p.col) &&
+    val ps0 = tree.ranges.filter(p => statsCol.contains(p.col) &&
       p.lo.forall(_.isInstanceOf[Long]) && p.hi.forall(_.isInstanceOf[Long]))
-    segs.filter(_.bounds.forall { case (mn, mx) =>
-      ps.forall(p => p.lo.forall(lo => mx >= lo.asInstanceOf[Long]) &&
-        p.hi.forall(hi => mn <= hi.asInstanceOf[Long]))
-    })
+    val ps =
+      if (ps0.nonEmpty && !segmentStatsTrusted(root, version)) Nil
+      else ps0
+    val parts = tree.parts.groupMapReduce(_._1)(_._2)(_ intersect _)
+    val live = segs.filter { sr =>
+      sr.bounds.forall { case (mn, mx) =>
+        ps.forall(p => p.lo.forall(lo => mx >= lo.asInstanceOf[Long]) &&
+          p.hi.forall(hi => mn <= hi.asInstanceOf[Long]))
+      } && parts.forall { case (c, vs) =>
+        sr.layoutValues.get(c).forall(u => (u intersect vs).nonEmpty)
+      }
+    }
+    (segs, live, ps, parts)
   }
 
   /** `COUNT(*)` of a segmented version from the VERSION MANIFEST alone
@@ -4438,6 +4597,86 @@ object CommitLog {
     Some((keep.result(), segs.map(_.nFiles).sum, opened))
   }
 
+  /** The TopN (`ORDER BY statsCol [DESC] LIMIT n`) file plan of a
+    * segmented version as a TWO-LEVEL bound-envelope decision (r18,
+    * VERDICT item 4 — the flat path's r15 TopN, lifted to segments):
+    * LEVEL 1 sorts the SEGMENT refs by their relevant aggregated
+    * bound, prefix-covers n rows off the manifest's per-segment row
+    * totals, and keeps every segment overlapping the boundary
+    * segment's bound — segments strictly past the cutoff cannot hold
+    * any of the global top n, and are never OPENED at all; LEVEL 2
+    * runs the same envelope over the kept segments' per-file stats and
+    * row counts. Exact-or-refuse: every segment must carry the r17/r18
+    * markers (nRows, bounds, nNulls == 0 — a NULL sorts outside the
+    * recorded bounds, so any null refuses like the flat path), `c`
+    * must be THE stats column, and every opened file needs stats +
+    * rows. Returns (planned relative paths, filesTotal, segments
+    * opened); None refuses and the scan plans everything. Callers
+    * guarantee no filters (Spark never pushes TopN past a residual;
+    * guarded anyway). */
+  def segmentedTopNFiles(root: String, version: Long, c: String,
+      asc: Boolean, n: Int): Option[(Seq[String], Int, Int)] = {
+    val segs = segmentsOf(root, version)
+    if (segs.isEmpty) return None
+    if (!segs.forall(sr => sr.nRows.isDefined && sr.bounds.isDefined &&
+        sr.nNulls.contains(0L))) return None
+    if (!segmentStatsCol(root, version).contains(c)) return None
+    // level 1: segment envelope off the manifest alone
+    val sorted =
+      if (asc) segs.sortBy(_.bounds.get._2)
+      else segs.sortBy(-_.bounds.get._1)
+    val cum = sorted.scanLeft(0L)((a, sr) => a + sr.nRows.get).tail
+    val k = cum.indexWhere(_ >= n) match {
+      case -1 => sorted.size
+      case i => i + 1
+    }
+    val keepSegs =
+      if (k >= sorted.size) sorted
+      else {
+        val cutoff =
+          if (asc) sorted(k - 1).bounds.get._2 else sorted(k - 1).bounds.get._1
+        sorted.filter(sr =>
+          if (asc) sr.bounds.get._1 <= cutoff else sr.bounds.get._2 >= cutoff)
+      }
+    // level 2: per-file envelope inside the opened segments
+    val files = keepSegs.flatMap { sr =>
+      val (fs, st) = segmentEntries(root, sr.path)
+      val rows = segmentEntryRows(root, sr.path)
+      fs.map(f => (f, st.get(f), rows.get(f)))
+    }
+    if (files.exists(t => t._2.isEmpty || t._3.isEmpty)) return None
+    val fsorted =
+      if (asc) files.sortBy(_._2.get._2) else files.sortBy(-_._2.get._1)
+    val fcum = fsorted.scanLeft(0L)((a, t) => a + t._3.get).tail
+    val fk = fcum.indexWhere(_ >= n) match {
+      case -1 => fsorted.size
+      case i => i + 1
+    }
+    val keep =
+      if (fk >= fsorted.size) fsorted.map(_._1)
+      else {
+        val cutoff =
+          if (asc) fsorted(fk - 1)._2.get._2 else fsorted(fk - 1)._2.get._1
+        fsorted.collect {
+          case (f, Some((lo, hi)), _)
+              if (asc && lo <= cutoff) || (!asc && hi >= cutoff) => f
+        }
+      }
+    Some((keep, segs.map(_.nFiles).sum, keepSegs.size))
+  }
+
+  /** `COUNT(statsCol)` of a segmented version from the VERSION
+    * MANIFEST alone (r18, VERDICT item 4): Σ(nRows − nNulls) over the
+    * per-segment totals — exact by the same immutability argument as
+    * [[segmentedCountStar]]. None when any segment predates either
+    * marker. */
+  def segmentedCountCol(root: String, version: Long): Option[Long] = {
+    val segs = segmentsOf(root, version)
+    if (segs.forall(sr => sr.nRows.isDefined && sr.nNulls.isDefined))
+      Some(segs.map(sr => sr.nRows.get - sr.nNulls.get).sum)
+    else None
+  }
+
   /** Stage `df` as `nFiles` data files, write them (with per-file
     * min/max stats AND footer row counts on `statsCol`) as ONE new
     * immutable segment file, and commit a manifest listing the prior
@@ -4470,30 +4709,119 @@ object CommitLog {
           s"but this append stats '$statsCol' — one stats column per " +
           "segmented table (mixed bounds cannot prune or answer safely)")
     }
+    // a segmented table is all-plain or all-one-spec (r18): prior
+    // PARTITIONED segments direct plain appends to the partitioned
+    // writer — a layout-less segment would silently degrade every
+    // partition probe to "some segments unprunable"
+    prev.foreach { v =>
+      segmentsOf(root, v).headOption
+        .flatMap(sr => segmentPartCols(root, sr.path)).foreach { spec =>
+          throw new IllegalArgumentException(
+            s"appendSegment: this table's segments are partitioned by " +
+              s"'$spec' — append through appendSegmentPartitioned so the " +
+              "new segment stays layout-prunable")
+        }
+    }
     val prevSegs = prev.map(v => segmentsOf(root, v)).getOrElse(Nil)
     val staged = stageDataFiles(s, root, df, nFiles)
-    val stats = perFileStats(s, root, staged, statsCol)
+    commitSegment(s, root, df, prev, prevSegs, staged, statsCol)
+  }
+
+  /** Shared segment-file write + manifest publish for both segment
+    * writers: per-file stats, footer row counts and NULL counts on
+    * `statsCol` (one Spark job), optional per-file layouts + the
+    * partition spec, the segment ref with aggregated bounds / row /
+    * byte / null totals and the layout-value universe. */
+  private def commitSegment(s: SparkSession, root: String, df: DataFrame,
+      prev: Option[Long], prevSegs: Seq[SegmentRef], staged: Seq[String],
+      statsCol: String,
+      layouts: Map[String, Seq[(String, String)]] = Map.empty,
+      partCols: Option[String] = None): Long = {
+    val (stats, nulls) = perFileStatsNulls(s, root, staged, statsCol)
     val sized = stagedSizes(root, staged) // footer rows + byte sizes
     logDir(root).mkdirs()
     val segName = "seg-" + java.util.UUID.randomUUID().toString + ".json"
+    val layoutJson =
+      if (layouts.isEmpty) ""
+      else s""","partCols":${jstr(partCols.get)},"layouts":{""" +
+        layouts.toSeq.sortBy(_._1).map { case (f, pairs) =>
+          s"${jstr(f)}:[" + pairs.flatMap { case (c, v) =>
+            Seq(jstr(c), jstr(v)) }.mkString(",") + "]"
+        }.mkString(",") + "}"
     val segJson = s"""{"files":[${staged.map(f => "\"" + f + "\"").mkString(",")}],""" +
       s""""statsCol":"$statsCol","stats":{""" +
       stats.toSeq.sortBy(_._1).map { case (f, (lo, hi)) =>
         s""""$f":[$lo,$hi]""" }.mkString(",") +
       s"""},"rows":{""" +
-      staged.sorted.map(f => s""""$f":${sized.rows(f)}""").mkString(",") + "}}"
+      staged.sorted.map(f => s""""$f":${sized.rows(f)}""").mkString(",") +
+      s"""},"nulls":{""" +
+      staged.sorted.map(f => s""""$f":${nulls(f)}""").mkString(",") + "}" +
+      layoutJson + "}"
     java.nio.file.Files.writeString(
       new java.io.File(logDir(root), segName).toPath, segJson)
     val bounds =
       if (stats.isEmpty) None
       else Some((stats.values.map(_._1).min, stats.values.map(_._2).max))
+    // the segment's layout-value UNIVERSE per column — what the
+    // manifest-level (segment-skipping) partition probe consults
+    val universe: Map[String, Set[String]] =
+      layouts.values.flatten.groupBy(_._1)
+        .map { case (c, es) => c -> es.map(_._2).toSet }
     val next = prev.map(_ + 1).getOrElse(0L)
     publish(root, next, renderSegmentManifest(next, "append",
       prevSegs :+ SegmentRef(segName, staged.size, bounds,
-        Some(staged.map(sized.rows).sum), Some(staged.map(sized.sizes).sum)),
+        Some(staged.map(sized.rows).sum), Some(staged.map(sized.sizes).sum),
+        universe, Some(staged.map(nulls).sum)),
       schemaJson = schemaOrRecord(root, prev, df)))
     maybeCheckpoint(root, next) // summarize() reads segment manifests too
     next
+  }
+
+  /** [[appendSegment]] under a partition spec (r18, VERDICT item 1 —
+    * segmentation COMPOSED with partition layouts): rows route
+    * file-per-partition-tuple through the SAME guarded staging
+    * chokepoint the flat path uses (CAST-to-STRING text, null
+    * sentinel, bad-value refusal, LTZ zone record), the segment file
+    * records each data file's layout entry, and the segment REF in
+    * the version manifest carries the per-column layout-value
+    * UNIVERSE — so a partition probe on THE 10^6-file table is a
+    * TWO-LEVEL decision exactly like bounds already are: whole
+    * segments skip off the manifest alone, per-file layouts prune
+    * inside the survivors. One spec per segmented table (mixing
+    * refuses — a flat-path-style evolution can come later); one
+    * stats column, as before. */
+  def appendSegmentPartitioned(s: SparkSession, root: String, df: DataFrame,
+      partCols: Seq[String], filesPerPartition: Int, statsCol: String): Long = {
+    val specStr = partCols.mkString(",")
+    val prev = latestVersion(root)
+    requireSchemaCompatible(root, prev, df, "appendSegmentPartitioned")
+    enforceConstraints(s, root, df, "appendSegmentPartitioned")
+    prev.flatMap(v => segmentStatsCol(root, v)).foreach { c0 =>
+      require(c0 == statsCol,
+        s"appendSegmentPartitioned: this table's segments record stats " +
+          s"on '$c0' but this append stats '$statsCol' — one stats " +
+          "column per segmented table")
+    }
+    prev.foreach { v =>
+      segmentsOf(root, v).headOption.foreach { sr =>
+        segmentPartCols(root, sr.path) match {
+          case Some(spec) => require(spec == specStr,
+            s"appendSegmentPartitioned: this table's segments are " +
+              s"partitioned by '$spec', not '$specStr' — one partition " +
+              "spec per segmented table")
+          case None => throw new IllegalArgumentException(
+            "appendSegmentPartitioned: this table's segments are " +
+              "UNPARTITIONED — a segmented table is all-plain or " +
+              "all-one-spec (mixed segments would degrade every " +
+              "partition probe)")
+        }
+      }
+    }
+    val prevSegs = prev.map(v => segmentsOf(root, v)).getOrElse(Nil)
+    val (staged, aux) = stagePartitionedCols(s, root, df, partCols,
+      filesPerPartition)
+    commitSegment(s, root, df, prev, prevSegs, staged, statsCol,
+      layouts = aux.layouts, partCols = Some(specStr))
   }
 
   /** Does `version`'s manifest list SEGMENT references instead of a
@@ -4510,11 +4838,33 @@ object CommitLog {
     * read from the FIRST segment (appendSegment stamps every segment
     * with its statsCol; one table uses one column). */
   def segmentStatsCol(root: String, version: Long): Option[String] =
-    segmentsOf(root, version).headOption.flatMap { sr =>
-      val node = mapper.readTree(java.nio.file.Files.readString(
-        new java.io.File(logDir(root), sr.path).toPath))
-      Option(node.get("statsCol")).map(_.asText())
-    }
+    segmentsOf(root, version).headOption.flatMap(sr =>
+      segmentStatsColOf(root, sr.path))
+
+  /** One segment file's own recorded stats column. */
+  private def segmentStatsColOf(root: String, segPath: String): Option[String] = {
+    val node = mapper.readTree(java.nio.file.Files.readString(
+      new java.io.File(logDir(root), segPath).toPath))
+    Option(node.get("statsCol")).map(_.asText())
+  }
+
+  /** Whether `version`'s per-segment bounds may be treated as ONE
+    * column's — [[segmentStatsCol]]'s, read off the FIRST segment
+    * (r18, ADVICE): appendSegment has enforced one stats column per
+    * table at COMMIT time since r17, and every segment ref carrying
+    * the r17 row-count marker was committed under that check. A
+    * manifest with any pre-r17 ref (no nRows) proves nothing, so the
+    * segments' own statsCol fields are read and compared (O(segments)
+    * metadata reads, paid only on legacy tables): uniform ⇒ the
+    * one-column assumption holds; mixed ⇒ every bounds consumer must
+    * refuse — folding a second column's bounds under the first's name
+    * would mis-prune files that DO hold matching rows and answer
+    * MIN/MAX with the wrong column's extrema. */
+  def segmentStatsTrusted(root: String, version: Long): Boolean = {
+    val segs = segmentsOf(root, version)
+    segs.forall(_.nRows.isDefined) ||
+      segs.map(sr => segmentStatsColOf(root, sr.path)).distinct.size <= 1
+  }
 
   /** Two-level pruned FILE LISTING of a segmented version under
     * Long range probes on the segment stats column (r16 — the SQL
@@ -4528,18 +4878,39 @@ object CommitLog {
     * no-probe listing still reads only the surviving segments'
     * entries. */
   def segmentedPrunedFiles(root: String, version: Long,
-      probes: Seq[RangeProbe]): (Seq[String], Int, Int, Int) = {
-    val segs = segmentsOf(root, version)
-    val statsCol = segmentStatsCol(root, version)
-    val ps = probes.filter(p => statsCol.contains(p.col) &&
-      p.lo.forall(_.isInstanceOf[Long]) && p.hi.forall(_.isInstanceOf[Long]))
+      probes: Seq[RangeProbe]): (Seq[String], Int, Int, Int) =
+    segmentedPrunedFilesTree(root, version, ProbeTree(Nil, probes))
+
+  /** [[segmentedPrunedFiles]] generalized to a [[ProbeTree]] (r18,
+    * VERDICT item 1): the two-level skip now intersects BOTH metadata
+    * sources at BOTH levels — segment bounds AND layout-value
+    * universes decide which segment files open at all
+    * ([[segPrune]]), then per-file stats AND per-file layout entries
+    * prune inside the survivors. On the 10^6-file partitioned+
+    * segmented table a `WHERE day = '3'` plans metadata ∝ the
+    * surviving segments, never the listing. Files/segments without
+    * the probed metadata stay unprunable (pre-r18 refs keep reading
+    * everything — pruning only ever widens). Exclusions and OR groups
+    * contribute nothing here. */
+  def segmentedPrunedFilesTree(root: String, version: Long,
+      tree: ProbeTree): (Seq[String], Int, Int, Int) = {
+    val (segs, live, ps, parts) = segPrune(root, version, tree)
     def overlap(mn: Long, mx: Long): Boolean =
       ps.forall(p => p.lo.forall(lo => mx >= lo.asInstanceOf[Long]) &&
         p.hi.forall(hi => mn <= hi.asInstanceOf[Long]))
-    val live = segs.filter(_.bounds.forall { case (mn, mx) => overlap(mn, mx) })
     val keep = live.flatMap { sr =>
       val (fs, st) = segmentEntries(root, sr.path)
-      fs.filter(f => st.get(f).forall { case (mn, mx) => overlap(mn, mx) })
+      val lay =
+        if (parts.isEmpty) Map.empty[String, Seq[(String, String)]]
+        else segmentLayouts(root, sr.path)
+      fs.filter { f =>
+        st.get(f).forall { case (mn, mx) => overlap(mn, mx) } &&
+          (lay.get(f) match {
+            case Some(pairs) => pairs.forall { case (c, v) =>
+              parts.get(c).forall(_.contains(v)) }
+            case None => true // no layout entry: must read
+          })
+      }
     }
     (keep, segs.map(_.nFiles).sum, segs.size, live.size)
   }
@@ -4556,10 +4927,17 @@ object CommitLog {
   def segmentedPrunedRead(s: SparkSession, root: String, version: Long,
       lo: Long, hi: Long): (DataFrame, Int, Int, Int, Int) = {
     val segs = segmentsOf(root, version)
-    val live = segs.filter(_.bounds.forall { case (mn, mx) => mx >= lo && mn <= hi })
+    // mixed-stats legacy manifest (r18, ADVICE): the per-segment
+    // bounds are not one column's — nothing may prune
+    val trusted = segmentStatsTrusted(root, version)
+    val live =
+      if (!trusted) segs
+      else segs.filter(_.bounds.forall { case (mn, mx) => mx >= lo && mn <= hi })
     val keep = live.flatMap { sr =>
       val (fs, stats) = segmentEntries(root, sr.path)
-      fs.filter(f => stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi })
+      if (!trusted) fs
+      else fs.filter(f =>
+        stats.get(f).forall { case (mn, mx) => mx >= lo && mn <= hi })
     }
     val df =
       if (keep.isEmpty)

@@ -326,20 +326,21 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
   override def schema(): StructType =
     CommitLog.snapshotSchemaOf(root, version).getOrElse {
       // No recorded schema (pre-r17 segmented writer, or a legacy
-      // flat table) — footer-infer. Segmented tables infer from the
-      // FIRST non-empty segment's FIRST file only (r17, ADVICE:
-      // schemas are uniform per table — appendSegment enforces
-      // compatibility at commit — so opening the full 10^6-file
-      // listing at ANALYSIS time was O(files) I/O for one footer's
-      // worth of information). Flat tables keep the all-files infer:
-      // their schema may be a widened union across generations.
+      // flat table) — footer-infer. Segmented tables infer from ONE
+      // file PER SEGMENT, union-merged (r18, ADVICE): the only tables
+      // reaching this fallback predate appendSegment's commit-time
+      // schema check, so per-SEGMENT heterogeneity is possible (a
+      // later segment may carry columns the first lacks) — but within
+      // one segment the files came from one staged frame, so one
+      // footer per segment recovers the union at O(segments) instead
+      // of the O(files) full-listing infer. Flat tables keep the
+      // all-files infer: their schema may be a widened union across
+      // generations.
       val files =
         if (CommitLog.isSegmented(root, version))
-          CommitLog.segmentsOf(root, version).iterator
-            .map(sr => CommitLog.segmentEntries(root, sr.path)._1)
-            .collectFirst { case fs if fs.nonEmpty =>
-              new java.io.File(root, fs.head).toString }
-            .toSeq
+          CommitLog.segmentsOf(root, version)
+            .flatMap(sr => CommitLog.segmentEntries(root, sr.path)._1.headOption)
+            .map(f => new java.io.File(root, f).toString)
         else CommitLog.snapshotFiles(root, version)
       require(files.nonEmpty,
         s"$name: empty snapshot with no recorded schema — nothing to infer from")
@@ -569,15 +570,16 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
 
   /** The probe-pruned survivor listing for `filters` — flat manifests
     * evaluate the full ProbeTree per file; segmented manifests run the
-    * two-level bounds prune on the range probes (layout/exclusion
-    * probes cannot apply — segments record no layouts). Every caller
-    * (planning, statistics, accounting, EXPLAIN) shares this one
-    * decision. */
+    * TWO-LEVEL prune on both metadata sources (r18: segment bounds AND
+    * layout-value universes skip whole segments, per-file stats AND
+    * layout entries prune inside the survivors; exclusions/ORs
+    * contribute nothing there). Every caller (planning, statistics,
+    * accounting, EXPLAIN) shares this one decision. */
   private def prunedKeep(filters: Seq[Filter]): (Seq[String], Int) = {
     val probes = GraftFilterPushdown.translate(filters, meta)
     if (segmented) {
       val (keep, total, _, _) =
-        CommitLog.segmentedPrunedFiles(root, version, probes.ranges)
+        CommitLog.segmentedPrunedFilesTree(root, version, probes.tree)
       (keep, total)
     } else CommitLog.prunedFilesTree(root, version, probes.tree)
   }
@@ -610,6 +612,22 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
         CommitLog.segmentedLimitFiles(root, version, n)
       else None
     }
+
+  /** The SEGMENTED TopN envelope (r18, VERDICT item 4): `ORDER BY
+    * statsCol LIMIT n` on a segmented table plans SEGMENT-FIRST —
+    * whole segments skip off the manifest's per-segment bounds/row
+    * totals without ever being opened, the boundary segments' per-file
+    * stats size the file envelope — so the canonical "latest 100
+    * events" query on a 10^6-file table reads metadata ∝ covering
+    * segments. Same partiality/exactness contract as the flat TopN
+    * (Spark's TakeOrderedAndProject still runs; refuse on any null,
+    * any pre-r18 marker gap, any non-stats column, any filter). */
+  private def segTopnPlan: Option[(Seq[String], Int, Int)] =
+    pushedTopN.flatMap { case (c, asc, n) =>
+      if (segmented && pushed.isEmpty && runtime.isEmpty)
+        CommitLog.segmentedTopNFiles(root, version, c, asc, n)
+      else None
+    }
   /** Eligibility of the TopN envelope: live counts plus zero-null
     * bounded stats on the order column for every survivor. */
   private def topnEligible(c: String, keep: Seq[String],
@@ -639,7 +657,9 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
         .getOrElse("") +
       pushedTopN.map { case (c, asc, n) =>
         s" PushedTopN: $c ${if (asc) "ASC" else "DESC"} LIMIT $n" +
-          refusedSuffix(topnEligible(c, keep0, auxCached)) }.getOrElse("")
+          refusedSuffix(
+            if (segmented) segTopnPlan.isDefined
+            else topnEligible(c, keep0, auxCached)) }.getOrElse("")
   }
 
   /** PRUNED size statistics (r15): Spark asks the scan for its size
@@ -668,8 +688,8 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     // per-file path below.
     if (segmented) {
       val probes = GraftFilterPushdown
-        .translate((pushed ++ runtime).toSeq, meta).ranges
-      val live = CommitLog.segmentsSurviving(root, version, probes)
+        .translate((pushed ++ runtime).toSeq, meta)
+      val live = CommitLog.segmentsSurvivingTree(root, version, probes.tree)
       if (live.forall(_.nBytes.isDefined)) {
         val bytes = live.flatMap(_.nBytes).sum
         val rows =
@@ -848,10 +868,12 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     * introduced; this reading cannot change however many times
     * planning runs). */
   def plannedFiles: (Int, Seq[String]) = {
-    // segmented LIMIT prefix: decided from the manifest's per-segment
-    // counts BEFORE any full listing — returning here is what keeps
-    // the peek's metadata I/O off the 10^6-file file list entirely
+    // segmented LIMIT prefix / TopN envelope: decided from the
+    // manifest's per-segment metadata BEFORE any full listing —
+    // returning here is what keeps the peek's metadata I/O off the
+    // 10^6-file file list entirely
     segLimitPlan.foreach { case (keep, total, _) => return (total, keep) }
+    segTopnPlan.foreach { case (keep, total, _) => return (total, keep) }
     val (keep0, total) = prunedKeep((pushed ++ runtime).toSeq)
     val aux = auxCached
     // pushed LIMIT (r15; r16 DV-aware): plan only a file-list PREFIX
@@ -940,10 +962,6 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-    require(!segmented,
-      "streaming a SEGMENTED table is not supported — the incremental " +
-        "version-diff reader walks flat manifests; read it as a batch " +
-        "source or stage through a flat-manifest table")
     // A consumed filter reaching a streaming scan can only REFUSE
     // loudly (r17, ADVICE re-examined): by the time this runs,
     // pushFilters already returned the residual set to Spark — the
@@ -960,7 +978,15 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
       "a consumed (non-residual) filter reached a streaming scan — " +
         "the micro-batch path does not enforce file-level filters; " +
         "this indicates Spark ran relation pushdown on a streaming plan")
-    new TableMicroBatchStream(root, projected, ignoreChanges, startingVersion,
-      partFilters)
+    // SEGMENTED tables stream since r18 (VERDICT item 2): each version
+    // appends exactly one immutable segment, so the version-diff
+    // reader's admission unit is the segment — see
+    // [[SegmentedTableMicroBatchStream]]
+    if (segmented)
+      new SegmentedTableMicroBatchStream(root, projected, startingVersion,
+        partFilters)
+    else
+      new TableMicroBatchStream(root, projected, ignoreChanges,
+        startingVersion, partFilters)
   }
 }

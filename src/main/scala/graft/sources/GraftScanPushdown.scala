@@ -116,14 +116,29 @@ object GraftFilterPushdown {
       CommitLog.manifestIdentity(root, version))
     if (metaCache.size > 4096) metaCache.clear()
     metaCache.computeIfAbsent(key, _ =>
-      // SEGMENTED manifests (r16): the only skipping metadata is the
-      // per-segment/per-file Long bounds on ONE stats column — expose
-      // it as a "long" range-probe target; no layouts, no consumption
-      if (CommitLog.isSegmented(root, version))
-        PruneMeta(Set.empty,
+      // SEGMENTED manifests: per-segment/per-file Long bounds on ONE
+      // stats column (a "long" range-probe target, r16) — and, r18
+      // (VERDICT item 1), the PARTITION LAYOUT the segments record:
+      // layoutCols/layoutValues come off the manifest's per-segment
+      // value universes (one parse, no segment-file reads), so
+      // equality/IN/prefix/range probes translate and prune two-level.
+      // Every recorded segmented layout value passed the guarded
+      // staging chokepoint (appendSegmentPartitioned is r18-only and
+      // routes through it), so the universe is trustworthy for the
+      // widen-only positive probes; consumption and exclusions stay
+      // OFF (guarded=false, fullLayoutCols empty) — segmented
+      // aggregates answer through answerSegmented, which takes no
+      // consumed filters, and every filter stays residual.
+      if (CommitLog.isSegmented(root, version)) {
+        val segs = CommitLog.segmentsOf(root, version)
+        val lvCols = segs.flatMap(_.layoutValues.keys).toSet
+        val lvUnion = lvCols.map(c => c ->
+          segs.flatMap(_.layoutValues.getOrElse(c, Set.empty)).toSet).toMap
+        PruneMeta(lvCols,
           CommitLog.segmentStatsCol(root, version).map(_ -> "long").toMap,
-          None)
-      else {
+          None, layoutTz = CommitLog.tableProperty(root, "layout.timeZone"),
+          layoutValues = lvUnion)
+      } else {
         val aux = CommitLog.auxOf(root, version)
         val layoutCols = aux.partCol.toSeq.flatMap(_.split(',')).toSet ++
           aux.layouts.values.flatMap(_.map(_._1))
@@ -141,9 +156,16 @@ object GraftFilterPushdown {
         // spelling the null sentinel or containing the separator, and
         // a consumed probe on it would silently return wrong rows.
         // Unstamped tables keep every probe advisory (the residual
-        // re-runs row-level), exactly the pre-r16 behavior.
+        // re-runs row-level), exactly the pre-r16 behavior. The stamp
+        // value is VERSION-SCOPED (r18, VERDICT item 5 — the first
+        // guarded version): a read pinned BELOW it sees layout text
+        // the guard never inspected (e.g. pre-guard text later
+        // truncated away, which is what allowed the stamp), so it
+        // stays advisory. The bare "true" a pre-r18 stamper wrote is
+        // accepted table-wide (it was only ever written when no prior
+        // layout text existed at stamping time).
         val guarded = CommitLog.tableProperty(root, "layout.valueGuard")
-          .contains("true")
+          .exists(s => s == "true" || s.toLongOption.exists(_ <= version))
         val fullCols =
           if (!guarded) Set.empty[String]
           else (layoutCols -- buckets.values.map(_._2)).filter(c =>
@@ -313,6 +335,53 @@ object GraftFilterPushdown {
     }
   }
 
+  /** The recorded groups of `universe` a RANGE compare keeps (r18,
+    * VERDICT item 3 — enumeration generalized past prefixes): every
+    * recorded non-sentinel text is parsed back under the PROBE
+    * VALUE's type with the canonical-round-trip discipline
+    * ([[layoutInternal]]'s — "03" refuses rather than alias "3") and
+    * compared under the COLUMN's row-level semantics — UTF-8 binary
+    * for strings (Spark's string order, r15), numeric for integrals,
+    * epoch-day for dates. One unparseable recorded spelling refuses
+    * the WHOLE probe (None — a partial match set would prune files
+    * holding true rows); the null-sentinel group never matches (a
+    * NULL row fails every comparison). Timestamps refuse here:
+    * DST-fold text ordering need not agree with instant ordering.
+    * `keep` receives compare(recorded, probe). */
+  private[sources] def enumRangeMatches(universe: Set[String], v: Any,
+      keep: Int => Boolean): Option[Set[String]] = {
+    val nonNull = universe.filterNot(_ == CommitLog.nullSentinel)
+    def parsedAll[T](parse: String => Option[T])(cmp: T => Int): Option[Set[String]] = {
+      val parsed = nonNull.toSeq.map(t => t -> parse(t))
+      if (parsed.exists(_._2.isEmpty)) None
+      else Some(parsed.collect {
+        case (t, Some(x)) if keep(cmp(x)) => t
+      }.toSet)
+    }
+    v match {
+      case null => None
+      case s: String =>
+        Some(nonNull.filter(t => keep(utf8Ord.compare(t, s))))
+      case b: Byte => parsedAll(t => t.toLongOption.filter(_.toString == t))(
+        x => java.lang.Long.compare(x, b.toLong))
+      case sh: Short => parsedAll(t => t.toLongOption.filter(_.toString == t))(
+        x => java.lang.Long.compare(x, sh.toLong))
+      case i: Int => parsedAll(t => t.toLongOption.filter(_.toString == t))(
+        x => java.lang.Long.compare(x, i.toLong))
+      case l: Long => parsedAll(t => t.toLongOption.filter(_.toString == t))(
+        x => java.lang.Long.compare(x, l))
+      case d: java.sql.Date => parsedAll(parseDateCanonical)(
+        x => x.compareTo(d.toLocalDate))
+      case d: java.time.LocalDate => parsedAll(parseDateCanonical)(
+        x => x.compareTo(d))
+      case _ => None
+    }
+  }
+  private def parseDateCanonical(t: String): Option[java.time.LocalDate] =
+    (try Some(java.time.LocalDate.parse(t))
+    catch { case _: java.time.format.DateTimeParseException => None })
+      .filter(_.toString == t)
+
   /** Translate a pushed conjunction into probes. Filters the
     * translation cannot express exactly contribute nothing (never a
     * partial probe). */
@@ -361,6 +430,13 @@ object GraftFilterPushdown {
           case _ => ()
         }
       }
+    // a range compare as an ENUMERATION probe over the recorded value
+    // universe (r18; the universe only exists on guard-stamped tables,
+    // so the recorded text is trustworthy — see pruneMetaOf)
+    def enumRange(c: String, v: Any, keep: Int => Boolean): Unit =
+      meta.layoutValues.get(c).foreach { universe =>
+        enumRangeMatches(universe, v, keep).foreach(vs => addPart(c, vs))
+      }
     def go(f: Filter): Unit = f match {
       case And(l, r) => go(l); go(r)
       case EqualTo(c, v) =>
@@ -399,6 +475,14 @@ object GraftFilterPushdown {
             ranges += CommitLog.RangeProbe(c, Some(rvs.min), Some(rvs.max))
           }
         }
+      // range compares on an IDENTITY layout column of a guard-stamped
+      // table ALSO probe by enumeration over the recorded value
+      // universe (r18, VERDICT item 3): keep exactly the recorded
+      // groups whose parsed value satisfies the compare — on a 100 TB
+      // table partitioned by tenant/day string, `day >= '3'` becomes a
+      // partition-set read even though no stats were declared. The
+      // sentinel group never matches; one unparseable recorded
+      // spelling refuses the whole enumeration (never partial).
       case GreaterThan(c, v) =>
         tagOf(c).foreach { t =>
           rangeValue(t, v).foreach { rv =>
@@ -406,9 +490,11 @@ object GraftFilterPushdown {
             ranges += CommitLog.RangeProbe(c, Some(lo), None)
           }
         }
+        enumRange(c, v, _ > 0)
       case GreaterThanOrEqual(c, v) =>
         tagOf(c).foreach(t => rangeValue(t, v).foreach(rv =>
           ranges += CommitLog.RangeProbe(c, Some(rv), None)))
+        enumRange(c, v, _ >= 0)
       case LessThan(c, v) =>
         tagOf(c).foreach { t =>
           rangeValue(t, v).foreach { rv =>
@@ -416,9 +502,11 @@ object GraftFilterPushdown {
             ranges += CommitLog.RangeProbe(c, None, Some(hi))
           }
         }
+        enumRange(c, v, _ < 0)
       case LessThanOrEqual(c, v) =>
         tagOf(c).foreach(t => rangeValue(t, v).foreach(rv =>
           ranges += CommitLog.RangeProbe(c, None, Some(rv))))
+        enumRange(c, v, _ <= 0)
       case IsNull(c) =>
         // a NULL routed through partitioned staging lands under the
         // explicit sentinel — IS NULL keeps exactly those files
@@ -481,6 +569,25 @@ object GraftFilterPushdown {
           addPart(c, universe.filter(v =>
             v != CommitLog.nullSentinel && v.startsWith(p)))
         }
+      // suffix/substring probes by the same enumeration (r18, VERDICT
+      // item 3): Spark only pushes these on STRING columns, where the
+      // recorded layout text IS the row value (CAST is identity and
+      // the staging guard refused unfaithful spellings), so a plain
+      // string match over the universe keeps exactly the matching
+      // groups — `LIKE '%suffix'` / `LIKE '%frag%'` on THE tenant/
+      // source layout column becomes a partition-set read. The
+      // sentinel group never matches (NULL fails LIKE); an empty
+      // match set is a real zero-group probe.
+      case StringEndsWith(c, p) if p.nonEmpty =>
+        meta.layoutValues.get(c).foreach { universe =>
+          addPart(c, universe.filter(v =>
+            v != CommitLog.nullSentinel && v.endsWith(p)))
+        }
+      case StringContains(c, p) if p.nonEmpty =>
+        meta.layoutValues.get(c).foreach { universe =>
+          addPart(c, universe.filter(v =>
+            v != CommitLog.nullSentinel && v.contains(p)))
+        }
       case o: Or =>
         // DISJUNCTION pruning (r16, VERDICT item 2): each flattened
         // branch translates INDEPENDENTLY — a branch's probe set is a
@@ -521,7 +628,13 @@ object GraftFilterPushdown {
     *     DST overlap renders two instants to one text, so file
     *     membership would over-match (they stay advisory probes);
     *   - `=`, `<=>`, `IN`, `IS [NOT] NULL`, `NOT` of those, and
-    *     AND/OR compositions.
+    *     AND/OR compositions;
+    *   - r18 (VERDICT item 3): range compares (`>`, `>=`, `<`, `<=`)
+    *     and `LIKE` prefix/suffix/substring forms, answered by
+    *     ENUMERATION over the recorded value universe — exact because
+    *     an identity-layout file's rows uniformly carry its recorded
+    *     value; refused unless every recorded spelling parses under
+    *     the probe value's type.
     * A consumed filter is enforced by [[translate]]'s probes (exact
     * under these conditions, not merely advisory); everything else
     * stays a residual Spark re-evaluates row-level. Consuming the
@@ -536,6 +649,17 @@ object GraftFilterPushdown {
     }
     def v0(v: Any): Boolean = v != null && injective(v) &&
       partValue(v, meta).exists(_ != CommitLog.nullSentinel)
+    // range/prefix/suffix/substring consumption (r18, VERDICT item 3):
+    // on an identity layout column EVERY live file records, a file's
+    // rows uniformly carry its recorded value, so the enumeration's
+    // matched-group set answers the predicate EXACTLY — kept files'
+    // rows all satisfy it, pruned files' rows all fail it (NULL rows
+    // live in the pruned sentinel group). Requires the enumeration to
+    // be DEFINED: the universe exists (guard-stamped, fully recorded)
+    // and every recorded spelling parses under the probe value's type.
+    def enumOk(c: String, v: Any): Boolean = ok(c) && v != null &&
+      meta.layoutValues.get(c)
+        .exists(u => enumRangeMatches(u, v, _ => true).isDefined)
     f match {
       case EqualTo(c, v) => ok(c) && v0(v)
       case EqualNullSafe(c, null) => ok(c)
@@ -546,6 +670,16 @@ object GraftFilterPushdown {
       case Not(EqualTo(c, v)) => ok(c) && v0(v)
       case Not(EqualNullSafe(c, v)) => ok(c) && v0(v)
       case Not(In(c, vs)) => ok(c) && vs.nonEmpty && vs.forall(v0)
+      case GreaterThan(c, v) => enumOk(c, v)
+      case GreaterThanOrEqual(c, v) => enumOk(c, v)
+      case LessThan(c, v) => enumOk(c, v)
+      case LessThanOrEqual(c, v) => enumOk(c, v)
+      case StringStartsWith(c, p) =>
+        ok(c) && p.nonEmpty && meta.layoutValues.contains(c)
+      case StringEndsWith(c, p) =>
+        ok(c) && p.nonEmpty && meta.layoutValues.contains(c)
+      case StringContains(c, p) =>
+        ok(c) && p.nonEmpty && meta.layoutValues.contains(c)
       case And(l, r) => exactlyAnswered(l, meta) && exactlyAnswered(r, meta)
       case Or(l, r) => exactlyAnswered(l, meta) && exactlyAnswered(r, meta)
       case _ => false
@@ -624,9 +758,10 @@ object GraftAggPushdown {
     // bounds (exact — a segment's bounds aggregate its files' exact
     // per-file min/max; files absent from the stats are all-NULL on
     // the column and contribute nothing to MIN/MAX, same as the
-    // row-level aggregate). Everything else refuses: no layouts (no
-    // GROUP BY, no consumable filters — `consumed` is always empty
-    // here), no per-column null counts (no COUNT(c)), no stats on any
+    // row-level aggregate) — and, r18, COUNT(statsCol) from the
+    // per-segment null totals. Everything else refuses: no consumable
+    // filters (`consumed` is always empty here), no GROUP BY, no null
+    // counts on other columns (their COUNT(c) scans), no stats on any
     // other column (MIN/MAX elsewhere scans).
     if (CommitLog.isSegmented(root, version))
       return answerSegmented(root, version, tableSchema, agg, consumed)
@@ -754,12 +889,13 @@ object GraftAggPushdown {
     * any grouping, any consumed filter (impossible on segmented — no
     * layouts — but guarded), and every aggregate the manifest cannot
     * answer exactly. COUNT(*) additionally refuses when any segment a
-    * pre-r17 writer committed lacks its row count; MIN/MAX need only
-    * the BOUNDS, which every segment writer has always recorded — a
-    * pre-r17 manifest still answers them (the bounds were exact then
-    * too). The stats column must be LongType: the recorded bounds are
-    * Long, and [[CommitLog.perFileStats]] only ever stats Long
-    * columns. */
+    * pre-r17 writer committed lacks its row count; MIN/MAX fold the
+    * BOUNDS, which requires the one-stats-column invariant to be
+    * PROVABLE (r18, ADVICE — [[CommitLog.segmentStatsTrusted]]): a
+    * legacy manifest whose segments statted different columns refuses
+    * instead of answering with the wrong column's extrema. The stats
+    * column must be LongType: the recorded bounds are Long, and
+    * [[CommitLog.perFileStats]] only ever stats Long columns. */
   private def answerSegmented(root: String, version: Long,
       tableSchema: StructType, agg: Aggregation,
       consumed: Seq[org.apache.spark.sql.sources.Filter])
@@ -768,6 +904,13 @@ object GraftAggPushdown {
     if (agg.groupByExpressions.nonEmpty) return None
     val segs = CommitLog.segmentsOf(root, version)
     val statsCol = CommitLog.segmentStatsCol(root, version)
+    // the MIN/MAX fold treats every segment's bounds as the FIRST
+    // segment's statsCol's — sound only when the one-stats-column
+    // invariant is provable (r18, ADVICE: every ref carries the r17
+    // commit-check marker, or the segments' own statsCol fields are
+    // verified uniform); a mixed legacy manifest would answer with
+    // the wrong column's extrema, so it refuses here and scans
+    lazy val statsTrusted = CommitLog.segmentStatsTrusted(root, version)
     def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
       e match {
         case ref: org.apache.spark.sql.connector.expressions.NamedReference
@@ -782,15 +925,24 @@ object GraftAggPushdown {
     val specs: Seq[AggSpec] = agg.aggregateExpressions.toSeq.map {
       case _: CountStar =>
         AggSpec(StructField("count(*)", LongType, nullable = false), rows)
+      // COUNT(statsCol) (r18, VERDICT item 4): Σ(nRows − nNulls) over
+      // the manifest's per-segment totals — refuses on any other
+      // column (no null counts recorded for it by design) and on any
+      // pre-r18 segment (missing nNulls marker)
+      case c: Count if !c.isDistinct =>
+        val col = colOf(c.column).getOrElse(return None)
+        if (!statsColLong(col)) return None
+        AggSpec(StructField("count", LongType, nullable = false),
+          CommitLog.segmentedCountCol(root, version))
       case m: Min =>
         val col = colOf(m.column).getOrElse(return None)
-        if (!statsColLong(col)) return None
+        if (!statsColLong(col) || !statsTrusted) return None
         val los = segs.flatMap(_.bounds.map(_._1))
         AggSpec(StructField("min", LongType, nullable = true),
           Some(if (los.isEmpty) null else los.min))
       case m: Max =>
         val col = colOf(m.column).getOrElse(return None)
-        if (!statsColLong(col)) return None
+        if (!statsColLong(col) || !statsTrusted) return None
         val his = segs.flatMap(_.bounds.map(_._2))
         AggSpec(StructField("max", LongType, nullable = true),
           Some(if (his.isEmpty) null else his.max))

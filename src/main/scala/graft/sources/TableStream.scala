@@ -41,8 +41,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Schema comes from the LOG when the table is schema-evolved (no
   * footer reads), else from the head snapshot. Segmented tables
-  * (appendSegment) are not streamable — they fail at planning with a
-  * clear message. The per-file PartitionReader decodes parquet through
+  * (appendSegment) stream since r18 through
+  * [[SegmentedTableMicroBatchStream]] — the admission unit is the
+  * version's new segment. The per-file PartitionReader decodes parquet through
   * the parquet-hadoop Group API with a BY-NAME projection pushed into
   * the requested read schema (column pruning — unselected columns are
   * never decoded), and supports flat primitive schemas (long/int/
@@ -67,15 +68,19 @@ class TableStreamProvider extends TableProvider with DataSourceRegister {
     val root = rootOf(options)
     val head = CommitLog.latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"graft-table: no commit log under $root"))
-    val base =
-      try CommitLog.snapshotSchemaOf(root, head)
-        .getOrElse(CommitLog.read(SparkSession.active, root, head).schema)
-      catch {
-        case e: IllegalArgumentException if e.getMessage.contains("SEGMENTED") =>
-          throw new UnsupportedOperationException(
-            s"graft-table: $root is a SEGMENTED table (appendSegment) — " +
-              "the streaming source serves flat-manifest tables only", e)
-      }
+    // segmented tables stream since r18; their schema reads off the
+    // manifest (recorded by every r17+ segment writer), with a
+    // one-footer-per-segment union infer for pre-r17 legacy tables
+    val base = CommitLog.snapshotSchemaOf(root, head).getOrElse {
+      if (CommitLog.isSegmented(root, head)) {
+        val files = CommitLog.segmentsOf(root, head)
+          .flatMap(sr => CommitLog.segmentEntries(root, sr.path)._1.headOption)
+          .map(f => new java.io.File(root, f).toString)
+        require(files.nonEmpty,
+          s"graft-table: $root has no recorded schema and no data files")
+        SparkSession.active.read.parquet(files: _*).schema
+      } else CommitLog.read(SparkSession.active, root, head).schema
+    }
     // readChangeFeed=true (Delta's streaming-CDF option): the stream
     // IS the changelog, so the relation schema carries the two CDF
     // metadata columns
@@ -118,12 +123,21 @@ class GraftStreamTable(tableSchema: StructType, root: String)
           else requiredSchema
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = projected
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          if (Option(options.get("readChangeFeed")).exists(_.toBoolean))
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+          val segmented = CommitLog.latestVersion(root)
+            .exists(v => CommitLog.isSegmented(root, v))
+          if (Option(options.get("readChangeFeed")).exists(_.toBoolean)) {
+            require(!segmented, "graft-table: readChangeFeed is not " +
+              "supported on a SEGMENTED table — segments record no CDF " +
+              "files (append-only; the plain stream IS the insert feed)")
             new TableCdfMicroBatchStream(root, projected, startingVersion)
+          } else if (segmented)
+            new SegmentedTableMicroBatchStream(root, projected,
+              startingVersion, GraftStreamPrune.parse(options))
           else
             new TableMicroBatchStream(root, projected, ignoreChanges,
               startingVersion, GraftStreamPrune.parse(options))
+        }
       }
     }
   }
@@ -346,6 +360,103 @@ class TableMicroBatchStream(root: String, schema: StructType,
         }
       planned.map(f =>
         TableFilePartition(new java.io.File(root, f).toString, v))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TableFileReaderFactory(schema)
+}
+
+/** Streaming source over a SEGMENTED table (r18, VERDICT item 2 —
+  * GraftCatalog's hard refusal lifted): large-scale ingest lands in
+  * segments, and segments make the incremental reader structurally
+  * SIMPLER than the flat one — each version appends exactly ONE
+  * immutable segment and carries the prior refs verbatim, so the
+  * per-version admission unit IS the new segment(s): diff the ref
+  * path sets (one manifest parse), list the new segments' files (one
+  * metadata read per new segment), emit one partition per file. No
+  * data-changing / schema-changing commit kinds exist on segmented
+  * tables (appendSegment[Partitioned] are the only writers), so the
+  * flat source's ignoreChanges/widen machinery has nothing to do
+  * here. Offsets are the same log versions; the vacuum-adjacent
+  * resume rules mirror the flat source exactly. The `partitionFilter`
+  * option is HONORED (r18 pin): admitted files prune by their
+  * segment-recorded layout entries with the flat source's advisory
+  * semantics — a file without an entry always emits, so a
+  * subscription can only narrow what it provably may. */
+class SegmentedTableMicroBatchStream(root: String, schema: StructType,
+    startingVersion: Long, partFilters: Map[String, Set[String]] = Map.empty)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
+  private def head: Long = CommitLog.latestVersion(root).getOrElse(-1L)
+  @volatile private var availableNowEnd: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(head)
+  override def initialOffset(): Offset = TableVersionOffset(startingVersion - 1)
+  override def latestOffset(): Offset =
+    TableVersionOffset(availableNowEnd.getOrElse(head))
+  // one VERSION (= one segment) per micro-batch, the flat source's
+  // admission granule: a backlog drains with checkpoint progress
+  // after each version, never as one table-sized batch
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[TableVersionOffset].v
+    val end = availableNowEnd.getOrElse(head)
+    TableVersionOffset(math.min(s + 1, end))
+  }
+  override def deserializeOffset(json: String): Offset =
+    TableVersionOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[TableVersionOffset].v
+    val e = end.asInstanceOf[TableVersionOffset].v
+    var before: Set[String] =
+      if (s < 0) Set.empty
+      else if (CommitLog.manifestExists(root, s))
+        CommitLog.segmentsOf(root, s).map(_.path).toSet
+      else if (s == startingVersion - 1) Set.empty
+      else throw new IllegalStateException(
+        s"graft-table: checkpoint resumes at version ${s + 1} but " +
+          s"version $s's manifest was vacuumed — the segment diff is " +
+          "unrecoverable. Start a FRESH checkpoint with " +
+          "startingVersion at or above the vacuum retention floor.")
+    ((s + 1) to e).flatMap { v =>
+      val segs = CommitLog.segmentsOf(root, v)
+      val added = segs.filterNot(sr => before(sr.path))
+      before = segs.map(_.path).toSet
+      added.flatMap { sr =>
+        val files = CommitLog.segmentEntries(root, sr.path)._1
+        val planned =
+          if (partFilters.isEmpty) files
+          else {
+            // same advisory subscription semantics as the flat source:
+            // resolve option suffixes against the RECORDED layout
+            // columns case-insensitively, intersect duplicate keys,
+            // warn once on a column no segment records
+            val lay = CommitLog.segmentLayouts(root, sr.path)
+            val recorded = lay.values.flatten.map(_._1).toSet
+            val byLower = recorded.groupBy(_.toLowerCase(java.util.Locale.ROOT))
+            val resolved = partFilters.toSeq.map { case (c, vs) =>
+              byLower.get(c.toLowerCase(java.util.Locale.ROOT)) match {
+                case Some(cols) if cols.size == 1 => cols.head -> vs
+                case Some(_) => c -> vs // ambiguous casing: keep verbatim
+                case None => GraftStreamPrune.warnUnmatched(root, c); c -> vs
+              }
+            }.groupMapReduce(_._1)(_._2)(_ intersect _)
+            val keep = files.filter { f =>
+              lay.get(f) match {
+                case Some(pairs) => pairs.forall { case (c, vv) =>
+                  resolved.get(c).forall(_.contains(vv)) }
+                case None => true
+              }
+            }
+            GraftStreamPrune.record(root, v, files.size, keep.size)
+            keep
+          }
+        planned.map(f =>
+          TableFilePartition(new java.io.File(root, f).toString, v))
+      }
     }.toArray
   }
 

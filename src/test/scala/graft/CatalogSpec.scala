@@ -2202,13 +2202,14 @@ class CatalogSpec extends SparkSpec {
     val qa = spark.sql(s"SELECT COUNT(*) AS n FROM $cat.seg")
     assert(qa.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
     assert(qa.collect()(0).getLong(0) === ev.count())
-    // streaming a segmented table refuses loudly
-    val err = intercept[Exception] {
-      spark.readStream.format("graft.sources.TableStreamProvider")
-        .option("path", root).load().writeStream
-        .format("noop").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start().awaitTermination()
-    }
-    assert(err.getMessage != null)
+    // streaming a segmented table WORKS since r18 (per-segment
+    // version-diff admission; the dedicated r18 StreamingSpec test
+    // pins the incremental contracts) — the r16 hard refusal is gone
+    spark.readStream.format("graft.sources.TableStreamProvider")
+      .option("path", root).load().writeStream
+      .format("noop")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
   }
 
   test("segmented metadata answers: COUNT(*)/stats-MIN/MAX from the manifest, segment-first LIMIT prefix, pre-r17 manifests refuse (r17)") {
@@ -2245,9 +2246,15 @@ class CatalogSpec extends SparkSpec {
     assert(!qv.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
     assert(qv.collect()(0).getDouble(0) ===
       ev.agg(min(col("value"))).collect()(0).getDouble(0))
-    // COUNT(c) refuses (segments record no null counts)
+    // COUNT(statsCol) answers from the per-segment null totals since
+    // r18; COUNT of any OTHER column still refuses (no null counts
+    // recorded for it by design)
     val qc = spark.sql(s"SELECT COUNT(event_id) AS n FROM $cat.sega")
-    assert(!qc.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
+    assert(qc.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
+    assert(qc.collect()(0).getLong(0) === ev.count())
+    val qcv = spark.sql(s"SELECT COUNT(value) AS n FROM $cat.sega")
+    assert(!qcv.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
+    assert(qcv.collect()(0).getLong(0) === ev.count())
     // LIMIT prefix is segment-first: whole segment 1 off the manifest
     // row total, only segment 2 opens per-file counts
     val c1 = ev.filter(col("event_id") <= s1).count()
@@ -2556,8 +2563,9 @@ class CatalogSpec extends SparkSpec {
       .select(col("event_id"), col("user_id"), col("value"))
       .withColumn("day", (col("event_id") % 7).cast("string"))
     CommitLog.appendPartitioned(spark, root, ev, "day", filesPerPartition = 1)
-    assert(CommitLog.tableProperty(root, "layout.valueGuard").contains("true"),
-      "the guarded chokepoint must stamp a freshly-staged table")
+    assert(CommitLog.tableProperty(root, "layout.valueGuard").contains("0"),
+      "the guarded chokepoint must stamp a freshly-staged table with " +
+        "its first guarded version (r18: version-scoped stamp)")
     def residuals(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.optimizedPlan.collect {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
@@ -2595,6 +2603,67 @@ class CatalogSpec extends SparkSpec {
       filesPerPartition = 1)
     assert(CommitLog.tableProperty(root, "layout.valueGuard").isEmpty,
       "a table with pre-guard layout text must stay unstamped forever")
+  }
+
+  test("the guard stamp is version-scoped: a read pinned below the stamping version stays advisory (r18)") {
+    // THE TIME-TRAVEL HOLE the r17 table-scoped stamp left (r17
+    // VERDICT "What's wrong" #2): pre-guard layout text at v0,
+    // truncated away at v1 (so the latest version carries no layouts
+    // and the stamp's prior-layout check passes), then a guarded
+    // append at v2 stamps the table. A `VERSION AS OF 0` read must
+    // NOT consume/exclude on v0's unguarded text — the stamp records
+    // the first GUARDED version, and pruneMetaOf treats any pinned
+    // version below it as unguarded.
+    val (cat, base) = freshCatalog()
+    val root = new java.io.File(base, "vs").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("day", (col("event_id") % 7).cast("string"))
+    CommitLog.appendPartitioned(spark, root, ev, "day", filesPerPartition = 1)
+    // simulate the PRE-GUARD writer: strip the stamp the chokepoint
+    // wrote for v0 (and bump the manifest identity so no cached
+    // guarded PruneMeta survives — in production the pre-guard text
+    // would simply never have been stamped)
+    val pf = new java.io.File(root, "_graft_log/_properties.json")
+    val props = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(pf.toPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    props.remove("layout.valueGuard")
+    java.nio.file.Files.writeString(pf.toPath, props.toString)
+    val mf = new java.io.File(root, "_graft_log/v000000000.json")
+    assert(mf.setLastModified(mf.lastModified() + 2000))
+    // v1: overwrite UNPARTITIONED — the latest version now records no
+    // layout text, so the next guarded layout write may stamp
+    CommitLog.overwrite(spark, root, ev.limit(50), nFiles = 1)
+    // v2: a guarded PARTITIONED overwrite stamps — with ITS version —
+    // and leaves a head snapshot every file of which carries a layout
+    // (a plain append would leave v1's layout-less files live and the
+    // head could not consume either)
+    CommitLog.overwrite(spark, root, ev.limit(20), nFiles = 1,
+      partCol = Some("day"))
+    assert(CommitLog.tableProperty(root, "layout.valueGuard").contains("2"),
+      "the stamp must record the first guarded version")
+    def residuals(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+      }
+    // head (v2, at/above the stamp): the layout-exact filter consumes
+    val qh = spark.sql(s"SELECT event_id FROM $cat.vs WHERE day = '3'")
+    assert(residuals(qh).isEmpty,
+      "a read at the stamping version must consume")
+    assert(qh.count() === ev.limit(20).filter(col("day") === "3").count())
+    // pinned BELOW the stamp (v0 — pre-guard layout text): the same
+    // filter stays RESIDUAL and exact, and no metadata aggregate
+    // may claim it
+    val q0 = spark.sql(s"SELECT event_id FROM $cat.vs VERSION AS OF 0 " +
+      "WHERE day = '3'")
+    assert(residuals(q0).nonEmpty,
+      "a read pinned below the stamping version must stay advisory")
+    assert(q0.count() === ev.filter(col("day") === "3").count())
+    val qa = spark.sql(s"SELECT COUNT(*) AS n FROM $cat.vs VERSION AS OF 0 " +
+      "WHERE day = '3'")
+    assert(!qa.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
+    assert(qa.collect()(0).getLong(0) === ev.filter(col("day") === "3").count())
   }
 
   test("a filtered readStream.table on a consumable layout column streams exactly — streaming scans never see consumption (r17)") {
@@ -2671,6 +2740,156 @@ class CatalogSpec extends SparkSpec {
     assert(scanOf(q2).plannedFiles._2.size === 8,
       "an unstamped table's probes must skip nothing")
     assert(q2.count() === ev.filter(col("day").startsWith("3")).count())
+  }
+
+  test("range/suffix/substring probes enumerate the recorded universe under COLUMN semantics and consume on guarded identity layouts (r18)") {
+    val (cat, base) = freshCatalog()
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+            if r.scan.isInstanceOf[graft.sources.GraftBatchScan] =>
+          r.scan.asInstanceOf[graft.sources.GraftBatchScan]
+      }.head
+    def residuals(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+      }
+    // LONG identity layout: 13 value groups (0..12) + the sentinel
+    val root = new java.io.File(base, "rng").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value"))
+      .withColumn("num", when(col("event_id") % 11 === 0, lit(null))
+        .otherwise((col("event_id") % 13).cast("long")))
+    CommitLog.appendPartitioned(spark, root, ev, "num", filesPerPartition = 1)
+    // numeric semantics: num <= 10 keeps 11 of 14 files — a TEXT
+    // compare would keep {"0","1","10"} only; the sentinel (NULL
+    // group) never matches a range
+    val q = spark.sql(s"SELECT event_id FROM $cat.rng WHERE num <= 10")
+    val (total, keep) = scanOf(q).plannedFiles
+    assert(total === 14 && keep.size === 11, s"($total, ${keep.size})")
+    assert(q.count() === ev.filter(col("num") <= 10).count())
+    // CONSUMED: file membership is row membership on the guarded
+    // identity layout — no residual Filter remains, result exact
+    assert(residuals(q).isEmpty,
+      "a range on a guarded identity layout column must consume")
+    // strict bound + composition into the metadata aggregate: ONE
+    // manifest parse answers the filtered COUNT(*)
+    val qm = spark.sql(s"SELECT COUNT(*) AS n FROM $cat.rng WHERE num > 7")
+    assert(qm.queryExecution.executedPlan.toString.contains("metadata-aggregate"),
+      "a consumed range filter must compose into the metadata aggregate")
+    assert(qm.collect()(0).getLong(0) === ev.filter(col("num") > 7).count())
+    // BETWEEN arrives as And(>=, <=): the probes intersect to 6 groups
+    val qb = spark.sql(s"SELECT event_id FROM $cat.rng WHERE num BETWEEN 5 AND 10")
+    assert(scanOf(qb).plannedFiles._2.size === 6)
+    assert(qb.count() === ev.filter(col("num").between(5, 10)).count())
+    // one unparseable recorded spelling ("03" aliases "3") refuses the
+    // WHOLE enumeration — never a partial match set
+    val foreign = graft.sources.GraftFilterPushdown.translate(
+      Seq(org.apache.spark.sql.sources.LessThanOrEqual("num", 10L)),
+      graft.sources.GraftFilterPushdown.PruneMeta(
+        layoutCols = Set("num"), tags = Map.empty, legacyCol = None,
+        layoutValues = Map("num" -> Set("1", "03", "5")), guarded = true))
+    assert(foreign.isEmpty,
+      "a non-canonical recorded spelling must refuse the range enumeration")
+    // STRING layout: suffix / substring / UTF-8-ordered range
+    val root2 = new java.io.File(base, "rng2").toString
+    val ev2 = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value"))
+      .withColumn("grp", concat(
+        when(col("event_id") % 4 < 2, lit("a")).otherwise(lit("b")),
+        (col("event_id") % 2).cast("string")))
+    CommitLog.appendPartitioned(spark, root2, ev2, "grp", filesPerPartition = 1)
+    val qs = spark.sql(s"SELECT event_id FROM $cat.rng2 WHERE grp LIKE '%1'")
+    assert(scanOf(qs).plannedFiles._2.size === 2, "suffix keeps a1, b1")
+    assert(residuals(qs).isEmpty, "a suffix on a guarded identity layout consumes")
+    assert(qs.count() === ev2.filter(col("grp").endsWith("1")).count())
+    val qc = spark.sql(s"SELECT event_id FROM $cat.rng2 WHERE grp LIKE '%0%'")
+    assert(scanOf(qc).plannedFiles._2.size === 2, "substring keeps a0, b0")
+    assert(qc.count() === ev2.filter(col("grp").contains("0")).count())
+    val qr = spark.sql(s"SELECT event_id FROM $cat.rng2 WHERE grp >= 'b'")
+    assert(scanOf(qr).plannedFiles._2.size === 2, "UTF-8 order keeps b0, b1")
+    assert(qr.count() === ev2.filter(col("grp") >= "b").count())
+  }
+
+  test("segmented partition layouts: two-level pruning, pre-r18 refs unprunable, spec mixing refused, marker-gated TopN/COUNT(col) (r18)") {
+    val (cat, base) = freshCatalog()
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+            if r.scan.isInstanceOf[graft.sources.GraftBatchScan] =>
+          r.scan.asInstanceOf[graft.sources.GraftBatchScan]
+      }.head
+    val root = new java.io.File(base, "sp").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("day", (col("event_id") % 7).cast("string"))
+    // seg1 = days 0..3 (4 files), seg2 = days 4..6 (3 files)
+    CommitLog.appendSegmentPartitioned(spark, root,
+      ev.filter(col("event_id") % 7 <= 3), Seq("day"), 1, "event_id")
+    val head = CommitLog.appendSegmentPartitioned(spark, root,
+      ev.filter(col("event_id") % 7 > 3), Seq("day"), 1, "event_id")
+    // two-level: day='5' opens ONLY seg2 and plans its one day file
+    val q = spark.sql(s"SELECT event_id FROM $cat.sp WHERE day = '5'")
+    val (total, keep) = scanOf(q).plannedFiles
+    assert(total === 7 && keep.size === 1, s"($total, ${keep.size})")
+    assert(q.count() === ev.filter(col("day") === "5").count())
+    val (_, _, segsTotal, segsRead) = CommitLog.segmentedPrunedFilesTree(root,
+      head, CommitLog.ProbeTree(Seq("day" -> Set("5")), Nil))
+    assert(segsTotal === 2 && segsRead === 1)
+    // layout probes intersect the bounds prune: day='5' AND an id
+    // range covering only seg2's ids still plans 1 file, 1 segment
+    // (both decide at segment level)
+    // estimateStatistics: the layout-filtered scan reports the
+    // surviving segment's bytes, not the table's
+    val statsAll = scanOf(spark.sql(s"SELECT event_id FROM $cat.sp"))
+      .estimateStatistics().sizeInBytes().getAsLong
+    val statsDay = scanOf(q).estimateStatistics().sizeInBytes().getAsLong
+    assert(statsDay < statsAll,
+      "a layout-pruned segmented scan must report pruned statistics")
+    // SPEC MIXING refuses loudly, in all three directions
+    val e1 = intercept[IllegalArgumentException] {
+      CommitLog.appendSegment(spark, root, ev.limit(5), 1, "event_id")
+    }
+    assert(e1.getMessage.contains("appendSegmentPartitioned"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      CommitLog.appendSegmentPartitioned(spark, root, ev.limit(5),
+        Seq("user_id"), 1, "event_id")
+    }
+    assert(e2.getMessage.contains("one partition spec"), e2.getMessage)
+    val rootPlain = new java.io.File(base, "spp").toString
+    CommitLog.appendSegment(spark, rootPlain,
+      ev.select(col("event_id"), col("value")), 1, "event_id")
+    val e3 = intercept[IllegalArgumentException] {
+      CommitLog.appendSegmentPartitioned(spark, rootPlain,
+        ev.select(col("event_id"), col("value")), Seq("event_id"), 1,
+        "event_id")
+    }
+    assert(e3.getMessage.contains("UNPARTITIONED"), e3.getMessage)
+    // PRE-r18 REFS: strip the lv/nNulls markers from the manifest (a
+    // pre-r18 writer never recorded them) — layout probes contribute
+    // nothing (all 7 files plan, result exact), TopN and COUNT(col)
+    // refuse rather than answer from absent metadata
+    val mf = new java.io.File(root, f"_graft_log/v${head}%09d.json")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(mf.toPath))
+    node.get("segments").forEach { sn =>
+      val on = sn.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      on.remove("lv"); on.remove("nNulls"); ()
+    }
+    java.nio.file.Files.writeString(mf.toPath, node.toString)
+    assert(mf.setLastModified(mf.lastModified() + 2000))
+    val q2 = spark.sql(s"SELECT event_id FROM $cat.sp WHERE day = '5'")
+    assert(scanOf(q2).plannedFiles._2.size === 7,
+      "pre-r18 segment refs must stay layout-unprunable")
+    assert(q2.count() === ev.filter(col("day") === "5").count())
+    assert(CommitLog.segmentedTopNFiles(root, head, "event_id",
+      asc = false, 3).isEmpty,
+      "TopN must refuse when any segment lacks the r18 null marker")
+    assert(CommitLog.segmentedCountCol(root, head).isEmpty,
+      "COUNT(col) must refuse when any segment lacks the r18 null marker")
+    val qc = spark.sql(s"SELECT COUNT(event_id) AS n FROM $cat.sp")
+    assert(!qc.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
+    assert(qc.collect()(0).getLong(0) === ev.count())
   }
 
   test("a table root deleted and re-staged at the same path never serves the old table's prune metadata (r17)") {

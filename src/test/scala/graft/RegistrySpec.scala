@@ -175,7 +175,13 @@ class RegistrySpec extends SparkSpec {
       // r17: segmented metadata answers (per-segment row/byte totals →
       // COUNT(*) + stats-column MIN/MAX + the segment-first LIMIT
       // prefix), prefix probes by layout-value enumeration
-      "q_sql_table_seg_agg", "q_sql_table_prune_prefix")
+      "q_sql_table_seg_agg", "q_sql_table_prune_prefix",
+      // r18: segmentation composed with partition layouts (two-level
+      // layout pruning), segmented streaming, generalized enumeration
+      // probes (range/suffix/substring) with consumption, segmented
+      // TopN + COUNT(col)
+      "q_sql_table_seg_prune_part", "s_table_stream_segmented",
+      "q_sql_table_prune_range", "q_sql_table_seg_topn")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }

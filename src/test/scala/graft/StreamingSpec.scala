@@ -1757,6 +1757,73 @@ class StreamingSpec extends SparkSpec {
       "startingVersion did not scope the fresh checkpoint to the tail")
   }
 
+  test("segmented tables stream: per-segment admission, delta-only restarts, startingVersion, partitionFilter honored, readChangeFeed refused (r18)") {
+    import graft.sources.{CommitLog, Tables}
+    val root = java.nio.file.Files.createTempDirectory("graft_sseg_spec").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value")).limit(400)
+      .withColumn("day", (col("event_id") % 3).cast("string"))
+    val out = java.nio.file.Files.createTempDirectory("graft_sseg_out").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_sseg_ck").toString
+    def drain(o: String = out, c: String = ck,
+        extra: Map[String, String] = Map.empty): Unit = {
+      var r = spark.readStream.format("graft.sources.TableStreamProvider")
+        .option("path", root)
+      extra.foreach { case (k, v) => r = r.option(k, v) }
+      r.load().writeStream.format("parquet")
+        .option("path", o).option("checkpointLocation", c)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def emitted(): Long = spark.read.parquet(out).count()
+    CommitLog.appendSegmentPartitioned(spark, root,
+      ev.filter(col("event_id") % 4 === 0), Seq("day"), 1, "event_id")
+    CommitLog.appendSegmentPartitioned(spark, root,
+      ev.filter(col("event_id") % 4 === 1), Seq("day"), 1, "event_id")
+    drain()
+    val n01 = ev.filter(col("event_id") % 4 <= 1).count()
+    assert(emitted() === n01, "first drain must deliver both segments")
+    // a checkpointed restart after a THIRD segment delivers ONLY it —
+    // the admission unit is the version's new segment ref
+    CommitLog.appendSegmentPartitioned(spark, root,
+      ev.filter(col("event_id") % 4 === 2), Seq("day"), 1, "event_id")
+    drain()
+    val n012 = ev.filter(col("event_id") % 4 <= 2).count()
+    assert(emitted() === n012, "restart did not deliver exactly the delta")
+    assert(spark.read.parquet(out).select(col("event_id")).distinct().count()
+      === n012, "duplicate rows across restarts")
+    // partitionFilter is HONORED (the r18 pin): a fresh checkpoint
+    // subscribed to day=1 reads exactly that partition's rows of every
+    // admitted segment (all files carry layouts here, so the advisory
+    // prune is exact)
+    val outP = java.nio.file.Files.createTempDirectory("graft_sseg_outp").toString
+    val ckP = java.nio.file.Files.createTempDirectory("graft_sseg_ckp").toString
+    drain(outP, ckP, Map("partitionFilter.day" -> "1"))
+    assert(spark.read.parquet(outP).count() ===
+      ev.filter(col("event_id") % 4 <= 2 && col("event_id") % 3 === 1).count(),
+      "partitionFilter did not scope the segmented stream to the partition")
+    // startingVersion scopes a fresh checkpoint to the tail segment
+    val outS = java.nio.file.Files.createTempDirectory("graft_sseg_outs").toString
+    val ckS = java.nio.file.Files.createTempDirectory("graft_sseg_cks").toString
+    drain(outS, ckS, Map("startingVersion" -> "2"))
+    assert(spark.read.parquet(outS).count() ===
+      ev.filter(col("event_id") % 4 === 2).count(),
+      "startingVersion did not scope the fresh checkpoint")
+    // readChangeFeed on a segmented table refuses loudly — segments
+    // record no CDF files (append-only; the plain stream IS the feed)
+    val outC = java.nio.file.Files.createTempDirectory("graft_sseg_outc").toString
+    val ckC = java.nio.file.Files.createTempDirectory("graft_sseg_ckc").toString
+    val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      spark.readStream.format("graft.sources.TableStreamProvider")
+        .option("path", root).option("readChangeFeed", "true")
+        .load().writeStream.format("parquet")
+        .option("path", outC).option("checkpointLocation", ckC)
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def deepMsg(t: Throwable): String =
+      if (t == null) "" else Option(t.getMessage).getOrElse("") + deepMsg(t.getCause)
+    assert(deepMsg(err).contains("SEGMENTED"), deepMsg(err))
+  }
+
   test("graft-table source: rename is skipped mid-stream; a fresh stream reads the mapped schema (r10)") {
     import graft.sources.{CommitLog, Tables}
     val root = java.nio.file.Files.createTempDirectory("graft_tsm_spec").toString
