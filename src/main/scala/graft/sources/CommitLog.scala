@@ -3837,10 +3837,27 @@ object CommitLog {
         s"(e.g. ${missing.headOption.getOrElse("")}); restore only " +
         "reaches versions inside the vacuum retention floor")
     val (statsCol, stats) = snapshotStatsOf(root, toVersion)
+    // A restore RE-COMMITS the target's aux — including its layout
+    // text — at a NEW (at-or-above-stamp) version, which would defeat
+    // the version-scoped `layout.valueGuard` (r18 review find): text
+    // from a pre-stamp version the guard never inspected would plan
+    // as guarded, and a consumed probe on it could return wrong rows.
+    // So restoring layout text from BELOW the stamping version (or
+    // under the unscoped legacy "true" stamp, whose coverage start is
+    // unknowable) drops the stamp — consumption/exclusions on this
+    // table become advisory forever, the pre-guard-table rule. The
+    // stamp never re-applies: the chokepoint refuses to stamp while
+    // prior layout text exists.
+    val restoredAux = auxOf(root, toVersion)
+    if (restoredAux.partCol.isDefined || restoredAux.layouts.nonEmpty) {
+      val preStamp = tableProperty(root, "layout.valueGuard").exists(s =>
+        s == "true" || s.toLongOption.exists(toVersion < _))
+      if (preStamp) removeTableProperty(root, "layout.valueGuard")
+    }
     commit(root, files, Some(prev), op = "restore",
       statsCol = statsCol, stats = stats,
       schemaJson = snapshotSchemaOf(root, toVersion).map(_.json),
-      extra = auxExtra(auxOf(root, toVersion)))
+      extra = auxExtra(restoredAux))
   }
 
   /** Layout maintenance across CoW rewrites (r10) — the
@@ -4403,12 +4420,31 @@ object CommitLog {
     }
   }
 
+  /** Parsed segment-file cache (r18 review find): a segment file is
+    * IMMUTABLE — written once under a fresh UUID name, never reopened
+    * on the write path — so its parse is cacheable forever, and the
+    * UUID naming means a vacuumed/re-staged root can never alias an
+    * entry. Without this, one partition-filtered plan of a segmented
+    * scan read + Jackson-parsed the same segment JSON twice per
+    * surviving segment (entries, then layouts), and again on every
+    * plannedFiles invocation (planning, statistics, EXPLAIN).
+    * Bounded like the PruneMeta cache: cleared wholesale past 4096
+    * entries (re-computable). */
+  private val segNodeCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), com.fasterxml.jackson.databind.JsonNode]()
+  private def segmentNode(root: String,
+      segPath: String): com.fasterxml.jackson.databind.JsonNode = {
+    val key = (new java.io.File(root).getCanonicalPath, segPath)
+    if (segNodeCache.size > 4096) segNodeCache.clear()
+    segNodeCache.computeIfAbsent(key, _ => mapper.readTree(
+      java.nio.file.Files.readString(
+        new java.io.File(logDir(root), segPath).toPath)))
+  }
+
   /** Read one immutable segment file: (relative data-file paths,
     * per-file stats). */
   def segmentEntries(root: String, segPath: String): (Seq[String], Map[String, (Long, Long)]) = {
-    val node = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(java.nio.file.Files.readString(
-        new java.io.File(logDir(root), segPath).toPath))
+    val node = segmentNode(root, segPath)
     val files = node.get("files")
     val fs = (0 until files.size()).map(i => files.get(i).asText())
     val stats = Option(node.get("stats")).map { st =>
@@ -4427,28 +4463,8 @@ object CommitLog {
     * appendSegment alongside the stats); empty for pre-r17 segments,
     * and every consumer treats a missing count as a refusal. */
   def segmentEntryRows(root: String, segPath: String): Map[String, Long] = {
-    val node = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(java.nio.file.Files.readString(
-        new java.io.File(logDir(root), segPath).toPath))
+    val node = segmentNode(root, segPath)
     Option(node.get("rows")).map { st =>
-      val it = st.fields()
-      val b = Map.newBuilder[String, Long]
-      while (it.hasNext) {
-        val e = it.next()
-        b += e.getKey -> e.getValue.asLong()
-      }
-      b.result()
-    }.getOrElse(Map.empty)
-  }
-
-  /** Per-file NULL counts on the stats column of one segment file
-    * (r18 — written alongside the stats); empty for pre-r18 segments,
-    * and every consumer treats a missing count as a refusal. */
-  def segmentEntryNulls(root: String, segPath: String): Map[String, Long] = {
-    val node = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(java.nio.file.Files.readString(
-        new java.io.File(logDir(root), segPath).toPath))
-    Option(node.get("nulls")).map { st =>
       val it = st.fields()
       val b = Map.newBuilder[String, Long]
       while (it.hasNext) {
@@ -4465,9 +4481,7 @@ object CommitLog {
     * manifests' `layouts` field uses); empty for pre-r18 or
     * unpartitioned segments — their files are layout-unprunable. */
   def segmentLayouts(root: String, segPath: String): Map[String, Seq[(String, String)]] = {
-    val node = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(java.nio.file.Files.readString(
-        new java.io.File(logDir(root), segPath).toPath))
+    val node = segmentNode(root, segPath)
     Option(node.get("layouts")).map { p =>
       val it = p.fields()
       val b = Map.newBuilder[String, Seq[(String, String)]]
@@ -4482,11 +4496,8 @@ object CommitLog {
 
   /** The partition spec one segment file was staged under (r18);
     * None = plain appendSegment. */
-  def segmentPartCols(root: String, segPath: String): Option[String] = {
-    val node = mapper.readTree(java.nio.file.Files.readString(
-      new java.io.File(logDir(root), segPath).toPath))
-    Option(node.get("partCols")).map(_.asText())
-  }
+  def segmentPartCols(root: String, segPath: String): Option[String] =
+    Option(segmentNode(root, segPath).get("partCols")).map(_.asText())
 
   /** Segment refs of `version` surviving a BOUNDS-level prune under
     * Long range probes on the segment stats column — the first level
@@ -4753,15 +4764,23 @@ object CommitLog {
       stats.toSeq.sortBy(_._1).map { case (f, (lo, hi)) =>
         s""""$f":[$lo,$hi]""" }.mkString(",") +
       s"""},"rows":{""" +
-      staged.sorted.map(f => s""""$f":${sized.rows(f)}""").mkString(",") +
-      s"""},"nulls":{""" +
-      staged.sorted.map(f => s""""$f":${nulls(f)}""").mkString(",") + "}" +
+      staged.sorted.map(f => s""""$f":${sized.rows(f)}""").mkString(",") + "}" +
       layoutJson + "}"
     java.nio.file.Files.writeString(
       new java.io.File(logDir(root), segName).toPath, segJson)
     val bounds =
       if (stats.isEmpty) None
       else Some((stats.values.map(_._1).min, stats.values.map(_._2).max))
+    // the per-SEGMENT null total (what COUNT(col)/TopN consume): None
+    // — refuse the marker, never the commit — if any staged file's
+    // null count could not be attributed (the input_file_name →
+    // staged-path round trip is best-effort, exactly the stat-less-
+    // file discipline perFileStats has always kept; r18 review find:
+    // an unguarded map lookup here turned that tolerance into a
+    // commit-failing NoSuchElementException)
+    val nNulls =
+      if (staged.forall(nulls.contains)) Some(staged.map(nulls).sum)
+      else None
     // the segment's layout-value UNIVERSE per column — what the
     // manifest-level (segment-skipping) partition probe consults
     val universe: Map[String, Set[String]] =
@@ -4771,7 +4790,7 @@ object CommitLog {
     publish(root, next, renderSegmentManifest(next, "append",
       prevSegs :+ SegmentRef(segName, staged.size, bounds,
         Some(staged.map(sized.rows).sum), Some(staged.map(sized.sizes).sum),
-        universe, Some(staged.map(nulls).sum)),
+        universe, nNulls),
       schemaJson = schemaOrRecord(root, prev, df)))
     maybeCheckpoint(root, next) // summarize() reads segment manifests too
     next
@@ -4842,11 +4861,8 @@ object CommitLog {
       segmentStatsColOf(root, sr.path))
 
   /** One segment file's own recorded stats column. */
-  private def segmentStatsColOf(root: String, segPath: String): Option[String] = {
-    val node = mapper.readTree(java.nio.file.Files.readString(
-      new java.io.File(logDir(root), segPath).toPath))
-    Option(node.get("statsCol")).map(_.asText())
-  }
+  private def segmentStatsColOf(root: String, segPath: String): Option[String] =
+    Option(segmentNode(root, segPath).get("statsCol")).map(_.asText())
 
   /** Whether `version`'s per-segment bounds may be treated as ONE
     * column's — [[segmentStatsCol]]'s, read off the FIRST segment

@@ -344,7 +344,11 @@ class GraftCatalogTable(root: String, version: Long, tblName: String,
         else CommitLog.snapshotFiles(root, version)
       require(files.nonEmpty,
         s"$name: empty snapshot with no recorded schema — nothing to infer from")
-      SparkSession.active.read.parquet(files: _*).schema
+      // mergeSchema: the fallback's whole point is the UNION schema —
+      // without it Spark infers from one footer and columns present
+      // only in other files/segments silently vanish (r18 review find)
+      SparkSession.active.read.option("mergeSchema", "true")
+        .parquet(files: _*).schema
     }
 
   override def capabilities(): util.Set[TableCapability] =

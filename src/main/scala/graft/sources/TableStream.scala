@@ -78,7 +78,9 @@ class TableStreamProvider extends TableProvider with DataSourceRegister {
           .map(f => new java.io.File(root, f).toString)
         require(files.nonEmpty,
           s"graft-table: $root has no recorded schema and no data files")
-        SparkSession.active.read.parquet(files: _*).schema
+        // mergeSchema: one footer per segment only unions with it
+        SparkSession.active.read.option("mergeSchema", "true")
+          .parquet(files: _*).schema
       } else CommitLog.read(SparkSession.active, root, head).schema
     }
     // readChangeFeed=true (Delta's streaming-CDF option): the stream
@@ -425,7 +427,15 @@ class SegmentedTableMicroBatchStream(root: String, schema: StructType,
       val segs = CommitLog.segmentsOf(root, v)
       val added = segs.filterNot(sr => before(sr.path))
       before = segs.map(_.path).toSet
-      added.flatMap { sr =>
+      // accumulate the version's (candidate, planned) accounting across
+      // ALL its new segments and record ONCE — record() is keyed per
+      // version last-writer-wins, so a per-segment record would lose
+      // all but the last segment of a multi-segment batch (the vacuum
+      // -floor seed admits many segments in one version — r18 review
+      // find)
+      var cand = 0
+      var plan = 0
+      val parts = added.flatMap { sr =>
         val files = CommitLog.segmentEntries(root, sr.path)._1
         val planned =
           if (partFilters.isEmpty) files
@@ -451,12 +461,15 @@ class SegmentedTableMicroBatchStream(root: String, schema: StructType,
                 case None => true
               }
             }
-            GraftStreamPrune.record(root, v, files.size, keep.size)
+            cand += files.size
+            plan += keep.size
             keep
           }
         planned.map(f =>
           TableFilePartition(new java.io.File(root, f).toString, v))
       }
+      if (partFilters.nonEmpty) GraftStreamPrune.record(root, v, cand, plan)
+      parts
     }.toArray
   }
 

@@ -2664,6 +2664,34 @@ class CatalogSpec extends SparkSpec {
       "WHERE day = '3'")
     assert(!qa.queryExecution.executedPlan.toString.contains("metadata-aggregate"))
     assert(qa.collect()(0).getLong(0) === ev.filter(col("day") === "3").count())
+    // a RESTORE to the pre-stamp version re-commits its unguarded
+    // layout text at a new (above-stamp) version — the stamp must
+    // DROP (r18 review find: version numbering alone would have
+    // served the resurrected text as guarded), and it never
+    // re-applies while layout text exists
+    CommitLog.restore(root, 0L)
+    assert(CommitLog.tableProperty(root, "layout.valueGuard").isEmpty,
+      "restoring pre-stamp layout text must drop the stamp")
+    val qr = spark.sql(s"SELECT event_id FROM $cat.vs WHERE day = '3'")
+    assert(residuals(qr).nonEmpty,
+      "post-restore reads must stay advisory")
+    assert(qr.count() === ev.filter(col("day") === "3").count())
+    CommitLog.appendPartitioned(spark, root, ev.limit(5), "day",
+      filesPerPartition = 1)
+    assert(CommitLog.tableProperty(root, "layout.valueGuard").isEmpty,
+      "the stamp must not re-apply over resurrected pre-guard text")
+    // control: a table whose WHOLE history is guarded keeps its stamp
+    // across restore — toVersion is at/above the stamping version
+    val root2 = new java.io.File(base, "vs2").toString
+    CommitLog.appendPartitioned(spark, root2, ev, "day", filesPerPartition = 1)
+    CommitLog.appendPartitioned(spark, root2, ev.limit(10), "day",
+      filesPerPartition = 1)
+    CommitLog.restore(root2, 0L)
+    assert(CommitLog.tableProperty(root2, "layout.valueGuard").contains("0"),
+      "restore within guarded history must keep the stamp")
+    val qk = spark.sql(s"SELECT event_id FROM $cat.vs2 WHERE day = '3'")
+    assert(residuals(qk).isEmpty, "guarded-history restore keeps consuming")
+    assert(qk.count() === ev.filter(col("day") === "3").count())
   }
 
   test("a filtered readStream.table on a consumable layout column streams exactly — streaming scans never see consumption (r17)") {
