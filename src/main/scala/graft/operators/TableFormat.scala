@@ -389,6 +389,72 @@ object TableFormat {
           lit(plannedN.size.toLong).as("n_files_nonlayout"),
           col("n_rows_day"), col("sum_value_day")))
     },
+    "q_sql_table_seg_agg_part" -> { (s, dir) =>
+      // SEGMENTED CONSUMPTION + FILTERED/GROUPED METADATA AGGREGATES
+      // (r18 — the composition closing what seg_prune_part started):
+      // on a partitioned+segmented table whose layout columns are
+      // FULLY covered (every segment ref records their universes —
+      // only the guarded r18 writer does), layout-exact filters are
+      // CONSUMED like the flat path's, and the metadata aggregates
+      // fold the SURVIVING files' per-file rows/stats — O(surviving
+      // segments) metadata reads, never the listing:
+      //   - the partition profile `GROUP BY day` answers from segment
+      //     metadata (one row per recorded group incl. the NULL
+      //     sentinel's);
+      //   - `COUNT(*) WHERE day='5'` and the range form
+      //     `MIN/MAX(event_id) WHERE day >= '5'` answer from the
+      //     surviving files' entries (plan-proof flags);
+      //   - `COUNT(*) WHERE day IS NOT NULL` answers via the sentinel
+      //     EXCLUSION — the veto is enforced at both levels of the
+      //     segmented prune, so the consumed filter's file selection
+      //     IS the row set;
+      //   - COUNT of a non-stats column refuses into the exact scan.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_segap")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "tbl").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("day", when(col("event_id") % 11 === 0, lit(null))
+          .otherwise((col("event_id") % 7).cast("string")))
+      CommitLog.appendSegmentPartitioned(s, root,
+        ev.filter(col("event_id") % 7 <= 3), Seq("day"),
+        filesPerPartition = 1, statsCol = "event_id")
+      CommitLog.appendSegmentPartitioned(s, root,
+        ev.filter(col("event_id") % 7 > 3), Seq("day"),
+        filesPerPartition = 1, statsCol = "event_id")
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      def metaFlag(df: org.apache.spark.sql.DataFrame): Long =
+        if (df.queryExecution.executedPlan.toString.contains("metadata-aggregate")) 1L
+        else 0L
+      val qg = s.sql(s"SELECT day, COUNT(*) AS n FROM $cat.tbl GROUP BY day")
+      val groupedFlag = metaFlag(qg)
+      val q5 = s.sql(s"SELECT COUNT(*) AS n FROM $cat.tbl WHERE day = '5'")
+      val day5Flag = metaFlag(q5)
+      val nDay5 = q5.collect()(0).getLong(0)
+      val qr = s.sql(s"SELECT MIN(event_id) AS mn, MAX(event_id) AS mx " +
+        s"FROM $cat.tbl WHERE day >= '5'")
+      val rangeFlag = metaFlag(qr)
+      val rr = qr.collect()(0)
+      val qn = s.sql(s"SELECT COUNT(*) AS n FROM $cat.tbl WHERE day IS NOT NULL")
+      val notnullFlag = metaFlag(qn)
+      val nNotNull = qn.collect()(0).getLong(0)
+      val qv = s.sql(s"SELECT COUNT(value) AS n FROM $cat.tbl WHERE day = '5'")
+      val refusedFlag = 1L - metaFlag(qv)
+      val nValueDay5 = qv.collect()(0).getLong(0)
+      ordered(qg.select(col("day"), col("n"),
+        lit(groupedFlag).as("grouped_from_manifest"),
+        lit(day5Flag).as("day5_from_manifest"),
+        lit(nDay5).as("n_day5"),
+        lit(rangeFlag).as("range_from_manifest"),
+        lit(rr.getLong(0)).as("mn_range"),
+        lit(rr.getLong(1)).as("mx_range"),
+        lit(notnullFlag).as("notnull_from_manifest"),
+        lit(nNotNull).as("n_notnull"),
+        lit(refusedFlag).as("count_col_refused"),
+        lit(nValueDay5).as("n_value_day5")))
+    },
     "q_sql_table_seg_topn" -> { (s, dir) =>
       // SEGMENTED TopN + COUNT(col) (r18, VERDICT item 4): the two
       // remaining refusals that mattered at 10^6 files.
@@ -4554,6 +4620,26 @@ object TableFormat {
         orderByAll("n_files_total", "n_files_day", "n_segs_read_day",
           "n_files_in", "n_files_range", "n_segs_read_range",
           "n_files_nonlayout", "n_rows_day", "sum_value_day")),
+    "q_sql_table_seg_agg_part" ->
+      ("""WITH d AS (SELECT CASE WHEN event_id % 11 = 0 THEN NULL
+        |    ELSE CAST(event_id % 7 AS VARCHAR) END AS day,
+        |    event_id, value FROM events)
+        |SELECT day, COUNT(*) AS n,
+        |  CAST(1 AS BIGINT) AS grouped_from_manifest,
+        |  CAST(1 AS BIGINT) AS day5_from_manifest,
+        |  (SELECT COUNT(*) FROM d WHERE day = '5') AS n_day5,
+        |  CAST(1 AS BIGINT) AS range_from_manifest,
+        |  (SELECT MIN(event_id) FROM d WHERE day >= '5') AS mn_range,
+        |  (SELECT MAX(event_id) FROM d WHERE day >= '5') AS mx_range,
+        |  CAST(1 AS BIGINT) AS notnull_from_manifest,
+        |  (SELECT COUNT(*) FROM d WHERE day IS NOT NULL) AS n_notnull,
+        |  CAST(1 AS BIGINT) AS count_col_refused,
+        |  (SELECT COUNT(value) FROM d WHERE day = '5') AS n_value_day5
+        |FROM d GROUP BY day""".stripMargin +
+        orderByAll("day", "n", "grouped_from_manifest", "day5_from_manifest",
+          "n_day5", "range_from_manifest", "mn_range", "mx_range",
+          "notnull_from_manifest", "n_notnull", "count_col_refused",
+          "n_value_day5")),
     "q_sql_table_seg_topn" ->
       ("""WITH b AS (SELECT MAX(event_id) AS m FROM events),
         |c4 AS (SELECT COUNT(*) AS n FROM events, b

@@ -4517,8 +4517,9 @@ object CommitLog {
     segPrune(root, version, tree)._2
 
   /** The shared SEGMENT-LEVEL prune decision (r18 — partition probes
-    * composed with the bounds prune, VERDICT item 1): a segment
-    * survives iff
+    * composed with the bounds prune, VERDICT item 1; extended to the
+    * FULL ProbeTree for consumption soundness): a segment survives
+    * a node iff
     *   - its aggregated stats bounds overlap every applicable range
     *     probe (probes on the stats column with Long bounds; a
     *     MIXED-stats legacy manifest's bounds belong to different
@@ -4528,30 +4529,43 @@ object CommitLog {
     *     recorded layout-value universe intersects the set — a
     *     segment that records the column but shares no accepted value
     *     holds NO matching file; a segment without a universe for the
-    *     column (pre-r18 / unpartitioned) is unprunable and stays.
-    * Exclusion probes and OR groups contribute nothing here (pruning
-    * only ever widens). Returns (all refs, surviving refs, applicable
-    * range probes, normalized partition probes) so the file-level
-    * pass shares one decision. */
+    *     column (pre-r18 / unpartitioned) is unprunable and stays;
+    *   - for every EXCLUSION probe: some recorded value survives the
+    *     veto (a segment whose whole universe for the column is
+    *     vetoed holds no admissible file — the universe covers every
+    *     staged file's value by construction);
+    *   - every OR group has at least one branch admitting it.
+    * Returns (all refs, surviving refs, the normalized root node, the
+    * range-probe eligibility filter) so the file-level pass shares
+    * one decision. */
+  private[sources] final case class SegNode(
+      want: Map[String, Set[String]], veto: Map[String, Set[String]],
+      ranges: Seq[RangeProbe], ors: Seq[Seq[SegNode]])
   private def segPrune(root: String, version: Long, tree: ProbeTree)
-      : (Seq[SegmentRef], Seq[SegmentRef], Seq[RangeProbe], Map[String, Set[String]]) = {
+      : (Seq[SegmentRef], Seq[SegmentRef], SegNode) = {
     val segs = segmentsOf(root, version)
     val statsCol = segmentStatsCol(root, version)
-    val ps0 = tree.ranges.filter(p => statsCol.contains(p.col) &&
-      p.lo.forall(_.isInstanceOf[Long]) && p.hi.forall(_.isInstanceOf[Long]))
-    val ps =
-      if (ps0.nonEmpty && !segmentStatsTrusted(root, version)) Nil
-      else ps0
-    val parts = tree.parts.groupMapReduce(_._1)(_._2)(_ intersect _)
-    val live = segs.filter { sr =>
-      sr.bounds.forall { case (mn, mx) =>
-        ps.forall(p => p.lo.forall(lo => mx >= lo.asInstanceOf[Long]) &&
-          p.hi.forall(hi => mn <= hi.asInstanceOf[Long]))
-      } && parts.forall { case (c, vs) =>
-        sr.layoutValues.get(c).forall(u => (u intersect vs).nonEmpty)
-      }
+    lazy val trusted = segmentStatsTrusted(root, version)
+    def rangesOf(rs: Seq[RangeProbe]): Seq[RangeProbe] = {
+      val ps = rs.filter(p => statsCol.contains(p.col) &&
+        p.lo.forall(_.isInstanceOf[Long]) && p.hi.forall(_.isInstanceOf[Long]))
+      if (ps.nonEmpty && !trusted) Nil else ps
     }
-    (segs, live, ps, parts)
+    def norm(t: ProbeTree): SegNode = SegNode(
+      t.parts.groupMapReduce(_._1)(_._2)(_ intersect _),
+      t.notParts.groupMapReduce(_._1)(_._2)(_ ++ _),
+      rangesOf(t.ranges), t.ors.map(_.map(norm)))
+    val node = norm(tree)
+    def admits(sr: SegmentRef, n: SegNode): Boolean =
+      sr.bounds.forall { case (mn, mx) =>
+        n.ranges.forall(p => p.lo.forall(lo => mx >= lo.asInstanceOf[Long]) &&
+          p.hi.forall(hi => mn <= hi.asInstanceOf[Long]))
+      } && n.want.forall { case (c, vs) =>
+        sr.layoutValues.get(c).forall(u => (u intersect vs).nonEmpty)
+      } && n.veto.forall { case (c, vs) =>
+        sr.layoutValues.get(c).forall(u => (u -- vs).nonEmpty)
+      } && n.ors.forall(_.exists(admits(sr, _)))
+    (segs, segs.filter(admits(_, node)), node)
   }
 
   /** `COUNT(*)` of a segmented version from the VERSION MANIFEST alone
@@ -4910,25 +4924,54 @@ object CommitLog {
     * contribute nothing here. */
   def segmentedPrunedFilesTree(root: String, version: Long,
       tree: ProbeTree): (Seq[String], Int, Int, Int) = {
-    val (segs, live, ps, parts) = segPrune(root, version, tree)
-    def overlap(mn: Long, mx: Long): Boolean =
-      ps.forall(p => p.lo.forall(lo => mx >= lo.asInstanceOf[Long]) &&
-        p.hi.forall(hi => mn <= hi.asInstanceOf[Long]))
-    val keep = live.flatMap { sr =>
+    val (segs, live, keepBySeg) = segmentedSurvivors(root, version, tree)
+    (keepBySeg.flatMap(_._2.map(_._1)), segs.map(_.nFiles).sum,
+      segs.size, live.size)
+  }
+
+  /** One entry of a pruned segmented listing: relative path, footer
+    * row count, stats-column [lo, hi], layout pairs — whatever the
+    * file's segment recorded (None/Nil where it did not). */
+  final case class SegEntry(path: String, rows: Option[Long],
+      stat: Option[(Long, Long)], layout: Option[Seq[(String, String)]])
+
+  /** The two-level pruned listing WITH each survivor's per-file
+    * metadata, grouped by surviving segment (r18 — the filtered/
+    * grouped segmented metadata aggregates fold rows/stats/layouts of
+    * exactly the surviving files, so they need the entries the prune
+    * already read; returning them here keeps it ONE segment read).
+    * File-level semantics mirror [[prunedFilesTree]]'s admits: every
+    * partition probe and exclusion evaluates against the file's OWN
+    * layout entry (no entry ⇒ unprunable), ranges against its stats,
+    * OR groups need one admitting branch. */
+  private[sources] def segmentedSurvivors(root: String, version: Long,
+      tree: ProbeTree): (Seq[SegmentRef], Seq[SegmentRef],
+      Seq[(SegmentRef, Seq[(String, SegEntry)])]) = {
+    val (segs, live, node) = segPrune(root, version, tree)
+    def admitsFile(e: SegEntry, n: SegNode): Boolean = {
+      val layoutOk = e.layout match {
+        case Some(pairs) => pairs.forall { case (c, v) =>
+          n.want.get(c).forall(_.contains(v)) &&
+            !n.veto.get(c).exists(_.contains(v))
+        }
+        case None => true // no entry: must read
+      }
+      val statsOk = e.stat.forall { case (mn, mx) =>
+        n.ranges.forall(p => p.lo.forall(lo => mx >= lo.asInstanceOf[Long]) &&
+          p.hi.forall(hi => mn <= hi.asInstanceOf[Long]))
+      }
+      layoutOk && statsOk && n.ors.forall(_.exists(admitsFile(e, _)))
+    }
+    val keep = live.map { sr =>
       val (fs, st) = segmentEntries(root, sr.path)
-      val lay =
-        if (parts.isEmpty) Map.empty[String, Seq[(String, String)]]
-        else segmentLayouts(root, sr.path)
-      fs.filter { f =>
-        st.get(f).forall { case (mn, mx) => overlap(mn, mx) } &&
-          (lay.get(f) match {
-            case Some(pairs) => pairs.forall { case (c, v) =>
-              parts.get(c).forall(_.contains(v)) }
-            case None => true // no layout entry: must read
-          })
+      val rows = segmentEntryRows(root, sr.path)
+      val lay = segmentLayouts(root, sr.path)
+      sr -> fs.flatMap { f =>
+        val e = SegEntry(f, rows.get(f), st.get(f), lay.get(f))
+        if (admitsFile(e, node)) Some(f -> e) else None
       }
     }
-    (keep, segs.map(_.nFiles).sum, segs.size, live.size)
+    (segs, live, keep)
   }
 
   /** Two-level pruned scan of a segmented version: segments whose

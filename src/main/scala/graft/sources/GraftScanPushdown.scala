@@ -134,10 +134,25 @@ object GraftFilterPushdown {
         val lvCols = segs.flatMap(_.layoutValues.keys).toSet
         val lvUnion = lvCols.map(c => c ->
           segs.flatMap(_.layoutValues.getOrElse(c, Set.empty)).toSet).toMap
+        // CONSUMPTION on segmented tables (r18): a column EVERY ref
+        // records a universe for is fully covered — only
+        // appendSegmentPartitioned writes universes, it routes every
+        // staged file through the guarded chokepoint, and it records
+        // every file's layout entry by construction — so file
+        // membership IS row membership on it, the flat
+        // fullLayoutCols argument verbatim. One ref without the
+        // column (pre-r18 / plain segment: layout-entry-less,
+        // unprunable files) disqualifies it. guarded (the exclusion
+        // gate) holds whenever ANY universe exists: every recorded
+        // segmented layout value passed the guard, and files without
+        // entries are never vetoed.
+        val fullCols = lvCols.filter(c =>
+          segs.forall(_.layoutValues.contains(c)))
         PruneMeta(lvCols,
           CommitLog.segmentStatsCol(root, version).map(_ -> "long").toMap,
           None, layoutTz = CommitLog.tableProperty(root, "layout.timeZone"),
-          layoutValues = lvUnion)
+          fullLayoutCols = fullCols, layoutValues = lvUnion,
+          guarded = lvCols.nonEmpty)
       } else {
         val aux = CommitLog.auxOf(root, version)
         val layoutCols = aux.partCol.toSeq.flatMap(_.split(',')).toSet ++
@@ -759,8 +774,10 @@ object GraftAggPushdown {
     // per-file min/max; files absent from the stats are all-NULL on
     // the column and contribute nothing to MIN/MAX, same as the
     // row-level aggregate) — and, r18, COUNT(statsCol) from the
-    // per-segment null totals. Everything else refuses: no consumable
-    // filters (`consumed` is always empty here), no GROUP BY, no null
+    // per-segment null totals, plus FILTERED/GROUPED forms over
+    // fully-covered segmented layout columns (consumed filters and
+    // layout GROUP BYs fold the surviving files' per-file metadata,
+    // O(surviving segments) reads). Everything else refuses: no null
     // counts on other columns (their COUNT(c) scans), no stats on any
     // other column (MIN/MAX elsewhere scans).
     if (CommitLog.isSegmented(root, version))
@@ -885,23 +902,34 @@ object GraftAggPushdown {
 
   /** The segmented-manifest aggregate answer (see the dispatch above):
     * COUNT(*) from per-segment row totals, MIN/MAX of the stats column
-    * from per-segment bounds — both pure manifest parses. Refuses on
-    * any grouping, any consumed filter (impossible on segmented — no
-    * layouts — but guarded), and every aggregate the manifest cannot
-    * answer exactly. COUNT(*) additionally refuses when any segment a
-    * pre-r17 writer committed lacks its row count; MIN/MAX fold the
-    * BOUNDS, which requires the one-stats-column invariant to be
-    * PROVABLE (r18, ADVICE — [[CommitLog.segmentStatsTrusted]]): a
-    * legacy manifest whose segments statted different columns refuses
+    * from per-segment bounds, COUNT(statsCol) from per-segment null
+    * totals — pure manifest parses. Refuses every aggregate the
+    * manifest cannot answer exactly. COUNT(*)/COUNT(col) refuse when
+    * any segment predates their markers; MIN/MAX fold the BOUNDS,
+    * which requires the one-stats-column invariant to be PROVABLE
+    * (r18, ADVICE — [[CommitLog.segmentStatsTrusted]]): a legacy
+    * manifest whose segments statted different columns refuses
     * instead of answering with the wrong column's extrema. The stats
     * column must be LongType: the recorded bounds are Long, and
-    * [[CommitLog.perFileStats]] only ever stats Long columns. */
+    * [[CommitLog.perFileStats]] only ever stats Long columns.
+    *
+    * FILTERED and GROUPED forms (r18 — the composition closing
+    * segmented consumption): with consumed filters (each individually
+    * exactlyAnswered — only possible on fully-covered segmented
+    * layout columns, see pruneMetaOf) and/or GROUP BY over such
+    * columns, the answer folds the per-file rows/stats/layout entries
+    * of exactly the SURVIVING files — O(surviving segments) metadata
+    * reads via [[CommitLog.segmentedSurvivors]], never the listing:
+    * per-group COUNT(*) sums survivor footer counts (refuse on any
+    * missing — pre-r17 segments), MIN/MAX(statsCol) folds survivor
+    * per-file bounds (refuse when ANY survivor lacks a stats entry:
+    * a missing entry is ambiguous between all-NULL — skippable — and
+    * unattributed — not), COUNT(col) refuses (per-file null counts
+    * are not recorded). */
   private def answerSegmented(root: String, version: Long,
       tableSchema: StructType, agg: Aggregation,
       consumed: Seq[org.apache.spark.sql.sources.Filter])
       : Option[(StructType, Seq[Array[Any]])] = {
-    if (consumed.nonEmpty) return None
-    if (agg.groupByExpressions.nonEmpty) return None
     val segs = CommitLog.segmentsOf(root, version)
     val statsCol = CommitLog.segmentStatsCol(root, version)
     // the MIN/MAX fold treats every segment's bounds as the FIRST
@@ -920,6 +948,12 @@ object GraftAggPushdown {
     def statsColLong(c: String): Boolean =
       statsCol.contains(c) &&
         tableSchema.fields.find(_.name == c).exists(_.dataType == LongType)
+    val gcolsOpt = agg.groupByExpressions.toSeq.map(colOf)
+    if (gcolsOpt.exists(_.isEmpty)) return None
+    val gcols = gcolsOpt.flatten
+    if (consumed.nonEmpty || gcols.nonEmpty)
+      return answerSegmentedFiltered(root, version, tableSchema, agg,
+        consumed, gcols, statsColLong, statsTrusted)
     val rows: Option[Long] = CommitLog.segmentedCountStar(root, version)
     final case class AggSpec(field: StructField, value: Option[Any])
     val specs: Seq[AggSpec] = agg.aggregateExpressions.toSeq.map {
@@ -951,6 +985,88 @@ object GraftAggPushdown {
     if (specs.exists(_.value.isEmpty)) return None
     Some((StructType(specs.map(_.field)),
       Seq(specs.map(_.value.get).toArray[Any])))
+  }
+
+  /** The filtered/grouped segmented answer (see [[answerSegmented]]'s
+    * doc): folds the surviving files' per-file metadata, grouped by
+    * their recorded layout tuples. */
+  private def answerSegmentedFiltered(root: String, version: Long,
+      tableSchema: StructType, agg: Aggregation,
+      consumed: Seq[org.apache.spark.sql.sources.Filter],
+      gcols: Seq[String], statsColLong: String => Boolean,
+      statsTrusted: => Boolean): Option[(StructType, Seq[Array[Any]])] = {
+    val meta = GraftFilterPushdown.pruneMetaOf(root, version)
+    // grouping columns must be FULLY covered (every ref records a
+    // universe for them ⇒ every file carries a layout entry) — the
+    // same condition consumption already required of the filters
+    if (!gcols.forall(meta.fullLayoutCols)) return None
+    val gFieldsOpt = gcols.map(c => tableSchema.fields.find(_.name == c))
+    if (gFieldsOpt.exists(_.isEmpty)) return None
+    val dts = gFieldsOpt.flatten.map(_.dataType)
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case ref: org.apache.spark.sql.connector.expressions.NamedReference
+            if ref.fieldNames.length == 1 => Some(ref.fieldNames()(0))
+        case _ => None
+      }
+    val probes = GraftFilterPushdown.translate(consumed, meta)
+    val entries = CommitLog.segmentedSurvivors(root, version, probes.tree)
+      ._3.flatMap(_._2.map(_._2))
+    // groups over the survivors (Nil key = the global filtered form)
+    val groups: Seq[(Seq[Any], Seq[CommitLog.SegEntry])] =
+      if (gcols.isEmpty) Seq((Nil, entries))
+      else {
+        val byKey = entries.map { e =>
+          e.layout.map(_.toMap) match {
+            case Some(mp) if gcols.forall(mp.contains) =>
+              Some(gcols.map(mp) -> e)
+            case _ => None
+          }
+        }
+        if (byKey.exists(_.isEmpty)) return None
+        byKey.flatten.groupBy(_._1).toSeq.sortBy(_._1.mkString(" "))
+          .map { case (vals, es) =>
+            val keys = vals.zip(dts).map { case (v, dt) =>
+              if (v == CommitLog.nullSentinel) Some(null)
+              else GraftFilterPushdown.layoutInternal(dt, v)
+            }
+            if (keys.exists(_.isEmpty)) return None
+            (keys.map(_.get), es.map(_._2))
+          }
+      }
+    final case class AggSpec(field: StructField,
+        eval: Seq[CommitLog.SegEntry] => Option[Any])
+    val specs: Seq[AggSpec] = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        AggSpec(StructField("count(*)", LongType, nullable = false),
+          es => if (es.forall(_.rows.isDefined)) Some(es.flatMap(_.rows).sum)
+          else None)
+      case m: Min =>
+        val col = colOf(m.column).getOrElse(return None)
+        if (!statsColLong(col) || !statsTrusted) return None
+        AggSpec(StructField("min", LongType, nullable = true),
+          es => if (es.forall(_.stat.isDefined)) {
+            val los = es.flatMap(_.stat.map(_._1))
+            Some(if (los.isEmpty) null else los.min)
+          } else None)
+      case m: Max =>
+        val col = colOf(m.column).getOrElse(return None)
+        if (!statsColLong(col) || !statsTrusted) return None
+        AggSpec(StructField("max", LongType, nullable = true),
+          es => if (es.forall(_.stat.isDefined)) {
+            val his = es.flatMap(_.stat.map(_._2))
+            Some(if (his.isEmpty) null else his.max)
+          } else None)
+      case _ => return None // COUNT(col): no per-file null counts
+    }
+    val gFields = gcols.map(c => tableSchema(tableSchema.fieldIndex(c))
+      .copy(nullable = true))
+    val rows = groups.map { case (keys, es) =>
+      val vals = specs.map(_.eval(es))
+      if (vals.exists(_.isEmpty)) return None
+      (keys ++ vals.map(_.get)).toArray
+    }
+    Some((StructType(gFields ++ specs.map(_.field)), rows))
   }
 
   private def cmpAny(a: Any, b: Any): Int = (a, b) match {

@@ -2839,6 +2839,78 @@ class CatalogSpec extends SparkSpec {
     assert(qr.count() === ev2.filter(col("grp") >= "b").count())
   }
 
+  test("segmented consumption: layout filters answer by file selection, IS NOT NULL enforced via the sentinel veto, grouped/filtered aggregates from segment metadata (r18)") {
+    val (cat, base) = freshCatalog()
+    def residuals(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+      }
+    def fromManifest(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("metadata-aggregate")
+    val root = new java.io.File(base, "sc").toString
+    // day carries REAL NULLs: the sentinel group's enforcement is the
+    // load-bearing half of IS [NOT] NULL consumption
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("user_id"), col("value"))
+      .withColumn("day", when(col("event_id") % 11 === 0, lit(null))
+        .otherwise((col("event_id") % 7).cast("string")))
+    CommitLog.appendSegmentPartitioned(spark, root,
+      ev.filter(col("event_id") % 2 === 0), Seq("day"), 1, "event_id")
+    CommitLog.appendSegmentPartitioned(spark, root,
+      ev.filter(col("event_id") % 2 === 1), Seq("day"), 1, "event_id")
+    // layout-exact equality CONSUMES (no residual) and stays exact
+    val q = spark.sql(s"SELECT event_id FROM $cat.sc WHERE day = '3'")
+    assert(residuals(q).isEmpty,
+      "a layout-exact filter on a fully-covered segmented layout must consume")
+    assert(q.count() === ev.filter(col("day") === "3").count())
+    // IS NOT NULL consumes AND is ENFORCED: the sentinel veto prunes
+    // the null groups at both levels, so the count excludes them
+    val qn = spark.sql(s"SELECT COUNT(*) AS n FROM $cat.sc WHERE day IS NOT NULL")
+    assert(fromManifest(qn))
+    assert(qn.collect()(0).getLong(0) === ev.filter(col("day").isNotNull).count())
+    // IS NULL consumes to exactly the sentinel groups
+    val qz = spark.sql(s"SELECT COUNT(*) AS n FROM $cat.sc WHERE day IS NULL")
+    assert(fromManifest(qz))
+    assert(qz.collect()(0).getLong(0) === ev.filter(col("day").isNull).count())
+    // the grouped partition profile answers from segment metadata and
+    // equals the row-level groupBy (NULL group included)
+    val qg = spark.sql(s"SELECT day, COUNT(*) AS n FROM $cat.sc GROUP BY day")
+    assert(fromManifest(qg))
+    val got = qg.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    val want = ev.groupBy(col("day")).count().collect()
+      .map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(got === want)
+    // filtered MIN/MAX folds the surviving files' per-file stats
+    val qr = spark.sql(s"SELECT MIN(event_id) AS mn FROM $cat.sc WHERE day >= '5'")
+    assert(fromManifest(qr))
+    assert(qr.collect()(0).getLong(0) ===
+      ev.filter(col("day") >= "5").agg(min(col("event_id")))
+        .collect()(0).getLong(0))
+    // a PLAIN (layout-less) segmented table never consumes
+    val root2 = new java.io.File(base, "scp").toString
+    CommitLog.appendSegment(spark, root2,
+      ev.select(col("event_id"), col("value")), 1, "event_id")
+    val qp = spark.sql(s"SELECT event_id FROM $cat.scp WHERE event_id > 5")
+    assert(residuals(qp).nonEmpty,
+      "a plain segmented table must keep every filter residual")
+    // strip the universes (pre-r18 refs): consumption must stop —
+    // fullLayoutCols demands EVERY ref record the column
+    val head = CommitLog.latestVersion(root).get
+    val mf = new java.io.File(root, f"_graft_log/v$head%09d.json")
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(java.nio.file.Files.readString(mf.toPath))
+    node.get("segments").forEach { sn =>
+      sn.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        .remove("lv"); ()
+    }
+    java.nio.file.Files.writeString(mf.toPath, node.toString)
+    assert(mf.setLastModified(mf.lastModified() + 2000))
+    val q2 = spark.sql(s"SELECT event_id FROM $cat.sc WHERE day = '3'")
+    assert(residuals(q2).nonEmpty,
+      "stripped universes must stop consumption — probes stay advisory")
+    assert(q2.count() === ev.filter(col("day") === "3").count())
+  }
+
   test("segmented partition layouts: two-level pruning, pre-r18 refs unprunable, spec mixing refused, marker-gated TopN/COUNT(col) (r18)") {
     val (cat, base) = freshCatalog()
     def scanOf(df: org.apache.spark.sql.DataFrame) =
