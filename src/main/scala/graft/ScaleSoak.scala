@@ -247,7 +247,7 @@ object ScaleSoak {
     // staging
     "q_sql_table_seg_prune_part", "q_sql_table_prune_range",
     "q_sql_table_seg_topn", "s_table_stream_segmented",
-    "q_sql_table_seg_agg_part",
+    "q_sql_table_seg_agg_part", "q_sql_table_seg_peek",
     // the r10 verdict's mass-delete scenario, soaked as its own
     // fixture (below — not a registry key): EVERY view key vanishes
     // in one fold; the driver-OOM shape the r11 distributed

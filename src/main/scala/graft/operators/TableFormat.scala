@@ -455,6 +455,83 @@ object TableFormat {
         lit(refusedFlag).as("count_col_refused"),
         lit(nValueDay5).as("n_value_day5")))
     },
+    "q_sql_table_seg_peek" -> { (s, dir) =>
+      // FILTERED LIMIT / TopN ON SEGMENTED TABLES (r18 — consumed
+      // filters compose with the segment-first peek planners): the
+      // canonical interactive queries on THE partitioned+segmented
+      // table are `WHERE tenant='x' LIMIT 20` and `WHERE tenant='x'
+      // ORDER BY ts DESC LIMIT 100`. With every pushed filter
+      // CONSUMED (file membership IS row membership), the LIMIT
+      // prefixes the SURVIVING files — walking only the filter's
+      // prefix segments (opened-segment witness) — and the TopN runs
+      // the per-file bound envelope over the survivors. Staging:
+      // seg1 = ids ≤ m/2, seg2 = ids > m/2, each partitioned by day
+      // (7 files each), so day-3 survivors are TWO files with
+      // DISJOINT id ranges and every witness is predicate-pinned:
+      //   - LIMIT 1 plans 1 file and OPENS 1 segment;
+      //   - LIMIT (day-3 rows in seg1) + 1 plans 2 files, opens 2;
+      //   - TopN DESC LIMIT (day-3 rows in seg2) plans ONLY the
+      //     upper file (the lower file's hi sits below the cutoff);
+      //   - a non-consumable filter (value > 0) keeps Spark from
+      //     pushing the peek at all — every file plans, result exact.
+      val base = java.nio.file.Files.createTempDirectory("graft_cat_segpk")
+      base.toFile.deleteOnExit()
+      val root = new java.io.File(base.toFile, "tbl").toString
+      val ev = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .withColumn("day", (col("event_id") % 7).cast("string"))
+      val m = ev.agg(max(col("event_id"))).collect()(0).getLong(0)
+      CommitLog.appendSegmentPartitioned(s, root,
+        ev.filter(col("event_id") <= m / 2), Seq("day"),
+        filesPerPartition = 1, statsCol = "event_id")
+      CommitLog.appendSegmentPartitioned(s, root,
+        ev.filter(col("event_id") > m / 2), Seq("day"),
+        filesPerPartition = 1, statsCol = "event_id")
+      val head = CommitLog.latestVersion(root).get
+      val cat = "gcat" + java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      s.conf.set(s"spark.sql.catalog.$cat", "graft.sources.GraftCatalog")
+      s.conf.set(s"spark.sql.catalog.$cat.base", base.toString)
+      val cLo = ev.filter(col("event_id") % 7 === 3 &&
+        col("event_id") <= m / 2).count()
+      val cHi = ev.filter(col("event_id") % 7 === 3 &&
+        col("event_id") > m / 2).count()
+      val day3Tree = CommitLog.ProbeTree(Seq("day" -> Set("3")), Nil)
+      val q1 = s.sql(s"SELECT event_id FROM $cat.tbl WHERE day = '3' LIMIT 1")
+      val (nTotal, planned1) = scanOf(q1).plannedFiles
+      val (_, _, opened1) =
+        CommitLog.segmentedLimitFilesTree(root, head, 1, day3Tree).get
+      val nRows1 = q1.count()
+      val lim2 = cLo + 1
+      val q2 = s.sql(s"SELECT event_id FROM $cat.tbl WHERE day = '3' LIMIT $lim2")
+      val (_, planned2) = scanOf(q2).plannedFiles
+      val (_, _, opened2) = CommitLog.segmentedLimitFilesTree(
+        root, head, lim2.toInt, day3Tree).get
+      val nRows2 = q2.count()
+      val qt = s.sql(s"SELECT event_id FROM $cat.tbl WHERE day = '3' " +
+        s"ORDER BY event_id DESC LIMIT $cHi")
+      val (_, plannedT) = scanOf(qt).plannedFiles
+      val (_, _, openedT) = CommitLog.segmentedTopNFilesTree(
+        root, head, "event_id", asc = false, cHi.toInt, day3Tree).get
+      val sumTop = qt.agg(sum(col("event_id"))).collect()(0).getLong(0)
+      // a non-consumable filter keeps the peek un-pushed: every file
+      // plans, the result stays exact through Spark's own operators
+      val qn = s.sql(s"SELECT event_id FROM $cat.tbl WHERE value > -1e9 " +
+        s"ORDER BY event_id DESC LIMIT 5")
+      val (_, plannedN) = scanOf(qn).plannedFiles
+      ordered(qt.agg(count(lit(1)).as("n_rows_topn"))
+        .select(lit(nTotal.toLong).as("n_files_total"),
+          lit(planned1.size.toLong).as("limit1_planned"),
+          lit(opened1.toLong).as("limit1_opened"),
+          lit(nRows1).as("n_rows_limit1"),
+          lit(planned2.size.toLong).as("limit2_planned"),
+          lit(opened2.toLong).as("limit2_opened"),
+          lit(nRows2).as("n_rows_limit2"),
+          lit(plannedT.size.toLong).as("topn_planned"),
+          lit(openedT.toLong).as("topn_opened"),
+          lit(sumTop).as("sum_top"),
+          lit(plannedN.size.toLong).as("n_files_nonconsumed"),
+          col("n_rows_topn")))
+    },
     "q_sql_table_seg_topn" -> { (s, dir) =>
       // SEGMENTED TopN + COUNT(col) (r18, VERDICT item 4): the two
       // remaining refusals that mattered at 10^6 files.
@@ -4620,6 +4697,28 @@ object TableFormat {
         orderByAll("n_files_total", "n_files_day", "n_segs_read_day",
           "n_files_in", "n_files_range", "n_segs_read_range",
           "n_files_nonlayout", "n_rows_day", "sum_value_day")),
+    "q_sql_table_seg_peek" ->
+      ("""WITH b AS (SELECT MAX(event_id) AS m FROM events),
+        |lo AS (SELECT COUNT(*) AS c FROM events, b
+        |  WHERE event_id % 7 = 3 AND event_id <= m // 2),
+        |hi AS (SELECT COUNT(*) AS c, CAST(SUM(event_id) AS BIGINT) AS s
+        |  FROM events, b WHERE event_id % 7 = 3 AND event_id > m // 2)
+        |SELECT CAST(14 AS BIGINT) AS n_files_total,
+        |  CAST(1 AS BIGINT) AS limit1_planned,
+        |  CAST(1 AS BIGINT) AS limit1_opened,
+        |  CAST(1 AS BIGINT) AS n_rows_limit1,
+        |  CAST(2 AS BIGINT) AS limit2_planned,
+        |  CAST(2 AS BIGINT) AS limit2_opened,
+        |  (SELECT c + 1 FROM lo) AS n_rows_limit2,
+        |  CAST(1 AS BIGINT) AS topn_planned,
+        |  CAST(2 AS BIGINT) AS topn_opened,
+        |  (SELECT s FROM hi) AS sum_top,
+        |  CAST(14 AS BIGINT) AS n_files_nonconsumed,
+        |  (SELECT c FROM hi) AS n_rows_topn""".stripMargin +
+        orderByAll("n_files_total", "limit1_planned", "limit1_opened",
+          "n_rows_limit1", "limit2_planned", "limit2_opened",
+          "n_rows_limit2", "topn_planned", "topn_opened", "sum_top",
+          "n_files_nonconsumed", "n_rows_topn")),
     "q_sql_table_seg_agg_part" ->
       ("""WITH d AS (SELECT CASE WHEN event_id % 11 = 0 THEN NULL
         |    ELSE CAST(event_id % 7 AS VARCHAR) END AS day,

@@ -4944,34 +4944,105 @@ object CommitLog {
     * partition probe and exclusion evaluates against the file's OWN
     * layout entry (no entry ⇒ unprunable), ranges against its stats,
     * OR groups need one admitting branch. */
+  private def admitsFile(e: SegEntry, n: SegNode): Boolean = {
+    val layoutOk = e.layout match {
+      case Some(pairs) => pairs.forall { case (c, v) =>
+        n.want.get(c).forall(_.contains(v)) &&
+          !n.veto.get(c).exists(_.contains(v))
+      }
+      case None => true // no entry: must read
+    }
+    val statsOk = e.stat.forall { case (mn, mx) =>
+      n.ranges.forall(p => p.lo.forall(lo => mx >= lo.asInstanceOf[Long]) &&
+        p.hi.forall(hi => mn <= hi.asInstanceOf[Long]))
+    }
+    layoutOk && statsOk && n.ors.forall(_.exists(admitsFile(e, _)))
+  }
+
+  /** One surviving segment's per-file entries. */
+  private def segSurvivorsOf(root: String, sr: SegmentRef,
+      node: SegNode): Seq[(String, SegEntry)] = {
+    val (fs, st) = segmentEntries(root, sr.path)
+    val rows = segmentEntryRows(root, sr.path)
+    val lay = segmentLayouts(root, sr.path)
+    fs.flatMap { f =>
+      val e = SegEntry(f, rows.get(f), st.get(f), lay.get(f))
+      if (admitsFile(e, node)) Some(f -> e) else None
+    }
+  }
+
   private[sources] def segmentedSurvivors(root: String, version: Long,
       tree: ProbeTree): (Seq[SegmentRef], Seq[SegmentRef],
       Seq[(SegmentRef, Seq[(String, SegEntry)])]) = {
     val (segs, live, node) = segPrune(root, version, tree)
-    def admitsFile(e: SegEntry, n: SegNode): Boolean = {
-      val layoutOk = e.layout match {
-        case Some(pairs) => pairs.forall { case (c, v) =>
-          n.want.get(c).forall(_.contains(v)) &&
-            !n.veto.get(c).exists(_.contains(v))
+    (segs, live, live.map(sr => sr -> segSurvivorsOf(root, sr, node)))
+  }
+
+  /** The FILTERED segmented LIMIT prefix (r18 — consumed filters
+    * compose with the r17 segment-first LIMIT): when every pushed
+    * filter was CONSUMED (file membership IS row membership, so every
+    * row of a surviving file satisfies the predicate), a `LIMIT n`
+    * prefixes the SURVIVING files exactly like the unfiltered form
+    * prefixes the listing — walking the universe-surviving segments
+    * in manifest order and stopping at n covered rows, so metadata
+    * I/O is ∝ the prefix's segments within the filter, never the
+    * table. Returns (prefix relative paths, filesTotal, segments
+    * opened); None refuses (a survivor without a footer count —
+    * pre-r17 refs). */
+  def segmentedLimitFilesTree(root: String, version: Long, n: Int,
+      tree: ProbeTree): Option[(Seq[String], Int, Int)] = {
+    val (segs, live, node) = segPrune(root, version, tree)
+    val keep = Seq.newBuilder[String]
+    var cum = 0L
+    var opened = 0
+    val it = live.iterator
+    while (cum < n && it.hasNext) {
+      val sr = it.next()
+      opened += 1
+      for ((f, e) <- segSurvivorsOf(root, sr, node) if cum < n) {
+        e.rows match {
+          case Some(r) => keep += f; cum += r
+          case None => return None // pre-r17 entry: unknown rows
         }
-        case None => true // no entry: must read
-      }
-      val statsOk = e.stat.forall { case (mn, mx) =>
-        n.ranges.forall(p => p.lo.forall(lo => mx >= lo.asInstanceOf[Long]) &&
-          p.hi.forall(hi => mn <= hi.asInstanceOf[Long]))
-      }
-      layoutOk && statsOk && n.ors.forall(_.exists(admitsFile(e, _)))
-    }
-    val keep = live.map { sr =>
-      val (fs, st) = segmentEntries(root, sr.path)
-      val rows = segmentEntryRows(root, sr.path)
-      val lay = segmentLayouts(root, sr.path)
-      sr -> fs.flatMap { f =>
-        val e = SegEntry(f, rows.get(f), st.get(f), lay.get(f))
-        if (admitsFile(e, node)) Some(f -> e) else None
       }
     }
-    (segs, live, keep)
+    Some((keep.result(), segs.map(_.nFiles).sum, opened))
+  }
+
+  /** The FILTERED segmented TopN envelope (r18): consumed filters
+    * narrow the candidate set to the surviving files, then the same
+    * per-file bound-envelope the unfiltered form runs at level 2
+    * sizes the plan. Exact-or-refuse: `c` must be THE stats column,
+    * every CONTRIBUTING (universe-surviving) segment needs the
+    * r17/r18 markers with ZERO nulls, every survivor needs stats +
+    * rows. Returns (planned relative paths, filesTotal, segments
+    * opened). */
+  def segmentedTopNFilesTree(root: String, version: Long, c: String,
+      asc: Boolean, n: Int, tree: ProbeTree): Option[(Seq[String], Int, Int)] = {
+    if (!segmentStatsCol(root, version).contains(c)) return None
+    val (segs, live, keepBySeg) = segmentedSurvivors(root, version, tree)
+    if (!live.forall(sr => sr.nRows.isDefined && sr.nNulls.contains(0L)))
+      return None
+    val files = keepBySeg.flatMap(_._2.map(_._2))
+    if (files.exists(e => e.stat.isEmpty || e.rows.isEmpty)) return None
+    val fsorted =
+      if (asc) files.sortBy(_.stat.get._2) else files.sortBy(-_.stat.get._1)
+    val fcum = fsorted.scanLeft(0L)((a, e) => a + e.rows.get).tail
+    val fk = fcum.indexWhere(_ >= n) match {
+      case -1 => fsorted.size
+      case i => i + 1
+    }
+    val keep =
+      if (fk >= fsorted.size) fsorted.map(_.path)
+      else {
+        val cutoff =
+          if (asc) fsorted(fk - 1).stat.get._2 else fsorted(fk - 1).stat.get._1
+        fsorted.collect {
+          case e if (asc && e.stat.get._1 <= cutoff) ||
+            (!asc && e.stat.get._2 >= cutoff) => e.path
+        }
+      }
+    Some((keep, segs.map(_.nFiles).sum, live.size))
   }
 
   /** Two-level pruned scan of a segmented version: segments whose

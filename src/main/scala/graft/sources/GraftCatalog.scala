@@ -610,10 +610,25 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     * the listing. Only with no filters anywhere (Spark never pushes a
     * limit past a residual, and every segmented filter is residual —
     * guarded anyway); None = refuse, plan everything as before. */
+  /** Whether every pushed filter was CONSUMED — the condition under
+    * which a pushed LIMIT/TopN may size its plan over the SURVIVING
+    * files (r18): consumption means every row of a surviving file
+    * satisfies the whole predicate, so footer counts of survivors
+    * size the prefix exactly. Spark only pushes a limit/TopN when no
+    * residual remains, so with any accepted-but-not-consumed filter
+    * this never even gets asked — but guard on it anyway. */
+  private def allConsumed: Boolean = consumedCount == pushed.length
+
   private def segLimitPlan: Option[(Seq[String], Int, Int)] =
     pushedLimit.flatMap { n =>
-      if (segmented && pushed.isEmpty && runtime.isEmpty)
-        CommitLog.segmentedLimitFiles(root, version, n)
+      if (!segmented || runtime.nonEmpty) None
+      else if (pushed.isEmpty) CommitLog.segmentedLimitFiles(root, version, n)
+      // FILTERED form (r18): `WHERE day='3' LIMIT 20` — the canonical
+      // peek on the partitioned+segmented table — prefixes the
+      // surviving files, metadata ∝ the filter's prefix segments
+      else if (allConsumed)
+        CommitLog.segmentedLimitFilesTree(root, version, n,
+          GraftFilterPushdown.translate(pushed.toSeq, meta).tree)
       else None
     }
 
@@ -628,8 +643,14 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     * any pre-r18 marker gap, any non-stats column, any filter). */
   private def segTopnPlan: Option[(Seq[String], Int, Int)] =
     pushedTopN.flatMap { case (c, asc, n) =>
-      if (segmented && pushed.isEmpty && runtime.isEmpty)
+      if (!segmented || runtime.nonEmpty) None
+      else if (pushed.isEmpty)
         CommitLog.segmentedTopNFiles(root, version, c, asc, n)
+      // FILTERED form (r18): consumed filters narrow the candidates
+      // to the surviving files, the per-file envelope sizes the plan
+      else if (allConsumed)
+        CommitLog.segmentedTopNFilesTree(root, version, c, asc, n,
+          GraftFilterPushdown.translate(pushed.toSeq, meta).tree)
       else None
     }
   /** Eligibility of the TopN envelope: live counts plus zero-null

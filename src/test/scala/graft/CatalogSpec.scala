@@ -2911,6 +2911,40 @@ class CatalogSpec extends SparkSpec {
     assert(q2.count() === ev.filter(col("day") === "3").count())
   }
 
+  test("filtered segmented LIMIT/TopN: exact over survivors, refusals on nullable stats and pre-r17 rows (r18)") {
+    val (cat, base) = freshCatalog()
+    def scanOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+            if r.scan.isInstanceOf[graft.sources.GraftBatchScan] =>
+          r.scan.asInstanceOf[graft.sources.GraftBatchScan]
+      }.head
+    // a segmented table whose STATS column holds NULLs: a consumed
+    // layout filter + TopN must REFUSE the envelope (NULL rows sort
+    // outside the recorded bounds) and plan every surviving file
+    val root = new java.io.File(base, "pk").toString
+    val ev = Tables(spark, sf, "events")
+      .select(col("event_id"), col("value"))
+      .withColumn("day", (col("event_id") % 3).cast("string"))
+      .withColumn("vid", when(col("event_id") % 11 === 0, lit(null))
+        .otherwise(col("event_id")))
+    CommitLog.appendSegmentPartitioned(spark, root,
+      ev, Seq("day"), 1, "vid")
+    val qt = spark.sql(s"SELECT vid FROM $cat.pk WHERE day = '1' " +
+      "ORDER BY vid DESC LIMIT 3")
+    // consumed filter prunes to the day's file; the TopN envelope
+    // refuses (nNulls > 0) so the whole surviving set plans
+    assert(scanOf(qt).plannedFiles._2.size === 1,
+      "the consumed filter must still prune to the day's file")
+    val want = ev.filter(col("day") === "1").select(col("vid"))
+      .orderBy(col("vid").desc_nulls_last).limit(3)
+      .collect().map(r => Option(r.get(0)))
+    assert(qt.collect().map(r => Option(r.get(0))).toSet === want.toSet)
+    assert(CommitLog.segmentedTopNFilesTree(root, 0L, "vid", asc = false, 3,
+      CommitLog.ProbeTree(Seq("day" -> Set("1")), Nil)).isEmpty,
+      "a nullable stats column must refuse the filtered TopN envelope")
+  }
+
   test("segmented partition layouts: two-level pruning, pre-r18 refs unprunable, spec mixing refused, marker-gated TopN/COUNT(col) (r18)") {
     val (cat, base) = freshCatalog()
     def scanOf(df: org.apache.spark.sql.DataFrame) =

@@ -182,7 +182,7 @@ class RegistrySpec extends SparkSpec {
       // TopN + COUNT(col)
       "q_sql_table_seg_prune_part", "s_table_stream_segmented",
       "q_sql_table_prune_range", "q_sql_table_seg_topn",
-      "q_sql_table_seg_agg_part")
+      "q_sql_table_seg_agg_part", "q_sql_table_seg_peek")
     val missing = declared.filterNot(SparkEntry.queries.contains)
     assert(missing.isEmpty, s"SURVEY §2 keys not implemented: $missing")
   }
