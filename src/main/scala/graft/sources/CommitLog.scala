@@ -2493,7 +2493,10 @@ object CommitLog {
     val aux = auxOf(root, version)
     val (legacyCol, legacyStats) = snapshotStatsOf(root, version)
     // normalize each node ONCE — the per-file loop must not rebuild
-    // file-independent maps per file per OR branch (r16 review find)
+    // file-independent maps per file per OR branch (r16 review find).
+    // NOTE: the segmented prune (SegNode/admits/admitsFile) mirrors
+    // this decision over segment-file metadata — a probe-semantics
+    // fix here MUST land there too.
     final case class Node(want: Map[String, Set[String]],
         veto: Map[String, Set[String]],
         ranges: Seq[RangeProbe], ors: Seq[Seq[Node]])
@@ -4535,9 +4538,14 @@ object CommitLog {
     *     vetoed holds no admissible file — the universe covers every
     *     staged file's value by construction);
     *   - every OR group has at least one branch admitting it.
-    * Returns (all refs, surviving refs, the normalized root node, the
-    * range-probe eligibility filter) so the file-level pass shares
-    * one decision. */
+    * Returns (all refs, surviving refs, the normalized root node) so
+    * the file-level pass ([[admitsFile]]) shares one decision.
+    * NOTE: SegNode/admits/admitsFile mirror the flat
+    * [[prunedFilesTree]]'s Node/admits semantics over different
+    * metadata carriers — a probe-semantics fix in one MUST land in
+    * the other (the flat side additionally handles typed/legacy
+    * stats tags; the segmented side reads layout entries and Long
+    * stats off segment files). */
   private[sources] final case class SegNode(
       want: Map[String, Set[String]], veto: Map[String, Set[String]],
       ranges: Seq[RangeProbe], ors: Seq[Seq[SegNode]])
@@ -4647,9 +4655,13 @@ object CommitLog {
         sr.nNulls.contains(0L))) return None
     if (!segmentStatsCol(root, version).contains(c)) return None
     // level 1: segment envelope off the manifest alone
+    // descending via Ordering.reverse, never negation: -Long.MinValue
+    // overflows back to MinValue and would sort a MinValue-bounded
+    // file as the LARGEST, planning an envelope that excludes files
+    // holding true top-n rows (r18 review find)
     val sorted =
       if (asc) segs.sortBy(_.bounds.get._2)
-      else segs.sortBy(-_.bounds.get._1)
+      else segs.sortBy(_.bounds.get._1)(Ordering.Long.reverse)
     val cum = sorted.scanLeft(0L)((a, sr) => a + sr.nRows.get).tail
     val k = cum.indexWhere(_ >= n) match {
       case -1 => sorted.size
@@ -4671,7 +4683,8 @@ object CommitLog {
     }
     if (files.exists(t => t._2.isEmpty || t._3.isEmpty)) return None
     val fsorted =
-      if (asc) files.sortBy(_._2.get._2) else files.sortBy(-_._2.get._1)
+      if (asc) files.sortBy(_._2.get._2)
+      else files.sortBy(_._2.get._1)(Ordering.Long.reverse)
     val fcum = fsorted.scanLeft(0L)((a, t) => a + t._3.get).tail
     val fk = fcum.indexWhere(_ >= n) match {
       case -1 => fsorted.size
@@ -4920,13 +4933,15 @@ object CommitLog {
     * segmented table a `WHERE day = '3'` plans metadata ∝ the
     * surviving segments, never the listing. Files/segments without
     * the probed metadata stay unprunable (pre-r18 refs keep reading
-    * everything — pruning only ever widens). Exclusions and OR groups
-    * contribute nothing here. */
+    * everything — pruning only ever widens). EXCLUSION probes and OR
+    * groups are ENFORCED at both levels (late r18 — the basis for
+    * segmented consumption): see [[segPrune]] and [[admitsFile]]. */
   def segmentedPrunedFilesTree(root: String, version: Long,
       tree: ProbeTree): (Seq[String], Int, Int, Int) = {
-    val (segs, live, keepBySeg) = segmentedSurvivors(root, version, tree)
-    (keepBySeg.flatMap(_._2.map(_._1)), segs.map(_.nFiles).sum,
-      segs.size, live.size)
+    val (segs, live, node) = segPrune(root, version, tree)
+    val keep = live.flatMap(sr =>
+      segSurvivorsOf(root, sr, node, needRows = false).map(_._1))
+    (keep, segs.map(_.nFiles).sum, segs.size, live.size)
   }
 
   /** One entry of a pruned segmented listing: relative path, footer
@@ -4959,12 +4974,24 @@ object CommitLog {
     layoutOk && statsOk && n.ors.forall(_.exists(admitsFile(e, _)))
   }
 
-  /** One surviving segment's per-file entries. */
+  /** One surviving segment's per-file entries. The rows and layout
+    * maps are O(files-per-segment) Scala builds off the cached
+    * JsonNode, so they materialize only when a consumer needs them
+    * (r18 review find: the plain pruned-listing path — run per
+    * planning invocation — needs neither rows nor, absent partition/
+    * exclusion/OR probes, layouts). */
   private def segSurvivorsOf(root: String, sr: SegmentRef,
-      node: SegNode): Seq[(String, SegEntry)] = {
+      node: SegNode, needRows: Boolean,
+      needLayouts: Boolean = false): Seq[(String, SegEntry)] = {
     val (fs, st) = segmentEntries(root, sr.path)
-    val rows = segmentEntryRows(root, sr.path)
-    val lay = segmentLayouts(root, sr.path)
+    val rows =
+      if (needRows) segmentEntryRows(root, sr.path)
+      else Map.empty[String, Long]
+    val lay =
+      if (needLayouts || node.want.nonEmpty || node.veto.nonEmpty ||
+          node.ors.nonEmpty)
+        segmentLayouts(root, sr.path)
+      else Map.empty[String, Seq[(String, String)]]
     fs.flatMap { f =>
       val e = SegEntry(f, rows.get(f), st.get(f), lay.get(f))
       if (admitsFile(e, node)) Some(f -> e) else None
@@ -4975,7 +5002,11 @@ object CommitLog {
       tree: ProbeTree): (Seq[SegmentRef], Seq[SegmentRef],
       Seq[(SegmentRef, Seq[(String, SegEntry)])]) = {
     val (segs, live, node) = segPrune(root, version, tree)
-    (segs, live, live.map(sr => sr -> segSurvivorsOf(root, sr, node)))
+    // layouts always materialize here: the aggregate consumer groups
+    // survivors by their layout tuples even when no probe is in play
+    (segs, live, live.map(sr =>
+      sr -> segSurvivorsOf(root, sr, node, needRows = true,
+        needLayouts = true)))
   }
 
   /** The FILTERED segmented LIMIT prefix (r18 — consumed filters
@@ -4999,7 +5030,8 @@ object CommitLog {
     while (cum < n && it.hasNext) {
       val sr = it.next()
       opened += 1
-      for ((f, e) <- segSurvivorsOf(root, sr, node) if cum < n) {
+      for ((f, e) <- segSurvivorsOf(root, sr, node, needRows = true)
+          if cum < n) {
         e.rows match {
           case Some(r) => keep += f; cum += r
           case None => return None // pre-r17 entry: unknown rows
@@ -5026,7 +5058,8 @@ object CommitLog {
     val files = keepBySeg.flatMap(_._2.map(_._2))
     if (files.exists(e => e.stat.isEmpty || e.rows.isEmpty)) return None
     val fsorted =
-      if (asc) files.sortBy(_.stat.get._2) else files.sortBy(-_.stat.get._1)
+      if (asc) files.sortBy(_.stat.get._2)
+      else files.sortBy(_.stat.get._1)(Ordering.Long.reverse)
     val fcum = fsorted.scanLeft(0L)((a, e) => a + e.rows.get).tail
     val fk = fcum.indexWhere(_ >= n) match {
       case -1 => fsorted.size

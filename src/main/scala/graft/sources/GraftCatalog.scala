@@ -607,9 +607,9 @@ class GraftBatchScan(root: String, version: Long, projected: StructType,
     * manifest's per-segment row totals — only the boundary segment
     * opens its per-file counts — so the canonical `SELECT * LIMIT 20`
     * peek on a 10^6-file table reads metadata ∝ prefix segments, not
-    * the listing. Only with no filters anywhere (Spark never pushes a
-    * limit past a residual, and every segmented filter is residual —
-    * guarded anyway); None = refuse, plan everything as before. */
+    * the listing. Runtime filters refuse; pushed filters are allowed
+    * only when ALL of them were CONSUMED (r18 — the filtered form
+    * below); None = refuse, plan everything as before. */
   /** Whether every pushed filter was CONSUMED — the condition under
     * which a pushed LIMIT/TopN may size its plan over the SURVIVING
     * files (r18): consumption means every row of a surviving file

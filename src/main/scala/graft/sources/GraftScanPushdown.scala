@@ -124,11 +124,10 @@ object GraftFilterPushdown {
       // equality/IN/prefix/range probes translate and prune two-level.
       // Every recorded segmented layout value passed the guarded
       // staging chokepoint (appendSegmentPartitioned is r18-only and
-      // routes through it), so the universe is trustworthy for the
-      // widen-only positive probes; consumption and exclusions stay
-      // OFF (guarded=false, fullLayoutCols empty) — segmented
-      // aggregates answer through answerSegmented, which takes no
-      // consumed filters, and every filter stays residual.
+      // routes through it), so the universe is trustworthy — and,
+      // late r18, CONSUMPTION and EXCLUSIONS are ON where sound (see
+      // the fullCols/guarded derivation below; the segmented prune
+      // enforces vetoes and OR groups at both levels).
       if (CommitLog.isSegmented(root, version)) {
         val segs = CommitLog.segmentsOf(root, version)
         val lvCols = segs.flatMap(_.layoutValues.keys).toSet

@@ -2943,6 +2943,19 @@ class CatalogSpec extends SparkSpec {
     assert(CommitLog.segmentedTopNFilesTree(root, 0L, "vid", asc = false, 3,
       CommitLog.ProbeTree(Seq("day" -> Set("1")), Nil)).isEmpty,
       "a nullable stats column must refuse the filtered TopN envelope")
+    // descending envelopes must sort by Ordering.reverse, never
+    // negation (r18 review find): -Long.MinValue overflows back to
+    // MinValue, sorting a MinValue-bounded segment FIRST and planning
+    // an envelope that drops files holding true top-n rows
+    import spark.implicits._
+    val root2 = new java.io.File(base, "mn").toString
+    CommitLog.appendSegment(spark, root2,
+      Seq(Long.MinValue, Long.MinValue + 1).toDF("v"), 1, "v")
+    CommitLog.appendSegment(spark, root2, Seq(100L, 200L).toDF("v"), 1, "v")
+    CommitLog.appendSegment(spark, root2, Seq(10L, 20L, 50L).toDF("v"), 1, "v")
+    val qm = spark.sql(s"SELECT v FROM $cat.mn ORDER BY v DESC LIMIT 4")
+    assert(qm.collect().map(_.getLong(0)).toSeq === Seq(200L, 100L, 50L, 20L),
+      "the DESC TopN envelope mis-sorted a Long.MinValue-bounded segment")
   }
 
   test("segmented partition layouts: two-level pruning, pre-r18 refs unprunable, spec mixing refused, marker-gated TopN/COUNT(col) (r18)") {
