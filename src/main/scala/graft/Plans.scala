@@ -63,7 +63,13 @@ object Plans {
     "q_sql_table_join_spj_bucket", // hash-bucket co-partitioned join, zero exchanges (r15)
     "q_sql_table_prune_or",   // OR-disjunction file pruning: branch unions (r16)
     "q_sql_table_agg_pushdown_filtered", // filtered COUNT/MIN/MAX answered by the metadata-aggregate scan (r16)
-    "q_sql_table_topn_multi") // multi-column ORDER BY pushing the first column's envelope (r16)
+    "q_sql_table_topn_multi", // multi-column ORDER BY pushing the first column's envelope (r16)
+    "q_sql_table_seg_agg",    // segmented COUNT(*)/MIN/MAX + segment-first LIMIT from manifest totals (r17)
+    "q_sql_table_prune_prefix", // prefix probes by layout-value enumeration (r17; consumed since r18)
+    "q_sql_table_seg_prune_part", // two-level partition pruning on partitioned+segmented tables (r18)
+    "q_sql_table_prune_range",  // range/suffix/substring enumeration probes + consumption (r18)
+    "q_sql_table_seg_agg_part", // segmented grouped/filtered metadata aggregates (r18)
+    "q_sql_table_seg_peek")   // filtered LIMIT/TopN over surviving segment files (r18)
 
   /** Hand-written analysis emitted after a key's plan — kept here so
     * regeneration never loses it. */
@@ -182,7 +188,69 @@ object Plans {
         |ORDER BY carries a tie-break column — the first column's envelope
         |is the file decision, and TakeOrderedAndProject above the scan
         |does the real two-column sort over the planned prefix only
-        |(2 of 5 files ASC, 1 DESC on the range-sliced staging).""".stripMargin)
+        |(2 of 5 files ASC, 1 DESC on the range-sliced staging).""".stripMargin,
+    "q_sql_table_seg_agg" ->
+      """The SEGMENTED table's `COUNT(*)/MIN/MAX` is the `graft
+        |metadata-aggregate` scan — the answer folds the version manifest's
+        |per-segment row totals and bounds; neither a data file nor a segment
+        |file is opened. The LIMIT witness (n_limit_planned=2,
+        |n_segs_opened=2) pins the segment-first prefix: one whole segment off
+        |its manifest row total plus the boundary segment's per-file counts,
+        |segments 3 and 4 never read. The non-stats MIN(value) contrast query
+        |carries no metadata-aggregate node (nonstats_minmax_scans=1) — no
+        |per-file column stats exist for it by design, so the exact scan
+        |runs.""".stripMargin,
+    "q_sql_table_prune_prefix" ->
+      """`StringStartsWith(grp, a)` rides the scan as a PRUNE filter: the
+        |probe enumerates the manifest's recorded layout groups (a0, a1, b0,
+        |b1) and keeps exactly the matching two — 2 of 4 files plan. Since
+        |r18 the prefix is also CONSUMED on this guard-stamped, fully-covered
+        |layout (file membership IS row membership), so no residual Filter
+        |node appears above the scan; the non-layout contrast (event_type
+        |LIKE 'z%') and the unstamped-table case contribute no probe, keep
+        |their row-level Filter, and plan everything.""".stripMargin,
+    "q_sql_table_seg_prune_part" ->
+      """The partitioned+SEGMENTED table's `day = '3'` carries the layout
+        |probe in `PushedPruneFilters` and plans through the TWO-LEVEL
+        |decision: the segment refs' layout-value universes admit only seg1
+        |(one manifest parse — seg2's universe {4,5,6} shares no accepted
+        |value), and seg1's per-file layout entries keep exactly the day-3
+        |file — 1 of 7 files, 1 of 2 segments, witnessed off the query's own
+        |scan. The range form (`day >= '5'`) enumerates the UNION universe
+        |and admits only seg2's two files; the non-layout probe (user_id)
+        |contributes nothing and plans all 7.""".stripMargin,
+    "q_sql_table_prune_range" ->
+      """`grp >= 'b0'` is CONSUMED: no Filter node sits above the scan — the
+        |enumeration over the recorded universe keeps exactly b0/b1 under
+        |UTF-8 binary order, and file membership is row membership on the
+        |guard-stamped identity layout. The composed `COUNT(*) WHERE grp >=
+        |'b0'` therefore collapses to the `graft metadata-aggregate` leaf
+        |(one manifest parse). The LONG-layout contrast (`num <= 10`) pins
+        |NUMERIC enumeration semantics — 11 of 14 groups where a text
+        |compare would keep 3 — and the suffix/substring forms
+        |(`LIKE '%1'`, `LIKE '%0%'`) each plan their 2 matching groups.""".stripMargin,
+    "q_sql_table_seg_agg_part" ->
+      """The partition profile `GROUP BY day` on the partitioned+segmented
+        |table is the `graft metadata-aggregate [day, count(*)]` leaf — the
+        |groups fold the surviving files' footer counts read in the same
+        |O(surviving segments) pass the prune makes; the NULL sentinel's
+        |group rides along as a NULL key. The filtered forms (`WHERE
+        |day='5'`, `WHERE day >= '5'`, `WHERE day IS NOT NULL`) consume
+        |their predicates — the IS NOT NULL answer leans on the sentinel
+        |EXCLUSION being enforced at both prune levels — and the COUNT of a
+        |non-stats column keeps the ordinary HashAggregate over the pruned
+        |scan (refusal flag pinned).""".stripMargin,
+    "q_sql_table_seg_peek" ->
+      """Both peeks ride consumed filters: `WHERE day='3' LIMIT 1` carries
+        |`PushedLimit: 1` on the scan and plans ONE file after opening ONE
+        |segment (the prefix walks the filter's surviving segments in
+        |manifest order and stops at the covered row count); the DESC TopN
+        |carries `PushedTopN` and plans only the UPPER of the two disjoint
+        |day-3 files (the lower file's hi sits below the envelope cutoff).
+        |Spark's GlobalLimit/TakeOrderedAndProject still run above the scan
+        |(partial pushdown), so planning can never change results — the
+        |non-consumable contrast (`value > -1e9`) keeps its residual and
+        |Spark never pushes the peek at all.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
