@@ -47,4 +47,30 @@ object Det {
   /** ORDER BY clause matching [[ordered]] for DuckDB oracle SQL. */
   def orderByAll(cols: String*): String =
     cols.sorted.map(c => s"$c ASC NULLS FIRST").mkString(" ORDER BY ", ", ", "")
+
+  /** ONE-JOB multiset equality — the witness primitive behind every
+    * `equals_full_recompute`-style exactness flag (r19, optimization
+    * guide §1.2/§2.4: fewer passes).
+    *
+    * Semantically identical to the two-sided
+    * `a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0`
+    * check it replaces: Spark rewrites EACH exceptAll into exactly
+    * this ±1 union-aggregate (RewriteExceptAll) plus a replicate-rows
+    * Generate, so the old pattern evaluated BOTH input subtrees twice
+    * across two separate jobs. Here the union-aggregate runs once —
+    * any group with a non-zero signed residue disproves equality —
+    * and `isEmpty` short-circuits at the first offending row.
+    * NULL / NaN / -0.0 grouping semantics match the set-op rewrite
+    * (aggregate-key equality). Columns are matched BY NAME (`b` is
+    * re-projected to `a`'s column order); positional `union` then
+    * applies the same widening coercion EXCEPT ALL would. */
+  def multisetEqual(a: DataFrame, b: DataFrame): Boolean = {
+    val cols = a.columns.toIndexedSeq
+    a.select(cols.map(col): _*).withColumn("_ms_sgn", lit(1L))
+      .union(b.select(cols.map(col): _*).withColumn("_ms_sgn", lit(-1L)))
+      .groupBy(cols.map(col): _*)
+      .agg(sum(col("_ms_sgn")).as("_ms_d"))
+      .filter(col("_ms_d") =!= 0L)
+      .isEmpty
+  }
 }

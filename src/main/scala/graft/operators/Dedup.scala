@@ -210,8 +210,10 @@ object Dedup {
     while (!done && rounds < 20) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
       // fixpoint test on the canonical edge set: both rounds emit
-      // child > parent, so plain symmetric difference decides
-      done = next.except(e).union(e.except(next)).isEmpty
+      // child > parent and distinct rows, so multiset equality IS set
+      // equality — one ±1 union-aggregate job instead of the old
+      // two-sided except + union (three passes over both edge sets)
+      done = multisetEqual(next, e)
       e = next
       rounds += 1
     }

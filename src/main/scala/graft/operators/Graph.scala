@@ -61,15 +61,35 @@ object Graph {
     // No global sort or window anywhere in the loop.
     "q_graph_pagerank" -> { (s, dir) =>
       val edges = copurchaseEdges(s, dir)
+      // deg feeds every iteration (via ed) AND the final report join;
+      // ed is walked once PER iteration — materialize both once so the
+      // 6-pass loop never re-derives the degree aggregation or the
+      // edge⋈degree join (r19; the triangles key's deg/oe rule). nodes
+      // is deg's key set — no second distinct shuffle needed.
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      val nodes = edges.select(col("src").as("id")).distinct()
-      val ed = edges.join(deg, Seq("src"))
+        .localCheckpoint()
+      val nodes = deg.select(col("src").as("id"))
+      val ed = edges.join(deg, Seq("src")).localCheckpoint()
+      // rank state is |V| rows — size-gate a broadcast delivery (the
+      // BFS/triangles rule: spark.graft.pagerank.broadcastNodes,
+      // default 4M ≈ 64 MB of (id, rank) longs) so each pass is a
+      // narrow broadcast-hash probe over the checkpointed ed plus ONE
+      // |E|→|V| partial-agg shuffle, instead of re-shuffling the
+      // |E|-row edge table every iteration (guide §3.1/§2.4). A graph
+      // whose vertex set outgrows the gate drops the hints and runs
+      // the co-partitioned schedule unchanged — identical integers
+      // either way (BIGINT Σ is order-blind).
+      val bcast = deg.count() <= s.conf
+        .getOption("spark.graft.pagerank.broadcastNodes")
+        .map(_.toLong).getOrElse(4000000L)
+      def deliver(df: DataFrame): DataFrame =
+        if (bcast) broadcast(df) else df
       var r = nodes.withColumn("r", lit(1000000000L))
       for (_ <- 1 to 6) {
-        val contrib = ed.join(r, ed("src") === r("id"))
+        val contrib = ed.join(deliver(r), ed("src") === r("id"))
           .select(col("dst").as("id"), expr("r div d").as("c"))
           .groupBy(col("id")).agg(sum(col("c")).as("cs"))
-        r = nodes.join(contrib, Seq("id"), "left")
+        r = nodes.join(deliver(contrib), Seq("id"), "left")
           .select(col("id"),
             expr("CAST(150000000 + (85 * coalesce(cs, CAST(0 AS BIGINT))) div 100 AS BIGINT)").as("r"))
       }
@@ -130,9 +150,18 @@ object Graph {
     "q_graph_label_prop" -> { (s, dir) =>
       val edges = copurchaseEdges(s, dir)
       var labels = edges.select(col("src").as("id")).distinct()
-        .withColumn("label", col("id"))
+        .withColumn("label", col("id")).localCheckpoint()
+      // label state is |V| rows; size-gate a broadcast delivery so
+      // each round probes the memoized edge table narrowly instead of
+      // shuffling all |E| edges per round (guide §3.1 — checkpointed
+      // label frames carry no size stats, so the planner would
+      // otherwise SMJ; the BFS broadcast rule). The count is free:
+      // labels is already materialized.
+      val bcast = labels.count() <= s.conf
+        .getOption("spark.graft.labelprop.broadcastNodes")
+        .map(_.toLong).getOrElse(4000000L)
       for (_ <- 1 to 3) {
-        labels = lpaRound(edges, labels).localCheckpoint()
+        labels = lpaRound(edges, labels, bcast).localCheckpoint()
       }
       ordered(labels.select(col("id").as("p_partkey"),
         col("label").as("community")))
@@ -238,8 +267,10 @@ object Graph {
     * window (a window would sort each vertex partition; the struct max
     * is a pure hash agg with map-side partials). PlanSpec pins the
     * window-free shape. */
-  private[graft] def lpaRound(edges: DataFrame, labels: DataFrame): DataFrame =
-    edges.join(labels, edges("src") === labels("id"))
+  private[graft] def lpaRound(edges: DataFrame, labels: DataFrame,
+      bcastLabels: Boolean = false): DataFrame =
+    edges.join(if (bcastLabels) broadcast(labels) else labels,
+        edges("src") === labels("id"))
       .groupBy(col("dst"), col("label"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("dst"))

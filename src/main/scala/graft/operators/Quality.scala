@@ -54,11 +54,21 @@ object Quality {
       val raw = d.withColumn("n_tok", ntok)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      // the five stage summaries are UNION branches over a chained
+      // funnel, and Spark shares no subtrees across branches — without
+      // materialization stage 5's branch re-runs the scan + window
+      // dedup + near-dup anti join, stage 4 re-runs all but the
+      // decontamination, etc. (5× the scan, 3× the anti join,
+      // measured). Pin the two expensive funnel states once (r19,
+      // guide §1.2/§5: a real corpus build materializes stage outputs
+      // between passes anyway); downstream stages re-derive from the
+      // pinned frames with narrow filters.
       val exact = raw.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
+        .filter(col("rn") === 1).drop("rn").localCheckpoint()
       val nearLosers = Dedup.nearDupPairs(exact)
         .select(col("db").as("doc_id")).distinct()
       val near = exact.join(nearLosers, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
       val quality = near.filter(col("n_tok") >= 10 && col("n_chars") >= 60)
       val isEval = md5(col("doc_id").cast("string")) < lit("1a")
       val evalSh = d.filter(isEval).select(

@@ -272,8 +272,7 @@ object Similarity {
       val corpusHead = CommitLog.read(s, corpus.toString,
         CommitLog.latestVersion(corpus.toString).get)
       val rebuilt = VectorIndex.assignFrozen(corpusHead, cents)
-      val equalsReassign = if (refreshed.exceptAll(rebuilt).count() == 0 &&
-        rebuilt.exceptAll(refreshed).count() == 0) 1L else 0L
+      val equalsReassign = if (multisetEqual(refreshed, rebuilt)) 1L else 0L
       // probe the REFRESHED index through manifest partition pruning —
       // the candidate-selection read path an ANN serve actually runs
       val q = e.filter(col("vec_id") === lit(0L)).select(col("v").as("qv"))
@@ -285,8 +284,7 @@ object Similarity {
         VectorIndex.maskTombstones(s, idx.toString, cand), q, k = 20)
       val topRebuilt =
         scoreProbed(rebuilt.filter(col("cell").isin(probes: _*)), q, k = 20)
-      val probeEqual = if (topRefreshed.exceptAll(topRebuilt).count() == 0 &&
-        topRebuilt.exceptAll(topRefreshed).count() == 0) 1L else 0L
+      val probeEqual = if (multisetEqual(topRefreshed, topRebuilt)) 1L else 0L
       ordered(refreshed.groupBy(col("cell"))
         .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("first_vec"))
         .withColumn("rows_folded", lit(folded))
@@ -318,14 +316,16 @@ object Similarity {
       val (_, _, tombstoned) = VectorIndex.refresh(s, idx.toString)
       val live = CommitLog.read(s, corpus.toString,
         CommitLog.latestVersion(corpus.toString).get)
-      val rebuilt = VectorIndex.assignFrozen(live, cents)
+      // the frozen-codebook reassignment feeds BOTH equality witnesses
+      // — materialize it once instead of re-running the broadcast
+      // argmin per check (r19, guide §1.2: don't recompute what two
+      // consumers share)
+      val rebuilt = VectorIndex.assignFrozen(live, cents).localCheckpoint()
       val masked = VectorIndex.postings(s, idx.toString).drop("gen")
-      val maskedEqual = if (masked.exceptAll(rebuilt).count() == 0 &&
-        rebuilt.exceptAll(masked).count() == 0) 1L else 0L
+      val maskedEqual = if (multisetEqual(masked, rebuilt)) 1L else 0L
       val (purged, _) = VectorIndex.purge(s, idx.toString)
       val after = VectorIndex.postings(s, idx.toString).drop("gen")
-      val purgedEqual = if (after.exceptAll(rebuilt).count() == 0 &&
-        rebuilt.exceptAll(after).count() == 0) 1L else 0L
+      val purgedEqual = if (multisetEqual(after, rebuilt)) 1L else 0L
       ordered(after.groupBy(col("cell"))
         .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("first_vec"))
         .withColumn("n_tombstoned", lit(tombstoned))

@@ -798,8 +798,7 @@ object TableFormat {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,4)"))
             .cast("decimal(18,4)").as("total"))
-      val exact = if (view.exceptAll(full).count() == 0 &&
-        full.exceptAll(view).count() == 0) 1L else 0L
+      val exact = if (multisetEqual(view, full)) 1L else 0L
       ordered(view
         .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
           sum(col("total")).cast("double").as("sum_value"))
@@ -871,10 +870,8 @@ object TableFormat {
               .select(col("segment"), col("value")), "segment")
             val gotJ = CommitLog.read(s, vj.toString,
               CommitLog.latestVersion(vj.toString).get)
-            if (gotM.exceptAll(wantM).count() != 0 ||
-              wantM.exceptAll(gotM).count() != 0 ||
-              gotJ.exceptAll(wantJ).count() != 0 ||
-              wantJ.exceptAll(gotJ).count() != 0) allExact.set(false)
+            if (!multisetEqual(gotM, wantM) ||
+              !multisetEqual(gotJ, wantJ)) allExact.set(false)
           }
           ()
         }
@@ -951,10 +948,8 @@ object TableFormat {
                   .cast("decimal(18,4)").as("total"))
             val got2 = CommitLog.read(s, v2.toString,
               CommitLog.latestVersion(v2.toString).get)
-            if (got1.exceptAll(want1).count() != 0 ||
-              want1.exceptAll(got1).count() != 0 ||
-              got2.exceptAll(want2).count() != 0 ||
-              want2.exceptAll(got2).count() != 0) allExact.set(false)
+            if (!multisetEqual(got1, want1) ||
+              !multisetEqual(got2, want2)) allExact.set(false)
           }
           ()
         }
@@ -1032,8 +1027,7 @@ object TableFormat {
                 min(col("value")).as("mn_value"), max(col("value")).as("mx_value"))
             val got = CommitLog.read(s, vj.toString,
               CommitLog.latestVersion(vj.toString).get)
-            if (got.exceptAll(want).count() != 0 ||
-              want.exceptAll(got).count() != 0) allExact.set(false)
+            if (!multisetEqual(got, want)) allExact.set(false)
             // the mid-stream dim advance: AFTER the first fact batch
             // folded and verified — the NEXT trigger must propagate it
             if (ver >= 1L && dimBumped.compareAndSet(false, true)) {
@@ -1093,8 +1087,7 @@ object TableFormat {
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast("decimal(18,4)"))
             .cast("decimal(18,4)").as("total"))
-      val exact = if (view.exceptAll(full).count() == 0 &&
-        full.exceptAll(view).count() == 0) 1L else 0L
+      val exact = if (multisetEqual(view, full)) 1L else 0L
       ordered(view
         .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
           sum(col("total")).cast("double").as("sum_value"))
@@ -1142,8 +1135,7 @@ object TableFormat {
           sum(col("user_id").cast("decimal(18,4)"))
             .cast("decimal(18,4)").as("total_user_id"),
           min(col("user_id")).as("mn_user_id"), max(col("user_id")).as("mx_user_id"))
-      val exact = if (view.exceptAll(full).count() == 0 &&
-        full.exceptAll(view).count() == 0) 1L else 0L
+      val exact = if (multisetEqual(view, full)) 1L else 0L
       ordered(view
         .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
           sum(col("total_value")).cast("double").as("sum_value"),
@@ -1197,8 +1189,7 @@ object TableFormat {
           sum(col("value").cast("decimal(18,4)"))
             .cast("decimal(18,4)").as("total_value"),
           min(col("value")).as("mn_value"), max(col("value")).as("mx_value"))
-      val exact = if (view.exceptAll(full).count() == 0 &&
-        full.exceptAll(view).count() == 0) 1L else 0L
+      val exact = if (multisetEqual(view, full)) 1L else 0L
       ordered(view
         .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
           sum(col("total_value")).cast("double").as("sum_value"),
@@ -1261,8 +1252,7 @@ object TableFormat {
           sum(col("value").cast("decimal(18,4)"))
             .cast("decimal(18,4)").as("total_value"),
           min(col("value")).as("mn_value"), max(col("value")).as("mx_value"))
-      val exact = if (view.exceptAll(full).count() == 0 &&
-        full.exceptAll(view).count() == 0) 1L else 0L
+      val exact = if (multisetEqual(view, full)) 1L else 0L
       ordered(view
         .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
           sum(col("total_value")).cast("double").as("sum_value"),
@@ -1306,8 +1296,7 @@ object TableFormat {
           |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_value,
           |  MIN(value) AS mn_value, MAX(value) AS mx_value
           |FROM $cat.t GROUP BY event_type, user_id""".stripMargin)
-      val exact = if (view.exceptAll(full).count() == 0 &&
-        full.exceptAll(view).count() == 0) 1L else 0L
+      val exact = if (multisetEqual(view, full)) 1L else 0L
       ordered(view
         .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
           sum(col("total_value")).cast("double").as("sum_value"),
@@ -1358,8 +1347,7 @@ object TableFormat {
           |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4))
           |      AS DOUBLE) / COUNT(value) END AS avg_value
           |FROM $cat.t GROUP BY event_type""".stripMargin)
-      val exact = if (view.exceptAll(full).count() == 0 &&
-        full.exceptAll(view).count() == 0) 1L else 0L
+      val exact = if (multisetEqual(view, full)) 1L else 0L
       ordered(view
         .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
           sum(col("total_value")).cast("double").as("sum_value"),
@@ -1421,8 +1409,8 @@ object TableFormat {
           |    CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
           |      AS DECIMAL(38,8)) AS ss_value
           |  FROM $cat.t GROUP BY event_type)""".stripMargin)
-      val exact = if (view.selectExpr(full.columns: _*).exceptAll(full).count() == 0 &&
-        full.exceptAll(view.selectExpr(full.columns: _*)).count() == 0) 1L else 0L
+      val exact =
+        if (multisetEqual(view.selectExpr(full.columns: _*), full)) 1L else 0L
       ordered(view
         .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
           sum(col("total_value")).cast("double").as("sum_value"),
@@ -1490,8 +1478,8 @@ object TableFormat {
           |    CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4)))
           |      AS DECIMAL(38,8)) AS ss_value
           |  FROM $cat.t GROUP BY event_type)""".stripMargin)
-      val exact = if (view.selectExpr(full.columns: _*).exceptAll(full).count() == 0 &&
-        full.exceptAll(view.selectExpr(full.columns: _*)).count() == 0) 1L else 0L
+      val exact =
+        if (multisetEqual(view.selectExpr(full.columns: _*), full)) 1L else 0L
       ordered(view
         .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
           sum(col("total_value")).cast("double").as("sum_value"),
@@ -1543,8 +1531,7 @@ object TableFormat {
           |  MIN(value) AS mn_value, MAX(value) AS mx_value
           |FROM $cat.f JOIN $cat.d ON f.user_id = d.user_id
           |GROUP BY segment""".stripMargin)
-      val exact = if (view.exceptAll(full).count() == 0 &&
-        full.exceptAll(view).count() == 0) 1L else 0L
+      val exact = if (multisetEqual(view, full)) 1L else 0L
       ordered(view
         .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
           sum(col("total_value")).cast("double").as("sum_value"),
@@ -1586,8 +1573,7 @@ object TableFormat {
           sum(col("value").cast("decimal(18,4)"))
             .cast("decimal(18,4)").as("total_value"),
           min(col("value")).as("mn_value"), max(col("value")).as("mx_value"))
-      val exact = if (view.exceptAll(full).count() == 0 &&
-        full.exceptAll(view).count() == 0) 1L else 0L
+      val exact = if (multisetEqual(view, full)) 1L else 0L
       ordered(view
         .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
           sum(col("total_value")).cast("double").as("sum_value"),
@@ -1636,15 +1622,13 @@ object TableFormat {
           sum(col("value").cast("decimal(18,4)"))
             .cast("decimal(18,4)").as("total_value"),
           min(col("value")).as("mn_value"), max(col("value")).as("mx_value"))
-      val exact1 = if (v1head.exceptAll(full1).count() == 0 &&
-        full1.exceptAll(v1head).count() == 0) 1L else 0L
+      val exact1 = if (multisetEqual(v1head, full1)) 1L else 0L
       val view2 = CommitLog.read(s, v2.toString, v2v)
       val full2 = v1head.groupBy(col("nv_value"))
         .agg(count(lit(1)).as("n"),
           sum(col("total_value").cast("decimal(18,4)"))
             .cast("decimal(18,4)").as("total"))
-      val exact2 = if (view2.exceptAll(full2).count() == 0 &&
-        full2.exceptAll(view2).count() == 0) 1L else 0L
+      val exact2 = if (multisetEqual(view2, full2)) 1L else 0L
       ordered(view2.agg(count(lit(1)).as("n_buckets"),
         sum(col("n")).as("n_users"),
         sum(col("total")).cast("double").as("sum_total"))
@@ -1716,7 +1700,7 @@ object TableFormat {
           min(col("total_total_value")).as("mn_total_total_value"),
           max(col("total_total_value")).as("mx_total_total_value"))
       def eq(a: DataFrame, b: DataFrame): Long =
-        if (a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0) 1L else 0L
+        if (multisetEqual(a, b)) 1L else 0L
       ordered(v3head
         .agg(count(lit(1)).as("n_keys"), sum(col("n")).as("n_rows"),
           sum(col("total_total_total_value")).cast("double").as("sum_total"))

@@ -356,6 +356,10 @@ object Text {
           "transform(sequence(0, CAST(ceil(size(t) / 20.0) AS INT) - 1)," +
             " i -> array_join(slice(t, i * 20 + 1, 20), ' '))")).as("span"))
         .select(col("doc_id"), md5(col("span")).as("h"))
+        // ONE exchange for the dup agg + the mark probe (r19, guide
+        // §2.4 — the span_strip/substring rule): ReusedExchange
+        // tokenizes and hashes the corpus once instead of per branch
+        .repartition(col("h"))
       val dup = ch.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") > 1).select(col("h"), lit(1).as("dup"))
@@ -387,11 +391,20 @@ object Text {
       // predicate, no second corpus pass.
       val t = Tables(s, dir, "documents")
         .select(col("doc_id"), toks().as("t")).filter(size(col("t")) > 0)
+      // ONE exchange for both consumers (r19, guide §2.4): ch feeds
+      // the keeper agg AND the join-back as two plan branches — left
+      // implicit, each branch re-runs the tokenize + chunk + md5 pass
+      // over the corpus. An explicit hash repartition on h makes the
+      // two subtrees identical up to the exchange, so ReusedExchange
+      // computes the chunk table once and both branches read the same
+      // shuffle output. (Partial-agg collapse lost on the keeper side
+      // is negligible: a chunk hash repeats only across actual dups.)
       val ch = t.select(col("doc_id"), explode(expr(
           "transform(sequence(0, CAST(ceil(size(t) / 20.0) AS INT) - 1)," +
             " i -> slice(t, i * 20 + 1, 20))")).as("ck"))
         .select(col("doc_id"), md5(array_join(col("ck"), " ")).as("h"),
           size(col("ck")).cast("long").as("n"))
+        .repartition(col("h"))
       val keeper = ch.groupBy(col("h"))
         .agg(min(col("doc_id")).as("keep_doc"),
           countDistinct(col("doc_id")).as("nd"))
@@ -434,10 +447,20 @@ object Text {
       val k = 16
       val t = Tables(s, dir, "documents")
         .select(col("doc_id"), toks().as("tk")).filter(size(col("tk")) >= k)
+      // ONE exchange for both consumers (r19, guide §2.4, the
+      // span_strip rule): g feeds the dup-set agg AND the semi-join
+      // probe — without an explicit hash repartition on h each branch
+      // re-runs the per-position k-gram md5 pass (the expensive part:
+      // one 16-token hash per corpus token). ReusedExchange now
+      // computes g once; both branches read the same shuffle output.
+      // Map-side partial collapse lost on the agg side is negligible
+      // here by construction — a k-gram key repeats only inside
+      // actual boilerplate.
       val g = t.select(col("doc_id"), col("tk"),
           explode(sequence(lit(1), size(col("tk")) - (k - 1))).as("s"))
         .select(col("doc_id"), col("s"),
           md5(array_join(slice(col("tk"), col("s"), lit(k)), " ")).as("h"))
+        .repartition(col("h"))
       val dup = g.groupBy(col("h"))
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") > 1).select(col("h"))

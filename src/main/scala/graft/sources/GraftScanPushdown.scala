@@ -107,14 +107,15 @@ object GraftFilterPushdown {
     * `layout.timeZone` / `layout.valueGuard` properties a first
     * partitioned append writes land BEFORE that append's version
     * commits, so any cacheable version already sees them. Bounded:
-    * cleared wholesale past 4096 entries (re-computable). */
+    * roughly half evicted past 4096 entries (CommitLog.evictHalf —
+    * never a full clear; entries are re-computable). */
   private val metaCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long, String), PruneMeta]()
 
   def pruneMetaOf(root: String, version: Long): PruneMeta = {
     val key = (new java.io.File(root).getCanonicalPath, version,
       CommitLog.manifestIdentity(root, version))
-    if (metaCache.size > 4096) metaCache.clear()
+    if (metaCache.size > 4096) CommitLog.evictHalf(metaCache)
     metaCache.computeIfAbsent(key, _ =>
       // SEGMENTED manifests: per-segment/per-file Long bounds on ONE
       // stats column (a "long" range-probe target, r16) — and, r18
@@ -841,7 +842,7 @@ object GraftAggPushdown {
         }
         if (entries.exists(_.isEmpty)) return None
         entries.flatten.groupBy(_._2).toSeq
-          .sortBy(_._1.mkString(" "))
+          .sortBy(_._1.mkString("\u0000"))
           .map { case (vals, fs) =>
             val keys = vals.zip(dts).map { case (v, dt) =>
               if (v == CommitLog.nullSentinel) Some(null)
