@@ -69,6 +69,30 @@ object Confs {
     math.max(math.max(1, cores / 4),
       math.ceil(stateBytes.toDouble / targetStateBytes).toInt)
 
+  /** Scale-adaptive fan-out for a CPU-dense derivation (r19): hash-
+    * repartition `df` on `keys` to [[partitionsFor]](plan-stat bytes)
+    * partitions BEFORE an explode-heavy map (shingling, char n-grams,
+    * tokenization). Why: scan parallelism is BYTE-driven — a small
+    * parquet file is one task, and AQE's partition coalescing also
+    * targets bytes (advisoryPartitionSizeInBytes) — but an explode
+    * multiplies CPU 10-100× per input byte, so byte-sized partitions
+    * serialize the work onto one core (measured: the near-dup pair
+    * join ran its entire prefix join + verify on ONE task at sf0.1,
+    * 4.9 s of a 10 s key). The explicit numPartitions pins the
+    * exchange against AQE re-coalescing; the count comes from the
+    * OPTIMIZER'S size estimate, so at 100 TB it is bytes/64 MiB —
+    * exactly the guide §2 sizing rule — and never a local-core
+    * constant. Results are unaffected: downstream aggregates re-hash
+    * by their own keys regardless. */
+  def spread(df: org.apache.spark.sql.DataFrame,
+      keys: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame = {
+    val bytes = scala.util.Try(
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+        .min(BigInt(Long.MaxValue)).toLong).getOrElse(0L)
+    val n = partitionsFor(bytes, df.sparkSession.sparkContext.defaultParallelism)
+    df.repartition(n, keys: _*)
+  }
+
   /** Recursive byte size of a staged fixture dir — the `inputBytes`
     * feed for [[partitionsFor]] when no catalog stats exist. */
   def dirBytes(path: String): Long = {

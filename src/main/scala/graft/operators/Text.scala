@@ -891,7 +891,11 @@ object Text {
       val d = Tables(s, dir, "documents")
       val split = when(md5(col("doc_id").cast("string")) < lit("1a"), "eval")
         .otherwise("train")
-      val tri = d.withColumn("split", split)
+      // spread before the char-trigram explode (r19, guide §2): the
+      // corpus is one byte-sized scan task, so the explode + first
+      // profile aggregate ran single-threaded
+      val tri = graft.Confs.spread(d, col("doc_id"))
+        .withColumn("split", split)
         .filter(length(col("text")) >= 3)
         .select(col("doc_id"), col("lang"), col("split"), explode(expr(
           "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"))

@@ -41,6 +41,48 @@ object CommitLog {
     new java.io.File(logDir(root), f"v$v%09d.json")
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** ONE shared Hadoop conf for local parquet footer reads (r19):
+    * `new Configuration()` re-parses the XML resource files on every
+    * instantiation, and the staging paths construct one per staged
+    * file per commit — pure fixed overhead on the write path. The
+    * instance is never mutated after construction, so sharing is
+    * safe; footer reads are local-FS only and need no per-table
+    * settings. */
+  private[sources] val hadoopConf = new org.apache.hadoop.conf.Configuration()
+
+  /** Parquet footer row count with a bounded cache (r19). Every staged
+    * file's footer was opened TWICE per commit — once by the zero-row
+    * filter at staging, once by [[stagedSizes]] after the atomic move —
+    * and the move is a same-FS rename, so keying the cache on POSIX
+    * fileKey (device+inode) + size + mtime carries the count across
+    * the rename while a recycled inode (deleted stage residue) cannot
+    * collide without also matching length and mtime — the same
+    * identity discipline the manifest cache uses. Data files are
+    * write-once (UUID names), so entries never go stale. */
+  private val footerRowsCache =
+    new java.util.concurrent.ConcurrentHashMap[(AnyRef, Long, Long), Long]()
+  private[sources] def footerRowCount(p: java.io.File): Long = {
+    def read(): Long = {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p.getAbsolutePath), hadoopConf))
+      try r.getRecordCount finally r.close()
+    }
+    val key =
+      try {
+        val attrs = java.nio.file.Files.readAttributes(
+          p.toPath, classOf[java.nio.file.attribute.BasicFileAttributes])
+        Option(attrs.fileKey).map(k =>
+          (k, attrs.size(), attrs.lastModifiedTime().toMillis))
+      } catch { case _: Throwable => None }
+    key match {
+      case None => read()
+      case Some(k) =>
+        if (footerRowsCache.size > 8192) footerRowsCache.clear()
+        footerRowsCache.computeIfAbsent(k, _ => read())
+    }
+  }
   /** JSON-quote an arbitrary string (partition values and string
     * column bounds are DATA, not path-safe identifiers — a quote or
     * backslash must escape, or the manifest is permanently
@@ -1106,13 +1148,7 @@ object CommitLog {
     * size estimation and the metadata COUNT(*) answer never touch a
     * data file at plan time. */
   private def stagedSizes(root: String, staged: Seq[String]): Aux = {
-    def footerRows(p: java.io.File): Long = {
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(p.getAbsolutePath),
-          new org.apache.hadoop.conf.Configuration()))
-      try r.getRecordCount finally r.close()
-    }
+    def footerRows(p: java.io.File): Long = footerRowCount(p)
     Aux(
       sizes = staged.map(f =>
         f -> new java.io.File(root, f).length()).toMap,
@@ -3267,13 +3303,7 @@ object CommitLog {
     val dvDir = new java.io.File(root, "dv"); dvDir.mkdirs()
     val parts = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet"))
-      .filter { p =>
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(p.getAbsolutePath),
-            new org.apache.hadoop.conf.Configuration()))
-        try r.getRecordCount > 0 finally r.close()
-      }
+      .filter(p => footerRowCount(p) > 0)
     val moved = parts.map { p =>
       val dst = new java.io.File(dvDir,
         java.util.UUID.randomUUID().toString + ".parquet")
@@ -5149,13 +5179,7 @@ object CommitLog {
     // nothing data-sized.
     val parts = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .filter { p =>
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(p.getAbsolutePath),
-            new org.apache.hadoop.conf.Configuration()))
-        try r.getRecordCount > 0 finally r.close()
-      }
+      .filter(p => footerRowCount(p) > 0)
     val moved = parts.map { p =>
       val dst = new java.io.File(dataDir,
         java.util.UUID.randomUUID().toString + ".parquet")
@@ -5185,13 +5209,7 @@ object CommitLog {
     val cdfDir = new java.io.File(root, "cdf"); cdfDir.mkdirs()
     val parts = Option(stage.toFile.listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .filter { p =>
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-            new org.apache.hadoop.fs.Path(p.getAbsolutePath),
-            new org.apache.hadoop.conf.Configuration()))
-        try r.getRecordCount > 0 finally r.close()
-      }
+      .filter(p => footerRowCount(p) > 0)
     val moved = parts.map { p =>
       val dst = new java.io.File(cdfDir,
         java.util.UUID.randomUUID().toString + ".parquet")

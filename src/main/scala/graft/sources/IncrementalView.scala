@@ -134,10 +134,15 @@ object IncrementalView {
       .when(col("_change_type").isin("delete", "update_preimage"), -1L)
     // ONE distributed pass over the changelog: the per-key deltas AND
     // the batch totals (row count, max folded version) come out of the
-    // same localCheckpointed aggregate — the previous shape re-read
-    // the CDF files three times (count, max, deltas) (r11, VERDICT).
-    // `_delnn` (delete-side non-null values per key) is the trigger
-    // input for the null-ness bounded recompute below.
+    // same aggregate — the previous shape re-read the CDF files three
+    // times (count, max, deltas) (r11, VERDICT). `_delnn` (delete-side
+    // non-null values per key) is the trigger input for the null-ness
+    // bounded recompute below. r19: the deltas aggregate is NOT
+    // checkpointed separately — it feeds exactly one consumer (the
+    // fold join below, whose checkpoint materializes the whole
+    // pipeline once), and the batch totals ride that same checkpoint
+    // into the guard collect, so a fold costs TWO driver actions
+    // (checkpoint + one scalar collect), not four.
     val deltas = changes
       .select(col(keyCol), sign.as("_sgn"), col(valCol), col("_commit_version"))
       .groupBy(col(keyCol))
@@ -147,12 +152,6 @@ object IncrementalView {
           .otherwise(0L)).as("_delnn"),
         count(lit(1)).as("_cnt"),
         max(col("_commit_version")).as("_maxv"))
-      .localCheckpoint()
-    val tot = deltas
-      .agg(coalesce(sum(col("_cnt")), lit(0L)), max(col("_maxv"))).collect()(0)
-    val nChanges = tot.getLong(0)
-    if (nChanges == 0) return (viewHead, 0L)
-    val maxVer = tot.getLong(1)
     // fold: affected keys' new states replace their old rows via the
     // log's MERGE (dirty view files only); zero-count keys drop. An
     // all-NULL-valued delta batch has dtotal NULL (SUM over no
@@ -180,24 +179,31 @@ object IncrementalView {
           .otherwise((coalesce(col("c.total"), zero) +
             coalesce(col("d.dtotal"), zero)).cast("decimal(18,4)"))
           .as("total"),
-        col("d._delnn").as("_delnn"))
+        col("d._delnn").as("_delnn"),
+        col("d._cnt").as("_cnt"), col("d._maxv").as("_maxv"))
       .localCheckpoint() // one evaluation feeds the guard + all sides
     // eqNullSafe: a NULL total is already exact (deleting a non-null
     // value cannot leave total NULL — dtotal would be non-null), and
     // three-valued && must not leak it out of the !trigger side
     val trigger = col("n") > 0 && col("_delnn") > 0 &&
       col("total").eqNullSafe(zero)
-    // guard + recompute-trigger count in ONE scalar action
+    // batch totals + guard + recompute-trigger count in ONE scalar
+    // action (r19 — was a separate collect over a separate checkpoint)
     val chk = folded.agg(
+      coalesce(sum(col("_cnt")), lit(0L)),
+      max(col("_maxv")),
       coalesce(sum(when(col("n") < 0, 1L).otherwise(0L)), lit(0L)),
       coalesce(sum(when(trigger, 1L).otherwise(0L)), lit(0L))).collect()(0)
-    require(chk.getLong(0) == 0L,
+    val nChanges = chk.getLong(0)
+    if (nChanges == 0) return (viewHead, 0L)
+    val maxVer = chk.getLong(1)
+    require(chk.getLong(2) == 0L,
       "refresh: a key's count went negative — the changelog and view " +
         "state disagree (an interrupted fold, or the view edited " +
         "out-of-band); rebuild the view with create()")
     val stateCols = Seq(col(keyCol), col("n"), col("total"))
     val survivors =
-      if (chk.getLong(1) == 0L) folded.filter(col("n") > 0).select(stateCols: _*)
+      if (chk.getLong(3) == 0L) folded.filter(col("n") > 0).select(stateCols: _*)
       else {
         val srcRoot = CommitLog.tableProperty(viewRoot, SrcProp)
           .getOrElse(sys.error(s"$viewRoot is not an incremental view (no $SrcProp)"))

@@ -509,16 +509,15 @@ object IncrementalViewMulti {
           Seq(sum(col(m).cast("decimal(18,4)") *
             col(m).cast("decimal(18,4)") * col("_sgn")).as(s"dss_$m"))
         else Nil) }
+    // r19: no separate checkpoint/collect for the deltas aggregate —
+    // it feeds exactly one consumer (the fold join), whose checkpoint
+    // materializes the whole pipeline once; the batch totals ride that
+    // checkpoint into the guard collect (two driver actions per fold,
+    // was four)
     val deltas = changes
       .select((kc ++ (col("_commit_version") +: sign.as("_sgn") +:
         valCols.map(col))): _*)
       .groupBy(kc: _*).agg(aggs.head, aggs.tail: _*)
-      .localCheckpoint()
-    val tot = deltas
-      .agg(coalesce(sum(col("_cnt")), lit(0L)), max(col("_maxv"))).collect()(0)
-    val nChanges = tot.getLong(0)
-    if (nChanges == 0) return (viewHead, 0L, 0L)
-    val maxVer = tot.getLong(1)
     // the bounded-recompute trigger, per measure: a delete-side bound
     // at or past the recorded extreme (or a delete against a key the
     // view has no state for — insert+delete within one batch) breaks
@@ -559,6 +558,7 @@ object IncrementalViewMulti {
       .select((kc ++
         ((coalesce(col("c.n"), lit(0L)) + col("d.dn")).as("n") +:
           valCols.map(hit).reduce(_ || _).as("_rec") +:
+          col("d._cnt").as("_cnt") +: col("d._maxv").as("_maxv") +:
           perMeasure)): _*)
     // derived AVG/VAR/STDDEV columns re-derive from the FOLDED
     // total/ss/nv in one extra projection — same through-double
@@ -576,18 +576,24 @@ object IncrementalViewMulti {
     val arith = (if (derived.isEmpty) arithBase
       else arithBase.select(col("*") +: derived: _*))
       .localCheckpoint() // one evaluation feeds guard + all three sides
-    // guard + recompute-trigger count in ONE scalar action over the
-    // checkpoint (r12, the r11 "counter consolidation" nit)
+    // batch totals + guard + recompute-trigger count in ONE scalar
+    // action over the checkpoint (r12, the r11 "counter consolidation"
+    // nit; r19 folds the old `tot` collect in too)
     val chk = arith.agg(
+      coalesce(sum(col("_cnt")), lit(0L)),
+      max(col("_maxv")),
       coalesce(sum(when(col("n") < 0, 1L).otherwise(0L)), lit(0L)),
       coalesce(sum(when(col("_rec") && col("n") > 0, 1L).otherwise(0L)),
         lit(0L))).collect()(0)
-    require(chk.getLong(0) == 0L,
+    val nChanges = chk.getLong(0)
+    if (nChanges == 0) return (viewHead, 0L, 0L)
+    val maxVer = chk.getLong(1)
+    require(chk.getLong(2) == 0L,
       "refresh: a key's count went negative — the changelog and view " +
         "state disagree (an interrupted fold, or the view edited " +
         "out-of-band); rebuild the view with create()")
     val recKeys = arith.filter(col("_rec") && col("n") > 0).select(kc: _*)
-    val nRec = chk.getLong(1) // scalar: the affected-KEY count
+    val nRec = chk.getLong(3) // scalar: the affected-KEY count
     val stateCols = kc ++ (col("n") +: valCols.flatMap(m =>
       Seq(col(s"nv_$m"), col(s"total_$m"), col(s"mn_$m"), col(s"mx_$m")) ++
         (if (avgCols.contains(m)) Seq(col(s"avg_$m")) else Nil) ++

@@ -101,7 +101,7 @@ object VectorIndex {
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
           new org.apache.hadoop.fs.Path(p.getAbsolutePath),
-          new org.apache.hadoop.conf.Configuration()))
+          CommitLog.hadoopConf))
       try r.getRecordCount finally r.close()
     }
     staged.groupBy(f => aux.parts(f).toLong).map { case (cell, fs) =>
