@@ -5164,13 +5164,37 @@ object CommitLog {
   private[sources] def relativize(root: String, abs: String): String =
     new java.io.File(root).toPath.relativize(new java.io.File(abs).toPath).toString
 
+  /** Is AQE worth paying for on this staged write? AQE's value is
+    * runtime join-strategy switching and partition coalescing, but the
+    * staged write ends in an explicit repartition(nFiles) (fixed fan-
+    * in AQE may not change), so for a JOIN-FREE input plan AQE only
+    * splits the write into one Spark job per query stage — measured
+    * ~3-4 jobs per tiny commit instead of one, pure scheduling
+    * overhead at any scale (the per-stage job costs a fixed planning/
+    * submit round regardless of data volume). Join-bearing inputs
+    * (CoW rewrite anti-joins, CDF unions) keep AQE: their build sides
+    * are often checkpoints without size stats, where only AQE's
+    * runtime re-planning finds the broadcast. */
+  private def joinFree(df: DataFrame): Boolean =
+    scala.util.Try(df.queryExecution.optimizedPlan.collectFirst {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty).getOrElse(false)
+
+  private def writeStaged(s: SparkSession, df: DataFrame, nFiles: Int,
+      dest: String): Unit = {
+    val write = () => df.repartition(nFiles)
+      .write.mode("overwrite").parquet(dest)
+    if (joinFree(df))
+      graft.Confs.withConfs(s, "spark.sql.adaptive.enabled" -> "false")(write())
+    else write()
+  }
+
   private def stageDataFiles(s: SparkSession, root: String,
       df: DataFrame, nFiles: Int): Seq[String] = {
     new java.io.File(root).mkdirs() // first commit may create the table root
     val stage = java.nio.file.Files.createTempDirectory(
       new java.io.File(root).toPath, ".stage-")
-    toPhysicalDf(root, df).repartition(nFiles)
-      .write.mode("overwrite").parquet(stage.toString)
+    writeStaged(s, toPhysicalDf(root, df), nFiles, stage.toString)
     val dataDir = new java.io.File(root, "data"); dataDir.mkdirs()
     // drop zero-row part files (a fully-empty write leaves one): an
     // empty file in the manifest defeats file-count accounting and
